@@ -1,0 +1,628 @@
+"""LLM-data-pipeline operators (BASELINE.json north star, SURVEY.md §7 P4).
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search over embeddings, and text analysis — all built from the same Spark
+primitives as the relational core, each hash-checked against a DuckDB
+oracle that implements the *identical* deterministic definition.
+
+Portability note: every hash used in a signature is MD5-of-string — the
+one hash both engines compute identically — so MinHash/SimHash results are
+engine-independent by construction (no reliance on engine-native hash()).
+
+Scale posture: candidate generation is always blocked (LSH bands / SimHash
+byte-blocks), never an all-pairs cross join; the all-pairs form appears
+only in oracle SQL, where DuckDB runs it on sf0.01 fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum_expr
+from ..sources.readers import table
+from .catalog import query
+
+# Shared deterministic text definitions (identical in oracle SQL below).
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+_PUNCT = r"[.,;:!?]"
+
+N_MINHASH = 32
+LSH_BANDS = 16  # 16 bands × 2 rows
+LSH_ROWS = 2
+JACCARD_THRESHOLD = 0.4
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3  # ≤3 over 4 byte-blocks → pigeonhole: one block exact
+
+
+def _tokens(text_col) -> Column:
+    """Whitespace tokens of lowercased trimmed text — the engine's shared
+    tokenizer (identical to string_split_regex(lower(trim(..)), '\\s+'))."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _shingles(tok_col) -> Column:
+    """Word 3-gram shingles (1-based positions, space-joined)."""
+    n = F.size(tok_col)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok_col, i), F.element_at(tok_col, i + 1), F.element_at(tok_col, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = """
+CASE WHEN len(t) >= 3
+     THEN list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+     ELSE [] END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, n_chars, {_TOKENS_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       n_chars,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_token_chars,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio
+FROM toks ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text analysis): counts, average token
+    length, type-token ratio — all native array expressions, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    total_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")), F.lit(0).cast("bigint"), lambda a, v: a + v
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        "n_chars",
+        total_chars.alias("total_token_chars"),
+        (total_chars.cast("double") / F.size(t)).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("type_token_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    tags=("text",),
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t,
+         CAST(len(regexp_extract_all(text, '{_PUNCT[1:-1].replace("'", "''")}', 0)) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         punct_ratio,
+         CAST(len(list_filter(t, x -> list_contains({list(_STOPWORDS)}, x))) AS DOUBLE)
+           / greatest(len(t), 1) AS stopword_ratio
+  FROM feats
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+       0.3 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio) + 0.3 * least(stopword_ratio * 5.0, 1.0) AS quality_score
+FROM scored ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length, punctuation density and
+    stopword ratio combined — the classic pretraining-corpus filter,
+    as one codegen'd expression tree."""
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT[1:-1]), 0)).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    base = d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.greatest(F.size(t), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        (
+            0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.4 * (1.0 - F.col("punct_ratio"))
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(t, x -> list_contains({list(_STOPWORDS)}, x))) AS DOUBLE)
+           / greatest(len(t), 1) AS en_score
+  FROM toks
+)
+SELECT doc_id, lang, en_score,
+       CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'unk' END AS predicted
+FROM feats ORDER BY doc_id
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: English function-word density
+    → en/unk. (The fixture corpus is synthetic same-vocabulary text, so the
+    heuristic's *computation* is the contract, not real-world accuracy.)"""
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    en_score = (
+        F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.greatest(F.size(t), F.lit(1))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en_score.alias("en_score"),
+        F.when(en_score >= 0.05, "en").otherwise("unk").alias("predicted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    tags=("text", "dedup", "hash"),
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: MD5 of whitespace-normalized lowercased text —
+    the exact-dedup key (reference `hash_of_this_file` generalized,
+    /root/reference/src/utility.js:47-50)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact_docs",
+    tags=("dedup", "hash"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), keep AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp
+)
+SELECT doc_id, fingerprint FROM keep WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, deterministic survivor = lowest doc_id.
+    One shuffle on the fingerprint; at 100 TB the fingerprint is computed
+    map-side so only (hash, id) pairs move."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    return d.select("doc_id", F.explode(F.array_distinct(_shingles(t))).alias("shingle"))
+
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL.strip()})) AS shingle
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+"""
+
+_JACCARD_TAIL_SQL = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    headline=True,
+    tags=("dedup", "similarity"),
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+{_JACCARD_TAIL_SQL}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (3-gram shingle sets, j ≥ 0.4).
+
+    Spark-first: explode distinct shingles, self-join on shingle (the
+    inverted index — only co-occurring docs ever pair), aggregate common
+    counts, then jaccard from set sizes. No all-pairs product; cost is
+    bounded by shingle co-occurrence, which is the scalable formulation.
+    """
+    sh = _shingle_frame(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n       ".join(
+        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+    )
+
+
+def _band_sql_cols() -> str:
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = " || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        parts.append(f"md5({cols}) AS band{b}")
+    return ",\n       ".join(parts)
+
+
+@query(
+    "dedup_minhash_lsh",
+    headline=True,
+    tags=("dedup", "similarity", "lsh"),
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sigs AS (
+  SELECT doc_id,
+       {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+       {_band_sql_cols()}
+  FROM sigs
+),
+long_bands AS (
+  SELECT doc_id, b.band_idx, b.sig FROM bands,
+  LATERAL (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band_idx,
+                  unnest([{", ".join(f"band{b}" for b in range(LSH_BANDS))}]) AS sig) b
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection (shingle → 32 minhashes →
+    16 bands × 2 → bucket join → exact-Jaccard verify at j ≥ 0.4).
+
+    Hashes are MD5-of-(seed|shingle) so signatures are engine-portable and
+    fully deterministic. Scale: candidate pairs come only from shared LSH
+    buckets (the join key is (band_idx, signature)) — never an all-pairs
+    product; the verify join touches only candidate docs' shingles.
+    """
+    sh = _shingle_frame(spark, sf_dir).cache()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])).alias(
+            f"band{b}"
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select("doc_id", *band_cols)
+    long_bands = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
+            "band_idx", "sig"
+        ),
+    )
+    a = long_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
+    b = long_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
+    candidates = (
+        a.join(b, ["band_idx", "sig"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact-Jaccard verification restricted to candidate pairs.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sum_sql() -> str:
+    return ",\n         ".join(
+        f"SUM((( h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+
+
+def _simhash_fp_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+
+@query(
+    "dedup_simhash",
+    tags=("dedup", "similarity", "hash"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+), sums AS (
+  SELECT doc_id,
+         {_simhash_sum_sql()}
+  FROM hashed GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, {_simhash_fp_sql()} AS simhash FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit token-multiset fingerprints, pairs at
+    Hamming distance ≤ 3.
+
+    Spark-first candidate generation uses 4 byte-blocks: distance ≤ 3 over
+    4 blocks forces ≥1 identical block (pigeonhole), so candidates come
+    from an equi-join on (block_idx, block_value) — no all-pairs scan.
+    The oracle runs the equivalent all-pairs form on the fixture.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fps = sums.select("doc_id", fp_expr.alias("simhash"))
+    # Blocking: 4 bytes of the 32-bit fingerprint.
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * blk).bitwiseAND(F.lit(0xFF))
+                    for blk in range(4)
+                ]
+            )
+        ).alias("blk_idx", "blk_val"),
+    )
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "blk_idx", "blk_val")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "blk_idx", "blk_val")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["blk_idx", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_cosine_bruteforce",
+    headline=True,
+    tags=("similarity", "knn"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+pairs AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qe, v.e) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+  FROM q JOIN v ON q.query_id <> v.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for 20 query vectors — the exact
+    baseline for ANN (north-star similarity search).
+
+    Cosine is computed with zip_with + aggregate (a strict left-to-right
+    fold → deterministic), rounded to 6 dp so engine summation order can't
+    flip ranks; ties break on neighbor_id. Scale: the query side is tiny →
+    broadcast; the corpus scan stays partitioned (score-and-top-k per
+    partition via the rank window is the scale path; an IVF variant lives
+    in operators/similarity.py).
+    """
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot_self = F.aggregate(
+        F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v = v.withColumn("norm", F.sqrt(dot_self))
+    q = v.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("norm").alias("qnorm")
+    ).filter(F.col("query_id") < 20)
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_centroids",
+    tags=("similarity", "agg"),
+    oracle=f"""
+WITH expanded AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       {dsum_expr('val', 8)} / COUNT(val) AS centroid
+FROM expanded GROUP BY label, pos
+ORDER BY label, pos
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dim, mean) — the
+    k-means/IVF building block. posexplode keeps dimension order explicit
+    (J3's order-sensitivity contract)."""
+    v = table(spark, sf_dir, "embeddings")
+    expanded = v.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    return (
+        expanded.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )

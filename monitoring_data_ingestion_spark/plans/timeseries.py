@@ -1,0 +1,357 @@
+"""Time-series / event-stream queries (SURVEY.md §2.5 W1-W2, §2.9 T1-T9).
+
+The `events` table is the batch analogue of the engine's streaming input;
+every query here also has a Structured Streaming form (see
+``streaming/``) — the batch form is what the DuckDB oracle can check.
+
+The flagship `era5_monthly_anomaly` generalizes the reference's entire
+anomaly dataflow (normal = 30-same-months mean, anomaly = current − normal;
+/root/reference/src/sources/era5monthly.js:79-92,126-155) onto tabular data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum, dsum_expr
+from ..sources.readers import table
+from .catalog import query
+
+
+@query(
+    "ts_tumbling_hourly",
+    headline=True,
+    tags=("window", "streaming-analog"),
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def ts_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (T6: the reference's calendar-
+    month tumbling window, generalized). Streaming form: groupBy(window)
+    + withWatermark; batch form: date_trunc."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "ts_lag_lead",
+    tags=("window",),
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events WHERE user_id <= 20
+ORDER BY user_id, event_id
+""",
+)
+def ts_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + consecutive differencing (W1/A5: the reference's
+    accumulated-field subtraction, /root/reference/src/file-conversions.js:53-55)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "ts_moving_avg",
+    tags=("window",),
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM events WHERE user_id <= 20
+ORDER BY user_id, event_id
+""",
+)
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row trailing moving average (ROWS frame over event time)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "ts_sessionize",
+    headline=True,
+    tags=("window", "session", "streaming-analog"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (gaps-and-islands).
+
+    Batch analogue of `session_window` (T6/T3); the streaming form lives in
+    ``streaming/``. One shuffle on user_id serves the lag, the running sum,
+    and the final session aggregation (same partitioning reused)."""
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_s = 30 * 60
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(order) <= gap_s,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "ts_asof_join",
+    headline=True,
+    tags=("join", "asof"),
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+       v.event_id AS last_view_id, v.value AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+""",
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest view at-or-before it
+    (the reference's "latest normal as of month" state lookup, SURVEY §2.3).
+
+    Spark-first implementation: union the two streams, one window pass with
+    `last(..., ignorenulls)` — O(n log n) in the partition, no range
+    cross-product, scales to any table size (vs a naive theta-join)."""
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("p_event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("v_event_id"),
+        F.lit(None).cast("double").alias("v_value"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    # Views sort before purchases on timestamp ties (kind 0 < 1) so the
+    # `>=` as-of semantics include a same-instant view.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "kind",
+        "p_event_id",
+        F.last("v_event_id", ignorenulls=True).over(w).alias("last_view_id"),
+        F.last("v_value", ignorenulls=True).over(w).alias("last_view_value"),
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            F.col("p_event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_view_id",
+            "last_view_value",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "era5_monthly_anomaly",
+    headline=True,
+    tags=("agg", "join", "anomaly"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS series,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         month(o_orderdate) AS month_of_year,
+         {dsum_expr('o_totalprice', 2)} / COUNT(o_totalprice) AS monthly_avg
+  FROM orders
+  GROUP BY 1, 2, 3
+), normals AS (
+  SELECT series, month_of_year,
+         {dsum_expr('monthly_avg', 8)} / COUNT(monthly_avg) AS normal_value
+  FROM monthly GROUP BY 1, 2
+)
+SELECT m.series AS series, m.month_start AS month_start,
+       m.monthly_avg AS monthly_avg, n.normal_value AS normal_value,
+       m.monthly_avg - n.normal_value AS anomaly
+FROM monthly m JOIN normals n
+  ON m.series = n.series AND m.month_of_year = n.month_of_year
+ORDER BY series, month_start
+""",
+)
+def era5_monthly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole anomaly dataflow, generalized to tabular data.
+
+    Mirror of /root/reference/src/sources/era5monthly.js:79-92,126-155:
+    monthly aggregate per series (the "grid") → climatological normal =
+    mean over all same-calendar-months (cdo timmean, A1) → anomaly =
+    current − normal via broadcast join (J2 + F2, cdo sub).
+
+    Scale: normals is tiny (|series| × 12 rows) → broadcast; the fact scan
+    aggregates map-side first. At 100 TB the normals table would be
+    materialized once and reused across runs (T7) — see ingest/normals.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.month("o_orderdate").alias("month_of_year"),
+    ).agg(davg("o_totalprice", 2).alias("monthly_avg"))
+    # Scale 8 keeps int_digits+scale within double's ~15 significant
+    # digits, so the decimal quantization is engine-portable.
+    normals = monthly.groupBy("series", "month_of_year").agg(
+        davg("monthly_avg", 8).alias("normal_value")
+    )
+    return (
+        monthly.join(F.broadcast(normals), ["series", "month_of_year"])
+        .select(
+            "series",
+            "month_start",
+            "monthly_avg",
+            "normal_value",
+            (F.col("monthly_avg") - F.col("normal_value")).alias("anomaly"),
+        )
+        .orderBy("series", "month_start")
+    )
+
+
+@query(
+    "ts_json_extract",
+    tags=("scalar", "json"),
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {dsum_expr("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS sum_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def ts_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode surface (F17): get_json_object over a JSON string
+    column, aggregated. (`from_json` with explicit schema is the typed
+    variant — exercised in unit tests.)"""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(k, 0).alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_dedup_union",
+    tags=("dedup", "setop"),
+    oracle="""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type FROM events WHERE user_id <= 30
+  UNION ALL
+  SELECT event_id, user_id, event_type FROM events WHERE user_id <= 30
+)
+GROUP BY 1, 2, 3
+ORDER BY event_id
+""",
+)
+def ts_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-delivery dedup (T2 idempotence): the same batch delivered twice
+    unions to exactly one copy (dropDuplicates on the full row)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30).select(
+        "event_id", "user_id", "event_type"
+    )
+    return e.unionByName(e).dropDuplicates().orderBy("event_id")
+
+
+@query(
+    "ts_freshness_check",
+    tags=("filter", "datetime"),
+    oracle="""
+WITH latest AS (
+  SELECT user_id, MAX(ts) AS last_seen FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(last_seen AS TIMESTAMP) AS last_seen
+FROM latest
+WHERE last_seen < TIMESTAMP '2024-01-30 12:00:00'
+ORDER BY user_id
+""",
+)
+def ts_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness predicate (P6: the reference's status monitor,
+    /root/reference/src/scripts/status.js:7-18): entities whose latest
+    heartbeat is older than a threshold."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"))
+        .filter(F.col("last_seen") < F.lit("2024-01-30 12:00:00").cast("timestamp"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,84 @@
+"""Table readers for the engine's relational fixtures.
+
+The reference's "scan" layer is file-at-a-time GRIB extraction
+(/root/reference/src/file-conversions.js:114-156); here every scan is a
+``spark.read.parquet`` so Catalyst gets predicate pushdown + column pruning
+for free (SURVEY.md §4). At 100 TB the same call reads a partitioned
+table layout — nothing in the query layer changes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The fixture star schema + stream + LLM-pipeline tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (Spark can't scan them
+    natively — the engine normalizes at the scan edge, like the reference's
+    nodata-sentinel mapping, SURVEY §2.2 P5)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return ()
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        target = parts[0]
+    try:
+        schema = pq.read_schema(target)
+    except Exception:  # pragma: no cover
+        return ()
+    return tuple(
+        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Lazy: no data moves until an action.
+
+    Scan-edge normalization: parquet TIMESTAMP(NANOS) columns (which Spark
+    rejects) are read as nanos-longs and converted to microsecond
+    timestamps (truncating, matching DuckDB/Arrow µs semantics).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_ts_cols(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        # Integer division: float division would lose precision at ~1e18 ns.
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
