@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Headline-query benchmark.
+
+Runs the catalog's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized through the noop sink (all compute, no
+output I/O) — the same measurement the driver records as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from monitoring_data_ingestion_spark.session import get_spark
+    from monitoring_data_ingestion_spark.plans import REGISTRY
+
+    spark = get_spark(
+        app_name="mdi-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
+
+    # Warm the JVM/codegen once on the smallest fixture so per-query times
+    # measure the plan, not first-run JIT.
+    warm = next(iter(headline.values()))
+    warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -253,7 +253,11 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # Repartition before the explode: shingling amplifies each row ~300×,
+    # so the scan's partitioning (often 1 task for a small file) must not
+    # dictate the compute parallelism.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
     t = _tokens(F.col("text"))
     return d.select("doc_id", F.explode(F.array_distinct(_shingles(t))).alias("shingle"))
 
@@ -319,17 +323,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash family over a 28-bit shingle key x (one MD5 per shingle,
+# then h_i = (a_i*x + b_i) mod p). Constants are fixed primes; products
+# stay < 2^48 so DuckDB's overflow-checked BIGINT agrees with Spark's long.
+MINHASH_P = (1 << 31) - 1
+_MINHASH_A = [2 * i + 3 for i in range(N_MINHASH)]
+_MINHASH_B = [7919 * (i + 1) for i in range(N_MINHASH)]
+
+_SHINGLE_KEY_SQL = "CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT)"
+
+
 def _minhash_sql_cols() -> str:
     return ",\n       ".join(
-        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+        f"MIN(({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(N_MINHASH)
     )
 
 
 def _band_sql_cols() -> str:
     parts = []
     for b in range(LSH_BANDS):
-        cols = " || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        parts.append(f"md5({cols}) AS band{b}")
+        cols = " || '_' || ".join(
+            f"CAST(h{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        parts.append(f"({cols}) AS band{b}")
     return ",\n       ".join(parts)
 
 
@@ -339,10 +356,13 @@ def _band_sql_cols() -> str:
     tags=("dedup", "similarity", "lsh"),
     oracle=f"""
 WITH shingles AS ({_SHINGLE_SQL}),
+keyed AS (
+  SELECT doc_id, {_SHINGLE_KEY_SQL} AS x FROM shingles
+),
 sigs AS (
   SELECT doc_id,
        {_minhash_sql_cols()}
-  FROM shingles GROUP BY doc_id
+  FROM keyed GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -386,16 +406,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; the verify join touches only candidate docs' shingles.
     """
     sh = _shingle_frame(spark, sf_dir).cache()
-    sigs = sh.groupBy("doc_id").agg(
+    # One MD5 per (doc, shingle); the 32 signature values are then cheap
+    # integer universal-hashes of that key (JVM-side, codegen'd).
+    keyed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("x"),
+    )
+    sigs = keyed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min((F.lit(_MINHASH_A[i]) * F.col("x") + F.lit(_MINHASH_B[i])) % MINHASH_P).alias(
+                f"h{i}"
+            )
             for i in range(N_MINHASH)
         ]
     )
     band_cols = [
-        F.md5(F.concat(*[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])).alias(
-            f"band{b}"
-        )
+        F.concat_ws(
+            "_", *[F.col(f"h{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        ).alias(f"band{b}")
         for b in range(LSH_BANDS)
     ]
     bands = sigs.select("doc_id", *band_cols)
@@ -478,7 +506,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on (block_idx, block_value) — no all-pairs scan.
     The oracle runs the equivalent all-pairs form on the fixture.
     """
-    d = table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     hashed = toks.select(
         "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
@@ -560,8 +589,11 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition via the rank window is the scale path; an IVF variant lives
     in operators/similarity.py).
     """
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(n, "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     dot_self = F.aggregate(
         F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),

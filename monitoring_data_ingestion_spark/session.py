@@ -50,6 +50,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master and master.startswith("local"):
+        # Fixture tables are single small parquet files; the default 128 MB
+        # split size would scan them in one task. On a real cluster the
+        # default is kept — inputs there are many multi-hundred-MB files.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "8m")
+        builder = builder.config("spark.sql.files.openCostInBytes", "1m")
     for k, v in SEMANTIC_CONF.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
