@@ -2,6 +2,7 @@ from .catalog import REGISTRY, QuerySpec, query
 
 # Importing the plan modules populates REGISTRY.
 from . import tpch  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 

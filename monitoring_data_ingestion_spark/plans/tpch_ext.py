@@ -1,0 +1,556 @@
+"""Extended relational coverage: the classic TPC-H query shapes the base
+module (tpch.py) doesn't exercise, adapted to the fixture schema (no
+partsupp table, no commit/receipt dates — predicates re-cast onto the
+columns that exist).
+
+Why these shapes matter for the engine contract (SURVEY.md §2.3/§2.4/§2.6):
+correlated EXISTS (Q4), scan-only aggregation (Q6), bilateral dim routing
+(Q7), multi-way join with derived measures (Q9), group-filter join-back
+(Q18), disjunctive pushdown (Q19), scalar-subquery + anti-join (Q22),
+per-group-min join-back (Q2). Each runs the operator through a plan Catalyst
+must optimize well at 100 TB — the docstrings state the expected physical
+strategy, tests assert the key properties (pushdown, broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum, dsum_expr
+from ..sources.readers import table
+from .catalog import query
+
+
+@query(
+    "q2_min_price_supplier",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), part_best AS (
+  SELECT l_partkey, MIN(best_price) AS min_price FROM offers GROUP BY l_partkey
+)
+SELECT p.p_partkey AS p_partkey, s.s_name AS s_name, o.best_price AS best_price
+FROM offers o
+JOIN part_best b ON o.l_partkey = b.l_partkey AND o.best_price = b.min_price
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE p.p_size = 15
+ORDER BY p_partkey, s_name
+""",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped per-group-min join-back: cheapest supplier offer per
+    part (correlated-min subquery, the classic MIN-then-rejoin plan).
+
+    Scale: both aggregations share the (l_partkey, l_suppkey) shuffle; the
+    min-per-part side is |parts| rows → AQE broadcasts it back. MIN is
+    order-independent so no decimal routing is needed; the equality
+    join-back on the min compares a value MIN itself produced (bit-exact in
+    both engines).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = table(spark, sf_dir, "supplier")
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    part_best = offers.groupBy("l_partkey").agg(F.min("best_price").alias("min_price"))
+    return (
+        offers.join(
+            part_best,
+            (offers.l_partkey == part_best.l_partkey)
+            & (offers.best_price == part_best.min_price),
+        )
+        .drop(part_best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "best_price")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q4_order_priority",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: orders in a quarter having at
+    least one line shipped >60 days after order date (stand-in for the
+    commit<receipt lateness predicate), counted by priority.
+
+    Scale: the EXISTS compiles to a left-semi hash join on o_orderkey; the
+    quarter filter is pushed to the orders scan, so the semi-join probe side
+    is one quarter of the fact, not the whole table.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    headline=True,
+    tags=("agg", "filter"),
+    oracle=f"""
+SELECT {dsum_expr('l_extendedprice * l_discount', 8)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side aggregation — the pushdown/pruning
+    benchmark. No join, no group key: partial aggregation reduces every
+    partition to one row, the final exchange moves |partitions| rows.
+
+    Scale: all three predicates reach the parquet scan as PushedFilters;
+    only (l_extendedprice, l_discount, l_quantity, l_shipdate) are read
+    (column pruning). At 100 TB with date-partitioned layout the shipdate
+    range also prunes whole partitions.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_expr('volume', 8)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral volume: revenue flowing between two
+    nations in each direction, by ship year.
+
+    Scale: the nation pair predicate is applied after two broadcast dim
+    joins; the only shuffles are orders⋈lineitem (orderkey) and the final
+    tiny aggregation. The disjunctive pair filter can't be pushed below the
+    joins, but both dim joins are broadcast so no extra exchange appears.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", 8).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q9_profit_by_nation",
+    headline=True,
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT nation, o_year, {dsum_expr('amount', 8)} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * 0.1 AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%green%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit by nation and order year. The
+    fixture has no partsupp, so supply cost is modeled as 10% of
+    p_retailprice × quantity — same join/agg shape, same measure plumbing.
+
+    Scale: part (filtered on name) and supplier/nation broadcast; the two
+    fact shuffles (partkey, then orderkey) dominate — AQE handles the
+    rest. The derived measure stays in whole-stage codegen.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", 8).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    tags=("join", "agg", "topk"),
+    oracle=f"""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 8)} AS revenue,
+       c.c_acctbal AS c_acctbal, n.n_name AS n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in a
+    quarter.
+
+    Scale: quarter + returnflag filters push to the scans; nation
+    broadcasts; the group key includes the customer attributes so no second
+    join-back is needed; top-k is TakeOrderedAndProject.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT 100.00 * {dsum_expr("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 8)}
+       / {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 8)} AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo share of one month's revenue — conditional
+    aggregation over a broadcast-joined dim attribute.
+
+    Scale: part is the broadcast side; the month filter prunes the fact
+    scan; one partial+final agg, no group key.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo, 8) / dsum(rev, 8)).alias("promo_revenue"))
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    tags=("join", "agg", "subquery", "topk"),
+    oracle=f"""
+SELECT c.c_name AS c_name, c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_totalprice AS o_totalprice,
+       {dsum_expr('l.l_quantity', 2)} AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 210
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customers — the group-filter → semi-join-back shape.
+
+    Scale: the HAVING side reuses the lineitem(orderkey) shuffle that the
+    outer join also needs; the qualifying-orderkey set is tiny → left-semi
+    broadcast. Decimal sum keeps the >210 cut deterministic.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .filter(F.col("q") > 210)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    tags=("join", "filter", "agg"),
+    oracle=f"""
+SELECT {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 8)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs mixing join-side and fact-side predicates.
+
+    Scale: Catalyst extracts the common parts (p_size >= 1, brand IN (...))
+    below the join and keeps the residual disjunction as the join filter;
+    part broadcasts. Tests assert an In/brand filter lands on the part scan.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_late_suppliers",
+    tags=("join", "agg", "topk"),
+    oracle="""
+SELECT s.s_name AS s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped lateness ranking: suppliers ordered by how many of
+    their lines on finalized orders shipped >90 days late.
+
+    Scale: supplier broadcasts; the o⋈l shuffle on orderkey carries only
+    pruned columns; the non-equi lateness predicate rides on the equi-join
+    as a residual filter (no nested-loop).
+    """
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_customers",
+    tags=("join", "agg", "subquery"),
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {dsum_expr('c_acctbal', 2)} / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS numcust,
+       {dsum_expr('c.c_acctbal', 2)} AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers richer than the positive-balance average
+    who never ordered, grouped by nation — scalar subquery + anti-join.
+
+    Scale: the scalar average is one tiny broadcast row (crossJoin of a
+    1-row DataFrame); the anti-join shuffles on custkey; decimal sums make
+    the > threshold cut and totals deterministic.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", 2).alias("a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    tags=("agg", "rollup"),
+    oracle=f"""
+SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
+       COUNT(*) AS n, {dsum_expr('o_totalprice', 2)} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the third member of the rollup/cube family (SURVEY
+    §2.4 generalized contract), via SQL on a temp view (the DataFrame API
+    has no direct grouping-sets builder)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
