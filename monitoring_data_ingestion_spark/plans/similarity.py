@@ -1,0 +1,273 @@
+"""Approximate similarity search — the scale path beyond brute force.
+
+Two production ANN shapes over the `embeddings` table, both with the
+candidate-generation step expressed identically in Spark and in the DuckDB
+oracle (the approximation is *part of the declared semantics*, so the
+hash-check verifies the full blocked pipeline, not just the exact rerank):
+
+* ``dedup_embedding_cosine`` — banded sign-LSH (4 bands × 3 hyperplanes)
+  for candidate pairs, exact cosine rerank at a threshold. The embedding
+  analogue of MinHash-LSH text dedup (same band/bucket/rerank skeleton as
+  plans/analytics.py dedup_minhash_lsh).
+* ``knn_ivf`` — IVF: a coarse quantizer (per-label centroid vectors =
+  the "trained" codebook), inverted-list assignment by nearest centroid,
+  nprobe=2 probing, exact top-k within the probed lists.
+
+Scale posture: candidate generation is always equi-join-on-bucket (shuffle
+keyed on a small bucket id, never an all-pairs cross join); centroids and
+probe tables are tiny → broadcast. At 100 TB the inverted lists would be
+written bucket-partitioned so a probe touches only its partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .catalog import query
+
+LSH_BANDS = 4
+LSH_PLANES_PER_BAND = 3  # sign bits per band → 8 buckets per band
+NEARDUP_COSINE = 0.35
+IVF_NPROBE = 2
+IVF_TOPK = 5
+N_QUERIES = 20
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold dot product — accumulation order is fixed, so the
+    double result is bit-identical to the oracle's sequential loop."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+
+
+def _band_bucket(b: int) -> Column:
+    """Bucket id of band ``b``: 3 sign bits of dims 3b..3b+2 (axis-aligned
+    hyperplanes — deterministic, no RNG, same arithmetic in the oracle)."""
+    bits = [
+        F.when(F.element_at("e", 3 * b + i + 1) >= 0, F.lit(1 << (2 - i))).otherwise(0)
+        for i in range(LSH_PLANES_PER_BAND)
+    ]
+    return (bits[0] + bits[1] + bits[2]).cast("int")
+
+
+def _band_bucket_sql(b: int) -> str:
+    bits = " + ".join(
+        f"CASE WHEN e[{3 * b + i + 1}] >= 0 THEN {1 << (2 - i)} ELSE 0 END"
+        for i in range(LSH_PLANES_PER_BAND)
+    )
+    return f"CAST({bits} AS INTEGER)"
+
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, {_band_bucket_sql(b)} AS bucket FROM v"
+    for b in range(LSH_BANDS)
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity", "lsh"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+), bands AS (
+{_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a AS vec_a, c.vec_b AS vec_b,
+       ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS cosine
+FROM cand c
+JOIN norms x ON x.vec_id = c.vec_a
+JOIN norms y ON y.vec_id = c.vec_b
+WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= {NEARDUP_COSINE}
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH: 4 bands
+    of 3 axis hyperplanes each; a pair is a candidate iff it collides in
+    ANY band; candidates are exactly reranked and kept at cosine ≥ 0.35.
+
+    Scale: each vector emits 4 (band, bucket) rows → self-join keyed on the
+    (band, bucket) pair is the only candidate-generation shuffle; DISTINCT
+    collapses multi-band collisions before the (more expensive) rerank join
+    fetches the vectors. No cross join anywhere.
+    """
+    v = _vectors(spark, sf_dir)
+    bands = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_bucket(b).alias("bucket"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    other = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("band").alias("band_r"), F.col("bucket").alias("bucket_r")
+    )
+    cand = (
+        bands.join(
+            other,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    y = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cosine = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_CENTROID_SQL = """
+expanded AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE) / COUNT(val) AS c
+  FROM expanded GROUP BY label, pos
+), centv AS (
+  SELECT label, list(c ORDER BY pos) AS ce FROM cent GROUP BY label
+), centn AS (
+  SELECT label, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM centv
+)"""
+
+
+@query(
+    "knn_ivf",
+    headline=True,
+    tags=("similarity", "knn", "ivf"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),{_CENTROID_SQL}
+, affinity AS (
+  SELECT n.vec_id, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY ROUND(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) DESC, c.label
+         ) AS rn
+  FROM norms n CROSS JOIN centn c
+), assign AS (
+  SELECT vec_id, label AS bucket FROM affinity WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS bucket FROM affinity
+  WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 6) AS cosine
+  FROM cand c
+  JOIN norms q ON q.vec_id = c.query_id
+  JOIN norms n ON n.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: per-label centroids form the coarse codebook
+    (k=10); every vector is assigned to its nearest centroid's inverted
+    list; each query (vec_id < 20) probes its nprobe=2 nearest lists and
+    exact-reranks only those candidates (cosine rounded to 6 dp, ties by
+    neighbor_id — fully deterministic).
+
+    Scale: the codebook is k×dim doubles → broadcast to every task, so
+    assignment is a map-only pass over the corpus (no shuffle). Candidate
+    fetch shuffles on the bucket id; with bucket-partitioned inverted-list
+    storage this becomes partition pruning (read nprobe/k of the data).
+    The same plan shape holds for trained k-means codebooks — training is
+    orthogonal to the serving path implemented here.
+    """
+    v = _vectors(spark, sf_dir)
+
+    # Codebook: per-label mean vector, assembled in dimension order.
+    expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = expanded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
+    )
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
+        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .select(F.col("label").alias("clabel"), "ce", "cnrm")
+    )
+
+    # Affinity of every vector to every centroid (k rows per vector; the
+    # codebook side is broadcast → map-side only).
+    aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
+    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
+    affinity = (
+        v.crossJoin(F.broadcast(centv))
+        .withColumn("acos", aff_cos)
+        .withColumn("rn", F.row_number().over(w_aff))
+    )
+    assign = affinity.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("clabel").alias("bucket")
+    )
+    probes = affinity.filter(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
+
+    cand = (
+        probes.join(assign, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm"))
+    n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("nrm").alias("nnrm"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
