@@ -1,0 +1,97 @@
+"""Multimodal catalog queries: binary payload columns + typed metadata.
+
+Three contract points of the media layer (multimodal/), each oracle-checked:
+metadata-only queries never touch payload bytes (column pruning), the
+Arrow-batched Python feature path (mapInPandas) is deterministic, and frame
+sampling stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.model import media_table
+from ..multimodal.ops import FEATURE_DIM, extract_features, sample_frames
+from .catalog import query
+
+# media_type derivation in SQL — mirror of multimodal/model.py.
+_MEDIA_TYPE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@query(
+    "multimodal_metadata_stats",
+    tags=("multimodal", "agg"),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT media_type, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM m GROUP BY media_type ORDER BY media_type
+""",
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media query: per-modality counts and byte totals read
+    the metadata struct, never the payload — at 100 TB the binary column is
+    pruned out of the scan entirely (tests assert `media` is absent from
+    ReadSchema)."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.max("meta.n_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    tags=("multimodal", "python"),
+    oracle=f"""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {", ".join(
+           f"CAST(('0x' || substr(md5(text || '_{j}'), 1, 8)) AS BIGINT) / 4294967296.0 AS f{j}"
+           for j in range(FEATURE_DIM)
+       )}
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over payload bytes through the Arrow/Python
+    boundary (mapInPandas): deterministic MD5-projection features standing
+    in for a model embedding — the codec-free end-to-end proof of the
+    multimodal batch plumbing (schema, batching, no shuffle)."""
+    m = media_table(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return extract_features(m, dim=FEATURE_DIM).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    tags=("multimodal", "array"),
+    oracle="""
+SELECT doc_id,
+       CAST(1 + doc_id % 30 AS BIGINT) AS n_frames,
+       CAST(i AS BIGINT) AS slot,
+       CAST(FLOOR(i * (1 + doc_id % 30) / 4.0) AS BIGINT) AS frame_idx,
+       CAST(FLOOR(i * (1 + doc_id % 30) / 4.0) AS BIGINT) * 1000.0 / 25.0 AS frame_ts_ms
+FROM documents, UNNEST(generate_series(0, 3)) AS t(i)
+WHERE doc_id % 3 = 2
+ORDER BY doc_id, slot
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even frame sampling for video rows (k=4 slots → frame indices at
+    25 fps timestamps): sequence/transform/posexplode, entirely JVM-side —
+    selection arithmetic must not pay the Python boundary; only the decode
+    of the selected frames would (stubbed, multimodal/ops.py)."""
+    m = media_table(spark, sf_dir)
+    return sample_frames(m, k=4).orderBy("doc_id", "slot")
