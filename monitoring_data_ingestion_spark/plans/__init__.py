@@ -7,5 +7,6 @@ from . import timeseries  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import media  # noqa: E402,F401
+from . import streaming_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

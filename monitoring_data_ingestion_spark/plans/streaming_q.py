@@ -1,0 +1,115 @@
+"""Streaming catalog queries: the Structured Streaming engine run to
+completion (Trigger.AvailableNow) and hash-checked against the same DuckDB
+oracles as the batch engine.
+
+These are not batch re-implementations — each one builds a streaming plan
+(file source → watermark/state → sink), drains it through the real
+streaming runtime (micro-batches, state store, incremental execution), and
+returns the materialized result. Equality with the batch oracle is the
+engine's replayability contract: a query moved between the batch and
+streaming engines returns identical values (T1/T2/T6/T7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum_expr
+from ..streaming.ops import tumbling_window_agg
+from ..streaming.sinks import run_available_now_to_memory
+from ..streaming.sources import events_stream
+from ..streaming.stateful import running_user_stats
+from .catalog import query
+
+
+@query(
+    "stream_tumbling_hourly",
+    tags=("streaming", "window"),
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation through the streaming engine (complete
+    mode): window() state in the state store, epoch-aligned 1-hour windows
+    — value-identical to the batch date_trunc form (ts_tumbling_hourly).
+
+    Scale: with a real unbounded source this exact plan runs with append
+    mode + watermark eviction; complete mode here makes the bounded drain
+    emit every window for the oracle comparison.
+    """
+    src = events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(src, duration="1 hour", keys=("event_type",))
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_dedup_union",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+ORDER BY event_id
+""",
+)
+def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under duplicate delivery: the source unioned
+    with itself (every event delivered twice) → dropDuplicates on the key
+    restores exactly-once output (U2/T2: the reference's re-queue dedup).
+
+    State note: keyed dedup state here is unbounded by design so the
+    duplicate-delivery equality is exact; the bounded-state production
+    form is streaming/ops.dedup_within_watermark (tested separately).
+    """
+    src = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = src.union(src)
+    deduped = doubled.dropDuplicates(["event_id"])
+    out = run_available_now_to_memory(deduped, output_mode="append")
+    return out.orderBy("event_id")
+
+
+@query(
+    "stream_stateful_user_stats",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) running per-user
+    (count, min ts, max ts) state across micro-batches — the generalized
+    normals-cache (T7). The memory sink accumulates one update row per
+    (key, batch); the final max-aggregate collapses them to the last state,
+    which must equal the batch GROUP BY.
+    """
+    src = events_stream(spark, sf_dir)
+    updates = running_user_stats(src)
+    out = run_available_now_to_memory(updates, output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_ts_us").alias("first_us"),
+            F.max("last_ts_us").alias("last_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.timestamp_micros(F.col("first_us")).alias("first_ts"),
+            F.timestamp_micros(F.col("last_us")).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,98 @@
+"""Watermarked streaming transforms: windows and dedup (T3/T6, and the
+generalized contract of SURVEY.md §2.9).
+
+Each helper takes an unbounded DataFrame and returns an unbounded
+DataFrame; the same column contract as the batch analogues in
+plans/timeseries.py, so results are comparable query-for-query.
+
+Scale posture: every windowed aggregate carries a watermark so state is
+bounded (late data beyond the delay is dropped, matching the reference's
+"no data available → retry later" semantics rather than unbounded buffering);
+sums are decimal-routed for partition-order independence, exactly as in the
+batch engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dsum(col: str, scale: int = 6) -> Column:
+    return F.sum(F.col(col).cast(f"decimal(30,{scale})")).cast("double")
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling window counts + exact sums (T6: the reference's calendar
+    tumbling window, generalized to any duration)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(value_col).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) window mean — each event lands in
+    duration/slide windows; state is bounded by the watermark."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (_dsum(value_col) / F.count(value_col)).alias("mean_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "mean_value")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows with an inactivity gap (T6/T3) — the streaming
+    native form of plans/timeseries.ts_sessionize's gaps-and-islands."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(value_col).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once dedup with bounded state: duplicates arriving within
+    the watermark delay are dropped; state for keys older than the
+    watermark is evicted (the streaming form of the engine's exact-dedup
+    contract — unbounded-state dropDuplicates is never the scale path)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -1,0 +1,63 @@
+"""Custom stateful streaming operators (T7: the reference's cross-run
+normals cache, /root/reference/src/sources/era5monthly.js:129-155,
+generalized to arbitrary per-key state).
+
+``applyInPandasWithState`` is the engine's extensibility point for state
+machines the built-in windowed aggregates can't express: per-key state
+lives in the state store (checkpointed, partitioned by key — scales
+horizontally with executors), and each micro-batch's rows for a key arrive
+as Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = "user_id bigint, n_events bigint, first_ts_us bigint, last_ts_us bigint"
+_STATE_SCHEMA = "n bigint, mn bigint, mx bigint"
+
+
+def _stats_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running (count, min ts, max ts) per key, carried across batches in
+    the state store; one updated summary row is emitted per batch in which
+    the key appears."""
+    (user_id,) = key
+    if state.exists:
+        n, mn, mx = state.get
+    else:
+        n, mn, mx = 0, None, None
+    for pdf in pdfs:
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        if len(ts_us):
+            n += len(ts_us)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    state.update((n, mn, mx))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "first_ts_us": mn, "last_ts_us": mx}]
+    )
+
+
+def running_user_stats(df: DataFrame) -> DataFrame:
+    """Per-user running event stats as a stateful streaming operator.
+
+    Output timestamps are carried as epoch-microsecond longs (state-store
+    types stay timezone-free); callers convert with ``timestamp_micros``.
+    Scale: state is one 3-long tuple per key, shuffled once on user_id and
+    then pinned to its state-store partition — no growth with event count.
+    """
+    return df.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _stats_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,124 @@
+"""Streaming layer: windows, bounded-state dedup, exactly-once sinks,
+heartbeat — the parts of SURVEY §2.9 not already oracle-checked via the
+stream_* catalog queries."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from monitoring_data_ingestion_spark.sources.readers import table
+from monitoring_data_ingestion_spark.streaming import (
+    HeartbeatListener,
+    IdempotentForeachBatch,
+    dedup_within_watermark,
+    events_stream,
+    foreach_batch_query,
+    run_available_now_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_sliding_window_counts_match_batch(spark):
+    """Hopping windows through the streaming engine: total event-window
+    memberships equal the batch expansion (each event lands in
+    duration/slide = 2 windows)."""
+    src = events_stream(spark, SF_SMOKE)
+    agg = sliding_window_agg(src, duration="1 hour", slide="30 minutes")
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    n_events = table(spark, SF_SMOKE, "events").count()
+    total_memberships = out.agg(F.sum("n_events")).first()[0]
+    assert total_memberships == 2 * n_events
+    assert out.filter(F.col("mean_value").isNull()).count() == 0
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """session_window sessions must equal the batch gaps-and-islands
+    sessionization (same 30-minute gap) in count and membership."""
+    from monitoring_data_ingestion_spark.plans.timeseries import ts_sessionize
+
+    src = events_stream(spark, SF_SMOKE)
+    agg = session_window_agg(src, gap="30 minutes", keys=("user_id",))
+    streamed = run_available_now_to_memory(agg, output_mode="complete")
+    batch = ts_sessionize(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    s = streamed.agg(F.sum("n_events")).first()[0]
+    b = batch.agg(F.sum("n_events")).first()[0]
+    assert s == b
+
+
+def test_dedup_within_watermark_drops_duplicates(spark):
+    src = events_stream(spark, SF_SMOKE).select("event_id", "ts", "value")
+    doubled = src.union(src)
+    deduped = dedup_within_watermark(doubled, keys=("event_id",), watermark="1 hour")
+    out = run_available_now_to_memory(deduped, output_mode="append")
+    n = table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+
+
+def test_idempotent_foreach_batch(spark, tmp_path):
+    """Re-delivered batch ids must be no-ops: output written exactly once
+    (T2 exactly-once contract under crash-replay)."""
+    out_dir = str(tmp_path / "out")
+    calls = []
+
+    def write(df, batch_id):
+        calls.append(batch_id)
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    sink = IdempotentForeachBatch(str(tmp_path / "commits"), write)
+    batch = table(spark, SF_SMOKE, "events").limit(10)
+    sink(batch, 0)
+    sink(batch, 0)  # crash-replay of the same batch
+    sink(batch, 1)
+    assert calls == [0, 1]
+    assert sink.is_committed(0) and sink.is_committed(1) and not sink.is_committed(2)
+    assert spark.read.parquet(f"{out_dir}/batch=0").count() == 10
+
+
+def test_foreach_batch_query_end_to_end(spark, tmp_path):
+    """Full loop: file stream → foreachBatch idempotent sink → checkpoint;
+    restart with the same checkpoint reprocesses nothing."""
+    out_dir = str(tmp_path / "out")
+    written = []
+
+    def write(df, batch_id):
+        written.append(batch_id)
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    sink = IdempotentForeachBatch(str(tmp_path / "commits"), write)
+    ckpt = str(tmp_path / "ckpt")
+    src = events_stream(spark, SF_SMOKE).select("event_id", "ts", "value")
+    q = foreach_batch_query(src, sink, ckpt)
+    assert q.awaitTermination(120)
+    assert written == [0]
+    # Restart from the same checkpoint: source offsets are committed, so
+    # no batch re-runs (and even if one did, the sink would skip it).
+    q2 = foreach_batch_query(src, sink, ckpt)
+    assert q2.awaitTermination(120)
+    assert written == [0]
+
+
+def test_heartbeat_listener(spark, tmp_path):
+    heart = str(tmp_path / "heart.json")
+    listener = HeartbeatListener(heart)
+    spark.streams.addListener(listener)
+    try:
+        src = events_stream(spark, SF_SMOKE).select("event_id")
+        run_available_now_to_memory(src, output_mode="append")
+        deadline = time.time() + 30
+        while time.time() < deadline and not os.path.exists(heart):
+            time.sleep(0.5)
+        assert os.path.exists(heart)
+        beat = json.load(open(heart))
+        assert "last_beat" in beat and "batch_id" in beat
+    finally:
+        spark.streams.removeListener(listener)
