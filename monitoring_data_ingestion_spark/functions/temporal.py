@@ -51,9 +51,12 @@ def add_calendar(
     out = _c(ts)
     total_months = years * 12 + months
     if total_months:
-        out = F.to_timestamp(F.add_months(out, total_months)) + (
-            out.cast("double") - F.date_trunc("day", out).cast("double")
-        ).cast("interval second")
+        # add_months returns a DATE (time-of-day dropped, day clamped);
+        # re-attach the original time of day as a day-time interval.
+        tod = out.cast("double") - F.date_trunc("day", out).cast("double")
+        out = F.to_timestamp(F.add_months(out, total_months)) + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), tod
+        )
     if days or hours or minutes or seconds:
         out = out + F.expr(
             f"INTERVAL {days} DAYS + INTERVAL {hours} HOURS "
