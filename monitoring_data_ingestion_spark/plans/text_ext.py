@@ -1,0 +1,135 @@
+"""Extended text analysis: TF-IDF term ranking and corpus n-gram
+frequencies — the statistics layer a training-data pipeline runs after
+per-document quality scoring (plans/analytics.py).
+
+Both queries share the engine's one tokenizer definition (analytics._tokens
+≡ the oracle's string_split_regex) so every text operator agrees on token
+boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .analytics import _TOKENS_SQL, _tokens
+from .catalog import query
+
+TOP_TERMS_PER_DOC = 3
+TOP_NGRAMS = 20
+
+
+@query(
+    "text_tfidf_top_terms",
+    headline=True,
+    tags=("text", "agg", "topk"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_TERMS_PER_DOC}
+ORDER BY doc_id, rank
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    the sklearn-style formulation; deterministic via 6-dp rounding + term
+    tiebreak).
+
+    Scale: tf and df aggregate off the same token explode — one shuffle on
+    (doc_id, term), one on term; the docs count N is a 1-row broadcast. The
+    df table shuffles on term (vocabulary-sized, zipfian — AQE's skew
+    handling covers the head terms); ranking shuffles on doc_id.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "text_ngram_freq",
+    tags=("text", "agg", "topk"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+  LATERAL (SELECT unnest({_TOKENS_SQL}) AS tok,
+                  unnest(generate_series(1, len({_TOKENS_SQL}))) AS i) t
+), bigrams AS (
+  SELECT a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+)
+SELECT bigram, COUNT(*) AS n
+FROM bigrams GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {TOP_NGRAMS}
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram census used for
+    contamination screens and boilerplate detection.
+
+    Bigrams come from a positional self-zip of the token array (transform
+    over indices — no self-join: the pairing is computed inside the row
+    before the explode, so the only shuffle is the count aggregation).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(_tokens(F.col("text")).alias("tok"))
+    n = F.size("tok")
+    # Guard n < 2: Spark's sequence(0, n-2) runs DESCENDING for n < 2
+    # (inferred step −1) instead of returning empty like generate_series.
+    pairs = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                pairs,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tok", i + 1), F.element_at("tok", i + 2)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(TOP_NGRAMS)
+    )
