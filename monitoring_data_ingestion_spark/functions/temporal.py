@@ -125,6 +125,17 @@ def datetime_round(ts, unit: str, increment: int = 1, mode: str = "halfExpand") 
     return F.to_timestamp(out_s.cast("double"))
 
 
+def days_in_month(ts) -> Column:
+    """Length of the timestamp's month (F11, src/temporal.js:13-16)."""
+    return F.dayofmonth(F.last_day(_c(ts)))
+
+
+def day_of_week_iso(ts) -> Column:
+    """ISO day-of-week, Monday=1 … Sunday=7 (F11, src/temporal.js:18-20:
+    the reference maps JS getUTCDay's Sunday=0 to 7)."""
+    return F.weekday(_c(ts)) + F.lit(1)
+
+
 def days_since(a, b) -> Column:
     """Float day difference a − b (src/datetime.js:33-35)."""
     return (_c(a).cast("double") - _c(b).cast("double")) / F.lit(86400.0)

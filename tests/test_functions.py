@@ -29,6 +29,8 @@ from monitoring_data_ingestion_spark.functions.temporal import (
     add_calendar,
     datetime_round,
     datetime_with,
+    day_of_week_iso,
+    days_in_month,
     days_since,
     iso_format,
     oscar_dates,
@@ -145,6 +147,16 @@ def test_datetime_round_month(spark):
         assert r["ce"] == (floor if t == floor else nxt)
         half = floor + (nxt - floor) / 2
         assert r["he"] == (nxt if t >= half else floor)
+
+
+def test_calendar_helpers(spark):
+    rows = _ts_df(spark).select(
+        "i", days_in_month("ts").alias("dim"), day_of_week_iso("ts").alias("dow")
+    ).collect()
+    for r in rows:
+        t = EXAMPLE_TS[r["i"]]
+        assert r["dim"] == calendar.monthrange(t.year, t.month)[1]
+        assert r["dow"] == t.isoweekday()  # Monday=1 … Sunday=7
 
 
 def test_days_since_and_iso_format(spark):
