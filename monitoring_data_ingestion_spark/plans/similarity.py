@@ -271,3 +271,104 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+_NEARDUP_PAIRS_SQL = f"""
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+), bands AS (
+{_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c
+  JOIN norms x ON x.vec_id = c.vec_a
+  JOIN norms y ON y.vec_id = c.vec_b
+  WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= {NEARDUP_COSINE}
+)"""
+
+
+@query(
+    "dedup_cluster_assign",
+    tags=("dedup", "similarity", "graph"),
+    oracle=f"""
+WITH RECURSIVE {_NEARDUP_PAIRS_SQL},
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+assign AS (
+  SELECT node, MIN(label) AS cluster_rep FROM reach GROUP BY node
+)
+SELECT a.node AS vec_id, a.cluster_rep AS cluster_rep, c.n AS cluster_size
+FROM assign a
+JOIN (SELECT cluster_rep, COUNT(*) AS n FROM assign GROUP BY cluster_rep) c
+  USING (cluster_rep)
+ORDER BY vec_id
+""",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document in
+    any LSH-confirmed pair is assigned its component's minimum vec_id as
+    cluster representative — the canonical "keep one per duplicate
+    cluster" finishing step of large-scale dedup (pairs alone under-merge:
+    a~b, b~c must collapse to ONE cluster even when a~c was never scored).
+
+    Spark side runs Pregel-style min-label propagation to a fixpoint: each
+    round, every node takes the min of its own label and its neighbors';
+    rounds = graph diameter (near-dup clusters are shallow — single
+    digits even at corpus scale). Each round is one shuffle keyed on node
+    id; the driver only reads the 1-row convergence count. The oracle
+    reproduces the same fixpoint with a recursive reachability CTE
+    (n_reachable doubles as a sanity check on closure size).
+    """
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    fwd = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    rev = pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    # localCheckpoint truncates lineage: every iteration's cost stays
+    # constant instead of replaying the whole LSH pipeline per round.
+    edges = fwd.unionByName(rev).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "node")
+        )
+        updated = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            F.col("label").alias("old_label"),
+        ).localCheckpoint()
+        changed = updated.filter(F.col("label") < F.col("old_label")).count()
+        labels = updated.select("node", "label")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_rep"),
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
