@@ -554,3 +554,72 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
     )
+
+
+@query(
+    "agg_pivot",
+    tags=("agg", "pivot"),
+    oracle=f"""
+SELECT o_orderstatus,
+       {dsum_expr("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END", 2)} AS urgent,
+       {dsum_expr("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END", 2)} AS high,
+       {dsum_expr("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END", 2)} AS low,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an explicit value list: per-status revenue
+    split across priority columns. The explicit list matters at scale —
+    unlisted-value pivot needs an extra distinct pass over the fact table
+    to discover columns; listing them keeps this a single hash aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .agg(dsum("o_totalprice", 2))
+        .withColumnsRenamed({"1-URGENT": "urgent", "2-HIGH": "high", "5-LOW": "low"})
+    )
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return pivoted.join(counts, "o_orderstatus").orderBy("o_orderstatus")
+
+
+@query(
+    "window_first_last",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS second_order
+FROM orders
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth analytic functions (W2's latest-state-wins family):
+    last_value needs the full-partition frame — the default running frame
+    silently returns the current row, a classic correctness trap."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(running).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(running).alias("second_order"),
+    ).orderBy("o_custkey", "o_orderkey")
