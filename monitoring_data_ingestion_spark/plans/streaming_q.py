@@ -113,3 +113,72 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_sliding_halfhour",
+    tags=("streaming", "window"),
+    oracle=f"""
+WITH grid AS (
+  SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800) AS window_start,
+         value
+  FROM events, UNNEST(generate_series(0, 1)) AS t(k)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} / COUNT(value) AS mean_value
+FROM grid GROUP BY 1 ORDER BY window_start
+""",
+)
+def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (1 h duration, 30 min slide) through the streaming
+    engine: every event belongs to exactly two windows on the 30-minute
+    epoch grid. The oracle reproduces the window algebra explicitly
+    (floor-to-slide-grid minus k slides, k ∈ {0,1}) — pinning Spark's
+    window() placement semantics, not just row counts.
+    """
+    from ..streaming.ops import sliding_window_agg
+
+    src = events_stream(spark, sf_dir)
+    agg = sliding_window_agg(src, duration="1 hour", slide="30 minutes")
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    return out.orderBy("window_start")
+
+
+@query(
+    "stream_session_windows",
+    tags=("streaming", "window", "session"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window through the streaming engine vs the batch
+    gaps-and-islands oracle: a session's end is last-event + gap (Spark's
+    session_window convention), its start the first event — boundary
+    equality here proves the stateful session merge matches the analytic
+    formulation exactly (T6/T3).
+    """
+    from ..streaming.ops import session_window_agg
+
+    src = events_stream(spark, sf_dir)
+    agg = session_window_agg(src, gap="30 minutes", keys=("user_id",))
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    return out.orderBy("user_id", "session_start")
