@@ -233,21 +233,29 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("clabel"), "ce", "cnrm")
     )
 
-    # Affinity of every vector to every centroid (k rows per vector; the
-    # codebook side is broadcast → map-side only).
+    # Affinity to every centroid (k rows per vector; the codebook side is
+    # broadcast → map-side only).
     aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
     w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
-    affinity = (
-        v.crossJoin(F.broadcast(centv))
-        .withColumn("acos", aff_cos)
-        .withColumn("rn", F.row_number().over(w_aff))
-    )
-    assign = affinity.filter(F.col("rn") == 1).select(
+
+    def _rank_affinity(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(centv))
+            .withColumn("acos", aff_cos)
+            .withColumn("rn", F.row_number().over(w_aff))
+        )
+
+    # Corpus pass scores every vector ONCE (assignment); the probe pass
+    # scores only the 20 query vectors — filtering the corpus affinity for
+    # probes would score the whole corpus a second time.
+    assign = _rank_affinity(v).filter(F.col("rn") == 1).select(
         "vec_id", F.col("clabel").alias("bucket")
     )
-    probes = affinity.filter(
-        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
+    probes = (
+        _rank_affinity(v.filter(F.col("vec_id") < N_QUERIES))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
+    )
 
     cand = (
         probes.join(assign, "bucket")
