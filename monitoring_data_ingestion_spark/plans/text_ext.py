@@ -133,3 +133,44 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(TOP_NGRAMS)
     )
+
+
+# GPT-2-style pre-tokenizer classes, portable regex subset: letter runs,
+# digit runs, non-alphanumeric-non-space runs. Same semantics in Java
+# regex (Spark) and RE2 (DuckDB).
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+@query(
+    "text_bpe_token_count",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         regexp_extract_all(text, '{_BPE_PATTERN}') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_bpe_tokens,
+       n_chars,
+       CASE WHEN len(t) > 0
+            THEN CAST(n_chars AS DOUBLE) / len(t) END AS chars_per_token
+FROM toks ORDER BY doc_id
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the brief's second tokenizer): a GPT-2-style
+    pre-tokenizer regex (letter / digit / punctuation runs) — the token
+    count an LLM-pipeline budget estimator uses, and chars-per-token, the
+    compressibility proxy quality filters threshold on. Pure regexp
+    expression, JVM-side.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    n = F.size(t)
+    return d.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        "n_chars",
+        F.when(n > 0, F.col("n_chars").cast("double") / n).alias("chars_per_token"),
+    ).orderBy("doc_id")
