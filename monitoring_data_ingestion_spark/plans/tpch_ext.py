@@ -623,3 +623,69 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(running).alias("second_order"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "agg_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per group — Spark's
+    `percentile` matches quantile_cont's linear interpolation bit-for-bit
+    (verified by the hash gate, no rounding applied).
+
+    Scale: exact percentile materializes each group's values — fine for
+    bounded groups; for high-cardinality groups at 100 TB switch to
+    `approx_percentile` (t-digest sketch, one pass, mergeable), the same
+    trade documented in operators/approx.py for count-distinct.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_histogram",
+    tags=("agg", "histogram"),
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000.0 AS bucket_lo,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (50k buckets over order totals) — the
+    distribution census of data profiling, as a plain hash aggregate on a
+    computed bucket key: one shuffle of |buckets| rows regardless of fact
+    size."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
