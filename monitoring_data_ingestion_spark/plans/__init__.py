@@ -9,5 +9,6 @@ from . import similarity  # noqa: E402,F401
 from . import media  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import text_ext  # noqa: E402,F401
+from . import grid_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
