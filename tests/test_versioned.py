@@ -59,3 +59,42 @@ def test_missing_version_errors(spark, vt):
     vt.commit(table(spark, SF_SMOKE, "region"))
     with pytest.raises(KeyError):
         vt.read(spark, version=99)
+
+
+def test_ingest_scheduler_commits_versioned(spark, vt, tmp_path):
+    """Composition: the ingest scheduler's batches publish through the
+    versioned table; a crash-replayed batch (same batch id) does not
+    create a new version — exactly-once end to end (T2 at table level)."""
+    from monitoring_data_ingestion_spark.ingest.runner import (
+        ForageResult,
+        IngestScheduler,
+        NoUpdateNeeded,
+    )
+    from monitoring_data_ingestion_spark.ingest.state import SourceState, StateStore
+
+    events = table(spark, SF_SMOKE, "events")
+    months = ["2024-01-01", "2024-01-02"]
+
+    class VersionedSource:
+        name = "versioned-demo"
+
+        def forage(self, spark, state, datasets):
+            done = state.extra.get("days", [])
+            pending = [m for m in months if m not in done]
+            if not pending:
+                raise NoUpdateNeeded()
+            day = pending[0]
+            batch = events.filter(F.to_date("ts") == day)
+            vt.commit(batch, batch_id=day)
+            vt.commit(batch, batch_id=day)  # crash-replay of the same batch
+            new = SourceState(date=day, extra={"days": done + [day]})
+            return ForageResult(new_state=new, metadatas=[])
+
+    store = StateStore(str(tmp_path / "state"))
+    sched = IngestScheduler(spark, store)
+    runs = sched.run_until_head(VersionedSource(), [])
+    assert [r.ok for r in runs] == [True, True, True]
+    assert runs[-1].skipped  # head reached
+    assert vt.latest_version() == len(months)  # replays created no versions
+    total = sum(vt.read(spark, version=v + 1).count() for v in range(len(months)))
+    assert total == events.filter(F.to_date("ts").isin(months)).count()
