@@ -689,3 +689,191 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q8_market_share",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT o_year,
+       {dsum_expr("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END", 8)} /
+       {dsum_expr('volume', 8)} AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+GROUP BY o_year ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region's promo-part
+    revenue by year — conditional-sum ratio over a 7-way star join.
+
+    Scale: part/supplier/nation/region all broadcast; the two fact
+    shuffles (partkey, orderkey) carry only pruned columns; the share is
+    computed from two exact decimal sums in one aggregate pass.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_num = F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg((dsum(share_num, 8) / dsum(vol, 8)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    tags=("join", "agg"),
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over customers (including the
+    zero-order bucket via left join) — the double-aggregation shape.
+
+    Scale: first agg shuffles on custkey (join reuses it); the second agg
+    input is |customers| rows collapsing to a handful of histogram rows —
+    the classic big→small two-stage reduction.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    tags=("join", "agg", "subquery"),
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_expr('l_extendedprice * (1 - l_discount)', 8)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the quarter's maximum revenue — the
+    view + scalar-max join-back shape. The max compares a value the same
+    decimal-exact aggregation produced, so the equality join is safe.
+
+    Scale: revenue aggregates once on suppkey; the 1-row max broadcasts;
+    supplier is a broadcast dim.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    tags=("join", "agg", "subquery"),
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey, 0.5 * ({dsum_expr('l_quantity', 2)} / COUNT(l_quantity)) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_expr('l.l_extendedprice', 2)} / 7.0 AS avg_yearly, COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.half_avg
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: lines below half their part's average quantity — the
+    correlated-average subquery, decorrelated into a per-part aggregate
+    joined back (exact decimal mean keeps the < cut deterministic).
+
+    Scale: the per-part average reuses the lineitem(partkey) shuffle the
+    outer join needs; brand-filtered part broadcasts.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.lit(0.5) * davg("l_quantity", 2)).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pa_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
