@@ -355,3 +355,77 @@ def ts_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("last_seen") < F.lit("2024-01-30 12:00:00").cast("timestamp"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_gap_fill_ffill",
+    tags=("window", "timeseries"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events
+), spine AS (
+  SELECT t.h AS hour, et.event_type
+  FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS t(h)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+), hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n, {dsum_expr('value', 6)} AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour AS hour, s.event_type AS event_type,
+       COALESCE(h.n, 0) AS n_events,
+       h.total AS total_value,
+       last_value(h.total IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS total_ffill
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour AND s.event_type = h.event_type
+ORDER BY event_type, hour
+""",
+)
+def ts_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill: a dense hourly spine per event_type is
+    left-joined to the hourly aggregates; empty hours get count 0 and the
+    last observed total carried forward (last(ignoreNulls) over an ordered
+    running frame) — the resample/ffill primitive of monitoring
+    time-series (the reference's "no data this month → carry state" T3,
+    made columnar).
+
+    Scale: the spine is |hours|×|types| rows — generated, not scanned;
+    the fill is one window over the spine keyed on type. At 100 TB the
+    spine stays tiny relative to the fact table; the hourly aggregate is
+    the only fact-sized shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", 6).alias("total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("total").alias("total_value"),
+            F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+        )
+        .orderBy("event_type", "hour")
+    )
