@@ -877,3 +877,51 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "merge_upsert_customers",
+    tags=("merge", "join"),
+    oracle="""
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 500
+), updates AS (
+  SELECT c_custkey,
+         'UPDATED#' || CAST(c_custkey AS VARCHAR) AS c_name,
+         c_acctbal + 1000.0 AS c_acctbal,
+         (c_custkey % 10 = 0) AS is_delete
+  FROM customer WHERE c_custkey BETWEEN 401 AND 600
+)
+SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+WHERE NOT COALESCE(u.is_delete, FALSE)
+ORDER BY c_custkey
+""",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert + delete) over a keyed target: updates overwrite
+    matched rows, unmatched updates insert, flagged keys delete — the CDC
+    batch-apply primitive (operators/merge.py), exercising all three MERGE
+    branches in one statement-equivalent plan.
+
+    Scale: one full-outer shuffle on the key; with a versioned/partitioned
+    target the rewrite prunes to touched partitions (copy-on-write trade
+    documented in the operator).
+    """
+    from ..operators.merge import merge_upsert
+
+    c = table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = c.filter(F.col("c_custkey").between(401, 600)).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        (F.col("c_custkey") % 10 == 0).alias("is_delete"),
+    )
+    return merge_upsert(
+        target, updates, keys=["c_custkey"], delete_col="is_delete"
+    ).orderBy("c_custkey")

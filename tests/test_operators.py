@@ -74,3 +74,33 @@ def test_approx_distinct_within_bound(spark):
     assert abs(approx - exact) / exact < 0.1
     grouped = approx_distinct(o, "o_orderkey", keys=["o_orderstatus"])
     assert grouped.count() == o.select("o_orderstatus").distinct().count()
+
+
+def test_merge_upsert_null_update_wins(spark):
+    """A matched update row wins wholesale — including columns it sets to
+    NULL (coalesce-per-column would silently keep the old value)."""
+    from pyspark.sql import Row
+
+    from monitoring_data_ingestion_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [Row(k=1, v="old1", w=10), Row(k=2, v="old2", w=20)]
+    )
+    updates = spark.createDataFrame([Row(k=1, v=None, w=11), Row(k=3, v="new3", w=30)])
+    out = {r["k"]: r for r in merge_upsert(target, updates, keys=["k"]).collect()}
+    assert out[1]["v"] is None and out[1]["w"] == 11  # NULL update applied
+    assert out[2]["v"] == "old2"  # untouched
+    assert out[3]["v"] == "new3"  # inserted
+
+
+def test_merge_upsert_delete_branch(spark):
+    from pyspark.sql import Row
+
+    from monitoring_data_ingestion_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)])
+    updates = spark.createDataFrame(
+        [Row(k=2, v=0.0, dead=True), Row(k=9, v=9.0, dead=False)]
+    )
+    out = merge_upsert(target, updates, keys=["k"], delete_col="dead")
+    assert sorted(r["k"] for r in out.collect()) == [1, 9]
