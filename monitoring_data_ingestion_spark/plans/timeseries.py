@@ -429,3 +429,86 @@ def ts_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "ts_funnel",
+    tags=("timeseries", "agg", "funnel"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS step_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS step_purchase
+FROM per_user
+""",
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user counts
+    toward a step only if their first occurrence of each stage happens in
+    order — product-analytics' core sequence query, as one conditional-min
+    aggregate plus ordering predicates (no self-joins, no UDF).
+
+    Scale: one shuffle on user_id; the per-user frame is 3 timestamps
+    regardless of event count (conditional MIN does the sequence scan
+    map-side).
+    """
+    e = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("step_purchase"),
+    )
+
+
+@query(
+    "scd2_validity_intervals",
+    tags=("timeseries", "window", "scd"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+       CAST(lead(o_orderdate) OVER w AS TIMESTAMP) AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WHERE o_custkey <= 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, valid_from, o_orderkey
+""",
+)
+def scd2_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval construction: each change record's validity
+    runs until the next change (half-open [valid_from, valid_to)); the
+    latest record per key is flagged current with an open end — the
+    dimension-history pattern the as-of join (ts_asof_join) then queries.
+
+    Scale: one shuffle on the key; lead() closes intervals without a
+    self-join.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    ).orderBy("o_custkey", "valid_from", "o_orderkey")
