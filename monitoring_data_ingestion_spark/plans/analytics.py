@@ -658,3 +658,56 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "split_train_test_hash",
+    tags=("sampling", "agg"),
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+), labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT split, lang, COUNT(*) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM labeled GROUP BY split, lang ORDER BY split, lang
+""",
+)
+def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by key hash —
+    the reproducible-split primitive of training-data pipelines: the same
+    document lands in the same split on every run, every engine, every
+    cluster size (no rand(), no seed plumbing, no shuffle-order
+    dependence). Summarized per (split, language) so the oracle checks the
+    assignment function itself.
+
+    Scale: the assignment is a map-side expression on the key; only the
+    summary aggregates. Adding documents never reshuffles existing
+    assignments — the property random-split lacks.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "lang")
+    )
