@@ -711,3 +711,79 @@ def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "llm_corpus_prep",
+    headline=True,
+    tags=("pipeline", "dedup", "text", "sampling"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, {_TOKENS_SQL} AS t FROM documents
+), qualified AS (
+  SELECT doc_id, text, lang, len(t) AS n_tokens,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+  FROM scored
+  WHERE len(t) >= 20
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+), survivors AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qualified
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT lang, n_tokens,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'valid' ELSE 'test' END AS split
+  FROM survivors
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM assigned GROUP BY split ORDER BY split
+""",
+)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in ONE lazy plan:
+    quality gate (≥20 tokens, type-token ratio ≥ 0.3) → exact dedup
+    (md5-of-text, min-doc_id survivor) → deterministic hash split →
+    per-split token budget. Every stage is an operator the catalog already
+    verifies in isolation; this query verifies their composition — the
+    "switch your corpus prep to this engine" demonstration.
+
+    Scale: Catalyst fuses the gate into the scan projection; dedup is one
+    shuffle on the text hash; the split is map-side; the summary is a
+    3-row aggregate. Nothing materializes between stages.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    qualified = (
+        d.select("doc_id", "text", "lang", F.size(t).alias("n_tokens"),
+                 (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        qualified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return (
+        survivors.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )

@@ -122,3 +122,49 @@ def test_heartbeat_listener(spark, tmp_path):
         assert "last_beat" in beat and "batch_id" in beat
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stateful_across_multiple_microbatches(spark, tmp_path):
+    """True incremental execution: the landing dir holds one file per day
+    and maxFilesPerTrigger=1 forces one micro-batch per file — per-key
+    state must carry across batches and the final stateful result must
+    equal the batch GROUP BY (T1/T7 across real batch boundaries)."""
+    from pyspark.sql import functions as F
+
+    from monitoring_data_ingestion_spark.streaming.sources import file_stream
+    from monitoring_data_ingestion_spark.streaming.stateful import running_user_stats
+
+    e = table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id", "value")
+    days = [r["d"] for r in e.select(F.to_date("ts").alias("d")).distinct().collect()]
+    assert len(days) >= 2
+    landing = tmp_path / "landing"
+    for i, d in enumerate(sorted(days)):
+        e.filter(F.to_date("ts") == d).coalesce(1).write.parquet(
+            str(landing / f"day={i}" / "part")
+        )
+    src = file_stream(
+        spark,
+        str(landing),
+        e.schema,
+        path_glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    updates = running_user_stats(src)
+    name = "multi_batch_stats"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    out = spark.table(name)
+    # A key seen in k batches has k update rows; max = final state.
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    expect = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    got = {r["user_id"]: r["n"] for r in final.collect()}
+    want = {r["user_id"]: r["n"] for r in expect.collect()}
+    assert got == want
+    assert out.count() > expect.count()  # multiple updates per key occurred
