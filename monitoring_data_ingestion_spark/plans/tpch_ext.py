@@ -925,3 +925,40 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         target, updates, keys=["c_custkey"], delete_col="is_delete"
     ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_collections",
+    tags=("scalar", "array", "map"),
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey, n_name,
+         string_split(n_name, '_') AS parts
+  FROM nation
+)
+SELECT n_nationkey,
+       CAST(len(parts) AS INTEGER) AS n_parts,
+       list_contains(parts, 'NATION') AS has_prefix,
+       array_to_string(list_sort(list_distinct(parts)), '|') AS distinct_sorted,
+       parts[1] AS head,
+       parts[len(parts)] AS tail,
+       array_to_string(list_transform(parts, x -> lower(x)), '-') AS lowered
+FROM base ORDER BY n_nationkey
+""",
+)
+def scalar_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY §2.8 generalized contract): size,
+    membership, distinct+sort, head/tail element access, per-element
+    transform — all native higher-order functions, no explode needed when
+    the result stays row-shaped."""
+    n = table(spark, sf_dir, "nation")
+    parts = F.split("n_name", "_")
+    return n.select(
+        "n_nationkey",
+        F.size(parts).alias("n_parts"),
+        F.array_contains(parts, "NATION").alias("has_prefix"),
+        F.array_join(F.array_sort(F.array_distinct(parts)), "|").alias("distinct_sorted"),
+        F.element_at(parts, 1).alias("head"),
+        F.element_at(parts, F.size(parts)).alias("tail"),
+        F.array_join(F.transform(parts, lambda x: F.lower(x)), "-").alias("lowered"),
+    ).orderBy("n_nationkey")
