@@ -512,3 +512,54 @@ def scd2_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     ).orderBy("o_custkey", "valid_from", "o_orderkey")
+
+
+@query(
+    "ts_retention_cohorts",
+    tags=("timeseries", "agg", "cohort"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT f.cohort_day AS cohort_day, a.day_offset AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, a.day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    as active per day-offset from their cohort — the engagement query
+    behind every retention curve.
+
+    Scale: the cohort assignment is one aggregate on user_id; the offset
+    expansion joins events back to that (broadcastable: |users| rows);
+    distinct-per-(user, offset) collapses before the final count so heavy
+    users don't inflate the matrix.
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

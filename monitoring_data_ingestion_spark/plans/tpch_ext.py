@@ -962,3 +962,31 @@ def scalar_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, F.size(parts)).alias("tail"),
         F.array_join(F.transform(parts, lambda x: F.lower(x)), "-").alias("lowered"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "window_distribution_ranks",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM orders WHERE o_custkey <= 60
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family (percent_rank / cume_dist / ntile) — the
+    remaining members of the §2.5 ranking contract; all three share the
+    one window sort."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 60)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    ).orderBy("o_custkey", "o_orderkey")
