@@ -563,3 +563,49 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    tags=("timeseries", "agg", "anomaly"),
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         {dsum_expr('value', 6)} / COUNT(value) AS mu,
+         SQRT(({dsum_expr('value * value', 6)} -
+               {dsum_expr('value', 6)} * {dsum_expr('value', 6)} / COUNT(value))
+              / (COUNT(value) - 1)) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id AS event_id, e.event_type AS event_type, e.value AS value,
+       ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((e.value - s.mu) / s.sigma) > 2.5
+ORDER BY event_id
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: events more than 2.5σ from their
+    type's mean — the monitoring-domain counterpart of the reference's
+    climatological anomaly (deviation from a long-run normal, §3.3), with
+    the normal computed in-query instead of cached.
+
+    Scale: per-type stats are |types| rows → broadcast back over the fact
+    scan; the detection predicate is map-side. Decimal-exact moments keep
+    the ±2.5σ cut deterministic across partitionings.
+    """
+    e = table(spark, sf_dir, "events")
+    n = F.count("value")
+    s1 = dsum("value", 6)
+    s2 = dsum(F.col("value") * F.col("value"), 6)
+    stats = e.groupBy("event_type").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+        .orderBy("event_id")
+    )
