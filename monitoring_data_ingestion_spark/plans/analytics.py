@@ -787,3 +787,38 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "sample_k_per_group",
+    tags=("sampling", "window"),
+    oracle="""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+ORDER BY lang, doc_id
+""",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 5 documents per language,
+    chosen by hash order (pseudo-random but reproducible — the inspection/
+    eval-set curation primitive; same docs on every run and engine, unlike
+    rand()-based sampling).
+
+    Scale: one shuffle on the stratum key; the hash rank prunes to k rows
+    per group before anything downstream runs.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", "doc_id")
+    )
