@@ -990,3 +990,212 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q11_important_stock",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+WITH vals AS (
+  SELECT l.l_partkey AS l_partkey,
+         CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, part_value
+FROM vals
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,4))) AS DOUBLE) * 0.001 FROM vals
+)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped "important stock": per-part shipped value from one
+    nation's suppliers, kept only where the part's value exceeds a fraction
+    of the nation-wide total (scalar aggregate subquery as HAVING bound).
+
+    No partsupp fixture table exists, so lineitem is the part-supplier
+    bridge (value = extendedprice * quantity). Scale: the per-part and
+    grand-total aggregations share one shuffle of |parts-in-nation| rows;
+    the 1-row total is broadcast back (cross join), so the threshold filter
+    adds no extra exchange. Decimal-routed sums keep both values exact and
+    partitioning-independent; the threshold compare happens in double with
+    the identical op sequence on both engines.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    vals = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias("part_value"))
+    )
+    total = vals.agg(dsum("part_value", 4).alias("tot"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tot") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q12_late_line_priority",
+    tags=("join", "agg", "conditional"),
+    oracle="""
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped lateness split: among lines shipped >90 days after
+    the order date (stand-in for the commit/receipt predicate — those
+    columns don't exist in the fixture), count high- vs low-priority orders
+    per return flag (stand-in for shipmode). Exercises conditional
+    aggregation (pivot-style CASE counting) over a fact⋈fact join.
+
+    Scale: the shipdate year-range is pushed to the lineitem scan; the join
+    shuffles on orderkey only for the filtered year; the conditional
+    aggregation is two CASE sums sharing one grouping — a single shuffle of
+    3 groups.
+    """
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    tags=("join", "agg", "subquery", "anti"),
+    oracle="""
+SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 25, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers per
+    (brand, type, size) bucket, excluding a complained-about supplier set
+    (NOT IN subquery → anti join). lineitem is the part-supplier bridge.
+
+    Scale: the part predicate set prunes at the broadcast-joined dim; the
+    NOT-IN supplier list is tiny → broadcast anti join (keys are non-null
+    so NOT IN ≡ anti join); COUNT(DISTINCT) compiles to a two-phase
+    expand+agg sharing the group-key shuffle.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 36, 45, 49))
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    tags=("join", "agg", "subquery", "semi"),
+    oracle="""
+WITH promo_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+shipped AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS promo_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM promo_parts)
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_name AS s_name, n.n_name AS n_name, sh.promo_qty AS promo_qty
+FROM shipped sh
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sh.promo_qty > (
+  SELECT CAST(SUM(CAST(promo_qty AS DECIMAL(30,2))) AS DOUBLE) * 0.5 / COUNT(*)
+  FROM shipped
+)
+ORDER BY s_name
+""",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped heavy shippers of promo parts: suppliers whose 1997
+    shipped quantity of 'small%'-named parts exceeds half the mean across
+    shippers (IN-subquery semi join + scalar aggregate threshold).
+
+    Scale: the part-name filter makes a small key set → broadcast left-semi
+    join onto the year-pruned lineitem scan; per-supplier aggregation is one
+    shuffle of |suppliers| rows; the 1-row mean broadcasts back. Decimal
+    routing keeps the quantity sums exact; the `total*0.5/count` threshold
+    is evaluated with the identical double op sequence on both engines.
+    """
+    promo = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        l.join(F.broadcast(promo), l.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity", 2).alias("promo_qty"))
+    )
+    thresh = shipped.agg(
+        (dsum("promo_qty", 2) * 0.5 / F.count(F.lit(1))).alias("qty_bound")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        shipped.crossJoin(F.broadcast(thresh))
+        .filter(F.col("promo_qty") > F.col("qty_bound"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "promo_qty")
+        .orderBy("s_name")
+    )
