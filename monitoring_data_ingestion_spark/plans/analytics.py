@@ -400,25 +400,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection (shingle → 32 minhashes →
     16 bands × 2 → bucket join → exact-Jaccard verify at j ≥ 0.4).
 
-    Hashes are MD5-of-(seed|shingle) so signatures are engine-portable and
-    fully deterministic. Scale: candidate pairs come only from shared LSH
-    buckets (the join key is (band_idx, signature)) — never an all-pairs
-    product; the verify join touches only candidate docs' shingles.
+    Hashes are MD5-of-shingle so signatures are engine-portable and fully
+    deterministic. Spark-first formulation: the whole signature pipeline is
+    per-row array expressions — shingle set, 28-bit keys, the 32 minhashes
+    (array_min over a transform), and the band strings are all computed
+    map-side in one codegen'd projection with ZERO shuffles. Only the
+    LSH-bucket self-join shuffles (16 short band rows per doc), and the
+    exact-Jaccard verify joins the per-doc shingle ARRAYS for candidate
+    pairs (array_intersect), never an exploded shingle table. Candidate
+    pairs come only from shared LSH buckets — no all-pairs product — so
+    the plan survives a 1000-executor scale-up: signatures stream through
+    the scan stage, and shuffle volume is O(docs × bands + candidate pairs).
     """
-    sh = _shingle_frame(spark, sf_dir).cache()
-    # One MD5 per (doc, shingle); the 32 signature values are then cheap
-    # integer universal-hashes of that key (JVM-side, codegen'd).
-    keyed = sh.select(
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
+    t = _tokens(F.col("text"))
+    base = d.select("doc_id", F.array_distinct(_shingles(t)).alias("shingles"))
+    # One MD5 per distinct shingle; the 32 signature values are cheap
+    # integer universal-hashes of that 28-bit key (all JVM-side, codegen'd).
+    keyed = base.select(
         "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("x"),
+        "shingles",
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+        ).alias("keys"),
     )
-    sigs = keyed.groupBy("doc_id").agg(
+    docs = keyed.select(
+        "doc_id",
+        "shingles",
         *[
-            F.min((F.lit(_MINHASH_A[i]) * F.col("x") + F.lit(_MINHASH_B[i])) % MINHASH_P).alias(
-                f"h{i}"
-            )
+            F.array_min(
+                F.transform(
+                    "keys",
+                    lambda x: (F.lit(_MINHASH_A[i]) * x + F.lit(_MINHASH_B[i])) % MINHASH_P,
+                )
+            ).alias(f"h{i}")
             for i in range(N_MINHASH)
-        ]
+        ],
     )
     band_cols = [
         F.concat_ws(
@@ -426,8 +445,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(LSH_BANDS)
     ]
-    bands = sigs.select("doc_id", *band_cols)
-    long_bands = bands.select(
+    sigs = docs.select("doc_id", "shingles", *band_cols).cache()
+    long_bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
             "band_idx", "sig"
@@ -440,23 +459,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Exact-Jaccard verification restricted to candidate pairs.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    # Exact-Jaccard verification on the per-doc shingle arrays (strings, not
+    # hashed keys — bit-identical to the oracle's common-shingle count).
+    sha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    paired = candidates.join(sha, "doc_a").join(shb, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        paired.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
