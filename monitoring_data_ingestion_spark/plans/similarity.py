@@ -247,9 +247,19 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Corpus pass scores every vector ONCE (assignment); the probe pass
     # scores only the 20 query vectors — filtering the corpus affinity for
-    # probes would score the whole corpus a second time.
-    assign = _rank_affinity(v).filter(F.col("rn") == 1).select(
-        "vec_id", F.col("clabel").alias("bucket")
+    # probes would score the whole corpus a second time. Assignment is a
+    # map-side-partial min_by aggregate (max cosine, ties to lowest label)
+    # rather than a window: no per-partition sort, and the exchange carries
+    # one short row per vector instead of k.
+    assign = (
+        v.crossJoin(F.broadcast(centv))
+        .withColumn("acos", aff_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "clabel", F.struct((-F.col("acos")).alias("neg"), F.col("clabel"))
+            ).alias("bucket")
+        )
     )
     probes = (
         _rank_affinity(v.filter(F.col("vec_id") < N_QUERIES))
