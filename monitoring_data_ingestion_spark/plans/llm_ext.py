@@ -1,0 +1,252 @@
+"""LLM training-data pipeline extensions beyond the core dedup/similarity
+set (BASELINE.json north star): sequence packing, sliding-window chunking,
+intra-document repetition removal, and benchmark-contamination checking.
+
+All four are daily operations of a 100 TB pretraining-corpus pipeline:
+
+* ``pack_sequences`` — greedy offset packing of documents into fixed
+  token-capacity training sequences (per-language, deterministic shuffle
+  order), the step that turns a cleaned corpus into dense batches.
+* ``doc_chunk_sliding`` — overlapping fixed-size token windows (the RAG /
+  embedding chunker).
+* ``doc_token_dedup`` — first-occurrence repetition removal inside each
+  document (the within-doc analogue of corpus dedup).
+* ``contamination_ngram_overlap`` — n-gram overlap of every corpus doc
+  against a held-out benchmark set (broadcast eval-set shingles), the
+  standard decontamination gate before training.
+
+Scale stance: packing windows partition by language (state = one
+language's cumulative offset, never global); chunking is a per-row
+explode; token dedup shuffles (doc, token) pairs once; contamination
+broadcasts the benchmark shingle set so the corpus pass is map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .analytics import _SHINGLES_SQL, _TOKENS_SQL, _shingles, _tokens
+from .catalog import query
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 16
+CONTAM_BENCH_DOCS = 50  # doc_id < 50 plays the held-out benchmark set
+CONTAM_THRESHOLD = 0.10
+
+
+@query(
+    "pack_sequences",
+    tags=("llm", "packing"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), pos AS (
+  SELECT lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY shuffle_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT lang,
+       CAST(FLOOR(start_off / {PACK_CAPACITY}.0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CAPACITY} AS fill_ratio
+FROM pos
+GROUP BY lang, seq_id
+ORDER BY lang, seq_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy offset packing: documents are deterministically shuffled
+    (md5 of doc_id), laid end-to-end per language, and assigned to the
+    training sequence their start offset falls in (capacity 512 tokens).
+
+    Scale: the only state is a running-sum window PARTITIONED BY language
+    (or, at 100 TB, by language × shard-hash prefix) — each partition's
+    cumulative offset is independent, so packing parallelizes across the
+    cluster and never needs a global ordering.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = toks.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_off"),
+    )
+    return (
+        pos.groupBy(
+            "lang",
+            F.floor(F.col("start_off") / PACK_CAPACITY).alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / PACK_CAPACITY).alias("fill_ratio"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+@query(
+    "doc_chunk_sliding",
+    tags=("llm", "chunking"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(t[i:i + {CHUNK_SIZE - 1}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(t[i:i + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM toks, UNNEST(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS s(i)
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: overlapping windows of 32 tokens at stride
+    16 — the embedding/RAG chunker. Pure per-row explode + array slice
+    (zero shuffle before the presentation sort); chunk boundaries are
+    token-index arithmetic so the operation is embarrassingly parallel.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("t"), F.col("i"), CHUNK_SIZE)
+    return (
+        base.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "doc_token_dedup",
+    tags=("llm", "dedup", "text"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t[i] AS tok, i
+  FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+), firsts AS (
+  SELECT doc_id, tok, MIN(i) AS first_pos, COUNT(*) AS n_occ
+  FROM exploded GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(n_occ) AS INTEGER) AS n_tokens,
+       CAST(COUNT(*) AS INTEGER) AS n_unique,
+       string_agg(tok, ' ' ORDER BY first_pos) AS dedup_text
+FROM firsts
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: keep each token's FIRST
+    occurrence, preserving original order (the within-doc analogue of
+    Gopher-style repetition filtering, at token granularity).
+
+    Scale: one shuffle of (doc, token) pairs for the first-occurrence
+    aggregate, then a per-doc ordered reassembly via array_sort over
+    (position, token) structs — no window, no Python.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    exploded = d.select("doc_id", F.posexplode(t).alias("i", "tok"))
+    firsts = exploded.groupBy("doc_id", "tok").agg(
+        F.min("i").alias("first_pos"), F.count(F.lit(1)).alias("n_occ")
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("int").alias("n_tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_unique"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("first_pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    tags=("llm", "dedup", "contamination"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+), bench AS (
+  SELECT list(DISTINCT s) AS b
+  FROM (SELECT unnest(sh) AS s FROM base WHERE doc_id < {CONTAM_BENCH_DOCS})
+)
+SELECT doc_id,
+       CAST(len(sh) AS INTEGER) AS n_shingles,
+       CAST(len(list_intersect(sh, b)) AS INTEGER) AS n_common,
+       CAST(len(list_intersect(sh, b)) AS DOUBLE) / greatest(len(sh), 1) AS overlap_frac,
+       CAST(len(list_intersect(sh, b)) AS DOUBLE) / greatest(len(sh), 1)
+         >= {CONTAM_THRESHOLD} AS contaminated
+FROM base, bench
+WHERE doc_id >= {CONTAM_BENCH_DOCS}
+ORDER BY doc_id
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram shingle overlap of every corpus
+    document against the held-out benchmark shingle set (docs 0..49 stand
+    in for the eval set); a doc is flagged at ≥ 10% overlap.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus →
+    collected into ONE broadcast array, so the corpus pass is map-only
+    (array_intersect per row, no shuffle); the corpus is never exploded.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    base = d.select("doc_id", F.array_distinct(_shingles(t)).alias("sh"))
+    bench = (
+        base.filter(F.col("doc_id") < CONTAM_BENCH_DOCS)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .agg(F.collect_list("s").alias("b"))
+    )
+    n_common = F.size(F.array_intersect("sh", "b"))
+    frac = n_common.cast("double") / F.greatest(F.size("sh"), F.lit(1))
+    return (
+        base.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS)
+        .crossJoin(F.broadcast(bench))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            n_common.alias("n_common"),
+            frac.alias("overlap_frac"),
+            (frac >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

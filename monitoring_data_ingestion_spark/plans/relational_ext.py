@@ -1,0 +1,335 @@
+"""Relational surface extensions: ordered string aggregation, multi-column
+distinct aggregates, FILTER-clause conditional aggregation, distinct counts
+over windows, deterministic mode, entropy, schema-aligning union, weighted
+averages, and rank-with-ties — the remaining everyday aggregate/window
+shapes of SURVEY.md §2.4/§2.5/§2.7 not yet in the catalog.
+
+Each query is stock DataFrame API with a DuckDB oracle; determinism notes
+inline (ordered listagg, exact decimal sums, fixed tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, dsum_expr
+from ..sources.readers import table
+from .catalog import query
+
+
+@query(
+    "agg_listagg",
+    tags=("agg", "string"),
+    oracle="""
+SELECT r.r_name AS r_name,
+       string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r_name
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nation names per
+    region, sorted then joined — collect_list is unordered in a parallel
+    engine, so the deterministic form is array_sort before array_join."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    tags=("agg", "distinct"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_distinct_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one pass —
+    Catalyst plans this with an Expand node (one row replica per distinct
+    group), keeping it two-phase and shuffle-bounded instead of N separate
+    self-joined aggregations."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum_distinct(F.col("l_quantity").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_distinct_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_filter_clause",
+    tags=("agg", "conditional"),
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_large,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+            FILTER (WHERE year(o_orderdate) < 1997) AS DOUBLE) AS early_revenue,
+       {dsum_expr('o_totalprice', 2)} AS total_revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation: several differently-filtered
+    aggregates in ONE grouped pass (count-if / sum-if), instead of N
+    filtered scans — the standard fan-in shape for KPI rollups. Spark form
+    is agg(f(when(cond, x))), which codegen folds into the same single
+    two-phase aggregate."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_large"),
+            F.sum(
+                F.when(F.year("o_orderdate") < 1997, F.col("o_totalprice")).cast(
+                    "decimal(30,2)"
+                )
+            )
+            .cast("double")
+            .alias("early_revenue"),
+            dsum("o_totalprice", 2).alias("total_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "window_count_distinct",
+    tags=("window", "distinct"),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+         AS n_types_seen
+FROM events
+WHERE user_id <= 30
+ORDER BY user_id, event_id
+""",
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window (types seen so far per user).
+    Spark has no COUNT(DISTINCT) window — the idiomatic form is
+    size(collect_set() OVER w), which keeps per-partition state bounded by
+    the distinct-value cardinality (small here: event types)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "agg_mode_deterministic",
+    tags=("agg", "stats"),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE user_id <= 100
+  GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS n
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent event_type per user, ties
+    broken lexicographically (engine-native mode() has engine-defined tie
+    behavior — unusable under a hash-equality contract). min_by over the
+    (-count, value) struct is a map-side-partial aggregate: no sort, one
+    short row per (user, type) shuffled."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    picked = counts.groupBy("user_id").agg(
+        F.min_by(
+            F.struct("event_type", "cnt"),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("event_type")),
+        ).alias("m")
+    )
+    return picked.select(
+        "user_id", F.col("m.event_type").alias("modal_type"), F.col("m.cnt").alias("n")
+    ).orderBy("user_id")
+
+
+@query(
+    "agg_entropy",
+    tags=("agg", "stats"),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE user_id <= 50
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt) AS entropy
+FROM counts
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution, via the
+    ln(N) - Σc·ln(c)/N identity — two exact integer-sum aggregates plus
+    per-group ln terms, so the float error is bounded by one summation of
+    ≤|types| terms (far below the 6-dp comparison grid) independent of
+    partitioning."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            (
+                F.log(F.sum("cnt"))
+                - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt")
+            ).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "set_union_by_name",
+    tags=("set", "schema"),
+    oracle="""
+SELECT * FROM (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+         'customer' AS kind
+  FROM customer WHERE c_nationkey = 1
+  UNION ALL BY NAME
+  SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind
+  FROM supplier WHERE s_nationkey = 1
+)
+ORDER BY kind, id
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union (UNION BY NAME): combines relations with
+    different column sets by name, null-filling the missing columns —
+    the schema-evolution-tolerant append every multi-source ingest needs
+    (vs positional UNION which silently misaligns)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 1)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit("customer").alias("kind"),
+        )
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 1)
+        .select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_name").alias("name"),
+            F.lit("supplier").alias("kind"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True).orderBy("kind", "id")
+
+
+@query(
+    "agg_weighted_avg",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+         AS wavg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_weight
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag: both numerator and
+    denominator are exact decimal sums (order-independent), divided once as
+    doubles — the deterministic weighted-mean recipe."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            (
+                dsum(F.col("l_extendedprice") * F.col("l_quantity"), 4)
+                / dsum("l_quantity", 2)
+            ).alias("wavg_price"),
+            dsum("l_quantity", 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_rank_ties",
+    tags=("window", "rank"),
+    oracle="""
+WITH banded AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_band
+  FROM orders
+), ranked AS (
+  SELECT *, CAST(RANK() OVER (
+    PARTITION BY o_orderpriority ORDER BY price_band DESC) AS INTEGER) AS rnk
+  FROM banded
+)
+SELECT o_orderkey, o_orderpriority, price_band, rnk
+FROM ranked WHERE rnk <= 2
+ORDER BY o_orderpriority, price_band DESC, o_orderkey
+""",
+)
+def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK with ties over a coarse key: the top price band(s) per order
+    priority keep EVERY member of tied bands (gap-rank semantics), unlike
+    row_number's arbitrary-k cut — the correct 'all of the best' top-k."""
+    o = table(spark, sf_dir, "orders")
+    banded = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 50000).alias("price_band"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("price_band"))
+    return (
+        banded.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("o_orderpriority", F.desc("price_band"), "o_orderkey")
+    )
