@@ -129,3 +129,42 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     plan = _plan(back)
     assert "PartitionFilters: [isnotnull(day" in plan
     assert back.count() == e.filter(F.col("day") == days[0]).count()
+
+
+def test_range_join_is_bucketized_equi_join(spark):
+    """ts_range_join's interval predicate must ride an equi-join on
+    (user, bucket) — an inequality-only join would plan as a
+    broadcast-nested-loop and die at scale."""
+    plan = _plan(q("ts_range_join")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must be broadcast (one-row array); the
+    corpus side must not be exchanged for the overlap computation."""
+    plan = _plan(q("contamination_ngram_overlap")(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing's running sum must be a language-partitioned window — a
+    global (unpartitioned) window would serialize the whole corpus
+    through one task."""
+    plan = _plan(q("pack_sequences")(spark, SF_SMOKE))
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_multi_distinct_uses_expand(spark):
+    """Multiple DISTINCT aggregates must plan via Expand (one aggregation
+    pipeline), not N self-joined subqueries."""
+    plan = _plan(q("agg_multi_distinct")(spark, SF_SMOKE))
+    assert "Expand" in plan
+
+
+def test_mode_is_partial_aggregate(spark):
+    """Deterministic mode must be a two-phase hash aggregate (map-side
+    partial min_by), not a window sort."""
+    plan = _plan(q("agg_mode_deterministic")(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
