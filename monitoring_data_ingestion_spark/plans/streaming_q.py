@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum_expr
+from ..functions.deterministic import dsum, dsum_expr
+from ..sources.readers import table
 from ..streaming.ops import tumbling_window_agg
 from ..streaming.sinks import run_available_now_to_memory
 from ..streaming.sources import events_stream
@@ -182,3 +183,42 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_window_agg(src, gap="30 minutes", keys=("user_id",))
     out = run_available_now_to_memory(agg, output_mode="complete")
     return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_static_enrich",
+    tags=("streaming", "join"),
+    oracle=f"""
+SELECT user_id % 5 AS tier,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} AS total_value
+FROM events
+GROUP BY 1
+ORDER BY tier
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (J2 through the streaming engine): the event
+    stream is enriched against a STATIC broadcast dimension (user → tier)
+    inside the micro-batch plan, then aggregated per tier — the streaming
+    form of the reference's grid⋈normals broadcast join
+    (/root/reference/src/sources/era5monthly.js:79-92).
+
+    Scale: the static side is read once per micro-batch and broadcast, so
+    the stream side never shuffles for the join — state exists only for
+    the downstream aggregation (|tiers| rows).
+    """
+    static_tiers = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(5)))
+    )
+    src = events_stream(spark, sf_dir)
+    enriched = src.join(F.broadcast(static_tiers), "user_id")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("total_value"),
+    )
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    return out.orderBy("tier")
