@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import dsum, dsum_expr
+from ..operators.zorder import morton2, morton2_sql
 from ..sources.readers import table
 from .catalog import query
 
@@ -371,3 +372,31 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_dec").cast("double").alias("total_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "scalar_zorder",
+    tags=("scalar", "layout", "zorder"),
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {morton2_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zval
+FROM lineitem
+WHERE l_orderkey < 500
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def scalar_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) code of (l_partkey, l_suppkey) — the clustering
+    key behind the z-order layout writer (operators/zorder.py). The bit
+    interleave is one codegen'd expression (32 shift/mask/add terms), and
+    the oracle runs the IDENTICAL arithmetic, pinning the curve placement
+    bit-for-bit. The layout pass itself (repartitionByRange on this value
+    + write) is asserted by tests/test_zorder.py's file-skipping check."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    z = morton2(
+        (F.col("l_partkey") % 65536).cast("bigint"),
+        (F.col("l_suppkey") % 65536).cast("bigint"),
+    )
+    return l.select("l_orderkey", "l_linenumber", z.alias("zval")).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
