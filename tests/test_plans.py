@@ -168,3 +168,35 @@ def test_mode_is_partial_aggregate(spark):
     plan = _plan(q("agg_mode_deterministic")(spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's InjectRuntimeFilter must plant a bloom-filter prefilter
+    on the fact side of a selective shuffled join when enabled — at 100 TB
+    this is the runtime semi-join reduction that spares the fact scan from
+    shuffling rows that cannot match (the default thresholds only engage on
+    large scans, so the test pins the capability with explicit conf)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = table(spark, SF_SMOKE, "lineitem")
+        o = table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
