@@ -88,3 +88,52 @@ def grid_polygon_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         inside.alias("inside"),
         F.when(inside, F.col("value")).alias("value"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "grid_regrid_coarsen",
+    tags=("grid", "spatial", "agg"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon, c_acctbal AS value
+  FROM customer WHERE c_custkey <= 2000
+)
+SELECT CAST(FLOOR(lat / 10) * 10 AS DOUBLE) AS cell_lat,
+       CAST(FLOOR(lon / 10) * 10 AS DOUBLE) AS cell_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(value) AS mean_value
+FROM pts
+GROUP BY 1, 2
+ORDER BY cell_lat, cell_lon
+""",
+)
+def grid_regrid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative regrid to a coarser resolution: fine-grid points
+    aggregate into 10°×10° cells by exact-decimal mean — the ERA5
+    0.25°→1° downsample the reference's AOI workflows imply
+    (/root/reference/src/sources/era5monthly.js:28-34 fixes the fine
+    grid; coarsening is the standard product derived from it).
+
+    Scale: cell assignment is pure arithmetic (floor division, map-side);
+    one partial+final hash aggregate whose exchange carries |cells| rows —
+    for the global 1° grid that is 64 800 rows regardless of input size.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    pts = c.select(
+        ((F.col("c_custkey") * 13 % 180).cast("double") - 90.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 7 % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+        F.col("c_acctbal").alias("value"),
+    )
+    return (
+        pts.groupBy(
+            (F.floor(F.col("lat") / 10) * 10).cast("double").alias("cell_lat"),
+            (F.floor(F.col("lon") / 10) * 10).cast("double").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.sum(F.col("value").cast("decimal(30,2)")).cast("double") / F.count("value")).alias(
+                "mean_value"
+            ),
+        )
+        .orderBy("cell_lat", "cell_lon")
+    )

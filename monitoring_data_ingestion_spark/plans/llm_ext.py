@@ -250,3 +250,61 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SAMPLE_K = 20
+_U52 = float((1 << 52) + 1)
+
+
+@query(
+    "sample_weighted",
+    tags=("llm", "sampling"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+           / {_U52} AS u
+  FROM documents
+), scored AS (
+  SELECT source, doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY -ln(u) / w, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, w AS weight, CAST(rk AS INTEGER) AS rank
+FROM scored WHERE rk <= {SAMPLE_K}
+ORDER BY source, rank
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): per
+    source, the k docs with the smallest exponential draw −ln(u)/w are a
+    weight-proportional sample — the corpus-mixing primitive (sample each
+    source at a target rate weighted by doc quality/length) of every LLM
+    data pipeline.
+
+    Determinism: u is a 52-bit uniform derived from md5(doc_id), so both
+    engines draw the SAME sample — reproducible corpus builds by
+    construction. Scale: one window per source partition; at 100 TB the
+    exponential-key top-k runs as per-partition heaps (rank ≤ k pushdown)
+    rather than a full sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("bigint") + 1)
+        / F.lit(_U52)
+    )
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        u.alias("u"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        (-F.log(F.col("u")) / F.col("w")).asc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("source", "doc_id", F.col("w").alias("weight"), F.col("rk").alias("rank"))
+        .orderBy("source", "rank")
+    )
