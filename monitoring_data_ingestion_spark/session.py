@@ -26,6 +26,9 @@ SEMANTIC_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Parquet timestamps written by the engine stay instant-semantics.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Custom Python data sources (sources/python_datasource.py) declare
+    # pushFilters; Spark refuses to plan them unless pushdown is opted in.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
