@@ -14,10 +14,14 @@ This module re-expresses that contract natively:
   sending the variable list + month in the CDS request so the *server*
   subsets (src/sources/era5monthly.js:46-56).
 - ``spark.readStream.format("gridmonths")`` — the incremental path: the
-  streaming offset IS the month cursor (T1), advancing by
-  ``maxMonthsPerTrigger`` (default 1 — the reference's one-month-per-run
-  pacing) per micro-batch, with exactly-once resume from the Spark
-  checkpoint replacing the hand-rolled JSON state file (T2).
+  streaming offset IS the month cursor (T1), with exactly-once resume
+  from the Spark checkpoint replacing the hand-rolled JSON state file
+  (T2). Pacing follows the FileStreamSource idiom: set
+  ``maxMonthsPerTrigger`` for strict N-months-per-micro-batch pacing
+  under a ProcessingTime trigger (the reference's one-month-per-run
+  contract); omit it to drain all available months per batch — required
+  for ``Trigger.AvailableNow`` backfills, which capture a single
+  latestOffset at query start as the fixed end.
 
 Scale posture: the driver only ever lists the landing directory (cheap);
 all row IO happens executor-side via Arrow record batches, one partition
@@ -202,6 +206,13 @@ class GridMonthsStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.start = options.get("start")
+        # FileStreamSource idiom: maxMonthsPerTrigger ABSENT → drain mode
+        # (every batch takes all available months — what availableNow
+        # backfills need, since Trigger.AvailableNow captures ONE
+        # latestOffset at query start as the fixed end); PRESENT → strict
+        # per-trigger pacing for the ProcessingTime service loop (the
+        # reference's one-month-per-run contract).
+        self.paced = "maxmonthspertrigger" in options
         self.per_trigger = int(options.get("maxmonthspertrigger", "1"))
         self.variables = None
         # Two pieces of in-memory state, both "YYYY-MM" month keys, both
@@ -244,6 +255,13 @@ class GridMonthsStreamReader(DataSourceStreamReader):
         return {"next": first}
 
     def latestOffset(self) -> dict:
+        if not self.paced:
+            # Drain mode: offer everything currently listed, floored so a
+            # post-consumption file removal can never regress the offset.
+            months = self._months()
+            if not months:
+                return self.initialOffset() if self._floor is None else {"next": self._floor}
+            return {"next": self._mx(self._floor, self._next_key(months[-1]))}
         if self._cursor is None and self._floor is None:
             # First poll: fresh start (initialOffset hasn't run yet) or a
             # fully-committed restart. Returning the initial key is safe in
@@ -290,7 +308,8 @@ class GridMonthsStreamReader(DataSourceStreamReader):
 class GridMonthsDataSource(DataSource):
     """``format("gridmonths")`` — options: ``path`` (landing dir of
     ``YYYY-MM.parquet`` files/dirs), ``start``/``end`` (inclusive YYYY-MM),
-    ``maxMonthsPerTrigger`` (streaming pace, default 1)."""
+    ``maxMonthsPerTrigger`` (streaming: strict per-trigger pacing when set;
+    drain-all-available when omitted — use drain with availableNow)."""
 
     @classmethod
     def name(cls) -> str:

@@ -20,6 +20,11 @@ from .ops import (
     sliding_window_agg,
     tumbling_window_agg,
 )
+from .pipeline import (
+    anomaly_transform,
+    monthly_anomaly_query,
+    monthly_normals,
+)
 from .stateful import running_user_stats
 from .sinks import (
     IdempotentForeachBatch,
@@ -36,6 +41,9 @@ __all__ = [
     "session_window_agg",
     "dedup_within_watermark",
     "running_user_stats",
+    "anomaly_transform",
+    "monthly_anomaly_query",
+    "monthly_normals",
     "IdempotentForeachBatch",
     "foreach_batch_query",
     "run_available_now_to_memory",

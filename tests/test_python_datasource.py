@@ -116,20 +116,47 @@ def _run_stream(spark, landing, checkpoint, out_table, batches_wanted, extra=())
     return [b for b in seen if b]
 
 
+PACED = (("maxMonthsPerTrigger", "1"),)
+
+
 def test_stream_paced_one_month_per_batch(spark, landing, tmp_path):
     ckpt = str(tmp_path / "ckpt_paced")
-    batches = _run_stream(spark, landing, ckpt, "t", batches_wanted=4)
+    batches = _run_stream(spark, landing, ckpt, "t", batches_wanted=4, extra=PACED)
     # Each micro-batch carries exactly one month, in order (T1 pacing).
     assert batches[:4] == [["1991-01"], ["1991-02"], ["1991-03"], ["1991-04"]]
 
 
 def test_stream_resume_from_checkpoint(spark, landing, tmp_path):
     ckpt = str(tmp_path / "ckpt_resume")
-    first = _run_stream(spark, landing, ckpt, "t", batches_wanted=2)
+    first = _run_stream(spark, landing, ckpt, "t", batches_wanted=2, extra=PACED)
     assert first[0] == ["1991-01"]
     consumed = {m for b in first for m in b}
     # Restart against the same checkpoint: only unseen months may arrive.
-    second = _run_stream(spark, landing, ckpt, "t", batches_wanted=1)
+    second = _run_stream(spark, landing, ckpt, "t", batches_wanted=1, extra=PACED)
     replayed = [m for b in second for m in b if m in consumed]
     assert not replayed, f"checkpoint resume replayed {replayed}"
     assert any(b for b in second), "no progress after restart"
+
+
+def test_stream_drain_mode_available_now(spark, landing, tmp_path):
+    """Without maxMonthsPerTrigger the source drains everything available —
+    the mode Trigger.AvailableNow requires (it fixes the end offset from a
+    single latestOffset call at query start)."""
+    seen = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.select(F.date_format("time", "yyyy-MM").alias("m")).distinct().collect()
+        seen.append(sorted(r["m"] for r in rows))
+
+    q = (
+        spark.readStream.format(pds.FORMAT_NAME)
+        .option("path", landing)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow drain did not terminate"
+    months = sorted(m for b in seen for m in b)
+    assert months == ["1991-01", "1991-02", "1991-03", "1991-04"]
