@@ -440,3 +440,53 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_hll_sketch_union",
+    tags=("agg", "approx", "sketch"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS merged_within_10pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: build a Datasketches HLL sketch
+    per (returnflag, linestatus), then UNION the sketches up to returnflag
+    and estimate — without touching the raw data again. Accuracy-bound
+    check like agg_approx_distinct: the result row asserts the merged
+    estimate lands within 10% of the exact count.
+
+    This is the 100 TB pattern the plain approx_count_distinct can't do:
+    persist a sketch column in a daily rollup table (bytes per group), and
+    answer distinct-counts over ANY date range by merging sketches —
+    re-aggregation without re-scanning. The merge input here is
+    |returnflag×linestatus| short binary rows; both aggregates are
+    map-side partial like any Spark agg.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    per_cell = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_cell.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_parts")
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        exact.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("merged_parts") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("merged_within_10pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -390,3 +390,62 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+FUZZY_BLOCK_CHARS = 16
+FUZZY_PREFIX_CHARS = 120
+FUZZY_MAX_EDITS = 30
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    tags=("dedup", "similarity", "join"),
+    oracle=f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, {FUZZY_PREFIX_CHARS}),
+                        substr(b.text, 1, {FUZZY_PREFIX_CHARS})) AS BIGINT) AS edit_distance
+FROM documents a JOIN documents b
+  ON substr(a.text, 1, {FUZZY_BLOCK_CHARS}) = substr(b.text, 1, {FUZZY_BLOCK_CHARS})
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, {FUZZY_PREFIX_CHARS}),
+                  substr(b.text, 1, {FUZZY_PREFIX_CHARS})) <= {FUZZY_MAX_EDITS}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: block on the 16-char text
+    prefix (equi-join — candidate generation is a hash join on the block
+    key, never all-pairs), then exact Levenshtein over the 120-char prefix
+    within each block. The classic record-linkage blocking skeleton; both
+    engines implement the same textbook edit distance, so the check is
+    exact.
+
+    Scale: the expensive O(len^2) distance only runs on within-block
+    candidate pairs; block cardinality is bounded by prefix entropy
+    (measured max block size 3 on these fixtures). Skewed blocks (boiler-
+    plate prefixes) would hit AQE's skew-join split; a production corpus
+    would block on a cheap fingerprint (simhash band — see dedup_simhash)
+    instead of a raw prefix.
+    """
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("pref_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX_CHARS).alias("pref_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("pref_a", "pref_b").cast("bigint"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
+        .select("doc_a", "doc_b", "edit_distance")
+        .orderBy("doc_a", "doc_b")
+    )
