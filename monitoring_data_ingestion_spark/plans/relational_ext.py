@@ -490,3 +490,62 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_approx_quantile",
+    tags=("agg", "approx", "sketch"),
+    oracle="""
+SELECT l.l_returnflag, p.pct, TRUE AS rank_within_1pct
+FROM (SELECT DISTINCT l_returnflag FROM lineitem) l
+CROSS JOIN (SELECT unnest([0.5, 0.9]) AS pct) p
+ORDER BY l_returnflag, pct
+""",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles with a RANK-SPACE accuracy bound: for each
+    group, approx_percentile(price, p) is re-ranked against the raw data
+    (true_rank = fraction of rows <= estimate) and the row asserts
+    |true_rank - p| <= 1%. Percentile sketches guarantee rank accuracy,
+    not value accuracy, so this is the honest contract to verify — same
+    accuracy-bound-oracle pattern as agg_approx_distinct.
+
+    Scale: the sketch is fixed-size per group and map-side mergeable (the
+    exact percentile needs a per-group sort); the re-rank pass is one
+    broadcast join of |groups|x|pcts| tiny rows against the fact scan.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    apx = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9], 10000
+            ).alias("apx")
+        )
+        .select(
+            "l_returnflag",
+            F.explode(
+                F.map_from_arrays(F.array(F.lit(0.5), F.lit(0.9)), F.col("apx"))
+            ).alias("pct", "estimate"),
+        )
+    )
+    ranked = (
+        l.join(F.broadcast(apx), "l_returnflag")
+        .groupBy("l_returnflag", "pct")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col("estimate"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("true_rank")
+        )
+    )
+    return (
+        ranked.select(
+            "l_returnflag",
+            "pct",
+            (F.abs(F.col("true_rank") - F.col("pct")) <= 0.01).alias("rank_within_1pct"),
+        )
+        .orderBy("l_returnflag", "pct")
+    )
