@@ -200,3 +200,26 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_dedup_blocks_are_equi_join(spark):
+    """dedup_fuzzy_levenshtein candidates come from a hash equi-join on
+    the block key — the edit distance never runs on an all-pairs product."""
+    plan = _plan(q("dedup_fuzzy_levenshtein")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # SortMergeJoin or ShuffledHashJoin on blk
+
+
+def test_hll_sketch_union_is_partial_aggregate(spark):
+    """Both the sketch build and the sketch merge must be two-phase
+    (map-side partial → exchange of |groups| sketch rows → final)."""
+    plan = _plan(q("agg_hll_sketch_union")(spark, SF_SMOKE))
+    assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 4
+
+
+def test_approx_quantile_rerank_is_broadcast(spark):
+    """The |groups|x|pcts| estimate table is broadcast back onto the fact
+    scan for the rank check — the fact side is never exchanged for it."""
+    plan = _plan(q("agg_approx_quantile")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
