@@ -15,6 +15,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 # The fixture star schema + stream + LLM-pipeline tables (TESTDATA.md).
 TABLES = (
@@ -71,6 +72,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos:
         # Integer division: float division would lose precision at ~1e18 ns.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Parquet micros without isAdjustedToUTC infer as TIMESTAMP_NTZ; the
+    # engine's timestamp contract is instant semantics (watermarks, epoch
+    # arithmetic). Cast at the scan edge — wall-clock values are preserved
+    # (cast interprets and renders in the session timezone).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType
 
 from ..sources.readers import _nanos_ts_cols
 
@@ -44,6 +44,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan-edge normalization matches the batch reader exactly (TIMESTAMP
     (NANOS) → nanos-long → microsecond timestamp, truncating): a query
     moved from batch to streaming sees identical values.
+
+    Parquet micros without isAdjustedToUTC infer as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects (event time must be an instant) — those
+    columns are cast to TIMESTAMP at the scan edge. Wall-clock values are
+    preserved (cast interprets and renders in the session timezone), so
+    batch/streaming equality holds.
     """
     path = f"{sf_dir}/events.parquet"
     nanos = _nanos_ts_cols(path)
@@ -53,4 +59,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(spark, sf_dir, raw_schema, path_glob="events.parquet")
     for c in nanos:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    for field in raw_schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return stream
