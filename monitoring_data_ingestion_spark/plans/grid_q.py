@@ -9,10 +9,16 @@ so the hash gate checks the actual clip arithmetic edge by edge.
 
 from __future__ import annotations
 
+import os
+import tempfile
+from functools import lru_cache
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..grid.ops import point_in_polygon
+from ..grid.shapefile import decimate, main_ring, write_polygon_shp
 from ..sources.readers import table
 from .catalog import query
 
@@ -26,20 +32,45 @@ CLIP_POLYGON = [
     (-130.8, 40.6),
 ]
 
+# The reference's actual cutline geometry (gdalwarp -cutline input,
+# /root/reference/src/file-conversions.js:174-195). When the reference
+# checkout is present the catalog clips against its real mainland outline;
+# standalone installs round-trip the pentagon through the engine's own
+# .shp writer instead — either way the query consumes a parsed shapefile.
+AFRICA_SHP = "/root/reference/src/shp/africa.shp"
+
+
+@lru_cache(maxsize=1)
+def shapefile_cutline() -> tuple[tuple[float, float], ...]:
+    """(lon, lat) cutline vertices parsed from a shapefile.
+
+    The mainland outline is decimated to ~125 vertices: the geometry rides
+    the query plan as a literal edge array (zero shuffle, zero broadcast),
+    and a 4,987-vertex coastline would bloat codegen for no accuracy gain
+    on the fixture's 1°-offset synthetic grid.
+    """
+    if os.path.exists(AFRICA_SHP):
+        return tuple(decimate(main_ring(AFRICA_SHP), 40))
+    path = os.path.join(tempfile.gettempdir(), "mdi_clip_fixture.shp")
+    write_polygon_shp(path, [CLIP_POLYGON])
+    return tuple(main_ring(path))
+
 # Deterministic synthetic coordinates: integer-derived with .5 offsets,
 # identical double arithmetic in both engines.
 _LON_SQL = "CAST(c_custkey * 7 % 360 AS DOUBLE) - 180.0 + 0.5"
 _LAT_SQL = "CAST(c_custkey * 13 % 180 AS DOUBLE) - 90.0 + 0.5"
 
 
-def _raycast_sql(lon: str, lat: str) -> str:
+def _raycast_sql(lon: str, lat: str, polygon: Sequence[tuple[float, float]] = None) -> str:
     """Render the exact per-edge crossing test of grid.ops.point_in_polygon
-    for the fixed polygon."""
+    for the given polygon (default: the fixed pentagon). Float literals use
+    repr round-tripping, so both engines fold identical doubles."""
+    poly = list(polygon) if polygon is not None else CLIP_POLYGON
     terms = []
-    n = len(CLIP_POLYGON)
+    n = len(poly)
     for i in range(n):
-        x1, y1 = CLIP_POLYGON[i]
-        x2, y2 = CLIP_POLYGON[(i + 1) % n]
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
         terms.append(
             f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat}))"
             f" AND ({lon} < ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}) + {x1})"
@@ -81,6 +112,73 @@ def grid_polygon_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("value"),
     )
     inside = point_in_polygon(F.col("lat"), F.col("lon"), CLIP_POLYGON)
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        inside.alias("inside"),
+        F.when(inside, F.col("value")).alias("value"),
+    ).orderBy("c_custkey")
+
+
+def _edges_values_sql(polygon: Sequence[tuple[float, float]]) -> str:
+    """The polygon's edge list as a SQL VALUES table. A 125-edge ray cast
+    rendered as one `+`-chained expression exceeds DuckDB's binder
+    recursion limit; an edge relation + aggregate crossing count computes
+    the identical arithmetic without a deep expression tree."""
+    rows = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        rows.append(f"({x1}, {y1}, {x2}, {y2})")
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_shapefile_clip",
+    tags=("grid", "spatial", "filter"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon, c_acctbal AS value
+  FROM customer WHERE c_custkey <= 2000
+),
+edges(x1, y1, x2, y2) AS (
+  VALUES {_edges_values_sql(shapefile_cutline())}
+),
+crossed AS (
+  SELECT p.c_custkey, p.lat, p.lon, p.value,
+         (SUM(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                    AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END) % 2 = 1) AS inside
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.c_custkey, p.lat, p.lon, p.value
+)
+SELECT c_custkey, lat, lon, inside,
+       CASE WHEN inside THEN value END AS value
+FROM crossed ORDER BY c_custkey
+""",
+)
+def grid_shapefile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon clip whose cutline comes from a parsed ESRI shapefile —
+    the reference's exact geometry path (gdalwarp -cutline africa.shp,
+    /root/reference/src/file-conversions.js:174-195) with the engine's
+    own .shp reader (grid/shapefile.py) replacing GDAL.
+
+    Same plan shape as grid_polygon_clip: the parsed outline folds into a
+    literal edge array, the ray-cast whole-stage-codegens, zero shuffle —
+    the cutline never becomes a join side, so at 100 TB the clip stays a
+    free rider on the scan.
+    """
+    poly = shapefile_cutline()
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 13 % 180).cast("double") - 90.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 7 % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+        F.col("c_acctbal").alias("value"),
+    )
+    inside = point_in_polygon(F.col("lat"), F.col("lon"), poly)
     return pts.select(
         "c_custkey",
         "lat",
