@@ -123,11 +123,83 @@ def anomaly(current: DataFrame, normals: DataFrame) -> DataFrame:
     )
 
 
-def to_geotiff_stub(df: DataFrame, path: str) -> None:
-    """GeoTIFF encode (S6) requires a raster library not present in this
-    environment; the engine's native sink is partitioned parquet. A real
-    deployment would plug rasterio in via mapInPandas here."""
-    raise NotImplementedError(
-        "GeoTIFF export needs rasterio; use df.write.parquet(...) — the "
-        "engine-native sink — or install rasterio and wire a mapInPandas encoder."
+def grid_to_raster(pdf, nodata: float = float(NODATA_CLIP)):
+    """One group's long rows (lat, lon, value) → a north-up GeoRaster.
+
+    Resolution is inferred from the distinct sorted coordinates; missing
+    cells and NULL values become the nodata sentinel (the −9999 convention
+    of the reference's outputs, src/file-conversions.js:206-217)."""
+    import numpy as np
+
+    from .geotiff import GeoRaster
+
+    lats = np.sort(pdf["lat"].unique())[::-1]  # north first
+    lons = np.sort(pdf["lon"].unique())
+    yres = float(lats[0] - lats[1]) if len(lats) > 1 else 1.0
+    xres = float(lons[1] - lons[0]) if len(lons) > 1 else 1.0
+    lat_idx = {v: i for i, v in enumerate(lats)}
+    lon_idx = {v: i for i, v in enumerate(lons)}
+    values = np.full((len(lats), len(lons)), nodata, dtype="float32")
+    vals = pdf["value"].to_numpy()
+    for r, (la, lo) in enumerate(zip(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())):
+        v = vals[r]
+        if v is not None and v == v:  # skip None/NaN → stay nodata
+            values[lat_idx[la], lon_idx[lo]] = v
+    return GeoRaster(
+        values=values,
+        west=float(lons[0]) - xres / 2,
+        north=float(lats[0]) + yres / 2,
+        xres=xres,
+        yres=yres,
+        nodata=nodata,
     )
+
+
+def to_geotiff(
+    df: DataFrame,
+    out_dir: str,
+    group_cols: Sequence[str] = ("variable",),
+    nodata: float = float(NODATA_CLIP),
+) -> DataFrame:
+    """GeoTIFF sink (S6, gdal_translate -ot Float32,
+    /root/reference/src/file-conversions.js:57-74): one file per group.
+
+    Scale shape: each (variable, time, …) group is ONE raster (a global
+    0.25° grid is ~6 MB of Float32) — the natural unit of parallelism. The
+    write runs inside ``applyInPandas``, so N rasters encode on N executor
+    slots concurrently and the driver only ever sees the manifest (path +
+    dimensions per group), never pixel data. ``out_dir`` must be a shared
+    filesystem on a real cluster. Returns the manifest DataFrame.
+    """
+    import os
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from .geotiff import write_geotiff
+
+    gcols = list(group_cols)
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [in_fields[c] for c in gcols]
+        + [
+            StructField("path", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def encode_group(key, pdf):
+        import pandas as pd
+
+        raster = grid_to_raster(pdf, nodata=nodata)
+        stem = "_".join(str(k) for k in key).replace(" ", "T").replace(":", "-")
+        path = os.path.join(out_dir, f"{stem}.tif")
+        write_geotiff(raster, path)
+        row = dict(zip(gcols, key))
+        row.update(
+            path=path, width=raster.values.shape[1], height=raster.values.shape[0]
+        )
+        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.groupBy(*gcols).applyInPandas(encode_group, schema=schema)
