@@ -46,10 +46,10 @@ def main() -> None:
     times: dict[str, float] = {}
     total = 0.0
     for name, spec in headline.items():
-        # Best of 2: single-shot timings on this box vary up to 2× from GC
+        # Best of 5: single-shot timings on this box vary up to 2× from GC
         # and JIT noise; the min measures the plan, not the weather.
         best = None
-        for _ in range(2):
+        for _ in range(5):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

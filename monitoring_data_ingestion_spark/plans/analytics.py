@@ -46,17 +46,28 @@ _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
 def _shingles(tok_col) -> Column:
-    """Word 3-gram shingles (1-based positions, space-joined)."""
+    """Word 3-gram shingles (space-joined), as zip_with over three shifted
+    slices of the token array.
+
+    Deliberately NOT ``transform(sequence(...), i -> element_at(tok, i))``:
+    optimizer rules (InferFiltersFromGenerate, constraint propagation)
+    substitute column definitions into pushed-down predicates, and if the
+    tokenizer lands inside an index lambda every element access re-splits
+    the whole text — O(n²) regex work per document per evaluation
+    (measured: 18 s vs 0.3 s for the shingle explode at sf0.1). With
+    slices + zip_with the inlined form evaluates the tokenizer a constant
+    number of times per row no matter where the optimizer copies it.
+    """
     n = F.size(tok_col)
-    return F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tok_col, i), F.element_at(tok_col, i + 1), F.element_at(tok_col, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    first = F.slice(tok_col, 1, n - 2)
+    second = F.slice(tok_col, 2, n - 2)
+    third = F.slice(tok_col, 3, n - 2)
+    joined = F.zip_with(
+        F.zip_with(first, second, lambda x, y: F.concat_ws(" ", x, y)),
+        third,
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    return F.when(n >= 3, joined).otherwise(F.array().cast("array<string>"))
 
 
 _SHINGLES_SQL = """
@@ -252,14 +263,23 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the explode: shingling amplifies each row ~300×,
-    # so the scan's partitioning (often 1 task for a small file) must not
-    # dictate the compute parallelism.
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh): the distinct 3-gram shingle array.
+
+    Two projections on purpose: tokens materialize as a column BEFORE the
+    shingle transform, so ``element_at(t, i)`` inside the transform lambda
+    binds an attribute rather than the inlined tokenizer — inlining makes
+    every element access re-split the whole text (O(n²) regex work per
+    document; measured ~4× slower on the shingle pass at sf0.1).
+    CollapseProject keeps the projection barrier because ``t`` is
+    referenced many times. The repartition widens the scan before the
+    ~300× shingle amplification so a small file's partitioning doesn't cap
+    compute parallelism.
+    """
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
-    t = _tokens(F.col("text"))
-    return d.select("doc_id", F.explode(F.array_distinct(_shingles(t))).alias("shingle"))
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    return toks.select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
 
 
 _SHINGLE_SQL = f"""
@@ -301,23 +321,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, then jaccard from set sizes. No all-pairs product; cost is
     bounded by shingle co-occurrence, which is the scalable formulation.
     """
-    sh = _shingle_frame(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Set size rides the exploded rows (one long per row), so the pair
+    # aggregate has everything it needs — no cached shingle frame, no
+    # size-lookup joins after the aggregate. One exploded self-join + one
+    # aggregate is the whole query.
+    base = _shingled_docs(spark, sf_dir)
+    # explode_outer + post-filter, NOT plain explode: inner explode makes
+    # InferFiltersFromGenerate plant a `size(sh) > 0` predicate that
+    # pushdown substitutes through the token projection into the scan —
+    # re-inlining the tokenizer inside the shingle lambda (O(n²) regex per
+    # row, evaluated twice, in the narrow pre-repartition stage; measured
+    # 18 s vs 0.3 s at sf0.1). The outer form infers nothing; the cheap
+    # isNotNull on the generated attribute stays above the Generate.
+    sh = base.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -412,10 +441,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan survives a 1000-executor scale-up: signatures stream through
     the scan stage, and shuffle volume is O(docs × bands + candidate pairs).
     """
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
-    t = _tokens(F.col("text"))
-    base = d.select("doc_id", F.array_distinct(_shingles(t)).alias("shingles"))
+    base = _shingled_docs(spark, sf_dir).withColumnRenamed("sh", "shingles")
     # One MD5 per distinct shingle; the 32 signature values are cheap
     # integer universal-hashes of that 28-bit key (all JVM-side, codegen'd).
     keyed = base.select(
@@ -599,12 +625,14 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the corpus scan stays partitioned (score-and-top-k per
     partition via the rank window is the scale path; an IVF variant lives
     in operators/similarity.py).
+
+    No explicit repartition on the corpus: the query side is broadcast, so
+    scoring is map-side over the scan's native partitioning — an explicit
+    ``repartition(n, "vec_id")`` would be a corpus-wide shuffle that buys
+    nothing (determinism already comes from the 6-dp round + tiebreaker).
     """
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    v = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(n, "vec_id")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     dot_self = F.aggregate(
         F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),

@@ -28,7 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
-from .analytics import _SHINGLES_SQL, _TOKENS_SQL, _shingles, _tokens
+from .analytics import _SHINGLES_SQL, _TOKENS_SQL, _shingled_docs, _tokens
 from .catalog import query
 
 PACK_CAPACITY = 512  # tokens per packed training sequence
@@ -45,54 +45,64 @@ CONTAM_THRESHOLD = 0.10
 WITH toks AS (
   SELECT doc_id, lang,
          CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
-         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
   FROM documents
 ), pos AS (
-  SELECT lang, n_tokens,
+  SELECT lang, shard, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY lang ORDER BY shuffle_key
+           PARTITION BY lang, shard ORDER BY shuffle_key
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM toks
 )
-SELECT lang,
+SELECT lang, shard,
        CAST(FLOOR(start_off / {PACK_CAPACITY}.0) AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CAPACITY} AS fill_ratio
 FROM pos
-GROUP BY lang, seq_id
-ORDER BY lang, seq_id
+GROUP BY lang, shard, seq_id
+ORDER BY lang, shard, seq_id
 """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy offset packing: documents are deterministically shuffled
-    (md5 of doc_id), laid end-to-end per language, and assigned to the
-    training sequence their start offset falls in (capacity 512 tokens).
+    (md5 of doc_id), laid end-to-end per (language, shard), and assigned
+    to the training sequence their start offset falls in (capacity 512
+    tokens).
 
-    Scale: the only state is a running-sum window PARTITIONED BY language
-    (or, at 100 TB, by language × shard-hash prefix) — each partition's
-    cumulative offset is independent, so packing parallelizes across the
-    cluster and never needs a global ordering.
+    Scale: the running-sum window partitions by language × shard — the
+    first hex digit of the shuffle key, so sharding IS the shuffle order
+    (a shard is a contiguous slice of the per-language layout, not a
+    second interleaved ordering). With ~10 languages at 100 TB a
+    lang-only window would serialize ~10 TB of running sum through one
+    task per language; 16 shards per language bound each window partition
+    at 1/16th of that, and the shard fan-out widens with a longer prefix
+    without changing semantics. Packing stays deterministic and never
+    needs a global ordering.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "lang",
         F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("shuffle_key")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pos = toks.select(
         "lang",
+        "shard",
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_off"),
     )
     return (
         pos.groupBy(
             "lang",
+            "shard",
             F.floor(F.col("start_off") / PACK_CAPACITY).alias("seq_id"),
         )
         .agg(
@@ -100,7 +110,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             (F.sum("n_tokens").cast("double") / PACK_CAPACITY).alias("fill_ratio"),
         )
-        .orderBy("lang", "seq_id")
+        .orderBy("lang", "shard", "seq_id")
     )
 
 
@@ -227,12 +237,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected into ONE broadcast array, so the corpus pass is map-only
     (array_intersect per row, no shuffle); the corpus is never exploded.
     """
-    d = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
-    base = d.select("doc_id", F.array_distinct(_shingles(t)).alias("sh"))
+    base = _shingled_docs(spark, sf_dir)
     bench = (
         base.filter(F.col("doc_id") < CONTAM_BENCH_DOCS)
-        .select(F.explode("sh").alias("s"))
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
         .agg(F.collect_list("s").alias("b"))
     )
@@ -250,6 +259,77 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "contamination_shingle_join",
+    tags=("llm", "dedup", "contamination"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM base WHERE doc_id < {CONTAM_BENCH_DOCS}
+), corpus AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END) AS s
+  FROM base WHERE doc_id >= {CONTAM_BENCH_DOCS}
+), agg AS (
+  SELECT c.doc_id, c.n_shingles,
+         SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+  FROM corpus c LEFT JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id, c.n_shingles
+)
+SELECT doc_id,
+       CAST(n_shingles AS INTEGER) AS n_shingles,
+       CAST(n_common AS INTEGER) AS n_common,
+       CAST(n_common AS DOUBLE) / greatest(n_shingles, 1) AS overlap_frac,
+       CAST(n_common AS DOUBLE) / greatest(n_shingles, 1)
+         >= {CONTAM_THRESHOLD} AS contaminated
+FROM agg ORDER BY doc_id
+""",
+)
+def contamination_shingle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, eval-suite-scale form: shingle-explode
+    the corpus and broadcast-JOIN against the benchmark shingle relation
+    instead of intersecting one collected benchmark array per row.
+
+    Same semantics as ``contamination_ngram_overlap``; different scale
+    envelope. The single-array form needs the whole eval suite in one
+    broadcast row (breaks past a few million shingles, and per-row
+    ``array_intersect`` is O(|doc| × |bench|)). Here the benchmark is an
+    ordinary relation: corpus shingles explode map-side, match via a
+    broadcast hash join on the shingle key (O(1) probes), and fold back
+    with ONE (doc_id)-keyed aggregate — the only shuffle. Past broadcast
+    size the same plan degrades gracefully to a shuffled hash join; the
+    arithmetic is unchanged.
+    """
+    base = _shingled_docs(spark, sf_dir)
+    bench = (
+        base.filter(F.col("doc_id") < CONTAM_BENCH_DOCS)
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = base.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS).select(
+        "doc_id",
+        F.size("sh").alias("n_shingles"),
+        # explode_outer keeps shingle-less docs (n_shingles = 0) in the result.
+        F.explode_outer("sh").alias("s"),
+    )
+    agg = (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_common"))
+    )
+    frac = F.col("n_common").cast("double") / F.greatest("n_shingles", F.lit(1))
+    return agg.select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.col("n_common").cast("int").alias("n_common"),
+        frac.alias("overlap_frac"),
+        (frac >= CONTAM_THRESHOLD).alias("contaminated"),
+    ).orderBy("doc_id")
 
 
 SAMPLE_K = 20
