@@ -233,6 +233,18 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("clabel"), "ce", "cnrm")
     )
 
+    return _ivf_serve(v, centv)
+
+
+def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
+    """The IVF serving path given a codebook (clabel, ce, cnrm): assign
+    every vector to its nearest centroid's inverted list, probe the
+    nprobe nearest lists per query, exact-rerank within them.
+
+    The codebook is k×dim doubles → broadcast; assignment is a map-only
+    corpus pass. The serving plan is identical for any codebook (per-label
+    or Lloyd-trained) — training is upstream of this function.
+    """
     # Affinity to every centroid (k rows per vector; the codebook side is
     # broadcast → map-side only).
     aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
@@ -289,6 +301,151 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+IVF_ITERS = 3
+
+
+def _lloyd_sql(iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — each round assigns by
+    rounded cosine (ties to lowest centroid id) and recomputes centroids
+    as exact-decimal dimension means, the same arithmetic as the Spark
+    loop. Empty clusters keep their previous centroid (COALESCE)."""
+    parts = ["cent0 AS (\n  SELECT label AS cid, pos, c FROM cent\n)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""centn{i - 1} AS (
+  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cnrm
+  FROM (SELECT cid, list(c ORDER BY pos) AS ce FROM cent{i - 1} GROUP BY cid)
+), asg{i} AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT n.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY ROUND(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+    FROM norms n CROSS JOIN centn{i - 1} c
+  ) WHERE rn = 1
+), means{i} AS (
+  SELECT a.bucket AS cid, i - 1 AS pos,
+         CAST(SUM(CAST(n.e[i] AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m
+  FROM asg{i} a JOIN norms n ON a.vec_id = n.vec_id,
+       UNNEST(generate_series(1, len(n.e))) AS s(i)
+  GROUP BY 1, 2
+), cent{i} AS (
+  SELECT p.cid, p.pos, COALESCE(m.m, p.c) AS c
+  FROM cent{i - 1} p LEFT JOIN means{i} m ON p.cid = m.cid AND p.pos = m.pos
+)""")
+    parts.append(f"""centn{iters} AS (
+  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cnrm
+  FROM (SELECT cid, list(c ORDER BY pos) AS ce FROM cent{iters} GROUP BY cid)
+)""")
+    return ",\n".join(parts)
+
+
+@query(
+    "knn_ivf_trained",
+    tags=("similarity", "knn", "ivf"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),{_CENTROID_SQL}
+, {_lloyd_sql(IVF_ITERS)}
+, affinity AS (
+  SELECT n.vec_id, c.cid AS label,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY ROUND(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) DESC, c.cid
+         ) AS rn
+  FROM norms n CROSS JOIN centn{IVF_ITERS} c
+), assign AS (
+  SELECT vec_id, label AS bucket FROM affinity WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS bucket FROM affinity
+  WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 6) AS cosine
+  FROM cand c
+  JOIN norms q ON q.vec_id = c.query_id
+  JOIN norms n ON n.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a Lloyd-trained codebook: 3 k-means iterations (spherical
+    assignment by rounded cosine, exact-decimal centroid means) seeded
+    from the per-label centroids, then the identical serving path as
+    ``knn_ivf``.
+
+    Training loop discipline matches ``dedup_cluster_assign``: each round
+    is bounded DataFrame work — assignment is a broadcast-codebook
+    map-only pass + one (vec_id)-keyed min_by aggregate, the centroid
+    update is one (cid, pos)-keyed mean — and the k×dim codebook is
+    ``localCheckpoint``-ed so iteration N+1 never replays iteration N's
+    lineage. Nothing but the codebook ever leaves the executors, and the
+    iteration count is fixed (k-means convergence is monotone; a fixed
+    small budget is the deterministic, oracle-expressible choice).
+    """
+    v = _vectors(spark, sf_dir)
+    expanded = v.select(F.col("label").alias("cid"), F.posexplode("e").alias("pos", "val"))
+    cent_long = (
+        expanded.groupBy("cid", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
+        )
+        .localCheckpoint()
+    )
+
+    def _codebook(long: DataFrame) -> DataFrame:
+        return (
+            long.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(F.col("cid").alias("clabel"), F.transform("pc", lambda s: s["c"]).alias("ce"))
+            .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        )
+
+    for _ in range(IVF_ITERS):
+        centv = _codebook(cent_long)
+        assign = (
+            v.crossJoin(F.broadcast(centv))
+            .withColumn(
+                "acos",
+                F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "clabel", F.struct((-F.col("acos")).alias("neg"), F.col("clabel"))
+                ).alias("bucket")
+            )
+        )
+        means = (
+            assign.join(v, "vec_id")
+            .select(F.col("bucket").alias("cid"), F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")
+                ).alias("m")
+            )
+        )
+        cent_long = (
+            cent_long.join(means, ["cid", "pos"], "left")
+            .select("cid", "pos", F.coalesce("m", "c").alias("c"))
+            .localCheckpoint()
+        )
+
+    return _ivf_serve(v, _codebook(cent_long))
 
 
 _NEARDUP_PAIRS_SQL = f"""
