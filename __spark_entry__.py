@@ -29,7 +29,9 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 _PRIORITY: tuple[str, ...] = (
     # flagship + grid (reference's core dataflow)
     "era5_monthly_anomaly",
+    "era5_grid_anomaly_pipeline",
     "grid_polygon_clip",
+    "grid_shapefile_clip",
     "grid_regrid_coarsen",
     # near-duplicate detection / ANN
     "dedup_minhash_lsh",
@@ -41,7 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_docs",
     "knn_cosine_bruteforce",
     "knn_ivf",
-    "embedding_centroids",
+    "knn_ivf_trained",
     # time-series
     "ts_asof_join",
     "ts_range_join",
@@ -71,21 +73,20 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunk_sliding",
     "doc_token_dedup",
     "contamination_ngram_overlap",
+    "contamination_shingle_join",
     "sample_weighted",
     "split_train_test_hash",
     "llm_corpus_prep",
-    # multimodal
+    # multimodal (frame_sample stays in the local suite)
     "multimodal_metadata_stats",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
     # mergeable sketches
     "agg_approx_distinct",
     "agg_hll_sketch_union",
     "agg_approx_quantile",
-    # one representative per relational family
+    # one representative of the relational families (the rest of the 130+
+    # registry stays locally oracle-checked by tests/test_oracle.py)
     "q1_pricing_summary",
-    "join_broadcast_dims",
-    "window_rank",
 )
 
 
@@ -95,13 +96,15 @@ def _ordered_names() -> list[str]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship dataflow; driver checks rows>0.
 
-    The flagship is the reference's whole anomaly dataflow generalized
-    (monthly aggregate → climatological normal → broadcast join →
-    subtract), see plans/timeseries.py::era5_monthly_anomaly.
+    The flagship is the reference's ENTIRE service loop on the real grid
+    fixture — 36-month landing dir → custom streaming source → normals
+    broadcast join → anomaly → idempotent partitioned publish — hash-
+    checked against a closed-form oracle
+    (plans/streaming_q.py::era5_grid_anomaly_pipeline).
     """
-    return REGISTRY["era5_monthly_anomaly"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["era5_grid_anomaly_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import dsum, dsum_expr
+from ..grid.fixture import grid_oracle_sql
 from ..sources.readers import table
 from ..streaming.ops import tumbling_window_agg
 from ..streaming.sinks import run_available_now_to_memory
@@ -222,3 +223,76 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now_to_memory(agg, output_mode="complete")
     return out.orderBy("tier")
+
+
+_GRID_START, _GRID_END = "1992-01", "1994-12"  # 36 months
+_NORMAL_YEARS = (1992, 1993)
+
+
+@query(
+    "era5_grid_anomaly_pipeline",
+    tags=("streaming", "grid", "anomaly", "pipeline"),
+    oracle=f"""
+WITH {grid_oracle_sql(_GRID_START, _GRID_END)},
+normals AS (
+  SELECT lat, lon, variable, month(time) AS month,
+         AVG(value) AS normal_value
+  FROM grid WHERE year(time) IN {_NORMAL_YEARS}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT g.time, g.lat, g.lon, g.variable, g.value,
+       g.value - n.normal_value AS anomaly
+FROM grid g LEFT JOIN normals n
+  ON g.lat = n.lat AND g.lon = n.lon AND g.variable = n.variable
+ AND month(g.time) = n.month
+ORDER BY g.time, g.variable, g.lat, g.lon
+""",
+)
+def era5_grid_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE service loop on the real grid fixture: a
+    36-month gridmonths landing dir → custom Python streaming source
+    (month cursor as the offset) → sentinel→NULL → broadcast normals join
+    → anomaly subtract → idempotent month-partitioned publish — then the
+    published dataset read back as the result
+    (/root/reference/src/rabbit.js:28-61, src/sources/era5monthly.js:36-155).
+
+    The oracle regenerates the closed-form grid and recomputes
+    normals/anomaly relationally — so the hash gate witnesses the whole
+    dataflow THROUGH the streaming runtime, checkpoint, and partitioned
+    sink, not a batch re-statement.
+
+    Scale: each micro-batch is one month of grid scanned executor-side;
+    normals broadcast (~|cells| rows); the only wide stage is the
+    idempotent partitioned write. sf_dir is unused — the grid is the
+    reference's own data model, independent of the relational fixtures.
+    """
+    import os
+    import tempfile
+
+    from ..grid.fixture import write_grid_landing
+    from ..streaming.pipeline import monthly_anomaly_query, monthly_normals
+    from ..sources.python_datasource import FORMAT_NAME, register
+
+    base = tempfile.mkdtemp(prefix="mdi_era5_pipeline_")
+    landing = os.path.join(base, "landing")
+    write_grid_landing(spark, landing, _GRID_START, _GRID_END)
+
+    register(spark)
+    history = spark.read.format(FORMAT_NAME).option("path", landing).load()
+    normals = monthly_normals(history, _NORMAL_YEARS)
+
+    q = monthly_anomaly_query(
+        spark,
+        landing,
+        normals,
+        out_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        commit_dir=os.path.join(base, "commit"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    published = spark.read.parquet(os.path.join(base, "out"))
+    return published.select("time", "lat", "lon", "variable", "value", "anomaly").orderBy(
+        "time", "variable", "lat", "lon"
+    )

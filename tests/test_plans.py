@@ -75,9 +75,11 @@ def test_no_cartesian_in_blocked_similarity(spark):
 
 def test_ivf_codebook_is_broadcast(spark):
     """knn_ivf's corpus×codebook affinity must broadcast the codebook (a
-    k×dim table) — the corpus side stays map-only for assignment."""
-    plan = _plan(q("knn_ivf")(spark, SF_SMOKE))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    k×dim table) — the corpus side stays map-only for assignment. Same
+    contract for the Lloyd-trained variant's serving plan."""
+    for name in ("knn_ivf", "knn_ivf_trained"):
+        plan = _plan(q(name)(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
 
 
 def test_aggregation_is_two_phase(spark):
@@ -147,12 +149,25 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_contamination_join_form_has_no_bench_array(spark):
+    """The eval-suite-scale decontamination must match shingles via a
+    broadcast hash join on the shingle key — no collected benchmark array,
+    no per-row array_intersect (the single-row broadcast breaks past a few
+    million benchmark shingles)."""
+    plan = _plan(q("contamination_shingle_join")(spark, SF_SMOKE))
+    assert "array_intersect" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pack_sequences_window_is_partitioned(spark):
-    """Packing's running sum must be a language-partitioned window — a
-    global (unpartitioned) window would serialize the whole corpus
-    through one task."""
+    """Packing's running sum must be a (language × shard)-partitioned
+    window — lang-only would serialize a whole language's corpus through
+    one task; unpartitioned would serialize everything."""
     plan = _plan(q("pack_sequences")(spark, SF_SMOKE))
     assert "windowspecdefinition(lang" in plan
+    spec = plan.split("windowspecdefinition(lang")[1][:80]
+    assert "shard" in spec
 
 
 def test_multi_distinct_uses_expand(spark):
@@ -209,6 +224,16 @@ def test_fuzzy_dedup_blocks_are_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # SortMergeJoin or ShuffledHashJoin on blk
+
+
+def test_bruteforce_knn_corpus_not_repartitioned(spark):
+    """knn_cosine_bruteforce scores the corpus map-side against the
+    broadcast query set — the only shuffle allowed is the window's
+    hashpartitioning(query_id) for top-k; an Exchange on vec_id would be
+    a gratuitous corpus-wide shuffle at 100 TB."""
+    plan = _plan(q("knn_cosine_bruteforce")(spark, SF_SMOKE))
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the top-k window only
 
 
 def test_hll_sketch_union_is_partial_aggregate(spark):
