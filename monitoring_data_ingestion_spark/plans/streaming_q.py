@@ -225,6 +225,72 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tier")
 
 
+@query(
+    "stream_stream_interval_join",
+    tags=("streaming", "join", "range"),
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS lag_seconds
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts
+ AND c.ts < p.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (§2.9 generalized): clicks within 30
+    minutes after a purchase by the same user, both sides unbounded
+    streams joined inside the streaming engine.
+
+    This is the join state-store contract: each side is watermarked, the
+    time-range condition bounds how long a purchase waits for matching
+    clicks, so per-key join state is evicted once the watermark passes
+    ``p_ts + 30 min`` — bounded state on unbounded input. The batch
+    oracle is the same relational join; equality is the engine's
+    batch↔streaming replayability guarantee (T1/T2).
+
+    Scale: state is partitioned by user_id (the equi half of the
+    condition); the interval bound keeps each user's buffered rows to a
+    30-minute window regardless of stream length.
+    """
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts AND c_ts < p_ts + interval 30 minutes"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("lag_seconds"),
+    )
+    out = run_available_now_to_memory(joined, output_mode="append")
+    return out.orderBy("purchase_id", "click_id")
+
+
 _GRID_START, _GRID_END = "1992-01", "1994-12"  # 36 months
 _NORMAL_YEARS = (1992, 1993)
 
