@@ -174,3 +174,83 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.when(n > 0, F.col("n_chars").cast("double") / n).alias("chars_per_token"),
     ).orderBy("doc_id")
+
+
+REP_TOP_UNIGRAM_MAX = 0.10  # Gopher-style thresholds on the synthetic corpus
+REP_DUP_BIGRAM_MAX = 0.40
+
+
+@query(
+    "text_repetition_ratios",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), stats AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         list_max(list_transform(list_distinct(t),
+                                 w -> len(list_filter(t, x -> x = w)))) AS top_unigram_count,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS bigrams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(top_unigram_count AS INTEGER) AS top_unigram_count,
+       CAST(top_unigram_count AS DOUBLE) / greatest(n_tokens, 1) AS top_unigram_frac,
+       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / greatest(len(bigrams), 1)
+         AS dup_bigram_frac,
+       (CAST(top_unigram_count AS DOUBLE) / greatest(n_tokens, 1) > {REP_TOP_UNIGRAM_MAX}
+        OR 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / greatest(len(bigrams), 1)
+           > {REP_DUP_BIGRAM_MAX}) AS flagged
+FROM stats ORDER BY doc_id
+""",
+)
+def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rule family): the most
+    frequent token's share of the document and the fraction of duplicated
+    bigrams; a document exceeding either threshold is flagged.
+
+    Everything computes per-row inside the scan projection — top-unigram
+    share folds over the distinct-token array, bigrams come from zip_with
+    over shifted slices (constant tokenizer evaluations even when the
+    optimizer inlines the expression — see analytics._shingles) — so the
+    filter adds ZERO shuffles to a corpus pass at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    top_count = F.aggregate(
+        F.array_distinct("t"),
+        F.lit(0),
+        lambda acc, w: F.greatest(acc, F.size(F.filter("t", lambda x: x == w))),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top_count.alias("top_unigram_count"),
+        bigrams.alias("bigrams"),
+    )
+    top_frac = F.col("top_unigram_count").cast("double") / F.greatest("n_tokens", F.lit(1))
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("bigrams")).cast("double") / F.greatest(
+        F.size("bigrams"), F.lit(1)
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("top_unigram_count").cast("int").alias("top_unigram_count"),
+        top_frac.alias("top_unigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > REP_TOP_UNIGRAM_MAX) | (dup_frac > REP_DUP_BIGRAM_MAX)).alias("flagged"),
+    ).orderBy("doc_id")
