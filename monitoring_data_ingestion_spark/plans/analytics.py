@@ -499,6 +499,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The minhash pipeline's confirmed pairs as a reusable CTE chain (rendered
+# from the same helper functions as the dedup_minhash_lsh oracle).
+_MINHASH_PAIRS_CTE = f"""shingles AS ({_SHINGLE_SQL}),
+keyed AS (
+  SELECT doc_id, {_SHINGLE_KEY_SQL} AS x FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+       {_minhash_sql_cols()}
+  FROM keyed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+       {_band_sql_cols()}
+  FROM sigs
+),
+long_bands AS (
+  SELECT doc_id, b.band_idx, b.sig FROM bands,
+  LATERAL (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band_idx,
+                  unnest([{", ".join(f"band{b}" for b in range(LSH_BANDS))}]) AS sig) b
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+@query(
+    "dedup_minhash_survivors",
+    tags=("dedup", "similarity", "graph"),
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.rep, d.doc_id) AS cluster_rep,
+       d.doc_id = COALESCE(c.rep, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+ORDER BY doc_id
+""",
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-dedup ENDPOINT: minhash-LSH pairs → connected components
+    (transitive closure, a~b + b~c collapse to one cluster) → one survivor
+    per cluster, every document labeled. ``is_survivor`` is the keep/drop
+    decision a pretraining pipeline actually applies; documents in no pair
+    survive as their own singleton.
+
+    Scale: pairs come from the bucketed LSH pipeline (no cross join);
+    components run Pregel-style min-label to fixpoint (see
+    plans.similarity.min_label_components — one node-keyed shuffle per
+    round, localCheckpoint lineage truncation); the final labeling is one
+    left join keyed on doc_id.
+    """
+    from .similarity import min_label_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce("label", "doc_id")
+    return (
+        d.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            (F.col("doc_id") == rep).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_sum_sql() -> str:
     return ",\n         ".join(
         f"SUM((( h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)

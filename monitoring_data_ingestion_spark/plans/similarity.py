@@ -510,10 +510,30 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_reachable doubles as a sanity check on closure size).
     """
     pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
-    fwd = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    rev = pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
-    # localCheckpoint truncates lineage: every iteration's cost stays
-    # constant instead of replaying the whole LSH pipeline per round.
+    labels = min_label_components(pairs, "vec_a", "vec_b")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_rep"),
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def min_label_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pregel-style min-label propagation to a fixpoint over an undirected
+    pair graph → (node, label) with label = component minimum id.
+
+    Each round is one shuffle keyed on node id; ``localCheckpoint``
+    truncates lineage so every iteration's cost stays constant instead of
+    replaying the upstream pipeline per round; the driver only reads a
+    1-row convergence count. Rounds = graph diameter (near-dup clusters
+    are shallow — single digits even at corpus scale)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.unionByName(rev).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -537,16 +557,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select("node", "label")
         if changed == 0:
             break
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("vec_id"),
-            F.col("label").alias("cluster_rep"),
-            "cluster_size",
-        )
-        .orderBy("vec_id")
-    )
+    return labels
 
 
 FUZZY_BLOCK_CHARS = 16
