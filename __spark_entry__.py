@@ -41,6 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_fuzzy_levenshtein",
     "dedup_cluster_assign",
     "dedup_exact_docs",
+    "dedup_minhash_survivors",
     "knn_cosine_bruteforce",
     "knn_ivf",
     "knn_ivf_trained",
@@ -52,7 +53,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts_gap_fill_ffill",
     "ts_interpolate_linear",
     "ts_funnel",
-    "ts_retention_cohorts",
     "ts_anomaly_zscore",
     "scd2_validity_intervals",
     # streaming (oracle through the streaming runtime)
@@ -62,12 +62,12 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sliding_halfhour",
     "stream_session_windows",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     # text analysis
     "text_tfidf_top_terms",
     "text_bpe_token_count",
     "text_langid",
     "text_quality_score",
-    "doc_fingerprint",
     # LLM corpus prep
     "pack_sequences",
     "doc_chunk_sliding",
