@@ -1,0 +1,68 @@
+"""Small-file compaction (operators/compaction.py): plan arithmetic, data
+equality through the rewrite, atomic swap, per-partition independence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from monitoring_data_ingestion_spark.operators.compaction import (
+    _data_files,
+    compact_parquet,
+    compact_partitioned,
+    compaction_plan,
+)
+
+
+def _fragmented(spark, path, n_files=24, rows=2400):
+    df = spark.range(rows).withColumn("v", F.col("id") * 2)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_plan_counts_files_and_targets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented(spark, path)
+    plan = compaction_plan(path, target_mb=128)
+    assert plan.n_files == 24
+    assert plan.target_files == 1  # tiny data → one file
+    assert plan.worth_it
+
+
+def test_plan_skips_already_compact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+    plan = compaction_plan(path, target_mb=128)
+    assert plan.n_files == 1 and not plan.worth_it
+    # compact_parquet honors the short-circuit: nothing rewritten.
+    before = _data_files(path)
+    compact_parquet(spark, path, target_mb=128)
+    assert _data_files(path) == before
+
+
+def test_compact_preserves_data_and_shrinks_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _fragmented(spark, path)
+    plan = compact_parquet(spark, path, target_mb=128)
+    assert plan.worth_it
+    files = _data_files(path)
+    assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2400
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # No leftover staging/trash dirs.
+    assert [d for d in os.listdir(tmp_path) if "__" in d] == []
+
+
+def test_compact_partitioned_per_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(1000).withColumn("part", (F.col("id") % 3).cast("int"))
+    df.repartition(10).write.partitionBy("part").mode("overwrite").parquet(path)
+    results = compact_partitioned(spark, path, target_mb=128)
+    assert sorted(results) == ["part=0", "part=1", "part=2"]
+    for sub, plan in results.items():
+        assert len(_data_files(os.path.join(path, sub))) == 1, sub
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.select("part").distinct().count() == 3
