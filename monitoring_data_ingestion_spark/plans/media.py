@@ -95,3 +95,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the selected frames would (stubbed, multimodal/ops.py)."""
     m = media_table(spark, sf_dir)
     return sample_frames(m, k=4).orderBy("doc_id", "slot")
+
+
+@query(
+    "multimodal_binary_dedup",
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type, md5(text) AS fingerprint
+  FROM documents
+)
+SELECT media_type, fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM m GROUP BY media_type, fingerprint
+ORDER BY media_type, fingerprint
+""",
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary payloads BEFORE any decode: content hash per
+    (modality, payload), survivor = lowest doc_id — the cheap first gate
+    of a multimodal ingest (hashing is the only full-payload read; every
+    duplicate skips decode/feature-extract entirely).
+
+    Scale: the hash computes map-side in the scan projection; the only
+    shuffle carries (modality, hash, id) triples — never payload bytes.
+    """
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "doc_id",
+            F.col("meta.media_type").alias("media_type"),
+            F.md5("media").alias("fingerprint"),
+        )
+        .groupBy("media_type", "fingerprint")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("media_type", "fingerprint")
+    )
