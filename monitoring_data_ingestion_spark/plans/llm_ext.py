@@ -2,11 +2,11 @@
 set (BASELINE.json north star): sequence packing, sliding-window chunking,
 intra-document repetition removal, and benchmark-contamination checking.
 
-All four are daily operations of a 100 TB pretraining-corpus pipeline:
+All are daily operations of a 100 TB pretraining-corpus pipeline:
 
 * ``pack_sequences`` — greedy offset packing of documents into fixed
-  token-capacity training sequences (per-language, deterministic shuffle
-  order), the step that turns a cleaned corpus into dense batches.
+  token-capacity training sequences (per language × shard, deterministic
+  shuffle order), the step that turns a cleaned corpus into dense batches.
 * ``doc_chunk_sliding`` — overlapping fixed-size token windows (the RAG /
   embedding chunker).
 * ``doc_token_dedup`` — first-occurrence repetition removal inside each
@@ -14,11 +14,15 @@ All four are daily operations of a 100 TB pretraining-corpus pipeline:
 * ``contamination_ngram_overlap`` — n-gram overlap of every corpus doc
   against a held-out benchmark set (broadcast eval-set shingles), the
   standard decontamination gate before training.
+* ``contamination_shingle_join`` — the same gate at eval-suite scale:
+  the benchmark as a relation, matched by broadcast hash join on the
+  shingle key instead of one collected array per row.
 
-Scale stance: packing windows partition by language (state = one
-language's cumulative offset, never global); chunking is a per-row
-explode; token dedup shuffles (doc, token) pairs once; contamination
-broadcasts the benchmark shingle set so the corpus pass is map-only.
+Scale stance: packing windows partition by language × shard-hash prefix
+(no window partition serializes a whole language); chunking is a per-row
+explode; token dedup shuffles (doc, token) pairs once; contamination is
+map-only on the corpus side in both forms (single-array broadcast for
+small benchmarks, shingle-keyed broadcast join past that).
 """
 
 from __future__ import annotations

@@ -106,3 +106,29 @@ def test_to_geotiff_sink_writes_per_group(spark, tmp_path):
     back = read_geotiff(got[0]["path"])  # t2m
     # Center of pixel (0,0) is (lat=20, lon=0) → value must match the row.
     assert back.values[0, 0] == pytest.approx(expected[("t2m", 20.0, 0.0)])
+
+
+def test_encode_decode_property():
+    """Property: any finite float32 raster round-trips bit-exactly with
+    its georeferencing."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        west=st.floats(-180, 180, allow_nan=False),
+        north=st.floats(-90, 90, allow_nan=False),
+    )
+    def check(h, w, seed, west, north):
+        rng = np.random.default_rng(seed)
+        r = GeoRaster(
+            values=rng.normal(0, 1e6, (h, w)).astype("float32"),
+            west=west, north=north, xres=0.25, yres=0.25, nodata=-9999.0,
+        )
+        back = decode_geotiff(encode_geotiff(r))
+        np.testing.assert_array_equal(back.values, r.values)
+        assert back.west == west and back.north == north
+
+    check()

@@ -93,3 +93,27 @@ def test_main_ring_picks_largest_part(tmp_path):
     path = str(tmp_path / "poly.shp")
     write_polygon_shp(path, [island, CLIP_POLYGON])
     assert main_ring(path) == [tuple(v) for v in CLIP_POLYGON]
+
+
+def test_round_trip_property(tmp_path):
+    """Property: any finite polygon survives write→read exactly (the
+    coordinates are raw IEEE doubles in both directions)."""
+    from hypothesis import given, settings, strategies as st
+
+    coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    ring = st.lists(st.tuples(coord, coord), min_size=3, max_size=40)
+
+    @settings(max_examples=25, deadline=None)
+    @given(rings=st.lists(ring, min_size=1, max_size=4))
+    def check(rings):
+        path = str(tmp_path / "prop.shp")
+        write_polygon_shp(path, rings)
+        back = read_polygon_rings(path)
+        assert len(back) == len(rings)
+        for orig, got in zip(rings, back):
+            expect = list(orig) + ([orig[0]] if orig[0] != orig[-1] else [])
+            assert got == expect
+
+    check()
