@@ -35,6 +35,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_regrid_coarsen",
     # near-duplicate detection / ANN
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "dedup_embedding_cosine",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -81,7 +82,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_metadata_stats",
     "multimodal_feature_extract",
     # mergeable sketches
-    "agg_approx_distinct",
     "agg_hll_sketch_union",
     "agg_approx_quantile",
     # one representative of the relational families (the rest of the 130+

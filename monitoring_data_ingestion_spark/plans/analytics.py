@@ -441,6 +441,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan survives a 1000-executor scale-up: signatures stream through
     the scan stage, and shuffle volume is O(docs × bands + candidate pairs).
     """
+    sigs, long_bands = _minhash_bands(spark, sf_dir)
+    a = long_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
+    b = long_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
+    candidates = (
+        a.join(b, ["band_idx", "sig"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify(sigs, candidates)
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str):
+    """(sigs, long_bands) of the minhash pipeline: sigs carries the
+    shingle array + band strings per doc (cached — three consumers);
+    long_bands is the (doc_id, band_idx, sig) posting list."""
     base = _shingled_docs(spark, sf_dir).withColumnRenamed("sh", "shingles")
     # One MD5 per distinct shingle; the 32 signature values are cheap
     # integer universal-hashes of that 28-bit key (all JVM-side, codegen'd).
@@ -478,15 +493,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "sig"
         ),
     )
-    a = long_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
-    b = long_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
-    candidates = (
-        a.join(b, ["band_idx", "sig"]).filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # Exact-Jaccard verification on the per-doc shingle arrays (strings, not
-    # hashed keys — bit-identical to the oracle's common-shingle count).
+    return sigs, long_bands
+
+
+def _jaccard_verify(sigs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification on the per-doc shingle arrays (strings,
+    not hashed keys — bit-identical to the oracle's common-shingle count)."""
     sha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     paired = candidates.join(sha, "doc_a").join(shb, "doc_b")
@@ -499,9 +511,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The minhash pipeline's confirmed pairs as a reusable CTE chain (rendered
-# from the same helper functions as the dedup_minhash_lsh oracle).
-_MINHASH_PAIRS_CTE = f"""shingles AS ({_SHINGLE_SQL}),
+# The minhash pipeline rendered as reusable CTE chains (from the same
+# helper functions as the dedup_minhash_lsh oracle): prefix through the
+# band posting list, then the verify tail from a `candidates` relation.
+_MINHASH_PREFIX_CTE = f"""shingles AS ({_SHINGLE_SQL}),
 keyed AS (
   SELECT doc_id, {_SHINGLE_KEY_SQL} AS x FROM shingles
 ),
@@ -519,13 +532,9 @@ long_bands AS (
   SELECT doc_id, b.band_idx, b.sig FROM bands,
   LATERAL (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band_idx,
                   unnest([{", ".join(f"band{b}" for b in range(LSH_BANDS))}]) AS sig) b
-),
-candidates AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM long_bands a JOIN long_bands b
-    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+)"""
+
+_MINHASH_VERIFY_TAIL_CTE = f"""sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM candidates c
@@ -540,6 +549,73 @@ pairs AS (
   JOIN sizes sb ON i.doc_b = sb.doc_id
   WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {JACCARD_THRESHOLD}
 )"""
+
+_MINHASH_PAIRS_CTE = f"""{_MINHASH_PREFIX_CTE},
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+{_MINHASH_VERIFY_TAIL_CTE}"""
+
+LSH_BUCKET_CAP = 3
+
+
+@query(
+    "dedup_minhash_lsh_capped",
+    tags=("dedup", "similarity", "lsh", "skew"),
+    oracle=f"""
+WITH {_MINHASH_PREFIX_CTE},
+ok_buckets AS (
+  SELECT band_idx, sig FROM long_bands
+  GROUP BY band_idx, sig HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+),
+capped AS (
+  SELECT l.doc_id, l.band_idx, l.sig
+  FROM long_bands l JOIN ok_buckets USING (band_idx, sig)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+{_MINHASH_VERIFY_TAIL_CTE}
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b FROM pairs p
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with frequent-band suppression: buckets holding more
+    than LSH_BUCKET_CAP docs generate NO candidates — the standard
+    hot-bucket defense. A band signature shared by a large fraction of
+    the corpus (boilerplate, templates) would make that one bucket's
+    self-join quadratic; real near-dup pairs still meet in their other
+    15 bands, so recall loss is bounded while the worst-case join
+    fan-out becomes cap² per bucket BY CONSTRUCTION — the skew defense
+    is in the algorithm, not the scheduler.
+
+    The bucket-size filter is one aggregation on the same (band, sig) key
+    the candidate join shuffles on — co-partitioned, no extra exchange
+    pattern at scale.
+    """
+    sigs, long_bands = _minhash_bands(spark, sf_dir)
+    sizes = long_bands.groupBy("band_idx", "sig").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    capped = long_bands.join(
+        sizes.filter(F.col("bucket_n") <= LSH_BUCKET_CAP).select("band_idx", "sig"),
+        ["band_idx", "sig"],
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
+    candidates = (
+        a.join(b, ["band_idx", "sig"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify(sigs, candidates).select("doc_a", "doc_b").orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @query(
