@@ -66,3 +66,31 @@ def test_compact_partitioned_per_partition(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.select("part").distinct().count() == 3
+
+
+def test_swap_failure_rolls_back(spark, tmp_path, monkeypatch):
+    """If the second rename fails, the original directory must be
+    restored — a crashed compaction never leaves the table missing."""
+    import monitoring_data_ingestion_spark.operators.compaction as comp
+
+    path = str(tmp_path / "t")
+    _fragmented(spark, path, n_files=4, rows=400)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the staging→path promotion
+            raise OSError("injected failure")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(comp.os, "rename", failing_rename)
+    try:
+        comp.compact_parquet(spark, path, target_mb=128)
+        raised = False
+    except OSError:
+        raised = True
+    assert raised
+    # Original data intact at the original path.
+    assert spark.read.parquet(path).count() == 400

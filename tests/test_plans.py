@@ -66,8 +66,15 @@ def test_topk_is_take_ordered(spark):
 
 def test_no_cartesian_in_blocked_similarity(spark):
     """LSH/minhash candidate generation must never be a cross product —
-    the whole point of blocking."""
-    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"):
+    the whole point of blocking. Holds for every variant, including the
+    hot-bucket-capped form and the n-gram inverted-index join."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_capped",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+    ):
         plan = _plan(q(name)(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
