@@ -549,3 +549,32 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "pct")
     )
+
+
+@query(
+    "window_distribution",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         AS cum_dist
+FROM orders WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist): the
+    relative standing of each order inside its customer's spend
+    distribution. Exact integer-ratio results under a total order
+    (price, orderkey tiebreak) — deterministic across engines. One
+    shuffle on the partition key serves both functions."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    ).orderBy("o_custkey", "o_orderkey")
