@@ -46,6 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_cosine_bruteforce",
     "knn_ivf",
     "knn_ivf_trained",
+    "knn_pq_scan",
     # time-series
     "ts_asof_join",
     "ts_range_join",
@@ -66,7 +67,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_interval_join",
     # text analysis
     "text_tfidf_top_terms",
-    "text_bpe_token_count",
     "text_langid",
     "text_quality_score",
     # LLM corpus prep

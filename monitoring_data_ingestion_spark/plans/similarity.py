@@ -617,3 +617,155 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "edit_distance")
         .orderBy("doc_a", "doc_b")
     )
+
+
+PQ_M = 4  # subspaces; sub-dimension = dim / PQ_M, derived from the data
+
+
+@query(
+    "knn_pq_scan",
+    tags=("similarity", "knn", "pq"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
+         CAST(len(e) // {PQ_M} AS INTEGER) AS sd
+  FROM v
+), subs AS (
+  SELECT vec_id, label, nrm, m.m AS m, e[(m.m * sd + 1):((m.m + 1) * sd)] AS x
+  FROM norms, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+), subexp AS (
+  SELECT label, m, i AS pos, CAST(x[i] AS DOUBLE) AS val
+  FROM subs, UNNEST(generate_series(1, len(x))) AS s(i)
+), subcent_long AS (
+  SELECT label, m, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE) / COUNT(val) AS c
+  FROM subexp GROUP BY label, m, pos
+), subcent AS (
+  SELECT label AS clabel, m, list(c ORDER BY pos) AS ce
+  FROM subcent_long GROUP BY label, m
+), codes AS (
+  SELECT vec_id, m, clabel AS code FROM (
+    SELECT s.vec_id, s.m, c.clabel,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND(list_dot_product(c.ce, c.ce)
+                            - 2 * list_dot_product(s.x, c.ce), 6), c.clabel) AS rn
+    FROM subs s JOIN subcent c ON s.m = c.m
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.clabel,
+         list_dot_product(q.x, c.ce) AS ldot
+  FROM subs q JOIN subcent c ON q.m = c.m
+  WHERE q.vec_id < {N_QUERIES}
+), adot AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(CAST(l.ldot AS DECIMAL(30,12))) AS DOUBLE) AS approx_dot
+  FROM codes k JOIN lut l ON l.m = k.m AND l.clabel = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         ROUND(a.approx_dot / (qn.nrm * nn.nrm), 6) AS approx_cosine
+  FROM adot a
+  JOIN norms qn ON qn.vec_id = a.query_id
+  JOIN norms nn ON nn.vec_id = a.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def knn_pq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN scan: vectors compress to PQ_M sub-codebook
+    ids; queries score the whole corpus by asymmetric-distance lookup
+    (per-subspace dot against the coded sub-centroid) — the compressed-
+    domain counterpart of knn_cosine_bruteforce, and the third point of
+    the ANN cost/recall spectrum (brute force → IVF probing → PQ scan).
+
+    Sub-codebooks are per-label sub-centroids (exact-decimal means, same
+    determinism as the IVF codebook); encoding minimizes rounded L2
+    (‖c‖² − 2·x·c, ties to lowest label); the ADC sum runs in decimal so
+    subspace order can't perturb the rounded cosine.
+
+    Scale: codes are PQ_M small ints per vector (512 B of floats → 4
+    codes), computed map-side against a broadcast 40-row codebook; the
+    query LUT (|Q|×k×PQ_M dots) is also broadcast, so corpus scoring
+    reads ONLY the code columns — the scan-side I/O reduction is the
+    whole point of PQ at 100 TB; top-k is the one |Q|-keyed window.
+    """
+    v = _vectors(spark, sf_dir)
+    sd = (F.size("e") / PQ_M).cast("int")
+    msubs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.struct(
+                m.alias("m"), F.slice("e", m * sd + 1, sd).alias("x")
+            ),
+        )
+    ).alias("ms")
+    subs = v.select("vec_id", "label", "nrm", msubs).select(
+        "vec_id", "label", "nrm", "ms.m", "ms.x"
+    )
+    subexp = subs.select("label", "m", F.posexplode("x").alias("pos", "val"))
+    subcent_long = subexp.groupBy("label", "m", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
+    )
+    subcent = (
+        subcent_long.groupBy(F.col("label").alias("clabel"), "m")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("clabel", "m", F.transform("pc", lambda s: s["c"]).alias("ce"))
+    )
+    l2_score = F.round(
+        _dot(F.col("ce"), F.col("ce")) - 2 * _dot(F.col("x"), F.col("ce")), 6
+    )
+    codes = (
+        subs.join(F.broadcast(subcent), "m")
+        .withColumn("score", l2_score)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("clabel", F.struct("score", "clabel")).alias("code")
+        )
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(subcent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "clabel",
+            _dot(F.col("x"), F.col("ce")).alias("ldot"),
+        )
+    )
+    adot = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.clabel),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("ldot").cast("decimal(30,12)")).cast("double").alias("approx_dot"))
+    )
+    qn = v.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    nn = v.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nnrm"))
+    scored = (
+        adot.join(F.broadcast(qn), "query_id")
+        .join(nn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("approx_dot") / (F.col("qnrm") * F.col("nnrm")), 6).alias(
+                "approx_cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .orderBy("query_id", "rank")
+    )
