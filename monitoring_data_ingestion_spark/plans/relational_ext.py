@@ -578,3 +578,113 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "agg_grouping_markers",
+    tags=("agg", "rollup"),
+    oracle="""
+SELECT r.r_name AS r_name, n.n_name AS n_name,
+       CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+       CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+       COUNT(*) AS n
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def agg_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the bit that tells a subtotal row
+    apart from a row whose key is genuinely NULL, which every report
+    consumer of rollup output needs. Same two-phase aggregate plan as
+    agg_rollup; the markers are free metadata from the Expand node."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = n.join(r, n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "n")
+        .orderBy("g_region", "g_nation", F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "join_null_safe",
+    tags=("join",),
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 50 END AS k
+  FROM orders WHERE o_orderkey <= 2000
+), b AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 50 END AS k,
+         COUNT(*) AS n_cust
+  FROM customer GROUP BY 1
+)
+SELECT a.o_orderkey AS o_orderkey, a.k AS k, b.n_cust AS n_cust
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY o_orderkey
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantic needed when NULL is a
+    real category (unknown segment) rather than absence. Still a hash
+    join: null-safe equality is a valid shuffle key (NULLs hash to one
+    partition — at scale a hot NULL key is the documented salting case).
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey") % 50
+        ).alias("k"),
+    )
+    c = table(spark, sf_dir, "customer")
+    b = (
+        c.select(
+            F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(
+                F.col("c_custkey") % 50
+            ).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .select("o_orderkey", a.k.alias("k"), "n_cust")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_try_cast",
+    tags=("scalar", "errors"),
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS prio_num,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       CAST(o_totalprice AS DOUBLE) / nullif(o_orderkey % 5, 0) AS safe_ratio
+FROM orders WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+""",
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe conversion semantics: TRY_CAST turns malformed input
+    into NULL instead of failing the job (one bad row must not kill a
+    100 TB pass), and division guards the zero denominator to NULL. The
+    ingestion contract for dirty data, expressed natively.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.try_divide(
+            F.col("o_totalprice").cast("double"), F.col("o_orderkey") % 5
+        ).alias("safe_ratio"),
+    ).orderBy("o_orderkey")
