@@ -46,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_cosine_bruteforce",
     "knn_ivf",
     "knn_ivf_trained",
-    "knn_pq_scan",
+    "knn_ivf_pq",
     # time-series
     "ts_asof_join",
     "ts_range_join",

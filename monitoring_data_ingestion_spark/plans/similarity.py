@@ -1,17 +1,24 @@
 """Approximate similarity search — the scale path beyond brute force.
 
-Two production ANN shapes over the `embeddings` table, both with the
-candidate-generation step expressed identically in Spark and in the DuckDB
-oracle (the approximation is *part of the declared semantics*, so the
-hash-check verifies the full blocked pipeline, not just the exact rerank):
+The production ANN shapes over the `embeddings` table, each with the
+candidate-generation/approximation step expressed identically in Spark
+and in the DuckDB oracle (the approximation is *part of the declared
+semantics*, so the hash-check verifies the full blocked pipeline, not
+just the exact rerank):
 
 * ``dedup_embedding_cosine`` — banded sign-LSH (4 bands × 3 hyperplanes)
   for candidate pairs, exact cosine rerank at a threshold. The embedding
   analogue of MinHash-LSH text dedup (same band/bucket/rerank skeleton as
   plans/analytics.py dedup_minhash_lsh).
 * ``knn_ivf`` — IVF: a coarse quantizer (per-label centroid vectors =
-  the "trained" codebook), inverted-list assignment by nearest centroid,
-  nprobe=2 probing, exact top-k within the probed lists.
+  the codebook), inverted-list assignment by nearest centroid, nprobe=2
+  probing, exact top-k within the probed lists.
+* ``knn_ivf_trained`` — the same serving path with a 3-iteration
+  Lloyd-trained codebook (unrolled-CTE oracle).
+* ``knn_pq_scan`` — product quantization: corpus compressed to PQ_M
+  sub-codebook ids, asymmetric-distance LUT scoring over code columns.
+* ``knn_ivf_pq`` — the FAISS-style composition: IVF probing bounds WHICH
+  vectors are scored, PQ bounds WHAT is read to score them.
 
 Scale posture: candidate generation is always equi-join-on-bucket (shuffle
 keyed on a small bucket id, never an all-pairs cross join); centroids and
@@ -236,15 +243,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_serve(v, centv)
 
 
-def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
-    """The IVF serving path given a codebook (clabel, ce, cnrm): assign
-    every vector to its nearest centroid's inverted list, probe the
-    nprobe nearest lists per query, exact-rerank within them.
-
-    The codebook is k×dim doubles → broadcast; assignment is a map-only
-    corpus pass. The serving plan is identical for any codebook (per-label
-    or Lloyd-trained) — training is upstream of this function.
-    """
+def _ivf_candidates(v: DataFrame, centv: DataFrame) -> DataFrame:
+    """Inverted-list candidate generation: assign every vector to its
+    nearest centroid's list, probe the nprobe nearest lists per query —
+    (query_id, neighbor_id) pairs, scoring-agnostic (exact rerank and PQ
+    rerank both consume this)."""
     # Affinity to every centroid (k rows per vector; the codebook side is
     # broadcast → map-side only).
     aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
@@ -278,12 +281,23 @@ def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
     )
-
-    cand = (
+    return (
         probes.join(assign, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
+
+
+def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
+    """The IVF serving path given a codebook (clabel, ce, cnrm): assign
+    every vector to its nearest centroid's inverted list, probe the
+    nprobe nearest lists per query, exact-rerank within them.
+
+    The codebook is k×dim doubles → broadcast; assignment is a map-only
+    corpus pass. The serving plan is identical for any codebook (per-label
+    or Lloyd-trained) — training is upstream of this function.
+    """
+    cand = _ivf_candidates(v, centv)
     q = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm"))
     n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("nrm").alias("nnrm"))
     scored = (
@@ -699,6 +713,24 @@ def knn_pq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point of PQ at 100 TB; top-k is the one |Q|-keyed window.
     """
     v = _vectors(spark, sf_dir)
+    codes, lut = _pq_model(v)
+    adot = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.clabel),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("ldot").cast("decimal(30,12)")).cast("double").alias("approx_dot"))
+    )
+    return _pq_rank(v, adot)
+
+
+def _pq_model(v: DataFrame):
+    """(codes, lut): the PQ encoding of the corpus and the query lookup
+    table. Sub-codebooks are per-label sub-centroids over PQ_M subspaces
+    (sub-dimension len/PQ_M, derived from the data); encoding minimizes
+    rounded L2 against a broadcast codebook, map-side."""
     sd = (F.size("e") / PQ_M).cast("int")
     msubs = F.explode(
         F.transform(
@@ -741,15 +773,11 @@ def knn_pq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("x"), F.col("ce")).alias("ldot"),
         )
     )
-    adot = (
-        codes.join(
-            F.broadcast(lut),
-            (codes.m == lut.m) & (codes.code == lut.clabel),
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("ldot").cast("decimal(30,12)")).cast("double").alias("approx_dot"))
-    )
+    return codes, lut
+
+
+def _pq_rank(v: DataFrame, adot: DataFrame) -> DataFrame:
+    """Approx-cosine from the ADC dot (true stored norms), top-k window."""
     qn = v.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
     nn = v.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nnrm"))
     scored = (
@@ -769,3 +797,124 @@ def knn_pq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "knn_ivf_pq",
+    tags=("similarity", "knn", "ivf", "pq"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
+         CAST(len(e) // {PQ_M} AS INTEGER) AS sd
+  FROM v
+),{_CENTROID_SQL}
+, affinity AS (
+  SELECT n.vec_id, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY ROUND(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) DESC, c.label
+         ) AS rn
+  FROM norms n CROSS JOIN centn c
+), assign AS (
+  SELECT vec_id, label AS bucket FROM affinity WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS bucket FROM affinity
+  WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+  WHERE a.vec_id <> p.query_id
+), subs AS (
+  SELECT vec_id, label, nrm, m.m AS m, e[(m.m * sd + 1):((m.m + 1) * sd)] AS x
+  FROM norms, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+), subexp AS (
+  SELECT label, m, i AS pos, CAST(x[i] AS DOUBLE) AS val
+  FROM subs, UNNEST(generate_series(1, len(x))) AS s(i)
+), subcent_long AS (
+  SELECT label, m, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE) / COUNT(val) AS c
+  FROM subexp GROUP BY label, m, pos
+), subcent AS (
+  SELECT label AS clabel, m, list(c ORDER BY pos) AS ce
+  FROM subcent_long GROUP BY label, m
+), codes AS (
+  SELECT vec_id, m, clabel AS code FROM (
+    SELECT s.vec_id, s.m, c.clabel,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND(list_dot_product(c.ce, c.ce)
+                            - 2 * list_dot_product(s.x, c.ce), 6), c.clabel) AS rn
+    FROM subs s JOIN subcent c ON s.m = c.m
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.clabel,
+         list_dot_product(q.x, c.ce) AS ldot
+  FROM subs q JOIN subcent c ON q.m = c.m
+  WHERE q.vec_id < {N_QUERIES}
+), adot AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(SUM(CAST(l.ldot AS DECIMAL(30,12))) AS DOUBLE) AS approx_dot
+  FROM cand cd
+  JOIN codes k ON k.vec_id = cd.neighbor_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = k.m AND l.clabel = k.code
+  GROUP BY 1, 2
+), scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         ROUND(a.approx_dot / (qn.nrm * nn.nrm), 6) AS approx_cosine
+  FROM adot a
+  JOIN norms qn ON qn.vec_id = a.query_id
+  JOIN norms nn ON nn.vec_id = a.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the production ANN shape: inverted-list probing bounds
+    WHICH vectors are scored (nprobe of k lists), product quantization
+    bounds WHAT is read to score them (code columns + a broadcast LUT,
+    never the float vectors). Composition of knn_ivf's candidate
+    generation with knn_pq_scan's asymmetric-distance scoring; both
+    codebooks are the deterministic per-label centroids.
+
+    Scale: candidate fetch shuffles on the bucket id (partition pruning
+    with bucket-partitioned lists); scoring joins candidates to the
+    4-codes-per-vector table and a |Q|×k×PQ_M broadcast LUT — I/O per
+    scored candidate is bytes, not the vector; the exact-float read
+    happens for ZERO corpus rows.
+    """
+    v = _vectors(spark, sf_dir)
+
+    # Coarse codebook: per-label centroids (same as knn_ivf).
+    expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = expanded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
+    )
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
+        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .select(F.col("label").alias("clabel"), "ce", "cnrm")
+    )
+    cand = _ivf_candidates(v, centv)
+
+    codes, lut = _pq_model(v)
+    adot = (
+        cand.join(codes, cand.neighbor_id == codes.vec_id)
+        .join(
+            F.broadcast(lut.withColumnRenamed("query_id", "q_id")),
+            (F.col("q_id") == F.col("query_id"))
+            & (lut.m == codes.m)
+            & (F.col("clabel") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("ldot").cast("decimal(30,12)")).cast("double").alias("approx_dot"))
+    )
+    return _pq_rank(v, adot)
