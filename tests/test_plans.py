@@ -89,6 +89,16 @@ def test_ivf_codebook_is_broadcast(spark):
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
 
 
+def test_pq_lut_is_broadcast_no_cartesian(spark):
+    """PQ scoring must probe the query LUT via broadcast hash join on the
+    (m, code) key — an un-keyed LUT lookup would plan as a nested-loop
+    product over the corpus codes."""
+    for name in ("knn_pq_scan", "knn_ivf_pq"):
+        plan = _plan(q(name)(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_aggregation_is_two_phase(spark):
     """q1's aggregation must be partial (map-side) then final — the
     exchange carries |groups| rows, not the fact table."""
