@@ -274,10 +274,16 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject keeps the projection barrier because ``t`` is
     referenced many times. The repartition widens the scan before the
     ~300× shingle amplification so a small file's partitioning doesn't cap
-    compute parallelism.
+    compute parallelism — but ONLY when the scan is actually narrow: on a
+    production-sized table the parquet splits already saturate the
+    executors, and an unconditional repartition would be a full shuffle of
+    raw document text for nothing. The guard keeps the local-small-file
+    fix out of the 100 TB path.
     """
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
+    d = table(spark, sf_dir, "documents")
+    if d.rdd.getNumPartitions() < n:
+        d = d.repartition(n, "doc_id")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
     return toks.select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
 
@@ -333,8 +339,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row, evaluated twice, in the narrow pre-repartition stage; measured
     # 18 s vs 0.3 s at sf0.1). The outer form infers nothing; the cheap
     # isNotNull on the generated attribute stays above the Generate.
+    #
+    # `sz` must be NON-nullable (hence the coalesce): a nullable sz makes
+    # the final `jaccard >= t` filter infer `isnotnull(sz)`, and constraint
+    # pushdown substitutes the whole tokenizer+shingle expression for sz
+    # down into the FileScan's DataFilters — every document tokenized and
+    # shingled a second time inside the scan stage (the round-3 +45%
+    # regression). coalesce makes the attribute non-nullable, so there is
+    # no constraint to infer and the scan filter stays `isnotnull(doc_id)`
+    # only. The null branch is unreachable for surviving rows anyway:
+    # a null sh explodes to a null shingle, which the filter drops.
     sh = base.select(
-        "doc_id", F.size("sh").alias("sz"), F.explode_outer("sh").alias("shingle")
+        "doc_id",
+        F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
+        F.explode_outer("sh").alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")

@@ -265,3 +265,36 @@ def test_approx_quantile_rerank_is_broadcast(spark):
     scan for the rank check — the fact side is never exchanged for it."""
     plan = _plan(q("agg_approx_quantile")(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_scan_filters_carry_no_shingle_recompute(spark):
+    """The n-gram Jaccard scan must filter on raw columns only. A nullable
+    set-size column lets `jaccard >= t` infer isnotnull(sz), and constraint
+    pushdown substitutes the whole tokenizer+shingle expression into the
+    FileScan's DataFilters — every document shingled a second time inside
+    the scan stage (the round-3 +45% regression). Pin: no array function
+    ever appears on a FileScan line."""
+    df = q("dedup_ngram_jaccard")(spark, SF_SMOKE)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines
+    for ln in scan_lines:
+        for bad in ("zip_with", "array_distinct", "slice(", "split("):
+            assert bad not in ln, f"shingle expression leaked into scan: {ln[:200]}"
+
+
+def test_shingle_repartition_only_when_scan_narrow(spark, tmp_path):
+    """_shingled_docs widens a narrow local scan before the ~300× shingle
+    amplification, but must NOT shuffle raw text when the source already
+    has >= shuffle-partition parallelism (the production path)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide_dir = str(tmp_path / "wide")
+    docs = table(spark, SF_SMOKE, "documents")
+    docs.repartition(n).write.parquet(f"{wide_dir}/documents.parquet")
+    from monitoring_data_ingestion_spark.plans.analytics import _shingled_docs
+
+    narrow = _optimized(_shingled_docs(spark, SF_SMOKE))
+    assert "RepartitionByExpression" in narrow  # single small file → widen
+    wide = _optimized(_shingled_docs(spark, wide_dir))
+    assert "RepartitionByExpression" not in wide  # already parallel → no shuffle
