@@ -18,75 +18,73 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Registration order inside the package groups queries by
-# module (relational first), so without reordering the window would only
-# sample near-duplicate join/set/scalar rows.  This priority list front-loads
-# the riskiest / most engine-specific surface — the flagship anomaly dataflow,
-# the dedup/ANN family, streaming, grid, time-series, sketches, and the LLM
-# corpus operators — one representative per relational family after them.
-# Everything stays locally oracle-checked by tests/test_oracle.py regardless
-# of position.
+# ``queries()``.  Rounds 1-3 witnessed 99 distinct queries (union of their
+# windows); this round rotates in the 48 registry entries no driver run has
+# hashed yet, completing full 147/147 driver coverage across rounds.  Two
+# slots re-witness the highest-risk surface: the flagship streaming
+# pipeline (also the `entry` smoke) and dedup_ngram_jaccard (its plan
+# changed this round — the inferred-filter fix).  Everything stays locally
+# oracle-checked by tests/test_oracle.py regardless of position.
 _PRIORITY: tuple[str, ...] = (
-    # flagship + grid (reference's core dataflow)
-    "era5_monthly_anomaly",
+    # high-risk re-witness (flagship dataflow + this round's plan change)
     "era5_grid_anomaly_pipeline",
-    "grid_polygon_clip",
-    "grid_shapefile_clip",
-    "grid_regrid_coarsen",
-    # near-duplicate detection / ANN
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_fuzzy_levenshtein",
-    "dedup_cluster_assign",
-    "dedup_exact_docs",
-    "dedup_minhash_survivors",
-    "knn_cosine_bruteforce",
-    "knn_ivf",
-    "knn_ivf_trained",
-    "knn_ivf_pq",
+    # --- never driver-witnessed before round 4 ---
+    # TPC-H relational tail
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_line_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    # merge / set / scalar
+    "merge_upsert_customers",
+    "set_union_by_name",
+    "join_null_safe",
+    "scalar_collections",
+    "scalar_try_cast",
+    "scalar_zorder",
+    "unpivot_nation_balances",
+    # aggregates
+    "agg_histogram",
+    "agg_regression_stats",
+    "agg_boolean_bitwise",
+    "agg_listagg",
+    "agg_multi_distinct",
+    "agg_filter_clause",
+    "agg_mode_deterministic",
+    "agg_entropy",
+    "agg_weighted_avg",
+    "agg_salted_skew",
+    "agg_approx_distinct",
+    "agg_grouping_markers",
+    # windows
+    "window_distribution_ranks",
+    "window_distribution",
+    "window_count_distinct",
+    "window_rank_ties",
     # time-series
-    "ts_asof_join",
-    "ts_range_join",
-    "ts_sessionize",
-    "ts_tumbling_hourly",
-    "ts_gap_fill_ffill",
-    "ts_interpolate_linear",
-    "ts_funnel",
-    "ts_anomaly_zscore",
-    "scd2_validity_intervals",
-    # streaming (oracle through the streaming runtime)
-    "stream_tumbling_hourly",
-    "stream_dedup_union",
-    "stream_stateful_user_stats",
-    "stream_sliding_halfhour",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    # text analysis
-    "text_tfidf_top_terms",
-    "text_langid",
-    "text_quality_score",
-    # LLM corpus prep
-    "pack_sequences",
-    "doc_chunk_sliding",
-    "doc_token_dedup",
-    "contamination_ngram_overlap",
-    "contamination_shingle_join",
-    "sample_weighted",
-    "split_train_test_hash",
-    "llm_corpus_prep",
-    # multimodal (frame_sample stays in the local suite)
-    "multimodal_metadata_stats",
-    "multimodal_feature_extract",
-    # mergeable sketches
-    "agg_hll_sketch_union",
-    "agg_approx_quantile",
-    # one representative of the relational families (the rest of the 130+
-    # registry stays locally oracle-checked by tests/test_oracle.py)
-    "q1_pricing_summary",
+    "ts_lag_lead",
+    "ts_moving_avg",
+    "ts_json_extract",
+    "ts_dedup_union",
+    "ts_freshness_check",
+    "ts_retention_cohorts",
+    "ts_yoy_growth",
+    # text / docs / sampling
+    "text_token_stats",
+    "text_ngram_freq",
+    "text_bpe_token_count",
+    "text_repetition_ratios",
+    "doc_fingerprint",
+    "sample_k_per_group",
+    # embeddings / ANN / multimodal
+    "embedding_centroids",
+    "knn_pq_scan",
+    "multimodal_frame_sample",
+    "multimodal_binary_dedup",
 )
 
 
