@@ -20,9 +20,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from ..functions.deterministic import dsum_expr
 from ..sources.readers import table
-from .catalog import query
+from .catalog import query, register_cache
 
 # Shared deterministic text definitions (identical in oracle SQL below).
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
@@ -471,9 +473,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str):
-    """(sigs, long_bands) of the minhash pipeline: sigs carries the
-    shingle array + band strings per doc (cached — three consumers);
-    long_bands is the (doc_id, band_idx, sig) posting list."""
+    """(sigs, long_bands) of the minhash pipeline: sigs is the uncached
+    (doc_id, shingles) frame for the verify join; long_bands is the
+    (doc_id, band_idx, sig) posting list off a cached NARROW projection.
+
+    Cache discipline for 100 TB: only (doc_id, band0..band15) is
+    persisted — 16 short strings per doc — because the band self-join
+    reads it twice. The shingle arrays (the ~300×-amplified payload)
+    stay OUT of the cache; the verify join re-derives them map-side,
+    which costs one extra codegen'd scan pass but never pins the
+    amplified corpus in executor memory. MEMORY_AND_DISK so an
+    under-provisioned executor spills instead of evicting+recomputing,
+    and the cache is registered for explicit release_caches() teardown.
+    """
     base = _shingled_docs(spark, sf_dir).withColumnRenamed("sh", "shingles")
     # One MD5 per distinct shingle; the 32 signature values are cheap
     # integer universal-hashes of that 28-bit key (all JVM-side, codegen'd).
@@ -504,14 +516,16 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
         ).alias(f"band{b}")
         for b in range(LSH_BANDS)
     ]
-    sigs = docs.select("doc_id", "shingles", *band_cols).cache()
-    long_bands = sigs.select(
+    bands = register_cache(
+        docs.select("doc_id", *band_cols).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    long_bands = bands.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
             "band_idx", "sig"
         ),
     )
-    return sigs, long_bands
+    return base, long_bands
 
 
 def _jaccard_verify(sigs: DataFrame, candidates: DataFrame) -> DataFrame:

@@ -24,6 +24,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, "QuerySpec"] = {}
 
+# Explicit cache lifecycle: query builders that persist() an intermediate
+# register it here, and harnesses (bench, tests, the CLI) release between
+# queries. Without this, a cached frame lives until session end — at scale
+# that is executor memory held hostage by a query that already returned.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    """Track a persisted DataFrame for explicit release via release_caches()."""
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every registered cache (idempotent, safe mid-plan: Spark
+    recomputes an unpersisted dependency instead of failing)."""
+    while _ACTIVE_CACHES:
+        try:
+            _ACTIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 @dataclass(frozen=True)
 class QuerySpec:

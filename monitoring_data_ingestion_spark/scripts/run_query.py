@@ -60,17 +60,22 @@ def run(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark(app_name=f"run-query-{args.name}")
         spark.sparkContext.setLogLevel("ERROR")
 
+    from ..plans.catalog import release_caches
+
     df = REGISTRY[args.name].fn(spark, args.sf_dir)
-    if args.explain:
-        df.explain(mode="formatted")
+    try:
+        if args.explain:
+            df.explain(mode="formatted")
+            return 0
+        if args.output:
+            df.write.mode("overwrite").format(args.format).save(args.output)
+            print(json.dumps({"query": args.name, "output": args.output, "format": args.format}))
+            return 0
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
         return 0
-    if args.output:
-        df.write.mode("overwrite").format(args.format).save(args.output)
-        print(json.dumps({"query": args.name, "output": args.output, "format": args.format}))
-        return 0
-    for row in df.limit(args.limit).collect():
-        print(json.dumps(row.asDict(), default=str))
-    return 0
+    finally:
+        release_caches()
 
 
 if __name__ == "__main__":  # pragma: no cover

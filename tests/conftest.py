@@ -14,3 +14,6 @@ def spark():
 
     s = get_spark(app_name="mdi-spark-tests", shuffle_partitions=8)
     yield s
+    from monitoring_data_ingestion_spark.plans.catalog import release_caches
+
+    release_caches()
