@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import dsum, dsum_expr
 from ..grid.fixture import grid_oracle_sql
 from ..sources.readers import table
-from ..streaming.ops import tumbling_window_agg
+from ..streaming.ops import purchase_click_interval_join, tumbling_window_agg
 from ..streaming.sinks import run_available_now_to_memory
 from ..streaming.sources import events_stream
 from ..streaming.stateful import running_user_stats
@@ -248,45 +248,17 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the join state-store contract: each side is watermarked, the
     time-range condition bounds how long a purchase waits for matching
     clicks, so per-key join state is evicted once the watermark passes
-    ``p_ts + 30 min`` — bounded state on unbounded input. The batch
-    oracle is the same relational join; equality is the engine's
-    batch↔streaming replayability guarantee (T1/T2).
+    ``p_ts + 30 min`` — bounded state on unbounded input (eviction is
+    asserted against stateOperators metrics across paced triggers in
+    tests/test_streaming.py). The batch oracle is the same relational
+    join; equality is the engine's batch↔streaming replayability
+    guarantee (T1/T2).
 
     Scale: state is partitioned by user_id (the equi half of the
     condition); the interval bound keeps each user's buffered rows to a
     30-minute window regardless of stream length.
     """
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        F.expr(
-            "p_user = c_user AND c_ts >= p_ts AND c_ts < p_ts + interval 30 minutes"
-        ),
-    ).select(
-        "purchase_id",
-        "click_id",
-        F.col("p_user").alias("user_id"),
-        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("lag_seconds"),
-    )
+    joined = purchase_click_interval_join(events_stream(spark, sf_dir))
     out = run_available_now_to_memory(joined, output_mode="append")
     return out.orderBy("purchase_id", "click_id")
 
@@ -332,16 +304,31 @@ def era5_grid_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent partitioned write. sf_dir is unused — the grid is the
     reference's own data model, independent of the relational fixtures.
     """
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from ..grid.fixture import write_grid_landing
     from ..streaming.pipeline import monthly_anomaly_query, monthly_normals
     from ..sources.python_datasource import FORMAT_NAME, register
 
-    base = tempfile.mkdtemp(prefix="mdi_era5_pipeline_")
+    # ONE fixed tree per Spark session (keyed by applicationId), not a
+    # fresh mkdtemp per invocation: repeated runs reuse the landing data
+    # and the checkpoint — the second invocation is a no-op resume through
+    # the same exactly-once machinery (T2 replay), and temp accumulation
+    # is bounded to one tree per session, swept at interpreter exit.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_era5_pipeline_{spark.sparkContext.applicationId}",
+    )
     landing = os.path.join(base, "landing")
-    write_grid_landing(spark, landing, _GRID_START, _GRID_END)
+    complete = os.path.join(base, "_landing_complete")
+    if not os.path.exists(complete):
+        shutil.rmtree(base, ignore_errors=True)  # half-written prior tree
+        write_grid_landing(spark, landing, _GRID_START, _GRID_END)
+        open(complete, "w").close()
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
 
     register(spark)
     history = spark.read.format(FORMAT_NAME).option("path", landing).load()

@@ -96,3 +96,50 @@ def dedup_within_watermark(
     watermark is evicted (the streaming form of the engine's exact-dedup
     contract — unbounded-state dropDuplicates is never the scale path)."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def purchase_click_interval_join(
+    events: DataFrame, watermark: str = "2 hours", interval: str = "30 minutes"
+) -> DataFrame:
+    """Stream-STREAM interval join: clicks within ``interval`` after a
+    purchase by the same user, both sides unbounded.
+
+    This is the join state-store contract: each side is watermarked, and
+    the time-range condition bounds how long a purchase waits for matching
+    clicks — per-key join state is EVICTED once the watermark passes
+    ``p_ts + interval`` (asserted against stateOperators metrics in
+    tests/test_streaming.py), so state stays bounded on unbounded input.
+
+    Scale: state partitions on user_id (the equi half of the condition);
+    the interval bound keeps each user's buffered rows to one window's
+    worth regardless of stream length.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts AND c_ts < p_ts + interval {interval}"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("lag_seconds"),
+    )

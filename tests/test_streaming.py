@@ -168,3 +168,96 @@ def test_stateful_across_multiple_microbatches(spark, tmp_path):
     want = {r["user_id"]: r["n"] for r in expect.collect()}
     assert got == want
     assert out.count() > expect.count()  # multiple updates per key occurred
+
+
+def _daily_landing(spark, tmp_path, group_days=5):
+    """Write the events fixture as one parquet file per group of days so
+    maxFilesPerTrigger=1 paces one micro-batch per group — the watermark
+    advances at every batch boundary."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    days = sorted(
+        r["d"] for r in e.select(F.dayofmonth("ts").alias("d")).distinct().collect()
+    )
+    landing = tmp_path / "landing"
+    for i in range(0, len(days), group_days):
+        chunk = days[i : i + group_days]
+        e.filter(F.dayofmonth("ts").isin(chunk)).coalesce(1).write.parquet(
+            str(landing / f"g={i:02d}" / "part")
+        )
+    return e, str(landing)
+
+
+def test_interval_join_state_evicted_by_watermark(spark, tmp_path):
+    """The stream-stream interval join must EVICT per-key state once the
+    watermark passes p_ts + interval: across >=3 paced micro-batches the
+    state store reports removed rows, and the final state is a small
+    fraction of everything ever buffered — bounded state on unbounded
+    input (the reference's liveness concern: its loop never holds more
+    than one month in flight, /root/reference/src/rabbit-sanctuary.js).
+    """
+    from monitoring_data_ingestion_spark.streaming.ops import (
+        purchase_click_interval_join,
+    )
+    from monitoring_data_ingestion_spark.streaming.sources import file_stream
+
+    e, landing = _daily_landing(spark, tmp_path)
+    src = file_stream(
+        spark, landing, e.schema, path_glob="*.parquet", max_files_per_trigger=1
+    )
+    joined = purchase_click_interval_join(src, watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_eviction")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert len([p for p in progresses if p["batchId"] >= 0]) >= 3  # >=3 paced triggers
+    ops = [p["stateOperators"][0] for p in progresses]
+    assert ops[0]["operatorName"] == "symmetricHashJoin"
+    removed = sum(o["numRowsRemoved"] for o in ops)
+    added = sum(o["numRowsUpdated"] for o in ops)
+    final_total = ops[-1]["numRowsTotal"]
+    assert removed > 0, "watermark never evicted join state"
+    # Bounded-state liveness: the final state holds only the tail that the
+    # watermark has not yet released, NOT the whole history ever buffered.
+    assert final_total < added / 2, (final_total, added)
+    # Peak state never approaches total input rows on either side.
+    n_input = e.filter(e.event_type.isin("purchase", "click")).count()
+    assert max(o["numRowsTotal"] for o in ops) < n_input
+
+
+def test_dedup_within_watermark_state_evicted(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must shrink once keys age past
+    the watermark — dedup state is a sliding window over event time, not
+    an ever-growing set of all keys seen."""
+    from monitoring_data_ingestion_spark.streaming.ops import dedup_within_watermark
+    from monitoring_data_ingestion_spark.streaming.sources import file_stream
+
+    e, landing = _daily_landing(spark, tmp_path)
+    src = file_stream(
+        spark, landing, e.schema, path_glob="*.parquet", max_files_per_trigger=1
+    )
+    deduped = dedup_within_watermark(src, keys=("event_id",), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_eviction")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert len(progresses) >= 3
+    ops = [p["stateOperators"][0] for p in progresses]
+    removed = sum(o["numRowsRemoved"] for o in ops)
+    n_keys = e.select("event_id").distinct().count()
+    final_total = ops[-1]["numRowsTotal"]
+    assert removed > 0, "watermark never evicted dedup state"
+    assert final_total < n_keys, (final_total, n_keys)  # not all keys retained
