@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +94,9 @@ def write_grid_landing(spark: SparkSession, landing_dir: str, start_month: str, 
     for part_dir in glob.glob(os.path.join(staging, "mk=*")):
         key = os.path.basename(part_dir).split("=", 1)[1]
         os.rename(part_dir, os.path.join(landing_dir, f"{key}.parquet"))
+    # The staging root now holds only _SUCCESS/metadata remnants — remove
+    # it so the landing dir contains exactly the gridmonths entries.
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def grid_oracle_sql(start_month: str, end_month: str) -> str:
