@@ -68,17 +68,63 @@ def compaction_plan(path: str, target_mb: int = DEFAULT_TARGET_MB) -> Compaction
     )
 
 
+def _partition_subdirs(path: str) -> list[str]:
+    return [
+        e
+        for e in sorted(os.listdir(path))
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+
+
+def recover_compaction(path: str) -> bool:
+    """Recover from a compaction killed inside the swap window: if ``path``
+    is missing but a ``.__old-*`` sibling survives, rename it back. Returns
+    True when a recovery happened. Idempotent; call before reads/compaction
+    of a table whose maintenance job may have died."""
+    if os.path.exists(path):
+        return False
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    stranded = sorted(
+        e for e in os.listdir(parent) if e.startswith(f"{base}.__old-")
+    )
+    if not stranded:
+        return False
+    os.rename(os.path.join(parent, stranded[0]), path)
+    for extra in stranded[1:]:  # older strandings: data already superseded
+        shutil.rmtree(os.path.join(parent, extra), ignore_errors=True)
+    return True
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_mb: int = DEFAULT_TARGET_MB
 ) -> CompactionPlan:
-    """Rewrite ``path`` to the planned file count and atomically swap.
+    """Rewrite ``path`` to the planned file count and swap it in.
 
     The rewrite is ``coalesce`` (narrow — no shuffle, no reordering of
-    row groups beyond file concatenation); the swap is rename(old→trash),
-    rename(new→old), delete(trash) so a reader holding the old listing
-    finishes against intact files and a crash before the second rename
-    leaves the original directory untouched.
+    row groups beyond file concatenation). The swap is rename(old→trash),
+    rename(new→old), delete(trash): a reader holding the old listing
+    finishes against intact files, and a crash before the FIRST rename
+    leaves the original untouched.
+
+    Durability caveat (local filesystems): between the two renames the
+    table path briefly does not exist, and a hard kill inside that window
+    strands the data under ``{path}.__old-*``. No bytes are lost —
+    ``recover_compaction(path)`` renames the stranded copy back — but the
+    window is real; on object stores / HDFS, prefer a manifest or
+    metastore-pointer flip, where the swap is one atomic metadata update.
+
+    Hive-partitioned roots must go through ``compact_partitioned`` (per-
+    partition swap units); compacting the root directly would rewrite
+    partition columns into data files and flatten the layout, so it
+    raises instead.
     """
+    parts = _partition_subdirs(path)
+    if parts:
+        raise ValueError(
+            f"{path} is hive-partitioned ({parts[0]}, ...): use "
+            "compact_partitioned — compacting the root would flatten the "
+            "partition layout into plain data columns"
+        )
     plan = compaction_plan(path, target_mb)
     if not plan.worth_it:
         return plan

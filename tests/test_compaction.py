@@ -94,3 +94,45 @@ def test_swap_failure_rolls_back(spark, tmp_path, monkeypatch):
     assert raised
     # Original data intact at the original path.
     assert spark.read.parquet(path).count() == 400
+
+
+def test_partitioned_root_refuses_flattening(spark, tmp_path):
+    """compact_parquet on a hive-partitioned root would silently rewrite
+    partition columns into data files — it must raise and point at
+    compact_partitioned instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from monitoring_data_ingestion_spark.operators.compaction import compact_parquet
+    from monitoring_data_ingestion_spark.sources.readers import table
+
+    from .conftest import SF_SMOKE
+
+    root = str(tmp_path / "part_table")
+    table(spark, SF_SMOKE, "nation").withColumn(
+        "rk", F.col("n_regionkey")
+    ).write.partitionBy("rk").parquet(root)
+    with pytest.raises(ValueError, match="compact_partitioned"):
+        compact_parquet(spark, root)
+
+
+def test_recover_compaction_restores_stranded_swap(spark, tmp_path):
+    """A hard kill between the two swap renames strands the table under
+    .__old-*; recover_compaction must rename it back, and be a no-op on a
+    healthy table."""
+    from monitoring_data_ingestion_spark.operators.compaction import (
+        recover_compaction,
+    )
+    from monitoring_data_ingestion_spark.sources.readers import table
+
+    from .conftest import SF_SMOKE
+
+    path = str(tmp_path / "t")
+    table(spark, SF_SMOKE, "region").write.parquet(path)
+    n = spark.read.parquet(path).count()
+    assert recover_compaction(path) is False  # healthy: no-op
+    # simulate the crash window: first rename done, second never happened
+    os.rename(path, f"{path}.__old-deadbeef")
+    assert recover_compaction(path) is True
+    assert spark.read.parquet(path).count() == n
+    assert recover_compaction(path) is False
