@@ -10,7 +10,6 @@ so the hash gate checks the actual clip arithmetic edge by edge.
 from __future__ import annotations
 
 import os
-import tempfile
 from functools import lru_cache
 from typing import Sequence
 
@@ -18,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..grid.ops import point_in_polygon
-from ..grid.shapefile import decimate, main_ring, write_polygon_shp
+from ..grid.shapefile import main_ring
 from ..sources.readers import table
 from .catalog import query
 
@@ -32,27 +31,30 @@ CLIP_POLYGON = [
     (-130.8, 40.6),
 ]
 
-# The reference's actual cutline geometry (gdalwarp -cutline input,
-# /root/reference/src/file-conversions.js:174-195). When the reference
-# checkout is present the catalog clips against its real mainland outline;
-# standalone installs round-trip the pentagon through the engine's own
-# .shp writer instead — either way the query consumes a parsed shapefile.
-AFRICA_SHP = "/root/reference/src/shp/africa.shp"
+# The cutline geometry is VENDORED: fixtures/africa_outline.shp is the
+# reference's mainland outline (gdalwarp -cutline input,
+# /root/reference/src/file-conversions.js:174-195) decimated to 125
+# vertices and written once by the engine's own .shp writer — checked into
+# the repo so the catalog's declared semantics are identical on every
+# install, with no dependency on a reference checkout or a shared tempdir.
+# ``SPARK_MDI_CLIP_SHP`` overrides the path for clipping against a
+# different cutline.
+VENDORED_SHP = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "fixtures",
+    "africa_outline.shp",
+)
 
 
 @lru_cache(maxsize=1)
 def shapefile_cutline() -> tuple[tuple[float, float], ...]:
-    """(lon, lat) cutline vertices parsed from a shapefile.
+    """(lon, lat) cutline vertices parsed from the vendored shapefile.
 
-    The mainland outline is decimated to ~125 vertices: the geometry rides
-    the query plan as a literal edge array (zero shuffle, zero broadcast),
+    The outline is pre-decimated to 125 vertices: the geometry rides the
+    query plan as a literal edge array (zero shuffle, zero broadcast),
     and a 4,987-vertex coastline would bloat codegen for no accuracy gain
     on the fixture's 1°-offset synthetic grid.
     """
-    if os.path.exists(AFRICA_SHP):
-        return tuple(decimate(main_ring(AFRICA_SHP), 40))
-    path = os.path.join(tempfile.gettempdir(), "mdi_clip_fixture.shp")
-    write_polygon_shp(path, [CLIP_POLYGON])
+    path = os.environ.get("SPARK_MDI_CLIP_SHP", VENDORED_SHP)
     return tuple(main_ring(path))
 
 # Deterministic synthetic coordinates: integer-derived with .5 offsets,
