@@ -201,11 +201,13 @@ SELECT doc_id,
        CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(top_unigram_count AS INTEGER) AS top_unigram_count,
        CAST(top_unigram_count AS DOUBLE) / greatest(n_tokens, 1) AS top_unigram_frac,
-       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / greatest(len(bigrams), 1)
-         AS dup_bigram_frac,
+       CASE WHEN len(bigrams) > 0
+            THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_frac,
        (CAST(top_unigram_count AS DOUBLE) / greatest(n_tokens, 1) > {REP_TOP_UNIGRAM_MAX}
-        OR 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / greatest(len(bigrams), 1)
-           > {REP_DUP_BIGRAM_MAX}) AS flagged
+        OR CASE WHEN len(bigrams) > 0
+                THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                ELSE 0.0 END > {REP_DUP_BIGRAM_MAX}) AS flagged
 FROM stats ORDER BY doc_id
 """,
 )
@@ -243,9 +245,14 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigrams.alias("bigrams"),
     )
     top_frac = F.col("top_unigram_count").cast("double") / F.greatest("n_tokens", F.lit(1))
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct("bigrams")).cast("double") / F.greatest(
-        F.size("bigrams"), F.lit(1)
-    )
+    # Zero bigrams is NO evidence of repetition: a one-token document must
+    # score 0.0, not 1.0 (1 − 0/1) — the degenerate case would otherwise
+    # flag every short doc as repetitive.
+    dup_frac = F.when(
+        F.size("bigrams") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams"),
+    ).otherwise(F.lit(0.0))
     return stats.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
