@@ -265,6 +265,21 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _widen_if_narrow(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Repartition ``df`` by ``key`` only when its scan is narrower than the
+    session shuffle parallelism.
+
+    Widening matters locally (a single small parquet file would cap a
+    compute-amplifying downstream stage at 1-2 tasks) but would be a
+    pointless full shuffle of raw rows on a production-sized table whose
+    parquet splits already saturate the executors.
+    """
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n, key)
+    return df
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, sh): the distinct 3-gram shingle array.
 
@@ -282,10 +297,7 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw document text for nothing. The guard keeps the local-small-file
     fix out of the 100 TB path.
     """
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = table(spark, sf_dir, "documents")
-    if d.rdd.getNumPartitions() < n:
-        d = d.repartition(n, "doc_id")
+    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
     return toks.select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
 
@@ -749,8 +761,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on (block_idx, block_value) — no all-pairs scan.
     The oracle runs the equivalent all-pairs form on the fixture.
     """
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = table(spark, sf_dir, "documents").repartition(n, "doc_id")
+    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     hashed = toks.select(
         "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
