@@ -23,6 +23,8 @@ from monitoring_data_ingestion_spark.functions.math import clamp, modulo, randla
 from monitoring_data_ingestion_spark.functions.strings import (
     layer_name,
     output_path,
+    pii_match_count,
+    redact_pii,
     source_prefix,
 )
 from monitoring_data_ingestion_spark.functions.temporal import (
@@ -243,6 +245,42 @@ def test_string_mangling(spark):
     assert r["layer"] == "era5monthly_temperature_2_m"
     assert r["src"] == "era5monthly"
     assert r["path"] == "era5monthly_temperature_2_m_2020-05-01T12_30_00.000Z.tif"
+
+
+PII_CASES = [
+    # (raw, redacted, n_hits)
+    ("contact alice.smith+spam@example.co.uk today", "contact <EMAIL> today", 1),
+    ("server at 192.168.001.1 rebooted", "server at <IP> rebooted", 1),
+    ("card 4111111111111111 declined", "card <ID> declined", 1),
+    ("call 555-867-5309 or (212) 555-0183", "call <PHONE> or <PHONE>", 2),
+    ("+1 415 555 2671 left a voicemail", "<PHONE> left a voicemail", 1),
+    # An email's dotted host must NOT additionally count as an IP.
+    ("mail root@10.0.0.1.example.org", "mail <EMAIL>", 1),
+    # Short digit runs, versions, and dates survive.
+    ("v2.3.4 shipped 2024-05-01 with 42 fixes", "v2.3.4 shipped 2024-05-01 with 42 fixes", 0),
+    ("", "", 0),
+]
+
+
+def test_redact_pii_cases(spark):
+    df = spark.createDataFrame([Row(i=i, t=raw) for i, (raw, _, _) in enumerate(PII_CASES)])
+    rows = (
+        df.select("i", redact_pii("t").alias("r"), pii_match_count("t").alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    for row, (raw, want, hits) in zip(rows, PII_CASES):
+        assert row["r"] == want, raw
+        assert row["n"] == hits, raw
+
+
+def test_redact_pii_idempotent(spark):
+    df = spark.createDataFrame([Row(t=raw) for raw, _, _ in PII_CASES])
+    once = df.select(redact_pii("t").alias("r"))
+    twice = once.select(redact_pii("r").alias("r"))
+    assert [r["r"] for r in once.collect()] == [r["r"] for r in twice.collect()]
+    # Redacted text audits clean.
+    assert all(r["n"] == 0 for r in once.select(pii_match_count("r").alias("n")).collect())
 
 
 @given(st.binary(max_size=200), st.binary(min_size=1, max_size=64))
