@@ -18,75 +18,75 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Rounds 1-3 witnessed 99 distinct queries (union of their
-# windows); this round rotates in every registry entry no driver run has
-# hashed yet — the 48 carried over from rounds 1-3 plus the new image-codec
-# query — completing full 148/148 driver coverage across rounds.  One slot
-# re-witnesses dedup_ngram_jaccard, whose plan changed this round (the
-# inferred-filter fix).  The flagship pipeline stays driver-checked through
-# the ``entry`` smoke and remains locally oracle-checked, as does every
-# entry outside the window (tests/test_oracle.py).
+# ``queries()``.  Cumulative driver coverage reached 148/148 in round 4, so
+# from round 5 on the window's job is REGRESSION DETECTION: new queries and
+# any query whose implementation changed this round go first, then the
+# 16 headline (bench) queries, then the queries whose only driver witness
+# is the oldest round (round 1) — freshest evidence for the hottest paths,
+# oldest evidence refreshed with the remaining slots.  Every entry outside
+# the window stays locally oracle-checked each session
+# (tests/test_oracle.py), and the flagship pipeline stays driver-checked
+# through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # high-risk re-witness: this round's plan change
+    # --- new this round: PII scrub witnessed end-to-end (VERDICT r4 #1) ---
+    "text_pii_scrub",
+    # --- changed this round: _widen_if_narrow gate rewritten without the
+    #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",
-    # new this round: the pure-Python PPM codec path end-to-end
-    "multimodal_image_decode_stats",
-    # --- never driver-witnessed before round 4 ---
-    # TPC-H relational tail
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_late_line_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    # merge / set / scalar
-    "merge_upsert_customers",
-    "set_union_by_name",
-    "join_null_safe",
-    "scalar_collections",
-    "scalar_try_cast",
-    "scalar_zorder",
-    "unpivot_nation_balances",
-    # aggregates
-    "agg_histogram",
-    "agg_regression_stats",
-    "agg_boolean_bitwise",
-    "agg_listagg",
-    "agg_multi_distinct",
-    "agg_filter_clause",
-    "agg_mode_deterministic",
-    "agg_entropy",
-    "agg_weighted_avg",
-    "agg_salted_skew",
-    "agg_approx_distinct",
-    "agg_grouping_markers",
-    # windows
-    "window_distribution_ranks",
-    "window_distribution",
-    "window_count_distinct",
-    "window_rank_ties",
-    # time-series
-    "ts_lag_lead",
-    "ts_moving_avg",
-    "ts_json_extract",
-    "ts_dedup_union",
-    "ts_freshness_check",
-    "ts_retention_cohorts",
-    "ts_yoy_growth",
-    # text / docs / sampling
-    "text_token_stats",
-    "text_ngram_freq",
-    "text_bpe_token_count",
-    "text_repetition_ratios",
-    "doc_fingerprint",
-    "sample_k_per_group",
-    # embeddings / ANN / multimodal
-    "embedding_centroids",
-    "knn_pq_scan",
-    "multimodal_frame_sample",
-    "multimodal_binary_dedup",
+    "dedup_simhash",
+    # --- headline queries (the bench set — hottest paths, keep fresh) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q9_profit_by_nation",
+    "era5_monthly_anomaly",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "knn_ivf",
+    "llm_corpus_prep",
+    "text_tfidf_top_terms",
+    "ts_asof_join",
+    "ts_range_join",
+    "ts_sessionize",
+    "ts_tumbling_hourly",
+    # --- oldest driver evidence (round 1 window) refreshed ---
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_broadcast_dims",
+    "join_positional_lookup",
+    "agg_stats",
+    "agg_stddev",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect_sorted",
+    "agg_minmax_running",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_percentiles",
+    "window_rank",
+    "window_running_sum",
+    "window_range_frame",
+    "window_first_last",
+    "topk_orders",
+    "sort_multi_key",
+    "first_after_filter",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_union_distinct",
+    "filter_rlike_limit",
+    "filter_bbox_pushdown",
+    "project_null_sentinel",
+    "scalar_math",
+    "scalar_strings",
+    "scalar_datetime",
+    "scalar_conditional_hash",
+    "dedup_exact_keep_first",
 )
 
 

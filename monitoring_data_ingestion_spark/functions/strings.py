@@ -68,10 +68,14 @@ def pii_match_count(text) -> Column:
     document and drop documents whose density suggests a data dump."""
     col = _c(text)
     total = F.lit(0)
-    for pat, _ in _PII_PATTERNS:
+    for pat, token in _PII_PATTERNS:
         # Count on the progressively-redacted text so overlapping classes
         # (an email's host looks digit-dotted) aren't double-counted —
-        # mirrors exactly what redact_pii replaces.
+        # mirrors exactly what redact_pii replaces. The interim text must
+        # use the SAME placeholder as redact_pii: a word-character filler
+        # (e.g. "x") would fuse with an adjacent digit run and destroy the
+        # \b the next pattern needs ("a@b.co4111111111111111" → the card
+        # run goes uncounted), making count != number of redactions.
         total = total + F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pat), 0)), F.lit(0))
-        col = F.regexp_replace(col, pat, "x")
+        col = F.regexp_replace(col, pat, token)
     return total

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.strings import pii_match_count, redact_pii
 from ..sources.readers import table
 from .analytics import _TOKENS_SQL, _tokens
 from .catalog import query
@@ -261,3 +262,122 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_bigram_frac"),
         ((top_frac > REP_TOP_UNIGRAM_MAX) | (dup_frac > REP_DUP_BIGRAM_MAX)).alias("flagged"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (functions/strings.py redact_pii / pii_match_count)
+# ---------------------------------------------------------------------------
+
+# The synthetic documents fixture contains no PII shapes, so the query
+# derives a deterministic PII-bearing column FROM doc_id (emails, IPv4,
+# 16-digit card runs, NA phone shapes — present/absent per residue class so
+# counts range 0-4) and scrubs THAT. Both sides build the identical string,
+# so the oracle hash-checks the actual regexp chain, not the fixture.
+_PII_FIXTURE_SQL = """
+'doc ' || CAST(doc_id AS VARCHAR) || ' review.'
+  || CASE WHEN doc_id % 3 <> 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org asap'
+       ELSE '' END
+  || CASE WHEN doc_id % 4 = 2
+       THEN ' seen from 10.' || CAST(doc_id % 200 AS VARCHAR)
+            || '.' || CAST(doc_id % 250 AS VARCHAR)
+            || '.' || CAST(doc_id % 97 AS VARCHAR)
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 2
+       THEN ' card 4111' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 12, '0') || ' on file'
+       ELSE '' END
+  || CASE WHEN doc_id % 2 = 0
+       THEN ' call (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       ELSE '' END
+"""
+
+# RE2 (DuckDB) restatement of functions.strings._PII_PATTERNS. RE2 has no
+# lookbehind, so the phone pattern drops the Java `(?<![\d.])` guard — on
+# this fixture the two are equivalent: every phone shape is space-preceded
+# once the earlier classes (email/IP/card) have been replaced by tokens.
+_PII_ORACLE_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<ID>"),
+    (r"(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+)
+
+
+def _pii_oracle_chain() -> str:
+    """Progressive redact+count CTE chain mirroring pii_match_count: stage k
+    counts on the text after replacements 1..k-1, then replaces with the
+    SAME token redact_pii inserts (word-char fillers would eat \\b).
+    Running count carried forward so the final CTE holds the total."""
+    ctes = [f"r0 AS (SELECT doc_id, {_PII_FIXTURE_SQL} AS t0, 0 AS c0 FROM documents)"]
+    for k, (pat, token) in enumerate(_PII_ORACLE_PATTERNS):
+        ctes.append(
+            f"r{k + 1} AS (SELECT doc_id, "
+            f"regexp_replace(t{k}, '{pat}', '{token}', 'g') AS t{k + 1}, "
+            f"c{k} + len(regexp_extract_all(t{k}, '{pat}')) AS c{k + 1} "
+            f"FROM r{k})"
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "text_pii_scrub",
+    tags=("text", "pii", "map"),
+    oracle=f"""
+WITH {_pii_oracle_chain()}
+SELECT doc_id, t4 AS redacted, CAST(c4 AS INTEGER) AS n_pii
+FROM r4 ORDER BY doc_id
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit count over a deterministic doc_id-derived PII
+    column: emails, IPv4 addresses, 16-digit card runs, and NA phone shapes
+    become typed placeholder tokens; n_pii is the redaction count the audit
+    layer reports per document (0-4 on this fixture by residue class).
+
+    The pre-training corpus scrub stage (C4/Dolma-style). Scale: the whole
+    query is one codegen-fused map projection over the scan — a chain of
+    JVM regexp_replace calls, zero shuffles, no Python — so at 100 TB it
+    runs at scan speed on every executor independently.
+    """
+    i = F.col("doc_id")
+    s = i.cast("string")
+    raw = F.concat(
+        F.lit("doc "), s, F.lit(" review."),
+        F.when(
+            i % 3 != 0,
+            F.concat(F.lit(" contact user"), s, F.lit("@mail.example.org asap")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 2,
+            F.concat(
+                F.lit(" seen from 10."), (i % 200).cast("string"),
+                F.lit("."), (i % 250).cast("string"),
+                F.lit("."), (i % 97).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 2,
+            F.concat(
+                F.lit(" card 4111"),
+                F.lpad((i % 100000000).cast("string"), 12, "0"),
+                F.lit(" on file"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit(" call (415) 555-"),
+                F.lpad((i % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            redact_pii(raw).alias("redacted"),
+            pii_match_count(raw).alias("n_pii"),
+        )
+        .orderBy("doc_id")
+    )

@@ -258,6 +258,10 @@ PII_CASES = [
     ("mail root@10.0.0.1.example.org", "mail <EMAIL>", 1),
     # Short digit runs, versions, and dates survive.
     ("v2.3.4 shipped 2024-05-01 with 42 fixes", "v2.3.4 shipped 2024-05-01 with 42 fixes", 0),
+    # A match abutting a digit run: the count loop must redact with the
+    # same token redact_pii inserts — a word-character filler would fuse
+    # with the card run, destroy its \b, and undercount (n=1, not 2).
+    ("a@b.co4111111111111111", "<EMAIL><ID>", 2),
     ("", "", 0),
 ]
 
