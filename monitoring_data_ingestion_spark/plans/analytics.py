@@ -16,6 +16,9 @@ only in oracle SQL, where DuckDB runs it on sf0.01 fixtures.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -265,6 +268,58 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Spark byte-string conf value ('8m', '128MB', '134217728b') → bytes."""
+    s = s.strip().lower()
+    units = {"tb": 1 << 40, "gb": 1 << 30, "mb": 1 << 20, "kb": 1 << 10,
+             "t": 1 << 40, "g": 1 << 30, "m": 1 << 20, "k": 1 << 10, "b": 1}
+    for suf, mult in units.items():
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(s)
+
+
+def _scan_split_estimate(spark: SparkSession, df: DataFrame) -> int | None:
+    """Planned scan split count, estimated from the relation's FileIndex
+    (``df.inputFiles()`` + local file sizes) with Spark's own FilePartition
+    sizing: maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    paddedTotal / defaultParallelism)), splits ≈ paddedTotal / maxSplitBytes,
+    where paddedTotal charges openCostInBytes per file.
+
+    Deliberately NOT ``df.rdd.getNumPartitions()``: that converts the plan
+    to an RDD — a full physical-planning round-trip per call. Returns None
+    for non-local schemes (s3/hdfs/...) or unreadable paths: unknown means
+    a production object-store table, which is treated as already-parallel.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive: non-file-backed plans
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = unquote(urlparse(path).path)
+        elif "://" in path:
+            return None
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    max_part = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    padded = sum(sz + open_cost for sz in sizes)
+    cores = max(int(spark.sparkContext.defaultParallelism), 1)
+    max_split = max(min(max_part, max(open_cost, padded // cores)), 1)
+    return max(1, -(-padded // max_split))
+
+
 def _widen_if_narrow(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     """Repartition ``df`` by ``key`` only when its scan is narrower than the
     session shuffle parallelism.
@@ -272,10 +327,12 @@ def _widen_if_narrow(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     Widening matters locally (a single small parquet file would cap a
     compute-amplifying downstream stage at 1-2 tasks) but would be a
     pointless full shuffle of raw rows on a production-sized table whose
-    parquet splits already saturate the executors.
+    parquet splits already saturate the executors. The width check is a
+    file-size estimate (see _scan_split_estimate) — no RDD conversion.
     """
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n:
+    est = _scan_split_estimate(spark, df)
+    if est is not None and est < n:
         df = df.repartition(n, key)
     return df
 

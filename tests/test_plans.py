@@ -298,3 +298,32 @@ def test_shingle_repartition_only_when_scan_narrow(spark, tmp_path):
     assert "RepartitionByExpression" in narrow  # single small file → widen
     wide = _optimized(_shingled_docs(spark, wide_dir))
     assert "RepartitionByExpression" not in wide  # already parallel → no shuffle
+
+
+def test_scan_split_estimate_conservative_off_local(spark):
+    """The widen gate must treat non-local storage as already-parallel
+    (None → no shuffle) and parse Spark byte-string confs."""
+    from monitoring_data_ingestion_spark.plans.analytics import (
+        _parse_byte_conf,
+        _scan_split_estimate,
+    )
+
+    assert _parse_byte_conf("8m") == 8 << 20
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("134217728b") == 128 << 20
+    assert _parse_byte_conf("4194304") == 4 << 20
+
+    class FakeScan:
+        def __init__(self, files):
+            self._files = files
+
+        def inputFiles(self):
+            return self._files
+
+    assert _scan_split_estimate(spark, FakeScan(["s3://bucket/part-0.parquet"])) is None
+    assert _scan_split_estimate(spark, FakeScan([])) is None
+    assert _scan_split_estimate(spark, FakeScan(["/no/such/file.parquet"])) is None
+    # A real narrow local scan estimates below the session's parallelism.
+    est = _scan_split_estimate(spark, table(spark, SF_SMOKE, "documents"))
+    assert est is not None
+    assert est < int(spark.conf.get("spark.sql.shuffle.partitions"))
