@@ -20,6 +20,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+N_ITER = 5  # per-query iterations; reported min + cold first iter
+
+
+def _control_plan(spark, sf_dir: str):
+    """FROZEN control query — defined inline here, never part of the
+    catalog, so its plan is byte-identical across rounds. Timed before and
+    after the headline section; the last/first ratio separates host-load
+    swing from code regressions (this box has shown ~75% run-to-run drift
+    on identical plans). Shape: pushed-filter scan -> partial+final
+    hash aggregate — touches scan, codegen, and one exchange."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _time_control(spark, sf_dir: str, n: int = 3) -> float:
+    """Best-of-n wall time of the frozen control through the noop sink."""
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _control_plan(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -45,20 +79,23 @@ def main() -> None:
 
     from monitoring_data_ingestion_spark.plans.catalog import release_caches
 
+    control_first = _time_control(spark, sf_dir)
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
     for name, spec in headline.items():
-        # Best of 5: single-shot timings on this box vary up to 2× from GC
-        # and JIT noise; the min measures the plan, not the weather.
-        # Iterations of one query share Spark's cache entry for any
-        # persisted intermediate (CacheManager keys on the logical plan),
-        # so for a query that persists internally the min is the warm
-        # steady state; the first iteration is the cold single-run number
-        # and is reported separately under "cold". Caches release between
-        # queries so no query benches (or holds memory) against another's.
+        # Best of N_ITER: single-shot timings on this box vary up to 2×
+        # from GC and JIT noise; the min measures the plan, not the
+        # weather. Iterations of one query share Spark's cache entry for
+        # any persisted intermediate (CacheManager keys on the logical
+        # plan), so for a query that persists internally the min is the
+        # warm steady state; the first iteration is the cold single-run
+        # number and is reported separately under "cold". Caches release
+        # between queries so no query benches (or holds memory) against
+        # another's.
         best = first = None
-        for _ in range(5):
+        for _ in range(N_ITER):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
@@ -69,6 +106,8 @@ def main() -> None:
         total += times[name]
         release_caches()
 
+    control_last = _time_control(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -76,8 +115,19 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
+                "n": N_ITER,
                 "queries": times,
                 "cold_first_iter": cold,
+                # Frozen-plan host-load control: the same inline query timed
+                # best-of-3 before and after the headline section. Compare
+                # control_sec across rounds to normalize for host swing;
+                # drift_ratio >> 1 means the host slowed DURING this run.
+                "control": {
+                    "query": "inline_lineitem_filter_agg",
+                    "first_sec": control_first,
+                    "last_sec": control_last,
+                    "drift_ratio": round(control_last / max(control_first, 1e-9), 3),
+                },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
