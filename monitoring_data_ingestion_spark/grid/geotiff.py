@@ -5,15 +5,20 @@ The reference emits Float32 GeoTIFF via ``gdal_translate -co COMPRESS=LZW
 native sink is partitioned parquet; this module covers the interchange
 format: rasterio (LZW, predictor=3 — the reference's exact creation
 options) when the library is installed, otherwise a self-contained
-uncompressed Float32 GeoTIFF writer/reader built from the public TIFF 6.0
-and GeoTIFF 1.1 specifications, so the round-trip works (and is tested)
-with zero native dependencies.
+Float32 GeoTIFF writer/reader built from the public TIFF 6.0 spec,
+TIFF Technical Note 3 (floating-point horizontal-differencing
+predictor), and GeoTIFF 1.1, so the round-trip works (and is tested)
+with zero native dependencies — including the reference's exact
+LZW + predictor=3 creation options.
 
 Layout written by the fallback: little-endian classic TIFF, one strip,
-one Float32 sample per pixel, north-up affine georeferencing via
-ModelPixelScale + ModelTiepoint, WGS-84 geographic CRS keys, and the
-GDAL_NODATA ASCII tag — the same raster model GDAL produces for the
-reference's outputs.
+one Float32 sample per pixel, LZW-compressed with the TTN3 float
+predictor (or raw with ``compress=False``), north-up affine
+georeferencing via ModelPixelScale + ModelTiepoint, WGS-84 geographic
+CRS keys, and the GDAL_NODATA ASCII tag — the same raster model GDAL
+produces for the reference's outputs. The pure-Python LZW loop is
+byte-at-a-time (fine for test-sized rasters and per-partition sink
+tiles); rasterio remains the fast path for bulk export.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
 _SAMPLE_FORMAT = 339
 # GeoTIFF 1.1 tag ids.
 _MODEL_PIXEL_SCALE = 33550
@@ -62,6 +68,150 @@ _TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_ASCII: 1, _TYPE_DOUBLE: 8}
 _GEO_KEYS = (1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
 
 
+# --------------------------------------------------------------------------
+# TIFF LZW codec (TIFF 6.0 §13): MSB-first bit packing, 9-bit initial code
+# width, ClearCode=256, EOI=257, first table entry 258, "early change"
+# width bumps (the next code is written one bit wider as soon as entry
+# 510/1022/2046 exists — the historical TIFF writer behavior every reader
+# expects), table reset via ClearCode when the 12-bit space is exhausted.
+# --------------------------------------------------------------------------
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+
+    def put(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+
+    reset()
+    put(_LZW_CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # Early change: codes are written one bit wider as soon as the
+        # entry numbered 2^width - 2 exists.
+        if next_code in (511, 1023, 2047):
+            width += 1
+        w = bytes([b])
+        if next_code == 4094:  # 12-bit space nearly full — reset
+            put(_LZW_CLEAR)
+            reset()
+    if w:
+        put(table[w])
+    put(_LZW_EOI)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+
+    def reset_table() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    def get() -> int:
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return _LZW_EOI  # truncated stream — treat as end
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (bitbuf >> nbits) & ((1 << width) - 1)
+
+    reset_table()
+    prev: bytes | None = None
+    while True:
+        code = get()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset_table()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table size")
+        # Mirror the encoder's early change: the encoder's table is one
+        # entry ahead of ours at read time (it inserts right after writing
+        # a code, we insert right after reading it), so it writes at
+        # 2^w bits from next_code == 2^w - 1 — which we observe as our
+        # table size hitting 2^w - 2.
+        if len(table) in (510, 1022, 2046):
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# TIFF Technical Note 3 floating-point predictor (Predictor tag = 3):
+# per row, the float values' bytes are split into byte planes ordered
+# most-significant first (big-endian), then the reordered row is
+# horizontally differenced byte-wise mod 256. Decoding is the byte-wise
+# cumulative sum followed by plane re-interleave.
+# --------------------------------------------------------------------------
+
+
+def _fp_predict_rows(values: np.ndarray) -> bytes:
+    height, width = values.shape
+    be = np.ascontiguousarray(values, dtype=">f4").view(np.uint8).reshape(height, width, 4)
+    planes = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(height, 4 * width)
+    diffed = planes.copy()
+    diffed[:, 1:] -= planes[:, :-1]  # uint8 arithmetic wraps mod 256
+    return diffed.tobytes()
+
+
+def _fp_unpredict_rows(data: bytes, height: int, width: int) -> np.ndarray:
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, 4 * width)
+    acc = np.cumsum(rows, axis=1, dtype=np.uint8)  # uint8 accumulator: mod 256
+    be = np.ascontiguousarray(acc.reshape(height, 4, width).transpose(0, 2, 1))
+    return (
+        np.frombuffer(be.tobytes(), dtype=">f4").reshape(height, width).astype("<f4")
+    )
+
+
 @dataclass(frozen=True)
 class GeoRaster:
     """A decoded north-up raster: values[row, col], row 0 at ``north``."""
@@ -74,13 +224,22 @@ class GeoRaster:
     nodata: float | None = None
 
 
-def encode_geotiff(raster: GeoRaster) -> bytes:
-    """Encode a north-up Float32 raster as GeoTIFF bytes (pure Python)."""
+def encode_geotiff(raster: GeoRaster, compress: bool = True) -> bytes:
+    """Encode a north-up Float32 raster as GeoTIFF bytes (pure Python).
+
+    ``compress=True`` (default) writes LZW + floating-point predictor=3 —
+    the reference's exact creation options
+    (/root/reference/src/file-conversions.js:60-66); ``compress=False``
+    writes a raw single-strip Float32 image.
+    """
     values = np.ascontiguousarray(raster.values, dtype="<f4")
     if values.ndim != 2:
         raise ValueError(f"raster must be 2-D, got shape {values.shape}")
     height, width = values.shape
-    pixel_data = values.tobytes()
+    if compress:
+        pixel_data = _lzw_encode(_fp_predict_rows(values))
+    else:
+        pixel_data = values.tobytes()
 
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, packed)
 
@@ -96,13 +255,15 @@ def encode_geotiff(raster: GeoRaster) -> bytes:
     entry(_IMAGE_WIDTH, _TYPE_LONG, [width])
     entry(_IMAGE_LENGTH, _TYPE_LONG, [height])
     entry(_BITS_PER_SAMPLE, _TYPE_SHORT, [32])
-    entry(_COMPRESSION, _TYPE_SHORT, [1])  # none (LZW needs a codec lib)
+    entry(_COMPRESSION, _TYPE_SHORT, [5 if compress else 1])  # 5 = LZW
     entry(_PHOTOMETRIC, _TYPE_SHORT, [1])  # BlackIsZero
     entry(_STRIP_OFFSETS, _TYPE_LONG, [0])  # patched below
     entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1])
     entry(_ROWS_PER_STRIP, _TYPE_LONG, [height])
     entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, [len(pixel_data)])
     entry(_PLANAR_CONFIG, _TYPE_SHORT, [1])
+    if compress:
+        entry(_PREDICTOR, _TYPE_SHORT, [3])  # TTN3 floating-point predictor
     entry(_SAMPLE_FORMAT, _TYPE_SHORT, [3])  # IEEE float
     entry(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [raster.xres, raster.yres, 0.0])
     # Tiepoint: raster (0,0,0) ↔ model (west, north, 0).
@@ -147,7 +308,7 @@ def encode_geotiff(raster: GeoRaster) -> bytes:
 
 def decode_geotiff(data: bytes) -> GeoRaster:
     """Decode a single-strip Float32 GeoTIFF produced by this module (or
-    any uncompressed little-endian equivalent)."""
+    any little-endian equivalent that is raw or LZW + predictor 1/3)."""
     byte_order, magic, ifd_offset = struct.unpack_from("<2sHI", data, 0)
     if byte_order != b"II" or magic != 42:
         raise ValueError("not a little-endian classic TIFF")
@@ -166,15 +327,23 @@ def decode_geotiff(data: bytes) -> GeoRaster:
         else:
             fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
             tags[tag] = list(struct.unpack_from(f"<{count}{fmt}", data, off))
-    if tags.get(_COMPRESSION, [1])[0] != 1:
-        raise ValueError("compressed TIFF needs rasterio")
+    compression = tags.get(_COMPRESSION, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if compression not in (1, 5):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 3):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     width = tags[_IMAGE_WIDTH][0]
     height = tags[_IMAGE_LENGTH][0]
     strip_off = tags[_STRIP_OFFSETS][0]
     strip_len = tags[_STRIP_BYTE_COUNTS][0]
-    values = np.frombuffer(data[strip_off : strip_off + strip_len], dtype="<f4").reshape(
-        height, width
-    )
+    strip = data[strip_off : strip_off + strip_len]
+    if compression == 5:
+        strip = _lzw_decode(strip)
+    if predictor == 3:
+        values = _fp_unpredict_rows(strip, height, width)
+    else:
+        values = np.frombuffer(strip, dtype="<f4").reshape(height, width)
     xres, yres, _ = tags[_MODEL_PIXEL_SCALE]
     tie = tags[_MODEL_TIEPOINT]
     nodata = float(tags[_GDAL_NODATA][0]) if _GDAL_NODATA in tags else None

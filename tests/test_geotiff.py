@@ -132,3 +132,76 @@ def test_encode_decode_property():
         assert back.west == west and back.north == north
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# LZW + floating-point predictor (the reference's COMPRESS=LZW PREDICTOR=3
+# creation options, /root/reference/src/file-conversions.js:60-66), pure
+# Python from the TIFF 6.0 spec + Technical Note 3.
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_spec_bitstream_vector():
+    """Hand-computed TIFF 6.0 §13 vector: encoding b'\\x00\\x00' emits codes
+    [Clear=256, 0, 0, EOI=257] at 9 bits, MSB-first → 80 00 00 10 10."""
+    from monitoring_data_ingestion_spark.grid.geotiff import _lzw_decode, _lzw_encode
+
+    assert _lzw_encode(b"\x00\x00") == bytes([0x80, 0x00, 0x00, 0x10, 0x10])
+    assert _lzw_decode(bytes([0x80, 0x00, 0x00, 0x10, 0x10])) == b"\x00\x00"
+
+
+def test_lzw_round_trip_exercises_width_bumps_and_reset():
+    """Low-entropy long input drives the code table through every width
+    bump (9→10→11→12 bits) and past the 12-bit reset; random input fills
+    the table fastest. Both must round-trip bit-exactly."""
+    import os
+    import random
+
+    from monitoring_data_ingestion_spark.grid.geotiff import _lzw_decode, _lzw_encode
+
+    structured = bytes((i * i) % 7 for i in range(300_000))
+    assert _lzw_decode(_lzw_encode(structured)) == structured
+    rnd = random.Random(11)
+    noisy = bytes(rnd.randrange(256) for _ in range(60_000))
+    assert _lzw_decode(_lzw_encode(noisy)) == noisy
+    for n in (0, 1, 2, 17):
+        d = os.urandom(n)
+        assert _lzw_decode(_lzw_encode(d)) == d
+
+
+def test_float_predictor_round_trip():
+    from monitoring_data_ingestion_spark.grid.geotiff import (
+        _fp_predict_rows,
+        _fp_unpredict_rows,
+    )
+
+    v = np.random.default_rng(5).normal(280, 30, (21, 47)).astype("<f4")
+    assert np.array_equal(_fp_unpredict_rows(_fp_predict_rows(v), 21, 47), v)
+
+
+def test_compressed_is_default_and_smaller_on_smooth_rasters():
+    """Smooth climate-like fields (the reference's actual payload) must
+    compress well; raw mode stays available and both decode identically."""
+    sm = np.outer(np.linspace(200, 300, 100), np.ones(200)).astype("float32")
+    r = GeoRaster(values=sm, west=0.0, north=50.0, xres=0.5, yres=0.5, nodata=-9999.0)
+    lzw = encode_geotiff(r)
+    raw = encode_geotiff(r, compress=False)
+    assert len(lzw) < len(raw) / 10
+    for blob in (lzw, raw):
+        back = decode_geotiff(blob)
+        np.testing.assert_array_equal(back.values, sm)
+        assert back.nodata == -9999.0
+
+
+def test_compressed_tiff_declares_lzw_and_predictor_tags():
+    import struct
+
+    data = encode_geotiff(_raster())
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt, val = struct.unpack_from("<HHII", data, ifd_off + 2 + 12 * i)
+        tags[tag] = val & 0xFFFF
+    assert tags[259] == 5  # Compression = LZW
+    assert tags[317] == 3  # Predictor = floating-point horizontal differencing
