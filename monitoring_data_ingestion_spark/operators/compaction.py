@@ -20,6 +20,9 @@ Design:
   (S7's atomic-rename contract applied to maintenance).
 * Partitioned layouts compact per partition directory (each partition is
   its own swap unit), which is how a 100 TB table compacts incrementally.
+* ``compact_versioned`` compacts a VersionedTable snapshot through its
+  manifest — the commit is one atomic rename, so there is no swap window
+  at all and no recovery scan; this is the preferred maintenance path.
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+
+from ..sources.versioned import VersionedTable
 
 DEFAULT_TARGET_MB = 128
 
@@ -56,16 +61,20 @@ def _data_files(path: str) -> list[str]:
     return out
 
 
-def compaction_plan(path: str, target_mb: int = DEFAULT_TARGET_MB) -> CompactionPlan:
-    """Plan from the file listing alone: ceil(total / target) output files,
+def plan_for_files(files: list[str], target_mb: int = DEFAULT_TARGET_MB) -> CompactionPlan:
+    """Plan from an explicit file list: ceil(total / target) output files,
     never more than the current count."""
-    files = _data_files(path)
     total = sum(os.path.getsize(f) for f in files)
     target_bytes = target_mb * 1024 * 1024
     want = max(1, -(-total // target_bytes)) if total else 1
     return CompactionPlan(
         n_files=len(files), total_bytes=total, target_files=min(want, max(len(files), 1))
     )
+
+
+def compaction_plan(path: str, target_mb: int = DEFAULT_TARGET_MB) -> CompactionPlan:
+    """Plan from the directory listing alone — listing only, never data."""
+    return plan_for_files(_data_files(path), target_mb)
 
 
 def _partition_subdirs(path: str) -> list[str]:
@@ -110,8 +119,9 @@ def compact_parquet(
     table path briefly does not exist, and a hard kill inside that window
     strands the data under ``{path}.__old-*``. No bytes are lost —
     ``recover_compaction(path)`` renames the stranded copy back — but the
-    window is real; on object stores / HDFS, prefer a manifest or
-    metastore-pointer flip, where the swap is one atomic metadata update.
+    window is real; tables that need zero-window maintenance should be
+    VersionedTable-backed and compacted via ``compact_versioned``, where
+    the commit is one atomic manifest rename.
 
     Hive-partitioned roots must go through ``compact_partitioned`` (per-
     partition swap units); compacting the root directly would rewrite
@@ -140,6 +150,42 @@ def compact_parquet(
         os.rename(trash, path)
         raise
     shutil.rmtree(trash)
+    return plan
+
+
+def compact_versioned(
+    spark: SparkSession,
+    table: VersionedTable,
+    target_mb: int = DEFAULT_TARGET_MB,
+) -> CompactionPlan:
+    """Compact a :class:`VersionedTable`'s latest snapshot through a
+    manifest commit — no swap window at all.
+
+    The directory-swap path (``compact_parquet``) has a documented gap:
+    between its two renames the table path does not exist, and a hard
+    kill strands the data for ``recover_compaction`` to find. Manifest
+    tables don't have that gap, because the commit point is ONE atomic
+    rename of a manifest file: the compacted rewrite lands as a brand-new
+    snapshot version listing the coalesced files, the previous snapshot's
+    files stay on disk (still readable, still time-travelable) until
+    ``vacuum``, and a crash anywhere — during the rewrite, before the
+    manifest rename — leaves the latest manifest pointing at the intact
+    pre-compaction snapshot. Readers never observe a missing path and no
+    recovery scan exists to run. This is the 100 TB path: on an object
+    store the same single-object manifest PUT is the commit.
+
+    Idempotent per source version: the commit's batch id is derived from
+    the compacted snapshot version, so a retried compaction of the same
+    snapshot returns the already-committed version instead of doubling
+    the data.
+    """
+    snap = table._resolve(None)
+    files = [os.path.join(table.root, f) for f in snap.files]
+    plan = plan_for_files(files, target_mb)
+    if not plan.worth_it:
+        return plan
+    compacted = table.read(spark).coalesce(plan.target_files)
+    table.commit(compacted, batch_id=f"__compaction-of-v{snap.version}")
     return plan
 
 

@@ -136,3 +136,87 @@ def test_recover_compaction_restores_stranded_swap(spark, tmp_path):
     assert recover_compaction(path) is True
     assert spark.read.parquet(path).count() == n
     assert recover_compaction(path) is False
+
+
+# ---------------------------------------------------------------------------
+# Manifest-backed compaction (compact_versioned): no swap window exists.
+# ---------------------------------------------------------------------------
+
+
+def _fragmented_versioned(spark, root, n_files=8, rows=800):
+    from monitoring_data_ingestion_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(root))
+    df = spark.range(rows).withColumn("v", F.col("id") * 3)
+    vt.commit(df.repartition(n_files), batch_id="seed")
+    return vt
+
+
+def test_compact_versioned_shrinks_files_keeps_data_and_history(spark, tmp_path):
+    from monitoring_data_ingestion_spark.operators.compaction import compact_versioned
+
+    vt = _fragmented_versioned(spark, tmp_path / "vt")
+    v1_files = vt._resolve(None).n_files
+    assert v1_files == 8
+    plan = compact_versioned(spark, vt, target_mb=128)
+    assert plan.worth_it and plan.n_files == 8 and plan.target_files == 1
+    latest = vt._resolve(None)
+    assert latest.n_files == 1
+    assert vt.read(spark).count() == 800
+    assert vt.read(spark).agg(F.sum("v")).first()[0] == sum(i * 3 for i in range(800))
+    # Pre-compaction snapshot still time-travels (its files were not touched).
+    assert vt.read(spark, version=1).count() == 800
+    # Re-running on an already-compact snapshot is a no-op plan.
+    again = compact_versioned(spark, vt, target_mb=128)
+    assert not again.worth_it
+    assert vt.latest_version() == 2
+
+
+def test_compact_versioned_crash_has_no_missing_path_window(spark, tmp_path, monkeypatch):
+    """Kill the compaction at its commit point (the manifest rename — the
+    exact analogue of compact_parquet's between-renames window). The table
+    must stay fully readable at every moment WITHOUT any recovery scan:
+    the latest manifest still points at the intact old snapshot."""
+    import monitoring_data_ingestion_spark.sources.versioned as versioned_mod
+    from monitoring_data_ingestion_spark.operators.compaction import compact_versioned
+
+    vt = _fragmented_versioned(spark, tmp_path / "vt")
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if versioned_mod._MANIFEST_DIR in str(dst):
+            raise OSError("injected crash at the commit point")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(versioned_mod.os, "rename", crashing_rename)
+    try:
+        compact_versioned(spark, vt, target_mb=128)
+        crashed = False
+    except OSError:
+        crashed = True
+    assert crashed
+    # No recovery call, no re-listing — the table reads immediately.
+    assert vt.read(spark).count() == 800
+    assert vt.latest_version() == 1
+    monkeypatch.setattr(versioned_mod.os, "rename", real_rename)
+    # Retry completes; the orphaned rewrite from the crash is vacuumable.
+    plan = compact_versioned(spark, vt, target_mb=128)
+    assert plan.worth_it
+    assert vt.read(spark).count() == 800
+    assert vt._resolve(None).n_files == 1
+    assert vt.vacuum()  # the crashed attempt's unreferenced files
+
+
+def test_compact_versioned_idempotent_per_snapshot(spark, tmp_path):
+    """A retried compaction of the same source snapshot must dedupe on its
+    derived batch id instead of committing the rewrite twice."""
+    from monitoring_data_ingestion_spark.operators.compaction import compact_versioned
+    from monitoring_data_ingestion_spark.sources.versioned import VersionedTable
+
+    vt = _fragmented_versioned(spark, tmp_path / "vt")
+    compact_versioned(spark, vt, target_mb=128)
+    v = vt.latest_version()
+    # Simulate a redelivered maintenance job for source version 1.
+    vt.commit(vt.read(spark).coalesce(1), batch_id="__compaction-of-v1")
+    assert vt.latest_version() == v  # no new version created
