@@ -28,8 +28,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # (tests/test_oracle.py), and the flagship pipeline stays driver-checked
 # through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- new this round: PII scrub witnessed end-to-end (VERDICT r4 #1) ---
+    # --- new this round: PII scrub witnessed end-to-end (VERDICT r4 #1),
+    #     and the stop-shingle-capped Jaccard the sf1 probe motivated ---
     "text_pii_scrub",
+    "dedup_ngram_jaccard_capped",
     # --- changed this round: _widen_if_narrow gate rewritten without the
     #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",

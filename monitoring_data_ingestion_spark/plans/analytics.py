@@ -441,6 +441,83 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle cap for the capped Jaccard variant: shingles present in
+# more than this many documents are dropped from the inverted index AND
+# from the Jaccard universe (sets are restricted consistently, so the
+# score stays a true Jaccard — over the discriminative shingles only).
+# Corpus-tuned: near-dup pairs share shingles with df ≈ 2, boilerplate
+# df grows with corpus size; the cap sits above the fixture's full df
+# range at sf0.1 (max 25 → zero recall loss there) and prunes the
+# saturated buckets the sf1 probe exposed (SCALE.md: sum(df²) 250M → 25k).
+MAX_SHINGLE_DF = 25
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    tags=("dedup", "similarity", "scale"),
+    oracle=f"""
+WITH shingles0 AS ({_SHINGLE_SQL}),
+freq AS (
+  SELECT shingle, COUNT(*) AS df FROM shingles0 GROUP BY shingle
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles0 s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df <= {MAX_SHINGLE_DF}
+),
+{_JACCARD_TAIL_SQL}
+""",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs over the DISCRIMINATIVE shingles
+    only: shingles whose document frequency exceeds MAX_SHINGLE_DF are
+    dropped from the inverted index and from both sets before scoring.
+
+    The scale path for low-entropy corpora. The exact variant's cost is
+    sum(df²) over shingle buckets — the sf1 scale probe (SCALE.md)
+    measured it 24.6× slower at 10× the documents, because a shingle
+    shared by k docs emits k² candidate rows and boilerplate shingles
+    have k ~ corpus size. Capping df bounds every bucket at
+    MAX_SHINGLE_DF² pairs, making the join linear in corpus size at a
+    fixed cap — the stop-shingle trick every production shingle dedup
+    uses. High-jaccard pairs survive: near-dups share their rare
+    shingles, and dropping corpus-wide boilerplate from BOTH sets
+    changes the score little (it was shared noise, not signal).
+    """
+    sh0 = _shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    freq = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh0.join(freq.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle").select(
+        "doc_id", "shingle"
+    )
+    # Set sizes over the CAPPED universe ride the rows via a doc window
+    # (non-null count → non-nullable, same constraint-pushdown hygiene as
+    # the exact variant).
+    w = Window.partitionBy("doc_id")
+    sh = kept.select(
+        "doc_id",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("sz"),
+        "shingle",
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # Universal-hash family over a 28-bit shingle key x (one MD5 per shingle,
 # then h_i = (a_i*x + b_i) mod p). Constants are fixed primes; products
 # stay < 2^48 so DuckDB's overflow-checked BIGINT agrees with Spark's long.

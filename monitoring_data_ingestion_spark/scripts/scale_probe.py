@@ -1,0 +1,221 @@
+"""One-off sf1 scale probe (SCALE.md): generate a 10x dataset and measure
+whether the headline plans' shapes survive the scale-up.
+
+The driver fixtures stop at sf0.1; the engine's 100 TB claims are argued
+from plan shape. This script grounds them with one measured 10x point:
+
+* ``gen`` synthesizes an sf1 directory (default /tmp/sf1) from the sf0.1
+  fixtures — relational tables are scaled 10x by key-shifted copies
+  (FK-consistent: orderkey/custkey shift together; dims stay fixed, as
+  in TPC-H scaling), documents are regenerated from the fixture's
+  empirical vocabulary/length/dup-rate, embeddings from a 10-cluster
+  Gaussian mixture matched to the fixture's dimension and spread.
+* ``run`` executes the N most expensive headline queries at a given
+  sf dir, reports best-of-2 wall seconds and the final (post-AQE)
+  physical-plan operator mix (broadcast vs sort-merge joins, skew
+  splits), and prints one JSON line per query.
+
+The generated directory is throwaway (not part of the repo; the fixture
+dirs under /root/testdata are read-only and unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PROBE_QUERIES = (
+    "dedup_minhash_lsh",
+    "knn_ivf",
+    "q5_region_revenue",
+    "q1_pricing_summary",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def _gen_relational(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    customer = spark.read.parquet(f"{SF01}/customer.parquet")
+    k_order = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    k_cust = customer.agg(F.max("c_custkey")).first()[0] + 1
+
+    def shifted(df, col_shifts: dict[str, int], i: int):
+        for c, k in col_shifts.items():
+            df = df.withColumn(c, F.col(c) + F.lit(i * k))
+        return df
+
+    def scale(df, col_shifts):
+        out = df
+        for i in range(1, factor):
+            out = out.unionAll(shifted(df, col_shifts, i))
+        return out
+
+    scale(lineitem, {"l_orderkey": k_order}).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+    scale(orders, {"o_orderkey": k_order, "o_custkey": k_cust}).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/orders.parquet")
+    scale(customer, {"c_custkey": k_cust}).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+    for dim in ("supplier", "part", "nation", "region", "events"):
+        spark.read.parquet(f"{SF01}/{dim}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{dim}.parquet"
+        )
+
+
+def _gen_documents(out_dir: str, factor: int, seed: int = 42) -> None:
+    """Regenerate documents at 10x from the fixture's empirical stats:
+    token vocabulary + frequencies, tokens-per-doc distribution, lang/
+    source mix, and the planted exact-duplicate rate."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT text, lang, source FROM '{SF01}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    rng = np.random.default_rng(seed)
+    vocab: dict[str, int] = {}
+    lengths = []
+    langs = [r[1] for r in rows]
+    sources = [r[2] for r in rows]
+    n_dup_groups = 0
+    seen_texts: set[str] = set()
+    for text, _, _ in rows:
+        toks = text.split()
+        lengths.append(len(toks))
+        for t in toks:
+            vocab[t] = vocab.get(t, 0) + 1
+        if text in seen_texts:
+            n_dup_groups += 1
+        seen_texts.add(text)
+    words = np.array(sorted(vocab))
+    freqs = np.array([vocab[w] for w in words], dtype=np.float64)
+    freqs /= freqs.sum()
+    n_docs = len(rows) * factor
+    dup_rate = max(n_dup_groups / len(rows), 0.001)
+
+    texts: list[str] = []
+    for i in range(n_docs):
+        if texts and rng.random() < dup_rate:
+            texts.append(texts[rng.integers(0, len(texts))])  # planted dup
+            continue
+        n_tok = int(lengths[rng.integers(0, len(lengths))])
+        texts.append(" ".join(rng.choice(words, size=n_tok, p=freqs)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([langs[i % len(langs)] for i in range(n_docs)]),
+            "source": pa.array([sources[i % len(sources)] for i in range(n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+
+
+def _gen_embeddings(out_dir: str, factor: int, seed: int = 42) -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    n, dim, n_labels = con.execute(
+        f"SELECT COUNT(*), MAX(len(embedding)), COUNT(DISTINCT label) "
+        f"FROM '{SF01}/embeddings.parquet'"
+    ).fetchone()
+    sample = np.array(
+        con.execute(
+            f"SELECT embedding FROM '{SF01}/embeddings.parquet' LIMIT 500"
+        ).fetchnumpy()["embedding"].tolist()
+    )
+    con.close()
+    rng = np.random.default_rng(seed)
+    scale = float(np.std(sample))
+    centroids = rng.normal(0, scale * 2.0, (n_labels, dim))
+    n_out = n * factor
+    labels = rng.integers(0, n_labels, n_out)
+    vecs = centroids[labels] + rng.normal(0, scale, (n_out, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_out), pa.int64()),
+            "embedding": pa.array(
+                vecs.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+
+
+def _plan_markers(df) -> dict[str, int | bool]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "broadcast_hash_join": plan.count("BroadcastHashJoin"),
+        "sort_merge_join": plan.count("SortMergeJoin"),
+        "shuffled_hash_join": plan.count("ShuffledHashJoin"),
+        "exchanges": plan.count("Exchange"),
+        "aqe_skew_split": "isSkew=true" in plan or "skewed" in plan.lower(),
+        "aqe_final": "AdaptiveSparkPlan isFinalPlan=true" in plan,
+    }
+
+
+def run_probe(spark, sf_dir: str, queries=PROBE_QUERIES) -> dict:
+    from monitoring_data_ingestion_spark.plans import REGISTRY
+    from monitoring_data_ingestion_spark.plans.catalog import release_caches
+
+    out = {}
+    for name in queries:
+        spec = REGISTRY[name]
+        best = None
+        markers = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            if markers is None:
+                df.collect()  # finalize AQE on a materialized run
+                markers = _plan_markers(df)
+        release_caches()
+        out[name] = {"sec": round(best, 3), **markers}
+        print(json.dumps({"query": name, "sf_dir": sf_dir, **out[name]}), flush=True)
+    return out
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    from monitoring_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="mdi-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if cmd == "gen":
+        os.makedirs(out_dir, exist_ok=True)
+        _gen_relational(spark, out_dir, factor=10)
+        _gen_documents(out_dir, factor=10)
+        _gen_embeddings(out_dir, factor=10)
+        print(f"generated sf1 at {out_dir}")
+    elif cmd == "run":
+        run_probe(spark, out_dir)
+    else:
+        raise SystemExit(f"unknown command {cmd}")
+
+
+if __name__ == "__main__":
+    main()
