@@ -15,10 +15,13 @@ Determinism contract (so order-insensitive value-hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -44,7 +47,10 @@ def release_caches() -> None:
         try:
             _ACTIVE_CACHES.pop().unpersist()
         except Exception:
-            pass
+            # Cleanup must not fail the harness (a dead session makes
+            # unpersist throw), but keep the signal: systematic failures
+            # here mean executor memory is never being released.
+            logger.debug("release_caches: unpersist failed", exc_info=True)
 
 
 @dataclass(frozen=True)

@@ -327,3 +327,28 @@ def test_scan_split_estimate_conservative_off_local(spark):
     est = _scan_split_estimate(spark, table(spark, SF_SMOKE, "documents"))
     assert est is not None
     assert est < int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """text_pii_scrub must be a codegen-fused map over the scan: no joins,
+    no aggregates, no Python — the only exchange is the final sort's."""
+    df = q("text_pii_scrub")(spark, SF_SMOKE)
+    df.collect()  # finalize AQE
+    plan = _plan(df).split("== Initial Plan ==")[0]  # final section only
+    for bad in ("Join", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in a pure-map scrub plan"
+    assert plan.count("Exchange") <= 1  # rangepartitioning for the orderBy
+
+
+def test_capped_jaccard_stays_blocked_and_scan_clean(spark):
+    """The capped variant keeps the exact variant's invariants: candidate
+    pairs only ever come from the shingle equi-join (no cartesian), and
+    no shingle expression leaks into a FileScan's pushed filters."""
+    df = q("dedup_ngram_jaccard_capped")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in (l for l in plan.splitlines() if "FileScan" in l):
+        for bad in ("zip_with", "array_distinct", "slice(", "split("):
+            assert bad not in ln, f"shingle expression leaked into scan: {ln[:200]}"
