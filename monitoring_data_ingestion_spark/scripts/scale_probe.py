@@ -69,7 +69,14 @@ def _gen_relational(spark, out_dir: str, factor: int) -> None:
     scale(customer, {"c_custkey": k_cust}).write.mode("overwrite").parquet(
         f"{out_dir}/customer.parquet"
     )
-    for dim in ("supplier", "part", "nation", "region", "events"):
+    events = spark.read.parquet(f"{SF01}/events.parquet")
+    k_event = events.agg(F.max("event_id")).first()[0] + 1
+    k_user = events.agg(F.max("user_id")).first()[0] + 1
+    # Same time range, 10x event/user density — how a stream table grows.
+    scale(events, {"event_id": k_event, "user_id": k_user}).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/events.parquet")
+    for dim in ("supplier", "part", "nation", "region"):
         spark.read.parquet(f"{SF01}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{dim}.parquet"
         )
@@ -213,6 +220,11 @@ def main() -> None:
         print(f"generated sf1 at {out_dir}")
     elif cmd == "run":
         run_probe(spark, out_dir)
+    elif cmd == "run-headline":
+        from monitoring_data_ingestion_spark.plans import REGISTRY
+
+        names = tuple(sorted(n for n, s in REGISTRY.items() if s.headline))
+        run_probe(spark, out_dir, queries=names)
     else:
         raise SystemExit(f"unknown command {cmd}")
 
