@@ -32,6 +32,7 @@ _PRIORITY: tuple[str, ...] = (
     #     and the stop-shingle-capped Jaccard the sf1 probe motivated ---
     "text_pii_scrub",
     "dedup_ngram_jaccard_capped",
+    "dedup_semantic_prune",
     # --- changed this round: _widen_if_narrow gate rewritten without the
     #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",

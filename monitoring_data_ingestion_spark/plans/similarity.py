@@ -918,3 +918,123 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("ldot").cast("decimal(30,12)")).cast("double").alias("approx_dot"))
     )
     return _pq_rank(v, adot)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic corpus pruning (Abbas et al. 2023: cluster the
+# embedding space, deduplicate within clusters only). Distinct from
+# dedup_embedding_cosine (sign-LSH pair FINDER): this is the corpus
+# PRUNER — every vector gets a keep/drop decision, blocked by a learned
+# coarse codebook instead of hash buckets.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COSINE = 0.35  # within-cluster similarity above this ⇒ semantic dup (= NEARDUP_COSINE)
+
+
+@query(
+    "dedup_semantic_prune",
+    tags=("dedup", "similarity", "embedding"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),{_CENTROID_SQL}
+, affinity AS (
+  SELECT n.vec_id, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY ROUND(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) DESC, c.label
+         ) AS rn
+  FROM norms n CROSS JOIN centn c
+), assign AS (
+  SELECT vec_id, label AS cluster FROM affinity WHERE rn = 1
+), lower_sims AS (
+  SELECT hi.vec_id,
+         MAX(ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)) AS max_cos_lower
+  FROM assign hi
+  JOIN assign lo ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+  JOIN norms x ON x.vec_id = hi.vec_id
+  JOIN norms y ON y.vec_id = lo.vec_id
+  GROUP BY hi.vec_id
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS INTEGER) AS cluster,
+       COALESCE(s.max_cos_lower, -1.0) AS max_cos_lower,
+       (s.max_cos_lower IS NULL OR s.max_cos_lower < {SEMDEDUP_COSINE}) AS keep
+FROM assign a LEFT JOIN lower_sims s ON a.vec_id = s.vec_id
+ORDER BY a.vec_id
+""",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest coarse centroid,
+    then drop a vector iff some lower-id vector IN THE SAME CLUSTER has
+    cosine ≥ 0.35 with it (greedy keep-first — the deterministic version
+    of the paper's keep-one-per-ε-ball policy). Returns every vector with
+    its cluster, its max similarity to any lower-id cluster-mate (−1.0
+    when none), and the keep/drop verdict — the corpus-pruning endpoint
+    for training-data curation.
+
+    Scale: the codebook is k×dim doubles → broadcast; assignment is a
+    map-only pass (one short (vec_id, cluster) row per vector through the
+    exchange). The pairwise stage is confined within clusters — Σ|c|²
+    work, controlled by k: production SemDeDup raises k with corpus size
+    (50 k clusters for LAION) precisely so cluster populations, and this
+    join, stay bounded. No cross-cluster pair is ever formed.
+    """
+    v = _vectors(spark, sf_dir)
+
+    # Coarse codebook = per-label mean vectors (same construction as
+    # knn_ivf — training is orthogonal to the pruning dataflow).
+    expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = expanded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
+    )
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
+        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .select(F.col("label").alias("clabel"), "ce", "cnrm")
+    )
+
+    aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
+    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
+    assign = (
+        v.crossJoin(F.broadcast(centv))
+        .withColumn("acos", aff_cos)
+        .withColumn("rn", F.row_number().over(w_aff))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"), "e", "nrm")
+    )
+
+    hi = assign.select(
+        "cluster", "vec_id", F.col("e").alias("e_hi"), F.col("nrm").alias("n_hi")
+    )
+    lo = assign.select(
+        "cluster",
+        F.col("vec_id").alias("lo_id"),
+        F.col("e").alias("e_lo"),
+        F.col("nrm").alias("n_lo"),
+    )
+    pair_cos = F.round(_dot(F.col("e_hi"), F.col("e_lo")) / (F.col("n_hi") * F.col("n_lo")), 6)
+    lower_sims = (
+        hi.join(lo, "cluster")
+        .filter(F.col("lo_id") < F.col("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.max(pair_cos).alias("max_cos_lower"))
+    )
+    return (
+        assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+        .join(lower_sims, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("max_cos_lower", F.lit(-1.0)).alias("max_cos_lower"),
+            (
+                F.col("max_cos_lower").isNull()
+                | (F.col("max_cos_lower") < SEMDEDUP_COSINE)
+            ).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -352,3 +352,13 @@ def test_capped_jaccard_stays_blocked_and_scan_clean(spark):
     for ln in (l for l in plan.splitlines() if "FileScan" in l):
         for bad in ("zip_with", "array_distinct", "slice(", "split("):
             assert bad not in ln, f"shingle expression leaked into scan: {ln[:200]}"
+
+
+def test_semantic_prune_blocked_by_cluster(spark):
+    """SemDeDup's pairwise stage must be the within-cluster equi-join:
+    codebook broadcast for assignment, no cartesian anywhere."""
+    df = q("dedup_semantic_prune")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # k-row codebook broadcast
