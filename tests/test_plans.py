@@ -362,3 +362,45 @@ def test_semantic_prune_blocked_by_cluster(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # k-row codebook broadcast
+
+
+def test_aqe_skew_join_split_fires_on_skewed_data(spark, tmp_path):
+    """The engine's skew posture leans on AQE's OptimizeSkewedJoin for
+    runtime re-plans (SCALE.md 'Skew'); witness it actually firing: a
+    90%-hot join key must get its partition split (SortMergeJoin(skew=true)
+    / 'skewed' shuffle read) with results intact. Thresholds are scaled
+    down to fixture bytes — AQE compares COMPRESSED map-output sizes, so
+    the hot side carries a wide random column (a single repeated key
+    column lz4-compresses below any realistic threshold)."""
+    left_dir, right_dir = str(tmp_path / "left"), str(tmp_path / "right")
+    spark.range(300_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+        F.concat(*[F.md5(F.col("id").cast("string"))] * 4).alias("pad"),
+    ).write.mode("overwrite").parquet(left_dir)
+    spark.range(100).select(
+        F.col("id").alias("k"), F.lit("dim").alias("name")
+    ).write.mode("overwrite").parquet(right_dir)
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        joined = (
+            spark.read.parquet(left_dir)
+            .join(spark.read.parquet(right_dir), "k")
+            .select("k", "pad", "name")
+        )
+        rows = joined.count()
+        joined.collect()  # finalize AQE on this exact DataFrame
+        plan = _plan(joined).split("== Initial Plan ==")[0]
+        assert rows == 300_000
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead split marker
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
