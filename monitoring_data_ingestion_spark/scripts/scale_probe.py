@@ -40,6 +40,26 @@ PROBE_QUERIES = (
 SF01 = "/root/testdata/sf0.1"
 
 
+def _write_single_file(df, out_dir: str, name: str) -> None:
+    """Write one table as a single `<name>.parquet` FILE, matching the
+    fixture layout (the streaming file source discovers tables by file
+    name via pathGlobFilter — a directory named events.parquet would hide
+    its part files from the glob)."""
+    import glob
+    import shutil
+
+    tmp = os.path.join(out_dir, f".tmp-{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)
+    os.rename(part, dest)
+    shutil.rmtree(tmp)
+
+
 def _gen_relational(spark, out_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
@@ -60,26 +80,20 @@ def _gen_relational(spark, out_dir: str, factor: int) -> None:
             out = out.unionAll(shifted(df, col_shifts, i))
         return out
 
-    scale(lineitem, {"l_orderkey": k_order}).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
+    _write_single_file(scale(lineitem, {"l_orderkey": k_order}), out_dir, "lineitem")
+    _write_single_file(
+        scale(orders, {"o_orderkey": k_order, "o_custkey": k_cust}), out_dir, "orders"
     )
-    scale(orders, {"o_orderkey": k_order, "o_custkey": k_cust}).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/orders.parquet")
-    scale(customer, {"c_custkey": k_cust}).write.mode("overwrite").parquet(
-        f"{out_dir}/customer.parquet"
-    )
+    _write_single_file(scale(customer, {"c_custkey": k_cust}), out_dir, "customer")
     events = spark.read.parquet(f"{SF01}/events.parquet")
     k_event = events.agg(F.max("event_id")).first()[0] + 1
     k_user = events.agg(F.max("user_id")).first()[0] + 1
     # Same time range, 10x event/user density — how a stream table grows.
-    scale(events, {"event_id": k_event, "user_id": k_user}).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/events.parquet")
+    _write_single_file(
+        scale(events, {"event_id": k_event, "user_id": k_user}), out_dir, "events"
+    )
     for dim in ("supplier", "part", "nation", "region"):
-        spark.read.parquet(f"{SF01}/{dim}.parquet").write.mode("overwrite").parquet(
-            f"{out_dir}/{dim}.parquet"
-        )
+        _write_single_file(spark.read.parquet(f"{SF01}/{dim}.parquet"), out_dir, dim)
 
 
 def _gen_documents(out_dir: str, factor: int, seed: int = 42) -> None:
