@@ -44,12 +44,21 @@ def _write_single_file(df, out_dir: str, name: str) -> None:
     """Write one table as a single `<name>.parquet` FILE, matching the
     fixture layout (the streaming file source discovers tables by file
     name via pathGlobFilter — a directory named events.parquet would hide
-    its part files from the glob)."""
+    its part files from the glob).
+
+    Row groups are bounded at 8 MB: a parquet row group is the minimum
+    read unit, so a coalesce(1) file with one default-128 MB row group
+    collapses every scan to ONE task no matter how many byte-range
+    splits the planner makes (measured: q1 at sf1 went 1.5 s → 14.5 s
+    under a single-row-group lineitem). Single-FILE tables are a test
+    convenience; single-ROW-GROUP tables are a scan-parallelism bug."""
     import glob
     import shutil
 
     tmp = os.path.join(out_dir, f".tmp-{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.option("parquet.block.size", 8 * 1024 * 1024).mode(
+        "overwrite"
+    ).parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     dest = os.path.join(out_dir, f"{name}.parquet")
     if os.path.isdir(dest):
