@@ -33,6 +33,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_scrub",
     "dedup_ngram_jaccard_capped",
     "dedup_semantic_prune",
+    "scalar_calendar_clamp",
     # --- changed this round: _widen_if_narrow gate rewritten without the
     #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",

@@ -609,3 +609,55 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "scalar_calendar_clamp",
+    tags=("scalar", "temporal"),
+    oracle="""
+SELECT event_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       CAST(ts + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_1m,
+       CAST((ts + INTERVAL 1 YEAR) + INTERVAL 1 DAY AS TIMESTAMP) AS plus_1y1d,
+       make_timestamp(
+         CAST(date_part('year', ts) AS BIGINT),
+         CAST(date_part('month', ts) AS BIGINT),
+         LEAST(31, CAST(date_part('day', last_day(CAST(ts AS DATE))) AS BIGINT)),
+         CAST(date_part('hour', ts) AS BIGINT),
+         CAST(date_part('minute', ts) AS BIGINT),
+         CAST(date_part('second', ts) AS DOUBLE)
+       ) AS with_day31,
+       CAST(to_timestamp(floor(epoch(ts) / 3600 + 0.5) * 3600) AS TIMESTAMP) AS round_hour_half,
+       CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS TIMESTAMP) AS round_day_floor,
+       CAST(to_timestamp(ceil(epoch(ts) / 900) * 900) AS TIMESTAMP) AS round_15m_ceil
+FROM events
+ORDER BY event_id
+""",
+)
+def scalar_calendar_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's calendar arithmetic (F6-F8) as an oracle-witnessed
+    scalar pass over event timestamps: month/year adds with end-of-month
+    clamping (src/temporal.js:77-82), component replacement with
+    day-clamping (src/temporal.js:34-54), and the three rounding modes
+    (halfExpand/floor/ceil, src/temporal.js:89-150) at hour/day/15-minute
+    granularity.
+
+    Hash-equality against DuckDB's independent date arithmetic proves the
+    clamp semantics cross-engine (both clamp Jan 31 + 1 month to Feb
+    28/29). Pure codegen map stage — zero shuffles beyond the output
+    order, so at 100 TB this runs at scan speed like every scalar query.
+    """
+    from ..functions.temporal import add_calendar, datetime_round, datetime_with
+
+    e = table(spark, sf_dir, "events")
+    t = F.col("ts")
+    return e.select(
+        "event_id",
+        t.alias("ts"),
+        add_calendar(t, months=1).alias("plus_1m"),
+        add_calendar(t, years=1, days=1).alias("plus_1y1d"),
+        datetime_with(t, day=31).alias("with_day31"),
+        datetime_round(t, "hour").alias("round_hour_half"),
+        datetime_round(t, "day", mode="floor").alias("round_day_floor"),
+        datetime_round(t, "minute", 15, "ceil").alias("round_15m_ceil"),
+    ).orderBy("event_id")
