@@ -34,6 +34,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_capped",
     "dedup_semantic_prune",
     "scalar_calendar_clamp",
+    "scalar_geo_uniform",
     # --- changed this round: _widen_if_narrow gate rewritten without the
     #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",

@@ -26,13 +26,22 @@ def modulo(x, y, offset=0) -> Column:
     return F.pmod(_c(x) - _c(offset), _c(y)) + _c(offset)
 
 
-def randlon(seed: int | None = None) -> Column:
-    """Uniform random longitude in [-180, 180)."""
-    r = F.rand(seed) if seed is not None else F.rand()
+def randlon(seed: int | None = None, u=None) -> Column:
+    """Uniform random longitude in [-180, 180).
+
+    ``u`` injects an explicit uniform-[0,1) column in place of
+    ``F.rand()`` — the deterministic form an oracle can hash-check (and
+    the form to use when coordinates must be reproducible from a key).
+    """
+    r = _c(u) if u is not None else (F.rand(seed) if seed is not None else F.rand())
     return r * F.lit(360.0) - F.lit(180.0)
 
 
-def randlat(seed: int | None = None) -> Column:
-    """Area-uniform random latitude: degrees(asin(2u - 1))."""
-    r = F.rand(seed) if seed is not None else F.rand()
+def randlat(seed: int | None = None, u=None) -> Column:
+    """Area-uniform random latitude: degrees(asin(2u - 1)).
+
+    ``u`` as in :func:`randlon`: explicit uniform source for
+    deterministic, oracle-checkable output.
+    """
+    r = _c(u) if u is not None else (F.rand(seed) if seed is not None else F.rand())
     return F.degrees(F.asin(r * F.lit(2.0) - F.lit(1.0)))

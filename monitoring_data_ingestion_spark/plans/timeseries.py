@@ -661,3 +661,48 @@ def scalar_calendar_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         datetime_round(t, "day", mode="floor").alias("round_day_floor"),
         datetime_round(t, "minute", 15, "ceil").alias("round_15m_ceil"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_geo_uniform",
+    tags=("scalar", "geo"),
+    oracle="""
+WITH u AS (
+  SELECT event_id,
+         CAST((event_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS u
+  FROM events
+)
+SELECT event_id,
+       u,
+       u * 360.0 - 180.0 AS lon,
+       degrees(asin(u * 2.0 - 1.0)) AS lat
+FROM u ORDER BY event_id
+""",
+)
+def scalar_geo_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-uniform coordinate sampling (F5, src/math.js:12-19) in its
+    deterministic form: a Knuth-hash uniform is derived from the event id
+    and pushed through the engine's randlon/randlat transforms (uniform
+    longitude; latitude via degrees(asin(2u−1)), which weights bands by
+    cos(lat) so samples are uniform per unit AREA, not per degree).
+
+    The oracle hash-checks the inverse-CDF math itself; the F.rand()
+    forms share this exact code path with the uniform injected. Pure
+    codegen map stage.
+    """
+    from ..functions.math import randlat, randlon
+
+    e = table(spark, sf_dir, "events")
+    u = ((F.col("event_id") * F.lit(2654435761)) % F.lit(1000000)).cast(
+        "double"
+    ) / F.lit(1000000.0)
+    return (
+        e.select("event_id", u.alias("u"))
+        .select(
+            "event_id",
+            "u",
+            randlon(u=F.col("u")).alias("lon"),
+            randlat(u=F.col("u")).alias("lat"),
+        )
+        .orderBy("event_id")
+    )
