@@ -35,6 +35,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_prune",
     "scalar_calendar_clamp",
     "scalar_geo_uniform",
+    "scalar_oscar_calendar",
     # --- changed this round: _widen_if_narrow gate rewritten without the
     #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",

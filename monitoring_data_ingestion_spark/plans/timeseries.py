@@ -706,3 +706,53 @@ def scalar_geo_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "scalar_oscar_calendar",
+    tags=("scalar", "temporal", "calendar"),
+    oracle="""
+WITH yrs AS (
+  SELECT DISTINCT CAST(date_part('year', ts) AS BIGINT) + k.k AS y
+  FROM events, (SELECT unnest(generate_series(0, 7)) AS k) k
+), grid AS (
+  SELECT y, CAST(i.i AS INTEGER) AS idx,
+         CASE WHEN y % 4 = 0 AND (y % 100 <> 0 OR y % 400 = 0)
+              THEN 366 ELSE 365 END AS diy
+  FROM yrs, (SELECT unnest(generate_series(0, 71)) AS i) i
+)
+SELECT y, idx,
+       CAST(make_date(CAST(y AS INTEGER), 1, 1)
+            + CAST(floor(diy * idx / 72.0) AS INTEGER) AS TIMESTAMP) AS oscar_date
+FROM grid ORDER BY y, idx
+""",
+)
+def scalar_oscar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OSCAR 72-date observation calendar (F13,
+    /root/reference/src/oscar.js:27-34) unrolled over an 8-year span
+    around the fixture's event years — exercising the explicit Gregorian
+    leap rule (366 iff y%4=0 and (y%100≠0 or y%400=0)) and the
+    floor(days_in_year·i/72) day-offset spacing.
+
+    The oracle restates the same closed form over DuckDB's independent
+    date arithmetic, so the hash check covers both the leap predicate and
+    the offset rounding. The engine side goes through the real
+    ``oscar_dates`` array builder (one codegen'd transform per year row —
+    at scale this is a tiny dimension-table generator, not a data pass).
+    """
+    from ..functions.temporal import oscar_dates
+
+    e = table(spark, sf_dir, "events")
+    years = (
+        e.select(
+            F.explode(
+                F.sequence(F.year("ts").cast("bigint"), F.year("ts").cast("bigint") + 7)
+            ).alias("y")
+        )
+        .distinct()
+    )
+    return (
+        years.select("y", F.posexplode(oscar_dates(F.col("y"))).alias("idx", "d"))
+        .select("y", F.col("idx").cast("int").alias("idx"), F.col("d").cast("timestamp").alias("oscar_date"))
+        .orderBy("y", "idx")
+    )
