@@ -36,6 +36,7 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_calendar_clamp",
     "scalar_geo_uniform",
     "scalar_oscar_calendar",
+    "sample_temperature_mix",
     # --- changed this round: _widen_if_narrow gate rewritten without the
     #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
     "dedup_ngram_jaccard",

@@ -392,3 +392,82 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", F.col("w").alias("weight"), F.col("rk").alias("rank"))
         .orderBy("source", "rank")
     )
+
+
+MIX_ALPHA = 0.7  # temperature exponent: p_i ∝ n_i^α flattens the domain mix
+MIX_BUDGET = 200  # total documents the mixed sample may keep
+
+
+@query(
+    "sample_temperature_mix",
+    tags=("sampling", "llm"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         'd' || CAST(CAST(FLOOR(LOG2(doc_id + 2)) AS INTEGER) AS VARCHAR) AS domain
+  FROM documents
+), counts AS (
+  SELECT domain, COUNT(*) AS n, POW(COUNT(*), {MIX_ALPHA}) AS pw
+  FROM docs GROUP BY domain
+), tot AS (
+  SELECT SUM(pw) AS total_pw FROM counts
+), budgets AS (
+  SELECT c.domain, c.n,
+         CAST(FLOOR({MIX_BUDGET} * c.pw / t.total_pw) AS INTEGER) AS budget
+  FROM counts c CROSS JOIN tot t
+), ranked AS (
+  SELECT d.doc_id, d.domain,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.domain ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS INTEGER) AS srank
+  FROM docs d
+)
+SELECT r.doc_id, r.domain, r.srank, b.budget
+FROM ranked r JOIN budgets b ON r.domain = b.domain
+WHERE r.srank <= b.budget
+ORDER BY r.doc_id
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing: each domain's sampling budget is
+    proportional to n_i^α (α=0.7 — the multilingual-LM scheme that
+    up-weights small domains without letting any dominate), and documents
+    are selected per domain by a deterministic md5 shuffle rank up to the
+    budget. Domains here are exponentially-sized pseudo-domains derived
+    from doc_id (the fixture's real sources are uniform, which would make
+    every temperature invisible); with sizes 2, 4, 8, … the α-flattening
+    is visible in the budgets — the largest domain gets far less than its
+    proportional share. Output: the mixed sample with each doc's
+    in-domain rank and its domain's budget.
+
+    Scale: one count aggregate per domain (tiny), the power-law weights
+    and budgets computed on that |domains|-row frame and broadcast back;
+    the only corpus-sized work is the per-domain rank window — one
+    shuffle on the domain key, same shape as sample_k_per_group but with
+    a data-derived k. No collect; budgets are a joined dimension.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("d"), F.floor(F.log2(F.col("doc_id") + 2)).cast("int").cast("string")
+        ).alias("domain"),
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.withColumn("pw", F.pow(F.col("n"), F.lit(MIX_ALPHA)))
+    total = counts.agg(F.sum("pw").alias("total_pw"))
+    budgets = counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.floor(F.lit(MIX_BUDGET) * F.col("pw") / F.col("total_pw"))
+        .cast("int")
+        .alias("budget"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "doc_id", "domain", F.row_number().over(w).cast("int").alias("srank")
+    )
+    return (
+        ranked.join(F.broadcast(budgets), "domain")
+        .filter(F.col("srank") <= F.col("budget"))
+        .select("doc_id", "domain", "srank", "budget")
+        .orderBy("doc_id")
+    )
