@@ -31,6 +31,11 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round: PII scrub witnessed end-to-end (VERDICT r4 #1),
     #     and the stop-shingle-capped Jaccard the sf1 probe motivated ---
     "text_pii_scrub",
+    "ts_ohlc_resample",
+    "ts_ewma",
+    "ts_counter_rate",
+    "text_ngram_lm_score",
+    "grid_bilinear_regrid",
     "dedup_ngram_jaccard_capped",
     "dedup_semantic_prune",
     "scalar_calendar_clamp",

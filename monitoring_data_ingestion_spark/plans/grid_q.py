@@ -237,3 +237,122 @@ def grid_regrid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_lat", "cell_lon")
     )
+
+
+# Bilinear regrid lattice bounds: coarse 1-degree corners on
+# lat [-20, 20] x lon [0, 40]; fine 0.5-degree targets stop half a cell
+# short of the top edge so every target has all four corners.
+_BL_LAT0, _BL_LATN = -20, 20
+_BL_LON0, _BL_LONN = 0, 40
+
+# Closed-form corner value: small integer hash plus a quarter-degree ramp.
+# Every term is an exact multiple of 0.25, so all bilinear weights (0,
+# 0.25, 0.5, 1) and products stay exactly representable in binary floats —
+# the interpolation is bit-exact in ANY engine with no decimal plumbing.
+_BL_VALUE_SQL = (
+    "CAST(((lat + 90) * 31 + (lon + 180) * 7) % 17 AS DOUBLE) + (lat + 90) * 0.25"
+)
+
+
+@query(
+    "grid_bilinear_regrid",
+    tags=("grid", "spatial", "join"),
+    oracle=f"""
+WITH corners AS (
+  SELECT lat, lon, {_BL_VALUE_SQL} AS value
+  FROM (SELECT unnest(generate_series({_BL_LAT0}, {_BL_LATN})) AS lat) la,
+       (SELECT unnest(generate_series({_BL_LON0}, {_BL_LONN})) AS lon) lo
+), fine AS (
+  SELECT {_BL_LAT0} + i * 0.5 AS flat, {_BL_LON0} + j * 0.5 AS flon
+  FROM (SELECT unnest(generate_series(0, {(_BL_LATN - _BL_LAT0) * 2 - 1})) AS i) a,
+       (SELECT unnest(generate_series(0, {(_BL_LONN - _BL_LON0) * 2 - 1})) AS j) b
+), anchored AS (
+  SELECT flat, flon,
+         CAST(floor(flat) AS BIGINT) AS lat0, CAST(floor(flon) AS BIGINT) AS lon0,
+         flat - floor(flat) AS fy, flon - floor(flon) AS fx
+  FROM fine
+)
+SELECT a.flat AS lat, a.flon AS lon,
+       (1 - a.fy) * (1 - a.fx) * c00.value
+     + (1 - a.fy) * a.fx       * c01.value
+     + a.fy       * (1 - a.fx) * c10.value
+     + a.fy       * a.fx       * c11.value AS value
+FROM anchored a
+JOIN corners c00 ON c00.lat = a.lat0     AND c00.lon = a.lon0
+JOIN corners c01 ON c01.lat = a.lat0     AND c01.lon = a.lon0 + 1
+JOIN corners c10 ON c10.lat = a.lat0 + 1 AND c10.lon = a.lon0
+JOIN corners c11 ON c11.lat = a.lat0 + 1 AND c11.lon = a.lon0 + 1
+ORDER BY lat, lon
+""",
+)
+def grid_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid to a 2x finer grid — the reference's
+    ``gdal_translate``/``gdalwarp`` resampling path
+    (/root/reference/src/file-conversions.js:58-72) re-expressed as
+    relational algebra: each fine point is the corner-weighted mean of its
+    four enclosing coarse-cell corners.
+
+    Spark-first: instead of the oracle's four corner joins, the fine side
+    EXPLODES its four (corner-key, weight) contributions and makes ONE
+    equi-join against the corner table, then regroups per fine point —
+    at planetary grid sizes that is a single shuffle on corner key (AQE
+    broadcasts the corner side when it fits), and the contribution sum is
+    exact because every weight and corner value is a multiple of 1/4
+    (see _BL_VALUE_SQL). No UDF, no cartesian, no window.
+    """
+    la = spark.range(_BL_LAT0, _BL_LATN + 1).select(F.col("id").alias("lat"))
+    lo = spark.range(_BL_LON0, _BL_LONN + 1).select(F.col("id").alias("lon"))
+    corners = la.crossJoin(lo).select(
+        "lat",
+        "lon",
+        (
+            (((F.col("lat") + 90) * 31 + (F.col("lon") + 180) * 7) % 17).cast("double")
+            + (F.col("lat") + 90) * F.lit(0.25)
+        ).alias("value"),
+    )
+    fi = spark.range(0, (_BL_LATN - _BL_LAT0) * 2).select(F.col("id").alias("i"))
+    fj = spark.range(0, (_BL_LONN - _BL_LON0) * 2).select(F.col("id").alias("j"))
+    fine = fi.crossJoin(fj).select(
+        (F.lit(_BL_LAT0) + F.col("i") * F.lit(0.5)).alias("flat"),
+        (F.lit(_BL_LON0) + F.col("j") * F.lit(0.5)).alias("flon"),
+    )
+    anchored = fine.select(
+        "flat",
+        "flon",
+        F.floor("flat").alias("lat0"),
+        F.floor("flon").alias("lon0"),
+        (F.col("flat") - F.floor("flat")).alias("fy"),
+        (F.col("flon") - F.floor("flon")).alias("fx"),
+    )
+    wy = [F.lit(1) - F.col("fy"), F.col("fy")]
+    wx = [F.lit(1) - F.col("fx"), F.col("fx")]
+    contributions = F.array(
+        *[
+            F.struct(
+                (F.col("lat0") + dy).alias("clat"),
+                (F.col("lon0") + dx).alias("clon"),
+                (wy[dy] * wx[dx]).alias("w"),
+            )
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    )
+    exploded = anchored.select(
+        "flat", "flon", F.explode(contributions).alias("c")
+    ).select(
+        "flat",
+        "flon",
+        F.col("c.clat").alias("clat"),
+        F.col("c.clon").alias("clon"),
+        F.col("c.w").alias("w"),
+    )
+    joined = exploded.join(
+        corners,
+        (F.col("clat") == F.col("lat")) & (F.col("clon") == F.col("lon")),
+    )
+    return (
+        joined.groupBy("flat", "flon")
+        .agg(F.sum(F.col("w") * F.col("value")).alias("value"))
+        .select(F.col("flat").alias("lat"), F.col("flon").alias("lon"), "value")
+        .orderBy("lat", "lon")
+    )

@@ -381,3 +381,105 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_ngram_lm_score",
+    tags=("text", "agg", "join", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+  LATERAL (SELECT unnest({_TOKENS_SQL}) AS tok,
+                  unnest(generate_series(1, len({_TOKENS_SQL}))) AS i) t
+), bigrams AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab FROM toks
+), scored AS (
+  SELECT g.doc_id,
+         ROUND(-ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vocab AS DOUBLE)), 6)
+           AS nll
+  FROM bigrams g
+  JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+  JOIN c1 ON g.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS lm_score
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality score (the CCNet-style perplexity filter):
+    train add-one-smoothed bigram counts on the corpus itself, then score
+    each document by its mean negative log-likelihood — low = fluent /
+    redundant, high = unusual n-gram sequences (noise, gibberish,
+    boilerplate breaks).
+
+    Spark-first: bigrams are paired INSIDE each row (transform over the
+    token array, same zero-self-join shape as text_ngram_freq) before one
+    explode; the LM is two hash aggregates off that explode (c2 on
+    (w1,w2), c1 derived from c2 — never a second corpus pass); scoring
+    re-joins bigrams to the LM on (w1,w2) — a shuffle equi-join that AQE
+    turns into a broadcast when the vocabulary fits, and survives when it
+    does not (100 TB: vocab-sized sides shuffle, corpus-side bigrams
+    stream through). Determinism: each bigram's NLL is rounded to 6 dp
+    then exact-decimal-summed, so the per-doc mean is partitioning-proof.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("tok"))
+    n = F.size("tok")
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("tok", i + 1).alias("w1"),
+                    F.element_at("tok", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = d.select(F.explode(_tokens(F.col("text"))).alias("tok")).agg(
+        F.count_distinct("tok").alias("vocab")
+    )
+    nll = F.round(
+        -F.log(
+            (F.col("c2") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("vocab")).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )

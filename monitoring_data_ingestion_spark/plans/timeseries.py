@@ -756,3 +756,219 @@ def scalar_oscar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("y", F.col("idx").cast("int").alias("idx"), F.col("d").cast("timestamp").alias("oscar_date"))
         .orderBy("y", "idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Monitoring-native resampling family: OHLC bars, bounded-frame EWMA, and
+# counter-rate with reset detection — the three shapes a metrics engine
+# derives from every raw series (the reference's status/ingest loop keeps
+# only latest-value state; these are the standard rollups downstream
+# dashboards ask of the same event stream).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_ohlc_resample",
+    tags=("window", "agg", "timeseries"),
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, ts, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (hour, event_type) bar with open = value of the
+    first sample, close = value of the last (total order: ts, event_id),
+    high/low = extremes.
+
+    Spark-first: open/close ride a lexicographic struct min/max —
+    ``min(struct(ts, event_id, value))`` picks the earliest sample and
+    carries its value through the SAME partial+final hash aggregate as
+    high/low/count, so the whole bar is ONE shuffle carrying one row per
+    bar and never a window sort (the oracle states the equivalent
+    row_number() form). At 100 TB: map-side partial aggregation reduces
+    each partition to |bars| rows before the exchange; no per-row state
+    crosses the wire.
+    """
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        b.groupBy("window_start", "event_type")
+        .agg(
+            first_s.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Exact rational EWMA weights for alpha = 1/4: weight(distance d) is
+# proportional to (3/4)^d; scaling by 4^9 makes every weight an integer
+# (3^d * 4^(9-d)), so numerator and denominator are decimal/integer-exact
+# and the ONLY float operation is one final double division — bit-identical
+# regardless of partitioning, and identical to the oracle's.
+_EWMA_SPAN = 10
+_EWMA_W = [3**d * 4 ** (_EWMA_SPAN - 1 - d) for d in range(_EWMA_SPAN)]
+
+
+@query(
+    "ts_ewma",
+    tags=("window", "timeseries"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE user_id <= 20
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM e
+), w(d, wt) AS (
+  SELECT * FROM (VALUES {", ".join(f"({d}, {w})" for d, w in enumerate(_EWMA_W))}) v
+)
+SELECT a.user_id, a.event_id, a.value,
+       CAST(SUM(CAST(b.value AS DECIMAL(18,6)) * w.wt) AS DOUBLE)
+         / CAST(SUM(w.wt) AS DOUBLE) AS ewma
+FROM r a
+JOIN r b ON a.user_id = b.user_id AND a.rn - b.rn BETWEEN 0 AND {_EWMA_SPAN - 1}
+JOIN w ON w.d = a.rn - b.rn
+GROUP BY a.user_id, a.event_id, a.value
+ORDER BY a.user_id, a.event_id
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/4, 10-sample
+    bounded frame, adjust=True normalization) per user series.
+
+    Spark-first: the frame sum unrolls into 10 ``lag`` terms over ONE
+    window spec — a single shuffle on user_id, a single sort, all-arithmetic
+    whole-stage codegen after it (no collect_list, no higher-order lambda,
+    no self-join — the oracle states the equivalent rn-distance self-join).
+    Exactness: integer weights 3^d*4^(9-d) keep both sums decimal-exact;
+    the one double divide is bit-identical in any engine. At 100 TB the
+    cost is the series shuffle the semantics require, nothing more.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(order_w)
+    d0 = e.withColumn("rn", rn)
+    num = None
+    den = None
+    for d, wt in enumerate(_EWMA_W):
+        in_frame = F.col("rn") > d
+        x = F.lag("value", d).over(order_w) if d else F.col("value")
+        term = F.when(in_frame, x.cast("decimal(18,6)") * F.lit(wt)).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+        wterm = F.when(in_frame, F.lit(wt)).otherwise(F.lit(0)).cast("bigint")
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return (
+        d0.select(
+            "user_id",
+            "event_id",
+            "value",
+            (num.cast("double") / den.cast("double")).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "ts_counter_rate",
+    tags=("window", "agg", "timeseries"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE user_id <= 20
+), c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           % 10000 AS counter
+  FROM e
+), d AS (
+  SELECT user_id, ts, event_id, counter,
+         counter - lag(counter) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta
+  FROM c
+), inc AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         CASE WHEN delta IS NULL THEN CAST(0 AS DECIMAL(18,6))
+              WHEN delta >= 0 THEN delta
+              ELSE counter END AS increase
+  FROM d
+)
+SELECT user_id, window_start,
+       COUNT(*) AS n_samples,
+       CAST(SUM(increase) AS DOUBLE) AS total_increase,
+       CAST(SUM(increase) AS DOUBLE) / 3600.0 AS rate_per_sec
+FROM inc GROUP BY user_id, window_start
+ORDER BY user_id, window_start
+""",
+)
+def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style counter rate with reset detection: each user's
+    monotone counter (running exact-decimal sum, wrapped at 10 000 to
+    synthesize resets) is differenced; a negative delta is a reset and
+    contributes the post-reset counter value, the first sample contributes
+    nothing; increases aggregate per hour bucket into a per-second rate.
+
+    Spark-first: ONE shuffle on user_id serves the running sum and the lag
+    (same window spec), then the bucket rollup is a partial+final hash
+    aggregate keyed (user, hour). Decimal arithmetic end-to-end: the
+    running sum, the wrap (decimal %), and the increase sum are exact, so
+    the hash matches the single-threaded oracle at any parallelism.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counter = (F.sum(F.col("value").cast("decimal(18,6)")).over(run) % F.lit(10000)).alias(
+        "counter"
+    )
+    c = e.select("user_id", "ts", "event_id", counter)
+    delta = F.col("counter") - F.lag("counter").over(order_w)
+    d = c.withColumn("delta", delta)
+    increase = (
+        F.when(F.col("delta").isNull(), F.lit(0).cast("decimal(18,6)"))
+        .when(F.col("delta") >= 0, F.col("delta"))
+        .otherwise(F.col("counter"))
+    )
+    inc = d.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("window_start"),
+        increase.alias("increase"),
+    )
+    return (
+        inc.groupBy("user_id", "window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("increase").cast("double").alias("total_increase"),
+            (F.sum("increase").cast("double") / F.lit(3600.0)).alias("rate_per_sec"),
+        )
+        .orderBy("user_id", "window_start")
+    )

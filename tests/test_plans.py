@@ -404,3 +404,56 @@ def test_aqe_skew_join_split_fires_on_skewed_data(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """The OHLC bar must compile to one partial+final hash aggregate
+    (struct min/max carries open/close) — never a window sort: at scale a
+    window would materialize every sample per bar ordered, the aggregate
+    ships one row per bar."""
+    plan = _plan(q("ts_ohlc_resample")(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+    # exactly one exchange pair: the bar aggregation + final orderBy
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_is_one_window_pass_no_join(spark):
+    """The 10-term lag unroll must stay a SINGLE window over one shuffle
+    on user_id — not a self-join (the oracle's formulation) and not ten
+    window operators."""
+    plan = _plan(q("ts_ewma")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_counter_rate_reuses_series_partitioning(spark):
+    """Running sum, lag, and the hour rollup must share the user_id
+    exchange: one shuffle for the windows, one for the (user, hour)
+    aggregate — never three."""
+    plan = _plan(q("ts_counter_rate")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_lm_score_joins_are_equi_not_cartesian(spark):
+    """Bigram→LM scoring must stay blocked equi-joins; the only
+    nested-loop is the 1-row vocab broadcast."""
+    df = q("text_ngram_lm_score")(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the vocab scalar join is the single permitted nested-loop broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bilinear_corner_join_is_equi_join(spark):
+    """The exploded 4-corner contribution join must be a hash equi-join on
+    the corner key (broadcast here; shuffle-equi at planetary scale) —
+    never a nested loop against the corner table."""
+    df = q("grid_bilinear_regrid")(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # nested loops may only appear under the Range-generator cross joins,
+    # which carry no scan columns; the corner join itself is keyed.
+    assert "CartesianProduct" not in plan
