@@ -34,7 +34,10 @@ _PRIORITY: tuple[str, ...] = (
     "ts_ohlc_resample",
     "ts_ewma",
     "ts_counter_rate",
+    "ts_interval_coalesce",
     "text_ngram_lm_score",
+    "text_url_canonical_dedup",
+    "embedding_pca_project",
     "grid_bilinear_regrid",
     "dedup_ngram_jaccard_capped",
     "dedup_semantic_prune",

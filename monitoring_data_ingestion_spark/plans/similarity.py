@@ -1038,3 +1038,173 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- distributed PCA: fixed-size moment aggregation + in-plan power iteration
+
+PCA_ITERS = 6  # fixed budget: the 6-step iterate IS the declared semantics
+_PCA_DEC = "decimal(30,12)"  # ≤13 sig digits — portable double→decimal zone
+
+
+def _pca_oracle() -> str:
+    """Unrolled-CTE oracle: raw second moments from a positional self-join,
+    means, covariance, then PCA_ITERS normalized matvec steps, then the
+    centered projection — every sum decimal-exact, every division/sqrt a
+    deterministic double op, mirroring the Spark plan step for step."""
+    dec = "DECIMAL(30,12)"
+    ctes = [
+        f"""x AS MATERIALIZED (
+  SELECT vec_id, label, u.i, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+  LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS i,
+                  unnest(embedding) AS x) u
+)""",
+        f"""n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x)""",
+        f"""m1 AS (
+  SELECT i, CAST(SUM(CAST(x AS {dec})) AS DOUBLE) AS s1 FROM x GROUP BY i
+)""",
+        f"""mu AS (SELECT i, s1 / n.n AS mu FROM m1, n)""",
+        f"""m2 AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(a.x * b.x AS {dec})) AS DOUBLE) AS s2
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+)""",
+        f"""cov AS MATERIALIZED (
+  SELECT m2.i, m2.j, m2.s2 / n.n - mi.mu * mj.mu AS c
+  FROM m2 JOIN mu mi ON mi.i = m2.i JOIN mu mj ON mj.i = m2.j, n
+)""",
+        f"""v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM m1)""",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT cov.i, CAST(SUM(CAST(cov.c * v{k - 1}.v AS {dec})) AS DOUBLE) AS u
+  FROM cov JOIN v{k - 1} ON v{k - 1}.i = cov.j GROUP BY cov.i
+)"""
+        )
+        ctes.append(
+            f"""n{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(u * u AS {dec})) AS DOUBLE)) AS nrm FROM u{k}
+)"""
+        )
+        ctes.append(f"""v{k} AS (SELECT i, u / nrm AS v FROM u{k}, n{k})""")
+    vf = f"v{PCA_ITERS}"
+    ctes.append(
+        f"""proj AS (
+  SELECT x.vec_id,
+         CAST(SUM(CAST(x.x * {vf}.v AS {dec})) AS DOUBLE) AS xv
+  FROM x JOIN {vf} ON {vf}.i = x.i GROUP BY x.vec_id
+)"""
+    )
+    ctes.append(
+        f"""bias AS (
+  SELECT CAST(SUM(CAST(mu.mu * {vf}.v AS {dec})) AS DOUBLE) AS b
+  FROM mu JOIN {vf} ON {vf}.i = mu.i
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+@query(
+    "embedding_pca_project",
+    tags=("embedding", "ml", "iterative"),
+    oracle=f"""
+WITH {_pca_oracle()}
+SELECT e.vec_id, e.label, ROUND(p.xv - bias.b, 6) AS pc1
+FROM proj p JOIN embeddings e USING (vec_id), bias
+ORDER BY vec_id
+""",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA first-component projection of the embedding corpus — the
+    dimensionality step before clustering-based corpus curation (and the
+    building block of PCA-whitened ANN indexes).
+
+    The 100 TB pattern: the data-sized work is ONE pass that reduces the
+    corpus to a FIXED-size sufficient statistic — per-row outer products
+    (built inside the row by an indexed double transform, dim² structs)
+    flow into a partial+final hash aggregate keyed (i, j), so the exchange
+    carries at most dim²·partitions rows no matter the corpus size; first
+    moments and the row count ride the same explode with sentinel keys
+    (j = -1), so the scan happens ONCE. The dim×dim covariance is then
+    ``localCheckpoint``-ed (iterations must not replay the corpus pass)
+    and 6 power-iteration steps run as tiny broadcast matvec joins; the
+    final projection is one broadcast join + per-vector exact-decimal dot.
+    Determinism: every sum is decimal(30,12)-exact, every divide/sqrt a
+    pointwise double op — bit-identical to the oracle's unrolled CTEs.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # one scan → (i, j, value) contributions: outer products, first
+    # moments (j = -1), and the row counter (i = j = -1)
+    outer = F.flatten(
+        F.transform(
+            "e",
+            lambda xi, i: F.transform(
+                "e", lambda xj, j: F.struct(i.alias("i"), j.alias("j"), (xi * xj).alias("v"))
+            ),
+        )
+    )
+    firsts = F.transform(
+        "e", lambda xi, i: F.struct(i.alias("i"), F.lit(-1).alias("j"), xi.alias("v"))
+    )
+    counter = F.array(
+        F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("j"), F.lit(1.0).alias("v"))
+    )
+    moments = (
+        emb.select(F.explode(F.concat(outer, firsts, counter)).alias("m"))
+        .select("m.i", "m.j", "m.v")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast(_PCA_DEC)).cast("double").alias("s"))
+        .localCheckpoint()
+    )
+    n_df = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    mu = (
+        moments.filter((F.col("j") == -1) & (F.col("i") >= 0))
+        .crossJoin(F.broadcast(n_df))
+        .select("i", (F.col("s") / F.col("n")).alias("mu"))
+    )
+    cov = (
+        moments.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+        .crossJoin(F.broadcast(n_df))
+        .join(F.broadcast(mu.select(F.col("i").alias("ii"), F.col("mu").alias("mi"))),
+              F.col("i") == F.col("ii"))
+        .join(F.broadcast(mu.select(F.col("i").alias("jj"), F.col("mu").alias("mj"))),
+              F.col("j") == F.col("jj"))
+        .select("i", "j", (F.col("s") / F.col("n") - F.col("mi") * F.col("mj")).alias("c"))
+        .localCheckpoint()
+    )
+    v = mu.select("i", F.lit(0.125).alias("v"))
+    for _ in range(PCA_ITERS):
+        # localCheckpoint per iterate: u feeds BOTH the norm and the next
+        # vector — left lazy, each level doubles the replayed subtree
+        # (2^ITERS cov-join replays); checkpointed, each level is one tiny job
+        u = (
+            cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum((F.col("c") * F.col("v")).cast(_PCA_DEC)).cast("double").alias("u"))
+            .localCheckpoint()
+        )
+        nrm = u.agg(
+            F.sqrt(F.sum((F.col("u") * F.col("u")).cast(_PCA_DEC)).cast("double")).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select("i", (F.col("u") / F.col("nrm")).alias("v"))
+    x_long = emb.select("vec_id", F.posexplode("e").alias("i", "x"))
+    proj = (
+        x_long.join(F.broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("x") * F.col("v")).cast(_PCA_DEC)).cast("double").alias("xv"))
+    )
+    bias = (
+        mu.join(F.broadcast(v), "i")
+        .agg(F.sum((F.col("mu") * F.col("v")).cast(_PCA_DEC)).cast("double").alias("b"))
+    )
+    return (
+        proj.join(emb.select("vec_id", "label"), "vec_id")
+        .crossJoin(F.broadcast(bias))
+        .select("vec_id", "label", F.round(F.col("xv") - F.col("b"), 6).alias("pc1"))
+        .orderBy("vec_id")
+    )

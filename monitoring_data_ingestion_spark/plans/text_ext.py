@@ -483,3 +483,128 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Like the PII fixture: the synthetic corpus carries no URLs, so the query
+# derives a deterministic crawl-URL column FROM doc_id with the variation a
+# canonicalizer must erase (scheme, www, host case, trailing slash,
+# utm_* tracking params, fragments) plus variation it must KEEP (the page
+# query param). Both sides build the identical string, so the hash gate
+# checks the canonicalization chain itself.
+_URL_FIXTURE_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END
+  || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN 'SITE' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+       ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' END
+  || '/articles/item-' || CAST(doc_id % 100 AS VARCHAR)
+  || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 7 < 3
+       THEN '?utm_source=feed&page=' || CAST(doc_id % 2 AS VARCHAR)
+            || '&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+       ELSE CASE WHEN doc_id % 2 = 0
+            THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END END
+  || CASE WHEN doc_id % 6 = 0 THEN '#section-' || CAST(doc_id % 9 AS VARCHAR)
+       ELSE '' END
+"""
+
+
+@query(
+    "text_url_canonical_dedup",
+    tags=("text", "dedup", "map"),
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         array_to_string(
+           list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^utm_')),
+           '&') AS q
+  FROM raw
+), canon AS (
+  SELECT doc_id,
+         host || path || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+           AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_variants
+FROM canon GROUP BY canonical_url
+ORDER BY canonical_url
+""",
+)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + keep-first dedup — the web-pipeline
+    step before any content dedup: strip scheme / www / fragment /
+    trailing slash / utm_* tracking params, lowercase the host, KEEP
+    meaningful query params (page), then collapse variants of the same
+    resource to the earliest doc.
+
+    Scale: canonicalization is a codegen-fused chain of regexp extracts
+    and a higher-order filter over the split query string — a pure map
+    stage; the dedup is ONE partial+final hash aggregate on the canonical
+    key (map-side combine collapses most variants before the exchange).
+    No UDF, no join, no window.
+    """
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(i % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit("SITE"), (i % 40).cast("string"), F.lit(".Example.COM")),
+        ).otherwise(
+            F.concat(F.lit("site"), (i % 40).cast("string"), F.lit(".example.com"))
+        ),
+        F.lit("/articles/item-"),
+        (i % 100).cast("string"),
+        F.when(i % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            i % 7 < 3,
+            F.concat(
+                F.lit("?utm_source=feed&page="),
+                (i % 2).cast("string"),
+                F.lit("&utm_campaign=c"),
+                s,
+            ),
+        ).otherwise(
+            F.when(
+                i % 2 == 0, F.concat(F.lit("?page="), (i % 2).cast("string"))
+            ).otherwise(F.lit(""))
+        ),
+        F.when(
+            i % 6 == 0, F.concat(F.lit("#section-"), (i % 9).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https?://([^/?#]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https?://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    q_kept = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda x: (x != "") & ~x.rlike("^utm_"),
+        ),
+        "&",
+    )
+    canon = d.select(
+        "doc_id",
+        F.concat(
+            host,
+            path,
+            F.when(q_kept != "", F.concat(F.lit("?"), q_kept)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_variants"))
+        .orderBy("canonical_url")
+    )

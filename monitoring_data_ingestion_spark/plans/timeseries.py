@@ -972,3 +972,75 @@ def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "window_start")
     )
+
+
+@query(
+    "ts_interval_coalesce",
+    tags=("window", "timeseries", "intervals"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + to_minutes(CAST(floor(value) AS BIGINT) % 45 + 5) AS e
+  FROM events WHERE user_id <= 30
+), m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_max
+  FROM iv
+), f AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+  FROM m
+), isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+  FROM f
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       CAST(MIN(s) AS TIMESTAMP) AS merged_start,
+       CAST(MAX(e) AS TIMESTAMP) AS merged_end,
+       COUNT(*) AS n_intervals
+FROM isl GROUP BY user_id, island
+ORDER BY user_id, island
+""",
+)
+def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (union of overlapping time ranges): each event
+    opens an interval [ts, ts + 5..49 min) derived from its value; per
+    user, transitively overlapping intervals merge into one — the classic
+    gaps-and-islands shape that a gap-based sessionizer (ts_sessionize)
+    cannot express, because an interval can bridge a gap its START alone
+    would break.
+
+    Spark-first: the running max-of-end over an UNBOUNDED..1-PRECEDING
+    frame detects bridges, a running sum numbers the islands, and the
+    merge is a hash aggregate on (user, island) — all three reuse the ONE
+    shuffle on user_id (the island agg re-shuffles (user, island), which
+    AQE coalesces; the window pair shares a single sort). Timestamps merge
+    by min/max — exact, no float arithmetic anywhere.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add("MINUTE", (F.floor("value") % 45 + 5).cast("int"), F.col("ts")).alias("e"),
+    )
+    order_w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev = order_w.rowsBetween(Window.unboundedPreceding, -1)
+    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = iv.withColumn("prev_max", F.max("e").over(prev))
+    f = m.withColumn(
+        "brk",
+        F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
+    )
+    isl = f.withColumn("island", F.sum("brk").over(run))
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("merged_start"),
+            F.max("e").alias("merged_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id", "island")
+    )

@@ -457,3 +457,27 @@ def test_bilinear_corner_join_is_equi_join(spark):
     # nested loops may only appear under the Range-generator cross joins,
     # which carry no scan columns; the corner join itself is keyed.
     assert "CartesianProduct" not in plan
+
+
+def test_pca_projection_join_is_broadcast(spark):
+    """The per-vector projection joins the 64-row component vector — must
+    broadcast, never shuffle or nested-loop the corpus side."""
+    df = q("embedding_pca_project")(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_coalesce_windows_share_one_sort(spark):
+    """Bridge detection + island numbering must share one user_id window
+    (same partitioning and ordering → one Window operator, one exchange
+    before the island aggregate)."""
+    plan = _plan(q("ts_interval_coalesce")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    # two Window operators are inherent (island numbering consumes the
+    # bridge flag), but they must share ONE sort and ONE exchange — and
+    # the island aggregate must reuse the user_id partitioning (user_id
+    # is a prefix of the grouping key), adding NO third shuffle.
+    assert plan.count("Window") == 2
+    assert plan.count("Sort ") - plan.count("rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
