@@ -1045,6 +1045,16 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 6  # fixed budget: the 6-step iterate IS the declared semantics
 _PCA_DEC = "decimal(30,12)"  # ≤13 sig digits — portable double→decimal zone
 
+# The corpus-sized moments pass sums in FIXED-POINT LONGS instead of
+# decimal: each product rounds to an integer at 1e10 scale, so the hash
+# aggregate updates a compact bigint (measured ~2× the decimal(30,12)
+# rate — decimal precision >18 loses the compact-long representation).
+# Exactness window: |term| ≤ ~1.5 → |sum| ≤ n·1.5e10, and the final
+# cast-to-double is exact below 2^53 ≈ 9e15 — good to ~600k corpus rows;
+# beyond that, drop the scale a decade per 10× rows (or promote back to
+# decimal): the 1e-10 quantization is 4 orders below the 6-dp output.
+_PCA_FIX = 1e10
+
 
 def _pca_oracle() -> str:
     """Unrolled-CTE oracle: raw second moments from a positional self-join,
@@ -1061,12 +1071,15 @@ def _pca_oracle() -> str:
 )""",
         f"""n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x)""",
         f"""m1 AS (
-  SELECT i, CAST(SUM(CAST(x AS {dec})) AS DOUBLE) AS s1 FROM x GROUP BY i
+  SELECT i, CAST(SUM(CAST(round(x * {_PCA_FIX:.0f}) AS BIGINT)) AS DOUBLE)
+              / {_PCA_FIX:.0f} AS s1
+  FROM x GROUP BY i
 )""",
         f"""mu AS (SELECT i, s1 / n.n AS mu FROM m1, n)""",
         f"""m2 AS MATERIALIZED (
   SELECT a.i AS i, b.i AS j,
-         CAST(SUM(CAST(a.x * b.x AS {dec})) AS DOUBLE) AS s2
+         CAST(SUM(CAST(round(a.x * b.x * {_PCA_FIX:.0f}) AS BIGINT)) AS DOUBLE)
+           / {_PCA_FIX:.0f} AS s2
   FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
 )""",
         f"""cov AS MATERIALIZED (
@@ -1152,11 +1165,26 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter = F.array(
         F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("j"), F.lit(1.0).alias("v"))
     )
+    from .analytics import _widen_if_narrow
+
+    # widen before the dim² fan-out: a narrow scan would cap the whole
+    # moments pass at a handful of tasks (measured 6 tasks / 108 s at the
+    # 10× probe; widened + fixed-point it is the same pass at full
+    # parallelism) — guarded so a production-sized table never pays a
+    # pointless raw-row shuffle
     moments = (
-        emb.select(F.explode(F.concat(outer, firsts, counter)).alias("m"))
+        _widen_if_narrow(spark, emb, "vec_id")
+        .select(F.explode(F.concat(outer, firsts, counter)).alias("m"))
         .select("m.i", "m.j", "m.v")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast(_PCA_DEC)).cast("double").alias("s"))
+        .agg(
+            (
+                F.sum(F.round(F.col("v") * F.lit(_PCA_FIX)).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(_PCA_FIX)
+            ).alias("s")
+        )
         .localCheckpoint()
     )
     n_df = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
