@@ -35,6 +35,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_ewma",
     "ts_counter_rate",
     "ts_interval_coalesce",
+    "ts_anomaly_mad",
+    "dedup_containment",
+    "grid_zonal_stats",
     "text_ngram_lm_score",
     "text_url_canonical_dedup",
     "embedding_pca_project",

@@ -1212,3 +1212,76 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", "doc_id")
     )
+
+
+# Asymmetric containment threshold: a doc whose discriminative shingles
+# are ≥ 90% inside another is a quote/wrapper/subset duplicate even when
+# the symmetric Jaccard is low (a short doc inside a long one).
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    tags=("dedup", "similarity"),
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_common AS n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / sa.sz, 6) AS containment_ab,
+       ROUND(CAST(i.n_common AS DOUBLE) / sb.sz, 6) AS containment_ba
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / sa.sz >= {CONTAINMENT_THRESHOLD}
+   OR CAST(i.n_common AS DOUBLE) / sb.sz >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs: |A∩B|/|A| (and /|B|)
+    at ≥ 0.9 — catches subset duplication (a document quoted or wrapped
+    inside a longer one) that symmetric Jaccard dilutes toward zero as the
+    host document grows. The RefinedWeb-style complement to
+    dedup_ngram_jaccard.
+
+    Same scale skeleton as the Jaccard query: one shingle explode, the
+    inverted-index self-join on shingle (cost bounded by co-occurrence,
+    never all-pairs), set sizes riding the exploded rows so the pair
+    aggregate needs no lookup joins. Only the normalization differs —
+    per-side instead of by union size.
+    """
+    base = _shingled_docs(spark, sf_dir)
+    # explode_outer + non-nullable sz: same optimizer discipline as
+    # dedup_ngram_jaccard (see that query's comment — inner explode or a
+    # nullable sz re-inlines the tokenizer into the scan's DataFilters).
+    sh = base.select(
+        "doc_id",
+        F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
+        F.explode_outer("sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("sz_a")
+    c_ba = F.col("n_common").cast("double") / F.col("sz_b")
+    return (
+        inter.filter((c_ab >= CONTAINMENT_THRESHOLD) | (c_ba >= CONTAINMENT_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(c_ab, 6).alias("containment_ab"),
+            F.round(c_ba, 6).alias("containment_ba"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

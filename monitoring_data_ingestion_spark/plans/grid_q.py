@@ -356,3 +356,82 @@ def grid_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("flat").alias("lat"), F.col("flon").alias("lon"), "value")
         .orderBy("lat", "lon")
     )
+
+
+# Three disjoint zone quads (lon, lat) — vertices off the fixture's .5
+# lattice so no point sits exactly on an edge. Zone assignment is
+# first-match (they are disjoint, so order is cosmetic).
+ZONES = [
+    [(-150.2, -60.3), (-30.4, -60.3), (-30.4, 10.6), (-150.2, 10.6)],
+    [(-20.8, -70.1), (60.7, -70.1), (60.7, 30.2), (-20.8, 30.2)],
+    [(70.3, -10.4), (150.9, -10.4), (150.9, 70.8), (70.3, 70.8)],
+]
+
+_ZONE_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_raycast_sql('lon', 'lat', z)} THEN {k}" for k, z in enumerate(ZONES)
+    )
+    + " END"
+)
+
+
+@query(
+    "grid_zonal_stats",
+    tags=("grid", "spatial", "agg"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon, c_acctbal AS value
+  FROM customer WHERE c_custkey <= 5000
+), zoned AS (
+  SELECT c_custkey, value, {_ZONE_CASE_SQL} AS zone FROM pts
+)
+SELECT zone, COUNT(*) AS n_points,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM zoned WHERE zone IS NOT NULL
+GROUP BY zone ORDER BY zone
+""",
+)
+def grid_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — per-polygon-zone aggregates over a point grid
+    (the raster 'zonal stats' the reference's AOI clips feed into:
+    clip-by-cutline then summarize, /root/reference/src/file-conversions.js
+    :174-195 composed with the cdo means at :203-211).
+
+    Zone assignment is the same codegen'd literal ray-cast as
+    grid_polygon_clip, chained into a CASE across the zone list — a pure
+    map stage with the geometry folded into the plan; the per-zone rollup
+    is one partial+final hash aggregate whose exchange carries |zones|
+    rows. At planetary point counts nothing but the fixed-size zone table
+    ever crosses the wire; for thousands of zones the CASE chain would
+    become a broadcast polygon join on an r-tree bucket key (same pattern,
+    table-driven).
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 5000)
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 13 % 180).cast("double") - 90.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 7 % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+        F.col("c_acctbal").alias("value"),
+    )
+    zone = F.lit(None).cast("int")
+    for k in reversed(range(len(ZONES))):
+        zone = F.when(
+            point_in_polygon(F.col("lat"), F.col("lon"), ZONES[k]), F.lit(k)
+        ).otherwise(zone)
+    return (
+        pts.select("value", zone.alias("zone"))
+        .filter(F.col("zone").isNotNull())
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (
+                F.sum(F.col("value").cast("decimal(30,2)")).cast("double")
+                / F.count("value")
+            ).alias("mean_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("zone")
+    )

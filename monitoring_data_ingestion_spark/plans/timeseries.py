@@ -1044,3 +1044,56 @@ def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island")
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    tags=("timeseries", "agg", "anomaly"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_id AS event_id, e.event_type AS event_type, e.value AS value,
+       ROUND(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+WHERE d.mad > 0 AND ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+ORDER BY event_id
+""",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: modified z-score from the median absolute
+    deviation (|0.6745·(x−med)/MAD| > 3.5, the Iglewicz-Hoaglin rule) —
+    immune to the outliers that inflate ts_anomaly_zscore's σ and mask
+    their neighbors.
+
+    Exact MAD is inherently two-pass (the inner median must exist before
+    deviations can be ranked): pass 1 aggregates |types| medians, pass 2
+    re-reads the fact joined to that broadcast and aggregates deviation
+    medians — both exchanges carry |types| rows; detection is a map-side
+    predicate under two broadcast joins. Medians are sort-based order
+    statistics (no float accumulation), so no decimal plumbing is needed.
+    At 100 TB the one-pass alternative is approx_percentile sketches
+    (agg_approx_quantile shows the shape); exact MAD is the declared
+    semantics here.
+    """
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("robust_z"))
+        .orderBy("event_id")
+    )

@@ -481,3 +481,32 @@ def test_interval_coalesce_windows_share_one_sort(spark):
     assert plan.count("Window") == 2
     assert plan.count("Sort ") - plan.count("rangepartitioning") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_medians_broadcast_back(spark):
+    """Both MAD passes must rejoin the fact via broadcast (|types| rows) —
+    a shuffled join on event_type would re-exchange the fact twice."""
+    plan = _plan(q("ts_anomaly_mad")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_join_stays_inverted_index(spark):
+    """Containment must pair docs through the shingle equi-join like the
+    Jaccard family — never a cross product — and its scan must stay free
+    of inferred shingle recomputation."""
+    df = q("dedup_containment")(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "FileScan" in ln:
+            assert "zip_with" not in ln and "array_distinct" not in ln
+
+
+def test_zonal_stats_is_map_plus_one_aggregate(spark):
+    """Zone assignment must fold into the map stage (literal ray-cast, no
+    join); the rollup is one partial+final aggregate."""
+    plan = _plan(q("grid_zonal_stats")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
