@@ -36,8 +36,11 @@ _PRIORITY: tuple[str, ...] = (
     "ts_counter_rate",
     "ts_interval_coalesce",
     "ts_anomaly_mad",
+    "ts_level_shift",
     "dedup_containment",
     "grid_zonal_stats",
+    "cdc_snapshot_diff",
+    "text_html_strip",
     "text_ngram_lm_score",
     "text_url_canonical_dedup",
     "embedding_pca_project",

@@ -608,3 +608,80 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_variants"))
         .orderBy("canonical_url")
     )
+
+
+# Deterministic HTML wrapper derived from doc_id + the document text (the
+# fixture is plain text, same precedent as the PII/URL fixtures): both
+# sides build the identical markup, so the hash gate checks the strip
+# chain — tag removal, entity decoding, whitespace collapse — not the
+# fixture.
+_HTML_FIXTURE_SQL = """
+'<div id="d' || CAST(doc_id AS VARCHAR) || '" class="c'
+  || CAST(doc_id % 7 AS VARCHAR) || '"><h1>Doc&nbsp;'
+  || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 100)
+  || '</p><br/><span>&amp; &lt;tail&gt; ' || CAST(doc_id % 50 AS VARCHAR)
+  || '</span></div>'
+"""
+
+
+@query(
+    "text_html_strip",
+    tags=("text", "map", "cleaning"),
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_HTML_FIXTURE_SQL} AS html FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '\\s+', ' ', 'g')) AS cleaned
+  FROM raw
+)
+SELECT doc_id, cleaned,
+       CAST(len(html) AS BIGINT) AS n_chars_raw,
+       CAST(len(cleaned) AS BIGINT) AS n_chars_clean
+FROM stripped ORDER BY doc_id
+""",
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text cleaning — the step every web-crawl pipeline runs
+    before quality scoring: strip tags, decode the common entities
+    (&amp; &lt; &gt; &nbsp;), collapse runs of whitespace, and report the
+    markup overhead (raw vs clean lengths).
+
+    Scale: the whole query is one codegen-fused map projection — a
+    regexp_replace for tags, a replace chain for entities, one more
+    regexp for whitespace — zero shuffles except the presentation sort;
+    at 100 TB it runs at scan speed on every executor independently
+    (same posture as the PII scrub, SURVEY §2.8 F14-F16).
+    """
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div id="d'), i.cast("string"),
+        F.lit('" class="c'), (i % 7).cast("string"),
+        F.lit('"><h1>Doc&nbsp;'), i.cast("string"),
+        F.lit("</h1><p>"), F.substring("text", 1, 100),
+        F.lit("</p><br/><span>&amp; &lt;tail&gt; "), (i % 50).cast("string"),
+        F.lit("</span></div>"),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    no_tags = F.regexp_replace("html", "<[^>]*>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(no_tags, F.lit("&nbsp;"), F.lit(" ")),
+                F.lit("&amp;"), F.lit("&"),
+            ),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&gt;"), F.lit(">"),
+    )
+    cleaned = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length("html").cast("bigint").alias("n_chars_raw"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+    ).orderBy("doc_id")

@@ -1097,3 +1097,80 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 6).alias("robust_z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "ts_level_shift",
+    tags=("timeseries", "window", "anomaly"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE user_id <= 20
+), w AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           / 10 AS pre_mean,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n_pre,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS DOUBLE)
+           / 10 AS post_mean,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS n_post
+  FROM e
+)
+SELECT user_id, event_id, ts,
+       ROUND(pre_mean, 6) AS pre_mean,
+       ROUND(post_mean, 6) AS post_mean,
+       ROUND(post_mean - pre_mean, 6) AS shift
+FROM w
+WHERE n_pre = 10 AND n_post = 10 AND ABS(post_mean - pre_mean) > 40
+ORDER BY user_id, event_id
+""",
+)
+def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) detection: at each sample, compare the
+    mean of the 10 samples strictly before against the 10 strictly after;
+    a |post − pre| jump above 40 marks a step change in the series'
+    level — the two-sided-window changepoint heuristic (exact CUSUM is
+    recursive and not window-expressible; this is the declarative form
+    monitoring engines ship).
+
+    Spark-first: both frames (10 PRECEDING..1 PRECEDING and 1 FOLLOWING..
+    10 FOLLOWING) hang off ONE window spec — a single shuffle on user_id,
+    a single sort, four frame aggregates in one Window operator. Decimal
+    sums keep both means exact; full-window gating (n = 10 on both sides)
+    makes the boundary behavior explicit rather than edge-biased.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pre_f = order_w.rowsBetween(-10, -1)
+    post_f = order_w.rowsBetween(1, 10)
+    dec = F.col("value").cast("decimal(18,6)")
+    w = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(dec).over(pre_f).cast("double") / 10).alias("pre_mean"),
+        F.count(F.lit(1)).over(pre_f).alias("n_pre"),
+        (F.sum(dec).over(post_f).cast("double") / 10).alias("post_mean"),
+        F.count(F.lit(1)).over(post_f).alias("n_post"),
+    )
+    return (
+        w.filter(
+            (F.col("n_pre") == 10)
+            & (F.col("n_post") == 10)
+            & (F.abs(F.col("post_mean") - F.col("pre_mean")) > 40)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round("pre_mean", 6).alias("pre_mean"),
+            F.round("post_mean", 6).alias("post_mean"),
+            F.round(F.col("post_mean") - F.col("pre_mean"), 6).alias("shift"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1199,3 +1199,99 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", "promo_qty")
         .orderBy("s_name")
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    tags=("merge", "join", "cdc"),
+    oracle="""
+WITH v1 AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 600
+), v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'RENAMED#' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS c_name,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 250.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+  WHERE c_custkey <= 700 AND NOT (c_custkey <= 600 AND c_custkey % 7 = 3)
+)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN a.c_custkey IS NULL THEN 'insert'
+            WHEN b.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.c_acctbal AS old_acctbal, b.c_acctbal AS new_acctbal,
+       a.c_name AS old_name, b.c_name AS new_name
+FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+   OR a.c_acctbal <> b.c_acctbal OR a.c_name <> b.c_name
+ORDER BY c_custkey
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: given two keyed table
+    versions, emit the insert/update/delete feed between them with old and
+    new values — the inverse of merge_upsert_customers (which APPLIES such
+    a feed), and the recovery path when a source offers no native changelog
+    (the reference's inventory rescans, SURVEY §2.1 S12, generalized).
+
+    Scale: one full-outer shuffle on the key; unchanged rows — the vast
+    majority between adjacent snapshots — are dropped by a map-side
+    predicate right after the join, so only the change feed flows on. With
+    both snapshots bucketed on the key (operators/bucketing.py) the join
+    is zero-exchange.
+    """
+    c = table(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") <= 600).select("c_custkey", "c_name", "c_acctbal")
+    v2 = (
+        c.filter(
+            (F.col("c_custkey") <= 700)
+            & ~((F.col("c_custkey") <= 600) & (F.col("c_custkey") % 7 == 3))
+        )
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.concat(F.lit("RENAMED#"), F.col("c_custkey").cast("string")),
+            )
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 250.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    a = v1.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("old_name"),
+        F.col("c_acctbal").alias("old_acctbal"),
+    )
+    b = v2.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("new_name"),
+        F.col("c_acctbal").alias("new_acctbal"),
+    )
+    changed = (
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_acctbal") != F.col("new_acctbal"))
+        | (F.col("old_name") != F.col("new_name"))
+    )
+    change_type = (
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        a.join(b, F.col("k1") == F.col("k2"), "full_outer")
+        .filter(changed)
+        .select(
+            F.coalesce("k1", "k2").alias("c_custkey"),
+            change_type.alias("change_type"),
+            "old_acctbal",
+            "new_acctbal",
+            "old_name",
+            "new_name",
+        )
+        .orderBy("c_custkey")
+    )

@@ -510,3 +510,32 @@ def test_zonal_stats_is_map_plus_one_aggregate(spark):
     plan = _plan(q("grid_zonal_stats")(spark, SF_SMOKE))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_diff_prunes_unchanged_after_join(spark):
+    """The snapshot diff must be one keyed full-outer join with the
+    changed-row predicate applied immediately after — no second exchange,
+    no nested loop."""
+    plan = _plan(q("cdc_snapshot_diff")(spark, SF_SMOKE))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_strip_is_pure_map(spark):
+    """The strip chain must fold into the scan's map stage: no join, no
+    aggregate, no shuffle except the presentation sort."""
+    plan = _plan(q("text_html_strip")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_level_shift_frames_share_one_window(spark):
+    """All four frame aggregates (pre/post sums and counts) must land in
+    ONE Window operator over one shuffle — the two-sided frames differ
+    but the partitioning and ordering do not."""
+    plan = _plan(q("ts_level_shift")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
