@@ -41,6 +41,9 @@ _PRIORITY: tuple[str, ...] = (
     "grid_zonal_stats",
     "cdc_snapshot_diff",
     "text_html_strip",
+    "ts_asof_join_tolerance",
+    "grid_gradient_slope",
+    "stream_ohlc_hourly",
     "text_ngram_lm_score",
     "text_url_canonical_dedup",
     "embedding_pca_project",

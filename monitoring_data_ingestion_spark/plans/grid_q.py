@@ -14,6 +14,7 @@ from functools import lru_cache
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..grid.ops import point_in_polygon
@@ -434,4 +435,76 @@ def grid_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
         .orderBy("zone")
+    )
+
+
+@query(
+    "grid_gradient_slope",
+    tags=("grid", "spatial", "window"),
+    oracle=f"""
+WITH corners AS (
+  SELECT lat, lon, {_BL_VALUE_SQL} AS value
+  FROM (SELECT unnest(generate_series({_BL_LAT0}, {_BL_LATN})) AS lat) la,
+       (SELECT unnest(generate_series({_BL_LON0}, {_BL_LONN})) AS lon) lo
+), gx AS (
+  SELECT lat, lon, value,
+         (lead(value) OVER wlon - lag(value) OVER wlon) / 2 AS gx
+  FROM corners WINDOW wlon AS (PARTITION BY lat ORDER BY lon)
+), gxy AS (
+  SELECT lat, lon, gx,
+         (lead(value) OVER wlat - lag(value) OVER wlat) / 2 AS gy
+  FROM gx WINDOW wlat AS (PARTITION BY lon ORDER BY lat)
+)
+SELECT lat, lon, gx, gy, ROUND(sqrt(gx * gx + gy * gy), 6) AS slope
+FROM gxy
+WHERE gx IS NOT NULL AND gy IS NOT NULL
+ORDER BY lat, lon
+""",
+)
+def grid_gradient_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster gradient by central differences: ∂z/∂x along each latitude
+    row, ∂z/∂y along each longitude column, slope = |∇z| — the terrain
+    slope/aspect primitive (gdaldem slope) over the same closed-form
+    lattice as grid_bilinear_regrid; edges (missing a neighbor) are
+    excluded.
+
+    Spark-first: two window passes with orthogonal partitionings — the
+    row pass shuffles on lat, the column pass on lon. Two exchanges are
+    inherent to touching both axes of a row-stored raster; at planetary
+    scale the production layout is 2-D tiles (each tile holds a halo of
+    neighbors, one mapPartitions pass) — the window form is the exact
+    declarative semantics that tiling must reproduce. All differences are
+    multiples of 1/8 (see _BL_VALUE_SQL), so gx/gy are float-exact; the
+    one rounding is the final sqrt.
+    """
+    la = spark.range(_BL_LAT0, _BL_LATN + 1).select(F.col("id").alias("lat"))
+    lo = spark.range(_BL_LON0, _BL_LONN + 1).select(F.col("id").alias("lon"))
+    corners = la.crossJoin(lo).select(
+        "lat",
+        "lon",
+        (
+            (((F.col("lat") + 90) * 31 + (F.col("lon") + 180) * 7) % 17).cast("double")
+            + (F.col("lat") + 90) * F.lit(0.25)
+        ).alias("value"),
+    )
+    wlon = Window.partitionBy("lat").orderBy("lon")
+    wlat = Window.partitionBy("lon").orderBy("lat")
+    gx = corners.withColumn(
+        "gx", (F.lead("value").over(wlon) - F.lag("value").over(wlon)) / 2
+    )
+    gxy = gx.withColumn(
+        "gy", (F.lead("value").over(wlat) - F.lag("value").over(wlat)) / 2
+    )
+    return (
+        gxy.filter(F.col("gx").isNotNull() & F.col("gy").isNotNull())
+        .select(
+            "lat",
+            "lon",
+            "gx",
+            "gy",
+            F.round(
+                F.sqrt(F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")), 6
+            ).alias("slope"),
+        )
+        .orderBy("lat", "lon")
     )

@@ -349,3 +349,45 @@ def era5_grid_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return published.select("time", "lat", "lon", "variable", "value", "anomaly").orderBy(
         "time", "variable", "lat", "lon"
     )
+
+
+@query(
+    "stream_ohlc_hourly",
+    tags=("streaming", "window", "timeseries"),
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, ts, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars through the streaming engine: open/close are struct
+    min/max — ORDINARY mergeable aggregates, so the bar needs no ordered
+    replay of the stream; per-bar state is six scalars however many events
+    arrive, the watermark closes bars, and the drained result is
+    value-identical to the batch form (ts_ohlc_resample) and its oracle —
+    the replayability contract for the resample family.
+    """
+    from ..streaming.ops import ohlc_window_agg
+
+    src = events_stream(spark, sf_dir)
+    agg = ohlc_window_agg(src, duration="1 hour", keys=("event_type",))
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    return out.orderBy("window_start", "event_type")

@@ -1174,3 +1174,83 @@ def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "ts_asof_join_tolerance",
+    tags=("join", "asof"),
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 900000000
+            THEN v.event_id END AS last_view_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 900000000
+            THEN v.value END AS last_view_value,
+       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 900000000
+            THEN epoch_us(p.ts) - epoch_us(v.ts) END AS staleness_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+""",
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase takes the
+    latest view at-or-before it ONLY if that view is at most 15 minutes
+    old — the max-staleness contract of every state-lookup cache (the
+    pandas merge_asof ``tolerance`` parameter; the reference's "reuse the
+    cached normal unless it expired" rule, SURVEY §2.9 T7).
+
+    Same union-one-window-pass skeleton as ts_asof_join (no range
+    cross-product at any scale); the tolerance is a pure map predicate on
+    the carried match timestamp, applied AFTER the window so a stale view
+    nulls the match rather than letting an older one through — exactly
+    ASOF-then-filter semantics, in integer microseconds (no float time
+    arithmetic).
+    """
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("p_event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("v_event_id"),
+        F.lit(None).cast("double").alias("v_value"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "kind",
+        "p_event_id",
+        F.last("v_event_id", ignorenulls=True).over(w).alias("m_view_id"),
+        F.last("v_value", ignorenulls=True).over(w).alias("m_view_value"),
+        F.last(F.when(F.col("kind") == 0, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("m_view_us"),
+    )
+    staleness = F.unix_micros("ts") - F.col("m_view_us")
+    fresh = staleness <= 900 * 1_000_000
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            F.col("p_event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(fresh, F.col("m_view_id")).alias("last_view_id"),
+            F.when(fresh, F.col("m_view_value")).alias("last_view_value"),
+            F.when(fresh, staleness).alias("staleness_us"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -143,3 +143,32 @@ def purchase_click_interval_join(
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("lag_seconds"),
     )
+
+
+def ohlc_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "2 hours",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC bars: open/close ride lexicographic struct min/max —
+    both are ordinary mergeable aggregates, so the state per (window, key)
+    is four scalars and two structs regardless of event rate, and the
+    watermark evicts closed bars exactly like the count/sum window."""
+    first_s = F.min(F.struct(ts_col, id_col, value_col))
+    last_s = F.max(F.struct(ts_col, id_col, value_col))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(
+            first_s.getField(value_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            last_s.getField(value_col).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "open", "high", "low", "close", "n_events")
+    )

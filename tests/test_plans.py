@@ -539,3 +539,22 @@ def test_level_shift_frames_share_one_window(spark):
     assert "Join" not in plan
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_tolerance_is_one_window_no_join(spark):
+    """Tolerance as-of must keep the union-window form: no join operator,
+    one user_id shuffle — the tolerance is a map predicate, not a second
+    range condition."""
+    plan = _plan(q("ts_asof_join_tolerance")(spark, SF_SMOKE))
+    assert "Join" not in plan.replace("unix_micros", "")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gradient_uses_two_orthogonal_windows(spark):
+    """The gradient needs at most the two axis shuffles the semantics
+    require (lat- and lon-partitioned windows) — here the lat window rides
+    the range generator's existing lat-clustered partitioning, so only
+    the lon window exchanges at all."""
+    plan = _plan(q("grid_gradient_slope")(spark, SF_SMOKE))
+    assert plan.count("Window") == 2
+    assert 1 <= plan.count("Exchange hashpartitioning") <= 2
