@@ -42,8 +42,11 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_snapshot_diff",
     "text_html_strip",
     "ts_asof_join_tolerance",
+    "ts_gap_detection",
     "grid_gradient_slope",
     "stream_ohlc_hourly",
+    "join_salted_skew",
+    "multimodal_audio_energy",
     "text_ngram_lm_score",
     "text_url_canonical_dedup",
     "embedding_pca_project",

@@ -188,3 +188,32 @@ def sample_frames(df: DataFrame, k: int = 4) -> DataFrame:
             (F.col("frame_idx") * 1000.0 / 25.0).alias("frame_ts_ms"),
         )
     )
+
+
+def decode_pcm16(df: DataFrame) -> DataFrame:
+    """Decode 16-bit little-endian PCM payloads to
+    (doc_id, n_samples, samples ARRAY<INT>) — the audio analogue of
+    decode_image: bytes stream through Arrow ``mapInPandas`` batches
+    executor-side (numpy ``frombuffer``, zero-copy until the arrow
+    hand-off), and everything downstream of the raw samples (framing,
+    energy, features) stays JVM-side array arithmetic.
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                s = np.frombuffer(bytes(payload), dtype="<i2")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(s),
+                        "samples": s.astype("int32").tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(
+        gen, schema="doc_id bigint, n_samples int, samples array<int>"
+    )

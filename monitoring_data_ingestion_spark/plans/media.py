@@ -208,3 +208,86 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return decoded.select(
         "doc_id", "width", "height", mean.alias("mean_gray")
     ).orderBy("doc_id")
+
+
+# Deterministic synthetic PCM: sample k of doc d is
+# ((d*31 + k*k) % 4096) - 2048 — integer arithmetic both engines can
+# restate closed-form, spanning the int16 range's middle.
+_PCM_SAMPLE_SQL = "((doc_id * 31 + (frame * 512 + j.j) * (frame * 512 + j.j)) % 4096 - 2048)"
+
+
+@query(
+    "multimodal_audio_energy",
+    tags=("multimodal", "python", "codec", "audio"),
+    oracle=f"""
+WITH auds AS (
+  SELECT doc_id, 2048 + (doc_id % 4) * 512 AS n
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 400
+), fr AS (
+  SELECT doc_id, f.f AS frame
+  FROM auds, LATERAL (SELECT unnest(generate_series(0, n // 512 - 1)) AS f) f
+), s AS (
+  SELECT doc_id, frame,
+         SUM(CAST({_PCM_SAMPLE_SQL} AS BIGINT) * {_PCM_SAMPLE_SQL}) AS sumsq
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, 511)) AS j) j
+  GROUP BY doc_id, frame
+)
+SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+       ROUND(sqrt(CAST(sumsq AS DOUBLE) / 512.0), 6) AS rms
+FROM s ORDER BY doc_id, frame
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio codec path end-to-end: synthesize deterministic 16-bit
+    PCM per audio row (sample k = (doc_id·31 + k²) % 4096 − 2048), run
+    the REAL decode_pcm16 operator through its Arrow/mapInPandas plumbing
+    (numpy frombuffer on the actual little-endian bytes), then frame into
+    512-sample windows and compute per-frame RMS energy JVM-side — the
+    loudness/VAD primitive of every audio-filtering pipeline.
+
+    The oracle never sees a byte of PCM: it restates the sample formula
+    closed-form, so the hash gate proves bytes → int16 decode → framing →
+    energy is exactly the declared arithmetic. Scale: payload bytes stay
+    executor-side in Arrow batches; framing is an in-row slice/aggregate
+    (sum of int64 squares — exact); the only shuffle is the presentation
+    sort.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.model import media_table
+    from ..multimodal.ops import decode_pcm16
+
+    auds = media_table(spark, sf_dir).filter(
+        (F.col("meta.media_type") == "audio") & (F.col("doc_id") < 400)
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2048 + (d % 4) * 512
+                k = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + k * k) % 4096 - 2048).astype("<i2")
+                rows.append({"doc_id": d, "media": s.tobytes()})
+            yield pd.DataFrame(rows)
+
+    pcm = auds.select("doc_id").mapInPandas(synth, schema="doc_id bigint, media binary")
+    decoded = decode_pcm16(pcm)
+    nf = (F.size("samples") / 512).cast("int")
+    fr = decoded.select(
+        "doc_id", "samples", F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame")
+    )
+    sumsq = F.aggregate(
+        F.slice("samples", F.col("frame") * 512 + 1, 512),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint") * x.cast("bigint"),
+    )
+    return fr.select(
+        "doc_id",
+        "frame",
+        F.round(F.sqrt(sumsq.cast("double") / F.lit(512.0)), 6).alias("rms"),
+    ).orderBy("doc_id", "frame")

@@ -1254,3 +1254,47 @@ def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "ts_gap_detection",
+    tags=("timeseries", "window", "monitoring"),
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_start,
+         ts AS gap_end,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, gap_start, gap_end, gap_us
+FROM d WHERE gap_us > 86400000000
+ORDER BY user_id, gap_end
+""",
+)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap detection: report every silence longer than 24 hours
+    in each user's event stream with its exact bounds — the liveness
+    check behind the reference's freshness/staleness monitoring
+    (scripts/status.js) turned from a latest-timestamp predicate
+    (ts_freshness_check) into a full gap audit over history.
+
+    One window pass on user_id (lag supplies both the gap start and the
+    integer-microsecond width — no float time arithmetic), then a
+    map-side threshold. At 100 TB this is the one shuffle the per-series
+    semantics require.
+    """
+    e = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_w)
+    d = e.select(
+        "user_id",
+        prev_ts.alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.unix_micros("ts") - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+    return (
+        d.filter(F.col("gap_us") > 86_400_000_000)
+        .orderBy("user_id", "gap_end")
+    )

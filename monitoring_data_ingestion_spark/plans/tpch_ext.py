@@ -1295,3 +1295,76 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# Salted-join parameters: 90% of fact rows share one hot key; the salt
+# fans that key across SALT_N sub-partitions.
+JOIN_SALT_N = 8
+
+
+@query(
+    "join_salted_skew",
+    tags=("join", "skew", "scale"),
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 100 END AS skew_key,
+         l_extendedprice
+  FROM lineitem
+), dim AS (
+  SELECT d AS key, d * 7 % 13 AS dim_group
+  FROM (SELECT unnest(generate_series(0, 99)) AS d)
+)
+SELECT d.dim_group AS dim_group,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+FROM fact f JOIN dim d ON f.skew_key = d.key
+GROUP BY d.dim_group ORDER BY dim_group
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join under a 90%-hot key: the fact side carries a
+    deterministic salt (l_linenumber % 8), the dim side explodes ×8, and
+    the join key becomes (key, salt) — the hot key's rows spread over 8
+    reducers instead of one. Results are salt-invariant (the oracle states
+    the plain join), which is the point: salting is a physical rewrite,
+    not a semantic one.
+
+    The merge-join hint stands in for a dim side beyond broadcast reach —
+    against a broadcastable dim, skew is moot (no shuffle of the fact on
+    the key) and AQE's skew-split handles the SMJ case adaptively
+    (witnessed in tests/test_plans.py::test_aqe_skew_join_split); the
+    EXPLICIT salt is the engine-portable form that also covers skewed
+    AGGREGATION upstream of the join and engines/paths without runtime
+    re-planning. Companion to agg_salted_skew (same technique, aggregate
+    side).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("skew_key"),
+        (F.col("l_linenumber") % JOIN_SALT_N).alias("salt"),
+        "l_extendedprice",
+    )
+    dim = (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("key"),
+            (F.col("id") * 7 % 13).alias("dim_group"),
+        )
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_N - 1))).alias("salt"))
+    )
+    joined = fact.hint("merge").join(
+        dim.hint("merge"),
+        (F.col("skew_key") == F.col("key")) & (fact["salt"] == dim["salt"]),
+    )
+    return (
+        joined.groupBy("dim_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("dim_group")
+    )

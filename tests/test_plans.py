@@ -121,7 +121,11 @@ def test_no_python_in_relational_paths(spark):
     """Only the explicitly-Python operators (multimodal feature extract,
     stateful streaming) may cross the Python boundary; every relational/
     text/similarity query must stay JVM-side."""
-    python_ok = {"multimodal_feature_extract", "multimodal_image_decode_stats"}
+    python_ok = {
+        "multimodal_feature_extract",
+        "multimodal_image_decode_stats",
+        "multimodal_audio_energy",
+    }
     for name, spec in sorted(REGISTRY.items()):
         if name in python_ok or name.startswith("stream_"):
             continue
@@ -558,3 +562,33 @@ def test_gradient_uses_two_orthogonal_windows(spark):
     plan = _plan(q("grid_gradient_slope")(spark, SF_SMOKE))
     assert plan.count("Window") == 2
     assert 1 <= plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salted join must be a sort-merge join keyed on BOTH the key and
+    the salt — the exchange partitions on (skew_key, salt), so the hot
+    key occupies JOIN_SALT_N reducers instead of one."""
+    plan = _plan(q("join_salted_skew")(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan
+    joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert any("salt" in ln for ln in joins), joins
+    exch = [ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "skew_key" in ln]
+    assert exch and all("salt" in ln for ln in exch), exch
+
+
+def test_gap_detection_is_one_window_pass(spark):
+    plan = _plan(q("ts_gap_detection")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_audio_energy_framing_stays_jvm_side(spark):
+    """Only the declared codec surfaces (synth + decode_pcm16) may cross
+    the Python boundary; the framing/RMS stage must be JVM array
+    arithmetic after the decode."""
+    df = q("multimodal_audio_energy")(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 2  # synth + decode, nothing else
+    assert "BatchEvalPython" not in plan
