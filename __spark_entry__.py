@@ -38,6 +38,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_anomaly_mad",
     "ts_level_shift",
     "dedup_containment",
+    "dedup_containment_capped",
     "grid_zonal_stats",
     "cdc_snapshot_diff",
     "text_html_strip",

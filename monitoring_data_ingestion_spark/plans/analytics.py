@@ -1285,3 +1285,81 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_containment_capped",
+    tags=("dedup", "similarity", "scale"),
+    oracle=f"""
+WITH shingles0 AS ({_SHINGLE_SQL}),
+freq AS (
+  SELECT shingle, COUNT(*) AS df FROM shingles0 GROUP BY shingle
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles0 s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df <= {MAX_SHINGLE_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_common AS n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / sa.sz, 6) AS containment_ab,
+       ROUND(CAST(i.n_common AS DOUBLE) / sb.sz, 6) AS containment_ba
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / sa.sz >= {CONTAINMENT_THRESHOLD}
+   OR CAST(i.n_common AS DOUBLE) / sb.sz >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment over the DISCRIMINATIVE shingles only — the same
+    MAX_SHINGLE_DF stop-shingle cap as dedup_ngram_jaccard_capped applied
+    to the asymmetric containment score: the sf1 probe measured the exact
+    containment ~27× slower at 10× documents (the shared inverted-index
+    skeleton's sum(df²) growth, SCALE.md); capping df bounds every bucket
+    at MAX_SHINGLE_DF² pairs, restoring corpus-linear cost. Both set
+    sizes restrict to the capped universe, so the score stays a true
+    containment over that universe.
+    """
+    sh0 = (
+        _shingled_docs(spark, sf_dir)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    freq = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh0.join(freq.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle").select(
+        "doc_id", "shingle"
+    )
+    w = Window.partitionBy("doc_id")
+    sh = kept.select(
+        "doc_id",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("sz"),
+        "shingle",
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("sz_a")
+    c_ba = F.col("n_common").cast("double") / F.col("sz_b")
+    return (
+        inter.filter((c_ab >= CONTAINMENT_THRESHOLD) | (c_ba >= CONTAINMENT_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(c_ab, 6).alias("containment_ab"),
+            F.round(c_ba, 6).alias("containment_ba"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

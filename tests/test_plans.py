@@ -592,3 +592,16 @@ def test_audio_energy_framing_stays_jvm_side(spark):
     plan = _plan(df)
     assert plan.count("MapInPandas") == 2  # synth + decode, nothing else
     assert "BatchEvalPython" not in plan
+
+
+def test_capped_containment_stays_blocked_and_scan_clean(spark):
+    """The capped containment keeps the inverted-index discipline AND the
+    df-cap join; its scan must stay free of inferred shingle
+    recomputation (same contract as the capped Jaccard)."""
+    df = q("dedup_containment_capped")(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "FileScan" in ln:
+            assert "zip_with" not in ln and "array_distinct" not in ln
