@@ -49,6 +49,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "multimodal_audio_energy",
     "text_ngram_lm_score",
+    "text_classifier_score",
+    "text_bpe_pair_counts",
     "text_url_canonical_dedup",
     "embedding_pca_project",
     "grid_bilinear_regrid",

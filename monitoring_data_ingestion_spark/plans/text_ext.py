@@ -685,3 +685,109 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html").cast("bigint").alias("n_chars_raw"),
         F.length(cleaned).cast("bigint").alias("n_chars_clean"),
     ).orderBy("doc_id")
+
+
+# Hashing-trick linear classifier: 1024 feature buckets via an md5-prefix
+# hash; fixed weight per bucket w(b) = ((b*13) % 7 - 3) / 8 — every weight
+# a multiple of 1/8, so per-doc weight sums are float-exact at any
+# accumulation order and the score needs no decimal plumbing.
+CLS_BUCKETS = 1024
+_CLS_BUCKET_SQL = f"CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % {CLS_BUCKETS}"
+_CLS_WEIGHT_SQL = f"CAST((({_CLS_BUCKET_SQL}) * 13 % 7 - 3) AS DOUBLE) / 8"
+
+
+@query(
+    "text_classifier_score",
+    tags=("text", "quality", "ml"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+), scored AS (
+  SELECT doc_id, {_CLS_WEIGHT_SQL} AS w FROM toks
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS quality_score,
+       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) > 0 AS keep
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-Edu / DCLM shape): a
+    linear classifier over hashing-trick token features scores every
+    document; keep = score > 0. The weight vector here is a fixed
+    closed-form stand-in — the POINT is the serving dataflow: hash each
+    token to one of 1024 buckets, look up its weight, average per doc.
+
+    Spark-first: with the model as an expression (or a 1024-row broadcast
+    in the general case), scoring is one token explode + one hash
+    aggregate — no shuffle carries anything wider than (doc_id, weight),
+    and a real learned weight table would broadcast identically. Exact:
+    weights are multiples of 1/8, decimal-summed; the mean's divide is
+    one deterministic double op.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint") % CLS_BUCKETS
+    w = (bucket * 13 % 7 - 3).cast("double") / 8
+    scored = toks.select("doc_id", w.alias("w"))
+    mean = F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(mean, 6).alias("quality_score"),
+            (mean > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bpe_pair_counts",
+    tags=("text", "agg", "tokenizer"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+), pairs AS (
+  SELECT substr(tok, p.p, 2) AS pair
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS p) p
+  WHERE len(tok) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 30
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step, distributed: count every adjacent
+    character pair inside every token across the corpus and rank the
+    top 30 — the statistic a tokenizer trainer computes per merge round
+    (each round re-counts over the updated symbol sequences; the
+    dataflow is this exact shape each time).
+
+    Spark-first: pairs are built INSIDE the row (transform over a
+    guarded index sequence — the same descending-sequence guard as the
+    bigram census), so the only shuffle is the pair count; the top-30 is
+    TakeOrderedAndProject. At 100 TB the exchange carries |alphabet|²
+    partial counts per partition, not the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    n = F.length("tok")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(idx, lambda p: F.col("tok").substr(p, F.lit(2)))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )

@@ -605,3 +605,21 @@ def test_capped_containment_stays_blocked_and_scan_clean(spark):
     for ln in plan.splitlines():
         if "FileScan" in ln:
             assert "zip_with" not in ln and "array_distinct" not in ln
+
+
+def test_classifier_score_shuffle_carries_weights_only(spark):
+    """Classifier scoring must be explode → one partial+final aggregate;
+    no join (the closed-form model folds into the map stage) and the
+    exchange keyed on doc_id only."""
+    plan = _plan(q("text_classifier_score")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_pairs_topk_is_take_ordered(spark):
+    """The pair census must end in TakeOrderedAndProject (per-partition
+    heaps) over one count aggregate — never a global sort of the pair
+    table."""
+    plan = _plan(q("text_bpe_pair_counts")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
