@@ -53,6 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_pair_counts",
     "text_url_canonical_dedup",
     "embedding_pca_project",
+    "knn_recall_eval",
     "grid_bilinear_regrid",
     "dedup_ngram_jaccard_capped",
     "dedup_semantic_prune",

@@ -1236,3 +1236,79 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(F.col("xv") - F.col("b"), 6).alias("pc1"))
         .orderBy("vec_id")
     )
+
+
+# --- index-quality evaluation: recall of the approximate index against
+#     the exact scan, as a query over the two serving paths
+
+def _recall_oracle() -> str:
+    """Compose the IVF and brute-force oracles as nested CTEs (DuckDB
+    permits a full WITH...SELECT inside a CTE body), then score
+    recall@k per query — the oracle evaluates BOTH serving paths and
+    the overlap in one statement."""
+    from .catalog import REGISTRY
+
+    ivf_sql = REGISTRY["knn_ivf"].oracle
+    exact_sql = REGISTRY["knn_cosine_bruteforce"].oracle
+    return f"""
+WITH ivf AS ({ivf_sql}),
+exact AS ({exact_sql}),
+per_query AS (
+  SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN ivf i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT p.query_id AS query_id, p.k_exact AS k_exact,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / p.k_exact, 6) AS recall
+FROM per_query p LEFT JOIN hits h ON p.query_id = h.query_id
+ORDER BY query_id
+"""
+
+
+@query(
+    "knn_recall_eval",
+    tags=("similarity", "knn", "eval"),
+    oracle=_recall_oracle(),
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force scan —
+    the index-quality gate every ANN deployment runs before swapping an
+    approximate path in front of production traffic (FAISS's recall
+    sweep, expressed relationally).
+
+    Composes the two serving paths ALREADY in the catalog (knn_ivf,
+    knn_cosine_bruteforce) and joins their top-k sets per query:
+    recall = |approx ∩ exact| / k. Both paths broadcast their small
+    side and stay blocked (their own plan tests); the overlap join keys
+    on (query_id, neighbor_id) — queries-×-k rows, trivially
+    broadcastable at any corpus size since k and the query set are
+    fixed. A recall row below 1.0 localizes exactly which query's
+    neighborhood the probe bound missed.
+    """
+    from .analytics import knn_cosine_bruteforce
+
+    ivf = knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    per_query = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_exact"))
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        per_query.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
