@@ -44,6 +44,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_html_strip",
     "ts_asof_join_tolerance",
     "ts_gap_detection",
+    "ts_trailing_window_range",
+    "ts_downsample_lttb",
     "grid_gradient_slope",
     "stream_ohlc_hourly",
     "join_salted_skew",

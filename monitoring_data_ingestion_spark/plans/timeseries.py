@@ -1298,3 +1298,171 @@ def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("gap_us") > 86_400_000_000)
         .orderBy("user_id", "gap_end")
     )
+
+
+@query(
+    "ts_trailing_window_range",
+    tags=("timeseries", "window"),
+    oracle="""
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def ts_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True time-based trailing window: at every event, the count and
+    exact sum of that user's events in the PRECEDING HOUR — a RANGE frame
+    over event time (PromQL's `metric[1h]` per sample), not a row-count
+    frame: sparse and dense series get the same wall-clock semantics.
+
+    Spark windows RANGE only over numerics, so the frame orders by
+    integer epoch-microseconds — exactly what the oracle's
+    RANGE BETWEEN 3600000000 PRECEDING states. One shuffle on user_id;
+    the frame is computed by the sliding two-pointer pass inside the
+    Window operator (no self-join, no bucketing approximation).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# LTTB buckets per series. The classic algorithm anchors each triangle on
+# the PREVIOUSLY SELECTED point (a sequential dependency no relational
+# engine can parallelize); the declared semantics here are the standard
+# parallel variant that anchors on the neighbor BUCKET AVERAGES instead —
+# rank-identical on smooth series and embarrassingly parallel.
+LTTB_BUCKETS = 20
+
+
+@query(
+    "ts_downsample_lttb",
+    tags=("timeseries", "window", "downsample"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(epoch_us(ts) AS DOUBLE) AS x
+  FROM events WHERE user_id <= 10
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+), b AS (
+  SELECT *, CAST(((rn - 1) * {LTTB_BUCKETS}) // n AS BIGINT) AS bucket FROM r
+), avgs AS (
+  SELECT user_id, bucket,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS ax,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS ay
+  FROM b GROUP BY user_id, bucket
+), mid AS (
+  SELECT p.user_id, p.bucket, p.event_id, p.ts, p.value,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.user_id, p.bucket
+           ORDER BY ABS((pa.ax - na.ax) * (p.value - pa.ay)
+                      - (pa.ax - p.x) * (na.ay - pa.ay)) DESC, p.event_id
+         ) AS pick
+  FROM b p
+  JOIN avgs pa ON pa.user_id = p.user_id AND pa.bucket = p.bucket - 1
+  JOIN avgs na ON na.user_id = p.user_id AND na.bucket = p.bucket + 1
+  WHERE p.bucket BETWEEN 1 AND {LTTB_BUCKETS - 2}
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id, ts, value
+FROM mid WHERE pick = 1
+UNION ALL
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id, ts, value
+FROM b WHERE rn = 1 OR rn = n
+ORDER BY user_id, bucket, event_id
+""",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (the dashboard
+    decimator): each series shrinks to ~20 points — per bucket, the point
+    forming the largest triangle with its neighbor buckets' average
+    points, plus the exact first and last samples.
+
+    Spark-first: bucket assignment rides the same user_id window as the
+    row numbering; bucket averages are one |users|×|buckets| aggregate
+    that broadcasts back for the area score; the per-bucket argmax is a
+    rank-1 window. Determinism: averages are exact-decimal; the area is
+    pointwise double arithmetic with an event_id tiebreak.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    part_w = Window.partitionBy("user_id")
+    b = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.unix_micros("ts").cast("double").alias("x"),
+        F.row_number().over(order_w).alias("rn"),
+        F.count(F.lit(1)).over(part_w).alias("n"),
+    ).withColumn(
+        "bucket",
+        F.floor((F.col("rn") - 1) * LTTB_BUCKETS / F.col("n")).cast("bigint"),
+    )
+    avgs = b.groupBy("user_id", "bucket").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))
+        ).alias("ax"),
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ay"),
+    )
+    pa = F.broadcast(
+        avgs.select(
+            F.col("user_id").alias("pu"),
+            F.col("bucket").alias("pb"),
+            F.col("ax").alias("pax"),
+            F.col("ay").alias("pay"),
+        )
+    )
+    na = F.broadcast(
+        avgs.select(
+            F.col("user_id").alias("nu"),
+            F.col("bucket").alias("nb"),
+            F.col("ax").alias("nax"),
+            F.col("ay").alias("nay"),
+        )
+    )
+    mid = (
+        b.filter(F.col("bucket").between(1, LTTB_BUCKETS - 2))
+        .join(pa, (F.col("user_id") == F.col("pu")) & (F.col("pb") == F.col("bucket") - 1))
+        .join(na, (F.col("user_id") == F.col("nu")) & (F.col("nb") == F.col("bucket") + 1))
+    )
+    area = F.abs(
+        (F.col("pax") - F.col("nax")) * (F.col("value") - F.col("pay"))
+        - (F.col("pax") - F.col("x")) * (F.col("nay") - F.col("pay"))
+    )
+    pick_w = Window.partitionBy("user_id", "bucket").orderBy(
+        area.desc(), F.col("event_id")
+    )
+    picked = (
+        mid.withColumn("pick", F.row_number().over(pick_w))
+        .filter(F.col("pick") == 1)
+        .select("user_id", "bucket", "event_id", "ts", "value")
+    )
+    edges = b.filter((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
+        "user_id", "bucket", "event_id", "ts", "value"
+    )
+    return picked.unionByName(edges).orderBy("user_id", "bucket", "event_id")

@@ -623,3 +623,22 @@ def test_bpe_pairs_topk_is_take_ordered(spark):
     plan = _plan(q("text_bpe_pair_counts")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_trailing_range_window_no_join(spark):
+    """The time-RANGE frame must be a single Window pass (sliding
+    two-pointer inside the operator) — never a self-join expansion."""
+    plan = _plan(q("ts_trailing_window_range")(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lttb_bucket_averages_broadcast_back(spark):
+    """LTTB's neighbor-bucket averages (|users|×|buckets| rows) must
+    rejoin the point table via broadcast — shuffling the points twice to
+    co-locate with a tiny average table would be wrong at any scale."""
+    plan = _plan(q("ts_downsample_lttb")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
