@@ -48,6 +48,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_downsample_lttb",
     "grid_gradient_slope",
     "stream_ohlc_hourly",
+    "stream_gap_alerts",
     "join_salted_skew",
     "multimodal_audio_energy",
     "text_ngram_lm_score",

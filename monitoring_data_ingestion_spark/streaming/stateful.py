@@ -61,3 +61,56 @@ def running_user_stats(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_GAP_OUT_SCHEMA = "user_id bigint, gap_start_us bigint, gap_end_us bigint, gap_us bigint"
+_GAP_STATE_SCHEMA = "last_us bigint"
+
+_GAP_THRESHOLD_US = 86_400_000_000  # 24 h — same contract as ts_gap_detection
+
+
+def _gap_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit every silence longer than the threshold between consecutive
+    events of a key. State is ONE long (the last seen timestamp) per key
+    regardless of stream length — the bounded-liveness state machine.
+    Rows within a batch are sorted before differencing so output is
+    independent of source batch ordering."""
+    (user_id,) = key
+    last = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdfs:
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        ts_us.sort()
+        for t in ts_us:
+            t = int(t)
+            if last is not None and t - last > _GAP_THRESHOLD_US:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "gap_start_us": last,
+                        "gap_end_us": t,
+                        "gap_us": t - last,
+                    }
+                )
+            last = t
+    if last is not None:
+        state.update((last,))
+    yield pd.DataFrame(out, columns=["user_id", "gap_start_us", "gap_end_us", "gap_us"])
+
+
+def gap_alerts(df: DataFrame) -> DataFrame:
+    """Heartbeat-gap alerts as a custom stateful operator: the streaming
+    form of plans/timeseries.ts_gap_detection. State per key is a single
+    epoch-microsecond long carried across micro-batches, so a key that
+    goes silent and returns three batches later still reports the full
+    gap — something a watermarked window aggregate cannot express
+    (the gap spans an unbounded number of windows)."""
+    return df.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _gap_fn,
+        outputStructType=_GAP_OUT_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
