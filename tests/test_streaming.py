@@ -261,3 +261,47 @@ def test_dedup_within_watermark_state_evicted(spark, tmp_path):
     final_total = ops[-1]["numRowsTotal"]
     assert removed > 0, "watermark never evicted dedup state"
     assert final_total < n_keys, (final_total, n_keys)  # not all keys retained
+
+
+def test_gap_alerts_state_is_one_row_per_key(spark, tmp_path):
+    """The heartbeat-gap state machine must hold exactly one state row per
+    key no matter how many batches or events flow through — the bounded-
+    liveness contract (state = last timestamp only), and gaps that span
+    micro-batches must still be reported."""
+    from monitoring_data_ingestion_spark.streaming.sources import file_stream
+    from monitoring_data_ingestion_spark.streaming.stateful import gap_alerts
+
+    e, landing = _daily_landing(spark, tmp_path)
+    src = file_stream(
+        spark, landing, e.schema, path_glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        gap_alerts(src)
+        .writeStream.format("memory")
+        .queryName("gap_alerts_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert len(progresses) >= 3  # paced triggers: state crossed batches
+    n_keys = e.select("user_id").distinct().count()
+    ops = [p["stateOperators"][0] for p in progresses]
+    assert max(o["numRowsTotal"] for o in ops) <= n_keys
+    # cross-batch correctness: the drained output equals the batch audit
+    out = spark.sql("SELECT * FROM gap_alerts_state")
+    got = {(r.user_id, r.gap_start_us, r.gap_end_us) for r in out.collect()}
+    from pyspark.sql import Window as W
+
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        e.select(
+            "user_id",
+            F.unix_micros(F.lag("ts").over(order_w)).alias("gap_start_us"),
+            F.unix_micros("ts").alias("gap_end_us"),
+        )
+        .filter(F.col("gap_end_us") - F.col("gap_start_us") > 86_400_000_000)
+    )
+    want = {(r.user_id, r.gap_start_us, r.gap_end_us) for r in batch.collect()}
+    assert got == want
