@@ -46,6 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_gap_detection",
     "ts_trailing_window_range",
     "ts_downsample_lttb",
+    "ts_interval_overlap_join",
     "grid_gradient_slope",
     "stream_ohlc_hourly",
     "stream_gap_alerts",

@@ -1466,3 +1466,96 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "bucket", "event_id", "ts", "value"
     )
     return picked.unionByName(edges).orderBy("user_id", "bucket", "event_id")
+
+
+# Interval-overlap bucket width: intervals are at most 49 minutes, so a
+# 3600-second epoch bucket means every interval covers at most two
+# buckets — the fan-out of the bucketized self-join is bounded by 2.
+_OVL_BUCKET_S = 3600
+
+
+@query(
+    "ts_interval_overlap_join",
+    tags=("join", "range", "intervals"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + to_minutes(CAST(floor(value) AS BIGINT) % 45 + 5) AS e
+  FROM events WHERE user_id <= 30
+)
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+       epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+ORDER BY user_id, event_a, event_b
+""",
+)
+def ts_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: every pair of a user's intervals that
+    overlap in time, with the exact overlap width — the
+    reservation-conflict / concurrent-session primitive (and the
+    genomics interval-intersection classic), where BOTH join sides carry
+    a duration (ts_range_join's anchor side is a point).
+
+    Scale: like ts_range_join, the inequality pair (a.s < b.e AND
+    b.s < a.e) never reaches the planner as a raw theta-join — each
+    interval explodes into the (≤2) hour buckets it touches, the join is
+    an equi-join on (user_id, bucket), DISTINCT collapses double-bucket
+    collisions, and the exact overlap predicate refines. Fan-out is
+    bounded by per-bucket interval density; no nested loop at any scale.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (F.floor("value") % 45 + 5) * F.lit(60_000_000)
+        ).alias("e_us"),
+    )
+    spread = iv.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / (_OVL_BUCKET_S * 1_000_000)).cast("bigint"),
+                ((F.col("e_us") - 1) / (_OVL_BUCKET_S * 1_000_000)).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    a = spread.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("event_a"),
+        F.col("s_us").alias("sa"),
+        F.col("e_us").alias("ea"),
+        "bucket",
+    )
+    b = spread.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("event_b"),
+        F.col("s_us").alias("sb"),
+        F.col("e_us").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, (F.col("ua") == F.col("ub")) & (a["bucket"] == b["bucket"]))
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select(
+            F.col("ua").alias("user_id"),
+            "event_a",
+            "event_b",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("user_id", "event_a", "event_b")

@@ -642,3 +642,36 @@ def test_lttb_bucket_averages_broadcast_back(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_is_bucketized_equi_join(spark):
+    """The interval-overlap self-join must ride the bucket equi-join —
+    never a theta-only nested loop."""
+    plan = _plan(q("ts_interval_overlap_join")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning: a fact partitioned on day joined to a
+    dim filtered by a NON-partition attribute must plan a dynamicpruning
+    subquery in the fact scan's PartitionFilters — at 100 TB this is the
+    difference between scanning one day and scanning the table. The
+    static-filter form is covered by
+    test_partition_pruning_on_partitioned_layout; this pins the
+    runtime-value form."""
+    path = str(tmp_path / "events_dpp")
+    e = table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    days = [r["day"] for r in e.select("day").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(sorted(days))], "day string, tag int"
+    )
+    joined = fact.join(dim.filter(F.col("tag") == 0), "day").groupBy("day").count()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only covers the selected day
+    assert joined.count() == 1
