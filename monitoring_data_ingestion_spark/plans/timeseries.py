@@ -1019,6 +1019,8 @@ def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE coalesces; the window pair shares a single sort). Timestamps merge
     by min/max — exact, no float arithmetic anywhere.
     """
+    from ..operators.intervals import coalesce_intervals
+
     e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
     iv = e.select(
         "user_id",
@@ -1026,24 +1028,9 @@ def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("s"),
         F.timestamp_add("MINUTE", (F.floor("value") % 45 + 5).cast("int"), F.col("ts")).alias("e"),
     )
-    order_w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    prev = order_w.rowsBetween(Window.unboundedPreceding, -1)
-    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m = iv.withColumn("prev_max", F.max("e").over(prev))
-    f = m.withColumn(
-        "brk",
-        F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
-    )
-    isl = f.withColumn("island", F.sum("brk").over(run))
-    return (
-        isl.groupBy("user_id", "island")
-        .agg(
-            F.min("s").alias("merged_start"),
-            F.max("e").alias("merged_end"),
-            F.count(F.lit(1)).alias("n_intervals"),
-        )
-        .orderBy("user_id", "island")
-    )
+    return coalesce_intervals(
+        iv, keys=["user_id"], start_col="s", end_col="e", tiebreak_col="event_id"
+    ).orderBy("user_id", "island")
 
 
 @query(
