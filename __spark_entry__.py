@@ -47,6 +47,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_trailing_window_range",
     "ts_downsample_lttb",
     "ts_interval_overlap_join",
+    "ts_event_sequence_pattern",
+    "scd2_apply_changes",
     "grid_gradient_slope",
     "stream_ohlc_hourly",
     "stream_gap_alerts",

@@ -1546,3 +1546,54 @@ def ts_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.orderBy("user_id", "event_a", "event_b")
+
+
+@query(
+    "ts_event_sequence_pattern",
+    tags=("timeseries", "pattern", "agg"),
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events WHERE user_id <= 50
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conversions
+FROM seqs ORDER BY user_id
+""",
+)
+def ts_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    event history compresses to an ordered initial string ('vvcep…') and
+    a regex counts non-overlapping conversion journeys — view, any
+    clicks/errors, purchase ('v[ce]*p'). Funnels (ts_funnel) ask "did
+    steps happen in order"; this asks HOW MANY complete journeys, with
+    arbitrary regex structure between steps.
+
+    Scale: the per-key sequence is built by a sort inside the aggregate
+    (array_sort of (ts, event_id, initial) structs → one shuffle on
+    user_id, deterministic order with no window), and the regex count is
+    a map-side scalar. The string per key is |events-per-key| bytes —
+    fine for user-sized keys; for whale keys the same pattern runs over
+    a windowed slice (doc_chunk_sliding shows the chunking shape).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    parts = e.select(
+        "user_id",
+        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i")).alias("s"),
+    )
+    seqs = parts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["i"]), ""
+        ).alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("bigint").alias("n_events"),
+            F.regexp_count("seq", F.lit("v[ce]*p")).cast("bigint").alias("n_conversions"),
+        )
+        .orderBy("user_id")
+    )

@@ -1368,3 +1368,99 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_group")
     )
+
+
+@query(
+    "scd2_apply_changes",
+    tags=("merge", "scd", "cdc"),
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         CAST('2024-01-01' AS TIMESTAMP) AS valid_from
+  FROM customer WHERE c_custkey <= 400
+), changes AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'V2#' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS c_name,
+         CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal + 500.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey BETWEEN 201 AND 500
+)
+SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM dim d LEFT JOIN changes c ON d.c_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+       CAST('2024-06-01' AS TIMESTAMP) AS valid_to, FALSE AS is_current
+FROM dim d JOIN changes c ON d.c_custkey = c.c_custkey
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_acctbal,
+       CAST('2024-06-01' AS TIMESTAMP) AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM changes c
+ORDER BY c_custkey, valid_from
+""",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 change application — the warehouse write path that
+    scd2_validity_intervals reads back: a change batch closes each
+    matched key's current row (valid_to = batch timestamp) and opens a
+    new current version; unmatched dim rows pass through; unmatched
+    changes insert as first versions.
+
+    Scale: one key-shuffled join serves the close branch; the pass-
+    through is the anti side of the same join; new versions are a scan of
+    the change batch — three branches, one co-partitioned exchange, then
+    a union. With a versioned/partitioned dim the rewrite prunes to
+    touched partitions (operators/merge.py documents the copy-on-write
+    trade).
+    """
+    c = table(spark, sf_dir, "customer")
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    t1 = F.lit("2024-06-01").cast("timestamp")
+    dim = c.filter(F.col("c_custkey") <= 400).select(
+        "c_custkey", "c_name", "c_acctbal", t0.alias("valid_from")
+    )
+    changes = c.filter(F.col("c_custkey").between(201, 500)).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("V2#"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_acctbal") + 500.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    keys = changes.select("c_custkey")
+    untouched = dim.join(keys, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(keys, "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "valid_from",
+        t1.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changes.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        t1.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        untouched.unionByName(closed)
+        .unionByName(opened)
+        .orderBy("c_custkey", "valid_from")
+    )

@@ -675,3 +675,21 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # and the result only covers the selected day
     assert joined.count() == 1
+
+
+def test_scd2_apply_branches_share_key_join(spark):
+    """The close/pass-through branches must be semi/anti joins on the key
+    — no nested loop, no full cartesian of dim × changes."""
+    plan = _plan(q("scd2_apply_changes")(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pattern_has_no_window(spark):
+    """The per-key sequence must be built inside the aggregate
+    (array_sort of structs) — one shuffle, no Window operator, regex
+    count as a map-side scalar."""
+    plan = _plan(q("ts_event_sequence_pattern")(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
