@@ -50,6 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_event_sequence_pattern",
     "scd2_apply_changes",
     "grid_gradient_slope",
+    "geo_near_join",
     "stream_ohlc_hourly",
     "stream_gap_alerts",
     "join_salted_skew",

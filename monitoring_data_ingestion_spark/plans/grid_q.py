@@ -508,3 +508,81 @@ def grid_gradient_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lat", "lon")
     )
+
+
+# Geo near-join parameters: 5-degree blocking cells, pairs kept when the
+# squared degree distance is within NEAR_DEG² (an equirectangular
+# small-window metric — exact double arithmetic, no transcendentals, so
+# the hash gate stays engine-portable; production swaps in haversine at
+# the refine step without touching the blocking).
+NEAR_DEG = 3.0
+_CELL_DEG = 5
+
+
+@query(
+    "geo_near_join",
+    tags=("grid", "spatial", "join"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+  FROM customer WHERE c_custkey <= 2000
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.lat - b.lat) * (a.lat - b.lat)
+     + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.lat - b.lat) * (a.lat - b.lat)
+    + (a.lon - b.lon) * (a.lon - b.lon) <= {NEAR_DEG * NEAR_DEG}
+ORDER BY id_a, id_b
+""",
+)
+def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial near-join: all point pairs within {NEAR_DEG}° of each other
+    — the proximity join behind station-matching / observation-conflation
+    in a monitoring network (and every geospatial dedup).
+
+    Spark-first: the oracle's all-pairs theta-join NEVER reaches the
+    planner — one side explodes into its 3×3 neighborhood of 5° blocking
+    cells, the other side keys by its own cell, and the join is an
+    equi-join on the cell id; the exact distance predicate refines the
+    candidates. Cell width ≥ search radius guarantees no missed pair;
+    fan-out is a constant 9. The same blocking carries haversine or any
+    refine metric at production scale — the pattern is the point.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 13 % 180).cast("double") - 90.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 7 % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+    )
+    cell_i = F.floor(F.col("lat") / _CELL_DEG).cast("int")
+    cell_j = F.floor(F.col("lon") / _CELL_DEG).cast("int")
+    neighborhood = F.array(
+        *[
+            F.struct((cell_i + di).alias("ci"), (cell_j + dj).alias("cj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(neighborhood).alias("c"),
+    ).select("id_a", "lat_a", "lon_a", F.col("c.ci").alias("ci"), F.col("c.cj").alias("cj"))
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cell_i.alias("ci"),
+        cell_j.alias("cj"),
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        a.join(b, ["ci", "cj"])
+        .filter((F.col("id_a") < F.col("id_b")) & (dist2 <= NEAR_DEG * NEAR_DEG))
+        .select("id_a", "id_b", dist2.alias("dist2"))
+        .orderBy("id_a", "id_b")
+    )

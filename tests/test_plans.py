@@ -693,3 +693,12 @@ def test_sequence_pattern_has_no_window(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_geo_near_join_is_cell_blocked(spark):
+    """The spatial near-join must ride the 3x3 blocking-cell equi-join —
+    the oracle's all-pairs theta form must never reach the planner."""
+    plan = _plan(q("geo_near_join")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
