@@ -49,6 +49,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_interval_overlap_join",
     "ts_event_sequence_pattern",
     "scd2_apply_changes",
+    "agg_share_of_total",
+    "window_ntile_stratify",
     "grid_gradient_slope",
     "geo_near_join",
     "stream_ohlc_hourly",

@@ -688,3 +688,111 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double"), F.col("o_orderkey") % 5
         ).alias("safe_ratio"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "agg_share_of_total",
+    tags=("agg", "window", "reporting"),
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS balance
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, balance,
+       ROUND(balance / SUM(balance) OVER (PARTITION BY region), 6)
+         AS share_of_region,
+       ROUND(balance / SUM(balance) OVER (), 6) AS share_of_total
+FROM rev ORDER BY region, nation
+""",
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's balance as a share of its region
+    and of the grand total — the window-AFTER-aggregate reporting shape
+    (RATIO_TO_REPORT), distinct from grouping-sets rollups: the detail
+    rows keep their grain while the denominators come from sibling
+    partitions.
+
+    Scale: the aggregate reduces to |nations| rows FIRST, so both window
+    denominators run over a dimension-sized frame — the exchange after
+    the fact shuffle carries 25 rows; the unpartitioned total window is
+    safe precisely because its input is aggregate-sized (never do this
+    on the fact grain). Shares divide exact-decimal-derived doubles —
+    deterministic at any parallelism.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(30,2)")).cast("double").alias("balance"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return (
+        rev.select(
+            "region",
+            "nation",
+            "balance",
+            F.round(F.col("balance") / F.sum("balance").over(w_region), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("balance") / F.sum("balance").over(w_all), 6).alias(
+                "share_of_total"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "window_ntile_stratify",
+    tags=("window", "sampling", "reporting"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+  FROM orders WHERE o_custkey <= 100
+)
+SELECT quartile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS quartile_value,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM ranked GROUP BY quartile
+ORDER BY quartile
+""",
+)
+def window_ntile_stratify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile stratification: orders split into 4 equal-count value tiers
+    (deterministic total order: price desc, key), then per-tier rollups —
+    the strata-assignment step of stratified sampling and tiered
+    reporting (complements percent-rank/cume_dist in
+    window_distribution_ranks: ntile yields equal COUNTS, distribution
+    functions yield equal VALUE-RANGES).
+
+    Scale note stated honestly: an unpartitioned ntile is a global sort —
+    correct only where the tiered population is query-sized (it is
+    filtered here); at fact scale the same tiers come from
+    approx-quantile cut points (agg_approx_quantile) applied map-side.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    )
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("quartile_value"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("quartile")
+    )

@@ -702,3 +702,16 @@ def test_geo_near_join_is_cell_blocked(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_share_of_total_windows_run_on_aggregate_grain(spark):
+    """Ratio-to-report must window AFTER the aggregate: the window
+    operators' input is the |nations|-row aggregate, never the customer
+    fact (no Window before the final HashAggregate pair in the plan's
+    bottom-up order — the single-partition total window is safe only
+    because of this)."""
+    plan = _plan(q("agg_share_of_total")(spark, SF_SMOKE))
+    assert "Window" in plan
+    # the windows sit strictly above the aggregation of the fact scan
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "SortMergeJoin" not in plan  # dims broadcast
