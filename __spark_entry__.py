@@ -51,6 +51,8 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_apply_changes",
     "agg_share_of_total",
     "window_ntile_stratify",
+    "dq_profile_customer",
+    "dq_constraint_audit",
     "grid_gradient_slope",
     "geo_near_join",
     "stream_ohlc_hourly",

@@ -796,3 +796,159 @@ def window_ntile_stratify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "dq_profile_customer",
+    tags=("dq", "agg", "profiling"),
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(c_name) AS nn_name, COUNT(DISTINCT c_name) AS nd_name,
+         COUNT(c_acctbal) AS nn_bal, COUNT(DISTINCT c_acctbal) AS nd_bal,
+         CAST(MIN(c_acctbal) AS VARCHAR) AS min_bal,
+         CAST(MAX(c_acctbal) AS VARCHAR) AS max_bal,
+         COUNT(c_mktsegment) AS nn_seg, COUNT(DISTINCT c_mktsegment) AS nd_seg,
+         CAST(MIN(c_mktsegment) AS VARCHAR) AS min_seg,
+         CAST(MAX(c_mktsegment) AS VARCHAR) AS max_seg
+  FROM customer
+)
+SELECT col, n_rows, n_nonnull, n_distinct, min_value, max_value FROM (
+  SELECT 'c_name' AS col, n AS n_rows, nn_name AS n_nonnull,
+         nd_name AS n_distinct, CAST(NULL AS VARCHAR) AS min_value,
+         CAST(NULL AS VARCHAR) AS max_value, 1 AS ord FROM s
+  UNION ALL
+  SELECT 'c_acctbal', n, nn_bal, nd_bal, min_bal, max_bal, 2 FROM s
+  UNION ALL
+  SELECT 'c_mktsegment', n, nn_seg, nd_seg, min_seg, max_seg, 3 FROM s
+) ORDER BY ord
+""",
+)
+def dq_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (the Deequ/Great-Expectations profiler
+    shape): per-column completeness, distinctness, and bounds for the
+    customer table, emitted as one row per column — the statistics a
+    pipeline records per ingest batch to alert on drift.
+
+    Scale: every statistic for every column comes from ONE aggregate
+    pass over the scan (multi-distinct compiles to Expand — one extra
+    map-side row per distinct column, still a single partial+final
+    aggregation); the per-column rows are a constant-size driver-side
+    pivot of that single result. At 100 TB: one scan, |columns| output
+    rows.
+    """
+    c = table(spark, sf_dir, "customer")
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("c_name").alias("nn_name"),
+        F.count_distinct("c_name").alias("nd_name"),
+        F.count("c_acctbal").alias("nn_bal"),
+        F.count_distinct("c_acctbal").alias("nd_bal"),
+        F.min("c_acctbal").cast("string").alias("min_bal"),
+        F.max("c_acctbal").cast("string").alias("max_bal"),
+        F.count("c_mktsegment").alias("nn_seg"),
+        F.count_distinct("c_mktsegment").alias("nd_seg"),
+        F.min("c_mktsegment").cast("string").alias("min_seg"),
+        F.max("c_mktsegment").cast("string").alias("max_seg"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("c_name").alias("col"), F.col("n").alias("n_rows"),
+            F.col("nn_name").alias("n_nonnull"), F.col("nd_name").alias("n_distinct"),
+            F.lit(None).cast("string").alias("min_value"),
+            F.lit(None).cast("string").alias("max_value"),
+            F.lit(1).alias("ord"),
+        ),
+        F.struct(
+            F.lit("c_acctbal").alias("col"), F.col("n").alias("n_rows"),
+            F.col("nn_bal").alias("n_nonnull"), F.col("nd_bal").alias("n_distinct"),
+            F.col("min_bal").alias("min_value"), F.col("max_bal").alias("max_value"),
+            F.lit(2).alias("ord"),
+        ),
+        F.struct(
+            F.lit("c_mktsegment").alias("col"), F.col("n").alias("n_rows"),
+            F.col("nn_seg").alias("n_nonnull"), F.col("nd_seg").alias("n_distinct"),
+            F.col("min_seg").alias("min_value"), F.col("max_seg").alias("max_value"),
+            F.lit(3).alias("ord"),
+        ),
+    )
+    return (
+        s.select(F.explode(rows).alias("r"))
+        .select("r.col", "r.n_rows", "r.n_nonnull", "r.n_distinct",
+                "r.min_value", "r.max_value", "r.ord")
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+@query(
+    "dq_constraint_audit",
+    tags=("dq", "agg", "join"),
+    oracle="""
+SELECT constraint_name, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'customer_key_unique' AS constraint_name,
+         (SELECT COUNT(*) FROM
+            (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1))
+           AS n_violations, 1 AS ord
+  UNION ALL
+  SELECT 'orders_custkey_fk',
+         (SELECT COUNT(*) FROM orders o
+          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL), 2
+  UNION ALL
+  SELECT 'lineitem_qty_positive',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0), 3
+  UNION ALL
+  SELECT 'orders_price_nonnegative',
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0), 4
+) ORDER BY ord
+""",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint auditing (the Deequ check suite): key uniqueness,
+    FK coverage, and value-domain rules evaluated as exact violation
+    counts with a pass flag — the gate a pipeline runs between ingest
+    and publish (the reference's implicit contract that a month's grid
+    is complete before conversion, stated as assertions).
+
+    Scale: each rule is its own aggregate/anti-join — uniqueness is a
+    grouped HAVING over the key (one shuffle on the key), FK coverage a
+    broadcast anti-join counted, domain rules pushed-filter counts; the
+    four 1-row results union driver-side. Rules are independent jobs, so
+    a scheduler can run them concurrently against one cached scan.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    dup_keys = (
+        c.groupBy("c_custkey").count().filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("customer_key_unique").alias("constraint_name"),
+                F.col("v").alias("n_violations"), F.lit(1).alias("ord"))
+    )
+    orphans = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_custkey_fk").alias("constraint_name"),
+                F.col("v").alias("n_violations"), F.lit(2).alias("ord"))
+    )
+    qty = (
+        li.filter(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("lineitem_qty_positive").alias("constraint_name"),
+                F.col("v").alias("n_violations"), F.lit(3).alias("ord"))
+    )
+    price = (
+        o.filter(F.col("o_totalprice") < 0)
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_price_nonnegative").alias("constraint_name"),
+                F.col("v").alias("n_violations"), F.lit(4).alias("ord"))
+    )
+    return (
+        dup_keys.unionByName(orphans).unionByName(qty).unionByName(price)
+        .select("constraint_name", "n_violations",
+                (F.col("n_violations") == 0).alias("passed"), "ord")
+        .orderBy("ord")
+        .drop("ord")
+    )

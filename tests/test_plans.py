@@ -715,3 +715,20 @@ def test_share_of_total_windows_run_on_aggregate_grain(spark):
     # the windows sit strictly above the aggregation of the fact scan
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "SortMergeJoin" not in plan  # dims broadcast
+
+
+def test_dq_profile_is_single_scan_aggregate(spark):
+    """The column profiler must compute every statistic in ONE aggregate
+    over one scan (multi-distinct → Expand), then pivot the single result
+    row — never one scan per column."""
+    plan = _plan(q("dq_profile_customer")(spark, SF_SMOKE))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_dq_fk_audit_is_anti_join(spark):
+    """FK coverage must count a broadcast left-anti join — not an outer
+    join materializing every matched row."""
+    plan = _plan(q("dq_constraint_audit")(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
