@@ -119,10 +119,28 @@ def _lzw_encode(data: bytes) -> bytes:
             width += 1
         w = bytes([b])
         if next_code == 4094:  # 12-bit space nearly full — reset
+            # No phantom-append accounting is needed here (unlike the
+            # final-code/EOI path below): the code just written was
+            # emitted inside the loop, so our insert and the decoder's
+            # phantom append stayed in lockstep — its table size is
+            # next_code - 1 = 4093, nowhere near a width boundary, and
+            # both sides write/read this CLEAR at 12 bits.
             put(_LZW_CLEAR)
             reset()
     if w:
         put(table[w])
+        # The decoder appends a phantom table entry for this final data
+        # code too (it cannot know no more data follows), so its table
+        # grows one past ours here. If that phantom append lands exactly
+        # on an early-change boundary (decoder table size 510/1022/2046,
+        # i.e. our next_code reaching 511/1023/2047), every conformant
+        # reader widens before reading the next code — so the EOI below
+        # must be written at the widened width. Without this accounting
+        # ~3/4096 of strips (final code ending at a width boundary) were
+        # silently corrupt for any TIFF reader.
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            width += 1
     put(_LZW_EOI)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
@@ -224,22 +242,35 @@ class GeoRaster:
     nodata: float | None = None
 
 
+_STRIP_TARGET_BYTES = 64 * 1024  # classic TIFF writer convention (~64 KB/strip)
+
+
 def encode_geotiff(raster: GeoRaster, compress: bool = True) -> bytes:
     """Encode a north-up Float32 raster as GeoTIFF bytes (pure Python).
 
     ``compress=True`` (default) writes LZW + floating-point predictor=3 —
     the reference's exact creation options
     (/root/reference/src/file-conversions.js:60-66); ``compress=False``
-    writes a raw single-strip Float32 image.
+    writes raw Float32 strips. Strips follow the classic ~64 KB
+    convention (RowsPerStrip sized so an uncompressed strip stays under
+    64 KB), so a 1440×721 global grid — the reference's ERA5 shape —
+    comes out multi-strip exactly as GDAL writes it. Each strip is an
+    independent LZW stream (own Clear/EOI) and the TTN3 predictor is
+    per-row, so strips decode independently.
     """
     values = np.ascontiguousarray(raster.values, dtype="<f4")
     if values.ndim != 2:
         raise ValueError(f"raster must be 2-D, got shape {values.shape}")
     height, width = values.shape
-    if compress:
-        pixel_data = _lzw_encode(_fp_predict_rows(values))
-    else:
-        pixel_data = values.tobytes()
+    row_bytes = 4 * width
+    rows_per_strip = max(1, min(height, _STRIP_TARGET_BYTES // row_bytes or 1))
+    strips: list[bytes] = []
+    for r0 in range(0, height, rows_per_strip):
+        chunk = values[r0 : r0 + rows_per_strip]
+        if compress:
+            strips.append(_lzw_encode(_fp_predict_rows(chunk)))
+        else:
+            strips.append(chunk.tobytes())
 
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, packed)
 
@@ -257,10 +288,10 @@ def encode_geotiff(raster: GeoRaster, compress: bool = True) -> bytes:
     entry(_BITS_PER_SAMPLE, _TYPE_SHORT, [32])
     entry(_COMPRESSION, _TYPE_SHORT, [5 if compress else 1])  # 5 = LZW
     entry(_PHOTOMETRIC, _TYPE_SHORT, [1])  # BlackIsZero
-    entry(_STRIP_OFFSETS, _TYPE_LONG, [0])  # patched below
+    entry(_STRIP_OFFSETS, _TYPE_LONG, [0] * len(strips))  # patched below
     entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1])
-    entry(_ROWS_PER_STRIP, _TYPE_LONG, [height])
-    entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, [len(pixel_data)])
+    entry(_ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip])
+    entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, [len(s) for s in strips])
     entry(_PLANAR_CONFIG, _TYPE_SHORT, [1])
     if compress:
         entry(_PREDICTOR, _TYPE_SHORT, [3])  # TTN3 floating-point predictor
@@ -274,27 +305,40 @@ def encode_geotiff(raster: GeoRaster, compress: bool = True) -> bytes:
 
     entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ascending
 
-    # Layout: header (8) | IFD | overflow values | pixel strip.
+    # Layout: header (8) | IFD | overflow values | pixel strips.
     ifd_offset = 8
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_offset = ifd_offset + ifd_size
     overflow: list[bytes] = []
     cursor = overflow_offset
     fields: list[bytes] = []
-    patched: dict[int, int] = {}
+    field_idx: dict[int, int] = {}
+    overflow_idx: dict[int, int] = {}
     for tag, typ, count, packed in entries:
         if len(packed) <= 4:
             value_bytes = packed.ljust(4, b"\x00")
         else:
+            overflow_idx[tag] = len(overflow)
             overflow.append(packed)
             value_bytes = struct.pack("<I", cursor)
             cursor += len(packed)
         fields.append(struct.pack("<HHI", tag, typ, count) + value_bytes)
-        patched[tag] = len(fields) - 1
-    strip_offset = cursor
-    # Patch StripOffsets now that the data position is known.
-    idx = patched[_STRIP_OFFSETS]
-    fields[idx] = fields[idx][:8] + struct.pack("<I", strip_offset)
+        field_idx[tag] = len(fields) - 1
+    # Patch StripOffsets now that the data start is known: strips are laid
+    # out back-to-back from ``cursor``. With several strips the offsets
+    # array lives in the overflow area (4*n > 4 bytes); with one strip it
+    # is inline in the IFD value field.
+    offs = []
+    pos = cursor
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    packed_offs = struct.pack(f"<{len(offs)}I", *offs)
+    if len(strips) > 1:
+        overflow[overflow_idx[_STRIP_OFFSETS]] = packed_offs
+    else:
+        idx = field_idx[_STRIP_OFFSETS]
+        fields[idx] = fields[idx][:8] + packed_offs
 
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_offset)
@@ -302,13 +346,15 @@ def encode_geotiff(raster: GeoRaster, compress: bool = True) -> bytes:
     out += b"".join(fields)
     out += struct.pack("<I", 0)  # no next IFD
     out += b"".join(overflow)
-    out += pixel_data
+    for s in strips:
+        out += s
     return bytes(out)
 
 
 def decode_geotiff(data: bytes) -> GeoRaster:
-    """Decode a single-strip Float32 GeoTIFF produced by this module (or
-    any little-endian equivalent that is raw or LZW + predictor 1/3)."""
+    """Decode a Float32 GeoTIFF produced by this module (or any
+    little-endian striped equivalent that is raw or LZW + predictor 1/3);
+    handles both single- and multi-strip layouts."""
     byte_order, magic, ifd_offset = struct.unpack_from("<2sHI", data, 0)
     if byte_order != b"II" or magic != 42:
         raise ValueError("not a little-endian classic TIFF")
@@ -335,15 +381,22 @@ def decode_geotiff(data: bytes) -> GeoRaster:
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     width = tags[_IMAGE_WIDTH][0]
     height = tags[_IMAGE_LENGTH][0]
-    strip_off = tags[_STRIP_OFFSETS][0]
-    strip_len = tags[_STRIP_BYTE_COUNTS][0]
-    strip = data[strip_off : strip_off + strip_len]
-    if compression == 5:
-        strip = _lzw_decode(strip)
-    if predictor == 3:
-        values = _fp_unpredict_rows(strip, height, width)
-    else:
-        values = np.frombuffer(strip, dtype="<f4").reshape(height, width)
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [height])[0]
+    strip_offs = tags[_STRIP_OFFSETS]
+    strip_lens = tags[_STRIP_BYTE_COUNTS]
+    if len(strip_offs) != len(strip_lens):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    parts: list[np.ndarray] = []
+    for i, (off, ln) in enumerate(zip(strip_offs, strip_lens)):
+        strip = data[off : off + ln]
+        if compression == 5:
+            strip = _lzw_decode(strip)
+        n_rows = min(rows_per_strip, height - i * rows_per_strip)
+        if predictor == 3:
+            parts.append(_fp_unpredict_rows(strip, n_rows, width))
+        else:
+            parts.append(np.frombuffer(strip, dtype="<f4").reshape(n_rows, width))
+    values = parts[0] if len(parts) == 1 else np.vstack(parts)
     xres, yres, _ = tags[_MODEL_PIXEL_SCALE]
     tie = tags[_MODEL_TIEPOINT]
     nodata = float(tags[_GDAL_NODATA][0]) if _GDAL_NODATA in tags else None

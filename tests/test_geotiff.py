@@ -169,6 +169,131 @@ def test_lzw_round_trip_exercises_width_bumps_and_reset():
         assert _lzw_decode(_lzw_encode(d)) == d
 
 
+def _independent_lzw_decode(data: bytes) -> bytes:
+    """A second TIFF 6.0 §13 LZW decoder, written independently of the
+    module under test (different table representation, different width
+    bookkeeping) so encoder bugs can't be masked by a mirrored decoder
+    bug.  Semantics: MSB-first codes, Clear=256 EOI=257, the decoder adds
+    one table entry per data code read (after the first following a
+    Clear), and — per libtiff/GDAL "early change" — the code width grows
+    to w+1 as soon as the decoder's next free slot reaches 2^w - 2 (the
+    encoder, whose table runs one entry ahead, is then at 2^w - 1)."""
+    nbits_total = len(data) * 8
+    bitpos = 0
+    table: dict[int, bytes] = {}
+    next_slot = 258
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits_total:
+            return 257
+        val = 0
+        for _ in range(width):
+            byte = data[bitpos // 8]
+            val = (val << 1) | ((byte >> (7 - bitpos % 8)) & 1)
+            bitpos += 1
+        return val
+
+    def clear() -> None:
+        nonlocal table, next_slot, width, prev
+        table = {i: bytes([i]) for i in range(256)}
+        next_slot = 258
+        width = 9
+        prev = None
+
+    clear()
+    while True:
+        code = read_code()
+        if code == 257:
+            return bytes(out)
+        if code == 256:
+            clear()
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_slot and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad code {code} (next_slot={next_slot})")
+        out += entry
+        if prev is not None:
+            table[next_slot] = prev + entry[:1]
+            next_slot += 1
+        prev = entry
+        if next_slot + 2 == (1 << width) and width < 12:
+            width += 1
+
+
+def _prefix_with_final_next_code(source: bytes, boundary: int) -> bytes:
+    """Return the shortest prefix of ``source`` for which the LZW
+    encoder's ``next_code`` equals ``boundary`` at the final (outside
+    the loop) code emission. Simulates only the table bookkeeping — the
+    insertion count is what determines next_code, and it advances by 0
+    or 1 per input byte, so every boundary value is reachable."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for i, b in enumerate(bytes(source)):
+        if next_code == boundary:
+            return source[:i]
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([b])
+    raise AssertionError(f"source too short to reach next_code={boundary}")
+
+
+@pytest.mark.parametrize("boundary", [510, 1022, 2046], ids=["w9to10", "w10to11", "w11to12"])
+def test_lzw_final_code_on_width_boundary(boundary):
+    """Regression for the final-code/EOI width off-by-one: a stream
+    that leaves the encoder's next_code at exactly 510/1022/2046 when
+    the last data code is written outside the loop. The decoder's
+    phantom table append then crosses the early-change boundary and
+    widens before reading EOI, so the encoder must widen too. Before
+    the fix this corrupted ~3/4096 of strips — silent file corruption
+    for any conformant TIFF reader."""
+    import random
+
+    from monitoring_data_ingestion_spark.grid.geotiff import _lzw_decode, _lzw_encode
+
+    for seed in range(5):
+        rnd = random.Random(seed)
+        source = bytes(rnd.randrange(256) for _ in range(6 * boundary))
+        s = _prefix_with_final_next_code(source, boundary)
+        enc = _lzw_encode(s)
+        assert _lzw_decode(enc) == s
+        assert _independent_lzw_decode(enc) == s
+
+
+def test_lzw_cross_checked_against_independent_decoder():
+    """Every encoder output must decode identically under a decoder that
+    shares no code with the encoder's module — catches lock-step bugs
+    where a mirrored decoder hides an encoder deviation from the spec."""
+    import random
+
+    from monitoring_data_ingestion_spark.grid.geotiff import _lzw_decode, _lzw_encode
+
+    rnd = random.Random(99)
+    cases = [
+        b"",
+        b"\x00",
+        b"ab" * 5000,  # long repeats → deep table entries
+        bytes(rnd.randrange(256) for _ in range(253)),  # boundary region
+        bytes(rnd.randrange(256) for _ in range(9000)),  # forces a reset
+        bytes((i * 7 + i // 3) % 256 for i in range(30000)),  # several resets
+    ]
+    for s in cases:
+        enc = _lzw_encode(s)
+        assert _independent_lzw_decode(enc) == s
+        assert _lzw_decode(enc) == s
+
+
 def test_float_predictor_round_trip():
     from monitoring_data_ingestion_spark.grid.geotiff import (
         _fp_predict_rows,
@@ -191,6 +316,151 @@ def test_compressed_is_default_and_smaller_on_smooth_rasters():
         back = decode_geotiff(blob)
         np.testing.assert_array_equal(back.values, sm)
         assert back.nodata == -9999.0
+
+
+def test_multi_strip_layout_and_round_trip():
+    """The reference's ERA5 grids are 1440×721 — far past the ~64 KB
+    strip convention — so the writer must emit a correct multi-strip
+    layout (StripOffsets/StripByteCounts arrays in the overflow area)
+    and the reader must reassemble it. Checks tag arrays byte-level AND
+    value round-trip at the reference's exact raster shape."""
+    import struct
+
+    rng = np.random.default_rng(3)
+
+    def layout(data, height, width):
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (n,) = struct.unpack_from("<H", data, ifd_off)
+        tags = {}
+        for i in range(n):
+            tag, typ, cnt, val = struct.unpack_from("<HHII", data, ifd_off + 2 + 12 * i)
+            tags[tag] = (typ, cnt, val)
+        rows_per_strip = tags[278][2]
+        assert rows_per_strip * width * 4 <= 64 * 1024
+        n_strips = -(-height // rows_per_strip)
+        assert n_strips > 1
+        assert tags[273][1] == n_strips and tags[279][1] == n_strips
+        # Offsets array lives in the overflow area; strips must be
+        # back-to-back and non-overlapping, ending at EOF.
+        offs = struct.unpack_from(f"<{n_strips}I", data, tags[273][2])
+        lens = struct.unpack_from(f"<{n_strips}I", data, tags[279][2])
+        for i in range(1, n_strips):
+            assert offs[i] == offs[i - 1] + lens[i - 1]
+        assert offs[-1] + lens[-1] == len(data)
+        return rows_per_strip, offs, lens
+
+    # The reference's exact ERA5 shape, raw strips (layout + values —
+    # the raw path shares all strip bookkeeping with the LZW path).
+    vals_big = rng.normal(280, 12, (721, 1440)).astype("float32")
+    r_big = GeoRaster(values=vals_big, west=-180.0, north=90.0, xres=0.25, yres=0.25, nodata=-9999.0)
+    data_big = encode_geotiff(r_big, compress=False)
+    rps, _, _ = layout(data_big, 721, 1440)
+    assert -(-721 // rps) == 66  # 11 rows/strip at 1440 cols → 66 strips
+    np.testing.assert_array_equal(decode_geotiff(data_big).values, vals_big)
+
+    # LZW + predictor-3 multi-strip round-trip at a 1° global grid
+    # (same code path, pure-Python-affordable size).
+    vals = rng.normal(280, 12, (181, 360)).astype("float32")
+    r = GeoRaster(values=vals, west=-180.0, north=90.0, xres=1.0, yres=1.0, nodata=-9999.0)
+    data = encode_geotiff(r)
+    rows_per_strip, offs, lens = layout(data, 181, 360)
+    back = decode_geotiff(data)
+    np.testing.assert_array_equal(back.values, vals)
+    # Each strip is an independent LZW stream: decoding any single strip
+    # with the module decoder yields exactly that strip's rows.
+    from monitoring_data_ingestion_spark.grid.geotiff import (
+        _fp_unpredict_rows,
+        _lzw_decode,
+    )
+
+    mid = len(offs) // 2
+    strip_rows = _fp_unpredict_rows(
+        _lzw_decode(data[offs[mid] : offs[mid] + lens[mid]]), rows_per_strip, 360
+    )
+    np.testing.assert_array_equal(
+        strip_rows, vals[mid * rows_per_strip : (mid + 1) * rows_per_strip]
+    )
+
+
+def test_multi_strip_property():
+    """Property over strip counts > 1: any raster shape whose height
+    spans several strips round-trips bit-exactly, compressed and raw,
+    including ragged final strips. This is the test class that would
+    have caught the per-strip 0.07% LZW width-boundary bug sooner."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        h=st.integers(40, 220),
+        w=st.integers(64, 200),
+        seed=st.integers(0, 2**31 - 1),
+        compress=st.booleans(),
+    )
+    def check(h, w, seed, compress):
+        rng = np.random.default_rng(seed)
+        vals = rng.normal(0, 50, (h, w)).astype("float32")
+        r = GeoRaster(values=vals, west=0.0, north=80.0, xres=0.25, yres=0.25)
+        data = encode_geotiff(r, compress=compress)
+        import struct as _s
+
+        (ifd_off,) = _s.unpack_from("<I", data, 4)
+        (n,) = _s.unpack_from("<H", data, ifd_off)
+        cnt_by_tag = {}
+        for i in range(n):
+            tag, typ, cnt, _ = _s.unpack_from("<HHII", data, ifd_off + 2 + 12 * i)
+            cnt_by_tag[tag] = cnt
+        rows_per_strip = min(h, max(1, (64 * 1024) // (4 * w)))
+        assert cnt_by_tag[273] == -(-h // rows_per_strip)
+        back = decode_geotiff(data)
+        np.testing.assert_array_equal(back.values, vals)
+
+    check()
+
+
+def test_external_decoder_interop(tmp_path):
+    """Decode this writer's LZW+predictor-3 multi-strip output with a
+    real third-party TIFF stack (PIL / tifffile / rasterio — whichever
+    is installed; gated like the PPM/PIL property tests). The file is
+    sized to straddle several code-width boundaries per strip so the
+    early-change accounting is externally witnessed, not just
+    self-round-tripped."""
+    decoders = []
+    try:  # pragma: no cover - optional dependency
+        from PIL import Image as _PILImage
+
+        decoders.append(("PIL", lambda p: np.asarray(_PILImage.open(p))))
+    except ImportError:
+        pass
+    try:  # pragma: no cover - optional dependency
+        import tifffile as _tifffile
+
+        decoders.append(("tifffile", lambda p: _tifffile.imread(p)))
+    except ImportError:
+        pass
+    try:  # pragma: no cover - optional dependency
+        import rasterio as _rasterio
+
+        def _rio(p):
+            with _rasterio.open(p) as src:
+                return src.read(1)
+
+        decoders.append(("rasterio", _rio))
+    except ImportError:
+        pass
+    if not decoders:
+        pytest.skip("no third-party TIFF decoder installed")
+
+    rng = np.random.default_rng(17)
+    # Noisy float rows compress poorly → each 64 KB strip's LZW stream
+    # walks through the 9→10→11→12-bit widths and the table reset.
+    vals = rng.normal(280, 40, (721, 1440)).astype("float32")
+    r = GeoRaster(values=vals, west=-180.0, north=90.0, xres=0.25, yres=0.25, nodata=-9999.0)
+    path = str(tmp_path / "interop.tif")
+    with open(path, "wb") as f:
+        f.write(encode_geotiff(r))
+    for name, dec in decoders:
+        got = np.asarray(dec(path), dtype="<f4")
+        np.testing.assert_array_equal(got, vals, err_msg=f"decoder={name}")
 
 
 def test_compressed_tiff_declares_lzw_and_predictor_tags():
