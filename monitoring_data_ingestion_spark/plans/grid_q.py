@@ -537,7 +537,7 @@ ORDER BY id_a, id_b
 """,
 )
 def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial near-join: all point pairs within {NEAR_DEG}° of each other
+    """Spatial near-join: all point pairs within NEAR_DEG (3°) of each other
     — the proximity join behind station-matching / observation-conflation
     in a monitoring network (and every geospatial dedup).
 

@@ -381,9 +381,13 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars through the streaming engine: open/close are struct
     min/max — ORDINARY mergeable aggregates, so the bar needs no ordered
     replay of the stream; per-bar state is six scalars however many events
-    arrive, the watermark closes bars, and the drained result is
-    value-identical to the batch form (ts_ohlc_resample) and its oracle —
-    the replayability contract for the resample family.
+    arrive, and the drained result is value-identical to the batch form
+    (ts_ohlc_resample) and its oracle — the replayability contract for
+    the resample family. This harness drains in COMPLETE mode (retains
+    every bar) so trailing bars inside the watermark delay still appear
+    for the equality check; the production append-mode path, where the
+    watermark actually evicts closed bars, is witnessed by
+    tests/test_streaming.py::test_ohlc_append_mode_evicts_closed_bars.
     """
     from ..streaming.ops import ohlc_window_agg
 

@@ -156,8 +156,17 @@ def ohlc_window_agg(
 ) -> DataFrame:
     """Streaming OHLC bars: open/close ride lexicographic struct min/max —
     both are ordinary mergeable aggregates, so the state per (window, key)
-    is four scalars and two structs regardless of event rate, and the
-    watermark evicts closed bars exactly like the count/sum window."""
+    is four scalars and two structs regardless of event rate.
+
+    Eviction depends on the sink's output mode: in **append** mode the
+    watermark finalizes and EVICTS closed bars (bounded state on an
+    unbounded stream — the production posture, witnessed by
+    tests/test_streaming.py::test_ohlc_append_mode_evicts_closed_bars);
+    in **complete** mode Spark retains every bar ever opened, so state
+    grows with the number of windows — acceptable only for bounded
+    drains such as the stream_ohlc_hourly oracle harness, which uses
+    complete mode precisely so the trailing (not-yet-watermark-closed)
+    bars are still emitted for the batch-equality check."""
     first_s = F.min(F.struct(ts_col, id_col, value_col))
     last_s = F.max(F.struct(ts_col, id_col, value_col))
     return (

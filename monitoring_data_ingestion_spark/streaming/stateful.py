@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -75,26 +76,36 @@ def _gap_fn(
     """Emit every silence longer than the threshold between consecutive
     events of a key. State is ONE long (the last seen timestamp) per key
     regardless of stream length — the bounded-liveness state machine.
-    Rows within a batch are sorted before differencing so output is
-    independent of source batch ordering."""
+
+    The whole micro-batch is materialized and sorted ONCE before
+    differencing: Arrow hands the group over as ~10k-row chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch), so sorting
+    per-chunk while carrying ``last`` across chunks would difference
+    out-of-order at every chunk seam. State also only advances forward
+    (``max``): an event older than the carried watermark is a late
+    arrival already accounted for and must not regress state, which
+    would fabricate a gap before the next on-time event."""
     (user_id,) = key
     last = state.get[0] if state.exists else None
+    chunks = [
+        pdf["ts"].values.astype("datetime64[us]").astype("int64") for pdf in pdfs
+    ]
+    ts_us = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, dtype="int64")
     out = []
-    for pdf in pdfs:
-        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-        ts_us.sort()
-        for t in ts_us:
-            t = int(t)
-            if last is not None and t - last > _GAP_THRESHOLD_US:
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "gap_start_us": last,
-                        "gap_end_us": t,
-                        "gap_us": t - last,
-                    }
-                )
-            last = t
+    for t in ts_us:
+        t = int(t)
+        if last is not None and t <= last:
+            continue  # late duplicate/out-of-order event — already covered
+        if last is not None and t - last > _GAP_THRESHOLD_US:
+            out.append(
+                {
+                    "user_id": user_id,
+                    "gap_start_us": last,
+                    "gap_end_us": t,
+                    "gap_us": t - last,
+                }
+            )
+        last = t
     if last is not None:
         state.update((last,))
     yield pd.DataFrame(out, columns=["user_id", "gap_start_us", "gap_end_us", "gap_us"])

@@ -263,6 +263,130 @@ def test_dedup_within_watermark_state_evicted(spark, tmp_path):
     assert final_total < n_keys, (final_total, n_keys)  # not all keys retained
 
 
+def test_ohlc_append_mode_evicts_closed_bars(spark, tmp_path):
+    """The production posture for OHLC bars is APPEND mode, where the
+    watermark finalizes and evicts closed bars — bounded state on an
+    unbounded stream. Across paced micro-batches the state store must
+    report removed rows, every emitted bar must match the batch audit
+    exactly, and every bar closed before the final watermark must have
+    been emitted (nothing lost by eviction)."""
+    from monitoring_data_ingestion_spark.streaming.ops import ohlc_window_agg
+    from monitoring_data_ingestion_spark.streaming.sources import file_stream
+
+    e, landing = _daily_landing(spark, tmp_path)
+    src = file_stream(
+        spark, landing, e.schema, path_glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        ohlc_window_agg(src, duration="1 hour", keys=("event_type",), watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ohlc_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert len(progresses) >= 3
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    assert removed > 0, "watermark never evicted closed OHLC bars"
+
+    # Batch audit: same OHLC definition over the full fixture.
+    from pyspark.sql import Window as W
+
+    order_w = W.partitionBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).orderBy("ts", "event_id")
+    b = (
+        e.withColumn("window_start", F.date_trunc("hour", "ts"))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r.window_start, r.event_type): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in b.collect()
+    }
+    got_rows = spark.sql("SELECT * FROM ohlc_append").collect()
+    assert got_rows, "append mode emitted no finalized bars"
+    for r in got_rows:
+        key = (r.window_start, r.event_type)
+        assert want[key] == (r.open, r.high, r.low, r.close, r.n_events), key
+
+    # Completeness below the final watermark: every audited bar whose
+    # window END precedes the last reported watermark was emitted.
+    import datetime as dt
+
+    wm_str = q.lastProgress["eventTime"].get("watermark")
+    assert wm_str is not None
+    wm = dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00")).replace(tzinfo=None)
+    emitted = {(r.window_start, r.event_type) for r in got_rows}
+    for (ws, et) in want:
+        if ws + dt.timedelta(hours=1) <= wm:
+            assert (ws, et) in emitted, (ws, et, wm)
+
+
+def test_gap_fn_multi_chunk_and_late_events():
+    """Arrow hands a big group to applyInPandasWithState as MULTIPLE
+    chunks; `_gap_fn` must sort the union of the chunks, not each chunk,
+    or a chunk seam fabricates/hides gaps. A late event below the carried
+    state must also not regress state (it would fabricate a gap before
+    the next on-time event)."""
+    import pandas as pd
+
+    from monitoring_data_ingestion_spark.streaming.stateful import _gap_fn
+
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    def run(chunks_us, state):
+        pdfs = (
+            pd.DataFrame({"ts": pd.to_datetime(c, unit="us")}) for c in chunks_us
+        )
+        (out,) = list(_gap_fn((7,), pdfs, state))
+        return {(r.gap_start_us, r.gap_end_us) for r in out.itertuples()}
+
+    # Chunk seam: the later half of the batch arrives in the FIRST chunk.
+    # Sorted union = [0h, 1h, 2h, 3h] → no gap; per-chunk sorting would
+    # difference 3h→0h backwards and 1h-vs-state wrongly.
+    st = FakeState()
+    assert run([[2 * HOUR, 3 * HOUR], [0, 1 * HOUR]], st) == set()
+    assert st.get == (3 * HOUR,)
+
+    # A real gap that straddles the chunk seam must still be found once.
+    st = FakeState()
+    got = run([[3 * DAY], [0, 1 * HOUR]], st)
+    assert got == {(1 * HOUR, 3 * DAY)}
+
+    # Late event below carried state: state must not regress, and no
+    # phantom gap may be emitted against the stale timestamp.
+    st = FakeState((10 * DAY,))
+    assert run([[1 * HOUR]], st) == set()
+    assert st.get == (10 * DAY,)
+    # The next on-time event measures from the true watermark.
+    assert run([[10 * DAY + 2 * DAY]], st) == {(10 * DAY, 12 * DAY)}
+
+
 def test_gap_alerts_state_is_one_row_per_key(spark, tmp_path):
     """The heartbeat-gap state machine must hold exactly one state row per
     key no matter how many batches or events flow through — the bounded-
