@@ -28,6 +28,8 @@ written bucket-partitioned so a probe touches only its partitions.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -929,6 +931,19 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_COSINE = 0.35  # within-cluster similarity above this ⇒ semantic dup (= NEARDUP_COSINE)
+SEMDEDUP_TARGET_POP = 64  # constant target block population — the scale knob
+SEMDEDUP_MAX_BITS = 8  # sub-split depth cap (target pop holds to 64·2^8 rows/cluster)
+
+# Residual-sign sub-bucket bits, emitted once for Spark and once for SQL so
+# the blocking arithmetic is literally the same expression in both engines:
+# bit d (1-based dim) is set iff e[d]/nrm > ce[d]/cnrm — compared as
+# e[d]*cnrm > ce[d]*nrm (norms are positive; products are single IEEE
+# multiplications, bit-identical across engines).
+_SUB_BITS_SQL = " + ".join(
+    f"(CASE WHEN {d} <= b AND n.e[{d}] * c.cnrm > c.ce[{d}] * n.nrm"
+    f" THEN {1 << (d - 1)} ELSE 0 END)"
+    for d in range(1, SEMDEDUP_MAX_BITS + 1)
+)
 
 
 @query(
@@ -949,11 +964,23 @@ WITH v AS (
   FROM norms n CROSS JOIN centn c
 ), assign AS (
   SELECT vec_id, label AS cluster FROM affinity WHERE rn = 1
+), depth AS (
+  SELECT cluster,
+         CAST(GREATEST(0, LEAST({SEMDEDUP_MAX_BITS},
+              CEIL(LOG2(COUNT(*) / {SEMDEDUP_TARGET_POP}.0)))) AS INTEGER) AS b
+  FROM assign GROUP BY cluster
+), blocks AS (
+  SELECT a.vec_id, a.cluster, {_SUB_BITS_SQL} AS subbucket
+  FROM assign a
+  JOIN depth d ON a.cluster = d.cluster
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN centn c ON c.label = a.cluster
 ), lower_sims AS (
   SELECT hi.vec_id,
          MAX(ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)) AS max_cos_lower
-  FROM assign hi
-  JOIN assign lo ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+  FROM blocks hi
+  JOIN blocks lo ON hi.cluster = lo.cluster AND hi.subbucket = lo.subbucket
+                AND lo.vec_id < hi.vec_id
   JOIN norms x ON x.vec_id = hi.vec_id
   JOIN norms y ON y.vec_id = lo.vec_id
   GROUP BY hi.vec_id
@@ -968,19 +995,31 @@ ORDER BY a.vec_id
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: assign every embedding to its nearest coarse centroid,
-    then drop a vector iff some lower-id vector IN THE SAME CLUSTER has
+    then drop a vector iff some lower-id vector IN THE SAME BLOCK has
     cosine ≥ 0.35 with it (greedy keep-first — the deterministic version
     of the paper's keep-one-per-ε-ball policy). Returns every vector with
-    its cluster, its max similarity to any lower-id cluster-mate (−1.0
+    its cluster, its max similarity to any lower-id block-mate (−1.0
     when none), and the keep/drop verdict — the corpus-pruning endpoint
     for training-data curation.
 
-    Scale: the codebook is k×dim doubles → broadcast; assignment is a
-    map-only pass (one short (vec_id, cluster) row per vector through the
-    exchange). The pairwise stage is confined within clusters — Σ|c|²
-    work, controlled by k: production SemDeDup raises k with corpus size
-    (50 k clusters for LAION) precisely so cluster populations, and this
-    join, stay bounded. No cross-cluster pair is ever formed.
+    Scale (the default IS the scale-safe configuration): production
+    SemDeDup raises k with corpus size (50 k clusters for LAION) so
+    cluster populations stay constant; with an oracle-expressible fixed
+    codebook the same invariant is enforced by sub-splitting each coarse
+    cluster with residual-sign bits — bit d set iff the vector sits
+    above its centroid along dim d (e[d]/nrm > ce[d]/cnrm). The split
+    depth is derived from the cluster's population,
+    b = clamp(ceil(log2(pop / 64)), 0, 8), so the expected block
+    population is pinned at SEMDEDUP_TARGET_POP regardless of corpus
+    size and the pairwise stage does Σ|block|² ≈ n·64 work — measured
+    corpus-linear at the sf1/sf3 probes (SCALE.md) where the previous
+    fixed-k default grew 10.6× per 10× data. Everything before the
+    pairwise join is map-side against broadcast centroids + one tiny
+    per-cluster count; no cross-block pair is ever formed. Clusters at
+    or below the target population get b=0 — identical semantics to
+    plain SemDeDup; near-dup pairs whose residual flips a selected sign
+    bit land in sibling blocks (the recall trade every LSH-refined
+    blocker makes, cf. dedup_embedding_cosine's banding).
     """
     v = _vectors(spark, sf_dir)
 
@@ -1005,21 +1044,51 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("acos", aff_cos)
         .withColumn("rn", F.row_number().over(w_aff))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cluster"), "e", "nrm")
+        .select("vec_id", F.col("clabel").alias("cluster"), "e", "nrm", "ce", "cnrm")
     )
 
-    hi = assign.select(
-        "cluster", "vec_id", F.col("e").alias("e_hi"), F.col("nrm").alias("n_hi")
+    # Population-derived split depth: one tiny (cluster, b) table, broadcast
+    # back so the sub-bucket bits stay a map-side expression.
+    depth = assign.groupBy("cluster").agg(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(SEMDEDUP_MAX_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) / float(SEMDEDUP_TARGET_POP))),
+            ),
+        )
+        .cast("int")
+        .alias("b")
     )
-    lo = assign.select(
+    sub_bits = reduce(
+        lambda acc, d: acc
+        + F.when(
+            (F.lit(d) <= F.col("b"))
+            & (F.element_at("e", d) * F.col("cnrm") > F.element_at("ce", d) * F.col("nrm")),
+            F.lit(1 << (d - 1)),
+        ).otherwise(0),
+        range(1, SEMDEDUP_MAX_BITS + 1),
+        F.lit(0),
+    )
+    blocks = (
+        assign.join(F.broadcast(depth), "cluster")
+        .withColumn("subbucket", sub_bits)
+        .select("vec_id", "cluster", "subbucket", "e", "nrm")
+    )
+
+    hi = blocks.select(
+        "cluster", "subbucket", "vec_id", F.col("e").alias("e_hi"), F.col("nrm").alias("n_hi")
+    )
+    lo = blocks.select(
         "cluster",
+        "subbucket",
         F.col("vec_id").alias("lo_id"),
         F.col("e").alias("e_lo"),
         F.col("nrm").alias("n_lo"),
     )
     pair_cos = F.round(_dot(F.col("e_hi"), F.col("e_lo")) / (F.col("n_hi") * F.col("n_lo")), 6)
     lower_sims = (
-        hi.join(lo, "cluster")
+        hi.join(lo, ["cluster", "subbucket"])
         .filter(F.col("lo_id") < F.col("vec_id"))
         .groupBy("vec_id")
         .agg(F.max(pair_cos).alias("max_cos_lower"))

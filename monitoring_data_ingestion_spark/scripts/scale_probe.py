@@ -242,7 +242,8 @@ def main() -> None:
         _gen_embeddings(out_dir, factor=10)
         print(f"generated sf1 at {out_dir}")
     elif cmd == "run":
-        run_probe(spark, out_dir)
+        names = tuple(sys.argv[3:]) or PROBE_QUERIES
+        run_probe(spark, out_dir, queries=names)
     elif cmd == "run-headline":
         from monitoring_data_ingestion_spark.plans import REGISTRY
 
