@@ -32,16 +32,24 @@ VAR_OFFSETS = {"t2m": 0.0, "precip": 100.0, "unused_var": 500.0}
 LAT0, LON0, STEP, N_CELLS = 10.0, 20.0, 0.25, 8
 
 
-def grid_frame(spark: SparkSession, start_month: str, end_month: str) -> DataFrame:
+def grid_frame(
+    spark: SparkSession,
+    start_month: str,
+    end_month: str,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
     """The closed-form grid as one lazy DataFrame (time, lat, lon,
-    variable, value) covering every month in [start_month, end_month]."""
+    variable, value) covering every month in [start_month, end_month].
+    ``n_cells`` is the per-axis density knob (total cells = n_cells²):
+    the default matches the oracle fixture; the scale probe passes a
+    larger axis to measure the pipeline at 10×+ grid density."""
     months = F.explode(
         F.expr(
             f"sequence(timestamp'{start_month}-01', timestamp'{end_month}-01',"
             " interval 1 month)"
         )
     ).alias("time")
-    axis = F.sequence(F.lit(0), F.lit(N_CELLS - 1))
+    axis = F.sequence(F.lit(0), F.lit(n_cells - 1))
     lats = F.explode(F.transform(axis, lambda i: F.lit(LAT0) + F.lit(STEP) * i)).alias("lat")
     lons = F.explode(F.transform(axis, lambda j: F.lit(LON0) + F.lit(STEP) * j)).alias("lon")
     variables = F.explode(
@@ -77,14 +85,20 @@ def grid_frame(spark: SparkSession, start_month: str, end_month: str) -> DataFra
     )
 
 
-def write_grid_landing(spark: SparkSession, landing_dir: str, start_month: str, end_month: str) -> None:
+def write_grid_landing(
+    spark: SparkSession,
+    landing_dir: str,
+    start_month: str,
+    end_month: str,
+    n_cells: int = N_CELLS,
+) -> None:
     """Materialize the landing dir: ONE partitioned write, then rename the
     partition dirs to the gridmonths ``YYYY-MM.parquet`` entries (cheap
     driver-side renames — the data itself never passes the driver)."""
     os.makedirs(landing_dir, exist_ok=True)
     staging = os.path.join(landing_dir, "_staging")
     (
-        grid_frame(spark, start_month, end_month)
+        grid_frame(spark, start_month, end_month, n_cells=n_cells)
         .withColumn("mk", F.date_format("time", "yyyy-MM"))
         .repartition("mk")
         .write.mode("overwrite")
