@@ -18,117 +18,75 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage reached 148/148 in round 4, so
-# from round 5 on the window's job is REGRESSION DETECTION: new queries and
-# any query whose implementation changed this round go first, then the
-# 16 headline (bench) queries, then the queries whose only driver witness
-# is the oldest round (round 1) — freshest evidence for the hottest paths,
-# oldest evidence refreshed with the remaining slots.  Every entry outside
-# the window stays locally oracle-checked each session
+# ``queries()``.  Cumulative driver coverage is 190/190 across rounds 1-5
+# (every registry query green in some round, zero failures ever), so the
+# window's job is REGRESSION DETECTION: new queries and any query whose
+# implementation changed this round go first, then the 16 headline
+# (bench) queries, then the cohort whose driver witness is OLDEST —
+# round 6 rotates the round-5 names out and refreshes 22 of the 45
+# r2-witnessed names (the remainder rotates in round 7).  Every entry
+# outside the window stays locally oracle-checked each session
 # (tests/test_oracle.py), and the flagship pipeline stays driver-checked
 # through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- new this round: PII scrub witnessed end-to-end (VERDICT r4 #1),
-    #     and the stop-shingle-capped Jaccard the sf1 probe motivated ---
-    "text_pii_scrub",
-    "ts_ohlc_resample",
-    "ts_ewma",
-    "ts_counter_rate",
-    "ts_interval_coalesce",
-    "ts_anomaly_mad",
-    "ts_level_shift",
-    "dedup_containment",
-    "dedup_containment_capped",
-    "grid_zonal_stats",
-    "cdc_snapshot_diff",
-    "text_html_strip",
-    "ts_asof_join_tolerance",
-    "ts_gap_detection",
-    "ts_trailing_window_range",
-    "ts_downsample_lttb",
-    "ts_interval_overlap_join",
-    "ts_event_sequence_pattern",
-    "scd2_apply_changes",
-    "agg_share_of_total",
-    "window_ntile_stratify",
-    "dq_profile_customer",
-    "dq_constraint_audit",
-    "grid_gradient_slope",
-    "geo_near_join",
-    "stream_ohlc_hourly",
-    "stream_gap_alerts",
-    "join_salted_skew",
-    "multimodal_audio_energy",
-    "text_ngram_lm_score",
-    "text_classifier_score",
-    "text_bpe_pair_counts",
-    "text_url_canonical_dedup",
-    "embedding_pca_project",
-    "knn_recall_eval",
-    "grid_bilinear_regrid",
-    "dedup_ngram_jaccard_capped",
+    # --- new in round 6 (plans created this round — first driver witness) ---
+    "grid_area_weighted_mean",
+    "dq_volume_anomaly",
+    "embedding_quantize_int8",
+    "text_ngram_novelty",
+    "text_quality_filter_funnel",
+    "knn_mutual_graph",
+    "sample_class_balanced",
+    "ts_seasonal_decompose",
+    "multimodal_image_phash_neardup",
+    "text_length_histogram",
+    # --- changed in round 6: dedup_semantic_prune now defaults to the
+    #     population-derived residual-sign blocking (scale-safe SemDeDup);
+    #     stream_gap_alerts' state machine sorts across Arrow chunks and
+    #     advances monotonically — both re-witnessed ---
     "dedup_semantic_prune",
-    "scalar_calendar_clamp",
-    "scalar_geo_uniform",
-    "scalar_oscar_calendar",
-    "sample_temperature_mix",
-    # --- changed this round: _widen_if_narrow gate rewritten without the
-    #     RDD round-trip (plan shape pinned unchanged, re-witness anyway) ---
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "stream_gap_alerts",
     # --- headline queries (the bench set — hottest paths, keep fresh) ---
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "era5_monthly_anomaly",
+    "knn_cosine_bruteforce",
+    "knn_ivf",
+    "llm_corpus_prep",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q9_profit_by_nation",
-    "era5_monthly_anomaly",
-    "dedup_minhash_lsh",
-    "knn_cosine_bruteforce",
-    "knn_ivf",
-    "llm_corpus_prep",
     "text_tfidf_top_terms",
     "ts_asof_join",
     "ts_range_join",
     "ts_sessionize",
     "ts_tumbling_hourly",
-    # --- oldest driver evidence (round 1 window) refreshed ---
-    "join_inner",
-    "join_left_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_broadcast_dims",
-    "join_positional_lookup",
+    # --- oldest driver evidence (round-2 cohort) refreshed with the
+    #     remaining slots; the rest of the r2 cohort rotates next round ---
+    "agg_collect_sorted",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_minmax_running",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
     "agg_stats",
     "agg_stddev",
-    "agg_rollup",
-    "agg_cube",
-    "agg_collect_sorted",
-    "agg_minmax_running",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_percentiles",
-    "window_rank",
-    "window_running_sum",
-    "window_range_frame",
-    "window_first_last",
-    "topk_orders",
-    "sort_multi_key",
-    "first_after_filter",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "set_union_distinct",
-    "filter_rlike_limit",
-    "filter_bbox_pushdown",
-    "project_null_sentinel",
-    "scalar_math",
-    "scalar_strings",
-    "scalar_datetime",
-    "scalar_conditional_hash",
     "dedup_exact_keep_first",
+    "filter_bbox_pushdown",
+    "filter_rlike_limit",
+    "first_after_filter",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_positional_lookup",
+    "project_null_sentinel",
 )
 
 

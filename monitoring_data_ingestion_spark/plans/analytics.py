@@ -1363,3 +1363,126 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "text_ngram_novelty",
+    tags=("text", "dedup", "llm"),
+    oracle=f"""
+WITH sh AS (
+{_SHINGLE_SQL}
+), firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (minimum
+    doc_id over all documents containing the shingle) is this document.
+    The memorization/duplication diagnostic of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    document with novelty ≈ 0 is recombined boilerplate even when no
+    single other document near-duplicates it — the long-tail
+    contamination that pairwise dedup (Jaccard/MinHash) structurally
+    cannot see, which is why curation pipelines track both.
+
+    Scale: one shingle explode (the same guarded-width pass as the dedup
+    family), one (shingle)-keyed min aggregate — the inverted index
+    carries ONE row per distinct shingle, never df² pairs — and one join
+    back on the shingle key. Work is O(total shingles): corpus-linear by
+    construction, the same budget as text_tfidf_top_terms.
+    """
+    sh = _shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_class_balanced",
+    tags=("sampling", "llm"),
+    oracle="""
+WITH sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY lang
+), floor_n AS (
+  SELECT MIN(n_total) AS n_min FROM sizes
+), ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT s.lang AS lang, s.n_total AS n_total,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept,
+       CAST(MIN(f.n_min) AS BIGINT) AS n_target
+FROM sizes s
+CROSS JOIN floor_n f
+LEFT JOIN ranked r ON r.lang = s.lang AND r.rn <= f.n_min
+GROUP BY s.lang, s.n_total
+ORDER BY lang
+""",
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling audit: every language stratum is cut
+    to the size of the SMALLEST stratum by deterministic hash rank (the
+    md5 shuffle order shared with sample_k_per_group — same kept set on
+    every run and engine, unlike rand()), reported as per-stratum
+    kept/total/target counts. The domain-balancing step of multilingual
+    corpus prep when the mix target is uniform rather than temperature-
+    weighted (sample_temperature_mix covers the n^0.7 policy).
+
+    Scale: stratum sizes are one map-side-combined count; the global min
+    is a 1-row broadcast; the cut is the same single stratum-keyed
+    window as sample_k_per_group with a dynamic k. Nothing but per-
+    stratum counters crosses the final exchange.
+    """
+    d = table(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    floor_n = sizes.agg(F.min("n_total").alias("n_min"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("lang", "doc_id").withColumn("rn", F.row_number().over(w))
+    kept = (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        sizes.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(floor_n))
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.col("n_min").cast("bigint").alias("n_target"),
+        )
+        .orderBy("lang")
+    )

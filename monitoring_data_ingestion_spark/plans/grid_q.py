@@ -586,3 +586,69 @@ def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist2.alias("dist2"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "grid_area_weighted_mean",
+    tags=("grid", "spatial", "agg"),
+    oracle=f"""
+WITH corners AS (
+  SELECT lat, lon, {_BL_VALUE_SQL} AS value
+  FROM (SELECT unnest(generate_series({_BL_LAT0}, {_BL_LATN})) AS lat) la,
+       (SELECT unnest(generate_series({_BL_LON0}, {_BL_LONN})) AS lon) lo
+), weighted AS (
+  SELECT CAST(floor(lat / 10.0) * 10 AS INTEGER) AS band,
+         CAST(cos(lat * pi() / 180.0) * value AS DECIMAL(30,12)) AS wv,
+         CAST(cos(lat * pi() / 180.0) AS DECIMAL(30,12)) AS w,
+         CAST(value AS DECIMAL(30,6)) AS v
+  FROM corners
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS weighted_mean,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS simple_mean
+FROM weighted GROUP BY band ORDER BY band
+""",
+)
+def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted spatial mean — the cos(latitude) weighting every
+    global statistic over a regular lat/lon grid needs (CDO ``fldmean``
+    semantics, the spatial-mean counterpart of the reference's temporal
+    ``timmean``, /root/reference/src/sources/era5monthly.js:126-155):
+    equal-angle cells shrink as cos(lat) toward the poles, so the naive
+    mean over-weights high latitudes. Returns both means per 10° band so
+    the correction itself is part of the checked result.
+
+    Spark-first: weights are a map-side expression on the closed-form
+    lattice (no weight table, no join); the rollup is one partial+final
+    hash aggregate carrying |bands| rows. Weighted terms are summed as
+    decimal(30,12) — cos() may differ from the oracle's libm in the last
+    ulp, but 1 ulp ≈ 1e-17 sits 5 orders below the decimal quantum, and
+    decimal sums are ordering-independent (the double Σ would round
+    differently per partition schedule). At planetary density nothing
+    but the fixed band table crosses the exchange.
+    """
+    la = spark.range(_BL_LAT0, _BL_LATN + 1).select(F.col("id").alias("lat"))
+    lo = spark.range(_BL_LON0, _BL_LONN + 1).select(F.col("id").alias("lon"))
+    value = (((F.col("lat") + 90) * 31 + (F.col("lon") + 180) * 7) % 17).cast(
+        "double"
+    ) + (F.col("lat") + 90) * 0.25
+    corners = la.crossJoin(lo).select("lat", "lon", value.alias("value"))
+    w = F.cos(F.col("lat") * F.lit(3.141592653589793) / 180.0)
+    return (
+        corners.select(
+            (F.floor(F.col("lat") / 10.0) * 10).cast("int").alias("band"),
+            (w * F.col("value")).cast("decimal(30,12)").alias("wv"),
+            w.cast("decimal(30,12)").alias("w"),
+            F.col("value").cast("decimal(30,6)").alias("v"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum("wv").cast("double") / F.sum("w").cast("double"), 6).alias(
+                "weighted_mean"
+            ),
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("simple_mean"),
+        )
+        .orderBy("band")
+    )

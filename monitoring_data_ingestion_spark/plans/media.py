@@ -291,3 +291,151 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame",
         F.round(F.sqrt(sumsq.cast("double") / F.lit(512.0)), 6).alias("rms"),
     ).orderBy("doc_id", "frame")
+
+
+PHASH_MAX_HAMMING = 3  # ≤3 over 4 16-bit blocks → pigeonhole: one block exact
+
+
+@query(
+    "multimodal_image_phash_neardup",
+    tags=("multimodal", "python", "codec", "dedup"),
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         64 + (doc_id % 8) * 16 AS w,
+         48 + (doc_id % 5) * 16 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300
+), px AS (
+  SELECT i.doc_id,
+         y.y * 8 + x.x AS i,
+         (i.doc_id + (x.x * i.w) // 8 + (y.y * i.h) // 8) % 256 AS v
+  FROM imgs i,
+       UNNEST(generate_series(0, 7)) AS x(x),
+       UNNEST(generate_series(0, 7)) AS y(y)
+), tot AS (
+  SELECT doc_id, SUM(v) AS total FROM px GROUP BY doc_id
+), blocks AS (
+  SELECT p.doc_id, p.i // 16 AS bp,
+         CAST(SUM(CASE WHEN 64 * p.v > t.total
+                       THEN 1 << (p.i % 16) ELSE 0 END) AS BIGINT) AS bv
+  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b ON a.bp = b.bp AND a.bv = b.bv
+                             AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN blocks ba ON ba.doc_id = c.doc_a
+  JOIN blocks bb ON bb.doc_id = c.doc_b AND bb.bp = ba.bp
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash: decode →
+    8×8 thumbnail → 64-bit aHash (bit = pixel above image mean) → banded
+    self-join on 16-bit hash blocks → exact Hamming rerank at ≤ 3 bits.
+    The visual analogue of dedup_simhash (same pigeonhole banding: ≤3
+    differing bits over 4 blocks forces one block equal, so candidate
+    recall is exact, not probabilistic) — the image-corpus dedup step a
+    multimodal training pipeline runs where text dedup runs MinHash.
+
+    The decode/resize path is the REAL Arrow/mapInPandas codec pipeline
+    (synthetic deterministic PPMs, as multimodal_image_decode_stats); the
+    hash itself is pure JVM expression over the pixel array — integer
+    threshold 64·v > Σv avoids the mean division entirely, so the oracle
+    restates the whole dataflow closed-form from the gradient formula
+    without touching a byte of PPM.
+
+    Scale: hashing is map-side (payload bytes never shuffle — only the
+    4×16-bit blocks do); candidates come from an equi-join on (block_idx,
+    block_value), never all-pairs; the rerank joins the tiny hash table,
+    not pixels. Work is O(images + candidate pairs), the dedup-family
+    budget.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..multimodal.model import media_table
+    from ..multimodal.ops import _META_SCHEMA_DDL, decode_image, resize_image
+    from ..multimodal.ppm import synthetic_ppm
+
+    imgs = media_table(spark, sf_dir).filter(
+        (F.col("meta.media_type") == "image") & (F.col("doc_id") < 300)
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, meta in zip(pdf["doc_id"], pdf["meta"]):
+                payload = synthetic_ppm(int(doc_id), meta["width"], meta["height"])
+                new_meta = dict(meta)
+                new_meta["n_bytes"] = len(payload)
+                rows.append({"doc_id": doc_id, "media": payload, "meta": new_meta})
+            yield pd.DataFrame(rows)
+
+    ppm_imgs = imgs.select("doc_id", "meta").mapInPandas(
+        synth, schema=f"doc_id bigint, media binary, {_META_SCHEMA_DDL}"
+    )
+    decoded = decode_image(resize_image(ppm_imgs, 8, 8))
+
+    total = F.aggregate(
+        "pixels", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    def _block_bits(k: int):
+        def merge(acc, j):
+            return acc + F.when(
+                F.lit(64) * F.element_at("pixels", F.lit(16 * k) + j + 1)
+                > F.col("total"),
+                F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)), F.lit(0).cast("bigint"), merge
+        )
+
+    block_exprs = [_block_bits(k).alias(f"b{k}") for k in range(4)]
+    hashes = decoded.withColumn("total", total).select("doc_id", *block_exprs)
+
+    exploded = hashes.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("bp", "bv"),
+    )
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.bp") == F.col("b.bp"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

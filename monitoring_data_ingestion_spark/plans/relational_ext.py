@@ -952,3 +952,78 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
     )
+
+
+@query(
+    "dq_volume_anomaly",
+    tags=("dq", "monitoring", "window"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), trail AS (
+  SELECT day, n_rows,
+         COUNT(*) OVER w AS t_n,
+         CAST(SUM(n_rows) OVER w AS DOUBLE) AS t_sum,
+         CAST(SUM(n_rows * n_rows) OVER w AS DOUBLE) AS t_sum2
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_rows,
+       CASE WHEN t_n = 7 THEN ROUND(t_sum / 7.0, 6) END AS trailing_mean,
+       CASE WHEN t_n = 7
+            THEN ROUND(sqrt((t_sum2 - t_sum * t_sum / 7.0) / 7.0), 6) END
+         AS trailing_std,
+       COALESCE(CASE WHEN t_n = 7
+            THEN (n_rows - t_sum / 7.0) * (n_rows - t_sum / 7.0)
+                 > 9.0 * ((t_sum2 - t_sum * t_sum / 7.0) / 7.0) END, FALSE)
+         AS is_anomaly
+FROM trail ORDER BY day
+""",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: per-day row counts flagged when they
+    deviate more than 3σ from the trailing 7-day window (window excludes
+    the current day; days without a full trailing week report NULL stats
+    and never alarm — non-null booleans keep the hash contract clean) — the
+    data-ops alarm every landing pipeline wires before anything reads the
+    partition (the volume analogue of the reference's no-update
+    short-circuit, /root/reference/src/rabbit-sanctuary.js).
+
+    Scale: the raw scan collapses to one partial+final count keyed by
+    day; the anomaly logic runs over the DAILY table — one row per day,
+    thousands of rows for years of data — so the unpartitioned ordered
+    window is a deliberate single-task stage over a vanishingly small
+    input, not a bottleneck (same stance as the trailing stats in
+    ts_moving_avg, but over an already-aggregated series). All trailing
+    terms are integer sums → the double mean/variance arithmetic is
+    bit-portable; the 3σ test compares squared deviation against 9·var
+    to avoid a sqrt in the decision path.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    t_n = F.count(F.lit(1)).over(w)
+    t_sum = F.sum("n_rows").over(w).cast("double")
+    t_sum2 = F.sum(F.col("n_rows") * F.col("n_rows")).over(w).cast("double")
+    mean = t_sum / 7.0
+    var = (t_sum2 - t_sum * t_sum / 7.0) / 7.0
+    full = t_n == 7
+    return (
+        daily.select(
+            "day",
+            "n_rows",
+            F.when(full, F.round(mean, 6)).alias("trailing_mean"),
+            F.when(full, F.round(F.sqrt(var), 6)).alias("trailing_std"),
+            F.when(
+                full,
+                (F.col("n_rows") - mean) * (F.col("n_rows") - mean) > 9.0 * var,
+            )
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

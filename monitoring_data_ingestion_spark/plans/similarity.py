@@ -946,16 +946,10 @@ _SUB_BITS_SQL = " + ".join(
 )
 
 
-@query(
-    "dedup_semantic_prune",
-    tags=("dedup", "similarity", "embedding"),
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), norms AS (
-  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
-),{_CENTROID_SQL}
-, affinity AS (
+# Shared CTE chain: nearest-centroid assignment + population-derived
+# residual-sign blocks — consumed by dedup_semantic_prune AND
+# knn_mutual_graph so the blocking semantics stay one definition.
+_RESIDUAL_BLOCKS_SQL = f""", affinity AS (
   SELECT n.vec_id, c.label,
          ROW_NUMBER() OVER (
            PARTITION BY n.vec_id
@@ -975,7 +969,79 @@ WITH v AS (
   JOIN depth d ON a.cluster = d.cluster
   JOIN norms n ON n.vec_id = a.vec_id
   JOIN centn c ON c.label = a.cluster
-), lower_sims AS (
+)"""
+
+
+def _label_codebook(v: DataFrame) -> DataFrame:
+    """Per-label mean-vector codebook (clabel, ce, cnrm) — the same
+    construction as knn_ivf's coarse quantizer."""
+    expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = expanded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
+        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .select(F.col("label").alias("clabel"), "ce", "cnrm")
+    )
+
+
+def _residual_blocks(v: DataFrame, centv: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment + population-derived residual-sign
+    sub-blocks: (vec_id, cluster, subbucket, e, nrm). The Spark rendering
+    of _RESIDUAL_BLOCKS_SQL — one definition of the blocking, two
+    engines. Everything is map-side against the broadcast codebook plus
+    one tiny per-cluster depth table."""
+    aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
+    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
+    assign = (
+        v.crossJoin(F.broadcast(centv))
+        .withColumn("acos", aff_cos)
+        .withColumn("rn", F.row_number().over(w_aff))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"), "e", "nrm", "ce", "cnrm")
+    )
+    depth = assign.groupBy("cluster").agg(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(SEMDEDUP_MAX_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) / float(SEMDEDUP_TARGET_POP))),
+            ),
+        )
+        .cast("int")
+        .alias("b")
+    )
+    sub_bits = reduce(
+        lambda acc, d: acc
+        + F.when(
+            (F.lit(d) <= F.col("b"))
+            & (F.element_at("e", d) * F.col("cnrm") > F.element_at("ce", d) * F.col("nrm")),
+            F.lit(1 << (d - 1)),
+        ).otherwise(0),
+        range(1, SEMDEDUP_MAX_BITS + 1),
+        F.lit(0),
+    )
+    return (
+        assign.join(F.broadcast(depth), "cluster")
+        .withColumn("subbucket", sub_bits)
+        .select("vec_id", "cluster", "subbucket", "e", "nrm")
+    )
+
+
+
+@query(
+    "dedup_semantic_prune",
+    tags=("dedup", "similarity", "embedding"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),{_CENTROID_SQL}
+{_RESIDUAL_BLOCKS_SQL}, lower_sims AS (
   SELECT hi.vec_id,
          MAX(ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)) AS max_cos_lower
   FROM blocks hi
@@ -1022,59 +1088,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocker makes, cf. dedup_embedding_cosine's banding).
     """
     v = _vectors(spark, sf_dir)
-
-    # Coarse codebook = per-label mean vectors (same construction as
-    # knn_ivf — training is orthogonal to the pruning dataflow).
-    expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
-    cent = expanded.groupBy("label", "pos").agg(
-        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
-    )
-    centv = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
-        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
-        .select(F.col("label").alias("clabel"), "ce", "cnrm")
-    )
-
-    aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
-    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
-    assign = (
-        v.crossJoin(F.broadcast(centv))
-        .withColumn("acos", aff_cos)
-        .withColumn("rn", F.row_number().over(w_aff))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cluster"), "e", "nrm", "ce", "cnrm")
-    )
-
-    # Population-derived split depth: one tiny (cluster, b) table, broadcast
-    # back so the sub-bucket bits stay a map-side expression.
-    depth = assign.groupBy("cluster").agg(
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(SEMDEDUP_MAX_BITS),
-                F.ceil(F.log2(F.count(F.lit(1)) / float(SEMDEDUP_TARGET_POP))),
-            ),
-        )
-        .cast("int")
-        .alias("b")
-    )
-    sub_bits = reduce(
-        lambda acc, d: acc
-        + F.when(
-            (F.lit(d) <= F.col("b"))
-            & (F.element_at("e", d) * F.col("cnrm") > F.element_at("ce", d) * F.col("nrm")),
-            F.lit(1 << (d - 1)),
-        ).otherwise(0),
-        range(1, SEMDEDUP_MAX_BITS + 1),
-        F.lit(0),
-    )
-    blocks = (
-        assign.join(F.broadcast(depth), "cluster")
-        .withColumn("subbucket", sub_bits)
-        .select("vec_id", "cluster", "subbucket", "e", "nrm")
-    )
+    blocks = _residual_blocks(v, _label_codebook(v))
 
     hi = blocks.select(
         "cluster", "subbucket", "vec_id", F.col("e").alias("e_hi"), F.col("nrm").alias("n_hi")
@@ -1094,7 +1108,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(pair_cos).alias("max_cos_lower"))
     )
     return (
-        assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+        blocks.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
         .join(lower_sims, "vec_id", "left")
         .select(
             "vec_id",
@@ -1380,4 +1394,183 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+MUTUAL_K = 5  # neighbors considered per vector for the mutual-kNN graph
+
+
+@query(
+    "knn_mutual_graph",
+    tags=("similarity", "knn", "graph"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),{_CENTROID_SQL}{_RESIDUAL_BLOCKS_SQL}, pairs AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS cosine
+  FROM blocks a
+  JOIN blocks b ON a.cluster = b.cluster AND a.subbucket = b.subbucket
+               AND a.vec_id <> b.vec_id
+  JOIN norms x ON x.vec_id = a.vec_id
+  JOIN norms y ON y.vec_id = b.vec_id
+), ranked AS (
+  SELECT qa, qb, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cosine DESC, qb) AS rk
+  FROM pairs
+), top AS (
+  SELECT * FROM ranked WHERE rk <= {MUTUAL_K}
+)
+SELECT t1.qa AS id_a, t1.qb AS id_b, t1.cosine AS cosine,
+       CAST(t1.rk AS INTEGER) AS rank_ab, CAST(t2.rk AS INTEGER) AS rank_ba
+FROM top t1 JOIN top t2 ON t1.qa = t2.qb AND t1.qb = t2.qa
+WHERE t1.qa < t1.qb
+ORDER BY id_a, id_b
+""",
+)
+def knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction — undirected edges (a, b) where each
+    vector ranks the other inside its top-MUTUAL_K (5) within its
+    residual block. The graph-building primitive under density-based
+    corpus clustering (mutual-kNN is the standard symmetrization that
+    suppresses hub vertices), emitted with the cosine and both directed
+    ranks so downstream clustering can threshold either.
+
+    Scale: candidate generation reuses the SemDeDup residual blocking
+    (_residual_blocks — ONE definition shared with dedup_semantic_prune):
+    block populations are pinned at ~SEMDEDUP_TARGET_POP (64) by the
+    population-derived split depth, so the per-block self-join does
+    Σ|block|² ≈ n·64 work — corpus-linear, never
+    all-pairs (the same probe-backed posture, SCALE.md). Top-k is one
+    per-vector window over ≤|block| candidates; the mutuality check is a
+    self-equi-join of the top-k edge list on the reversed key — O(n·k)
+    rows. Neighbors in sibling blocks are invisible (the recall trade of
+    every blocked kNN-graph build; raise SEMDEDUP_TARGET_POP to widen).
+    """
+    v = _vectors(spark, sf_dir)
+    blocks = _residual_blocks(v, _label_codebook(v))
+    a = blocks.select(
+        "cluster", "subbucket", F.col("vec_id").alias("qa"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = blocks.select(
+        "cluster", "subbucket", F.col("vec_id").alias("qb"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pair_cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    w = Window.partitionBy("qa").orderBy(F.desc("cosine"), "qb")
+    top = (
+        a.join(b, ["cluster", "subbucket"])
+        .filter(F.col("qa") != F.col("qb"))
+        .select("qa", "qb", pair_cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MUTUAL_K)
+        .select("qa", "qb", "cosine", "rk")
+    )
+    rev = top.select(
+        F.col("qa").alias("qb"), F.col("qb").alias("qa"), F.col("rk").alias("rk_rev")
+    )
+    return (
+        top.join(rev, ["qa", "qb"])
+        .filter(F.col("qa") < F.col("qb"))
+        .select(
+            F.col("qa").alias("id_a"),
+            F.col("qb").alias("id_b"),
+            "cosine",
+            F.col("rk").cast("int").alias("rank_ab"),
+            F.col("rk_rev").cast("int").alias("rank_ba"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    tags=("similarity", "embedding", "quantization"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), dims AS (
+  SELECT i - 1 AS pos, MIN(e[i]) AS mn, MAX(e[i]) AS mx
+  FROM v, UNNEST(generate_series(1, len(e))) AS t(i)
+  GROUP BY 1
+), stats AS (
+  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM dims
+), errs AS (
+  SELECT v.vec_id, len(v.e) AS dim,
+         list_transform(generate_series(1, len(v.e)), i ->
+           CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
+                ELSE v.e[i] - (s.mn[i]
+                     + LEAST(255.0, GREATEST(0.0,
+                         floor((v.e[i] - s.mn[i]) / ((s.mx[i] - s.mn[i]) / 255.0) + 0.5)))
+                       * ((s.mx[i] - s.mn[i]) / 255.0))
+           END) AS err
+  FROM v CROSS JOIN stats s
+)
+SELECT vec_id,
+       ROUND(list_dot_product(err, err) / dim, 6) AS mse,
+       ROUND(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err
+FROM errs ORDER BY vec_id
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus — per-dimension
+    affine codes (code = round((v−min)/scale), scale = (max−min)/255,
+    round-half-up as floor(x+0.5) so both engines agree) with per-vector
+    reconstruction error reported: the compression step every vector
+    store applies before ANN serving, and the fidelity audit that
+    decides whether int8 is safe for a given corpus. Constant dims
+    (max == min) quantize losslessly to code 0.
+
+    Scale: the calibration pass is one posexplode → per-dim min/max —
+    a hash aggregate carrying |dims| rows; the 1-row (mins, maxs)
+    calibration table broadcasts, and coding/decoding/error is a pure
+    map stage (nested zip_with, no UDF, no second shuffle). Error sums
+    run left-to-right via F.aggregate ≡ list_dot_product, the same
+    bit-portability contract as every cosine in this module. At corpus
+    scale this is the textbook two-pass quantizer: tiny stats exchange,
+    then map-only.
+    """
+    v = _vectors(spark, sf_dir)
+    dims = (
+        v.select(F.posexplode("e").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    )
+    stats = dims.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("pmn"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pmx"),
+    ).select(
+        F.transform("pmn", lambda s: s["mn"]).alias("mns"),
+        F.transform("pmx", lambda s: s["mx"]).alias("mxs"),
+    )
+
+    def _err(x: Column, m: Column, mx: Column) -> Column:
+        scale = (mx - m) / 255.0
+        code = F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor((x - m) / scale + 0.5))
+        )
+        return F.when(mx == m, F.lit(0.0)).otherwise(x - (m + code * scale))
+
+    paired = F.zip_with(
+        F.col("e"), F.col("mns"), lambda x, m: F.struct(x.alias("x"), m.alias("m"))
+    )
+    errs = F.zip_with(
+        paired,
+        F.col("mxs"),
+        lambda s, mx: _err(s.getField("x"), s.getField("m"), mx),
+    )
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.size("e").alias("dim"), errs.alias("err"))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("err"), F.col("err")) / F.col("dim"), 6).alias("mse"),
+            F.round(
+                F.array_max(F.transform("err", lambda x: F.abs(x))), 6
+            ).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
     )

@@ -791,3 +791,181 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(30)
     )
+
+
+# Gopher-style quality-rule thresholds, tuned so each stage prunes a real
+# slice of the fixture corpus (p5/p95 boundaries measured at sf0.01).
+FUNNEL_MIN_TOKENS = 24
+FUNNEL_AVG_LEN_LO, FUNNEL_AVG_LEN_HI = 4.2, 4.8
+FUNNEL_MAX_TOKEN_RATIO = 0.125
+
+
+@query(
+    "text_quality_filter_funnel",
+    tags=("text", "quality", "llm"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), tc AS (
+  SELECT doc_id, x AS term, COUNT(*) AS c
+  FROM toks, UNNEST(t) AS u(x) GROUP BY 1, 2
+), maxc AS (
+  SELECT doc_id, MAX(c) AS mc FROM tc GROUP BY doc_id
+), flags AS (
+  SELECT t.doc_id,
+         len(t.t) >= {FUNNEL_MIN_TOKENS} AS r1,
+         list_sum(list_transform(t.t, x -> length(x))) / CAST(len(t.t) AS DOUBLE)
+           BETWEEN {FUNNEL_AVG_LEN_LO} AND {FUNNEL_AVG_LEN_HI} AS r2,
+         m.mc / CAST(len(t.t) AS DOUBLE) <= {FUNNEL_MAX_TOKEN_RATIO} AS r3,
+         list_contains(t.t, 'the') OR list_contains(t.t, 'a') AS r4
+  FROM toks t JOIN maxc m ON t.doc_id = m.doc_id
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
+)
+SELECT 1 AS stage, 'min_tokens' AS rule, n0 AS n_in, n0 - n1 AS n_fail, n1 AS n_out FROM agg
+UNION ALL SELECT 2, 'avg_token_len_band', n1, n1 - n2, n2 FROM agg
+UNION ALL SELECT 3, 'max_token_ratio', n2, n2 - n3, n3 FROM agg
+UNION ALL SELECT 4, 'has_stopword', n3, n3 - n4, n4 FROM agg
+ORDER BY stage
+""",
+)
+def text_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel audit — the per-rule kill counts of a
+    Gopher/C4-style cascade (length gate → mean-token-length band →
+    single-token domination → stopword presence), applied cumulatively
+    so each row reports documents entering, failing, and surviving that
+    stage. Pipelines ship this table with every corpus release: a rule
+    that suddenly kills 40% of a crawl signals the RULE (or the crawl)
+    broke, and the cumulative form localizes it to a stage.
+
+    Scale: per-doc flags are one token pass (the domination rule needs a
+    (doc, term) count — the same single explode+agg budget as
+    text_token_stats); the funnel itself aggregates those booleans into
+    ONE row of counters, and the 4-stage output is a literal unpivot of
+    that row — no per-stage rescan, no second pass over text. Counter
+    arithmetic is all integers: hash-identical across engines by
+    construction.
+    """
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    )
+    maxc = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mc"))
+    )
+    n_tok = F.size("t")
+    avg_len = F.aggregate(
+        F.transform("t", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("double") / n_tok.cast("double")
+    flags = toks.join(maxc, "doc_id").select(
+        (n_tok >= FUNNEL_MIN_TOKENS).alias("r1"),
+        ((avg_len >= FUNNEL_AVG_LEN_LO) & (avg_len <= FUNNEL_AVG_LEN_HI)).alias("r2"),
+        (F.col("mc").cast("double") / n_tok.cast("double") <= FUNNEL_MAX_TOKEN_RATIO).alias(
+            "r3"
+        ),
+        (F.array_contains("t", "the") | F.array_contains("t", "a")).alias("r4"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    agg = flags.agg(
+        F.count(one).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("r1"), one).otherwise(zero)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("r1") & F.col("r2"), one).otherwise(zero))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("r1") & F.col("r2") & F.col("r3"), one).otherwise(zero))
+        .cast("bigint")
+        .alias("n3"),
+        F.sum(
+            F.when(F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4"), one).otherwise(zero)
+        )
+        .cast("bigint")
+        .alias("n4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("min_tokens").alias("rule"),
+                 F.col("n0").alias("n_in"), (F.col("n0") - F.col("n1")).alias("n_fail"),
+                 F.col("n1").alias("n_out")),
+        F.struct(F.lit(2).alias("stage"), F.lit("avg_token_len_band").alias("rule"),
+                 F.col("n1").alias("n_in"), (F.col("n1") - F.col("n2")).alias("n_fail"),
+                 F.col("n2").alias("n_out")),
+        F.struct(F.lit(3).alias("stage"), F.lit("max_token_ratio").alias("rule"),
+                 F.col("n2").alias("n_in"), (F.col("n2") - F.col("n3")).alias("n_fail"),
+                 F.col("n3").alias("n_out")),
+        F.struct(F.lit(4).alias("stage"), F.lit("has_stopword").alias("rule"),
+                 F.col("n3").alias("n_in"), (F.col("n3") - F.col("n4")).alias("n_fail"),
+                 F.col("n4").alias("n_out")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.rule", "s.n_in", "s.n_fail", "s.n_out")
+        .orderBy("stage")
+    )
+
+
+@query(
+    "text_length_histogram",
+    tags=("text", "quality", "agg"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n FROM documents
+), b AS (
+  SELECT n, CAST(floor(log2(n)) AS INTEGER) AS bucket FROM toks WHERE n > 0
+)
+SELECT bucket,
+       CAST(pow(2.0, bucket) AS BIGINT) AS bucket_lo,
+       CAST(pow(2.0, bucket + 1) AS BIGINT) - 1 AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       MIN(n) AS min_tokens, MAX(n) AS max_tokens
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed document-length histogram — docs and token mass per
+    power-of-two length band, with band boundaries materialized. The
+    corpus-shape report every release ships (length distributions are
+    power-law-ish; a linear-bucket histogram wastes 90% of its bins) and
+    the input to sequence-packing capacity planning (pack_sequences):
+    token MASS per band, not doc count, is what sizes the packed output.
+
+    Scale: one tokenizer pass folded into the scan (the size() of the
+    split — no explode, no array materialization past the projection),
+    then one hash aggregate carrying ~log₂(max_len) rows. As cheap as a
+    count(*) at any corpus size. floor(log2(n)) over integer n is exact
+    in both engines (n < 2^53).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.size(_tokens(F.col("text"))).cast("bigint").alias("n"))
+    bucket = F.floor(F.log2("n")).cast("int")
+    return (
+        toks.filter(F.col("n") > 0)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket").cast("double")).cast("bigint").alias("bucket_lo"),
+            (
+                F.pow(F.lit(2.0), (F.col("bucket") + 1).cast("double")).cast("bigint")
+                - 1
+            ).alias("bucket_hi"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+        .orderBy("bucket")
+    )

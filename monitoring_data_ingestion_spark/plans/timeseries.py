@@ -1597,3 +1597,90 @@ def ts_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    tags=("timeseries", "window", "anomaly"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {dsum_expr('value', 6)} / COUNT(value) AS v
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT hour_ts, v,
+         COUNT(*) OVER w AS wn,
+         CAST(SUM(CAST(v AS DECIMAL(30,12))) OVER w AS DOUBLE) / 25.0 AS trend
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), detrended AS (
+  SELECT hour_ts, v, trend, v - trend AS resid,
+         CAST(hour(hour_ts) AS INTEGER) AS hod
+  FROM tr WHERE wn = 25
+), seasonal AS (
+  SELECT hod,
+         CAST(SUM(CAST(resid AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS s
+  FROM detrended GROUP BY hod
+)
+SELECT d.hour_ts AS hour_ts,
+       ROUND(d.v, 6) AS v,
+       ROUND(d.trend, 6) AS trend,
+       ROUND(s.s, 6) AS seasonal,
+       ROUND(d.resid - s.s, 6) AS anomaly
+FROM detrended d JOIN seasonal s ON d.hod = s.hod
+ORDER BY hour_ts
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series: trend = centered 25-hour moving average (full windows only),
+    seasonal = per-hour-of-day mean of the detrended series, anomaly =
+    residual after removing both — the STL-lite decomposition behind
+    seasonality-aware monitoring (a +3σ spike at 9am is noise; the same
+    level at 3am is an incident). Composes the primitives the catalog
+    checks separately (ts_moving_avg's frames, era5_monthly_anomaly's
+    climatology join) into the standard three-component model.
+
+    Scale: the hourly rollup is one map-side-combined aggregate; the
+    trend window runs over the AGGREGATED series (one row per hour —
+    tiny at any corpus scale, same stance as dq_volume_anomaly); the
+    seasonal table is 24 rows → broadcast join back. All sums that
+    cross engines are decimal-quantized, so segment-tree vs running
+    window summation order cannot flip a bit.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        davg("value", 6).alias("v")
+    )
+    w = Window.orderBy("hour_ts").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "hour_ts",
+        "v",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        (F.sum(F.col("v").cast("decimal(30,12)")).over(w).cast("double") / 25.0).alias(
+            "trend"
+        ),
+    )
+    detrended = tr.filter(F.col("wn") == 25).select(
+        "hour_ts",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("resid"),
+        F.hour("hour_ts").cast("int").alias("hod"),
+    )
+    seasonal = detrended.groupBy("hod").agg(
+        (F.sum(F.col("resid").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias(
+            "s"
+        )
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "hod")
+        .select(
+            "hour_ts",
+            F.round("v", 6).alias("v"),
+            F.round("trend", 6).alias("trend"),
+            F.round("s", 6).alias("seasonal"),
+            F.round(F.col("resid") - F.col("s"), 6).alias("anomaly"),
+        )
+        .orderBy("hour_ts")
+    )

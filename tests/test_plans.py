@@ -732,3 +732,78 @@ def test_dq_fk_audit_is_anti_join(spark):
     plan = _plan(q("dq_constraint_audit")(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mutual_graph_blocked_no_cartesian(spark):
+    """knn_mutual_graph's candidate stage must be the residual-block
+    equi-join shared with dedup_semantic_prune — never all-pairs — and
+    the codebook/depth tables must ride broadcasts."""
+    df = q("knn_mutual_graph")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_quantize_calibration_is_broadcast(spark):
+    """embedding_quantize_int8: the per-dim (mins, maxs) calibration row
+    must broadcast onto the corpus — the coding pass stays map-side (a
+    1-row BroadcastNestedLoopJoin is the correct physical form for a
+    keyless broadcast), with no shuffle of vector payloads."""
+    df = q("embedding_quantize_int8")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_candidates_are_block_equi_join(spark):
+    """Image pHash near-dup must generate candidates by equi-join on
+    (block_idx, block_value) — the pigeonhole banding — with pixel
+    payloads never entering a join (only the 4×16-bit hash blocks)."""
+    df = q("multimodal_image_phash_neardup")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The candidate join must key on the hash blocks (bp, bv) — pixel
+    # arrays never appear as join keys.
+    import re
+
+    join_keys = re.findall(r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
+    assert any("bp" in k for k in join_keys), join_keys
+    assert not any("pixels" in k for k in join_keys), join_keys
+
+
+def test_funnel_is_single_scan_family(spark):
+    """text_quality_filter_funnel: the 4-stage output must come from ONE
+    flags aggregation (a literal unpivot), not four rescans of the
+    documents table."""
+    df = q("text_quality_filter_funnel")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    # Two logical scans of documents (flags projection + domination
+    # count), each printed at most twice by the adaptive plan — four
+    # per-stage rescans would show >= 8.
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_novelty_inverted_index_no_pairs(spark):
+    """text_ngram_novelty must stay an inverted-index min-aggregate +
+    join-back — one row per distinct shingle, never a doc×doc pair
+    join."""
+    df = q("text_ngram_novelty")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_decompose_broadcasts_seasonal_table(spark):
+    """ts_seasonal_decompose: the 24-row hour-of-day seasonal table must
+    broadcast back onto the detrended series."""
+    df = q("ts_seasonal_decompose")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
