@@ -1486,3 +1486,76 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_cross_split_leakage",
+    tags=("dedup", "sampling", "llm", "dq"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+), spread AS (
+  SELECT fingerprint, COUNT(DISTINCT split) AS n_splits
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.split AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs,
+       ROUND(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS leak_rate
+FROM fp f JOIN spread s ON f.fingerprint = s.fingerprint
+GROUP BY f.split ORDER BY f.split
+""",
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: a document is LEAKY when its exact
+    content fingerprint (the dedup_exact_docs normalization) also occurs
+    in a different hash split (the split_train_test_hash assignment) —
+    the self-contamination check every corpus release runs before
+    trusting its held-out metrics, complementing the external-benchmark
+    gates (contamination_ngram_overlap): eval numbers are meaningless if
+    test documents literally appear in train. One definition each of
+    fingerprint and split, reused from the queries that own them.
+
+    Scale: fingerprint and split are both map-side expressions on the
+    scan; the spread table is one (fingerprint)-keyed distinct-count —
+    one row per distinct fingerprint — joined back on the fingerprint
+    key; output is 3 rows of counters. Same corpus-linear budget as
+    exact dedup.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    fp = d.select(
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    spread = fp.groupBy("fingerprint").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    leaky = F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        fp.join(spread, "fingerprint")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            leaky.alias("n_leaky_docs"),
+            F.round(leaky.cast("double") / F.count(F.lit(1)), 6).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )

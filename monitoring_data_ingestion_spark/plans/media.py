@@ -9,6 +9,7 @@ sampling stays JVM-side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..multimodal.model import media_table
@@ -438,4 +439,104 @@ def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+SCENE_CUT_DELTA = 64  # |Δ mean-luma| between adjacent frames ⇒ shot boundary
+
+
+@query(
+    "multimodal_video_scene_cut",
+    tags=("multimodal", "python", "video", "window"),
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, 1 + doc_id % 30 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, n_frames, f.f AS frame,
+         (doc_id * 37 + f.f * f.f * 11) % 256 AS luma
+  FROM vids, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f) f
+), flagged AS (
+  SELECT doc_id, n_frames, frame,
+         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame)) > 64
+              THEN 1 ELSE 0 END AS is_cut
+  FROM frames
+)
+SELECT doc_id,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN frame END), -1) AS BIGINT)
+         AS first_cut_frame,
+       ROUND(MAX(n_frames) / CAST(SUM(is_cut) + 1 AS DOUBLE), 6) AS mean_shot_frames
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over video rows: per-frame mean luma →
+    adjacent-frame delta → cut where |Δ| > 64 → per-video shot census
+    (cut count, first boundary, mean shot length). The segmentation step
+    a video curation pipeline runs before per-shot sampling/captioning.
+
+    The frame-luma DECODE is the declared stub (this container ships no
+    video codec): a mapInPandas stage computes the deterministic fake
+    luma (doc_id·37 + frame²·11) mod 256 — real Arrow batch plumbing,
+    schema, and partitioning with a fake payload, exactly the brief's
+    stub contract, swappable for a real codec without touching the plan.
+    Everything AFTER the boundary — frame explode (JVM sequence), lag
+    window per video, shot aggregate — is the real operator.
+
+    Scale: frame rows explode map-side; the window partitions by video
+    (a shot boundary never crosses videos, so parallelism is per-video);
+    the aggregate carries one row per video. Python touches only the
+    stub decode, Arrow-batched, never the window or aggregate.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..multimodal.model import media_table
+
+    vids = media_table(spark, sf_dir).filter(F.col("meta.media_type") == "video")
+    frames = vids.select(
+        "doc_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame"),
+    )
+
+    def fake_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = pdf[["doc_id", "n_frames", "frame"]].copy()
+            out["luma"] = (out["doc_id"] * 37 + out["frame"] * out["frame"] * 11) % 256
+            yield out
+
+    decoded = frames.mapInPandas(
+        fake_decode, schema="doc_id bigint, n_frames int, frame int, luma bigint"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    flagged = decoded.select(
+        "doc_id",
+        "n_frames",
+        "frame",
+        F.when(
+            F.abs(F.col("luma") - F.lag("luma").over(w)) > SCENE_CUT_DELTA, 1
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    n_cuts = F.sum("is_cut").cast("bigint")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.max("n_frames").cast("bigint").alias("n_frames"),
+            n_cuts.alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("is_cut") == 1, F.col("frame"))), F.lit(-1)
+            )
+            .cast("bigint")
+            .alias("first_cut_frame"),
+            F.round(
+                F.max("n_frames").cast("double") / (n_cuts + 1).cast("double"), 6
+            ).alias("mean_shot_frames"),
+        )
+        .orderBy("doc_id")
     )

@@ -13,6 +13,7 @@ streaming engines returns identical values (T1/T2/T6/T7).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import dsum, dsum_expr
@@ -432,3 +433,50 @@ def stream_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream(spark, sf_dir)
     out = run_available_now_to_memory(gap_alerts(src), output_mode="append")
     return out.orderBy("user_id", "gap_end_us")
+
+
+@query(
+    "stream_topk_event_types",
+    tags=("streaming", "window", "topk"),
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rk
+  FROM hourly
+)
+SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY window_start, rk
+""",
+)
+def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k through the streaming engine: per-hour event-type
+    counts maintained as streaming window state, with the top-3 ranking
+    applied to the drained result — the dashboard 'what's trending this
+    hour' feed. Ranking is NOT a streaming operator (a rank can demote
+    retroactively, which append-mode sinks cannot express; Spark rejects
+    row_number on an unaggregated stream), so the decomposition IS the
+    production shape: mergeable counts in the stream, rank at read time
+    — exactly how a serving layer pages a leaderboard off the store.
+
+    Scale: streaming state is one counter per (window, type) — mergeable,
+    watermark-evictable in append mode (see ohlc's mode note); the rank
+    runs over |windows|×|types| aggregated rows, never events.
+    """
+    src = events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(src, duration="1 hour", keys=("event_type",))
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        out.select("window_start", "event_type", "n_events")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start", "rk")
+    )

@@ -383,10 +383,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_ngram_lm_score",
-    tags=("text", "agg", "join", "quality"),
-    oracle=f"""
+_LM_SCORE_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, t.tok, t.i
   FROM documents,
@@ -416,7 +413,13 @@ SELECT doc_id,
          AS lm_score
 FROM scored GROUP BY doc_id
 ORDER BY doc_id
-""",
+"""
+
+
+@query(
+    "text_ngram_lm_score",
+    tags=("text", "agg", "join", "quality"),
+    oracle=_LM_SCORE_ORACLE,
 )
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram-LM quality score (the CCNet-style perplexity filter):
@@ -968,4 +971,67 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_tokens",
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "text_perplexity_buckets",
+    tags=("text", "quality", "llm", "window"),
+    oracle=f"""
+WITH lm AS ({_LM_SCORE_ORACLE}),
+tiled AS (
+  SELECT doc_id, n_bigrams, lm_score,
+         NTILE(3) OVER (ORDER BY lm_score, doc_id) AS tile
+  FROM lm
+)
+SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(tile AS INTEGER) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(lm_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_lm_score,
+       ROUND(MIN(lm_score), 6) AS min_lm_score,
+       ROUND(MAX(lm_score), 6) AS max_lm_score,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+FROM tiled GROUP BY 1, 2 ORDER BY tile
+""",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: rank every document
+    by its corpus bigram-LM score (text_ngram_lm_score — called
+    directly, one scoring definition) and cut the ranking into equal
+    terciles, reporting population and score/token mass per bucket. The
+    selection policy CCNet trains on (keep head+middle, drop tail) and
+    the calibration table any perplexity threshold is read off of.
+
+    Scale: everything data-sized lives in the reused scoring plan; the
+    tercile pass is one ntile window over the per-DOC score table
+    (corpus-cardinality rows of three columns) and a 3-row rollup. The
+    global window is the same deliberate single-task stage as
+    window_ntile_stratify — it runs on the aggregate, never the bigram
+    grain.
+    """
+    lm = text_ngram_lm_score(spark, sf_dir)
+    w = Window.orderBy("lm_score", "doc_id")
+    tiled = lm.select(
+        "doc_id", "n_bigrams", "lm_score", F.ntile(3).over(w).alias("tile")
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy(bucket.alias("bucket"), F.col("tile").cast("int").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("lm_score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_lm_score"),
+            F.round(F.min("lm_score"), 6).alias("min_lm_score"),
+            F.round(F.max("lm_score"), 6).alias("max_lm_score"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        )
+        .orderBy("tile")
     )

@@ -807,3 +807,38 @@ def test_seasonal_decompose_broadcasts_seasonal_table(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_rank_on_doc_grain(spark):
+    """text_perplexity_buckets: the ntile window must run over the per-doc
+    score table (3 columns, corpus cardinality), never the bigram grain,
+    and nothing in the composed plan may cartesian."""
+    df = q("text_perplexity_buckets")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") <= 2  # one logical ntile (adaptive may print twice)
+
+
+def test_cross_split_leakage_single_fingerprint_index(spark):
+    """dedup_cross_split_leakage: fingerprint and split are map-side
+    expressions; the only data-sized shuffle keys on the fingerprint
+    (spread index + join back) — no doc×doc pair join anywhere."""
+    df = q("dedup_cross_split_leakage")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scene_cut_python_only_in_decode(spark):
+    """multimodal_video_scene_cut: Python appears exactly once — the
+    stubbed Arrow decode stage — and the window/aggregate after it are
+    JVM-side."""
+    df = q("multimodal_video_scene_cut")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert plan.count("MapInPandas") <= 2  # one logical stage
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
+    assert "CartesianProduct" not in plan
