@@ -1559,3 +1559,98 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+WINNOW_W = 4  # winnowing window: guarantees any match of >= w+2 shingles is caught
+
+_HASH_ELEM_SQL = "CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)"
+
+
+@query(
+    "text_winnowing_fingerprint",
+    tags=("text", "dedup", "fingerprint"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sharr FROM toks
+), hashes AS (
+  SELECT doc_id, list_transform(sharr, s -> {_HASH_ELEM_SQL}) AS h
+  FROM sh
+), winnowed AS (
+  SELECT doc_id, len(h) AS n_shingles,
+         CASE WHEN len(h) >= {WINNOW_W}
+              THEN list_distinct(list_transform(
+                     generate_series(0, len(h) - {WINNOW_W}),
+                     i -> list_min(h[i+1 : i+{WINNOW_W}])))
+              ELSE [] END AS fps
+  FROM hashes
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       ROUND(CASE WHEN n_shingles > 0
+                  THEN len(fps) / CAST(n_shingles AS DOUBLE) ELSE 0.0 END, 6)
+         AS fp_density,
+       CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+FROM winnowed ORDER BY doc_id
+""",
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash the ordered 3-gram shingles, slide a
+    w=4 (WINNOW_W) window over the hash sequence, keep each window's
+    minimum, and the distinct minima are the document's fingerprint set.
+    Winnowing's guarantee — any shared run of at least w+2 shingles
+    yields at least one shared fingerprint — makes the SELECTION
+    position-robust where fixed-stride sampling is not; the fingerprint
+    density concentrates near 2/(w+1). Emitted per document with an
+    order-independent checksum so the oracle pins the selected VALUES,
+    not just counts.
+
+    Scale: everything is per-row array expression — tokenize, shingle
+    (the zip_with-over-slices form that survives optimizer inlining),
+    element-hash, window-minima — zero shuffle before the final orderBy.
+    The hash sequence is materialized as its own projected attribute so
+    the window slices index a column, never an inlined tokenizer (the
+    plans/analytics._shingles O(n²) hazard). Cross-doc matching joins
+    fingerprint sets exactly like the shingle dedup family (inverted
+    index on the fingerprint key, stop-fingerprint cap for the head).
+    """
+    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    sh = toks.select("doc_id", _shingles(F.col("t")).alias("sharr"))
+    hashes = sh.select(
+        "doc_id",
+        F.transform(
+            "sharr",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+        ).alias("h"),
+    )
+    n = F.size("h")
+    fps = F.when(
+        n >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - WINNOW_W),
+                lambda i: F.array_min(F.slice("h", i + 1, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    winnowed = hashes.select("doc_id", n.alias("n_shingles"), fps.alias("fps"))
+    return winnowed.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                F.size("fps").cast("double") / F.col("n_shingles").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("fp_density"),
+        F.coalesce(
+            F.aggregate("fps", F.lit(0).cast("bigint"), lambda a, x: a + x),
+            F.lit(0).cast("bigint"),
+        ).alias("fp_checksum"),
+    ).orderBy("doc_id")

@@ -842,3 +842,15 @@ def test_scene_cut_python_only_in_decode(spark):
     assert plan.count("MapInPandas") <= 2  # one logical stage
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_is_pure_map(spark):
+    """text_winnowing_fingerprint: tokenize → shingle → hash → window
+    minima are all per-row array expressions — no join, no aggregate
+    exchange before the final sort, and no Python anywhere."""
+    df = q("text_winnowing_fingerprint")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
