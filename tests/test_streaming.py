@@ -387,6 +387,53 @@ def test_gap_fn_multi_chunk_and_late_events():
     assert run([[10 * DAY + 2 * DAY]], st) == {(10 * DAY, 12 * DAY)}
 
 
+def test_gap_alerts_correct_under_tiny_arrow_chunks(spark, tmp_path):
+    """End-to-end witness for the multi-chunk fix: force Arrow to hand
+    applyInPandasWithState ~7-row chunks (far below any real group size)
+    and drain the full gap pipeline — output must still equal the batch
+    audit exactly. Before the fix, per-chunk sorting with carried state
+    fabricated/missed gaps at every chunk seam."""
+    from monitoring_data_ingestion_spark.streaming.sources import file_stream
+    from monitoring_data_ingestion_spark.streaming.stateful import gap_alerts
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        e, landing = _daily_landing(spark, tmp_path)
+        src = file_stream(
+            spark, landing, e.schema, path_glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            gap_alerts(src)
+            .writeStream.format("memory")
+            .queryName("gap_alerts_tiny_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        out = spark.sql("SELECT * FROM gap_alerts_tiny_chunks")
+        got = {(r.user_id, r.gap_start_us, r.gap_end_us) for r in out.collect()}
+        from pyspark.sql import Window as W
+
+        order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        batch = (
+            e.select(
+                "user_id",
+                F.unix_micros(F.lag("ts").over(order_w)).alias("gap_start_us"),
+                F.unix_micros("ts").alias("gap_end_us"),
+            )
+            .filter(F.col("gap_end_us") - F.col("gap_start_us") > 86_400_000_000)
+        )
+        want = {(r.user_id, r.gap_start_us, r.gap_end_us) for r in batch.collect()}
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_gap_alerts_state_is_one_row_per_key(spark, tmp_path):
     """The heartbeat-gap state machine must hold exactly one state row per
     key no matter how many batches or events flow through — the bounded-
