@@ -1035,3 +1035,92 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@query(
+    "text_jsd_domain_drift",
+    tags=("text", "quality", "drift"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+), src_cnt AS (
+  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, SUM(c) AS tot FROM src_cnt GROUP BY source
+), corp_cnt AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), corp_tot AS (
+  SELECT SUM(c) AS tot FROM corp_cnt
+), grid AS (
+  SELECT s.source, w.term,
+         COALESCE(sc.c, 0) / CAST(st.tot AS DOUBLE) AS p,
+         w.c / CAST(ct.tot AS DOUBLE) AS q
+  FROM (SELECT DISTINCT source FROM toks) s
+  CROSS JOIN corp_cnt w
+  CROSS JOIN corp_tot ct
+  JOIN src_tot st ON st.source = s.source
+  LEFT JOIN src_cnt sc ON sc.source = s.source AND sc.term = w.term
+), terms AS (
+  SELECT source,
+         CASE WHEN p > 0
+              THEN ROUND(0.5 * p * ln(p / ((p + q) / 2)), 6) ELSE 0.0 END AS tp,
+         ROUND(0.5 * q * ln(q / ((p + q) / 2)), 6) AS tq
+  FROM grid
+)
+SELECT source,
+       ROUND(CAST(SUM(CAST(tp AS DECIMAL(18,6))) AS DOUBLE)
+             + CAST(SUM(CAST(tq AS DECIMAL(18,6))) AS DOUBLE), 6) AS jsd_nats
+FROM terms GROUP BY source ORDER BY source
+""",
+)
+def text_jsd_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution
+    from the corpus distribution — the drift/contrast metric curation
+    pipelines track across crawl snapshots and domains (a source whose
+    JSD jumps between releases changed character; a near-zero JSD source
+    adds no diversity). Symmetric, bounded by ln 2, zero iff identical.
+
+    Spark-first: two count aggregates off ONE token explode (per-source
+    and corpus — the corpus table derives from the source table, never a
+    second scan), then the (source × vocab) grid joins the broadcast
+    totals and reduces per source. Each JSD term is rounded to 6 dp and
+    summed as decimal — ln() ulp differences between libm builds sit
+    below the rounding quantum, the established lm-score contract.
+    Vocabulary is the only joined dimension: work is O(tokens +
+    |sources|·|vocab|).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+    src_cnt = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = src_cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    corp_cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    corp_tot = corp_cnt.agg(F.sum("cc").alias("ctot"))
+    sources = toks.select("source").distinct()
+    grid = (
+        sources.crossJoin(corp_cnt)
+        .crossJoin(F.broadcast(corp_tot))
+        .join(src_tot, "source")
+        .join(src_cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("tot")).alias("p"),
+            (F.col("cc").cast("double") / F.col("ctot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    tp = F.when(
+        F.col("p") > 0, F.round(0.5 * F.col("p") * F.log(F.col("p") / m), 6)
+    ).otherwise(0.0)
+    tq = F.round(0.5 * F.col("q") * F.log(F.col("q") / m), 6)
+    return (
+        grid.select("source", tp.alias("tp"), tq.alias("tq"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("tp").cast("decimal(18,6)")).cast("double")
+                + F.sum(F.col("tq").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("jsd_nats")
+        )
+        .orderBy("source")
+    )

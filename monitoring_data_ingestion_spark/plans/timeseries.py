@@ -1684,3 +1684,181 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+CUSUM_K = 6.0  # slack per step ≈ 0.5σ of the hourly series — absorbs ordinary noise
+CUSUM_H = 60.0  # alarm threshold ≈ 5σ of the accumulated drift
+
+
+@query(
+    "ts_cusum_changepoint",
+    tags=("timeseries", "window", "anomaly"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         ROUND({dsum_expr('value', 6)} / COUNT(value), 6) AS v
+  FROM events GROUP BY 1
+), mu AS (
+  SELECT CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mu FROM hourly
+), pre AS (
+  SELECT h.hour_ts, h.v,
+         SUM(CAST(ROUND(h.v - m.mu - {CUSUM_K}, 6) AS DECIMAL(30,12)))
+           OVER (ORDER BY h.hour_ts) AS p_up,
+         SUM(CAST(ROUND(h.v - m.mu + {CUSUM_K}, 6) AS DECIMAL(30,12)))
+           OVER (ORDER BY h.hour_ts) AS p_dn
+  FROM hourly h CROSS JOIN mu m
+), cus AS (
+  SELECT hour_ts, v,
+         CAST(p_up - MIN(p_up) OVER (ORDER BY hour_ts) AS DOUBLE) AS cusum_pos,
+         CAST(MAX(p_dn) OVER (ORDER BY hour_ts) - p_dn AS DOUBLE) AS cusum_neg
+  FROM pre
+)
+SELECT hour_ts, v,
+       ROUND(cusum_pos, 6) AS cusum_pos,
+       ROUND(cusum_neg, 6) AS cusum_neg,
+       (cusum_pos > {CUSUM_H} OR cusum_neg > {CUSUM_H}) AS alarm
+FROM cus ORDER BY hour_ts
+""",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection over the hourly series (Page
+    1954): accumulate deviations beyond a per-step slack k and alarm
+    when the accumulation crosses h — the standard sequential
+    changepoint detector for slow drifts that per-point z-scores
+    (ts_anomaly_mad) never see.
+
+    Spark-first: the textbook recursion S_t = max(0, S_{t-1} + x_t) is
+    not a window aggregate, but its closed form IS — S_t equals the
+    prefix sum minus its running minimum — so both CUSUM sides compile
+    to ordinary cumulative-window expressions (prefix sum, running
+    min/max), no recursion, no UDF, no iteration. All cumulative sums
+    are decimal over 6-dp-rounded terms: segment-tree vs running-sum
+    evaluation order cannot flip a bit between engines.
+
+    Scale: the windows run over the HOURLY rollup (one row per hour —
+    years fit in one task; same deliberate stance as dq_volume_anomaly);
+    the raw scan collapses map-side. At per-key monitoring scale the
+    same expressions partition by series key.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.round(davg("value", 6), 6).alias("v")
+    )
+    mu = hourly.agg(
+        (F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w_cum = Window.orderBy("hour_ts").rowsBetween(Window.unboundedPreceding, 0)
+    p_up = F.sum(
+        F.round(F.col("v") - F.col("mu") - CUSUM_K, 6).cast("decimal(30,12)")
+    ).over(w_cum)
+    p_dn = F.sum(
+        F.round(F.col("v") - F.col("mu") + CUSUM_K, 6).cast("decimal(30,12)")
+    ).over(w_cum)
+    pre = hourly.crossJoin(F.broadcast(mu)).select(
+        "hour_ts", "v", p_up.alias("p_up"), p_dn.alias("p_dn")
+    )
+    cusum_pos = (F.col("p_up") - F.min("p_up").over(w_cum)).cast("double")
+    cusum_neg = (F.max("p_dn").over(w_cum) - F.col("p_dn")).cast("double")
+    return (
+        pre.select(
+            "hour_ts",
+            "v",
+            F.round(cusum_pos, 6).alias("cusum_pos"),
+            F.round(cusum_neg, 6).alias("cusum_neg"),
+            ((cusum_pos > CUSUM_H) | (cusum_neg > CUSUM_H)).alias("alarm"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+ACF_MAX_LAG = 6
+
+
+@query(
+    "ts_autocorrelation",
+    tags=("timeseries", "window", "stats"),
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         ROUND({dsum_expr('value', 6)} / COUNT(value), 6) AS v
+  FROM events GROUP BY 1
+), mu AS (
+  SELECT CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mu FROM hourly
+), dev AS (
+  SELECT h.hour_ts, ROUND(h.v - m.mu, 6) AS d
+  FROM hourly h CROSS JOIN mu m
+), denom AS (
+  SELECT CAST(SUM(CAST(ROUND(d * d, 6) AS DECIMAL(30,6))) AS DOUBLE) AS den,
+         COUNT(*) AS n
+  FROM dev
+), lagged AS (
+  SELECT k.k AS lag, a.d AS d, b.d AS dl
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k) k
+  JOIN dev b ON b.hour_ts = a.hour_ts - to_hours(k.k)
+)
+SELECT CAST(l.lag AS INTEGER) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(l.d * l.dl, 6) AS DECIMAL(30,6))) AS DOUBLE)
+             / MIN(dn.den), 6) AS acf
+FROM lagged l CROSS JOIN denom dn
+GROUP BY l.lag ORDER BY lag
+""",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly series at lags 1..6 —
+    r_k = Σ(v_t−μ)(v_{t+k}−μ) / Σ(v_t−μ)², the first diagnostic of any
+    series analysis (seasonality shows as a 24-lag comb, white noise as
+    ~0 everywhere; the forecasting-readiness check before fitting
+    anything). Products are rounded to 6 dp and summed as decimal, so
+    both engines quantize identically.
+
+    Spark-first: the lag set is a tiny broadcast dimension and the
+    k-step shift is an equi-join of the hourly series with itself on the
+    shifted timestamp (lag() takes only literal offsets; the join form
+    handles every k in one plan and is robust to gaps in the grid). All
+    joins run over the hourly rollup — one row per hour, trivial at any
+    corpus size — with μ and the denominator 1-row broadcasts. The raw
+    scan collapses map-side into the hourly aggregate exactly once.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.round(davg("value", 6), 6).alias("v")
+    )
+    mu = hourly.agg(
+        (F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    dev = hourly.crossJoin(F.broadcast(mu)).select(
+        "hour_ts", F.round(F.col("v") - F.col("mu"), 6).alias("d")
+    )
+    denom = dev.agg(
+        F.sum(F.round(F.col("d") * F.col("d"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("den")
+    )
+    lags = dev.sparkSession.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    prev = dev.select(F.col("hour_ts").alias("prev_ts"), F.col("d").alias("dl"))
+    lagged = (
+        dev.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "prev_ts", F.col("hour_ts") - F.make_interval(hours=F.col("lag"))
+        )
+        .join(prev, ["prev_ts"])
+    )
+    return (
+        lagged
+        .crossJoin(F.broadcast(denom))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("d") * F.col("dl"), 6).cast("decimal(30,6)"))
+                .cast("double")
+                / F.min("den"),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

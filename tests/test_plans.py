@@ -854,3 +854,40 @@ def test_winnowing_is_pure_map(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_cusum_is_pure_window_no_iteration(spark):
+    """ts_cusum_changepoint: the CUSUM recursion must compile to window
+    expressions over the hourly rollup — no Python, no joins except the
+    1-row mean broadcast."""
+    df = q("ts_cusum_changepoint")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_acf_joins_on_shifted_hour_key(spark):
+    """ts_autocorrelation: the k-step shift is an equi-join on the
+    shifted timestamp over the hourly rollup — never a cartesian over
+    raw events."""
+    df = q("ts_autocorrelation")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # The hourly rollup is re-derived per consumer (dev twice via the
+    # self-join, mean, denominator — each a map-side aggregate of the
+    # same scan; adaptive printing doubles the count). A raw-grain pair
+    # join would explode far past this bound.
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_jsd_grid_is_vocab_sized(spark):
+    """text_jsd_domain_drift: the only non-broadcast join keys on
+    (source, term)/(term) — the vocabulary — with totals broadcast; no
+    doc×doc or token×token pair join exists."""
+    df = q("text_jsd_domain_drift")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
