@@ -1654,3 +1654,70 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("fp_checksum"),
     ).orderBy("doc_id")
+
+
+def _lsh_recall_oracle() -> str:
+    """Compose the agreement oracle from the two pair-set oracles already
+    registered — one definition of each pair semantics, reused verbatim
+    (the same nesting pattern as knn_recall_eval)."""
+    from .catalog import REGISTRY
+
+    exact = REGISTRY["dedup_ngram_jaccard"].oracle
+    lsh = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+WITH exact_pairs AS ({exact}),
+lsh_pairs AS ({lsh}),
+joined AS (
+  SELECT e.doc_a, e.doc_b,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+  FROM exact_pairs e
+  LEFT JOIN lsh_pairs l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT COUNT(*) FROM lsh_pairs) AS BIGINT) AS n_lsh_pairs,
+       CAST(SUM(found) AS BIGINT) AS n_found,
+       ROUND(SUM(found) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM joined
+"""
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    tags=("dedup", "similarity", "eval"),
+    oracle=_lsh_recall_oracle(),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall evaluation of MinHash-LSH against exact shingle
+    Jaccard — the text-side analogue of knn_recall_eval: the exact
+    pair set (every pair with Jaccard ≥ 0.4) is ground truth, and the
+    LSH pipeline's output (band-blocked candidates, exact-verified) is
+    the index under test, so the recall measures exactly what banding
+    can miss (a true pair whose signatures never collide in any band).
+    One row: pair counts and recall — the go/no-go gate before trusting
+    LSH dedup at a new threshold/band configuration.
+
+    Scale: both pair sets are the already-bounded dedup plans (banded /
+    stop-shingle-capped — never all-pairs); the agreement join keys on
+    the pair id and the result is one row of counters. Pair semantics
+    are defined ONCE — this query composes the two registered queries
+    and their oracles verbatim.
+    """
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    joined = exact.join(
+        lsh, (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")), "left"
+    ).select(F.when(F.col("la").isNotNull(), 1).otherwise(0).alias("found"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+            F.sum("found").cast("bigint").alias("n_found"),
+            F.round(
+                F.sum("found").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select("n_exact_pairs", "n_lsh_pairs", "n_found", "recall")
+    )

@@ -891,3 +891,13 @@ def test_jsd_grid_is_vocab_sized(spark):
     df.collect()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_eval_composes_blocked_plans(spark):
+    """dedup_lsh_recall_eval: both pair sets must keep their blocked
+    shapes inside the composition — no cartesian appears anywhere in
+    the agreement plan."""
+    df = q("dedup_lsh_recall_eval")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
