@@ -23,7 +23,7 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # window's job is REGRESSION DETECTION: new queries and any query whose
 # implementation changed this round go first, then the 16 headline
 # (bench) queries, then the cohort whose driver witness is OLDEST —
-# round 6 rotates the round-5 names out and refreshes 10 of the 45
+# round 6 rotates the round-5 names out and refreshes 8 of the 45
 # r2-witnessed names (the remainder rotates in round 7).  Every entry
 # outside the window stays locally oracle-checked each session
 # (tests/test_oracle.py), and the flagship pipeline stays driver-checked
@@ -37,6 +37,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_benford_leading_digit",
     "text_jsd_domain_drift",
     "dedup_lsh_recall_eval",
+    "dq_ks_two_sample",
+    "grid_contour_cells",
     "text_winnowing_fingerprint",
     "text_perplexity_buckets",
     "dedup_cross_split_leakage",
@@ -85,8 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "agg_rollup",
     "agg_stats",
-    "agg_stddev",
-    "dedup_exact_keep_first",
     "join_left_anti",
 )
 

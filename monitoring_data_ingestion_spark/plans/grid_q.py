@@ -652,3 +652,91 @@ def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+CONTOUR_LEVEL = 30.0  # iso-level inside the lattice's value range (17.5 .. 43.5)
+
+
+@query(
+    "grid_contour_cells",
+    tags=("grid", "spatial", "window"),
+    oracle=f"""
+WITH corners AS (
+  SELECT lat, lon, {_BL_VALUE_SQL} AS value
+  FROM (SELECT unnest(generate_series({_BL_LAT0}, {_BL_LATN})) AS lat) la,
+       (SELECT unnest(generate_series({_BL_LON0}, {_BL_LONN})) AS lon) lo
+), row_shift AS (
+  SELECT lat, lon, value,
+         lead(value) OVER (PARTITION BY lat ORDER BY lon) AS v_right
+  FROM corners
+), cells AS (
+  SELECT lat, lon, value AS v00, v_right AS v10,
+         lead(value) OVER wlat AS v01,
+         lead(v_right) OVER wlat AS v11
+  FROM row_shift
+  WINDOW wlat AS (PARTITION BY lon ORDER BY lat)
+), cases AS (
+  SELECT (CASE WHEN v00 > {CONTOUR_LEVEL} THEN 1 ELSE 0 END)
+       + (CASE WHEN v10 > {CONTOUR_LEVEL} THEN 2 ELSE 0 END)
+       + (CASE WHEN v11 > {CONTOUR_LEVEL} THEN 4 ELSE 0 END)
+       + (CASE WHEN v01 > {CONTOUR_LEVEL} THEN 8 ELSE 0 END) AS case_index
+  FROM cells
+  WHERE v10 IS NOT NULL AND v01 IS NOT NULL AND v11 IS NOT NULL
+)
+SELECT CAST(case_index AS INTEGER) AS case_index,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       (case_index NOT IN (0, 15)) AS crossed
+FROM cases GROUP BY case_index ORDER BY case_index
+""",
+)
+def grid_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares cell classification at an iso-level: each 2×2
+    cell of the lattice gets its 4-bit corner-above-level case index
+    (the lookup key contouring algorithms dispatch on; cases 0 and 15
+    are interior, everything else carries a contour segment) — censused
+    per case. The raster primitive under every isoline/contour product
+    built from the reference's grids (gdal_contour over the same data).
+
+    Spark-first: corner access is the gradient query's two-orthogonal-
+    window shape — a per-lat lead gives the right neighbor, a per-lon
+    lead lifts both one row north, so the diagonal costs no third pass —
+    then a 16-row census. Two exchanges are inherent to touching both
+    axes of a row-stored raster (see grid_gradient_slope's tiling note
+    for the production layout). Strict `>` on exact lattice values:
+    no boundary ulp ambiguity in either engine.
+    """
+    la = spark.range(_BL_LAT0, _BL_LATN + 1).select(F.col("id").alias("lat"))
+    lo = spark.range(_BL_LON0, _BL_LONN + 1).select(F.col("id").alias("lon"))
+    value = (((F.col("lat") + 90) * 31 + (F.col("lon") + 180) * 7) % 17).cast(
+        "double"
+    ) + (F.col("lat") + 90) * 0.25
+    corners = la.crossJoin(lo).select("lat", "lon", value.alias("value"))
+    w_lon = Window.partitionBy("lat").orderBy("lon")
+    row_shift = corners.select(
+        "lat", "lon", "value", F.lead("value").over(w_lon).alias("v_right")
+    )
+    w_lat = Window.partitionBy("lon").orderBy("lat")
+    cells = row_shift.select(
+        F.col("value").alias("v00"),
+        F.col("v_right").alias("v10"),
+        F.lead("value").over(w_lat).alias("v01"),
+        F.lead("v_right").over(w_lat).alias("v11"),
+    )
+    bit = lambda c, k: F.when(F.col(c) > CONTOUR_LEVEL, k).otherwise(0)
+    case_index = bit("v00", 1) + bit("v10", 2) + bit("v11", 4) + bit("v01", 8)
+    return (
+        cells.filter(
+            F.col("v10").isNotNull()
+            & F.col("v01").isNotNull()
+            & F.col("v11").isNotNull()
+        )
+        .select(case_index.cast("int").alias("case_index"))
+        .groupBy("case_index")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        .select(
+            "case_index",
+            "n_cells",
+            (~F.col("case_index").isin(0, 15)).alias("crossed"),
+        )
+        .orderBy("case_index")
+    )

@@ -1142,3 +1142,97 @@ def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+KS_ALPHA_COEF = 1.358  # two-sample Kolmogorov-Smirnov critical coefficient at alpha = 0.05
+
+
+@query(
+    "dq_ks_two_sample",
+    tags=("dq", "stats", "drift"),
+    oracle=f"""
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('view', 'purchase')
+), per_v AS (
+  SELECT value, SUM(a) AS na_v, SUM(b) AS nb_v FROM s GROUP BY value
+), cum AS (
+  SELECT value,
+         SUM(na_v) OVER (ORDER BY value) AS ca,
+         SUM(nb_v) OVER (ORDER BY value) AS cb
+  FROM per_v
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM s
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+       ROUND(MAX(abs(c.ca / CAST(t.na AS DOUBLE) - c.cb / CAST(t.nb AS DOUBLE))), 6)
+         AS ks_stat,
+       ROUND({KS_ALPHA_COEF} * sqrt((t.na + t.nb) / (CAST(t.na AS DOUBLE) * t.nb)), 6)
+         AS critical_05,
+       MAX(abs(c.ca / CAST(t.na AS DOUBLE) - c.cb / CAST(t.nb AS DOUBLE)))
+         > {KS_ALPHA_COEF} * sqrt((t.na + t.nb) / (CAST(t.na AS DOUBLE) * t.nb))
+         AS reject_same_dist
+FROM cum c CROSS JOIN tot t
+GROUP BY t.na, t.nb
+""",
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the 'view' and
+    'purchase' value distributions: D = max over observed values of the
+    empirical-CDF gap, against the α=0.05 critical value — the standard
+    nonparametric did-the-distribution-shift gate (train/serve skew,
+    release-over-release feature drift) that mean/stddev monitors miss.
+
+    Spark-first: collapse to one row per DISTINCT value with per-sample
+    counts (map-side combine), then one ordered cumulative window over
+    that distinct-value table gives both empirical CDFs in a single
+    pass; D is a max over |distinct values| rows. CDF values are ratios
+    of integers — exact doubles, identically computed in both engines;
+    ties are handled exactly (the CDF is evaluated after absorbing all
+    rows of each value). At fact scale the only data-sized stage is the
+    per-value count; the window runs over the distinct-value table.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    per_v = s.groupBy("value").agg(
+        F.sum("a").alias("na_v"), F.sum("b").alias("nb_v")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "value",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    tot = s.agg(
+        F.sum("a").cast("bigint").alias("na"), F.sum("b").cast("bigint").alias("nb")
+    )
+    gap = F.abs(
+        F.col("ca") / F.col("na").cast("double")
+        - F.col("cb") / F.col("nb").cast("double")
+    )
+    crit = KS_ALPHA_COEF * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.round(F.min(crit), 6).alias("critical_05"),
+            (F.max(gap) > F.min(crit)).alias("reject_same_dist"),
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "ks_stat",
+            "critical_05",
+            "reject_same_dist",
+        )
+    )

@@ -901,3 +901,25 @@ def test_lsh_recall_eval_composes_blocked_plans(spark):
     df.collect()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ks_window_runs_on_distinct_values(spark):
+    """dq_ks_two_sample: the cumulative-CDF window must run over the
+    per-distinct-value count table, with the fact scan collapsing into
+    a map-side-combined count first."""
+    df = q("dq_ks_two_sample")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_contour_census_two_orthogonal_windows(spark):
+    """grid_contour_cells: corner access is exactly two window passes
+    (per-lat lead, then per-lon lead lifting both columns) — no self
+    join of the lattice, no cartesian beyond the generator."""
+    df = q("grid_contour_cells")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan.split("Window")[0]  # census side join-free
+    assert plan.count("Window") >= 2
