@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, dsum_expr
+from ..functions.deterministic import davg, dmoney, dmoney_expr, dsum, dsum_expr
 from ..sources.readers import table
 from .catalog import query
 
@@ -32,8 +32,8 @@ from .catalog import query
 SELECT l_returnflag, l_linestatus,
        {dsum_expr('l_quantity', 2)} AS sum_qty,
        {dsum_expr('l_extendedprice', 2)} AS sum_base_price,
-       {dsum_expr('l_extendedprice * (1 - l_discount)', 8)} AS sum_disc_price,
-       {dsum_expr('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 8)} AS sum_charge,
+       {dmoney_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dmoney_expr('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
        {dsum_expr('l_quantity', 2)} / COUNT(l_quantity) AS avg_qty,
        {dsum_expr('l_extendedprice', 2)} / COUNT(l_extendedprice) AS avg_price,
        {dsum_expr('l_discount', 6)} / COUNT(l_discount) AS avg_disc,
@@ -60,9 +60,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("sum_disc_price"),
-            dsum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax")), 8
+            dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dmoney(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             davg("l_quantity", 2).alias("avg_qty"),
             davg("l_extendedprice", 2).alias("avg_price"),
@@ -125,7 +125,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
     oracle=f"""
 SELECT n.n_name AS n_name,
-       {dsum_expr('l.l_extendedprice * (1 - l.l_discount)', 8)} AS revenue
+       {dmoney_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -166,7 +166,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"))
+        .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 

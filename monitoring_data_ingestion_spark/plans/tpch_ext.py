@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, dsum_expr
+from ..functions.deterministic import davg, dmoney, dmoney_expr, dsum, dsum_expr
 from ..sources.readers import table
 from .catalog import query
 
@@ -121,7 +121,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("agg", "filter"),
     oracle=f"""
-SELECT {dsum_expr('l_extendedprice * l_discount', 8)} AS revenue,
+SELECT {dmoney_expr('l_extendedprice * l_discount')} AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -147,7 +147,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"),
+        dmoney(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -222,7 +222,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("join", "agg"),
     oracle=f"""
-SELECT nation, o_year, {dsum_expr('amount', 8)} AS sum_profit
+SELECT nation, o_year, {dmoney_expr('amount')} AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -266,7 +266,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(dsum("amount", 8).alias("sum_profit"))
+        .agg(dmoney("amount").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
