@@ -30,6 +30,9 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
     # --- new in round 6 (plans created this round — first driver witness) ---
+    "graph_copurchase_pagerank",
+    "graph_triangle_census",
+    "graph_degree_distribution",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -84,10 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_minmax_running",
     "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "join_left_anti",
 )
 
 

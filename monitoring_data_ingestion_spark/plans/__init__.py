@@ -13,5 +13,6 @@ from . import grid_q  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
+from . import graph_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

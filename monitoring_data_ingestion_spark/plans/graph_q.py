@@ -1,0 +1,348 @@
+"""Graph analytics over relational data: the co-purchase graph family.
+
+Large catalogs mine the "parts bought together" graph for substitution,
+recommendation, and anomaly work. The family here builds one shared graph —
+nodes = parts, an undirected edge whenever two parts appear in the same
+order — and runs the three canonical whole-graph computations over it:
+
+* ``graph_copurchase_pagerank`` — 5 damped PageRank iterations in EXACT
+  integer arithmetic (ranks held as bigint micro-units, integer floor
+  division everywhere), so Spark and the DuckDB oracle agree bit-for-bit
+  with zero float-accumulation-order sensitivity.
+* ``graph_triangle_census`` — per-node triangle counts + local clustering
+  coefficients via the degree-ordered orientation (each triangle counted
+  once from its lowest-degree vertex).
+* ``graph_degree_distribution`` — log2-bucketed degree histogram, the
+  standard first look at any graph's shape.
+
+Scale stance (100 TB): the edge list is built by a SELF-JOIN ON THE ORDER
+KEY — per-key fan-out is bounded by lines-per-order (≤7 in TPC-H-shaped
+data), so edge generation is linear in the fact table and never all-pairs.
+PageRank is one shuffle per iteration keyed on the destination node
+(lineage truncated per round with ``localCheckpoint`` so iteration N costs
+the same as iteration 1). Triangle counting uses the classic
+degree-orientation bound: directing every edge from its
+(degree, id)-smaller endpoint caps out-degree at O(sqrt(m)), so the wedge
+join generates O(m^{3/2}) candidates worst-case instead of sum(deg^2) —
+the difference between feasible and not on power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .catalog import query
+
+# PageRank ranks are bigint multiples of 1/RANK_SCALE. 85*RANK_SCALE
+# = 8.5e13 < 2^53, so every intermediate fits a double EXACTLY and the
+# `_idiv` double-division trick below is lossless.
+RANK_SCALE = 10**12
+PR_ITERS = 5
+
+
+def _idiv(a: Column, b: Column | int) -> Column:
+    """Exact integer floor division on nonnegative bigints.
+
+    ``a - a % b`` is exactly divisible by ``b``; both operands and the
+    integer quotient stay below 2^53, so the IEEE double division returns
+    the exact integer. Mirrors DuckDB's ``//`` on BIGINT operands.
+    """
+    b = F.lit(b) if isinstance(b, int) else b
+    return ((a - a % b) / b).cast("long")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges as (u < v) part-key pairs.
+
+    Equi-join on l_orderkey (bounded per-key fan-out), never a cross
+    join: the pair generation cost is sum over orders of C(lines, 2).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src)
+"""
+
+
+def _und(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    rev = edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration integer PageRank as one DuckDB CTE chain."""
+    s = RANK_SCALE
+    parts = [
+        "WITH " + _EDGES_SQL.strip() + ",",
+        "nn AS (SELECT COUNT(*) AS n FROM deg),",
+        f"r0 AS (SELECT node, {s} // nn.n AS r FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT d.node,
+         (15 * ({s} // nn.n)) // 100
+           + (85 * COALESCE(inf.inflow, 0)) // 100 AS r
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT und.dst AS node, SUM(p.r // dg.deg) AS inflow
+    FROM und
+    JOIN r{i - 1} p ON und.src = p.node
+    JOIN deg dg ON und.src = dg.node
+    GROUP BY und.dst
+  ) inf ON d.node = inf.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d.node AS part, d.deg AS degree, CAST(f.r AS BIGINT) AS rank_scaled,
+       CAST(f.r AS DOUBLE) / {s} AS rank
+FROM r{PR_ITERS} f JOIN deg d ON f.node = d.node
+ORDER BY rank_scaled DESC, part LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "graph_copurchase_pagerank",
+    tags=("graph", "join", "agg", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 5 iterations) over the part co-purchase
+    graph — "which parts sit at the center of the basket network".
+
+    Spark-first iterative dataflow: edges and degrees are computed once
+    and ``localCheckpoint``-ed; each iteration is ONE shuffle (inflow
+    grouped by destination) plus a broadcast of the 1-row node count.
+    Rank state is bigint micro-units (multiples of 1e-12) with integer
+    floor division at every step, so the fixpoint is bit-exact across
+    engines and partitionings — no float accumulation order anywhere.
+    The oracle unrolls the same five iterations as a DuckDB CTE chain.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    und = _und(edges).localCheckpoint()
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    base = _idiv(F.lit(RANK_SCALE), F.col("n"))
+    teleport = _idiv(15 * base, 100)
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", base.alias("r")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(deg, "node")
+            .select(F.col("node").alias("src"), _idiv(F.col("r"), F.col("deg")).alias("c"))
+        )
+        inflow = (
+            und.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (teleport + _idiv(85 * F.coalesce(F.col("inflow"), F.lit(0)), 100)).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("deg").alias("degree"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r").cast("double") / RANK_SCALE).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), "part")
+        .limit(20)
+    )
+
+
+@query(
+    "graph_triangle_census",
+    tags=("graph", "join", "agg"),
+    oracle="WITH "
+    + _EDGES_SQL.strip()
+    + """,
+dedge AS (
+  SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+oriented AS (
+  SELECT CASE WHEN (deg_u, u) < (deg_v, v) THEN u ELSE v END AS src,
+         CASE WHEN (deg_u, u) < (deg_v, v) THEN v ELSE u END AS dst,
+         CASE WHEN (deg_u, u) < (deg_v, v) THEN deg_v ELSE deg_u END AS deg_dst
+  FROM dedge
+),
+tri AS (
+  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+  FROM oriented o1
+  JOIN oriented o2
+    ON o1.src = o2.src AND (o1.deg_dst, o1.dst) < (o2.deg_dst, o2.dst)
+  JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+),
+pernode AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT p.node AS part, d.deg AS degree, p.triangles,
+       ROUND(2.0 * p.triangles / (d.deg * (d.deg - 1)), 6) AS clustering
+FROM pernode p JOIN deg d ON p.node = d.node
+ORDER BY p.triangles DESC, part LIMIT 20""",
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-purchase graph, via the degree-ordered orientation: every edge is
+    directed from its (degree, id)-smaller endpoint, wedges are generated
+    only between a node's out-neighbors in (degree, id) order, and a
+    wedge closes iff the oriented (b, c) edge exists — each triangle
+    found exactly once, from its smallest vertex.
+
+    Scale: orientation caps out-degree at O(sqrt(m)), so the wedge join
+    emits O(m^{3/2}) rows worst-case instead of sum(deg^2) — the bound
+    that keeps triangle counting feasible on power-law graphs. Both
+    joins are equi-joins (on the wedge apex, then on the closing edge
+    pair); the 2-column degree table broadcasts.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    und = _und(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    dedge = (
+        edges.join(
+            F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u"),
+            "u",
+        )
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_v"),
+            "v",
+        )
+    )
+    lower = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = dedge.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    ).localCheckpoint()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_order = (F.col("o1.deg_dst") < F.col("o2.deg_dst")) | (
+        (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(wedge_order)
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        pernode.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("deg").alias("degree"),
+            "triangles",
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "part")
+        .limit(20)
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    tags=("graph", "agg"),
+    oracle="WITH "
+    + _EDGES_SQL.strip()
+    + """
+SELECT CAST(FLOOR(LOG2(deg)) AS INTEGER) AS degree_log2_bucket,
+       COUNT(*) AS n_nodes,
+       MIN(deg) AS min_degree, MAX(deg) AS max_degree,
+       CAST(SUM(deg) AS BIGINT) AS total_degree
+FROM deg
+GROUP BY 1 ORDER BY 1""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the co-purchase graph — the
+    first diagnostic of any graph workload (power-law tail = skew risk
+    for the downstream joins; the bucket census is what decides whether
+    the triangle orientation / salting paths are needed).
+
+    One aggregation over the degree table; integer-exact. log2 of an
+    exact power-of-two-free integer is boundary-safe here because buckets
+    split at exact powers of two and ``deg`` is an integer: floor(log2)
+    can only waver when deg IS a power of two, where both engines compute
+    log2 exactly (it is representable), so the floor is stable.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _und(edges).groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("deg")).cast("int").alias("degree_log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_degree"),
+            F.max("deg").alias("max_degree"),
+            F.sum("deg").alias("total_degree"),
+        )
+        .orderBy("degree_log2_bucket")
+    )

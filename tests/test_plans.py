@@ -923,3 +923,27 @@ def test_contour_census_two_orthogonal_windows(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan.split("Window")[0]  # census side join-free
     assert plan.count("Window") >= 2
+
+
+def test_pagerank_iteration_no_cartesian_broadcast_count(spark):
+    """graph_copurchase_pagerank: edge generation is an equi-join on
+    l_orderkey and every iteration joins on the node key — the only
+    nested-loop allowed is the 1-row node-count broadcast. The rank
+    state is bigint (exact integer arithmetic, no float accumulation)."""
+    df = q("graph_copurchase_pagerank")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert dict(df.dtypes)["rank_scaled"] == "bigint"
+
+
+def test_triangle_census_oriented_equi_joins(spark):
+    """graph_triangle_census: the wedge and closing joins must both be
+    equi-joins (hash/sort-merge on src, then on the (b, c) pair) — a
+    cartesian or nested-loop means the degree orientation was lost and
+    the count is Σdeg² instead of O(m^1.5)."""
+    df = q("graph_triangle_census")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
