@@ -33,6 +33,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_copurchase_pagerank",
     "graph_triangle_census",
     "graph_degree_distribution",
+    "graph_edge_jaccard",
+    "graph_kcore",
+    "sample_dsir_importance",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -84,9 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     #     remaining slots; the rest of the r2 cohort rotates next round ---
     "agg_collect_sorted",
     "agg_cube",
-    "agg_grouping_sets",
-    "agg_minmax_running",
-    "agg_percentiles",
 )
 
 

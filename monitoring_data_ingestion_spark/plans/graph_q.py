@@ -95,6 +95,85 @@ def _und(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        _und(edges)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+
+
+def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle list (a, b, c) via the degree-ordered orientation.
+
+    Every edge is directed from its (degree, id)-smaller endpoint, wedges
+    are generated only between a node's out-neighbors in (degree, id)
+    order, and a wedge closes iff the oriented (b, c) edge exists — each
+    triangle emitted exactly once. Out-degree under this orientation is
+    O(sqrt(m)), so the wedge join generates O(m^{3/2}) candidates
+    worst-case instead of sum(deg^2).
+    """
+    dedge = (
+        edges.join(
+            F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u"),
+            "u",
+        )
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_v"),
+            "v",
+        )
+    )
+    lower = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = dedge.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    ).localCheckpoint()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_order = (F.col("o1.deg_dst") < F.col("o2.deg_dst")) | (
+        (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(wedge_order)
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(closing, ["b", "c"])
+
+
+_TRI_SQL = """
+dedge AS (
+  SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+oriented AS (
+  SELECT CASE WHEN (deg_u, u) < (deg_v, v) THEN u ELSE v END AS src,
+         CASE WHEN (deg_u, u) < (deg_v, v) THEN v ELSE u END AS dst,
+         CASE WHEN (deg_u, u) < (deg_v, v) THEN deg_v ELSE deg_u END AS deg_dst
+  FROM dedge
+),
+tri AS MATERIALIZED (
+  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+  FROM oriented o1
+  JOIN oriented o2
+    ON o1.src = o2.src AND (o1.deg_dst, o1.dst) < (o2.deg_dst, o2.dst)
+  JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+)
+"""
+
+
 def _pagerank_oracle() -> str:
     """Unrolled 5-iteration integer PageRank as one DuckDB CTE chain."""
     s = RANK_SCALE
@@ -199,26 +278,9 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join", "agg"),
     oracle="WITH "
     + _EDGES_SQL.strip()
+    + ","
+    + _TRI_SQL.strip()
     + """,
-dedge AS (
-  SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
-  FROM edges e
-  JOIN deg du ON e.u = du.node
-  JOIN deg dv ON e.v = dv.node
-),
-oriented AS (
-  SELECT CASE WHEN (deg_u, u) < (deg_v, v) THEN u ELSE v END AS src,
-         CASE WHEN (deg_u, u) < (deg_v, v) THEN v ELSE u END AS dst,
-         CASE WHEN (deg_u, u) < (deg_v, v) THEN deg_v ELSE deg_u END AS deg_dst
-  FROM dedge
-),
-tri AS (
-  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
-  FROM oriented o1
-  JOIN oriented o2
-    ON o1.src = o2.src AND (o1.deg_dst, o1.dst) < (o2.deg_dst, o2.dst)
-  JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
-),
 pernode AS (
   SELECT node, COUNT(*) AS triangles FROM (
     SELECT a AS node FROM tri
@@ -244,47 +306,15 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps triangle counting feasible on power-law graphs. Both
     joins are equi-joins (on the wedge apex, then on the closing edge
     pair); the 2-column degree table broadcasts.
+
+    The distinct edge list is materialized ONCE (``localCheckpoint``) —
+    it feeds both the degree aggregate and the orientation join, and
+    without truncation the lineitem self-join + distinct would execute
+    twice.
     """
-    edges = _copurchase_edges(spark, sf_dir)
-    und = _und(edges)
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
-    dedge = (
-        edges.join(
-            F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u"),
-            "u",
-        )
-        .join(
-            F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_v"),
-            "v",
-        )
-    )
-    lower = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = dedge.select(
-        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
-    ).localCheckpoint()
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedge_order = (F.col("o1.deg_dst") < F.col("o2.deg_dst")) | (
-        (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
-        & (F.col("o1.dst") < F.col("o2.dst"))
-    )
-    wedges = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
-        .filter(wedge_order)
-        .select(
-            F.col("o1.src").alias("a"),
-            F.col("o1.dst").alias("b"),
-            F.col("o2.dst").alias("c"),
-        )
-    )
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    tri = _oriented_triangles(edges, deg)
     pernode = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -345,4 +375,160 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("deg").alias("total_degree"),
         )
         .orderBy("degree_log2_bucket")
+    )
+
+
+@query(
+    "graph_edge_jaccard",
+    tags=("graph", "join", "agg", "similarity"),
+    oracle="WITH "
+    + _EDGES_SQL.strip()
+    + ","
+    + _TRI_SQL.strip()
+    + """,
+sup AS (
+  SELECT u, v, COUNT(*) AS support FROM (
+    SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri
+    UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+    UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+  ) GROUP BY u, v
+)
+SELECT e.u AS part_a, e.v AS part_b,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+       du.deg AS deg_a, dv.deg AS deg_b,
+       ROUND(CAST(COALESCE(s.support, 0) AS DOUBLE)
+             / (du.deg + dv.deg - COALESCE(s.support, 0)), 6) AS jaccard
+FROM edges e
+LEFT JOIN sup s ON e.u = s.u AND e.v = s.v
+JOIN deg du ON e.u = du.node
+JOIN deg dv ON e.v = dv.node
+ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
+)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (SCAN) similarity per co-purchase edge: for every edge
+    (u, v), Jaccard overlap of the two open neighborhoods —
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the item-item substitution score
+    collaborative filters rank against (two parts whose baskets overlap
+    heavily are interchangeable).
+
+    The common-neighbor count per edge is exactly the edge's triangle
+    support, so it is read off the oriented triangle list (each triangle
+    credits its three canonical edges) — total work stays O(m^{3/2})
+    with NO per-apex quadratic pair generation and no hub caps: an apex
+    of degree d contributes wedges only through its O(sqrt(m))-bounded
+    out-neighborhood, never C(d, 2) pairs. Denominators are full
+    degrees broadcast onto the edge list; edges in no triangle keep
+    support 0 via the left join.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    tri = _oriented_triangles(edges, deg)
+    pair = lambda x, y: [F.least(F.col(x), F.col(y)).alias("u"), F.greatest(F.col(x), F.col(y)).alias("v")]  # noqa: E731
+    sup = (
+        tri.select(*pair("a", "b"))
+        .unionAll(tri.select(*pair("a", "c")))
+        .unionAll(tri.select(*pair("b", "c")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    support = F.coalesce(F.col("support"), F.lit(0))
+    return (
+        edges.join(sup, ["u", "v"], "left")
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_a"),
+            "u",
+        )
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_b"),
+            "v",
+        )
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            support.alias("support"),
+            "deg_a",
+            "deg_b",
+            F.round(
+                support.cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - support),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+KCORE_K = 80
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        "WITH " + _EDGES_SQL.strip() + ",",
+        "a0 AS (SELECT node, deg FROM deg)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+e{r} AS MATERIALIZED (
+  SELECT src, dst FROM und
+  WHERE src IN (SELECT node FROM a{r - 1} WHERE deg >= {KCORE_K})
+    AND dst IN (SELECT node FROM a{r - 1} WHERE deg >= {KCORE_K})
+),
+a{r} AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM e{r} GROUP BY src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part, CAST(deg AS BIGINT) AS core_degree
+FROM a{KCORE_ROUNDS} WHERE deg >= {KCORE_K}
+ORDER BY core_degree DESC, part LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "graph_kcore",
+    tags=("graph", "join", "agg", "iterative"),
+    oracle=_kcore_oracle(),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the co-purchase graph by parallel peeling:
+    each round drops every node whose degree WITHIN the surviving
+    subgraph is < k, until the {k}-core remains — the standard dense-
+    nucleus extractor (fraud rings, always-bundled assortments, community
+    seeds). Output is the top-20 core members by within-core degree
+    after a fixed round budget, which makes the result bit-deterministic
+    on both engines even on graphs where peeling hasn't fully converged.
+
+    Scale: each round is one broadcastable semi-join of the (shrinking)
+    survivor set against the edge list plus one hash aggregate — rounds
+    are fixed (6), the survivor set only shrinks, and lineage is
+    truncated per round with ``localCheckpoint`` so round N costs round
+    1's plan, not N compounded re-plays. The DuckDB oracle unrolls the
+    same six peels with MATERIALIZED survivor CTEs (each is referenced
+    twice — once per edge endpoint — so inlining would double the
+    recomputed subtree per level).
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    und = _und(edges).localCheckpoint()
+    alive = _degrees(edges)
+    for _ in range(KCORE_ROUNDS):
+        keep = alive.filter(F.col("deg") >= KCORE_K).select("node")
+        sub = und.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        alive = (
+            sub.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .withColumnRenamed("src", "node")
+            .localCheckpoint()
+        )
+    return (
+        alive.filter(F.col("deg") >= KCORE_K)
+        .select(F.col("node").alias("part"), F.col("deg").alias("core_degree"))
+        .orderBy(F.desc("core_degree"), "part")
+        .limit(20)
     )

@@ -471,3 +471,140 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "domain", "srank", "budget")
         .orderBy("doc_id")
     )
+
+
+DSIR_BUCKETS = 1024
+DSIR_KEEP = 100
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "sample_dsir_importance",
+    tags=("llm", "sampling", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+), bucketed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 3)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM toks
+), dc AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY doc_id, b
+), models AS (
+  SELECT b,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct,
+         COUNT(*) AS cs
+  FROM bucketed GROUP BY b
+), tots AS (
+  SELECT SUM(ct) AS tot_t, SUM(cs) AS tot_s FROM models
+), ratio AS (
+  SELECT m.b,
+         ROUND(ln(CAST((m.ct + 1) * (x.tot_s + {DSIR_BUCKETS}) AS DOUBLE)
+                / CAST((m.cs + 1) * (x.tot_t + {DSIR_BUCKETS}) AS DOUBLE)), 6) AS r
+  FROM models m CROSS JOIN tots x
+), logw AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(d.c * CAST(r.r AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS log_weight
+  FROM dc d JOIN ratio r ON d.b = r.b GROUP BY d.doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens, log_weight,
+         ROUND(log_weight - ln(-ln(
+           (CAST(('0x' || substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) + 1) / {_U52})), 6) AS gumbel_score
+  FROM logw
+)
+SELECT k.doc_id, d.lang, k.n_tokens, k.log_weight, k.gumbel_score
+FROM keyed k JOIN documents d USING (doc_id)
+ORDER BY gumbel_score DESC, k.doc_id LIMIT {DSIR_KEEP}
+""",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select raw-pool
+    documents whose hashed-n-gram distribution looks like the target
+    domain. Two bag-of-hashed-unigram models (1024 md5-derived buckets)
+    are trained in ONE corpus pass — target = the ``en`` slice, source =
+    the whole pool; each document's importance weight is
+    sum_b count_b * ln(p_target(b) / p_source(b)) with add-one smoothing,
+    and the sample is the Gumbel-top-k of the weights (g = −ln(−ln u),
+    u a 52-bit uniform from md5(doc_id)) — the exact DSIR sampling rule,
+    made bit-reproducible because the randomness is content-keyed rather
+    than drawn from an RNG.
+
+    Scale stance: the feature space is FIXED (1024 buckets), so the two
+    models are one map-side-combined aggregate and broadcast back onto
+    the per-doc bucket counts; nothing all-pairs, nothing iterative. The
+    final selection is a global top-k (TakeOrderedAndProject), not a full
+    sort. Determinism: per-bucket log-ratios are rounded to 6 dp then
+    decimal-exact-summed per doc (partitioning-proof); integer products
+    stay below 2^53 so the double casts are lossless.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 3), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    dc = bucketed.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    models = bucketed.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    tots = models.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cs").alias("tot_s")
+    )
+    ratio = models.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tot_s") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("cs") + 1) * (F.col("tot_t") + DSIR_BUCKETS)).cast("double")
+            ),
+            6,
+        ).alias("r"),
+    )
+    logw = (
+        dc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("r").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("g"), F.col("doc_id").cast("string"))), 1, 13
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(_U52)
+    )
+    keyed = logw.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("gumbel_score"),
+    )
+    return (
+        keyed.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "log_weight", "gumbel_score")
+        .orderBy(F.desc("gumbel_score"), "doc_id")
+        .limit(DSIR_KEEP)
+    )

@@ -947,3 +947,53 @@ def test_triangle_census_oriented_equi_joins(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edge_jaccard_support_from_triangle_list(spark):
+    """graph_edge_jaccard: common-neighbor counts must come off the
+    oriented triangle list (equi-joins only, O(m^1.5)) — a per-apex
+    neighbor-pair expansion would be Σdeg² and shows up as a nested
+    loop or cartesian."""
+    df = q("graph_edge_jaccard")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_rounds_are_semi_joins(spark):
+    """graph_kcore: each peel round must filter the edge list with
+    LeftSemi joins on the shrinking survivor set — never materialize a
+    new graph via inner joins that duplicate edge rows. The query's own
+    final plan is a checkpoint scan (rounds evaluate eagerly), so the
+    round shape is asserted on one peel round built from the module's
+    helpers."""
+    from monitoring_data_ingestion_spark.plans import graph_q as G
+
+    edges = G._copurchase_edges(spark, SF_SMOKE)
+    und = G._und(edges)
+    keep = G._degrees(edges).filter(F.col("deg") >= G.KCORE_K).select("node")
+    sub = und.join(
+        keep.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    sub.collect()
+    plan = _plan(sub)
+    assert plan.count("LeftSemi") >= 2  # pushed into both union branches under AQE
+    assert "CartesianProduct" not in plan
+    # the full query still runs end-to-end without nested loops
+    df = q("graph_kcore")(spark, SF_SMOKE)
+    df.collect()
+    assert "CartesianProduct" not in _plan(df)
+
+
+def test_dsir_models_broadcast_topk_physical(spark):
+    """sample_dsir_importance: the 1024-bucket ratio table must broadcast
+    onto the per-doc counts (corpus side never shuffles against a
+    model-sized side) and the final selection must be a global top-k
+    (TakeOrderedAndProject), not a full sort."""
+    df = q("sample_dsir_importance")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
