@@ -84,7 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_sessionize",
     "ts_tumbling_hourly",
     # --- oldest driver evidence (round-2 cohort) refreshed with the
-    #     remaining slots; the rest of the r2 cohort rotates next round ---
+    #     remaining slots; the rest of the r2 cohort rotates next round
+    #     (round 6 created 30 new/changed entries, so only two r2 slots
+    #     remain this round) ---
     "agg_collect_sorted",
     "agg_cube",
 )

@@ -73,19 +73,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED: these CTEs are referenced once per unrolled iteration /
+# triangle stage; DuckDB inlines plain CTEs, which would recompute the
+# lineitem self-join at every reference (the PCA-oracle 2^K lesson).
 _EDGES_SQL = """
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a
   JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM edges
   UNION ALL
   SELECT v AS src, u AS dst FROM edges
 ),
-deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src)
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src)
 """
 
 
