@@ -1,0 +1,133 @@
+"""Hand-computed small-graph witnesses for the co-purchase graph family.
+
+The catalog queries are oracle-checked against DuckDB, but both engines
+run the SAME formulas — if the orientation rule or the integer-PageRank
+update were subtly wrong, they would agree on the wrong answer. These
+tests pin the helpers against answers computed by hand (K4, the 5-wheel,
+a path) and against an independent pure-Python integer PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monitoring_data_ingestion_spark.plans import graph_q as G
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u bigint, v bigint"
+    )
+
+
+def _triangle_rows(spark, pairs):
+    edges = _edges_df(spark, pairs)
+    deg = G._degrees(edges)
+    tri = G._oriented_triangles(edges, deg)
+    return {tuple(sorted((r.a, r.b, r.c))) for r in tri.collect()}
+
+
+def test_k4_has_four_triangles(spark):
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tris = _triangle_rows(spark, k4)
+    assert tris == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_wheel_triangles_each_counted_once(spark):
+    # 5-wheel: hub 0 + cycle 1-2-3-4-1 → exactly the 4 hub triangles.
+    wheel = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (1, 4)]
+    tris = _triangle_rows(spark, wheel)
+    assert tris == {(0, 1, 2), (0, 2, 3), (0, 3, 4), (0, 1, 4)}
+
+
+def test_path_has_no_triangles(spark):
+    assert _triangle_rows(spark, [(1, 2), (2, 3), (3, 4)]) == set()
+
+
+def test_degrees_on_wheel(spark):
+    wheel = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (1, 4)]
+    deg = {r.node: r.deg for r in G._degrees(_edges_df(spark, wheel)).collect()}
+    assert deg == {0: 4, 1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def _python_integer_pagerank(pairs, iters=G.PR_ITERS, scale=G.RANK_SCALE):
+    """Independent reference: same integer-arithmetic spec, plain Python."""
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    n = len(adj)
+    base = scale // n
+    teleport = (15 * base) // 100
+    r = {node: base for node in adj}
+    for _ in range(iters):
+        inflow = {node: 0 for node in adj}
+        for node, neigh in adj.items():
+            c = r[node] // len(neigh)
+            for m in neigh:
+                inflow[m] += c
+        r = {node: teleport + (85 * inflow[node]) // 100 for node in adj}
+    return r
+
+
+def test_integer_pagerank_matches_python_model(spark):
+    # Asymmetric graph (star + tail) so ranks differ by node.
+    pairs = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    expected = _python_integer_pagerank(pairs)
+
+    edges = _edges_df(spark, pairs)
+    und = G._und(edges).localCheckpoint()
+    deg = G._degrees(edges).localCheckpoint()
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    base = G._idiv(F.lit(G.RANK_SCALE), F.col("n"))
+    teleport = G._idiv(15 * base, 100)
+    ranks = deg.crossJoin(F.broadcast(nn)).select("node", base.alias("r"))
+    for _ in range(G.PR_ITERS):
+        contrib = ranks.join(deg, "node").select(
+            F.col("node").alias("src"), G._idiv(F.col("r"), F.col("deg")).alias("c")
+        )
+        inflow = (
+            und.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (teleport + G._idiv(85 * F.coalesce(F.col("inflow"), F.lit(0)), 100)).alias("r"),
+            )
+        )
+    got = {r_.node: r_.r for r_ in ranks.collect()}
+    assert got == expected
+
+
+def test_idiv_matches_python_floor_division(spark):
+    rows = [(a, b) for a in (0, 1, 7, 509, 10**12, 85 * 10**12) for b in (1, 3, 7, 100)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    out = df.select("a", "b", G._idiv(F.col("a"), F.col("b")).alias("q")).collect()
+    for r in out:
+        assert r.q == r.a // r.b
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    # K4 (nodes 1-4) plus a pendant chain 4-5-6: the 3-core is exactly K4.
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = _edges_df(spark, pairs)
+    und = G._und(edges).localCheckpoint()
+    alive = G._degrees(edges)
+    for _ in range(3):
+        keep = alive.filter(F.col("deg") >= 3).select("node")
+        sub = und.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        alive = (
+            sub.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .withColumnRenamed("src", "node")
+            .localCheckpoint()
+        )
+    core = {r.node: r.deg for r in alive.filter(F.col("deg") >= 3).collect()}
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}
