@@ -36,6 +36,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_edge_jaccard",
     "graph_kcore",
     "sample_dsir_importance",
+    "hierarchy_recursive_rollup",
+    "hierarchy_recursive_paths",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -83,12 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_range_join",
     "ts_sessionize",
     "ts_tumbling_hourly",
-    # --- oldest driver evidence (round-2 cohort) refreshed with the
-    #     remaining slots; the rest of the r2 cohort rotates next round
-    #     (round 6 created 30 new/changed entries, so only two r2 slots
-    #     remain this round) ---
-    "agg_collect_sorted",
-    "agg_cube",
+    # --- no r2-cohort slots left this round: round 6 created 32
+    #     new/changed entries + 16 headline, filling the 50-slot window.
+    #     The r2 cohort (oldest driver evidence) rotates in round 7. ---
 )
 
 

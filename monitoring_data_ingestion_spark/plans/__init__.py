@@ -14,5 +14,6 @@ from . import advanced  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import graph_q  # noqa: E402,F401
+from . import recursive_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -997,3 +997,15 @@ def test_dsir_models_broadcast_topk_physical(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_recursive_rollup_runs_as_union_loop(spark):
+    """hierarchy_recursive_rollup: the recursion must execute as Spark's
+    UnionLoop operator (native WITH RECURSIVE, one frontier join per
+    level) with the rollup as a two-phase hash aggregate on top."""
+    df = q("hierarchy_recursive_rollup")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "UnionLoop" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
