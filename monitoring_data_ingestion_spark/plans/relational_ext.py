@@ -1236,3 +1236,90 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_same_dist",
         )
     )
+
+
+@query(
+    "variant_json_shred",
+    tags=("json", "variant", "agg"),
+    oracle="""
+WITH enriched AS (
+  SELECT event_type,
+         '{"meta": {"type": "' || event_type || '", "vals": ['
+           || CAST(CAST(ROUND(value) AS BIGINT) % 7 AS VARCHAR) || ', '
+           || CAST(event_id % 5 AS VARCHAR)
+           || ']}, "p": ' || props || '}' AS doc
+  FROM events
+), shredded AS (
+  SELECT event_type,
+         CAST(json_extract(doc, '$.p.k') AS BIGINT) AS k,
+         json_extract_string(doc, '$.meta.type') AS type_echo,
+         CAST(json_extract(doc, '$.meta.vals[0]') AS BIGINT) AS v0,
+         CAST(json_extract(doc, '$.meta.vals[1]') AS BIGINT) AS v1,
+         CAST(json_extract(doc, '$.absent.path') AS BIGINT) AS missing
+  FROM enriched
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(v0) AS BIGINT) AS sum_v0,
+       CAST(SUM(v1) AS BIGINT) AS sum_v1,
+       CAST(SUM(CASE WHEN type_echo = event_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_type_roundtrip,
+       CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_null
+FROM shredded GROUP BY event_type ORDER BY event_type
+""",
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type: nested
+    JSON (object + array + the events table's real ``props`` payload,
+    assembled identically on both engines so the oracle checks the
+    PARSE/EXTRACT chain, not fixture plumbing) is parsed once with
+    ``parse_json`` and shredded with typed ``variant_get`` paths —
+    object fields, array indices, and a missing path through
+    ``try_variant_get`` (NULL, never an error).
+
+    VARIANT is the 100 TB answer to schemaless columns: parse once into
+    the binary variant encoding, push typed path extraction down the
+    plan, and aggregate JVM-side — versus re-parsing JSON strings per
+    access (``get_json_object``) or locking the schema up front
+    (``from_json``). Everything after the parse is ordinary columnar
+    expression work; the aggregate is the standard two-phase hash agg.
+    """
+    e = table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "vals": ['),
+        (F.round(F.col("value")).cast("bigint") % 7).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(']}, "p": '),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = e.select("event_type", F.parse_json(doc).alias("v"))
+    shredded = v.select(
+        "event_type",
+        F.variant_get("v", "$.p.k", "bigint").alias("k"),
+        F.variant_get("v", "$.meta.type", "string").alias("type_echo"),
+        F.variant_get("v", "$.meta.vals[0]", "bigint").alias("v0"),
+        F.variant_get("v", "$.meta.vals[1]", "bigint").alias("v1"),
+        F.try_variant_get("v", "$.absent.path", "bigint").alias("missing"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum("v0").alias("sum_v0"),
+            F.sum("v1").alias("sum_v1"),
+            F.sum(
+                F.when(F.col("type_echo") == F.col("event_type"), 1).otherwise(0)
+            ).alias("n_type_roundtrip"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+                "n_missing_null"
+            ),
+        )
+        .orderBy("event_type")
+    )

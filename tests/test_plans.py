@@ -1009,3 +1009,15 @@ def test_recursive_rollup_runs_as_union_loop(spark):
     assert "UnionLoop" in plan
     assert "partial_count" in plan and "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_variant_shred_two_phase_agg_no_json_reparse(spark):
+    """variant_json_shred: one parse_json feeding typed variant_get
+    extractions, then a two-phase hash aggregate — no per-access JSON
+    string re-parsing (get_json_object) in the plan."""
+    df = q("variant_json_shred")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "get_json_object" not in plan
+    assert "variant_get" in plan
