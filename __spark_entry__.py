@@ -39,6 +39,7 @@ _PRIORITY: tuple[str, ...] = (
     "hierarchy_recursive_rollup",
     "hierarchy_recursive_paths",
     "variant_json_shred",
+    "graph_copurchase_lift",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -77,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf",
     "llm_corpus_prep",
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    # q3_shipping_priority also yields its slot (same rationale as q6)
     "q5_region_revenue",
     # q6_forecast_revenue yields its slot this round (witnessed green in
     # every round r1-r5, plan unchanged; 35 new/changed entries outrank it)

@@ -535,3 +535,102 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_degree"), "part")
         .limit(20)
     )
+
+
+MIN_PAIR_SUPPORT = 3
+
+
+@query(
+    "graph_copurchase_lift",
+    tags=("graph", "agg", "join", "basket"),
+    oracle=f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+supp AS MATERIALIZED (
+  SELECT l_partkey AS part, COUNT(*) AS supp FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS pair_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+)
+SELECT p.u AS part_a, p.v AS part_b,
+       CAST(p.pair_orders AS BIGINT) AS pair_orders,
+       CAST(su.supp AS BIGINT) AS supp_a,
+       CAST(sv.supp AS BIGINT) AS supp_b,
+       ROUND(CAST(p.pair_orders AS DOUBLE) / su.supp, 6) AS confidence_ab,
+       ROUND(CAST(p.pair_orders * n.n_orders AS DOUBLE)
+             / (su.supp * sv.supp), 6) AS lift
+FROM pairs p
+JOIN supp su ON p.u = su.part
+JOIN supp sv ON p.v = sv.part
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b LIMIT 20""",
+)
+def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule scoring over co-purchased part pairs — the
+    market-basket (Apriori) metrics: support, confidence(a→b), and lift
+    = P(a,b) / (P(a)·P(b)). Lift > 1 marks genuinely associated pairs,
+    the signal behind "frequently bought together"; a frequency-based
+    complement to the neighborhood-based ``graph_edge_jaccard``.
+
+    Scale: pair generation is the bounded order-key self-join (per-key
+    fan-out ≤ lines-per-order), pair counts are one hash aggregate with
+    a min-support HAVING that prunes the long tail before the support
+    joins, and the per-item support table is small enough to broadcast.
+    Ratios are computed from exact bigint counts (< 2^53, lossless as
+    doubles) and rounded to 6 dp, so ranking is engine-stable.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    n = li.select(F.count_distinct("l_orderkey").alias("n_orders"))
+    supp = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= MIN_PAIR_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp).withColumnRenamed("part", "u").withColumnRenamed("supp", "supp_a"),
+            "u",
+        )
+        .join(
+            F.broadcast(supp).withColumnRenamed("part", "v").withColumnRenamed("supp", "supp_b"),
+            "v",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("pair_orders").cast("bigint").alias("pair_orders"),
+            F.col("supp_a").cast("bigint").alias("supp_a"),
+            F.col("supp_b").cast("bigint").alias("supp_b"),
+            F.round(
+                F.col("pair_orders").cast("double") / F.col("supp_a"), 6
+            ).alias("confidence_ab"),
+            F.round(
+                (F.col("pair_orders") * F.col("n_orders")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

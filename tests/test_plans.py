@@ -1021,3 +1021,16 @@ def test_variant_shred_two_phase_agg_no_json_reparse(spark):
     assert "partial_count" in plan and "partial_sum" in plan
     assert "get_json_object" not in plan
     assert "variant_get" in plan
+
+
+def test_lift_supports_broadcast_pairs_pruned_early(spark):
+    """graph_copurchase_lift: the per-item support table and the 1-row
+    order count must broadcast onto the pair aggregate; the min-support
+    filter must run on the aggregate (pruning before the joins), and
+    pair generation must be the bounded order-key equi-join."""
+    df = q("graph_copurchase_lift")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
