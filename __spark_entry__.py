@@ -40,6 +40,7 @@ _PRIORITY: tuple[str, ...] = (
     "hierarchy_recursive_paths",
     "variant_json_shred",
     "graph_copurchase_lift",
+    "ts_attribution_last_touch",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -78,11 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf",
     "llm_corpus_prep",
     "q1_pricing_summary",
-    # q3_shipping_priority also yields its slot (same rationale as q6)
+    # q3_shipping_priority / q6_forecast_revenue / q9_profit_by_nation
+    # yield their slots this round (each witnessed green in every round
+    # r1-r5 with plans unchanged; 37 new/changed entries outrank them)
     "q5_region_revenue",
-    # q6_forecast_revenue yields its slot this round (witnessed green in
-    # every round r1-r5, plan unchanged; 35 new/changed entries outrank it)
-    "q9_profit_by_nation",
     "text_tfidf_top_terms",
     "ts_asof_join",
     "ts_range_join",

@@ -1862,3 +1862,92 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+ATTRIB_WINDOW_US = 24 * 3600 * 1_000_000  # last-touch lookback: 24 h
+
+
+@query(
+    "ts_attribution_last_touch",
+    tags=("timeseries", "window", "attribution"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS prev_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                    IGNORE NULLS) OVER w AS prev_ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT CASE WHEN prev_ts_us IS NOT NULL
+                   AND ts_us - prev_ts_us <= {ATTRIB_WINDOW_US}
+              THEN prev_type ELSE 'direct' END AS channel,
+         user_id,
+         CASE WHEN prev_ts_us IS NOT NULL
+                   AND ts_us - prev_ts_us <= {ATTRIB_WINDOW_US}
+              THEN ts_us - prev_ts_us END AS gap_us
+  FROM ordered WHERE event_type = 'purchase'
+)
+SELECT channel,
+       COUNT(*) AS n_conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 60000000.0, 6)
+         AS avg_gap_minutes
+FROM conv GROUP BY channel ORDER BY channel
+""",
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — the marketing-analytics
+    primitive: each ``purchase`` is credited to the user's most recent
+    preceding non-purchase event within a 24 h lookback, else to
+    ``direct``. Emits per-channel conversion counts, reached users, and
+    the mean touch-to-conversion latency.
+
+    One window pass per user (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING,
+    ``last`` with ignorenulls carrying the latest touch), then a hash
+    aggregate — no self-join of the event stream against itself, which
+    is what keeps attribution linear when the stream is 100 TB. The two
+    carried columns (touch type, touch time) share one null condition,
+    so they always come from the same row. Gap sums are exact integer
+    microseconds (< 2^53) divided once at the end.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.col("event_type") != "purchase"
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_type"),
+        F.last(F.when(touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prev_ts_us"),
+    )
+    in_window = F.col("prev_ts_us").isNotNull() & (
+        F.col("ts_us") - F.col("prev_ts_us") <= ATTRIB_WINDOW_US
+    )
+    conv = ordered.filter(F.col("event_type") == "purchase").select(
+        F.when(in_window, F.col("prev_type")).otherwise("direct").alias("channel"),
+        "user_id",
+        F.when(in_window, F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / 60000000.0, 6
+            ).alias("avg_gap_minutes"),
+        )
+        .orderBy("channel")
+    )

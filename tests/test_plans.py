@@ -1034,3 +1034,14 @@ def test_lift_supports_broadcast_pairs_pruned_early(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_is_single_window_no_self_join(spark):
+    """ts_attribution_last_touch: the touch carry must be ONE window pass
+    over the event stream (last ignorenulls), never a self-join of the
+    stream against itself — the shape that keeps attribution linear."""
+    df = q("ts_attribution_last_touch")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
