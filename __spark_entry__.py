@@ -21,13 +21,13 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # ``queries()``.  Cumulative driver coverage is 190/190 across rounds 1-5
 # (every registry query green in some round, zero failures ever), so the
 # window's job is REGRESSION DETECTION: new queries and any query whose
-# implementation changed this round go first, then the 16 headline
-# (bench) queries, then the cohort whose driver witness is OLDEST —
-# round 6 rotates the round-5 names out and refreshes 8 of the 45
-# r2-witnessed names (the remainder rotates in round 7).  Every entry
-# outside the window stays locally oracle-checked each session
-# (tests/test_oracle.py), and the flagship pipeline stays driver-checked
-# through the ``entry`` smoke.
+# implementation changed this round go first, then the headline (bench)
+# queries, then the cohort whose driver witness is OLDEST.  Round 6
+# created 37 new/changed entries, which fills the window after 13
+# headline slots — three long-stable headline queries and the whole
+# r2 cohort rotate to round 7.  Every entry outside the window stays
+# locally oracle-checked each session (tests/test_oracle.py), and the
+# flagship pipeline stays driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
     # --- new in round 6 (plans created this round — first driver witness) ---
     "graph_copurchase_pagerank",

@@ -500,7 +500,7 @@ ORDER BY core_degree DESC, part LIMIT 20"""
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core decomposition of the co-purchase graph by parallel peeling:
     each round drops every node whose degree WITHIN the surviving
-    subgraph is < k, until the {k}-core remains — the standard dense-
+    subgraph is < k, until the k-core (k = KCORE_K = 80) remains — the standard dense-
     nucleus extractor (fraud rings, always-bundled assortments, community
     seeds). Output is the top-20 core members by within-core degree
     after a fixed round budget, which makes the result bit-deterministic
