@@ -41,6 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     "variant_json_shred",
     "graph_copurchase_lift",
     "ts_attribution_last_touch",
+    "graph_triangle_census_indexed",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -87,10 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     "ts_asof_join",
     "ts_range_join",
     "ts_sessionize",
-    "ts_tumbling_hourly",
-    # --- no r2-cohort slots left this round: round 6 created 32
-    #     new/changed entries + 16 headline, filling the 50-slot window.
-    #     The r2 cohort (oldest driver evidence) rotates in round 7. ---
+    # ts_tumbling_hourly rotates out with q3/q6/q9 (same rationale).
+    # No r2-cohort slots left this round: 38 new/changed entries +
+    # 12 headline fill the 50-slot window; the r2 cohort (oldest driver
+    # evidence) and the four rotated headline names return in round 7.
 )
 
 

@@ -24,6 +24,7 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist a table hash-clustered on ``bucket_cols``.
 
@@ -31,11 +32,14 @@ def write_bucketed(
     downstream sort-merge joins to skip their sort phase too. n_buckets
     must MATCH across tables that will be co-joined (the co-location
     contract) — size it so one bucket ≈ one task's comfortable input
-    (128-512 MB at target scale).
+    (128-512 MB at target scale). ``path`` makes the table external at
+    that location instead of the session warehouse dir.
     """
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

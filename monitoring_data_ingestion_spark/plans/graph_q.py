@@ -107,15 +107,11 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
-    """Triangle list (a, b, c) via the degree-ordered orientation.
+def _orient(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Direct every edge from its (degree, id)-smaller endpoint.
 
-    Every edge is directed from its (degree, id)-smaller endpoint, wedges
-    are generated only between a node's out-neighbors in (degree, id)
-    order, and a wedge closes iff the oriented (b, c) edge exists — each
-    triangle emitted exactly once. Out-degree under this orientation is
-    O(sqrt(m)), so the wedge join generates O(m^{3/2}) candidates
-    worst-case instead of sum(deg^2).
+    Out-degree under this orientation is O(sqrt(m)) — the bound the
+    wedge join below depends on.
     """
     dedge = (
         edges.join(
@@ -130,11 +126,15 @@ def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
     lower = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
-    oriented = dedge.select(
+    return dedge.select(
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
-    ).localCheckpoint()
+    )
+
+
+def _wedge_close(oriented: DataFrame) -> DataFrame:
+    """Wedge-generate + close over an oriented edge set → triangles."""
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedge_order = (F.col("o1.deg_dst") < F.col("o2.deg_dst")) | (
@@ -152,6 +152,19 @@ def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     return wedges.join(closing, ["b", "c"])
+
+
+def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle list (a, b, c) via the degree-ordered orientation.
+
+    Every edge is directed from its (degree, id)-smaller endpoint, wedges
+    are generated only between a node's out-neighbors in (degree, id)
+    order, and a wedge closes iff the oriented (b, c) edge exists — each
+    triangle emitted exactly once. Out-degree under this orientation is
+    O(sqrt(m)), so the wedge join generates O(m^{3/2}) candidates
+    worst-case instead of sum(deg^2).
+    """
+    return _wedge_close(_orient(edges, deg).localCheckpoint())
 
 
 _TRI_SQL = """
@@ -276,10 +289,8 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_triangle_census",
-    tags=("graph", "join", "agg"),
-    oracle="WITH "
+_CENSUS_ORACLE = (
+    "WITH "
     + _EDGES_SQL.strip()
     + ","
     + _TRI_SQL.strip()
@@ -294,7 +305,37 @@ pernode AS (
 SELECT p.node AS part, d.deg AS degree, p.triangles,
        ROUND(2.0 * p.triangles / (d.deg * (d.deg - 1)), 6) AS clustering
 FROM pernode p JOIN deg d ON p.node = d.node
-ORDER BY p.triangles DESC, part LIMIT 20""",
+ORDER BY p.triangles DESC, part LIMIT 20"""
+)
+
+
+def _census_from_tri(tri: DataFrame, deg: DataFrame) -> DataFrame:
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        pernode.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("deg").alias("degree"),
+            "triangles",
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "part")
+        .limit(20)
+    )
+
+
+@query(
+    "graph_triangle_census",
+    tags=("graph", "join", "agg"),
+    oracle=_CENSUS_ORACLE,
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
@@ -318,26 +359,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     deg = _degrees(edges)
     tri = _oriented_triangles(edges, deg)
-    pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    return (
-        pernode.join(deg, "node")
-        .select(
-            F.col("node").alias("part"),
-            F.col("deg").alias("degree"),
-            "triangles",
-            F.round(
-                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
-            ).alias("clustering"),
-        )
-        .orderBy(F.desc("triangles"), "part")
-        .limit(20)
-    )
+    return _census_from_tri(tri, deg)
 
 
 @query(
@@ -634,3 +656,73 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+GRAPH_INDEX_BUCKETS = 32
+
+
+@query(
+    "graph_triangle_census_indexed",
+    tags=("graph", "join", "agg", "index"),
+    oracle=_CENSUS_ORACLE,
+)
+def graph_triangle_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triangle census served from a PERSISTED graph index: the
+    oriented edge list is written ONCE as a bucketed table hash-clustered
+    on the wedge apex (``src``, operators/bucketing.py), so the wedge
+    self-join — the O(m^{3/2}) heart of the computation — runs with ZERO
+    exchanges on either side: both scans of the same bucketed table are
+    already co-located on the join key. Only the closing join (a
+    different key pair) still shuffles. Value-identical to the in-plan
+    ``graph_triangle_census`` under the same oracle — the index changes
+    WHAT MOVES, never the answer — mirroring the build/serve split of
+    the persisted IVF index (``knn_ivf_partitioned``).
+
+    100 TB posture: edge orientation is paid once per graph version; the
+    bucketed layout then amortizes across every triangle/wedge-shaped
+    query (census, edge support, clustering coefficients). Build
+    discipline mirrors ``knn_ivf_partitioned``: one index per Spark
+    session and fixture (keyed by applicationId), external path under
+    tmp with atexit cleanup, so repeated runs serve from the built index.
+    """
+    import atexit
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from ..operators.bucketing import write_bucketed
+
+    suffix = re.sub(
+        r"[^0-9a-zA-Z_]",
+        "_",
+        f"{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    tbl = f"mdi_graph_oriented_{suffix}"
+    deg_tbl = f"mdi_graph_deg_{suffix}"
+    if not spark.catalog.tableExists(tbl):
+        base = os.path.join(tempfile.gettempdir(), tbl)
+        shutil.rmtree(base, ignore_errors=True)
+        edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+        deg = _degrees(edges)
+        oriented = _orient(edges, deg)
+        write_bucketed(
+            oriented,
+            tbl,
+            ["src"],
+            GRAPH_INDEX_BUCKETS,
+            sort_cols=["src"],
+            path=os.path.join(base, "oriented"),
+        )
+        deg.write.format("parquet").mode("overwrite").option(
+            "path", os.path.join(base, "deg")
+        ).saveAsTable(deg_tbl)
+
+        def _cleanup() -> None:
+            shutil.rmtree(base, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    oriented = spark.table(tbl)
+    deg = spark.table(deg_tbl)
+    tri = _wedge_close(oriented)
+    return _census_from_tri(tri, deg)

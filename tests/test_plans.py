@@ -1045,3 +1045,38 @@ def test_attribution_is_single_window_no_self_join(spark):
     plan = _plan(df)
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_indexed_census_wedge_join_is_exchange_free(spark):
+    """graph_triangle_census_indexed: the persisted oriented table is
+    bucketed on the wedge apex, so the wedge SELF-join must run with
+    zero exchanges once auto-broadcast is off (the 100 TB case — an
+    oriented edge list is never broadcastable). The served answer must
+    equal the in-plan census."""
+    from monitoring_data_ingestion_spark.plans import graph_q as G
+
+    served = q("graph_triangle_census_indexed")(spark, SF_SMOKE)
+    got = [tuple(r) for r in served.collect()]
+    expect = [tuple(r) for r in q("graph_triangle_census")(spark, SF_SMOKE).collect()]
+    assert got == expect
+
+    tbls = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("mdi_graph_oriented")
+    ]
+    assert tbls, "index table missing after serve"
+    oriented = spark.table(tbls[0])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o1 = oriented.alias("o1")
+        o2 = oriented.alias("o2")
+        j = o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        j.collect()
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
