@@ -1124,3 +1124,103 @@ def text_jsd_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SPAN_TOKENS = 8  # span-dedup granularity: 8-token pseudo-sentences
+
+
+@query(
+    "text_span_dedup",
+    tags=("text", "dedup", "llm"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), spans AS (
+  SELECT doc_id,
+         i AS span_idx,
+         array_to_string(t[i * {SPAN_TOKENS} + 1 : (i + 1) * {SPAN_TOKENS}], ' ')
+           AS span,
+         LEAST({SPAN_TOKENS}, len(t) - i * {SPAN_TOKENS}) AS span_toks
+  FROM toks, UNNEST(generate_series(0, CAST(CEIL(len(t) / {SPAN_TOKENS}.0) AS BIGINT) - 1)) AS g(i)
+  WHERE len(t) > 0
+), keeper AS (
+  SELECT span, MIN(doc_id * 1000000 + span_idx) AS keeper_pos
+  FROM spans GROUP BY span
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN s.doc_id * 1000000 + s.span_idx = k.keeper_pos
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN s.doc_id * 1000000 + s.span_idx = k.keeper_pos
+                     THEN s.span_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+       ROUND(SUM(CASE WHEN s.doc_id * 1000000 + s.span_idx = k.keeper_pos
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS kept_ratio
+FROM spans s JOIN keeper k ON s.span = k.span
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span-level dedup (the C4 / CCNet sub-document rule):
+    documents are cut into 8-token spans and every span retains only its
+    FIRST corpus occurrence (minimum of doc_id·10⁶ + span index — a total
+    order both engines share); later repeats are dropped even when the
+    surrounding documents differ. Emits per-doc span counts, survivors,
+    surviving token mass, and the kept ratio — the dedup audit a corpus
+    build reports before training.
+
+    Scale: span cutting is a per-row array expression (zero shuffle),
+    the keeper election is ONE hash aggregate on the span string
+    (map-side combined), and the verdict join is an equi-join on the
+    span key — the same inverted-index shape as the shingle dedup
+    family, never all-pairs. Memory is bounded by distinct spans, the
+    same vocabulary-sized footprint the n-gram family already carries.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_spans = F.ceil(F.size("t") / float(SPAN_TOKENS)).cast("bigint")
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice("t", i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+                    ).alias("span"),
+                    F.least(
+                        F.lit(SPAN_TOKENS), F.size("t") - i * SPAN_TOKENS
+                    ).alias("span_toks"),
+                ),
+            )
+        ).alias("span_idx", "s"),
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.col("s.span").alias("span"),
+        F.col("s.span_toks").alias("span_toks"),
+    )
+    pos = F.col("doc_id") * 1000000 + F.col("span_idx")
+    keeper = spans.groupBy("span").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("span_idx")).alias("keeper_pos")
+    )
+    kept = F.when(pos == F.col("keeper_pos"), 1).otherwise(0)
+    return (
+        spans.join(keeper, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(pos == F.col("keeper_pos"), F.col("span_toks")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum(kept) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("kept_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1080,3 +1080,14 @@ def test_indexed_census_wedge_join_is_exchange_free(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_span_dedup_is_inverted_index_shape(spark):
+    """text_span_dedup: span cutting map-side, keeper election one hash
+    aggregate, verdict an equi-join on the span key — never all-pairs."""
+    df = q("text_span_dedup")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side combined keeper election
