@@ -43,6 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_attribution_last_touch",
     "graph_triangle_census_indexed",
     "text_span_dedup",
+    "graph_substitution_recs",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
     "ts_cusum_changepoint",
@@ -86,13 +87,12 @@ _PRIORITY: tuple[str, ...] = (
     # r1-r5 with plans unchanged; 37 new/changed entries outrank them)
     "q5_region_revenue",
     "text_tfidf_top_terms",
-    "ts_range_join",
     "ts_sessionize",
-    # ts_asof_join / ts_tumbling_hourly rotate out with q3/q6/q9 (same
-    # rationale: witnessed green r1-r5, plans unchanged). No r2-cohort
-    # slots left this round: 39 new/changed entries + 11 headline fill
+    # q3 / q6 / q9 / ts_tumbling_hourly / ts_asof_join / ts_range_join
+    # rotate out (witnessed green r1-r5, plans unchanged). No r2-cohort
+    # slots left this round: 40 new/changed entries + 10 headline fill
     # the 50-slot window; the r2 cohort (oldest driver evidence) and the
-    # five rotated headline names return in round 7.
+    # six rotated headline names return in round 7.
 )
 
 

@@ -225,23 +225,9 @@ ORDER BY rank_scaled DESC, part LIMIT 20"""
     return "\n".join(parts)
 
 
-@query(
-    "graph_copurchase_pagerank",
-    tags=("graph", "join", "agg", "iterative"),
-    oracle=_pagerank_oracle(),
-)
-def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank (d=0.85, 5 iterations) over the part co-purchase
-    graph — "which parts sit at the center of the basket network".
-
-    Spark-first iterative dataflow: edges and degrees are computed once
-    and ``localCheckpoint``-ed; each iteration is ONE shuffle (inflow
-    grouped by destination) plus a broadcast of the 1-row node count.
-    Rank state is bigint micro-units (multiples of 1e-12) with integer
-    floor division at every step, so the fixpoint is bit-exact across
-    engines and partitionings — no float accumulation order anywhere.
-    The oracle unrolls the same five iterations as a DuckDB CTE chain.
-    """
+def _pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by exact-integer PageRank (the pagerank query's
+    result relation — also the hub source for graph_substitution_recs)."""
     edges = _copurchase_edges(spark, sf_dir)
     und = _und(edges).localCheckpoint()
     deg = (
@@ -287,6 +273,26 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "part")
         .limit(20)
     )
+
+
+@query(
+    "graph_copurchase_pagerank",
+    tags=("graph", "join", "agg", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 5 iterations) over the part co-purchase
+    graph — "which parts sit at the center of the basket network".
+
+    Spark-first iterative dataflow: edges and degrees are computed once
+    and ``localCheckpoint``-ed; each iteration is ONE shuffle (inflow
+    grouped by destination) plus a broadcast of the 1-row node count.
+    Rank state is bigint micro-units (multiples of 1e-12) with integer
+    floor division at every step, so the fixpoint is bit-exact across
+    engines and partitionings — no float accumulation order anywhere.
+    The oracle unrolls the same five iterations as a DuckDB CTE chain.
+    """
+    return _pagerank_top20(spark, sf_dir)
 
 
 _CENSUS_ORACLE = (
@@ -403,10 +409,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_edge_jaccard",
-    tags=("graph", "join", "agg", "similarity"),
-    oracle="WITH "
+# Full per-edge Jaccard score relation (no order/limit) — the query below
+# adds the top-20 tail; graph_substitution_recs nests this whole SELECT.
+_JACCARD_SCORES_SQL = (
+    "WITH "
     + _EDGES_SQL.strip()
     + ","
     + _TRI_SQL.strip()
@@ -426,25 +432,13 @@ SELECT e.u AS part_a, e.v AS part_b,
 FROM edges e
 LEFT JOIN sup s ON e.u = s.u AND e.v = s.v
 JOIN deg du ON e.u = du.node
-JOIN deg dv ON e.v = dv.node
-ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
+JOIN deg dv ON e.v = dv.node"""
 )
-def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structural (SCAN) similarity per co-purchase edge: for every edge
-    (u, v), Jaccard overlap of the two open neighborhoods —
-    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the item-item substitution score
-    collaborative filters rank against (two parts whose baskets overlap
-    heavily are interchangeable).
 
-    The common-neighbor count per edge is exactly the edge's triangle
-    support, so it is read off the oriented triangle list (each triangle
-    credits its three canonical edges) — total work stays O(m^{3/2})
-    with NO per-apex quadratic pair generation and no hub caps: an apex
-    of degree d contributes wedges only through its O(sqrt(m))-bounded
-    out-neighborhood, never C(d, 2) pairs. Denominators are full
-    degrees broadcast onto the edge list; edges in no triangle keep
-    support 0 via the left join.
-    """
+
+def _edge_jaccard_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every co-purchase edge scored: (part_a, part_b, support, deg_a,
+    deg_b, jaccard) — support read off the oriented triangle list."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     deg = _degrees(edges)
     tri = _oriented_triangles(edges, deg)
@@ -479,6 +473,33 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "graph_edge_jaccard",
+    tags=("graph", "join", "agg", "similarity"),
+    oracle=_JACCARD_SCORES_SQL
+    + "\nORDER BY jaccard DESC, part_a, part_b LIMIT 20",
+)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (SCAN) similarity per co-purchase edge: for every edge
+    (u, v), Jaccard overlap of the two open neighborhoods —
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the item-item substitution score
+    collaborative filters rank against (two parts whose baskets overlap
+    heavily are interchangeable).
+
+    The common-neighbor count per edge is exactly the edge's triangle
+    support, so it is read off the oriented triangle list (each triangle
+    credits its three canonical edges) — total work stays O(m^{3/2})
+    with NO per-apex quadratic pair generation and no hub caps: an apex
+    of degree d contributes wedges only through its O(sqrt(m))-bounded
+    out-neighborhood, never C(d, 2) pairs. Denominators are full
+    degrees broadcast onto the edge list; edges in no triangle keep
+    support 0 via the left join.
+    """
+    return (
+        _edge_jaccard_scores(spark, sf_dir)
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(20)
     )
@@ -726,3 +747,83 @@ def graph_triangle_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     deg = spark.table(deg_tbl)
     tri = _wedge_close(oriented)
     return _census_from_tri(tri, deg)
+
+
+N_HUBS = 5
+RECS_PER_HUB = 3
+
+
+def _substitution_oracle() -> str:
+    """Compose the hub (PageRank) and score (edge-Jaccard) oracles as
+    nested CTEs — one definition of each semantics, reused verbatim
+    (the knn_recall_eval / dedup_lsh_recall_eval nesting pattern)."""
+    return f"""
+WITH pr AS MATERIALIZED ({_pagerank_oracle()}),
+hubs AS (SELECT part AS hub, rank_scaled FROM pr
+         ORDER BY rank_scaled DESC, part LIMIT {N_HUBS}),
+js AS MATERIALIZED ({_JACCARD_SCORES_SQL}),
+cand AS (
+  SELECT part_a AS hub, part_b AS candidate, support, jaccard FROM js
+  UNION ALL
+  SELECT part_b, part_a, support, jaccard FROM js
+),
+ranked AS (
+  SELECT h.hub, h.rank_scaled, c.candidate, c.support, c.jaccard,
+         ROW_NUMBER() OVER (PARTITION BY h.hub
+                            ORDER BY c.jaccard DESC, c.candidate) AS rec_rank
+  FROM hubs h JOIN cand c ON h.hub = c.hub
+)
+SELECT hub, rank_scaled, candidate, support, jaccard,
+       CAST(rec_rank AS INTEGER) AS rec_rank
+FROM ranked WHERE rec_rank <= {RECS_PER_HUB}
+ORDER BY hub, rec_rank"""
+
+
+@query(
+    "graph_substitution_recs",
+    tags=("graph", "composition", "similarity"),
+    oracle=_substitution_oracle(),
+)
+def graph_substitution_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommendation capstone, composed end-to-end as ONE lazy
+    plan: find the graph's most central parts (exact-integer PageRank,
+    top 5) and rank each hub's best substitution candidates (per-edge
+    structural Jaccard, top 3 per hub) — "for the products everything
+    else is bought with, what can stand in for them". The composition
+    pattern of ``llm_corpus_prep``/``knn_recall_eval``: both stages are
+    the catalog's own relations, reused verbatim, and the oracle nests
+    both stages' oracles as MATERIALIZED CTEs.
+
+    Scale: the hub set is 5 rows and broadcasts onto the scored edge
+    list; candidate ranking is a per-hub window over only the hubs'
+    incident edges. Nothing beyond the two component computations moves.
+    """
+    hubs = (
+        _pagerank_top20(spark, sf_dir)
+        .limit(N_HUBS)
+        .select(F.col("part").alias("hub"), "rank_scaled")
+    )
+    scores = _edge_jaccard_scores(spark, sf_dir)
+    cand = scores.select(
+        F.col("part_a").alias("hub"),
+        F.col("part_b").alias("candidate"),
+        "support",
+        "jaccard",
+    ).unionByName(
+        scores.select(
+            F.col("part_b").alias("hub"),
+            F.col("part_a").alias("candidate"),
+            "support",
+            "jaccard",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hub").orderBy(F.desc("jaccard"), "candidate")
+    return (
+        cand.join(F.broadcast(hubs), "hub")
+        .withColumn("rec_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rec_rank") <= RECS_PER_HUB)
+        .select("hub", "rank_scaled", "candidate", "support", "jaccard", "rec_rank")
+        .orderBy("hub", "rec_rank")
+    )

@@ -1091,3 +1091,15 @@ def test_span_dedup_is_inverted_index_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan  # map-side combined keeper election
+
+
+def test_substitution_recs_hub_broadcast(spark):
+    """graph_substitution_recs: the 5-row hub set must broadcast onto
+    the scored edge relation; the per-hub ranking is a window over only
+    the hubs' incident edges — no cartesian anywhere."""
+    df = q("graph_substitution_recs")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
