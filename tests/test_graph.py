@@ -131,3 +131,34 @@ def test_kcore_peels_tail_keeps_clique(spark):
         )
     core = {r.node: r.deg for r in alive.filter(F.col("deg") >= 3).collect()}
     assert core == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_idiv_law_hypothesis(spark):
+    """Property: _idiv equals Python floor division for every nonnegative
+    bigint pair in the PageRank envelope (a ≤ 85·RANK_SCALE, the largest
+    intermediate the update ever produces)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    import pyspark.sql.functions as SF
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.integers(min_value=0, max_value=85 * G.RANK_SCALE),
+        b=st.integers(min_value=1, max_value=10**6),
+    )
+    def collect(a, b):
+        cases.append((a, b))
+
+    collect()
+    df = spark.createDataFrame(cases, "a bigint, b bigint")
+    out = df.select("a", "b", G._idiv(SF.col("a"), SF.col("b")).alias("q")).collect()
+    for r in out:
+        assert r.q == r.a // r.b, (r.a, r.b)
