@@ -23,11 +23,12 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # window's job is REGRESSION DETECTION: new queries and any query whose
 # implementation changed this round go first, then the headline (bench)
 # queries, then the cohort whose driver witness is OLDEST.  Round 6
-# created 37 new/changed entries, which fills the window after 13
-# headline slots — three long-stable headline queries and the whole
-# r2 cohort rotate to round 7.  Every entry outside the window stays
-# locally oracle-checked each session (tests/test_oracle.py), and the
-# flagship pipeline stays driver-checked through the ``entry`` smoke.
+# created 41 new/changed entries; 40 fill the window alongside 10
+# headline slots, so six long-stable headline queries, the whole r2
+# cohort, and the one post-window r6 query (graph_incremental_edges)
+# rotate to round 7.  Every entry outside the window stays locally
+# oracle-checked each session (tests/test_oracle.py), and the flagship
+# pipeline stays driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
     # --- new in round 6 (plans created this round — first driver witness) ---
     "graph_copurchase_pagerank",
@@ -82,17 +83,14 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf",
     "llm_corpus_prep",
     "q1_pricing_summary",
-    # q3_shipping_priority / q6_forecast_revenue / q9_profit_by_nation
-    # yield their slots this round (each witnessed green in every round
-    # r1-r5 with plans unchanged; 37 new/changed entries outrank them)
     "q5_region_revenue",
     "text_tfidf_top_terms",
     "ts_sessionize",
-    # q3 / q6 / q9 / ts_tumbling_hourly / ts_asof_join / ts_range_join
-    # rotate out (witnessed green r1-r5, plans unchanged). No r2-cohort
-    # slots left this round: 40 new/changed entries + 10 headline fill
-    # the 50-slot window; the r2 cohort (oldest driver evidence) and the
-    # six rotated headline names return in round 7.
+    # Rotated out this round (each witnessed green r1-r5, plans
+    # unchanged): q3_shipping_priority, q6_forecast_revenue,
+    # q9_profit_by_nation, ts_tumbling_hourly, ts_asof_join,
+    # ts_range_join. They, the whole r2 cohort, and the post-window r6
+    # query graph_incremental_edges take round-7 priority.
 )
 
 

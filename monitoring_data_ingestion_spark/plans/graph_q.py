@@ -53,13 +53,10 @@ def _idiv(a: Column, b: Column | int) -> Column:
     return ((a - a % b) / b).cast("long")
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected co-purchase edges as (u < v) part-key pairs.
-
-    Equi-join on l_orderkey (bounded per-key fan-out), never a cross
-    join: the pair generation cost is sum over orders of C(lines, 2).
-    """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+def _edges_from_lineitem(li: DataFrame) -> DataFrame:
+    """Distinct (u < v) co-purchase pairs from a (l_orderkey, l_partkey)
+    relation — the intra-order pair join shared by the full build and
+    the incremental delta path."""
     a = li.alias("a")
     b = li.alias("b")
     return (
@@ -70,6 +67,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges as (u < v) part-key pairs.
+
+    Equi-join on l_orderkey (bounded per-key fan-out), never a cross
+    join: the pair generation cost is sum over orders of C(lines, 2).
+    """
+    return _edges_from_lineitem(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
 
 
@@ -826,4 +834,54 @@ def graph_substitution_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rec_rank") <= RECS_PER_HUB)
         .select("hub", "rank_scaled", "candidate", "support", "jaccard", "rec_rank")
         .orderBy("hub", "rec_rank")
+    )
+
+
+@query(
+    "graph_incremental_edges",
+    tags=("graph", "maintenance", "agg"),
+    oracle="WITH "
+    + _EDGES_SQL.strip()
+    + """
+SELECT CAST(FLOOR(LOG2(deg)) AS INTEGER) AS degree_log2_bucket,
+       COUNT(*) AS n_nodes,
+       MIN(deg) AS min_degree, MAX(deg) AS max_degree,
+       CAST(SUM(deg) AS BIGINT) AS total_degree
+FROM deg
+GROUP BY 1 ORDER BY 1""",
+)
+def graph_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the co-purchase edge list — the delta
+    path a PERSISTED graph index (graph_triangle_census_indexed) needs
+    to stay current without rebuilds. The maintenance theorem: edges are
+    INTRA-order, so a delta of whole new orders contributes exactly its
+    own pair join — union-dedup against the stored edge set, and the
+    maintained graph equals the full rebuild. This query RUNS the
+    incremental path (orders split into a 90% base batch and a 10%
+    delta batch on the order key, each pair-joined separately, then
+    union + dedup) while the ORACLE is the full recompute's degree
+    census — the same proven-equal framing as
+    ``agg_incremental_maintenance``.
+
+    100 TB posture: the delta pair join touches only new orders; folding
+    into the persisted bucketed edge table is an anti-join insert on the
+    bucket key (no rebuild, no full-graph shuffle). The equality checked
+    here is what licenses that maintenance schedule.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    base = _edges_from_lineitem(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = _edges_from_lineitem(li.filter(F.col("l_orderkey") % 10 == 0))
+    edges = base.unionByName(delta).distinct()
+    deg = _und(edges).groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("deg")).cast("int").alias("degree_log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_degree"),
+            F.max("deg").alias("max_degree"),
+            F.sum("deg").alias("total_degree"),
+        )
+        .orderBy("degree_log2_bucket")
     )

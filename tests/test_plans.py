@@ -1103,3 +1103,13 @@ def test_substitution_recs_hub_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "Window" in plan
+
+
+def test_incremental_edges_equals_full_rebuild(spark):
+    """graph_incremental_edges runs the base+delta maintenance path; its
+    result must be row-identical to the full-rebuild degree census
+    (graph_degree_distribution) — the maintenance theorem, checked
+    directly engine-side on top of the oracle equality."""
+    inc = [tuple(r) for r in q("graph_incremental_edges")(spark, SF_SMOKE).collect()]
+    full = [tuple(r) for r in q("graph_degree_distribution")(spark, SF_SMOKE).collect()]
+    assert inc == full
