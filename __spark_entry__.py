@@ -25,8 +25,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # queries, then the cohort whose driver witness is OLDEST.  Round 6
 # created 41 new/changed entries; 40 fill the window alongside 10
 # headline slots, so six long-stable headline queries, the whole r2
-# cohort, and the one post-window r6 query (graph_incremental_edges)
-# rotate to round 7.  Every entry outside the window stays locally
+# cohort, and the post-window r6 queries (graph_incremental_edges,
+# sample_neyman_allocation) rotate to round 7.  Every entry outside the window stays locally
 # oracle-checked each session (tests/test_oracle.py), and the flagship
 # pipeline stays driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
@@ -90,7 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     # unchanged): q3_shipping_priority, q6_forecast_revenue,
     # q9_profit_by_nation, ts_tumbling_hourly, ts_asof_join,
     # ts_range_join. They, the whole r2 cohort, and the post-window r6
-    # query graph_incremental_edges take round-7 priority.
+    # queries (graph_incremental_edges, sample_neyman_allocation) take
+    # round-7 priority.
 )
 
 

@@ -608,3 +608,93 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gumbel_score"), "doc_id")
         .limit(DSIR_KEEP)
     )
+
+
+NEYMAN_BUDGET = 120
+
+
+@query(
+    "sample_neyman_allocation",
+    tags=("llm", "sampling", "stats"),
+    oracle=f"""
+WITH strata AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+), sized AS (
+  SELECT source, n_docs,
+         sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_docs) / n_docs) AS sigma
+  FROM strata
+), tot AS (
+  SELECT SUM(n_docs * sigma) AS weight_total FROM sized
+), alloc AS (
+  SELECT s.source, s.n_docs,
+         ROUND(s.sigma, 6) AS sigma_chars,
+         CAST(FLOOR({NEYMAN_BUDGET} * s.n_docs * s.sigma / t.weight_total)
+              AS INTEGER) AS alloc
+  FROM sized s CROSS JOIN tot t
+), ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS srank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.srank, a.alloc, a.n_docs, a.sigma_chars
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.srank <= a.alloc
+ORDER BY r.doc_id
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling: the budget is allocated
+    across strata proportionally to N_h·σ_h (stratum size × within-
+    stratum spread of document length), the allocation that minimizes
+    the variance of the stratified estimate for a fixed budget — the
+    statistically-correct way to build an eval slice when strata differ
+    in both size and heterogeneity (vs the equal or size-proportional
+    splits of ``sample_k_per_group``/``sample_class_balanced``).
+
+    Determinism: σ comes from exact integer moment sums (Σx, Σx² stay
+    below 2^53, so the double variance is bit-identical across engines
+    and partitionings), allocation is a floor of the same doubles, and
+    within-stratum selection ranks on md5(doc_id) — reproducible builds
+    with no RNG. Scale: two map-side-combined aggregates (moments,
+    then totals), allocation broadcast back, one window per stratum.
+    """
+    d = table(spark, sf_dir, "documents")
+    strata = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_docs"))
+        / F.col("n_docs")
+    )
+    sized = strata.select("source", "n_docs", sigma.alias("sigma"))
+    tot = sized.agg(F.sum(F.col("n_docs") * F.col("sigma")).alias("weight_total"))
+    alloc = sized.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round("sigma", 6).alias("sigma_chars"),
+        F.floor(
+            NEYMAN_BUDGET * F.col("n_docs") * F.col("sigma") / F.col("weight_total")
+        )
+        .cast("int")
+        .alias("alloc"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("int").alias("srank")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("srank") <= F.col("alloc"))
+        .select("doc_id", "source", "srank", "alloc", "n_docs", "sigma_chars")
+        .orderBy("doc_id")
+    )
