@@ -1113,3 +1113,15 @@ def test_incremental_edges_equals_full_rebuild(spark):
     inc = [tuple(r) for r in q("graph_incremental_edges")(spark, SF_SMOKE).collect()]
     full = [tuple(r) for r in q("graph_degree_distribution")(spark, SF_SMOKE).collect()]
     assert inc == full
+
+
+def test_customer_similarity_capped_no_cartesian(spark):
+    """graph_customer_similarity: pair generation must be an equi-join
+    on the part key with the stop-part cap applied BEFORE pairing, and
+    basket sizes must ride broadcasts — never all-pairs."""
+    df = q("graph_customer_similarity")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
