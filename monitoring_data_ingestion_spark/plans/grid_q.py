@@ -740,3 +740,136 @@ def grid_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("case_index")
     )
+
+
+# Sun-angle constants for hillshade (azimuth 315°, altitude 45° — the
+# gdaldem defaults). The per-cell trig folds into these literals, so the
+# data path is pure arithmetic + one sqrt: shade =
+# 255·(sin_alt + (−p·cos_az_x + q·cos_az_y)·cos_alt) / sqrt(1+p²+q²).
+_HS_SIN_ALT = 0.7071067811865476  # sin 45°
+_HS_COS_ALT = 0.7071067811865476  # cos 45°
+_HS_AZ_X = -0.7071067811865476  # cos(315° math-convention light vector), x
+_HS_AZ_Y = 0.7071067811865476  # y component
+
+
+@query(
+    "grid_hillshade",
+    tags=("grid", "spatial", "window"),
+    oracle=f"""
+WITH corners AS (
+  SELECT lat, lon, {_BL_VALUE_SQL} AS value
+  FROM (SELECT unnest(generate_series({_BL_LAT0}, {_BL_LATN})) AS lat) la,
+       (SELECT unnest(generate_series({_BL_LON0}, {_BL_LONN})) AS lon) lo
+), row_pass AS (
+  SELECT lat, lon, value,
+         lag(value)  OVER wlon AS zw,
+         lead(value) OVER wlon AS ze
+  FROM corners WINDOW wlon AS (PARTITION BY lat ORDER BY lon)
+), grid9 AS (
+  SELECT lat, lon, value, zw, ze,
+         lag(value)  OVER wlat AS zs,  lead(value) OVER wlat AS zn,
+         lag(zw)     OVER wlat AS zsw, lead(zw)    OVER wlat AS znw,
+         lag(ze)     OVER wlat AS zse, lead(ze)    OVER wlat AS zne
+  FROM row_pass WINDOW wlat AS (PARTITION BY lon ORDER BY lat)
+), horn AS (
+  SELECT lat, lon,
+         ((zne + 2 * ze + zse) - (znw + 2 * zw + zsw)) / 8.0 AS p,
+         ((zsw + 2 * zs + zse) - (znw + 2 * zn + zne)) / 8.0 AS q
+  FROM grid9
+  WHERE zw IS NOT NULL AND ze IS NOT NULL AND zn IS NOT NULL
+    AND zs IS NOT NULL AND znw IS NOT NULL AND zne IS NOT NULL
+    AND zsw IS NOT NULL AND zse IS NOT NULL
+)
+SELECT lat, lon, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+       ROUND(GREATEST(0.0,
+         255.0 * ({_HS_SIN_ALT} + (-p * {_HS_AZ_X} + q * {_HS_AZ_Y}) * {_HS_COS_ALT})
+           / sqrt(1.0 + p * p + q * q)), 2) AS shade
+FROM horn ORDER BY lat, lon
+""",
+)
+def grid_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade (gdaldem hillshade, Horn's method, azimuth 315° /
+    altitude 45°) over the closed-form lattice — the shaded-relief
+    rendering primitive of the reference's GDAL output ecosystem
+    (/root/reference/src/file-conversions.js drives gdal tooling).
+    The 3×3 Horn kernel's p/q come from the contour-census neighbor
+    lift: one window pass per latitude row carries (W, E), the
+    orthogonal pass lifts all three columns to the 9-cell stencil —
+    two exchanges total, the inherent cost of touching both axes of a
+    row-stored raster (the same tiling note as grid_gradient_slope).
+
+    Determinism: the sun-angle trig is constant-folded into literals,
+    so the data path is exact lattice arithmetic (p/q are multiples of
+    1/64), one sqrt, and a final 2 dp round — engine-portable with no
+    transcendentals over data.
+    """
+    la = spark.range(_BL_LAT0, _BL_LATN + 1).select(F.col("id").alias("lat"))
+    lo = spark.range(_BL_LON0, _BL_LONN + 1).select(F.col("id").alias("lon"))
+    corners = la.crossJoin(lo).select(
+        "lat",
+        "lon",
+        (
+            (((F.col("lat") + 90) * 31 + (F.col("lon") + 180) * 7) % 17).cast("double")
+            + (F.col("lat") + 90) * F.lit(0.25)
+        ).alias("value"),
+    )
+    wlon = Window.partitionBy("lat").orderBy("lon")
+    wlat = Window.partitionBy("lon").orderBy("lat")
+    row_pass = corners.select(
+        "lat",
+        "lon",
+        "value",
+        F.lag("value").over(wlon).alias("zw"),
+        F.lead("value").over(wlon).alias("ze"),
+    )
+    grid9 = row_pass.select(
+        "lat",
+        "lon",
+        "value",
+        "zw",
+        "ze",
+        F.lag("value").over(wlat).alias("zs"),
+        F.lead("value").over(wlat).alias("zn"),
+        F.lag("zw").over(wlat).alias("zsw"),
+        F.lead("zw").over(wlat).alias("znw"),
+        F.lag("ze").over(wlat).alias("zse"),
+        F.lead("ze").over(wlat).alias("zne"),
+    )
+    full = (
+        F.col("zw").isNotNull()
+        & F.col("ze").isNotNull()
+        & F.col("zn").isNotNull()
+        & F.col("zs").isNotNull()
+        & F.col("znw").isNotNull()
+        & F.col("zne").isNotNull()
+        & F.col("zsw").isNotNull()
+        & F.col("zse").isNotNull()
+    )
+    horn = grid9.filter(full).select(
+        "lat",
+        "lon",
+        (
+            ((F.col("zne") + 2 * F.col("ze") + F.col("zse"))
+             - (F.col("znw") + 2 * F.col("zw") + F.col("zsw"))) / 8.0
+        ).alias("p"),
+        (
+            ((F.col("zsw") + 2 * F.col("zs") + F.col("zse"))
+             - (F.col("znw") + 2 * F.col("zn") + F.col("zne"))) / 8.0
+        ).alias("q"),
+    )
+    shade = F.greatest(
+        F.lit(0.0),
+        255.0
+        * (
+            _HS_SIN_ALT
+            + (-F.col("p") * _HS_AZ_X + F.col("q") * _HS_AZ_Y) * _HS_COS_ALT
+        )
+        / F.sqrt(1.0 + F.col("p") * F.col("p") + F.col("q") * F.col("q")),
+    )
+    return horn.select(
+        "lat",
+        "lon",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round(shade, 2).alias("shade"),
+    ).orderBy("lat", "lon")

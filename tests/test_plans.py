@@ -1125,3 +1125,14 @@ def test_customer_similarity_capped_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_hillshade_is_two_window_stencil(spark):
+    """grid_hillshade: the 9-cell Horn stencil must come from exactly
+    the two orthogonal window passes (row carry, column lift) — no self
+    join of the lattice."""
+    df = q("grid_hillshade")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Window") >= 2
+    assert "SortMergeJoin" not in plan
