@@ -1003,3 +1003,138 @@ def graph_customer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_lb"), "cust_a", "cust_b")
         .limit(CF_TOPK)
     )
+
+
+def _imuldiv(a: Column, mult: int, den: Column) -> Column:
+    """Exact floor((a * mult) / den) for products beyond _idiv's 2^53
+    double envelope: the product is formed as decimal(23,0) (exact up to
+    10^23), the remainder subtracted, and the exactly-divisible decimal
+    division yields the integer quotient losslessly. Mirrors DuckDB's
+    bigint ``//`` (which computes in int128)."""
+    prod = a.cast("decimal(12,0)") * F.lit(mult).cast("decimal(11,0)")
+    d = den.cast("decimal(12,0)")
+    return ((prod - prod % d) / d).cast("long")
+
+
+HITS_ITERS = 4
+# HITS state scale: after the normalized init (h0 = SCALE // n_custs, so
+# sum(h0) <= SCALE) every half-step aggregate is <= SCALE and the rescale
+# product a * SCALE <= SCALE^2 = 1e18 < 2^63 - bigint-safe at ANY corpus
+# size, which is why HITS does not reuse the 1e12 PageRank scale.
+HITS_SCALE = 10**9
+
+
+def _hits_oracle() -> str:
+    """Unrolled integer-exact HITS on the customer->part bipartite graph.
+
+    Normalization per half-step rescales scores to sum to HITS_SCALE via
+    integer floor division - every quantity stays an exact bigint, so the
+    fixpoint is bit-identical across engines. MATERIALIZED per level
+    (each raw score table is referenced twice: by its rescale and by its
+    total).
+    """
+    s = HITS_SCALE
+    parts = [
+        """WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+custs AS (SELECT c FROM cp GROUP BY c),
+parts_t AS (SELECT p, COUNT(*) AS n_buyers FROM cp GROUP BY p),""",
+        f"h0 AS (SELECT c, {s} // (SELECT COUNT(*) FROM custs) AS h FROM custs)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""",
+araw{i} AS MATERIALIZED (
+  SELECT cp.p, SUM(h.h) AS a FROM cp JOIN h{i - 1} h ON cp.c = h.c GROUP BY cp.p
+),
+a{i} AS MATERIALIZED (
+  SELECT p, (a * {s}) // (SELECT SUM(a) FROM araw{i}) AS a FROM araw{i}
+),
+hraw{i} AS MATERIALIZED (
+  SELECT cp.c, SUM(a.a) AS h FROM cp JOIN a{i} a ON cp.p = a.p GROUP BY cp.c
+),
+h{i} AS MATERIALIZED (
+  SELECT c, (h * {s}) // (SELECT SUM(h) FROM hraw{i}) AS h FROM hraw{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.p AS part, pt.n_buyers,
+       CAST(a.a AS BIGINT) AS authority_scaled,
+       CAST(a.a AS DOUBLE) / {s} AS authority
+FROM a{HITS_ITERS} a JOIN parts_t pt ON a.p = pt.p
+ORDER BY authority_scaled DESC, part LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "graph_hits_authorities",
+    tags=("graph", "iterative", "agg"),
+    oracle=_hits_oracle(),
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities, 4 iterations) on the
+    customer->part bipartite graph: a part's authority is the summed hub
+    score of its buyers, a customer's hub score the summed authority of
+    their basket - the mutually-reinforcing centrality that separates
+    'bought by important buyers' from raw popularity (PageRank ranks the
+    co-purchase projection; HITS ranks the bipartite structure itself).
+    Emits the top-20 authority parts.
+
+    Exactness: scores start at HITS_SCALE // n_customers and every
+    half-step renormalizes to sum to HITS_SCALE by exact integer floor
+    division — the rescale product (bounded by HITS_SCALE² = 10^18 at
+    any corpus size) exceeds ``_idiv``'s 2^53 double envelope, so it
+    runs through ``_imuldiv``'s decimal path instead — and both
+    engines reach the identical fixpoint - no float
+    accumulation anywhere. Each half-step is one equi-join of the
+    incidence list against the current score vector plus one hash
+    aggregate and a 1-row broadcast total; lineage is truncated per
+    round with ``localCheckpoint``.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_buyers = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n_buyers"))
+    custs = cp.select("c").distinct()
+    nc = custs.agg(F.count(F.lit(1)).alias("n"))
+    h = (
+        custs.crossJoin(F.broadcast(nc))
+        .select("c", _idiv(F.lit(HITS_SCALE), F.col("n")).alias("h"))
+        .localCheckpoint()
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        araw = cp.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
+        atot = araw.agg(F.sum("a").alias("t"))
+        a = (
+            araw.crossJoin(F.broadcast(atot))
+            .select("p", _imuldiv(F.col("a"), HITS_SCALE, F.col("t")).alias("a"))
+            .localCheckpoint()
+        )
+        hraw = cp.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
+        htot = hraw.agg(F.sum("h").alias("t"))
+        h = (
+            hraw.crossJoin(F.broadcast(htot))
+            .select("c", _imuldiv(F.col("h"), HITS_SCALE, F.col("t")).alias("h"))
+            .localCheckpoint()
+        )
+    return (
+        a.join(n_buyers, "p")
+        .select(
+            F.col("p").alias("part"),
+            "n_buyers",
+            F.col("a").cast("bigint").alias("authority_scaled"),
+            (F.col("a").cast("double") / HITS_SCALE).alias("authority"),
+        )
+        .orderBy(F.desc("authority_scaled"), "part")
+        .limit(20)
+    )

@@ -162,3 +162,24 @@ def test_idiv_law_hypothesis(spark):
     out = df.select("a", "b", G._idiv(SF.col("a"), SF.col("b")).alias("q")).collect()
     for r in out:
         assert r.q == r.a // r.b, (r.a, r.b)
+
+
+def test_imuldiv_matches_python_exact(spark):
+    """_imuldiv must equal Python's exact (a*mult)//den on the HITS
+    envelope, where the product exceeds _idiv's 2^53 double limit."""
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (999999937, 999999999),
+        (10**9, 10**9),
+        (1, 10**9),
+        (10**9 - 1, 3),
+        (7, 13),
+        (123456789, 987654321),
+    ]
+    df = spark.createDataFrame(rows, "a bigint, t bigint")
+    out = df.select(
+        "a", "t", G._imuldiv(SF.col("a"), G.HITS_SCALE, SF.col("t")).alias("q")
+    ).collect()
+    for r in out:
+        assert r.q == r.a * G.HITS_SCALE // r.t, (r.a, r.t)
