@@ -26,8 +26,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # created 41 new/changed entries; 40 fill the window alongside 10
 # headline slots, so six long-stable headline queries, the whole r2
 # cohort, and the post-window r6 queries (graph_incremental_edges,
-# sample_neyman_allocation, graph_customer_similarity, grid_hillshade,
-# graph_hits_authorities) rotate to round 7.  Every entry outside the window stays locally oracle-checked
+# sample_neyman_allocation, graph_customer_similarity, grid_hillshade, graph_hits_authorities,
+# sketch_count_min_tokens, sketch_bloom_membership) rotate to round 7.  Every entry outside the window stays locally oracle-checked
 # each session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
@@ -92,8 +92,9 @@ _PRIORITY: tuple[str, ...] = (
     # q9_profit_by_nation, ts_tumbling_hourly, ts_asof_join,
     # ts_range_join. They, the whole r2 cohort, and the post-window r6
     # queries (graph_incremental_edges, sample_neyman_allocation,
-    # graph_customer_similarity, grid_hillshade, graph_hits_authorities)
-    # take round-7 priority.
+    # graph_customer_similarity, grid_hillshade, graph_hits_authorities,
+    # sketch_count_min_tokens, sketch_bloom_membership) take round-7
+    # priority.
 )
 
 

@@ -1224,3 +1224,219 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+@query(
+    "sketch_count_min_tokens",
+    tags=("sketch", "text", "agg"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+), truth AS (
+  SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok
+), hashed AS (
+  SELECT t.tok, t.true_count, d.i AS row_i,
+         CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR) || '|' || t.tok), 1, 3))
+              AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM truth t, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS d(i)
+), cells AS (
+  SELECT row_i, bucket, CAST(SUM(true_count) AS BIGINT) AS cell
+  FROM hashed GROUP BY row_i, bucket
+), est AS (
+  SELECT h.tok, h.true_count, MIN(c.cell) AS cms_estimate
+  FROM hashed h JOIN cells c ON h.row_i = c.row_i AND h.bucket = c.bucket
+  GROUP BY h.tok, h.true_count
+)
+SELECT tok, CAST(true_count AS BIGINT) AS true_count,
+       cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overcount,
+       cms_estimate >= true_count AS never_undercounts
+FROM est
+ORDER BY true_count DESC, tok LIMIT {CMS_TOPK}""",
+)
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, built and queried as
+    dataflow: a 4×1024 grid of counters (depth × width), each token
+    hashed into one bucket per row via md5-derived hashes — the same
+    portable-hash family as the minhash/winnowing ops, so BOTH engines
+    build the bit-identical sketch. The estimate for a token is the MIN
+    of its 4 cells; the query reports the 20 heaviest tokens' true
+    counts against their CMS estimates with the sketch's one-sided
+    error surfaced (``never_undercounts`` must be uniformly true — the
+    structural guarantee, here witnessed, not assumed).
+
+    Why a sketch at 100 TB: the 4096-cell grid is a CONSTANT-size
+    summary maintained by one map-side-combined aggregate over the
+    stream — frequency estimates for any token without a per-token
+    groupBy over the corpus. Building it exactly (and checking against
+    exact truth) is the verifier-grade form; production swaps the truth
+    join for pure sketch reads. Everything here is two hash aggregates
+    and an equi-join on (row, bucket) — no all-pairs, no UDFs.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    rows = spark.range(CMS_DEPTH).select(F.col("id").alias("row_i"))
+    hashed = truth.crossJoin(F.broadcast(rows)).select(
+        "tok",
+        "true_count",
+        "row_i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("row_i").cast("string"), F.lit("|"), F.col("tok"))),
+                    1,
+                    3,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cells = hashed.groupBy("row_i", "bucket").agg(
+        F.sum("true_count").cast("bigint").alias("cell")
+    )
+    est = (
+        hashed.join(cells, ["row_i", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "tok",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overcount"),
+            (F.col("cms_estimate") >= F.col("true_count")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.desc("true_count"), "tok")
+        .limit(CMS_TOPK)
+    )
+
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 6
+
+
+@query(
+    "sketch_bloom_membership",
+    tags=("sketch", "text", "agg"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+), build AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id % 2 = 0
+), probe AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id % 2 = 1
+  EXCEPT SELECT tok FROM build
+), bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|' || b.tok), 1, 4))
+              AS BIGINT) % {BLOOM_BITS} AS pos
+  FROM build b, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS h(i)
+), probe_pos AS (
+  SELECT p.tok,
+         CAST(('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|' || p.tok), 1, 4))
+              AS BIGINT) % {BLOOM_BITS} AS pos
+  FROM probe p, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS h(i)
+), verdict AS (
+  SELECT pp.tok,
+         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM probe_pos pp LEFT JOIN bits b ON pp.pos = b.pos
+  GROUP BY pp.tok
+)
+SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN hits = {BLOOM_HASHES} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive,
+       ROUND(SUM(CASE WHEN hits = {BLOOM_HASHES} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS measured_fpr,
+       ROUND(POW((SELECT COUNT(*) FROM bits) / {BLOOM_BITS}.0,
+                 {BLOOM_HASHES}), 6) AS fill_rate_fpr
+FROM verdict""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built and audited as dataflow: the vocabulary of
+    even-numbered documents is inserted into an 8192-bit / 6-hash filter
+    (md5-derived positions — both engines set the IDENTICAL bits), then
+    probed with tokens that appear ONLY in odd documents, a provably
+    disjoint set, so every positive is a false positive. Reports the
+    filter's fill, the measured false-positive rate, and the fill-rate
+    prediction (bits_set/m)^k side by side — the sketch's contract
+    (no false negatives by construction; bounded, predictable false
+    positives) witnessed rather than assumed.
+
+    100 TB posture: the filter is a CONSTANT 1 KB summary maintained by
+    a distinct aggregate over hashed positions; membership probes are an
+    equi-join against those positions. This is the same shape Spark's
+    runtime bloom-filter join injection uses (plan-pinned elsewhere in
+    tests/test_plans.py) — built here explicitly so the semantics are
+    oracle-checkable.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    build = toks.filter(F.col("doc_id") % 2 == 0).select("tok").distinct()
+    probe = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .select("tok")
+        .distinct()
+        .exceptAll(build)
+        .distinct()
+    )
+    hs = spark.range(BLOOM_HASHES).select(F.col("id").alias("i"))
+    pos = lambda tok_col: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), tok_col)), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_BITS
+    )
+    bits = (
+        build.crossJoin(F.broadcast(hs)).select(pos(F.col("tok")).alias("pos")).distinct()
+    )
+    probe_pos = probe.crossJoin(F.broadcast(hs)).select(
+        "tok", pos(F.col("tok")).alias("pos")
+    )
+    verdict = (
+        probe_pos.join(
+            bits.withColumn("hit", F.lit(1)), "pos", "left"
+        )
+        .groupBy("tok")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    fp = F.sum(F.when(F.col("hits") == BLOOM_HASHES, 1).otherwise(0))
+    return (
+        verdict.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+            fp.cast("bigint").alias("n_false_positive"),
+            F.round(fp / F.count(F.lit(1)).cast("double"), 6).alias("measured_fpr"),
+        )
+        .crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.col("n_build").cast("bigint").alias("n_build"),
+            F.col("bits_set").cast("bigint").alias("bits_set"),
+            "n_probe",
+            "n_false_positive",
+            "measured_fpr",
+            F.round(
+                F.pow(F.col("bits_set") / float(BLOOM_BITS), float(BLOOM_HASHES)), 6
+            ).alias("fill_rate_fpr"),
+        )
+    )

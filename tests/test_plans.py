@@ -1136,3 +1136,13 @@ def test_hillshade_is_two_window_stencil(spark):
     plan = _plan(df)
     assert plan.count("Window") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_sketches_are_aggregate_shaped(spark):
+    """Both sketches: constant-size summaries via hash aggregates and
+    equi-joins — no cartesian beyond the tiny broadcast hash-row grid."""
+    for name in ("sketch_count_min_tokens", "sketch_bloom_membership"):
+        df = q(name)(spark, SF_SMOKE)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
