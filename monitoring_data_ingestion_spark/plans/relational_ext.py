@@ -1323,3 +1323,98 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PSI_BINS = 10
+PSI_BIN_WIDTH = 50.0  # fixed-width bins over the value range [0, 500)
+
+
+@query(
+    "dq_psi_drift",
+    tags=("dq", "drift", "agg"),
+    oracle=f"""
+WITH halves AS (
+  SELECT CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+              (SELECT (epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+                       + epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 2 FROM events)
+              THEN 0 ELSE 1 END AS half,
+         LEAST(CAST(FLOOR(value / {PSI_BIN_WIDTH}) AS INTEGER), {PSI_BINS - 1})
+           AS bin
+  FROM events
+), counts AS (
+  SELECT bin,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM halves GROUP BY bin
+), tots AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+), rates AS (
+  SELECT c.bin,
+         CAST(c.n_ref AS BIGINT) AS n_ref, CAST(c.n_cur AS BIGINT) AS n_cur,
+         (c.n_ref + 0.5) / (t.t_ref + 0.5 * {PSI_BINS}) AS p_ref,
+         (c.n_cur + 0.5) / (t.t_cur + 0.5 * {PSI_BINS}) AS p_cur
+  FROM counts c CROSS JOIN tots t
+)
+SELECT bin, n_ref, n_cur,
+       ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contribution,
+       ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6) AS psi_total
+FROM rates ORDER BY bin""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's time range — THE model-monitoring drift score
+    (credit/risk convention: <0.1 stable, 0.1-0.25 shifting, >0.25
+    drifted): PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) over fixed value
+    bins, reported per bin (which bins drove the drift) with the total
+    alongside. Complements the distribution-free KS test
+    (``dq_ks_two_sample``) and the vocabulary JSD
+    (``text_jsd_domain_drift``) with the binned, contribution-
+    attributable form ops teams actually alert on.
+
+    Determinism: the time split is the exact integer-microsecond
+    midpoint (min_us + max_us floor-halved — never interval or double
+    arithmetic, which the two engines round differently), bins are
+    fixed-width (no quantile estimation), counts are exact integers, rates use Laplace-style +0.5 smoothing so no bin
+    can zero out the log, and every double is derived from the same
+    integer counts on both engines before the 6 dp round. One scan, one
+    hash aggregate, a 1-row broadcast total, and a single window over
+    PSI_BINS rows.
+    """
+    e = table(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            - (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) % 2
+        ).alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    halves = e.crossJoin(F.broadcast(mid)).select(
+        F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("half"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tots = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * PSI_BINS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * PSI_BINS)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    rates = counts.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        contrib.alias("contrib"),
+    )
+    w = Window.partitionBy()
+    return rates.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("contrib", 6).alias("psi_contribution"),
+        F.round(F.sum("contrib").over(w), 6).alias("psi_total"),
+    ).orderBy("bin")
