@@ -27,8 +27,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # headline slots, so six long-stable headline queries, the whole r2
 # cohort, and the post-window r6 queries (graph_incremental_edges,
 # sample_neyman_allocation, graph_customer_similarity, grid_hillshade, graph_hits_authorities,
-# sketch_count_min_tokens, sketch_bloom_membership, dq_psi_drift)
-# rotate to round 7.  Every entry outside the window stays locally oracle-checked
+# sketch_count_min_tokens, sketch_bloom_membership, dq_psi_drift,
+# graph_assortativity) rotate to round 7.  Every entry outside the window stays locally oracle-checked
 # each session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
@@ -94,8 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     # ts_range_join. They, the whole r2 cohort, and the post-window r6
     # queries (graph_incremental_edges, sample_neyman_allocation,
     # graph_customer_similarity, grid_hillshade, graph_hits_authorities,
-    # sketch_count_min_tokens, sketch_bloom_membership, dq_psi_drift)
-    # take round-7 priority.
+    # sketch_count_min_tokens, sketch_bloom_membership, dq_psi_drift,
+    # graph_assortativity) take round-7 priority.
 )
 
 

@@ -1138,3 +1138,73 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority_scaled"), "part")
         .limit(20)
     )
+
+
+@query(
+    "graph_assortativity",
+    tags=("graph", "agg", "stats"),
+    oracle="WITH "
+    + _EDGES_SQL.strip()
+    + """,
+endp AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM und
+  JOIN deg du ON und.src = du.node
+  JOIN deg dv ON und.dst = dv.node
+),
+moments AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM endp
+)
+SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       ROUND(CAST(sx AS DOUBLE) / m, 6) AS mean_endpoint_degree,
+       ROUND((CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+             / (CAST(sxx AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)),
+             6) AS assortativity
+FROM moments""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every directed edge — one number summarizing
+    whether hubs attach to hubs (r > 0, social-network mixing) or to
+    leaves (r < 0, technological/hub-and-spoke mixing). The sign decides
+    real engineering: disassortative graphs concentrate triangle and
+    join work on hub-leaf pairs, which is where the orientation and
+    salting defenses earn their keep.
+
+    By the symmetry of the directed edge list, Σx = Σy and Σx² = Σy², so
+    one x-moment set suffices. All moments are exact integer sums
+    (bounded far below 2^53 by deg ≤ n), divided once into doubles and
+    rounded — engine- and partitioning-identical. One equi-join of the
+    edge list against the broadcast degree table, one aggregate.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    und = _und(edges)
+    endp = und.join(
+        F.broadcast(deg).withColumnRenamed("node", "src").withColumnRenamed("deg", "x"),
+        "src",
+    ).join(
+        F.broadcast(deg).withColumnRenamed("node", "dst").withColumnRenamed("deg", "y"),
+        "dst",
+    )
+    m = F.count(F.lit(1))
+    sx = F.sum("x").cast("bigint")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("bigint")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("bigint")
+    moments = endp.agg(
+        m.alias("m"), sx.alias("sx"), sxx.alias("sxx"), sxy.alias("sxy")
+    )
+    mean = F.col("sx").cast("double") / F.col("m")
+    return moments.select(
+        F.col("m").cast("bigint").alias("n_directed_edges"),
+        F.round(mean, 6).alias("mean_endpoint_degree"),
+        F.round(
+            (F.col("sxy").cast("double") / F.col("m") - mean * mean)
+            / (F.col("sxx").cast("double") / F.col("m") - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )
