@@ -1390,8 +1390,8 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = e.crossJoin(F.broadcast(mid)).select(
         F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("half"),
         F.least(
-            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int"),
-            F.lit(PSI_BINS - 1),
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("bigint"),
+            F.lit(PSI_BINS - 1).cast("bigint"),
         ).alias("bin"),
     )
     counts = halves.groupBy("bin").agg(
