@@ -31,7 +31,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.versioned import VersionedTable
+from ..sources.versioned import CommitConflict, VersionedTable
 
 _SUM_DEC = "decimal(30,6)"
 
@@ -101,16 +101,30 @@ class IncrementalAggregate:
     def apply(self, batch: DataFrame, batch_id: str) -> int | None:
         """Merge one batch's partials into the stored statistics and
         commit a new snapshot. Returns the committed version, or None
-        when ``batch_id`` was already applied (replay no-op)."""
-        applied = {s.batch_id for s in self.table.snapshots() if s.batch_id}
-        if batch_id in applied:
-            return None
-        incoming = partial_aggregates(batch, self.keys, self.value_col)
-        if self.table.latest_version() is None:
-            merged = incoming
-        else:
-            merged = merge_partials(self.current(), incoming, self.keys)
-        return self.table.commit(merged, batch_id=batch_id)
+        when ``batch_id`` was already applied (replay no-op).
+
+        Safe under concurrent writers: the merge is built against a
+        pinned base version and committed with ``expected_base`` — if
+        another loader advanced the table in between (its own batch, or
+        a concurrent replay of THIS batch), the commit refuses rather
+        than publishing a stale-base merge, and the loop re-reads the
+        new snapshot and rebuilds. Check-then-act alone (the pre-r7
+        shape) let two replayers of one batch_id both pass the check and
+        double-apply; now the manifest claim arbitrates."""
+        while True:
+            applied = {s.batch_id for s in self.table.snapshots() if s.batch_id}
+            if batch_id in applied:
+                return None
+            base = self.table.latest_version()
+            incoming = partial_aggregates(batch, self.keys, self.value_col)
+            if base is None:
+                merged = incoming
+            else:
+                merged = merge_partials(self.current(version=base), incoming, self.keys)
+            try:
+                return self.table.commit(merged, batch_id=batch_id, expected_base=base)
+            except CommitConflict:
+                continue
 
     def current(self, version: int | None = None) -> DataFrame:
         return self.table.read(self.spark, version=version)

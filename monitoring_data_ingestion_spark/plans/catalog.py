@@ -53,6 +53,33 @@ def release_caches() -> None:
             logger.debug("release_caches: unpersist failed", exc_info=True)
 
 
+def session_cache_suffix(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog-safe cache key for per-session built artifacts (IVF index,
+    bucketed oriented-edge table, incremental-agg snapshots).
+
+    Keys on the FULL normalized absolute fixture path, not its basename:
+    two distinct fixture dirs sharing a basename (``/a/sf1`` vs
+    ``/b/sf1``) must never serve each other's index. A fingerprint of the
+    source files (name, size, mtime) is folded in so a fixture
+    regenerated IN PLACE mid-session invalidates the cache too. Folded
+    through md5 because it feeds a metastore table name (identifier
+    charset + length limits)."""
+    import hashlib
+    import os
+
+    full = os.path.abspath(os.path.normpath(sf_dir))
+    h = hashlib.md5(full.encode())
+    try:
+        for entry in sorted(os.listdir(full)):
+            st = os.stat(os.path.join(full, entry))
+            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass  # nonexistent dir: path-only key; the read will fail loudly
+    digest = h.hexdigest()[:16]
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    return f"{app}_{digest}"
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

@@ -711,22 +711,19 @@ def graph_triangle_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     bucketed layout then amortizes across every triangle/wedge-shaped
     query (census, edge support, clustering coefficients). Build
     discipline mirrors ``knn_ivf_partitioned``: one index per Spark
-    session and fixture (keyed by applicationId), external path under
+    session and fixture (keyed by applicationId + full-path/mtime
+    fingerprint, ``catalog.session_cache_suffix``), external path under
     tmp with atexit cleanup, so repeated runs serve from the built index.
     """
     import atexit
     import os
-    import re
     import shutil
     import tempfile
 
     from ..operators.bucketing import write_bucketed
+    from .catalog import session_cache_suffix
 
-    suffix = re.sub(
-        r"[^0-9a-zA-Z_]",
-        "_",
-        f"{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    suffix = session_cache_suffix(spark, sf_dir)
     tbl = f"mdi_graph_oriented_{suffix}"
     deg_tbl = f"mdi_graph_deg_{suffix}"
     if not spark.catalog.tableExists(tbl):
@@ -903,9 +900,11 @@ WITH cp AS MATERIALIZED (
 pop AS (SELECT p, COUNT(*) AS n_buyers FROM cp GROUP BY p),
 budgeted AS (
   SELECT p FROM (
-    SELECT p, SUM(n_buyers * n_buyers) OVER (ORDER BY n_buyers, p) AS cum
+    SELECT p,
+           SUM(n_buyers * n_buyers) OVER (ORDER BY n_buyers, p) AS cum,
+           ROW_NUMBER() OVER (ORDER BY n_buyers, p) AS rk
     FROM pop
-  ) WHERE cum <= {CF_PAIR_BUDGET}
+  ) WHERE cum <= {CF_PAIR_BUDGET} OR rk = 1
 ),
 capped AS MATERIALIZED (
   SELECT cp.c, cp.p FROM cp JOIN budgeted ON cp.p = budgeted.p
@@ -941,7 +940,10 @@ def graph_customer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal — and falls outside the budget first. The reported score is
     therefore an explicit Jaccard LOWER BOUND (shared counts only
     budgeted parts; denominators are full basket sizes) — the same
-    documented-cap contract as the stop-shingle dedup family.
+    documented-cap contract as the stop-shingle dedup family. The
+    rarest part is ALWAYS kept (``cum <= budget OR rank = 1``) so a
+    budget smaller than every part's pair count degrades to best-effort
+    instead of silently emptying the candidate stage.
 
     Scale: the bipartite incidence is one distinct projection of
     orders⋈lineitem; the budget window runs over the part-popularity
@@ -960,12 +962,16 @@ def graph_customer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n_buyers"))
     from pyspark.sql import Window
 
+    w = Window.orderBy("n_buyers", "p")
     cum = F.sum(F.col("n_buyers") * F.col("n_buyers")).over(
-        Window.orderBy("n_buyers", "p").rowsBetween(Window.unboundedPreceding, 0)
+        w.rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Degenerate-budget guard: if even the RAREST part's pair count
+    # exceeds the budget, keep that one part rather than silently
+    # returning zero rows with no signal the candidate stage collapsed.
     budgeted = (
-        pop.select("p", cum.alias("cum"))
-        .filter(F.col("cum") <= CF_PAIR_BUDGET)
+        pop.select("p", cum.alias("cum"), F.row_number().over(w).alias("rk"))
+        .filter((F.col("cum") <= CF_PAIR_BUDGET) | (F.col("rk") == 1))
         .select("p")
     )
     capped = cp.join(F.broadcast(budgeted), "p")
@@ -1007,12 +1013,19 @@ def graph_customer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _imuldiv(a: Column, mult: int, den: Column) -> Column:
     """Exact floor((a * mult) / den) for products beyond _idiv's 2^53
-    double envelope: the product is formed as decimal(23,0) (exact up to
-    10^23), the remainder subtracted, and the exactly-divisible decimal
+    double envelope: the product is formed as decimal(31,0) (exact up to
+    10^31), the remainder subtracted, and the exactly-divisible decimal
     division yields the integer quotient losslessly. Mirrors DuckDB's
-    bigint ``//`` (which computes in int128)."""
-    prod = a.cast("decimal(12,0)") * F.lit(mult).cast("decimal(11,0)")
-    d = den.cast("decimal(12,0)")
+    bigint ``//`` (which computes in int128).
+
+    Width budget: ``a`` and ``den`` are bigint-valued (< 2^63 < 10^19),
+    so decimal(19,0) holds them exactly; with ``mult`` <= 10^11 the
+    product fits decimal(31,0) = 19+11+1 digits.  The earlier
+    decimal(12,0) casts silently overflowed to NULL (non-ANSI) once the
+    half-step total t = HITS_SCALE * avg_degree passed 10^12 — this
+    version is exact for any bigint input."""
+    prod = a.cast("decimal(19,0)") * F.lit(mult).cast("decimal(11,0)")
+    d = den.cast("decimal(19,0)")
     return ((prod - prod % d) / d).cast("long")
 
 

@@ -1057,7 +1057,8 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; per-load cost is O(batch + touched groups).
 
     Build discipline mirrors knn_ivf_partitioned: one store per Spark
-    session (applicationId-keyed temp tree), so repeated invocations
+    session and fixture (applicationId + full-path/mtime fingerprint,
+    ``catalog.session_cache_suffix``), so repeated invocations
     re-serve the committed state through the replay-idempotent path.
     """
     import atexit
@@ -1066,14 +1067,14 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.incremental import IncrementalAggregate
+    from .catalog import session_cache_suffix
 
     e = table(spark, sf_dir, "events").select(
         "event_type", "value", F.dayofmonth("ts").alias("d")
     )
     base = os.path.join(
         tempfile.gettempdir(),
-        f"mdi_incr_agg_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
+        f"mdi_incr_agg_{session_cache_suffix(spark, sf_dir)}",
     )
     agg = IncrementalAggregate(spark, base, keys=("event_type",), value_col="value")
     if agg.table.latest_version() is None:

@@ -1601,7 +1601,8 @@ def knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_index.py::test_serve_scan_is_partition_pruned.
 
     Build discipline mirrors era5_grid_anomaly_pipeline: one index tree
-    per Spark session (keyed by applicationId), so repeated runs serve
+    per Spark session and fixture (keyed by applicationId + full-path/
+    mtime fingerprint, ``catalog.session_cache_suffix``), so repeated runs serve
     from the already-built index — build once, serve many, the vector-
     store lifecycle.
     """
@@ -1611,12 +1612,12 @@ def knn_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.ann_index import build_ivf_index, serve_knn
+    from .catalog import session_cache_suffix
 
     v = _vectors(spark, sf_dir)
     base = os.path.join(
         tempfile.gettempdir(),
-        f"mdi_ivf_index_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
+        f"mdi_ivf_index_{session_cache_suffix(spark, sf_dir)}",
     )
     complete = os.path.join(base, "_built")
     if not os.path.exists(complete):

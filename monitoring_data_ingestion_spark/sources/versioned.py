@@ -35,6 +35,17 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# Sentinel: distinguishes "caller did not pass expected_base" from the
+# legitimate expected_base=None ("I expect to create version 1").
+_UNSET = object()
+
+
+class CommitConflict(Exception):
+    """Another writer committed between this writer's snapshot read and
+    its manifest claim. The caller must re-read the new latest snapshot,
+    rebuild its update against it, and retry — optimistic concurrency,
+    the Delta/Iceberg protocol."""
+
 
 @dataclass
 class Snapshot:
@@ -87,13 +98,32 @@ class VersionedTable:
         raise KeyError(f"version {version} not found in {self.root}")
 
     # -- commit / read -----------------------------------------------------
-    def commit(self, df: DataFrame, batch_id: str | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        batch_id: str | None = None,
+        expected_base: int | None | object = _UNSET,
+    ) -> int:
         """Publish ``df`` as the next snapshot; returns its version.
 
         Idempotent on ``batch_id``: a re-delivered batch returns the
         version that already committed it, writing nothing. Crash safety:
         data files without a manifest are invisible to readers and
-        reclaimable by vacuum; the rename is the commit point.
+        reclaimable by vacuum; the manifest claim is the commit point.
+
+        Concurrency: the claim is ``os.link`` (atomic fail-if-exists on
+        POSIX), so two writers racing for the same version number cannot
+        both win — a plain rename would silently clobber. On losing a
+        claim the writer re-checks ``batch_id`` (another replayer may
+        have just committed this very batch → return its version) and
+        otherwise retries under the next version number.
+
+        Pass ``expected_base`` (the ``latest_version()`` the caller built
+        ``df`` against) to demand serializability: if any OTHER writer
+        committed on top of that base first, :class:`CommitConflict` is
+        raised instead of silently publishing an update derived from a
+        stale snapshot (lost update). Callers catch it, re-read, rebuild,
+        retry — see ``operators/incremental.py``.
         """
         if batch_id is not None:
             for s in self.snapshots():
@@ -106,18 +136,42 @@ class VersionedTable:
             os.path.relpath(p, self.root)
             for p in glob.glob(os.path.join(data_dir, "*.parquet"))
         )
-        version = (self.latest_version() or 0) + 1
-        manifest = {
-            "version": version,
-            "files": files,
-            "batch_id": batch_id,
-            "committed_at": datetime.now(timezone.utc).isoformat(),
-        }
-        tmp = self._manifest_path(version) + f".tmp-{commit_id}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(version))
-        return version
+        while True:
+            latest = self.latest_version()
+            if expected_base is not _UNSET and latest != expected_base:
+                # Someone else advanced the table since the caller read
+                # its base snapshot. If it was a replay of THIS batch,
+                # stay idempotent; otherwise surface the conflict.
+                if batch_id is not None:
+                    for s in self.snapshots():
+                        if s.batch_id == batch_id:
+                            return s.version
+                raise CommitConflict(
+                    f"{self.root}: expected base {expected_base}, found {latest}"
+                )
+            version = (latest or 0) + 1
+            manifest = {
+                "version": version,
+                "files": files,
+                "batch_id": batch_id,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+            }
+            tmp = self._manifest_path(version) + f".tmp-{commit_id}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, self._manifest_path(version))
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                # Lost the claim race. A concurrent replayer of the same
+                # batch_id wins idempotently; anything else loops to take
+                # the next version (or conflict via expected_base).
+                os.unlink(tmp)
+                if batch_id is not None:
+                    for s in self.snapshots():
+                        if s.batch_id == batch_id:
+                            return s.version
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest manifest, or time travel to ``version``."""

@@ -183,3 +183,38 @@ def test_imuldiv_matches_python_exact(spark):
     ).collect()
     for r in out:
         assert r.q == r.a * G.HITS_SCALE // r.t, (r.a, r.t)
+
+
+def test_imuldiv_exact_past_1e12_denominator(spark):
+    """ADVICE r6: the old decimal(12,0) casts overflowed to NULL once the
+    HITS half-step total passed 10^12. Verify exact floor(a*mult/den) at
+    bigint-extreme operands against Python's arbitrary-precision ints."""
+    from monitoring_data_ingestion_spark.plans.graph_q import HITS_SCALE, _imuldiv
+
+    cases = [
+        (912_345_678, HITS_SCALE, 4_000_000_000_000),   # den past 1e12
+        (1, HITS_SCALE, 10**18),                        # tiny/huge
+        (10**18, HITS_SCALE, 10**18 + 7),               # both near 2^63
+        (999_999_999, HITS_SCALE, 10**9 + 1),
+    ]
+    df = spark.createDataFrame([(a, d) for a, _, d in cases], "a long, d long")
+    got = [
+        r["q"]
+        for r in df.select(_imuldiv(F.col("a"), HITS_SCALE, F.col("d")).alias("q"))
+        .collect()
+    ]
+    want = [(a * m) // d for a, m, d in cases]
+    assert got == want
+
+
+def test_customer_similarity_budget_collapse_keeps_rarest_part(spark, monkeypatch):
+    """ADVICE r6: a pair budget smaller than every part's n_buyers² must
+    degrade to the single rarest part, not silently return zero rows."""
+    from .conftest import SF_SMOKE
+
+    monkeypatch.setattr(G, "CF_PAIR_BUDGET", 0)
+    monkeypatch.setattr(G, "CF_MIN_SHARED", 1)
+    out = G.graph_customer_similarity(spark, SF_SMOKE)
+    # With budget 0 the rank-1 part is still candidate-generating: any
+    # part bought by >=2 customers yields at least one pair.
+    assert out.count() > 0

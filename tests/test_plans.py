@@ -1146,3 +1146,25 @@ def test_sketches_are_aggregate_shaped(spark):
         df.collect()
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name
+
+
+def test_session_cache_suffix_keys_on_full_path_and_mtime(spark, tmp_path):
+    """ADVICE r6: per-session index caches keyed on basename(sf_dir)
+    served stale results for distinct dirs sharing a basename or for a
+    fixture regenerated in place. The suffix must differ in both cases."""
+    import os
+    import time
+
+    from monitoring_data_ingestion_spark.plans.catalog import session_cache_suffix
+
+    a = tmp_path / "x" / "sf1"
+    b = tmp_path / "y" / "sf1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    (a / "t.parquet").write_bytes(b"aa")
+    (b / "t.parquet").write_bytes(b"aa")
+    sa = session_cache_suffix(spark, str(a))
+    assert sa != session_cache_suffix(spark, str(b))  # same basename, diff dir
+    assert sa == session_cache_suffix(spark, str(a))  # stable
+    os.utime(a / "t.parquet", ns=(1, 1))  # regenerate in place
+    assert sa != session_cache_suffix(spark, str(a))

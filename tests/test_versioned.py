@@ -98,3 +98,67 @@ def test_ingest_scheduler_commits_versioned(spark, vt, tmp_path):
     assert vt.latest_version() == len(months)  # replays created no versions
     total = sum(vt.read(spark, version=v + 1).count() for v in range(len(months)))
     assert total == events.filter(F.to_date("ts").isin(months)).count()
+
+
+def test_commit_conflict_on_stale_base(spark, vt):
+    """A writer that built its update against version N must NOT publish
+    if another writer advanced the table to N+1 — optimistic concurrency
+    rejects the lost update instead of silently committing it."""
+    from monitoring_data_ingestion_spark.sources.versioned import CommitConflict
+
+    n = table(spark, SF_SMOKE, "nation")
+    base = vt.latest_version()  # None — empty table
+    vt.commit(n.limit(1))  # concurrent writer sneaks in
+    with pytest.raises(CommitConflict):
+        vt.commit(n.limit(2), batch_id="mine", expected_base=base)
+    # Same stale base but the interloper committed THIS batch_id →
+    # idempotent return of its version, no conflict.
+    got = vt.commit(n.limit(2), batch_id="theirs")
+    assert vt.commit(n.limit(2), batch_id="theirs", expected_base=None) == got
+
+
+def test_manifest_claim_is_atomic_not_clobbering(spark, vt, tmp_path):
+    """Two writers racing for the same version number: the second link
+    fails (no silent manifest overwrite) and the writer re-claims the
+    next version — both commits survive as distinct snapshots."""
+    n = table(spark, SF_SMOKE, "nation")
+    vt.commit(n.limit(1))
+    # Simulate the race: plant a foreign manifest at the version this
+    # writer is about to claim (what a concurrent winner looks like on
+    # disk between this writer's read and its link).
+    import json
+
+    foreign = vt._manifest_path(2)
+    with open(foreign, "w") as f:
+        json.dump(
+            {"version": 2, "files": [], "batch_id": "other",
+             "committed_at": "2026-01-01T00:00:00+00:00"},
+            f,
+        )
+    v = vt.commit(n.limit(2), batch_id="mine")
+    assert v == 3  # lost the claim for 2, took 3 — nothing clobbered
+    assert [s.batch_id for s in vt.snapshots()] == [None, "other", "mine"]
+
+
+def test_concurrent_replay_of_same_batch_is_single_apply(spark, tmp_path):
+    """The ADVICE race: two loaders replaying one batch_id. The second
+    apply must observe the first's commit (via the expected_base check
+    inside commit) and no-op, never double-applying the batch."""
+    from monitoring_data_ingestion_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from monitoring_data_ingestion_spark.sources.readers import table as t
+
+    e = t(spark, SF_SMOKE, "events").select("event_type", "value").limit(100)
+    root = str(tmp_path / "agg")
+    a1 = IncrementalAggregate(spark, root, keys=("event_type",), value_col="value")
+    a2 = IncrementalAggregate(spark, root, keys=("event_type",), value_col="value")
+    a1.apply(e, batch_id="seed")  # shared history
+    # Both loaders now race to apply batch "b1". Interleave the slow
+    # path by hand: a2 commits between a1's check and a1's commit —
+    # modeled by a2 applying first, then a1 (whose pre-read snapshot
+    # list did not contain b1) calling apply.
+    assert a2.apply(e, batch_id="b1") == 2
+    assert a1.apply(e, batch_id="b1") is None  # replay no-op, not double
+    n_after = a1.finalize().agg(F.sum("n_rows")).collect()[0][0]
+    assert n_after == 200  # seed + exactly ONE application of b1
