@@ -1,0 +1,419 @@
+"""Pure-Python GRIB edition-1 codec: record scan/select + simple-packing
+decode — the reference's actual INPUT format, dependency-free.
+
+The reference never decodes GRIB itself: it shells out to ``wgrib`` to
+extract one record as a standalone GRIB file
+(/root/reference/src/file-conversions.js:114-127 — ``wgrib input -d
+record_number -grib -o out``) and to cdo/gdal for the arithmetic that
+follows. This module closes that external-format gap the same way
+``grid/geotiff.py`` (output side) and ``multimodal/ppm.py`` did: a real,
+tested, pure-Python implementation of the byte format, so an ERA5-style
+GRIB1 download is scannable by this engine with zero native binaries.
+
+Implemented surface (WMO FM 92-VIII Ext. GRIB edition 1):
+
+* Section 0 (Indicator): "GRIB" magic, 24-bit total length, edition 1.
+* Section 1 (PDS): parameter / level / reference-time fields, presence
+  flags for GDS/BMS, signed decimal scale factor D.
+* Section 2 (GDS): regular latitude/longitude grid (data representation
+  type 0): Ni×Nj shape, first/last lat/lon in millidegrees
+  (signed-magnitude 24-bit), increments, scanning mode 0 (+i, −j, row
+  major — north row first, the ERA5 layout).
+* Section 3 (BMS): optional bitmap, one bit per cell, MSB first.
+* Section 4 (BDS): simple packing — signed binary scale factor E, IBM
+  System/370 32-bit float reference value R, ``nbits``-wide big-endian
+  unsigned increments X; decoded value Y = (R + X·2^E) / 10^D.
+* Section 5: "7777" terminator.
+
+Multi-record files are plain concatenations of messages; ``wgrib -d n``
+parity is :func:`select_record` (1-based, returns the nth message's
+exact bytes as a standalone file) and record inventory is
+:func:`iter_messages`.
+
+Every arithmetic choice is stated so an oracle can restate results
+closed-form without touching bytes (the ``grid_grib1_decode`` catalog
+query does exactly that): packing computes X = round(Y·10^D − R_scaled)
+/ 2^E with R chosen as the scaled minimum, so integer-valued grids with
+E=0, D=0 and an integer-exact IBM reference decode BIT-EXACTLY.
+
+numpy vectorizes bit unpacking (values arrive in Arrow batches
+executor-side; a per-cell Python loop would dominate batch time).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = b"GRIB"
+TERMINATOR = b"7777"
+EDITION = 1
+_GRID_LATLON = 0
+
+
+# --- IBM System/370 32-bit hexadecimal float (the GRIB1 reference value) --
+
+
+def ibm32_encode(x: float) -> bytes:
+    """Pack ``x`` as IBM 32-bit float: sign(1) | exponent(7, base-16,
+    bias 64) | mantissa(24); value = (−1)^s · m/2^24 · 16^(e−64).
+    Round-to-nearest on the 24-bit mantissa; small integers are exact."""
+    if x == 0 or not math.isfinite(x):
+        return b"\x00\x00\x00\x00"
+    sign = 0x80 if x < 0 else 0
+    x = abs(x)
+    # Choose e so that m = x·16^(64−e)·2^24 lands in [2^20, 2^24).
+    e = int(math.floor(math.log(x, 16))) + 64 + 1
+    m = int(round(x * 16.0 ** (64 - e) * (1 << 24)))
+    while m >= 1 << 24:  # rounding overflowed a hex digit
+        m >>= 4
+        e += 1
+    while m and m < 1 << 20:
+        m <<= 4
+        e -= 1
+    if not 0 <= e <= 127:
+        raise ValueError(f"IBM float exponent out of range for {x!r}")
+    return bytes([sign | e, (m >> 16) & 0xFF, (m >> 8) & 0xFF, m & 0xFF])
+
+
+def ibm32_decode(b: bytes) -> float:
+    """Inverse of :func:`ibm32_encode`."""
+    if len(b) != 4:
+        raise ValueError("IBM float is 4 bytes")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    e = b[0] & 0x7F
+    m = (b[1] << 16) | (b[2] << 8) | b[3]
+    if m == 0:
+        return 0.0
+    return sign * (m / float(1 << 24)) * 16.0 ** (e - 64)
+
+
+# --- low-level helpers ----------------------------------------------------
+
+
+def _u24(n: int) -> bytes:
+    return bytes([(n >> 16) & 0xFF, (n >> 8) & 0xFF, n & 0xFF])
+
+
+def _r24(b: bytes, off: int) -> int:
+    return (b[off] << 16) | (b[off + 1] << 8) | b[off + 2]
+
+
+def _s16(n: int) -> bytes:
+    """GRIB1 signed-magnitude 16-bit (top bit = sign)."""
+    mag = abs(int(n))
+    if mag >= 1 << 15:
+        raise ValueError("signed-magnitude 16-bit overflow")
+    return bytes([((0x80 if n < 0 else 0) | (mag >> 8)), mag & 0xFF])
+
+
+def _rs16(b: bytes, off: int) -> int:
+    mag = ((b[off] & 0x7F) << 8) | b[off + 1]
+    return -mag if b[off] & 0x80 else mag
+
+
+def _s24(n: int) -> bytes:
+    """Signed-magnitude 24-bit (lat/lon in millidegrees)."""
+    mag = abs(int(n))
+    if mag >= 1 << 23:
+        raise ValueError("signed-magnitude 24-bit overflow")
+    return bytes([(0x80 if n < 0 else 0) | (mag >> 16), (mag >> 8) & 0xFF, mag & 0xFF])
+
+
+def _rs24(b: bytes, off: int) -> int:
+    mag = ((b[off] & 0x7F) << 16) | (b[off + 1] << 8) | b[off + 2]
+    return -mag if b[off] & 0x80 else mag
+
+
+def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
+    """Big-endian bit packing of unsigned ints into a contiguous stream."""
+    if nbits % 8 == 0:
+        width = nbits // 8
+        out = np.zeros((len(values), width), dtype=np.uint8)
+        v = values.astype(np.uint64)
+        for k in range(width):
+            out[:, width - 1 - k] = (v >> np.uint64(8 * k)) & np.uint64(0xFF)
+        return out.tobytes()
+    bits = np.zeros(len(values) * nbits, dtype=np.uint8)
+    v = values.astype(np.uint64)
+    for k in range(nbits):  # bit k of each value → stream position
+        bits[k::nbits] = (v >> np.uint64(nbits - 1 - k)) & np.uint64(1)
+    return np.packbits(bits).tobytes()
+
+
+def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
+    """Inverse of :func:`_pack_bits` → uint64 array of length n_values."""
+    if nbits == 0:
+        return np.zeros(n_values, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))[: n_values * nbits]
+    bits = bits.reshape(n_values, nbits).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(nbits - 1, -1, -1, dtype=np.uint64))
+    return bits @ weights
+
+
+# --- message model --------------------------------------------------------
+
+
+@dataclass
+class Grib1Record:
+    """One decoded GRIB1 message."""
+
+    parameter: int
+    level_type: int
+    level: int
+    reftime: tuple[int, int, int, int, int]  # (year, month, day, hour, minute)
+    ni: int
+    nj: int
+    lat_first_mdeg: int
+    lon_first_mdeg: int
+    dlat_mdeg: int
+    dlon_mdeg: int
+    decimal_scale: int
+    binary_scale: int
+    reference_value: float
+    nbits: int
+    values: np.ndarray  # (nj, ni) float64, NaN where the bitmap masks
+
+
+def encode_grib1_message(
+    values: np.ndarray,
+    *,
+    parameter: int = 11,  # TMP in WMO table 2
+    level_type: int = 1,  # surface
+    level: int = 0,
+    reftime: tuple[int, int, int, int, int] = (2020, 1, 1, 0, 0),
+    lat_first_mdeg: int = 90_000,
+    lon_first_mdeg: int = 0,
+    dlat_mdeg: int = 1_000,
+    dlon_mdeg: int = 1_000,
+    decimal_scale: int = 0,
+    binary_scale: int = 0,
+    nbits: int = 16,
+    bitmap: np.ndarray | None = None,
+    reference_value: float | None = None,
+) -> bytes:
+    """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
+
+    ``bitmap`` (bool, same shape; False = missing) adds a BMS and packs
+    only present cells. ``reference_value`` defaults to the scaled
+    minimum of the present cells (the standard choice); pass it
+    explicitly to pin R for bit-exact closed-form oracles."""
+    vals = np.asarray(values, dtype=np.float64)
+    if vals.ndim != 2:
+        raise ValueError("values must be (nj, ni)")
+    nj, ni = vals.shape
+    present = vals.reshape(-1)
+    if bitmap is not None:
+        bm = np.asarray(bitmap, dtype=bool)
+        if bm.shape != vals.shape:
+            raise ValueError("bitmap shape must match values")
+        present = present[bm.reshape(-1)]
+    scaled = present * (10.0 ** decimal_scale)
+    r = float(np.min(scaled)) if reference_value is None and len(scaled) else (
+        reference_value if reference_value is not None else 0.0
+    )
+    r = ibm32_decode(ibm32_encode(r))  # store exactly what the header holds
+    xf = np.round((scaled - r) / (2.0 ** binary_scale))
+    if len(xf) and xf.min() < 0:
+        raise ValueError("reference_value exceeds a data value (negative increment)")
+    x = xf.astype(np.uint64)
+    if len(x) and int(x.max()) >= 1 << nbits:
+        raise ValueError(
+            f"nbits={nbits} cannot hold max increment {int(x.max())}"
+        )
+    packed = _pack_bits(x, nbits)
+    unused = (8 - (len(present) * nbits) % 8) % 8
+
+    pds = (
+        bytes([1])  # parameter table version
+        + bytes([74])  # originating centre (UK Met Office — arbitrary)
+        + bytes([1])  # generating process
+        + bytes([255])  # grid id: defined by GDS
+        + bytes([0x80 if bitmap is None else 0xC0])  # GDS present [+ BMS]
+        + bytes([parameter, level_type])
+        + level.to_bytes(2, "big")
+        + bytes(
+            [
+                (reftime[0] - 1) % 100 + 1,
+                reftime[1],
+                reftime[2],
+                reftime[3],
+                reftime[4],
+            ]
+        )
+        + bytes([1])  # time unit: hour
+        + bytes([0, 0, 0])  # P1, P2, time range indicator
+        + bytes([0, 0, 0])  # number in average, missing
+        + bytes([(reftime[0] - 1) // 100 + 1])  # century
+        + bytes([0])  # subcentre
+        + _s16(decimal_scale)
+    )
+    pds = _u24(3 + len(pds)) + pds
+
+    gds = (
+        bytes([0, 255])  # NV=0, PV=255 (none)
+        + bytes([_GRID_LATLON])
+        + ni.to_bytes(2, "big")
+        + nj.to_bytes(2, "big")
+        + _s24(lat_first_mdeg)
+        + _s24(lon_first_mdeg)
+        + bytes([0x80])  # resolution/component flags: increments given
+        + _s24(lat_first_mdeg - (nj - 1) * dlat_mdeg)
+        + _s24(lon_first_mdeg + (ni - 1) * dlon_mdeg)
+        + dlon_mdeg.to_bytes(2, "big")
+        + dlat_mdeg.to_bytes(2, "big")
+        + bytes([0x00])  # scanning mode: +i, −j, row major
+        + bytes(4)  # reserved padding to the 32-byte layout
+    )
+    gds = _u24(3 + len(gds)) + gds
+
+    bms = b""
+    if bitmap is not None:
+        bm_bits = np.packbits(bm.reshape(-1).astype(np.uint8)).tobytes()
+        bm_unused = (8 - (bm.size % 8)) % 8
+        body = bytes([bm_unused]) + bytes([0, 0]) + bm_bits
+        pad = len(body) % 2  # BMS length must be even
+        bms = _u24(3 + len(body) + pad) + body + bytes(pad)
+
+    bds_body = (
+        bytes([(0 << 4) | unused])  # flags: simple packing, grid point
+        + _s16(binary_scale)
+        + ibm32_encode(r)
+        + bytes([nbits])
+        + packed
+    )
+    pad = (3 + len(bds_body)) % 2  # BDS length must be even
+    bds = _u24(3 + len(bds_body) + pad) + bds_body + bytes(pad)
+
+    total = 8 + len(pds) + len(gds) + len(bms) + len(bds) + 4
+    return (
+        MAGIC + _u24(total) + bytes([EDITION]) + pds + gds + bms + bds + TERMINATOR
+    )
+
+
+def iter_messages(buf: bytes):
+    """Scan a (possibly multi-record) GRIB1 file: yield each message's
+    exact bytes in order — the record inventory ``wgrib`` prints."""
+    buf = bytes(buf)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        idx = buf.find(MAGIC, pos)
+        if idx < 0:
+            return
+        if idx + 8 > n:
+            raise ValueError("truncated GRIB indicator section")
+        total = _r24(buf, idx + 4)
+        if buf[idx + 7] != EDITION:
+            raise ValueError(f"unsupported GRIB edition {buf[idx + 7]}")
+        end = idx + total
+        if end > n:
+            raise ValueError("truncated GRIB message")
+        if buf[end - 4 : end] != TERMINATOR:
+            raise ValueError("missing 7777 terminator")
+        yield buf[idx:end]
+        pos = end
+
+
+def select_record(buf: bytes, record_number: int) -> bytes:
+    """``wgrib input -d N -grib`` parity: the Nth (1-based) message as a
+    standalone GRIB1 file (/root/reference/src/file-conversions.js:120-127)."""
+    if record_number < 1:
+        raise ValueError("record_number is 1-based")
+    for i, msg in enumerate(iter_messages(buf), start=1):
+        if i == record_number:
+            return msg
+    raise IndexError(f"record {record_number} not in file")
+
+
+def decode_grib1(msg: bytes) -> Grib1Record:
+    """Decode one GRIB1 message (regular lat/lon grid, simple packing)."""
+    msg = bytes(msg)
+    if msg[:4] != MAGIC or msg[7] != EDITION:
+        raise ValueError("not a GRIB edition-1 message")
+    pos = 8
+
+    # -- PDS --
+    pds_len = _r24(msg, pos)
+    pds = msg[pos : pos + pds_len]
+    has_gds = bool(pds[7] & 0x80)
+    has_bms = bool(pds[7] & 0x40)
+    parameter = pds[8]
+    level_type = pds[9]
+    level = int.from_bytes(pds[10:12], "big")
+    century = pds[24]
+    year = (century - 1) * 100 + pds[12]
+    reftime = (year, pds[13], pds[14], pds[15], pds[16])
+    decimal_scale = _rs16(pds, 26)
+    pos += pds_len
+    if not has_gds:
+        raise ValueError("messages without a GDS are not supported")
+
+    # -- GDS --
+    gds_len = _r24(msg, pos)
+    gds = msg[pos : pos + gds_len]
+    if gds[5] != _GRID_LATLON:
+        raise ValueError(f"unsupported grid type {gds[5]}")
+    ni = int.from_bytes(gds[6:8], "big")
+    nj = int.from_bytes(gds[8:10], "big")
+    lat_first = _rs24(gds, 10)
+    lon_first = _rs24(gds, 13)
+    dlon = int.from_bytes(gds[23:25], "big")
+    dlat = int.from_bytes(gds[25:27], "big")
+    pos += gds_len
+
+    # -- BMS --
+    bitmap = None
+    if has_bms:
+        bms_len = _r24(msg, pos)
+        bms = msg[pos : pos + bms_len]
+        if int.from_bytes(bms[4:6], "big") != 0:
+            raise ValueError("predefined bitmaps are not supported")
+        bits = np.unpackbits(np.frombuffer(bms[6:], dtype=np.uint8))[: ni * nj]
+        bitmap = bits.astype(bool)
+        pos += bms_len
+
+    # -- BDS --
+    bds_len = _r24(msg, pos)
+    bds = msg[pos : pos + bds_len]
+    flags = bds[3] >> 4
+    if flags & 0b1100:
+        raise ValueError("only grid-point simple packing is supported")
+    unused = bds[3] & 0x0F
+    binary_scale = _rs16(bds, 4)
+    r = ibm32_decode(bds[6:10])
+    nbits = bds[10]
+    n_present = int(bitmap.sum()) if bitmap is not None else ni * nj
+    if nbits:
+        need = (n_present * nbits + unused) // 8
+        x = _unpack_bits(bds[11 : 11 + need], n_present, nbits)
+        present_vals = (r + x.astype(np.float64) * (2.0 ** binary_scale)) / (
+            10.0 ** decimal_scale
+        )
+    else:  # constant field
+        present_vals = np.full(n_present, r / (10.0 ** decimal_scale))
+
+    if bitmap is not None:
+        values = np.full(ni * nj, np.nan)
+        values[bitmap] = present_vals
+    else:
+        values = present_vals
+    return Grib1Record(
+        parameter=parameter,
+        level_type=level_type,
+        level=level,
+        reftime=reftime,
+        ni=ni,
+        nj=nj,
+        lat_first_mdeg=lat_first,
+        lon_first_mdeg=lon_first,
+        dlat_mdeg=dlat,
+        dlon_mdeg=dlon,
+        decimal_scale=decimal_scale,
+        binary_scale=binary_scale,
+        reference_value=r,
+        nbits=nbits,
+        values=values.reshape(nj, ni),
+    )

@@ -873,3 +873,168 @@ def grid_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q", 6).alias("q"),
         F.round(shade, 2).alias("shade"),
     ).orderBy("lat", "lon")
+
+
+# --- GRIB1 record decode ---------------------------------------------------
+# Synthetic GRIB1 value field: cell (i, j) of record r (0-based) in doc
+# d's file is 100 + 2*((d*7 + r*13 + i*3 + j*5) % 100) — integers with
+# step 2 so the simple-packing encode (R=100, E=1, D=0, 8-bit
+# increments) round-trips BIT-EXACTLY: X = (v-100)/2 <= 99 < 2^8.
+# Record 2 carries a bitmap masking cells where (i+j) % 7 == 0.
+
+
+@query(
+    "grid_grib1_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS ni,
+         4 + doc_id % 4 AS nj,
+         1 + (doc_id // 3) % 3 AS rn
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 300
+),
+cells AS (
+  SELECT doc_id, ni, nj, rn,
+         CASE WHEN rn = 2 AND (i.i + j.j) % 7 = 0 THEN NULL
+              ELSE 100 + 2 * ((doc_id * 7 + (rn - 1) * 13 + i.i * 3 + j.j * 5) % 100)
+         END AS v
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(ni AS INTEGER) AS ni,
+       CAST(nj AS INTEGER) AS nj,
+       CAST(90000 AS INTEGER) AS lat_first_mdeg,
+       CAST(COUNT(v) AS BIGINT) AS n_present,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_missing,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 6) AS mean_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val
+FROM cells
+GROUP BY doc_id, rn, ni, nj
+ORDER BY doc_id
+""",
+)
+def grid_grib1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRIB1 ingest path end-to-end — the reference's actual input
+    format, decoded by the engine's pure-Python codec instead of wgrib
+    (/root/reference/src/file-conversions.js:114-127: ``wgrib input -d
+    record_number -grib`` extracts one record; downstream cdo/gdal read
+    it). Per selected document a 3-record GRIB1 FILE is synthesized
+    executor-side (real Section 0/1/2/3/4 bytes: IBM-float reference
+    value, signed-magnitude scale factors, bit-packed increments, record
+    2 bitmap-masked), then the REAL ``select_record`` (wgrib -d parity,
+    1-based scan of concatenated messages) and ``decode_grib1`` run
+    through Arrow/mapInPandas plumbing, and per-record statistics
+    aggregate JVM-side from the decoded value array.
+
+    The oracle never sees a byte of GRIB: it restates the synthetic
+    field + bitmap closed-form, so the hash gate proves bytes → record
+    scan → section parse → bitmap mask → unpack → Y=(R+X·2^E)/10^D is
+    exactly the declared arithmetic (E=1 and a nonzero R are chosen so a
+    codec that ignored either would fail the hash, and the witnessed
+    ``lat_first_mdeg`` pins GDS header parsing).
+
+    Scale: GRIB payload bytes stay executor-side in Arrow batches — the
+    shuffle after decode carries only per-record statistic rows, never
+    rasters; files decode independently (embarrassingly parallel scan,
+    the 100 TB archive shape). Python is sanctioned here: this IS the
+    byte-codec boundary, like the PPM/PCM queries.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import decode_grib1, encode_grib1_message, select_record
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 8 + d % 5, 4 + d % 4
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                msgs = []
+                for r in range(3):
+                    v = 100 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 100)
+                    bitmap = ((i + j) % 7 != 0) | np.zeros_like(v, bool) if r == 1 else None
+                    msgs.append(
+                        encode_grib1_message(
+                            v.astype(np.float64),
+                            parameter=11 + r,
+                            reference_value=100.0,
+                            binary_scale=1,
+                            nbits=8,
+                            bitmap=bitmap,
+                        )
+                    )
+                rows.append({"doc_id": d, "grib": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                rn = 1 + (d // 3) % 3
+                rec = decode_grib1(select_record(bytes(buf), rn))
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "record_number": rn,
+                        "ni": rec.ni,
+                        "nj": rec.nj,
+                        "lat_first_mdeg": rec.lat_first_mdeg,
+                        "values": rec.values.reshape(-1).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, record_number int, ni int, nj int, "
+            "lat_first_mdeg int, values array<double>"
+        ),
+    )
+    # Arrow maps Python NaN in a list<double> to NULL — filter both
+    # spellings of "missing" (isnan(NULL) is false, so NULL needs its
+    # own clause).
+    present = F.filter("values", lambda x: x.isNotNull() & ~F.isnan(x))
+    return decoded.select(
+        "doc_id",
+        "record_number",
+        "ni",
+        "nj",
+        "lat_first_mdeg",
+        present.alias("pv"),
+        F.size("values").alias("n_cells"),
+    ).select(
+        "doc_id",
+        "record_number",
+        "ni",
+        "nj",
+        "lat_first_mdeg",
+        F.size("pv").cast("bigint").alias("n_present"),
+        (F.col("n_cells") - F.size("pv")).cast("bigint").alias("n_missing"),
+        F.round(
+            F.aggregate("pv", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint"))
+            .cast("double")
+            / F.size("pv"),
+            6,
+        ).alias("mean_val"),
+        F.array_min("pv").cast("bigint").alias("min_val"),
+        F.array_max("pv").cast("bigint").alias("max_val"),
+    ).orderBy("doc_id")

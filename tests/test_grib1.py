@@ -1,0 +1,165 @@
+"""GRIB1 codec (grid/grib1.py): encode→decode round-trips, IBM-float
+exactness, bitmap masking, multi-record scan/select (wgrib -d parity),
+and malformed-input rejection. Property tests pin the quantization error
+bound of simple packing: |decoded − original| ≤ 2^(E−1)/10^D."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from monitoring_data_ingestion_spark.grid.grib1 import (
+    decode_grib1,
+    encode_grib1_message,
+    ibm32_decode,
+    ibm32_encode,
+    iter_messages,
+    select_record,
+)
+
+
+def test_integer_grid_roundtrips_bit_exactly():
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 4000, size=(9, 13)).astype(np.float64)
+    rec = decode_grib1(encode_grib1_message(v, nbits=12))
+    assert np.array_equal(rec.values, v)
+
+
+def test_non_byte_aligned_nbits_roundtrips():
+    """nbits=11 leaves unused trailing bits in the BDS — the unused-bit
+    count must round-trip or the last cells decode garbage."""
+    rng = np.random.default_rng(3)
+    for cells in range(1, 20):  # sweep every unused-bit phase
+        v = rng.integers(0, 2000, size=(1, cells)).astype(np.float64)
+        rec = decode_grib1(encode_grib1_message(v, nbits=11))
+        assert np.array_equal(rec.values, v), cells
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nj=st.integers(2, 8),
+    ni=st.integers(2, 10),
+    d_scale=st.integers(-1, 2),
+    e_scale=st.integers(0, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_simple_packing_error_bound(nj, ni, d_scale, e_scale, seed):
+    """Decoded = original within half a quantization step: the X
+    increment rounds to nbits precision, so the worst-case error is
+    2^(E−1) / 10^D (plus IBM-float reference rounding, ≤ 2^-20·|R|)."""
+    rng = np.random.default_rng(seed)
+    v = rng.uniform(-5000, 5000, size=(nj, ni))
+    msg = encode_grib1_message(
+        v, decimal_scale=d_scale, binary_scale=e_scale, nbits=20
+    )
+    rec = decode_grib1(msg)
+    bound = (2.0 ** (e_scale - 1)) / (10.0 ** d_scale) + 2**-18 * np.abs(v).max()
+    assert np.abs(rec.values - v).max() <= bound
+    assert rec.binary_scale == e_scale and rec.decimal_scale == d_scale
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=1e-10, max_value=1e10))
+def test_ibm32_relative_error_within_mantissa(x):
+    for s in (x, -x):
+        y = ibm32_decode(ibm32_encode(s))
+        assert abs(y - s) <= abs(s) * 2**-20
+
+
+def test_ibm32_small_integers_exact():
+    for i in range(0, 5000, 13):
+        assert ibm32_decode(ibm32_encode(float(i))) == float(i)
+        assert ibm32_decode(ibm32_encode(float(-i))) == float(-i)
+
+
+def test_bitmap_masks_exactly_the_declared_cells():
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 250, size=(6, 9)).astype(np.float64)
+    bm = (np.add.outer(np.arange(6), np.arange(9)) % 4) != 0
+    rec = decode_grib1(encode_grib1_message(v, bitmap=bm, nbits=8))
+    assert np.isnan(rec.values[~bm]).all()
+    assert np.array_equal(rec.values[bm], v[bm])
+
+
+def test_constant_field_zero_bits():
+    rec = decode_grib1(
+        encode_grib1_message(np.full((4, 5), 17.0), nbits=0, reference_value=17.0)
+    )
+    assert np.array_equal(rec.values, np.full((4, 5), 17.0))
+    assert rec.nbits == 0
+
+
+def test_multi_record_scan_and_select_parity():
+    """select_record(buf, n) must return the nth message's EXACT bytes —
+    the wgrib -d n -grib contract the reference relies on
+    (/root/reference/src/file-conversions.js:120-127)."""
+    msgs = [
+        encode_grib1_message(
+            np.full((2, 3), float(10 * k)), parameter=k, reference_value=0.0
+        )
+        for k in range(1, 5)
+    ]
+    buf = b"".join(msgs)
+    assert [m for m in iter_messages(buf)] == msgs
+    for k in range(1, 5):
+        assert select_record(buf, k) == msgs[k - 1]
+        assert decode_grib1(select_record(buf, k)).parameter == k
+    with pytest.raises(IndexError):
+        select_record(buf, 5)
+    with pytest.raises(ValueError):
+        select_record(buf, 0)
+
+
+def test_header_metadata_roundtrip():
+    rec = decode_grib1(
+        encode_grib1_message(
+            np.zeros((3, 4)),
+            parameter=61,
+            level_type=105,
+            level=2,
+            reftime=(2000, 2, 29, 12, 30),
+            lat_first_mdeg=-35_500,
+            lon_first_mdeg=140_250,
+            dlat_mdeg=250,
+            dlon_mdeg=500,
+            reference_value=0.0,
+        )
+    )
+    assert (rec.parameter, rec.level_type, rec.level) == (61, 105, 2)
+    assert rec.reftime == (2000, 2, 29, 12, 30)  # century-boundary year
+    assert (rec.lat_first_mdeg, rec.lon_first_mdeg) == (-35_500, 140_250)
+    assert (rec.dlat_mdeg, rec.dlon_mdeg) == (250, 500)
+    assert (rec.ni, rec.nj) == (4, 3)
+
+
+def test_malformed_inputs_raise():
+    good = encode_grib1_message(np.ones((2, 2)), reference_value=0.0)
+    with pytest.raises(ValueError):
+        list(iter_messages(good[:-2]))  # truncated: no 7777 at end
+    bad_edition = good[:7] + bytes([2]) + good[8:]
+    with pytest.raises(ValueError):
+        list(iter_messages(bad_edition))
+    with pytest.raises(ValueError):
+        decode_grib1(b"NOPE" + good[4:])
+    with pytest.raises(ValueError):  # R above a data value → negative X
+        encode_grib1_message(np.ones((2, 2)), reference_value=100.0)
+    with pytest.raises(ValueError):  # increments overflow nbits
+        encode_grib1_message(
+            np.array([[0.0, 300.0]]), nbits=8, reference_value=0.0
+        )
+
+
+def test_messages_align_even_lengths():
+    """BDS/BMS lengths must be even per the spec — concatenated files
+    from this encoder stay parseable at every record boundary."""
+    rng = np.random.default_rng(9)
+    for cells in range(1, 9):
+        v = rng.integers(0, 100, size=(1, cells)).astype(np.float64)
+        bm = np.ones((1, cells), dtype=bool)
+        bm[0, 0] = cells % 2 == 0
+        msg = encode_grib1_message(v, bitmap=bm, nbits=8)
+        assert decode_grib1(msg).ni == cells
+        two = msg + msg
+        assert len(list(iter_messages(two))) == 2

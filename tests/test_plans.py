@@ -1168,3 +1168,16 @@ def test_session_cache_suffix_keys_on_full_path_and_mtime(spark, tmp_path):
     assert sa == session_cache_suffix(spark, str(a))  # stable
     os.utime(a / "t.parquet", ns=(1, 1))  # regenerate in place
     assert sa != session_cache_suffix(spark, str(a))
+
+
+def test_grib1_decode_python_only_at_codec_boundary(spark):
+    """grid_grib1_decode: exactly two Arrow stages (synthesize file,
+    select+decode record) — no row-at-a-time UDFs, and the aggregate
+    after decode is JVM-side array arithmetic."""
+    df = q("grid_grib1_decode")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan
+    assert final.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
