@@ -480,3 +480,111 @@ def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("window_start", "rk")
     )
+
+
+@query(
+    "stream_psi_drift",
+    tags=("streaming", "dq", "drift"),
+    oracle="""
+WITH h AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+         CAST(LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS BIGINT) AS bin
+  FROM events
+), mids AS (
+  SELECT (MIN(hr) + MAX(hr) - (MIN(hr) + MAX(hr)) % 2) // 2 AS mid FROM h
+), counts AS (
+  SELECT bin,
+         SUM(CASE WHEN hr <  mid THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN hr >= mid THEN 1 ELSE 0 END) AS n_cur
+  FROM h CROSS JOIN mids GROUP BY bin
+), tots AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+), rates AS (
+  SELECT c.bin,
+         CAST(c.n_ref AS BIGINT) AS n_ref, CAST(c.n_cur AS BIGINT) AS n_cur,
+         (c.n_ref + 0.5) / (t.t_ref + 0.5 * 10) AS p_ref,
+         (c.n_cur + 0.5) / (t.t_cur + 0.5 * 10) AS p_cur
+  FROM counts c CROSS JOIN tots t
+)
+SELECT bin, n_ref, n_cur,
+       ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contribution,
+       ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6) AS psi_total
+FROM rates ORDER BY bin""",
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift scoring through the streaming engine — the streaming
+    parity of ``dq_psi_drift``. The stream maintains MERGEABLE state
+    only: per (hour-window, value-bin) counts via the real tumbling-
+    window aggregation (state store, incremental micro-batches, complete-
+    mode drain). The PSI itself — reference/current split at the integer
+    midpoint of the observed hour range, Laplace-smoothed rates, per-bin
+    contributions — is read-time arithmetic over the drained |hours|×10
+    count table, exactly how a monitoring store serves a drift dashboard
+    (counts accumulate forever; the score is derived at query time).
+
+    Differs from the batch form only in split granularity (hour-aligned
+    midpoint instead of microsecond — counts pre-aggregate to hours in
+    the stream, so the split must land on an hour boundary; same exact
+    integer floor-halving discipline on both engines).
+
+    Scale: streaming state is one counter per (hour, bin) — mergeable,
+    watermark-evictable in append mode (see ohlc's mode note); the
+    drift derivation touches aggregated rows only, never events.
+    """
+    src = events_stream(spark, sf_dir)
+    binned = src.select(
+        "ts",
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+    )
+    agg = (
+        binned.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / 3_600_000_000)
+            .cast("long")
+            .alias("hr"),
+            "bin",
+            "n",
+        )
+    )
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    mids = out.agg(
+        (
+            (F.min("hr") + F.max("hr"))
+            - (F.min("hr") + F.max("hr")) % 2
+        ).alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    counts = (
+        out.crossJoin(F.broadcast(mids))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("hr") < F.col("mid"), F.col("n")).otherwise(0)).alias(
+                "n_ref"
+            ),
+            F.sum(F.when(F.col("hr") >= F.col("mid"), F.col("n")).otherwise(0)).alias(
+                "n_cur"
+            ),
+        )
+    )
+    tots = counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * 10)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * 10)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    rates = counts.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        contrib.alias("contrib"),
+    )
+    w = Window.partitionBy()
+    return rates.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("contrib", 6).alias("psi_contribution"),
+        F.round(F.sum("contrib").over(w), 6).alias("psi_total"),
+    ).orderBy("bin")
