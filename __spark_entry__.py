@@ -18,84 +18,90 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage is 190/190 across rounds 1-5
-# (every registry query green in some round, zero failures ever), so the
-# window's job is REGRESSION DETECTION: new queries and any query whose
-# implementation changed this round go first, then the headline (bench)
-# queries, then the cohort whose driver witness is OLDEST.  Round 6
-# created 41 new/changed entries; 40 fill the window alongside 10
-# headline slots, so six long-stable headline queries, the whole r2
-# cohort, and the post-window r6 queries (graph_incremental_edges,
-# sample_neyman_allocation, graph_customer_similarity, grid_hillshade, graph_hits_authorities,
-# sketch_count_min_tokens, sketch_bloom_membership, dq_psi_drift,
-# graph_assortativity) rotate to round 7.  Every entry outside the window stays locally oracle-checked
-# each session (tests/test_oracle.py), and the flagship pipeline stays
+# ``queries()``.  Cumulative driver coverage through round 6 is 228/237
+# green (zero failures ever), so the window's job is REGRESSION
+# DETECTION under a STANDING ROTATION SCHEDULE:
+#
+#   1. queries with NO driver witness yet (new this round, or created
+#      post-window last round) — always first;
+#   2. queries whose implementation CHANGED this round — re-witness;
+#   3. the cohort whose last driver witness is OLDEST, oldest first,
+#      filling the window to exactly 50; anything that doesn't fit is
+#      the explicit front of NEXT round's queue.
+#
+# Witness ages after round 6: r2 cohort (~48 relational names, oldest),
+# then r3 (streaming/grid/ts, ~30), r4 (ts/text, ~25), r5, r6.  Round 7
+# takes the 9 never-witnessed r6 stragglers + 2 new r7 queries + 3
+# r7-changed + 36 of the r2 cohort; the 12 r2 leftovers named at the
+# bottom lead round 8's window ahead of the r3 cohort, keeping every
+# cohort's evidence younger than ~4 rounds.  Every entry outside the
+# window stays locally oracle-checked each session
+# (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- new in round 6 (plans created this round — first driver witness) ---
-    "graph_copurchase_pagerank",
-    "graph_triangle_census",
-    "graph_degree_distribution",
-    "graph_edge_jaccard",
-    "graph_kcore",
-    "sample_dsir_importance",
-    "hierarchy_recursive_rollup",
-    "hierarchy_recursive_paths",
-    "variant_json_shred",
-    "graph_copurchase_lift",
-    "ts_attribution_last_touch",
+    # --- 1. never driver-witnessed (created post-window in round 6) ---
+    "dq_psi_drift",
+    "graph_assortativity",
+    "graph_customer_similarity",
+    "graph_hits_authorities",
+    "graph_incremental_edges",
+    "grid_hillshade",
+    "sample_neyman_allocation",
+    "sketch_bloom_membership",
+    "sketch_count_min_tokens",
+    # --- 1. new in round 7 (first driver witness) ---
+    "grid_grib1_decode",
+    "stream_psi_drift",
+    # --- 2. changed in round 7: session cache keys now fingerprint the
+    #     full fixture path (graph index / IVF index / incremental
+    #     store); graph_customer_similarity + graph_hits_authorities are
+    #     above already — re-witness the other three cached-index paths ---
     "graph_triangle_census_indexed",
-    "text_span_dedup",
-    "graph_substitution_recs",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
-    "ts_cusum_changepoint",
-    "ts_autocorrelation",
-    "dq_benford_leading_digit",
-    "text_jsd_domain_drift",
-    "dedup_lsh_recall_eval",
-    "dq_ks_two_sample",
-    "grid_contour_cells",
-    "text_winnowing_fingerprint",
-    "text_perplexity_buckets",
-    "dedup_cross_split_leakage",
-    "stream_topk_event_types",
-    "multimodal_video_scene_cut",
-    "grid_area_weighted_mean",
-    "dq_volume_anomaly",
-    "embedding_quantize_int8",
-    "text_ngram_novelty",
-    "text_quality_filter_funnel",
-    "knn_mutual_graph",
-    "sample_class_balanced",
-    "ts_seasonal_decompose",
-    "multimodal_image_phash_neardup",
-    "text_length_histogram",
-    # --- changed in round 6: dedup_semantic_prune now defaults to the
-    #     population-derived residual-sign blocking (scale-safe SemDeDup);
-    #     stream_gap_alerts' state machine sorts across Arrow chunks and
-    #     advances monotonically — both re-witnessed ---
-    "dedup_semantic_prune",
-    "stream_gap_alerts",
-    # --- headline queries (the bench set — hottest paths, keep fresh) ---
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "era5_monthly_anomaly",
-    "knn_cosine_bruteforce",
-    "knn_ivf",
-    "llm_corpus_prep",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "text_tfidf_top_terms",
-    "ts_sessionize",
-    # Rotated out this round (each witnessed green r1-r5, plans
-    # unchanged): q3_shipping_priority, q6_forecast_revenue,
-    # q9_profit_by_nation, ts_tumbling_hourly, ts_asof_join,
-    # ts_range_join. They, the whole r2 cohort, and the post-window r6
-    # queries (graph_incremental_edges, sample_neyman_allocation,
-    # graph_customer_similarity, grid_hillshade, graph_hits_authorities,
-    # sketch_count_min_tokens, sketch_bloom_membership, dq_psi_drift,
-    # graph_assortativity) take round-7 priority.
+    # --- 3. oldest cohort: round-2 relational core (36 of 48) ---
+    "agg_collect_sorted",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_minmax_running",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "agg_stddev",
+    "dedup_exact_keep_first",
+    "filter_bbox_pushdown",
+    "filter_rlike_limit",
+    "first_after_filter",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_positional_lookup",
+    "project_null_sentinel",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q21_late_suppliers",
+    "q22_idle_customers",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "scalar_conditional_hash",
+    "scalar_datetime",
+    # --- round-8 queue, in order: the 12 r2 leftovers (scalar_math,
+    #     scalar_strings, set_except, set_intersect, set_union_all,
+    #     set_union_distinct, sort_multi_key, topk_orders,
+    #     window_first_last, window_range_frame, window_rank,
+    #     window_running_sum — q1/q5 were re-witnessed r6 as headline),
+    #     then the r3 cohort (streaming/grid/ts families), then r4. ---
 )
 
 
