@@ -51,6 +51,9 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_count_min_tokens",
     # --- 1. new in round 7 (first driver witness) ---
     "grid_grib1_decode",
+    "grid_grib1_anomaly",
+    "grid_grib1_inventory",
+    "grid_grib2_match_decode",
     "stream_psi_drift",
     # --- 2. changed in round 7: session cache keys now fingerprint the
     #     full fixture path (graph index / IVF index / incremental
@@ -93,11 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "scalar_conditional_hash",
-    "scalar_datetime",
-    # --- round-8 queue, in order: the 12 r2 leftovers (scalar_math,
-    #     scalar_strings, set_except, set_intersect, set_union_all,
+    # --- round-8 queue, in order: the 15 r2 leftovers
+    #     (q9_profit_by_nation, scalar_conditional_hash, scalar_datetime,
+    #     scalar_math, scalar_strings, set_except, set_intersect, set_union_all,
     #     set_union_distinct, sort_multi_key, topk_orders,
     #     window_first_last, window_range_frame, window_rank,
     #     window_running_sum — q1/q5 were re-witnessed r6 as headline),

@@ -328,6 +328,52 @@ def select_record(buf: bytes, record_number: int) -> bytes:
     raise IndexError(f"record {record_number} not in file")
 
 
+def inspect_grib1(msg: bytes) -> dict:
+    """Header-only record inspection — ``wgrib``'s inventory line
+    without touching the packed data. Parses PDS + GDS (+ BMS/BDS
+    LENGTHS only); never unpacks a value bit, so inventorying a 100 TB
+    archive reads a few hundred bytes per record. Returns the metadata
+    the reference's inventory/record-select step keys on
+    (/root/reference/src/file-conversions.js:120-127 picks records by
+    number; real wgrib prints exactly these fields)."""
+    msg = bytes(msg)
+    if msg[:4] != MAGIC or msg[7] != EDITION:
+        raise ValueError("not a GRIB edition-1 message")
+    total_len = _r24(msg, 4)
+    pos = 8
+    pds_len = _r24(msg, pos)
+    pds = msg[pos : pos + pds_len]
+    has_gds = bool(pds[7] & 0x80)
+    has_bms = bool(pds[7] & 0x40)
+    century = pds[24]
+    out = {
+        "parameter": pds[8],
+        "level_type": pds[9],
+        "level": int.from_bytes(pds[10:12], "big"),
+        "year": (century - 1) * 100 + pds[12],
+        "month": pds[13],
+        "day": pds[14],
+        "hour": pds[15],
+        "minute": pds[16],
+        "decimal_scale": _rs16(pds, 26),
+        "has_bitmap": has_bms,
+        "total_bytes": total_len,
+    }
+    pos += pds_len
+    if has_gds:
+        gds = msg[pos : pos + _r24(msg, pos)]
+        out["grid_type"] = gds[5]
+        out["ni"] = int.from_bytes(gds[6:8], "big")
+        out["nj"] = int.from_bytes(gds[8:10], "big")
+        pos += _r24(msg, pos)
+    if has_bms:
+        pos += _r24(msg, pos)
+    bds = msg[pos : pos + 11]
+    out["binary_scale"] = _rs16(bds, 4)
+    out["nbits"] = bds[10]
+    return out
+
+
 def decode_grib1(msg: bytes) -> Grib1Record:
     """Decode one GRIB1 message (regular lat/lon grid, simple packing)."""
     msg = bytes(msg)

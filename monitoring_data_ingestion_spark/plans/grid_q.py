@@ -1038,3 +1038,392 @@ def grid_grib1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("pv").cast("bigint").alias("min_val"),
         F.array_max("pv").cast("bigint").alias("max_val"),
     ).orderBy("doc_id")
+
+
+# --- GRIB1 normals → anomaly, end-to-end from bytes ------------------------
+# 36 monthly records (3 years × 12 months) on a fixed 12×8 grid; cell
+# (i, j) of month m is 100 + 2*((m*17 + i*3 + j*5) % 50) — even steps so
+# the R=100/E=1 packing round-trips bit-exactly (see grid_grib1_decode).
+_GRIB_ANOM_MONTHS = 36
+_GRIB_ANOM_NI = 12
+_GRIB_ANOM_NJ = 8
+
+
+@query(
+    "grid_grib1_anomaly",
+    tags=("grid", "codec", "python", "join", "agg"),
+    oracle=f"""
+WITH cells AS (
+  SELECT m.m AS m, m.m % 12 AS mo, i.i AS i, j.j AS j,
+         100 + 2 * ((m.m * 17 + i.i * 3 + j.j * 5) % 50) AS v
+  FROM UNNEST(generate_series(0, {_GRIB_ANOM_MONTHS - 1})) AS m(m),
+       UNNEST(generate_series(0, {_GRIB_ANOM_NI - 1})) AS i(i),
+       UNNEST(generate_series(0, {_GRIB_ANOM_NJ - 1})) AS j(j)
+),
+normals AS (
+  SELECT mo, i, j, AVG(CAST(v AS DOUBLE)) AS normal
+  FROM cells GROUP BY mo, i, j
+),
+latest AS (
+  SELECT mo, i, j, v FROM cells WHERE m >= 24
+)
+SELECT CAST(l.mo + 1 AS INTEGER) AS month,
+       CAST(90000 - l.j * 1000 AS INTEGER) AS lat_mdeg,
+       CAST(l.i * 1000 AS INTEGER) AS lon_mdeg,
+       ROUND(l.v - n.normal, 6) AS anomaly
+FROM latest l JOIN normals n ON l.mo = n.mo AND l.i = n.i AND l.j = n.j
+ORDER BY month, lat_mdeg DESC, lon_mdeg
+""",
+)
+def grid_grib1_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE grib1_normal + grib1_anomaly export path
+    (/root/reference/src/file-conversions.js:16-47: record extract →
+    ``cdo timmean`` climatological normal → ``cdo sub`` anomaly) run
+    end-to-end FROM GRIB BYTES by the engine: 36 monthly single-record
+    GRIB1 files are synthesized executor-side (one file per month — the
+    archive layout), decoded through the real codec in mapInPandas, and
+    the normals (per calendar-month mean over 3 years) and anomaly
+    (latest year − normal) are JVM-side aggregation + equi-join over
+    the decoded cells — A1 and J1 fed by S5's binary scan.
+
+    Grid georeferencing is witnessed: output lat/lon come from the
+    decoded GDS (lat_first − j·dlat, lon_first + i·dlon), and the month
+    column from each record's decoded PDS reference time — a codec that
+    mangled either header would fail the hash even with correct values.
+
+    Scale: one file per month decodes independently (embarrassingly
+    parallel); the normals aggregate carries |months × cells| rows into
+    a per-(calendar-month, cell) mean and the anomaly is an equi-join on
+    (month, cell) — the exact plan era5_monthly_anomaly runs on parquet,
+    now fed by the binary scan. Fixture-independent lattice (like
+    grid_hillshade): the archive is synthesized, not read from sf_dir.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import decode_grib1, encode_grib1_message
+
+    months = spark.range(_GRIB_ANOM_MONTHS).select(F.col("id").alias("m"))
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        i = np.arange(_GRIB_ANOM_NI)[None, :]
+        j = np.arange(_GRIB_ANOM_NJ)[:, None]
+        for pdf in batches:
+            rows = []
+            for m in pdf["m"]:
+                m = int(m)
+                v = 100 + 2 * ((m * 17 + i * 3 + j * 5) % 50)
+                rows.append(
+                    {
+                        "m": m,
+                        "grib": encode_grib1_message(
+                            v.astype(np.float64),
+                            parameter=11,
+                            reftime=(2018 + m // 12, m % 12 + 1, 1, 0, 0),
+                            reference_value=100.0,
+                            binary_scale=1,
+                            nbits=8,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for m, buf in zip(pdf["m"], pdf["grib"]):
+                rec = decode_grib1(bytes(buf))
+                yy, mo = rec.reftime[0], rec.reftime[1]
+                for j in range(rec.nj):
+                    lat = rec.lat_first_mdeg - j * rec.dlat_mdeg
+                    for i in range(rec.ni):
+                        out.append(
+                            {
+                                "year": yy,
+                                "month": mo,
+                                "lat_mdeg": lat,
+                                "lon_mdeg": rec.lon_first_mdeg + i * rec.dlon_mdeg,
+                                "v": float(rec.values[j, i]),
+                            }
+                        )
+            yield pd.DataFrame(out)
+
+    files = months.mapInPandas(synth, schema="m bigint, grib binary")
+    cells = files.mapInPandas(
+        decode,
+        schema="year int, month int, lat_mdeg int, lon_mdeg int, v double",
+    )
+    normals = cells.groupBy("month", "lat_mdeg", "lon_mdeg").agg(
+        F.avg("v").alias("normal")
+    )
+    latest = cells.filter(F.col("year") == 2020).select(
+        "month", "lat_mdeg", "lon_mdeg", "v"
+    )
+    return (
+        latest.join(normals, ["month", "lat_mdeg", "lon_mdeg"])
+        .select(
+            "month",
+            "lat_mdeg",
+            "lon_mdeg",
+            F.round(F.col("v") - F.col("normal"), 6).alias("anomaly"),
+        )
+        .orderBy("month", F.desc("lat_mdeg"), "lon_mdeg")
+    )
+
+
+@query(
+    "grid_grib1_inventory",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS ni,
+         4 + doc_id % 4 AS nj
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 300
+),
+recs AS (
+  SELECT doc_id, ni, nj, r.r AS r
+  FROM g, UNNEST(generate_series(0, 2)) AS r(r)
+)
+SELECT doc_id,
+       CAST(r + 1 AS INTEGER) AS record_number,
+       CAST(11 + r AS INTEGER) AS parameter,
+       CAST(2020 AS INTEGER) AS year,
+       CAST(1 AS INTEGER) AS month,
+       CAST(ni AS INTEGER) AS ni,
+       CAST(nj AS INTEGER) AS nj,
+       CAST(8 AS INTEGER) AS nbits,
+       r = 1 AS has_bitmap
+FROM recs ORDER BY doc_id, record_number
+""",
+)
+def grid_grib1_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wgrib``'s record inventory as a query: list every record of
+    every archive file — number, parameter, reference time, grid shape,
+    packing width, bitmap flag — by parsing ONLY the fixed-size headers
+    (PDS/GDS + section lengths), never unpacking a value bit
+    (``grib1.inspect_grib1``). This is the projection-pushdown story for
+    binary formats: the reference picks records by inventory position
+    before extracting (/root/reference/src/file-conversions.js:120-127),
+    and at 100 TB the inventory pass reads a few hundred bytes per
+    record instead of the raster payload. Same synthetic 3-record files
+    as ``grid_grib1_decode``; the oracle restates the header fields
+    closed-form.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message, inspect_grib1, iter_messages
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 8 + d % 5, 4 + d % 4
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                msgs = []
+                for r in range(3):
+                    v = 100 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 100)
+                    bitmap = ((i + j) % 7 != 0) | np.zeros_like(v, bool) if r == 1 else None
+                    msgs.append(
+                        encode_grib1_message(
+                            v.astype(np.float64),
+                            parameter=11 + r,
+                            reference_value=100.0,
+                            binary_scale=1,
+                            nbits=8,
+                            bitmap=bitmap,
+                        )
+                    )
+                rows.append({"doc_id": d, "grib": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    def inventory(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                for n, msg in enumerate(iter_messages(bytes(buf)), start=1):
+                    h = inspect_grib1(msg)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "record_number": n,
+                            "parameter": h["parameter"],
+                            "year": h["year"],
+                            "month": h["month"],
+                            "ni": h["ni"],
+                            "nj": h["nj"],
+                            "nbits": h["nbits"],
+                            "has_bitmap": h["has_bitmap"],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    return files.mapInPandas(
+        inventory,
+        schema=(
+            "doc_id bigint, record_number int, parameter int, year int, "
+            "month int, ni int, nj int, nbits int, has_bitmap boolean"
+        ),
+    ).orderBy("doc_id", "record_number")
+
+
+# --- GRIB2 regex match + decode -------------------------------------------
+# Synthetic GRIB2 archive: doc d's file holds 4 records r=0..3 with
+# category r % 2 and number r; cell (i, j) of record r is
+# 200 + 2*((d*11 + r*7 + i*5 + j*3) % 100) (R=200, E=1, 8-bit — exact).
+# The query runs wgrib2's selection: -match "c{d%2}," -limit 2, so the
+# selected records are r = (d % 2) + 2·(rank − 1) for rank 1, 2.
+
+
+@query(
+    "grid_grib2_match_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 4 AS ni,
+         4 + doc_id % 3 AS nj,
+         doc_id % 2 AS c
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 300
+),
+recs AS (
+  SELECT doc_id, ni, nj, c, k.k + 1 AS match_rank, c + 2 * k.k AS r
+  FROM g, UNNEST(generate_series(0, 1)) AS k(k)
+),
+cells AS (
+  SELECT doc_id, match_rank, c, r, ni, nj,
+         200 + 2 * ((doc_id * 11 + r * 7 + i.i * 5 + j.j * 3) % 100) AS v
+  FROM recs,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(match_rank AS INTEGER) AS match_rank,
+       CAST(c AS INTEGER) AS category,
+       CAST(r AS INTEGER) AS number,
+       CAST(ni * nj AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(v) AS DOUBLE) / (ni * nj), 6) AS mean_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val
+FROM cells
+GROUP BY doc_id, match_rank, c, r, ni, nj
+ORDER BY doc_id, match_rank
+""",
+)
+def grid_grib2_match_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GRIB2 ingest path end-to-end — ``wgrib2 input
+    -match <regex> -limit <n> -grib``
+    (/root/reference/src/file-conversions.js:75-99) replaced by the
+    engine's pure-Python edition-2 codec (grid/grib2.py): per document a
+    4-record GRIB2 FILE is synthesized executor-side (real section 0-8
+    bytes: IEEE-float reference value, signed-magnitude 16/32-bit scale
+    factors and microdegree coordinates, templates 3.0/4.0/5.0), records
+    are selected by REGEX over wgrib2-style inventory lines with a count
+    limit, and each selected record decodes through Arrow/mapInPandas
+    with statistics aggregated JVM-side.
+
+    The oracle restates the synthetic field and the match arithmetic
+    (selected r = (d mod 2) + 2·(rank−1)) closed-form — the hash gate
+    proves scan → inventory render → regex match → limit → section
+    parse → unpack is exactly the declared semantics. Witnessed
+    category/number columns pin Section-4 parsing.
+
+    Scale: same embarrassingly-parallel shape as grid_grib1_decode —
+    payload bytes never shuffle; the regex runs over header-derived
+    inventory strings only (a few hundred bytes per record), so at
+    archive scale matching costs metadata, not raster I/O.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import decode_grib2, encode_grib2_message, match_records
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 300))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 6 + d % 4, 4 + d % 3
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                msgs = []
+                for r in range(4):
+                    v = 200 + 2 * ((d * 11 + r * 7 + i * 5 + j * 3) % 100)
+                    msgs.append(
+                        encode_grib2_message(
+                            v.astype(np.float64),
+                            category=r % 2,
+                            number=r,
+                            reference_value=200.0,
+                            binary_scale=1,
+                            nbits=8,
+                        )
+                    )
+                rows.append({"doc_id": d, "grib": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    def match_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for rank, msg in enumerate(
+                    match_records(bytes(buf), f"c{d % 2},", limit=2), start=1
+                ):
+                    rec = decode_grib2(msg)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "match_rank": rank,
+                            "category": rec.category,
+                            "number": rec.number,
+                            "values": rec.values.reshape(-1).tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        match_decode,
+        schema=(
+            "doc_id bigint, match_rank int, category int, number int, "
+            "values array<double>"
+        ),
+    )
+    return decoded.select(
+        "doc_id",
+        "match_rank",
+        "category",
+        "number",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.round(
+            F.aggregate("values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint"))
+            .cast("double")
+            / F.size("values"),
+            6,
+        ).alias("mean_val"),
+        F.array_min("values").cast("bigint").alias("min_val"),
+        F.array_max("values").cast("bigint").alias("max_val"),
+    ).orderBy("doc_id", "match_rank")

@@ -173,23 +173,25 @@ def test_compact_versioned_shrinks_files_keeps_data_and_history(spark, tmp_path)
 
 
 def test_compact_versioned_crash_has_no_missing_path_window(spark, tmp_path, monkeypatch):
-    """Kill the compaction at its commit point (the manifest rename — the
-    exact analogue of compact_parquet's between-renames window). The table
-    must stay fully readable at every moment WITHOUT any recovery scan:
-    the latest manifest still points at the intact old snapshot."""
+    """Kill the compaction at its commit point (the manifest link claim
+    — the exact analogue of compact_parquet's between-renames window).
+    The table must stay fully readable at every moment WITHOUT any
+    recovery scan: the latest manifest still points at the intact old
+    snapshot. (r7: the commit point moved from os.rename to the atomic
+    os.link claim, so the crash injects there.)"""
     import monitoring_data_ingestion_spark.sources.versioned as versioned_mod
     from monitoring_data_ingestion_spark.operators.compaction import compact_versioned
 
     vt = _fragmented_versioned(spark, tmp_path / "vt")
 
-    real_rename = os.rename
+    real_link = os.link
 
-    def crashing_rename(src, dst):
+    def crashing_link(src, dst):
         if versioned_mod._MANIFEST_DIR in str(dst):
             raise OSError("injected crash at the commit point")
-        real_rename(src, dst)
+        real_link(src, dst)
 
-    monkeypatch.setattr(versioned_mod.os, "rename", crashing_rename)
+    monkeypatch.setattr(versioned_mod.os, "link", crashing_link)
     try:
         compact_versioned(spark, vt, target_mb=128)
         crashed = False
@@ -199,7 +201,7 @@ def test_compact_versioned_crash_has_no_missing_path_window(spark, tmp_path, mon
     # No recovery call, no re-listing — the table reads immediately.
     assert vt.read(spark).count() == 800
     assert vt.latest_version() == 1
-    monkeypatch.setattr(versioned_mod.os, "rename", real_rename)
+    monkeypatch.setattr(versioned_mod.os, "link", real_link)
     # Retry completes; the orphaned rewrite from the crash is vacuumable.
     plan = compact_versioned(spark, vt, target_mb=128)
     assert plan.worth_it

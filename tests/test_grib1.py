@@ -163,3 +163,35 @@ def test_messages_align_even_lengths():
         assert decode_grib1(msg).ni == cells
         two = msg + msg
         assert len(list(iter_messages(two))) == 2
+
+
+def test_inspect_matches_decode_without_unpacking():
+    """Header-only inspection must agree with the full decode on every
+    metadata field, for both bitmap and plain records."""
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+
+    rng = np.random.default_rng(21)
+    v = rng.integers(0, 200, size=(5, 6)).astype(np.float64)
+    bm = (np.add.outer(np.arange(5), np.arange(6)) % 3) != 0
+    for bitmap in (None, bm):
+        msg = encode_grib1_message(
+            v,
+            parameter=33,
+            level_type=105,
+            level=10,
+            reftime=(2021, 7, 15, 6, 0),
+            decimal_scale=1,
+            binary_scale=2,
+            nbits=10,
+            bitmap=bitmap,
+        )
+        h = inspect_grib1(msg)
+        rec = decode_grib1(msg)
+        assert h["parameter"] == rec.parameter == 33
+        assert (h["year"], h["month"]) == (2021, 7)
+        assert (h["ni"], h["nj"]) == (rec.ni, rec.nj) == (6, 5)
+        assert h["decimal_scale"] == rec.decimal_scale == 1
+        assert h["binary_scale"] == rec.binary_scale == 2
+        assert h["nbits"] == rec.nbits == 10
+        assert h["has_bitmap"] == (bitmap is not None)
+        assert h["total_bytes"] == len(msg)
