@@ -1,0 +1,148 @@
+"""File-based GRIB1 source: point the engine at a directory of ``.grib``
+downloads and get cells as a DataFrame — batch or streaming.
+
+This is the literal form of the reference's ingest entry: its sources
+download GRIB files into a landing area and every downstream step reads
+those bytes (/root/reference/src/sources/era5monthly.js:172-195 download,
+src/file-conversions.js record extract). Here the landing directory is
+scanned with Spark's ``binaryFile`` source (path/length/content rows,
+works identically under ``read`` and ``readStream``), each file's
+records decode through the pure-Python codec (grid/grib1.py) inside one
+Arrow ``mapInPandas`` stage, and the raster becomes relational rows.
+
+Layering:
+
+* :func:`grib1_records` — one row per (file, record): full header
+  metadata + the value grid as ``array<double>`` (row-major, NULL where
+  the bitmap masks). Payload bytes never leave the executor; the array
+  column is the decoded raster.
+* :func:`grib1_cells` — JVM-side ``posexplode`` of the record rows into
+  (lat_mdeg, lon_mdeg, value) cells with coordinates derived from the
+  decoded GDS. No Python in this step.
+* :func:`grib1_records_stream` — the same decode over
+  ``readStream.format("binaryFile")``: new files landing in the
+  directory become micro-batches, so the reference's "one month per
+  run" incremental pull is just file arrival + this stream.
+
+Scale: files decode independently (embarrassingly parallel scan);
+``binaryFile`` splits by file, so partition count tracks file count —
+for a 100 TB archive of month-files this is exactly the unit of work
+you want, and ``maxFilesPerTrigger`` paces the streaming form.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SCHEMA = (
+    "path string, record_number int, parameter int, level_type int, "
+    "level int, year int, month int, day int, hour int, "
+    "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
+    "dlat_mdeg int, dlon_mdeg int, values array<double>"
+)
+
+
+def _decode_batches(batches: "Iterator") -> "Iterator":
+    import pandas as pd
+
+    from ..grid.grib1 import decode_grib1, iter_messages
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            for n, msg in enumerate(iter_messages(bytes(content)), start=1):
+                rec = decode_grib1(msg)
+                rows.append(
+                    {
+                        "path": path,
+                        "record_number": n,
+                        "parameter": rec.parameter,
+                        "level_type": rec.level_type,
+                        "level": rec.level,
+                        "year": rec.reftime[0],
+                        "month": rec.reftime[1],
+                        "day": rec.reftime[2],
+                        "hour": rec.reftime[3],
+                        "ni": rec.ni,
+                        "nj": rec.nj,
+                        "lat_first_mdeg": rec.lat_first_mdeg,
+                        "lon_first_mdeg": rec.lon_first_mdeg,
+                        "dlat_mdeg": rec.dlat_mdeg,
+                        "dlon_mdeg": rec.dlon_mdeg,
+                        "values": rec.values.reshape(-1).tolist(),
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "path", "record_number", "parameter", "level_type", "level",
+                "year", "month", "day", "hour", "ni", "nj",
+                "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
+                "values",
+            ],
+        )
+
+
+def grib1_records(spark: SparkSession, path: str) -> DataFrame:
+    """Batch scan of a GRIB1 landing directory/glob → one row per record."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+
+
+def grib1_records_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan: files arriving under ``path`` decode incrementally.
+    The file source tracks processed files in the checkpoint, so each
+    landed GRIB is decoded exactly once — the reference's watermark-file
+    bookkeeping (src/rabbit.js:25-26) for free."""
+    # The streaming file source requires an explicit schema; binaryFile's
+    # is fixed by the format.
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+
+
+def grib1_cells(records: DataFrame) -> DataFrame:
+    """Record rows → (record metadata, lat_mdeg, lon_mdeg, value) cells.
+
+    Pure JVM: posexplode over the decoded array, coordinates from the
+    GDS fields (lat_first − j·dlat, lon_first + i·dlon, row-major
+    scanning mode 0). Missing cells (bitmap) surface as NULL value —
+    Arrow already maps the codec's NaN to NULL, and any residual NaN is
+    normalized here so downstream null-ignoring aggregates are exact."""
+    e = records.select(
+        "path",
+        "record_number",
+        "parameter",
+        "year",
+        "month",
+        "ni",
+        "nj",
+        "lat_first_mdeg",
+        "lon_first_mdeg",
+        "dlat_mdeg",
+        "dlon_mdeg",
+        F.posexplode_outer("values").alias("idx", "v"),
+    )
+    i = F.col("idx") % F.col("ni")
+    j = (F.col("idx") / F.col("ni")).cast("int")
+    return e.select(
+        "path",
+        "record_number",
+        "parameter",
+        "year",
+        "month",
+        (F.col("lat_first_mdeg") - j * F.col("dlat_mdeg")).alias("lat_mdeg"),
+        (F.col("lon_first_mdeg") + i * F.col("dlon_mdeg")).alias("lon_mdeg"),
+        F.when(F.isnan("v") | F.col("v").isNull(), None)
+        .otherwise(F.col("v"))
+        .alias("value"),
+    )
