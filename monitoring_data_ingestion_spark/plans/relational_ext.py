@@ -1419,3 +1419,265 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrib", 6).alias("psi_contribution"),
         F.round(F.sum("contrib").over(w), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+# --- schema/profile drift --------------------------------------------------
+# Per-column profile metrics, one (column, metric) pair per output row.
+# Numeric means ride exact decimal sums; length/distinct/null counts are
+# integers — every double is derived from the same exact statistics on
+# both engines before the 6 dp round.
+_PROFILE_COLS = (
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+)
+
+
+def _profile_metric_sql(col: str, kind: str, half: int) -> list[tuple[str, str]]:
+    h = f"CASE WHEN half = {half} THEN {col} END"
+    out = [
+        ("n_null", f"CAST(SUM(CASE WHEN half = {half} AND {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"),
+        ("n_distinct", f"CAST(COUNT(DISTINCT {h}) AS DOUBLE)"),
+    ]
+    if kind == "num":
+        out.append(
+            ("mean", f"ROUND(CAST(SUM(CAST({h} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({h}), 6)")
+        )
+    else:
+        out.append(
+            ("avg_len", f"ROUND(CAST(SUM(LENGTH({h})) AS DOUBLE) / COUNT({h}), 6)")
+        )
+    return out
+
+
+def _profile_drift_oracle() -> str:
+    pieces = []
+    for col, kind in _PROFILE_COLS:
+        ref = _profile_metric_sql(col, kind, 0)
+        cur = _profile_metric_sql(col, kind, 1)
+        for (m, r_expr), (_, c_expr) in zip(ref, cur):
+            pieces.append(
+                f"SELECT '{col}' AS column_name, '{m}' AS metric,\n"
+                f"       {r_expr} AS ref_val, {c_expr} AS cur_val FROM halves"
+            )
+    body = "\nUNION ALL\n".join(pieces)
+    return f"""
+WITH halves AS (
+  SELECT CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+              (SELECT (epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+                       + epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 2 FROM events)
+              THEN 0 ELSE 1 END AS half,
+         user_id, event_type, value, props
+  FROM events
+)
+SELECT column_name, metric, ref_val, cur_val,
+       ROUND(ABS(cur_val - ref_val), 6) AS abs_delta
+FROM ({body})
+ORDER BY column_name, metric"""
+
+
+@query(
+    "dq_schema_profile_drift",
+    tags=("dq", "drift", "agg", "audit"),
+    oracle=_profile_drift_oracle(),
+)
+def dq_schema_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile drift between the first and second half of the
+    stream's time range — the schema-monitoring twin of the value-drift
+    family (PSI/KS/JSD): per column, null count, distinct count, and a
+    type-appropriate magnitude (numeric mean via exact decimal sums;
+    string mean length) for reference vs current, long-form one row per
+    (column, metric) with the absolute delta. This is what catches a
+    producer silently starting to send NULL props, a new enum value, or
+    a unit change that value-bin drift alone attributes poorly.
+
+    Scale: ONE scan + one aggregate computes every metric (count/sum are
+    map-side; the distincts each add a |distinct values| exchange — the
+    standard profile-job shape); the long-form explode runs over a
+    single aggregated row. The split is the exact integer-microsecond
+    midpoint, same discipline as dq_psi_drift.
+    """
+    e = table(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            - (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) % 2
+        ).alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    halves = e.crossJoin(F.broadcast(mid)).select(
+        F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias("half"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+    aggs = []
+    names = []
+    for col, kind in _PROFILE_COLS:
+        for half, tag in ((0, "ref"), (1, "cur")):
+            h = F.when(F.col("half") == half, F.col(col))
+            aggs.append(
+                F.sum(
+                    F.when((F.col("half") == half) & F.col(col).isNull(), 1).otherwise(0)
+                ).cast("double").alias(f"{col}__n_null__{tag}")
+            )
+            aggs.append(
+                F.countDistinct(h).cast("double").alias(f"{col}__n_distinct__{tag}")
+            )
+            if kind == "num":
+                aggs.append(
+                    F.round(
+                        F.sum(h.cast("decimal(18,2)")).cast("double") / F.count(h), 6
+                    ).alias(f"{col}__mean__{tag}")
+                )
+            else:
+                aggs.append(
+                    F.round(
+                        F.sum(F.length(h)).cast("double") / F.count(h), 6
+                    ).alias(f"{col}__avg_len__{tag}")
+                )
+    wide = halves.agg(*aggs)
+    for col, kind in _PROFILE_COLS:
+        for m in ("n_null", "n_distinct", "mean" if kind == "num" else "avg_len"):
+            names.append((col, m))
+    stack_args = ", ".join(
+        f"'{col}', '{m}', `{col}__{m}__ref`, `{col}__{m}__cur`" for col, m in names
+    )
+    long = wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (column_name, metric, ref_val, cur_val)"
+    )
+    return long.select(
+        "column_name",
+        "metric",
+        "ref_val",
+        "cur_val",
+        F.round(F.abs(F.col("cur_val") - F.col("ref_val")), 6).alias("abs_delta"),
+    ).orderBy("column_name", "metric")
+
+
+# --- mergeable histogram-quantile sketch ----------------------------------
+QH_BINS = 64
+QH_LO, QH_HI = 0.0, 500.0
+QH_WIDTH = (QH_HI - QH_LO) / QH_BINS
+QH_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "sketch_quantile_histogram",
+    tags=("sketch", "agg", "audit"),
+    oracle=f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR((value - {QH_LO}) / {QH_WIDTH}) AS BIGINT), {QH_BINS - 1}) AS bin,
+         value
+  FROM events
+), counts AS (
+  SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, c,
+         SUM(c) OVER (ORDER BY bin) AS cum_c,
+         SUM(c) OVER (ORDER BY bin) - c AS cum_prev
+  FROM counts
+), tot AS (SELECT COUNT(*) AS n FROM binned),
+qs AS (
+  SELECT q.q AS q, CAST(CEIL(q.q * t.n) AS BIGINT) AS rank, t.n
+  FROM (SELECT UNNEST(ARRAY[{", ".join(str(q) for q in QH_QUANTILES)}]) AS q) q
+  CROSS JOIN tot t
+), est AS (
+  SELECT qs.q, qs.rank,
+         MIN(c.bin) AS hit_bin
+  FROM qs JOIN cum c ON c.cum_c >= qs.rank
+  GROUP BY qs.q, qs.rank
+), interp AS (
+  SELECT e.q, e.rank,
+         {QH_LO} + e.hit_bin * {QH_WIDTH}
+           + {QH_WIDTH} * (e.rank - c.cum_prev) / c.c AS est_val
+  FROM est e JOIN cum c ON c.bin = e.hit_bin
+), exact AS (
+  SELECT qs.q,
+         (SELECT value FROM (
+            SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+            FROM events) WHERE rn = qs.rank) AS exact_val
+  FROM qs
+)
+SELECT i.q,
+       ROUND(i.est_val, 6) AS est_val,
+       ROUND(x.exact_val, 6) AS exact_val,
+       ROUND(ABS(i.est_val - x.exact_val), 6) AS abs_err,
+       ABS(i.est_val - x.exact_val) <= {QH_WIDTH} AS within_bin_bound
+FROM interp i JOIN exact x ON i.q = x.q
+ORDER BY i.q""",
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch — the third classic
+    sketch alongside count-min (frequencies) and Bloom (membership):
+    per-partition bin counts merge by addition (constant 64-cell
+    state, the streaming/distributed-friendly property), and p50/p90/p99
+    are estimated by linear interpolation inside the hit bin. The
+    structural guarantee — estimate within ONE BIN WIDTH of the exact
+    order statistic — is not asserted but WITNESSED: the query computes
+    the exact quantile too and emits the error and the bound check as
+    columns, the same audited-sketch contract as sketch_bloom_membership.
+
+    Scale: the sketch is one map-side-combined 64-group aggregate
+    (vs the exact path's full sort) — at 100 TB the exact witness is the
+    expensive side and exists here only to certify the estimator; the
+    production read is counts-only. Estimator arithmetic is exact-integer
+    ranks over exact counts, identical on both engines.
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    binned = e.select(
+        "event_id",
+        "value",
+        F.least(
+            F.floor((F.col("value") - QH_LO) / QH_WIDTH).cast("bigint"),
+            F.lit(QH_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bin")
+    cum = counts.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum_c"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    qs = (
+        spark.createDataFrame([(q,) for q in QH_QUANTILES], "q double")
+        .crossJoin(F.broadcast(tot))
+        .select("q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("rank"))
+    )
+    hit = (
+        qs.join(cum, cum.cum_c >= qs.rank)
+        .groupBy("q", "rank")
+        .agg(F.min("bin").alias("hit_bin"))
+    )
+    interp = hit.join(cum, hit.hit_bin == cum.bin).select(
+        "q",
+        "rank",
+        (
+            F.lit(QH_LO)
+            + F.col("hit_bin") * QH_WIDTH
+            + QH_WIDTH * (F.col("rank") - F.col("cum_prev")) / F.col("c")
+        ).alias("est_val"),
+    )
+    wv = Window.orderBy("value", "event_id")
+    ranked = binned.select("value", F.row_number().over(wv).alias("rn"))
+    exact = qs.join(ranked, qs.rank == ranked.rn).select(
+        "q", F.col("value").alias("exact_val")
+    )
+    return (
+        interp.join(exact, "q")
+        .select(
+            "q",
+            F.round("est_val", 6).alias("est_val"),
+            F.round("exact_val", 6).alias("exact_val"),
+            F.round(F.abs(F.col("est_val") - F.col("exact_val")), 6).alias("abs_err"),
+            (F.abs(F.col("est_val") - F.col("exact_val")) <= QH_WIDTH).alias(
+                "within_bin_bound"
+            ),
+        )
+        .orderBy("q")
+    )
