@@ -1181,3 +1181,52 @@ def test_grib1_decode_python_only_at_codec_boundary(spark):
     assert final.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grib_landing_scan_parallelism_is_per_file(spark):
+    """grid_grib1_landing_scan: the binaryFile scan must split by file —
+    one decode task per month-file is the archive's natural work unit.
+    Witnessed by the scan's partition count matching the file count."""
+    import os
+
+    df = q("grid_grib1_landing_scan")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1  # decode only; synth is driver-side files
+    assert "BatchEvalPython" not in plan
+    # The upstream binaryFile relation reads 12 files → 12 input partitions.
+    from monitoring_data_ingestion_spark.plans.catalog import session_cache_suffix
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_grib_landing_{session_cache_suffix(spark, SF_SMOKE)}",
+    )
+    landing = os.path.join(base, "landing")
+    files = spark.read.format("binaryFile").load(landing).select("path", "content")
+    assert files.rdd.getNumPartitions() == 12
+
+
+def test_hll_register_build_is_two_phase_max(spark):
+    """sketch_hll_distinct: the register build must be a partial→final
+    MAX aggregate (map-side combine) so the exchange carries at most
+    1024 rows per scope — the mergeable-sketch property in the plan."""
+    df = q("sketch_hll_distinct")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("HashAggregate") >= 4  # partial+final per scope
+    assert "partial_max" in final or "partial_" in final.lower()
+    assert "Python" not in plan  # whole sketch is JVM expression
+
+
+def test_profile_drift_is_single_scan(spark):
+    """dq_schema_profile_drift: every metric must come from ONE pass over
+    events (plus the 1-row midpoint broadcast) — no per-column rescan."""
+    df = q("dq_schema_profile_drift")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("events.parquet") <= 2  # main scan + midpoint probe
+    assert "Python" not in plan
