@@ -90,6 +90,33 @@ def ibm32_decode(b: bytes) -> float:
     return sign * (m / float(1 << 24)) * 16.0 ** (e - 64)
 
 
+def ibm32_encode_floor(x: float) -> bytes:
+    """Largest IBM-representable value ≤ ``x``.
+
+    The encoder's default reference value is the data minimum; storing
+    it with round-to-NEAREST can round UP past the minimum, making the
+    smallest increment negative (a spurious encode failure). Reference
+    values must therefore round toward −∞."""
+    b = ibm32_encode(x)
+    for _ in range(4):  # one ulp step suffices; loop is belt-and-braces
+        if ibm32_decode(b) <= x:
+            return b
+        sign, e = b[0] & 0x80, b[0] & 0x7F
+        m = (b[1] << 16) | (b[2] << 8) | b[3]
+        if sign:  # negative: magnitude must INCREASE to go toward −∞
+            m += 1
+            if m >= 1 << 24:
+                m >>= 4
+                e += 1
+        else:
+            m -= 1
+            if m < 1 << 20 and e > 0:  # renormalize below a hex boundary
+                m = (m << 4) | 0xF
+                e -= 1
+        b = bytes([sign | e, (m >> 16) & 0xFF, (m >> 8) & 0xFF, m & 0xFF])
+    raise ValueError(f"could not floor-encode {x!r} as IBM float")
+
+
 # --- low-level helpers ----------------------------------------------------
 
 
@@ -125,6 +152,45 @@ def _s24(n: int) -> bytes:
 def _rs24(b: bytes, off: int) -> int:
     mag = ((b[off] & 0x7F) << 16) | (b[off + 1] << 8) | b[off + 2]
     return -mag if b[off] & 0x80 else mag
+
+
+def quantize_simple_packing(
+    present: np.ndarray,
+    decimal_scale: int,
+    binary_scale: int,
+    nbits: int,
+    reference_value: float | None,
+    encode_ref,
+    encode_ref_floor,
+    decode_ref,
+):
+    """Shared simple-packing quantization for both GRIB editions.
+
+    Returns (reference bytes, stored reference, uint64 increments).
+    The default reference is the scaled minimum stored with FLOOR
+    rounding (round-to-nearest can round up past the minimum and make
+    the smallest increment negative); an explicit ``reference_value``
+    stores nearest and fails loudly if it exceeds a data value. NaN in
+    present cells is rejected — missing data must ride the bitmap, or
+    the uint64 cast would emit platform-dependent garbage."""
+    present = np.asarray(present, dtype=np.float64)
+    if np.isnan(present).any():
+        raise ValueError(
+            "present cells contain NaN — mask missing data with a bitmap"
+        )
+    scaled = present * (10.0 ** decimal_scale)
+    if reference_value is None:
+        rb = encode_ref_floor(float(scaled.min())) if len(scaled) else encode_ref(0.0)
+    else:
+        rb = encode_ref(reference_value)
+    r = decode_ref(rb)
+    xf = np.round((scaled - r) / (2.0 ** binary_scale))
+    if len(xf) and xf.min() < 0:
+        raise ValueError("reference_value exceeds a data value (negative increment)")
+    x = xf.astype(np.uint64)
+    if len(x) and int(x.max()) >= 1 << nbits:
+        raise ValueError(f"nbits={nbits} cannot hold max increment {int(x.max())}")
+    return rb, r, x
 
 
 def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
@@ -210,21 +276,24 @@ def encode_grib1_message(
         if bm.shape != vals.shape:
             raise ValueError("bitmap shape must match values")
         present = present[bm.reshape(-1)]
-    scaled = present * (10.0 ** decimal_scale)
-    r = float(np.min(scaled)) if reference_value is None and len(scaled) else (
-        reference_value if reference_value is not None else 0.0
+    r_bytes, r, x = quantize_simple_packing(
+        present,
+        decimal_scale,
+        binary_scale,
+        nbits,
+        reference_value,
+        ibm32_encode,
+        ibm32_encode_floor,
+        ibm32_decode,
     )
-    r = ibm32_decode(ibm32_encode(r))  # store exactly what the header holds
-    xf = np.round((scaled - r) / (2.0 ** binary_scale))
-    if len(xf) and xf.min() < 0:
-        raise ValueError("reference_value exceeds a data value (negative increment)")
-    x = xf.astype(np.uint64)
-    if len(x) and int(x.max()) >= 1 << nbits:
-        raise ValueError(
-            f"nbits={nbits} cannot hold max increment {int(x.max())}"
-        )
     packed = _pack_bits(x, nbits)
+    # Unused-bit accounting must cover BOTH the sub-byte packing slack
+    # AND the even-length pad byte appended below, or a spec-conformant
+    # reader deriving the value count from (len−11)·8 − unused reads one
+    # garbage value.
     unused = (8 - (len(present) * nbits) % 8) % 8
+    bds_pad = (11 + len(packed)) % 2
+    unused += 8 * bds_pad  # fits the 4-bit nibble: ≤ 7 + 8 = 15
 
     pds = (
         bytes([1])  # parameter table version
@@ -280,12 +349,12 @@ def encode_grib1_message(
     bds_body = (
         bytes([(0 << 4) | unused])  # flags: simple packing, grid point
         + _s16(binary_scale)
-        + ibm32_encode(r)
+        + r_bytes
         + bytes([nbits])
         + packed
+        + bytes(bds_pad)  # even-length pad, counted in ``unused``
     )
-    pad = (3 + len(bds_body)) % 2  # BDS length must be even
-    bds = _u24(3 + len(bds_body) + pad) + bds_body + bytes(pad)
+    bds = _u24(3 + len(bds_body)) + bds_body
 
     total = 8 + len(pds) + len(gds) + len(bms) + len(bds) + 4
     return (
@@ -406,6 +475,17 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     nj = int.from_bytes(gds[8:10], "big")
     lat_first = _rs24(gds, 10)
     lon_first = _rs24(gds, 13)
+    # Silent geography corruption is worse than a loud stop: a non-zero
+    # scanning mode (e.g. 0x40 = +j, south row first — common in
+    # regional products) reorders the cells, and unset resolution flags
+    # mean the increment fields are not given. Reject both rather than
+    # decode with wrong coordinates.
+    if gds[27] != 0:
+        raise ValueError(
+            f"unsupported scanning mode 0x{gds[27]:02x} (only +i,-j row-major)"
+        )
+    if not gds[16] & 0x80:
+        raise ValueError("direction increments not given (resolution flags)")
     dlon = int.from_bytes(gds[23:25], "big")
     dlat = int.from_bytes(gds[25:27], "big")
     pos += gds_len

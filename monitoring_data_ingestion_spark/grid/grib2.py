@@ -40,24 +40,31 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .grib1 import _pack_bits, _unpack_bits
+# GRIB2 shares GRIB1's bit packing and signed-magnitude 16-bit encoding
+# (both big-endian, top bit = sign) — one implementation, two editions.
+from .grib1 import _pack_bits, _rs16 as _rs16be, _s16 as _s16be, _unpack_bits
+from .grib1 import quantize_simple_packing
 
 MAGIC = b"GRIB"
 TERMINATOR = b"7777"
 EDITION = 2
 
 
-def _s16be(n: int) -> bytes:
-    """GRIB2 signed-magnitude 16-bit big-endian (top bit = sign)."""
-    mag = abs(int(n))
-    if mag >= 1 << 15:
-        raise ValueError("signed-magnitude 16-bit overflow")
-    return bytes([(0x80 if n < 0 else 0) | (mag >> 8), mag & 0xFF])
+def _f32_encode(x: float) -> bytes:
+    return struct.pack(">f", float(np.float32(x)))
 
 
-def _rs16be(b: bytes, off: int) -> int:
-    mag = ((b[off] & 0x7F) << 8) | b[off + 1]
-    return -mag if b[off] & 0x80 else mag
+def _f32_encode_floor(x: float) -> bytes:
+    """Largest float32 ≤ x (see grib1.ibm32_encode_floor for why the
+    reference value must round toward −∞)."""
+    f = np.float32(x)
+    if float(f) > x:
+        f = np.nextafter(f, np.float32(-np.inf))
+    return struct.pack(">f", float(f))
+
+
+def _f32_decode(b: bytes) -> float:
+    return struct.unpack(">f", b)[0]
 
 
 def _s32be(n: int) -> bytes:
@@ -129,18 +136,16 @@ def encode_grib2_message(
         if bm.shape != vals.shape:
             raise ValueError("bitmap shape must match values")
         present = present[bm.reshape(-1)]
-    scaled = present * (10.0 ** decimal_scale)
-    if reference_value is not None:
-        r = reference_value
-    else:
-        r = float(np.min(scaled)) if len(scaled) else 0.0
-    r = struct.unpack(">f", struct.pack(">f", r))[0]  # what the header holds
-    xf = np.round((scaled - r) / (2.0 ** binary_scale))
-    if len(xf) and xf.min() < 0:
-        raise ValueError("reference_value exceeds a data value (negative increment)")
-    x = xf.astype(np.uint64)
-    if len(x) and int(x.max()) >= 1 << nbits:
-        raise ValueError(f"nbits={nbits} cannot hold max increment {int(x.max())}")
+    r_bytes, r, x = quantize_simple_packing(
+        present,
+        decimal_scale,
+        binary_scale,
+        nbits,
+        reference_value,
+        _f32_encode,
+        _f32_encode_floor,
+        _f32_decode,
+    )
     packed = _pack_bits(x, nbits)
 
     def section(number_: int, body: bytes) -> bytes:
@@ -187,7 +192,7 @@ def encode_grib2_message(
         5,
         struct.pack(">I", len(present))
         + struct.pack(">H", 0)  # data representation template 5.0
-        + struct.pack(">f", r)
+        + r_bytes
         + _s16be(binary_scale)
         + _s16be(decimal_scale)
         + bytes([nbits])
@@ -230,11 +235,23 @@ def iter_messages2(buf: bytes):
 
 def _sections(msg: bytes) -> dict[int, bytes]:
     """Split one message into its numbered sections (body bytes include
-    the 5-byte section header for offset-stable indexing)."""
+    the 5-byte section header for offset-stable indexing).
+
+    Repeated sections — GRIB2 legally repeats 4-7 for multi-field
+    messages — are REJECTED loudly: collapsing them to the last
+    occurrence would silently decode (and inventory) only the final
+    field. Zero/short section lengths are rejected rather than spun on."""
     out = {0: msg[:16]}
     pos = 16
     while pos < len(msg) - 4:
         length, number = struct.unpack_from(">IB", msg, pos)
+        if length < 5:
+            raise ValueError(f"malformed section header (length {length})")
+        if number in out:
+            raise ValueError(
+                f"repeated section {number}: multi-field GRIB2 messages are "
+                "not supported (split fields into separate messages)"
+            )
         out[number] = msg[pos : pos + length]
         pos += length
     return out
@@ -261,6 +278,17 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     (nj,) = struct.unpack_from(">I", g, 20)
     lat_first = _rs32be(g, 32)
     lon_first = _rs32be(g, 36)
+    # Same loud-stop policy as grib1: a non-zero scanning mode reorders
+    # cells — decoding it as row-major +i,−j is silent geography
+    # corruption. Flag bit 0x20 of the resolution/component octet means
+    # the i/j increments are given; without it the Di/Dj fields are
+    # missing values.
+    if g[57] != 0:
+        raise ValueError(
+            f"unsupported scanning mode 0x{g[57]:02x} (only +i,-j row-major)"
+        )
+    if not g[40] & 0x30:
+        raise ValueError("direction increments not given (resolution flags)")
     (dlon,) = struct.unpack_from(">I", g, 49)
     (dlat,) = struct.unpack_from(">I", g, 53)
 

@@ -875,7 +875,39 @@ def grid_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lat", "lon")
 
 
+def _synth_grib1_file(d: int) -> bytes:
+    """The shared 3-record GRIB1 fixture file for document ``d`` (used by
+    grid_grib1_decode AND grid_grib1_inventory — one definition, so the
+    two queries' oracles can never desynchronize from each other):
+    grid (8 + d%5) × (4 + d%4), record r has parameter 11+r and cell
+    value 100 + 2·((d·7 + r·13 + i·3 + j·5) % 100); record 2 carries a
+    bitmap masking (i + j) % 7 == 0."""
+    import numpy as np
+
+    from ..grid.grib1 import encode_grib1_message
+
+    ni, nj = 8 + d % 5, 4 + d % 4
+    i = np.arange(ni)[None, :]
+    j = np.arange(nj)[:, None]
+    msgs = []
+    for r in range(3):
+        v = 100 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 100)
+        bitmap = ((i + j) % 7 != 0) | np.zeros_like(v, bool) if r == 1 else None
+        msgs.append(
+            encode_grib1_message(
+                v.astype(np.float64),
+                parameter=11 + r,
+                reference_value=100.0,
+                binary_scale=1,
+                nbits=8,
+                bitmap=bitmap,
+            )
+        )
+    return b"".join(msgs)
+
+
 # --- GRIB1 record decode ---------------------------------------------------
+
 # Synthetic GRIB1 value field: cell (i, j) of record r (0-based) in doc
 # d's file is 100 + 2*((d*7 + r*13 + i*3 + j*5) % 100) — integers with
 # step 2 so the simple-packing encode (R=100, E=1, D=0, 8-bit
@@ -946,10 +978,9 @@ def grid_grib1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    from ..grid.grib1 import decode_grib1, encode_grib1_message, select_record
+    from ..grid.grib1 import decode_grib1, select_record
 
     ids = (
         table(spark, sf_dir, "documents")
@@ -959,28 +990,9 @@ def grid_grib1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ni, nj = 8 + d % 5, 4 + d % 4
-                i = np.arange(ni)[None, :]
-                j = np.arange(nj)[:, None]
-                msgs = []
-                for r in range(3):
-                    v = 100 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 100)
-                    bitmap = ((i + j) % 7 != 0) | np.zeros_like(v, bool) if r == 1 else None
-                    msgs.append(
-                        encode_grib1_message(
-                            v.astype(np.float64),
-                            parameter=11 + r,
-                            reference_value=100.0,
-                            binary_scale=1,
-                            nbits=8,
-                            bitmap=bitmap,
-                        )
-                    )
-                rows.append({"doc_id": d, "grib": b"".join(msgs)})
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                [{"doc_id": int(d), "grib": _synth_grib1_file(int(d))} for d in pdf["doc_id"]]
+            )
 
     def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1214,10 +1226,9 @@ def grid_grib1_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    from ..grid.grib1 import encode_grib1_message, inspect_grib1, iter_messages
+    from ..grid.grib1 import inspect_grib1, iter_messages
 
     ids = (
         table(spark, sf_dir, "documents")
@@ -1227,28 +1238,9 @@ def grid_grib1_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ni, nj = 8 + d % 5, 4 + d % 4
-                i = np.arange(ni)[None, :]
-                j = np.arange(nj)[:, None]
-                msgs = []
-                for r in range(3):
-                    v = 100 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 100)
-                    bitmap = ((i + j) % 7 != 0) | np.zeros_like(v, bool) if r == 1 else None
-                    msgs.append(
-                        encode_grib1_message(
-                            v.astype(np.float64),
-                            parameter=11 + r,
-                            reference_value=100.0,
-                            binary_scale=1,
-                            nbits=8,
-                            bitmap=bitmap,
-                        )
-                    )
-                rows.append({"doc_id": d, "grib": b"".join(msgs)})
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                [{"doc_id": int(d), "grib": _synth_grib1_file(int(d))} for d in pdf["doc_id"]]
+            )
 
     def inventory(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:

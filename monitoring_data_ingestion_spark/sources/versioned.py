@@ -125,8 +125,12 @@ class VersionedTable:
         stale snapshot (lost update). Callers catch it, re-read, rebuild,
         retry — see ``operators/incremental.py``.
         """
+        # One manifest-list read per attempt (snapshots() is O(versions)
+        # file opens; a long-lived incremental store must not pay it four
+        # times per commit).
+        snaps = self.snapshots()
         if batch_id is not None:
-            for s in self.snapshots():
+            for s in snaps:
                 if s.batch_id == batch_id:
                     return s.version
         commit_id = uuid.uuid4().hex
@@ -136,14 +140,24 @@ class VersionedTable:
             os.path.relpath(p, self.root)
             for p in glob.glob(os.path.join(data_dir, "*.parquet"))
         )
+        first_attempt = True
         while True:
-            latest = self.latest_version()
+            if not first_attempt:
+                snaps = self.snapshots()  # fresh view after losing a race
+                if batch_id is not None:
+                    # A concurrent replayer of the same batch may have won
+                    # the claim we just lost — stay idempotent.
+                    for s in snaps:
+                        if s.batch_id == batch_id:
+                            return s.version
+            first_attempt = False
+            latest = snaps[-1].version if snaps else None
             if expected_base is not _UNSET and latest != expected_base:
                 # Someone else advanced the table since the caller read
                 # its base snapshot. If it was a replay of THIS batch,
                 # stay idempotent; otherwise surface the conflict.
                 if batch_id is not None:
-                    for s in self.snapshots():
+                    for s in snaps:
                         if s.batch_id == batch_id:
                             return s.version
                 raise CommitConflict(
@@ -164,14 +178,11 @@ class VersionedTable:
                 os.unlink(tmp)
                 return version
             except FileExistsError:
-                # Lost the claim race. A concurrent replayer of the same
-                # batch_id wins idempotently; anything else loops to take
-                # the next version (or conflict via expected_base).
+                # Lost the claim race — loop: the top re-reads the
+                # manifest list, returns idempotently if a concurrent
+                # replayer committed this batch, conflicts via
+                # expected_base, or takes the next version.
                 os.unlink(tmp)
-                if batch_id is not None:
-                    for s in self.snapshots():
-                        if s.batch_id == batch_id:
-                            return s.version
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest manifest, or time travel to ``version``."""

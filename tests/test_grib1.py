@@ -195,3 +195,67 @@ def test_inspect_matches_decode_without_unpacking():
         assert h["nbits"] == rec.nbits == 10
         assert h["has_bitmap"] == (bitmap is not None)
         assert h["total_bytes"] == len(msg)
+
+
+def test_min_reference_floor_rounding_no_spurious_failure():
+    """r7 review: round-to-nearest IBM storage of the data minimum could
+    round UP past it, making the smallest increment negative and the
+    encoder raise on legitimate data. The reference must floor."""
+    from monitoring_data_ingestion_spark.grid.grib1 import ibm32_encode_floor
+
+    v = np.array([[33554441.0, 33554500.0]])
+    rec = decode_grib1(encode_grib1_message(v, nbits=16))  # was: ValueError
+    assert np.all(rec.values >= 0) and rec.values.shape == (1, 2)
+    # Quantization bound still holds around the floored reference.
+    assert np.abs(rec.values - v).max() <= 0.5 + 2**-18 * v.max()
+    # Floor property directly, both signs and across hex boundaries.
+    for x in (33554441.0, 16.000001, 1.0000001, -33554441.0, -16.000001, 0.5):
+        got = ibm32_decode(ibm32_encode_floor(x))
+        assert got <= x, (x, got)
+        assert abs(got - x) <= abs(x) * 2**-19
+
+
+def test_nan_without_bitmap_is_rejected():
+    """r7 review: NaN through the uint64 cast is platform-dependent
+    garbage — the natural bitmap-decode → re-encode misuse must raise,
+    not corrupt."""
+    v = np.array([[1.0, np.nan], [3.0, 4.0]])
+    with pytest.raises(ValueError, match="bitmap"):
+        encode_grib1_message(v)
+    # Masked NaN is fine — that's exactly what the bitmap is for.
+    bm = ~np.isnan(v)
+    rec = decode_grib1(encode_grib1_message(v, bitmap=bm, nbits=8, reference_value=0.0))
+    assert np.isnan(rec.values[0, 1]) and rec.values[1, 1] == 4.0
+    # Present (unmasked) NaN still rejected.
+    with pytest.raises(ValueError, match="bitmap"):
+        encode_grib1_message(v, bitmap=np.ones_like(bm))
+
+
+def test_unsupported_scanning_mode_rejected_not_misdecoded():
+    """r7 review: a non-zero scanning mode reorders cells — decoding it
+    row-major is silent geography corruption. Must raise."""
+    good = encode_grib1_message(np.ones((2, 3)), reference_value=0.0)
+    # GDS scanning-mode octet: 8 (IS) + pds_len + 3 (GDS len) + 24.
+    pds_len = (good[8] << 16) | (good[9] << 8) | good[10]
+    scan_off = 8 + pds_len + 27
+    bad = good[:scan_off] + bytes([0x40]) + good[scan_off + 1 :]
+    with pytest.raises(ValueError, match="scanning mode"):
+        decode_grib1(bad)
+
+
+def test_bds_pad_byte_counted_in_unused_bits():
+    """r7 review: the even-length BDS pad must be reflected in the
+    unused-bits nibble so a spec-conformant reader deriving the value
+    count from (len−11)·8 − unused gets exactly ni·nj values."""
+    for cells in range(1, 10):
+        v = np.arange(cells, dtype=np.float64).reshape(1, cells)
+        msg = encode_grib1_message(v, nbits=8, reference_value=0.0)
+        pds_len = (msg[8] << 16) | (msg[9] << 8) | msg[10]
+        gds_off = 8 + pds_len
+        gds_len = (msg[gds_off] << 16) | (msg[gds_off + 1] << 8) | msg[gds_off + 2]
+        bds_off = gds_off + gds_len
+        bds_len = (msg[bds_off] << 16) | (msg[bds_off + 1] << 8) | msg[bds_off + 2]
+        unused = msg[bds_off + 3] & 0x0F
+        assert bds_len % 2 == 0
+        assert (bds_len - 11) * 8 - unused == cells * 8, cells
+        assert np.array_equal(decode_grib1(msg).values, v)

@@ -162,3 +162,69 @@ def test_grib1_grib2_same_field_same_values():
     )
     assert np.array_equal(r1.values, r2.values)
     assert np.array_equal(r1.values, v)
+
+
+def test_min_reference_floor_rounding_no_spurious_failure():
+    """r7 review: float32 round-to-nearest of the data minimum could
+    round up past it; the stored reference must floor (nextafter)."""
+    v = np.array([[16777219.0, 16777300.0]])
+    rec = decode_grib2(encode_grib2_message(v, nbits=16))  # was: ValueError
+    assert rec.values.shape == (1, 2)
+    assert np.abs(rec.values - v).max() <= 0.5 + 2**-20 * v.max()
+
+
+def test_nan_without_bitmap_is_rejected():
+    v = np.array([[1.0, np.nan]])
+    with pytest.raises(ValueError, match="bitmap"):
+        encode_grib2_message(v)
+    rec = decode_grib2(
+        encode_grib2_message(v, bitmap=~np.isnan(v), nbits=8, reference_value=0.0)
+    )
+    assert rec.values[0, 0] == 1.0 and np.isnan(rec.values[0, 1])
+
+
+def test_repeated_sections_rejected_not_collapsed():
+    """r7 review: GRIB2 legally repeats sections 4-7 for multi-field
+    messages; collapsing to the last field would silently mis-inventory
+    and mis-decode. Unsupported → loud."""
+    m = encode_grib2_message(np.ones((2, 2)), reference_value=0.0)
+    # Graft a second copy of sections 4..7 before the terminator.
+    import struct as _s
+
+    pos, secs = 16, {}
+    while pos < len(m) - 4:
+        ln, num = _s.unpack_from(">IB", m, pos)
+        secs[num] = (pos, ln)
+        pos += ln
+    start = secs[4][0]
+    end = secs[7][0] + secs[7][1]
+    doubled = m[:end] + m[start:end] + m[end:]
+    # Patch section-0 total length (64-bit at offset 8).
+    doubled = doubled[:8] + _s.pack(">Q", len(doubled)) + doubled[16:]
+    with pytest.raises(ValueError, match="repeated section"):
+        decode_grib2(doubled)
+    with pytest.raises(ValueError, match="repeated section"):
+        inventory_line(doubled)
+
+
+def test_zero_length_section_raises_not_hangs():
+    m = encode_grib2_message(np.ones((2, 2)), reference_value=0.0)
+    bad = m[:16] + b"\x00\x00\x00\x00\x01" + m[21:]
+    with pytest.raises(ValueError, match="malformed section"):
+        decode_grib2(bad)
+
+
+def test_unsupported_scanning_mode_rejected():
+    import struct as _s
+
+    m = encode_grib2_message(np.ones((2, 3)), reference_value=0.0)
+    pos = 16
+    while True:
+        ln, num = _s.unpack_from(">IB", m, pos)
+        if num == 3:
+            break
+        pos += ln
+    scan_off = pos + 14 + 57  # section header+tmpl-number → template octet 57
+    bad = m[:scan_off] + bytes([0x40]) + m[scan_off + 1 :]
+    with pytest.raises(ValueError, match="scanning mode"):
+        decode_grib2(bad)
