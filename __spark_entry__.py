@@ -31,8 +31,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages after round 6: r2 cohort (~48 relational names, oldest),
 # then r3 (streaming/grid/ts, ~30), r4 (ts/text, ~25), r5, r6.  Round 7
-# takes the 9 never-witnessed r6 stragglers + 9 new r7 queries + 3
-# r7-changed + 29 of the r2 cohort; the 19 r2 leftovers named at the
+# takes the 9 never-witnessed r6 stragglers + 10 new r7 queries + 3
+# r7-changed + 28 of the r2 cohort; the 20 r2 leftovers named at the
 # bottom lead round 8's window ahead of the r3 cohort, keeping every
 # cohort's evidence younger than ~4 rounds.  Every entry outside the
 # window stays locally oracle-checked each session
@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_match_decode",
     "grid_grib1_landing_scan",
     "stream_psi_drift",
+    "stream_grib1_anomaly_pipeline",
     "dq_schema_profile_drift",
     "sketch_quantile_histogram",
     "sketch_hll_distinct",
@@ -66,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_census_indexed",
     "knn_ivf_partitioned",
     "agg_incremental_maintenance",
-    # --- 3. oldest cohort: round-2 relational core (29 of 48) ---
+    # --- 3. oldest cohort: round-2 relational core (28 of 48) ---
     "agg_collect_sorted",
     "agg_cube",
     "agg_grouping_sets",
@@ -95,9 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q21_late_suppliers",
     "q22_idle_customers",
-    "q2_min_price_supplier",
-    # --- round-8 queue, in order: the 19 r2 leftovers
-    #     (q3_shipping_priority, q4_order_priority, q6_forecast_revenue,
+    # --- round-8 queue, in order: the 20 r2 leftovers
+    #     (q2_min_price_supplier, q3_shipping_priority, q4_order_priority, q6_forecast_revenue,
     #     q7_volume_shipping, q9_profit_by_nation,
     #     scalar_conditional_hash, scalar_datetime,
     #     scalar_math, scalar_strings, set_except, set_intersect, set_union_all,

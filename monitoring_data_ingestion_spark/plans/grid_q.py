@@ -1432,6 +1432,54 @@ _LANDING_NJ = 6
 _LANDING_PARAMS = (11, 61)
 
 
+def ensure_grib1_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Write the shared 12-month GRIB1 landing directory once per
+    session (atomic per-file temp+rename, the reference's download
+    discipline) and return its path. Used by the batch landing scan AND
+    the streaming anomaly pipeline — one landing, two engines."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..grid.grib1 import encode_grib1_message
+    from .catalog import session_cache_suffix
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_grib_landing_{session_cache_suffix(spark, sf_dir)}",
+    )
+    complete = os.path.join(base, "_complete")
+    landing = os.path.join(base, "landing")
+    if not os.path.exists(complete):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(landing)
+        i = np.arange(_LANDING_NI)[None, :]
+        j = np.arange(_LANDING_NJ)[:, None]
+        for m in range(_LANDING_MONTHS):
+            msgs = []
+            for p, param in enumerate(_LANDING_PARAMS):
+                v = 100 + 50 * p + 2 * ((m * 17 + p * 23 + i * 3 + j * 5) % 50)
+                msgs.append(
+                    encode_grib1_message(
+                        v.astype(np.float64),
+                        parameter=param,
+                        reftime=(2020, m + 1, 1, 0, 0),
+                        reference_value=float(100 + 50 * p),
+                        binary_scale=1,
+                        nbits=8,
+                    )
+                )
+            tmp = os.path.join(landing, f".era5_2020_{m + 1:02d}.grib.tmp")
+            with open(tmp, "wb") as f:
+                f.write(b"".join(msgs))
+            os.rename(tmp, os.path.join(landing, f"era5_2020_{m + 1:02d}.grib"))
+        open(complete, "w").close()
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return landing
+
+
 @query(
     "grid_grib1_landing_scan",
     tags=("grid", "codec", "python", "ingest", "agg"),
@@ -1473,50 +1521,9 @@ def grid_grib1_landing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the archive's natural work unit; only aggregated rows shuffle.
     Fixture-independent (the landing is the engine's own data model).
     """
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    import numpy as np
-
-    from ..grid.grib1 import encode_grib1_message
     from ..sources.grib_source import grib1_cells, grib1_records
-    from .catalog import session_cache_suffix
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"mdi_grib_landing_{session_cache_suffix(spark, sf_dir)}",
-    )
-    complete = os.path.join(base, "_complete")
-    if not os.path.exists(complete):
-        shutil.rmtree(base, ignore_errors=True)
-        landing = os.path.join(base, "landing")
-        os.makedirs(landing)
-        i = np.arange(_LANDING_NI)[None, :]
-        j = np.arange(_LANDING_NJ)[:, None]
-        for m in range(_LANDING_MONTHS):
-            msgs = []
-            for p, param in enumerate(_LANDING_PARAMS):
-                v = 100 + 50 * p + 2 * ((m * 17 + p * 23 + i * 3 + j * 5) % 50)
-                msgs.append(
-                    encode_grib1_message(
-                        v.astype(np.float64),
-                        parameter=param,
-                        reftime=(2020, m + 1, 1, 0, 0),
-                        reference_value=float(100 + 50 * p),
-                        binary_scale=1,
-                        nbits=8,
-                    )
-                )
-            tmp = os.path.join(landing, f".era5_2020_{m + 1:02d}.grib.tmp")
-            with open(tmp, "wb") as f:
-                f.write(b"".join(msgs))
-            os.rename(tmp, os.path.join(landing, f"era5_2020_{m + 1:02d}.grib"))
-        open(complete, "w").close()
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-
-    cells = grib1_cells(grib1_records(spark, os.path.join(base, "landing")))
+    cells = grib1_cells(grib1_records(spark, ensure_grib1_landing(spark, sf_dir)))
     return (
         cells.groupBy("month", "parameter")
         .agg(
