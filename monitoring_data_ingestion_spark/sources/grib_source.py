@@ -38,48 +38,93 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 RECORD_SCHEMA = (
-    "path string, record_number int, parameter int, level_type int, "
-    "level int, year int, month int, day int, hour int, "
+    "path string, record_number int, edition int, parameter int, "
+    "level_type int, level int, year int, month int, day int, hour int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, values array<double>"
 )
 
 
+def iter_grib_messages(buf: bytes):
+    """Edition-sniffing scan of a (possibly mixed) GRIB archive file:
+    yields (edition, message bytes) per record. Real archives mix
+    editions across products (ERA5 surface vs wave, GFS), so the landing
+    scan dispatches per message on the indicator's edition octet rather
+    than assuming one codec per file."""
+    buf = bytes(buf)
+    from ..grid import grib1, grib2
+
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        idx = buf.find(b"GRIB", pos)
+        if idx < 0:
+            return
+        edition = buf[idx + 7] if idx + 8 <= n else None
+        if edition == 1:
+            msg = next(grib1.iter_messages(buf[idx:]))
+        elif edition == 2:
+            msg = next(grib2.iter_messages2(buf[idx:]))
+        else:
+            raise ValueError(f"unsupported GRIB edition {edition}")
+        yield edition, msg
+        pos = idx + len(msg)
+
+
 def _decode_batches(batches: "Iterator") -> "Iterator":
     import pandas as pd
 
-    from ..grid.grib1 import decode_grib1, iter_messages
+    from ..grid.grib1 import decode_grib1
+    from ..grid.grib2 import decode_grib2
 
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for n, msg in enumerate(iter_messages(bytes(content)), start=1):
-                rec = decode_grib1(msg)
+            for n, (edition, msg) in enumerate(
+                iter_grib_messages(bytes(content)), start=1
+            ):
+                if edition == 1:
+                    rec = decode_grib1(msg)
+                    level_type, level = rec.level_type, rec.level
+                    parameter = rec.parameter
+                    lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
+                    dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
+                else:
+                    rec = decode_grib2(msg)
+                    # GRIB2 parameters are (category, number) pairs;
+                    # fold to category*1000+number so one integer column
+                    # serves both editions. Microdegrees → millidegrees
+                    # (exact for the supported whole-millidegree grids).
+                    level_type, level = 0, 0
+                    parameter = rec.category * 1000 + rec.number
+                    lat0, lon0 = rec.lat_first_udeg // 1000, rec.lon_first_udeg // 1000
+                    dlat, dlon = rec.dlat_udeg // 1000, rec.dlon_udeg // 1000
                 rows.append(
                     {
                         "path": path,
                         "record_number": n,
-                        "parameter": rec.parameter,
-                        "level_type": rec.level_type,
-                        "level": rec.level,
+                        "edition": edition,
+                        "parameter": parameter,
+                        "level_type": level_type,
+                        "level": level,
                         "year": rec.reftime[0],
                         "month": rec.reftime[1],
                         "day": rec.reftime[2],
                         "hour": rec.reftime[3],
                         "ni": rec.ni,
                         "nj": rec.nj,
-                        "lat_first_mdeg": rec.lat_first_mdeg,
-                        "lon_first_mdeg": rec.lon_first_mdeg,
-                        "dlat_mdeg": rec.dlat_mdeg,
-                        "dlon_mdeg": rec.dlon_mdeg,
+                        "lat_first_mdeg": lat0,
+                        "lon_first_mdeg": lon0,
+                        "dlat_mdeg": dlat,
+                        "dlon_mdeg": dlon,
                         "values": rec.values.reshape(-1).tolist(),
                     }
                 )
         yield pd.DataFrame(
             rows,
             columns=[
-                "path", "record_number", "parameter", "level_type", "level",
-                "year", "month", "day", "hour", "ni", "nj",
+                "path", "record_number", "edition", "parameter", "level_type",
+                "level", "year", "month", "day", "hour", "ni", "nj",
                 "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
                 "values",
             ],

@@ -125,3 +125,31 @@ def test_late_file_is_picked_up_incrementally(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == 4
     assert sorted(r["month"] for r in after.collect()) == [1, 2, 3, 4]
+
+
+def test_mixed_edition_landing_decodes_both(spark, tmp_path):
+    """Real archives mix GRIB editions across products — the landing
+    scan must dispatch per message on the indicator's edition octet.
+    One file holds a GRIB1 and a GRIB2 record back to back."""
+    from monitoring_data_ingestion_spark.grid.grib2 import encode_grib2_message
+    from monitoring_data_ingestion_spark.sources.grib_source import iter_grib_messages
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v1 = np.arange(12, dtype=np.float64).reshape(3, 4)
+    m1 = encode_grib1_message(v1, parameter=11, reference_value=0.0, nbits=8)
+    v2 = 10.0 + np.arange(12, dtype=np.float64).reshape(3, 4)
+    m2 = encode_grib2_message(v2, category=3, number=7, reference_value=0.0, nbits=8)
+    with open(os.path.join(landing, "mixed.grib"), "wb") as f:
+        f.write(m1 + m2)
+    assert [e for e, _ in iter_grib_messages(m1 + m2)] == [1, 2]
+    rows = grib1_records(spark, landing).orderBy("record_number").collect()
+    assert [r["edition"] for r in rows] == [1, 2]
+    assert rows[0]["parameter"] == 11
+    assert rows[1]["parameter"] == 3 * 1000 + 7  # folded (category, number)
+    assert rows[0]["values"][:3] == [0.0, 1.0, 2.0]
+    assert rows[1]["values"][:3] == [10.0, 11.0, 12.0]
+    # Both georeference identically after the unit fold (µdeg → mdeg).
+    assert rows[0]["lat_first_mdeg"] == rows[1]["lat_first_mdeg"] == 90_000
+    cells = grib1_cells(grib1_records(spark, landing))
+    assert cells.count() == 24
