@@ -1714,7 +1714,16 @@ SELECT '{scope}' AS scope, s.* FROM (
     FROM h GROUP BY bucket
   ),
   stat AS (
-    SELECT COUNT(*) AS n_regs, SUM(POWER(2.0, -rho)) AS ssum FROM regs
+    -- Exact-integer register sum: 2^-rho scaled by 2^49 is an integer
+    -- <= 2^48 per register (rho >= 1), so the SUM is exact BIGINT
+    -- arithmetic in ANY addition order; the single int->double
+    -- conversion after the sum rounds identically on both engines.
+    -- A plain SUM(POWER(2,-rho)) of doubles is order-dependent once
+    -- partial sums need > 53 mantissa bits.
+    SELECT COUNT(*) AS n_regs,
+           CAST(SUM(CAST(POWER(2.0, 49 - rho) AS BIGINT)) AS DOUBLE)
+             / POWER(2.0, 49) AS ssum
+    FROM regs
   ),
   ex AS (SELECT COUNT(DISTINCT {expr}) AS n_exact FROM events)
   SELECT CAST({HLL_M} AS BIGINT) AS m,
@@ -1789,9 +1798,18 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rho")
         )
+        # Exact-integer register sum (see the oracle comment): 2^(49-rho)
+        # is an integer per register, the BIGINT sum is order-invariant,
+        # and one post-sum int->double conversion is IEEE-identical on
+        # both engines — a double SUM(2^-rho) would be addition-order-
+        # dependent past 53 mantissa bits of partial sum.
         stat = regs.agg(
             F.count(F.lit(1)).alias("n_regs"),
-            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ssum"),
+            (
+                F.sum(F.pow(F.lit(2.0), 49 - F.col("rho")).cast("bigint"))
+                .cast("double")
+                / F.pow(F.lit(2.0), 49)
+            ).alias("ssum"),
         )
         ex = h.agg(F.count_distinct("k").alias("n_exact"))
         alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / HLL_M)
