@@ -51,24 +51,33 @@ def iter_grib_messages(buf: bytes):
     editions across products (ERA5 surface vs wave, GFS), so the landing
     scan dispatches per message on the indicator's edition octet rather
     than assuming one codec per file."""
-    buf = bytes(buf)
-    from ..grid import grib1, grib2
+    import struct
 
+    buf = bytes(buf)
     pos = 0
     n = len(buf)
     while pos < n:
         idx = buf.find(b"GRIB", pos)
         if idx < 0:
             return
-        edition = buf[idx + 7] if idx + 8 <= n else None
+        if idx + 16 > n:
+            raise ValueError("truncated GRIB indicator section")
+        edition = buf[idx + 7]
+        # Parse the message length in place — slicing the remaining
+        # buffer per record would copy O(n²) bytes on many-record files.
         if edition == 1:
-            msg = next(grib1.iter_messages(buf[idx:]))
+            total = (buf[idx + 4] << 16) | (buf[idx + 5] << 8) | buf[idx + 6]
         elif edition == 2:
-            msg = next(grib2.iter_messages2(buf[idx:]))
+            (total,) = struct.unpack_from(">Q", buf, idx + 8)
         else:
             raise ValueError(f"unsupported GRIB edition {edition}")
-        yield edition, msg
-        pos = idx + len(msg)
+        end = idx + total
+        if end > n:
+            raise ValueError("truncated GRIB message")
+        if buf[end - 4 : end] != b"7777":
+            raise ValueError("missing 7777 terminator")
+        yield edition, buf[idx:end]
+        pos = end
 
 
 def _decode_batches(batches: "Iterator") -> "Iterator":
