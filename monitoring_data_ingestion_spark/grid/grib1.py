@@ -17,8 +17,9 @@ Implemented surface (WMO FM 92-VIII Ext. GRIB edition 1):
   flags for GDS/BMS, signed decimal scale factor D.
 * Section 2 (GDS): regular latitude/longitude grid (data representation
   type 0): Ni×Nj shape, first/last lat/lon in millidegrees
-  (signed-magnitude 24-bit), increments, scanning mode 0 (+i, −j, row
-  major — north row first, the ERA5 layout).
+  (signed-magnitude 24-bit), increments, scanning modes 0x00 (+i, −j,
+  row major — north row first, the ERA5 layout) and 0x40 (+j, south row
+  first — regional products; normalized to north-first on decode).
 * Section 3 (BMS): optional bitmap, one bit per cell, MSB first.
 * Section 4 (BDS): simple packing — signed binary scale factor E, IBM
   System/370 32-bit float reference value R, ``nbits``-wide big-endian
@@ -259,22 +260,33 @@ def encode_grib1_message(
     nbits: int = 16,
     bitmap: np.ndarray | None = None,
     reference_value: float | None = None,
+    scanning_mode: int = 0x00,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
-    ``bitmap`` (bool, same shape; False = missing) adds a BMS and packs
-    only present cells. ``reference_value`` defaults to the scaled
-    minimum of the present cells (the standard choice); pass it
-    explicitly to pin R for bit-exact closed-form oracles."""
+    ``values`` row 0 is ALWAYS the northernmost row (``lat_first_mdeg``)
+    regardless of ``scanning_mode``; mode 0x40 (+j, south row first —
+    common in regional products) stores the rows bottom-up with La1 =
+    the southern edge, so encode→decode round-trips to the same
+    normalized north-first grid. ``bitmap`` (bool, same shape; False =
+    missing) adds a BMS and packs only present cells.
+    ``reference_value`` defaults to the scaled minimum of the present
+    cells (the standard choice); pass it explicitly to pin R for
+    bit-exact closed-form oracles."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
+    if scanning_mode not in (0x00, 0x40):
+        raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
     nj, ni = vals.shape
+    bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
+    if bm is not None and bm.shape != vals.shape:
+        raise ValueError("bitmap shape must match values")
+    if scanning_mode == 0x40:  # store rows south-first
+        vals = vals[::-1]
+        bm = None if bm is None else bm[::-1]
     present = vals.reshape(-1)
-    if bitmap is not None:
-        bm = np.asarray(bitmap, dtype=bool)
-        if bm.shape != vals.shape:
-            raise ValueError("bitmap shape must match values")
+    if bm is not None:
         present = present[bm.reshape(-1)]
     r_bytes, r, x = quantize_simple_packing(
         present,
@@ -321,19 +333,24 @@ def encode_grib1_message(
     )
     pds = _u24(3 + len(pds)) + pds
 
+    lat_south = lat_first_mdeg - (nj - 1) * dlat_mdeg
+    la1, la2 = (
+        (lat_south, lat_first_mdeg) if scanning_mode == 0x40
+        else (lat_first_mdeg, lat_south)
+    )
     gds = (
         bytes([0, 255])  # NV=0, PV=255 (none)
         + bytes([_GRID_LATLON])
         + ni.to_bytes(2, "big")
         + nj.to_bytes(2, "big")
-        + _s24(lat_first_mdeg)
+        + _s24(la1)
         + _s24(lon_first_mdeg)
         + bytes([0x80])  # resolution/component flags: increments given
-        + _s24(lat_first_mdeg - (nj - 1) * dlat_mdeg)
+        + _s24(la2)
         + _s24(lon_first_mdeg + (ni - 1) * dlon_mdeg)
         + dlon_mdeg.to_bytes(2, "big")
         + dlat_mdeg.to_bytes(2, "big")
-        + bytes([0x00])  # scanning mode: +i, −j, row major
+        + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
         + bytes(4)  # reserved padding to the 32-byte layout
     )
     gds = _u24(3 + len(gds)) + gds
@@ -341,10 +358,14 @@ def encode_grib1_message(
     bms = b""
     if bitmap is not None:
         bm_bits = np.packbits(bm.reshape(-1).astype(np.uint8)).tobytes()
-        bm_unused = (8 - (bm.size % 8)) % 8
-        body = bytes([bm_unused]) + bytes([0, 0]) + bm_bits
-        pad = len(body) % 2  # BMS length must be even
-        bms = _u24(3 + len(body) + pad) + body + bytes(pad)
+        pad = (3 + 3 + len(bm_bits)) % 2  # BMS length must be even
+        # The unused-bits octet covers BOTH the sub-byte packing slack
+        # AND the even-length pad byte — same accounting as the BDS — so
+        # a reader deriving the bitmap bit count from (len − 6)·8 −
+        # unused sees exactly ni·nj bits, never 8 spurious trailing ones.
+        bm_unused = (8 - (bm.size % 8)) % 8 + 8 * pad
+        body = bytes([bm_unused]) + bytes([0, 0]) + bm_bits + bytes(pad)
+        bms = _u24(3 + len(body)) + body
 
     bds_body = (
         bytes([(0 << 4) | unused])  # flags: simple packing, grid point
@@ -475,14 +496,16 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     nj = int.from_bytes(gds[8:10], "big")
     lat_first = _rs24(gds, 10)
     lon_first = _rs24(gds, 13)
-    # Silent geography corruption is worse than a loud stop: a non-zero
-    # scanning mode (e.g. 0x40 = +j, south row first — common in
-    # regional products) reorders the cells, and unset resolution flags
-    # mean the increment fields are not given. Reject both rather than
-    # decode with wrong coordinates.
-    if gds[27] != 0:
+    # Silent geography corruption is worse than a loud stop: an
+    # unsupported scanning mode reorders the cells, and unset resolution
+    # flags mean the increment fields are not given. Mode 0x40 (+j,
+    # south row first — common in regional products) is a pure row
+    # reorder and IS supported: the record normalizes to the engine's
+    # +i,−j north-first view (rows flipped, lat_first = northern edge).
+    scan = gds[27]
+    if scan not in (0x00, 0x40):
         raise ValueError(
-            f"unsupported scanning mode 0x{gds[27]:02x} (only +i,-j row-major)"
+            f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
         )
     if not gds[16] & 0x80:
         raise ValueError("direction increments not given (resolution flags)")
@@ -526,6 +549,10 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         values[bitmap] = present_vals
     else:
         values = present_vals
+    values = values.reshape(nj, ni)
+    if scan == 0x40:  # south-first storage → normalize to north-first
+        values = values[::-1]
+        lat_first = lat_first + (nj - 1) * dlat  # La1 was the southern edge
     return Grib1Record(
         parameter=parameter,
         level_type=level_type,
@@ -541,5 +568,5 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         binary_scale=binary_scale,
         reference_value=r,
         nbits=nbits,
-        values=values.reshape(nj, ni),
+        values=values,
     )

@@ -14,12 +14,19 @@ the ``wgrib`` edition-1 path:
   10^-6 resolution vs GRIB1's millidegrees), scanning mode 0.
 * Section 4 (Product definition, template 4.0): parameter category +
   number, the pair wgrib2 inventory strings name.
-* Section 5 (Data representation, template 5.0): simple packing with an
-  IEEE 754 binary32 reference value (GRIB2 dropped GRIB1's IBM float),
-  signed-magnitude binary/decimal scale factors, nbits.
+* Section 5 (Data representation): template 5.0 (simple packing with an
+  IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
+  signed-magnitude binary/decimal scale factors, nbits), template 5.2
+  (complex packing: general group splitting with per-group reference/
+  width, optional missing-value management 1 — in-data all-ones
+  substitution instead of a bitmap), and template 5.3 (complex packing
+  with first- or second-order spatial differencing — the packing GFS
+  and most operational GRIB2 archives actually use).
 * Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present.
 * Section 7 (Data): big-endian bit-packed increments,
-  Y = (R + X·2^E) / 10^D — the same simple-packing formula as GRIB1.
+  Y = (R + X·2^E) / 10^D — the same simple-packing formula as GRIB1;
+  templates 7.2/7.3 carry grouped increments (+ initial values and the
+  difference minimum for 7.3) as laid out in _build_complex_s57.
 * Section 8: "7777".
 
 Record matching parity: :func:`inventory_line` renders a wgrib2-style
@@ -106,6 +113,301 @@ class Grib2Record:
     reference_value: float
     nbits: int
     values: np.ndarray  # (nj, ni) float64, NaN where the bitmap masks
+    # Template 4.0 first fixed surface (None when coded missing 0xFF):
+    level_type: int | None = None
+    level_scale: int | None = None
+    level_value: int | None = None
+    packing_template: int = 0  # data representation template (5.N)
+
+
+# --- complex packing (templates 5.2 / 5.3) --------------------------------
+#
+# Layout per WMO FM 92 GRIB2 and mirrored by NCEP's public g2clib
+# (comunpack/compack): section 7 holds, in order, [5.3 only: the
+# ``order`` initial scaled values then the overall minimum of the
+# differences, each ``ww`` octets signed-magnitude], then NG group
+# reference values (``nbits`` each, byte-aligned after the run), NG
+# group-width increments (``wbits`` each, byte-aligned), NG scaled
+# group lengths (``len_bits`` each, byte-aligned; the LAST group's
+# length always comes from the template's true-length field), then
+# every group's values packed CONTINUOUSLY at that group's width.
+# Missing-value management 1 reserves the all-ones pattern at group
+# width (and, for width-0 groups, the all-ones group reference) as the
+# primary-missing marker.
+
+_PRIMARY_MISSING_SUBSTITUTE = 9.999e20  # conventional float substitute
+
+
+def _pack_varwidth(chunks) -> bytes:
+    """Pack (uint64 array, width) runs into one continuous big-endian
+    bit stream (no alignment between runs), zero-padded to a byte."""
+    bit_arrays = []
+    for vals, w in chunks:
+        if w == 0 or len(vals) == 0:
+            continue
+        v = vals.astype(np.uint64)
+        b = np.zeros(len(v) * w, dtype=np.uint8)
+        for k in range(w):
+            b[k::w] = (v >> np.uint64(w - 1 - k)) & np.uint64(1)
+        bit_arrays.append(b)
+    if not bit_arrays:
+        return b""
+    return np.packbits(np.concatenate(bit_arrays)).tobytes()
+
+
+def _signed_magnitude(v: int, width: int) -> bytes:
+    mag = abs(int(v))
+    if mag >= 1 << (8 * width - 1):
+        raise ValueError("signed-magnitude field overflow")
+    b = bytearray(mag.to_bytes(width, "big"))
+    if v < 0:
+        b[0] |= 0x80
+    return bytes(b)
+
+
+def _build_complex_s57(
+    x: np.ndarray,
+    missing: np.ndarray | None,
+    r_bytes: bytes,
+    binary_scale: int,
+    decimal_scale: int,
+    group_len: int,
+    spatial_order: int,
+) -> tuple[bytes, bytes]:
+    """Build the (section 5 body, section 7 body) byte pair for complex
+    packing. ``x`` is the full int64 increment array (one entry per
+    packed point; entries at ``missing`` positions are ignored);
+    ``spatial_order`` 0 → template 5.2, 1/2 → 5.3."""
+    n = len(x)
+    if group_len < 1:
+        raise ValueError("group_len must be >= 1")
+    x = x.astype(np.int64).copy()
+    tmpl = 2 if spatial_order == 0 else 3
+    extra = b""
+    ww = 0
+    if spatial_order:
+        if missing is not None:
+            raise ValueError(
+                "spatial differencing with missing-value management is not supported"
+            )
+        if n < spatial_order:
+            raise ValueError("not enough points for spatial differencing")
+        if spatial_order == 1:
+            ivals = [int(x[0])]
+            x[1:] = np.diff(x)
+            x[0] = 0
+        else:
+            ivals = [int(x[0]), int(x[1])]
+            x[2:] = x[2:] - 2 * x[1:-1] + x[:-2] if n > 2 else x[2:]
+            x[0] = 0
+            x[1] = 0
+        gmin = int(x.min()) if n else 0
+        x -= gmin
+        ww = 1
+        while any(abs(v) >= 1 << (8 * ww - 1) for v in ivals + [gmin]):
+            ww += 1
+        extra = b"".join(_signed_magnitude(v, ww) for v in ivals + [gmin])
+
+    starts = list(range(0, n, group_len))
+    ng = len(starts)
+    refs = np.zeros(ng, dtype=np.int64)
+    widths = np.zeros(ng, dtype=np.int64)
+    group_vals: list[tuple[np.ndarray, int]] = []
+    all_missing = np.zeros(ng, dtype=bool)
+    for gi, s0 in enumerate(starts):
+        sl = slice(s0, min(s0 + group_len, n))
+        gx = x[sl]
+        gm = missing[sl] if missing is not None else None
+        if gm is not None and gm.all():
+            all_missing[gi] = True
+            group_vals.append((np.zeros(0, dtype=np.uint64), 0))
+            continue
+        pres = gx if gm is None else gx[~gm]
+        ref = int(pres.min())
+        maxd = int(pres.max()) - ref
+        w = maxd.bit_length()
+        if gm is not None and gm.any():
+            w = max(w, 1)
+            while maxd >= (1 << w) - 1:  # all-ones is the missing marker
+                w += 1
+            vals = np.where(gm, (1 << w) - 1, gx - ref)
+        elif gm is not None:
+            # mvm is on: all-ones at group width is the missing marker in
+            # EVERY group (decoders can't know which groups carry missing)
+            # — bump the width when the max present delta collides.
+            while w and maxd >= (1 << w) - 1:
+                w += 1
+            vals = gx - ref
+        else:
+            vals = gx - ref
+        refs[gi] = ref
+        widths[gi] = w
+        group_vals.append((vals.astype(np.uint64), w))
+
+    real_refs = refs[~all_missing]
+    max_ref = int(real_refs.max()) if len(real_refs) else 0
+    nbits_ref = max(max_ref.bit_length(), 1)
+    if all_missing.any():
+        while max_ref >= (1 << nbits_ref) - 1:  # reserve the all-ones marker
+            nbits_ref += 1
+        refs[all_missing] = (1 << nbits_ref) - 1
+    wref = int(widths.min()) if ng else 0
+    wbits = int(int(widths.max()) - wref).bit_length() if ng else 0
+    len_ref = group_len
+    len_bits = 0  # every group is group_len; the last comes from true-length
+    true_last = (n - starts[-1]) if ng else 0
+
+    mvm = 0 if missing is None else 1
+    if mvm:
+        sub1 = struct.pack(">f", _PRIMARY_MISSING_SUBSTITUTE)
+    else:
+        sub1 = b"\xff\xff\xff\xff"
+    s5_body = (
+        struct.pack(">I", n)
+        + struct.pack(">H", tmpl)
+        + r_bytes
+        + _s16be(binary_scale)
+        + _s16be(decimal_scale)
+        + bytes([nbits_ref])
+        + bytes([0])  # original field type: float
+        + bytes([1])  # group splitting method: general
+        + bytes([mvm])
+        + sub1
+        + b"\xff\xff\xff\xff"  # secondary substitute (none)
+        + struct.pack(">I", ng)
+        + bytes([wref])
+        + bytes([wbits])
+        + struct.pack(">I", len_ref)
+        + bytes([1])  # group length increment
+        + struct.pack(">I", true_last)
+        + bytes([len_bits])
+    )
+    if tmpl == 3:
+        s5_body += bytes([spatial_order, ww])
+
+    s7_body = (
+        extra
+        + _pack_varwidth([(refs.astype(np.uint64), nbits_ref)])
+        + _pack_varwidth([((widths - wref).astype(np.uint64), wbits)])
+        + _pack_varwidth([(np.zeros(ng, dtype=np.uint64), len_bits)])
+        + _pack_varwidth(group_vals)
+    )
+    return s5_body, s7_body
+
+
+def _decode_complex_s7(
+    s5: bytes, s7: bytes, tmpl5: int, n_points: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a template 7.2/7.3 data section against its 5.2/5.3
+    descriptor → (int64 increment array X, missing bool mask), both
+    length ``n_points``. Spatial differencing (7.3) is integrated here;
+    the caller applies Y = (R + X·2^E)/10^D."""
+    nbits_ref = s5[19]
+    mvm = s5[22]
+    if mvm not in (0, 1):
+        raise ValueError(f"unsupported missing value management {mvm}")
+    (ng,) = struct.unpack_from(">I", s5, 31)
+    wref = s5[35]
+    wbits = s5[36]
+    (len_ref,) = struct.unpack_from(">I", s5, 37)
+    len_inc = s5[41]
+    (true_last,) = struct.unpack_from(">I", s5, 42)
+    len_bits = s5[46]
+    order = ww = 0
+    if tmpl5 == 3:
+        order, ww = s5[47], s5[48]
+        if order not in (1, 2):
+            raise ValueError(f"unsupported spatial differencing order {order}")
+        if mvm:
+            raise ValueError(
+                "spatial differencing with missing-value management is not supported"
+            )
+
+    data = s7[5:]
+    off = 0
+    ivals: list[int] = []
+    gmin = 0
+    if tmpl5 == 3:
+        if ww < 1:
+            raise ValueError("missing extra-descriptor width (ww)")
+        for _ in range(order + 1):
+            raw = int.from_bytes(data[off : off + ww], "big")
+            mag = raw & ((1 << (8 * ww - 1)) - 1)
+            ivals.append(-mag if raw >> (8 * ww - 1) else mag)
+            off += ww
+        gmin = ivals.pop()
+
+    allbits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    bitpos = off * 8
+
+    def take(count: int, width: int) -> np.ndarray:
+        nonlocal bitpos
+        if width == 0 or count == 0:
+            return np.zeros(count, dtype=np.int64)
+        end = bitpos + count * width
+        if end > len(allbits):
+            raise ValueError("truncated complex-packing data section")
+        seg = allbits[bitpos:end].reshape(count, width).astype(np.uint64)
+        bitpos = end
+        w = np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64)
+        return (seg @ w).astype(np.int64)
+
+    def align() -> None:
+        nonlocal bitpos
+        bitpos = (bitpos + 7) // 8 * 8
+
+    refs = take(ng, nbits_ref)
+    align()
+    widths = wref + take(ng, wbits)
+    align()
+    lengths = len_ref + len_inc * take(ng, len_bits)
+    align()
+    if ng:
+        lengths[-1] = true_last
+    if int(lengths.sum()) != n_points:
+        raise ValueError(
+            f"group lengths sum to {int(lengths.sum())}, expected {n_points}"
+        )
+
+    x = np.zeros(n_points, dtype=np.int64)
+    miss = np.zeros(n_points, dtype=bool)
+    ref_marker = (1 << nbits_ref) - 1
+    pos = 0
+    for gi in range(ng):
+        length, w, ref = int(lengths[gi]), int(widths[gi]), int(refs[gi])
+        if w == 0:
+            if mvm == 1 and ref == ref_marker:
+                miss[pos : pos + length] = True
+            else:
+                x[pos : pos + length] = ref
+        else:
+            vals = take(length, w)
+            if mvm == 1:
+                mm = vals == (1 << w) - 1
+                miss[pos : pos + length] = mm
+                vals = np.where(mm, 0, ref + vals)
+                x[pos : pos + length] = vals
+            else:
+                x[pos : pos + length] = ref + vals
+        pos += length
+
+    if tmpl5 == 3:
+        d = x + gmin  # entries below ``order`` are overwritten next
+        if order == 1:
+            x = np.empty(n_points, dtype=np.int64)
+            x[0] = ivals[0]
+            if n_points > 1:
+                x[1:] = ivals[0] + np.cumsum(d[1:])
+        else:
+            x = np.empty(n_points, dtype=np.int64)
+            x[0] = ivals[0]
+            if n_points > 1:
+                x[1] = ivals[1]
+            if n_points > 2:
+                # second differences → first differences → values
+                g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
+                x[2:] = ivals[1] + np.cumsum(g1)
+    return x, miss
 
 
 def encode_grib2_message(
@@ -124,29 +426,94 @@ def encode_grib2_message(
     nbits: int = 16,
     bitmap: np.ndarray | None = None,
     reference_value: float | None = None,
+    scanning_mode: int = 0x00,
+    level_type: int = 1,  # ground surface
+    level_scale: int = 0,
+    level_value: int = 0,
+    packing: str = "simple",
+    group_len: int = 20,
+    spatial_diff_order: int = 2,
+    missing_mask: np.ndarray | None = None,
 ) -> bytes:
-    """Encode a (nj, ni) grid as one GRIB2 message (templates 3.0/4.0/5.0)."""
+    """Encode a (nj, ni) grid as one GRIB2 message.
+
+    ``values`` row 0 is ALWAYS the northernmost row regardless of
+    ``scanning_mode`` (0x40 stores rows south-first — see grib1).
+    ``level_type``/``level_scale``/``level_value`` populate template
+    4.0's first fixed surface (type, scale factor, scaled value).
+
+    ``packing`` selects the data-representation template: ``"simple"``
+    (5.0), ``"complex"`` (5.2, general group splitting in fixed
+    ``group_len`` runs), or ``"complex_diff"`` (5.3 with
+    ``spatial_diff_order`` 1 or 2). ``missing_mask`` (bool, True =
+    missing; complex only) encodes missing points via missing-value
+    management 1 — in-data substitution instead of a section-6 bitmap."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
+    if scanning_mode not in (0x00, 0x40):
+        raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
+    if packing not in ("simple", "complex", "complex_diff"):
+        raise ValueError(f"unknown packing {packing!r}")
     nj, ni = vals.shape
+    bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
+    if bm is not None and bm.shape != vals.shape:
+        raise ValueError("bitmap shape must match values")
+    mm = None if missing_mask is None else np.asarray(missing_mask, dtype=bool)
+    if mm is not None:
+        if packing != "complex":
+            raise ValueError(
+                "missing_mask (missing-value management) requires packing='complex'"
+            )
+        if bm is not None:
+            raise ValueError("missing_mask and bitmap are mutually exclusive")
+        if mm.shape != vals.shape:
+            raise ValueError("missing_mask shape must match values")
+    if scanning_mode == 0x40:  # store rows south-first
+        vals = vals[::-1]
+        bm = None if bm is None else bm[::-1]
+        mm = None if mm is None else mm[::-1]
     present = vals.reshape(-1)
-    if bitmap is not None:
-        bm = np.asarray(bitmap, dtype=bool)
-        if bm.shape != vals.shape:
-            raise ValueError("bitmap shape must match values")
+    if bm is not None:
         present = present[bm.reshape(-1)]
+    mm_flat = None if mm is None else mm.reshape(-1)
+    if mm_flat is not None:
+        present = present[~mm_flat]
+    # Complex packing computes per-group widths — the caller's nbits
+    # only constrains the SIMPLE template; pass the quantizer a 64-bit
+    # ceiling otherwise.
+    q_nbits = nbits if packing == "simple" else 64
     r_bytes, r, x = quantize_simple_packing(
         present,
         decimal_scale,
         binary_scale,
-        nbits,
+        q_nbits,
         reference_value,
         _f32_encode,
         _f32_encode_floor,
         _f32_decode,
     )
-    packed = _pack_bits(x, nbits)
+    if packing == "simple":
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 0)  # data representation template 5.0
+            + r_bytes
+            + _s16be(binary_scale)
+            + _s16be(decimal_scale)
+            + bytes([nbits])
+            + bytes([0])  # original field type: float
+        )
+        s7_body = _pack_bits(x, nbits)
+    else:
+        if mm_flat is not None:
+            x_full = np.zeros(len(mm_flat), dtype=np.int64)
+            x_full[~mm_flat] = x.astype(np.int64)
+        else:
+            x_full = x.astype(np.int64)
+        order = 0 if packing == "complex" else spatial_diff_order
+        s5_body, s7_body = _build_complex_s57(
+            x_full, mm_flat, r_bytes, binary_scale, decimal_scale, group_len, order
+        )
 
     def section(number_: int, body: bytes) -> bytes:
         return struct.pack(">IB", 4 + 1 + len(body), number_) + body
@@ -166,14 +533,14 @@ def encode_grib2_message(
         + struct.pack(">I", nj)
         + struct.pack(">I", 0)  # basic angle
         + b"\xff\xff\xff\xff"  # subdivisions (missing)
-        + _s32be(lat_first_udeg)
+        + _s32be(lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg)
         + _s32be(lon_first_udeg)
-        + bytes([0x30])  # resolution/component flags: increments given
-        + _s32be(lat_first_udeg - (nj - 1) * dlat_udeg)
+        + bytes([0x30])  # resolution/component flags: both increments given
+        + _s32be(lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg)
         + _s32be(lon_first_udeg + (ni - 1) * dlon_udeg)
         + struct.pack(">I", dlon_udeg)
         + struct.pack(">I", dlat_udeg)
-        + bytes([0x00])  # scanning mode: +i, −j, row major
+        + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
     )
     s3 = section(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0]) + struct.pack(">H", 0) + tmpl30)
     s4 = section(
@@ -185,25 +552,17 @@ def encode_grib2_message(
         + bytes([0])  # minutes
         + bytes([1])  # time unit: hour
         + struct.pack(">I", 0)  # forecast time
-        + bytes([1, 0]) + struct.pack(">I", 0)  # fixed surface 1
+        + bytes([level_type & 0xFF, level_scale & 0xFF])
+        + struct.pack(">I", level_value)  # fixed surface 1
         + bytes([0xFF, 0xFF]) + b"\xff\xff\xff\xff",  # fixed surface 2 (missing)
     )
-    s5 = section(
-        5,
-        struct.pack(">I", len(present))
-        + struct.pack(">H", 0)  # data representation template 5.0
-        + r_bytes
-        + _s16be(binary_scale)
-        + _s16be(decimal_scale)
-        + bytes([nbits])
-        + bytes([0]),  # original field type: float
-    )
-    if bitmap is not None:
+    s5 = section(5, s5_body)
+    if bm is not None:
         bm_bits = np.packbits(bm.reshape(-1).astype(np.uint8)).tobytes()
         s6 = section(6, bytes([0]) + bm_bits)
     else:
         s6 = section(6, bytes([255]))
-    s7 = section(7, packed)
+    s7 = section(7, s7_body)
     body = s1 + s3 + s4 + s5 + s6 + s7
     total = 16 + len(body) + 4
     s0 = MAGIC + bytes([0, 0, discipline, EDITION]) + struct.pack(">Q", total)
@@ -278,26 +637,39 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     (nj,) = struct.unpack_from(">I", g, 20)
     lat_first = _rs32be(g, 32)
     lon_first = _rs32be(g, 36)
-    # Same loud-stop policy as grib1: a non-zero scanning mode reorders
-    # cells — decoding it as row-major +i,−j is silent geography
-    # corruption. Flag bit 0x20 of the resolution/component octet means
-    # the i/j increments are given; without it the Di/Dj fields are
-    # missing values.
-    if g[57] != 0:
+    # Same loud-stop policy as grib1: an unsupported scanning mode
+    # reorders cells — decoding it as row-major +i,−j is silent
+    # geography corruption; 0x40 (+j, south row first) is a pure row
+    # reorder and normalizes on decode. Resolution/component flags
+    # 0x20 AND 0x10 mean the i- and j-increments are given; if EITHER
+    # is unset that increment field holds the all-ones missing sentinel
+    # and dlat/dlon would decode as ~4.29e9 microdegrees — require both.
+    scan = g[57]
+    if scan not in (0x00, 0x40):
         raise ValueError(
-            f"unsupported scanning mode 0x{g[57]:02x} (only +i,-j row-major)"
+            f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
         )
-    if not g[40] & 0x30:
+    if (g[40] & 0x30) != 0x30:
         raise ValueError("direction increments not given (resolution flags)")
     (dlon,) = struct.unpack_from(">I", g, 49)
     (dlat,) = struct.unpack_from(">I", g, 53)
 
     s4 = s[4]
     category, number = s4[9], s4[10]
+    # Template 4.0 first fixed surface (octets 23-28): type, scale
+    # factor, scaled value — 0xFF / all-ones = missing → None, LOUDLY
+    # absent rather than a silent 0 a level filter would match.
+    level_type = s4[22] if s4[22] != 0xFF else None
+    if level_type is None or s4[23] == 0xFF:
+        level_scale = None
+    else:
+        level_scale = -(s4[23] & 0x7F) if s4[23] & 0x80 else s4[23]
+    (raw_lv,) = struct.unpack_from(">I", s4, 24)
+    level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 != 0:
+    if tmpl5 not in (0, 2, 3):
         raise ValueError(f"unsupported data representation template {tmpl5}")
     (n_present,) = struct.unpack_from(">I", s5, 5)
     (r,) = struct.unpack_from(">f", s5, 11)
@@ -314,19 +686,30 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         raise ValueError(f"unsupported bitmap indicator {s6[5]}")
 
     s7 = s[7]
-    if nbits:
-        x = _unpack_bits(s7[5:], n_present, nbits)
-        present_vals = (float(r) + x.astype(np.float64) * (2.0 ** binary_scale)) / (
-            10.0 ** decimal_scale
-        )
+    if tmpl5 == 0:
+        if nbits:
+            x = _unpack_bits(s7[5:], n_present, nbits)
+            present_vals = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:
+            present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
     else:
-        present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+        x, miss = _decode_complex_s7(s5, s7, tmpl5, n_present)
+        present_vals = (
+            float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+        ) / (10.0 ** decimal_scale)
+        present_vals[miss] = np.nan
 
     if bitmap is not None:
         values = np.full(ni * nj, np.nan)
         values[bitmap] = present_vals
     else:
         values = present_vals
+    values = values.reshape(nj, ni)
+    if scan == 0x40:  # south-first storage → normalize to north-first
+        values = values[::-1]
+        lat_first = lat_first + (nj - 1) * dlat  # La1 was the southern edge
     return Grib2Record(
         discipline=discipline,
         category=category,
@@ -342,7 +725,11 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         binary_scale=binary_scale,
         reference_value=float(r),
         nbits=nbits,
-        values=values.reshape(nj, ni),
+        values=values,
+        level_type=level_type,
+        level_scale=level_scale,
+        level_value=level_value,
+        packing_template=tmpl5,
     )
 
 

@@ -59,20 +59,26 @@ def session_cache_suffix(spark: SparkSession, sf_dir: str) -> str:
 
     Keys on the FULL normalized absolute fixture path, not its basename:
     two distinct fixture dirs sharing a basename (``/a/sf1`` vs
-    ``/b/sf1``) must never serve each other's index. A fingerprint of the
-    source files (name, size, mtime) is folded in so a fixture
-    regenerated IN PLACE mid-session invalidates the cache too. Folded
-    through md5 because it feeds a metastore table name (identifier
-    charset + length limits)."""
+    ``/b/sf1``) must never serve each other's index. A RECURSIVE
+    fingerprint of the source files (relative path, size, mtime) is
+    folded in so a fixture regenerated IN PLACE mid-session invalidates
+    the cache too — including files rewritten inside a subdirectory,
+    which leave the parent directory entry's mtime unchanged (a
+    top-level-only listing would serve a stale index for partitioned
+    fixtures). Folded through md5 because it feeds a metastore table
+    name (identifier charset + length limits)."""
     import hashlib
     import os
 
     full = os.path.abspath(os.path.normpath(sf_dir))
     h = hashlib.md5(full.encode())
     try:
-        for entry in sorted(os.listdir(full)):
-            st = os.stat(os.path.join(full, entry))
-            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns}".encode())
+        for root, dirs, files in os.walk(full):
+            dirs.sort()  # deterministic walk order
+            rel = os.path.relpath(root, full)
+            for name in sorted(files):
+                st = os.stat(os.path.join(root, name))
+                h.update(f"{rel}/{name}:{st.st_size}:{st.st_mtime_ns}".encode())
     except OSError:
         pass  # nonexistent dir: path-only key; the read will fail loudly
     digest = h.hexdigest()[:16]

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 RECORD_SCHEMA = (
     "path string, record_number int, edition int, parameter int, "
+    "category int, number int, "
     "level_type int, level int, year int, month int, day int, hour int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, values array<double>"
@@ -80,6 +81,38 @@ def iter_grib_messages(buf: bytes):
         pos = end
 
 
+def _udeg_to_mdeg(udeg: int) -> int:
+    """GRIB2 microdegrees → the unified millidegree columns, EXACTLY.
+    Sub-millidegree grids raise instead of silently truncating (floor
+    division would also round negative non-multiples away from zero)."""
+    q, rem = divmod(int(udeg), 1000)
+    if rem:
+        raise ValueError(
+            f"grid coordinate {udeg} µdeg is not a whole millidegree — "
+            "sub-millidegree GRIB2 grids are not representable in the "
+            "unified mdeg schema"
+        )
+    return q
+
+
+def _apply_surface_scale(value: int | None, scale: int | None) -> int | None:
+    """Template 4.0 fixed surface (scaled value, scale factor) → integer
+    level: level = value / 10^scale. NULL propagates; a non-integral
+    level raises loudly rather than rounding."""
+    if value is None:
+        return None
+    if not scale:  # None or 0
+        return int(value)
+    if scale > 0:
+        q, rem = divmod(int(value), 10 ** scale)
+        if rem:
+            raise ValueError(
+                f"fixed-surface value {value}·10^-{scale} is not a whole level"
+            )
+        return q
+    return int(value) * 10 ** (-scale)
+
+
 def _decode_batches(batches: "Iterator") -> "Iterator":
     import pandas as pd
 
@@ -96,24 +129,38 @@ def _decode_batches(batches: "Iterator") -> "Iterator":
                     rec = decode_grib1(msg)
                     level_type, level = rec.level_type, rec.level
                     parameter = rec.parameter
+                    category = number = None
                     lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
                     dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
                 else:
                     rec = decode_grib2(msg)
-                    # GRIB2 parameters are (category, number) pairs;
-                    # fold to category*1000+number so one integer column
-                    # serves both editions. Microdegrees → millidegrees
-                    # (exact for the supported whole-millidegree grids).
-                    level_type, level = 0, 0
-                    parameter = rec.category * 1000 + rec.number
-                    lat0, lon0 = rec.lat_first_udeg // 1000, rec.lon_first_udeg // 1000
-                    dlat, dlon = rec.dlat_udeg // 1000, rec.dlon_udeg // 1000
+                    # GRIB2 parameters are (category, number) pairs with
+                    # their own numbering — folding them into GRIB1's
+                    # parameter column would collide (c0,n11 vs GRIB1
+                    # TMP=11). Keep the raw pair in their own columns and
+                    # leave ``parameter`` NULL; consumers key jointly on
+                    # (edition, parameter, category, number).
+                    parameter = None
+                    category, number = rec.category, rec.number
+                    # Template 4.0 first fixed surface → the unified
+                    # level columns; coded-missing surfaces stay NULL
+                    # (a level filter must fail VISIBLY, not match 0).
+                    level_type = rec.level_type
+                    level = _apply_surface_scale(rec.level_value, rec.level_scale)
+                    lat0, lon0 = _udeg_to_mdeg(rec.lat_first_udeg), _udeg_to_mdeg(
+                        rec.lon_first_udeg
+                    )
+                    dlat, dlon = _udeg_to_mdeg(rec.dlat_udeg), _udeg_to_mdeg(
+                        rec.dlon_udeg
+                    )
                 rows.append(
                     {
                         "path": path,
                         "record_number": n,
                         "edition": edition,
                         "parameter": parameter,
+                        "category": category,
+                        "number": number,
                         "level_type": level_type,
                         "level": level,
                         "year": rec.reftime[0],
@@ -132,10 +179,10 @@ def _decode_batches(batches: "Iterator") -> "Iterator":
         yield pd.DataFrame(
             rows,
             columns=[
-                "path", "record_number", "edition", "parameter", "level_type",
-                "level", "year", "month", "day", "hour", "ni", "nj",
-                "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
-                "values",
+                "path", "record_number", "edition", "parameter", "category",
+                "number", "level_type", "level", "year", "month", "day",
+                "hour", "ni", "nj", "lat_first_mdeg", "lon_first_mdeg",
+                "dlat_mdeg", "dlon_mdeg", "values",
             ],
         )
 

@@ -232,15 +232,72 @@ def test_nan_without_bitmap_is_rejected():
 
 
 def test_unsupported_scanning_mode_rejected_not_misdecoded():
-    """r7 review: a non-zero scanning mode reorders cells — decoding it
-    row-major is silent geography corruption. Must raise."""
+    """r7 review: an unsupported scanning mode reorders cells — decoding
+    it row-major is silent geography corruption. Must raise. (0x40 is
+    supported since r8 — see the south-first round-trip tests.)"""
     good = encode_grib1_message(np.ones((2, 3)), reference_value=0.0)
     # GDS scanning-mode octet: 8 (IS) + pds_len + 3 (GDS len) + 24.
     pds_len = (good[8] << 16) | (good[9] << 8) | good[10]
     scan_off = 8 + pds_len + 27
-    bad = good[:scan_off] + bytes([0x40]) + good[scan_off + 1 :]
-    with pytest.raises(ValueError, match="scanning mode"):
-        decode_grib1(bad)
+    for mode in (0x80, 0x20, 0xC0, 0x10):  # −i / column-major / combos
+        bad = good[:scan_off] + bytes([mode]) + good[scan_off + 1 :]
+        with pytest.raises(ValueError, match="scanning mode"):
+            decode_grib1(bad)
+
+
+def test_south_first_scanning_mode_0x40_roundtrips_normalized():
+    """Scanning mode 0x40 (+j, south row first — regional products) is a
+    pure row reorder: encode stores rows bottom-up with La1 = the south
+    edge, decode normalizes back to the engine's north-first view with
+    lat_first = the NORTHERN edge — byte layout differs, semantics
+    identical."""
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 900, size=(5, 7)).astype(np.float64)
+    north = encode_grib1_message(v, reference_value=0.0, nbits=10)
+    south = encode_grib1_message(
+        v, reference_value=0.0, nbits=10, scanning_mode=0x40
+    )
+    assert north != south  # genuinely different byte layout
+    rn, rs = decode_grib1(north), decode_grib1(south)
+    assert np.array_equal(rn.values, rs.values)
+    assert rn.lat_first_mdeg == rs.lat_first_mdeg == 90_000
+    # The stored La1 really is the southern edge in the 0x40 message.
+    pds_len = (south[8] << 16) | (south[9] << 8) | south[10]
+    gds = south[8 + pds_len :]
+    la1 = ((gds[10] & 0x7F) << 16) | (gds[11] << 8) | gds[12]
+    assert la1 == 90_000 - 4 * 1_000
+    assert gds[27] == 0x40
+
+
+def test_south_first_with_bitmap_reorders_mask_consistently():
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    bm = np.ones((3, 4), dtype=bool)
+    bm[0, 1] = bm[2, 3] = False
+    rec = decode_grib1(
+        encode_grib1_message(v, reference_value=0.0, bitmap=bm, scanning_mode=0x40)
+    )
+    assert np.isnan(rec.values[0, 1]) and np.isnan(rec.values[2, 3])
+    assert np.array_equal(rec.values[bm], v[bm])
+
+
+def test_bms_pad_byte_counted_in_unused_bits():
+    """r8 advice: the BMS even-length pad byte's 8 bits must be folded
+    into the unused-bits octet (mirroring the BDS accounting), or a
+    spec-conformant reader deriving the bitmap bit count from
+    (len − 6)·8 − unused sees 8 spurious trailing bits."""
+    for ni in range(1, 18):
+        bm = np.ones((1, ni), dtype=bool)
+        msg = encode_grib1_message(
+            np.ones((1, ni)), reference_value=0.0, bitmap=bm
+        )
+        pds_len = (msg[8] << 16) | (msg[9] << 8) | msg[10]
+        gds_off = 8 + pds_len
+        gds_len = (msg[gds_off] << 16) | (msg[gds_off + 1] << 8) | msg[gds_off + 2]
+        bms_off = gds_off + gds_len
+        bms_len = (msg[bms_off] << 16) | (msg[bms_off + 1] << 8) | msg[bms_off + 2]
+        unused = msg[bms_off + 3]
+        assert bms_len % 2 == 0, ni
+        assert (bms_len - 6) * 8 - unused == ni, ni
 
 
 def test_bds_pad_byte_counted_in_unused_bits():

@@ -214,17 +214,233 @@ def test_zero_length_section_raises_not_hangs():
         decode_grib2(bad)
 
 
-def test_unsupported_scanning_mode_rejected():
+def _section3_offset(m: bytes) -> int:
     import struct as _s
 
-    m = encode_grib2_message(np.ones((2, 3)), reference_value=0.0)
     pos = 16
     while True:
         ln, num = _s.unpack_from(">IB", m, pos)
         if num == 3:
+            return pos
+        pos += ln
+
+
+def test_unsupported_scanning_mode_rejected():
+    m = encode_grib2_message(np.ones((2, 3)), reference_value=0.0)
+    scan_off = _section3_offset(m) + 14 + 57  # template octet 57
+    for mode in (0x80, 0x20, 0xC0, 0x10):
+        bad = m[:scan_off] + bytes([mode]) + m[scan_off + 1 :]
+        with pytest.raises(ValueError, match="scanning mode"):
+            decode_grib2(bad)
+
+
+def test_south_first_scanning_mode_0x40_roundtrips_normalized():
+    rng = np.random.default_rng(23)
+    v = rng.integers(0, 700, size=(4, 6)).astype(np.float64)
+    north = encode_grib2_message(v, reference_value=0.0, nbits=10)
+    south = encode_grib2_message(
+        v, reference_value=0.0, nbits=10, scanning_mode=0x40
+    )
+    assert north != south
+    rn, rs = decode_grib2(north), decode_grib2(south)
+    assert np.array_equal(rn.values, rs.values)
+    assert rn.lat_first_udeg == rs.lat_first_udeg == 90_000_000
+
+
+def test_single_resolution_flag_rejected_not_misdecoded():
+    """r8 advice (medium): with only ONE of the i/j increment-given
+    flags (0x20/0x10) set, the other increment field holds the all-ones
+    missing sentinel and coordinates silently decode as ~4.29e9 µdeg.
+    The guard must require BOTH flags."""
+    m = encode_grib2_message(np.ones((2, 3)), reference_value=0.0)
+    res_off = _section3_offset(m) + 14 + 40  # resolution/component octet
+    assert m[res_off] == 0x30
+    for flags in (0x20, 0x10, 0x00):
+        bad = m[:res_off] + bytes([flags]) + m[res_off + 1 :]
+        with pytest.raises(ValueError, match="increments"):
+            decode_grib2(bad)
+
+
+# --- complex packing (templates 5.2 / 5.3) --------------------------------
+
+
+def test_complex_packing_roundtrips_bit_exactly():
+    rng = np.random.default_rng(31)
+    v = rng.integers(0, 3000, size=(9, 13)).astype(np.float64)
+    m = encode_grib2_message(v, packing="complex", group_len=17)
+    rec = decode_grib2(m)
+    assert rec.packing_template == 2
+    assert np.array_equal(rec.values, v)
+    # Complex packing of clustered data is smaller than 12-bit simple.
+    simple = encode_grib2_message(v, nbits=12)
+    assert len(m) < len(simple) + 64  # at least comparable (header overhead)
+
+
+def test_level_metadata_roundtrips_and_missing_is_null():
+    v = np.ones((2, 3))
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, reference_value=0.0, level_type=100, level_scale=0, level_value=85000
+        )
+    )
+    assert (rec.level_type, rec.level_scale, rec.level_value) == (100, 0, 85000)
+    rec = decode_grib2(encode_grib2_message(v, reference_value=0.0, level_type=0xFF))
+    assert rec.level_type is None and rec.level_value is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    nj=st.integers(1, 9),
+    ni=st.integers(1, 14),
+    group_len=st.integers(1, 40),
+    spread=st.integers(1, 5000),
+    seed=st.integers(0, 2**31),
+)
+def test_complex_group_splitting_roundtrip_property(nj, ni, group_len, spread, seed):
+    """Template 5.2 general group splitting: any grid / group length
+    round-trips bit-exactly for integer grids (E=0, D=0)."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, spread, size=(nj, ni)).astype(np.float64)
+    rec = decode_grib2(
+        encode_grib2_message(v, packing="complex", group_len=group_len)
+    )
+    assert rec.packing_template == 2
+    assert np.array_equal(rec.values, v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    nj=st.integers(1, 8),
+    ni=st.integers(2, 12),
+    group_len=st.integers(1, 30),
+    order=st.integers(1, 2),
+    seed=st.integers(0, 2**31),
+)
+def test_spatial_differencing_roundtrip_property(nj, ni, group_len, order, seed):
+    """Template 5.3 (order 1 and 2): the smooth + noise field whose
+    differences are small round-trips bit-exactly, including the
+    signed-magnitude initial values / difference minimum."""
+    rng = np.random.default_rng(seed)
+    walk = np.cumsum(rng.integers(-6, 9, size=nj * ni)).astype(np.float64)
+    v = (walk - walk.min()).reshape(nj, ni)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex_diff", spatial_diff_order=order, group_len=group_len
+        )
+    )
+    assert rec.packing_template == 3
+    assert np.array_equal(rec.values, v)
+
+
+def test_spatial_differencing_compresses_smooth_fields():
+    """The point of template 5.3: a smooth ramp packs into far fewer
+    bits than simple packing at full range."""
+    v = (np.arange(4000, dtype=np.float64) * 3).reshape(40, 100)
+    simple = encode_grib2_message(v, nbits=16)
+    diff = encode_grib2_message(v, packing="complex_diff", group_len=25)
+    rec = decode_grib2(diff)
+    assert np.array_equal(rec.values, v)
+    assert len(diff) < len(simple) / 4  # constant differences → ~zero-width groups
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    nj=st.integers(2, 8),
+    ni=st.integers(2, 12),
+    group_len=st.integers(1, 25),
+    frac=st.floats(0.05, 0.95),
+    seed=st.integers(0, 2**31),
+)
+def test_missing_value_management_roundtrip_property(nj, ni, group_len, frac, seed):
+    """Template 5.2 + missing-value management 1: missing points ride
+    IN the packed data (all-ones substitution), no section-6 bitmap —
+    present cells bit-exact, missing cells NaN, for any missing density
+    (incl. whole groups missing)."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 800, size=(nj, ni)).astype(np.float64)
+    mm = rng.random((nj, ni)) < frac
+    rec = decode_grib2(
+        encode_grib2_message(v, packing="complex", group_len=group_len, missing_mask=mm)
+    )
+    # Section 6 must say "no bitmap" — mvm is the in-data alternative.
+    assert np.isnan(rec.values[mm]).all()
+    assert np.array_equal(rec.values[~mm], v[~mm])
+
+
+def test_missing_value_management_all_missing_group_marker():
+    """A fully-missing group is coded as width 0 with the all-ones group
+    reference — decode must mask the whole run, not emit garbage."""
+    v = np.arange(30, dtype=np.float64).reshape(3, 10)
+    mm = np.zeros((3, 10), dtype=bool)
+    mm[1, :] = True  # one whole group at group_len=10
+    rec = decode_grib2(
+        encode_grib2_message(v, packing="complex", group_len=10, missing_mask=mm)
+    )
+    assert np.isnan(rec.values[1]).all()
+    assert np.array_equal(rec.values[[0, 2]], v[[0, 2]])
+
+
+def test_all_points_missing_roundtrips():
+    mm = np.ones((3, 4), dtype=bool)
+    rec = decode_grib2(
+        encode_grib2_message(
+            np.zeros((3, 4)), reference_value=0.0, packing="complex", missing_mask=mm
+        )
+    )
+    assert np.isnan(rec.values).all()
+
+
+def test_complex_with_bitmap_composes():
+    """Section-6 bitmap + complex packing (mvm=0): present values only
+    are grouped; the bitmap expands on decode."""
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 400, size=(5, 8)).astype(np.float64)
+    bm = (np.add.outer(np.arange(5), np.arange(8)) % 3) != 0
+    rec = decode_grib2(
+        encode_grib2_message(v, packing="complex", group_len=6, bitmap=bm)
+    )
+    assert np.isnan(rec.values[~bm]).all()
+    assert np.array_equal(rec.values[bm], v[bm])
+
+
+def test_complex_scaled_arithmetic_matches_declared_formula():
+    """E=1/D=0 with even-step values: Y = (R + X·2)/1 must be bit-exact
+    through the grouped path, same contract as the simple-packing
+    queries' closed-form oracles."""
+    v = (100 + 2 * (np.arange(48, dtype=np.float64) % 25)).reshape(6, 8)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, reference_value=100.0, binary_scale=1, packing="complex", group_len=7
+        )
+    )
+    assert np.array_equal(rec.values, v)
+    assert rec.reference_value == 100.0 and rec.binary_scale == 1
+
+
+def test_spatial_diff_with_missing_rejected_loudly():
+    v = np.ones((2, 6))
+    mm = np.zeros((2, 6), dtype=bool)
+    mm[0, 0] = True
+    with pytest.raises(ValueError, match="missing"):
+        encode_grib2_message(
+            v, reference_value=0.0, packing="complex_diff", missing_mask=mm
+        )
+
+
+def test_corrupt_group_lengths_rejected():
+    import struct as _s
+
+    m = encode_grib2_message(
+        np.arange(24, dtype=np.float64).reshape(4, 6), packing="complex", group_len=5
+    )
+    # Patch the true-length-of-last-group field (template 5.2 octets
+    # 43-46) so lengths no longer sum to the point count.
+    pos = 16
+    while True:
+        ln, num = _s.unpack_from(">IB", m, pos)
+        if num == 5:
             break
         pos += ln
-    scan_off = pos + 14 + 57  # section header+tmpl-number → template octet 57
-    bad = m[:scan_off] + bytes([0x40]) + m[scan_off + 1 :]
-    with pytest.raises(ValueError, match="scanning mode"):
+    bad = m[: pos + 42] + _s.pack(">I", 999) + m[pos + 46 :]
+    with pytest.raises(ValueError, match="group lengths"):
         decode_grib2(bad)

@@ -145,11 +145,94 @@ def test_mixed_edition_landing_decodes_both(spark, tmp_path):
     assert [e for e, _ in iter_grib_messages(m1 + m2)] == [1, 2]
     rows = grib1_records(spark, landing).orderBy("record_number").collect()
     assert [r["edition"] for r in rows] == [1, 2]
+    # Edition-specific identity stays in its own columns — GRIB2's
+    # (category, number) pairs are NOT folded into GRIB1's parameter
+    # space (c0,n11 would collide with GRIB1 TMP=11); consumers key
+    # jointly on (edition, parameter, category, number).
     assert rows[0]["parameter"] == 11
-    assert rows[1]["parameter"] == 3 * 1000 + 7  # folded (category, number)
+    assert rows[0]["category"] is None and rows[0]["number"] is None
+    assert rows[1]["parameter"] is None
+    assert (rows[1]["category"], rows[1]["number"]) == (3, 7)
     assert rows[0]["values"][:3] == [0.0, 1.0, 2.0]
     assert rows[1]["values"][:3] == [10.0, 11.0, 12.0]
     # Both georeference identically after the unit fold (µdeg → mdeg).
     assert rows[0]["lat_first_mdeg"] == rows[1]["lat_first_mdeg"] == 90_000
     cells = grib1_cells(grib1_records(spark, landing))
     assert cells.count() == 24
+
+
+def test_mixed_edition_levels_filterable_across_editions(spark, tmp_path):
+    """r8: edition-2 records must surface their REAL template-4.0 fixed
+    surface in the unified level columns (not a silent 0) so a level
+    filter works across a mixed archive — and a missing surface is NULL,
+    which a level filter visibly excludes."""
+    from monitoring_data_ingestion_spark.grid.grib2 import encode_grib2_message
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msgs = [
+        encode_grib1_message(v, parameter=11, level_type=100, level=850,
+                             reference_value=0.0, nbits=8),
+        encode_grib2_message(v, category=0, number=0, level_type=100,
+                             level_scale=0, level_value=850,
+                             reference_value=0.0, nbits=8),
+        # scale factor 1: stored 8500 · 10^-1 = 850
+        encode_grib2_message(v, category=0, number=0, level_type=100,
+                             level_scale=1, level_value=8500,
+                             reference_value=0.0, nbits=8),
+        encode_grib2_message(v, category=0, number=0, level_type=0xFF,
+                             reference_value=0.0, nbits=8),
+    ]
+    with open(os.path.join(landing, "mixed.grib"), "wb") as f:
+        f.write(b"".join(msgs))
+    recs = grib1_records(spark, landing)
+    at850 = recs.filter((F.col("level_type") == 100) & (F.col("level") == 850))
+    assert sorted(r["edition"] for r in at850.collect()) == [1, 2, 2]
+    # The coded-missing surface is NULL — excluded by ANY level filter.
+    nulls = recs.filter(F.col("level_type").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["edition"] == 2 and nulls[0]["level"] is None
+
+
+def test_sub_millidegree_grib2_grid_raises_loudly(spark, tmp_path):
+    """r8 advice: flooring µdeg→mdeg silently corrupts sub-millidegree
+    geography; the fold must raise instead."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid.grib2 import encode_grib2_message
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    msg = encode_grib2_message(
+        np.ones((2, 2)), dlat_udeg=250_500, dlon_udeg=1_000_000,
+        reference_value=0.0, nbits=8,
+    )
+    with open(os.path.join(landing, "fine.grib"), "wb") as f:
+        f.write(msg)
+    with pytest.raises(Exception, match="whole millidegree"):
+        grib1_records(spark, landing).collect()
+
+
+def test_south_first_record_normalizes_in_landing_scan(spark, tmp_path):
+    """A scanning-mode 0x40 (+j) record in a mixed archive produces the
+    SAME cells as its north-first twin — the scanner normalizes rows, so
+    georeferencing agrees across scan orders."""
+    landing_n = str(tmp_path / "north")
+    landing_s = str(tmp_path / "south")
+    os.makedirs(landing_n)
+    os.makedirs(landing_s)
+    v = (100 + np.arange(20, dtype=np.float64)).reshape(4, 5)
+    for path, mode in ((landing_n, 0x00), (landing_s, 0x40)):
+        with open(os.path.join(path, "a.grib"), "wb") as f:
+            f.write(
+                encode_grib1_message(
+                    v, parameter=11, reference_value=100.0, nbits=8,
+                    scanning_mode=mode,
+                )
+            )
+    key = ["lat_mdeg", "lon_mdeg"]
+    cn = {(r["lat_mdeg"], r["lon_mdeg"]): r["value"]
+          for r in grib1_cells(grib1_records(spark, landing_n)).collect()}
+    cs = {(r["lat_mdeg"], r["lon_mdeg"]): r["value"]
+          for r in grib1_cells(grib1_records(spark, landing_s)).collect()}
+    assert cn == cs and len(cn) == 20
