@@ -18,93 +18,96 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 6 is 228/237
+# ``queries()``.  Cumulative driver coverage through round 7 is 247/247
 # green (zero failures ever), so the window's job is REGRESSION
 # DETECTION under a STANDING ROTATION SCHEDULE:
 #
-#   1. queries with NO driver witness yet (new this round, or created
-#      post-window last round) — always first;
+#   1. queries with NO driver witness yet (new this round) — always
+#      first;
 #   2. queries whose implementation CHANGED this round — re-witness;
 #   3. the cohort whose last driver witness is OLDEST, oldest first,
 #      filling the window to exactly 50; anything that doesn't fit is
 #      the explicit front of NEXT round's queue.
 #
-# Witness ages after round 6: r2 cohort (~48 relational names, oldest),
-# then r3 (streaming/grid/ts, ~30), r4 (ts/text, ~25), r5, r6.  Round 7
-# takes the 9 never-witnessed r6 stragglers + 10 new r7 queries + 3
-# r7-changed + 28 of the r2 cohort; the 20 r2 leftovers named at the
-# bottom lead round 8's window ahead of the r3 cohort, keeping every
-# cohort's evidence younger than ~4 rounds.  Every entry outside the
-# window stays locally oracle-checked each session
-# (tests/test_oracle.py), and the flagship pipeline stays
+# Witness ages entering round 8 (from CORRECTNESS_r01-r07): 17 names
+# last witnessed r2 (oldest), 40 r3, 49 r4, 44 r5, 47 r6, 50 r7.
+# Round 8 takes the 4 new r8 queries + 6 GRIB queries changed by the
+# r8 codec/landing work + all 17 r2 leftovers + the first 23 of the r3
+# cohort (alphabetical).  The 17 r3 names left over — the stream_*
+# family, text_langid/quality, and the ts_* family — are round 9's
+# queue head, keeping every cohort's evidence younger than ~5 rounds.
+# Every entry outside the window stays locally oracle-checked each
+# session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. never driver-witnessed (created post-window in round 6) ---
-    "dq_psi_drift",
-    "graph_assortativity",
-    "graph_customer_similarity",
-    "graph_hits_authorities",
-    "graph_incremental_edges",
-    "grid_hillshade",
-    "sample_neyman_allocation",
-    "sketch_bloom_membership",
-    "sketch_count_min_tokens",
-    # --- 1. new in round 7 (first driver witness) ---
+    # --- 1. new in round 8 (first driver witness): GRIB2 complex
+    #     packing 5.2/5.3, the mixed-edition metadata scan, and the
+    #     byte-real flagship with the publish side ---
+    "grid_grib2_complex_decode",
+    "grid_grib_mixed_scan",
+    "grid_grib_inventory_scan",
+    "era5_grib_anomaly_pipeline",
+    # --- 2. changed in round 8 (GRIB codecs grew complex packing +
+    #     scanning-mode 0x40; the landing source's schema gained
+    #     category/number and real edition-2 levels) — re-witness every
+    #     query on that surface ---
     "grid_grib1_decode",
     "grid_grib1_anomaly",
     "grid_grib1_inventory",
     "grid_grib2_match_decode",
     "grid_grib1_landing_scan",
-    "stream_psi_drift",
     "stream_grib1_anomaly_pipeline",
-    "dq_schema_profile_drift",
-    "sketch_quantile_histogram",
-    "sketch_hll_distinct",
-    # --- 2. changed in round 7: session cache keys now fingerprint the
-    #     full fixture path (graph index / IVF index / incremental
-    #     store); graph_customer_similarity + graph_hits_authorities are
-    #     above already — re-witness the other three cached-index paths ---
-    "graph_triangle_census_indexed",
-    "knn_ivf_partitioned",
-    "agg_incremental_maintenance",
-    # --- 3. oldest cohort: round-2 relational core (28 of 48) ---
-    "agg_collect_sorted",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_minmax_running",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "agg_stddev",
-    "dedup_exact_keep_first",
-    "filter_bbox_pushdown",
-    "filter_rlike_limit",
-    "first_after_filter",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_positional_lookup",
-    "project_null_sentinel",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q21_late_suppliers",
-    "q22_idle_customers",
-    # --- round-8 queue, in order: the 20 r2 leftovers
-    #     (q2_min_price_supplier, q3_shipping_priority, q4_order_priority, q6_forecast_revenue,
-    #     q7_volume_shipping, q9_profit_by_nation,
-    #     scalar_conditional_hash, scalar_datetime,
-    #     scalar_math, scalar_strings, set_except, set_intersect, set_union_all,
-    #     set_union_distinct, sort_multi_key, topk_orders,
-    #     window_first_last, window_range_frame, window_rank,
-    #     window_running_sum — q1/q5 were re-witnessed r6 as headline),
-    #     then the r3 cohort (streaming/grid/ts families), then r4. ---
+    # --- 3. oldest cohort: the 17 round-2 leftovers ---
+    "q2_min_price_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "scalar_conditional_hash",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_strings",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi_key",
+    "topk_orders",
+    "window_first_last",
+    "window_range_frame",
+    "window_rank",
+    "window_running_sum",
+    # --- 3. next-oldest cohort: round 3, first 24 alphabetical ---
+    "agg_approx_quantile",
+    "agg_hll_sketch_union",
+    "contamination_ngram_overlap",
+    "contamination_shingle_join",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh_capped",
+    "dedup_minhash_survivors",
+    "doc_chunk_sliding",
+    "doc_token_dedup",
+    "era5_grid_anomaly_pipeline",
+    "grid_polygon_clip",
+    "grid_regrid_coarsen",
+    "grid_shapefile_clip",
+    "knn_ivf_pq",
+    "knn_ivf_trained",
+    "multimodal_feature_extract",
+    "multimodal_metadata_stats",
+    "pack_sequences",
+    "sample_weighted",
+    "scd2_validity_intervals",
+    # --- round-9 queue, in order: split_train_test_hash + the 16 other
+    #     r3 leftovers (stream_dedup_
+    #     union, stream_session_windows, stream_sliding_halfhour,
+    #     stream_stateful_user_stats, stream_static_enrich,
+    #     stream_stream_interval_join, stream_tumbling_hourly,
+    #     text_langid, text_quality_score, ts_anomaly_zscore,
+    #     ts_asof_join, ts_funnel, ts_gap_fill_ffill,
+    #     ts_interpolate_linear, ts_range_join, ts_tumbling_hourly),
+    #     then the r4 cohort (~49 ts/text names). ---
 )
 
 

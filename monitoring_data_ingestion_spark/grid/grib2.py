@@ -444,16 +444,19 @@ def encode_grib2_message(
 
     ``packing`` selects the data-representation template: ``"simple"``
     (5.0), ``"complex"`` (5.2, general group splitting in fixed
-    ``group_len`` runs), or ``"complex_diff"`` (5.3 with
-    ``spatial_diff_order`` 1 or 2). ``missing_mask`` (bool, True =
-    missing; complex only) encodes missing points via missing-value
-    management 1 — in-data substitution instead of a section-6 bitmap."""
+    ``group_len`` runs), ``"complex_diff"`` (5.3 with
+    ``spatial_diff_order`` 1 or 2), or ``"png"`` (5.41: the scaled
+    integer field as one PNG image — grayscale 8/16-bit, RGB for 24,
+    RGBA for 32, big-endian pixels, the g2clib/wgrib2 convention).
+    ``missing_mask`` (bool, True = missing; complex only) encodes
+    missing points via missing-value management 1 — in-data
+    substitution instead of a section-6 bitmap."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
-    if packing not in ("simple", "complex", "complex_diff"):
+    if packing not in ("simple", "complex", "complex_diff", "png"):
         raise ValueError(f"unknown packing {packing!r}")
     nj, ni = vals.shape
     bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
@@ -504,6 +507,24 @@ def encode_grib2_message(
             + bytes([0])  # original field type: float
         )
         s7_body = _pack_bits(x, nbits)
+    elif packing == "png":
+        from .png import png_encode
+
+        need = int(x.max()).bit_length() if len(x) else 1
+        sample_bits = next(b for b in (8, 16, 24, 32) if b >= max(need, 1))
+        # g2clib's pngpack layout: the full grid is the image; with a
+        # bitmap, the present values pack as one ndpts×1 scanline.
+        shape = (1, len(present)) if bm is not None else (nj, ni)
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 41)  # data representation template 5.41
+            + r_bytes
+            + _s16be(binary_scale)
+            + _s16be(decimal_scale)
+            + bytes([sample_bits])
+            + bytes([0])  # original field type: float
+        )
+        s7_body = png_encode(x.reshape(shape), sample_bits)
     else:
         if mm_flat is not None:
             x_full = np.zeros(len(mm_flat), dtype=np.int64)
@@ -669,7 +690,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3):
+    if tmpl5 not in (0, 2, 3, 41):
         raise ValueError(f"unsupported data representation template {tmpl5}")
     (n_present,) = struct.unpack_from(">I", s5, 5)
     (r,) = struct.unpack_from(">f", s5, 11)
@@ -694,6 +715,18 @@ def decode_grib2(msg: bytes) -> Grib2Record:
             ) / (10.0 ** decimal_scale)
         else:
             present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+    elif tmpl5 == 41:
+        from .png import png_decode
+
+        samples, _ = png_decode(bytes(s7[5:]))
+        x = samples.reshape(-1)
+        if len(x) != n_present:
+            raise ValueError(
+                f"PNG raster holds {len(x)} samples, expected {n_present}"
+            )
+        present_vals = (
+            float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+        ) / (10.0 ** decimal_scale)
     else:
         x, miss = _decode_complex_s7(s5, s7, tmpl5, n_present)
         present_vals = (

@@ -1432,11 +1432,17 @@ _LANDING_NJ = 6
 _LANDING_PARAMS = (11, 61)
 
 
-def ensure_grib1_landing(spark: SparkSession, sf_dir: str) -> str:
-    """Write the shared 12-month GRIB1 landing directory once per
-    session (atomic per-file temp+rename, the reference's download
-    discipline) and return its path. Used by the batch landing scan AND
-    the streaming anomaly pipeline — one landing, two engines."""
+def ensure_grib1_landing(
+    spark: SparkSession, sf_dir: str, n_months: int = _LANDING_MONTHS
+) -> str:
+    """Write the shared GRIB1 landing directory once per session (atomic
+    per-file temp+rename, the reference's download discipline) and
+    return its path. The default 12-month landing (year 2020) feeds the
+    batch landing scan AND the streaming anomaly pipeline; the 36-month
+    form (2020-2022, month index t continuing the same formula) feeds
+    the byte-real flagship, whose normals need multiple years per
+    calendar month. Year 2020 is always t=0-11, so the 12-month landing
+    is exactly the 36-month landing's first year."""
     import atexit
     import shutil
     import tempfile
@@ -1448,33 +1454,36 @@ def ensure_grib1_landing(spark: SparkSession, sf_dir: str) -> str:
 
     base = os.path.join(
         tempfile.gettempdir(),
-        f"mdi_grib_landing_{session_cache_suffix(spark, sf_dir)}",
+        f"mdi_grib_landing_{n_months}_{session_cache_suffix(spark, sf_dir)}",
     )
     complete = os.path.join(base, "_complete")
     landing = os.path.join(base, "landing")
+    base_year = 2020
     if not os.path.exists(complete):
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(landing)
         i = np.arange(_LANDING_NI)[None, :]
         j = np.arange(_LANDING_NJ)[:, None]
-        for m in range(_LANDING_MONTHS):
+        for t in range(n_months):
+            year, month = base_year + t // 12, t % 12 + 1
             msgs = []
             for p, param in enumerate(_LANDING_PARAMS):
-                v = 100 + 50 * p + 2 * ((m * 17 + p * 23 + i * 3 + j * 5) % 50)
+                v = 100 + 50 * p + 2 * ((t * 17 + p * 23 + i * 3 + j * 5) % 50)
                 msgs.append(
                     encode_grib1_message(
                         v.astype(np.float64),
                         parameter=param,
-                        reftime=(2020, m + 1, 1, 0, 0),
+                        reftime=(year, month, 1, 0, 0),
                         reference_value=float(100 + 50 * p),
                         binary_scale=1,
                         nbits=8,
                     )
                 )
-            tmp = os.path.join(landing, f".era5_2020_{m + 1:02d}.grib.tmp")
+            name = f"era5_{year}_{month:02d}.grib"
+            tmp = os.path.join(landing, f".{name}.tmp")
             with open(tmp, "wb") as f:
                 f.write(b"".join(msgs))
-            os.rename(tmp, os.path.join(landing, f"era5_2020_{m + 1:02d}.grib"))
+            os.rename(tmp, os.path.join(landing, name))
         open(complete, "w").close()
         atexit.register(shutil.rmtree, base, ignore_errors=True)
     return landing
@@ -1538,3 +1547,397 @@ def grid_grib1_landing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "parameter")
     )
+
+
+# --- GRIB2 non-simple packing decode (templates 5.2 / 5.3 / 5.41) ----------
+# Per selected document a 4-record GRIB2 file: record r's cell (i, j) is
+# 150 + 2*((d*13 + r*7 + i*5 + j*3) % 80) — even steps, R=150, E=1, so
+# the packed integer increments round-trip BIT-EXACTLY. Record 1 packs
+# with template 5.2; record 2 packs 5.2 WITH missing-value management 1
+# (cells where (i*2 + j + d) % 5 == 0 ride in-data as all-ones
+# substitutions, NO section-6 bitmap); record 3 packs 5.3 with spatial
+# differencing of order 1 + d%2; record 4 packs 5.41 (the field as one
+# PNG image).
+
+
+@query(
+    "grid_grib2_complex_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS ni,
+         3 + doc_id % 3 AS nj
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300
+),
+cells AS (
+  SELECT doc_id, ni, nj, r.r + 1 AS rn,
+         CASE WHEN r.r = 1 AND (i.i * 2 + j.j + doc_id) % 5 = 0 THEN NULL
+              ELSE 150 + 2 * ((doc_id * 13 + r.r * 7 + i.i * 5 + j.j * 3) % 80)
+         END AS v
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE rn WHEN 3 THEN 3 WHEN 4 THEN 41 ELSE 2 END AS INTEGER) AS tmpl,
+       CAST(COUNT(v) AS BIGINT) AS n_present,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_missing,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 6) AS mean_val,
+       CAST(MIN(v) AS BIGINT) AS min_val,
+       CAST(MAX(v) AS BIGINT) AS max_val
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_complex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 COMPLEX packing end-to-end — the representation real
+    operational archives (GFS, most ERA5 GRIB2 products) actually use,
+    which the reference reads through wgrib2
+    (/root/reference/src/file-conversions.js:49-51,76-112). Per selected
+    document a 3-record GRIB2 file is synthesized executor-side: record
+    1 = template 5.2 (general group splitting: per-group references and
+    widths, byte-aligned runs, continuous value stream), record 2 =
+    5.2 + missing-value management 1 (missing cells ride IN the packed
+    data as all-ones substitutions — no section-6 bitmap), record 3 =
+    template 5.3 (spatial differencing, order 1 + d%2, signed-magnitude
+    initial values and difference minimum), record 4 = template 5.41
+    (PNG packing: the scaled field as one big-endian grayscale PNG —
+    stdlib-zlib codec, the wgrib2/g2clib convention NCEP MRMS products
+    use). Every record decodes through
+    the engine's pure-Python codec in one Arrow stage; statistics
+    aggregate JVM-side.
+
+    The oracle restates the synthetic field + missing rule closed-form
+    and never touches a byte — the hash gate proves group splitting,
+    width/reference reconstruction, missing substitution, and
+    difference integration are exactly the declared arithmetic. The
+    witnessed ``tmpl`` column pins that the 5.2/5.3 branch (not a
+    simple-packing fallback) produced each record.
+
+    Scale: identical posture to grid_grib1_decode — payload bytes stay
+    executor-side, only per-record statistic rows shuffle, files decode
+    embarrassingly parallel.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import decode_grib2, encode_grib2_message, iter_messages2
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 300))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 6 + d % 5, 3 + d % 3
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                msgs = []
+                for r in range(4):
+                    v = (150 + 2 * ((d * 13 + r * 7 + i * 5 + j * 3) % 80)).astype(
+                        np.float64
+                    )
+                    kw = dict(
+                        reference_value=150.0,
+                        binary_scale=1,
+                        group_len=4 + d % 5,
+                        category=r,
+                        number=r,
+                    )
+                    if r == 1:
+                        mm = (i * 2 + j + d) % 5 == 0
+                        msgs.append(
+                            encode_grib2_message(
+                                v, packing="complex",
+                                missing_mask=mm | np.zeros_like(v, bool), **kw,
+                            )
+                        )
+                    elif r == 2:
+                        msgs.append(
+                            encode_grib2_message(
+                                v, packing="complex_diff",
+                                spatial_diff_order=1 + d % 2, **kw,
+                            )
+                        )
+                    elif r == 3:
+                        msgs.append(encode_grib2_message(v, packing="png", **kw))
+                    else:
+                        msgs.append(encode_grib2_message(v, packing="complex", **kw))
+                rows.append({"doc_id": d, "grib": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for rn, msg in enumerate(iter_messages2(bytes(buf)), start=1):
+                    rec = decode_grib2(msg)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "record_number": rn,
+                            "tmpl": rec.packing_template,
+                            "values": rec.values.reshape(-1).tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema="doc_id bigint, record_number int, tmpl int, values array<double>",
+    )
+    present = F.filter("values", lambda x: x.isNotNull() & ~F.isnan(x))
+    return decoded.select(
+        "doc_id",
+        "record_number",
+        "tmpl",
+        present.alias("pv"),
+        F.size("values").alias("n_cells"),
+    ).select(
+        "doc_id",
+        "record_number",
+        "tmpl",
+        F.size("pv").cast("bigint").alias("n_present"),
+        (F.col("n_cells") - F.size("pv")).cast("bigint").alias("n_missing"),
+        F.round(
+            F.aggregate("pv", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint"))
+            .cast("double")
+            / F.size("pv"),
+            6,
+        ).alias("mean_val"),
+        F.array_min("pv").cast("bigint").alias("min_val"),
+        F.array_max("pv").cast("bigint").alias("max_val"),
+    ).orderBy("doc_id", "record_number")
+
+
+# --- mixed-edition archive scan with unified level metadata ----------------
+# Per selected document ONE archive file holding four records on a
+# (7 + d%4) × (4 + d%3) grid, record r's cell (i, j) being
+# 100 + 2*((d*7 + r*13 + i*3 + j*5) % 50):
+#   rn=1  GRIB1, scan 0x00, parameter 11, level 100/850
+#   rn=2  GRIB1, scan 0x40 (south-first bytes), parameter 61, level 100/500
+#   rn=3  GRIB2 simple,  (c0, n7),  fixed surface 100 / 8500·10^-1 = 850
+#   rn=4  GRIB2 complex, (c0, n11), fixed surface coded MISSING → NULLs
+# The position-weighted sum wsum = Σ v·(j·ni + i) is row-order sensitive:
+# a scanner that failed to normalize the 0x40 record would hash-mismatch
+# even though mean/min/max are permutation-invariant.
+
+
+@query(
+    "grid_grib_mixed_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         7 + doc_id % 4 AS ni,
+         4 + doc_id % 3 AS nj
+  FROM documents WHERE doc_id % 5 = 1 AND doc_id < 300
+),
+cells AS (
+  SELECT doc_id, ni, nj, r.r + 1 AS rn,
+         100 + 2 * ((doc_id * 7 + r.r * 13 + i.i * 3 + j.j * 5) % 50) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn <= 2 THEN 1 ELSE 2 END AS INTEGER) AS edition,
+       CAST(CASE rn WHEN 1 THEN 11 WHEN 2 THEN 61 END AS INTEGER) AS parameter,
+       CAST(CASE WHEN rn >= 3 THEN 0 END AS INTEGER) AS category,
+       CAST(CASE rn WHEN 3 THEN 7 WHEN 4 THEN 11 END AS INTEGER) AS number,
+       CAST(CASE WHEN rn <= 3 THEN 100 END AS INTEGER) AS level_type,
+       CAST(CASE rn WHEN 1 THEN 850 WHEN 2 THEN 500 WHEN 3 THEN 850 END AS INTEGER) AS level,
+       CAST(90000 AS INTEGER) AS lat_first_mdeg,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn, ni, nj
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib_mixed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-edition archive scan through the REAL landing decode path
+    (``sources/grib_source._decode_batches`` — the same Arrow stage the
+    binaryFile source runs): per document one archive concatenates a
+    GRIB1 north-first record, a GRIB1 scanning-mode-0x40 record (stored
+    south-first ON THE WIRE, normalized by the scanner), a GRIB2
+    simple-packing record with a scaled fixed surface (8500·10^-1 →
+    level 850), and a GRIB2 complex-packing record whose fixed surface
+    is coded missing (level columns NULL — a level filter fails
+    VISIBLY, never matching a silent 0).
+
+    The oracle pins the unified metadata contract across editions:
+    GRIB1 keeps ``parameter``; GRIB2 keeps ``(category, number)`` with
+    ``parameter`` NULL (c0,n11 must NOT collide with GRIB1 TMP=11); the
+    position-weighted checksum ``wsum`` is row-order SENSITIVE, so a
+    scanner that skipped the 0x40 row normalization hash-mismatches.
+
+    Scale: archive files decode independently in Arrow batches; only
+    per-record statistic rows shuffle — the mixed-product 100 TB
+    landing-area shape.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 300))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 7 + d % 4, 4 + d % 3
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        100 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 50)
+                    ).astype(np.float64)
+
+                msgs = [
+                    encode_grib1_message(
+                        field(0), parameter=11, level_type=100, level=850,
+                        reference_value=100.0, binary_scale=1, nbits=8,
+                    ),
+                    encode_grib1_message(
+                        field(1), parameter=61, level_type=100, level=500,
+                        reference_value=100.0, binary_scale=1, nbits=8,
+                        scanning_mode=0x40,
+                    ),
+                    encode_grib2_message(
+                        field(2), category=0, number=7,
+                        level_type=100, level_scale=1, level_value=8500,
+                        reference_value=100.0, binary_scale=1, nbits=8,
+                    ),
+                    encode_grib2_message(
+                        field(3), category=0, number=11, level_type=0xFF,
+                        reference_value=100.0, binary_scale=1,
+                        packing="complex_diff", group_len=5 + d % 7,
+                    ),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "edition",
+        "parameter",
+        "category",
+        "number",
+        "level_type",
+        "level",
+        "lat_first_mdeg",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "wsum"
+        ),
+    ).orderBy("doc_id", "record_number")
+
+
+def _landing_record_bytes() -> int:
+    """Every landing record is byte-identical in LENGTH (same grid, same
+    nbits, 4-byte reference regardless of value) — computed once so the
+    inventory oracle can pin total_bytes closed-form."""
+    import numpy as np
+
+    from ..grid.grib1 import encode_grib1_message
+
+    v = np.zeros((_LANDING_NJ, _LANDING_NI))
+    return len(
+        encode_grib1_message(v, reference_value=0.0, binary_scale=1, nbits=8)
+    )
+
+
+_LANDING_RECORD_BYTES = _landing_record_bytes()
+
+
+@query(
+    "grid_grib_inventory_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+SELECT CAST(m.m + 1 AS INTEGER) AS month,
+       CAST(CASE WHEN p.p = 0 THEN 11 ELSE 61 END AS INTEGER) AS parameter,
+       CAST(1 AS INTEGER) AS level_type,
+       CAST(0 AS INTEGER) AS level,
+       CAST(2020 AS INTEGER) AS year,
+       CAST({_LANDING_NI} AS INTEGER) AS ni,
+       CAST({_LANDING_NJ} AS INTEGER) AS nj,
+       CAST({_LANDING_RECORD_BYTES} AS INTEGER) AS total_bytes
+FROM UNNEST(generate_series(0, {_LANDING_MONTHS - 1})) AS m(m),
+     UNNEST(generate_series(0, 1)) AS p(p)
+ORDER BY month, parameter
+""",
+)
+def grid_grib_inventory_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-ONLY landing inventory on real files: every record of the
+    12-month ``.grib`` landing listed (parameter, level, reference time,
+    grid shape, record length) WITHOUT unpacking a single value bit —
+    ``wgrib``'s inventory listing (what the reference's record-select
+    keys on, /root/reference/src/file-conversions.js:120-127) as a
+    landing-directory scan. The result schema carries no values column
+    at all; GRIB1 headers parse via ``inspect_grib1`` and GRIB2 via
+    section splitting (``sources/grib_source.grib_inventory``).
+
+    The oracle pins the full metadata contract closed-form including
+    ``total_bytes`` (every landing record has identical length by
+    construction) — a scan that touched the BDS payload wouldn't fail
+    this hash, but the dedicated corrupt-payload pushdown test
+    (tests/test_grib_source.py) proves value bits are never read.
+
+    Scale: THE 100 TB metadata pass — I/O reads the archive once, CPU
+    per record is a few hundred header bytes, output is one metadata
+    row per record; the ``match=`` pushdown on ``grib1_records`` reuses
+    the same header path to skip non-matching records before decode.
+    """
+    from ..sources.grib_source import grib_inventory
+
+    inv = grib_inventory(spark, ensure_grib1_landing(spark, sf_dir))
+    return inv.select(
+        "month",
+        "parameter",
+        "level_type",
+        "level",
+        "year",
+        "ni",
+        "nj",
+        "total_bytes",
+    ).orderBy("month", "parameter")

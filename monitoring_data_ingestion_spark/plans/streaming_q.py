@@ -658,3 +658,125 @@ def stream_grib1_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = run_available_now_to_memory(anomaly, output_mode="append")
     return out.orderBy("month", "parameter", F.desc("lat_mdeg"), "lon_mdeg")
+
+
+@query(
+    "era5_grib_anomaly_pipeline",
+    tags=("streaming", "grid", "codec", "anomaly", "pipeline"),
+    oracle="""
+WITH cells AS (
+  SELECT t.t // 12 AS y, t.t % 12 AS mo, p.p AS p, i.i AS i, j.j AS j,
+         CAST(100 + 50 * p.p + 2 * ((t.t * 17 + p.p * 23 + i.i * 3 + j.j * 5) % 50)
+              AS DOUBLE) AS v
+  FROM UNNEST(generate_series(0, 35)) AS t(t),
+       UNNEST(generate_series(0, 1)) AS p(p),
+       UNNEST(generate_series(0, 9)) AS i(i),
+       UNNEST(generate_series(0, 5)) AS j(j)
+),
+normals AS (
+  SELECT p, i, j, mo, AVG(v) AS normal
+  FROM cells WHERE y < 2 GROUP BY p, i, j, mo
+)
+SELECT make_timestamp(2020 + c.y, c.mo + 1, 1, 0, 0, 0) AS time,
+       (90000 - c.j * 1000) / 1000.0 AS lat,
+       (c.i * 1000) / 1000.0 AS lon,
+       CASE WHEN c.p = 0 THEN 't2m' ELSE 'tp' END AS variable,
+       c.v AS value,
+       ROUND(c.v - n.normal, 6) AS anomaly
+FROM cells c
+JOIN normals n ON c.p = n.p AND c.i = n.i AND c.j = n.j AND c.mo = n.mo
+ORDER BY time, variable, lat, lon
+""",
+)
+def era5_grib_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship service loop FROM GRIB BYTES with the PUBLISH side
+    included — ``era5_grid_anomaly_pipeline``'s byte-real sibling run
+    end-to-end: a 36-month (2020-2022) ``.grib`` landing directory drains
+    through ``readStream(binaryFile)`` one month-file per micro-batch →
+    Arrow GRIB1 decode → JVM cell explode → the SAME
+    ``anomaly_transform`` (sentinel→NULL, broadcast normals join,
+    subtract) and the SAME idempotent month-partitioned publish
+    (dynamic partition overwrite + commit marker, output-before-state)
+    as the parquet flagship — then the published dataset read back
+    (/root/reference/src/rabbit.js:28-61 service loop over
+    src/sources/era5monthly.js:172-195 GRIB downloads). Where
+    ``stream_grib1_anomaly_pipeline`` proves decode→join→anomaly
+    through an append sink, THIS query also witnesses the T2 publish
+    machinery from actual bytes; a second invocation resumes the same
+    checkpoint and re-publishes nothing.
+
+    The oracle regenerates the landing's closed-form field and restates
+    normals/anomaly relationally — the hash gate covers codec, stream,
+    join, subtract, AND the partitioned sink round-trip.
+
+    Scale: one month-file per micro-batch (the archive's arrival unit);
+    normals broadcast; the only wide stage is the idempotent
+    partitioned write — the parquet flagship's exact posture, now with
+    the download format at the front. sf_dir keys only the
+    session-cached landing; the data is the engine's own model.
+    """
+    import os
+    import tempfile
+
+    from ..sources.grib_source import grib1_cells, grib1_records, grib1_records_stream
+    from ..streaming.pipeline import (
+        anomaly_transform,
+        month_partitioned_writer,
+        monthly_normals,
+    )
+    from ..streaming.sinks import IdempotentForeachBatch
+    from .catalog import session_cache_suffix
+    from .grid_q import ensure_grib1_landing
+
+    landing = ensure_grib1_landing(spark, sf_dir, n_months=36)
+    # One pipeline tree per (session, landing): repeated runs resume the
+    # checkpoint through the exactly-once machinery (no re-publish).
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_grib_flagship_{session_cache_suffix(spark, landing)}",
+    )
+
+    def to_grid(cells: DataFrame) -> DataFrame:
+        return cells.select(
+            F.expr("make_timestamp(year, month, 1, 0, 0, 0)").alias("time"),
+            (F.col("lat_mdeg") / F.lit(1000.0)).alias("lat"),
+            (F.col("lon_mdeg") / F.lit(1000.0)).alias("lon"),
+            F.when(F.col("parameter") == 11, F.lit("t2m"))
+            .otherwise(F.lit("tp"))
+            .alias("variable"),
+            F.col("value"),
+        )
+
+    history = to_grid(grib1_cells(grib1_records(spark, landing)))
+    # Climatology = the first two years (2020-2021); 2022's anomalies
+    # are genuine out-of-base departures — the reference's normals-vs-
+    # current split on the byte-real landing.
+    normals = monthly_normals(history, (2020, 2021))
+
+    stream = to_grid(
+        grib1_cells(grib1_records_stream(spark, landing, max_files_per_trigger=1))
+    )
+    result = anomaly_transform(stream, normals)
+    out_dir = os.path.join(base, "out")
+    sink = IdempotentForeachBatch(
+        os.path.join(base, "commit"), month_partitioned_writer(out_dir)
+    )
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    published = spark.read.parquet(out_dir)
+    return (
+        published.select(
+            "time",
+            "lat",
+            "lon",
+            "variable",
+            "value",
+            F.round("anomaly", 6).alias("anomaly"),
+        ).orderBy("time", "variable", "lat", "lon")
+    )

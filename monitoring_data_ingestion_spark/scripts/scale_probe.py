@@ -289,6 +289,107 @@ def grid_pipeline_probe(spark, n_cells: int, label: str) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def grib_landing_probe(spark, n_months: int) -> dict:
+    """Scale the GRIB landing queries along the dimension that actually
+    grows at 100 TB: the ARCHIVE (file count), not the relational
+    fixtures — `grid_grib1_landing_scan` and
+    `stream_grib1_anomaly_pipeline` read a fixed-size landing regardless
+    of sf_dir, so their SCALE cells come from a throwaway landing of
+    ``n_months`` files (12 = the catalog fixture, 36 = 3×, 120 = 10×).
+
+    Measures (best of 2) the batch scan→cells→aggregate shape and the
+    streaming one-file-per-trigger anomaly drain (fresh checkpoint each
+    run — a resumed checkpoint would drain nothing and time the no-op)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from monitoring_data_ingestion_spark.grid.grib1 import encode_grib1_message
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib1_cells,
+        grib1_records,
+        grib1_records_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"mdi_grib_probe_{n_months}_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    try:
+        i = np.arange(10)[None, :]
+        j = np.arange(6)[:, None]
+        for t in range(n_months):
+            year, month = 2020 + t // 12, t % 12 + 1
+            msgs = []
+            for p, param in enumerate((11, 61)):
+                v = 100 + 50 * p + 2 * ((t * 17 + p * 23 + i * 3 + j * 5) % 50)
+                msgs.append(
+                    encode_grib1_message(
+                        v.astype(np.float64),
+                        parameter=param,
+                        reftime=(year, month, 1, 0, 0),
+                        reference_value=float(100 + 50 * p),
+                        binary_scale=1,
+                        nbits=8,
+                    )
+                )
+            with open(
+                os.path.join(landing, f"era5_{year}_{month:02d}.grib"), "wb"
+            ) as f:
+                f.write(b"".join(msgs))
+
+        def scan_once() -> float:
+            t0 = time.perf_counter()
+            cells = grib1_cells(grib1_records(spark, landing))
+            agg = cells.groupBy("year", "month", "parameter").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("bigint")).alias("s"),
+            )
+            agg.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        scan_sec = min(scan_once() for _ in range(2))
+
+        history = grib1_cells(grib1_records(spark, landing))
+        normals = history.groupBy("parameter", "lat_mdeg", "lon_mdeg").agg(
+            F.avg("value").alias("normal")
+        )
+
+        def drain_once(k: int) -> float:
+            ckpt = os.path.join(base, f"ckpt{k}")
+            stream = grib1_cells(
+                grib1_records_stream(spark, landing, max_files_per_trigger=1)
+            )
+            anomaly = stream.join(
+                F.broadcast(normals), ["parameter", "lat_mdeg", "lon_mdeg"]
+            ).select(
+                "month",
+                "parameter",
+                (F.col("value") - F.col("normal")).alias("anomaly"),
+            )
+            t0 = time.perf_counter()
+            q = (
+                anomaly.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0
+
+        stream_sec = min(drain_once(k) for k in range(2))
+        out = {
+            "n_months": n_months,
+            "files": n_months,
+            "scan_sec": round(scan_sec, 3),
+            "stream_sec": round(stream_sec, 3),
+        }
+        print(json.dumps({"query": "grib_landing_probe", **out}), flush=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
@@ -308,6 +409,9 @@ def main() -> None:
     elif cmd == "grid-probe":
         grid_pipeline_probe(spark, n_cells=8, label="1x")
         grid_pipeline_probe(spark, n_cells=26, label="10.6x")
+    elif cmd == "grib-probe":
+        for m in (12, 36, 120):
+            grib_landing_probe(spark, m)
     elif cmd == "run-headline":
         from monitoring_data_ingestion_spark.plans import REGISTRY
 

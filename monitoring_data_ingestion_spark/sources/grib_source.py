@@ -32,6 +32,8 @@ you want, and ``maxFilesPerTrigger`` paces the streaming form.
 
 from __future__ import annotations
 
+import re
+from functools import partial
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,18 +115,146 @@ def _apply_surface_scale(value: int | None, scale: int | None) -> int | None:
     return int(value) * 10 ** (-scale)
 
 
-def _decode_batches(batches: "Iterator") -> "Iterator":
+INVENTORY_SCHEMA = (
+    "path string, record_number int, edition int, parameter int, "
+    "category int, number int, level_type int, level int, "
+    "year int, month int, day int, hour int, ni int, nj int, "
+    "total_bytes int"
+)
+
+
+def _grib2_header(msg: bytes) -> dict:
+    """Header-only GRIB2 record inspection: section split + PDS/GDS
+    field extraction WITHOUT touching section 7's packed bits — the
+    edition-2 sibling of ``grid.grib1.inspect_grib1``."""
+    import struct
+
+    from ..grid.grib2 import _sections
+
+    s = _sections(bytes(msg))
+    s1, s3, s4 = s[1], s[3], s[4]
+    (year,) = struct.unpack_from(">H", s1, 12)
+    g = s3[14:]
+    (ni,) = struct.unpack_from(">I", g, 16)
+    (nj,) = struct.unpack_from(">I", g, 20)
+    level_type = s4[22] if s4[22] != 0xFF else None
+    (raw_lv,) = struct.unpack_from(">I", s4, 24)
+    level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
+    scale = None
+    if level_type is not None and s4[23] != 0xFF:
+        scale = -(s4[23] & 0x7F) if s4[23] & 0x80 else s4[23]
+    return {
+        "category": s4[9],
+        "number": s4[10],
+        "level_type": level_type,
+        "level": _apply_surface_scale(level_value, scale),
+        "year": year,
+        "month": s1[14],
+        "day": s1[15],
+        "hour": s1[16],
+        "ni": ni,
+        "nj": nj,
+        "total_bytes": len(msg),
+    }
+
+
+def _unified_inventory(edition: int, msg: bytes) -> dict:
+    """One header dict per record, both editions, value bits untouched."""
+    from ..grid.grib1 import inspect_grib1
+
+    if edition == 1:
+        h = inspect_grib1(msg)
+        return {
+            "edition": 1,
+            "parameter": h["parameter"],
+            "category": None,
+            "number": None,
+            "level_type": h["level_type"],
+            "level": h["level"],
+            "year": h["year"],
+            "month": h["month"],
+            "day": h["day"],
+            "hour": h["hour"],
+            "ni": h.get("ni"),
+            "nj": h.get("nj"),
+            "total_bytes": h["total_bytes"],
+        }
+    return {"edition": 2, "parameter": None, **_grib2_header(msg)}
+
+
+def inventory_line(edition: int, msg: bytes) -> str:
+    """wgrib/wgrib2-style inventory rendering over the UNIFIED header:
+    ``e{edition}:p{parameter}|c{category},n{number}:l{level_type}/
+    {level}:{YYYYMMDDHH}`` — the regex surface ``match=`` filters
+    against, derived from headers only (a few hundred bytes per record,
+    never a value bit — the reference's wgrib2 -match contract at
+    landing scale)."""
+    h = _unified_inventory(edition, msg)
+    ident = (
+        f"p{h['parameter']}" if edition == 1
+        else f"c{h['category']},n{h['number']}"
+    )
+    lt = "-" if h["level_type"] is None else h["level_type"]
+    lv = "-" if h["level"] is None else h["level"]
+    return (
+        f"e{edition}:{ident}:l{lt}/{lv}:"
+        f"{h['year']:04d}{h['month']:02d}{h['day']:02d}{h['hour']:02d}"
+    )
+
+
+def _inventory_batches(batches: "Iterator") -> "Iterator":
     import pandas as pd
 
-    from ..grid.grib1 import decode_grib1
-    from ..grid.grib2 import decode_grib2
-
+    cols = [
+        "path", "record_number", "edition", "parameter", "category",
+        "number", "level_type", "level", "year", "month", "day", "hour",
+        "ni", "nj", "total_bytes",
+    ]
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
             for n, (edition, msg) in enumerate(
                 iter_grib_messages(bytes(content)), start=1
             ):
+                rows.append(
+                    {
+                        "path": path,
+                        "record_number": n,
+                        **_unified_inventory(edition, msg),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def grib_inventory(spark: SparkSession, path: str) -> DataFrame:
+    """Header-ONLY landing scan: every record's metadata without
+    unpacking a single value bit (GRIB1 via ``inspect_grib1``, GRIB2 via
+    section splitting). At 100 TB this is the cheap inventory pass —
+    I/O still reads the files, but CPU per record is a few hundred
+    header bytes, and the output carries no payload arrays at all."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_inventory_batches, schema=INVENTORY_SCHEMA)
+
+
+def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator":
+    import pandas as pd
+
+    from ..grid.grib1 import decode_grib1
+    from ..grid.grib2 import decode_grib2
+
+    rx = re.compile(match) if match else None
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            for n, (edition, msg) in enumerate(
+                iter_grib_messages(bytes(content)), start=1
+            ):
+                # Predicate pushdown to the codec boundary: the regex
+                # runs over the header-derived inventory line, so a
+                # non-matching record costs a header parse — its value
+                # bits are never unpacked (wgrib2 -match semantics).
+                if rx is not None and not rx.search(inventory_line(edition, msg)):
+                    continue
                 if edition == 1:
                     rec = decode_grib1(msg)
                     level_type, level = rec.level_type, rec.level
@@ -187,14 +317,24 @@ def _decode_batches(batches: "Iterator") -> "Iterator":
         )
 
 
-def grib1_records(spark: SparkSession, path: str) -> DataFrame:
-    """Batch scan of a GRIB1 landing directory/glob → one row per record."""
+def grib1_records(
+    spark: SparkSession, path: str, match: str | None = None
+) -> DataFrame:
+    """Batch scan of a GRIB landing directory/glob → one row per record.
+    ``match`` (regex over :func:`inventory_line`) selects records
+    header-side BEFORE any value bit unpacks — the wgrib2 ``-match``
+    contract pushed down into the landing scan."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    return files.mapInPandas(
+        partial(_decode_batches, match=match), schema=RECORD_SCHEMA
+    )
 
 
 def grib1_records_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    match: str | None = None,
 ) -> DataFrame:
     """Streaming scan: files arriving under ``path`` decode incrementally.
     The file source tracks processed files in the checkpoint, so each
@@ -208,7 +348,9 @@ def grib1_records_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path", "content")
-    return files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    return files.mapInPandas(
+        partial(_decode_batches, match=match), schema=RECORD_SCHEMA
+    )
 
 
 def grib1_cells(records: DataFrame) -> DataFrame:

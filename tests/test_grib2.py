@@ -444,3 +444,109 @@ def test_corrupt_group_lengths_rejected():
     bad = m[: pos + 42] + _s.pack(">I", 999) + m[pos + 46 :]
     with pytest.raises(ValueError, match="group lengths"):
         decode_grib2(bad)
+
+
+# --- PNG packing (template 5.41) ------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nj=st.integers(1, 9),
+    ni=st.integers(1, 12),
+    spread=st.sampled_from([200, 60000, 1 << 20, 1 << 28]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_packing_roundtrip_property(nj, ni, spread, seed):
+    """Template 5.41: the scaled field rides as one PNG image
+    (grayscale 8/16, RGB 24, RGBA 32 — the g2clib/wgrib2 convention);
+    integer grids round-trip bit-exactly at every sample width."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, spread, size=(nj, ni)).astype(np.float64)
+    rec = decode_grib2(encode_grib2_message(v, packing="png"))
+    assert rec.packing_template == 41
+    assert np.array_equal(rec.values, v)
+
+
+def test_png_packing_with_bitmap_packs_present_scanline():
+    """With a section-6 bitmap, present values pack as one ndpts×1
+    scanline (g2clib pngpack layout); the bitmap expands on decode."""
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 500, size=(5, 7)).astype(np.float64)
+    bm = (np.add.outer(np.arange(5), np.arange(7)) % 3) != 0
+    rec = decode_grib2(encode_grib2_message(v, packing="png", bitmap=bm))
+    assert np.isnan(rec.values[~bm]).all()
+    assert np.array_equal(rec.values[bm], v[bm])
+
+
+def test_png_foreign_filters_decode():
+    """A foreign encoder may emit Sub/Up/Average/Paeth scanline filters;
+    the decoder must reverse all five (our encoder emits None only)."""
+    import struct as _s
+    import zlib
+
+    from monitoring_data_ingestion_spark.grid.png import (
+        _SIGNATURE,
+        _chunk,
+        png_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h, bpp = 6, 5, 2
+    raw = rng.integers(0, 65535, size=(h, w)).astype(np.uint64)
+    rawb = np.zeros((h, w, bpp), np.uint8)
+    for k in range(bpp):
+        rawb[:, :, bpp - 1 - k] = (raw >> np.uint64(8 * k)) & np.uint64(0xFF)
+    lines, prev = [], np.zeros(w * bpp, np.int32)
+    for y, ft in zip(range(h), (0, 1, 2, 3, 4)):
+        cur = rawb[y].reshape(-1).astype(np.int32)
+        filt = np.zeros(w * bpp, np.int32)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = _s.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+    dec, bits = png_decode(png)
+    assert bits == 16 and np.array_equal(dec, raw)
+
+
+def test_png_corrupt_crc_rejected():
+    from monitoring_data_ingestion_spark.grid.png import png_decode, png_encode
+
+    png = png_encode(np.arange(12, dtype=np.uint64).reshape(3, 4), 8)
+    bad = png[:20] + bytes([png[20] ^ 0xFF]) + png[21:]
+    with pytest.raises(ValueError, match="CRC|IHDR|PNG"):
+        png_decode(bad)
+
+
+def test_png_sample_count_must_match_grid():
+    import struct as _s
+
+    m = encode_grib2_message(
+        np.arange(12, dtype=np.float64).reshape(3, 4), packing="png"
+    )
+    # Patch section 3's Ni so the grid no longer matches the raster.
+    pos = _section3_offset(m)
+    bad = m[: pos + 14 + 16] + _s.pack(">I", 7) + m[pos + 14 + 20 :]
+    with pytest.raises(ValueError, match="samples|reshape"):
+        decode_grib2(bad)

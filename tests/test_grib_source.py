@@ -236,3 +236,65 @@ def test_south_first_record_normalizes_in_landing_scan(spark, tmp_path):
     cs = {(r["lat_mdeg"], r["lon_mdeg"]): r["value"]
           for r in grib1_cells(grib1_records(spark, landing_s)).collect()}
     assert cn == cs and len(cn) == 20
+
+
+def test_header_only_inventory_scan(spark, tmp_path):
+    """grib_inventory lists every record's metadata across a mixed
+    archive WITHOUT a values column — the 100 TB metadata pass."""
+    from monitoring_data_ingestion_spark.grid.grib2 import encode_grib2_message
+    from monitoring_data_ingestion_spark.sources.grib_source import grib_inventory
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msgs = [
+        encode_grib1_message(v, parameter=11, level_type=100, level=850,
+                             reference_value=0.0, nbits=8),
+        encode_grib2_message(v, category=3, number=7, level_type=100,
+                             level_scale=0, level_value=500,
+                             reference_value=0.0, nbits=8),
+    ]
+    with open(os.path.join(landing, "a.grib"), "wb") as f:
+        f.write(b"".join(msgs))
+    inv = grib_inventory(spark, landing)
+    assert "values" not in inv.columns
+    rows = inv.orderBy("record_number").collect()
+    assert [(r["edition"], r["parameter"], r["category"], r["number"],
+             r["level_type"], r["level"], r["ni"], r["nj"])
+            for r in rows] == [(1, 11, None, None, 100, 850, 4, 3),
+                               (2, None, 3, 7, 100, 500, 4, 3)]
+    assert rows[0]["total_bytes"] == len(msgs[0])
+    assert rows[1]["total_bytes"] == len(msgs[1])
+
+
+def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
+    """The match= regex runs over header-derived inventory lines BEFORE
+    any value bit unpacks — wgrib2 -match pushed into the landing scan.
+    Witnessed end-to-end: a record whose PAYLOAD is corrupt decodes fine
+    as long as the regex excludes it (header parse only), and fails
+    loudly once the regex admits it."""
+    from monitoring_data_ingestion_spark.sources.grib_source import inventory_line
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    m1 = encode_grib1_message(v, parameter=11, reference_value=0.0, nbits=8)
+    m2 = bytearray(
+        encode_grib1_message(v, parameter=61, reference_value=0.0, nbits=8)
+    )
+    # Corrupt m2's BDS nbits field (inside the payload sections, after
+    # PDS+GDS) so decoding it would raise — header stays valid.
+    pds_len = (m2[8] << 16) | (m2[9] << 8) | m2[10]
+    gds_off = 8 + pds_len
+    gds_len = (m2[gds_off] << 16) | (m2[gds_off + 1] << 8) | m2[gds_off + 2]
+    bds_off = gds_off + gds_len
+    m2[bds_off + 3] = 0xC0  # unsupported packing flags → decode raises
+    with open(os.path.join(landing, "mixed.grib"), "wb") as f:
+        f.write(m1 + bytes(m2))
+    assert inventory_line(1, m1).startswith("e1:p11:l1/0:2020")
+    rows = grib1_records(spark, landing, match=r"e1:p11:").collect()
+    assert len(rows) == 1 and rows[0]["parameter"] == 11
+    import pytest
+
+    with pytest.raises(Exception, match="simple packing"):
+        grib1_records(spark, landing, match=r"e1:p61:").collect()

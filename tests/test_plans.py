@@ -118,19 +118,44 @@ def test_whole_stage_codegen_covers_scan_agg(spark):
 
 
 def test_no_python_in_relational_paths(spark):
-    """Only the explicitly-Python operators (multimodal feature extract,
-    stateful streaming) may cross the Python boundary; every relational/
-    text/similarity query must stay JVM-side."""
-    python_ok = {
+    """Only the explicitly-sanctioned byte-codec / multimodal operators
+    (tagged ``python`` in the registry) and the streaming runtime may
+    cross the Python boundary; every relational/text/similarity query
+    must stay JVM-side. r8 hardening: match ALL Arrow/Pandas physical
+    node spellings, not just "Python" — ``mapInPandas`` renders as
+    ``MapInPandas`` and previously sailed through this guard (its
+    dedicated per-query crossing-count tests enforced the codec paths,
+    but an ACCIDENTAL crossing in a relational query went unwatched).
+    The sanctioned set itself is pinned so a query can't silently
+    self-allowlist: growing it is a visible diff here."""
+    import re
+
+    boundary = re.compile(
+        r"MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|"
+        r"MapInArrow|FlatMapGroupsInArrow|ArrowEvalPython|BatchEvalPython|"
+        r"PythonMapInArrow|Python"
+    )
+    python_ok = {n for n, s in REGISTRY.items() if "python" in s.tags}
+    assert python_ok == {
+        "grid_grib1_anomaly",
+        "grid_grib1_decode",
+        "grid_grib1_inventory",
+        "grid_grib1_landing_scan",
+        "grid_grib2_complex_decode",
+        "grid_grib2_match_decode",
+        "grid_grib_mixed_scan",
+        "multimodal_audio_energy",
         "multimodal_feature_extract",
         "multimodal_image_decode_stats",
-        "multimodal_audio_energy",
+        "multimodal_image_phash_neardup",
+        "multimodal_video_scene_cut",
     }
     for name, spec in sorted(REGISTRY.items()):
         if name in python_ok or name.startswith("stream_"):
             continue
         plan = _plan(spec.fn(spark, SF_SMOKE))
-        assert "Python" not in plan, f"{name} crosses the Python boundary"
+        m = boundary.search(plan)
+        assert m is None, f"{name} crosses the Python boundary ({m.group(0)})"
 
 
 def test_semi_join_for_exists(spark):
@@ -1201,7 +1226,7 @@ def test_grib_landing_scan_parallelism_is_per_file(spark):
 
     base = os.path.join(
         tempfile.gettempdir(),
-        f"mdi_grib_landing_{session_cache_suffix(spark, SF_SMOKE)}",
+        f"mdi_grib_landing_12_{session_cache_suffix(spark, SF_SMOKE)}",
     )
     landing = os.path.join(base, "landing")
     files = spark.read.format("binaryFile").load(landing).select("path", "content")
@@ -1230,3 +1255,43 @@ def test_profile_drift_is_single_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("events.parquet") <= 2  # main scan + midpoint probe
     assert "Python" not in plan
+
+
+def test_grib2_complex_decode_python_only_at_codec_boundary(spark):
+    """grid_grib2_complex_decode: exactly two Arrow stages (synthesize
+    complex-packed file, scan+decode) — the 5.2/5.3 group machinery
+    stays inside the codec boundary; stats aggregate JVM-side."""
+    df = q("grid_grib2_complex_decode")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grib_mixed_scan_python_only_at_codec_boundary(spark):
+    """grid_grib_mixed_scan: two Arrow stages (synthesize mixed archive,
+    the REAL landing _decode_batches) — the position-weighted checksum
+    and metadata projection are JVM expressions."""
+    df = q("grid_grib_mixed_scan")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grib_flagship_publishes_partitioned_parquet(spark):
+    """era5_grib_anomaly_pipeline returns the PUBLISHED dataset — a
+    plain partitioned-parquet batch scan (the streaming work happened in
+    the drain); re-invoking resumes the checkpoint and re-publishes
+    nothing, so the published row count is stable."""
+    df = q("era5_grib_anomaly_pipeline")(spark, SF_SMOKE)
+    n = df.count()
+    assert n == 36 * 2 * 60  # 36 months × 2 parameters × 10×6 cells
+    plan = _plan(df)
+    assert "parquet" in plan.lower()
+    assert "Python" not in plan  # published read is pure JVM
+    assert q("era5_grib_anomaly_pipeline")(spark, SF_SMOKE).count() == n
