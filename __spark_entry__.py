@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_rank",
     "window_running_sum",
-    # --- 3. next-oldest cohort: round 3, first 24 alphabetical ---
+    # --- 3. next-oldest cohort: round 3, first 23 alphabetical ---
     "agg_approx_quantile",
     "agg_hll_sketch_union",
     "contamination_ngram_overlap",

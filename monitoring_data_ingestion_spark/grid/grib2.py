@@ -186,6 +186,10 @@ def _build_complex_s57(
     extra = b""
     ww = 0
     if spatial_order:
+        if spatial_order not in (1, 2):
+            raise ValueError(
+                f"unsupported spatial differencing order {spatial_order}"
+            )
         if missing is not None:
             raise ValueError(
                 "spatial differencing with missing-value management is not supported"
@@ -247,8 +251,12 @@ def _build_complex_s57(
     real_refs = refs[~all_missing]
     max_ref = int(real_refs.max()) if len(real_refs) else 0
     nbits_ref = max(max_ref.bit_length(), 1)
-    if all_missing.any():
-        while max_ref >= (1 << nbits_ref) - 1:  # reserve the all-ones marker
+    if missing is not None:
+        # mvm=1: the all-ones group REFERENCE is the all-missing marker
+        # for width-0 groups in EVERY message, whether or not this one
+        # has an all-missing group — an unreserved constant group whose
+        # ref lands on the marker would decode as entirely missing.
+        while max_ref >= (1 << nbits_ref) - 1:
             nbits_ref += 1
         refs[all_missing] = (1 << nbits_ref) - 1
     wref = int(widths.min()) if ng else 0
@@ -511,6 +519,10 @@ def encode_grib2_message(
         from .png import png_encode
 
         need = int(x.max()).bit_length() if len(x) else 1
+        if need > 32:
+            raise ValueError(
+                f"increment range needs {need} bits — PNG packing caps at 32"
+            )
         sample_bits = next(b for b in (8, 16, 24, 32) if b >= max(need, 1))
         # g2clib's pngpack layout: the full grid is the image; with a
         # bitmap, the present values pack as one ndpts×1 scanline.
@@ -573,7 +585,15 @@ def encode_grib2_message(
         + bytes([0])  # minutes
         + bytes([1])  # time unit: hour
         + struct.pack(">I", 0)  # forecast time
-        + bytes([level_type & 0xFF, level_scale & 0xFF])
+        # Scale factor is signed-MAGNITUDE (top bit = sign) like every
+        # other GRIB2 signed field — two's complement would decode as a
+        # huge negative scale.
+        + bytes(
+            [
+                level_type & 0xFF,
+                (0x80 | abs(level_scale)) if level_scale < 0 else level_scale,
+            ]
+        )
         + struct.pack(">I", level_value)  # fixed surface 1
         + bytes([0xFF, 0xFF]) + b"\xff\xff\xff\xff",  # fixed surface 2 (missing)
     )
@@ -637,6 +657,24 @@ def _sections(msg: bytes) -> dict[int, bytes]:
     return out
 
 
+def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
+    """Template 4.0 first fixed surface (octets 23-28 of section 4,
+    which here includes its 5-byte header): (type, scale factor, scaled
+    value). 0xFF / all-ones = coded missing → None — LOUDLY absent
+    rather than a silent 0 a level filter would match. The scale factor
+    is signed-magnitude. ONE parser shared by the full decode and the
+    header-only inventory path, so the two can never disagree on the
+    same record's level."""
+    level_type = s4[22] if s4[22] != 0xFF else None
+    if level_type is None or s4[23] == 0xFF:
+        level_scale = None
+    else:
+        level_scale = -(s4[23] & 0x7F) if s4[23] & 0x80 else s4[23]
+    (raw_lv,) = struct.unpack_from(">I", s4, 24)
+    level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
+    return level_type, level_scale, level_value
+
+
 def decode_grib2(msg: bytes) -> Grib2Record:
     """Decode one GRIB2 message (templates 3.0 / 4.0 / 5.0)."""
     msg = bytes(msg)
@@ -677,16 +715,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s4 = s[4]
     category, number = s4[9], s4[10]
-    # Template 4.0 first fixed surface (octets 23-28): type, scale
-    # factor, scaled value — 0xFF / all-ones = missing → None, LOUDLY
-    # absent rather than a silent 0 a level filter would match.
-    level_type = s4[22] if s4[22] != 0xFF else None
-    if level_type is None or s4[23] == 0xFF:
-        level_scale = None
-    else:
-        level_scale = -(s4[23] & 0x7F) if s4[23] & 0x80 else s4[23]
-    (raw_lv,) = struct.unpack_from(">I", s4, 24)
-    level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
+    level_type, level_scale, level_value = parse_fixed_surface(s4)
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)

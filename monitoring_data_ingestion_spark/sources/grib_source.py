@@ -129,7 +129,7 @@ def _grib2_header(msg: bytes) -> dict:
     edition-2 sibling of ``grid.grib1.inspect_grib1``."""
     import struct
 
-    from ..grid.grib2 import _sections
+    from ..grid.grib2 import _sections, parse_fixed_surface
 
     s = _sections(bytes(msg))
     s1, s3, s4 = s[1], s[3], s[4]
@@ -137,12 +137,7 @@ def _grib2_header(msg: bytes) -> dict:
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
-    level_type = s4[22] if s4[22] != 0xFF else None
-    (raw_lv,) = struct.unpack_from(">I", s4, 24)
-    level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
-    scale = None
-    if level_type is not None and s4[23] != 0xFF:
-        scale = -(s4[23] & 0x7F) if s4[23] & 0x80 else s4[23]
+    level_type, scale, level_value = parse_fixed_surface(s4)
     return {
         "category": s4[9],
         "number": s4[10],

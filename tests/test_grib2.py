@@ -550,3 +550,55 @@ def test_png_sample_count_must_match_grid():
     bad = m[: pos + 14 + 16] + _s.pack(">I", 7) + m[pos + 14 + 20 :]
     with pytest.raises(ValueError, match="samples|reshape"):
         decode_grib2(bad)
+
+
+# --- r8 review regressions -------------------------------------------------
+
+
+def test_mvm_marker_reserved_without_all_missing_group():
+    """r8 review: with missing-value management on, the all-ones group
+    REFERENCE is the all-missing marker in EVERY message — a width-0
+    all-present group whose reference landed on the marker used to
+    decode as entirely missing (the 5,5 cells silently destroyed)."""
+    v = np.array([[5.0, 5.0], [7.0, 4.0]])
+    mm = np.array([[False, False], [True, False]])
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex", group_len=2, missing_mask=mm, reference_value=4.0
+        )
+    )
+    assert rec.values[0, 0] == 5.0 and rec.values[0, 1] == 5.0
+    assert np.isnan(rec.values[1, 0]) and rec.values[1, 1] == 4.0
+
+
+def test_negative_level_scale_roundtrips_signed_magnitude():
+    """r8 review: the fixed-surface scale factor is signed-MAGNITUDE;
+    writing two's complement made scale −2 decode as −126 (and the level
+    as 5·10^126)."""
+    rec = decode_grib2(
+        encode_grib2_message(
+            np.ones((2, 2)), reference_value=0.0,
+            level_type=100, level_scale=-2, level_value=5,
+        )
+    )
+    assert (rec.level_type, rec.level_scale, rec.level_value) == (100, -2, 5)
+
+
+def test_png_overflowing_increment_range_raises_valueerror():
+    """r8 review: >32-bit increment ranges must raise ValueError, not a
+    bare StopIteration from the width search."""
+    with pytest.raises(ValueError, match="32"):
+        encode_grib2_message(
+            np.array([[0.0, 6e9]]), packing="png", reference_value=0.0
+        )
+
+
+def test_invalid_spatial_diff_order_rejected_at_encode():
+    """r8 review: order 3 used to encode silently (octet 48 said 3, the
+    payload was order-2 differenced) — a foreign decoder honoring the
+    octet would mis-integrate the field."""
+    with pytest.raises(ValueError, match="order 3"):
+        encode_grib2_message(
+            np.ones((2, 6)), packing="complex_diff", spatial_diff_order=3,
+            reference_value=0.0,
+        )

@@ -143,6 +143,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_landing_scan",
         "grid_grib2_complex_decode",
         "grid_grib2_match_decode",
+        "grid_grib_inventory_scan",
         "grid_grib_mixed_scan",
         "multimodal_audio_energy",
         "multimodal_feature_extract",
