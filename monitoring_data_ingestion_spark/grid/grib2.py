@@ -19,9 +19,11 @@ the ``wgrib`` edition-1 path:
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
   (complex packing: general group splitting with per-group reference/
   width, optional missing-value management 1 — in-data all-ones
-  substitution instead of a bitmap), and template 5.3 (complex packing
+  substitution instead of a bitmap), template 5.3 (complex packing
   with first- or second-order spatial differencing — the packing GFS
-  and most operational GRIB2 archives actually use).
+  and most operational GRIB2 archives actually use), template 5.40
+  (JPEG2000: the scaled field as one lossless raw codestream,
+  grid/jpeg2000.py), and template 5.41 (PNG, grid/png.py).
 * Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present.
 * Section 7 (Data): big-endian bit-packed increments,
   Y = (R + X·2^E) / 10^D — the same simple-packing formula as GRIB1;
@@ -453,9 +455,12 @@ def encode_grib2_message(
     ``packing`` selects the data-representation template: ``"simple"``
     (5.0), ``"complex"`` (5.2, general group splitting in fixed
     ``group_len`` runs), ``"complex_diff"`` (5.3 with
-    ``spatial_diff_order`` 1 or 2), or ``"png"`` (5.41: the scaled
+    ``spatial_diff_order`` 1 or 2), ``"png"`` (5.41: the scaled
     integer field as one PNG image — grayscale 8/16-bit, RGB for 24,
-    RGBA for 32, big-endian pixels, the g2clib/wgrib2 convention).
+    RGBA for 32, big-endian pixels, the g2clib/wgrib2 convention), or
+    ``"jpeg2000"`` (5.40: the scaled integer field as one lossless raw
+    JPEG2000 codestream, grid/jpeg2000.py — the packing most NCEP
+    GRIB2 products, e.g. GFS, actually ship).
     ``missing_mask`` (bool, True = missing; complex only) encodes
     missing points via missing-value management 1 — in-data
     substitution instead of a section-6 bitmap."""
@@ -464,7 +469,7 @@ def encode_grib2_message(
         raise ValueError("values must be (nj, ni)")
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
-    if packing not in ("simple", "complex", "complex_diff", "png"):
+    if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
         raise ValueError(f"unknown packing {packing!r}")
     nj, ni = vals.shape
     bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
@@ -515,6 +520,29 @@ def encode_grib2_message(
             + bytes([0])  # original field type: float
         )
         s7_body = _pack_bits(x, nbits)
+    elif packing == "jpeg2000":
+        from .jpeg2000 import j2k_encode
+
+        need = max(int(x.max()).bit_length() if len(x) else 1, 1)
+        if need > 29:
+            raise ValueError(
+                f"increment range needs {need} bits — JPEG2000 packing caps at 29"
+            )
+        # g2clib's jpcpack layout mirrors pngpack: the full grid is the
+        # image; with a bitmap the present values ride as one scanline.
+        shape = (1, len(present)) if bm is not None else (nj, ni)
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 40)  # data representation template 5.40
+            + r_bytes
+            + _s16be(binary_scale)
+            + _s16be(decimal_scale)
+            + bytes([need])
+            + bytes([0])  # original field type: float
+            + bytes([0])  # compression type: lossless
+            + bytes([255])  # target compression ratio: n/a (lossless)
+        )
+        s7_body = j2k_encode(x.reshape(shape).astype(np.int64), need)
     elif packing == "png":
         from .png import png_encode
 
@@ -719,7 +747,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3, 41):
+    if tmpl5 not in (0, 2, 3, 40, 41):
         raise ValueError(f"unsupported data representation template {tmpl5}")
     (n_present,) = struct.unpack_from(">I", s5, 5)
     (r,) = struct.unpack_from(">f", s5, 11)
@@ -756,6 +784,25 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         present_vals = (
             float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
         ) / (10.0 ** decimal_scale)
+    elif tmpl5 == 40:
+        from .jpeg2000 import j2k_decode
+
+        if s5[21] != 0:
+            raise ValueError(
+                f"lossy JPEG2000 compression type {s5[21]} not supported"
+            )
+        if nbits == 0:
+            present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+        else:
+            samples, _depth = j2k_decode(bytes(s7[5:]))
+            x = samples.reshape(-1)
+            if len(x) != n_present:
+                raise ValueError(
+                    f"JPEG2000 raster holds {len(x)} samples, expected {n_present}"
+                )
+            present_vals = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
     else:
         x, miss = _decode_complex_s7(s5, s7, tmpl5, n_present)
         present_vals = (

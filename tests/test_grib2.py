@@ -602,3 +602,78 @@ def test_invalid_spatial_diff_order_rejected_at_encode():
             np.ones((2, 6)), packing="complex_diff", spatial_diff_order=3,
             reference_value=0.0,
         )
+
+
+# --------------------------------------------------------------------------
+# Template 5.40 — JPEG2000 packing
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nj=st.integers(1, 9),
+    ni=st.integers(1, 12),
+    spread=st.sampled_from([2, 200, 60000, 1 << 20, 1 << 28]),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg2000_packing_roundtrip_property(nj, ni, spread, seed):
+    """Template 5.40: the scaled field rides as one lossless raw
+    JPEG2000 codestream (the packing most NCEP products ship); integer
+    grids round-trip bit-exactly at every bit depth up to 29."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, spread, size=(nj, ni)).astype(np.float64)
+    rec = decode_grib2(encode_grib2_message(v, packing="jpeg2000"))
+    assert rec.packing_template == 40
+    assert np.array_equal(rec.values, v)
+
+
+def test_jpeg2000_packing_with_bitmap_packs_present_scanline():
+    """With a section-6 bitmap, present values pack as one ndpts×1
+    image (g2clib jpcpack layout); the bitmap expands on decode."""
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 500, size=(5, 7)).astype(np.float64)
+    bm = (np.add.outer(np.arange(5), np.arange(7)) % 3) != 0
+    rec = decode_grib2(encode_grib2_message(v, packing="jpeg2000", bitmap=bm))
+    assert rec.packing_template == 40
+    assert np.isnan(rec.values[~bm]).all()
+    assert np.array_equal(rec.values[bm], v[bm])
+
+
+def test_jpeg2000_scaled_arithmetic_matches_declared_formula():
+    """R/E/D arithmetic composes with the codestream payload exactly as
+    Y = (R + X·2^E)/10^D."""
+    v = np.array([[1.5, 2.0, 3.25], [0.25, 1.75, 2.5]])
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="jpeg2000", binary_scale=-2, decimal_scale=0
+        )
+    )
+    assert rec.packing_template == 40
+    assert np.array_equal(rec.values, v)
+
+
+def test_jpeg2000_lossy_compression_type_rejected():
+    """Compression type 1 (lossy) must raise, not silently decode."""
+    import struct
+
+    msg = bytearray(
+        encode_grib2_message(np.ones((2, 3)) * 5.0, packing="jpeg2000")
+    )
+    # find section 5 and patch its compression-type octet (offset 21)
+    pos = 16  # after section 0
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 5:
+            msg[pos + 21] = 1
+            break
+        pos += ln
+    else:
+        raise AssertionError("no section 5 found")
+    with pytest.raises(ValueError, match="lossy"):
+        decode_grib2(bytes(msg))
+
+
+def test_jpeg2000_overflowing_increment_range_raises_valueerror():
+    v = np.array([[0.0, float((1 << 30) + 7)]])
+    with pytest.raises(ValueError, match="JPEG2000 packing caps at 29"):
+        encode_grib2_message(v, packing="jpeg2000")
