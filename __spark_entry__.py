@@ -44,6 +44,7 @@ _PRIORITY: tuple[str, ...] = (
     #     packing 5.2/5.3, the mixed-edition metadata scan, and the
     #     byte-real flagship with the publish side ---
     "grid_grib2_complex_decode",
+    "grid_grib2_jpeg2000_decode",
     "grid_grib_mixed_scan",
     "grid_grib_inventory_scan",
     "era5_grib_anomaly_pipeline",
@@ -98,8 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_metadata_stats",
     "pack_sequences",
     "sample_weighted",
-    "scd2_validity_intervals",
-    # --- round-9 queue, in order: split_train_test_hash + the 16 other
+    # --- round-9 queue, in order: scd2_validity_intervals +
+    #     split_train_test_hash + the 16 other
     #     r3 leftovers (stream_dedup_
     #     union, stream_session_windows, stream_sliding_halfhour,
     #     stream_stateful_user_stats, stream_static_enrich,

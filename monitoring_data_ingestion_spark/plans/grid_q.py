@@ -1723,6 +1723,176 @@ def grid_grib2_complex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "record_number")
 
 
+# --- GRIB2 JPEG2000 (template 5.40) decode ---------------------------------
+# Per selected document a 3-record GRIB2 file, grids (10 + d%6) x
+# (4 + d%4), record r's cell (i, j) being
+# 150 + 2*((d*11 + r*17 + i*3 + j*7) % m_r), m_r = 90 for records 1-2
+# and 5000 (a ~13-bit field) for record 3.  Record 2 carries a
+# section-6 bitmap hiding cells where (i + 2*j + d) % 4 == 0.
+
+
+@query(
+    "grid_grib2_jpeg2000_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         10 + doc_id % 6 AS ni,
+         4 + doc_id % 4 AS nj
+  FROM documents WHERE doc_id % 7 = 2 AND doc_id < 350
+),
+cells AS (
+  SELECT doc_id, ni, nj, r.r + 1 AS rn,
+         CASE WHEN r.r = 1 AND (i.i + 2 * j.j + doc_id) % 4 = 0 THEN NULL
+              ELSE 150 + 2 * ((doc_id * 11 + r.r * 17 + i.i * 3 + j.j * 7)
+                              % (CASE WHEN r.r = 2 THEN 5000 ELSE 90 END))
+         END AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(40 AS INTEGER) AS tmpl,
+       CAST(COUNT(v) AS BIGINT) AS n_present,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_missing,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 6) AS mean_val,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_jpeg2000_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 JPEG2000 packing (template 5.40) end-to-end — the wavelet
+    representation most NCEP operational products (GFS pgrb2 among
+    them) actually ship, which the reference reads through wgrib2's
+    bundled g2clib + jasper (/root/reference/src/file-conversions.js:
+    49-51,76-112). Per selected document a 3-record GRIB2 file is
+    synthesized executor-side, every record packed as a lossless raw
+    JPEG2000 codestream (grid/jpeg2000.py: reversible 5/3 DWT, EBCOT
+    tier-1 MQ coding, tag-tree packet headers): record 1 = a dense
+    ~8-bit field, record 2 = the same shape with a section-6 bitmap
+    (missing cells NULL after expansion), record 3 = a ~13-bit field
+    (multiple extra bit-planes through every coding pass). All three
+    decode through the engine's pure-Python codec in one Arrow stage;
+    statistics aggregate JVM-side.
+
+    The oracle restates the synthetic field + missing rule closed-form
+    and never touches a byte. The witnessed ``tmpl`` column pins that
+    template 5.40 (not a simple-packing fallback) produced each
+    record, and the position-weighted checksum ``wsum`` is raster-
+    order SENSITIVE — a transposed DWT, a mis-assembled subband, or a
+    code-block placed at the wrong offset hash-mismatches even when
+    permutation-invariant stats survive.
+
+    Scale: identical posture to grid_grib2_complex_decode — payload
+    bytes stay executor-side, only per-record statistic rows shuffle,
+    files decode embarrassingly parallel in Arrow batches.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import decode_grib2, encode_grib2_message, iter_messages2
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 7 == 2) & (F.col("doc_id") < 350))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 10 + d % 6, 4 + d % 4
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                msgs = []
+                for r in range(3):
+                    mod = 5000 if r == 2 else 90
+                    v = (
+                        150 + 2 * ((d * 11 + r * 17 + i * 3 + j * 7) % mod)
+                    ).astype(np.float64)
+                    kw = dict(
+                        reference_value=150.0,
+                        binary_scale=1,
+                        category=r,
+                        number=r,
+                        packing="jpeg2000",
+                    )
+                    if r == 1:
+                        present = (i + 2 * j + d) % 4 != 0
+                        msgs.append(
+                            encode_grib2_message(
+                                v, bitmap=present | np.zeros_like(v, bool), **kw
+                            )
+                        )
+                    else:
+                        msgs.append(encode_grib2_message(v, **kw))
+                rows.append({"doc_id": d, "grib": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for rn, msg in enumerate(iter_messages2(bytes(buf)), start=1):
+                    rec = decode_grib2(msg)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "record_number": rn,
+                            "tmpl": rec.packing_template,
+                            "values": rec.values.reshape(-1).tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema="doc_id bigint, record_number int, tmpl int, values array<double>",
+    )
+    present = F.filter("values", lambda x: x.isNotNull() & ~F.isnan(x))
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: F.when(
+            v.isNotNull() & ~F.isnan(v), v.cast("bigint") * idx.cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return decoded.select(
+        "doc_id",
+        "record_number",
+        "tmpl",
+        present.alias("pv"),
+        F.size("values").alias("n_cells"),
+        F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "wsum"
+        ),
+    ).select(
+        "doc_id",
+        "record_number",
+        "tmpl",
+        F.size("pv").cast("bigint").alias("n_present"),
+        (F.col("n_cells") - F.size("pv")).cast("bigint").alias("n_missing"),
+        F.round(
+            F.aggregate("pv", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint"))
+            .cast("double")
+            / F.size("pv"),
+            6,
+        ).alias("mean_val"),
+        "wsum",
+    ).orderBy("doc_id", "record_number")
+
+
 # --- mixed-edition archive scan with unified level metadata ----------------
 # Per selected document ONE archive file holding four records on a
 # (7 + d%4) × (4 + d%3) grid, record r's cell (i, j) being
