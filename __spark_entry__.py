@@ -31,18 +31,20 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 8 (from CORRECTNESS_r01-r07): 17 names
 # last witnessed r2 (oldest), 40 r3, 49 r4, 44 r5, 47 r6, 50 r7.
-# Round 8 takes the 4 new r8 queries + 6 GRIB queries changed by the
-# r8 codec/landing work + all 17 r2 leftovers + the first 23 of the r3
-# cohort (alphabetical).  The 17 r3 names left over — the stream_*
-# family, text_langid/quality, and the ts_* family — are round 9's
-# queue head, keeping every cohort's evidence younger than ~5 rounds.
+# Round 8 takes the 5 new r8 queries + 6 GRIB queries changed by the
+# r8 codec/landing work + all 17 r2 leftovers + the first 22 of the r3
+# cohort (alphabetical).  The 18 r3 names left over — scd2 +
+# split_train_test_hash, the stream_* family, text_langid/quality, and
+# the ts_* family — are round 9's queue head, keeping every cohort's
+# evidence younger than ~5 rounds.
 # Every entry outside the window stays locally oracle-checked each
 # session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
     # --- 1. new in round 8 (first driver witness): GRIB2 complex
-    #     packing 5.2/5.3, the mixed-edition metadata scan, and the
-    #     byte-real flagship with the publish side ---
+    #     packing 5.2/5.3, JPEG2000 packing 5.40, the mixed-edition
+    #     metadata scan, and the byte-real flagship with the publish
+    #     side ---
     "grid_grib2_complex_decode",
     "grid_grib2_jpeg2000_decode",
     "grid_grib_mixed_scan",

@@ -523,7 +523,14 @@ def encode_grib2_message(
     elif packing == "jpeg2000":
         from .jpeg2000 import j2k_encode
 
-        need = max(int(x.max()).bit_length() if len(x) else 1, 1)
+        # An all-masked field has no raster to encode: nbits=0 + empty
+        # section 7 (the constant-field convention), decoded by the
+        # nbits==0 branch — never a zero-size image crash.
+        need = (
+            0
+            if len(present) == 0
+            else max(int(x.max()).bit_length(), 1)
+        )
         if need > 29:
             raise ValueError(
                 f"increment range needs {need} bits — JPEG2000 packing caps at 29"
@@ -542,7 +549,9 @@ def encode_grib2_message(
             + bytes([0])  # compression type: lossless
             + bytes([255])  # target compression ratio: n/a (lossless)
         )
-        s7_body = j2k_encode(x.reshape(shape).astype(np.int64), need)
+        s7_body = (
+            b"" if need == 0 else j2k_encode(x.reshape(shape).astype(np.int64), need)
+        )
     elif packing == "png":
         from .png import png_encode
 
@@ -551,7 +560,13 @@ def encode_grib2_message(
             raise ValueError(
                 f"increment range needs {need} bits — PNG packing caps at 32"
             )
-        sample_bits = next(b for b in (8, 16, 24, 32) if b >= max(need, 1))
+        # An all-masked field has no raster: nbits=0 + empty section 7
+        # (constant-field convention), mirroring the JPEG2000 branch.
+        sample_bits = (
+            0
+            if len(present) == 0
+            else next(b for b in (8, 16, 24, 32) if b >= max(need, 1))
+        )
         # g2clib's pngpack layout: the full grid is the image; with a
         # bitmap, the present values pack as one ndpts×1 scanline.
         shape = (1, len(present)) if bm is not None else (nj, ni)
@@ -564,7 +579,9 @@ def encode_grib2_message(
             + bytes([sample_bits])
             + bytes([0])  # original field type: float
         )
-        s7_body = png_encode(x.reshape(shape), sample_bits)
+        s7_body = (
+            b"" if sample_bits == 0 else png_encode(x.reshape(shape), sample_bits)
+        )
     else:
         if mm_flat is not None:
             x_full = np.zeros(len(mm_flat), dtype=np.int64)
@@ -742,6 +759,13 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     (dlat,) = struct.unpack_from(">I", g, 53)
 
     s4 = s[4]
+    (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    if tmpl4 not in (0, 8):
+        # only templates sharing 4.0's leading layout (category/number at
+        # octets 10-11, fixed surfaces at 23-34 — 4.8 extends, 4.30/4.20
+        # et al. do NOT) may be read with these offsets; anything else
+        # would decode garbage level columns.
+        raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
     level_type, level_scale, level_value = parse_fixed_surface(s4)
 
@@ -775,15 +799,20 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     elif tmpl5 == 41:
         from .png import png_decode
 
-        samples, _ = png_decode(bytes(s7[5:]))
-        x = samples.reshape(-1)
-        if len(x) != n_present:
-            raise ValueError(
-                f"PNG raster holds {len(x)} samples, expected {n_present}"
-            )
-        present_vals = (
-            float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
-        ) / (10.0 ** decimal_scale)
+        if nbits == 0:  # constant field: empty raster, value is R/10^D
+            present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+            samples = None
+        else:
+            samples, _ = png_decode(bytes(s7[5:]))
+        if samples is not None:
+            x = samples.reshape(-1)
+            if len(x) != n_present:
+                raise ValueError(
+                    f"PNG raster holds {len(x)} samples, expected {n_present}"
+                )
+            present_vals = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
     elif tmpl5 == 40:
         from .jpeg2000 import j2k_decode
 

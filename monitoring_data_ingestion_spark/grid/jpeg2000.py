@@ -984,6 +984,13 @@ def j2k_decode(buf: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("signed components not supported")
             if (xr, yr) != (1, 1):
                 raise ValueError("subsampled components not supported")
+            if xs > _MAX_DIM or ys > _MAX_DIM:
+                # beyond 2^15 the default precinct grid splits each
+                # resolution into multiple packets; reading it as one
+                # packet would desync tier-2 and corrupt silently.
+                raise ValueError(
+                    f"{xs}x{ys} exceeds the single-precinct limit {_MAX_DIM}"
+                )
             dims = (ys, xs, ssiz + 1)
         elif marker == _COD:
             scod, prog, nlayers, mct = seg[0], seg[1], struct.unpack_from(

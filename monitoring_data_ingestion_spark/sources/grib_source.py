@@ -134,6 +134,15 @@ def _grib2_header(msg: bytes) -> dict:
     s = _sections(bytes(msg))
     s1, s3, s4 = s[1], s[3], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
+    # Mirror decode_grib2's template gates: reading Ni/Nj or level
+    # octets through a different template's layout would emit garbage
+    # metadata exactly where the full decode stops loudly.
+    (tmpl3,) = struct.unpack_from(">H", s3, 12)
+    if tmpl3 != 0:
+        raise ValueError(f"unsupported grid definition template {tmpl3}")
+    (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    if tmpl4 not in (0, 8):
+        raise ValueError(f"unsupported product definition template {tmpl4}")
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)

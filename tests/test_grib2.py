@@ -677,3 +677,109 @@ def test_jpeg2000_overflowing_increment_range_raises_valueerror():
     v = np.array([[0.0, float((1 << 30) + 7)]])
     with pytest.raises(ValueError, match="JPEG2000 packing caps at 29"):
         encode_grib2_message(v, packing="jpeg2000")
+
+
+def test_png_constant_field_nbits_zero_decodes():
+    """Foreign g2clib pngpack constant fields carry nbits=0 and an EMPTY
+    section 7; decode must return the constant R/10^D, not crash on an
+    empty PNG stream (review r8)."""
+    import struct
+
+    msg = bytearray(
+        encode_grib2_message(np.ones((2, 3)) * 7.0, packing="png", decimal_scale=0)
+    )
+    # rewrite section 5's nbits to 0 and empty section 7
+    pos = 16
+    out = bytearray(msg[:16])
+    body = msg[16:]
+    p = 0
+    while p < len(body) - 4:
+        ln, num = struct.unpack_from(">IB", body, p)
+        sec = bytearray(body[p : p + ln])
+        if num == 5:
+            struct.pack_into(">f", sec, 11, 7.0)  # R = the constant
+            sec[19] = 0  # nbits = 0
+        if num == 7:
+            sec = bytearray(struct.pack(">IB", 5, 7))  # empty data section
+        out += sec
+        p += ln
+    out += body[p:]
+    struct.pack_into(">Q", out, 8, len(out))  # fix total length
+    rec = decode_grib2(bytes(out))
+    assert rec.packing_template == 41
+    assert np.array_equal(rec.values, np.full((2, 3), 7.0))
+
+
+def test_raster_packings_with_all_false_bitmap_round_trip():
+    """An all-masked field must encode as nbits=0 + empty raster for
+    BOTH raster packings (not a zero-size-image crash) and decode to
+    all-NaN (review r8)."""
+    v = np.ones((3, 4)) * 5.0
+    bm = np.zeros((3, 4), dtype=bool)
+    for packing in ("png", "jpeg2000"):
+        rec = decode_grib2(encode_grib2_message(v, packing=packing, bitmap=bm))
+        assert np.isnan(rec.values).all(), packing
+
+
+def test_unknown_product_definition_template_rejected():
+    """PDT 4.30 (satellite) does not share 4.0's level octets — decoding
+    its levels through 4.0 offsets would emit garbage metadata; both the
+    full decode and the header-only inventory must reject (review r8)."""
+    import struct
+
+    from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
+
+    msg = bytearray(encode_grib2_message(np.ones((2, 2)), level_type=100))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 4:
+            struct.pack_into(">H", msg, pos + 7, 30)
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="product definition template"):
+        decode_grib2(bytes(msg))
+    with pytest.raises(ValueError, match="product definition template"):
+        _grib2_header(bytes(msg))
+
+
+def test_pdt_48_shares_40_layout_and_decodes():
+    """PDT 4.8 (accumulations) extends 4.0 with interval octets AFTER
+    the fixed surfaces — category/number/levels decode identically."""
+    import struct
+
+    msg = bytearray(
+        encode_grib2_message(
+            np.ones((2, 2)) * 3.0, category=1, number=8,
+            level_type=1, level_value=0,
+        )
+    )
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 4:
+            struct.pack_into(">H", msg, pos + 7, 8)
+            break
+        pos += ln
+    rec = decode_grib2(bytes(msg))
+    assert (rec.category, rec.number, rec.level_type) == (1, 8, 1)
+
+
+def test_header_inventory_rejects_non_latlon_grid_template():
+    """_grib2_header must not read Ni/Nj through a non-3.0 layout
+    (Lambert etc.) — the metadata pass must stop as loudly as the full
+    decode (review r8)."""
+    import struct
+
+    from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
+
+    msg = bytearray(encode_grib2_message(np.ones((2, 2))))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            struct.pack_into(">H", msg, pos + 12, 30)  # Lambert conformal
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="grid definition template"):
+        _grib2_header(bytes(msg))

@@ -417,3 +417,22 @@ def test_codestream_rejects_unsupported_options():
         j2k_encode(a, 30)
     with pytest.raises(ValueError, match="range"):
         j2k_encode(a, 3)  # 11 needs 4 bits
+
+
+def test_decode_rejects_oversize_single_precinct_dims():
+    """A conformant codestream wider than 2^15 has multiple precincts
+    per resolution under the default grid; reading it as one packet
+    would desync tier-2 — the decoder must reject as loudly as the
+    encoder does (review r8)."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.jpeg2000 import (
+        j2k_decode,
+        j2k_encode,
+    )
+
+    buf = bytearray(j2k_encode(np.arange(12, dtype=np.int64).reshape(3, 4), 4))
+    struct.pack_into(">I", buf, 8, 40000)  # SIZ Xsiz
+    struct.pack_into(">I", buf, 24, 40000)  # SIZ XTsiz (keep untiled)
+    with pytest.raises(ValueError, match="single-precinct"):
+        j2k_decode(bytes(buf))
