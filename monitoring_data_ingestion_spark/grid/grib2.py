@@ -9,9 +9,12 @@ the ``wgrib`` edition-1 path:
 
 * Section 0 (Indicator): "GRIB", discipline, edition 2, 64-bit length.
 * Section 1 (Identification): centre, reference time (full 16-bit year).
-* Section 3 (Grid definition, template 3.0): regular lat/lon grid,
+* Section 3 (Grid definition): template 3.0 — regular lat/lon grid,
   Ni×Nj, first-point lat/lon and increments in MICROdegrees (GRIB2's
-  10^-6 resolution vs GRIB1's millidegrees), scanning mode 0.
+  10^-6 resolution vs GRIB1's millidegrees), scanning modes 0x00/0x40;
+  template 3.40 — global regular GAUSSIAN grid (ECMWF F-grids, ERA5's
+  native geometry): the Dj octets carry N and row latitudes are the
+  arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`).
 * Section 4 (Product definition, template 4.0): parameter category +
   number, the pair wgrib2 inventory strings name.
 * Section 5 (Data representation): template 5.0 (simple packing with an
@@ -96,6 +99,32 @@ def _rs32be(b: bytes, off: int) -> int:
     return -mag if b[off] & 0x80 else mag
 
 
+def gaussian_latitudes(nj: int) -> np.ndarray:
+    """Latitudes (degrees, north -> south) of the global regular
+    Gaussian grid with ``nj`` parallels — arcsin of the roots of the
+    Legendre polynomial P_nj, the quadrature nodes ECMWF F-grids (and
+    ERA5's native grid) are built on.  Newton-Raphson from the
+    classical cosine initial guess, P_n and P'_n by the Bonnet
+    three-term recurrence; converges to ~1e-15 in a handful of steps.
+    """
+    if nj < 2 or nj % 2:
+        raise ValueError("a global Gaussian grid has an even parallel count")
+    n = int(nj)
+    k = np.arange(1, n + 1, dtype=np.float64)
+    x = np.cos(np.pi * (k - 0.25) / (n + 0.5))
+    for _ in range(100):
+        p_prev = np.ones_like(x)
+        p_cur = x.copy()
+        for m in range(2, n + 1):
+            p_prev, p_cur = p_cur, ((2 * m - 1) * x * p_cur - (m - 1) * p_prev) / m
+        deriv = n * (x * p_cur - p_prev) / (x * x - 1.0)
+        step = p_cur / deriv
+        x = x - step
+        if float(np.max(np.abs(step))) < 1e-15:
+            break
+    return np.degrees(np.arcsin(x))  # k=1 root is nearest +1 -> north first
+
+
 @dataclass
 class Grib2Record:
     """One decoded GRIB2 message."""
@@ -120,6 +149,11 @@ class Grib2Record:
     level_scale: int | None = None
     level_value: int | None = None
     packing_template: int = 0  # data representation template (5.N)
+    # Template 3.40 (Gaussian grid): N = parallels pole-to-equator and
+    # the actual latitude of every row (north -> south); None for the
+    # regular lat/lon template 3.0, where dlat_udeg applies instead.
+    gaussian_n: int | None = None
+    latitudes_deg: np.ndarray | None = None
 
 
 # --- complex packing (templates 5.2 / 5.3) --------------------------------
@@ -444,6 +478,7 @@ def encode_grib2_message(
     group_len: int = 20,
     spatial_diff_order: int = 2,
     missing_mask: np.ndarray | None = None,
+    gaussian: bool = False,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -469,6 +504,8 @@ def encode_grib2_message(
         raise ValueError("values must be (nj, ni)")
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
+    if gaussian and scanning_mode != 0x00:
+        raise ValueError("Gaussian grids are encoded north-first only")
     if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
         raise ValueError(f"unknown packing {packing!r}")
     nj, ni = vals.shape
@@ -602,6 +639,19 @@ def encode_grib2_message(
         + struct.pack(">HBBBBB", reftime[0], reftime[1], reftime[2], reftime[3], reftime[4], 0)
         + bytes([0, 1]),  # production status, data type
     )
+    if gaussian:
+        # Template 3.40: identical octet layout to 3.0 except La1/La2
+        # are the first/last GAUSSIAN latitudes and the Dj field holds
+        # N (parallels pole-to-equator).  Caller lat/dlat kwargs are
+        # ignored for the latitude axis — the grid IS the quadrature.
+        lats = gaussian_latitudes(nj)
+        lat_a = int(round(lats[0] * 1e6))
+        lat_b = int(round(lats[-1] * 1e6))
+        dj_field = struct.pack(">I", nj // 2)
+    else:
+        lat_a = lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg
+        lat_b = lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg
+        dj_field = struct.pack(">I", dlat_udeg)
     tmpl30 = (
         bytes([6, 0xFF])  # shape of earth: spherical r=6371229 m, no scale
         + b"\xff\xff\xff\xff"  # scaled radius (missing)
@@ -611,16 +661,23 @@ def encode_grib2_message(
         + struct.pack(">I", nj)
         + struct.pack(">I", 0)  # basic angle
         + b"\xff\xff\xff\xff"  # subdivisions (missing)
-        + _s32be(lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg)
+        + _s32be(lat_a)
         + _s32be(lon_first_udeg)
         + bytes([0x30])  # resolution/component flags: both increments given
-        + _s32be(lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg)
+        + _s32be(lat_b)
         + _s32be(lon_first_udeg + (ni - 1) * dlon_udeg)
         + struct.pack(">I", dlon_udeg)
-        + struct.pack(">I", dlat_udeg)
+        + dj_field
         + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
     )
-    s3 = section(3, bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0]) + struct.pack(">H", 0) + tmpl30)
+    s3 = section(
+        3,
+        bytes([0])
+        + struct.pack(">I", ni * nj)
+        + bytes([0, 0])
+        + struct.pack(">H", 40 if gaussian else 0)
+        + tmpl30,
+    )
     s4 = section(
         4,
         struct.pack(">H", 0)  # number of coordinate values
@@ -734,9 +791,9 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no != 0:
+    if tmpl_no not in (0, 40):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
-    g = s3[14:]  # template 3.0 body
+    g = s3[14:]  # template 3.0 / 3.40 body (identical octet layout)
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
     lat_first = _rs32be(g, 32)
@@ -756,7 +813,23 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     if (g[40] & 0x30) != 0x30:
         raise ValueError("direction increments not given (resolution flags)")
     (dlon,) = struct.unpack_from(">I", g, 49)
-    (dlat,) = struct.unpack_from(">I", g, 53)
+    gaussian_n: int | None = None
+    latitudes: np.ndarray | None = None
+    if tmpl_no == 40:
+        # Dj's octets hold N; only the GLOBAL grid (nj == 2N) is
+        # supported — a latitude subset would need La1/La2 root
+        # matching, and silently assuming global would misplace rows.
+        (gaussian_n,) = struct.unpack_from(">I", g, 53)
+        if scan != 0x00:
+            raise ValueError("Gaussian grids support north-first scanning only")
+        if nj != 2 * gaussian_n:
+            raise ValueError(
+                f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) not supported"
+            )
+        latitudes = gaussian_latitudes(nj)
+        dlat = 0
+    else:
+        (dlat,) = struct.unpack_from(">I", g, 53)
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
@@ -868,6 +941,8 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         level_scale=level_scale,
         level_value=level_value,
         packing_template=tmpl5,
+        gaussian_n=gaussian_n,
+        latitudes_deg=latitudes,
     )
 
 

@@ -783,3 +783,97 @@ def test_header_inventory_rejects_non_latlon_grid_template():
         pos += ln
     with pytest.raises(ValueError, match="grid definition template"):
         _grib2_header(bytes(msg))
+
+
+# --------------------------------------------------------------------------
+# Template 3.40 — global regular Gaussian grid
+# --------------------------------------------------------------------------
+
+
+def test_gaussian_latitudes_match_independent_quadrature():
+    """Engine latitudes (own Newton/Bonnet recurrence) must match
+    numpy's independent Gauss-Legendre implementation, run north-first,
+    and satisfy the exactness property that DEFINES the nodes: the
+    quadrature with P'_n-based weights integrates x^(2k) exactly."""
+    from monitoring_data_ingestion_spark.grid.grib2 import gaussian_latitudes
+
+    for nj in (2, 4, 10, 48, 96):
+        lats = gaussian_latitudes(nj)
+        x_ref, w_ref = np.polynomial.legendre.leggauss(nj)
+        assert np.max(np.abs(lats - np.degrees(np.arcsin(x_ref))[::-1])) < 1e-10
+        assert np.all(np.diff(lats) < 0)
+        assert np.allclose(lats, -lats[::-1])
+        # quadrature exactness through degree 2*nj-1 at the recovered nodes
+        x = np.sin(np.radians(lats))
+        for k in (0, 1, 2):
+            deg = 2 * k
+            if deg > 2 * nj - 1:
+                continue
+            assert abs(np.sum(w_ref[::-1] * x**deg) - 2.0 / (deg + 1)) < 1e-12
+
+    with pytest.raises(ValueError, match="even"):
+        gaussian_latitudes(5)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 6),
+    ni=st.integers(1, 12),
+    seed=st.integers(0, 2**31),
+)
+def test_gaussian_grid_roundtrip_property(n, ni, seed):
+    rng = np.random.default_rng(seed)
+    v = 100.0 + 2.0 * rng.integers(0, 60, (2 * n, ni))
+    rec = decode_grib2(
+        encode_grib2_message(v, gaussian=True, reference_value=100.0, binary_scale=1)
+    )
+    assert rec.gaussian_n == n
+    assert rec.dlat_udeg == 0
+    assert np.array_equal(rec.values, v)
+    from monitoring_data_ingestion_spark.grid.grib2 import gaussian_latitudes
+
+    assert np.allclose(rec.latitudes_deg, gaussian_latitudes(2 * n))
+    assert rec.lat_first_udeg == round(float(rec.latitudes_deg[0]) * 1e6)
+
+
+def test_gaussian_grid_composes_with_every_packing():
+    rng = np.random.default_rng(21)
+    v = 100.0 + 2.0 * rng.integers(0, 60, (8, 9))
+    for packing in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, gaussian=True, packing=packing,
+                reference_value=100.0, binary_scale=1,
+            )
+        )
+        assert rec.gaussian_n == 4 and np.array_equal(rec.values, v), packing
+
+
+def test_gaussian_non_global_subset_rejected():
+    """nj != 2N (a latitude subset) must reject — assuming global would
+    silently misplace every row."""
+    import struct
+
+    msg = bytearray(
+        encode_grib2_message(np.ones((8, 5)), gaussian=True)
+    )
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            struct.pack_into(">I", msg, pos + 14 + 53, 7)  # N = 7 but nj = 8
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="non-global Gaussian"):
+        decode_grib2(bytes(msg))
+
+
+def test_gaussian_rejected_by_landing_source_header():
+    """The landing source does not map non-uniform latitude axes into
+    its affine lat columns yet — it must reject template 3.40 loudly,
+    never emit a dlat=0 georeference."""
+    from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
+
+    msg = encode_grib2_message(np.ones((4, 5)), gaussian=True)
+    with pytest.raises(ValueError, match="grid definition template"):
+        _grib2_header(msg)
