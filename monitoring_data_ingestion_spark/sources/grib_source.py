@@ -44,7 +44,8 @@ RECORD_SCHEMA = (
     "category int, number int, "
     "level_type int, level int, year int, month int, day int, hour int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
-    "dlat_mdeg int, dlon_mdeg int, values array<double>"
+    "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
+    "values array<double>"
 )
 
 
@@ -138,7 +139,9 @@ def _grib2_header(msg: bytes) -> dict:
     # octets through a different template's layout would emit garbage
     # metadata exactly where the full decode stops loudly.
     (tmpl3,) = struct.unpack_from(">H", s3, 12)
-    if tmpl3 != 0:
+    if tmpl3 not in (0, 40):
+        # 3.40 (Gaussian) shares 3.0's Ni/Nj octets; anything else has
+        # a different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (0, 8):
@@ -266,6 +269,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     category = number = None
                     lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
                     dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
+                    lats_udeg = None
                 else:
                     rec = decode_grib2(msg)
                     # GRIB2 parameters are (category, number) pairs with
@@ -281,12 +285,26 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # (a level filter must fail VISIBLY, not match 0).
                     level_type = rec.level_type
                     level = _apply_surface_scale(rec.level_value, rec.level_scale)
-                    lat0, lon0 = _udeg_to_mdeg(rec.lat_first_udeg), _udeg_to_mdeg(
-                        rec.lon_first_udeg
-                    )
-                    dlat, dlon = _udeg_to_mdeg(rec.dlat_udeg), _udeg_to_mdeg(
-                        rec.dlon_udeg
-                    )
+                    if rec.gaussian_n is not None:
+                        # Gaussian rows have no affine latitude axis:
+                        # the mdeg georef stays NULL (visible, never a
+                        # fabricated dlat) and the exact quadrature
+                        # latitudes ride along in microdegrees.
+                        lat0 = dlat = None
+                        lats_udeg = [
+                            int(round(float(v) * 1e6))
+                            for v in rec.latitudes_deg
+                        ]
+                        lon0 = _udeg_to_mdeg(rec.lon_first_udeg)
+                        dlon = _udeg_to_mdeg(rec.dlon_udeg)
+                    else:
+                        lats_udeg = None
+                        lat0, lon0 = _udeg_to_mdeg(
+                            rec.lat_first_udeg
+                        ), _udeg_to_mdeg(rec.lon_first_udeg)
+                        dlat, dlon = _udeg_to_mdeg(
+                            rec.dlat_udeg
+                        ), _udeg_to_mdeg(rec.dlon_udeg)
                 rows.append(
                     {
                         "path": path,
@@ -307,6 +325,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "lon_first_mdeg": lon0,
                         "dlat_mdeg": dlat,
                         "dlon_mdeg": dlon,
+                        "latitudes_udeg": lats_udeg,
                         "values": rec.values.reshape(-1).tolist(),
                     }
                 )
@@ -316,7 +335,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 "path", "record_number", "edition", "parameter", "category",
                 "number", "level_type", "level", "year", "month", "day",
                 "hour", "ni", "nj", "lat_first_mdeg", "lon_first_mdeg",
-                "dlat_mdeg", "dlon_mdeg", "values",
+                "dlat_mdeg", "dlon_mdeg", "latitudes_udeg", "values",
             ],
         )
 
@@ -377,10 +396,23 @@ def grib1_cells(records: DataFrame) -> DataFrame:
         "lon_first_mdeg",
         "dlat_mdeg",
         "dlon_mdeg",
+        "latitudes_udeg",
         F.posexplode_outer("values").alias("idx", "v"),
     )
     i = F.col("idx") % F.col("ni")
     j = (F.col("idx") / F.col("ni")).cast("int")
+    # Unified EXACT latitude: affine grids expand the GDS axis; Gaussian
+    # grids read their quadrature row latitude. Affine lat_mdeg stays
+    # as-is (NULL on Gaussian rows — visible, never fabricated).
+    lat_udeg = F.when(
+        F.col("latitudes_udeg").isNotNull(),
+        F.element_at("latitudes_udeg", j + F.lit(1)),
+    ).otherwise(
+        (
+            (F.col("lat_first_mdeg") - j * F.col("dlat_mdeg")).cast("bigint")
+        )
+        * F.lit(1000).cast("bigint")
+    )
     return e.select(
         "path",
         "record_number",
@@ -388,6 +420,7 @@ def grib1_cells(records: DataFrame) -> DataFrame:
         "year",
         "month",
         (F.col("lat_first_mdeg") - j * F.col("dlat_mdeg")).alias("lat_mdeg"),
+        lat_udeg.alias("lat_udeg"),
         (F.col("lon_first_mdeg") + i * F.col("dlon_mdeg")).alias("lon_mdeg"),
         F.when(F.isnan("v") | F.col("v").isNull(), None)
         .otherwise(F.col("v"))

@@ -868,12 +868,11 @@ def test_gaussian_non_global_subset_rejected():
         decode_grib2(bytes(msg))
 
 
-def test_gaussian_rejected_by_landing_source_header():
-    """The landing source does not map non-uniform latitude axes into
-    its affine lat columns yet — it must reject template 3.40 loudly,
-    never emit a dlat=0 georeference."""
+def test_gaussian_header_inventory_reads_grid_dims():
+    """Template 3.40 shares 3.0's Ni/Nj octets, so the header-only
+    inventory reads Gaussian records without touching value bits; a
+    genuinely different layout (Lambert 3.30) still rejects."""
     from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
 
-    msg = encode_grib2_message(np.ones((4, 5)), gaussian=True)
-    with pytest.raises(ValueError, match="grid definition template"):
-        _grib2_header(msg)
+    h = _grib2_header(encode_grib2_message(np.ones((4, 5)), gaussian=True))
+    assert (h["ni"], h["nj"]) == (5, 4)

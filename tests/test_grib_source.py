@@ -298,3 +298,61 @@ def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
 
     with pytest.raises(Exception, match="simple packing"):
         grib1_records(spark, landing, match=r"e1:p61:").collect()
+
+
+def test_gaussian_archive_lands_with_exact_latitudes(spark, tmp_path):
+    """A Gaussian-grid (template 3.40) archive decodes through the
+    landing source: the affine mdeg latitude columns stay NULL (never a
+    fabricated dlat), the exact quadrature latitudes ride along in
+    microdegrees, and grib1_cells serves a UNIFIED exact lat_udeg for
+    affine and Gaussian records alike."""
+    import numpy as np
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        encode_grib2_message,
+        gaussian_latitudes,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import grib1_cells
+
+    landing = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(landing)
+    v = 100.0 + 2.0 * np.arange(40, dtype=np.float64).reshape(8, 5)
+    gauss = encode_grib2_message(
+        v, gaussian=True, reference_value=100.0, binary_scale=1, number=7
+    )
+    affine = encode_grib2_message(
+        v, reference_value=100.0, binary_scale=1, number=8,
+        lat_first_udeg=60_000_000, dlat_udeg=2_000_000,
+    )
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(gauss + affine)
+
+    recs = grib1_records(spark, landing).orderBy("record_number").collect()
+    assert len(recs) == 2
+    g, a = recs
+    assert g["lat_first_mdeg"] is None and g["dlat_mdeg"] is None
+    expect = [int(round(float(x) * 1e6)) for x in gaussian_latitudes(8)]
+    assert list(g["latitudes_udeg"]) == expect
+    assert a["latitudes_udeg"] is None
+    assert a["lat_first_mdeg"] == 60_000 and a["dlat_mdeg"] == 2_000
+
+    cells = (
+        grib1_cells(grib1_records(spark, landing))
+        .groupBy("record_number")
+        .agg(
+            F.countDistinct("lat_udeg").alias("nlat"),
+            F.max("lat_udeg").alias("latmax"),
+            F.count(F.col("lat_mdeg")).alias("n_affine_lat"),
+        )
+        .orderBy("record_number")
+        .collect()
+    )
+    gauss_cells, affine_cells = cells
+    assert gauss_cells["nlat"] == 8
+    assert gauss_cells["latmax"] == expect[0]
+    assert gauss_cells["n_affine_lat"] == 0  # mdeg column NULL, visibly
+    assert affine_cells["nlat"] == 8
+    assert affine_cells["latmax"] == 60_000_000
+    assert affine_cells["n_affine_lat"] == 40
