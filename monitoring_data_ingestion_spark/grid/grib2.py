@@ -14,7 +14,11 @@ the ``wgrib`` edition-1 path:
   10^-6 resolution vs GRIB1's millidegrees), scanning modes 0x00/0x40;
   template 3.40 — global regular GAUSSIAN grid (ECMWF F-grids, ERA5's
   native geometry): the Dj octets carry N and row latitudes are the
-  arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`).
+  arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`);
+  template 3.30 — LAMBERT CONFORMAL conic (HRRR/NAM regional
+  archives): per-cell geographic coordinates recovered through the
+  spherical Snyder inverse (:func:`lambert_inverse`), northern cone,
+  values kept in storage order.
 * Section 4 (Product definition, template 4.0): parameter category +
   number, the pair wgrib2 inventory strings name.
 * Section 5 (Data representation): template 5.0 (simple packing with an
@@ -46,6 +50,7 @@ integer-exact float32 reference decode BIT-EXACTLY.
 
 from __future__ import annotations
 
+import math
 import re
 import struct
 from dataclasses import dataclass
@@ -125,6 +130,61 @@ def gaussian_latitudes(nj: int) -> np.ndarray:
     return np.degrees(np.arcsin(x))  # k=1 root is nearest +1 -> north first
 
 
+def _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m):
+    """Cone constant n, scaled F·R, and the LaD/LoV origin offset of a
+    spherical Lambert conformal conic (Snyder 1987 eq. 15-1..15-4,
+    tan-power form). Northern-cone only (n > 0)."""
+    p1 = math.radians(latin1_deg)
+    p2 = math.radians(latin2_deg)
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = math.log(math.cos(p1) / math.cos(p2)) / math.log(
+            math.tan(math.pi / 4 + p2 / 2) / math.tan(math.pi / 4 + p1 / 2)
+        )
+    if n <= 0:
+        raise ValueError("southern-cone Lambert grids not supported")
+    rf = radius_m * math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho0 = rf / math.tan(math.pi / 4 + math.radians(lad_deg) / 2) ** n
+    return n, rf, rho0
+
+
+def lambert_forward(lat_deg, lon_deg, lad_deg, lov_deg, latin1_deg,
+                    latin2_deg, radius_m):
+    """(lat, lon) degrees -> projected (x, y) metres with the origin at
+    (LaD, LoV).  Accepts scalars or numpy arrays."""
+    n, rf, rho0 = _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = np.radians(
+        (np.asarray(lon_deg, dtype=np.float64) - lov_deg + 180.0) % 360.0 - 180.0
+    )
+    rho = rf / np.tan(np.pi / 4 + lat / 2) ** n
+    theta = n * dlon
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def lambert_inverse(x_m, y_m, lad_deg, lov_deg, latin1_deg, latin2_deg,
+                    radius_m):
+    """Projected (x, y) metres -> (lat, lon) degrees; exact inverse of
+    :func:`lambert_forward` (Snyder eq. 14-9..14-11)."""
+    n, rf, rho0 = _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m)
+    x = np.asarray(x_m, dtype=np.float64)
+    y = np.asarray(y_m, dtype=np.float64)
+    rho = np.hypot(x, rho0 - y)
+    theta = np.arctan2(x, rho0 - y)
+    with np.errstate(divide="ignore"):
+        lat = 2.0 * np.arctan((rf / rho) ** (1.0 / n)) - np.pi / 2
+    lat = np.where(rho == 0.0, np.pi / 2, lat)  # the pole itself
+    lon = lov_deg + np.degrees(theta / n)
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return np.degrees(lat), lon
+
+
+# Shape-of-earth octet (code table 3.2) -> sphere radius in metres for
+# the codes the codec emits/accepts.
+_EARTH_RADIUS_M = {0: 6_367_470.0, 6: 6_371_229.0}
+
+
 @dataclass
 class Grib2Record:
     """One decoded GRIB2 message."""
@@ -154,6 +214,14 @@ class Grib2Record:
     # regular lat/lon template 3.0, where dlat_udeg applies instead.
     gaussian_n: int | None = None
     latitudes_deg: np.ndarray | None = None
+    # Template 3.30 (Lambert conformal): grid_template pins which grid
+    # family produced the record; cell_lats/lons_deg are the (nj, ni)
+    # geographic coordinates of every cell IN STORAGE ORDER (projected
+    # grids have no affine lat/lon axes, so dlat/dlon_udeg are 0 and
+    # values are NOT row-normalized).
+    grid_template: int = 0
+    cell_lats_deg: np.ndarray | None = None
+    cell_lons_deg: np.ndarray | None = None
 
 
 # --- complex packing (templates 5.2 / 5.3) --------------------------------
@@ -479,6 +547,7 @@ def encode_grib2_message(
     spatial_diff_order: int = 2,
     missing_mask: np.ndarray | None = None,
     gaussian: bool = False,
+    lambert: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -506,6 +575,13 @@ def encode_grib2_message(
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
     if gaussian and scanning_mode != 0x00:
         raise ValueError("Gaussian grids are encoded north-first only")
+    if lambert is not None and gaussian:
+        raise ValueError("a grid is either Gaussian or Lambert, not both")
+    if lambert is not None:
+        _lambert_setup(
+            lambert["lad"], lambert["lov"], lambert["latin1"],
+            lambert["latin2"], _EARTH_RADIUS_M[6],
+        )  # validates the cone (loud southern-cone reject) at encode
     if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
         raise ValueError(f"unknown packing {packing!r}")
     nj, ni = vals.shape
@@ -522,7 +598,11 @@ def encode_grib2_message(
             raise ValueError("missing_mask and bitmap are mutually exclusive")
         if mm.shape != vals.shape:
             raise ValueError("missing_mask shape must match values")
-    if scanning_mode == 0x40:  # store rows south-first
+    if scanning_mode == 0x40 and lambert is None:
+        # lat/lon grids: caller row 0 is ALWAYS northernmost; 0x40
+        # stores rows south-first on the wire.  Lambert grids have no
+        # latitude axis — values are stored exactly as given and the
+        # scan bit only orients the per-cell y coordinates.
         vals = vals[::-1]
         bm = None if bm is None else bm[::-1]
         mm = None if mm is None else mm[::-1]
@@ -639,7 +719,45 @@ def encode_grib2_message(
         + struct.pack(">HBBBBB", reftime[0], reftime[1], reftime[2], reftime[3], reftime[4], 0)
         + bytes([0, 1]),  # production status, data type
     )
-    if gaussian:
+    earth = (
+        bytes([6, 0xFF])  # shape of earth: spherical r=6371229 m, no scale
+        + b"\xff\xff\xff\xff"  # scaled radius (missing)
+        + bytes([0xFF]) + b"\xff\xff\xff\xff"  # major axis sf + value (missing)
+        + bytes([0xFF]) + b"\xff\xff\xff\xff"  # minor axis sf + value (missing)
+    )
+    if lambert is not None:
+        # Template 3.30 (Lambert conformal conic): Nx/Ny share 3.0's
+        # octets, then La1/Lo1, LaD/LoV, Dx/Dy in MILLImetres, the
+        # projection-centre flag, scanning mode, and the two standard
+        # parallels. ``lambert`` keys: la1, lo1 (degrees of cell 0,0),
+        # lad, lov, latin1, latin2 (degrees), dx_m, dy_m (metres).
+        tmpl330 = (
+            earth
+            + struct.pack(">I", ni)
+            + struct.pack(">I", nj)
+            + _s32be(int(round(lambert["la1"] * 1e6)))
+            + _s32be(int(round(lambert["lo1"] * 1e6)))
+            + bytes([0x08])  # resolution/component flags (u/v grid-relative)
+            + _s32be(int(round(lambert["lad"] * 1e6)))
+            + _s32be(int(round(lambert["lov"] * 1e6)))
+            + struct.pack(">I", int(round(lambert["dx_m"] * 1e3)))
+            + struct.pack(">I", int(round(lambert["dy_m"] * 1e3)))
+            + bytes([0])  # projection centre: north pole on plane
+            + bytes([scanning_mode])
+            + _s32be(int(round(lambert["latin1"] * 1e6)))
+            + _s32be(int(round(lambert["latin2"] * 1e6)))
+            + _s32be(-90_000_000)  # south pole of projection
+            + _s32be(0)
+        )
+        s3 = section(
+            3,
+            bytes([0])
+            + struct.pack(">I", ni * nj)
+            + bytes([0, 0])
+            + struct.pack(">H", 30)
+            + tmpl330,
+        )
+    elif gaussian:
         # Template 3.40: identical octet layout to 3.0 except La1/La2
         # are the first/last GAUSSIAN latitudes and the Dj field holds
         # N (parallels pole-to-equator).  Caller lat/dlat kwargs are
@@ -652,11 +770,9 @@ def encode_grib2_message(
         lat_a = lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg
         lat_b = lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg
         dj_field = struct.pack(">I", dlat_udeg)
-    tmpl30 = (
-        bytes([6, 0xFF])  # shape of earth: spherical r=6371229 m, no scale
-        + b"\xff\xff\xff\xff"  # scaled radius (missing)
-        + bytes([0xFF]) + b"\xff\xff\xff\xff"  # major axis sf + value (missing)
-        + bytes([0xFF]) + b"\xff\xff\xff\xff"  # minor axis sf + value (missing)
+    if lambert is None:
+        tmpl30 = (
+        earth
         + struct.pack(">I", ni)
         + struct.pack(">I", nj)
         + struct.pack(">I", 0)  # basic angle
@@ -669,15 +785,15 @@ def encode_grib2_message(
         + struct.pack(">I", dlon_udeg)
         + dj_field
         + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
-    )
-    s3 = section(
-        3,
-        bytes([0])
-        + struct.pack(">I", ni * nj)
-        + bytes([0, 0])
-        + struct.pack(">H", 40 if gaussian else 0)
-        + tmpl30,
-    )
+        )
+        s3 = section(
+            3,
+            bytes([0])
+            + struct.pack(">I", ni * nj)
+            + bytes([0, 0])
+            + struct.pack(">H", 40 if gaussian else 0)
+            + tmpl30,
+        )
     s4 = section(
         4,
         struct.pack(">H", 0)  # number of coordinate values
@@ -791,13 +907,55 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no not in (0, 40):
+    if tmpl_no not in (0, 30, 40):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
-    g = s3[14:]  # template 3.0 / 3.40 body (identical octet layout)
+    g = s3[14:]  # 3.0 / 3.40 share one layout; 3.30 shares Nx/Ny octets
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
-    lat_first = _rs32be(g, 32)
-    lon_first = _rs32be(g, 36)
+    lambert_params: dict | None = None
+    cell_lats = cell_lons = None
+    if tmpl_no == 30:
+        if g[0] not in _EARTH_RADIUS_M:
+            raise ValueError(f"unsupported shape of earth {g[0]} for Lambert")
+        if g[49] & 0x80:
+            raise ValueError("southern-cone Lambert grids not supported")
+        scan = g[50]
+        if scan not in (0x00, 0x40):
+            raise ValueError(
+                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
+            )
+        lambert_params = {
+            "la1": _rs32be(g, 24) / 1e6,
+            "lo1": _rs32be(g, 28) / 1e6,
+            "lad": _rs32be(g, 33) / 1e6,
+            "lov": _rs32be(g, 37) / 1e6,
+            "dx_m": struct.unpack_from(">I", g, 41)[0] / 1e3,
+            "dy_m": struct.unpack_from(">I", g, 45)[0] / 1e3,
+            "latin1": _rs32be(g, 51) / 1e6,
+            "latin2": _rs32be(g, 55) / 1e6,
+            "radius_m": _EARTH_RADIUS_M[g[0]],
+        }
+        lp = lambert_params
+        x1, y1 = lambert_forward(
+            lp["la1"], lp["lo1"], lp["lad"], lp["lov"],
+            lp["latin1"], lp["latin2"], lp["radius_m"],
+        )
+        # Cell coordinates IN STORAGE ORDER: +i always east along a row;
+        # scanning bit 0x40 means +j (row index increases along +y),
+        # otherwise rows step in -y.  No row normalization — projected
+        # grids have no latitude axis to normalize.
+        sj = 1.0 if scan & 0x40 else -1.0
+        xs = float(x1) + lp["dx_m"] * np.arange(ni)[None, :]
+        ys = float(y1) + sj * lp["dy_m"] * np.arange(nj)[:, None]
+        cell_lats, cell_lons = lambert_inverse(
+            np.broadcast_to(xs, (nj, ni)), np.broadcast_to(ys, (nj, ni)),
+            lp["lad"], lp["lov"], lp["latin1"], lp["latin2"], lp["radius_m"],
+        )
+        lat_first = _rs32be(g, 24)
+        lon_first = _rs32be(g, 28)
+    else:
+        lat_first = _rs32be(g, 32)
+        lon_first = _rs32be(g, 36)
     # Same loud-stop policy as grib1: an unsupported scanning mode
     # reorders cells — decoding it as row-major +i,−j is silent
     # geography corruption; 0x40 (+j, south row first) is a pure row
@@ -805,31 +963,36 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     # 0x20 AND 0x10 mean the i- and j-increments are given; if EITHER
     # is unset that increment field holds the all-ones missing sentinel
     # and dlat/dlon would decode as ~4.29e9 microdegrees — require both.
-    scan = g[57]
-    if scan not in (0x00, 0x40):
-        raise ValueError(
-            f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
-        )
-    if (g[40] & 0x30) != 0x30:
-        raise ValueError("direction increments not given (resolution flags)")
-    (dlon,) = struct.unpack_from(">I", g, 49)
     gaussian_n: int | None = None
     latitudes: np.ndarray | None = None
-    if tmpl_no == 40:
-        # Dj's octets hold N; only the GLOBAL grid (nj == 2N) is
-        # supported — a latitude subset would need La1/La2 root
-        # matching, and silently assuming global would misplace rows.
-        (gaussian_n,) = struct.unpack_from(">I", g, 53)
-        if scan != 0x00:
-            raise ValueError("Gaussian grids support north-first scanning only")
-        if nj != 2 * gaussian_n:
-            raise ValueError(
-                f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) not supported"
-            )
-        latitudes = gaussian_latitudes(nj)
-        dlat = 0
+    if tmpl_no == 30:
+        dlat = dlon = 0  # projected grid: no affine lat/lon axes
     else:
-        (dlat,) = struct.unpack_from(">I", g, 53)
+        scan = g[57]
+        if scan not in (0x00, 0x40):
+            raise ValueError(
+                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
+            )
+        if (g[40] & 0x30) != 0x30:
+            raise ValueError("direction increments not given (resolution flags)")
+        (dlon,) = struct.unpack_from(">I", g, 49)
+        if tmpl_no == 40:
+            # Dj's octets hold N; only the GLOBAL grid (nj == 2N) is
+            # supported — a latitude subset would need La1/La2 root
+            # matching, and silently assuming global would misplace rows.
+            (gaussian_n,) = struct.unpack_from(">I", g, 53)
+            if scan != 0x00:
+                raise ValueError(
+                    "Gaussian grids support north-first scanning only"
+                )
+            if nj != 2 * gaussian_n:
+                raise ValueError(
+                    f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) not supported"
+                )
+            latitudes = gaussian_latitudes(nj)
+            dlat = 0
+        else:
+            (dlat,) = struct.unpack_from(">I", g, 53)
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
@@ -918,7 +1081,10 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     else:
         values = present_vals
     values = values.reshape(nj, ni)
-    if scan == 0x40:  # south-first storage → normalize to north-first
+    if scan == 0x40 and tmpl_no != 30:
+        # south-first storage → normalize to north-first (lat/lon grids
+        # only; projected grids keep storage order — their per-cell
+        # coordinate arrays already reflect the scan direction)
         values = values[::-1]
         lat_first = lat_first + (nj - 1) * dlat  # La1 was the southern edge
     return Grib2Record(
@@ -943,6 +1109,9 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         packing_template=tmpl5,
         gaussian_n=gaussian_n,
         latitudes_deg=latitudes,
+        grid_template=tmpl_no,
+        cell_lats_deg=cell_lats,
+        cell_lons_deg=cell_lons,
     )
 
 

@@ -766,9 +766,9 @@ def test_pdt_48_shares_40_layout_and_decodes():
 
 
 def test_header_inventory_rejects_non_latlon_grid_template():
-    """_grib2_header must not read Ni/Nj through a non-3.0 layout
-    (Lambert etc.) — the metadata pass must stop as loudly as the full
-    decode (review r8)."""
+    """_grib2_header must not read Ni/Nj through a layout that does not
+    share 3.0's octets (triangular 3.100 etc.) — the metadata pass must
+    stop as loudly as the full decode (review r8)."""
     import struct
 
     from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
@@ -778,7 +778,7 @@ def test_header_inventory_rejects_non_latlon_grid_template():
     while pos < len(msg) - 4:
         ln, num = struct.unpack_from(">IB", msg, pos)
         if num == 3:
-            struct.pack_into(">H", msg, pos + 12, 30)  # Lambert conformal
+            struct.pack_into(">H", msg, pos + 12, 100)  # triangular grid
             break
         pos += ln
     with pytest.raises(ValueError, match="grid definition template"):
@@ -876,3 +876,130 @@ def test_gaussian_header_inventory_reads_grid_dims():
 
     h = _grib2_header(encode_grib2_message(np.ones((4, 5)), gaussian=True))
     assert (h["ni"], h["nj"]) == (5, 4)
+
+
+# --------------------------------------------------------------------------
+# Template 3.30 — Lambert conformal conic
+# --------------------------------------------------------------------------
+
+
+def _lcc_inverse_isometric(x, y, lad, lov, latin1, latin2, radius):
+    """Independent LCC inverse via the ISOMETRIC-latitude formulation
+    (psi = ln tan(pi/4 + phi/2); rho = R F e^(-n psi)) — algebraically
+    equal to the module's tan-power form, implementationally distinct."""
+    import math
+
+    p1, p2 = math.radians(latin1), math.radians(latin2)
+
+    def psi(phi):
+        return math.log(math.tan(math.pi / 4 + phi / 2))
+
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = math.log(math.cos(p1) / math.cos(p2)) / (psi(p2) - psi(p1))
+    f = math.cos(p1) * math.exp(n * psi(p1)) / n
+    rho0 = radius * f * math.exp(-n * psi(math.radians(lad)))
+    rho = math.hypot(x, rho0 - y)
+    theta = math.atan2(x, rho0 - y)
+    psi_pt = -math.log(rho / (radius * f)) / n
+    lat = math.degrees(2 * math.atan(math.exp(psi_pt)) - math.pi / 2)
+    lon = lov + math.degrees(theta / n)
+    return lat, (lon + 180.0) % 360.0 - 180.0
+
+
+def test_lambert_matches_snyder_published_example():
+    """Snyder, 'Map Projections — A Working Manual' (USGS PP 1395),
+    spherical LCC numerical example: R=1, standard parallels 33/45,
+    origin 23N 96W; the point 35N 75W maps to (0.2966785, 0.2462112)."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        lambert_forward,
+        lambert_inverse,
+    )
+
+    x, y = lambert_forward(35.0, -75.0, 23.0, -96.0, 33.0, 45.0, 1.0)
+    assert abs(float(x) - 0.2966785) < 5e-7
+    assert abs(float(y) - 0.2462112) < 5e-7
+    lat, lon = lambert_inverse(float(x), float(y), 23.0, -96.0, 33.0, 45.0, 1.0)
+    assert abs(float(lat) - 35.0) < 1e-9 and abs(float(lon) + 75.0) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    x_km=st.floats(-2000, 2000),
+    y_km=st.floats(-2000, 2000),
+    tangent=st.booleans(),
+)
+def test_lambert_inverse_matches_independent_formulation(x_km, y_km, tangent):
+    from monitoring_data_ingestion_spark.grid.grib2 import lambert_inverse
+
+    lad, lov, r = 38.5, -97.5, 6371229.0
+    latin1, latin2 = (38.5, 38.5) if tangent else (33.0, 45.0)
+    lat_m, lon_m = lambert_inverse(x_km * 1e3, y_km * 1e3, lad, lov, latin1, latin2, r)
+    lat_i, lon_i = _lcc_inverse_isometric(x_km * 1e3, y_km * 1e3, lad, lov, latin1, latin2, r)
+    assert abs(float(lat_m) - lat_i) < 1e-9
+    assert abs(float(lon_m) - lon_i) < 1e-9
+
+
+def test_lambert_grid_roundtrip_and_cell_coordinates():
+    """Template 3.30 end-to-end: values keep storage order under both
+    scan modes, cell (0,0) is exactly (La1, Lo1), and forward-projecting
+    every decoded coordinate lands back on the exact Dx/Dy mesh."""
+    from monitoring_data_ingestion_spark.grid.grib2 import lambert_forward
+
+    rng = np.random.default_rng(6)
+    lam = dict(
+        la1=21.138, lo1=-122.72, lad=38.5, lov=-97.5,
+        latin1=38.5, latin2=38.5, dx_m=3000.0, dy_m=3000.0,
+    )
+    for scan in (0x40, 0x00):
+        v = 100.0 + 2.0 * rng.integers(0, 60, (6, 8))
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, lambert=lam, scanning_mode=scan,
+                reference_value=100.0, binary_scale=1,
+            )
+        )
+        assert rec.grid_template == 30
+        assert np.array_equal(rec.values, v)
+        assert abs(rec.cell_lats_deg[0, 0] - lam["la1"]) < 1e-6
+        assert abs(rec.cell_lons_deg[0, 0] - lam["lo1"]) < 1e-6
+        x, y = lambert_forward(
+            rec.cell_lats_deg, rec.cell_lons_deg,
+            lam["lad"], lam["lov"], lam["latin1"], lam["latin2"], 6371229.0,
+        )
+        i = np.arange(8)[None, :]
+        j = np.arange(6)[:, None]
+        sj = 1.0 if scan & 0x40 else -1.0
+        assert np.max(np.abs(x - (float(x[0, 0]) + i * lam["dx_m"]))) < 1e-4
+        assert np.max(np.abs(y - (float(y[0, 0]) + sj * j * lam["dy_m"]))) < 1e-4
+
+
+def test_lambert_rejections():
+    """Southern cones and landing-source ingestion stop loudly."""
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        _decode_batches,
+        _grib2_header,
+    )
+
+    lam = dict(
+        la1=21.0, lo1=-122.0, lad=38.5, lov=-97.5,
+        latin1=38.5, latin2=38.5, dx_m=3000.0, dy_m=3000.0,
+    )
+    msg = encode_grib2_message(np.ones((3, 4)), lambert=lam)
+    # header inventory reads dims (shared octets)...
+    h = _grib2_header(msg)
+    assert (h["ni"], h["nj"]) == (4, 3)
+    # ...but the landing record schema refuses to fabricate a georef
+    import pandas as pd
+
+    with pytest.raises(ValueError, match="Lambert"):
+        list(
+            _decode_batches(
+                iter([pd.DataFrame([{"path": "f", "content": msg}])])
+            )
+        )
+    # southern cone
+    south = dict(lam, lad=-38.5, latin1=-38.5, latin2=-38.5)
+    with pytest.raises(ValueError, match="southern-cone"):
+        encode_grib2_message(np.ones((3, 4)), lambert=south)
