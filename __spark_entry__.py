@@ -31,10 +31,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 8 (from CORRECTNESS_r01-r07): 17 names
 # last witnessed r2 (oldest), 40 r3, 49 r4, 44 r5, 47 r6, 50 r7.
-# Round 8 takes the 6 new r8 queries + 6 GRIB queries changed by the
-# r8 codec/landing work + all 17 r2 leftovers + the first 21 of the r3
-# cohort (alphabetical).  The 19 r3 names left over — sample_weighted,
-# scd2 + split_train_test_hash, the stream_* family,
+# Round 8 takes the 7 new r8 queries + 6 GRIB queries changed by the
+# r8 codec/landing work + all 17 r2 leftovers + the first 20 of the r3
+# cohort (alphabetical).  The 20 r3 names left over — pack_sequences,
+# sample_weighted, scd2 + split_train_test_hash, the stream_* family,
 # text_langid/quality, and the ts_* family — are round 9's queue head,
 # keeping every cohort's evidence younger than ~5 rounds.
 # Every entry outside the window stays locally oracle-checked each
@@ -42,12 +42,13 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
     # --- 1. new in round 8 (first driver witness): GRIB2 complex
-    #     packing 5.2/5.3, JPEG2000 packing 5.40, the mixed-edition
-    #     metadata scan, and the byte-real flagship with the publish
-    #     side ---
+    #     packing 5.2/5.3, JPEG2000 packing 5.40, Gaussian grids 3.40,
+    #     Lambert grids 3.30, the mixed-edition metadata scan, and the
+    #     byte-real flagship with the publish side ---
     "grid_grib2_complex_decode",
     "grid_grib2_gaussian_decode",
     "grid_grib2_jpeg2000_decode",
+    "grid_grib2_lambert_decode",
     "grid_grib_mixed_scan",
     "grid_grib_inventory_scan",
     "era5_grib_anomaly_pipeline",
@@ -79,7 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_rank",
     "window_running_sum",
-    # --- 4. next-oldest cohort: round 3, first 21 alphabetical ---
+    # --- 4. next-oldest cohort: round 3, first 20 alphabetical ---
     "agg_approx_quantile",
     "agg_hll_sketch_union",
     "contamination_ngram_overlap",
@@ -100,8 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf_trained",
     "multimodal_feature_extract",
     "multimodal_metadata_stats",
-    "pack_sequences",
-    # --- round-9 queue, in order: sample_weighted +
+    # --- round-9 queue, in order: pack_sequences + sample_weighted +
     #     scd2_validity_intervals + split_train_test_hash + the 16 other
     #     r3 leftovers (stream_dedup_
     #     union, stream_session_windows, stream_sliding_halfhour,
