@@ -50,6 +50,7 @@ integer-exact float32 reference decode BIT-EXACTLY.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 import struct
@@ -104,6 +105,7 @@ def _rs32be(b: bytes, off: int) -> int:
     return -mag if b[off] & 0x80 else mag
 
 
+@functools.lru_cache(maxsize=64)
 def gaussian_latitudes(nj: int) -> np.ndarray:
     """Latitudes (degrees, north -> south) of the global regular
     Gaussian grid with ``nj`` parallels — arcsin of the roots of the
@@ -111,6 +113,9 @@ def gaussian_latitudes(nj: int) -> np.ndarray:
     ERA5's native grid) are built on.  Newton-Raphson from the
     classical cosine initial guess, P_n and P'_n by the Bonnet
     three-term recurrence; converges to ~1e-15 in a handful of steps.
+
+    Memoized per grid (a landing scan decodes thousands of records on
+    ONE grid); the returned array is read-only — copy before mutating.
     """
     if nj < 2 or nj % 2:
         raise ValueError("a global Gaussian grid has an even parallel count")
@@ -127,7 +132,9 @@ def gaussian_latitudes(nj: int) -> np.ndarray:
         x = x - step
         if float(np.max(np.abs(step))) < 1e-15:
             break
-    return np.degrees(np.arcsin(x))  # k=1 root is nearest +1 -> north first
+    lats = np.degrees(np.arcsin(x))  # k=1 root is nearest +1 -> north first
+    lats.flags.writeable = False  # shared cached instance
+    return lats
 
 
 def _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m):
@@ -215,13 +222,43 @@ class Grib2Record:
     gaussian_n: int | None = None
     latitudes_deg: np.ndarray | None = None
     # Template 3.30 (Lambert conformal): grid_template pins which grid
-    # family produced the record; cell_lats/lons_deg are the (nj, ni)
-    # geographic coordinates of every cell IN STORAGE ORDER (projected
-    # grids have no affine lat/lon axes, so dlat/dlon_udeg are 0 and
-    # values are NOT row-normalized).
+    # family produced the record; lambert_params carries the projection
+    # (lad/lov/latin1/latin2/radius_m) plus the precomputed anchor
+    # (x1, y1), mesh steps and the scan-derived y sign. Projected grids
+    # have no affine lat/lon axes, so dlat/dlon_udeg are 0 and values
+    # are NOT row-normalized.
     grid_template: int = 0
-    cell_lats_deg: np.ndarray | None = None
-    cell_lons_deg: np.ndarray | None = None
+    lambert_params: dict | None = None
+
+    # Per-cell geographic coordinates (nj, ni) IN STORAGE ORDER —
+    # computed lazily on first access (consumers like the landing
+    # source reject projected grids before ever needing O(cells) trig).
+    def _lambert_cells(self):
+        cells = getattr(self, "_cells", None)
+        if cells is None:
+            lp = self.lambert_params
+            xs = lp["x1"] + lp["dx_m"] * np.arange(self.ni)[None, :]
+            ys = lp["y1"] + lp["sj"] * lp["dy_m"] * np.arange(self.nj)[:, None]
+            cells = lambert_inverse(
+                np.broadcast_to(xs, (self.nj, self.ni)),
+                np.broadcast_to(ys, (self.nj, self.ni)),
+                lp["lad"], lp["lov"], lp["latin1"], lp["latin2"],
+                lp["radius_m"],
+            )
+            self._cells = cells
+        return cells
+
+    @property
+    def cell_lats_deg(self) -> np.ndarray | None:
+        if self.lambert_params is None:
+            return None
+        return self._lambert_cells()[0]
+
+    @property
+    def cell_lons_deg(self) -> np.ndarray | None:
+        if self.lambert_params is None:
+            return None
+        return self._lambert_cells()[1]
 
 
 # --- complex packing (templates 5.2 / 5.3) --------------------------------
@@ -894,7 +931,12 @@ def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
 
 
 def decode_grib2(msg: bytes) -> Grib2Record:
-    """Decode one GRIB2 message (templates 3.0 / 4.0 / 5.0)."""
+    """Decode one GRIB2 message.
+
+    Grid templates 3.0 (lat/lon), 3.30 (Lambert conformal), 3.40
+    (global Gaussian); product templates 4.0/4.8; data representation
+    templates 5.0 (simple), 5.2/5.3 (complex ± spatial differencing),
+    5.40 (JPEG2000), 5.41 (PNG).  Everything else raises."""
     msg = bytes(msg)
     if msg[:4] != MAGIC or msg[7] != EDITION:
         raise ValueError("not a GRIB edition-2 message")
@@ -913,12 +955,18 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
     lambert_params: dict | None = None
-    cell_lats = cell_lons = None
     if tmpl_no == 30:
         if g[0] not in _EARTH_RADIUS_M:
             raise ValueError(f"unsupported shape of earth {g[0]} for Lambert")
-        if g[49] & 0x80:
-            raise ValueError("southern-cone Lambert grids not supported")
+        if g[49] & 0xC0:
+            # bit 1 (0x80): south pole on the projection plane; bit 2
+            # (0x40): bi-polar symmetric projection — decoding either
+            # with a single northern cone would be silent geography
+            # corruption.
+            raise ValueError(
+                f"unsupported Lambert projection centre flag 0x{g[49]:02x} "
+                "(southern / bi-polar cones not supported)"
+            )
         scan = g[50]
         if scan not in (0x00, 0x40):
             raise ValueError(
@@ -940,17 +988,13 @@ def decode_grib2(msg: bytes) -> Grib2Record:
             lp["la1"], lp["lo1"], lp["lad"], lp["lov"],
             lp["latin1"], lp["latin2"], lp["radius_m"],
         )
-        # Cell coordinates IN STORAGE ORDER: +i always east along a row;
-        # scanning bit 0x40 means +j (row index increases along +y),
-        # otherwise rows step in -y.  No row normalization — projected
-        # grids have no latitude axis to normalize.
-        sj = 1.0 if scan & 0x40 else -1.0
-        xs = float(x1) + lp["dx_m"] * np.arange(ni)[None, :]
-        ys = float(y1) + sj * lp["dy_m"] * np.arange(nj)[:, None]
-        cell_lats, cell_lons = lambert_inverse(
-            np.broadcast_to(xs, (nj, ni)), np.broadcast_to(ys, (nj, ni)),
-            lp["lad"], lp["lov"], lp["latin1"], lp["latin2"], lp["radius_m"],
-        )
+        # Anchor + mesh orientation, resolved NOW; the O(cells) inverse
+        # runs lazily on first cell_lats/lons_deg access.  +i is always
+        # east along a row; scanning bit 0x40 means +j steps +y,
+        # otherwise -y.  No row normalization — projected grids have no
+        # latitude axis to normalize.
+        lp["x1"], lp["y1"] = float(x1), float(y1)
+        lp["sj"] = 1.0 if scan & 0x40 else -1.0
         lat_first = _rs32be(g, 24)
         lon_first = _rs32be(g, 28)
     else:
@@ -973,7 +1017,12 @@ def decode_grib2(msg: bytes) -> Grib2Record:
             raise ValueError(
                 f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
             )
-        if (g[40] & 0x30) != 0x30:
+        # 3.0 carries BOTH increments; if either flag is unset that
+        # field holds the all-ones missing sentinel and would decode as
+        # ~4.29e9 microdegrees.  3.40's Dj octets hold N (always
+        # meaningful), so only the i-increment flag applies there.
+        need_flags = 0x20 if tmpl_no == 40 else 0x30
+        if (g[40] & need_flags) != need_flags:
             raise ValueError("direction increments not given (resolution flags)")
         (dlon,) = struct.unpack_from(">I", g, 49)
         if tmpl_no == 40:
@@ -1110,8 +1159,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         gaussian_n=gaussian_n,
         latitudes_deg=latitudes,
         grid_template=tmpl_no,
-        cell_lats_deg=cell_lats,
-        cell_lons_deg=cell_lons,
+        lambert_params=lambert_params,
     )
 
 

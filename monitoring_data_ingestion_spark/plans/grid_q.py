@@ -2091,29 +2091,48 @@ def grid_grib2_gaussian_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # record r being 140 + 2*((d*5 + r*23 + i*7 + j*11) % 60).
 
 
-def _lcc_inverse_isometric(x, y, lad, lov, latin1, latin2, radius):
-    """Independent spherical-LCC inverse via the ISOMETRIC-latitude
+def _lcc_psi(phi):
+    import math
+
+    return math.log(math.tan(math.pi / 4 + phi / 2))
+
+
+def _lcc_setup_isometric(lad, latin1, latin2, radius):
+    """Cone constant n, R·F, and rho0 via the ISOMETRIC-latitude
     formulation (psi = ln tan(pi/4 + phi/2); rho = R F e^(-n psi)) —
     algebraically equal to the engine's tan-power Snyder form
-    (grid/grib2.py::lambert_inverse) but implementationally distinct,
-    so the oracle's embedded coordinates are a second implementation,
-    not the engine talking to itself."""
+    (grid/grib2.py::_lambert_setup) but implementationally distinct, so
+    the oracle's embedded coordinates are a second implementation, not
+    the engine talking to itself.  (tests/test_grib2.py carries its own
+    deliberate copy of the inverse, independent of this module.)"""
     import math
 
     p1, p2 = math.radians(latin1), math.radians(latin2)
-
-    def psi(phi):
-        return math.log(math.tan(math.pi / 4 + phi / 2))
-
     if abs(p1 - p2) < 1e-12:
         n = math.sin(p1)
     else:
-        n = math.log(math.cos(p1) / math.cos(p2)) / (psi(p2) - psi(p1))
-    f = math.cos(p1) * math.exp(n * psi(p1)) / n
-    rho0 = radius * f * math.exp(-n * psi(math.radians(lad)))
+        n = math.log(math.cos(p1) / math.cos(p2)) / (_lcc_psi(p2) - _lcc_psi(p1))
+    rf = radius * math.cos(p1) * math.exp(n * _lcc_psi(p1)) / n
+    rho0 = rf * math.exp(-n * _lcc_psi(math.radians(lad)))
+    return n, rf, rho0
+
+
+def _lcc_forward_isometric(lat, lon, lad, lov, latin1, latin2, radius):
+    import math
+
+    n, rf, rho0 = _lcc_setup_isometric(lad, latin1, latin2, radius)
+    rho = rf * math.exp(-n * _lcc_psi(math.radians(lat)))
+    theta = n * math.radians(lon - lov)
+    return rho * math.sin(theta), rho0 - rho * math.cos(theta)
+
+
+def _lcc_inverse_isometric(x, y, lad, lov, latin1, latin2, radius):
+    import math
+
+    n, rf, rho0 = _lcc_setup_isometric(lad, latin1, latin2, radius)
     rho = math.hypot(x, rho0 - y)
     theta = math.atan2(x, rho0 - y)
-    psi_pt = -math.log(rho / (radius * f)) / n
+    psi_pt = -math.log(rho / rf) / n
     lat = math.degrees(2 * math.atan(math.exp(psi_pt)) - math.pi / 2)
     lon = lov + math.degrees(theta / n)
     return lat, (lon + 180.0) % 360.0 - 180.0
@@ -2130,8 +2149,6 @@ def _lcc_parallels(rn: int) -> tuple[float, float]:
 def _lcc_far_corner_values_sql() -> str:
     """(doc_id, rn, lat_udeg, lon_udeg) of cell (ni-1, nj-1), computed
     with the independent isometric-form projection above."""
-    import math
-
     rows = []
     for d in range(0, 390):
         if d % 13 != 1:
@@ -2140,24 +2157,10 @@ def _lcc_far_corner_values_sql() -> str:
         dx = 3000.0 * (1 + d % 3)
         for rn in (1, 2):
             latin1, latin2 = _lcc_parallels(rn)
-            p1, p2 = math.radians(latin1), math.radians(latin2)
-
-            def psi(phi):
-                return math.log(math.tan(math.pi / 4 + phi / 2))
-
-            if abs(p1 - p2) < 1e-12:
-                n = math.sin(p1)
-            else:
-                n = math.log(math.cos(p1) / math.cos(p2)) / (psi(p2) - psi(p1))
-            f = math.cos(p1) * math.exp(n * psi(p1)) / n
-            rho0 = _LCC_RADIUS * f * math.exp(
-                -n * psi(math.radians(_LCC_BASE["lad"]))
+            x1, y1 = _lcc_forward_isometric(
+                _LCC_BASE["la1"], _LCC_BASE["lo1"], _LCC_BASE["lad"],
+                _LCC_BASE["lov"], latin1, latin2, _LCC_RADIUS,
             )
-            rho1 = _LCC_RADIUS * f * math.exp(
-                -n * psi(math.radians(_LCC_BASE["la1"]))
-            )
-            th1 = n * math.radians(_LCC_BASE["lo1"] - _LCC_BASE["lov"])
-            x1, y1 = rho1 * math.sin(th1), rho0 - rho1 * math.cos(th1)
             lat, lon = _lcc_inverse_isometric(
                 x1 + (ni - 1) * dx, y1 + (nj - 1) * dx,
                 _LCC_BASE["lad"], _LCC_BASE["lov"], latin1, latin2, _LCC_RADIUS,

@@ -869,9 +869,10 @@ def test_gaussian_non_global_subset_rejected():
 
 
 def test_gaussian_header_inventory_reads_grid_dims():
-    """Template 3.40 shares 3.0's Ni/Nj octets, so the header-only
-    inventory reads Gaussian records without touching value bits; a
-    genuinely different layout (Lambert 3.30) still rejects."""
+    """Templates 3.40 and 3.30 share 3.0's Ni/Nj octets, so the
+    header-only inventory reads them without touching value bits; a
+    genuinely different layout (triangular 3.100) rejects — see
+    test_header_inventory_rejects_non_latlon_grid_template."""
     from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
 
     h = _grib2_header(encode_grib2_message(np.ones((4, 5)), gaussian=True))
@@ -1003,3 +1004,57 @@ def test_lambert_rejections():
     south = dict(lam, lad=-38.5, latin1=-38.5, latin2=-38.5)
     with pytest.raises(ValueError, match="southern-cone"):
         encode_grib2_message(np.ones((3, 4)), lambert=south)
+
+
+def test_lambert_bipolar_projection_rejected():
+    """Projection-centre flag bit 2 (bi-polar symmetric) must reject —
+    decoding it with one northern cone would silently corrupt every
+    coordinate (review r8)."""
+    import struct
+
+    lam = dict(
+        la1=21.0, lo1=-122.0, lad=38.5, lov=-97.5,
+        latin1=38.5, latin2=38.5, dx_m=3000.0, dy_m=3000.0,
+    )
+    msg = bytearray(encode_grib2_message(np.ones((3, 4)), lambert=lam))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            msg[pos + 14 + 49] = 0x40  # bi-polar bit
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="bi-polar|projection centre"):
+        decode_grib2(bytes(msg))
+
+
+def test_gaussian_without_j_increment_flag_decodes():
+    """Template 3.40 has no Dj increment (the octets hold N), so a
+    producer that only sets the i-increment resolution flag (0x20) is
+    conformant and must decode (review r8)."""
+    import struct
+
+    v = 100.0 + 2.0 * np.arange(24, dtype=np.float64).reshape(4, 6)
+    msg = bytearray(
+        encode_grib2_message(v, gaussian=True, reference_value=100.0, binary_scale=1)
+    )
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            msg[pos + 14 + 40] = 0x20  # i-increment only
+            break
+        pos += ln
+    rec = decode_grib2(bytes(msg))
+    assert rec.gaussian_n == 2 and np.array_equal(rec.values, v)
+    # a lat/lon (3.0) record with the same flags still rejects
+    msg2 = bytearray(encode_grib2_message(v, reference_value=100.0, binary_scale=1))
+    pos = 16
+    while pos < len(msg2) - 4:
+        ln, num = struct.unpack_from(">IB", msg2, pos)
+        if num == 3:
+            msg2[pos + 14 + 40] = 0x20
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="increments not given"):
+        decode_grib2(bytes(msg2))
