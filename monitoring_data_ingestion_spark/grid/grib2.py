@@ -15,10 +15,12 @@ the ``wgrib`` edition-1 path:
   template 3.40 — global regular GAUSSIAN grid (ECMWF F-grids, ERA5's
   native geometry): the Dj octets carry N and row latitudes are the
   arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`);
-  template 3.30 — LAMBERT CONFORMAL conic (HRRR/NAM regional
-  archives): per-cell geographic coordinates recovered through the
-  spherical Snyder inverse (:func:`lambert_inverse`), northern cone,
-  values kept in storage order.
+  templates 3.30 — LAMBERT CONFORMAL conic (HRRR/NAM regional
+  archives) — and 3.20 — north POLAR STEREOGRAPHIC (sea-ice /
+  Arctic products): per-cell geographic coordinates recovered
+  through the spherical Snyder inverses (:func:`lambert_inverse`,
+  :func:`polar_stereo_inverse`), northern aspect, values kept in
+  storage order.
 * Section 4 (Product definition, template 4.0): parameter category +
   number, the pair wgrib2 inventory strings name.
 * Section 5 (Data representation): template 5.0 (simple packing with an
@@ -187,6 +189,32 @@ def lambert_inverse(x_m, y_m, lad_deg, lov_deg, latin1_deg, latin2_deg,
     return np.degrees(lat), lon
 
 
+def polar_stereo_forward(lat_deg, lon_deg, lad_deg, lov_deg, radius_m):
+    """(lat, lon) degrees -> north-polar stereographic (x, y) metres,
+    true scale at LaD, y axis along LoV away from the pole (Snyder
+    eq. 21-1..21-4, tangent-half-angle form)."""
+    k2 = 1.0 + math.sin(math.radians(lad_deg))  # = 2·k0
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = np.radians(
+        (np.asarray(lon_deg, dtype=np.float64) - lov_deg + 180.0) % 360.0 - 180.0
+    )
+    rho = radius_m * k2 * np.tan(np.pi / 4 - lat / 2)
+    return rho * np.sin(dlon), -rho * np.cos(dlon)
+
+
+def polar_stereo_inverse(x_m, y_m, lad_deg, lov_deg, radius_m):
+    """Exact inverse of :func:`polar_stereo_forward` (Snyder
+    eq. 20-14..20-16, polar aspect)."""
+    k2 = 1.0 + math.sin(math.radians(lad_deg))
+    x = np.asarray(x_m, dtype=np.float64)
+    y = np.asarray(y_m, dtype=np.float64)
+    rho = np.hypot(x, y)
+    lat = np.pi / 2 - 2.0 * np.arctan(rho / (radius_m * k2))
+    lon = lov_deg + np.degrees(np.arctan2(x, -y))
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return np.degrees(lat), lon
+
+
 # Shape-of-earth octet (code table 3.2) -> sphere radius in metres for
 # the codes the codec emits/accepts.
 _EARTH_RADIUS_M = {0: 6_367_470.0, 6: 6_371_229.0}
@@ -221,8 +249,9 @@ class Grib2Record:
     # regular lat/lon template 3.0, where dlat_udeg applies instead.
     gaussian_n: int | None = None
     latitudes_deg: np.ndarray | None = None
-    # Template 3.30 (Lambert conformal): grid_template pins which grid
-    # family produced the record; lambert_params carries the projection
+    # Templates 3.20 (polar stereographic) / 3.30 (Lambert conformal):
+    # grid_template pins which grid family produced the record;
+    # lambert_params (kind: "lcc" | "ps") carries the projection
     # (lad/lov/latin1/latin2/radius_m) plus the precomputed anchor
     # (x1, y1), mesh steps and the scan-derived y sign. Projected grids
     # have no affine lat/lon axes, so dlat/dlon_udeg are 0 and values
@@ -239,12 +268,17 @@ class Grib2Record:
             lp = self.lambert_params
             xs = lp["x1"] + lp["dx_m"] * np.arange(self.ni)[None, :]
             ys = lp["y1"] + lp["sj"] * lp["dy_m"] * np.arange(self.nj)[:, None]
-            cells = lambert_inverse(
-                np.broadcast_to(xs, (self.nj, self.ni)),
-                np.broadcast_to(ys, (self.nj, self.ni)),
-                lp["lad"], lp["lov"], lp["latin1"], lp["latin2"],
-                lp["radius_m"],
-            )
+            xg = np.broadcast_to(xs, (self.nj, self.ni))
+            yg = np.broadcast_to(ys, (self.nj, self.ni))
+            if lp["kind"] == "ps":
+                cells = polar_stereo_inverse(
+                    xg, yg, lp["lad"], lp["lov"], lp["radius_m"]
+                )
+            else:
+                cells = lambert_inverse(
+                    xg, yg, lp["lad"], lp["lov"], lp["latin1"],
+                    lp["latin2"], lp["radius_m"],
+                )
             self._cells = cells
         return cells
 
@@ -585,6 +619,7 @@ def encode_grib2_message(
     missing_mask: np.ndarray | None = None,
     gaussian: bool = False,
     lambert: dict | None = None,
+    polar_stereo: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -612,8 +647,8 @@ def encode_grib2_message(
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
     if gaussian and scanning_mode != 0x00:
         raise ValueError("Gaussian grids are encoded north-first only")
-    if lambert is not None and gaussian:
-        raise ValueError("a grid is either Gaussian or Lambert, not both")
+    if sum(x is not None and x is not False for x in (gaussian or None, lambert, polar_stereo)) > 1:
+        raise ValueError("choose exactly one grid family")
     if lambert is not None:
         _lambert_setup(
             lambert["lad"], lambert["lov"], lambert["latin1"],
@@ -635,9 +670,9 @@ def encode_grib2_message(
             raise ValueError("missing_mask and bitmap are mutually exclusive")
         if mm.shape != vals.shape:
             raise ValueError("missing_mask shape must match values")
-    if scanning_mode == 0x40 and lambert is None:
+    if scanning_mode == 0x40 and lambert is None and polar_stereo is None:
         # lat/lon grids: caller row 0 is ALWAYS northernmost; 0x40
-        # stores rows south-first on the wire.  Lambert grids have no
+        # stores rows south-first on the wire.  Projected grids have no
         # latitude axis — values are stored exactly as given and the
         # scan bit only orients the per-cell y coordinates.
         vals = vals[::-1]
@@ -762,7 +797,35 @@ def encode_grib2_message(
         + bytes([0xFF]) + b"\xff\xff\xff\xff"  # major axis sf + value (missing)
         + bytes([0xFF]) + b"\xff\xff\xff\xff"  # minor axis sf + value (missing)
     )
-    if lambert is not None:
+    if polar_stereo is not None:
+        # Template 3.20 (polar stereographic, north aspect): the 3.30
+        # layout truncated after the scanning mode (no standard
+        # parallels).  ``polar_stereo`` keys: la1, lo1 (degrees of cell
+        # 0,0), lad (true-scale latitude), lov (orientation), dx_m,
+        # dy_m (metres).
+        tmpl320 = (
+            earth
+            + struct.pack(">I", ni)
+            + struct.pack(">I", nj)
+            + _s32be(int(round(polar_stereo["la1"] * 1e6)))
+            + _s32be(int(round(polar_stereo["lo1"] * 1e6)))
+            + bytes([0x08])
+            + _s32be(int(round(polar_stereo["lad"] * 1e6)))
+            + _s32be(int(round(polar_stereo["lov"] * 1e6)))
+            + struct.pack(">I", int(round(polar_stereo["dx_m"] * 1e3)))
+            + struct.pack(">I", int(round(polar_stereo["dy_m"] * 1e3)))
+            + bytes([0])  # projection centre: north pole
+            + bytes([scanning_mode])
+        )
+        s3 = section(
+            3,
+            bytes([0])
+            + struct.pack(">I", ni * nj)
+            + bytes([0, 0])
+            + struct.pack(">H", 20)
+            + tmpl320,
+        )
+    elif lambert is not None:
         # Template 3.30 (Lambert conformal conic): Nx/Ny share 3.0's
         # octets, then La1/Lo1, LaD/LoV, Dx/Dy in MILLImetres, the
         # projection-centre flag, scanning mode, and the two standard
@@ -807,7 +870,7 @@ def encode_grib2_message(
         lat_a = lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg
         lat_b = lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg
         dj_field = struct.pack(">I", dlat_udeg)
-    if lambert is None:
+    if lambert is None and polar_stereo is None:
         tmpl30 = (
         earth
         + struct.pack(">I", ni)
@@ -949,15 +1012,17 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no not in (0, 30, 40):
+    if tmpl_no not in (0, 20, 30, 40):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
-    g = s3[14:]  # 3.0 / 3.40 share one layout; 3.30 shares Nx/Ny octets
+    g = s3[14:]  # 3.0/3.40 share one layout; 3.20/3.30 share Nx/Ny..Dy octets
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
     lambert_params: dict | None = None
-    if tmpl_no == 30:
+    if tmpl_no in (20, 30):
         if g[0] not in _EARTH_RADIUS_M:
-            raise ValueError(f"unsupported shape of earth {g[0]} for Lambert")
+            raise ValueError(
+                f"unsupported shape of earth {g[0]} for projected grids"
+            )
         if g[49] & 0xC0:
             # bit 1 (0x80): south pole on the projection plane; bit 2
             # (0x40): bi-polar symmetric projection — decoding either
@@ -973,21 +1038,27 @@ def decode_grib2(msg: bytes) -> Grib2Record:
                 f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
             )
         lambert_params = {
+            "kind": "ps" if tmpl_no == 20 else "lcc",
             "la1": _rs32be(g, 24) / 1e6,
             "lo1": _rs32be(g, 28) / 1e6,
             "lad": _rs32be(g, 33) / 1e6,
             "lov": _rs32be(g, 37) / 1e6,
             "dx_m": struct.unpack_from(">I", g, 41)[0] / 1e3,
             "dy_m": struct.unpack_from(">I", g, 45)[0] / 1e3,
-            "latin1": _rs32be(g, 51) / 1e6,
-            "latin2": _rs32be(g, 55) / 1e6,
             "radius_m": _EARTH_RADIUS_M[g[0]],
         }
         lp = lambert_params
-        x1, y1 = lambert_forward(
-            lp["la1"], lp["lo1"], lp["lad"], lp["lov"],
-            lp["latin1"], lp["latin2"], lp["radius_m"],
-        )
+        if tmpl_no == 30:
+            lp["latin1"] = _rs32be(g, 51) / 1e6
+            lp["latin2"] = _rs32be(g, 55) / 1e6
+            x1, y1 = lambert_forward(
+                lp["la1"], lp["lo1"], lp["lad"], lp["lov"],
+                lp["latin1"], lp["latin2"], lp["radius_m"],
+            )
+        else:
+            x1, y1 = polar_stereo_forward(
+                lp["la1"], lp["lo1"], lp["lad"], lp["lov"], lp["radius_m"]
+            )
         # Anchor + mesh orientation, resolved NOW; the O(cells) inverse
         # runs lazily on first cell_lats/lons_deg access.  +i is always
         # east along a row; scanning bit 0x40 means +j steps +y,
@@ -1009,7 +1080,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     # and dlat/dlon would decode as ~4.29e9 microdegrees — require both.
     gaussian_n: int | None = None
     latitudes: np.ndarray | None = None
-    if tmpl_no == 30:
+    if tmpl_no in (20, 30):
         dlat = dlon = 0  # projected grid: no affine lat/lon axes
     else:
         scan = g[57]
@@ -1130,7 +1201,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     else:
         values = present_vals
     values = values.reshape(nj, ni)
-    if scan == 0x40 and tmpl_no != 30:
+    if scan == 0x40 and tmpl_no not in (20, 30):
         # south-first storage → normalize to north-first (lat/lon grids
         # only; projected grids keep storage order — their per-cell
         # coordinate arrays already reflect the scan direction)

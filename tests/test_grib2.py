@@ -1058,3 +1058,118 @@ def test_gaussian_without_j_increment_flag_decodes():
         pos += ln
     with pytest.raises(ValueError, match="increments not given"):
         decode_grib2(bytes(msg2))
+
+
+# --------------------------------------------------------------------------
+# Template 3.20 — polar stereographic
+# --------------------------------------------------------------------------
+
+
+def _ps_inverse_isometric(x, y, lad, lov, radius):
+    """Independent polar-stereographic inverse via the isometric-
+    latitude / exponential formulation (rho = 2 R k0 e^(-psi)) —
+    algebraically equal to the module's tangent-half-angle Snyder form,
+    implementationally distinct."""
+    import math
+
+    k2 = 1.0 + math.sin(math.radians(lad))
+    rho = math.hypot(x, y)
+    psi = math.log(radius * k2 / rho)
+    lat = math.degrees(2 * math.atan(math.exp(psi)) - math.pi / 2)
+    lon = lov + math.degrees(math.atan2(x, -y))
+    return lat, (lon + 180.0) % 360.0 - 180.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat=st.floats(5.0, 89.5),
+    lon=st.floats(-179.9, 179.9),
+    lad=st.sampled_from([60.0, 90.0]),
+)
+def test_polar_stereo_matches_independent_formulation(lat, lon, lad):
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        polar_stereo_forward,
+        polar_stereo_inverse,
+    )
+
+    r = 6371229.0
+    x, y = polar_stereo_forward(lat, lon, lad, -100.0, r)
+    la_m, lo_m = polar_stereo_inverse(float(x), float(y), lad, -100.0, r)
+    la_i, lo_i = _ps_inverse_isometric(float(x), float(y), lad, -100.0, r)
+    assert abs(la_m - la_i) < 1e-9
+    assert abs(((lo_m - lo_i + 180) % 360) - 180) < 1e-9
+    assert abs(la_m - lat) < 1e-9  # exact round-trip
+
+
+def test_polar_stereo_true_scale_at_lad():
+    """The defining property of the LaD parameter: the local meridional
+    scale factor equals 1 exactly at the true-scale latitude."""
+    import math
+
+    from monitoring_data_ingestion_spark.grid.grib2 import polar_stereo_forward
+
+    for lad in (60.0, 71.0):
+        eps = 1e-6
+        _, y1 = polar_stereo_forward(lad, 0.0, lad, 0.0, 1.0)
+        _, y2 = polar_stereo_forward(lad + eps, 0.0, lad, 0.0, 1.0)
+        assert abs(abs(float(y2) - float(y1)) / math.radians(eps) - 1.0) < 1e-4
+
+
+def test_polar_stereo_grid_roundtrip_and_cells():
+    from monitoring_data_ingestion_spark.grid.grib2 import polar_stereo_forward
+
+    rng = np.random.default_rng(14)
+    ps = dict(la1=47.5, lo1=-110.0, lad=60.0, lov=-100.0,
+              dx_m=25000.0, dy_m=25000.0)
+    for scan in (0x40, 0x00):
+        v = 200.0 + 2.0 * rng.integers(0, 50, (6, 7))
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, polar_stereo=ps, scanning_mode=scan,
+                reference_value=200.0, binary_scale=1,
+            )
+        )
+        assert rec.grid_template == 20
+        assert np.array_equal(rec.values, v)  # storage order kept
+        assert abs(rec.cell_lats_deg[0, 0] - ps["la1"]) < 1e-6
+        assert abs(rec.cell_lons_deg[0, 0] - ps["lo1"]) < 1e-6
+        x, y = polar_stereo_forward(
+            rec.cell_lats_deg, rec.cell_lons_deg, ps["lad"], ps["lov"], 6371229.0
+        )
+        i = np.arange(7)[None, :]
+        j = np.arange(6)[:, None]
+        sj = 1.0 if scan & 0x40 else -1.0
+        assert np.max(np.abs(x - (float(x[0, 0]) + i * ps["dx_m"]))) < 1e-4
+        assert np.max(np.abs(y - (float(y[0, 0]) + sj * j * ps["dy_m"]))) < 1e-4
+
+
+def test_polar_stereo_south_aspect_rejected_and_landing_gated():
+    import struct
+
+    import pandas as pd
+
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        _decode_batches,
+        _grib2_header,
+    )
+
+    ps = dict(la1=47.5, lo1=-110.0, lad=60.0, lov=-100.0,
+              dx_m=25000.0, dy_m=25000.0)
+    msg = bytearray(encode_grib2_message(np.ones((3, 4)), polar_stereo=ps))
+    h = _grib2_header(bytes(msg))
+    assert (h["ni"], h["nj"]) == (4, 3)
+    with pytest.raises(ValueError, match="projected-grid"):
+        list(
+            _decode_batches(
+                iter([pd.DataFrame([{"path": "f", "content": bytes(msg)}])])
+            )
+        )
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            msg[pos + 14 + 49] = 0x80  # south pole on plane
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="projection centre"):
+        decode_grib2(bytes(msg))
