@@ -2332,6 +2332,199 @@ def grid_grib2_lambert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "record_number")
 
 
+# --- GRIB2 polar stereographic (template 3.20) decode ------------------------
+# Per selected document ONE record on a north-polar-stereographic grid
+# (sea-ice / Arctic product geometry): anchor (47.5, -110), true scale
+# at 60N, orientation -100, Dx = Dy = 20000*(1 + d%2) m, scanning 0x40,
+# ni = 7 + d%5, nj = 5 + d%4, cell (i, j) = 200 + 2*((d*3+i*13+j*7)%55).
+
+
+_PS_BASE = dict(la1=47.5, lo1=-110.0, lad=60.0, lov=-100.0)
+
+
+def _ps_inverse_isometric(x, y, lad, lov, radius):
+    """Independent polar-stereographic inverse via the isometric-
+    latitude / exponential form (rho = 2 R k0 e^(-psi)) — algebraically
+    equal to the engine's tangent-half-angle Snyder form
+    (grid/grib2.py::polar_stereo_inverse), implementationally distinct
+    (same witness-independence contract as _lcc_inverse_isometric)."""
+    import math
+
+    k2 = 1.0 + math.sin(math.radians(lad))
+    rho = math.hypot(x, y)
+    psi = math.log(radius * k2 / rho)
+    lat = math.degrees(2 * math.atan(math.exp(psi)) - math.pi / 2)
+    lon = lov + math.degrees(math.atan2(x, -y))
+    return lat, (lon + 180.0) % 360.0 - 180.0
+
+
+def _ps_far_corner_values_sql() -> str:
+    """(doc_id, lat_udeg, lon_udeg) of cell (ni-1, nj-1) from the
+    independent isometric-form projection."""
+    import math
+
+    rows = []
+    for d in range(0, 425):
+        if d % 17 != 5:
+            continue
+        ni, nj = 7 + d % 5, 5 + d % 4
+        dx = 20000.0 * (1 + d % 2)
+        k2 = 1.0 + math.sin(math.radians(_PS_BASE["lad"]))
+        psi1 = math.log(
+            math.tan(math.pi / 4 + math.radians(_PS_BASE["la1"]) / 2)
+        )
+        rho1 = _LCC_RADIUS * k2 * math.exp(-psi1)
+        th1 = math.radians(_PS_BASE["lo1"] - _PS_BASE["lov"])
+        x1, y1 = rho1 * math.sin(th1), -rho1 * math.cos(th1)
+        lat, lon = _ps_inverse_isometric(
+            x1 + (ni - 1) * dx, y1 + (nj - 1) * dx,
+            _PS_BASE["lad"], _PS_BASE["lov"], _LCC_RADIUS,
+        )
+        rows.append(f"({d}, {int(round(lat * 1e6))}, {int(round(lon * 1e6))})")
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib2_polar_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         7 + doc_id % 5 AS ni,
+         5 + doc_id % 4 AS nj
+  FROM documents WHERE doc_id % 17 = 5 AND doc_id < 425
+),
+corner(doc_id, c_lat_udeg, c_lon_udeg) AS (
+  VALUES {_ps_far_corner_values_sql()}
+),
+cells AS (
+  SELECT doc_id, ni, nj,
+         200 + 2 * ((doc_id * 3 + i.i * 13 + j.j * 7) % 55) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT c.doc_id,
+       CAST(20 AS INTEGER) AS grid_tmpl,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(SUM(c.v * c.pos) AS BIGINT) AS wsum,
+       CAST(47500000 AS BIGINT) AS lat0_udeg,
+       CAST(-110000000 AS BIGINT) AS lon0_udeg,
+       CAST(MIN(k.c_lat_udeg) AS BIGINT) AS corner_lat_udeg,
+       CAST(MIN(k.c_lon_udeg) AS BIGINT) AS corner_lon_udeg
+FROM cells c JOIN corner k ON k.doc_id = c.doc_id
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def grid_grib2_polar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 POLAR STEREOGRAPHIC decode (grid template 3.20) — the
+    projected geometry Arctic / sea-ice operational products ship,
+    read by the reference through wgrib2
+    (/root/reference/src/file-conversions.js:49-51,76-112). One record
+    per selected document, north aspect, true scale at 60N, scanning
+    0x40; values decode in storage order and every cell's geographic
+    coordinates come from the engine's tangent-half-angle Snyder
+    inverse (grid/grib2.py::polar_stereo_inverse), lazily and
+    vectorized.
+
+    Witness independence: the oracle embeds the far-corner cell's
+    lat/lon from a SECOND implementation (the isometric-latitude
+    exponential form) in integer microdegrees; the true-scale-at-LaD
+    analytic property and the exact-anchor check pin the engine form
+    in pytest. ``wsum`` keeps the payload raster-order sensitive.
+
+    Scale: codec-query posture — bytes executor-side, statistic rows
+    shuffle, O(cells) vectorized coordinate recovery in the Arrow
+    stage.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import decode_grib2, encode_grib2_message, iter_messages2
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 17 == 5) & (F.col("doc_id") < 425))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 7 + d % 5, 5 + d % 4
+                dx = 20000.0 * (1 + d % 2)
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                v = (200 + 2 * ((d * 3 + i * 13 + j * 7) % 55)).astype(
+                    np.float64
+                )
+                msg = encode_grib2_message(
+                    v,
+                    polar_stereo=dict(_PS_BASE, dx_m=dx, dy_m=dx),
+                    scanning_mode=0x40,
+                    reference_value=200.0,
+                    binary_scale=1,
+                )
+                rows.append({"doc_id": d, "grib": msg})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for msg in iter_messages2(bytes(buf)):
+                    rec = decode_grib2(msg)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "grid_tmpl": rec.grid_template,
+                            "values": rec.values.reshape(-1).tolist(),
+                            "lat0": float(rec.cell_lats_deg[0, 0]),
+                            "lon0": float(rec.cell_lons_deg[0, 0]),
+                            "corner_lat": float(rec.cell_lats_deg[-1, -1]),
+                            "corner_lon": float(rec.cell_lons_deg[-1, -1]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, grid_tmpl int, values array<double>, "
+            "lat0 double, lon0 double, corner_lat double, corner_lon double"
+        ),
+    )
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    udeg = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
+    return decoded.select(
+        "doc_id",
+        "grid_tmpl",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")).alias(
+            "vsum"
+        ),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+        udeg("lat0").alias("lat0_udeg"),
+        udeg("lon0").alias("lon0_udeg"),
+        udeg("corner_lat").alias("corner_lat_udeg"),
+        udeg("corner_lon").alias("corner_lon_udeg"),
+    ).orderBy("doc_id")
+
+
 # --- mixed-edition archive scan with unified level metadata ----------------
 # Per selected document ONE archive file holding four records on a
 # (7 + d%4) × (4 + d%3) grid, record r's cell (i, j) being
