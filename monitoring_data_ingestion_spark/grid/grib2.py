@@ -16,11 +16,12 @@ the ``wgrib`` edition-1 path:
   native geometry): the Dj octets carry N and row latitudes are the
   arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`);
   templates 3.30 — LAMBERT CONFORMAL conic (HRRR/NAM regional
-  archives) — and 3.20 — north POLAR STEREOGRAPHIC (sea-ice /
-  Arctic products): per-cell geographic coordinates recovered
-  through the spherical Snyder inverses (:func:`lambert_inverse`,
-  :func:`polar_stereo_inverse`), northern aspect, values kept in
-  storage order.
+  archives) —, 3.20 — north POLAR STEREOGRAPHIC (sea-ice / Arctic
+  products) — and 3.10 — MERCATOR (tropical products): per-cell
+  geographic coordinates recovered through the spherical Snyder
+  inverses (:func:`lambert_inverse`, :func:`polar_stereo_inverse`,
+  :func:`mercator_inverse`), northern aspect for the conic/azimuthal
+  forms, values kept in storage order.
 * Section 4 (Product definition, template 4.0): parameter category +
   number, the pair wgrib2 inventory strings name.
 * Section 5 (Data representation): template 5.0 (simple packing with an
@@ -215,6 +216,26 @@ def polar_stereo_inverse(x_m, y_m, lad_deg, lov_deg, radius_m):
     return np.degrees(lat), lon
 
 
+def mercator_forward(lat_deg, lon_deg, lad_deg, radius_m):
+    """(lat, lon) degrees -> spherical Mercator (x, y) metres, true
+    scale at LaD (x = R cos(LaD) dλ, y = R cos(LaD) ψ with ψ the
+    isometric latitude)."""
+    k = radius_m * math.cos(math.radians(lad_deg))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    x = k * np.radians(np.asarray(lon_deg, dtype=np.float64))
+    y = k * np.log(np.tan(np.pi / 4 + lat / 2))
+    return x, y
+
+
+def mercator_inverse(x_m, y_m, lad_deg, radius_m):
+    """Exact inverse of :func:`mercator_forward` (exp/atan form)."""
+    k = radius_m * math.cos(math.radians(lad_deg))
+    lat = 2.0 * np.arctan(np.exp(np.asarray(y_m, dtype=np.float64) / k)) - np.pi / 2
+    lon = np.degrees(np.asarray(x_m, dtype=np.float64) / k)
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return np.degrees(lat), lon
+
+
 # Shape-of-earth octet (code table 3.2) -> sphere radius in metres for
 # the codes the codec emits/accepts.
 _EARTH_RADIUS_M = {0: 6_367_470.0, 6: 6_371_229.0}
@@ -274,6 +295,8 @@ class Grib2Record:
                 cells = polar_stereo_inverse(
                     xg, yg, lp["lad"], lp["lov"], lp["radius_m"]
                 )
+            elif lp["kind"] == "mercator":
+                cells = mercator_inverse(xg, yg, lp["lad"], lp["radius_m"])
             else:
                 cells = lambert_inverse(
                     xg, yg, lp["lad"], lp["lov"], lp["latin1"],
@@ -620,6 +643,7 @@ def encode_grib2_message(
     gaussian: bool = False,
     lambert: dict | None = None,
     polar_stereo: dict | None = None,
+    mercator: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -647,7 +671,10 @@ def encode_grib2_message(
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
     if gaussian and scanning_mode != 0x00:
         raise ValueError("Gaussian grids are encoded north-first only")
-    if sum(x is not None and x is not False for x in (gaussian or None, lambert, polar_stereo)) > 1:
+    if sum(
+        x is not None
+        for x in (gaussian or None, lambert, polar_stereo, mercator)
+    ) > 1:
         raise ValueError("choose exactly one grid family")
     if lambert is not None:
         _lambert_setup(
@@ -670,7 +697,12 @@ def encode_grib2_message(
             raise ValueError("missing_mask and bitmap are mutually exclusive")
         if mm.shape != vals.shape:
             raise ValueError("missing_mask shape must match values")
-    if scanning_mode == 0x40 and lambert is None and polar_stereo is None:
+    if (
+        scanning_mode == 0x40
+        and lambert is None
+        and polar_stereo is None
+        and mercator is None
+    ):
         # lat/lon grids: caller row 0 is ALWAYS northernmost; 0x40
         # stores rows south-first on the wire.  Projected grids have no
         # latitude axis — values are stored exactly as given and the
@@ -797,7 +829,45 @@ def encode_grib2_message(
         + bytes([0xFF]) + b"\xff\xff\xff\xff"  # major axis sf + value (missing)
         + bytes([0xFF]) + b"\xff\xff\xff\xff"  # minor axis sf + value (missing)
     )
-    if polar_stereo is not None:
+    if mercator is not None:
+        # Template 3.10 (Mercator, true scale at LaD): La2/Lo2 derive
+        # from the mesh; Di/Dj ride in millimetres at LaD.  ``mercator``
+        # keys: la1, lo1 (degrees of cell 0,0), lad, dx_m, dy_m.
+        mx1, my1 = mercator_forward(
+            mercator["la1"], mercator["lo1"], mercator["lad"],
+            _EARTH_RADIUS_M[6],
+        )
+        sj_enc = 1.0 if scanning_mode & 0x40 else -1.0
+        la2, lo2 = mercator_inverse(
+            float(mx1) + (ni - 1) * mercator["dx_m"],
+            float(my1) + sj_enc * (nj - 1) * mercator["dy_m"],
+            mercator["lad"],
+            _EARTH_RADIUS_M[6],
+        )
+        tmpl310 = (
+            earth
+            + struct.pack(">I", ni)
+            + struct.pack(">I", nj)
+            + _s32be(int(round(mercator["la1"] * 1e6)))
+            + _s32be(int(round(mercator["lo1"] * 1e6)))
+            + bytes([0x08])
+            + _s32be(int(round(mercator["lad"] * 1e6)))
+            + _s32be(int(round(float(la2) * 1e6)))
+            + _s32be(int(round(float(lo2) * 1e6)))
+            + bytes([scanning_mode])
+            + struct.pack(">I", 0)  # orientation
+            + struct.pack(">I", int(round(mercator["dx_m"] * 1e3)))
+            + struct.pack(">I", int(round(mercator["dy_m"] * 1e3)))
+        )
+        s3 = section(
+            3,
+            bytes([0])
+            + struct.pack(">I", ni * nj)
+            + bytes([0, 0])
+            + struct.pack(">H", 10)
+            + tmpl310,
+        )
+    elif polar_stereo is not None:
         # Template 3.20 (polar stereographic, north aspect): the 3.30
         # layout truncated after the scanning mode (no standard
         # parallels).  ``polar_stereo`` keys: la1, lo1 (degrees of cell
@@ -870,7 +940,7 @@ def encode_grib2_message(
         lat_a = lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg
         lat_b = lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg
         dj_field = struct.pack(">I", dlat_udeg)
-    if lambert is None and polar_stereo is None:
+    if lambert is None and polar_stereo is None and mercator is None:
         tmpl30 = (
         earth
         + struct.pack(">I", ni)
@@ -1012,13 +1082,43 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no not in (0, 20, 30, 40):
+    if tmpl_no not in (0, 10, 20, 30, 40):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
-    g = s3[14:]  # 3.0/3.40 share one layout; 3.20/3.30 share Nx/Ny..Dy octets
+    g = s3[14:]  # 3.0/3.40 share one layout; 3.10/3.20/3.30 share Nx/Ny
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
     lambert_params: dict | None = None
-    if tmpl_no in (20, 30):
+    if tmpl_no == 10:
+        # Template 3.10 (Mercator): its own octet layout past Lo1 —
+        # LaD at g[33], La2/Lo2, scanning at g[45], Di/Dj at g[50]/g[54]
+        # in millimetres at LaD.
+        if g[0] not in _EARTH_RADIUS_M:
+            raise ValueError(
+                f"unsupported shape of earth {g[0]} for projected grids"
+            )
+        scan = g[45]
+        if scan not in (0x00, 0x40):
+            raise ValueError(
+                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
+            )
+        lambert_params = {
+            "kind": "mercator",
+            "la1": _rs32be(g, 24) / 1e6,
+            "lo1": _rs32be(g, 28) / 1e6,
+            "lad": _rs32be(g, 33) / 1e6,
+            "dx_m": struct.unpack_from(">I", g, 50)[0] / 1e3,
+            "dy_m": struct.unpack_from(">I", g, 54)[0] / 1e3,
+            "radius_m": _EARTH_RADIUS_M[g[0]],
+        }
+        lp = lambert_params
+        x1, y1 = mercator_forward(
+            lp["la1"], lp["lo1"], lp["lad"], lp["radius_m"]
+        )
+        lp["x1"], lp["y1"] = float(x1), float(y1)
+        lp["sj"] = 1.0 if scan & 0x40 else -1.0
+        lat_first = _rs32be(g, 24)
+        lon_first = _rs32be(g, 28)
+    elif tmpl_no in (20, 30):
         if g[0] not in _EARTH_RADIUS_M:
             raise ValueError(
                 f"unsupported shape of earth {g[0]} for projected grids"
@@ -1080,7 +1180,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     # and dlat/dlon would decode as ~4.29e9 microdegrees — require both.
     gaussian_n: int | None = None
     latitudes: np.ndarray | None = None
-    if tmpl_no in (20, 30):
+    if tmpl_no in (10, 20, 30):
         dlat = dlon = 0  # projected grid: no affine lat/lon axes
     else:
         scan = g[57]
@@ -1201,7 +1301,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     else:
         values = present_vals
     values = values.reshape(nj, ni)
-    if scan == 0x40 and tmpl_no not in (20, 30):
+    if scan == 0x40 and tmpl_no not in (10, 20, 30):
         # south-first storage → normalize to north-first (lat/lon grids
         # only; projected grids keep storage order — their per-cell
         # coordinate arrays already reflect the scan direction)

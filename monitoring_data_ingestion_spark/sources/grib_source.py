@@ -139,10 +139,10 @@ def _grib2_header(msg: bytes) -> dict:
     # octets through a different template's layout would emit garbage
     # metadata exactly where the full decode stops loudly.
     (tmpl3,) = struct.unpack_from(">H", s3, 12)
-    if tmpl3 not in (0, 20, 30, 40):
-        # 3.40 (Gaussian), 3.30 (Lambert) and 3.20 (polar stereo) share
-        # 3.0's Nx/Ny octets; anything else has a different layout and
-        # would yield garbage grid dimensions.
+    if tmpl3 not in (0, 10, 20, 30, 40):
+        # 3.40 (Gaussian), 3.30 (Lambert), 3.20 (polar stereo) and 3.10
+        # (Mercator) share 3.0's Nx/Ny octets; anything else has a
+        # different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (0, 8):
@@ -273,13 +273,14 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     lats_udeg = None
                 else:
                     rec = decode_grib2(msg)
-                    if rec.grid_template in (20, 30):
+                    if rec.grid_template in (10, 20, 30):
                         # Projected grids have per-cell coordinates, not
                         # the affine/Gaussian axes this schema carries —
                         # stop loudly instead of publishing a fabricated
                         # georeference. (decode_grib2 serves them fully.)
                         raise ValueError(
-                            "projected-grid records (Lambert / polar stereo) "
+                            "projected-grid records (Mercator / Lambert / "
+                            "polar stereo) "
                             "are not supported by the landing record schema; "
                             "decode_grib2 exposes their per-cell coordinates "
                             "directly"

@@ -1173,3 +1173,85 @@ def test_polar_stereo_south_aspect_rejected_and_landing_gated():
         pos += ln
     with pytest.raises(ValueError, match="projection centre"):
         decode_grib2(bytes(msg))
+
+
+# --------------------------------------------------------------------------
+# Template 3.10 — Mercator
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat=st.floats(-80.0, 80.0),
+    lon=st.floats(-179.9, 179.9),
+    lad=st.sampled_from([0.0, 20.0]),
+)
+def test_mercator_matches_gudermannian_form(lat, lon, lad):
+    """The module inverts Mercator via 2·atan(e^y') − π/2; the
+    Gudermannian form atan(sinh(y')) is the independent identity."""
+    import math
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        mercator_forward,
+        mercator_inverse,
+    )
+
+    r = 6371229.0
+    x, y = mercator_forward(lat, lon, lad, r)
+    la_m, lo_m = mercator_inverse(float(x), float(y), lad, r)
+    k = r * math.cos(math.radians(lad))
+    la_g = math.degrees(math.atan(math.sinh(float(y) / k)))
+    assert abs(float(la_m) - la_g) < 1e-9
+    assert abs(float(la_m) - lat) < 1e-9
+    assert abs(((float(lo_m) - lon + 180) % 360) - 180) < 1e-9
+
+
+def test_mercator_grid_roundtrip_and_cells():
+    from monitoring_data_ingestion_spark.grid.grib2 import mercator_forward
+
+    rng = np.random.default_rng(16)
+    mc = dict(la1=-10.0, lo1=100.0, lad=20.0, dx_m=50000.0, dy_m=50000.0)
+    for scan in (0x40, 0x00):
+        v = 300.0 + 2.0 * rng.integers(0, 40, (5, 8))
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, mercator=mc, scanning_mode=scan,
+                reference_value=300.0, binary_scale=1,
+            )
+        )
+        assert rec.grid_template == 10
+        assert np.array_equal(rec.values, v)
+        assert abs(rec.cell_lats_deg[0, 0] - mc["la1"]) < 1e-6
+        assert abs(rec.cell_lons_deg[0, 0] - mc["lo1"]) < 1e-6
+        # every cell lands back on the exact Dx/Dy mesh
+        x, y = mercator_forward(
+            rec.cell_lats_deg, rec.cell_lons_deg, mc["lad"], 6371229.0
+        )
+        i = np.arange(8)[None, :]
+        j = np.arange(5)[:, None]
+        sj = 1.0 if scan & 0x40 else -1.0
+        assert np.max(np.abs(x - (float(x[0, 0]) + i * mc["dx_m"]))) < 1e-4
+        assert np.max(np.abs(y - (float(y[0, 0]) + sj * j * mc["dy_m"]))) < 1e-4
+        # rows share one latitude; columns share one longitude
+        assert np.max(np.ptp(rec.cell_lats_deg, axis=1)) < 1e-9
+        assert np.max(np.ptp(rec.cell_lons_deg, axis=0)) < 1e-9
+
+
+def test_mercator_landing_gated_and_header_dims():
+    import pandas as pd
+
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        _decode_batches,
+        _grib2_header,
+    )
+
+    mc = dict(la1=-10.0, lo1=100.0, lad=20.0, dx_m=50000.0, dy_m=50000.0)
+    msg = encode_grib2_message(np.ones((3, 4)), mercator=mc)
+    h = _grib2_header(msg)
+    assert (h["ni"], h["nj"]) == (4, 3)
+    with pytest.raises(ValueError, match="projected-grid"):
+        list(
+            _decode_batches(
+                iter([pd.DataFrame([{"path": "f", "content": msg}])])
+            )
+        )
