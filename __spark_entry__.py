@@ -31,10 +31,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 8 (from CORRECTNESS_r01-r07): 17 names
 # last witnessed r2 (oldest), 40 r3, 49 r4, 44 r5, 47 r6, 50 r7.
-# Round 8 takes the 8 new r8 queries + 6 GRIB queries changed by the
-# r8 codec/landing work + all 17 r2 leftovers + the first 19 of the r3
-# cohort (alphabetical).  The 21 r3 names left over —
-# multimodal_metadata_stats, pack_sequences, sample_weighted, scd2 +
+# Round 8 takes the 9 new r8 queries + 6 GRIB queries changed by the
+# r8 codec/landing work + all 17 r2 leftovers + the first 18 of the r3
+# cohort (alphabetical).  The 22 r3 names left over — the two
+# multimodal_* names, pack_sequences, sample_weighted, scd2 +
 # split_train_test_hash, the stream_* family, text_langid/quality, and
 # the ts_* family — are round 9's queue head, keeping every cohort's
 # evidence younger than ~5 rounds.
@@ -44,13 +44,15 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 _PRIORITY: tuple[str, ...] = (
     # --- 1. new in round 8 (first driver witness): GRIB2 complex
     #     packing 5.2/5.3, JPEG2000 packing 5.40, Gaussian grids 3.40,
-    #     Lambert grids 3.30, polar-stereographic grids 3.20, the
+    #     Lambert grids 3.30, polar-stereographic grids 3.20, Mercator
+    #     grids 3.10, the
     #     mixed-edition metadata scan, and the byte-real flagship with
     #     the publish side ---
     "grid_grib2_complex_decode",
     "grid_grib2_gaussian_decode",
     "grid_grib2_jpeg2000_decode",
     "grid_grib2_lambert_decode",
+    "grid_grib2_mercator_decode",
     "grid_grib2_polar_decode",
     "grid_grib_mixed_scan",
     "grid_grib_inventory_scan",
@@ -83,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_rank",
     "window_running_sum",
-    # --- 4. next-oldest cohort: round 3, first 19 alphabetical ---
+    # --- 4. next-oldest cohort: round 3, first 18 alphabetical ---
     "agg_approx_quantile",
     "agg_hll_sketch_union",
     "contamination_ngram_overlap",
@@ -102,8 +104,8 @@ _PRIORITY: tuple[str, ...] = (
     "grid_shapefile_clip",
     "knn_ivf_pq",
     "knn_ivf_trained",
-    "multimodal_feature_extract",
-    # --- round-9 queue, in order: multimodal_metadata_stats +
+    # --- round-9 queue, in order: multimodal_feature_extract +
+    #     multimodal_metadata_stats +
     #     pack_sequences + sample_weighted +
     #     scd2_validity_intervals + split_train_test_hash + the 16 other
     #     r3 leftovers (stream_dedup_

@@ -2525,6 +2525,192 @@ def grid_grib2_polar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- GRIB2 Mercator (template 3.10) decode -----------------------------------
+# Per selected document ONE record on a Mercator grid (tropical-product
+# geometry): anchor (-10, 100), true scale at 20N, Dx = Dy =
+# 40000*(1 + d%3) m, scanning 0x40, ni = 8 + d%4, nj = 4 + d%5,
+# cell (i, j) = 250 + 2*((d*9 + i*3 + j*5) % 65).
+
+
+_MERC_BASE = dict(la1=-10.0, lo1=100.0, lad=20.0)
+
+
+def _mercator_inverse_gudermannian(x, y, lad, radius):
+    """Independent Mercator inverse via the GUDERMANNIAN form
+    (lat = atan(sinh(y'))) — algebraically equal to the engine's
+    2·atan(e^y') − π/2 (grid/grib2.py::mercator_inverse), but a
+    distinct implementation path (sinh/atan vs exp/atan)."""
+    import math
+
+    k = radius * math.cos(math.radians(lad))
+    lat = math.degrees(math.atan(math.sinh(y / k)))
+    lon = math.degrees(x / k)
+    return lat, (lon + 180.0) % 360.0 - 180.0
+
+
+def _merc_far_corner_values_sql() -> str:
+    """(doc_id, lat_udeg, lon_udeg) of cell (ni-1, nj-1) from the
+    Gudermannian-form projection."""
+    import math
+
+    rows = []
+    for d in range(0, 475):
+        if d % 19 != 7:
+            continue
+        ni, nj = 8 + d % 4, 4 + d % 5
+        dx = 40000.0 * (1 + d % 3)
+        k = _LCC_RADIUS * math.cos(math.radians(_MERC_BASE["lad"]))
+        x1 = k * math.radians(_MERC_BASE["lo1"])
+        y1 = k * math.asinh(math.tan(math.radians(_MERC_BASE["la1"])))
+        lat, lon = _mercator_inverse_gudermannian(
+            x1 + (ni - 1) * dx, y1 + (nj - 1) * dx,
+            _MERC_BASE["lad"], _LCC_RADIUS,
+        )
+        rows.append(f"({d}, {int(round(lat * 1e6))}, {int(round(lon * 1e6))})")
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib2_mercator_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         8 + doc_id % 4 AS ni,
+         4 + doc_id % 5 AS nj
+  FROM documents WHERE doc_id % 19 = 7 AND doc_id < 475
+),
+corner(doc_id, c_lat_udeg, c_lon_udeg) AS (
+  VALUES {_merc_far_corner_values_sql()}
+),
+cells AS (
+  SELECT doc_id, ni, nj,
+         250 + 2 * ((doc_id * 9 + i.i * 3 + j.j * 5) % 65) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT c.doc_id,
+       CAST(10 AS INTEGER) AS grid_tmpl,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(SUM(c.v * c.pos) AS BIGINT) AS wsum,
+       CAST(-10000000 AS BIGINT) AS lat0_udeg,
+       CAST(100000000 AS BIGINT) AS lon0_udeg,
+       CAST(MIN(k.c_lat_udeg) AS BIGINT) AS corner_lat_udeg,
+       CAST(MIN(k.c_lon_udeg) AS BIGINT) AS corner_lon_udeg
+FROM cells c JOIN corner k ON k.doc_id = c.doc_id
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def grid_grib2_mercator_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 MERCATOR decode (grid template 3.10) — the projected
+    geometry tropical / regional marine products ship, read by the
+    reference through wgrib2 (/root/reference/src/file-conversions.js:
+    49-51,76-112). One record per selected document, true scale at
+    20N, scanning 0x40, anchored across the equator (rows span both
+    hemispheres); values decode in storage order and cell coordinates
+    come from the engine's exp/atan Mercator inverse
+    (grid/grib2.py::mercator_inverse), lazily and vectorized.
+
+    Witness independence: the oracle embeds the far-corner cell's
+    lat/lon from the GUDERMANNIAN formulation (atan∘sinh — a second
+    implementation path) in integer microdegrees; pytest additionally
+    pins per-row constant latitude / per-column constant longitude and
+    exact mesh reprojection. ``wsum`` keeps the payload raster-order
+    sensitive.
+
+    Scale: codec-query posture — bytes executor-side, statistic rows
+    shuffle, O(cells) vectorized coordinate recovery in the Arrow
+    stage.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import decode_grib2, encode_grib2_message, iter_messages2
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 19 == 7) & (F.col("doc_id") < 475))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 8 + d % 4, 4 + d % 5
+                dx = 40000.0 * (1 + d % 3)
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                v = (250 + 2 * ((d * 9 + i * 3 + j * 5) % 65)).astype(
+                    np.float64
+                )
+                msg = encode_grib2_message(
+                    v,
+                    mercator=dict(_MERC_BASE, dx_m=dx, dy_m=dx),
+                    scanning_mode=0x40,
+                    reference_value=250.0,
+                    binary_scale=1,
+                )
+                rows.append({"doc_id": d, "grib": msg})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for msg in iter_messages2(bytes(buf)):
+                    rec = decode_grib2(msg)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "grid_tmpl": rec.grid_template,
+                            "values": rec.values.reshape(-1).tolist(),
+                            "lat0": float(rec.cell_lats_deg[0, 0]),
+                            "lon0": float(rec.cell_lons_deg[0, 0]),
+                            "corner_lat": float(rec.cell_lats_deg[-1, -1]),
+                            "corner_lon": float(rec.cell_lons_deg[-1, -1]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, grid_tmpl int, values array<double>, "
+            "lat0 double, lon0 double, corner_lat double, corner_lon double"
+        ),
+    )
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    udeg = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
+    return decoded.select(
+        "doc_id",
+        "grid_tmpl",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")).alias(
+            "vsum"
+        ),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+        udeg("lat0").alias("lat0_udeg"),
+        udeg("lon0").alias("lon0_udeg"),
+        udeg("corner_lat").alias("corner_lat_udeg"),
+        udeg("corner_lon").alias("corner_lon_udeg"),
+    ).orderBy("doc_id")
+
+
 # --- mixed-edition archive scan with unified level metadata ----------------
 # Per selected document ONE archive file holding four records on a
 # (7 + d%4) × (4 + d%3) grid, record r's cell (i, j) being

@@ -145,6 +145,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_gaussian_decode",
         "grid_grib2_jpeg2000_decode",
         "grid_grib2_lambert_decode",
+        "grid_grib2_mercator_decode",
         "grid_grib2_polar_decode",
         "grid_grib2_match_decode",
         "grid_grib_inventory_scan",
@@ -1319,6 +1320,18 @@ def test_grib2_polar_decode_python_only_at_codec_boundary(spark):
     """grid_grib2_polar_decode: exactly two Arrow stages; stats and
     microdegree rounding are JVM expressions."""
     df = q("grid_grib2_polar_decode")(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grib2_mercator_decode_python_only_at_codec_boundary(spark):
+    """grid_grib2_mercator_decode: exactly two Arrow stages; stats and
+    microdegree rounding are JVM expressions."""
+    df = q("grid_grib2_mercator_decode")(spark, SF_SMOKE)
     df.collect()
     plan = _plan(df)
     final = plan.split("== Initial Plan ==")[0]
