@@ -236,6 +236,19 @@ def mercator_inverse(x_m, y_m, lad_deg, radius_m):
     return np.degrees(lat), lon
 
 
+def _projected_increment(g: bytes, off: int) -> int:
+    """Di/Dj of a projected grid template (millimetres).  Real-world
+    producers often leave the increments-given resolution bits unset on
+    projected grids even though Di/Dj are meaningful (HRRR ships flags
+    0x08), so the guard is on the all-ones MISSING sentinel itself —
+    decoding it as 4294967.295 m would scatter cells thousands of km
+    apart silently."""
+    (v,) = struct.unpack_from(">I", g, off)
+    if v in (0, 0xFFFFFFFF):
+        raise ValueError("projected-grid Di/Dj increment missing or zero")
+    return v
+
+
 # Shape-of-earth octet (code table 3.2) -> sphere radius in metres for
 # the codes the codec emits/accepts.
 _EARTH_RADIUS_M = {0: 6_367_470.0, 6: 6_371_229.0}
@@ -681,6 +694,10 @@ def encode_grib2_message(
             lambert["lad"], lambert["lov"], lambert["latin1"],
             lambert["latin2"], _EARTH_RADIUS_M[6],
         )  # validates the cone (loud southern-cone reject) at encode
+    if polar_stereo is not None and polar_stereo["lad"] <= -90.0:
+        raise ValueError("degenerate polar-stereographic true-scale latitude")
+    if mercator is not None and not -90.0 < mercator["lad"] < 90.0:
+        raise ValueError("degenerate Mercator true-scale latitude")
     if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
         raise ValueError(f"unknown packing {packing!r}")
     nj, ni = vals.shape
@@ -1101,15 +1118,24 @@ def decode_grib2(msg: bytes) -> Grib2Record:
             raise ValueError(
                 f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
             )
+        (orientation,) = struct.unpack_from(">I", g, 46)
+        if orientation != 0:
+            # a rotated Mercator grid decoded as orientation-0 would be
+            # silent geography corruption
+            raise ValueError(
+                f"non-zero Mercator grid orientation {orientation} not supported"
+            )
         lambert_params = {
             "kind": "mercator",
             "la1": _rs32be(g, 24) / 1e6,
             "lo1": _rs32be(g, 28) / 1e6,
             "lad": _rs32be(g, 33) / 1e6,
-            "dx_m": struct.unpack_from(">I", g, 50)[0] / 1e3,
-            "dy_m": struct.unpack_from(">I", g, 54)[0] / 1e3,
+            "dx_m": _projected_increment(g, 50) / 1e3,
+            "dy_m": _projected_increment(g, 54) / 1e3,
             "radius_m": _EARTH_RADIUS_M[g[0]],
         }
+        if not -90.0 < lambert_params["lad"] < 90.0:
+            raise ValueError("degenerate Mercator true-scale latitude")
         lp = lambert_params
         x1, y1 = mercator_forward(
             lp["la1"], lp["lo1"], lp["lad"], lp["radius_m"]
@@ -1143,10 +1169,12 @@ def decode_grib2(msg: bytes) -> Grib2Record:
             "lo1": _rs32be(g, 28) / 1e6,
             "lad": _rs32be(g, 33) / 1e6,
             "lov": _rs32be(g, 37) / 1e6,
-            "dx_m": struct.unpack_from(">I", g, 41)[0] / 1e3,
-            "dy_m": struct.unpack_from(">I", g, 45)[0] / 1e3,
+            "dx_m": _projected_increment(g, 41) / 1e3,
+            "dy_m": _projected_increment(g, 45) / 1e3,
             "radius_m": _EARTH_RADIUS_M[g[0]],
         }
+        if tmpl_no == 20 and lambert_params["lad"] <= -90.0:
+            raise ValueError("degenerate polar-stereographic true-scale latitude")
         lp = lambert_params
         if tmpl_no == 30:
             lp["latin1"] = _rs32be(g, 51) / 1e6

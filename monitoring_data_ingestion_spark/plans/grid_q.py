@@ -2103,8 +2103,9 @@ def _lcc_setup_isometric(lad, latin1, latin2, radius):
     algebraically equal to the engine's tan-power Snyder form
     (grid/grib2.py::_lambert_setup) but implementationally distinct, so
     the oracle's embedded coordinates are a second implementation, not
-    the engine talking to itself.  (tests/test_grib2.py carries its own
-    deliberate copy of the inverse, independent of this module.)"""
+    the engine talking to itself.  tests/test_grib2.py imports these
+    helpers — witness independence is from the ENGINE, so the test and
+    the oracle generator may share one second implementation."""
     import math
 
     p1, p2 = math.radians(latin1), math.radians(latin2)
@@ -2136,6 +2137,34 @@ def _lcc_inverse_isometric(x, y, lad, lov, latin1, latin2, radius):
     lat = math.degrees(2 * math.atan(math.exp(psi_pt)) - math.pi / 2)
     lon = lov + math.degrees(theta / n)
     return lat, (lon + 180.0) % 360.0 - 180.0
+
+
+def _projected_stats(decoded: DataFrame, keys: tuple) -> DataFrame:
+    """Shared tail of the projected-grid codec queries: value stats, the
+    raster-order-sensitive wsum, and anchor/far-corner coordinates in
+    integer microdegrees."""
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def udeg(c):
+        return F.round(F.col(c) * F.lit(1e6)).cast("bigint")
+
+    return decoded.select(
+        *keys,
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")).alias(
+            "vsum"
+        ),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+        udeg("lat0").alias("lat0_udeg"),
+        udeg("lon0").alias("lon0_udeg"),
+        udeg("corner_lat").alias("corner_lat_udeg"),
+        udeg("corner_lon").alias("corner_lon_udeg"),
+    ).orderBy(*[k for k in keys if k != "grid_tmpl"])
 
 
 _LCC_BASE = dict(la1=21.138, lo1=-122.72, lad=38.5, lov=-97.5)
@@ -2309,27 +2338,9 @@ def grid_grib2_lambert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corner_lat double, corner_lon double"
         ),
     )
-    weighted = F.zip_with(
-        "values",
-        F.sequence(F.lit(0), F.size("values") - 1),
-        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    return _projected_stats(
+        decoded, ("doc_id", "record_number", "grid_tmpl")
     )
-    zero = F.lit(0).cast("bigint")
-    udeg = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
-    return decoded.select(
-        "doc_id",
-        "record_number",
-        "grid_tmpl",
-        F.size("values").cast("bigint").alias("n_cells"),
-        F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")).alias(
-            "vsum"
-        ),
-        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
-        udeg("lat0").alias("lat0_udeg"),
-        udeg("lon0").alias("lon0_udeg"),
-        udeg("corner_lat").alias("corner_lat_udeg"),
-        udeg("corner_lon").alias("corner_lon_udeg"),
-    ).orderBy("doc_id", "record_number")
 
 
 # --- GRIB2 polar stereographic (template 3.20) decode ------------------------
@@ -2503,26 +2514,7 @@ def grid_grib2_polar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lat0 double, lon0 double, corner_lat double, corner_lon double"
         ),
     )
-    weighted = F.zip_with(
-        "values",
-        F.sequence(F.lit(0), F.size("values") - 1),
-        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
-    )
-    zero = F.lit(0).cast("bigint")
-    udeg = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
-    return decoded.select(
-        "doc_id",
-        "grid_tmpl",
-        F.size("values").cast("bigint").alias("n_cells"),
-        F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")).alias(
-            "vsum"
-        ),
-        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
-        udeg("lat0").alias("lat0_udeg"),
-        udeg("lon0").alias("lon0_udeg"),
-        udeg("corner_lat").alias("corner_lat_udeg"),
-        udeg("corner_lon").alias("corner_lon_udeg"),
-    ).orderBy("doc_id")
+    return _projected_stats(decoded, ("doc_id", "grid_tmpl"))
 
 
 # --- GRIB2 Mercator (template 3.10) decode -----------------------------------
@@ -2689,26 +2681,7 @@ def grid_grib2_mercator_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lat0 double, lon0 double, corner_lat double, corner_lon double"
         ),
     )
-    weighted = F.zip_with(
-        "values",
-        F.sequence(F.lit(0), F.size("values") - 1),
-        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
-    )
-    zero = F.lit(0).cast("bigint")
-    udeg = lambda c: F.round(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
-    return decoded.select(
-        "doc_id",
-        "grid_tmpl",
-        F.size("values").cast("bigint").alias("n_cells"),
-        F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")).alias(
-            "vsum"
-        ),
-        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
-        udeg("lat0").alias("lat0_udeg"),
-        udeg("lon0").alias("lon0_udeg"),
-        udeg("corner_lat").alias("corner_lat_udeg"),
-        udeg("corner_lon").alias("corner_lon_udeg"),
-    ).orderBy("doc_id")
+    return _projected_stats(decoded, ("doc_id", "grid_tmpl"))
 
 
 # --- mixed-edition archive scan with unified level metadata ----------------

@@ -884,29 +884,12 @@ def test_gaussian_header_inventory_reads_grid_dims():
 # --------------------------------------------------------------------------
 
 
-def _lcc_inverse_isometric(x, y, lad, lov, latin1, latin2, radius):
-    """Independent LCC inverse via the ISOMETRIC-latitude formulation
-    (psi = ln tan(pi/4 + phi/2); rho = R F e^(-n psi)) — algebraically
-    equal to the module's tan-power form, implementationally distinct."""
-    import math
-
-    p1, p2 = math.radians(latin1), math.radians(latin2)
-
-    def psi(phi):
-        return math.log(math.tan(math.pi / 4 + phi / 2))
-
-    if abs(p1 - p2) < 1e-12:
-        n = math.sin(p1)
-    else:
-        n = math.log(math.cos(p1) / math.cos(p2)) / (psi(p2) - psi(p1))
-    f = math.cos(p1) * math.exp(n * psi(p1)) / n
-    rho0 = radius * f * math.exp(-n * psi(math.radians(lad)))
-    rho = math.hypot(x, rho0 - y)
-    theta = math.atan2(x, rho0 - y)
-    psi_pt = -math.log(rho / (radius * f)) / n
-    lat = math.degrees(2 * math.atan(math.exp(psi_pt)) - math.pi / 2)
-    lon = lov + math.degrees(theta / n)
-    return lat, (lon + 180.0) % 360.0 - 180.0
+# The independent (isometric-form) projections live next to the oracle
+# generators; witness independence is from the ENGINE implementation,
+# so the tests share them rather than keeping third copies.
+from monitoring_data_ingestion_spark.plans.grid_q import (  # noqa: E402
+    _lcc_inverse_isometric,
+)
 
 
 def test_lambert_matches_snyder_published_example():
@@ -1065,19 +1048,9 @@ def test_gaussian_without_j_increment_flag_decodes():
 # --------------------------------------------------------------------------
 
 
-def _ps_inverse_isometric(x, y, lad, lov, radius):
-    """Independent polar-stereographic inverse via the isometric-
-    latitude / exponential formulation (rho = 2 R k0 e^(-psi)) —
-    algebraically equal to the module's tangent-half-angle Snyder form,
-    implementationally distinct."""
-    import math
-
-    k2 = 1.0 + math.sin(math.radians(lad))
-    rho = math.hypot(x, y)
-    psi = math.log(radius * k2 / rho)
-    lat = math.degrees(2 * math.atan(math.exp(psi)) - math.pi / 2)
-    lon = lov + math.degrees(math.atan2(x, -y))
-    return lat, (lon + 180.0) % 360.0 - 180.0
+from monitoring_data_ingestion_spark.plans.grid_q import (  # noqa: E402
+    _ps_inverse_isometric,
+)
 
 
 @settings(max_examples=40, deadline=None)
@@ -1255,3 +1228,46 @@ def test_mercator_landing_gated_and_header_dims():
                 iter([pd.DataFrame([{"path": "f", "content": msg}])])
             )
         )
+
+
+def test_projected_grid_decode_guards():
+    """Review r8 pass 3: rotated Mercator orientation, missing Di/Dj
+    sentinels, and degenerate true-scale latitudes reject loudly on
+    both encode and decode."""
+    import struct
+
+    mc = dict(la1=-10.0, lo1=100.0, lad=20.0, dx_m=50000.0, dy_m=50000.0)
+    msg = bytearray(encode_grib2_message(np.ones((3, 4)), mercator=mc))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            break
+        pos += ln
+    g0 = pos + 14
+    rot = bytearray(msg)
+    struct.pack_into(">I", rot, g0 + 46, 45_000_000)
+    with pytest.raises(ValueError, match="orientation"):
+        decode_grib2(bytes(rot))
+    sent = bytearray(msg)
+    struct.pack_into(">I", sent, g0 + 50, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="Di/Dj"):
+        decode_grib2(bytes(sent))
+    with pytest.raises(ValueError, match="degenerate Mercator"):
+        encode_grib2_message(np.ones((3, 4)), mercator=dict(mc, lad=90.0))
+    ps = dict(la1=47.5, lo1=-110.0, lad=-90.0, lov=-100.0,
+              dx_m=25000.0, dy_m=25000.0)
+    with pytest.raises(ValueError, match="degenerate polar"):
+        encode_grib2_message(np.ones((3, 4)), polar_stereo=ps)
+    lam = dict(la1=21.0, lo1=-122.0, lad=38.5, lov=-97.5,
+               latin1=38.5, latin2=38.5, dx_m=3000.0, dy_m=3000.0)
+    lmsg = bytearray(encode_grib2_message(np.ones((3, 4)), lambert=lam))
+    pos = 16
+    while pos < len(lmsg) - 4:
+        ln, num = struct.unpack_from(">IB", lmsg, pos)
+        if num == 3:
+            break
+        pos += ln
+    struct.pack_into(">I", lmsg, pos + 14 + 41, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="Di/Dj"):
+        decode_grib2(bytes(lmsg))
