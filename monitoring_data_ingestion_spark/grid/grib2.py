@@ -278,6 +278,11 @@ class Grib2Record:
     level_scale: int | None = None
     level_value: int | None = None
     packing_template: int = 0  # data representation template (5.N)
+    # Template 4.8 (statistical processing over a time interval):
+    # code-table-4.10 process (0 = average, 1 = accumulation, ...) and
+    # the end of the overall interval; None for instantaneous (4.0).
+    statistical_process: int | None = None
+    interval_end: tuple[int, int, int, int, int] | None = None
     # Template 3.40 (Gaussian grid): N = parallels pole-to-equator and
     # the actual latitude of every row (north -> south); None for the
     # regular lat/lon template 3.0, where dlat_udeg applies instead.
@@ -657,6 +662,7 @@ def encode_grib2_message(
     lambert: dict | None = None,
     polar_stereo: dict | None = None,
     mercator: dict | None = None,
+    statistical: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -981,10 +987,30 @@ def encode_grib2_message(
             + struct.pack(">H", 40 if gaussian else 0)
             + tmpl30,
         )
+    # ``statistical`` selects product definition template 4.8
+    # (statistical processing over a time interval — accumulations /
+    # averages); keys: ``process`` (code table 4.10), ``interval_end``
+    # (y, m, d, h, mi) and ``range_hours``.  Octets 10-34 are identical
+    # to 4.0, so both templates share one parser on decode.
+    pdt_extra = b""
+    if statistical is not None:
+        ey, em, ed, eh, emi = statistical["interval_end"]
+        pdt_extra = (
+            struct.pack(">H", ey)
+            + bytes([em, ed, eh, emi, 0])  # end of interval (sec = 0)
+            + bytes([1])  # one time-range specification
+            + struct.pack(">I", 0)  # no missing values in interval
+            + bytes([statistical["process"] & 0xFF])
+            + bytes([2])  # time-increment type: successive fields
+            + bytes([1])  # range time unit: hour
+            + struct.pack(">I", statistical["range_hours"])
+            + bytes([1])  # increment time unit: hour
+            + struct.pack(">I", 0)  # continuous processing
+        )
     s4 = section(
         4,
         struct.pack(">H", 0)  # number of coordinate values
-        + struct.pack(">H", 0)  # product definition template 4.0
+        + struct.pack(">H", 8 if statistical is not None else 0)
         + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
         + b"\x00\x00"  # hours of cutoff
         + bytes([0])  # minutes
@@ -1000,7 +1026,8 @@ def encode_grib2_message(
             ]
         )
         + struct.pack(">I", level_value)  # fixed surface 1
-        + bytes([0xFF, 0xFF]) + b"\xff\xff\xff\xff",  # fixed surface 2 (missing)
+        + bytes([0xFF, 0xFF]) + b"\xff\xff\xff\xff"  # fixed surface 2 (missing)
+        + pdt_extra,
     )
     s5 = section(5, s5_body)
     if bm is not None:
@@ -1252,6 +1279,14 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
     level_type, level_scale, level_value = parse_fixed_surface(s4)
+    statistical_process = None
+    interval_end = None
+    if tmpl4 == 8:
+        if len(s4) < 58:  # 4.0's 34 octets + the 24-octet 4.8 extension
+            raise ValueError("truncated product definition template 4.8")
+        (end_year,) = struct.unpack_from(">H", s4, 34)
+        interval_end = (end_year, s4[36], s4[37], s4[38], s4[39])
+        statistical_process = s4[46] if s4[46] != 0xFF else None
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
@@ -1359,6 +1394,8 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         latitudes_deg=latitudes,
         grid_template=tmpl_no,
         lambert_params=lambert_params,
+        statistical_process=statistical_process,
+        interval_end=interval_end,
     )
 
 

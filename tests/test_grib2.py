@@ -743,26 +743,41 @@ def test_unknown_product_definition_template_rejected():
         _grib2_header(bytes(msg))
 
 
-def test_pdt_48_shares_40_layout_and_decodes():
-    """PDT 4.8 (accumulations) extends 4.0 with interval octets AFTER
-    the fixed surfaces — category/number/levels decode identically."""
+def test_pdt_48_statistical_metadata_round_trips():
+    """PDT 4.8 (statistical processing) extends 4.0 with interval
+    octets AFTER the fixed surfaces: category/number/levels decode
+    through the shared 4.0 parser, and the code-table-4.10 process +
+    interval end surface on the record (r8: no longer discarded).  A
+    4.8 record whose section is too short for the interval octets is
+    malformed and rejects loudly."""
     import struct
 
-    msg = bytearray(
-        encode_grib2_message(
-            np.ones((2, 2)) * 3.0, category=1, number=8,
-            level_type=1, level_value=0,
-        )
+    msg = encode_grib2_message(
+        np.ones((2, 2)) * 3.0, category=1, number=8,
+        level_type=1, level_value=0,
+        statistical=dict(
+            process=0, interval_end=(2021, 7, 1, 6, 30), range_hours=720
+        ),
     )
+    rec = decode_grib2(msg)
+    assert (rec.category, rec.number, rec.level_type) == (1, 8, 1)
+    assert rec.statistical_process == 0  # average
+    assert rec.interval_end == (2021, 7, 1, 6, 30)
+    # instantaneous records carry None, never a fake 0
+    rec0 = decode_grib2(encode_grib2_message(np.ones((2, 2))))
+    assert rec0.statistical_process is None and rec0.interval_end is None
+
+    # truncated: a 4.0-sized section claiming template 4.8
+    trunc = bytearray(encode_grib2_message(np.ones((2, 2))))
     pos = 16
-    while pos < len(msg) - 4:
-        ln, num = struct.unpack_from(">IB", msg, pos)
+    while pos < len(trunc) - 4:
+        ln, num = struct.unpack_from(">IB", trunc, pos)
         if num == 4:
-            struct.pack_into(">H", msg, pos + 7, 8)
+            struct.pack_into(">H", trunc, pos + 7, 8)
             break
         pos += ln
-    rec = decode_grib2(bytes(msg))
-    assert (rec.category, rec.number, rec.level_type) == (1, 8, 1)
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(trunc))
 
 
 def test_header_inventory_rejects_non_latlon_grid_template():
