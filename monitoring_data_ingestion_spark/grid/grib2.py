@@ -140,10 +140,11 @@ def gaussian_latitudes(nj: int) -> np.ndarray:
     return lats
 
 
-def _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m):
-    """Cone constant n, scaled F·R, and the LaD/LoV origin offset of a
-    spherical Lambert conformal conic (Snyder 1987 eq. 15-1..15-4,
-    tan-power form). Northern-cone only (n > 0)."""
+def _lambert_setup(lad_deg, latin1_deg, latin2_deg, radius_m):
+    """Cone constant n, scaled F·R, and the rho at the LaD origin
+    latitude of a spherical Lambert conformal conic (Snyder 1987
+    eq. 15-1..15-4, tan-power form). Northern-cone only (n > 0); the
+    LoV meridian offset applies in forward/inverse, not here."""
     p1 = math.radians(latin1_deg)
     p2 = math.radians(latin2_deg)
     if abs(p1 - p2) < 1e-12:
@@ -163,7 +164,7 @@ def lambert_forward(lat_deg, lon_deg, lad_deg, lov_deg, latin1_deg,
                     latin2_deg, radius_m):
     """(lat, lon) degrees -> projected (x, y) metres with the origin at
     (LaD, LoV).  Accepts scalars or numpy arrays."""
-    n, rf, rho0 = _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m)
+    n, rf, rho0 = _lambert_setup(lad_deg, latin1_deg, latin2_deg, radius_m)
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     dlon = np.radians(
         (np.asarray(lon_deg, dtype=np.float64) - lov_deg + 180.0) % 360.0 - 180.0
@@ -177,7 +178,7 @@ def lambert_inverse(x_m, y_m, lad_deg, lov_deg, latin1_deg, latin2_deg,
                     radius_m):
     """Projected (x, y) metres -> (lat, lon) degrees; exact inverse of
     :func:`lambert_forward` (Snyder eq. 14-9..14-11)."""
-    n, rf, rho0 = _lambert_setup(lad_deg, lov_deg, latin1_deg, latin2_deg, radius_m)
+    n, rf, rho0 = _lambert_setup(lad_deg, latin1_deg, latin2_deg, radius_m)
     x = np.asarray(x_m, dtype=np.float64)
     y = np.asarray(y_m, dtype=np.float64)
     rho = np.hypot(x, rho0 - y)
@@ -525,7 +526,15 @@ def _decode_complex_s7(
     """Decode a template 7.2/7.3 data section against its 5.2/5.3
     descriptor → (int64 increment array X, missing bool mask), both
     length ``n_points``. Spatial differencing (7.3) is integrated here;
-    the caller applies Y = (R + X·2^E)/10^D."""
+    the caller applies Y = (R + X·2^E)/10^D.
+
+    Native-codec swap-in point: like the JPEG2000 path (see
+    grid/jpeg2000.py module docstring), this pure-Python group
+    unpacker is the per-record CPU constant at 100 TB; it runs inside
+    the landing source's ``mapInPandas`` stage, which is the
+    replaceable unit.  A native GRIB library (eccodes/g2clib) drops in
+    at this function's bytes→(X, missing) contract without touching
+    the scan, the pushdown, or the record schema."""
     nbits_ref = s5[19]
     mvm = s5[22]
     if mvm not in (0, 1):
@@ -697,8 +706,8 @@ def encode_grib2_message(
         raise ValueError("choose exactly one grid family")
     if lambert is not None:
         _lambert_setup(
-            lambert["lad"], lambert["lov"], lambert["latin1"],
-            lambert["latin2"], _EARTH_RADIUS_M[6],
+            lambert["lad"], lambert["latin1"], lambert["latin2"],
+            _EARTH_RADIUS_M[6],
         )  # validates the cone (loud southern-cone reject) at encode
     if polar_stereo is not None and polar_stereo["lad"] <= -90.0:
         raise ValueError("degenerate polar-stereographic true-scale latitude")
@@ -1169,6 +1178,30 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         )
         lp["x1"], lp["y1"] = float(x1), float(y1)
         lp["sj"] = 1.0 if scan & 0x40 else -1.0
+        # Cross-check the Di/Dj-derived far corner against the
+        # message's stated La2/Lo2: a record whose increments disagree
+        # with its declared extent would otherwise decode with
+        # silently Di-derived geometry (loud-stop policy).  Tolerance
+        # covers µdeg corner rounding plus mm increment rounding
+        # accumulated across the mesh.
+        la2_stated = _rs32be(g, 37) / 1e6
+        lo2_stated = _rs32be(g, 41) / 1e6
+        la2_mesh, lo2_mesh = mercator_inverse(
+            lp["x1"] + (ni - 1) * lp["dx_m"],
+            lp["y1"] + lp["sj"] * (nj - 1) * lp["dy_m"],
+            lp["lad"],
+            lp["radius_m"],
+        )
+        dlon_wrap = abs(
+            (float(lo2_mesh) - lo2_stated + 180.0) % 360.0 - 180.0
+        )
+        if abs(float(la2_mesh) - la2_stated) > 1e-3 or dlon_wrap > 1e-3:
+            raise ValueError(
+                "Mercator grid increments disagree with the stated far "
+                f"corner: Di/Dj-derived ({float(la2_mesh):.6f}, "
+                f"{float(lo2_mesh):.6f}) vs La2/Lo2 ({la2_stated:.6f}, "
+                f"{lo2_stated:.6f})"
+            )
         lat_first = _rs32be(g, 24)
         lon_first = _rs32be(g, 28)
     elif tmpl_no in (20, 30):

@@ -41,6 +41,18 @@ and decoder are written from the two *separate* per-direction
 flowcharts of the spec, sharing only published constant tables, and
 the DWT is tested against a direct non-lifting evaluation of the 5/3
 analysis filters computed independently in the test file.
+
+Native-codec swap-in point: at 100 TB the per-record CPU constant of
+this pure-Python tier-1/tier-2 path is the scaling cost, not the plan
+shape — the decode runs entirely inside the landing source's
+``mapInPandas`` stage (sources/grib_source.py::_decode_batches), so
+that stage is the replaceable unit.  On a cluster with a native
+JPEG2000 library (openjpeg/jasper/glymur), replace the
+``j2k_decode(bytes) -> (samples, depth)`` call inside that stage
+one-for-one; nothing upstream (binaryFile scan, record iteration,
+header-side ``match=`` pushdown) or downstream (RECORD_SCHEMA rows,
+cell explode) changes — the same contract the multimodal video stubs
+document for their decode step.
 """
 
 from __future__ import annotations

@@ -69,7 +69,16 @@ def png_encode(samples: np.ndarray, sample_bits: int) -> bytes:
 
 
 def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering → (h, w*bpp) uint8 raster."""
+    """Reverse PNG scanline filtering → (h, w*bpp) uint8 raster.
+
+    Sub/Average/Paeth reverse with a per-byte Python loop (the
+    recurrence is inherently sequential along a row).  The engine's
+    own 5.41 output always uses filter 0 (vectorized path), so this
+    loop only runs on FOREIGN-encoded PNG-packed records.  If such
+    archives become a hot input at landing scale, this function — like
+    the whole mapInPandas decode stage it runs in (see grid/jpeg2000.py
+    module docstring) — is the swap-in point for a native PNG decoder;
+    its contract is just bytes → (h, w*bpp) uint8."""
     stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0

@@ -730,11 +730,20 @@ def era5_grib_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     landing = ensure_grib1_landing(spark, sf_dir, n_months=36)
     # One pipeline tree per (session, landing): repeated runs resume the
-    # checkpoint through the exactly-once machinery (no re-publish).
+    # checkpoint through the exactly-once machinery (no re-publish),
+    # and the tree is swept at interpreter exit — the landing is
+    # regenerated per session (fresh fingerprint suffix), so an
+    # unswept tree would be orphaned forever.
     base = os.path.join(
         tempfile.gettempdir(),
         f"mdi_grib_flagship_{session_cache_suffix(spark, landing)}",
     )
+    if not os.path.exists(base):
+        import atexit
+        import shutil
+
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
 
     def to_grid(cells: DataFrame) -> DataFrame:
         return cells.select(

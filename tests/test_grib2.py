@@ -1286,3 +1286,29 @@ def test_projected_grid_decode_guards():
     struct.pack_into(">I", lmsg, pos + 14 + 41, 0xFFFFFFFF)
     with pytest.raises(ValueError, match="Di/Dj"):
         decode_grib2(bytes(lmsg))
+
+
+def test_mercator_la2_lo2_cross_check():
+    """A Mercator record whose stated La2/Lo2 disagree with the
+    Di/Dj-derived far corner rejects loudly instead of decoding with
+    silently increment-derived geometry (ADVICE r8)."""
+    import struct
+
+    mc = dict(la1=-10.0, lo1=100.0, lad=20.0, dx_m=50000.0, dy_m=50000.0)
+    msg = bytearray(encode_grib2_message(np.ones((3, 4)), mercator=mc))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            break
+        pos += ln
+    g0 = pos + 14
+    decode_grib2(bytes(msg))  # consistent corner decodes fine
+    bad = bytearray(msg)
+    struct.pack_into(">I", bad, g0 + 37, 45_000_000)  # La2 := 45N
+    with pytest.raises(ValueError, match="disagree"):
+        decode_grib2(bytes(bad))
+    bad = bytearray(msg)
+    struct.pack_into(">I", bad, g0 + 41, 10_000_000)  # Lo2 := 10E
+    with pytest.raises(ValueError, match="disagree"):
+        decode_grib2(bytes(bad))
