@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 7 is 247/247
+# ``queries()``.  Cumulative driver coverage through round 8 is 256/256
 # green (zero failures ever), so the window's job is REGRESSION
 # DETECTION under a STANDING ROTATION SCHEDULE:
 #
@@ -29,93 +29,83 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #      filling the window to exactly 50; anything that doesn't fit is
 #      the explicit front of NEXT round's queue.
 #
-# Witness ages entering round 8 (from CORRECTNESS_r01-r07): 17 names
-# last witnessed r2 (oldest), 40 r3, 49 r4, 44 r5, 47 r6, 50 r7.
-# Round 8 takes the 9 new r8 queries + 6 GRIB queries changed by the
-# r8 codec/landing work + all 17 r2 leftovers + the first 18 of the r3
-# cohort (alphabetical).  The 22 r3 names left over — the two
-# multimodal_* names, pack_sequences, sample_weighted, scd2 +
-# split_train_test_hash, the stream_* family, text_langid/quality, and
-# the ts_* family — are round 9's queue head, keeping every cohort's
-# evidence younger than ~5 rounds.
+# Witness ages entering round 9 (from CORRECTNESS_r01-r08): 22 names
+# last witnessed r3 (oldest), 49 r4, 44 r5, 47 r6, 44 r7, 50 r8.
+# Round 9 takes the 3 new r9 queries + 5 GRIB queries changed by the
+# r9 landing-schema work (RECORD_SCHEMA grew grid_template /
+# statistical / per-cell coordinate columns; grib1_cells grew the
+# unified lat_deg/lon_deg/lon_udeg) + all 22 r3 leftovers + the first
+# 20 of the r4 cohort (alphabetical).  The 29 r4 names left over —
+# q11/q12/q13/q15/q16/q17/q20, q8_market_share, sample_k_per_group,
+# the scalar_* trio (collections/try_cast/zorder), set_union_by_name,
+# the text_* quartet (bpe_token_count/ngram_freq/repetition_ratios/
+# token_stats), the ts_* septet (dedup_union/freshness_check/
+# json_extract/lag_lead/moving_avg/retention_cohorts/yoy_growth),
+# unpivot_nation_balances, and the window_* quartet (count_distinct/
+# distribution/distribution_ranks/rank_ties) — are round 10's queue
+# head, keeping every cohort's evidence younger than ~5 rounds.
 # Every entry outside the window stays locally oracle-checked each
 # session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 8 (first driver witness): GRIB2 complex
-    #     packing 5.2/5.3, JPEG2000 packing 5.40, Gaussian grids 3.40,
-    #     Lambert grids 3.30, polar-stereographic grids 3.20, Mercator
-    #     grids 3.10, the
-    #     mixed-edition metadata scan, and the byte-real flagship with
-    #     the publish side ---
-    "grid_grib2_complex_decode",
-    "grid_grib2_gaussian_decode",
-    "grid_grib2_jpeg2000_decode",
-    "grid_grib2_lambert_decode",
-    "grid_grib2_mercator_decode",
-    "grid_grib2_polar_decode",
+    # --- 1. new in round 9 (first driver witness): projected grids
+    #     THROUGH the landing source, reduced Gaussian grids (ERA5's
+    #     native ragged layout), and PDT 4.8 statistical metadata in
+    #     the landing schema ---
+    "grid_grib_projected_landing",
+    "grid_grib2_reduced_gaussian_decode",
+    "grid_grib_statistical_scan",
+    # --- 2. changed in round 9 (landing RECORD_SCHEMA + grib1_cells
+    #     surface) — re-witness every query on that path ---
     "grid_grib_mixed_scan",
+    "grid_grib1_landing_scan",
     "grid_grib_inventory_scan",
     "era5_grib_anomaly_pipeline",
-    # --- 2. changed in round 8 (GRIB codecs grew complex packing +
-    #     scanning-mode 0x40; the landing source's schema gained
-    #     category/number and real edition-2 levels) — re-witness every
-    #     query on that surface ---
-    "grid_grib1_decode",
-    "grid_grib1_anomaly",
-    "grid_grib1_inventory",
-    "grid_grib2_match_decode",
-    "grid_grib1_landing_scan",
     "stream_grib1_anomaly_pipeline",
-    # --- 3. oldest cohort: the 17 round-2 leftovers ---
-    "q2_min_price_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "scalar_conditional_hash",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_strings",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multi_key",
-    "topk_orders",
-    "window_first_last",
-    "window_range_frame",
-    "window_rank",
-    "window_running_sum",
-    # --- 4. next-oldest cohort: round 3, first 18 alphabetical ---
-    "agg_approx_quantile",
-    "agg_hll_sketch_union",
-    "contamination_ngram_overlap",
-    "contamination_shingle_join",
-    "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_fuzzy_levenshtein",
-    "dedup_minhash_lsh_capped",
-    "dedup_minhash_survivors",
-    "doc_chunk_sliding",
-    "doc_token_dedup",
-    "era5_grid_anomaly_pipeline",
-    "grid_polygon_clip",
-    "grid_regrid_coarsen",
-    "grid_shapefile_clip",
-    "knn_ivf_pq",
-    "knn_ivf_trained",
-    # --- round-9 queue, in order: multimodal_feature_extract +
-    #     multimodal_metadata_stats +
-    #     pack_sequences + sample_weighted +
-    #     scd2_validity_intervals + split_train_test_hash + the 16 other
-    #     r3 leftovers (stream_dedup_
-    #     union, stream_session_windows, stream_sliding_halfhour,
-    #     stream_stateful_user_stats, stream_static_enrich,
-    #     stream_stream_interval_join, stream_tumbling_hourly,
-    #     text_langid, text_quality_score, ts_anomaly_zscore,
-    #     ts_asof_join, ts_funnel, ts_gap_fill_ffill,
-    #     ts_interpolate_linear, ts_range_join, ts_tumbling_hourly),
-    #     then the r4 cohort (~49 ts/text names). ---
+    # --- 3. oldest cohort: the 22 round-3 leftovers ---
+    "multimodal_feature_extract",
+    "multimodal_metadata_stats",
+    "pack_sequences",
+    "sample_weighted",
+    "scd2_validity_intervals",
+    "split_train_test_hash",
+    "stream_dedup_union",
+    "stream_session_windows",
+    "stream_sliding_halfhour",
+    "stream_stateful_user_stats",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_hourly",
+    "text_langid",
+    "text_quality_score",
+    "ts_anomaly_zscore",
+    "ts_asof_join",
+    "ts_funnel",
+    "ts_gap_fill_ffill",
+    "ts_interpolate_linear",
+    "ts_range_join",
+    "ts_tumbling_hourly",
+    # --- 4. next-oldest cohort: round 4, first 20 alphabetical ---
+    "agg_approx_distinct",
+    "agg_boolean_bitwise",
+    "agg_entropy",
+    "agg_filter_clause",
+    "agg_grouping_markers",
+    "agg_histogram",
+    "agg_listagg",
+    "agg_mode_deterministic",
+    "agg_multi_distinct",
+    "agg_regression_stats",
+    "agg_salted_skew",
+    "agg_weighted_avg",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "join_null_safe",
+    "knn_pq_scan",
+    "merge_upsert_customers",
+    "multimodal_binary_dedup",
+    "multimodal_frame_sample",
+    "multimodal_image_decode_stats",
 )
 
 

@@ -263,7 +263,7 @@ class Grib2Record:
     category: int
     number: int
     reftime: tuple[int, int, int, int, int]  # (year, month, day, hour, minute)
-    ni: int
+    ni: int | None  # None on reduced Gaussian grids (per-row counts)
     nj: int
     lat_first_udeg: int
     lon_first_udeg: int
@@ -289,6 +289,13 @@ class Grib2Record:
     # regular lat/lon template 3.0, where dlat_udeg applies instead.
     gaussian_n: int | None = None
     latitudes_deg: np.ndarray | None = None
+    # REDUCED Gaussian grid (3.40 with Ni coded missing + the section-3
+    # points-per-row list — ERA5's native archive layout): number of
+    # points on each parallel, north -> south.  When set, ``ni`` is
+    # None, ``values`` stays a FLAT (sum(row_ni),) array in storage
+    # order (ragged rows can't reshape), and every row starts at
+    # lon_first with spacing 360/row_ni[j].
+    row_ni: np.ndarray | None = None
     # Templates 3.20 (polar stereographic) / 3.30 (Lambert conformal):
     # grid_template pins which grid family produced the record;
     # lambert_params (kind: "lcc" | "ps") carries the projection
@@ -324,17 +331,37 @@ class Grib2Record:
             self._cells = cells
         return cells
 
+    def _reduced_cells(self):
+        """Per-cell (lat, lon) of a reduced Gaussian grid, flat storage
+        order: row j's latitude repeats row_ni[j] times; its longitudes
+        are lon_first + i·360/row_ni[j] (full parallels, the only form
+        the decoder admits)."""
+        cells = getattr(self, "_cells", None)
+        if cells is None:
+            lon0 = self.lon_first_udeg / 1e6
+            lats = np.repeat(self.latitudes_deg, self.row_ni)
+            lons = np.concatenate(
+                [(np.arange(n) * 360.0) / n + lon0 for n in self.row_ni]
+            )
+            cells = (lats, lons)
+            self._cells = cells
+        return cells
+
     @property
     def cell_lats_deg(self) -> np.ndarray | None:
-        if self.lambert_params is None:
-            return None
-        return self._lambert_cells()[0]
+        if self.lambert_params is not None:
+            return self._lambert_cells()[0]
+        if self.row_ni is not None:
+            return self._reduced_cells()[0]
+        return None
 
     @property
     def cell_lons_deg(self) -> np.ndarray | None:
-        if self.lambert_params is None:
-            return None
-        return self._lambert_cells()[1]
+        if self.lambert_params is not None:
+            return self._lambert_cells()[1]
+        if self.row_ni is not None:
+            return self._reduced_cells()[1]
+        return None
 
 
 # --- complex packing (templates 5.2 / 5.3) --------------------------------
@@ -668,6 +695,7 @@ def encode_grib2_message(
     spatial_diff_order: int = 2,
     missing_mask: np.ndarray | None = None,
     gaussian: bool = False,
+    reduced_ni=None,
     lambert: dict | None = None,
     polar_stereo: dict | None = None,
     mercator: dict | None = None,
@@ -691,9 +719,42 @@ def encode_grib2_message(
     GRIB2 products, e.g. GFS, actually ship).
     ``missing_mask`` (bool, True = missing; complex only) encodes
     missing points via missing-value management 1 — in-data
-    substitution instead of a section-6 bitmap."""
+    substitution instead of a section-6 bitmap.
+
+    ``reduced_ni`` encodes a REDUCED Gaussian grid (ERA5's native
+    layout): pass the points-per-parallel list (north -> south, even
+    count = 2N) and ``values`` as the flat ragged concatenation of
+    rows; Ni/Di are coded missing and the list rides in section 3's
+    optional-numbers block."""
     vals = np.asarray(values, dtype=np.float64)
-    if vals.ndim != 2:
+    reduced_arr: np.ndarray | None = None
+    if reduced_ni is not None:
+        # Reduced Gaussian grid: ``values`` is the FLAT ragged
+        # concatenation of rows (north -> south), ``reduced_ni`` the
+        # points-per-parallel list encoded into section 3's optional
+        # list with Ni/Di coded missing.
+        reduced_arr = np.asarray(reduced_ni, dtype=np.int64)
+        if vals.ndim != 1 or len(vals) != int(reduced_arr.sum()):
+            raise ValueError(
+                "reduced-grid values must be flat with sum(reduced_ni) points"
+            )
+        if len(reduced_arr) % 2 or len(reduced_arr) < 2 or (reduced_arr <= 0).any():
+            raise ValueError(
+                "a global reduced Gaussian grid has an even positive parallel count"
+            )
+        if (reduced_arr > 0xFFFF).any():
+            raise ValueError("points-per-row exceeds the 2-octet list width")
+        if scanning_mode != 0x00:
+            raise ValueError("Gaussian grids are encoded north-first only")
+        if bitmap is not None or missing_mask is not None:
+            raise ValueError(
+                "bitmap/missing_mask not supported on reduced grids"
+            )
+        if packing in ("png", "jpeg2000"):
+            raise ValueError(
+                "raster packings need a rectangular grid; use simple/complex"
+            )
+    elif vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
@@ -701,7 +762,7 @@ def encode_grib2_message(
         raise ValueError("Gaussian grids are encoded north-first only")
     if sum(
         x is not None
-        for x in (gaussian or None, lambert, polar_stereo, mercator)
+        for x in (gaussian or None, reduced_arr, lambert, polar_stereo, mercator)
     ) > 1:
         raise ValueError("choose exactly one grid family")
     if lambert is not None:
@@ -715,7 +776,10 @@ def encode_grib2_message(
         raise ValueError("degenerate Mercator true-scale latitude")
     if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
         raise ValueError(f"unknown packing {packing!r}")
-    nj, ni = vals.shape
+    if reduced_arr is not None:
+        nj, ni = len(reduced_arr), None  # ragged rows: no common Ni
+    else:
+        nj, ni = vals.shape
     bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
     if bm is not None and bm.shape != vals.shape:
         raise ValueError("bitmap shape must match values")
@@ -959,6 +1023,37 @@ def encode_grib2_message(
             + struct.pack(">H", 30)
             + tmpl330,
         )
+    elif reduced_arr is not None:
+        # Template 3.40, REDUCED form: Ni and Di are coded missing and
+        # the points-per-parallel list rides after the 72-octet
+        # template body (2-octet entries, interpretation 1 — full
+        # circles), the layout ERA5's native archives ship.
+        lats = gaussian_latitudes(nj)
+        nmax = int(reduced_arr.max())
+        tmpl340 = (
+            earth
+            + b"\xff\xff\xff\xff"  # Ni: coded missing (per-row counts)
+            + struct.pack(">I", nj)
+            + struct.pack(">I", 0)  # basic angle
+            + b"\xff\xff\xff\xff"  # subdivisions (missing)
+            + _s32be(int(round(lats[0] * 1e6)))
+            + _s32be(lon_first_udeg)
+            + bytes([0x00])  # resolution flags: no common i-increment
+            + _s32be(int(round(lats[-1] * 1e6)))
+            + _s32be(lon_first_udeg + int(round((nmax - 1) * 360e6 / nmax)))
+            + b"\xff\xff\xff\xff"  # Di: coded missing
+            + struct.pack(">I", nj // 2)  # N
+            + bytes([scanning_mode])
+        )
+        s3 = section(
+            3,
+            bytes([0])
+            + struct.pack(">I", int(reduced_arr.sum()))
+            + bytes([2, 1])  # list entry width 2, points per full row
+            + struct.pack(">H", 40)
+            + tmpl340
+            + b"".join(struct.pack(">H", int(n)) for n in reduced_arr),
+        )
     elif gaussian:
         # Template 3.40: identical octet layout to 3.0 except La1/La2
         # are the first/last GAUSSIAN latitudes and the Dj field holds
@@ -972,7 +1067,12 @@ def encode_grib2_message(
         lat_a = lat_first_udeg if scanning_mode == 0 else lat_first_udeg - (nj - 1) * dlat_udeg
         lat_b = lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg
         dj_field = struct.pack(">I", dlat_udeg)
-    if lambert is None and polar_stereo is None and mercator is None:
+    if (
+        lambert is None
+        and polar_stereo is None
+        and mercator is None
+        and reduced_arr is None
+    ):
         tmpl30 = (
         earth
         + struct.pack(">I", ni)
@@ -1119,10 +1219,12 @@ def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
 def decode_grib2(msg: bytes) -> Grib2Record:
     """Decode one GRIB2 message.
 
-    Grid templates 3.0 (lat/lon), 3.30 (Lambert conformal), 3.40
-    (global Gaussian); product templates 4.0/4.8; data representation
-    templates 5.0 (simple), 5.2/5.3 (complex ± spatial differencing),
-    5.40 (JPEG2000), 5.41 (PNG).  Everything else raises."""
+    Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
+    stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
+    regular AND reduced per-row-Ni form); product templates 4.0/4.8;
+    data representation templates 5.0 (simple), 5.2/5.3 (complex ±
+    spatial differencing), 5.40 (JPEG2000), 5.41 (PNG).  Everything
+    else raises."""
     msg = bytes(msg)
     if msg[:4] != MAGIC or msg[7] != EDITION:
         raise ValueError("not a GRIB edition-2 message")
@@ -1140,6 +1242,39 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     g = s3[14:]  # 3.0/3.40 share one layout; 3.10/3.20/3.30 share Nx/Ny
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
+    row_ni: np.ndarray | None = None
+    if tmpl_no == 40 and ni == 0xFFFFFFFF:
+        # REDUCED Gaussian grid (ERA5's native archive layout): Ni is
+        # coded missing and section 3's optional list (octets 11-12:
+        # entry width + interpretation 1 = points per full parallel)
+        # carries the number of points on each row, north -> south.
+        list_w = s3[10]
+        if list_w == 0 or s3[11] != 1:
+            raise ValueError(
+                "reduced grid without a points-per-row list "
+                f"(list octets {s3[10]}, interpretation {s3[11]})"
+            )
+        off = 14 + 58  # template 3.40 body spans section octets 15-72
+        if len(s3) < off + nj * list_w:
+            raise ValueError("truncated points-per-row list")
+        row_ni = np.array(
+            [
+                int.from_bytes(s3[off + k * list_w : off + (k + 1) * list_w], "big")
+                for k in range(nj)
+            ],
+            dtype=np.int64,
+        )
+        (npoints3,) = struct.unpack_from(">I", s3, 6)
+        if int(row_ni.sum()) != npoints3 or (row_ni <= 0).any():
+            raise ValueError(
+                "points-per-row list disagrees with the section-3 point count"
+            )
+        ni = None
+    elif ni == 0xFFFFFFFF or nj == 0xFFFFFFFF:
+        # quasi-regular geometry on any other template has no per-row
+        # machinery here — decoding it with sentinel dims would be
+        # silent geography corruption
+        raise ValueError(f"grid dimensions coded missing on template {tmpl_no}")
     lambert_params: dict | None = None
     if tmpl_no == 10:
         # Template 3.10 (Mercator): its own octet layout past Lo1 —
@@ -1279,11 +1414,18 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         # 3.0 carries BOTH increments; if either flag is unset that
         # field holds the all-ones missing sentinel and would decode as
         # ~4.29e9 microdegrees.  3.40's Dj octets hold N (always
-        # meaningful), so only the i-increment flag applies there.
-        need_flags = 0x20 if tmpl_no == 40 else 0x30
+        # meaningful), so only the i-increment flag applies there — and
+        # a REDUCED grid has no common i-increment at all (Di coded
+        # missing, per-row spacing 360/row_ni[j]).
+        need_flags = 0x00 if row_ni is not None else (
+            0x20 if tmpl_no == 40 else 0x30
+        )
         if (g[40] & need_flags) != need_flags:
             raise ValueError("direction increments not given (resolution flags)")
-        (dlon,) = struct.unpack_from(">I", g, 49)
+        if row_ni is not None:
+            dlon = 0
+        else:
+            (dlon,) = struct.unpack_from(">I", g, 49)
         if tmpl_no == 40:
             # Dj's octets hold N; only the GLOBAL grid (nj == 2N) is
             # supported — a latitude subset would need La1/La2 root
@@ -1332,9 +1474,10 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     nbits = s5[19]
 
     s6 = s[6]
+    total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
     bitmap = None
     if s6[5] == 0:
-        bits = np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[: ni * nj]
+        bits = np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[:total_cells]
         bitmap = bits.astype(bool)
     elif s6[5] != 255:
         raise ValueError(f"unsupported bitmap indicator {s6[5]}")
@@ -1392,11 +1535,16 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         present_vals[miss] = np.nan
 
     if bitmap is not None:
-        values = np.full(ni * nj, np.nan)
+        values = np.full(total_cells, np.nan)
         values[bitmap] = present_vals
     else:
         values = present_vals
-    values = values.reshape(nj, ni)
+    if row_ni is None:
+        values = values.reshape(nj, ni)
+    elif len(values) != total_cells:
+        raise ValueError(
+            f"reduced grid holds {len(values)} values, expected {total_cells}"
+        )
     if scan == 0x40 and tmpl_no not in (10, 20, 30):
         # south-first storage → normalize to north-first (lat/lon grids
         # only; projected grids keep storage order — their per-cell
@@ -1429,6 +1577,7 @@ def decode_grib2(msg: bytes) -> Grib2Record:
         lambert_params=lambert_params,
         statistical_process=statistical_process,
         interval_end=interval_end,
+        row_ni=row_ni,
     )
 
 

@@ -2902,3 +2902,538 @@ def grid_grib_inventory_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nj",
         "total_bytes",
     ).orderBy("month", "parameter")
+
+
+# --- PDT 4.8 statistical metadata through the landing schema ----------------
+# Per selected document a 2-record GRIB2 archive on a (6 + d%3) × (4 + d%2)
+# grid, record r's cell (i, j) being 110 + 2*((d*3 + r*17 + i*5 + j*7) % 40):
+#   rn=1  PDT 4.0 (instantaneous)       → statistical columns NULL
+#   rn=2  PDT 4.8, process = d % 2 (average/accumulation), interval end
+#         (2020, 1 + d%12, 1 + d%28, d%24:00), range 6 + d%18 hours
+
+
+@query(
+    "grid_grib_statistical_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 3 AS ni,
+         4 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 31 = 9 AND doc_id < 620
+),
+cells AS (
+  SELECT doc_id, ni, nj, r.r + 1 AS rn,
+         110 + 2 * ((doc_id * 3 + r.r * 17 + i.i * 5 + j.j * 7) % 40) AS v
+  FROM g,
+       UNNEST(generate_series(0, 1)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn = 2 THEN doc_id % 2 END AS INTEGER)
+         AS statistical_process,
+       CASE WHEN rn = 2 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 1 + doc_id % 28, doc_id % 24, 0, 0
+       ) END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib_statistical_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDT 4.8 STATISTICAL metadata through the REAL landing decode
+    path: accumulation/average records (the form ERA5 monthly means and
+    precipitation totals actually ship, read by the reference through
+    wgrib2 — /root/reference/src/file-conversions.js:49-51,120-127)
+    land with ``statistical_process`` (code table 4.10) and the end of
+    the processing interval as a timestamp column, while instantaneous
+    4.0 records keep both NULL — accumulation-vs-instantaneous is now
+    FILTERABLE on landed archives, not just codec-level metadata.
+
+    The oracle pins the whole contract closed-form: NULL statistical
+    columns for rn=1, the exact process code and interval-end instant
+    for rn=2, plus per-record value sums so the payload decode is
+    witnessed alongside the metadata.
+
+    Scale: the landing posture — archive bytes decode executor-side in
+    one Arrow stage; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 31 == 9) & (F.col("doc_id") < 620))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 6 + d % 3, 4 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        110 + 2 * ((d * 3 + r * 17 + i * 5 + j * 7) % 40)
+                    ).astype(np.float64)
+
+                msgs = [
+                    encode_grib2_message(
+                        field(0), category=0, number=7,
+                        reference_value=110.0, binary_scale=1, nbits=8,
+                    ),
+                    encode_grib2_message(
+                        field(1), category=0, number=11,
+                        reference_value=110.0, binary_scale=1, nbits=8,
+                        statistical=dict(
+                            process=d % 2,
+                            interval_end=(
+                                2020, 1 + d % 12, 1 + d % 28, d % 24, 0,
+                            ),
+                            range_hours=6 + d % 18,
+                        ),
+                    ),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "statistical_process",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+# --- projected grids THROUGH the landing source ------------------------------
+# Per selected document ONE archive with three projected records —
+# rn=1 Lambert conformal 3.30 (secant 33/45), rn=2 polar stereographic
+# 3.20, rn=3 Mercator 3.10 — all scanning 0x40, record r's cell (i, j)
+# being 130 + 2*((d*7 + r*13 + i*3 + j*5) % 45).  The records flow
+# through grib1_records/grib1_cells (NOT a bespoke decode stage): the
+# landing schema carries their per-cell coordinate arrays and the cell
+# explode serves unified lat_deg/lon_deg every query can filter on.
+
+_PROJ_BOX = (-8.43, 48.9)  # non-round edges: no cell latitude within 1e-5
+
+
+def _proj_landing_grids(d: int):
+    """(kind, ni, nj, mesh step) of the 3-record projected archive for
+    doc ``d`` — shared by the engine synth and the oracle generator."""
+    return (
+        ("lcc", 4 + d % 3, 3 + d % 2, 3000.0 * (1 + d % 3)),
+        ("ps", 4 + d % 2, 3 + d % 3, 20000.0 * (1 + d % 2)),
+        ("mercator", 4 + d % 3, 3 + d % 3, 40000.0 * (1 + d % 2)),
+    )
+
+
+def _projected_landing_box_values_sql() -> str:
+    """(doc_id, rn, n_box, latsum_mdeg, lonsum_mdeg, vlat) of the
+    in-box cells per record, computed ENTIRELY with the independent
+    second-formulation projections (isometric Lambert / polar, the
+    Gudermannian Mercator) — the engine's Snyder forms never touch
+    these numbers."""
+    import math
+
+    lo, hi = _PROJ_BOX
+    rows = []
+    for d in range(0, 574):
+        if d % 41 != 8:
+            continue
+        for r, (kind, ni, nj, dx) in enumerate(_proj_landing_grids(d)):
+            if kind == "lcc":
+                x1, y1 = _lcc_forward_isometric(
+                    _LCC_BASE["la1"], _LCC_BASE["lo1"], _LCC_BASE["lad"],
+                    _LCC_BASE["lov"], 33.0, 45.0, _LCC_RADIUS,
+                )
+
+                def inv(x, y):
+                    return _lcc_inverse_isometric(
+                        x, y, _LCC_BASE["lad"], _LCC_BASE["lov"],
+                        33.0, 45.0, _LCC_RADIUS,
+                    )
+            elif kind == "ps":
+                k2 = 1.0 + math.sin(math.radians(_PS_BASE["lad"]))
+                psi1 = math.log(
+                    math.tan(math.pi / 4 + math.radians(_PS_BASE["la1"]) / 2)
+                )
+                rho1 = _LCC_RADIUS * k2 * math.exp(-psi1)
+                th1 = math.radians(_PS_BASE["lo1"] - _PS_BASE["lov"])
+                x1, y1 = rho1 * math.sin(th1), -rho1 * math.cos(th1)
+
+                def inv(x, y):
+                    return _ps_inverse_isometric(
+                        x, y, _PS_BASE["lad"], _PS_BASE["lov"], _LCC_RADIUS
+                    )
+            else:
+                k = _LCC_RADIUS * math.cos(math.radians(_MERC_BASE["lad"]))
+                x1 = k * math.radians(_MERC_BASE["lo1"])
+                y1 = k * math.asinh(math.tan(math.radians(_MERC_BASE["la1"])))
+
+                def inv(x, y):
+                    return _mercator_inverse_gudermannian(
+                        x, y, _MERC_BASE["lad"], _LCC_RADIUS
+                    )
+            n_box = latsum = lonsum = vlat = 0
+            for j in range(nj):
+                for i in range(ni):
+                    lat, lon = inv(x1 + i * dx, y1 + j * dx)
+                    # membership must be rounding-proof: engine and
+                    # second formulation agree to ~1e-9 deg, so no cell
+                    # may sit within 1e-5 of a box edge
+                    assert abs(lat - lo) > 1e-5 and abs(lat - hi) > 1e-5
+                    if lo < lat < hi:
+                        v = 130 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 45)
+                        lm = int(round(lat * 1e3))
+                        n_box += 1
+                        latsum += lm
+                        lonsum += int(round(lon * 1e3))
+                        vlat += v * lm
+            rows.append(f"({d}, {r + 1}, {n_box}, {latsum}, {lonsum}, {vlat})")
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib_projected_landing",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id FROM documents WHERE doc_id % 41 = 8 AND doc_id < 574
+),
+rows_ AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         CASE r.r WHEN 1 THEN 4 + doc_id % 2 ELSE 4 + doc_id % 3 END AS ni,
+         CASE r.r WHEN 0 THEN 3 + doc_id % 2 ELSE 3 + doc_id % 3 END AS nj
+  FROM g, UNNEST(generate_series(0, 2)) AS r(r)
+),
+cells AS (
+  SELECT doc_id, rn,
+         130 + 2 * ((doc_id * 7 + (rn - 1) * 13 + i.i * 3 + j.j * 5) % 45) AS v
+  FROM rows_,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+),
+box(doc_id, rn, n_box, latsum_mdeg, lonsum_mdeg, vlat) AS (
+  VALUES {_projected_landing_box_values_sql()}
+)
+SELECT c.doc_id,
+       CAST(c.rn AS INTEGER) AS record_number,
+       CAST(CASE c.rn WHEN 1 THEN 30 WHEN 2 THEN 20 ELSE 10 END AS INTEGER)
+         AS grid_template,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(MIN(b.n_box) AS BIGINT) AS n_box,
+       CAST(MIN(b.latsum_mdeg) AS BIGINT) AS latsum_mdeg,
+       CAST(MIN(b.lonsum_mdeg) AS BIGINT) AS lonsum_mdeg,
+       CAST(MIN(b.vlat) AS BIGINT) AS vlat
+FROM cells c JOIN box b ON b.doc_id = c.doc_id AND b.rn = c.rn
+GROUP BY c.doc_id, c.rn
+ORDER BY c.doc_id, c.rn
+""",
+)
+def grid_grib_projected_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROJECTED grids (Mercator 3.10 / polar stereo 3.20 / Lambert
+    3.30) through the REAL landing source — the geometry regional
+    operational archives (HRRR, NAM, sea-ice) ship, which the reference
+    reads transparently through wgrib2 (/root/reference/src/
+    file-conversions.js:49-51,76-112).  The records land via
+    ``grib1_records`` (per-cell coordinate arrays in the record schema,
+    affine georef NULL — visible, never fabricated) and explode via
+    ``grib1_cells`` into unified ``lat_deg``/``lon_deg`` cells; the
+    query then FILTERS BY REAL PROJECTED-CELL COORDINATES (a latitude
+    box) and aggregates both all-cell and in-box statistics per record.
+
+    Witness independence: every in-box number in the oracle —
+    membership, coordinate sums in millidegrees, the payload·latitude
+    coupling ``vlat`` that breaks if cells attach to the wrong
+    geography — comes from the SECOND projection formulations
+    (isometric Lambert/polar, Gudermannian Mercator); full-cell counts
+    and value sums restate relationally.
+
+    Scale: the landing posture — archive bytes decode executor-side,
+    the explode is JVM-side posexplode, and the coordinate filter is a
+    plain column predicate Catalyst can push against the exploded
+    relation; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import (
+        RECORD_SCHEMA,
+        _decode_batches,
+        grib1_cells,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 41 == 8) & (F.col("doc_id") < 574))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                msgs = []
+                for r, (kind, ni, nj, dx) in enumerate(_proj_landing_grids(d)):
+                    i = np.arange(ni)[None, :]
+                    j = np.arange(nj)[:, None]
+                    v = (
+                        130 + 2 * ((d * 7 + r * 13 + i * 3 + j * 5) % 45)
+                    ).astype(np.float64)
+                    grid_kw = (
+                        dict(lambert=dict(
+                            _LCC_BASE, latin1=33.0, latin2=45.0,
+                            dx_m=dx, dy_m=dx,
+                        ))
+                        if kind == "lcc"
+                        else dict(polar_stereo=dict(_PS_BASE, dx_m=dx, dy_m=dx))
+                        if kind == "ps"
+                        else dict(mercator=dict(_MERC_BASE, dx_m=dx, dy_m=dx))
+                    )
+                    msgs.append(
+                        encode_grib2_message(
+                            v, scanning_mode=0x40, reference_value=130.0,
+                            binary_scale=1, nbits=8, category=r, number=r,
+                            **grid_kw,
+                        )
+                    )
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = grib1_cells(records)
+    lo, hi = _PROJ_BOX
+    box = (F.col("lat_deg") > F.lit(lo)) & (F.col("lat_deg") < F.lit(hi))
+    latm = F.round(F.col("lat_deg") * F.lit(1e3)).cast("bigint")
+    lonm = F.round(F.col("lon_deg") * F.lit(1e3)).cast("bigint")
+    vb = F.col("value").cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return (
+        cells.select(
+            F.regexp_extract("path", r"doc://(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "record_number",
+            "grid_template",
+            "lat_deg",
+            "lon_deg",
+            "value",
+        )
+        .groupBy("doc_id", "record_number", "grid_template")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(vb).alias("vsum"),
+            F.coalesce(F.sum(F.when(box, F.lit(1).cast("bigint"))), zero)
+            .alias("n_box"),
+            F.coalesce(F.sum(F.when(box, latm)), zero).alias("latsum_mdeg"),
+            F.coalesce(F.sum(F.when(box, lonm)), zero).alias("lonsum_mdeg"),
+            F.coalesce(F.sum(F.when(box, vb * latm)), zero).alias("vlat"),
+        )
+        .orderBy("doc_id", "record_number")
+    )
+
+
+# --- REDUCED Gaussian grids (3.40 with per-row Ni) through the landing ------
+# Per selected document ONE record on a global reduced Gaussian grid
+# N = 2 + d%2 (nj = 2N rows), row j holding 3 + ((d + 3j) % 4) points,
+# cell (j, i) = 120 + 2*((d*5 + j*11 + i*7) % 45), packed simple for
+# even d and complex+spatial-differencing for odd d.  This is ERA5's
+# NATIVE archive layout — the dataset the reference actually ingests.
+
+
+def _reduced_lat_values_sql() -> str:
+    """(N, j, lat_udeg) quadrature latitudes for the reduced grids,
+    from numpy's INDEPENDENT Gauss-Legendre implementation (the same
+    witness-independence pattern as the regular-Gaussian oracle)."""
+    import numpy as np
+
+    rows = []
+    for n in (2, 3):
+        x, _ = np.polynomial.legendre.leggauss(2 * n)
+        lats = np.degrees(np.arcsin(x))[::-1]  # ascending x -> north first
+        for j, lat in enumerate(lats):
+            rows.append(f"({n}, {j}, {int(round(float(lat) * 1e6))})")
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib2_reduced_gaussian_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, 2 + doc_id % 2 AS n
+  FROM documents WHERE doc_id % 21 = 6 AND doc_id < 462
+),
+lat(n, j, lat_udeg) AS (
+  VALUES {_reduced_lat_values_sql()}
+),
+rows_ AS (
+  SELECT g.doc_id, g.n, j.j AS j,
+         3 + ((g.doc_id + 3 * j.j) % 4) AS rowni
+  FROM g, LATERAL (SELECT unnest(generate_series(0, 2 * g.n - 1)) AS j) j
+),
+offs AS (
+  SELECT doc_id, n, j, rowni,
+         COALESCE(SUM(rowni) OVER (
+           PARTITION BY doc_id ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_pos
+  FROM rows_
+),
+cells AS (
+  SELECT o.doc_id, o.n, o.j, o.start_pos + i.i AS pos,
+         120 + 2 * ((o.doc_id * 5 + o.j * 11 + i.i * 7) % 45) AS v,
+         CAST(ROUND(((i.i * 360.0) / o.rowni) * 1e6) AS BIGINT) AS lon_udeg
+  FROM offs o,
+       LATERAL (SELECT unnest(generate_series(0, o.rowni - 1)) AS i) i
+),
+latw AS (
+  SELECT g.doc_id, SUM(l.lat_udeg * (l.j + 1)) AS latwsum
+  FROM g JOIN lat l ON l.n = g.n
+  GROUP BY g.doc_id
+)
+SELECT c.doc_id,
+       CAST(40 AS INTEGER) AS grid_template,
+       CAST(MIN(2 * c.n) AS INTEGER) AS nj,
+       CAST(NULL AS INTEGER) AS ni,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(SUM(c.v * c.pos) AS BIGINT) AS wsum,
+       CAST(MIN(lw.latwsum) AS BIGINT) AS latwsum,
+       CAST(SUM(c.lon_udeg) AS BIGINT) AS lonsum_udeg,
+       CAST(SUM(c.v * l.lat_udeg) AS BIGINT) AS vlat
+FROM cells c
+JOIN lat l ON l.n = c.n AND l.j = c.j
+JOIN latw lw ON lw.doc_id = c.doc_id
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def grid_grib2_reduced_gaussian_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDUCED Gaussian grid decode (template 3.40, Ni coded missing +
+    the section-3 points-per-parallel list) through the REAL landing
+    path — ERA5's NATIVE archive geometry, the dataset the reference
+    actually ingests through wgrib2 (/root/reference/src/
+    file-conversions.js:49-51,76-112; src/sources/era5monthly.js).
+    Rows are RAGGED: each parallel carries its own point count, so the
+    landing record keeps ``ni`` NULL, ships the exact quadrature
+    latitudes in microdegrees AND per-cell coordinate arrays (row
+    latitude repeated, longitudes i·360/row_ni), and ``values`` stays
+    the flat storage-order concatenation.
+
+    Witnesses: ``latwsum`` pins the engine's Newton/Bonnet quadrature
+    roots against numpy's INDEPENDENT Gauss-Legendre nodes (integer
+    microdegree compare); ``lonsum_udeg`` pins the ragged per-row
+    longitude axes relationally; ``vlat`` couples every payload value
+    to its row's latitude — a mis-sliced ragged row hash-mismatches
+    even where permutation-invariant stats would pass; ``wsum`` keeps
+    flat storage order sensitive.  Packing alternates simple /
+    complex+spatial-differencing, so the ragged geometry is witnessed
+    composing with both unpackers.
+
+    Scale: the landing posture — per-record CPU in one Arrow stage
+    (the documented native-codec swap-in point), O(rows) metadata for
+    the latitude axis, statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 21 == 6) & (F.col("doc_id") < 462))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nj = 2 * (2 + d % 2)
+                row_ni = [3 + ((d + 3 * j) % 4) for j in range(nj)]
+                vals = np.concatenate(
+                    [
+                        120.0
+                        + 2 * ((d * 5 + j * 11 + np.arange(n) * 7) % 45)
+                        for j, n in enumerate(row_ni)
+                    ]
+                )
+                msg = encode_grib2_message(
+                    vals,
+                    reduced_ni=row_ni,
+                    packing="complex_diff" if d % 2 else "simple",
+                    reference_value=120.0,
+                    binary_scale=1,
+                    nbits=8,
+                )
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    lat_weighted = F.zip_with(
+        "latitudes_udeg",
+        F.sequence(F.lit(1), F.size("latitudes_udeg")),
+        lambda lu, j: lu * j.cast("bigint"),
+    )
+    cell_lat_udeg = F.transform(
+        "cell_lats_deg", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    cell_lon_udeg = F.transform(
+        "cell_lons_deg", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    vlat = F.zip_with(
+        "values", cell_lat_udeg, lambda v, lu: v.cast("bigint") * lu
+    )
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "grid_template",
+        "nj",
+        "ni",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+        F.aggregate(lat_weighted, zero, lambda a, x: a + x).alias("latwsum"),
+        F.aggregate(cell_lon_udeg, zero, lambda a, x: a + x).alias(
+            "lonsum_udeg"
+        ),
+        F.aggregate(vlat, zero, lambda a, x: a + x).alias("vlat"),
+    ).orderBy("doc_id")

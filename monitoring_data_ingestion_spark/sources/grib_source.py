@@ -40,13 +40,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 RECORD_SCHEMA = (
-    "path string, record_number int, edition int, parameter int, "
-    "category int, number int, "
+    "path string, record_number int, edition int, grid_template int, "
+    "parameter int, category int, number int, "
     "level_type int, level int, year int, month int, day int, hour int, "
+    "statistical_process int, interval_end timestamp, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
+    "cell_lats_deg array<double>, cell_lons_deg array<double>, "
     "values array<double>"
 )
+
+_RECORD_COLUMNS = [
+    "path", "record_number", "edition", "grid_template", "parameter",
+    "category", "number", "level_type", "level", "year", "month", "day",
+    "hour", "statistical_process", "interval_end", "ni", "nj",
+    "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
+    "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values",
+]
 
 
 def iter_grib_messages(buf: bytes):
@@ -150,6 +160,8 @@ def _grib2_header(msg: bytes) -> dict:
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
+    if ni == 0xFFFFFFFF:
+        ni = None  # reduced Gaussian grid: per-row counts, no common Ni
     level_type, scale, level_value = parse_fixed_surface(s4)
     return {
         "category": s4[9],
@@ -263,6 +275,8 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 # bits are never unpacked (wgrib2 -match semantics).
                 if rx is not None and not rx.search(inventory_line(edition, msg)):
                     continue
+                grid_template = stat_process = interval_end = None
+                cell_lats = cell_lons = None
                 if edition == 1:
                     rec = decode_grib1(msg)
                     level_type, level = rec.level_type, rec.level
@@ -273,18 +287,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     lats_udeg = None
                 else:
                     rec = decode_grib2(msg)
-                    if rec.grid_template in (10, 20, 30):
-                        # Projected grids have per-cell coordinates, not
-                        # the affine/Gaussian axes this schema carries —
-                        # stop loudly instead of publishing a fabricated
-                        # georeference. (decode_grib2 serves them fully.)
-                        raise ValueError(
-                            "projected-grid records (Mercator / Lambert / "
-                            "polar stereo) "
-                            "are not supported by the landing record schema; "
-                            "decode_grib2 exposes their per-cell coordinates "
-                            "directly"
-                        )
+                    grid_template = rec.grid_template
                     # GRIB2 parameters are (category, number) pairs with
                     # their own numbering — folding them into GRIB1's
                     # parameter column would collide (c0,n11 vs GRIB1
@@ -298,7 +301,40 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # (a level filter must fail VISIBLY, not match 0).
                     level_type = rec.level_type
                     level = _apply_surface_scale(rec.level_value, rec.level_scale)
-                    if rec.gaussian_n is not None:
+                    # Template 4.8 statistical processing: NULL on 4.0
+                    # (instantaneous), so accumulation-vs-instantaneous
+                    # is filterable on landed archives.
+                    stat_process = rec.statistical_process
+                    if rec.interval_end is not None:
+                        ey, em, ed, eh, emi = rec.interval_end
+                        interval_end = pd.Timestamp(
+                            year=ey, month=em, day=ed, hour=eh, minute=emi
+                        )
+                    if rec.grid_template in (10, 20, 30):
+                        # Projected grids (Mercator / polar stereo /
+                        # Lambert) have no affine lat/lon axes: the mdeg
+                        # georef stays NULL (visible, never fabricated)
+                        # and the georeference is the per-cell coordinate
+                        # arrays in STORAGE order, recovered through the
+                        # codec's vectorized inverse projection.
+                        lat0 = lon0 = dlat = dlon = None
+                        lats_udeg = None
+                        cell_lats = rec.cell_lats_deg.reshape(-1).tolist()
+                        cell_lons = rec.cell_lons_deg.reshape(-1).tolist()
+                    elif rec.row_ni is not None:
+                        # Reduced Gaussian rows: quadrature latitudes per
+                        # parallel in exact microdegrees AND per-cell
+                        # coordinates (rows are ragged — there is no
+                        # common Ni/dlon; ``ni`` stays NULL).
+                        lat0 = dlat = dlon = None
+                        lats_udeg = [
+                            int(round(float(v) * 1e6))
+                            for v in rec.latitudes_deg
+                        ]
+                        lon0 = _udeg_to_mdeg(rec.lon_first_udeg)
+                        cell_lats = rec.cell_lats_deg.tolist()
+                        cell_lons = rec.cell_lons_deg.tolist()
+                    elif rec.gaussian_n is not None:
                         # Gaussian rows have no affine latitude axis:
                         # the mdeg georef stays NULL (visible, never a
                         # fabricated dlat) and the exact quadrature
@@ -323,6 +359,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "path": path,
                         "record_number": n,
                         "edition": edition,
+                        "grid_template": grid_template,
                         "parameter": parameter,
                         "category": category,
                         "number": number,
@@ -332,6 +369,8 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "month": rec.reftime[1],
                         "day": rec.reftime[2],
                         "hour": rec.reftime[3],
+                        "statistical_process": stat_process,
+                        "interval_end": interval_end,
                         "ni": rec.ni,
                         "nj": rec.nj,
                         "lat_first_mdeg": lat0,
@@ -339,18 +378,12 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "dlat_mdeg": dlat,
                         "dlon_mdeg": dlon,
                         "latitudes_udeg": lats_udeg,
+                        "cell_lats_deg": cell_lats,
+                        "cell_lons_deg": cell_lons,
                         "values": rec.values.reshape(-1).tolist(),
                     }
                 )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "path", "record_number", "edition", "parameter", "category",
-                "number", "level_type", "level", "year", "month", "day",
-                "hour", "ni", "nj", "lat_first_mdeg", "lon_first_mdeg",
-                "dlat_mdeg", "dlon_mdeg", "latitudes_udeg", "values",
-            ],
-        )
+        yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
 
 
 def grib1_records(
@@ -390,16 +423,25 @@ def grib1_records_stream(
 
 
 def grib1_cells(records: DataFrame) -> DataFrame:
-    """Record rows → (record metadata, lat_mdeg, lon_mdeg, value) cells.
+    """Record rows → (record metadata, coordinates, value) cells.
 
-    Pure JVM: posexplode over the decoded array, coordinates from the
-    GDS fields (lat_first − j·dlat, lon_first + i·dlon, row-major
-    scanning mode 0). Missing cells (bitmap) surface as NULL value —
-    Arrow already maps the codec's NaN to NULL, and any residual NaN is
-    normalized here so downstream null-ignoring aggregates are exact."""
+    Pure JVM: posexplode over the decoded array, coordinates by grid
+    family — affine grids expand the GDS axis (lat_first − j·dlat,
+    lon_first + i·dlon), Gaussian grids read their quadrature row
+    latitude, and projected / reduced-Gaussian grids read the
+    per-cell coordinate arrays the landing decode carried.  Unified
+    columns: ``lat_deg``/``lon_deg`` (double, every family),
+    ``lat_udeg``/``lon_udeg`` (bigint microdegrees — exact for
+    affine/Gaussian, rounded for per-cell families), and the affine
+    ``lat_mdeg``/``lon_mdeg`` (NULL off the affine lat/lon family —
+    visible, never fabricated).  Missing cells (bitmap) surface as
+    NULL value — Arrow already maps the codec's NaN to NULL, and any
+    residual NaN is normalized here so downstream null-ignoring
+    aggregates are exact."""
     e = records.select(
         "path",
         "record_number",
+        "grid_template",
         "parameter",
         "year",
         "month",
@@ -410,31 +452,54 @@ def grib1_cells(records: DataFrame) -> DataFrame:
         "dlat_mdeg",
         "dlon_mdeg",
         "latitudes_udeg",
+        "cell_lats_deg",
+        "cell_lons_deg",
         F.posexplode_outer("values").alias("idx", "v"),
     )
     i = F.col("idx") % F.col("ni")
     j = (F.col("idx") / F.col("ni")).cast("int")
-    # Unified EXACT latitude: affine grids expand the GDS axis; Gaussian
-    # grids read their quadrature row latitude. Affine lat_mdeg stays
-    # as-is (NULL on Gaussian rows — visible, never fabricated).
-    lat_udeg = F.when(
-        F.col("latitudes_udeg").isNotNull(),
-        F.element_at("latitudes_udeg", j + F.lit(1)),
-    ).otherwise(
-        (
-            (F.col("lat_first_mdeg") - j * F.col("dlat_mdeg")).cast("bigint")
+    cell_lat = F.element_at("cell_lats_deg", F.col("idx") + F.lit(1))
+    cell_lon = F.element_at("cell_lons_deg", F.col("idx") + F.lit(1))
+    affine_lat_mdeg = F.col("lat_first_mdeg") - j * F.col("dlat_mdeg")
+    affine_lon_mdeg = F.col("lon_first_mdeg") + i * F.col("dlon_mdeg")
+    lat_udeg = (
+        F.when(
+            F.col("cell_lats_deg").isNotNull(),
+            F.round(cell_lat * F.lit(1e6)).cast("bigint"),
         )
-        * F.lit(1000).cast("bigint")
+        .when(
+            F.col("latitudes_udeg").isNotNull(),
+            F.element_at("latitudes_udeg", j + F.lit(1)),
+        )
+        .otherwise(
+            affine_lat_mdeg.cast("bigint") * F.lit(1000).cast("bigint")
+        )
+    )
+    lon_udeg = F.when(
+        F.col("cell_lons_deg").isNotNull(),
+        F.round(cell_lon * F.lit(1e6)).cast("bigint"),
+    ).otherwise(
+        affine_lon_mdeg.cast("bigint") * F.lit(1000).cast("bigint")
+    )
+    lat_deg = F.when(F.col("cell_lats_deg").isNotNull(), cell_lat).otherwise(
+        lat_udeg.cast("double") / F.lit(1e6)
+    )
+    lon_deg = F.when(F.col("cell_lons_deg").isNotNull(), cell_lon).otherwise(
+        lon_udeg.cast("double") / F.lit(1e6)
     )
     return e.select(
         "path",
         "record_number",
+        "grid_template",
         "parameter",
         "year",
         "month",
-        (F.col("lat_first_mdeg") - j * F.col("dlat_mdeg")).alias("lat_mdeg"),
+        affine_lat_mdeg.alias("lat_mdeg"),
         lat_udeg.alias("lat_udeg"),
-        (F.col("lon_first_mdeg") + i * F.col("dlon_mdeg")).alias("lon_mdeg"),
+        affine_lon_mdeg.alias("lon_mdeg"),
+        lon_udeg.alias("lon_udeg"),
+        lat_deg.alias("lat_deg"),
+        lon_deg.alias("lon_deg"),
         F.when(F.isnan("v") | F.col("v").isNull(), None)
         .otherwise(F.col("v"))
         .alias("value"),

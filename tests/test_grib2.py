@@ -975,7 +975,9 @@ def test_lambert_grid_roundtrip_and_cell_coordinates():
 
 
 def test_lambert_rejections():
-    """Southern cones and landing-source ingestion stop loudly."""
+    """Southern cones stop loudly; Lambert records LAND with per-cell
+    coordinates (affine georef NULL — visible, never fabricated)."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
     from monitoring_data_ingestion_spark.sources.grib_source import (
         _decode_batches,
         _grib2_header,
@@ -989,15 +991,18 @@ def test_lambert_rejections():
     # header inventory reads dims (shared octets)...
     h = _grib2_header(msg)
     assert (h["ni"], h["nj"]) == (4, 3)
-    # ...but the landing record schema refuses to fabricate a georef
+    # ...and the landing record carries the per-cell georeference
     import pandas as pd
 
-    with pytest.raises(ValueError, match="Lambert"):
-        list(
-            _decode_batches(
-                iter([pd.DataFrame([{"path": "f", "content": msg}])])
-            )
-        )
+    (pdf,) = list(
+        _decode_batches(iter([pd.DataFrame([{"path": "f", "content": msg}])]))
+    )
+    row = pdf.iloc[0]
+    assert row["grid_template"] == 30
+    assert row["lat_first_mdeg"] is None and row["dlat_mdeg"] is None
+    rec = decode_grib2(msg)
+    assert list(row["cell_lats_deg"]) == list(rec.cell_lats_deg.reshape(-1))
+    assert list(row["cell_lons_deg"]) == list(rec.cell_lons_deg.reshape(-1))
     # southern cone
     south = dict(lam, lad=-38.5, latin1=-38.5, latin2=-38.5)
     with pytest.raises(ValueError, match="southern-cone"):
@@ -1131,7 +1136,7 @@ def test_polar_stereo_grid_roundtrip_and_cells():
         assert np.max(np.abs(y - (float(y[0, 0]) + sj * j * ps["dy_m"]))) < 1e-4
 
 
-def test_polar_stereo_south_aspect_rejected_and_landing_gated():
+def test_polar_stereo_south_aspect_rejected_and_landing_cells():
     import struct
 
     import pandas as pd
@@ -1146,12 +1151,16 @@ def test_polar_stereo_south_aspect_rejected_and_landing_gated():
     msg = bytearray(encode_grib2_message(np.ones((3, 4)), polar_stereo=ps))
     h = _grib2_header(bytes(msg))
     assert (h["ni"], h["nj"]) == (4, 3)
-    with pytest.raises(ValueError, match="projected-grid"):
-        list(
-            _decode_batches(
-                iter([pd.DataFrame([{"path": "f", "content": bytes(msg)}])])
-            )
+    (pdf,) = list(
+        _decode_batches(
+            iter([pd.DataFrame([{"path": "f", "content": bytes(msg)}])])
         )
+    )
+    row = pdf.iloc[0]
+    assert row["grid_template"] == 20
+    assert row["lat_first_mdeg"] is None
+    assert abs(row["cell_lats_deg"][0] - 47.5) < 1e-9
+    assert abs(row["cell_lons_deg"][0] - (-110.0)) < 1e-9
     pos = 16
     while pos < len(msg) - 4:
         ln, num = struct.unpack_from(">IB", msg, pos)
@@ -1225,9 +1234,10 @@ def test_mercator_grid_roundtrip_and_cells():
         assert np.max(np.ptp(rec.cell_lons_deg, axis=0)) < 1e-9
 
 
-def test_mercator_landing_gated_and_header_dims():
+def test_mercator_lands_with_cells_and_header_dims():
     import pandas as pd
 
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
     from monitoring_data_ingestion_spark.sources.grib_source import (
         _decode_batches,
         _grib2_header,
@@ -1237,12 +1247,14 @@ def test_mercator_landing_gated_and_header_dims():
     msg = encode_grib2_message(np.ones((3, 4)), mercator=mc)
     h = _grib2_header(msg)
     assert (h["ni"], h["nj"]) == (4, 3)
-    with pytest.raises(ValueError, match="projected-grid"):
-        list(
-            _decode_batches(
-                iter([pd.DataFrame([{"path": "f", "content": msg}])])
-            )
-        )
+    (pdf,) = list(
+        _decode_batches(iter([pd.DataFrame([{"path": "f", "content": msg}])]))
+    )
+    row = pdf.iloc[0]
+    rec = decode_grib2(msg)
+    assert row["grid_template"] == 10
+    assert row["lon_first_mdeg"] is None and row["dlon_mdeg"] is None
+    assert list(row["cell_lons_deg"]) == list(rec.cell_lons_deg.reshape(-1))
 
 
 def test_projected_grid_decode_guards():
@@ -1311,4 +1323,67 @@ def test_mercator_la2_lo2_cross_check():
     bad = bytearray(msg)
     struct.pack_into(">I", bad, g0 + 41, 10_000_000)  # Lo2 := 10E
     with pytest.raises(ValueError, match="disagree"):
+        decode_grib2(bytes(bad))
+
+
+def test_reduced_gaussian_roundtrip_all_packings():
+    """Template 3.40 REDUCED form (Ni coded missing, points-per-row
+    list): ragged values round-trip through simple and complex
+    packings, the quadrature latitudes match the regular form, and
+    per-cell coordinates expand rows correctly."""
+    from monitoring_data_ingestion_spark.grid.grib2 import gaussian_latitudes
+
+    row_ni = [4, 6, 7, 7, 6, 4]
+    vals = np.concatenate(
+        [100.0 + 2 * np.arange(n) + 10 * j for j, n in enumerate(row_ni)]
+    )
+    lats = gaussian_latitudes(6)
+    for packing in ("simple", "complex", "complex_diff"):
+        msg = encode_grib2_message(
+            vals, reduced_ni=row_ni, packing=packing,
+            reference_value=100.0, binary_scale=1,
+        )
+        rec = decode_grib2(msg)
+        assert rec.ni is None and rec.nj == 6
+        assert rec.gaussian_n == 3
+        assert list(rec.row_ni) == row_ni
+        np.testing.assert_allclose(rec.values, vals)
+        np.testing.assert_allclose(rec.latitudes_deg, lats)
+        cl, co = rec.cell_lats_deg, rec.cell_lons_deg
+        assert len(cl) == sum(row_ni) == len(co)
+        np.testing.assert_allclose(cl[:4], [lats[0]] * 4)
+        np.testing.assert_allclose(co[:4], np.arange(4) * 360.0 / 4)
+        np.testing.assert_allclose(co[4:10], np.arange(6) * 360.0 / 6)
+
+
+def test_reduced_gaussian_rejections():
+    """Ragged-grid guards: raster packings, flat-length mismatch, odd
+    parallel count, scanning 0x40, and a corrupted points-per-row list
+    all stop loudly."""
+    import struct
+
+    row_ni = [4, 6, 6, 4]
+    vals = np.arange(20, dtype=np.float64)
+    with pytest.raises(ValueError, match="rectangular"):
+        encode_grib2_message(vals, reduced_ni=row_ni, packing="png")
+    with pytest.raises(ValueError, match="flat"):
+        encode_grib2_message(np.arange(19.0), reduced_ni=row_ni)
+    with pytest.raises(ValueError, match="even"):
+        encode_grib2_message(np.arange(14.0), reduced_ni=[4, 6, 4])
+    with pytest.raises(ValueError, match="north-first"):
+        encode_grib2_message(vals, reduced_ni=row_ni, scanning_mode=0x40)
+    msg = bytearray(encode_grib2_message(vals, reduced_ni=row_ni))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 3:
+            break
+        pos += ln
+    bad = bytearray(msg)
+    struct.pack_into(">H", bad, pos + 14 + 58, 9)  # row 0 count 4 -> 9
+    with pytest.raises(ValueError, match="disagrees"):
+        decode_grib2(bytes(bad))
+    bad = bytearray(msg)
+    bad[pos + 11] = 0  # interpretation: none
+    with pytest.raises(ValueError, match="points-per-row"):
         decode_grib2(bytes(bad))

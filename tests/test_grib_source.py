@@ -356,3 +356,100 @@ def test_gaussian_archive_lands_with_exact_latitudes(spark, tmp_path):
     assert affine_cells["nlat"] == 8
     assert affine_cells["latmax"] == 60_000_000
     assert affine_cells["n_affine_lat"] == 40
+
+
+def test_projected_and_reduced_records_land_with_cell_coords(spark, tmp_path):
+    """Projected (3.30) and reduced-Gaussian (3.40 ragged) archives land
+    through grib1_records with per-cell coordinate arrays (affine
+    georef NULL — visible, never fabricated) and grib1_cells serves the
+    unified lat_deg/lon_deg/lat_udeg/lon_udeg for every family."""
+    import os
+
+    import numpy as np
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2,
+        encode_grib2_message,
+        gaussian_latitudes,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import grib1_cells
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    lam = dict(la1=21.138, lo1=-122.72, lad=38.5, lov=-97.5,
+               latin1=33.0, latin2=45.0, dx_m=3000.0, dy_m=3000.0)
+    proj = encode_grib2_message(
+        np.arange(12, dtype=np.float64).reshape(3, 4), lambert=lam,
+        scanning_mode=0x40, reference_value=0.0, binary_scale=0, number=5,
+    )
+    row_ni = [3, 5, 5, 3]
+    vals = np.arange(16, dtype=np.float64)
+    reduced = encode_grib2_message(
+        vals, reduced_ni=row_ni, reference_value=0.0, number=6,
+    )
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(proj + reduced)
+
+    recs = grib1_records(spark, landing).orderBy("record_number").collect()
+    p, r = recs
+    assert p["grid_template"] == 30 and r["grid_template"] == 40
+    assert p["lat_first_mdeg"] is None and p["latitudes_udeg"] is None
+    pr = decode_grib2(proj)
+    assert p["cell_lats_deg"] == list(pr.cell_lats_deg.reshape(-1))
+    assert r["ni"] is None and r["nj"] == 4
+    lats = gaussian_latitudes(4)
+    assert r["latitudes_udeg"] == [int(round(float(x) * 1e6)) for x in lats]
+    assert r["cell_lats_deg"][:3] == [float(lats[0])] * 3
+    assert r["cell_lons_deg"][3:8] == [i * 360.0 / 5 for i in range(5)]
+
+    cells = grib1_cells(grib1_records(spark, landing))
+    got = {
+        row["record_number"]: row
+        for row in cells.groupBy("record_number")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("lat_mdeg").alias("n_affine"),
+            F.min("lat_deg").alias("latmin"),
+            F.max("lon_udeg").alias("lonmax"),
+        )
+        .collect()
+    }
+    assert got[1]["n"] == 12 and got[1]["n_affine"] == 0
+    assert got[2]["n"] == 16 and got[2]["n_affine"] == 0
+    assert abs(got[2]["latmin"] - float(lats[-1])) < 1e-9
+    assert got[2]["lonmax"] == int(round(4 * 360.0 / 5 * 1e6))
+    assert abs(got[1]["latmin"] - float(pr.cell_lats_deg.min())) < 1e-9
+
+
+def test_statistical_metadata_lands_filterable(spark, tmp_path):
+    """PDT 4.8 statistical columns land (process + interval end as a
+    timestamp); 4.0 records keep them NULL, so accumulation vs
+    instantaneous is a plain column filter on the landed archive."""
+    import os
+
+    import numpy as np
+
+    from monitoring_data_ingestion_spark.grid.grib2 import encode_grib2_message
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.ones((2, 3))
+    inst = encode_grib2_message(v, number=1, reference_value=0.0)
+    accum = encode_grib2_message(
+        v, number=2, reference_value=0.0,
+        statistical=dict(
+            process=1, interval_end=(2021, 3, 1, 6, 30), range_hours=24
+        ),
+    )
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(inst + accum)
+
+    recs = grib1_records(spark, landing)
+    rows = {r["record_number"]: r for r in recs.collect()}
+    assert rows[1]["statistical_process"] is None
+    assert rows[1]["interval_end"] is None
+    assert rows[2]["statistical_process"] == 1
+    ie = rows[2]["interval_end"]
+    assert (ie.year, ie.month, ie.day, ie.hour, ie.minute) == (2021, 3, 1, 6, 30)
+    only_accum = recs.filter(F.col("statistical_process").isNotNull())
+    assert [r["number"] for r in only_accum.collect()] == [2]

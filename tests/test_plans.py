@@ -148,8 +148,11 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_mercator_decode",
         "grid_grib2_polar_decode",
         "grid_grib2_match_decode",
+        "grid_grib2_reduced_gaussian_decode",
         "grid_grib_inventory_scan",
         "grid_grib_mixed_scan",
+        "grid_grib_projected_landing",
+        "grid_grib_statistical_scan",
         "multimodal_audio_energy",
         "multimodal_feature_extract",
         "multimodal_image_decode_stats",
