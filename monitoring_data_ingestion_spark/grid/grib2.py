@@ -1151,6 +1151,40 @@ def encode_grib2_message(
     return s0 + body + TERMINATOR
 
 
+def merge_grib2_fields(msgs: "list[bytes]") -> bytes:
+    """Merge single-field GRIB2 messages into ONE multi-field message
+    (``0 1 (3 (4 5 6 7))+ 8``) — the submessage layout NDFD-style
+    archives ship.  All inputs must share discipline and an identical
+    section 1 (one reference time per message is the format's rule); a
+    field whose section 3 is byte-identical to the previous field's
+    INHERITS it (the grid is not re-emitted), exercising the
+    persisting-context form of the spec."""
+    if not msgs:
+        raise ValueError("merge_grib2_fields needs at least one message")
+    parts: list[bytes] = []
+    discipline = s1 = prev_s3 = None
+    for m in msgs:
+        m = bytes(m)
+        if m[:4] != MAGIC or m[7] != EDITION:
+            raise ValueError("not a GRIB edition-2 message")
+        s = _sections(m)
+        if discipline is None:
+            discipline, s1 = m[6], s[1]
+            parts.append(s1)
+        elif m[6] != discipline or s[1] != s1:
+            raise ValueError(
+                "multi-field messages share one discipline and section 1"
+            )
+        if s[3] != prev_s3:
+            parts.append(s[3])
+            prev_s3 = s[3]
+        parts.extend(s[k] for k in (4, 5, 6, 7))
+    body = b"".join(parts)
+    total = 16 + len(body) + 4
+    s0 = MAGIC + bytes([0, 0, discipline, EDITION]) + struct.pack(">Q", total)
+    return s0 + body + TERMINATOR
+
+
 def iter_messages2(buf: bytes):
     """Scan a multi-record GRIB2 file: yield each message's exact bytes."""
     buf = bytes(buf)
@@ -1179,9 +1213,11 @@ def _sections(msg: bytes) -> dict[int, bytes]:
     the 5-byte section header for offset-stable indexing).
 
     Repeated sections — GRIB2 legally repeats 4-7 for multi-field
-    messages — are REJECTED loudly: collapsing them to the last
+    messages — are REJECTED loudly here: collapsing them to the last
     occurrence would silently decode (and inventory) only the final
-    field. Zero/short section lengths are rejected rather than spun on."""
+    field.  Multi-field messages go through ``_iter_field_sections`` /
+    :func:`decode_grib2_fields` instead.  Zero/short section lengths
+    are rejected rather than spun on."""
     out = {0: msg[:16]}
     pos = 16
     while pos < len(msg) - 4:
@@ -1190,8 +1226,8 @@ def _sections(msg: bytes) -> dict[int, bytes]:
             raise ValueError(f"malformed section header (length {length})")
         if number in out:
             raise ValueError(
-                f"repeated section {number}: multi-field GRIB2 messages are "
-                "not supported (split fields into separate messages)"
+                f"repeated section {number}: this is a multi-field GRIB2 "
+                "message — decode it with decode_grib2_fields"
             )
         out[number] = msg[pos : pos + length]
         pos += length
@@ -1216,20 +1252,83 @@ def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
     return level_type, level_scale, level_value
 
 
+def _iter_field_sections(msg: bytes):
+    """Walk one GRIB2 message and yield one section dict per FIELD.
+
+    A GRIB2 message legally carries several fields (submessages):
+    ``0 1 [2] (3 (4 5 6 7)+)+ 8`` — sections 1-3 persist across the
+    fields that follow them (NDFD-style archives inherit one grid for
+    every field; ensemble archives repeat section 4-7 runs).  Each
+    yielded dict holds sections {0, 1, 3, 4, 5, 6, 7} (+2 when
+    present) with the persisting context resolved, so the per-field
+    decoder never sees the repetition.  Ordering is enforced: 4→5→6→7
+    within a field, no context section inside a field run, no
+    truncated trailing field — silent tolerance of a malformed layout
+    would mis-attribute payloads to the wrong metadata."""
+    msg = bytes(msg)
+    if msg[:4] != MAGIC or msg[7] != EDITION:
+        raise ValueError("not a GRIB edition-2 message")
+    ctx: dict[int, bytes] = {0: msg[:16]}
+    pending: dict[int, bytes] = {}
+    pos, n = 16, len(msg)
+    while pos < n - 4:
+        length, number = struct.unpack_from(">IB", msg, pos)
+        if length < 5 or pos + length > n - 4:
+            raise ValueError(f"malformed section header (length {length})")
+        body = msg[pos : pos + length]
+        if number in (1, 2, 3):
+            if pending:
+                raise ValueError(
+                    f"section {number} inside a field's section 4-7 run"
+                )
+            ctx[number] = body
+        elif number in (4, 5, 6, 7):
+            if set(pending) != set(range(4, number)):
+                raise ValueError(
+                    f"section {number} out of order within a field"
+                )
+            pending[number] = body
+            if number == 7:
+                if 1 not in ctx or 3 not in ctx:
+                    raise ValueError("field data before sections 1/3")
+                yield {**ctx, **pending}
+                pending = {}
+        else:
+            raise ValueError(f"unexpected section number {number}")
+        pos += length
+    if pending:
+        raise ValueError("truncated field (message ends before section 7)")
+
+
+def decode_grib2_fields(msg: bytes) -> "list[Grib2Record]":
+    """Decode EVERY field of a (possibly multi-field) GRIB2 message, in
+    order.  The landing source scans through this, so submessage
+    archives land one row per field; :func:`decode_grib2` keeps the
+    strict single-field contract."""
+    return [_decode_field(s) for s in _iter_field_sections(msg)]
+
+
 def decode_grib2(msg: bytes) -> Grib2Record:
-    """Decode one GRIB2 message.
+    """Decode one SINGLE-FIELD GRIB2 message.
 
     Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
     stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
     regular AND reduced per-row-Ni form); product templates 4.0/4.8;
     data representation templates 5.0 (simple), 5.2/5.3 (complex ±
     spatial differencing), 5.40 (JPEG2000), 5.41 (PNG).  Everything
-    else raises."""
+    else raises — including multi-field messages, which this strict
+    single-record API rejects via ``_sections``; use
+    :func:`decode_grib2_fields` for those."""
     msg = bytes(msg)
     if msg[:4] != MAGIC or msg[7] != EDITION:
         raise ValueError("not a GRIB edition-2 message")
-    discipline = msg[6]
-    s = _sections(msg)
+    return _decode_field(_sections(msg))
+
+
+def _decode_field(s: dict[int, bytes]) -> Grib2Record:
+    """Decode one field from its resolved section dict (the shared body
+    of :func:`decode_grib2` and :func:`decode_grib2_fields`)."""
+    discipline = s[0][6]
 
     s1 = s[1]
     year, = struct.unpack_from(">H", s1, 12)

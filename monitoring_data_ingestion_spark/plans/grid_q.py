@@ -3437,3 +3437,134 @@ def grid_grib2_reduced_gaussian_decode(spark: SparkSession, sf_dir: str) -> Data
         ),
         F.aggregate(vlat, zero, lambda a, x: a + x).alias("vlat"),
     ).orderBy("doc_id")
+
+
+# --- multi-field (submessage) GRIB2 archives --------------------------------
+# Per selected document ONE archive = a single multi-field message
+# holding fields rn=1..3 on a shared (5 + d%3) × (4 + d%2) grid
+# (section 3 emitted once and INHERITED — the NDFD submessage layout)
+# followed by a single-field message rn=4 on its own (3 + d%2) × 3
+# grid; field r's cell (i, j) is 140 + 2*((d*9 + r*17 + i*5 + j*3) % 50),
+# packed simple / complex+diff / PNG / simple by field.
+
+
+@query(
+    "grid_grib2_multifield_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id FROM documents WHERE doc_id % 37 = 4 AND doc_id < 666
+),
+rows_ AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         CASE WHEN r.r = 3 THEN 3 + doc_id % 2 ELSE 5 + doc_id % 3 END AS ni,
+         CASE WHEN r.r = 3 THEN 3 ELSE 4 + doc_id % 2 END AS nj
+  FROM g, UNNEST(generate_series(0, 3)) AS r(r)
+),
+cells AS (
+  SELECT doc_id, rn,
+         140 + 2 * ((doc_id * 9 + (rn - 1) * 17 + i.i * 5 + j.j * 3) % 50) AS v,
+         j.j * ni + i.i AS pos
+  FROM rows_,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(rn AS INTEGER) AS number,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_multifield_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FIELD (submessage) GRIB2 archives through the REAL landing
+    path: one message legally carries several fields
+    (``0 1 (3 (4 5 6 7))+ 8`` — the layout NDFD-style archives ship,
+    which the reference reads through wgrib2's N.M submessage numbering,
+    /root/reference/src/file-conversions.js:120-127).  The landing scan
+    numbers, inventories, match-filters and decodes per FIELD
+    (``sources/grib_source._record_units``), with the persisting
+    section 3 inherited across fields exactly once, so a submessage
+    archive behaves identically to its split-into-messages form.
+
+    Per document: fields 1-3 ride in ONE message on a shared inherited
+    grid — packed simple, complex+spatial-differencing, and PNG, so the
+    representation variety composes with the submessage layout — and
+    record 4 is an ordinary single-field message on its own grid,
+    pinning that the field counter spans message boundaries.  The
+    position-weighted ``wsum`` keeps each field's raster order
+    sensitive; a scan that collapsed repeated sections 4-7 (or
+    mis-attributed the inherited grid) hash-mismatches.
+
+    Scale: the landing posture — archive bytes decode executor-side in
+    one Arrow stage; header-only field splitting costs section slicing,
+    never value bits; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 37 == 4) & (F.col("doc_id") < 666))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+
+                def field(r: int, ni: int, nj: int) -> np.ndarray:
+                    i = np.arange(ni)[None, :]
+                    j = np.arange(nj)[:, None]
+                    return (
+                        140 + 2 * ((d * 9 + r * 17 + i * 5 + j * 3) % 50)
+                    ).astype(np.float64)
+
+                ni, nj = 5 + d % 3, 4 + d % 2
+                packings = ("simple", "complex_diff", "png")
+                multi = merge_grib2_fields(
+                    [
+                        encode_grib2_message(
+                            field(r, ni, nj), category=0, number=r + 1,
+                            reference_value=140.0, binary_scale=1, nbits=8,
+                            packing=packings[r],
+                        )
+                        for r in range(3)
+                    ]
+                )
+                single = encode_grib2_message(
+                    field(3, 3 + d % 2, 3), category=0, number=4,
+                    reference_value=140.0, binary_scale=1, nbits=8,
+                )
+                rows.append({"path": f"doc://{d}", "content": multi + single})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "number",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "record_number")

@@ -135,14 +135,26 @@ INVENTORY_SCHEMA = (
 
 
 def _grib2_header(msg: bytes) -> dict:
-    """Header-only GRIB2 record inspection: section split + PDS/GDS
-    field extraction WITHOUT touching section 7's packed bits — the
-    edition-2 sibling of ``grid.grib1.inspect_grib1``."""
+    """Header-only inspection of a SINGLE-FIELD GRIB2 message (the
+    strict byte-level form; multi-field messages reject via
+    ``_sections`` — the scan paths go per-field through
+    :func:`_grib2_field_header`)."""
+    from ..grid.grib2 import _sections
+
+    return _grib2_field_header(_sections(bytes(msg)))
+
+
+def _grib2_field_header(s: dict) -> dict:
+    """Header-only GRIB2 FIELD inspection from its resolved section
+    dict: PDS/GDS extraction WITHOUT touching section 7's packed bits —
+    the edition-2 sibling of ``grid.grib1.inspect_grib1``.  Sections
+    come from ``_sections`` (single-field) or ``_iter_field_sections``
+    (submessage archives), so header cost stays a few hundred bytes
+    per field either way."""
     import struct
 
-    from ..grid.grib2 import _sections, parse_fixed_surface
+    from ..grid.grib2 import parse_fixed_surface
 
-    s = _sections(bytes(msg))
     s1, s3, s4 = s[1], s[3], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     # Mirror decode_grib2's template gates: reading Ni/Nj or level
@@ -174,11 +186,31 @@ def _grib2_header(msg: bytes) -> dict:
         "hour": s1[16],
         "ni": ni,
         "nj": nj,
-        "total_bytes": len(msg),
+        # bytes attributable to the field: its sections plus the
+        # resolved context and terminator — exactly the message length
+        # for single-field messages; multi-field fields each count
+        # their inherited context once.
+        "total_bytes": sum(len(v) for v in s.values()) + 4,
     }
 
 
-def _unified_inventory(edition: int, msg: bytes) -> dict:
+def _record_units(buf: bytes):
+    """(edition, message bytes, GRIB2 section dict | None) per RECORD —
+    one per GRIB1 message, one per FIELD of a GRIB2 message.  This is
+    the unit the landing scan numbers, inventories, match-filters and
+    decodes, so submessage archives behave exactly like their
+    split-into-messages equivalent."""
+    from ..grid.grib2 import _iter_field_sections
+
+    for edition, msg in iter_grib_messages(buf):
+        if edition == 1:
+            yield 1, msg, None
+        else:
+            for s in _iter_field_sections(msg):
+                yield 2, msg, s
+
+
+def _unified_inventory(edition: int, msg: bytes, s: dict | None = None) -> dict:
     """One header dict per record, both editions, value bits untouched."""
     from ..grid.grib1 import inspect_grib1
 
@@ -199,17 +231,24 @@ def _unified_inventory(edition: int, msg: bytes) -> dict:
             "nj": h.get("nj"),
             "total_bytes": h["total_bytes"],
         }
-    return {"edition": 2, "parameter": None, **_grib2_header(msg)}
+    from ..grid.grib2 import _sections
+
+    return {
+        "edition": 2,
+        "parameter": None,
+        **_grib2_field_header(s if s is not None else _sections(bytes(msg))),
+    }
 
 
-def inventory_line(edition: int, msg: bytes) -> str:
+def inventory_line(edition: int, msg: bytes, s: dict | None = None) -> str:
     """wgrib/wgrib2-style inventory rendering over the UNIFIED header:
     ``e{edition}:p{parameter}|c{category},n{number}:l{level_type}/
     {level}:{YYYYMMDDHH}`` — the regex surface ``match=`` filters
     against, derived from headers only (a few hundred bytes per record,
     never a value bit — the reference's wgrib2 -match contract at
-    landing scale)."""
-    h = _unified_inventory(edition, msg)
+    landing scale).  For a FIELD of a multi-field message pass its
+    resolved section dict as ``s``."""
+    h = _unified_inventory(edition, msg, s)
     ident = (
         f"p{h['parameter']}" if edition == 1
         else f"c{h['category']},n{h['number']}"
@@ -233,14 +272,14 @@ def _inventory_batches(batches: "Iterator") -> "Iterator":
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for n, (edition, msg) in enumerate(
-                iter_grib_messages(bytes(content)), start=1
+            for n, (edition, msg, s) in enumerate(
+                _record_units(bytes(content)), start=1
             ):
                 rows.append(
                     {
                         "path": path,
                         "record_number": n,
-                        **_unified_inventory(edition, msg),
+                        **_unified_inventory(edition, msg, s),
                     }
                 )
         yield pd.DataFrame(rows, columns=cols)
@@ -260,20 +299,24 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
     import pandas as pd
 
     from ..grid.grib1 import decode_grib1
-    from ..grid.grib2 import decode_grib2
+    from ..grid.grib2 import _decode_field
 
     rx = re.compile(match) if match else None
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for n, (edition, msg) in enumerate(
-                iter_grib_messages(bytes(content)), start=1
+            for n, (edition, msg, s) in enumerate(
+                _record_units(bytes(content)), start=1
             ):
                 # Predicate pushdown to the codec boundary: the regex
                 # runs over the header-derived inventory line, so a
                 # non-matching record costs a header parse — its value
                 # bits are never unpacked (wgrib2 -match semantics).
-                if rx is not None and not rx.search(inventory_line(edition, msg)):
+                # Records are FIELDS: a multi-field message's fields
+                # number, match and decode independently.
+                if rx is not None and not rx.search(
+                    inventory_line(edition, msg, s)
+                ):
                     continue
                 grid_template = stat_process = interval_end = None
                 cell_lats = cell_lons = None
@@ -286,7 +329,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
                     lats_udeg = None
                 else:
-                    rec = decode_grib2(msg)
+                    rec = _decode_field(s)
                     grid_template = rec.grid_template
                     # GRIB2 parameters are (category, number) pairs with
                     # their own numbering — folding them into GRIB1's

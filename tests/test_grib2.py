@@ -1387,3 +1387,96 @@ def test_reduced_gaussian_rejections():
     bad[pos + 11] = 0  # interpretation: none
     with pytest.raises(ValueError, match="points-per-row"):
         decode_grib2(bytes(bad))
+
+
+def test_multifield_message_decodes_per_field():
+    """A multi-field GRIB2 message (0 1 (3 (4 5 6 7))+ 8 — the NDFD
+    submessage layout) decodes one record per field, inheriting the
+    persisting section 3 where it is not re-emitted; the strict
+    single-field API still rejects loudly."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2_fields,
+        merge_grib2_fields,
+    )
+
+    v1 = 100.0 + 2 * np.arange(12, dtype=np.float64).reshape(3, 4)
+    v2 = 50.0 + 4 * np.arange(12, dtype=np.float64).reshape(3, 4)
+    v3 = np.arange(6, dtype=np.float64).reshape(2, 3)
+    m1 = encode_grib2_message(v1, number=1, reference_value=100.0)
+    m2 = encode_grib2_message(
+        v2, number=2, reference_value=50.0, packing="complex"
+    )
+    m3 = encode_grib2_message(
+        v3, number=3, reference_value=0.0,
+        lat_first_udeg=60_000_000, dlat_udeg=2_000_000,
+    )
+    merged = merge_grib2_fields([m1, m2, m3])
+    recs = decode_grib2_fields(merged)
+    assert [r.number for r in recs] == [1, 2, 3]
+    np.testing.assert_array_equal(recs[0].values, v1)
+    np.testing.assert_array_equal(recs[1].values, v2)
+    np.testing.assert_array_equal(recs[2].values, v3)
+    assert recs[2].lat_first_udeg == 60_000_000  # repeated s3 took effect
+    with pytest.raises(ValueError, match="decode_grib2_fields"):
+        decode_grib2(merged)
+
+    # section 3 inheritance: same grid -> emitted once
+    def count_s3(m: bytes) -> int:
+        pos, c = 16, 0
+        while pos < len(m) - 4:
+            ln, num = struct.unpack_from(">IB", m, pos)
+            c += num == 3
+            pos += ln
+        return c
+
+    assert count_s3(merge_grib2_fields([m1, m2])) == 1
+    assert count_s3(merged) == 2
+    # single-field passthrough is the degenerate case
+    (only,) = decode_grib2_fields(m1)
+    np.testing.assert_array_equal(only.values, v1)
+
+
+def test_multifield_layout_guards():
+    """Malformed submessage layouts stop loudly: out-of-order field
+    sections, a context section inside a 4-7 run, and a message that
+    ends mid-field."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        _iter_field_sections,
+        merge_grib2_fields,
+    )
+
+    m1 = encode_grib2_message(np.ones((2, 2)), number=1, reference_value=0.0)
+    m2 = encode_grib2_message(np.ones((2, 2)), number=2, reference_value=0.0)
+    merged = merge_grib2_fields([m1, m2])
+
+    def sections(m):
+        out, pos = [], 16
+        while pos < len(m) - 4:
+            ln, num = struct.unpack_from(">IB", m, pos)
+            out.append((num, m[pos : pos + ln]))
+            pos += ln
+        return out
+
+    secs = sections(merged)
+    # drop the second field's section 5 -> 4 then 6 is out of order
+    broken = [b for num, b in secs if not (num == 5 and b != secs[1][1])]
+    msg = merged[:16] + b"".join(broken) + b"7777"
+    msg = msg[:8] + struct.pack(">Q", len(msg)) + msg[16:]
+    with pytest.raises(ValueError, match="out of order"):
+        list(_iter_field_sections(msg))
+    # truncate after the second field's section 5
+    idx = [i for i, (num, _) in enumerate(secs) if num == 4][1]
+    msg = merged[:16] + b"".join(b for _, b in secs[: idx + 2]) + b"7777"
+    msg = msg[:8] + struct.pack(">Q", len(msg)) + msg[16:]
+    with pytest.raises(ValueError, match="truncated field"):
+        list(_iter_field_sections(msg))
+    # merge validation: differing section 1 rejects
+    other = encode_grib2_message(
+        np.ones((2, 2)), reftime=(2021, 1, 1, 0, 0), reference_value=0.0
+    )
+    with pytest.raises(ValueError, match="section 1"):
+        merge_grib2_fields([m1, other])

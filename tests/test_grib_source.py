@@ -453,3 +453,56 @@ def test_statistical_metadata_lands_filterable(spark, tmp_path):
     assert (ie.year, ie.month, ie.day, ie.hour, ie.minute) == (2021, 3, 1, 6, 30)
     only_accum = recs.filter(F.col("statistical_process").isNotNull())
     assert [r["number"] for r in only_accum.collect()] == [2]
+
+
+def test_multifield_archive_lands_per_field_with_match_pushdown(spark, tmp_path):
+    """A submessage archive lands ONE ROW PER FIELD (numbering counts
+    fields across the file, exactly like the split-into-messages form),
+    and the ``match=`` pushdown selects inner fields header-side: the
+    skipped field's payload is corrupted on disk, so any value-bit read
+    of it would raise."""
+    import os
+    import struct
+
+    import numpy as np
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        encode_grib2_message,
+        merge_grib2_fields,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import grib_inventory
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v1 = 100.0 + 2 * np.arange(12, dtype=np.float64).reshape(3, 4)
+    v2 = 50.0 + 4 * np.arange(12, dtype=np.float64).reshape(3, 4)
+    merged = bytearray(merge_grib2_fields([
+        encode_grib2_message(v1, number=1, reference_value=100.0),
+        encode_grib2_message(v2, number=2, reference_value=50.0),
+    ]))
+    single = encode_grib2_message(np.ones((2, 2)), number=3, reference_value=0.0)
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(bytes(merged) + single)
+
+    recs = grib1_records(spark, landing).orderBy("record_number").collect()
+    assert [r["record_number"] for r in recs] == [1, 2, 3]
+    assert [r["number"] for r in recs] == [1, 2, 3]
+    assert recs[1]["values"][:2] == [50.0, 54.0]
+
+    # corrupt field 1's section-7 payload bits, then match field 2 only
+    pos, seen7 = 16, 0
+    while pos < len(merged) - 4:
+        ln, num = struct.unpack_from(">IB", merged, pos)
+        if num == 7:
+            merged[pos + 6] ^= 0xFF  # flip payload bits of field 1
+            break
+        pos += ln
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(bytes(merged) + single)
+    sel = grib1_records(spark, landing, match=r"c0,n2:").collect()
+    assert [r["number"] for r in sel] == [2]
+    assert sel[0]["values"][:2] == [50.0, 54.0]
+
+    inv = grib_inventory(spark, landing).orderBy("record_number").collect()
+    assert [r["record_number"] for r in inv] == [1, 2, 3]
+    assert [r["number"] for r in inv] == [1, 2, 3]
