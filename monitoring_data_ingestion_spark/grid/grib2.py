@@ -1168,6 +1168,12 @@ def merge_grib2_fields(msgs: "list[bytes]") -> bytes:
         if m[:4] != MAGIC or m[7] != EDITION:
             raise ValueError("not a GRIB edition-2 message")
         s = _sections(m)
+        if 2 in s:
+            # silently dropping an input's local-use section would be a
+            # lossy merge; the engine never emits one, so stop loudly
+            raise ValueError(
+                "merge_grib2_fields does not carry section 2 (local use)"
+            )
         if discipline is None:
             discipline, s1 = m[6], s[1]
             parts.append(s1)
@@ -1270,6 +1276,8 @@ def _iter_field_sections(msg: bytes):
         raise ValueError("not a GRIB edition-2 message")
     ctx: dict[int, bytes] = {0: msg[:16]}
     pending: dict[int, bytes] = {}
+    prev_s6: bytes | None = None
+    yielded = False
     pos, n = 16, len(msg)
     while pos < n - 4:
         length, number = struct.unpack_from(">IB", msg, pos)
@@ -1281,12 +1289,36 @@ def _iter_field_sections(msg: bytes):
                 raise ValueError(
                     f"section {number} inside a field's section 4-7 run"
                 )
+            if number == 1 and 1 in ctx:
+                # one reference time per message is the format's rule;
+                # fields silently landing under different reftimes would
+                # be metadata corruption
+                raise ValueError("repeated section 1 (one per message)")
+            if number == 3 and body != ctx.get(3):
+                # a new grid invalidates any previously defined bitmap —
+                # a 254 reuse across grids would mask the wrong cells
+                prev_s6 = None
             ctx[number] = body
         elif number in (4, 5, 6, 7):
             if set(pending) != set(range(4, number)):
                 raise ValueError(
                     f"section {number} out of order within a field"
                 )
+            if number == 6:
+                # Bitmap indicator 254: the previously DEFINED bitmap
+                # (indicator 0) applies to this field — resolved here by
+                # substituting that section, the same persisting-context
+                # treatment sections 1-3 get, so the per-field decoder
+                # never sees the indirection.
+                if body[5] == 254:
+                    if prev_s6 is None:
+                        raise ValueError(
+                            "bitmap indicator 254 (reuse) without a "
+                            "previously defined bitmap in this message"
+                        )
+                    body = prev_s6
+                elif body[5] == 0:
+                    prev_s6 = body
             pending[number] = body
             if number == 7:
                 if 1 not in ctx or 3 not in ctx:
@@ -1296,8 +1328,13 @@ def _iter_field_sections(msg: bytes):
         else:
             raise ValueError(f"unexpected section number {number}")
         pos += length
+        yielded = yielded or number == 7
     if pending:
         raise ValueError("truncated field (message ends before section 7)")
+    if not yielded:
+        # a message with sections but no 4-7 run is spec-invalid;
+        # yielding nothing would drop it from the landing scan silently
+        raise ValueError("GRIB2 message contains no fields")
 
 
 def decode_grib2_fields(msg: bytes) -> "list[Grib2Record]":
@@ -1577,6 +1614,12 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     bitmap = None
     if s6[5] == 0:
         bits = np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[:total_cells]
+        if bits.size < total_cells:
+            # a too-short bitmap (e.g. indicator-254 reuse across fields
+            # on different grids) must stop, not silently mask a prefix
+            raise ValueError(
+                f"bitmap holds {bits.size} bits, grid has {total_cells} cells"
+            )
         bitmap = bits.astype(bool)
     elif s6[5] != 255:
         raise ValueError(f"unsupported bitmap indicator {s6[5]}")

@@ -1480,3 +1480,114 @@ def test_multifield_layout_guards():
     )
     with pytest.raises(ValueError, match="section 1"):
         merge_grib2_fields([m1, other])
+
+
+def test_multifield_bitmap_reuse_indicator_254():
+    """Bitmap indicator 254 — "a previously defined bitmap applies" —
+    resolves to the defining field's section 6 (the persisting-context
+    treatment); 254 with no prior bitmap rejects loudly."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2_fields,
+        merge_grib2_fields,
+    )
+
+    v = 100.0 + 2 * np.arange(12, dtype=np.float64).reshape(3, 4)
+    bm = (np.add.outer(np.arange(3), np.arange(4)) % 3) != 0
+    m1 = encode_grib2_message(
+        v, number=1, bitmap=bm, nbits=8, reference_value=100.0
+    )
+    m2 = encode_grib2_message(
+        v + 2, number=2, bitmap=bm, nbits=8, reference_value=100.0
+    )
+    merged = bytearray(merge_grib2_fields([m1, m2]))
+
+    # rewrite the SECOND field's section 6 to the 6-byte indicator-254
+    # form (and fix the section-0 total length)
+    pos, seen6 = 16, 0
+    while pos < len(merged) - 4:
+        ln, num = struct.unpack_from(">IB", merged, pos)
+        if num == 6:
+            seen6 += 1
+            if seen6 == 2:
+                merged[pos : pos + ln] = struct.pack(">IBB", 6, 6, 254)
+                break
+        pos += ln
+    out = bytes(merged[:8]) + struct.pack(">Q", len(merged)) + bytes(merged[16:])
+
+    r1, r2 = decode_grib2_fields(out)
+    assert np.isnan(r1.values[~bm]).all() and np.isnan(r2.values[~bm]).all()
+    np.testing.assert_array_equal(r2.values[bm], (v + 2)[bm])
+
+    # 254 on the FIRST field (nothing defined yet) rejects
+    first = bytearray(m1)
+    pos = 16
+    while pos < len(first) - 4:
+        ln, num = struct.unpack_from(">IB", first, pos)
+        if num == 6:
+            first[pos + 5] = 254
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="previously defined"):
+        decode_grib2_fields(bytes(first))
+
+
+def test_multifield_review_guards():
+    """r9 review pass: zero-field messages, repeated section 1, and
+    bitmap-254 reuse ACROSS a grid change all stop loudly."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        _iter_field_sections,
+        decode_grib2_fields,
+        merge_grib2_fields,
+    )
+
+    m1 = encode_grib2_message(np.ones((2, 2)), number=1, reference_value=0.0)
+
+    def sections(m):
+        out, pos = [], 16
+        while pos < len(m) - 4:
+            ln, num = struct.unpack_from(">IB", m, pos)
+            out.append((num, m[pos : pos + ln]))
+            pos += ln
+        return out
+
+    secs = dict(sections(m1))
+    # sections 0,1,3 then terminator: no field at all
+    body = secs[1] + secs[3]
+    msg = m1[:16] + body + b"7777"
+    msg = msg[:8] + struct.pack(">Q", len(msg)) + msg[16:]
+    with pytest.raises(ValueError, match="no fields"):
+        list(_iter_field_sections(msg))
+    # repeated section 1 between field runs
+    body = secs[1] + secs[3] + secs[4] + secs[5] + secs[6] + secs[7] \
+        + secs[1] + secs[3] + secs[4] + secs[5] + secs[6] + secs[7]
+    msg = m1[:16] + body + b"7777"
+    msg = msg[:8] + struct.pack(">Q", len(msg)) + msg[16:]
+    with pytest.raises(ValueError, match="repeated section 1"):
+        list(_iter_field_sections(msg))
+
+    # 254 after a grid change: the defining bitmap no longer applies
+    v = 100.0 + np.arange(24, dtype=np.float64).reshape(4, 6)
+    bm = (np.add.outer(np.arange(4), np.arange(6)) % 3) != 0
+    big = encode_grib2_message(v, number=1, bitmap=bm, nbits=8,
+                               reference_value=100.0)
+    small = encode_grib2_message(
+        np.ones((2, 3)), number=2, reference_value=0.0,
+        lat_first_udeg=60_000_000, dlat_udeg=2_000_000,
+    )
+    merged = bytearray(merge_grib2_fields([big, small]))
+    pos, seen6 = 16, 0
+    while pos < len(merged) - 4:
+        ln, num = struct.unpack_from(">IB", merged, pos)
+        if num == 6:
+            seen6 += 1
+            if seen6 == 2:
+                merged[pos : pos + ln] = struct.pack(">IBB", 6, 6, 254)
+                break
+        pos += ln
+    out = bytes(merged[:8]) + struct.pack(">Q", len(merged)) + bytes(merged[16:])
+    with pytest.raises(ValueError, match="previously defined"):
+        decode_grib2_fields(out)
