@@ -31,12 +31,12 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 9 (from CORRECTNESS_r01-r08): 22 names
 # last witnessed r3 (oldest), 49 r4, 44 r5, 47 r6, 44 r7, 50 r8.
-# Round 9 takes the 4 new r9 queries + 5 GRIB queries changed by the
+# Round 9 takes the 5 new r9 queries + 5 GRIB queries changed by the
 # r9 landing-schema work (RECORD_SCHEMA grew grid_template /
 # statistical / per-cell coordinate columns; grib1_cells grew the
 # unified lat_deg/lon_deg/lon_udeg) + all 22 r3 leftovers + the first
-# 19 of the r4 cohort (alphabetical).  The 30 r4 names left over —
-# multimodal_image_decode_stats,
+# 18 of the r4 cohort (alphabetical).  The 31 r4 names left over —
+# multimodal_frame_sample, multimodal_image_decode_stats,
 # q11/q12/q13/q15/q16/q17/q20, q8_market_share, sample_k_per_group,
 # the scalar_* trio (collections/try_cast/zorder), set_union_by_name,
 # the text_* quartet (bpe_token_count/ngram_freq/repetition_ratios/
@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_reduced_gaussian_decode",
     "grid_grib_statistical_scan",
     "grid_grib2_multifield_scan",
+    "grid_grib2_ensemble_scan",
     # --- 2. changed in round 9 (landing RECORD_SCHEMA + grib1_cells
     #     surface) — re-witness every query on that path ---
     "grid_grib_mixed_scan",
@@ -87,7 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_interpolate_linear",
     "ts_range_join",
     "ts_tumbling_hourly",
-    # --- 4. next-oldest cohort: round 4, first 19 alphabetical ---
+    # --- 4. next-oldest cohort: round 4, first 18 alphabetical ---
     "agg_approx_distinct",
     "agg_boolean_bitwise",
     "agg_entropy",
@@ -106,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "knn_pq_scan",
     "merge_upsert_customers",
     "multimodal_binary_dedup",
-    "multimodal_frame_sample",
 )
 
 

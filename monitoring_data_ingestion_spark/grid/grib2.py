@@ -284,6 +284,11 @@ class Grib2Record:
     # the end of the overall interval; None for instantaneous (4.0).
     statistical_process: int | None = None
     interval_end: tuple[int, int, int, int, int] | None = None
+    # Templates 4.1/4.11 (individual ensemble member): code-table-4.6
+    # type, perturbation number, ensemble size; None on 4.0/4.8.
+    ensemble_type: int | None = None
+    ensemble_member: int | None = None
+    ensemble_size: int | None = None
     # Template 3.40 (Gaussian grid): N = parallels pole-to-equator and
     # the actual latitude of every row (north -> south); None for the
     # regular lat/lon template 3.0, where dlat_udeg applies instead.
@@ -700,6 +705,7 @@ def encode_grib2_message(
     polar_stereo: dict | None = None,
     mercator: dict | None = None,
     statistical: dict | None = None,
+    ensemble: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1099,12 +1105,23 @@ def encode_grib2_message(
     # ``statistical`` selects product definition template 4.8
     # (statistical processing over a time interval — accumulations /
     # averages); keys: ``process`` (code table 4.10), ``interval_end``
-    # (y, m, d, h, mi) and ``range_hours``.  Octets 10-34 are identical
-    # to 4.0, so both templates share one parser on decode.
+    # (y, m, d, h, mi) and ``range_hours``.  ``ensemble`` (keys:
+    # ``type`` code table 4.6, ``member``, ``size``) selects 4.1 — or,
+    # combined with ``statistical``, 4.11, whose statistical block
+    # follows the three ensemble octets.  Octets 10-34 are identical to
+    # 4.0 across all four, so one parser serves them on decode.
     pdt_extra = b""
+    if ensemble is not None:
+        pdt_extra += bytes(
+            [
+                ensemble["type"] & 0xFF,
+                ensemble["member"] & 0xFF,
+                ensemble["size"] & 0xFF,
+            ]
+        )
     if statistical is not None:
         ey, em, ed, eh, emi = statistical["interval_end"]
-        pdt_extra = (
+        pdt_extra += (
             struct.pack(">H", ey)
             + bytes([em, ed, eh, emi, 0])  # end of interval (sec = 0)
             + bytes([1])  # one time-range specification
@@ -1119,7 +1136,12 @@ def encode_grib2_message(
     s4 = section(
         4,
         struct.pack(">H", 0)  # number of coordinate values
-        + struct.pack(">H", 8 if statistical is not None else 0)
+        + struct.pack(
+            ">H",
+            (11 if statistical is not None else 1)
+            if ensemble is not None
+            else (8 if statistical is not None else 0),
+        )
         + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
         + b"\x00\x00"  # hours of cutoff
         + bytes([0])  # minutes
@@ -1582,22 +1604,39 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 8):
+    if tmpl4 not in (0, 1, 8, 11):
         # only templates sharing 4.0's leading layout (category/number at
-        # octets 10-11, fixed surfaces at 23-34 — 4.8 extends, 4.30/4.20
-        # et al. do NOT) may be read with these offsets; anything else
-        # would decode garbage level columns.
+        # octets 10-11, fixed surfaces at 23-34 — 4.1/4.8/4.11 extend,
+        # 4.30/4.20 et al. do NOT) may be read with these offsets;
+        # anything else would decode garbage level columns.
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
     level_type, level_scale, level_value = parse_fixed_surface(s4)
+    ensemble_type = ensemble_member = ensemble_size = None
+    if tmpl4 in (1, 11):
+        # 4.1 (individual ensemble member) appends octets 35-37: type
+        # of ensemble forecast (code table 4.6), perturbation number,
+        # ensemble size; 4.11 continues with the 4.8 statistical block.
+        if len(s4) < 37:
+            raise ValueError(f"truncated product definition template 4.{tmpl4}")
+        ensemble_type = s4[34] if s4[34] != 0xFF else None
+        ensemble_member = s4[35] if s4[35] != 0xFF else None
+        ensemble_size = s4[36] if s4[36] != 0xFF else None
     statistical_process = None
     interval_end = None
-    if tmpl4 == 8:
-        if len(s4) < 58:  # 4.0's 34 octets + the 24-octet 4.8 extension
-            raise ValueError("truncated product definition template 4.8")
-        (end_year,) = struct.unpack_from(">H", s4, 34)
-        interval_end = (end_year, s4[36], s4[37], s4[38], s4[39])
-        statistical_process = s4[46] if s4[46] != 0xFF else None
+    if tmpl4 in (8, 11):
+        # the statistical block starts at octet 35 (4.8) or 38 (4.11,
+        # after the three ensemble octets)
+        base = 34 if tmpl4 == 8 else 37
+        if len(s4) < base + 24:  # the 24-octet statistical extension
+            raise ValueError(f"truncated product definition template 4.{tmpl4}")
+        (end_year,) = struct.unpack_from(">H", s4, base)
+        interval_end = (
+            end_year, s4[base + 2], s4[base + 3], s4[base + 4], s4[base + 5]
+        )
+        statistical_process = (
+            s4[base + 12] if s4[base + 12] != 0xFF else None
+        )
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
@@ -1719,6 +1758,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         lambert_params=lambert_params,
         statistical_process=statistical_process,
         interval_end=interval_end,
+        ensemble_type=ensemble_type,
+        ensemble_member=ensemble_member,
+        ensemble_size=ensemble_size,
         row_ni=row_ni,
     )
 

@@ -3568,3 +3568,145 @@ def grid_grib2_multifield_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vsum"),
         F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
     ).orderBy("doc_id", "record_number")
+
+
+# --- ensemble products (PDT 4.1 / 4.11) through the landing ----------------
+# Per selected document ONE multi-field message carrying the whole
+# ensemble: members m = 0, 1, 2 of a 3-member ensemble via PDT 4.1 on a
+# shared inherited (5 + d%2) × (4 + d%3) grid, plus a 4th field — the
+# ensemble-mean ACCUMULATION via PDT 4.11 (member 0 of 3 + the 4.8
+# statistical block).  Field r's cell (i, j) is
+# 125 + 2*((d*11 + r*7 + i*3 + j*13) % 55).
+
+
+@query(
+    "grid_grib2_ensemble_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         5 + doc_id % 2 AS ni,
+         4 + doc_id % 3 AS nj
+  FROM documents WHERE doc_id % 43 = 11 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         125 + 2 * ((doc_id * 11 + r.r * 7 + i.i * 3 + j.j * 13) % 55) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn <= 3 THEN rn - 1 ELSE 0 END AS INTEGER)
+         AS ensemble_member,
+       CAST(3 AS INTEGER) AS ensemble_size,
+       CAST(CASE WHEN rn = 4 THEN 1 END AS INTEGER) AS statistical_process,
+       CASE WHEN rn = 4 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 1, 6, 0, 0
+       ) END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_ensemble_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE products (PDT 4.1 individual member / 4.11 member +
+    statistical interval) through the REAL landing path — the product
+    form ensemble archives (ECMWF ENS, GEFS, ERA5 EDA) ship, read by
+    the reference through wgrib2 (/root/reference/src/
+    file-conversions.js:120-127).  The whole ensemble rides in ONE
+    multi-field message (section 3 inherited across members — how
+    ensemble GRIBs are actually laid out), and the landing schema's
+    ``ensemble_member``/``ensemble_size`` columns make
+    control-vs-perturbed a plain column filter; the 4.11 field also
+    carries the statistical columns, witnessing that the ensemble
+    octets SHIFT the statistical block by three (a parser that reused
+    4.8's offsets on 4.11 would decode a garbage interval end).
+
+    The oracle pins membership, size, the statistical contract (NULL
+    for the 4.1 members), per-field payload sums and the
+    raster-order-sensitive ``wsum`` closed-form.
+
+    Scale: the landing posture — submessage splitting is section
+    slicing; per-record statistic rows shuffle; nothing else moves.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 43 == 11) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 5 + d % 2, 4 + d % 3
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        125 + 2 * ((d * 11 + r * 7 + i * 3 + j * 13) % 55)
+                    ).astype(np.float64)
+
+                msgs = [
+                    encode_grib2_message(
+                        field(m), category=0, number=1,
+                        reference_value=125.0, binary_scale=1, nbits=8,
+                        ensemble=dict(type=3, member=m, size=3),
+                    )
+                    for m in range(3)
+                ]
+                msgs.append(
+                    encode_grib2_message(
+                        field(3), category=0, number=1,
+                        reference_value=125.0, binary_scale=1, nbits=8,
+                        ensemble=dict(type=0, member=0, size=3),
+                        statistical=dict(
+                            process=1,
+                            interval_end=(2020, 1 + d % 12, 1, 6, 0),
+                            range_hours=6,
+                        ),
+                    )
+                )
+                rows.append(
+                    {"path": f"doc://{d}", "content": merge_grib2_fields(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "ensemble_member",
+        "ensemble_size",
+        "statistical_process",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "record_number")

@@ -44,6 +44,7 @@ RECORD_SCHEMA = (
     "parameter int, category int, number int, "
     "level_type int, level int, year int, month int, day int, hour int, "
     "statistical_process int, interval_end timestamp, "
+    "ensemble_member int, ensemble_size int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -53,7 +54,8 @@ RECORD_SCHEMA = (
 _RECORD_COLUMNS = [
     "path", "record_number", "edition", "grid_template", "parameter",
     "category", "number", "level_type", "level", "year", "month", "day",
-    "hour", "statistical_process", "interval_end", "ni", "nj",
+    "hour", "statistical_process", "interval_end", "ensemble_member",
+    "ensemble_size", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values",
 ]
@@ -167,7 +169,7 @@ def _grib2_field_header(s: dict) -> dict:
         # different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 8):
+    if tmpl4 not in (0, 1, 8, 11):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
@@ -324,6 +326,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 ):
                     continue
                 grid_template = stat_process = interval_end = None
+                ens_member = ens_size = None
                 cell_lats = cell_lons = None
                 if edition == 1:
                     rec = decode_grib1(msg)
@@ -353,6 +356,11 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # (instantaneous), so accumulation-vs-instantaneous
                     # is filterable on landed archives.
                     stat_process = rec.statistical_process
+                    # Templates 4.1/4.11: ensemble membership columns,
+                    # NULL on deterministic products — control-vs-
+                    # perturbed is filterable on landed archives.
+                    ens_member = rec.ensemble_member
+                    ens_size = rec.ensemble_size
                     if rec.interval_end is not None:
                         ey, em, ed, eh, emi = rec.interval_end
                         interval_end = pd.Timestamp(
@@ -419,6 +427,8 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "hour": rec.reftime[3],
                         "statistical_process": stat_process,
                         "interval_end": interval_end,
+                        "ensemble_member": ens_member,
+                        "ensemble_size": ens_size,
                         "ni": rec.ni,
                         "nj": rec.nj,
                         "lat_first_mdeg": lat0,

@@ -1591,3 +1591,79 @@ def test_multifield_review_guards():
     out = bytes(merged[:8]) + struct.pack(">Q", len(merged)) + bytes(merged[16:])
     with pytest.raises(ValueError, match="previously defined"):
         decode_grib2_fields(out)
+
+
+def test_ensemble_pdts_roundtrip_and_truncation():
+    """PDT 4.1 (individual ensemble member) and 4.11 (member +
+    statistical interval) round-trip; 4.11's statistical block is
+    offset three octets past 4.8's; truncated templates reject."""
+    import struct
+
+    v = 100.0 + 2 * np.arange(12, dtype=np.float64).reshape(3, 4)
+    m = encode_grib2_message(
+        v, reference_value=100.0, binary_scale=1,
+        ensemble=dict(type=3, member=2, size=10),
+    )
+    r = decode_grib2(m)
+    assert (r.ensemble_type, r.ensemble_member, r.ensemble_size) == (3, 2, 10)
+    assert r.statistical_process is None and r.interval_end is None
+    m11 = encode_grib2_message(
+        v, reference_value=100.0, binary_scale=1,
+        ensemble=dict(type=0, member=0, size=10),
+        statistical=dict(
+            process=1, interval_end=(2020, 2, 1, 6, 30), range_hours=24
+        ),
+    )
+    r = decode_grib2(m11)
+    assert (r.ensemble_member, r.ensemble_size) == (0, 10)
+    assert r.statistical_process == 1
+    assert r.interval_end == (2020, 2, 1, 6, 30)
+    # truncate section 4 after the ensemble octets: 4.11 needs its
+    # statistical block
+    b = bytearray(m11)
+    pos = 16
+    while pos < len(b) - 4:
+        ln, num = struct.unpack_from(">IB", b, pos)
+        if num == 4:
+            cut = 37  # keep only through the ensemble octets
+            rest = b[pos + ln :]
+            b = b[: pos + cut] + rest
+            struct.pack_into(">I", b, pos, cut)
+            break
+        pos += ln
+    b = b[:8] + struct.pack(">Q", len(b)) + b[16:]
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(b))
+
+
+def test_ensemble_columns_land_filterable(spark, tmp_path):
+    """ensemble_member/ensemble_size land as columns (NULL on
+    deterministic products) — control-vs-perturbed is a plain filter."""
+    import os
+
+    from monitoring_data_ingestion_spark.grid.grib2 import merge_grib2_fields
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib1_records,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.ones((2, 3))
+    msgs = [
+        encode_grib2_message(
+            v, number=1, reference_value=0.0,
+            ensemble=dict(type=3, member=m, size=2),
+        )
+        for m in range(2)
+    ]
+    det = encode_grib2_message(v, number=2, reference_value=0.0)
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(merge_grib2_fields(msgs) + det)
+    recs = grib1_records(spark, landing)
+    rows = {r["record_number"]: r for r in recs.collect()}
+    assert [rows[n]["ensemble_member"] for n in (1, 2, 3)] == [0, 1, None]
+    assert rows[1]["ensemble_size"] == 2
+    import pyspark.sql.functions as SF
+
+    perturbed = recs.filter(SF.col("ensemble_member") == 1)
+    assert [r["record_number"] for r in perturbed.collect()] == [2]
