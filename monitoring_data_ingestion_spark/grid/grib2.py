@@ -12,9 +12,11 @@ the ``wgrib`` edition-1 path:
 * Section 3 (Grid definition): template 3.0 — regular lat/lon grid,
   Ni×Nj, first-point lat/lon and increments in MICROdegrees (GRIB2's
   10^-6 resolution vs GRIB1's millidegrees), scanning modes 0x00/0x40;
-  template 3.40 — global regular GAUSSIAN grid (ECMWF F-grids, ERA5's
+  template 3.40 — global GAUSSIAN grid (ECMWF F-grids, ERA5's
   native geometry): the Dj octets carry N and row latitudes are the
-  arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`);
+  arcsin roots of Legendre P_2N (:func:`gaussian_latitudes`), in both
+  the regular and the REDUCED form (Ni coded missing + the section-3
+  points-per-parallel list; ragged values stay flat);
   templates 3.30 — LAMBERT CONFORMAL conic (HRRR/NAM regional
   archives) —, 3.20 — north POLAR STEREOGRAPHIC (sea-ice / Arctic
   products) — and 3.10 — MERCATOR (tropical products): per-cell
@@ -22,8 +24,12 @@ the ``wgrib`` edition-1 path:
   inverses (:func:`lambert_inverse`, :func:`polar_stereo_inverse`,
   :func:`mercator_inverse`), northern aspect for the conic/azimuthal
   forms, values kept in storage order.
-* Section 4 (Product definition, template 4.0): parameter category +
-  number, the pair wgrib2 inventory strings name.
+* Section 4 (Product definition): template 4.0 — parameter category +
+  number, the pair wgrib2 inventory strings name; 4.8 — statistical
+  processing over a time interval (process code + interval end); 4.1 /
+  4.11 — individual ensemble member (type, perturbation number,
+  ensemble size), 4.11 with the statistical block following the three
+  ensemble octets.
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -34,7 +40,9 @@ the ``wgrib`` edition-1 path:
   and most operational GRIB2 archives actually use), template 5.40
   (JPEG2000: the scaled field as one lossless raw codestream,
   grid/jpeg2000.py), and template 5.41 (PNG, grid/png.py).
-* Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present.
+* Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present, 254 =
+  the previously defined bitmap applies (multi-field messages; resolved
+  by substitution in ``_iter_field_sections``).
 * Section 7 (Data): big-endian bit-packed increments,
   Y = (R + X·2^E) / 10^D — the same simple-packing formula as GRIB1;
   templates 7.2/7.3 carry grouped increments (+ initial values and the
@@ -1331,7 +1339,13 @@ def _iter_field_sections(msg: bytes):
                 # (indicator 0) applies to this field — resolved here by
                 # substituting that section, the same persisting-context
                 # treatment sections 1-3 get, so the per-field decoder
-                # never sees the indirection.
+                # never sees the indirection.  (Downstream total_bytes
+                # accounting counts the RESOLVED section, consistent
+                # with inherited-context counting.)
+                if length < 6:
+                    raise ValueError(
+                        "malformed section 6 (no bitmap indicator octet)"
+                    )
                 if body[5] == 254:
                     if prev_s6 is None:
                         raise ValueError(
@@ -1372,8 +1386,9 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
     stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
-    regular AND reduced per-row-Ni form); product templates 4.0/4.8;
-    data representation templates 5.0 (simple), 5.2/5.3 (complex ±
+    regular AND reduced per-row-Ni form); product templates 4.0/4.1/
+    4.8/4.11 (ensemble members and statistical intervals); data
+    representation templates 5.0 (simple), 5.2/5.3 (complex ±
     spatial differencing), 5.40 (JPEG2000), 5.41 (PNG).  Everything
     else raises — including multi-field messages, which this strict
     single-record API rejects via ``_sections``; use
@@ -1406,6 +1421,8 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         # coded missing and section 3's optional list (octets 11-12:
         # entry width + interpretation 1 = points per full parallel)
         # carries the number of points on each row, north -> south.
+        if nj == 0xFFFFFFFF:
+            raise ValueError("grid dimensions coded missing on template 40")
         list_w = s3[10]
         if list_w == 0 or s3[11] != 1:
             raise ValueError(

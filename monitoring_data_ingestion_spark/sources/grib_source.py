@@ -174,12 +174,15 @@ def _grib2_field_header(s: dict) -> dict:
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
+    if nj == 0xFFFFFFFF:
+        # nj is never legitimately missing; letting the sentinel through
+        # would overflow the int32 schema column opaquely
+        raise ValueError(f"grid dimensions coded missing on template {tmpl3}")
     if ni == 0xFFFFFFFF and tmpl3 == 40:
         ni = None  # reduced Gaussian grid: per-row counts, no common Ni
-    elif ni == 0xFFFFFFFF or nj == 0xFFFFFFFF:
-        # same gate as _decode_field: sentinel dims on any other
-        # template would inventory garbage dimensions (and a sentinel
-        # nj would overflow the int32 schema column opaquely)
+    elif ni == 0xFFFFFFFF:
+        # same gate as _decode_field: a sentinel Ni on any non-reduced
+        # template would inventory garbage dimensions
         raise ValueError(f"grid dimensions coded missing on template {tmpl3}")
     level_type, scale, level_value = parse_fixed_surface(s4)
     return {
