@@ -683,6 +683,19 @@ def _decode_complex_s7(
     return x, miss
 
 
+def _pdt_octet(value, what: str) -> int:
+    """Validate a 1-octet product-definition field at ENCODE: the wire
+    holds 0-255 with 255 reserved as the coded-missing sentinel, so an
+    out-of-range value (e.g. ensemble member 256) must stop loudly —
+    ``& 0xFF`` masking would silently encode it as a DIFFERENT member."""
+    v = int(value)
+    if not 0 <= v <= 254:
+        raise ValueError(
+            f"{what} {v} out of range 0-254 (255 is the missing sentinel)"
+        )
+    return v
+
+
 def encode_grib2_message(
     values: np.ndarray,
     *,
@@ -1122,9 +1135,9 @@ def encode_grib2_message(
     if ensemble is not None:
         pdt_extra += bytes(
             [
-                ensemble["type"] & 0xFF,
-                ensemble["member"] & 0xFF,
-                ensemble["size"] & 0xFF,
+                _pdt_octet(ensemble["type"], "ensemble type"),
+                _pdt_octet(ensemble["member"], "ensemble member"),
+                _pdt_octet(ensemble["size"], "ensemble size"),
             ]
         )
     if statistical is not None:
@@ -1134,7 +1147,7 @@ def encode_grib2_message(
             + bytes([em, ed, eh, emi, 0])  # end of interval (sec = 0)
             + bytes([1])  # one time-range specification
             + struct.pack(">I", 0)  # no missing values in interval
-            + bytes([statistical["process"] & 0xFF])
+            + bytes([_pdt_octet(statistical["process"], "statistical process")])
             + bytes([2])  # time-increment type: successive fields
             + bytes([1])  # range time unit: hour
             + struct.pack(">I", statistical["range_hours"])
@@ -1203,6 +1216,14 @@ def merge_grib2_fields(msgs: "list[bytes]") -> bytes:
             # lossy merge; the engine never emits one, so stop loudly
             raise ValueError(
                 "merge_grib2_fields does not carry section 2 (local use)"
+            )
+        missing = {3, 4, 5, 6, 7} - set(s)
+        if missing:
+            # a foreign/truncated input without a full 3-7 run would
+            # otherwise surface as an opaque KeyError from parts.extend
+            raise ValueError(
+                "merge_grib2_fields input missing section(s) "
+                f"{sorted(missing)}"
             )
         if discipline is None:
             discipline, s1 = m[6], s[1]
@@ -1666,6 +1687,11 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     nbits = s5[19]
 
     s6 = s[6]
+    if len(s6) < 6:
+        # _sections only requires length >= 5; a 5-byte section 6 has no
+        # bitmap-indicator octet — the same guard _iter_field_sections
+        # applies, so both decode paths fail uniformly and loudly
+        raise ValueError("malformed section 6 (no bitmap indicator octet)")
     total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
     bitmap = None
     if s6[5] == 0:
@@ -1782,31 +1808,55 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     )
 
 
-def inventory_line(msg: bytes) -> str:
-    """wgrib2-style inventory string for one message:
-    ``d{discipline}:c{category},n{number}:{YYYYMMDDHH}`` — the text
-    ``-match`` regexes run against (a stable engine-defined rendering of
-    the same fields wgrib2 prints)."""
-    if msg[:4] != MAGIC or msg[7] != EDITION:
-        raise ValueError("not a GRIB edition-2 message")
-    s = _sections(msg)
+def _field_inventory(s: dict[int, bytes]) -> str:
+    """wgrib2-style inventory rendering of one FIELD's resolved section
+    dict: ``d{discipline}:c{category},n{number}:{YYYYMMDDHH}`` — a
+    stable engine-defined rendering of the same fields wgrib2 prints."""
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     return (
-        f"d{msg[6]}:c{s4[9]},n{s4[10]}:"
+        f"d{s[0][6]}:c{s4[9]},n{s4[10]}:"
         f"{year:04d}{s1[14]:02d}{s1[15]:02d}{s1[16]:02d}"
     )
 
 
+def inventory_lines(msg: bytes) -> list[str]:
+    """wgrib2-style inventory, one line per FIELD in message order —
+    wgrib2 itself inventories submessages (its N.M numbering), so a
+    multi-field NDFD-style message yields several lines, matching the
+    per-field rows the landing scan lands."""
+    return [_field_inventory(s) for s in _iter_field_sections(msg)]
+
+
+def inventory_line(msg: bytes) -> str:
+    """Single-field form of :func:`inventory_lines`: the one inventory
+    line of a SINGLE-FIELD message; multi-field messages raise (their
+    several fields have several lines — collapsing to one would hide
+    all but one field from a ``-match`` regex)."""
+    if msg[:4] != MAGIC or msg[7] != EDITION:
+        raise ValueError("not a GRIB edition-2 message")
+    lines = inventory_lines(msg)
+    if len(lines) != 1:
+        raise ValueError(
+            f"multi-field GRIB2 message has {len(lines)} inventory lines "
+            "— use inventory_lines"
+        )
+    return lines[0]
+
+
 def match_records(buf: bytes, pattern: str, limit: int | None = None) -> list[bytes]:
     """``wgrib2 input -match <regex> [-limit n]`` parity
-    (/root/reference/src/file-conversions.js:75-99): every message whose
-    inventory line matches ``pattern`` (regex search), in file order,
-    capped at ``limit`` when given."""
+    (/root/reference/src/file-conversions.js:75-99): every message ANY
+    of whose per-field inventory lines matches ``pattern`` (regex
+    search), in file order, capped at ``limit`` when given.  Like
+    wgrib2, matching runs per FIELD on submessage archives; selection
+    granularity here is the containing MESSAGE (the byte unit this
+    helper deals in) — the landing scan's ``match=`` pushdown is the
+    true per-field filter."""
     rx = re.compile(pattern)
     out: list[bytes] = []
     for msg in iter_messages2(buf):
-        if rx.search(inventory_line(msg)):
+        if any(rx.search(line) for line in inventory_lines(msg)):
             out.append(msg)
             if limit is not None and len(out) >= limit:
                 break

@@ -203,7 +203,9 @@ def test_repeated_sections_rejected_not_collapsed():
     doubled = doubled[:8] + _s.pack(">Q", len(doubled)) + doubled[16:]
     with pytest.raises(ValueError, match="repeated section"):
         decode_grib2(doubled)
-    with pytest.raises(ValueError, match="repeated section"):
+    # the inventory path treats the doubled run as what it legally IS —
+    # a two-field message — and the single-line API stays strict
+    with pytest.raises(ValueError, match="inventory_lines"):
         inventory_line(doubled)
 
 
@@ -1667,3 +1669,109 @@ def test_ensemble_columns_land_filterable(spark, tmp_path):
 
     perturbed = recs.filter(SF.col("ensemble_member") == 1)
     assert [r["record_number"] for r in perturbed.collect()] == [2]
+
+
+def test_encode_pdt_octet_overflow_rejected():
+    """ADVICE r9: 1-octet PDT fields (ensemble type/member/size,
+    statistical process) validate 0-254 at encode — masking with
+    ``& 0xFF`` would silently encode member 256 as member 0."""
+    v = np.ones((2, 3))
+    for bad in (dict(type=3, member=256, size=3),
+                dict(type=3, member=0, size=255),
+                dict(type=-1, member=0, size=3)):
+        with pytest.raises(ValueError, match="out of range 0-254"):
+            encode_grib2_message(v, ensemble=bad)
+    with pytest.raises(ValueError, match="statistical process"):
+        encode_grib2_message(
+            v,
+            statistical=dict(
+                process=300, interval_end=(2020, 1, 2, 0, 0), range_hours=24
+            ),
+        )
+    # boundary 254 is legal (255 is the missing sentinel)
+    rec = decode_grib2(
+        encode_grib2_message(v, ensemble=dict(type=0, member=254, size=254))
+    )
+    assert (rec.ensemble_member, rec.ensemble_size) == (254, 254)
+
+
+def test_short_section6_rejected_uniformly():
+    """A crafted 5-byte section 6 (legal for _sections, which only
+    requires length >= 5) must raise a diagnostic ValueError on BOTH
+    decode paths, not an IndexError."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2_fields
+
+    msg = bytearray(encode_grib2_message(np.ones((2, 3))))
+    # find section 6 and shrink it to its bare 5-byte header
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 6:
+            crafted = (
+                bytes(msg[:pos])
+                + struct.pack(">IB", 5, 6)
+                + bytes(msg[pos + ln:])
+            )
+            crafted = bytearray(crafted)
+            struct.pack_into(">Q", crafted, 8, len(crafted))
+            crafted = bytes(crafted)
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="section 6"):
+        decode_grib2(crafted)
+    with pytest.raises(ValueError, match="section 6"):
+        decode_grib2_fields(crafted)
+
+
+def test_merge_rejects_input_missing_sections():
+    """A truncated input (no 4-7 run) fails the merge with a ValueError
+    naming the missing sections, not an opaque KeyError."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import merge_grib2_fields
+
+    full = encode_grib2_message(np.ones((2, 3)))
+    # rebuild the message keeping only sections 1 and 3
+    parts, pos = [full[:16]], 16
+    while pos < len(full) - 4:
+        ln, num = struct.unpack_from(">IB", full, pos)
+        if num in (1, 3):
+            parts.append(full[pos:pos + ln])
+        pos += ln
+    body = b"".join(parts[1:])
+    trunc = bytearray(parts[0] + body + b"7777")
+    struct.pack_into(">Q", trunc, 8, len(trunc))
+    with pytest.raises(ValueError, match=r"missing section\(s\) \[4, 5, 6, 7\]"):
+        merge_grib2_fields([bytes(trunc), full])
+
+
+def test_inventory_and_match_go_per_field_on_submessages():
+    """ADVICE r9: wgrib2 inventories submessages (N.M numbering), so the
+    codec-level helpers must see every FIELD of a multi-field message —
+    one line per field, and -match selecting on any field's line."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        inventory_lines,
+        merge_grib2_fields,
+    )
+
+    v = np.ones((2, 3))
+    m1 = encode_grib2_message(v, category=1, number=7)
+    m2 = encode_grib2_message(v, category=2, number=9)
+    merged = merge_grib2_fields([m1, m2])
+    assert inventory_lines(merged) == [
+        "d0:c1,n7:2020010100",
+        "d0:c2,n9:2020010100",
+    ]
+    # the single-line API stays strict: collapsing two fields to one
+    # line would hide one from a -match regex
+    with pytest.raises(ValueError, match="inventory_lines"):
+        inventory_line(merged)
+    solo = encode_grib2_message(v, category=3, number=4)
+    buf = merged + solo
+    # a regex hitting only the SECOND field of the merged message still
+    # selects that message; limit counts messages
+    assert match_records(buf, r"c2,n9") == [merged]
+    assert match_records(buf, r"c3,n4") == [solo]
+    assert match_records(buf, r"^d0:", limit=1) == [merged]
