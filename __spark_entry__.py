@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 8 is 256/256
+# ``queries()``.  Cumulative driver coverage through round 9 is 261/261
 # green (zero failures ever), so the window's job is REGRESSION
 # DETECTION under a STANDING ROTATION SCHEDULE:
 #
@@ -29,84 +29,93 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #      filling the window to exactly 50; anything that doesn't fit is
 #      the explicit front of NEXT round's queue.
 #
-# Witness ages entering round 9 (from CORRECTNESS_r01-r08): 22 names
-# last witnessed r3 (oldest), 49 r4, 44 r5, 47 r6, 44 r7, 50 r8.
-# Round 9 takes the 5 new r9 queries + 5 GRIB queries changed by the
-# r9 landing-schema work (RECORD_SCHEMA grew grid_template /
-# statistical / per-cell coordinate columns; grib1_cells grew the
-# unified lat_deg/lon_deg/lon_udeg) + all 22 r3 leftovers + the first
-# 18 of the r4 cohort (alphabetical).  The 31 r4 names left over —
-# multimodal_frame_sample, multimodal_image_decode_stats,
-# q11/q12/q13/q15/q16/q17/q20, q8_market_share, sample_k_per_group,
-# the scalar_* trio (collections/try_cast/zorder), set_union_by_name,
-# the text_* quartet (bpe_token_count/ngram_freq/repetition_ratios/
-# token_stats), the ts_* septet (dedup_union/freshness_check/
-# json_extract/lag_lead/moving_avg/retention_cohorts/yoy_growth),
-# unpivot_nation_balances, and the window_* quartet (count_distinct/
-# distribution/distribution_ranks/rank_ties) — are round 10's queue
-# head, keeping every cohort's evidence younger than ~5 rounds.
-# Every entry outside the window stays locally oracle-checked each
-# session (tests/test_oracle.py), and the flagship pipeline stays
-# driver-checked through the ``entry`` smoke.
+# Witness ages entering round 10 (from CORRECTNESS_r01-r09): 31 names
+# last witnessed r4 (oldest), 44 r5, 47 r6, 44 r7, 45 r8, 50 r9.
+# Round 10 takes the 2 new r10 queries (derived-ensemble PDTs 4.2/4.12
+# and probability PDTs 4.5/4.9 through the landing source) + the 11
+# queries changed by the r10 landing-schema work (RECORD_SCHEMA grew
+# time_range_count / derived_forecast / probability_type /
+# prob_lower_limit / prob_upper_limit; the header gate admits PDTs
+# 2/5/9/12; codec-level inventory/match went per-field) + all 31 r4
+# leftovers + the first 6 of the r5 cohort (alphabetical).  The 38 r5
+# names left over — dq_constraint_audit, dq_profile_customer,
+# embedding_pca_project, geo_near_join, grid_bilinear_regrid,
+# grid_gradient_slope, grid_zonal_stats, join_salted_skew,
+# knn_recall_eval, multimodal_audio_energy, q3_shipping_priority,
+# q6_forecast_revenue, q9_profit_by_nation, sample_temperature_mix,
+# the scalar_* trio (calendar_clamp/geo_uniform/oscar_calendar),
+# scd2_apply_changes, stream_ohlc_hourly, the text_* sextet
+# (bpe_pair_counts/classifier_score/html_strip/ngram_lm_score/
+# pii_scrub/url_canonical_dedup), the ts_* dozen (anomaly_mad/
+# asof_join_tolerance/counter_rate/downsample_lttb/
+# event_sequence_pattern/ewma/gap_detection/interval_coalesce/
+# interval_overlap_join/level_shift/ohlc_resample/
+# trailing_window_range) and window_ntile_stratify — are round 11's
+# queue head, keeping every cohort's evidence younger than ~5 rounds.  Every entry outside the window stays locally
+# oracle-checked each session (tests/test_oracle.py), and the flagship
+# pipeline stays driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 9 (first driver witness): projected grids
-    #     THROUGH the landing source, reduced Gaussian grids (ERA5's
-    #     native ragged layout), and PDT 4.8 statistical metadata in
-    #     the landing schema ---
-    "grid_grib_projected_landing",
-    "grid_grib2_reduced_gaussian_decode",
-    "grid_grib_statistical_scan",
-    "grid_grib2_multifield_scan",
-    "grid_grib2_ensemble_scan",
-    # --- 2. changed in round 9 (landing RECORD_SCHEMA + grib1_cells
-    #     surface) — re-witness every query on that path ---
+    # --- 1. new in round 10 (first driver witness): derived-ensemble
+    #     products (PDT 4.2 mean / 4.12 spread+interval) and
+    #     probability forecasts (PDT 4.5/4.9 threshold columns) through
+    #     the landing source ---
+    "grid_grib2_derived_ensemble_scan",
+    "grid_grib2_probability_scan",
+    # --- 2. changed in round 10 (landing RECORD_SCHEMA grew the
+    #     time_range_count / derived / probability columns; header-only
+    #     gate admits the new PDTs; codec inventory/match now walk
+    #     submessages per field) — re-witness every query on those
+    #     paths ---
     "grid_grib_mixed_scan",
     "grid_grib1_landing_scan",
     "grid_grib_inventory_scan",
+    "grid_grib_statistical_scan",
+    "grid_grib_projected_landing",
+    "grid_grib2_reduced_gaussian_decode",
+    "grid_grib2_multifield_scan",
+    "grid_grib2_ensemble_scan",
+    "grid_grib2_match_decode",
     "era5_grib_anomaly_pipeline",
     "stream_grib1_anomaly_pipeline",
-    # --- 3. oldest cohort: the 22 round-3 leftovers ---
-    "multimodal_feature_extract",
-    "multimodal_metadata_stats",
-    "pack_sequences",
-    "sample_weighted",
-    "scd2_validity_intervals",
-    "split_train_test_hash",
-    "stream_dedup_union",
-    "stream_session_windows",
-    "stream_sliding_halfhour",
-    "stream_stateful_user_stats",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_tumbling_hourly",
-    "text_langid",
-    "text_quality_score",
-    "ts_anomaly_zscore",
-    "ts_asof_join",
-    "ts_funnel",
-    "ts_gap_fill_ffill",
-    "ts_interpolate_linear",
-    "ts_range_join",
-    "ts_tumbling_hourly",
-    # --- 4. next-oldest cohort: round 4, first 18 alphabetical ---
-    "agg_approx_distinct",
-    "agg_boolean_bitwise",
-    "agg_entropy",
-    "agg_filter_clause",
-    "agg_grouping_markers",
-    "agg_histogram",
-    "agg_listagg",
-    "agg_mode_deterministic",
-    "agg_multi_distinct",
-    "agg_regression_stats",
-    "agg_salted_skew",
-    "agg_weighted_avg",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "join_null_safe",
-    "knn_pq_scan",
-    "merge_upsert_customers",
-    "multimodal_binary_dedup",
+    # --- 3. oldest cohort: all 31 round-4 leftovers ---
+    "multimodal_frame_sample",
+    "multimodal_image_decode_stats",
+    "q11_important_stock",
+    "q12_late_line_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q8_market_share",
+    "sample_k_per_group",
+    "scalar_collections",
+    "scalar_try_cast",
+    "scalar_zorder",
+    "set_union_by_name",
+    "text_bpe_token_count",
+    "text_ngram_freq",
+    "text_repetition_ratios",
+    "text_token_stats",
+    "ts_dedup_union",
+    "ts_freshness_check",
+    "ts_json_extract",
+    "ts_lag_lead",
+    "ts_moving_avg",
+    "ts_retention_cohorts",
+    "ts_yoy_growth",
+    "unpivot_nation_balances",
+    "window_count_distinct",
+    "window_distribution",
+    "window_distribution_ranks",
+    "window_rank_ties",
+    # --- 4. next-oldest cohort: round 5, first 6 alphabetical ---
+    "agg_share_of_total",
+    "cdc_snapshot_diff",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
 )
 
 

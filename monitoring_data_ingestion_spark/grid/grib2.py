@@ -294,9 +294,30 @@ class Grib2Record:
     interval_end: tuple[int, int, int, int, int] | None = None
     # Templates 4.1/4.11 (individual ensemble member): code-table-4.6
     # type, perturbation number, ensemble size; None on 4.0/4.8.
+    # ensemble_size is shared with 4.2/4.12 (number of forecasts the
+    # derived product was computed from).
     ensemble_type: int | None = None
     ensemble_member: int | None = None
     ensemble_size: int | None = None
+    # Templates 4.2/4.12 (derived forecast from ALL ensemble members):
+    # code-table-4.7 type (0 unweighted mean, 2 std dev, 4 spread, ...);
+    # None on every other template.
+    derived_forecast: int | None = None
+    # Templates 4.5/4.9 (probability forecasts): probability index /
+    # total, code-table-4.9 type (0 below lower, 1 above upper,
+    # 2 between, 3 above lower, 4 below upper) and the decoded
+    # threshold limits — None where the type doesn't bound that side.
+    probability_number: int | None = None
+    probability_total: int | None = None
+    probability_type: int | None = None
+    prob_lower_limit: float | None = None
+    prob_upper_limit: float | None = None
+    # 4.8-family statistical sections: number of time-range
+    # specifications.  Only the FIRST (outermost) spec's process is
+    # surfaced as statistical_process, so count > 1 marks a COMPOUND
+    # statistic ("average of daily maxima") that would otherwise
+    # masquerade as a plain one.
+    time_range_count: int | None = None
     # Template 3.40 (Gaussian grid): N = parallels pole-to-equator and
     # the actual latitude of every row (north -> south); None for the
     # regular lat/lon template 3.0, where dlat_udeg applies instead.
@@ -696,6 +717,22 @@ def _pdt_octet(value, what: str) -> int:
     return v
 
 
+def _scaled_pair(limit) -> bytes:
+    """Template 4.5 threshold pair at ENCODE: (scale factor, scaled
+    value) → 1 + 4 octets, both signed-magnitude; ``None`` → coded
+    missing (the probability type doesn't bound that side).  A -127
+    scale would collide with the 0xFF missing sentinel, so the legal
+    signed-magnitude range is -126..127."""
+    if limit is None:
+        return b"\xff" + b"\xff\xff\xff\xff"
+    scale, value = int(limit[0]), int(limit[1])
+    if not -126 <= scale <= 127:
+        raise ValueError(
+            f"threshold scale factor {scale} out of signed-magnitude range"
+        )
+    return bytes([(0x80 | -scale) if scale < 0 else scale]) + _s32be(value)
+
+
 def encode_grib2_message(
     values: np.ndarray,
     *,
@@ -727,6 +764,8 @@ def encode_grib2_message(
     mercator: dict | None = None,
     statistical: dict | None = None,
     ensemble: dict | None = None,
+    derived: dict | None = None,
+    probability: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1126,13 +1165,27 @@ def encode_grib2_message(
     # ``statistical`` selects product definition template 4.8
     # (statistical processing over a time interval — accumulations /
     # averages); keys: ``process`` (code table 4.10), ``interval_end``
-    # (y, m, d, h, mi) and ``range_hours``.  ``ensemble`` (keys:
-    # ``type`` code table 4.6, ``member``, ``size``) selects 4.1 — or,
-    # combined with ``statistical``, 4.11, whose statistical block
-    # follows the three ensemble octets.  Octets 10-34 are identical to
-    # 4.0 across all four, so one parser serves them on decode.
+    # (y, m, d, h, mi) and ``range_hours``; optional ``inner_specs``
+    # (list of dicts with ``process``/``range_hours``) appends further
+    # time-range specifications for COMPOUND statistics ("average of
+    # daily maxima" is n = 2).  ``ensemble`` (keys: ``type`` code table
+    # 4.6, ``member``, ``size``) selects 4.1; ``derived`` (keys:
+    # ``type`` code table 4.7, ``size``) selects 4.2 (derived forecast
+    # from all members — ensemble mean / spread); ``probability`` (keys:
+    # ``number``, ``total``, ``type`` code table 4.9, optional
+    # ``lower``/``upper`` = (scale factor, scaled value) threshold
+    # pairs, absent → coded missing) selects 4.5.  Combined with
+    # ``statistical`` they become 4.11 / 4.12 / 4.9, whose statistical
+    # block follows the family's extra octets.  Octets 10-34 are
+    # identical to 4.0 across all eight, so one parser serves them on
+    # decode.
+    if sum(x is not None for x in (ensemble, derived, probability)) > 1:
+        raise ValueError(
+            "choose at most one of ensemble / derived / probability"
+        )
     pdt_extra = b""
     if ensemble is not None:
+        tmpl4 = 11 if statistical is not None else 1
         pdt_extra += bytes(
             [
                 _pdt_octet(ensemble["type"], "ensemble type"),
@@ -1140,29 +1193,53 @@ def encode_grib2_message(
                 _pdt_octet(ensemble["size"], "ensemble size"),
             ]
         )
+    elif derived is not None:
+        tmpl4 = 12 if statistical is not None else 2
+        pdt_extra += bytes(
+            [
+                _pdt_octet(derived["type"], "derived forecast type"),
+                _pdt_octet(derived["size"], "ensemble size"),
+            ]
+        )
+    elif probability is not None:
+        tmpl4 = 9 if statistical is not None else 5
+        pdt_extra += bytes(
+            [
+                _pdt_octet(probability["number"], "forecast probability number"),
+                _pdt_octet(probability["total"], "total forecast probabilities"),
+                _pdt_octet(probability["type"], "probability type"),
+            ]
+        )
+        pdt_extra += _scaled_pair(probability.get("lower"))
+        pdt_extra += _scaled_pair(probability.get("upper"))
+    else:
+        tmpl4 = 8 if statistical is not None else 0
     if statistical is not None:
         ey, em, ed, eh, emi = statistical["interval_end"]
+        specs = [(statistical["process"], statistical["range_hours"])]
+        for sp in statistical.get("inner_specs") or []:
+            specs.append((sp["process"], sp["range_hours"]))
         pdt_extra += (
             struct.pack(">H", ey)
             + bytes([em, ed, eh, emi, 0])  # end of interval (sec = 0)
-            + bytes([1])  # one time-range specification
+            + bytes(
+                [_pdt_octet(len(specs), "time-range specification count")]
+            )
             + struct.pack(">I", 0)  # no missing values in interval
-            + bytes([_pdt_octet(statistical["process"], "statistical process")])
-            + bytes([2])  # time-increment type: successive fields
-            + bytes([1])  # range time unit: hour
-            + struct.pack(">I", statistical["range_hours"])
-            + bytes([1])  # increment time unit: hour
-            + struct.pack(">I", 0)  # continuous processing
         )
+        for proc, hours in specs:  # outermost first, per the spec
+            pdt_extra += (
+                bytes([_pdt_octet(proc, "statistical process")])
+                + bytes([2])  # time-increment type: successive fields
+                + bytes([1])  # range time unit: hour
+                + struct.pack(">I", hours)
+                + bytes([1])  # increment time unit: hour
+                + struct.pack(">I", 0)  # continuous processing
+            )
     s4 = section(
         4,
         struct.pack(">H", 0)  # number of coordinate values
-        + struct.pack(
-            ">H",
-            (11 if statistical is not None else 1)
-            if ensemble is not None
-            else (8 if statistical is not None else 0),
-        )
+        + struct.pack(">H", tmpl4)
         + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
         + b"\x00\x00"  # hours of cutoff
         + bytes([0])  # minutes
@@ -1309,6 +1386,21 @@ def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
     return level_type, level_scale, level_value
 
 
+def _scaled_limit(s4: bytes, off: int) -> float | None:
+    """Template 4.5 threshold pair at ``off``: 1-octet scale factor +
+    4-octet scaled value, BOTH signed-magnitude (two's complement would
+    decode a negative threshold as a huge magnitude).  Either side
+    coded missing (0xFF / all-ones) → None — a probability type that
+    doesn't bound that side has NO limit there, not limit 0.  The real
+    limit is value / 10^scale."""
+    sf = s4[off]
+    (raw,) = struct.unpack_from(">I", s4, off + 1)
+    if sf == 0xFF or raw == 0xFFFFFFFF:
+        return None
+    scale = -(sf & 0x7F) if sf & 0x80 else sf
+    return float(_rs32be(s4, off + 1)) / (10.0 ** scale)
+
+
 def _iter_field_sections(msg: bytes):
     """Walk one GRIB2 message and yield one section dict per FIELD.
 
@@ -1408,7 +1500,8 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
     stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
     regular AND reduced per-row-Ni form); product templates 4.0/4.1/
-    4.8/4.11 (ensemble members and statistical intervals); data
+    4.2/4.5/4.8/4.9/4.11/4.12 (ensemble members, derived-ensemble
+    products, probability forecasts, statistical intervals); data
     representation templates 5.0 (simple), 5.2/5.3 (complex ±
     spatial differencing), 5.40 (JPEG2000), 5.41 (PNG).  Everything
     else raises — including multi-field messages, which this strict
@@ -1642,15 +1735,20 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 8, 11):
+    if tmpl4 not in (0, 1, 2, 5, 8, 9, 11, 12):
         # only templates sharing 4.0's leading layout (category/number at
-        # octets 10-11, fixed surfaces at 23-34 — 4.1/4.8/4.11 extend,
-        # 4.30/4.20 et al. do NOT) may be read with these offsets;
-        # anything else would decode garbage level columns.
+        # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
+        # 4.2 derived forecast, 4.5 probability, 4.8 statistical and
+        # their 4.11/4.12/4.9 statistical forms extend it; 4.30/4.20
+        # et al. do NOT) may be read with these offsets; anything else
+        # would decode garbage level columns.
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
     level_type, level_scale, level_value = parse_fixed_surface(s4)
     ensemble_type = ensemble_member = ensemble_size = None
+    derived_forecast = None
+    probability_number = probability_total = probability_type = None
+    prob_lower_limit = prob_upper_limit = None
     if tmpl4 in (1, 11):
         # 4.1 (individual ensemble member) appends octets 35-37: type
         # of ensemble forecast (code table 4.6), perturbation number,
@@ -1660,18 +1758,66 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         ensemble_type = s4[34] if s4[34] != 0xFF else None
         ensemble_member = s4[35] if s4[35] != 0xFF else None
         ensemble_size = s4[36] if s4[36] != 0xFF else None
+    elif tmpl4 in (2, 12):
+        # 4.2 (derived forecast from ALL ensemble members — the mean /
+        # spread products ECMWF ENS and GEFS publish beside the 4.1
+        # members) appends octets 35-36: derived-forecast type (code
+        # table 4.7: 0 unweighted mean, 2 std dev, 4 spread, ...) and
+        # the number of forecasts in the ensemble; 4.12 continues with
+        # the statistical block.
+        if len(s4) < 36:
+            raise ValueError(f"truncated product definition template 4.{tmpl4}")
+        derived_forecast = s4[34] if s4[34] != 0xFF else None
+        ensemble_size = s4[35] if s4[35] != 0xFF else None
+    elif tmpl4 in (5, 9):
+        # 4.5 (probability forecast) appends octets 35-47: probability
+        # index / total, probability type (code table 4.9: 0 below
+        # lower, 1 above upper, 2 between, 3 above lower, 4 below
+        # upper) and the two threshold limits as (scale factor, scaled
+        # value) pairs — both signed-magnitude, either coded missing
+        # when the type doesn't bound that side; 4.9 continues with the
+        # statistical block.
+        if len(s4) < 47:
+            raise ValueError(f"truncated product definition template 4.{tmpl4}")
+        probability_number = s4[34] if s4[34] != 0xFF else None
+        probability_total = s4[35] if s4[35] != 0xFF else None
+        probability_type = s4[36] if s4[36] != 0xFF else None
+        prob_lower_limit = _scaled_limit(s4, 37)
+        prob_upper_limit = _scaled_limit(s4, 42)
     statistical_process = None
     interval_end = None
-    if tmpl4 in (8, 11):
-        # the statistical block starts at octet 35 (4.8) or 38 (4.11,
-        # after the three ensemble octets)
-        base = 34 if tmpl4 == 8 else 37
-        if len(s4) < base + 24:  # the 24-octet statistical extension
+    time_range_count = None
+    # statistical block start: octet 35 (4.8), 38 (4.11, after the
+    # three ensemble octets), 37 (4.12, after the two derived-forecast
+    # octets) or 48 (4.9, after the thirteen probability octets) — a
+    # parser reusing 4.8's offset on the extended forms would decode a
+    # garbage interval end.
+    stat_base = {8: 34, 11: 37, 12: 36, 9: 47}.get(tmpl4)
+    if stat_base is not None:
+        base = stat_base
+        if len(s4) < base + 24:  # the 24-octet single-spec extension
             raise ValueError(f"truncated product definition template 4.{tmpl4}")
         (end_year,) = struct.unpack_from(">H", s4, base)
         interval_end = (
             end_year, s4[base + 2], s4[base + 3], s4[base + 4], s4[base + 5]
         )
+        # number of time-range specifications: n > 1 nests statistics
+        # ("average of DAILY MAXIMA"); only the FIRST (outermost) spec
+        # is surfaced as statistical_process, so n must ride along —
+        # without it a compound statistic would masquerade as a plain
+        # one.  n = 0 / coded-missing is spec-invalid.
+        n_ranges = s4[base + 7]
+        if n_ranges == 0 or n_ranges == 0xFF:
+            raise ValueError(
+                f"product definition template 4.{tmpl4} with "
+                "no time-range specifications"
+            )
+        if len(s4) < base + 12 + 12 * n_ranges:
+            raise ValueError(
+                f"truncated product definition template 4.{tmpl4} "
+                f"({n_ranges} time-range specifications)"
+            )
+        time_range_count = n_ranges
         statistical_process = (
             s4[base + 12] if s4[base + 12] != 0xFF else None
         )
@@ -1804,6 +1950,13 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         ensemble_type=ensemble_type,
         ensemble_member=ensemble_member,
         ensemble_size=ensemble_size,
+        derived_forecast=derived_forecast,
+        probability_number=probability_number,
+        probability_total=probability_total,
+        probability_type=probability_type,
+        prob_lower_limit=prob_lower_limit,
+        prob_upper_limit=prob_upper_limit,
+        time_range_count=time_range_count,
         row_ni=row_ni,
     )
 

@@ -3710,3 +3710,304 @@ def grid_grib2_ensemble_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vsum"),
         F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
     ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_derived_ensemble_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         5 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 47 = 13 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         120 + 2 * ((doc_id * 5 + r.r * 9 + i.i * 7 + j.j * 3) % 50) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn <= 2 THEN rn - 1 END AS INTEGER) AS ensemble_member,
+       CAST(CASE WHEN rn = 3 THEN 0 WHEN rn = 4 THEN 4 END AS INTEGER)
+         AS derived_forecast,
+       CAST(2 AS INTEGER) AS ensemble_size,
+       CAST(CASE WHEN rn = 4 THEN 0 END AS INTEGER) AS statistical_process,
+       CAST(CASE WHEN rn = 4 THEN 2 END AS INTEGER) AS time_range_count,
+       CASE WHEN rn = 4 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 2, 18, 0, 0
+       ) END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_derived_ensemble_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED-ensemble products (PDT 4.2 mean / 4.12 spread +
+    statistical interval) through the REAL landing path — the products
+    ECMWF ENS and GEFS publish ALONGSIDE the 4.1 members the engine
+    already lands, read by the reference through wgrib2
+    (/root/reference/src/file-conversions.js:49-51,76-112).  One
+    multi-field message per document carries two 4.1 members, a 4.2
+    ensemble mean and a 4.12 ensemble spread over a statistical
+    interval, so members-vs-derived is a plain column filter
+    (``ensemble_member`` vs ``derived_forecast``) on landed archives.
+
+    The oracle pins the code-table-4.7 derived type per field, the
+    shared ensemble size, NULL membership on derived fields, the 4.12
+    statistical block's +2 offset past 4.8 (a parser reusing 4.8's
+    offsets would decode a garbage interval end), the n=2 compound
+    time-range count on the spread field, and raster-order-sensitive
+    payload sums.
+
+    Scale: the landing posture — submessage splitting is section
+    slicing; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 47 == 13) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 5 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        120 + 2 * ((d * 5 + r * 9 + i * 7 + j * 3) % 50)
+                    ).astype(np.float64)
+
+                msgs = [
+                    encode_grib2_message(
+                        field(m), category=0, number=1,
+                        reference_value=120.0, binary_scale=1, nbits=8,
+                        ensemble=dict(type=3, member=m, size=2),
+                    )
+                    for m in range(2)
+                ]
+                msgs.append(
+                    encode_grib2_message(
+                        field(2), category=0, number=1,
+                        reference_value=120.0, binary_scale=1, nbits=8,
+                        derived=dict(type=0, size=2),  # unweighted mean
+                    )
+                )
+                msgs.append(
+                    encode_grib2_message(
+                        field(3), category=0, number=1,
+                        reference_value=120.0, binary_scale=1, nbits=8,
+                        derived=dict(type=4, size=2),  # spread
+                        statistical=dict(
+                            process=0,
+                            interval_end=(2020, 1 + d % 12, 2, 18, 0),
+                            range_hours=6,
+                            # n = 2: spread of HOURLY MAXIMA — the
+                            # compound form time_range_count surfaces
+                            inner_specs=[dict(process=2, range_hours=1)],
+                        ),
+                    )
+                )
+                rows.append(
+                    {"path": f"doc://{d}", "content": merge_grib2_fields(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "ensemble_member",
+        "derived_forecast",
+        "ensemble_size",
+        "statistical_process",
+        "time_range_count",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_probability_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 41 = 7 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         50 + ((doc_id * 13 + r.r * 3 + i.i * 5 + j.j * 7) % 40) AS v
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE rn WHEN 1 THEN 3 WHEN 2 THEN 0 WHEN 3 THEN 2
+                    WHEN 4 THEN 1 END AS INTEGER) AS probability_type,
+       CASE rn
+         WHEN 1 THEN (27315 + doc_id) / 100.0
+         WHEN 2 THEN CAST(-(5 + doc_id % 7) AS DOUBLE)
+         WHEN 3 THEN (doc_id % 50) / 10.0
+       END AS prob_lower_limit,
+       CASE rn
+         WHEN 3 THEN (doc_id % 50 + 25) / 10.0
+         WHEN 4 THEN (2 + doc_id % 5) / POWER(10.0, -1)
+       END AS prob_upper_limit,
+       CAST(CASE WHEN rn = 4 THEN 1 END AS INTEGER) AS statistical_process,
+       CASE WHEN rn = 4 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 1, 6, 0, 0
+       ) END AS interval_end,
+       CAST(CASE WHEN rn = 4 THEN 1 END AS INTEGER) AS time_range_count,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_probability_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILITY forecasts (PDT 4.5 / 4.9 + statistical interval)
+    through the REAL landing path — the other common operational
+    ensemble-derived form (NCEP SREF/GEFS probability products), read
+    by the reference through wgrib2 (/root/reference/src/
+    file-conversions.js:49-51,76-112).  One multi-field message per
+    document carries P(>lower), P(<lower), P(between) and a 4.9
+    P(>upper) over a statistical interval; the landing schema's
+    ``probability_type`` / ``prob_lower_limit`` / ``prob_upper_limit``
+    columns make threshold filters plain column predicates on landed
+    archives.
+
+    The oracle pins the error-prone threshold decode closed-form:
+    positive/zero/NEGATIVE scale factors (value / 10^scale with
+    signed-magnitude octets — two's complement would decode a negative
+    threshold as a huge magnitude), a sign-magnitude NEGATIVE scaled
+    value, and the NULL contract on whichever side each probability
+    type leaves unbounded — plus the 4.9 statistical block at +13 past
+    4.8's offset and per-field payload sums.
+
+    Scale: the landing posture — submessage splitting is section
+    slicing; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 41 == 7) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        50 + ((d * 13 + r * 3 + i * 5 + j * 7) % 40)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=1, number=8, reference_value=50.0, nbits=8
+                )
+                msgs = [
+                    encode_grib2_message(
+                        field(0), **enc,
+                        probability=dict(
+                            number=0, total=4, type=3, lower=(2, 27315 + d)
+                        ),
+                    ),
+                    encode_grib2_message(
+                        field(1), **enc,
+                        probability=dict(
+                            number=1, total=4, type=0,
+                            lower=(0, -(5 + d % 7)),
+                        ),
+                    ),
+                    encode_grib2_message(
+                        field(2), **enc,
+                        probability=dict(
+                            number=2, total=4, type=2,
+                            lower=(1, d % 50), upper=(1, d % 50 + 25),
+                        ),
+                    ),
+                    encode_grib2_message(
+                        field(3), **enc,
+                        probability=dict(
+                            number=3, total=4, type=1,
+                            upper=(-1, 2 + d % 5),
+                        ),
+                        statistical=dict(
+                            process=1,
+                            interval_end=(2020, 1 + d % 12, 1, 6, 0),
+                            range_hours=6,
+                        ),
+                    ),
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": merge_grib2_fields(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "probability_type",
+        "prob_lower_limit",
+        "prob_upper_limit",
+        "statistical_process",
+        "interval_end",
+        "time_range_count",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")

@@ -44,7 +44,10 @@ RECORD_SCHEMA = (
     "parameter int, category int, number int, "
     "level_type int, level int, year int, month int, day int, hour int, "
     "statistical_process int, interval_end timestamp, "
-    "ensemble_member int, ensemble_size int, "
+    "time_range_count int, "
+    "ensemble_member int, ensemble_size int, derived_forecast int, "
+    "probability_type int, prob_lower_limit double, "
+    "prob_upper_limit double, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -54,8 +57,10 @@ RECORD_SCHEMA = (
 _RECORD_COLUMNS = [
     "path", "record_number", "edition", "grid_template", "parameter",
     "category", "number", "level_type", "level", "year", "month", "day",
-    "hour", "statistical_process", "interval_end", "ensemble_member",
-    "ensemble_size", "ni", "nj",
+    "hour", "statistical_process", "interval_end", "time_range_count",
+    "ensemble_member", "ensemble_size", "derived_forecast",
+    "probability_type", "prob_lower_limit", "prob_upper_limit",
+    "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values",
 ]
@@ -169,7 +174,7 @@ def _grib2_field_header(s: dict) -> dict:
         # different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 8, 11):
+    if tmpl4 not in (0, 1, 2, 5, 8, 9, 11, 12):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
@@ -329,7 +334,9 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 ):
                     continue
                 grid_template = stat_process = interval_end = None
-                ens_member = ens_size = None
+                time_ranges = None
+                ens_member = ens_size = derived_fc = None
+                prob_type = prob_lo = prob_hi = None
                 cell_lats = cell_lons = None
                 if edition == 1:
                     rec = decode_grib1(msg)
@@ -364,6 +371,22 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # perturbed is filterable on landed archives.
                     ens_member = rec.ensemble_member
                     ens_size = rec.ensemble_size
+                    # Templates 4.2/4.12 (derived-ensemble products:
+                    # mean / spread) and 4.5/4.9 (probability
+                    # forecasts): the derived-forecast code, the
+                    # probability type and its decoded threshold
+                    # limits land beside the ensemble columns — NULL
+                    # everywhere else, so member-vs-mean-vs-P(>thr) is
+                    # a plain column filter on landed archives.
+                    derived_fc = rec.derived_forecast
+                    prob_type = rec.probability_type
+                    prob_lo = rec.prob_lower_limit
+                    prob_hi = rec.prob_upper_limit
+                    # 4.8-family: how many time-range specifications
+                    # the statistical section nests — count > 1 marks
+                    # a compound statistic ("average of daily maxima")
+                    # whose INNER processes are not surfaced.
+                    time_ranges = rec.time_range_count
                     if rec.interval_end is not None:
                         ey, em, ed, eh, emi = rec.interval_end
                         interval_end = pd.Timestamp(
@@ -430,8 +453,13 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "hour": rec.reftime[3],
                         "statistical_process": stat_process,
                         "interval_end": interval_end,
+                        "time_range_count": time_ranges,
                         "ensemble_member": ens_member,
                         "ensemble_size": ens_size,
+                        "derived_forecast": derived_fc,
+                        "probability_type": prob_type,
+                        "prob_lower_limit": prob_lo,
+                        "prob_upper_limit": prob_hi,
                         "ni": rec.ni,
                         "nj": rec.nj,
                         "lat_first_mdeg": lat0,

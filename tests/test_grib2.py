@@ -1775,3 +1775,201 @@ def test_inventory_and_match_go_per_field_on_submessages():
     assert match_records(buf, r"c2,n9") == [merged]
     assert match_records(buf, r"c3,n4") == [solo]
     assert match_records(buf, r"^d0:", limit=1) == [merged]
+
+
+def test_derived_ensemble_pdts_roundtrip_and_guards():
+    """PDT 4.2 (derived forecast from all ensemble members — the mean /
+    spread products ECMWF ENS and GEFS publish) and 4.12 (derived +
+    statistical interval): the two derived octets decode, and the 4.12
+    statistical block sits at +2 past 4.8's offset — reusing 4.8's
+    offsets would decode a garbage interval end."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    r = decode_grib2(encode_grib2_message(v, derived=dict(type=4, size=20)))
+    assert (r.derived_forecast, r.ensemble_size) == (4, 20)
+    assert r.ensemble_member is None and r.statistical_process is None
+    np.testing.assert_array_equal(r.values, v)
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            derived=dict(type=0, size=50),
+            statistical=dict(
+                process=2, interval_end=(2021, 6, 2, 12, 0), range_hours=24
+            ),
+        )
+    )
+    assert (r.derived_forecast, r.ensemble_size) == (0, 50)
+    assert r.statistical_process == 2 and r.time_range_count == 1
+    assert r.interval_end == (2021, 6, 2, 12, 0)
+    # at most one PDT family
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(
+            v,
+            derived=dict(type=0, size=3),
+            ensemble=dict(type=0, member=0, size=3),
+        )
+    # truncated 4.2: chop the section-4 tail below 36 octets
+    import struct
+
+    msg = encode_grib2_message(v, derived=dict(type=1, size=9))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 4:
+            cut = bytearray(
+                msg[:pos]
+                + struct.pack(">IB", 35, 4)
+                + msg[pos + 5 : pos + 35]
+                + msg[pos + ln :]
+            )
+            struct.pack_into(">Q", cut, 8, len(cut))
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(cut))
+
+
+def test_probability_pdts_threshold_decode():
+    """PDT 4.5/4.9 (probability forecasts): threshold limits decode
+    through the signed-magnitude (scale factor, scaled value) pairs —
+    including negative scales, negative values, and the coded-missing
+    side a one-sided probability type leaves unbounded."""
+    v = np.ones((2, 3))
+    # P(T > 273.15): lower = 27315 / 10^2, upper missing
+    r = decode_grib2(
+        encode_grib2_message(
+            v, probability=dict(number=2, total=10, type=3, lower=(2, 27315))
+        )
+    )
+    assert (r.probability_number, r.probability_total) == (2, 10)
+    assert r.probability_type == 3
+    assert r.prob_lower_limit == pytest.approx(273.15)
+    assert r.prob_upper_limit is None
+    # negative scale (-1) scales UP; negative scaled value via sign bit
+    r = decode_grib2(
+        encode_grib2_message(
+            v, probability=dict(number=0, total=5, type=0, upper=(-1, -5))
+        )
+    )
+    assert r.prob_lower_limit is None
+    assert r.prob_upper_limit == pytest.approx(-50.0)
+    # 4.9: both bounds + the statistical block at +13 past 4.8's base
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            probability=dict(
+                number=1, total=3, type=2, lower=(0, -10), upper=(1, 255)
+            ),
+            statistical=dict(
+                process=1, interval_end=(2020, 2, 1, 0, 0), range_hours=6
+            ),
+        )
+    )
+    assert r.prob_lower_limit == pytest.approx(-10.0)
+    assert r.prob_upper_limit == pytest.approx(25.5)
+    assert r.statistical_process == 1
+    assert r.interval_end == (2020, 2, 1, 0, 0)
+    # scale -127 would collide with the 0xFF missing sentinel
+    with pytest.raises(ValueError, match="scale factor"):
+        encode_grib2_message(
+            v, probability=dict(number=0, total=1, type=3, lower=(-127, 1))
+        )
+
+
+def test_statistical_time_range_count_contract():
+    """4.8-family sections carry n = number of time-range specs; a
+    compound statistic ("average of daily maxima", n = 2) lands with
+    time_range_count = 2 and the OUTER process as statistical_process,
+    so it can't masquerade as a plain average; n = 0 is spec-invalid."""
+    import struct
+
+    v = np.ones((2, 2))
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            statistical=dict(
+                process=0,
+                interval_end=(2020, 1, 2, 0, 0),
+                range_hours=24,
+                inner_specs=[dict(process=2, range_hours=1)],
+            ),
+        )
+    )
+    assert (r.statistical_process, r.time_range_count) == (0, 2)
+    plain = encode_grib2_message(
+        v,
+        statistical=dict(
+            process=0, interval_end=(2020, 1, 2, 0, 0), range_hours=24
+        ),
+    )
+    assert decode_grib2(plain).time_range_count == 1
+
+    def patch_n(msg: bytes, n: int, chop_to: int | None = None) -> bytes:
+        pos = 16
+        while pos < len(msg) - 4:
+            ln, num = struct.unpack_from(">IB", msg, pos)
+            if num == 4:
+                out = bytearray(msg)
+                out[pos + 34 + 7] = n  # octet 42: number of specs
+                if chop_to is not None:
+                    out = bytearray(
+                        msg[:pos]
+                        + bytes(out[pos : pos + chop_to])
+                        + msg[pos + ln :]
+                    )
+                    struct.pack_into(">I", out, pos, chop_to)
+                    out[pos + 34 + 7] = n
+                    struct.pack_into(">Q", out, 8, len(out))
+                return bytes(out)
+            pos += ln
+        raise AssertionError("no section 4")
+
+    with pytest.raises(ValueError, match="no time-range specifications"):
+        decode_grib2(patch_n(plain, 0))
+    # n = 3 declared but only one 12-octet spec present -> truncated
+    with pytest.raises(ValueError, match="3 time-range specifications"):
+        decode_grib2(patch_n(plain, 3))
+
+
+def test_derived_and_probability_columns_land(spark, tmp_path):
+    """The landing schema's derived_forecast / probability_type /
+    prob_*_limit / time_range_count columns make ensemble-mean vs
+    member vs P(>thr) a plain column filter on landed archives."""
+    import os
+
+    from monitoring_data_ingestion_spark.grid.grib2 import merge_grib2_fields
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib1_records,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.ones((2, 3))
+    mean = encode_grib2_message(v, number=1, derived=dict(type=0, size=30))
+    spread = encode_grib2_message(
+        v, number=1, derived=dict(type=4, size=30),
+        statistical=dict(
+            process=0, interval_end=(2020, 1, 2, 0, 0), range_hours=24,
+            inner_specs=[dict(process=3, range_hours=1)],
+        ),
+    )
+    prob = encode_grib2_message(
+        v, number=8,
+        probability=dict(number=0, total=1, type=3, lower=(2, 27315)),
+    )
+    with open(os.path.join(landing, "f.grib"), "wb") as fh:
+        fh.write(merge_grib2_fields([mean, spread]) + prob)
+    rows = {
+        r["record_number"]: r
+        for r in grib1_records(spark, landing).collect()
+    }
+    assert rows[1]["derived_forecast"] == 0
+    assert rows[1]["probability_type"] is None
+    assert rows[1]["time_range_count"] is None
+    assert rows[2]["derived_forecast"] == 4
+    assert rows[2]["ensemble_size"] == 30
+    assert rows[2]["statistical_process"] == 0
+    assert rows[2]["time_range_count"] == 2
+    assert rows[3]["probability_type"] == 3
+    assert rows[3]["prob_lower_limit"] == pytest.approx(273.15)
+    assert rows[3]["prob_upper_limit"] is None
+    assert rows[3]["derived_forecast"] is None

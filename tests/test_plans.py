@@ -147,8 +147,10 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_lambert_decode",
         "grid_grib2_mercator_decode",
         "grid_grib2_polar_decode",
+        "grid_grib2_derived_ensemble_scan",
         "grid_grib2_ensemble_scan",
         "grid_grib2_match_decode",
+        "grid_grib2_probability_scan",
         "grid_grib2_multifield_scan",
         "grid_grib2_reduced_gaussian_decode",
         "grid_grib_inventory_scan",
