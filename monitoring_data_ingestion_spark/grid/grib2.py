@@ -312,6 +312,9 @@ class Grib2Record:
     probability_type: int | None = None
     prob_lower_limit: float | None = None
     prob_upper_limit: float | None = None
+    # Templates 4.6/4.10 (percentile forecasts): the percentile
+    # (0-100) this field represents; None on every other template.
+    percentile_value: int | None = None
     # 4.8-family statistical sections: number of time-range
     # specifications.  Only the FIRST (outermost) spec's process is
     # surfaced as statistical_process, so count > 1 marks a COMPOUND
@@ -766,6 +769,7 @@ def encode_grib2_message(
     ensemble: dict | None = None,
     derived: dict | None = None,
     probability: dict | None = None,
+    percentile: int | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1174,14 +1178,17 @@ def encode_grib2_message(
     # from all members — ensemble mean / spread); ``probability`` (keys:
     # ``number``, ``total``, ``type`` code table 4.9, optional
     # ``lower``/``upper`` = (scale factor, scaled value) threshold
-    # pairs, absent → coded missing) selects 4.5.  Combined with
-    # ``statistical`` they become 4.11 / 4.12 / 4.9, whose statistical
-    # block follows the family's extra octets.  Octets 10-34 are
-    # identical to 4.0 across all eight, so one parser serves them on
-    # decode.
-    if sum(x is not None for x in (ensemble, derived, probability)) > 1:
+    # pairs, absent → coded missing) selects 4.5; ``percentile``
+    # (0-100) selects 4.6.  Combined with ``statistical`` they become
+    # 4.11 / 4.12 / 4.9 / 4.10, whose statistical block follows the
+    # family's extra octets.  Octets 10-34 are identical to 4.0 across
+    # all ten, so one parser serves them on decode.
+    if sum(
+        x is not None for x in (ensemble, derived, probability, percentile)
+    ) > 1:
         raise ValueError(
-            "choose at most one of ensemble / derived / probability"
+            "choose at most one of ensemble / derived / probability / "
+            "percentile"
         )
     pdt_extra = b""
     if ensemble is not None:
@@ -1212,6 +1219,12 @@ def encode_grib2_message(
         )
         pdt_extra += _scaled_pair(probability.get("lower"))
         pdt_extra += _scaled_pair(probability.get("upper"))
+    elif percentile is not None:
+        tmpl4 = 10 if statistical is not None else 6
+        p = _pdt_octet(percentile, "percentile value")
+        if p > 100:
+            raise ValueError(f"percentile value {p} out of range 0-100")
+        pdt_extra += bytes([p])
     else:
         tmpl4 = 8 if statistical is not None else 0
     if statistical is not None:
@@ -1500,8 +1513,9 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
     stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
     regular AND reduced per-row-Ni form); product templates 4.0/4.1/
-    4.2/4.5/4.8/4.9/4.11/4.12 (ensemble members, derived-ensemble
-    products, probability forecasts, statistical intervals); data
+    4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12 (ensemble members,
+    derived-ensemble products, probability forecasts, percentile
+    forecasts, statistical intervals); data
     representation templates 5.0 (simple), 5.2/5.3 (complex ±
     spatial differencing), 5.40 (JPEG2000), 5.41 (PNG).  Everything
     else raises — including multi-field messages, which this strict
@@ -1735,13 +1749,14 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 5, 8, 9, 11, 12):
+    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
-        # 4.2 derived forecast, 4.5 probability, 4.8 statistical and
-        # their 4.11/4.12/4.9 statistical forms extend it; 4.30/4.20
-        # et al. do NOT) may be read with these offsets; anything else
-        # would decode garbage level columns.
+        # 4.2 derived forecast, 4.5 probability, 4.6 percentile,
+        # 4.8 statistical and their 4.11/4.12/4.9/4.10 statistical
+        # forms extend it; 4.30/4.20 et al. do NOT) may be read with
+        # these offsets; anything else would decode garbage level
+        # columns.
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
     level_type, level_scale, level_value = parse_fixed_surface(s4)
@@ -1749,6 +1764,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     derived_forecast = None
     probability_number = probability_total = probability_type = None
     prob_lower_limit = prob_upper_limit = None
+    percentile_value = None
     if tmpl4 in (1, 11):
         # 4.1 (individual ensemble member) appends octets 35-37: type
         # of ensemble forecast (code table 4.6), perturbation number,
@@ -1784,15 +1800,28 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         probability_type = s4[36] if s4[36] != 0xFF else None
         prob_lower_limit = _scaled_limit(s4, 37)
         prob_upper_limit = _scaled_limit(s4, 42)
+    elif tmpl4 in (6, 10):
+        # 4.6 (percentile forecast — "the 90th-percentile
+        # precipitation" products ensembles publish) appends a single
+        # octet 35: the percentile (0-100); 4.10 continues with the
+        # statistical block.  An out-of-range octet is a corrupt
+        # section, not a bigger percentile.
+        if len(s4) < 35:
+            raise ValueError(f"truncated product definition template 4.{tmpl4}")
+        percentile_value = s4[34] if s4[34] != 0xFF else None
+        if percentile_value is not None and percentile_value > 100:
+            raise ValueError(
+                f"percentile value {percentile_value} out of range 0-100"
+            )
     statistical_process = None
     interval_end = None
     time_range_count = None
     # statistical block start: octet 35 (4.8), 38 (4.11, after the
     # three ensemble octets), 37 (4.12, after the two derived-forecast
-    # octets) or 48 (4.9, after the thirteen probability octets) — a
-    # parser reusing 4.8's offset on the extended forms would decode a
-    # garbage interval end.
-    stat_base = {8: 34, 11: 37, 12: 36, 9: 47}.get(tmpl4)
+    # octets), 48 (4.9, after the thirteen probability octets) or 36
+    # (4.10, after the one percentile octet) — a parser reusing 4.8's
+    # offset on the extended forms would decode a garbage interval end.
+    stat_base = {8: 34, 11: 37, 12: 36, 9: 47, 10: 35}.get(tmpl4)
     if stat_base is not None:
         base = stat_base
         if len(s4) < base + 24:  # the 24-octet single-spec extension
@@ -1956,6 +1985,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         probability_type=probability_type,
         prob_lower_limit=prob_lower_limit,
         prob_upper_limit=prob_upper_limit,
+        percentile_value=percentile_value,
         time_range_count=time_range_count,
         row_ni=row_ni,
     )

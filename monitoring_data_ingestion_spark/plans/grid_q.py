@@ -4011,3 +4011,123 @@ def grid_grib2_probability_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
         ).alias("vsum"),
     ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_percentile_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 2 AS ni,
+         3 + doc_id % 3 AS nj
+  FROM documents WHERE doc_id % 37 = 5 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         80 + ((doc_id * 7 + r.r * 11 + i.i * 3 + j.j * 5) % 45) AS v
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE rn WHEN 1 THEN 10 WHEN 2 THEN 50 WHEN 3 THEN 90
+                    WHEN 4 THEN 75 END AS INTEGER) AS percentile_value,
+       CAST(CASE WHEN rn = 4 THEN 0 END AS INTEGER) AS statistical_process,
+       CASE WHEN rn = 4 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 3, 12, 0, 0
+       ) END AS interval_end,
+       CAST(CASE WHEN rn = 4 THEN 1 END AS INTEGER) AS time_range_count,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_percentile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE forecasts (PDT 4.6 / 4.10 + statistical interval)
+    through the REAL landing path — completing the operational
+    ensemble-derived family (members 4.1/4.11, derived 4.2/4.12,
+    probability 4.5/4.9, percentile 4.6/4.10), read by the reference
+    through wgrib2 (/root/reference/src/file-conversions.js:49-51,
+    76-112).  One multi-field message per document carries the
+    10th/50th/90th instantaneous percentiles and a 4.10 75th
+    percentile over a statistical interval; the landing schema's
+    ``percentile_value`` column makes percentile selection a plain
+    column filter on landed archives.
+
+    The oracle pins the percentile octet per field, the NULL contract
+    on statistical columns for instantaneous 4.6 records, the 4.10
+    statistical block at +1 past 4.8's offset, and per-field payload
+    sums.
+
+    Scale: the landing posture — submessage splitting is section
+    slicing; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 37 == 5) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 2, 3 + d % 3
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        80 + ((d * 7 + r * 11 + i * 3 + j * 5) % 45)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=1, number=8, reference_value=80.0, nbits=8
+                )
+                msgs = [
+                    encode_grib2_message(field(r), **enc, percentile=p)
+                    for r, p in ((0, 10), (1, 50), (2, 90))
+                ]
+                msgs.append(
+                    encode_grib2_message(
+                        field(3), **enc, percentile=75,
+                        statistical=dict(
+                            process=0,
+                            interval_end=(2020, 1 + d % 12, 3, 12, 0),
+                            range_hours=24,
+                        ),
+                    )
+                )
+                rows.append(
+                    {"path": f"doc://{d}", "content": merge_grib2_fields(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "percentile_value",
+        "statistical_process",
+        "interval_end",
+        "time_range_count",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")

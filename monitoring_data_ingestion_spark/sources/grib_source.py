@@ -47,7 +47,7 @@ RECORD_SCHEMA = (
     "time_range_count int, "
     "ensemble_member int, ensemble_size int, derived_forecast int, "
     "probability_type int, prob_lower_limit double, "
-    "prob_upper_limit double, "
+    "prob_upper_limit double, percentile_value int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -60,7 +60,7 @@ _RECORD_COLUMNS = [
     "hour", "statistical_process", "interval_end", "time_range_count",
     "ensemble_member", "ensemble_size", "derived_forecast",
     "probability_type", "prob_lower_limit", "prob_upper_limit",
-    "ni", "nj",
+    "percentile_value", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values",
 ]
@@ -174,7 +174,7 @@ def _grib2_field_header(s: dict) -> dict:
         # different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 5, 8, 9, 11, 12):
+    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     g = s3[14:]
     (ni,) = struct.unpack_from(">I", g, 16)
@@ -336,7 +336,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 grid_template = stat_process = interval_end = None
                 time_ranges = None
                 ens_member = ens_size = derived_fc = None
-                prob_type = prob_lo = prob_hi = None
+                prob_type = prob_lo = prob_hi = pctl = None
                 cell_lats = cell_lons = None
                 if edition == 1:
                     rec = decode_grib1(msg)
@@ -382,6 +382,9 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     prob_type = rec.probability_type
                     prob_lo = rec.prob_lower_limit
                     prob_hi = rec.prob_upper_limit
+                    # Templates 4.6/4.10: the percentile (0-100)
+                    # this field represents.
+                    pctl = rec.percentile_value
                     # 4.8-family: how many time-range specifications
                     # the statistical section nests — count > 1 marks
                     # a compound statistic ("average of daily maxima")
@@ -460,6 +463,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "probability_type": prob_type,
                         "prob_lower_limit": prob_lo,
                         "prob_upper_limit": prob_hi,
+                        "percentile_value": pctl,
                         "ni": rec.ni,
                         "nj": rec.nj,
                         "lat_first_mdeg": lat0,

@@ -1973,3 +1973,44 @@ def test_derived_and_probability_columns_land(spark, tmp_path):
     assert rows[3]["prob_lower_limit"] == pytest.approx(273.15)
     assert rows[3]["prob_upper_limit"] is None
     assert rows[3]["derived_forecast"] is None
+
+
+def test_percentile_pdts_roundtrip_and_guards():
+    """PDT 4.6 (percentile forecast) and 4.10 (percentile +
+    statistical interval): the single percentile octet decodes, the
+    4.10 statistical block sits at +1 past 4.8's offset, and a
+    percentile outside 0-100 stops loudly on BOTH encode and decode
+    (the wire octet holds 0-255; larger is corruption, not a bigger
+    percentile)."""
+    import struct
+
+    v = np.arange(6, dtype=np.float64).reshape(2, 3)
+    r = decode_grib2(encode_grib2_message(v, percentile=90))
+    assert r.percentile_value == 90
+    assert r.statistical_process is None and r.time_range_count is None
+    np.testing.assert_array_equal(r.values, v)
+    r = decode_grib2(
+        encode_grib2_message(
+            v, percentile=0,
+            statistical=dict(
+                process=0, interval_end=(2020, 3, 1, 0, 0), range_hours=24
+            ),
+        )
+    )
+    assert (r.percentile_value, r.statistical_process) == (0, 0)
+    assert r.interval_end == (2020, 3, 1, 0, 0)
+    with pytest.raises(ValueError, match="percentile value"):
+        encode_grib2_message(v, percentile=101)
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(v, percentile=50, derived=dict(type=0, size=3))
+    # a crafted octet > 100 rejects on decode too
+    msg = bytearray(encode_grib2_message(v, percentile=50))
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 4:
+            msg[pos + 34] = 200
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="percentile value 200"):
+        decode_grib2(bytes(msg))

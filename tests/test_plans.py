@@ -150,6 +150,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_ensemble_scan",
         "grid_grib2_match_decode",
+        "grid_grib2_percentile_scan",
         "grid_grib2_probability_scan",
         "grid_grib2_multifield_scan",
         "grid_grib2_reduced_gaussian_decode",
