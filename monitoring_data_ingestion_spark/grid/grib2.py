@@ -733,6 +733,13 @@ def _scaled_pair(limit) -> bytes:
         raise ValueError(
             f"threshold scale factor {scale} out of signed-magnitude range"
         )
+    if value == -(2**31 - 1):
+        # sign-magnitude -(2^31-1) is the all-ones word — it would
+        # round-trip as coded-missing (no limit), silently losing the
+        # threshold; same collision class as scale -127
+        raise ValueError(
+            "threshold scaled value collides with the coded-missing sentinel"
+        )
     return bytes([(0x80 | -scale) if scale < 0 else scale]) + _s32be(value)
 
 
@@ -1307,10 +1314,10 @@ def merge_grib2_fields(msgs: "list[bytes]") -> bytes:
             raise ValueError(
                 "merge_grib2_fields does not carry section 2 (local use)"
             )
-        missing = {3, 4, 5, 6, 7} - set(s)
+        missing = {1, 3, 4, 5, 6, 7} - set(s)
         if missing:
-            # a foreign/truncated input without a full 3-7 run would
-            # otherwise surface as an opaque KeyError from parts.extend
+            # a foreign/truncated input without section 1 or a full 3-7
+            # run would otherwise surface as an opaque KeyError
             raise ValueError(
                 "merge_grib2_fields input missing section(s) "
                 f"{sorted(missing)}"
@@ -1411,7 +1418,8 @@ def _scaled_limit(s4: bytes, off: int) -> float | None:
     if sf == 0xFF or raw == 0xFFFFFFFF:
         return None
     scale = -(sf & 0x7F) if sf & 0x80 else sf
-    return float(_rs32be(s4, off + 1)) / (10.0 ** scale)
+    value = -(raw & 0x7FFFFFFF) if raw & 0x80000000 else raw
+    return float(value) / (10.0 ** scale)
 
 
 def _iter_field_sections(msg: bytes):

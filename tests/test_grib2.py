@@ -2014,3 +2014,40 @@ def test_percentile_pdts_roundtrip_and_guards():
         pos += ln
     with pytest.raises(ValueError, match="percentile value 200"):
         decode_grib2(bytes(msg))
+
+
+def test_review_guards_sentinel_value_and_merge_missing_s1():
+    """r10 review pass: (a) a threshold scaled value of -(2^31-1) is the
+    all-ones sign-magnitude word — encoding it would silently round-trip
+    as coded-missing, so it must raise like the scale -127 collision;
+    (b) merge_grib2_fields diagnoses a missing section 1, not KeyError."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import merge_grib2_fields
+
+    v = np.ones((2, 3))
+    with pytest.raises(ValueError, match="coded-missing sentinel"):
+        encode_grib2_message(
+            v,
+            probability=dict(number=0, total=1, type=3, lower=(0, -(2**31 - 1))),
+        )
+    # the adjacent representable values still work
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            probability=dict(number=0, total=1, type=3, lower=(0, -(2**31 - 2))),
+        )
+    )
+    assert r.prob_lower_limit == pytest.approx(float(-(2**31 - 2)))
+
+    full = encode_grib2_message(v)
+    parts, pos = [full[:16]], 16
+    while pos < len(full) - 4:
+        ln, num = struct.unpack_from(">IB", full, pos)
+        if num != 1:  # drop ONLY section 1
+            parts.append(full[pos:pos + ln])
+        pos += ln
+    no_s1 = bytearray(b"".join(parts) + b"7777")
+    struct.pack_into(">Q", no_s1, 8, len(no_s1))
+    with pytest.raises(ValueError, match=r"missing section\(s\) \[1\]"):
+        merge_grib2_fields([bytes(no_s1)])
