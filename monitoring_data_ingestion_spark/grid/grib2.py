@@ -315,6 +315,9 @@ class Grib2Record:
     # Templates 4.6/4.10 (percentile forecasts): the percentile
     # (0-100) this field represents; None on every other template.
     percentile_value: int | None = None
+    # Forecast lead time (octets 18-22, whole 4.0 family) converted to
+    # WHOLE hours; 0 for analysis fields.
+    forecast_hours: int = 0
     # 4.8-family statistical sections: number of time-range
     # specifications.  Only the FIRST (outermost) spec's process is
     # surfaced as statistical_process, so count > 1 marks a COMPOUND
@@ -777,6 +780,7 @@ def encode_grib2_message(
     derived: dict | None = None,
     probability: dict | None = None,
     percentile: int | None = None,
+    forecast: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1197,6 +1201,18 @@ def encode_grib2_message(
             "choose at most one of ensemble / derived / probability / "
             "percentile"
         )
+    # ``forecast`` (keys: ``unit`` code table 4.4, ``value``) sets the
+    # lead-time octets shared by the whole 4.0 family; default is an
+    # analysis field (hour unit, lead 0).  Only units the decoder can
+    # convert to whole hours are accepted — encoding a calendar unit
+    # would produce a message the engine itself rejects.
+    if forecast is None:
+        fc_unit, fc_value = 1, 0
+    else:
+        fc_unit, fc_value = int(forecast["unit"]), int(forecast["value"])
+        if not 0 <= fc_value < 1 << 31:
+            raise ValueError(f"forecast time {fc_value} out of range")
+        _forecast_hours(fc_unit, fc_value)  # validates unit/divisibility
     pdt_extra = b""
     if ensemble is not None:
         tmpl4 = 11 if statistical is not None else 1
@@ -1263,8 +1279,8 @@ def encode_grib2_message(
         + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
         + b"\x00\x00"  # hours of cutoff
         + bytes([0])  # minutes
-        + bytes([1])  # time unit: hour
-        + struct.pack(">I", 0)  # forecast time
+        + bytes([fc_unit])  # time unit (code table 4.4)
+        + struct.pack(">I", fc_value)  # forecast time in those units
         # Scale factor is signed-MAGNITUDE (top bit = sign) like every
         # other GRIB2 signed field — two's complement would decode as a
         # huge negative scale.
@@ -1404,6 +1420,35 @@ def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
     (raw_lv,) = struct.unpack_from(">I", s4, 24)
     level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
     return level_type, level_scale, level_value
+
+
+# Code table 4.4 fixed-duration time units → hours.  Calendar units
+# (month/year/decade/normal/century) have no fixed hour length and
+# reject loudly; minutes/seconds convert when whole-hour-divisible.
+_FORECAST_UNIT_HOURS = {1: 1, 2: 24, 10: 3, 11: 6, 12: 12}
+
+
+def _forecast_hours(unit: int, value: int) -> int:
+    """Code-table-4.4 (unit, value) lead time → WHOLE hours.  GFS-style
+    archives use hours (f000-f384) and the 3/6/12-hour units; a
+    sub-hour or calendar-unit lead can't be represented in the integer
+    ``forecast_hours`` column, so it stops loudly instead of rounding
+    — a silently floored lead would mis-stamp every valid time
+    downstream."""
+    if unit in _FORECAST_UNIT_HOURS:
+        return value * _FORECAST_UNIT_HOURS[unit]
+    if unit in (0, 13):  # minutes / seconds
+        q, rem = divmod(value, 60 if unit == 0 else 3600)
+        if rem:
+            raise ValueError(
+                f"sub-hour forecast lead ({value} in unit {unit}) is not "
+                "a whole number of hours"
+            )
+        return q
+    raise ValueError(
+        f"unsupported forecast time unit {unit} (calendar-dependent "
+        "or reserved)"
+    )
 
 
 def _scaled_limit(s4: bytes, off: int) -> float | None:
@@ -1767,6 +1812,11 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         # columns.
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
+    # Octets 18-22, shared by the whole 4.0 family: forecast lead time
+    # (unit from code table 4.4, signed-magnitude value) — GFS f000 -
+    # f384 style products are distinguished ONLY by this field, so a
+    # decoder ignoring it would collapse every lead into the analysis.
+    forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
     level_type, level_scale, level_value = parse_fixed_surface(s4)
     ensemble_type = ensemble_member = ensemble_size = None
     derived_forecast = None
@@ -1994,6 +2044,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         prob_lower_limit=prob_lower_limit,
         prob_upper_limit=prob_upper_limit,
         percentile_value=percentile_value,
+        forecast_hours=forecast_hours,
         time_range_count=time_range_count,
         row_ni=row_ni,
     )

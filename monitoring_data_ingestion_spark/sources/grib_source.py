@@ -43,7 +43,7 @@ RECORD_SCHEMA = (
     "path string, record_number int, edition int, grid_template int, "
     "parameter int, category int, number int, "
     "level_type int, level int, year int, month int, day int, hour int, "
-    "statistical_process int, interval_end timestamp, "
+    "forecast_hours int, statistical_process int, interval_end timestamp, "
     "time_range_count int, "
     "ensemble_member int, ensemble_size int, derived_forecast int, "
     "probability_type int, prob_lower_limit double, "
@@ -57,7 +57,8 @@ RECORD_SCHEMA = (
 _RECORD_COLUMNS = [
     "path", "record_number", "edition", "grid_template", "parameter",
     "category", "number", "level_type", "level", "year", "month", "day",
-    "hour", "statistical_process", "interval_end", "time_range_count",
+    "hour", "forecast_hours", "statistical_process", "interval_end",
+    "time_range_count",
     "ensemble_member", "ensemble_size", "derived_forecast",
     "probability_type", "prob_lower_limit", "prob_upper_limit",
     "percentile_value", "ni", "nj",
@@ -334,6 +335,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 ):
                     continue
                 grid_template = stat_process = interval_end = None
+                fc_hours = None
                 time_ranges = None
                 ens_member = ens_size = derived_fc = None
                 prob_type = prob_lo = prob_hi = pctl = None
@@ -378,6 +380,10 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # limits land beside the ensemble columns — NULL
                     # everywhere else, so member-vs-mean-vs-P(>thr) is
                     # a plain column filter on landed archives.
+                    # Forecast lead (octets 18-22, whole 4.0 family)
+                    # in whole hours; NULL on GRIB1 records (their
+                    # PDS time octets are not surfaced).
+                    fc_hours = rec.forecast_hours
                     derived_fc = rec.derived_forecast
                     prob_type = rec.probability_type
                     prob_lo = rec.prob_lower_limit
@@ -454,6 +460,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "month": rec.reftime[1],
                         "day": rec.reftime[2],
                         "hour": rec.reftime[3],
+                        "forecast_hours": fc_hours,
                         "statistical_process": stat_process,
                         "interval_end": interval_end,
                         "time_range_count": time_ranges,

@@ -2051,3 +2051,44 @@ def test_review_guards_sentinel_value_and_merge_missing_s1():
     struct.pack_into(">Q", no_s1, 8, len(no_s1))
     with pytest.raises(ValueError, match=r"missing section\(s\) \[1\]"):
         merge_grib2_fields([bytes(no_s1)])
+
+
+def test_forecast_lead_time_decode_contract():
+    """Octets 18-22 (code-table-4.4 unit + lead value) convert to whole
+    hours across the fixed-duration units; sub-hour and calendar-unit
+    leads stop loudly instead of rounding; the lead composes with every
+    PDT family without shifting the later octets."""
+    v = np.ones((2, 3))
+    assert decode_grib2(encode_grib2_message(v)).forecast_hours == 0
+    cases = [
+        (dict(unit=1, value=18), 18),
+        (dict(unit=2, value=4), 96),
+        (dict(unit=10, value=3), 9),
+        (dict(unit=11, value=2), 12),
+        (dict(unit=12, value=5), 60),
+        (dict(unit=0, value=120), 2),
+        (dict(unit=13, value=7200), 2),
+    ]
+    for fc, hours in cases:
+        assert decode_grib2(
+            encode_grib2_message(v, forecast=fc)
+        ).forecast_hours == hours
+    with pytest.raises(ValueError, match="forecast time unit 3"):
+        encode_grib2_message(v, forecast=dict(unit=3, value=1))
+    with pytest.raises(ValueError, match="not a whole number of hours"):
+        encode_grib2_message(v, forecast=dict(unit=0, value=90))
+    # composes with ensemble + statistical (lead octets precede the
+    # family extras, so nothing shifts)
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            forecast=dict(unit=1, value=240),
+            ensemble=dict(type=3, member=7, size=31),
+            statistical=dict(
+                process=0, interval_end=(2020, 1, 11, 0, 0), range_hours=6
+            ),
+        )
+    )
+    assert r.forecast_hours == 240
+    assert (r.ensemble_member, r.statistical_process) == (7, 0)
+    assert r.interval_end == (2020, 1, 11, 0, 0)

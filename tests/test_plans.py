@@ -149,6 +149,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_polar_decode",
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_ensemble_scan",
+        "grid_grib2_forecast_lead_scan",
         "grid_grib2_match_decode",
         "grid_grib2_percentile_scan",
         "grid_grib2_probability_scan",
