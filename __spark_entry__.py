@@ -31,16 +31,18 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 10 (from CORRECTNESS_r01-r09): 31 names
 # last witnessed r4 (oldest), 44 r5, 47 r6, 44 r7, 45 r8, 50 r9.
-# Round 10 takes the 4 new r10 queries (derived-ensemble PDTs 4.2/4.12,
-# probability PDTs 4.5/4.9, percentile PDTs 4.6/4.10 and forecast
-# lead times through the landing source) + the 11 queries changed by
+# Round 10 takes the 5 new r10 queries (derived-ensemble PDTs 4.2/4.12,
+# probability PDTs 4.5/4.9, percentile PDTs 4.6/4.10, and forecast
+# lead times through the landing source for BOTH editions — GRIB2
+# octets 18-22 and GRIB1 PDS octets 18-21) + the 11 queries changed by
 # the r10 landing-schema work (RECORD_SCHEMA grew forecast_hours /
 # time_range_count / derived_forecast / probability_type /
-# prob_lower_limit / prob_upper_limit / percentile_value; the header
-# gate admits PDTs 2/5/6/9/10/12; codec-level inventory/match went
-# per-field) + all 31 r4
-# leftovers + the first 4 of the r5 cohort (alphabetical).  The 40 r5
-# names left over — dedup_ngram_jaccard_capped, dedup_simhash,
+# prob_lower_limit / prob_upper_limit / percentile_value, now
+# populated for GRIB1 records too; the header gate admits PDTs
+# 2/5/6/9/10/12; codec-level inventory/match went per-field) + all 31
+# r4 leftovers + the first 3 of the r5 cohort (alphabetical).  The 41
+# r5 names left over — dedup_containment_capped,
+# dedup_ngram_jaccard_capped, dedup_simhash,
 # dq_constraint_audit, dq_profile_customer,
 # embedding_pca_project, geo_near_join, grid_bilinear_regrid,
 # grid_gradient_slope, grid_zonal_stats, join_salted_skew,
@@ -63,12 +65,14 @@ _PRIORITY: tuple[str, ...] = (
     #     products (PDT 4.2 mean / 4.12 spread+interval), probability
     #     forecasts (PDT 4.5/4.9 threshold columns), percentile
     #     forecasts (PDT 4.6/4.10) and forecast lead times
-    #     (forecast_hours + valid-time arithmetic) through the
-    #     landing source ---
+    #     (forecast_hours + valid-time arithmetic, GRIB2 octets 18-22
+    #     AND GRIB1 PDS octets 18-21 incl. TRI-10 16-bit leads and
+    #     TRI 3/4 interval normalization) through the landing source ---
     "grid_grib2_derived_ensemble_scan",
     "grid_grib2_probability_scan",
     "grid_grib2_percentile_scan",
     "grid_grib2_forecast_lead_scan",
+    "grid_grib1_forecast_lead_scan",
     # --- 2. changed in round 10 (landing RECORD_SCHEMA grew the
     #     forecast_hours / time_range_count / derived / probability /
     #     percentile columns; header-only gate admits the new PDTs;
@@ -117,11 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "window_distribution_ranks",
     "window_rank_ties",
-    # --- 4. next-oldest cohort: round 5, first 4 alphabetical ---
+    # --- 4. next-oldest cohort: round 5, first 3 alphabetical ---
     "agg_share_of_total",
     "cdc_snapshot_diff",
     "dedup_containment",
-    "dedup_containment_capped",
 )
 
 

@@ -43,6 +43,7 @@ executor-side; a per-cell Python loop would dominate batch time).
 
 from __future__ import annotations
 
+import datetime
 import math
 from dataclasses import dataclass
 
@@ -220,6 +221,36 @@ def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
     return bits @ weights
 
 
+# --- PDS time octets (WMO code tables 4 and 5, edition 1) -----------------
+
+# Code table 4 fixed-duration units → hours.  Edition 1 numbers differ
+# from GRIB2's table 4.4 in the sub-hour codes (minute = 0 is shared,
+# second = 254 here vs 13 there); calendar units (3 month, 4 year, 5
+# decade, 6 normal, 7 century) have no fixed hour length and reject.
+_TIME_UNIT_HOURS = {1: 1, 2: 24, 10: 3, 11: 6, 12: 12}
+
+
+def _grib1_hours(unit: int, value: int) -> int:
+    """Code-table-4 (unit, value) → WHOLE hours, or a loud stop for
+    sub-hour remainders and calendar units — the same contract as the
+    GRIB2 decoder's ``_forecast_hours`` (a silently floored lead would
+    mis-stamp every valid time downstream)."""
+    if unit in _TIME_UNIT_HOURS:
+        return value * _TIME_UNIT_HOURS[unit]
+    if unit in (0, 254):  # minutes / seconds
+        q, rem = divmod(value, 60 if unit == 0 else 3600)
+        if rem:
+            raise ValueError(
+                f"sub-hour GRIB1 time ({value} in unit {unit}) is not "
+                "a whole number of hours"
+            )
+        return q
+    raise ValueError(
+        f"unsupported GRIB1 time unit {unit} (calendar-dependent "
+        "or reserved)"
+    )
+
+
 # --- message model --------------------------------------------------------
 
 
@@ -242,6 +273,17 @@ class Grib1Record:
     reference_value: float
     nbits: int
     values: np.ndarray  # (nj, ni) float64, NaN where the bitmap masks
+    # PDS octets 18-21 (time unit / P1 / P2 / time range indicator),
+    # normalized onto the SAME cross-edition surface the GRIB2 decoder
+    # exposes: lead to the field's point time (or the START of a
+    # statistical interval) in WHOLE hours, the statistical process in
+    # GRIB2 code-table-4.10 numbering (0 = average for TRI 3, 1 =
+    # accumulation for TRI 4), and the interval END as a calendar
+    # tuple.  ``time_range_indicator`` keeps the raw edition-1 code.
+    time_range_indicator: int = 0
+    forecast_hours: int = 0
+    statistical_process: int | None = None
+    interval_end: tuple[int, int, int, int, int] | None = None
 
 
 def encode_grib1_message(
@@ -261,6 +303,8 @@ def encode_grib1_message(
     bitmap: np.ndarray | None = None,
     reference_value: float | None = None,
     scanning_mode: int = 0x00,
+    forecast: dict | None = None,
+    statistical: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -272,7 +316,18 @@ def encode_grib1_message(
     missing) adds a BMS and packs only present cells.
     ``reference_value`` defaults to the scaled minimum of the present
     cells (the standard choice); pass it explicitly to pin R for
-    bit-exact closed-form oracles."""
+    bit-exact closed-form oracles.
+
+    ``forecast`` (keys ``unit`` from code table 4, ``value``) makes the
+    field a point forecast: time range indicator 0 with P1 = value, or
+    TRI 10 (P1 spans octets 19-20) when the value needs 16 bits — the
+    layout GFS-style archives use for leads past 255.  ``statistical``
+    (keys ``process`` in GRIB2-4.10 numbering — 0 average → TRI 3, 1
+    accumulation → TRI 4 — plus ``start``/``end`` and optional
+    ``unit``) makes it a period product with P1 = start, P2 = end.
+    The two are mutually exclusive (in edition 1 the SAME octets carry
+    either the point lead or the interval bounds); the default is an
+    analysis field (TRI 0, hour unit, lead 0)."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
@@ -307,6 +362,37 @@ def encode_grib1_message(
     bds_pad = (11 + len(packed)) % 2
     unused += 8 * bds_pad  # fits the 4-bit nibble: ≤ 7 + 8 = 15
 
+    if forecast is not None and statistical is not None:
+        raise ValueError(
+            "forecast and statistical are mutually exclusive in GRIB1 "
+            "(octets 19-20 carry either the point lead or the interval)"
+        )
+    t_unit, p1, p2, tri = 1, 0, 0, 0  # analysis field
+    if forecast is not None:
+        t_unit, value = int(forecast["unit"]), int(forecast["value"])
+        _grib1_hours(t_unit, value)  # validates unit/divisibility
+        if 0 <= value <= 0xFF:
+            p1, tri = value, 0
+        elif value <= 0xFFFF:
+            p1, p2, tri = value >> 8, value & 0xFF, 10  # 16-bit P1
+        else:
+            raise ValueError(f"forecast value {value} exceeds 16 bits")
+    elif statistical is not None:
+        t_unit = int(statistical.get("unit", 1))
+        p1, p2 = int(statistical["start"]), int(statistical["end"])
+        _grib1_hours(t_unit, p2)
+        if not 0 <= p1 <= p2 <= 0xFF:
+            raise ValueError(
+                f"statistical interval ({p1}, {p2}) must satisfy "
+                "0 <= start <= end <= 255"
+            )
+        tri = {0: 3, 1: 4}.get(int(statistical["process"]))
+        if tri is None:
+            raise ValueError(
+                "statistical process must be 0 (average) or 1 "
+                "(accumulation) in GRIB2-4.10 numbering"
+            )
+
     pds = (
         bytes([1])  # parameter table version
         + bytes([74])  # originating centre (UK Met Office — arbitrary)
@@ -324,8 +410,7 @@ def encode_grib1_message(
                 reftime[4],
             ]
         )
-        + bytes([1])  # time unit: hour
-        + bytes([0, 0, 0])  # P1, P2, time range indicator
+        + bytes([t_unit, p1, p2, tri])  # octets 18-21
         + bytes([0, 0, 0])  # number in average, missing
         + bytes([(reftime[0] - 1) // 100 + 1])  # century
         + bytes([0])  # subcentre
@@ -464,6 +549,40 @@ def inspect_grib1(msg: bytes) -> dict:
     return out
 
 
+def _decode_pds_time(
+    pds: bytes, reftime: tuple[int, int, int, int, int]
+) -> tuple[int, int, int | None, tuple[int, int, int, int, int] | None]:
+    """PDS octets 18-21 → (time range indicator, forecast_hours,
+    statistical_process, interval_end), normalized to the cross-edition
+    landing surface (see :class:`Grib1Record`).
+
+    Supported time range indicators (WMO code table 5): 0 (forecast at
+    ref + P1), 1 (initialized analysis), 3 (average over ref+P1 …
+    ref+P2 → process 0), 4 (accumulation over the same → process 1)
+    and 10 (P1 spans octets 19-20 — leads past 255).  Anything else —
+    valid-between (2), difference (5), climatological means (51,
+    113+) — stops loudly: each reinterprets P1/P2, and a decoder that
+    guessed would stamp wrong valid times silently."""
+    unit, o19, o20, tri = pds[17], pds[18], pds[19], pds[20]
+    stat_process = interval_end = None
+    if tri == 0:
+        forecast_hours = _grib1_hours(unit, o19)
+    elif tri == 1:  # initialized analysis: valid AT the reference time
+        forecast_hours = 0
+    elif tri in (3, 4):
+        forecast_hours = _grib1_hours(unit, o19)
+        end = datetime.datetime(*reftime) + datetime.timedelta(
+            hours=_grib1_hours(unit, o20)
+        )
+        interval_end = (end.year, end.month, end.day, end.hour, end.minute)
+        stat_process = 0 if tri == 3 else 1  # GRIB2 code-table-4.10 numbers
+    elif tri == 10:
+        forecast_hours = _grib1_hours(unit, (o19 << 8) | o20)
+    else:
+        raise ValueError(f"unsupported GRIB1 time range indicator {tri}")
+    return tri, forecast_hours, stat_process, interval_end
+
+
 def decode_grib1(msg: bytes) -> Grib1Record:
     """Decode one GRIB1 message (regular lat/lon grid, simple packing)."""
     msg = bytes(msg)
@@ -483,6 +602,9 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     year = (century - 1) * 100 + pds[12]
     reftime = (year, pds[13], pds[14], pds[15], pds[16])
     decimal_scale = _rs16(pds, 26)
+    time_range_indicator, forecast_hours, stat_process, interval_end = (
+        _decode_pds_time(pds, reftime)
+    )
     pos += pds_len
     if not has_gds:
         raise ValueError("messages without a GDS are not supported")
@@ -569,4 +691,8 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         reference_value=r,
         nbits=nbits,
         values=values,
+        time_range_indicator=time_range_indicator,
+        forecast_hours=forecast_hours,
+        statistical_process=stat_process,
+        interval_end=interval_end,
     )

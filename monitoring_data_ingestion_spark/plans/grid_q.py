@@ -4257,3 +4257,129 @@ def grid_grib2_forecast_lead_scan(spark: SparkSession, sf_dir: str) -> DataFrame
             "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
         ).alias("vsum"),
     ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib1_forecast_lead_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 53 = 29 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         60 + ((doc_id * 3 + r.r * 7 + i.i * 11 + j.j * 2) % 50) AS v,
+         CASE r.r WHEN 0 THEN 0
+                  WHEN 1 THEN 12 * (1 + doc_id % 4)
+                  WHEN 2 THEN 300 + doc_id % 90
+                  WHEN 3 THEN doc_id % 4 END AS lead_h
+  FROM g,
+       UNNEST(generate_series(0, 3)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(lead_h AS INTEGER) AS forecast_hours,
+       make_timestamp(2020, 1, 1, 0, 0, 0) + to_hours(lead_h) AS valid_time,
+       CAST(CASE WHEN rn = 4 THEN 1 END AS INTEGER) AS statistical_process,
+       CASE WHEN rn = 4 THEN make_timestamp(2020, 1, 1, 0, 0, 0)
+                            + to_hours(doc_id % 4 + 6) END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, rn, lead_h
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib1_forecast_lead_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB EDITION-1 forecast lead times through the REAL landing path
+    — PDS octets 18-21 (code-table-4 unit, P1, P2, time range
+    indicator), the fields that distinguish an ERA5 analysis from a
+    forecast step in the edition-1 downloads the reference feeds to
+    wgrib (/root/reference/src/file-conversions.js:114-127).  One
+    4-record file per document carries an analysis (TRI 0, lead 0), a
+    12-HOUR-unit lead (witnessing the code-table multiply — a decoder
+    reading P1 without the unit would be 12x off), a >255-hour lead in
+    the TRI-10 layout (P1 spans octets 19-20 — the GFS f384 case a
+    1-octet reader truncates) and a TRI-4 accumulation whose P1/P2
+    interval lands as the SAME statistical_process / interval_end
+    columns GRIB2's template 4.8 uses (process normalized to
+    code-table-4.10 numbering) — so lead-time selection, valid-time
+    arithmetic and accumulation filtering are identical column
+    predicates across editions on mixed archives.
+
+    Scale: the landing posture — one decode task per file batch; only
+    per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 53 == 29) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        60 + ((d * 3 + r * 7 + i * 11 + j * 2) % 50)
+                    ).astype(np.float64)
+
+                enc = dict(reference_value=60.0, nbits=8)
+                msgs = [
+                    encode_grib1_message(field(0), **enc),  # analysis
+                    encode_grib1_message(
+                        field(1), **enc,
+                        forecast=dict(unit=12, value=1 + d % 4),  # 12-hour
+                    ),
+                    encode_grib1_message(
+                        field(2), **enc,
+                        forecast=dict(unit=1, value=300 + d % 90),  # TRI 10
+                    ),
+                    encode_grib1_message(
+                        field(3), **enc,
+                        statistical=dict(
+                            process=1, start=d % 4, end=d % 4 + 6
+                        ),
+                    ),
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": b"".join(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "forecast_hours",
+        F.expr(
+            "timestampadd(HOUR, forecast_hours,"
+            " make_timestamp(year, month, day, hour, 0, 0))"
+        ).alias("valid_time"),
+        "statistical_process",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")

@@ -345,6 +345,19 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     level_type, level = rec.level_type, rec.level
                     parameter = rec.parameter
                     category = number = None
+                    # PDS octets 18-21 normalized by the codec onto the
+                    # SAME cross-edition surface GRIB2 uses: lead hours,
+                    # statistical process in 4.10 numbering (TRI 3
+                    # average → 0, TRI 4 accumulation → 1) and the
+                    # interval end — so "accumulated precip since f006"
+                    # filters identically on mixed-edition archives.
+                    fc_hours = rec.forecast_hours
+                    stat_process = rec.statistical_process
+                    if rec.interval_end is not None:
+                        ey, em, ed, eh, emi = rec.interval_end
+                        interval_end = pd.Timestamp(
+                            year=ey, month=em, day=ed, hour=eh, minute=emi
+                        )
                     lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
                     dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
                     lats_udeg = None
@@ -381,8 +394,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # everywhere else, so member-vs-mean-vs-P(>thr) is
                     # a plain column filter on landed archives.
                     # Forecast lead (octets 18-22, whole 4.0 family)
-                    # in whole hours; NULL on GRIB1 records (their
-                    # PDS time octets are not surfaced).
+                    # in whole hours.
                     fc_hours = rec.forecast_hours
                     derived_fc = rec.derived_forecast
                     prob_type = rec.probability_type

@@ -316,3 +316,79 @@ def test_bds_pad_byte_counted_in_unused_bits():
         assert bds_len % 2 == 0
         assert (bds_len - 11) * 8 - unused == cells * 8, cells
         assert np.array_equal(decode_grib1(msg).values, v)
+
+
+def test_pds_time_octets_decode_contract():
+    """Octets 18-21 (unit / P1 / P2 / time range indicator) normalize to
+    the cross-edition surface: whole-hour lead, statistical process in
+    GRIB2-4.10 numbering, calendar interval end. Analysis default,
+    hour/3-hour/day units, the 16-bit TRI-10 layout, and TRI 3/4
+    period products all round-trip; sub-hour remainders, calendar
+    units and reinterpreting indicators stop loudly."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    r = decode_grib1(encode_grib1_message(v))
+    assert (r.time_range_indicator, r.forecast_hours) == (0, 0)
+    assert r.statistical_process is None and r.interval_end is None
+    cases = [
+        (dict(unit=1, value=18), 0, 18),
+        (dict(unit=2, value=4), 0, 96),
+        (dict(unit=10, value=3), 0, 9),
+        (dict(unit=11, value=2), 0, 12),
+        (dict(unit=12, value=5), 0, 60),
+        (dict(unit=0, value=120), 0, 2),
+        (dict(unit=254, value=7200), 10, 2),  # 7200 > 255 → 16-bit P1
+        (dict(unit=1, value=384), 10, 384),  # > 255 → 16-bit P1
+        (dict(unit=10, value=300), 10, 900),
+    ]
+    for fc, tri, hours in cases:
+        r = decode_grib1(encode_grib1_message(v, forecast=fc))
+        assert (r.time_range_indicator, r.forecast_hours) == (tri, hours)
+        assert r.statistical_process is None and r.interval_end is None
+    with pytest.raises(ValueError, match="time unit 3"):
+        encode_grib1_message(v, forecast=dict(unit=3, value=1))
+    with pytest.raises(ValueError, match="not a whole number of hours"):
+        encode_grib1_message(v, forecast=dict(unit=0, value=90))
+    with pytest.raises(ValueError, match="exceeds 16 bits"):
+        encode_grib1_message(v, forecast=dict(unit=1, value=70000))
+
+
+def test_pds_statistical_period_products():
+    v = np.ones((2, 3))
+    # accumulation over ref+0 .. ref+6h (TRI 4 → process 1)
+    r = decode_grib1(
+        encode_grib1_message(
+            v,
+            reftime=(2020, 1, 31, 18, 0),
+            statistical=dict(process=1, start=0, end=6),
+        )
+    )
+    assert (r.time_range_indicator, r.statistical_process) == (4, 1)
+    assert r.forecast_hours == 0
+    assert r.interval_end == (2020, 2, 1, 0, 0)  # rolls over the month
+    # average over ref+2d .. ref+5d in day units (TRI 3 → process 0)
+    r = decode_grib1(
+        encode_grib1_message(
+            v,
+            reftime=(2020, 12, 30, 0, 0),
+            statistical=dict(process=0, start=2, end=5, unit=2),
+        )
+    )
+    assert (r.time_range_indicator, r.statistical_process) == (3, 0)
+    assert r.forecast_hours == 48
+    assert r.interval_end == (2021, 1, 4, 0, 0)  # rolls over the year
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_grib1_message(
+            v,
+            forecast=dict(unit=1, value=6),
+            statistical=dict(process=1, start=0, end=6),
+        )
+    with pytest.raises(ValueError, match="start <= end"):
+        encode_grib1_message(v, statistical=dict(process=1, start=7, end=6))
+    with pytest.raises(ValueError, match="process must be 0"):
+        encode_grib1_message(v, statistical=dict(process=9, start=0, end=6))
+    # an unsupported reinterpreting indicator (TRI 2: valid-between)
+    # stops loudly instead of guessing at P1/P2 semantics
+    msg = bytearray(encode_grib1_message(v, forecast=dict(unit=1, value=6)))
+    msg[8 + 20] = 2  # PDS octet 21 (TRI) — PDS starts at byte 8
+    with pytest.raises(ValueError, match="time range indicator 2"):
+        decode_grib1(bytes(msg))
