@@ -221,6 +221,16 @@ def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
     return bits @ weights
 
 
+# WMO code table 3 LAYER level types: PDS octets 11-12 are TWO 1-octet
+# values (top, bottom of the layer) instead of one 16-bit level — e.g.
+# 112 = layer between two depths below land surface (cm).  Reading the
+# combined 16-bit number for these types silently fabricates a level
+# (0-10 cm would "decode" as level 10 — also a valid point depth).
+_LAYER_LEVEL_TYPES = frozenset(
+    {101, 104, 106, 108, 110, 112, 114, 116, 120, 121, 128, 141}
+)
+
+
 # --- PDS time octets (WMO code tables 4 and 5, edition 1) -----------------
 
 # Code table 4 fixed-duration units → hours.  Edition 1 numbers differ
@@ -284,6 +294,10 @@ class Grib1Record:
     forecast_hours: int = 0
     statistical_process: int | None = None
     interval_end: tuple[int, int, int, int, int] | None = None
+    # LAYER level types (code table 3 — see _LAYER_LEVEL_TYPES): octets
+    # 11-12 split as (top, bottom); ``level`` holds the top and
+    # ``level2`` the bottom.  None — the usual case — on point levels.
+    level2: int | None = None
 
 
 def encode_grib1_message(
@@ -292,6 +306,7 @@ def encode_grib1_message(
     parameter: int = 11,  # TMP in WMO table 2
     level_type: int = 1,  # surface
     level: int = 0,
+    level2: int | None = None,
     reftime: tuple[int, int, int, int, int] = (2020, 1, 1, 0, 0),
     lat_first_mdeg: int = 90_000,
     lon_first_mdeg: int = 0,
@@ -327,7 +342,12 @@ def encode_grib1_message(
     ``unit``) makes it a period product with P1 = start, P2 = end.
     The two are mutually exclusive (in edition 1 the SAME octets carry
     either the point lead or the interval bounds); the default is an
-    analysis field (TRI 0, hour unit, lead 0)."""
+    analysis field (TRI 0, hour unit, lead 0).
+
+    LAYER level types (code table 3, e.g. 112 = between two depths
+    below land) pack octets 11-12 as two 1-octet values: pass the top
+    as ``level`` and the bottom as ``level2`` (both 0-255); point
+    level types take the plain 16-bit ``level`` and reject ``level2``."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
@@ -393,6 +413,25 @@ def encode_grib1_message(
                 "(accumulation) in GRIB2-4.10 numbering"
             )
 
+    if level_type in _LAYER_LEVEL_TYPES:
+        if level2 is None:
+            raise ValueError(
+                f"level type {level_type} is a LAYER type: octets 11-12 "
+                "are (top, bottom) — pass level2"
+            )
+        if not (0 <= level <= 0xFF and 0 <= level2 <= 0xFF):
+            raise ValueError(
+                f"layer bounds ({level}, {level2}) must each fit one octet"
+            )
+        level_octets = bytes([level, level2])
+    elif level2 is not None:
+        raise ValueError(
+            f"level type {level_type} is a point level — level2 only "
+            "applies to layer types"
+        )
+    else:
+        level_octets = level.to_bytes(2, "big")
+
     pds = (
         bytes([1])  # parameter table version
         + bytes([74])  # originating centre (UK Met Office — arbitrary)
@@ -400,7 +439,7 @@ def encode_grib1_message(
         + bytes([255])  # grid id: defined by GDS
         + bytes([0x80 if bitmap is None else 0xC0])  # GDS present [+ BMS]
         + bytes([parameter, level_type])
-        + level.to_bytes(2, "big")
+        + level_octets
         + bytes(
             [
                 (reftime[0] - 1) % 100 + 1,
@@ -521,10 +560,12 @@ def inspect_grib1(msg: bytes) -> dict:
     has_gds = bool(pds[7] & 0x80)
     has_bms = bool(pds[7] & 0x40)
     century = pds[24]
+    lt, lv, lv2 = _decode_level(pds)
     out = {
         "parameter": pds[8],
-        "level_type": pds[9],
-        "level": int.from_bytes(pds[10:12], "big"),
+        "level_type": lt,
+        "level": lv,
+        "level2": lv2,
         "year": (century - 1) * 100 + pds[12],
         "month": pds[13],
         "day": pds[14],
@@ -547,6 +588,18 @@ def inspect_grib1(msg: bytes) -> dict:
     out["binary_scale"] = _rs16(bds, 4)
     out["nbits"] = bds[10]
     return out
+
+
+def _decode_level(pds: bytes) -> tuple[int, int, int | None]:
+    """PDS octets 10-12 → (level_type, level, level2).  LAYER types
+    (_LAYER_LEVEL_TYPES) split octets 11-12 as (top, bottom); point
+    types read the plain 16-bit level with level2 = None.  ONE helper
+    shared by the full decode and the header-only inventory path, so
+    the two can never disagree on the same record's level."""
+    level_type = pds[9]
+    if level_type in _LAYER_LEVEL_TYPES:
+        return level_type, pds[10], pds[11]
+    return level_type, int.from_bytes(pds[10:12], "big"), None
 
 
 def _decode_pds_time(
@@ -596,8 +649,7 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     has_gds = bool(pds[7] & 0x80)
     has_bms = bool(pds[7] & 0x40)
     parameter = pds[8]
-    level_type = pds[9]
-    level = int.from_bytes(pds[10:12], "big")
+    level_type, level, level2 = _decode_level(pds)
     century = pds[24]
     year = (century - 1) * 100 + pds[12]
     reftime = (year, pds[13], pds[14], pds[15], pds[16])
@@ -695,4 +747,5 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         forecast_hours=forecast_hours,
         statistical_process=stat_process,
         interval_end=interval_end,
+        level2=level2,
     )

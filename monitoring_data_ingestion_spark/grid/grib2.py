@@ -286,6 +286,12 @@ class Grib2Record:
     level_type: int | None = None
     level_scale: int | None = None
     level_value: int | None = None
+    # Second fixed surface (octets 29-34): the BOTTOM of a layer
+    # product (soil layers, cloud layers, the max-wind layer); None —
+    # the usual case — on point-level products.
+    level2_type: int | None = None
+    level2_scale: int | None = None
+    level2_value: int | None = None
     packing_template: int = 0  # data representation template (5.N)
     # Template 4.8 (statistical processing over a time interval):
     # code-table-4.10 process (0 = average, 1 = accumulation, ...) and
@@ -766,6 +772,7 @@ def encode_grib2_message(
     level_type: int = 1,  # ground surface
     level_scale: int = 0,
     level_value: int = 0,
+    level2: dict | None = None,
     packing: str = "simple",
     group_len: int = 20,
     spatial_diff_order: int = 2,
@@ -787,7 +794,11 @@ def encode_grib2_message(
     ``values`` row 0 is ALWAYS the northernmost row regardless of
     ``scanning_mode`` (0x40 stores rows south-first — see grib1).
     ``level_type``/``level_scale``/``level_value`` populate template
-    4.0's first fixed surface (type, scale factor, scaled value).
+    4.0's first fixed surface (type, scale factor, scaled value);
+    ``level2`` (keys ``type``, ``value``, optional ``scale``) populates
+    the SECOND fixed surface (octets 29-34) making the field a LAYER
+    product — omitted, the second surface is coded missing (a point
+    level).
 
     ``packing`` selects the data-representation template: ``"simple"``
     (5.0), ``"complex"`` (5.2, general group splitting in fixed
@@ -1213,6 +1224,20 @@ def encode_grib2_message(
         if not 0 <= fc_value < 1 << 31:
             raise ValueError(f"forecast time {fc_value} out of range")
         _forecast_hours(fc_unit, fc_value)  # validates unit/divisibility
+    # ``level2`` (keys: ``type``, ``value``, optional ``scale``) fills
+    # the second fixed surface — otherwise coded missing (point level).
+    if level2 is None:
+        sfc2 = bytes([0xFF, 0xFF]) + b"\xff\xff\xff\xff"
+    else:
+        t2 = _pdt_octet(level2["type"], "second fixed surface type")
+        sc2, v2 = int(level2.get("scale", 0)), int(level2["value"])
+        if not -127 <= sc2 <= 127:
+            raise ValueError(f"second-surface scale factor {sc2} out of range")
+        if not 0 <= v2 < 0xFFFFFFFF:  # all-ones is the missing sentinel
+            raise ValueError(f"second-surface value {v2} out of range")
+        sfc2 = bytes(
+            [t2, (0x80 | abs(sc2)) if sc2 < 0 else sc2]
+        ) + struct.pack(">I", v2)
     pdt_extra = b""
     if ensemble is not None:
         tmpl4 = 11 if statistical is not None else 1
@@ -1291,7 +1316,7 @@ def encode_grib2_message(
             ]
         )
         + struct.pack(">I", level_value)  # fixed surface 1
-        + bytes([0xFF, 0xFF]) + b"\xff\xff\xff\xff"  # fixed surface 2 (missing)
+        + sfc2  # fixed surface 2 (layer bottom, or all-ones missing)
         + pdt_extra,
     )
     s5 = section(5, s5_body)
@@ -1404,22 +1429,41 @@ def _sections(msg: bytes) -> dict[int, bytes]:
     return out
 
 
-def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
-    """Template 4.0 first fixed surface (octets 23-28 of section 4,
-    which here includes its 5-byte header): (type, scale factor, scaled
-    value). 0xFF / all-ones = coded missing → None — LOUDLY absent
-    rather than a silent 0 a level filter would match. The scale factor
-    is signed-magnitude. ONE parser shared by the full decode and the
-    header-only inventory path, so the two can never disagree on the
-    same record's level."""
-    level_type = s4[22] if s4[22] != 0xFF else None
-    if level_type is None or s4[23] == 0xFF:
+def _parse_surface(
+    s4: bytes, off: int
+) -> tuple[int | None, int | None, int | None]:
+    """One fixed-surface block (type octet, signed-magnitude scale
+    factor octet, 4-octet scaled value) at byte offset ``off`` of
+    section 4 (which here includes its 5-byte header). 0xFF / all-ones
+    = coded missing → None — LOUDLY absent rather than a silent 0 a
+    level filter would match."""
+    level_type = s4[off] if s4[off] != 0xFF else None
+    if level_type is None or s4[off + 1] == 0xFF:
         level_scale = None
     else:
-        level_scale = -(s4[23] & 0x7F) if s4[23] & 0x80 else s4[23]
-    (raw_lv,) = struct.unpack_from(">I", s4, 24)
+        level_scale = (
+            -(s4[off + 1] & 0x7F) if s4[off + 1] & 0x80 else s4[off + 1]
+        )
+    (raw_lv,) = struct.unpack_from(">I", s4, off + 2)
     level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
     return level_type, level_scale, level_value
+
+
+def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
+    """Template 4.0 FIRST fixed surface (octets 23-28): (type, scale
+    factor, scaled value). ONE parser shared by the full decode and the
+    header-only inventory path, so the two can never disagree on the
+    same record's level."""
+    return _parse_surface(s4, 22)
+
+
+def parse_second_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
+    """Template 4.0 SECOND fixed surface (octets 29-34) — the bottom of
+    a LAYER product (0-10 cm soil moisture, a cloud-base-to-top layer,
+    the max-wind layer).  Coded missing (the usual case) on point-level
+    products; a decoder that never reads these octets collapses every
+    layer onto its top surface, indistinguishable from a point level."""
+    return _parse_surface(s4, 28)
 
 
 # Code table 4.4 fixed-duration time units → hours.  Calendar units
@@ -1818,6 +1862,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     # decoder ignoring it would collapse every lead into the analysis.
     forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
     level_type, level_scale, level_value = parse_fixed_surface(s4)
+    level2_type, level2_scale, level2_value = parse_second_surface(s4)
     ensemble_type = ensemble_member = ensemble_size = None
     derived_forecast = None
     probability_number = probability_total = probability_type = None
@@ -2027,6 +2072,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         level_type=level_type,
         level_scale=level_scale,
         level_value=level_value,
+        level2_type=level2_type,
+        level2_scale=level2_scale,
+        level2_value=level2_value,
         packing_template=tmpl5,
         gaussian_n=gaussian_n,
         latitudes_deg=latitudes,

@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 RECORD_SCHEMA = (
     "path string, record_number int, edition int, grid_template int, "
     "parameter int, category int, number int, "
-    "level_type int, level int, year int, month int, day int, hour int, "
+    "level_type int, level int, level2_type int, level2 int, "
+    "year int, month int, day int, hour int, "
     "forecast_hours int, statistical_process int, interval_end timestamp, "
     "time_range_count int, "
     "ensemble_member int, ensemble_size int, derived_forecast int, "
@@ -56,7 +57,8 @@ RECORD_SCHEMA = (
 
 _RECORD_COLUMNS = [
     "path", "record_number", "edition", "grid_template", "parameter",
-    "category", "number", "level_type", "level", "year", "month", "day",
+    "category", "number", "level_type", "level", "level2_type", "level2",
+    "year", "month", "day",
     "hour", "forecast_hours", "statistical_process", "interval_end",
     "time_range_count",
     "ensemble_member", "ensemble_size", "derived_forecast",
@@ -336,6 +338,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     continue
                 grid_template = stat_process = interval_end = None
                 fc_hours = None
+                level2_type = level2 = None
                 time_ranges = None
                 ens_member = ens_size = derived_fc = None
                 prob_type = prob_lo = prob_hi = pctl = None
@@ -343,6 +346,13 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 if edition == 1:
                     rec = decode_grib1(msg)
                     level_type, level = rec.level_type, rec.level
+                    # Layer level types split octets 11-12 as (top,
+                    # bottom); the bottom lands in the unified level2
+                    # column with level2_type = the SAME table-3 code
+                    # (edition 1 describes a layer with one type), so
+                    # "is a layer" is level2 IS NOT NULL across editions.
+                    if rec.level2 is not None:
+                        level2_type, level2 = rec.level_type, rec.level2
                     parameter = rec.parameter
                     category = number = None
                     # PDS octets 18-21 normalized by the codec onto the
@@ -377,6 +387,14 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                     # (a level filter must fail VISIBLY, not match 0).
                     level_type = rec.level_type
                     level = _apply_surface_scale(rec.level_value, rec.level_scale)
+                    # Second fixed surface (octets 29-34): the layer
+                    # bottom — NULL (coded missing) on point levels, so
+                    # a 0-10 cm soil LAYER can't masquerade as a point
+                    # measurement at its top surface.
+                    level2_type = rec.level2_type
+                    level2 = _apply_surface_scale(
+                        rec.level2_value, rec.level2_scale
+                    )
                     # Template 4.8 statistical processing: NULL on 4.0
                     # (instantaneous), so accumulation-vs-instantaneous
                     # is filterable on landed archives.
@@ -468,6 +486,8 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "number": number,
                         "level_type": level_type,
                         "level": level,
+                        "level2_type": level2_type,
+                        "level2": level2,
                         "year": rec.reftime[0],
                         "month": rec.reftime[1],
                         "day": rec.reftime[2],

@@ -392,3 +392,30 @@ def test_pds_statistical_period_products():
     msg[8 + 20] = 2  # PDS octet 21 (TRI) — PDS starts at byte 8
     with pytest.raises(ValueError, match="time range indicator 2"):
         decode_grib1(bytes(msg))
+
+
+def test_layer_level_types_split_octets():
+    """LAYER level types (code table 3) carry (top, bottom) in octets
+    11-12; point types keep the 16-bit level. A reader folding a layer
+    into one 16-bit number fabricates a level (0-10 cm would read as
+    10 — also a valid point depth)."""
+    v = np.ones((2, 3))
+    # 0-10 cm soil layer (type 112)
+    r = decode_grib1(encode_grib1_message(v, level_type=112, level=0, level2=10))
+    assert (r.level_type, r.level, r.level2) == (112, 0, 10)
+    # point isobaric level keeps 16 bits and level2 None
+    r = decode_grib1(encode_grib1_message(v, level_type=100, level=850))
+    assert (r.level_type, r.level, r.level2) == (100, 850, None)
+    # header-only inventory agrees with the full decode
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+
+    h = inspect_grib1(encode_grib1_message(v, level_type=112, level=5, level2=20))
+    assert (h["level_type"], h["level"], h["level2"]) == (112, 5, 20)
+    h = inspect_grib1(encode_grib1_message(v, level_type=100, level=850))
+    assert (h["level"], h["level2"]) == (850, None)
+    with pytest.raises(ValueError, match="LAYER type"):
+        encode_grib1_message(v, level_type=112, level=10)  # missing level2
+    with pytest.raises(ValueError, match="fit one octet"):
+        encode_grib1_message(v, level_type=112, level=0, level2=300)
+    with pytest.raises(ValueError, match="point level"):
+        encode_grib1_message(v, level_type=100, level=850, level2=10)

@@ -2092,3 +2092,50 @@ def test_forecast_lead_time_decode_contract():
     assert r.forecast_hours == 240
     assert (r.ensemble_member, r.statistical_process) == (7, 0)
     assert r.interval_end == (2020, 1, 11, 0, 0)
+
+
+def test_second_fixed_surface_layer_products():
+    """Octets 29-34 (second fixed surface) make a LAYER product: both
+    surfaces decode with independent types/scales, point levels keep
+    the coded-missing None contract, and out-of-range encode inputs
+    stop loudly."""
+    v = np.ones((2, 3))
+    r = decode_grib2(encode_grib2_message(v))
+    assert (r.level2_type, r.level2_scale, r.level2_value) == (None, None, None)
+    # 0-2 m soil layer (type 106 both surfaces)
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            level_type=106, level_scale=0, level_value=0,
+            level2=dict(type=106, value=2),
+        )
+    )
+    assert (r.level_type, r.level_value) == (106, 0)
+    assert (r.level2_type, r.level2_scale, r.level2_value) == (106, 0, 2)
+    # negative signed-magnitude scale on the SECOND surface only
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            level_type=100, level_scale=0, level_value=85000,
+            level2=dict(type=100, scale=-1, value=5),
+        )
+    )
+    assert (r.level2_type, r.level2_scale, r.level2_value) == (100, -1, 5)
+    # composes with the PDT families (the surface octets precede every
+    # family's extra block)
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            level_type=106, level_value=0, level2=dict(type=106, value=1),
+            ensemble=dict(type=3, member=4, size=21),
+            forecast=dict(unit=1, value=6),
+        )
+    )
+    assert (r.level2_type, r.level2_value) == (106, 1)
+    assert (r.ensemble_member, r.forecast_hours) == (4, 6)
+    with pytest.raises(ValueError, match="second fixed surface type"):
+        encode_grib2_message(v, level2=dict(type=255, value=1))
+    with pytest.raises(ValueError, match="second-surface value"):
+        encode_grib2_message(v, level2=dict(type=106, value=0xFFFFFFFF))
+    with pytest.raises(ValueError, match="second-surface scale"):
+        encode_grib2_message(v, level2=dict(type=106, scale=128, value=1))
