@@ -31,20 +31,23 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 10 (from CORRECTNESS_r01-r09): 31 names
 # last witnessed r4 (oldest), 44 r5, 47 r6, 44 r7, 45 r8, 50 r9.
-# Round 10 takes the 6 new r10 queries (derived-ensemble PDTs 4.2/4.12,
+# Round 10 takes the 7 new r10 queries (derived-ensemble PDTs 4.2/4.12,
 # probability PDTs 4.5/4.9, percentile PDTs 4.6/4.10, forecast
 # lead times through the landing source for BOTH editions — GRIB2
 # octets 18-22 and GRIB1 PDS octets 18-21 — and layer products, also
 # both editions: GRIB2 second fixed surface + GRIB1 table-3 layer
-# types) + the 11 queries changed by
+# types, plus wgrib2-style match-on-lead over the inventory line's
+# new :f{hours} field) + the 11 queries changed by
 # the r10 landing-schema work (RECORD_SCHEMA grew forecast_hours /
 # time_range_count / derived_forecast / probability_type /
 # prob_lower_limit / prob_upper_limit / percentile_value /
 # level2_type / level2, the lead/statistical columns now
 # populated for GRIB1 records too; the header gate admits PDTs
-# 2/5/6/9/10/12; codec-level inventory/match went per-field) + all 31
-# r4 leftovers + the first 2 of the r5 cohort (alphabetical).  The 42
-# r5 names left over — dedup_containment, dedup_containment_capped,
+# 2/5/6/9/10/12; codec-level inventory/match went per-field; the
+# unified inventory line grew layer bounds + :f{hours}) + all 31
+# r4 leftovers + the first 1 of the r5 cohort (alphabetical).  The 43
+# r5 names left over — cdc_snapshot_diff, dedup_containment,
+# dedup_containment_capped,
 # dedup_ngram_jaccard_capped, dedup_simhash,
 # dq_constraint_audit, dq_profile_customer,
 # embedding_pca_project, geo_near_join, grid_bilinear_regrid,
@@ -79,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_forecast_lead_scan",
     "grid_grib1_forecast_lead_scan",
     "grid_grib_layer_scan",
+    "grid_grib_match_lead_scan",
     # --- 2. changed in round 10 (landing RECORD_SCHEMA grew the
     #     forecast_hours / time_range_count / derived / probability /
     #     percentile columns; header-only gate admits the new PDTs;
@@ -127,9 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "window_distribution_ranks",
     "window_rank_ties",
-    # --- 4. next-oldest cohort: round 5, first 2 alphabetical ---
+    # --- 4. next-oldest cohort: round 5, first 1 alphabetical ---
     "agg_share_of_total",
-    "cdc_snapshot_diff",
 )
 
 

@@ -400,6 +400,11 @@ def encode_grib1_message(
     elif statistical is not None:
         t_unit = int(statistical.get("unit", 1))
         p1, p2 = int(statistical["start"]), int(statistical["end"])
+        # BOTH bounds must convert to whole hours — the decoder reads
+        # P1 as forecast_hours and P2 as the interval end, so a
+        # sub-hour start would encode a message the engine itself
+        # rejects.
+        _grib1_hours(t_unit, p1)
         _grib1_hours(t_unit, p2)
         if not 0 <= p1 <= p2 <= 0xFF:
             raise ValueError(
@@ -561,16 +566,21 @@ def inspect_grib1(msg: bytes) -> dict:
     has_bms = bool(pds[7] & 0x40)
     century = pds[24]
     lt, lv, lv2 = _decode_level(pds)
+    year = (century - 1) * 100 + pds[12]
+    reftime = (year, pds[13], pds[14], pds[15], pds[16])
+    _, forecast_hours, stat_process, _ = _decode_pds_time(pds, reftime)
     out = {
         "parameter": pds[8],
         "level_type": lt,
         "level": lv,
         "level2": lv2,
-        "year": (century - 1) * 100 + pds[12],
+        "year": year,
         "month": pds[13],
         "day": pds[14],
         "hour": pds[15],
         "minute": pds[16],
+        "forecast_hours": forecast_hours,
+        "statistical_process": stat_process,
         "decimal_scale": _rs16(pds, 26),
         "has_bitmap": has_bms,
         "total_bytes": total_len,

@@ -4516,3 +4516,134 @@ def grid_grib_layer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
         ).alias("vsum"),
     ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib_match_lead_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 53 = 5 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         60 + ((doc_id * 3 + r.r * 7 + i.i * 11 + j.j * 2) % 50) AS v
+  FROM g,
+       UNNEST(generate_series(1, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE rn WHEN 2 THEN 2 WHEN 3 THEN 1 END AS INTEGER) AS edition,
+       CAST(6 AS INTEGER) AS forecast_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib_match_lead_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wgrib2-style ``-match`` on FORECAST LEAD, header-side — the
+    inventory line now carries the converted lead as a trailing
+    ``:f{hours}``, so "give me the 6-hour forecasts" is a regex the
+    landing scan applies BEFORE any value bit unpacks (the reference's
+    wgrib2 -match contract, /root/reference/src/file-conversions.js:
+    76-99).  Each document's mixed-edition file carries an analysis
+    (f0), a GRIB2 hour-unit f6, a GRIB1 f6 coded in the 3-HOUR unit
+    (value 2 — matching must happen on the CONVERTED hours, or the
+    regex would see f2) and a GRIB1 18-hour record whose BDS carries a
+    spherical-harmonics flag the decoder rejects loudly — the scan with
+    ``match=":f6$"`` must select exactly the two f6 records AND never
+    decode the poisoned one, proving the filter runs header-side
+    (a decode-then-filter engine crashes here).  Record numbers stay
+    the file positions (2 and 3), wgrib2's N.M numbering contract.
+
+    Scale: at 100 TB this is THE archive-subsetting path — headers are
+    a few hundred bytes per record, so a lead/level/parameter match
+    reads ~0.1% of the bytes a full decode would.
+    """
+    from functools import partial
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 53 == 5) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        60 + ((d * 3 + r * 7 + i * 11 + j * 2) % 50)
+                    ).astype(np.float64)
+
+                enc2 = dict(
+                    category=0, number=0, reference_value=60.0, nbits=8
+                )
+                enc1 = dict(reference_value=60.0, nbits=8)
+                poisoned = bytearray(
+                    encode_grib1_message(
+                        field(3), **enc1, forecast=dict(unit=1, value=18)
+                    )
+                )
+                # Flip the BDS flags to "spherical harmonic coefficients"
+                # (bit 1 of octet 4): headers still inventory fine, but
+                # any attempt to DECODE this record stops loudly — so a
+                # scan that only yields the matched records proves the
+                # match ran header-side.
+                pds_len = int.from_bytes(poisoned[8:11], "big")
+                gds_off = 8 + pds_len
+                bds_off = gds_off + int.from_bytes(
+                    poisoned[gds_off : gds_off + 3], "big"
+                )
+                poisoned[bds_off + 3] |= 0x80
+                msgs = [
+                    encode_grib2_message(field(0), **enc2),  # analysis f0
+                    encode_grib2_message(
+                        field(1), **enc2, forecast=dict(unit=1, value=6)
+                    ),
+                    encode_grib1_message(
+                        field(2), **enc1,
+                        forecast=dict(unit=10, value=2),  # 3-hour unit → f6
+                    ),
+                    bytes(poisoned),  # f18, undecodable
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": b"".join(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(
+        partial(_decode_batches, match=r":f6$"), schema=RECORD_SCHEMA
+    )
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "edition",
+        "forecast_hours",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")

@@ -139,6 +139,7 @@ def _apply_surface_scale(value: int | None, scale: int | None) -> int | None:
 INVENTORY_SCHEMA = (
     "path string, record_number int, edition int, parameter int, "
     "category int, number int, level_type int, level int, "
+    "level2_type int, level2 int, forecast_hours int, "
     "year int, month int, day int, hour int, ni int, nj int, "
     "total_bytes int"
 )
@@ -163,7 +164,12 @@ def _grib2_field_header(s: dict) -> dict:
     per field either way."""
     import struct
 
-    from ..grid.grib2 import parse_fixed_surface
+    from ..grid.grib2 import (
+        _forecast_hours,
+        _rs32be,
+        parse_fixed_surface,
+        parse_second_surface,
+    )
 
     s1, s3, s4 = s[1], s[3], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
@@ -193,11 +199,18 @@ def _grib2_field_header(s: dict) -> dict:
         # template would inventory garbage dimensions
         raise ValueError(f"grid dimensions coded missing on template {tmpl3}")
     level_type, scale, level_value = parse_fixed_surface(s4)
+    l2_type, l2_scale, l2_value = parse_second_surface(s4)
     return {
         "category": s4[9],
         "number": s4[10],
         "level_type": level_type,
         "level": _apply_surface_scale(level_value, scale),
+        "level2_type": l2_type,
+        "level2": _apply_surface_scale(l2_value, l2_scale),
+        # Lead time (octets 18-22) in whole hours — part of the header,
+        # so the inventory line can carry it and a ``match=`` regex can
+        # select leads (wgrib2 ``-match ':anl:'``) without decoding.
+        "forecast_hours": _forecast_hours(s4[17], _rs32be(s4, 18)),
         "year": year,
         "month": s1[14],
         "day": s1[15],
@@ -241,6 +254,9 @@ def _unified_inventory(edition: int, msg: bytes, s: dict | None = None) -> dict:
             "number": None,
             "level_type": h["level_type"],
             "level": h["level"],
+            "level2_type": h["level_type"] if h["level2"] is not None else None,
+            "level2": h["level2"],
+            "forecast_hours": h["forecast_hours"],
             "year": h["year"],
             "month": h["month"],
             "day": h["day"],
@@ -261,11 +277,14 @@ def _unified_inventory(edition: int, msg: bytes, s: dict | None = None) -> dict:
 def inventory_line(edition: int, msg: bytes, s: dict | None = None) -> str:
     """wgrib/wgrib2-style inventory rendering over the UNIFIED header:
     ``e{edition}:p{parameter}|c{category},n{number}:l{level_type}/
-    {level}:{YYYYMMDDHH}`` — the regex surface ``match=`` filters
-    against, derived from headers only (a few hundred bytes per record,
-    never a value bit — the reference's wgrib2 -match contract at
-    landing scale).  For a FIELD of a multi-field message pass its
-    resolved section dict as ``s``."""
+    {level}[-{level2}]:{YYYYMMDDHH}:f{forecast_hours}`` — the regex
+    surface ``match=`` filters against, derived from headers only (a
+    few hundred bytes per record, never a value bit — the reference's
+    wgrib2 -match contract at landing scale).  A LAYER's bounds render
+    as ``l112/0-10`` and the lead as a trailing ``:f6``, so wgrib2-
+    style selections ("only analyses": ``:f0$``, "only the 0-10 cm
+    layer": ``l112/0-10``) stay header-side.  For a FIELD of a
+    multi-field message pass its resolved section dict as ``s``."""
     h = _unified_inventory(edition, msg, s)
     ident = (
         f"p{h['parameter']}" if edition == 1
@@ -273,9 +292,12 @@ def inventory_line(edition: int, msg: bytes, s: dict | None = None) -> str:
     )
     lt = "-" if h["level_type"] is None else h["level_type"]
     lv = "-" if h["level"] is None else h["level"]
+    if h["level2"] is not None:
+        lv = f"{lv}-{h['level2']}"
     return (
         f"e{edition}:{ident}:l{lt}/{lv}:"
         f"{h['year']:04d}{h['month']:02d}{h['day']:02d}{h['hour']:02d}"
+        f":f{h['forecast_hours']}"
     )
 
 
@@ -284,7 +306,8 @@ def _inventory_batches(batches: "Iterator") -> "Iterator":
 
     cols = [
         "path", "record_number", "edition", "parameter", "category",
-        "number", "level_type", "level", "year", "month", "day", "hour",
+        "number", "level_type", "level", "level2_type", "level2",
+        "forecast_hours", "year", "month", "day", "hour",
         "ni", "nj", "total_bytes",
     ]
     for pdf in batches:

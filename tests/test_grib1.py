@@ -384,6 +384,12 @@ def test_pds_statistical_period_products():
         )
     with pytest.raises(ValueError, match="start <= end"):
         encode_grib1_message(v, statistical=dict(process=1, start=7, end=6))
+    # BOTH interval bounds must be whole-hour convertible: a sub-hour
+    # START (not just end) would encode a message decode itself rejects
+    with pytest.raises(ValueError, match="not a whole number of hours"):
+        encode_grib1_message(
+            v, statistical=dict(process=1, start=90, end=120, unit=0)
+        )
     with pytest.raises(ValueError, match="process must be 0"):
         encode_grib1_message(v, statistical=dict(process=9, start=0, end=6))
     # an unsupported reinterpreting indicator (TRI 2: valid-between)

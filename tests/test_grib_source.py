@@ -506,3 +506,43 @@ def test_multifield_archive_lands_per_field_with_match_pushdown(spark, tmp_path)
     inv = grib_inventory(spark, landing).orderBy("record_number").collect()
     assert [r["record_number"] for r in inv] == [1, 2, 3]
     assert [r["number"] for r in inv] == [1, 2, 3]
+
+
+def test_inventory_line_carries_lead_and_layer_bounds():
+    """The match= regex surface renders the forecast lead as a trailing
+    :f{hours} and layer bounds as l{type}/{top}-{bottom} — wgrib2-style
+    header-side selection of analyses (:f0$), specific leads (:f6$) and
+    layers, never touching a value bit."""
+    import numpy as np
+
+    from monitoring_data_ingestion_spark.grid.grib1 import (
+        encode_grib1_message,
+    )
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        encode_grib2_message,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        inventory_line,
+    )
+
+    v = np.ones((2, 3))
+    assert inventory_line(1, encode_grib1_message(v)) == (
+        "e1:p11:l1/0:2020010100:f0"
+    )
+    assert inventory_line(
+        1, encode_grib1_message(v, forecast=dict(unit=1, value=384))
+    ).endswith(":f384")
+    assert inventory_line(
+        1, encode_grib1_message(v, level_type=112, level=0, level2=10)
+    ) == "e1:p11:l112/0-10:2020010100:f0"
+    assert inventory_line(2, encode_grib2_message(v)) == (
+        "e2:c0,n0:l1/0:2020010100:f0"
+    )
+    assert inventory_line(
+        2,
+        encode_grib2_message(
+            v,
+            level_type=106, level_value=0, level2=dict(type=106, value=2),
+            forecast=dict(unit=10, value=2),  # 3-hour unit → f6
+        ),
+    ) == "e2:c0,n0:l106/0-2:2020010100:f6"

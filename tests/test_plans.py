@@ -158,6 +158,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_reduced_gaussian_decode",
         "grid_grib_inventory_scan",
         "grid_grib_layer_scan",
+        "grid_grib_match_lead_scan",
         "grid_grib_mixed_scan",
         "grid_grib_projected_landing",
         "grid_grib_statistical_scan",
