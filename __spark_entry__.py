@@ -31,13 +31,14 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 10 (from CORRECTNESS_r01-r09): 31 names
 # last witnessed r4 (oldest), 44 r5, 47 r6, 44 r7, 45 r8, 50 r9.
-# Round 10 takes the 7 new r10 queries (derived-ensemble PDTs 4.2/4.12,
+# Round 10 takes the 8 new r10 queries (derived-ensemble PDTs 4.2/4.12,
 # probability PDTs 4.5/4.9, percentile PDTs 4.6/4.10, forecast
 # lead times through the landing source for BOTH editions — GRIB2
 # octets 18-22 and GRIB1 PDS octets 18-21 — and layer products, also
 # both editions: GRIB2 second fixed surface + GRIB1 table-3 layer
 # types, plus wgrib2-style match-on-lead over the inventory line's
-# new :f{hours} field) + the 11 queries changed by
+# new :f{hours} field, plus edition-1 Gaussian grids through the
+# unified cell explode) + the 11 queries changed by
 # the r10 landing-schema work (RECORD_SCHEMA grew forecast_hours /
 # time_range_count / derived_forecast / probability_type /
 # prob_lower_limit / prob_upper_limit / percentile_value /
@@ -45,8 +46,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # populated for GRIB1 records too; the header gate admits PDTs
 # 2/5/6/9/10/12; codec-level inventory/match went per-field; the
 # unified inventory line grew layer bounds + :f{hours}) + all 31
-# r4 leftovers + the first 1 of the r5 cohort (alphabetical).  The 43
-# r5 names left over — cdc_snapshot_diff, dedup_containment,
+# r4 leftovers — 8 + 11 + 31 = exactly 50, so the ENTIRE 44-name r5
+# cohort — agg_share_of_total, cdc_snapshot_diff, dedup_containment,
 # dedup_containment_capped,
 # dedup_ngram_jaccard_capped, dedup_simhash,
 # dq_constraint_audit, dq_profile_customer,
@@ -61,7 +62,7 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # asof_join_tolerance/counter_rate/downsample_lttb/
 # event_sequence_pattern/ewma/gap_detection/interval_coalesce/
 # interval_overlap_join/level_shift/ohlc_resample/
-# trailing_window_range) and window_ntile_stratify — are round 11's
+# trailing_window_range) and window_ntile_stratify — is round 11's
 # queue head, keeping every cohort's evidence younger than ~5 rounds.
 # Every entry outside the window stays locally oracle-checked each
 # session (tests/test_oracle.py), and the flagship pipeline stays
@@ -73,9 +74,10 @@ _PRIORITY: tuple[str, ...] = (
     #     forecasts (PDT 4.6/4.10), forecast lead times
     #     (forecast_hours + valid-time arithmetic, GRIB2 octets 18-22
     #     AND GRIB1 PDS octets 18-21 incl. TRI-10 16-bit leads and
-    #     TRI 3/4 interval normalization) and layer products (GRIB2
+    #     TRI 3/4 interval normalization), layer products (GRIB2
     #     second fixed surface + GRIB1 table-3 layer types → unified
-    #     level2_type/level2 columns) through the landing source ---
+    #     level2_type/level2 columns), match-on-lead pushdown and
+    #     edition-1 Gaussian grids through the landing source ---
     "grid_grib2_derived_ensemble_scan",
     "grid_grib2_probability_scan",
     "grid_grib2_percentile_scan",
@@ -83,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib1_forecast_lead_scan",
     "grid_grib_layer_scan",
     "grid_grib_match_lead_scan",
+    "grid_grib1_gaussian_scan",
     # --- 2. changed in round 10 (landing RECORD_SCHEMA grew the
     #     forecast_hours / time_range_count / derived / probability /
     #     percentile columns; header-only gate admits the new PDTs;
@@ -131,8 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "window_distribution_ranks",
     "window_rank_ties",
-    # --- 4. next-oldest cohort: round 5, first 1 alphabetical ---
-    "agg_share_of_total",
 )
 
 

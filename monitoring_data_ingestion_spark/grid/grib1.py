@@ -53,6 +53,7 @@ MAGIC = b"GRIB"
 TERMINATOR = b"7777"
 EDITION = 1
 _GRID_LATLON = 0
+_GRID_GAUSSIAN = 4  # Gaussian latitude/longitude (data representation type)
 
 
 # --- IBM System/370 32-bit hexadecimal float (the GRIB1 reference value) --
@@ -298,6 +299,14 @@ class Grib1Record:
     # 11-12 split as (top, bottom); ``level`` holds the top and
     # ``level2`` the bottom.  None — the usual case — on point levels.
     level2: int | None = None
+    # Gaussian grids (data representation type 4 — ECMWF F-grids):
+    # GDS octets 26-27 hold N (parallels pole→equator) instead of Dj;
+    # the exact row latitudes are the Legendre quadrature nodes the
+    # engine recomputes (grib2.gaussian_latitudes), north → south.
+    # ``lat_first_mdeg`` keeps the GDS's rounded La1; ``dlat_mdeg`` is
+    # 0 (there is no affine latitude step on a Gaussian grid).
+    gaussian_n: int | None = None
+    latitudes_deg: np.ndarray | None = None
 
 
 def encode_grib1_message(
@@ -320,6 +329,7 @@ def encode_grib1_message(
     scanning_mode: int = 0x00,
     forecast: dict | None = None,
     statistical: dict | None = None,
+    gaussian: bool = False,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -347,7 +357,14 @@ def encode_grib1_message(
     LAYER level types (code table 3, e.g. 112 = between two depths
     below land) pack octets 11-12 as two 1-octet values: pass the top
     as ``level`` and the bottom as ``level2`` (both 0-255); point
-    level types take the plain 16-bit ``level`` and reject ``level2``."""
+    level types take the plain 16-bit ``level`` and reject ``level2``.
+
+    ``gaussian=True`` writes a global GAUSSIAN grid (data
+    representation type 4, the ECMWF F-grid): ``values`` must have an
+    even row count (nj = 2N parallels), rows north → south on the
+    Legendre quadrature latitudes; ``lat_first_mdeg``/``dlat_mdeg``
+    are ignored (La1/La2 come from the quadrature, GDS octets 26-27
+    carry N instead of Dj) and only scanning mode 0x00 is supported."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
@@ -462,14 +479,34 @@ def encode_grib1_message(
     )
     pds = _u24(3 + len(pds)) + pds
 
-    lat_south = lat_first_mdeg - (nj - 1) * dlat_mdeg
-    la1, la2 = (
-        (lat_south, lat_first_mdeg) if scanning_mode == 0x40
-        else (lat_first_mdeg, lat_south)
-    )
+    if gaussian:
+        if scanning_mode != 0x00:
+            raise ValueError(
+                "Gaussian grids support only scanning mode 0x00 "
+                "(north row first)"
+            )
+        if nj % 2:
+            raise ValueError("a global Gaussian grid has an even row count")
+        from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
+
+        lats = gaussian_latitudes(nj)
+        la1 = int(round(float(lats[0]) * 1000))
+        la2 = int(round(float(lats[-1]) * 1000))
+        # Octets 24-25 carry Di as on type 0; octets 26-27 carry N
+        # (parallels between a pole and the equator) instead of Dj.
+        row24_27 = dlon_mdeg.to_bytes(2, "big") + (nj // 2).to_bytes(2, "big")
+        grid_type = _GRID_GAUSSIAN
+    else:
+        lat_south = lat_first_mdeg - (nj - 1) * dlat_mdeg
+        la1, la2 = (
+            (lat_south, lat_first_mdeg) if scanning_mode == 0x40
+            else (lat_first_mdeg, lat_south)
+        )
+        row24_27 = dlon_mdeg.to_bytes(2, "big") + dlat_mdeg.to_bytes(2, "big")
+        grid_type = _GRID_LATLON
     gds = (
         bytes([0, 255])  # NV=0, PV=255 (none)
-        + bytes([_GRID_LATLON])
+        + bytes([grid_type])
         + ni.to_bytes(2, "big")
         + nj.to_bytes(2, "big")
         + _s24(la1)
@@ -477,8 +514,7 @@ def encode_grib1_message(
         + bytes([0x80])  # resolution/component flags: increments given
         + _s24(la2)
         + _s24(lon_first_mdeg + (ni - 1) * dlon_mdeg)
-        + dlon_mdeg.to_bytes(2, "big")
-        + dlat_mdeg.to_bytes(2, "big")
+        + row24_27
         + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
         + bytes(4)  # reserved padding to the 32-byte layout
     )
@@ -674,7 +710,7 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     # -- GDS --
     gds_len = _r24(msg, pos)
     gds = msg[pos : pos + gds_len]
-    if gds[5] != _GRID_LATLON:
+    if gds[5] not in (_GRID_LATLON, _GRID_GAUSSIAN):
         raise ValueError(f"unsupported grid type {gds[5]}")
     ni = int.from_bytes(gds[6:8], "big")
     nj = int.from_bytes(gds[8:10], "big")
@@ -694,7 +730,35 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     if not gds[16] & 0x80:
         raise ValueError("direction increments not given (resolution flags)")
     dlon = int.from_bytes(gds[23:25], "big")
-    dlat = int.from_bytes(gds[25:27], "big")
+    gaussian_n = None
+    latitudes = None
+    if gds[5] == _GRID_GAUSSIAN:
+        # Octets 26-27 are N (parallels pole→equator), NOT Dj.  The
+        # exact row latitudes are the Legendre quadrature nodes —
+        # recomputed, with the GDS's rounded La1 as a cross-check so a
+        # mislabeled grid can't silently inherit wrong geography.
+        if scan != 0x00:
+            raise ValueError(
+                "Gaussian grids support only scanning mode 0x00"
+            )
+        gaussian_n = int.from_bytes(gds[25:27], "big")
+        if nj != 2 * gaussian_n:
+            raise ValueError(
+                f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) "
+                "not supported"
+            )
+        from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
+
+        latitudes = gaussian_latitudes(nj)
+        if abs(lat_first - round(float(latitudes[0]) * 1000)) > 1:
+            raise ValueError(
+                f"GDS La1 {lat_first} mdeg does not match the N={gaussian_n} "
+                f"quadrature first parallel "
+                f"{round(float(latitudes[0]) * 1000)} mdeg"
+            )
+        dlat = 0  # no affine latitude step on a Gaussian grid
+    else:
+        dlat = int.from_bytes(gds[25:27], "big")
     pos += gds_len
 
     # -- BMS --
@@ -758,4 +822,6 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         statistical_process=stat_process,
         interval_end=interval_end,
         level2=level2,
+        gaussian_n=gaussian_n,
+        latitudes_deg=latitudes,
     )

@@ -4647,3 +4647,140 @@ def grid_grib_match_lead_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "values", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
         ).alias("vsum"),
     ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib1_gaussian_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS n,
+         9 + doc_id % 5 AS ni,
+         3 + doc_id % 2 AS nj1
+  FROM documents WHERE doc_id % 11 = 7 AND doc_id < 440
+),
+lat(n, j, lat_udeg) AS (
+  VALUES {_gauss_lat_values_sql()}
+),
+cells1 AS (
+  SELECT doc_id, 1 AS rn,
+         60 + ((doc_id * 3 + i.i * 11 + j.j * 2) % 50) AS v,
+         CAST((60000 - j.j * 1000) AS BIGINT) * 1000 AS lat_udeg
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj1 - 1)) AS j) j
+),
+cells2 AS (
+  SELECT doc_id, 2 AS rn,
+         60 + ((doc_id * 3 + 7 + i.i * 11 + j.j * 2) % 50) AS v,
+         l.lat_udeg
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, 2 * n - 1)) AS j) j,
+       lat l
+  WHERE l.n = g.n AND l.j = j.j
+),
+cells AS (
+  SELECT * FROM cells1 UNION ALL SELECT * FROM cells2
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(MAX(lat_udeg) AS BIGINT) AS lat_max_udeg,
+       CAST(SUM(v * lat_udeg) AS BIGINT) AS latvsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib1_gaussian_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB EDITION-1 GAUSSIAN grids (data representation type 4 — the
+    ECMWF F-grid geometry in its edition-1 form) through the REAL
+    landing path and the unified CELL explode.  GDS octets 26-27 carry
+    N (parallels pole→equator) instead of Dj; the engine recomputes the
+    exact Legendre quadrature latitudes (grid/grib2.py::
+    gaussian_latitudes, shared across editions) and the landing record
+    carries them in integer microdegrees with the affine latitude
+    georef NULL — never a fabricated dlat.  Per document one file mixes
+    a regular lat/lon record (affine latitudes witnessed closed-form)
+    with a global F(4 + d%3) Gaussian record; ``grib1_cells`` serves
+    both through the same lat_udeg column.
+
+    Witness independence: the oracle's Gaussian latitude table comes
+    from numpy's Gauss-Legendre roots (a SECOND root finder) rounded to
+    integer microdegrees; ``lat_max_udeg`` pins the first parallel and
+    the payload-weighted ``latvsum`` pins every row-to-latitude
+    assignment exactly (integer compare, no float tolerance).
+
+    Scale: the landing posture — decode and explode are one Arrow +
+    JVM stage; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import (
+        RECORD_SCHEMA,
+        _decode_batches,
+        grib1_cells,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 11 == 7) & (F.col("doc_id") < 440))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 4 + d % 3
+                ni, nj1 = 9 + d % 5, 3 + d % 2
+                i = np.arange(ni)[None, :]
+
+                def field(r: int, nj: int) -> np.ndarray:
+                    j = np.arange(nj)[:, None]
+                    return (
+                        60 + ((d * 3 + r * 7 + i * 11 + j * 2) % 50)
+                    ).astype(np.float64)
+
+                enc = dict(reference_value=60.0, nbits=8)
+                msgs = [
+                    encode_grib1_message(
+                        field(0, nj1), **enc,
+                        lat_first_mdeg=60_000, dlat_mdeg=1_000,
+                    ),
+                    encode_grib1_message(field(1, 2 * n), **enc, gaussian=True),
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": b"".join(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    cells = grib1_cells(
+        files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    )
+    return (
+        cells.groupBy(
+            F.regexp_extract("path", r"doc://(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "record_number",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("value").cast("bigint")).alias("vsum"),
+            F.max("lat_udeg").alias("lat_max_udeg"),
+            F.sum(F.col("value").cast("bigint") * F.col("lat_udeg")).alias(
+                "latvsum"
+            ),
+        )
+        .orderBy("doc_id", "record_number")
+    )

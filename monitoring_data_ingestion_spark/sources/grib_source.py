@@ -391,9 +391,21 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         interval_end = pd.Timestamp(
                             year=ey, month=em, day=ed, hour=eh, minute=emi
                         )
-                    lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
-                    dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
-                    lats_udeg = None
+                    if rec.gaussian_n is not None:
+                        # Edition-1 Gaussian grid: same landing contract
+                        # as GRIB2 template 3.40 — no affine latitude
+                        # axis (NULL, never a fabricated dlat), exact
+                        # quadrature latitudes in microdegrees.
+                        lat0 = dlat = None
+                        lats_udeg = [
+                            int(round(float(v) * 1e6))
+                            for v in rec.latitudes_deg
+                        ]
+                        lon0, dlon = rec.lon_first_mdeg, rec.dlon_mdeg
+                    else:
+                        lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
+                        dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
+                        lats_udeg = None
                 else:
                     rec = _decode_field(s)
                     grid_template = rec.grid_template

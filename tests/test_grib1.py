@@ -425,3 +425,44 @@ def test_layer_level_types_split_octets():
         encode_grib1_message(v, level_type=112, level=0, level2=300)
     with pytest.raises(ValueError, match="point level"):
         encode_grib1_message(v, level_type=100, level=850, level2=10)
+
+
+def test_gaussian_grid_roundtrip_and_quadrature_latitudes():
+    """Data representation type 4 (ECMWF F-grid): values round-trip
+    bit-exactly, octets 26-27 carry N (not Dj), the decoded latitudes
+    are the engine's Legendre quadrature nodes (cross-checked against
+    numpy's independent leggauss), and the GDS La1 mismatch / odd-row /
+    non-global cases stop loudly."""
+    rng = np.random.default_rng(17)
+    n = 5  # F5: 10 parallels
+    v = rng.integers(0, 200, size=(2 * n, 7)).astype(np.float64)
+    msg = encode_grib1_message(v, gaussian=True, nbits=8, reference_value=0.0)
+    rec = decode_grib1(msg)
+    assert np.array_equal(rec.values, v)
+    assert rec.gaussian_n == n and rec.dlat_mdeg == 0
+    x, _ = np.polynomial.legendre.leggauss(2 * n)
+    ref = np.degrees(np.arcsin(x))[::-1]  # north first
+    assert np.allclose(rec.latitudes_deg, ref, atol=1e-9)
+    assert rec.lat_first_mdeg == round(float(ref[0]) * 1000)
+    # header-only inspection sees the Gaussian grid type
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+
+    assert inspect_grib1(msg)["grid_type"] == 4
+    with pytest.raises(ValueError, match="even row count"):
+        encode_grib1_message(np.ones((5, 4)), gaussian=True)
+    with pytest.raises(ValueError, match="scanning mode 0x00"):
+        encode_grib1_message(
+            np.ones((4, 4)), gaussian=True, scanning_mode=0x40
+        )
+    # a non-global N (nj != 2N) must stop, not misplace every row
+    bad = bytearray(msg)
+    pds_len = int.from_bytes(bad[8:11], "big")
+    gds_off = 8 + pds_len
+    bad[gds_off + 25 : gds_off + 27] = (n + 1).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="non-global Gaussian"):
+        decode_grib1(bytes(bad))
+    # a La1 that contradicts the quadrature must stop (wrong geography)
+    bad = bytearray(msg)
+    bad[gds_off + 10 : gds_off + 13] = (10_000).to_bytes(3, "big")
+    with pytest.raises(ValueError, match="does not match"):
+        decode_grib1(bytes(bad))
