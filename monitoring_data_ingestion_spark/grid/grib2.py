@@ -2100,13 +2100,18 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
 def _field_inventory(s: dict[int, bytes]) -> str:
     """wgrib2-style inventory rendering of one FIELD's resolved section
-    dict: ``d{discipline}:c{category},n{number}:{YYYYMMDDHH}`` — a
-    stable engine-defined rendering of the same fields wgrib2 prints."""
+    dict: ``d{discipline}:c{category},n{number}:{YYYYMMDDHH}:f{lead
+    hours}`` — a stable engine-defined rendering of the same fields
+    wgrib2 prints (its ``:anl:`` / ``:6 hour fcst:`` selector is the
+    trailing ``:f0`` / ``:f6`` here).  Level matching wants the
+    LANDING scan's richer line (sources/grib_source.inventory_line),
+    which also renders layer bounds."""
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     return (
         f"d{s[0][6]}:c{s4[9]},n{s4[10]}:"
         f"{year:04d}{s1[14]:02d}{s1[15]:02d}{s1[16]:02d}"
+        f":f{_forecast_hours(s4[17], _rs32be(s4, 18))}"
     )
 
 

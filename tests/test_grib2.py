@@ -102,7 +102,14 @@ def _archive():
 
 def test_inventory_line_fields():
     msgs = _archive()
-    assert inventory_line(msgs[3]) == "d0:c1,n3:2020010100"
+    assert inventory_line(msgs[3]) == "d0:c1,n3:2020010100:f0"
+    # the lead renders in CONVERTED whole hours (wgrib2's :anl:/:N hour
+    # fcst: selector), so a -match on :f6$ sees 3-hour-unit leads too
+    assert inventory_line(
+        encode_grib2_message(
+            np.ones((2, 3)), forecast=dict(unit=10, value=2)
+        )
+    ).endswith(":f6")
 
 
 def test_match_records_regex_and_limit_parity():
@@ -1761,8 +1768,8 @@ def test_inventory_and_match_go_per_field_on_submessages():
     m2 = encode_grib2_message(v, category=2, number=9)
     merged = merge_grib2_fields([m1, m2])
     assert inventory_lines(merged) == [
-        "d0:c1,n7:2020010100",
-        "d0:c2,n9:2020010100",
+        "d0:c1,n7:2020010100:f0",
+        "d0:c2,n9:2020010100:f0",
     ]
     # the single-line API stays strict: collapsing two fields to one
     # line would hide one from a -match regex
