@@ -45,8 +45,15 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # level2_type / level2, the lead/statistical columns now
 # populated for GRIB1 records too; the header gate admits PDTs
 # 2/5/6/9/10/12; codec-level inventory/match went per-field; the
-# unified inventory line grew layer bounds + :f{hours}) + all 31
-# r4 leftovers — 8 + 11 + 31 = exactly 50, so the ENTIRE 44-name r5
+# unified inventory line grew layer bounds + :f{hours}) + the 9
+# codec-path queries the r10 decode changes also touch (every GRIB2
+# field now parses the second surface and lead octets; the GRIB1
+# decoder gained PDS time/layer/Gaussian branches) + the first 22 r4
+# leftovers — 8 + 20 + 22 = exactly 50.  The remaining 9 r4 names
+# (ts_lag_lead, ts_moving_avg, ts_retention_cohorts, ts_yoy_growth,
+# unpivot_nation_balances, window_count_distinct, window_distribution,
+# window_distribution_ranks, window_rank_ties) spill to the FRONT of
+# round 11's queue, followed by the ENTIRE 44-name r5
 # cohort — agg_share_of_total, cdc_snapshot_diff, dedup_containment,
 # dedup_containment_capped,
 # dedup_ngram_jaccard_capped, dedup_simhash,
@@ -62,8 +69,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # asof_join_tolerance/counter_rate/downsample_lttb/
 # event_sequence_pattern/ewma/gap_detection/interval_coalesce/
 # interval_overlap_join/level_shift/ohlc_resample/
-# trailing_window_range) and window_ntile_stratify — is round 11's
-# queue head, keeping every cohort's evidence younger than ~5 rounds.
+# trailing_window_range) and window_ntile_stratify — keeping every
+# cohort's evidence younger than ~5 rounds.
 # Every entry outside the window stays locally oracle-checked each
 # session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
@@ -102,7 +109,20 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_match_decode",
     "era5_grib_anomaly_pipeline",
     "stream_grib1_anomaly_pipeline",
-    # --- 3. oldest cohort: all 31 round-4 leftovers ---
+    #     ...and the codec-path queries the r10 decode changes touch
+    #     (second-surface + lead octets parse on every GRIB2 field;
+    #     GRIB1 decode gained time/layer/Gaussian branches) ---
+    "grid_grib1_decode",
+    "grid_grib1_inventory",
+    "grid_grib1_anomaly",
+    "grid_grib2_complex_decode",
+    "grid_grib2_jpeg2000_decode",
+    "grid_grib2_gaussian_decode",
+    "grid_grib2_lambert_decode",
+    "grid_grib2_polar_decode",
+    "grid_grib2_mercator_decode",
+    # --- 3. oldest cohort: first 22 of the 31 round-4 leftovers
+    #     (the last 9 spill to round 11's queue head) ---
     "multimodal_frame_sample",
     "multimodal_image_decode_stats",
     "q11_important_stock",
@@ -125,15 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts_dedup_union",
     "ts_freshness_check",
     "ts_json_extract",
-    "ts_lag_lead",
-    "ts_moving_avg",
-    "ts_retention_cohorts",
-    "ts_yoy_growth",
-    "unpivot_nation_balances",
-    "window_count_distinct",
-    "window_distribution",
-    "window_distribution_ranks",
-    "window_rank_ties",
 )
 
 
