@@ -1378,3 +1378,31 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     assert "parquet" in plan.lower()
     assert "Python" not in plan  # published read is pure JVM
     assert q("era5_grib_anomaly_pipeline")(spark, SF_SMOKE).count() == n
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "grid_grib2_derived_ensemble_scan",
+        "grid_grib2_probability_scan",
+        "grid_grib2_percentile_scan",
+        "grid_grib2_forecast_lead_scan",
+        "grid_grib1_forecast_lead_scan",
+        "grid_grib_layer_scan",
+        "grid_grib_match_lead_scan",
+        "grid_grib1_gaussian_scan",
+    ],
+)
+def test_r10_codec_queries_python_only_at_codec_boundary(spark, name):
+    """Round-10 codec queries: exactly two Arrow stages (synthesize the
+    archive, scan+decode) — PDT/level/lead parsing and the Gaussian
+    quadrature stay inside the codec boundary; statistics, valid-time
+    arithmetic and the cell explode are JVM-side, and nothing ever
+    crosses row-at-a-time or via a cartesian product."""
+    df = q(name)(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
