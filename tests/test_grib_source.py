@@ -546,3 +546,55 @@ def test_inventory_line_carries_lead_and_layer_bounds():
             forecast=dict(unit=10, value=2),  # 3-hour unit → f6
         ),
     ) == "e2:c0,n0:l106/0-2:2020010100:f6"
+
+
+def test_streaming_match_pushdown_parity(spark, tmp_path):
+    """``match=`` applies identically in the STREAMING scan — the
+    lead-selecting regex filters records header-side per micro-batch,
+    proven the strong way: each landed file carries a record whose BDS
+    is undecodable (spherical-harmonics flag), so the drain only
+    succeeds if the non-matching record is never decoded.  Batch and
+    streaming must select the same records."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    for m in range(1, 4):
+        enc = dict(reference_value=0.0, nbits=8, reftime=(2020, m, 1, 0, 0))
+        anl = encode_grib1_message(v, **enc)
+        f6 = encode_grib1_message(
+            v + m, **enc, forecast=dict(unit=10, value=2)  # 3-hour unit
+        )
+        poisoned = bytearray(
+            encode_grib1_message(v, **enc, forecast=dict(unit=1, value=18))
+        )
+        pds_len = int.from_bytes(poisoned[8:11], "big")
+        gds_off = 8 + pds_len
+        bds_off = gds_off + int.from_bytes(
+            poisoned[gds_off : gds_off + 3], "big"
+        )
+        poisoned[bds_off + 3] |= 0x80
+        with open(os.path.join(landing, f"m{m:02d}.grib"), "wb") as f:
+            f.write(anl + f6 + bytes(poisoned))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        grib1_records_stream(
+            spark, landing, max_files_per_trigger=1, match=r":f6$"
+        )
+        .drop("values")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    rows = streamed.orderBy("month").collect()
+    # one f6 record per file — record_number 2 keeps its file position
+    assert [(r["month"], r["record_number"], r["forecast_hours"])
+            for r in rows] == [(1, 2, 6), (2, 2, 6), (3, 2, 6)]
+    batch = grib1_records(spark, landing, match=r":f6$")
+    cols = ["month", "record_number", "forecast_hours", "ni", "nj"]
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
