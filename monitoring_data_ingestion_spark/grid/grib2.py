@@ -245,6 +245,42 @@ def mercator_inverse(x_m, y_m, lad_deg, radius_m):
     return np.degrees(lat), lon
 
 
+def rotated_unrotate(rlats_deg, rlons_deg, sp_lat_deg, sp_lon_deg, angle_deg):
+    """ROTATED lat/lon grid (GDT 3.1 — the COSMO/HIRLAM regional
+    geometry): rotated coordinates → true coordinates, vectorized.
+
+    Convention (documented because GRIB only codes the pole, not the
+    composition order): the rotated system's NORTH pole sits at the
+    antipode of the coded SOUTHERN pole — (φ_N, λ_N) = (−sp_lat,
+    sp_lon + 180°) — and the angle of rotation γ turns the grid about
+    the rotated polar axis (counterclockwise seen from the rotated
+    north pole) BEFORE the pole tilt.  An unrotated grid is therefore
+    (sp_lat, sp_lon, γ) = (−90°, −180°, 0).  Matrix formulation
+    v_true = Rz(λ_N) · Ry(90°−φ_N) · Rz(γ) · v_rot; the query oracle
+    restates the same convention through the direct arcsin/atan2
+    spherical formulas — formulation-level independence, like the
+    Snyder-vs-isometric Lambert pair."""
+    phi = np.radians(np.asarray(rlats_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(rlons_deg, dtype=np.float64))
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    g = math.radians(angle_deg)
+    xg = x * math.cos(g) - y * math.sin(g)
+    yg = x * math.sin(g) + y * math.cos(g)
+    phi_n = math.radians(-sp_lat_deg)
+    lam_n = math.radians(sp_lon_deg + 180.0)
+    th = math.pi / 2 - phi_n
+    xt = xg * math.cos(th) + z * math.sin(th)
+    zt = -xg * math.sin(th) + z * math.cos(th)
+    xr = xt * math.cos(lam_n) - yg * math.sin(lam_n)
+    yr = xt * math.sin(lam_n) + yg * math.cos(lam_n)
+    lat = np.degrees(np.arcsin(np.clip(zt, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(yr, xr))
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lat, lon
+
+
 def _projected_increment(g: bytes, off: int) -> int:
     """Di/Dj of a projected grid template (millimetres).  Real-world
     producers often leave the increments-given resolution bits unset on
@@ -359,6 +395,25 @@ class Grib2Record:
         cells = getattr(self, "_cells", None)
         if cells is None:
             lp = self.lambert_params
+            if lp["kind"] == "rotated":
+                # The affine fields hold the ROTATED axes (already
+                # row-normalized north-first in rotated latitude);
+                # unrotation yields true coordinates per cell.
+                rlats = (
+                    self.lat_first_udeg
+                    - self.dlat_udeg * np.arange(self.nj)[:, None]
+                ) / 1e6
+                rlons = (
+                    self.lon_first_udeg
+                    + self.dlon_udeg * np.arange(self.ni)[None, :]
+                ) / 1e6
+                shape = (self.nj, self.ni)
+                self._cells = rotated_unrotate(
+                    np.broadcast_to(rlats, shape),
+                    np.broadcast_to(rlons, shape),
+                    lp["sp_lat"], lp["sp_lon"], lp["angle"],
+                )
+                return self._cells
             xs = lp["x1"] + lp["dx_m"] * np.arange(self.ni)[None, :]
             ys = lp["y1"] + lp["sj"] * lp["dy_m"] * np.arange(self.nj)[:, None]
             xg = np.broadcast_to(xs, (self.nj, self.ni))
@@ -782,6 +837,7 @@ def encode_grib2_message(
     lambert: dict | None = None,
     polar_stereo: dict | None = None,
     mercator: dict | None = None,
+    rotated: dict | None = None,
     statistical: dict | None = None,
     ensemble: dict | None = None,
     derived: dict | None = None,
@@ -854,9 +910,16 @@ def encode_grib2_message(
         raise ValueError("Gaussian grids are encoded north-first only")
     if sum(
         x is not None
-        for x in (gaussian or None, reduced_arr, lambert, polar_stereo, mercator)
+        for x in (
+            gaussian or None, reduced_arr, lambert, polar_stereo, mercator,
+            rotated,
+        )
     ) > 1:
         raise ValueError("choose exactly one grid family")
+    if rotated is not None and not -90.0 <= float(
+        rotated["south_pole_lat"]
+    ) <= 90.0:
+        raise ValueError("rotated-grid southern pole latitude out of range")
     if lambert is not None:
         _lambert_setup(
             lambert["lad"], lambert["latin1"], lambert["latin2"],
@@ -1180,13 +1243,27 @@ def encode_grib2_message(
         + dj_field
         + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
         )
+        # Template 3.1 (ROTATED lat/lon): the 3.0 body verbatim — its
+        # La1/Lo1/Di/Dj are coordinates IN THE ROTATED SYSTEM — plus
+        # the southern pole of projection and the angle of rotation
+        # (microdegrees, signed-magnitude, the g2clib template layout).
+        tmpl_extra = b""
+        tmpl_num = 40 if gaussian else 0
+        if rotated is not None:
+            tmpl_num = 1
+            tmpl_extra = (
+                _s32be(int(round(float(rotated["south_pole_lat"]) * 1e6)))
+                + _s32be(int(round(float(rotated["south_pole_lon"]) * 1e6)))
+                + _s32be(int(round(float(rotated.get("angle", 0.0)) * 1e6)))
+            )
         s3 = section(
             3,
             bytes([0])
             + struct.pack(">I", ni * nj)
             + bytes([0, 0])
-            + struct.pack(">H", 40 if gaussian else 0)
-            + tmpl30,
+            + struct.pack(">H", tmpl_num)
+            + tmpl30
+            + tmpl_extra,
         )
     # ``statistical`` selects product definition template 4.8
     # (statistical processing over a time interval — accumulations /
@@ -1635,9 +1712,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no not in (0, 10, 20, 30, 40):
+    if tmpl_no not in (0, 1, 10, 20, 30, 40):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
-    g = s3[14:]  # 3.0/3.40 share one layout; 3.10/3.20/3.30 share Nx/Ny
+    g = s3[14:]  # 3.0/3.1/3.40 share one layout; 3.10/3.20/3.30 share Nx/Ny
     (ni,) = struct.unpack_from(">I", g, 16)
     (nj,) = struct.unpack_from(">I", g, 20)
     row_ni: np.ndarray | None = None
@@ -1843,6 +1920,27 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             dlat = 0
         else:
             (dlat,) = struct.unpack_from(">I", g, 53)
+        if tmpl_no == 1:
+            # Template 3.1 (ROTATED lat/lon — COSMO/HIRLAM): the 3.0
+            # body's axes are coordinates IN THE ROTATED SYSTEM; the
+            # southern pole of projection + angle of rotation follow at
+            # octets 73-84.  True per-cell coordinates come from the
+            # lazy unrotation (rotated_unrotate); the affine fields stay
+            # the ROTATED axes — consumers must not read them as
+            # geography, which is why the landing source treats 3.1
+            # like the projected family (cell arrays, affine NULL).
+            if len(g) < 70:
+                raise ValueError("truncated grid definition template 3.1")
+            lambert_params = {
+                "kind": "rotated",
+                "sp_lat": _rs32be(g, 58) / 1e6,
+                "sp_lon": _rs32be(g, 62) / 1e6,
+                "angle": _rs32be(g, 66) / 1e6,
+            }
+            if not -90.0 <= lambert_params["sp_lat"] <= 90.0:
+                raise ValueError(
+                    "rotated-grid southern pole latitude out of range"
+                )
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)

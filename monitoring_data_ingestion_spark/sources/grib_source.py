@@ -177,10 +177,11 @@ def _grib2_field_header(s: dict) -> dict:
     # octets through a different template's layout would emit garbage
     # metadata exactly where the full decode stops loudly.
     (tmpl3,) = struct.unpack_from(">H", s3, 12)
-    if tmpl3 not in (0, 10, 20, 30, 40):
-        # 3.40 (Gaussian), 3.30 (Lambert), 3.20 (polar stereo) and 3.10
-        # (Mercator) share 3.0's Nx/Ny octets; anything else has a
-        # different layout and would yield garbage grid dimensions.
+    if tmpl3 not in (0, 1, 10, 20, 30, 40):
+        # 3.40 (Gaussian), 3.30 (Lambert), 3.20 (polar stereo), 3.10
+        # (Mercator) and 3.1 (rotated) share 3.0's Nx/Ny octets;
+        # anything else has a different layout and would yield garbage
+        # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
@@ -466,13 +467,18 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         interval_end = pd.Timestamp(
                             year=ey, month=em, day=ed, hour=eh, minute=emi
                         )
-                    if rec.grid_template in (10, 20, 30):
+                    if rec.grid_template in (1, 10, 20, 30):
                         # Projected grids (Mercator / polar stereo /
-                        # Lambert) have no affine lat/lon axes: the mdeg
-                        # georef stays NULL (visible, never fabricated)
-                        # and the georeference is the per-cell coordinate
+                        # Lambert) have no affine lat/lon axes, and a
+                        # ROTATED lat/lon grid's (3.1) affine axes are
+                        # coordinates in the ROTATED system — reading
+                        # either as geography would be silent
+                        # corruption, so the mdeg georef stays NULL
+                        # (visible, never fabricated) and the
+                        # georeference is the per-cell coordinate
                         # arrays in STORAGE order, recovered through the
-                        # codec's vectorized inverse projection.
+                        # codec's vectorized inverse projection /
+                        # unrotation.
                         lat0 = lon0 = dlat = dlon = None
                         lats_udeg = None
                         cell_lats = rec.cell_lats_deg.reshape(-1).tolist()

@@ -2146,3 +2146,83 @@ def test_second_fixed_surface_layer_products():
         encode_grib2_message(v, level2=dict(type=106, value=0xFFFFFFFF))
     with pytest.raises(ValueError, match="second-surface scale"):
         encode_grib2_message(v, level2=dict(type=106, scale=128, value=1))
+
+
+def test_rotated_latlon_grid_decode_contract():
+    """Grid template 3.1 (rotated lat/lon — COSMO/HIRLAM): the 3.0 body
+    carries the ROTATED axes, octets 73-84 the southern pole + angle.
+    Pinned: the unrotation convention (identity pole, rotated north
+    pole = antipode of the coded southern pole), rotation-invariant
+    angular distances under a nonzero angle, bit-exact value
+    round-trip, anchor-cell coordinates, south-first normalization
+    equivalence, and loud stops for truncated/degenerate poles."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import rotated_unrotate
+
+    # identity convention: unrotated grid = south pole at (-90, -180)
+    lat, lon = rotated_unrotate(
+        np.array([12.5]), np.array([34.0]), -90.0, -180.0, 0.0
+    )
+    assert abs(lat[0] - 12.5) < 1e-12 and abs(lon[0] - 34.0) < 1e-12
+    # the rotated north pole maps to the ANTIPODE of the coded pole
+    lat, lon = rotated_unrotate(
+        np.array([90.0]), np.array([0.0]), -32.5, 10.0, 0.0
+    )
+    assert abs(lat[0] - 32.5) < 1e-12 and abs(lon[0] + 170.0) < 1e-12
+    # any rotation preserves angular distances (catches matrix bugs)
+    rng = np.random.default_rng(7)
+    a, b = rng.uniform(-80, 80, 5), rng.uniform(-170, 170, 5)
+    la, lo = rotated_unrotate(a, b, -32.5, 10.0, 23.0)
+
+    def central(p1, l1, p2, l2):
+        p1, l1, p2, l2 = np.radians([p1, l1, p2, l2])
+        return np.arccos(
+            np.clip(
+                np.sin(p1) * np.sin(p2)
+                + np.cos(p1) * np.cos(p2) * np.cos(l1 - l2),
+                -1, 1,
+            )
+        )
+
+    for k in range(4):
+        assert abs(
+            central(a[k], b[k], a[k + 1], b[k + 1])
+            - central(la[k], lo[k], la[k + 1], lo[k + 1])
+        ) < 1e-10
+    # encode → decode: values bit-exact, template 1, anchor unrotated
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    enc = dict(
+        reference_value=0.0, nbits=8,
+        lat_first_udeg=10_000_000, lon_first_udeg=-5_000_000,
+        dlat_udeg=500_000, dlon_udeg=500_000,
+        rotated=dict(south_pole_lat=-32.5, south_pole_lon=10.0, angle=2.0),
+    )
+    rec = decode_grib2(encode_grib2_message(v, **enc))
+    assert rec.grid_template == 1
+    assert np.array_equal(rec.values, v)
+    a_lat, a_lon = rotated_unrotate(
+        np.array([10.0]), np.array([-5.0]), -32.5, 10.0, 2.0
+    )
+    assert abs(rec.cell_lats_deg[0, 0] - a_lat[0]) < 1e-12
+    assert abs(rec.cell_lons_deg[0, 0] - a_lon[0]) < 1e-12
+    # south-first storage normalizes to the same grid + cells
+    rec2 = decode_grib2(encode_grib2_message(v, scanning_mode=0x40, **enc))
+    assert np.array_equal(rec2.values, v)
+    assert np.allclose(rec2.cell_lats_deg, rec.cell_lats_deg, atol=1e-12)
+    # loud stops: truncated template, degenerate pole (both directions)
+    msg = bytearray(encode_grib2_message(v, **enc))
+    with pytest.raises(ValueError, match="southern pole latitude"):
+        encode_grib2_message(
+            v, rotated=dict(south_pole_lat=-91.0, south_pole_lon=0.0)
+        )
+    # find section 3 and truncate the pole octets
+    pos = 16
+    while bytearray(msg)[pos + 4] != 3:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s3_len = int.from_bytes(msg[pos : pos + 4], "big")
+    cut = bytearray(msg[: pos + s3_len - 8] + msg[pos + s3_len :])
+    struct.pack_into(">I", cut, pos, s3_len - 8)
+    struct.pack_into(">Q", cut, 8, len(cut))
+    with pytest.raises(ValueError, match="truncated grid definition"):
+        decode_grib2(bytes(cut))

@@ -147,6 +147,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_lambert_decode",
         "grid_grib2_mercator_decode",
         "grid_grib2_polar_decode",
+        "grid_grib2_rotated_decode",
         "grid_grib1_forecast_lead_scan",
         "grid_grib1_gaussian_scan",
         "grid_grib2_derived_ensemble_scan",
@@ -1391,6 +1392,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_grib_layer_scan",
         "grid_grib_match_lead_scan",
         "grid_grib1_gaussian_scan",
+        "grid_grib2_rotated_decode",
     ],
 )
 def test_r10_codec_queries_python_only_at_codec_boundary(spark, name):
