@@ -31,15 +31,16 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 10 (from CORRECTNESS_r01-r09): 31 names
 # last witnessed r4 (oldest), 44 r5, 47 r6, 44 r7, 45 r8, 50 r9.
-# Round 10 takes the 9 new r10 queries (derived-ensemble PDTs 4.2/4.12,
+# Round 10 takes the 10 new r10 queries (derived-ensemble PDTs 4.2/4.12,
 # probability PDTs 4.5/4.9, percentile PDTs 4.6/4.10, forecast
 # lead times through the landing source for BOTH editions — GRIB2
 # octets 18-22 and GRIB1 PDS octets 18-21 — and layer products, also
 # both editions: GRIB2 second fixed surface + GRIB1 table-3 layer
 # types, plus wgrib2-style match-on-lead over the inventory line's
 # new :f{hours} field, plus edition-1 Gaussian grids through the
-# unified cell explode, plus rotated lat/lon grids — template 3.1,
-# dual-formulation unrotation witness) + the 11 queries changed by
+# unified cell explode, plus rotated lat/lon grids in BOTH editions —
+# GRIB2 template 3.1 and GRIB1 GDS type 10, dual-formulation
+# unrotation witnesses) + the 11 queries changed by
 # the r10 landing-schema work (RECORD_SCHEMA grew forecast_hours /
 # time_range_count / derived_forecast / probability_type /
 # prob_lower_limit / prob_upper_limit / percentile_value /
@@ -49,9 +50,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # unified inventory line grew layer bounds + :f{hours}) + the 9
 # codec-path queries the r10 decode changes also touch (every GRIB2
 # field now parses the second surface and lead octets; the GRIB1
-# decoder gained PDS time/layer/Gaussian branches) + the first 21 r4
-# leftovers — 9 + 20 + 21 = exactly 50.  The remaining 10 r4 names
-# (ts_json_extract,
+# decoder gained PDS time/layer/Gaussian/rotated branches) + the
+# first 20 r4
+# leftovers — 10 + 20 + 20 = exactly 50.  The remaining 11 r4 names
+# (ts_freshness_check, ts_json_extract,
 # ts_lag_lead, ts_moving_avg, ts_retention_cohorts, ts_yoy_growth,
 # unpivot_nation_balances, window_count_distinct, window_distribution,
 # window_distribution_ranks, window_rank_ties) spill to the FRONT of
@@ -96,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib_match_lead_scan",
     "grid_grib1_gaussian_scan",
     "grid_grib2_rotated_decode",
+    "grid_grib1_rotated_scan",
     # --- 2. changed in round 10 (landing RECORD_SCHEMA grew the
     #     forecast_hours / time_range_count / derived / probability /
     #     percentile columns; header-only gate admits the new PDTs;
@@ -124,8 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_lambert_decode",
     "grid_grib2_polar_decode",
     "grid_grib2_mercator_decode",
-    # --- 3. oldest cohort: first 21 of the 31 round-4 leftovers
-    #     (the last 10 spill to round 11's queue head) ---
+    # --- 3. oldest cohort: first 20 of the 31 round-4 leftovers
+    #     (the last 11 spill to round 11's queue head) ---
     "multimodal_frame_sample",
     "multimodal_image_decode_stats",
     "q11_important_stock",
@@ -146,7 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_ratios",
     "text_token_stats",
     "ts_dedup_union",
-    "ts_freshness_check",
 )
 
 

@@ -54,6 +54,7 @@ TERMINATOR = b"7777"
 EDITION = 1
 _GRID_LATLON = 0
 _GRID_GAUSSIAN = 4  # Gaussian latitude/longitude (data representation type)
+_GRID_ROTATED = 10  # rotated latitude/longitude
 
 
 # --- IBM System/370 32-bit hexadecimal float (the GRIB1 reference value) --
@@ -307,6 +308,45 @@ class Grib1Record:
     # 0 (there is no affine latitude step on a Gaussian grid).
     gaussian_n: int | None = None
     latitudes_deg: np.ndarray | None = None
+    # Rotated lat/lon grids (data representation type 10 — the COSMO/
+    # HIRLAM edition-1 form): (south pole lat deg, south pole lon deg,
+    # rotation angle deg).  The affine fields hold the ROTATED axes;
+    # true per-cell coordinates come from ``cell_lats_deg`` /
+    # ``cell_lons_deg`` (the same unrotation the GRIB2 template-3.1
+    # path uses).
+    rotated_pole: tuple[float, float, float] | None = None
+
+    @property
+    def cell_lats_deg(self) -> np.ndarray | None:
+        if self.rotated_pole is None:
+            return None
+        return self._rotated_cells()[0]
+
+    @property
+    def cell_lons_deg(self) -> np.ndarray | None:
+        if self.rotated_pole is None:
+            return None
+        return self._rotated_cells()[1]
+
+    def _rotated_cells(self):
+        cells = getattr(self, "_cells", None)
+        if cells is None:
+            from .grib2 import rotated_unrotate  # lazy: grib2 imports grib1
+
+            rlats = (
+                self.lat_first_mdeg - self.dlat_mdeg * np.arange(self.nj)[:, None]
+            ) / 1e3
+            rlons = (
+                self.lon_first_mdeg + self.dlon_mdeg * np.arange(self.ni)[None, :]
+            ) / 1e3
+            shape = (self.nj, self.ni)
+            cells = rotated_unrotate(
+                np.broadcast_to(rlats, shape),
+                np.broadcast_to(rlons, shape),
+                *self.rotated_pole,
+            )
+            self._cells = cells
+        return cells
 
 
 def encode_grib1_message(
@@ -330,6 +370,7 @@ def encode_grib1_message(
     forecast: dict | None = None,
     statistical: dict | None = None,
     gaussian: bool = False,
+    rotated: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -364,7 +405,15 @@ def encode_grib1_message(
     even row count (nj = 2N parallels), rows north → south on the
     Legendre quadrature latitudes; ``lat_first_mdeg``/``dlat_mdeg``
     are ignored (La1/La2 come from the quadrature, GDS octets 26-27
-    carry N instead of Dj) and only scanning mode 0x00 is supported."""
+    carry N instead of Dj) and only scanning mode 0x00 is supported.
+
+    ``rotated`` (keys ``south_pole_lat``, ``south_pole_lon``,
+    optional ``angle``, degrees) writes a ROTATED lat/lon grid (data
+    representation type 10 — the COSMO/HIRLAM edition-1 form): the
+    axis kwargs are coordinates IN THE ROTATED SYSTEM and the GDS
+    grows octets 33-42 (pole in signed-magnitude millidegrees, angle
+    as an IBM 32-bit float — prefer IBM-exact angles, e.g. whole
+    degrees)."""
     vals = np.asarray(values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
@@ -479,6 +528,8 @@ def encode_grib1_message(
     )
     pds = _u24(3 + len(pds)) + pds
 
+    if gaussian and rotated is not None:
+        raise ValueError("choose exactly one grid family")
     if gaussian:
         if scanning_mode != 0x00:
             raise ValueError(
@@ -504,6 +555,19 @@ def encode_grib1_message(
         )
         row24_27 = dlon_mdeg.to_bytes(2, "big") + dlat_mdeg.to_bytes(2, "big")
         grid_type = _GRID_LATLON
+    gds_extra = b""
+    if rotated is not None:
+        # Octets 33-42: south pole of rotation (signed-magnitude
+        # millidegrees) + angle of rotation (IBM 32-bit float).
+        grid_type = _GRID_ROTATED
+        sp_lat = float(rotated["south_pole_lat"])
+        if not -90.0 <= sp_lat <= 90.0:
+            raise ValueError("rotated-grid southern pole latitude out of range")
+        gds_extra = (
+            _s24(int(round(sp_lat * 1000)))
+            + _s24(int(round(float(rotated["south_pole_lon"]) * 1000)))
+            + ibm32_encode(float(rotated.get("angle", 0.0)))
+        )
     gds = (
         bytes([0, 255])  # NV=0, PV=255 (none)
         + bytes([grid_type])
@@ -517,6 +581,7 @@ def encode_grib1_message(
         + row24_27
         + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
         + bytes(4)  # reserved padding to the 32-byte layout
+        + gds_extra  # type 10: rotation pole + angle (octets 33-42)
     )
     gds = _u24(3 + len(gds)) + gds
 
@@ -710,7 +775,7 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     # -- GDS --
     gds_len = _r24(msg, pos)
     gds = msg[pos : pos + gds_len]
-    if gds[5] not in (_GRID_LATLON, _GRID_GAUSSIAN):
+    if gds[5] not in (_GRID_LATLON, _GRID_GAUSSIAN, _GRID_ROTATED):
         raise ValueError(f"unsupported grid type {gds[5]}")
     ni = int.from_bytes(gds[6:8], "big")
     nj = int.from_bytes(gds[8:10], "big")
@@ -759,6 +824,23 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         dlat = 0  # no affine latitude step on a Gaussian grid
     else:
         dlat = int.from_bytes(gds[25:27], "big")
+    rotated_pole = None
+    if gds[5] == _GRID_ROTATED:
+        # Rotated lat/lon (type 10 — the COSMO/HIRLAM edition-1 form):
+        # the type-0 layout's axes are coordinates IN THE ROTATED
+        # SYSTEM; octets 33-42 append the south pole of rotation
+        # (signed-magnitude mdeg) and the angle (IBM 32-bit float).
+        if len(gds) < 42:
+            raise ValueError("truncated rotated lat/lon GDS")
+        rotated_pole = (
+            _rs24(gds, 32) / 1e3,
+            _rs24(gds, 35) / 1e3,
+            ibm32_decode(gds[38:42]),
+        )
+        if not -90.0 <= rotated_pole[0] <= 90.0:
+            raise ValueError(
+                "rotated-grid southern pole latitude out of range"
+            )
     pos += gds_len
 
     # -- BMS --
@@ -824,4 +906,5 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         level2=level2,
         gaussian_n=gaussian_n,
         latitudes_deg=latitudes,
+        rotated_pole=rotated_pole,
     )

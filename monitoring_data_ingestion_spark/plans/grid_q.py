@@ -4970,3 +4970,171 @@ def grid_grib2_rotated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _projected_stats(decoded, ("doc_id", "grid_tmpl"))
+
+
+def _grib1_rotated_cells_values_sql() -> str:
+    """(doc_id, i, j, true lat/lon in µdeg) for every cell of each
+    selected document's rotated record, from the direct trig
+    formulation (_unrotate_trig) — the oracle-side second
+    implementation of the codec's matrix unrotation."""
+    rows = []
+    for d in range(0, 500):
+        if d % 17 != 3:
+            continue
+        ni, nj = 7 + d % 4, 4 + d % 3
+        p = _rotated_params(d)
+        la1, lo1 = 8.0 + d % 6, -(10.0 + d % 9)
+        for j in range(nj):
+            for i in range(ni):
+                lat, lon = _unrotate_trig(
+                    la1 - j * 0.5, lo1 + i * 0.5,
+                    p["south_pole_lat"], p["south_pole_lon"], p["angle"],
+                )
+                rows.append(
+                    f"({d}, {i}, {j}, "
+                    f"{int(round(lat * 1e6))}, {int(round(lon * 1e6))})"
+                )
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib1_rotated_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         7 + doc_id % 4 AS ni,
+         4 + doc_id % 3 AS nj
+  FROM documents WHERE doc_id % 17 = 3 AND doc_id < 500
+),
+rot(doc_id, i, j, lat_udeg, lon_udeg) AS (
+  VALUES {_grib1_rotated_cells_values_sql()}
+),
+cells1 AS (
+  SELECT doc_id, 1 AS rn,
+         60 + ((doc_id * 3 + i.i * 11 + j.j * 2) % 50) AS v,
+         CAST((60000 - j.j * 1000) AS BIGINT) * 1000 AS lat_udeg,
+         CAST(i.i * 1000 AS BIGINT) * 1000 AS lon_udeg
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+),
+cells2 AS (
+  SELECT g.doc_id, 2 AS rn,
+         60 + ((g.doc_id * 3 + 7 + r.i * 11 + r.j * 2) % 50) AS v,
+         r.lat_udeg, r.lon_udeg
+  FROM g JOIN rot r ON r.doc_id = g.doc_id
+),
+cells AS (
+  SELECT * FROM cells1 UNION ALL SELECT * FROM cells2
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * lat_udeg) AS BIGINT) AS latvsum,
+       CAST(SUM(v * lon_udeg) AS BIGINT) AS lonvsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib1_rotated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB EDITION-1 ROTATED lat/lon grids (data representation type
+    10 — the COSMO/HIRLAM edition-1 form) through the REAL landing
+    path and the unified CELL explode.  The type-0 axes are
+    coordinates IN THE ROTATED SYSTEM; octets 33-42 append the south
+    pole (signed-magnitude mdeg) and the rotation angle (IBM 32-bit
+    float).  The record lands like the GRIB2 template-3.1 family:
+    affine georef NULL — rotated axes never masquerade as geography —
+    and true per-cell coordinates (the SAME cross-edition unrotation,
+    grib2.rotated_unrotate) ride the cell arrays that ``grib1_cells``
+    serves through the unified lat_udeg/lon_udeg columns, beside a
+    regular lat/lon record witnessed closed-form.
+
+    Witness independence: the oracle embeds EVERY rotated cell's true
+    coordinates from the direct arcsin/atan2 spherical formulation;
+    the payload-weighted ``latvsum``/``lonvsum`` pin each cell's
+    coordinate-to-value assignment exactly (integer compare), so a row
+    flip, a mis-tilted pole or a wrong IBM-float angle cannot cancel.
+
+    Scale: the landing posture — decode + unrotation are one
+    embarrassingly parallel Arrow stage (O(cells) vectorized trig);
+    only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import (
+        RECORD_SCHEMA,
+        _decode_batches,
+        grib1_cells,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 17 == 3) & (F.col("doc_id") < 500))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 7 + d % 4, 4 + d % 3
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        60 + ((d * 3 + r * 7 + i * 11 + j * 2) % 50)
+                    ).astype(np.float64)
+
+                enc = dict(reference_value=60.0, nbits=8)
+                p = _rotated_params(d)
+                msgs = [
+                    encode_grib1_message(
+                        field(0), **enc,
+                        lat_first_mdeg=60_000, dlat_mdeg=1_000,
+                    ),
+                    encode_grib1_message(
+                        field(1), **enc,
+                        lat_first_mdeg=(8 + d % 6) * 1000,
+                        lon_first_mdeg=-(10 + d % 9) * 1000,
+                        dlat_mdeg=500, dlon_mdeg=500,
+                        scanning_mode=0x40 if d % 2 else 0x00,
+                        rotated=p,
+                    ),
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": b"".join(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    cells = grib1_cells(
+        files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    )
+    return (
+        cells.groupBy(
+            F.regexp_extract("path", r"doc://(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "record_number",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("value").cast("bigint")).alias("vsum"),
+            F.sum(F.col("value").cast("bigint") * F.col("lat_udeg")).alias(
+                "latvsum"
+            ),
+            F.sum(F.col("value").cast("bigint") * F.col("lon_udeg")).alias(
+                "lonvsum"
+            ),
+        )
+        .orderBy("doc_id", "record_number")
+    )

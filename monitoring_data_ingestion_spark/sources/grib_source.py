@@ -403,6 +403,16 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                             for v in rec.latitudes_deg
                         ]
                         lon0, dlon = rec.lon_first_mdeg, rec.dlon_mdeg
+                    elif rec.rotated_pole is not None:
+                        # Edition-1 rotated lat/lon (type 10): same
+                        # landing contract as GRIB2 template 3.1 — the
+                        # affine fields are ROTATED coordinates (NULL,
+                        # never read as geography); true per-cell
+                        # coordinates ride the cell arrays.
+                        lat0 = lon0 = dlat = dlon = None
+                        lats_udeg = None
+                        cell_lats = rec.cell_lats_deg.reshape(-1).tolist()
+                        cell_lons = rec.cell_lons_deg.reshape(-1).tolist()
                     else:
                         lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
                         dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg

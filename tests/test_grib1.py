@@ -466,3 +466,57 @@ def test_gaussian_grid_roundtrip_and_quadrature_latitudes():
     bad[gds_off + 10 : gds_off + 13] = (10_000).to_bytes(3, "big")
     with pytest.raises(ValueError, match="does not match"):
         decode_grib1(bytes(bad))
+
+
+def test_rotated_latlon_type10_roundtrip():
+    """GDS type 10 (rotated lat/lon — the COSMO/HIRLAM edition-1 form):
+    values round-trip bit-exactly, the pole octets (mdeg) + IBM-float
+    angle round-trip, per-cell TRUE coordinates agree with the shared
+    cross-edition unrotation, south-first storage normalizes in
+    ROTATED latitude, and degenerate/truncated poles stop loudly."""
+    from monitoring_data_ingestion_spark.grid.grib2 import rotated_unrotate
+
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    enc = dict(
+        reference_value=0.0, nbits=8,
+        lat_first_mdeg=10_000, lon_first_mdeg=-5_000,
+        dlat_mdeg=500, dlon_mdeg=500,
+        rotated=dict(south_pole_lat=-32.5, south_pole_lon=10.0, angle=2.0),
+    )
+    rec = decode_grib1(encode_grib1_message(v, **enc))
+    assert np.array_equal(rec.values, v)
+    assert rec.rotated_pole == (-32.5, 10.0, 2.0)  # 2.0 is IBM-exact
+    ref_lat, ref_lon = rotated_unrotate(
+        np.array([[10.0], [9.5], [9.0], [8.5]]),
+        np.array([[-5.0, -4.5, -4.0, -3.5, -3.0]]),
+        -32.5, 10.0, 2.0,
+    )
+    assert np.allclose(rec.cell_lats_deg, ref_lat, atol=1e-12)
+    assert np.allclose(rec.cell_lons_deg, ref_lon, atol=1e-12)
+    # south-first bytes normalize to the same grid and cells
+    rec2 = decode_grib1(encode_grib1_message(v, scanning_mode=0x40, **enc))
+    assert np.array_equal(rec2.values, v)
+    assert np.allclose(rec2.cell_lats_deg, rec.cell_lats_deg, atol=1e-12)
+    # point-level grids keep cell arrays None (no fabricated geometry)
+    assert decode_grib1(encode_grib1_message(v)).cell_lats_deg is None
+    with pytest.raises(ValueError, match="southern pole latitude"):
+        encode_grib1_message(
+            v, rotated=dict(south_pole_lat=95.0, south_pole_lon=0.0)
+        )
+    with pytest.raises(ValueError, match="exactly one grid family"):
+        encode_grib1_message(
+            np.ones((4, 5)), gaussian=True,
+            rotated=dict(south_pole_lat=-30.0, south_pole_lon=0.0),
+        )
+    # truncated GDS (pole octets cut) stops loudly
+    msg = bytearray(encode_grib1_message(v, **enc))
+    pds_len = int.from_bytes(msg[8:11], "big")
+    gds_off = 8 + pds_len
+    gds_len = int.from_bytes(msg[gds_off : gds_off + 3], "big")
+    cut = bytearray(
+        msg[: gds_off + gds_len - 10] + msg[gds_off + gds_len :]
+    )
+    cut[gds_off : gds_off + 3] = (gds_len - 10).to_bytes(3, "big")
+    cut[4:7] = (len(cut) - 0).to_bytes(3, "big")
+    with pytest.raises(ValueError, match="truncated rotated"):
+        decode_grib1(bytes(cut))

@@ -150,6 +150,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_rotated_decode",
         "grid_grib1_forecast_lead_scan",
         "grid_grib1_gaussian_scan",
+        "grid_grib1_rotated_scan",
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_ensemble_scan",
         "grid_grib2_forecast_lead_scan",
@@ -1393,6 +1394,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_grib_match_lead_scan",
         "grid_grib1_gaussian_scan",
         "grid_grib2_rotated_decode",
+        "grid_grib1_rotated_scan",
     ],
 )
 def test_r10_codec_queries_python_only_at_codec_boundary(spark, name):
