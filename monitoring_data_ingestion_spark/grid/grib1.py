@@ -669,7 +669,17 @@ def inspect_grib1(msg: bytes) -> dict:
     lt, lv, lv2 = _decode_level(pds)
     year = (century - 1) * 100 + pds[12]
     reftime = (year, pds[13], pds[14], pds[15], pds[16])
-    _, forecast_hours, stat_process, _ = _decode_pds_time(pds, reftime)
+    # Lenient lead decoding: a mixed archive may hold records with
+    # calendar-unit leads or reinterpreting time range indicators
+    # (climatology TRIs, valid-between).  The INVENTORY must still list
+    # them — wgrib lists every record — so a non-hour-convertible lead
+    # surfaces as forecast_hours=None instead of aborting the whole
+    # file's scan; the FULL decode path (decode_grib1) keeps the loud
+    # stop, because there a wrong valid time corrupts data downstream.
+    try:
+        _, forecast_hours, stat_process, _ = _decode_pds_time(pds, reftime)
+    except ValueError:
+        forecast_hours = stat_process = None
     out = {
         "parameter": pds[8],
         "level_type": lt,

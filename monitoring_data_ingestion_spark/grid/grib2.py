@@ -249,17 +249,21 @@ def rotated_unrotate(rlats_deg, rlons_deg, sp_lat_deg, sp_lon_deg, angle_deg):
     """ROTATED lat/lon grid (GDT 3.1 — the COSMO/HIRLAM regional
     geometry): rotated coordinates → true coordinates, vectorized.
 
-    Convention (documented because GRIB only codes the pole, not the
-    composition order): the rotated system's NORTH pole sits at the
-    antipode of the coded SOUTHERN pole — (φ_N, λ_N) = (−sp_lat,
-    sp_lon + 180°) — and the angle of rotation γ turns the grid about
-    the rotated polar axis (counterclockwise seen from the rotated
-    north pole) BEFORE the pole tilt.  An unrotated grid is therefore
-    (sp_lat, sp_lon, γ) = (−90°, −180°, 0).  Matrix formulation
-    v_true = Rz(λ_N) · Ry(90°−φ_N) · Rz(γ) · v_rot; the query oracle
-    restates the same convention through the direct arcsin/atan2
-    spherical formulas — formulation-level independence, like the
-    Snyder-vs-isometric Lambert pair."""
+    Convention (the standard eccodes/COSMO/wgrib2 one, documented
+    because GRIB only codes the pole, not the composition order): the
+    rotated system's NORTH pole sits at the antipode of the coded
+    SOUTHERN pole — (φ_N, λ_N) = (−sp_lat, sp_lon + 180°) — the angle
+    of rotation γ turns the grid about the rotated polar axis
+    (counterclockwise seen from the rotated north pole) BEFORE the
+    pole tilt, and true longitudes come out measured from the coded
+    southern-pole longitude itself.  An unrotated grid is therefore
+    (sp_lat, sp_lon, γ) = (−90°, 0°, 0).  Matrix formulation
+    v_true = Rz(sp_lon) · Ry(φ_N − 90°) · Rz(γ) · v_rot — anchored by
+    the standard transform example: rotated (0°, 0°) under a coded
+    southern pole of (−40°, 10°E) is true (50°N, 10°E).  The query
+    oracle restates the same convention through the direct
+    arcsin/atan2 spherical formulas — formulation-level independence,
+    like the Snyder-vs-isometric Lambert pair."""
     phi = np.radians(np.asarray(rlats_deg, dtype=np.float64))
     lam = np.radians(np.asarray(rlons_deg, dtype=np.float64))
     x = np.cos(phi) * np.cos(lam)
@@ -269,16 +273,103 @@ def rotated_unrotate(rlats_deg, rlons_deg, sp_lat_deg, sp_lon_deg, angle_deg):
     xg = x * math.cos(g) - y * math.sin(g)
     yg = x * math.sin(g) + y * math.cos(g)
     phi_n = math.radians(-sp_lat_deg)
-    lam_n = math.radians(sp_lon_deg + 180.0)
-    th = math.pi / 2 - phi_n
-    xt = xg * math.cos(th) + z * math.sin(th)
-    zt = -xg * math.sin(th) + z * math.cos(th)
-    xr = xt * math.cos(lam_n) - yg * math.sin(lam_n)
-    yr = xt * math.sin(lam_n) + yg * math.cos(lam_n)
+    lam_p = math.radians(sp_lon_deg)
+    xt = xg * math.sin(phi_n) - z * math.cos(phi_n)
+    zt = xg * math.cos(phi_n) + z * math.sin(phi_n)
+    xr = xt * math.cos(lam_p) - yg * math.sin(lam_p)
+    yr = xt * math.sin(lam_p) + yg * math.cos(lam_p)
     lat = np.degrees(np.arcsin(np.clip(zt, -1.0, 1.0)))
     lon = np.degrees(np.arctan2(yr, xr))
     lon = (lon + 180.0) % 360.0 - 180.0
     return lat, lon
+
+
+def spectral_legendre(truncation: int, mu) -> np.ndarray:
+    """Fully-normalized associated Legendre functions P̄_n^m(μ) for all
+    0 ≤ m ≤ n ≤ T at the points ``mu`` — the normalization spectral
+    GRIB data uses (code table 3.6 representation type 1):
+    P̄_n^m = sqrt((2n+1)·(n−m)!/(n+m)!) · P_n^m WITHOUT the
+    Condon–Shortley phase, so ∫₋₁¹ (P̄_n^m)² dμ = 2 and P̄_0^0 ≡ 1.
+    Computed by the stable diagonal-then-upward three-term recurrence
+    (sectoral seed, then increasing degree at fixed order — the
+    classic spectral-model scheme); the query oracle recomputes the
+    same functions from the DERIVATIVE definition
+    P_n^m = (1−μ²)^{m/2} dᵐPₙ/dμᵐ with explicit factorials —
+    formulation-level independence, like the Snyder/isometric pair.
+
+    Returns shape (T+1, T+1, len(mu)) indexed [m, n, point]; entries
+    with n < m are zero."""
+    mu = np.asarray(mu, dtype=np.float64).reshape(-1)
+    t = int(truncation)
+    out = np.zeros((t + 1, t + 1, mu.size))
+    s = np.sqrt(np.maximum(0.0, 1.0 - mu * mu))
+    pmm = np.ones_like(mu)  # P̄_0^0
+    for m in range(t + 1):
+        out[m, m] = pmm
+        if m + 1 <= t:
+            out[m, m + 1] = math.sqrt(2.0 * m + 3.0) * mu * pmm
+        for n in range(m + 2, t + 1):
+            a = math.sqrt((4.0 * n * n - 1.0) / (n * n - m * m))
+            b = math.sqrt(
+                ((n - 1.0) ** 2 - m * m) / (4.0 * (n - 1.0) ** 2 - 1.0)
+            )
+            out[m, n] = a * (mu * out[m, n - 1] - b * out[m, n - 2])
+        if m + 1 <= t:
+            pmm = math.sqrt((2.0 * m + 3.0) / (2.0 * m + 2.0)) * s * pmm
+    return out
+
+
+def spectral_synthesis(coeffs, truncation: int, nj: int, ni: int):
+    """Spherical-harmonic SYNTHESIS (the inverse Legendre + Fourier
+    transform): mode-1 triangular coefficients → gridpoint values on
+    the global regular Gaussian grid with ``nj`` parallels
+    (:func:`gaussian_latitudes`) and ``ni`` equally spaced longitudes
+    from 0°E — how a spectral archive (ERA5/IFS dynamics fields)
+    becomes the lat/lon raster every downstream operator consumes.
+
+    ``coeffs`` is the complex array a spectral record decodes to
+    (:attr:`Grib2Record.spectral_coeffs`): C_n^m for m = 0..T,
+    n = m..T in that order.  The field is real, so
+    f(μ, λ) = Σ_n Re(C_n^0)·P̄_n^0(μ)
+            + 2·Σ_{m=1}^{T} Σ_{n=m}^{T} P̄_n^m(μ)·
+              [Re(C_n^m)·cos(mλ) − Im(C_n^m)·sin(mλ)]
+    with the P̄ of :func:`spectral_legendre`.  Vectorized per zonal
+    wavenumber: the Legendre sum contracts over degree for all
+    latitudes at once, then the Fourier sum is two rank-1 outer
+    products per m — O(T²·nj + T·nj·ni), no Python-per-cell work.
+
+    Returns ``(values (nj, ni) north→south, latitudes_deg)``."""
+    t = int(truncation)
+    c = np.asarray(coeffs)
+    npairs = (t + 1) * (t + 2) // 2
+    if c.ndim != 1 or len(c) != npairs:
+        raise ValueError(
+            f"triangular T{t} spectrum has {npairs} coefficients, got "
+            f"{c.shape}"
+        )
+    if ni < 1 or nj < 2:
+        raise ValueError("synthesis grid needs nj >= 2 parallels, ni >= 1")
+    lats = gaussian_latitudes(nj)
+    mu = np.sin(np.radians(lats))
+    p = spectral_legendre(t, mu)  # (m, n, nj)
+    lon = np.radians(np.arange(ni) * 360.0 / ni)
+    out = np.zeros((nj, ni))
+    pos = 0
+    for m in range(t + 1):
+        cnt = t - m + 1
+        cm = c[pos : pos + cnt]
+        pos += cnt
+        sm = (cm[:, None] * p[m, m : t + 1, :]).sum(axis=0)  # (nj,) complex
+        if m == 0:
+            # every C_n^0 of a real field is real (the decoder stores —
+            # and the encoder validates — zero imaginary parts)
+            out += sm.real[:, None]
+        else:
+            out += 2.0 * (
+                np.outer(sm.real, np.cos(m * lon))
+                - np.outer(sm.imag, np.sin(m * lon))
+            )
+    return out, lats
 
 
 def _projected_increment(g: bytes, off: int) -> int:
@@ -387,6 +478,21 @@ class Grib2Record:
     # are NOT row-normalized.
     grid_template: int = 0
     lambert_params: dict | None = None
+    # Template 3.50 (spherical harmonic coefficients): the triangular
+    # truncation T (J = K = M).  ``values`` is then the FLAT real
+    # sequence re/im interleaved in mode-1 order (m = 0..T, n = m..T),
+    # ``nj`` the complex-coefficient count (T+1)(T+2)/2, ``ni`` None,
+    # and every geographic field zero — spectral data HAS no grid
+    # until an explicit :func:`spectral_synthesis` produces one.
+    spectral_truncation: int | None = None
+
+    @property
+    def spectral_coeffs(self) -> np.ndarray | None:
+        """Complex coefficients C_n^m in mode-1 order (m = 0..T,
+        n = m..T) of a spectral record; None on gridded records."""
+        if self.spectral_truncation is None:
+            return None
+        return self.values[0::2] + 1j * self.values[1::2]
 
     # Per-cell geographic coordinates (nj, ni) IN STORAGE ORDER —
     # computed lazily on first access (consumers like the landing
@@ -838,6 +944,7 @@ def encode_grib2_message(
     polar_stereo: dict | None = None,
     mercator: dict | None = None,
     rotated: dict | None = None,
+    spectral: dict | None = None,
     statistical: dict | None = None,
     ensemble: dict | None = None,
     derived: dict | None = None,
@@ -873,8 +980,49 @@ def encode_grib2_message(
     layout): pass the points-per-parallel list (north -> south, even
     count = 2N) and ``values`` as the flat ragged concatenation of
     rows; Ni/Di are coded missing and the list rides in section 3's
-    optional-numbers block."""
-    vals = np.asarray(values, dtype=np.float64)
+    optional-numbers block.
+
+    ``spectral`` (key ``truncation``) encodes SPHERICAL-HARMONIC
+    coefficients instead of gridpoints — grid definition template 3.50
+    (triangular truncation J = K = M = T, associated Legendre type 1,
+    complex-packing mode 1) with data representation template 5.50
+    (spectral data simple packing: the real part of the (0,0)
+    coefficient rides UNPACKED as an IEEE-32 float in the template,
+    every other value simple-packed in section 7).  ``values`` is the
+    1-D COMPLEX array C_n^m for m = 0..T, n = m..T in that order
+    ((T+1)(T+2)/2 coefficients); the field is real, so every m = 0
+    coefficient must have zero imaginary part (validated — a synthesis
+    would silently drop it).  Spectral data has no grid, bitmap or
+    raster packing: only ``packing="simple"`` composes."""
+    spec_t: int | None = None
+    if spectral is not None:
+        spec_t = int(spectral["truncation"])
+        if spec_t < 1:
+            raise ValueError("spectral truncation must be >= 1")
+        if packing != "simple":
+            raise ValueError(
+                "spectral data packs with template 5.50 (simple) only"
+            )
+        if bitmap is not None or missing_mask is not None:
+            raise ValueError("spectral data carries no bitmap/missing mask")
+        if scanning_mode != 0x00:
+            raise ValueError("spectral data has no scanning mode")
+        c = np.asarray(values)
+        npairs = (spec_t + 1) * (spec_t + 2) // 2
+        if c.ndim != 1 or len(c) != npairs or not np.iscomplexobj(c):
+            raise ValueError(
+                f"triangular T{spec_t} spectrum is a 1-D complex array of "
+                f"{npairs} coefficients (m = 0..T, n = m..T)"
+            )
+        if len(c) and float(np.abs(c[: spec_t + 1].imag).max()) != 0.0:
+            raise ValueError(
+                "m = 0 coefficients of a real field have zero imaginary part"
+            )
+        vals = np.empty(2 * npairs, dtype=np.float64)
+        vals[0::2] = c.real
+        vals[1::2] = c.imag
+    else:
+        vals = np.asarray(values, dtype=np.float64)
     reduced_arr: np.ndarray | None = None
     if reduced_ni is not None:
         # Reduced Gaussian grid: ``values`` is the FLAT ragged
@@ -902,7 +1050,7 @@ def encode_grib2_message(
             raise ValueError(
                 "raster packings need a rectangular grid; use simple/complex"
             )
-    elif vals.ndim != 2:
+    elif spec_t is None and vals.ndim != 2:
         raise ValueError("values must be (nj, ni)")
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
@@ -912,7 +1060,7 @@ def encode_grib2_message(
         x is not None
         for x in (
             gaussian or None, reduced_arr, lambert, polar_stereo, mercator,
-            rotated,
+            rotated, spec_t,
         )
     ) > 1:
         raise ValueError("choose exactly one grid family")
@@ -931,7 +1079,9 @@ def encode_grib2_message(
         raise ValueError("degenerate Mercator true-scale latitude")
     if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
         raise ValueError(f"unknown packing {packing!r}")
-    if reduced_arr is not None:
+    if spec_t is not None:
+        nj, ni = len(vals) // 2, None  # complex coefficient count; no grid
+    elif reduced_arr is not None:
         nj, ni = len(reduced_arr), None  # ragged rows: no common Ni
     else:
         nj, ni = vals.shape
@@ -962,6 +1112,10 @@ def encode_grib2_message(
         bm = None if bm is None else bm[::-1]
         mm = None if mm is None else mm[::-1]
     present = vals.reshape(-1)
+    if spec_t is not None:
+        # Template 5.50: the (0,0) real coefficient rides unpacked in
+        # the template (IEEE-32); everything else simple-packs.
+        present = present[1:]
     if bm is not None:
         present = present[bm.reshape(-1)]
     mm_flat = None if mm is None else mm.reshape(-1)
@@ -984,12 +1138,19 @@ def encode_grib2_message(
     if packing == "simple":
         s5_body = (
             struct.pack(">I", len(present))
-            + struct.pack(">H", 0)  # data representation template 5.0
+            # data representation template: 5.50 tails with the
+            # unpacked (0,0) real coefficient instead of 5.0's
+            # original-field-type octet
+            + struct.pack(">H", 50 if spec_t is not None else 0)
             + r_bytes
             + _s16be(binary_scale)
             + _s16be(decimal_scale)
             + bytes([nbits])
-            + bytes([0])  # original field type: float
+            + (
+                _f32_encode(float(vals[0]))
+                if spec_t is not None
+                else bytes([0])  # original field type: float
+            )
         )
         s7_body = _pack_bits(x, nbits)
     elif packing == "jpeg2000":
@@ -1080,7 +1241,23 @@ def encode_grib2_message(
         + bytes([0xFF]) + b"\xff\xff\xff\xff"  # major axis sf + value (missing)
         + bytes([0xFF]) + b"\xff\xff\xff\xff"  # minor axis sf + value (missing)
     )
-    if mercator is not None:
+    if spec_t is not None:
+        # Template 3.50 (spherical harmonic coefficients): J/K/M
+        # pentagonal resolution parameters (triangular here: all T),
+        # representation type 1 (associated Legendre of the first
+        # kind), mode 1 (the standard complex ordering m = 0..M,
+        # n = m..J).  Section 3's point count holds the number of
+        # COMPLEX coefficients; there is no optional list.
+        s3 = section(
+            3,
+            bytes([0])
+            + struct.pack(">I", nj)  # (T+1)(T+2)/2 complex coefficients
+            + bytes([0, 0])
+            + struct.pack(">H", 50)
+            + struct.pack(">III", spec_t, spec_t, spec_t)
+            + bytes([1, 1]),  # representation type 1, mode 1
+        )
+    elif mercator is not None:
         # Template 3.10 (Mercator, true scale at LaD): La2/Lo2 derive
         # from the mesh; Di/Dj ride in millimetres at LaD.  ``mercator``
         # keys: la1, lo1 (degrees of cell 0,0), lad, dx_m, dy_m.
@@ -1223,7 +1400,8 @@ def encode_grib2_message(
         lat_b = lat_first_udeg - (nj - 1) * dlat_udeg if scanning_mode == 0 else lat_first_udeg
         dj_field = struct.pack(">I", dlat_udeg)
     if (
-        lambert is None
+        spec_t is None
+        and lambert is None
         and polar_stereo is None
         and mercator is None
         and reduced_arr is None
@@ -1534,6 +1712,26 @@ def parse_fixed_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
     return _parse_surface(s4, 22)
 
 
+def surface_level(value: int | None, scale: int | None) -> int | None:
+    """Fixed surface (scaled value, scale factor) → integer level:
+    level = value / 10^scale. NULL propagates; a non-integral level
+    raises loudly rather than rounding.  ONE helper shared by the
+    landing inventory/decode and the codec-level inventory line, so
+    the surfaces can never disagree on the same record's level."""
+    if value is None:
+        return None
+    if not scale:  # None or 0
+        return int(value)
+    if scale > 0:
+        q, rem = divmod(int(value), 10 ** scale)
+        if rem:
+            raise ValueError(
+                f"fixed-surface value {value}·10^-{scale} is not a whole level"
+            )
+        return q
+    return int(value) * 10 ** (-scale)
+
+
 def parse_second_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
     """Template 4.0 SECOND fixed surface (octets 29-34) — the bottom of
     a LAYER product (0-10 cm soil moisture, a cloud-base-to-top layer,
@@ -1712,235 +1910,281 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no not in (0, 1, 10, 20, 30, 40):
+    if tmpl_no not in (0, 1, 10, 20, 30, 40, 50):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
-    g = s3[14:]  # 3.0/3.1/3.40 share one layout; 3.10/3.20/3.30 share Nx/Ny
-    (ni,) = struct.unpack_from(">I", g, 16)
-    (nj,) = struct.unpack_from(">I", g, 20)
-    row_ni: np.ndarray | None = None
-    if tmpl_no == 40 and ni == 0xFFFFFFFF:
-        # REDUCED Gaussian grid (ERA5's native archive layout): Ni is
-        # coded missing and section 3's optional list (octets 11-12:
-        # entry width + interpretation 1 = points per full parallel)
-        # carries the number of points on each row, north -> south.
-        if nj == 0xFFFFFFFF:
-            raise ValueError("grid dimensions coded missing on template 40")
-        list_w = s3[10]
-        if list_w == 0 or s3[11] != 1:
+    spectral_truncation: int | None = None
+    if tmpl_no == 50:
+        # Template 3.50 (spherical harmonic coefficients): J/K/M
+        # pentagonal resolution parameters, representation type
+        # (code table 3.6) and mode (3.7).  Only the triangular
+        # J = K = M truncation in type-1 (associated Legendre) mode-1
+        # ordering is supported -- anything else reorders or redefines
+        # the coefficient sequence, and guessing would synthesize a
+        # garbage field.  Section 3's point count holds the number of
+        # COMPLEX coefficients (T+1)(T+2)/2; there is no grid, so the
+        # affine fields are zero and consumers must key on
+        # spectral_truncation (the landing scan rejects these records:
+        # synthesis to a Gaussian grid -- spectral_synthesis -- is an
+        # explicit step, never an implicit georef).
+        sg = s3[14:]
+        if len(sg) < 14:
+            raise ValueError("truncated grid definition template 3.50")
+        (sj,) = struct.unpack_from(">I", sg, 0)
+        (sk,) = struct.unpack_from(">I", sg, 4)
+        (sm,) = struct.unpack_from(">I", sg, 8)
+        if not (sj == sk == sm) or sj < 1:
             raise ValueError(
-                "reduced grid without a points-per-row list "
-                f"(list octets {s3[10]}, interpretation {s3[11]})"
+                f"only triangular spectral truncation supported "
+                f"(J={sj}, K={sk}, M={sm})"
             )
-        off = 14 + 58  # template 3.40 body spans section octets 15-72
-        if len(s3) < off + nj * list_w:
-            raise ValueError("truncated points-per-row list")
-        row_ni = np.array(
-            [
-                int.from_bytes(s3[off + k * list_w : off + (k + 1) * list_w], "big")
-                for k in range(nj)
-            ],
-            dtype=np.int64,
-        )
+        if sg[12] != 1 or sg[13] != 1:
+            raise ValueError(
+                f"unsupported spectral representation type {sg[12]} / "
+                f"mode {sg[13]}"
+            )
+        npairs = (sj + 1) * (sj + 2) // 2
         (npoints3,) = struct.unpack_from(">I", s3, 6)
-        if int(row_ni.sum()) != npoints3 or (row_ni <= 0).any():
+        if npoints3 != npairs:
             raise ValueError(
-                "points-per-row list disagrees with the section-3 point count"
+                f"T{sj} spectrum has {npairs} complex coefficients, "
+                f"section 3 declares {npoints3}"
             )
-        ni = None
-    elif ni == 0xFFFFFFFF or nj == 0xFFFFFFFF:
-        # quasi-regular geometry on any other template has no per-row
-        # machinery here — decoding it with sentinel dims would be
-        # silent geography corruption
-        raise ValueError(f"grid dimensions coded missing on template {tmpl_no}")
-    lambert_params: dict | None = None
-    if tmpl_no == 10:
-        # Template 3.10 (Mercator): its own octet layout past Lo1 —
-        # LaD at g[33], La2/Lo2, scanning at g[45], Di/Dj at g[50]/g[54]
-        # in millimetres at LaD.
-        if g[0] not in _EARTH_RADIUS_M:
-            raise ValueError(
-                f"unsupported shape of earth {g[0]} for projected grids"
+        spectral_truncation = int(sj)
+        ni, nj = None, npairs
+        row_ni = None
+        lambert_params = None
+        gaussian_n = None
+        latitudes = None
+        dlat = dlon = lat_first = lon_first = 0
+        scan = 0x00
+    else:
+        g = s3[14:]  # 3.0/3.1/3.40 share one layout; 3.10/3.20/3.30 share Nx/Ny
+        (ni,) = struct.unpack_from(">I", g, 16)
+        (nj,) = struct.unpack_from(">I", g, 20)
+        row_ni: np.ndarray | None = None
+        if tmpl_no == 40 and ni == 0xFFFFFFFF:
+            # REDUCED Gaussian grid (ERA5's native archive layout): Ni is
+            # coded missing and section 3's optional list (octets 11-12:
+            # entry width + interpretation 1 = points per full parallel)
+            # carries the number of points on each row, north -> south.
+            if nj == 0xFFFFFFFF:
+                raise ValueError("grid dimensions coded missing on template 40")
+            list_w = s3[10]
+            if list_w == 0 or s3[11] != 1:
+                raise ValueError(
+                    "reduced grid without a points-per-row list "
+                    f"(list octets {s3[10]}, interpretation {s3[11]})"
+                )
+            off = 14 + 58  # template 3.40 body spans section octets 15-72
+            if len(s3) < off + nj * list_w:
+                raise ValueError("truncated points-per-row list")
+            row_ni = np.array(
+                [
+                    int.from_bytes(s3[off + k * list_w : off + (k + 1) * list_w], "big")
+                    for k in range(nj)
+                ],
+                dtype=np.int64,
             )
-        scan = g[45]
-        if scan not in (0x00, 0x40):
-            raise ValueError(
-                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
-            )
-        (orientation,) = struct.unpack_from(">I", g, 46)
-        if orientation != 0:
-            # a rotated Mercator grid decoded as orientation-0 would be
+            (npoints3,) = struct.unpack_from(">I", s3, 6)
+            if int(row_ni.sum()) != npoints3 or (row_ni <= 0).any():
+                raise ValueError(
+                    "points-per-row list disagrees with the section-3 point count"
+                )
+            ni = None
+        elif ni == 0xFFFFFFFF or nj == 0xFFFFFFFF:
+            # quasi-regular geometry on any other template has no per-row
+            # machinery here — decoding it with sentinel dims would be
             # silent geography corruption
-            raise ValueError(
-                f"non-zero Mercator grid orientation {orientation} not supported"
-            )
-        lambert_params = {
-            "kind": "mercator",
-            "la1": _rs32be(g, 24) / 1e6,
-            "lo1": _rs32be(g, 28) / 1e6,
-            "lad": _rs32be(g, 33) / 1e6,
-            "dx_m": _projected_increment(g, 50) / 1e3,
-            "dy_m": _projected_increment(g, 54) / 1e3,
-            "radius_m": _EARTH_RADIUS_M[g[0]],
-        }
-        if not -90.0 < lambert_params["lad"] < 90.0:
-            raise ValueError("degenerate Mercator true-scale latitude")
-        lp = lambert_params
-        x1, y1 = mercator_forward(
-            lp["la1"], lp["lo1"], lp["lad"], lp["radius_m"]
-        )
-        lp["x1"], lp["y1"] = float(x1), float(y1)
-        lp["sj"] = 1.0 if scan & 0x40 else -1.0
-        # Cross-check the Di/Dj-derived far corner against the
-        # message's stated La2/Lo2: a record whose increments disagree
-        # with its declared extent would otherwise decode with
-        # silently Di-derived geometry (loud-stop policy).  Tolerance
-        # covers µdeg corner rounding plus mm increment rounding
-        # accumulated across the mesh.
-        la2_stated = _rs32be(g, 37) / 1e6
-        lo2_stated = _rs32be(g, 41) / 1e6
-        la2_mesh, lo2_mesh = mercator_inverse(
-            lp["x1"] + (ni - 1) * lp["dx_m"],
-            lp["y1"] + lp["sj"] * (nj - 1) * lp["dy_m"],
-            lp["lad"],
-            lp["radius_m"],
-        )
-        dlon_wrap = abs(
-            (float(lo2_mesh) - lo2_stated + 180.0) % 360.0 - 180.0
-        )
-        if abs(float(la2_mesh) - la2_stated) > 1e-3 or dlon_wrap > 1e-3:
-            raise ValueError(
-                "Mercator grid increments disagree with the stated far "
-                f"corner: Di/Dj-derived ({float(la2_mesh):.6f}, "
-                f"{float(lo2_mesh):.6f}) vs La2/Lo2 ({la2_stated:.6f}, "
-                f"{lo2_stated:.6f})"
-            )
-        lat_first = _rs32be(g, 24)
-        lon_first = _rs32be(g, 28)
-    elif tmpl_no in (20, 30):
-        if g[0] not in _EARTH_RADIUS_M:
-            raise ValueError(
-                f"unsupported shape of earth {g[0]} for projected grids"
-            )
-        if g[49] & 0xC0:
-            # bit 1 (0x80): south pole on the projection plane; bit 2
-            # (0x40): bi-polar symmetric projection — decoding either
-            # with a single northern cone would be silent geography
-            # corruption.
-            raise ValueError(
-                f"unsupported Lambert projection centre flag 0x{g[49]:02x} "
-                "(southern / bi-polar cones not supported)"
-            )
-        scan = g[50]
-        if scan not in (0x00, 0x40):
-            raise ValueError(
-                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
-            )
-        lambert_params = {
-            "kind": "ps" if tmpl_no == 20 else "lcc",
-            "la1": _rs32be(g, 24) / 1e6,
-            "lo1": _rs32be(g, 28) / 1e6,
-            "lad": _rs32be(g, 33) / 1e6,
-            "lov": _rs32be(g, 37) / 1e6,
-            "dx_m": _projected_increment(g, 41) / 1e3,
-            "dy_m": _projected_increment(g, 45) / 1e3,
-            "radius_m": _EARTH_RADIUS_M[g[0]],
-        }
-        if tmpl_no == 20 and lambert_params["lad"] <= -90.0:
-            raise ValueError("degenerate polar-stereographic true-scale latitude")
-        lp = lambert_params
-        if tmpl_no == 30:
-            lp["latin1"] = _rs32be(g, 51) / 1e6
-            lp["latin2"] = _rs32be(g, 55) / 1e6
-            x1, y1 = lambert_forward(
-                lp["la1"], lp["lo1"], lp["lad"], lp["lov"],
-                lp["latin1"], lp["latin2"], lp["radius_m"],
-            )
-        else:
-            x1, y1 = polar_stereo_forward(
-                lp["la1"], lp["lo1"], lp["lad"], lp["lov"], lp["radius_m"]
-            )
-        # Anchor + mesh orientation, resolved NOW; the O(cells) inverse
-        # runs lazily on first cell_lats/lons_deg access.  +i is always
-        # east along a row; scanning bit 0x40 means +j steps +y,
-        # otherwise -y.  No row normalization — projected grids have no
-        # latitude axis to normalize.
-        lp["x1"], lp["y1"] = float(x1), float(y1)
-        lp["sj"] = 1.0 if scan & 0x40 else -1.0
-        lat_first = _rs32be(g, 24)
-        lon_first = _rs32be(g, 28)
-    else:
-        lat_first = _rs32be(g, 32)
-        lon_first = _rs32be(g, 36)
-    # Same loud-stop policy as grib1: an unsupported scanning mode
-    # reorders cells — decoding it as row-major +i,−j is silent
-    # geography corruption; 0x40 (+j, south row first) is a pure row
-    # reorder and normalizes on decode. Resolution/component flags
-    # 0x20 AND 0x10 mean the i- and j-increments are given; if EITHER
-    # is unset that increment field holds the all-ones missing sentinel
-    # and dlat/dlon would decode as ~4.29e9 microdegrees — require both.
-    gaussian_n: int | None = None
-    latitudes: np.ndarray | None = None
-    if tmpl_no in (10, 20, 30):
-        dlat = dlon = 0  # projected grid: no affine lat/lon axes
-    else:
-        scan = g[57]
-        if scan not in (0x00, 0x40):
-            raise ValueError(
-                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
-            )
-        # 3.0 carries BOTH increments; if either flag is unset that
-        # field holds the all-ones missing sentinel and would decode as
-        # ~4.29e9 microdegrees.  3.40's Dj octets hold N (always
-        # meaningful), so only the i-increment flag applies there — and
-        # a REDUCED grid has no common i-increment at all (Di coded
-        # missing, per-row spacing 360/row_ni[j]).
-        need_flags = 0x00 if row_ni is not None else (
-            0x20 if tmpl_no == 40 else 0x30
-        )
-        if (g[40] & need_flags) != need_flags:
-            raise ValueError("direction increments not given (resolution flags)")
-        if row_ni is not None:
-            dlon = 0
-        else:
-            (dlon,) = struct.unpack_from(">I", g, 49)
-        if tmpl_no == 40:
-            # Dj's octets hold N; only the GLOBAL grid (nj == 2N) is
-            # supported — a latitude subset would need La1/La2 root
-            # matching, and silently assuming global would misplace rows.
-            (gaussian_n,) = struct.unpack_from(">I", g, 53)
-            if scan != 0x00:
+            raise ValueError(f"grid dimensions coded missing on template {tmpl_no}")
+        lambert_params: dict | None = None
+        if tmpl_no == 10:
+            # Template 3.10 (Mercator): its own octet layout past Lo1 —
+            # LaD at g[33], La2/Lo2, scanning at g[45], Di/Dj at g[50]/g[54]
+            # in millimetres at LaD.
+            if g[0] not in _EARTH_RADIUS_M:
                 raise ValueError(
-                    "Gaussian grids support north-first scanning only"
+                    f"unsupported shape of earth {g[0]} for projected grids"
                 )
-            if nj != 2 * gaussian_n:
+            scan = g[45]
+            if scan not in (0x00, 0x40):
                 raise ValueError(
-                    f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) not supported"
+                    f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
                 )
-            latitudes = gaussian_latitudes(nj)
-            dlat = 0
-        else:
-            (dlat,) = struct.unpack_from(">I", g, 53)
-        if tmpl_no == 1:
-            # Template 3.1 (ROTATED lat/lon — COSMO/HIRLAM): the 3.0
-            # body's axes are coordinates IN THE ROTATED SYSTEM; the
-            # southern pole of projection + angle of rotation follow at
-            # octets 73-84.  True per-cell coordinates come from the
-            # lazy unrotation (rotated_unrotate); the affine fields stay
-            # the ROTATED axes — consumers must not read them as
-            # geography, which is why the landing source treats 3.1
-            # like the projected family (cell arrays, affine NULL).
-            if len(g) < 70:
-                raise ValueError("truncated grid definition template 3.1")
+            (orientation,) = struct.unpack_from(">I", g, 46)
+            if orientation != 0:
+                # a rotated Mercator grid decoded as orientation-0 would be
+                # silent geography corruption
+                raise ValueError(
+                    f"non-zero Mercator grid orientation {orientation} not supported"
+                )
             lambert_params = {
-                "kind": "rotated",
-                "sp_lat": _rs32be(g, 58) / 1e6,
-                "sp_lon": _rs32be(g, 62) / 1e6,
-                "angle": _rs32be(g, 66) / 1e6,
+                "kind": "mercator",
+                "la1": _rs32be(g, 24) / 1e6,
+                "lo1": _rs32be(g, 28) / 1e6,
+                "lad": _rs32be(g, 33) / 1e6,
+                "dx_m": _projected_increment(g, 50) / 1e3,
+                "dy_m": _projected_increment(g, 54) / 1e3,
+                "radius_m": _EARTH_RADIUS_M[g[0]],
             }
-            if not -90.0 <= lambert_params["sp_lat"] <= 90.0:
+            if not -90.0 < lambert_params["lad"] < 90.0:
+                raise ValueError("degenerate Mercator true-scale latitude")
+            lp = lambert_params
+            x1, y1 = mercator_forward(
+                lp["la1"], lp["lo1"], lp["lad"], lp["radius_m"]
+            )
+            lp["x1"], lp["y1"] = float(x1), float(y1)
+            lp["sj"] = 1.0 if scan & 0x40 else -1.0
+            # Cross-check the Di/Dj-derived far corner against the
+            # message's stated La2/Lo2: a record whose increments disagree
+            # with its declared extent would otherwise decode with
+            # silently Di-derived geometry (loud-stop policy).  Tolerance
+            # covers µdeg corner rounding plus mm increment rounding
+            # accumulated across the mesh.
+            la2_stated = _rs32be(g, 37) / 1e6
+            lo2_stated = _rs32be(g, 41) / 1e6
+            la2_mesh, lo2_mesh = mercator_inverse(
+                lp["x1"] + (ni - 1) * lp["dx_m"],
+                lp["y1"] + lp["sj"] * (nj - 1) * lp["dy_m"],
+                lp["lad"],
+                lp["radius_m"],
+            )
+            dlon_wrap = abs(
+                (float(lo2_mesh) - lo2_stated + 180.0) % 360.0 - 180.0
+            )
+            if abs(float(la2_mesh) - la2_stated) > 1e-3 or dlon_wrap > 1e-3:
                 raise ValueError(
-                    "rotated-grid southern pole latitude out of range"
+                    "Mercator grid increments disagree with the stated far "
+                    f"corner: Di/Dj-derived ({float(la2_mesh):.6f}, "
+                    f"{float(lo2_mesh):.6f}) vs La2/Lo2 ({la2_stated:.6f}, "
+                    f"{lo2_stated:.6f})"
                 )
+            lat_first = _rs32be(g, 24)
+            lon_first = _rs32be(g, 28)
+        elif tmpl_no in (20, 30):
+            if g[0] not in _EARTH_RADIUS_M:
+                raise ValueError(
+                    f"unsupported shape of earth {g[0]} for projected grids"
+                )
+            if g[49] & 0xC0:
+                # bit 1 (0x80): south pole on the projection plane; bit 2
+                # (0x40): bi-polar symmetric projection — decoding either
+                # with a single northern cone would be silent geography
+                # corruption.
+                raise ValueError(
+                    f"unsupported Lambert projection centre flag 0x{g[49]:02x} "
+                    "(southern / bi-polar cones not supported)"
+                )
+            scan = g[50]
+            if scan not in (0x00, 0x40):
+                raise ValueError(
+                    f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
+                )
+            lambert_params = {
+                "kind": "ps" if tmpl_no == 20 else "lcc",
+                "la1": _rs32be(g, 24) / 1e6,
+                "lo1": _rs32be(g, 28) / 1e6,
+                "lad": _rs32be(g, 33) / 1e6,
+                "lov": _rs32be(g, 37) / 1e6,
+                "dx_m": _projected_increment(g, 41) / 1e3,
+                "dy_m": _projected_increment(g, 45) / 1e3,
+                "radius_m": _EARTH_RADIUS_M[g[0]],
+            }
+            if tmpl_no == 20 and lambert_params["lad"] <= -90.0:
+                raise ValueError("degenerate polar-stereographic true-scale latitude")
+            lp = lambert_params
+            if tmpl_no == 30:
+                lp["latin1"] = _rs32be(g, 51) / 1e6
+                lp["latin2"] = _rs32be(g, 55) / 1e6
+                x1, y1 = lambert_forward(
+                    lp["la1"], lp["lo1"], lp["lad"], lp["lov"],
+                    lp["latin1"], lp["latin2"], lp["radius_m"],
+                )
+            else:
+                x1, y1 = polar_stereo_forward(
+                    lp["la1"], lp["lo1"], lp["lad"], lp["lov"], lp["radius_m"]
+                )
+            # Anchor + mesh orientation, resolved NOW; the O(cells) inverse
+            # runs lazily on first cell_lats/lons_deg access.  +i is always
+            # east along a row; scanning bit 0x40 means +j steps +y,
+            # otherwise -y.  No row normalization — projected grids have no
+            # latitude axis to normalize.
+            lp["x1"], lp["y1"] = float(x1), float(y1)
+            lp["sj"] = 1.0 if scan & 0x40 else -1.0
+            lat_first = _rs32be(g, 24)
+            lon_first = _rs32be(g, 28)
+        else:
+            lat_first = _rs32be(g, 32)
+            lon_first = _rs32be(g, 36)
+        # Same loud-stop policy as grib1: an unsupported scanning mode
+        # reorders cells — decoding it as row-major +i,−j is silent
+        # geography corruption; 0x40 (+j, south row first) is a pure row
+        # reorder and normalizes on decode. Resolution/component flags
+        # 0x20 AND 0x10 mean the i- and j-increments are given; if EITHER
+        # is unset that increment field holds the all-ones missing sentinel
+        # and dlat/dlon would decode as ~4.29e9 microdegrees — require both.
+        gaussian_n: int | None = None
+        latitudes: np.ndarray | None = None
+        if tmpl_no in (10, 20, 30):
+            dlat = dlon = 0  # projected grid: no affine lat/lon axes
+        else:
+            scan = g[57]
+            if scan not in (0x00, 0x40):
+                raise ValueError(
+                    f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
+                )
+            # 3.0 carries BOTH increments; if either flag is unset that
+            # field holds the all-ones missing sentinel and would decode as
+            # ~4.29e9 microdegrees.  3.40's Dj octets hold N (always
+            # meaningful), so only the i-increment flag applies there — and
+            # a REDUCED grid has no common i-increment at all (Di coded
+            # missing, per-row spacing 360/row_ni[j]).
+            need_flags = 0x00 if row_ni is not None else (
+                0x20 if tmpl_no == 40 else 0x30
+            )
+            if (g[40] & need_flags) != need_flags:
+                raise ValueError("direction increments not given (resolution flags)")
+            if row_ni is not None:
+                dlon = 0
+            else:
+                (dlon,) = struct.unpack_from(">I", g, 49)
+            if tmpl_no == 40:
+                # Dj's octets hold N; only the GLOBAL grid (nj == 2N) is
+                # supported — a latitude subset would need La1/La2 root
+                # matching, and silently assuming global would misplace rows.
+                (gaussian_n,) = struct.unpack_from(">I", g, 53)
+                if scan != 0x00:
+                    raise ValueError(
+                        "Gaussian grids support north-first scanning only"
+                    )
+                if nj != 2 * gaussian_n:
+                    raise ValueError(
+                        f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) not supported"
+                    )
+                latitudes = gaussian_latitudes(nj)
+                dlat = 0
+            else:
+                (dlat,) = struct.unpack_from(">I", g, 53)
+            if tmpl_no == 1:
+                # Template 3.1 (ROTATED lat/lon — COSMO/HIRLAM): the 3.0
+                # body's axes are coordinates IN THE ROTATED SYSTEM; the
+                # southern pole of projection + angle of rotation follow at
+                # octets 73-84.  True per-cell coordinates come from the
+                # lazy unrotation (rotated_unrotate); the affine fields stay
+                # the ROTATED axes — consumers must not read them as
+                # geography, which is why the landing source treats 3.1
+                # like the projected family (cell arrays, affine NULL).
+                if len(g) < 70:
+                    raise ValueError("truncated grid definition template 3.1")
+                lambert_params = {
+                    "kind": "rotated",
+                    "sp_lat": _rs32be(g, 58) / 1e6,
+                    "sp_lon": _rs32be(g, 62) / 1e6,
+                    "angle": _rs32be(g, 66) / 1e6,
+                }
+                if not -90.0 <= lambert_params["sp_lat"] <= 90.0:
+                    raise ValueError(
+                        "rotated-grid southern pole latitude out of range"
+                    )
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
@@ -2054,8 +2298,17 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3, 40, 41):
+    if tmpl5 not in (0, 2, 3, 40, 41, 50):
         raise ValueError(f"unsupported data representation template {tmpl5}")
+    # Spectral grid ↔ spectral packing must pair: 5.50's value sequence
+    # only means anything against 3.50's coefficient ordering, and a
+    # gridded raster packed "as spectral" (or vice versa) would decode
+    # a garbage field with plausible statistics.
+    if (tmpl5 == 50) != (spectral_truncation is not None):
+        raise ValueError(
+            f"grid definition template {tmpl_no} cannot pair with data "
+            f"representation template {tmpl5}"
+        )
     (n_present,) = struct.unpack_from(">I", s5, 5)
     (r,) = struct.unpack_from(">f", s5, 11)
     binary_scale = _rs16be(s5, 15)
@@ -2068,7 +2321,16 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         # bitmap-indicator octet — the same guard _iter_field_sections
         # applies, so both decode paths fail uniformly and loudly
         raise ValueError("malformed section 6 (no bitmap indicator octet)")
-    total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
+    if spectral_truncation is not None:
+        # 2·pairs REAL values (re/im interleaved); spectral data has no
+        # cells for a bitmap to mask
+        total_cells = 2 * nj
+        if s6[5] != 255:
+            raise ValueError(
+                f"spectral data carries no bitmap (indicator {s6[5]})"
+            )
+    else:
+        total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
     bitmap = None
     if s6[5] == 0:
         bits = np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[:total_cells]
@@ -2083,7 +2345,28 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         raise ValueError(f"unsupported bitmap indicator {s6[5]}")
 
     s7 = s[7]
-    if tmpl5 == 0:
+    if tmpl5 == 50:
+        # Template 5.50/7.50 (spectral data simple packing): the (0,0)
+        # real coefficient rides UNPACKED as an IEEE-32 float in the
+        # template (octets 21-24); every other value of the mode-1
+        # sequence simple-packs in section 7.
+        if len(s5) < 24:
+            raise ValueError("truncated data representation template 5.50")
+        if n_present != total_cells - 1:
+            raise ValueError(
+                f"T{spectral_truncation} spectrum packs {total_cells - 1} "
+                f"values, section 5 declares {n_present}"
+            )
+        (re00,) = struct.unpack_from(">f", s5, 20)
+        if nbits:
+            x = _unpack_bits(s7[5:], n_present, nbits)
+            rest = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:
+            rest = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+        present_vals = np.concatenate(([float(re00)], rest))
+    elif tmpl5 == 0:
         if nbits:
             x = _unpack_bits(s7[5:], n_present, nbits)
             present_vals = (
@@ -2139,11 +2422,12 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         values[bitmap] = present_vals
     else:
         values = present_vals
-    if row_ni is None:
+    if row_ni is None and spectral_truncation is None:
         values = values.reshape(nj, ni)
     elif len(values) != total_cells:
         raise ValueError(
-            f"reduced grid holds {len(values)} values, expected {total_cells}"
+            f"{'spectrum' if spectral_truncation is not None else 'reduced grid'}"
+            f" holds {len(values)} values, expected {total_cells}"
         )
     if scan == 0x40 and tmpl_no not in (10, 20, 30):
         # south-first storage → normalize to north-first (lat/lon grids
@@ -2193,23 +2477,40 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         forecast_hours=forecast_hours,
         time_range_count=time_range_count,
         row_ni=row_ni,
+        spectral_truncation=spectral_truncation,
     )
 
 
 def _field_inventory(s: dict[int, bytes]) -> str:
     """wgrib2-style inventory rendering of one FIELD's resolved section
-    dict: ``d{discipline}:c{category},n{number}:{YYYYMMDDHH}:f{lead
-    hours}`` — a stable engine-defined rendering of the same fields
-    wgrib2 prints (its ``:anl:`` / ``:6 hour fcst:`` selector is the
-    trailing ``:f0`` / ``:f6`` here).  Level matching wants the
-    LANDING scan's richer line (sources/grib_source.inventory_line),
-    which also renders layer bounds."""
+    dict: ``d{discipline}:c{category},n{number}:l{level_type}/{level}
+    [-{level2}]:{YYYYMMDDHH}:f{lead hours}`` — a stable engine-defined
+    rendering of the same fields wgrib2 prints.  Its ``:anl:`` /
+    ``:6 hour fcst:`` selector is the trailing ``:f0`` / ``:f6``; its
+    LEVEL string (the field the reference's wgrib2 -match regexes key
+    on, /root/reference/src/file-conversions.js:79-87 — "0-10 cm
+    down", "500 mb") is the ``l{type}/{level}`` field, rendered
+    exactly like the landing scan's unified line (sources/grib_source.
+    inventory_line) so one level/layer regex works on both surfaces.
+    A missing surface renders ``-``; a non-hour-convertible lead
+    (calendar units) renders ``f-`` — LISTED, like wgrib2 lists every
+    record, but never selected by an ``:f6$``-style match."""
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
+    lt, sc, lv = parse_fixed_surface(s4)
+    lt2, sc2, lv2 = parse_second_surface(s4)
+    lvs = "-" if lv is None else surface_level(lv, sc)
+    if lv2 is not None:
+        lvs = f"{lvs}-{surface_level(lv2, sc2)}"
+    try:
+        fh: int | str = _forecast_hours(s4[17], _rs32be(s4, 18))
+    except ValueError:
+        fh = "-"
     return (
         f"d{s[0][6]}:c{s4[9]},n{s4[10]}:"
+        f"l{'-' if lt is None else lt}/{lvs}:"
         f"{year:04d}{s1[14]:02d}{s1[15]:02d}{s1[16]:02d}"
-        f":f{_forecast_hours(s4[17], _rs32be(s4, 18))}"
+        f":f{fh}"
     )
 
 

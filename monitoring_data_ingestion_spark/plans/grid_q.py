@@ -4788,12 +4788,15 @@ def grid_grib1_gaussian_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _unrotate_trig(rlat, rlon, sp_lat, sp_lon, angle):
     """Rotated → true coordinates by the DIRECT spherical formulas
-    (arcsin/atan2) under the codec's documented convention (rotated
-    north pole = antipode of the coded southern pole; the angle adds to
-    the rotated longitude before the tilt).  This is the oracle-side
-    SECOND formulation of grib2.rotated_unrotate's matrix composition —
-    engine-vs-formulation independence, like the Snyder/isometric
-    Lambert pair."""
+    (arcsin/atan2) under the codec's documented eccodes/COSMO
+    convention (rotated north pole = antipode of the coded southern
+    pole; the angle adds to the rotated longitude before the tilt;
+    true longitudes measured from the coded southern-pole longitude —
+    rotated (0°, 0°) under pole (−40°, 10°E) is true (50°N, 10°E)).
+    This is the oracle-side SECOND formulation of
+    grib2.rotated_unrotate's matrix composition — engine-vs-
+    formulation independence, like the Snyder/isometric Lambert
+    pair."""
     import math
 
     lam2 = math.radians(rlon + angle)
@@ -4802,15 +4805,15 @@ def _unrotate_trig(rlat, rlon, sp_lat, sp_lon, angle):
     lat = math.degrees(
         math.asin(
             math.sin(phi) * math.sin(phi_n)
-            - math.cos(phi) * math.cos(lam2) * math.cos(phi_n)
+            + math.cos(phi) * math.cos(lam2) * math.cos(phi_n)
         )
     )
     y = math.cos(phi) * math.sin(lam2)
     x = (
         math.cos(phi) * math.cos(lam2) * math.sin(phi_n)
-        + math.sin(phi) * math.cos(phi_n)
+        - math.sin(phi) * math.cos(phi_n)
     )
-    lon = sp_lon + 180.0 + math.degrees(math.atan2(y, x))
+    lon = sp_lon + math.degrees(math.atan2(y, x))
     lon = (lon + 180.0) % 360.0 - 180.0
     return lat, lon
 

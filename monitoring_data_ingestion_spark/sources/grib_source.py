@@ -120,20 +120,12 @@ def _udeg_to_mdeg(udeg: int) -> int:
 
 def _apply_surface_scale(value: int | None, scale: int | None) -> int | None:
     """Template 4.0 fixed surface (scaled value, scale factor) → integer
-    level: level = value / 10^scale. NULL propagates; a non-integral
-    level raises loudly rather than rounding."""
-    if value is None:
-        return None
-    if not scale:  # None or 0
-        return int(value)
-    if scale > 0:
-        q, rem = divmod(int(value), 10 ** scale)
-        if rem:
-            raise ValueError(
-                f"fixed-surface value {value}·10^-{scale} is not a whole level"
-            )
-        return q
-    return int(value) * 10 ** (-scale)
+    level — the cross-surface helper lives in grid.grib2 (shared with
+    the codec-level inventory line so the two renderings can never
+    disagree on the same record's level)."""
+    from ..grid.grib2 import surface_level
+
+    return surface_level(value, scale)
 
 
 INVENTORY_SCHEMA = (
@@ -177,30 +169,53 @@ def _grib2_field_header(s: dict) -> dict:
     # octets through a different template's layout would emit garbage
     # metadata exactly where the full decode stops loudly.
     (tmpl3,) = struct.unpack_from(">H", s3, 12)
-    if tmpl3 not in (0, 1, 10, 20, 30, 40):
+    if tmpl3 not in (0, 1, 10, 20, 30, 40, 50):
         # 3.40 (Gaussian), 3.30 (Lambert), 3.20 (polar stereo), 3.10
-        # (Mercator) and 3.1 (rotated) share 3.0's Nx/Ny octets;
-        # anything else has a different layout and would yield garbage
-        # grid dimensions.
+        # (Mercator) and 3.1 (rotated) share 3.0's Nx/Ny octets; 3.50
+        # (spherical harmonics) has no grid at all; anything else has
+        # a different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
         raise ValueError(f"unsupported product definition template {tmpl4}")
-    g = s3[14:]
-    (ni,) = struct.unpack_from(">I", g, 16)
-    (nj,) = struct.unpack_from(">I", g, 20)
-    if nj == 0xFFFFFFFF:
-        # nj is never legitimately missing; letting the sentinel through
-        # would overflow the int32 schema column opaquely
-        raise ValueError(f"grid dimensions coded missing on template {tmpl3}")
-    if ni == 0xFFFFFFFF and tmpl3 == 40:
-        ni = None  # reduced Gaussian grid: per-row counts, no common Ni
-    elif ni == 0xFFFFFFFF:
-        # same gate as _decode_field: a sentinel Ni on any non-reduced
-        # template would inventory garbage dimensions
-        raise ValueError(f"grid dimensions coded missing on template {tmpl3}")
+    if tmpl3 == 50:
+        # Spectral records have no Ni/Nj — the inventory LISTS them
+        # (wgrib2 lists spectral fields) with NULL dimensions; only the
+        # gridpoint DECODE rejects them (grib_source._decode_batches).
+        ni = nj = None
+    else:
+        g = s3[14:]
+        (ni,) = struct.unpack_from(">I", g, 16)
+        (nj,) = struct.unpack_from(">I", g, 20)
+        if nj == 0xFFFFFFFF:
+            # nj is never legitimately missing; letting the sentinel
+            # through would overflow the int32 schema column opaquely
+            raise ValueError(
+                f"grid dimensions coded missing on template {tmpl3}"
+            )
+        if ni == 0xFFFFFFFF and tmpl3 == 40:
+            ni = None  # reduced Gaussian grid: per-row counts, no common Ni
+        elif ni == 0xFFFFFFFF:
+            # same gate as _decode_field: a sentinel Ni on any
+            # non-reduced template would inventory garbage dimensions
+            raise ValueError(
+                f"grid dimensions coded missing on template {tmpl3}"
+            )
     level_type, scale, level_value = parse_fixed_surface(s4)
     l2_type, l2_scale, l2_value = parse_second_surface(s4)
+    # Lead time (octets 18-22) in whole hours — part of the header, so
+    # the inventory line can carry it and a ``match=`` regex can select
+    # leads (wgrib2 ``-match ':anl:'``) without decoding.  LENIENT
+    # here: a calendar-unit lead (monthly means, code-table-4.4 unit 3)
+    # or a sub-hour lead can't fill the integer column, but the
+    # inventory must still LIST the record — wgrib2 lists every record
+    # of a mixed archive — so it surfaces as None instead of aborting
+    # the whole file's scan.  The full decode path keeps the loud stop
+    # (there a mis-stamped valid time corrupts data downstream).
+    try:
+        forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
+    except ValueError:
+        forecast_hours = None
     return {
         "category": s4[9],
         "number": s4[10],
@@ -208,10 +223,7 @@ def _grib2_field_header(s: dict) -> dict:
         "level": _apply_surface_scale(level_value, scale),
         "level2_type": l2_type,
         "level2": _apply_surface_scale(l2_value, l2_scale),
-        # Lead time (octets 18-22) in whole hours — part of the header,
-        # so the inventory line can carry it and a ``match=`` regex can
-        # select leads (wgrib2 ``-match ':anl:'``) without decoding.
-        "forecast_hours": _forecast_hours(s4[17], _rs32be(s4, 18)),
+        "forecast_hours": forecast_hours,
         "year": year,
         "month": s1[14],
         "day": s1[15],
@@ -295,10 +307,14 @@ def inventory_line(edition: int, msg: bytes, s: dict | None = None) -> str:
     lv = "-" if h["level"] is None else h["level"]
     if h["level2"] is not None:
         lv = f"{lv}-{h['level2']}"
+    # A non-hour-convertible lead (calendar units, reinterpreting GRIB1
+    # TRIs) inventories as ``f-`` — same sentinel convention as the
+    # missing level — so a ``:f6$`` match can never select it.
+    fh = "-" if h["forecast_hours"] is None else h["forecast_hours"]
     return (
         f"e{edition}:{ident}:l{lt}/{lv}:"
         f"{h['year']:04d}{h['month']:02d}{h['day']:02d}{h['hour']:02d}"
-        f":f{h['forecast_hours']}"
+        f":f{fh}"
     )
 
 
@@ -419,6 +435,22 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         lats_udeg = None
                 else:
                     rec = _decode_field(s)
+                    if rec.spectral_truncation is not None:
+                        # Spherical-harmonic records have NO gridpoint
+                        # cells — landing them on RECORD_SCHEMA would
+                        # fabricate a zero-increment georef.  The
+                        # inventory path LISTS them (ni/nj NULL) and a
+                        # ``match=`` regex can skip them header-side;
+                        # decoding is the explicit codec route:
+                        # decode_grib2(...).spectral_coeffs →
+                        # grib2.spectral_synthesis onto a Gaussian grid.
+                        raise ValueError(
+                            f"record {n}: spectral field (T"
+                            f"{rec.spectral_truncation}) cannot land as "
+                            "gridpoints — synthesize explicitly via "
+                            "grib2.spectral_synthesis, or exclude it "
+                            "with match="
+                        )
                     grid_template = rec.grid_template
                     # GRIB2 parameters are (category, number) pairs with
                     # their own numbering — folding them into GRIB1's

@@ -102,7 +102,7 @@ def _archive():
 
 def test_inventory_line_fields():
     msgs = _archive()
-    assert inventory_line(msgs[3]) == "d0:c1,n3:2020010100:f0"
+    assert inventory_line(msgs[3]) == "d0:c1,n3:l1/0:2020010100:f0"
     # the lead renders in CONVERTED whole hours (wgrib2's :anl:/:N hour
     # fcst: selector), so a -match on :f6$ sees 3-hour-unit leads too
     assert inventory_line(
@@ -110,6 +110,25 @@ def test_inventory_line_fields():
             np.ones((2, 3)), forecast=dict(unit=10, value=2)
         )
     ).endswith(":f6")
+    # the LEVEL field renders like the landing line (wgrib2's level
+    # string is part of its match surface — "0-10 cm down" needs a
+    # target at the codec level too): layers as l{type}/{top}-{bottom}
+    assert inventory_line(
+        encode_grib2_message(
+            np.ones((2, 3)),
+            level_type=106, level_value=0, level2=dict(type=106, value=2),
+        )
+    ) == "d0:c0,n0:l106/0-2:2020010100:f0"
+    # a calendar-unit lead LISTS (wgrib2 lists every record) as f-,
+    # unselectable by an :f6$-style match; the full decode stays loud
+    m = bytearray(encode_grib2_message(np.ones((2, 3))))
+    pos = 16
+    while m[pos + 4] != 4:
+        pos += int.from_bytes(m[pos : pos + 4], "big")
+    m[pos + 17] = 3  # section-4 octet 18: time unit → month
+    assert inventory_line(bytes(m)).endswith(":f-")
+    with pytest.raises(ValueError, match="unsupported forecast time unit"):
+        decode_grib2(bytes(m))
 
 
 def test_match_records_regex_and_limit_parity():
@@ -1768,8 +1787,8 @@ def test_inventory_and_match_go_per_field_on_submessages():
     m2 = encode_grib2_message(v, category=2, number=9)
     merged = merge_grib2_fields([m1, m2])
     assert inventory_lines(merged) == [
-        "d0:c1,n7:2020010100:f0",
-        "d0:c2,n9:2020010100:f0",
+        "d0:c1,n7:l1/0:2020010100:f0",
+        "d0:c2,n9:l1/0:2020010100:f0",
     ]
     # the single-line API stays strict: collapsing two fields to one
     # line would hide one from a -match regex
@@ -2160,11 +2179,19 @@ def test_rotated_latlon_grid_decode_contract():
 
     from monitoring_data_ingestion_spark.grid.grib2 import rotated_unrotate
 
-    # identity convention: unrotated grid = south pole at (-90, -180)
+    # identity convention: unrotated grid = south pole at (-90, 0)
     lat, lon = rotated_unrotate(
-        np.array([12.5]), np.array([34.0]), -90.0, -180.0, 0.0
+        np.array([12.5]), np.array([34.0]), -90.0, 0.0, 0.0
     )
     assert abs(lat[0] - 12.5) < 1e-12 and abs(lon[0] - 34.0) < 1e-12
+    # the standard eccodes/COSMO anchor: rotated (0, 0) under a coded
+    # southern pole of (-40, 10E) is true (50N, 10E) — pins BOTH the
+    # tilt direction and the longitude origin (a sp_lon+180 convention
+    # would land the antipode)
+    lat, lon = rotated_unrotate(
+        np.array([0.0]), np.array([0.0]), -40.0, 10.0, 0.0
+    )
+    assert abs(lat[0] - 50.0) < 1e-12 and abs(lon[0] - 10.0) < 1e-12
     # the rotated north pole maps to the ANTIPODE of the coded pole
     lat, lon = rotated_unrotate(
         np.array([90.0]), np.array([0.0]), -32.5, 10.0, 0.0
@@ -2225,4 +2252,187 @@ def test_rotated_latlon_grid_decode_contract():
     struct.pack_into(">I", cut, pos, s3_len - 8)
     struct.pack_into(">Q", cut, 8, len(cut))
     with pytest.raises(ValueError, match="truncated grid definition"):
+        decode_grib2(bytes(cut))
+
+
+def _spectrum(truncation: int, seed: int) -> np.ndarray:
+    """A random integer-valued triangular spectrum (exact under simple
+    packing with E=D=0) with real m=0 coefficients, mode-1 order."""
+    npairs = (truncation + 1) * (truncation + 2) // 2
+    rng = np.random.default_rng(seed)
+    c = (
+        rng.integers(-50, 50, npairs).astype(np.float64)
+        + 1j * rng.integers(-50, 50, npairs).astype(np.float64)
+    )
+    c[: truncation + 1] = c[: truncation + 1].real
+    return c
+
+
+def test_spectral_legendre_matches_derivative_formulation():
+    """The codec's recurrence-based fully-normalized associated
+    Legendre functions agree with the INDEPENDENT derivative
+    definition P_n^m = (1-mu^2)^(m/2) d^m P_n / d mu^m with explicit
+    factorial normalization (numpy.polynomial.legendre supplies P_n
+    and the derivative) — the second formulation the query oracle also
+    uses.  Also pins the normalization contract itself: the
+    Gauss-Legendre quadrature of P-bar squared is exactly 2."""
+    import math
+
+    from numpy.polynomial import legendre as L
+
+    from monitoring_data_ingestion_spark.grid.grib2 import spectral_legendre
+
+    def pbar_ref(n, m, mu):
+        cn = np.zeros(n + 1)
+        cn[n] = 1.0
+        pnm = (1 - mu**2) ** (m / 2.0) * L.legval(mu, L.legder(cn, m))
+        return math.sqrt(
+            (2 * n + 1) * math.factorial(n - m) / math.factorial(n + m)
+        ) * pnm
+
+    t = 9
+    mu = np.linspace(-0.97, 0.97, 11)
+    p = spectral_legendre(t, mu)
+    for m in range(t + 1):
+        for n in range(m, t + 1):
+            assert np.allclose(p[m, n], pbar_ref(n, m, mu), atol=1e-12)
+        # zero where n < m (the triangular hole)
+        assert not p[m, :m].any()
+    nodes, weights = np.polynomial.legendre.leggauss(24)
+    p2 = spectral_legendre(6, nodes)
+    for m in (0, 1, 3):
+        gram = np.einsum("np,qp,p->nq", p2[m], p2[m], weights)
+        expect = 2.0 * np.eye(7)
+        expect[:m, :m] = 0.0
+        assert np.allclose(gram, expect, atol=1e-12)
+
+
+def test_spectral_roundtrip_and_synthesis():
+    """GRIB2 spherical-harmonic data (grid template 3.50 + data
+    representation 5.50): integer coefficients round-trip bit-exactly
+    (the (0,0) real part rides unpacked as IEEE-32 in the template,
+    everything else simple-packed), the record carries the truncation
+    with NO fabricated georef, PDT metadata composes, and the
+    synthesis reproduces a single harmonic's closed form AND inverts
+    under Gauss-Legendre analysis (quadrature recovers the input
+    coefficients — the transform pair property)."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        gaussian_latitudes,
+        inventory_line,
+        spectral_legendre,
+        spectral_synthesis,
+    )
+
+    t = 5
+    c = _spectrum(t, 7)
+    msg = encode_grib2_message(
+        c, spectral=dict(truncation=t), nbits=16,
+        forecast=dict(unit=1, value=6), level_type=105, level_value=3,
+    )
+    rec = decode_grib2(msg)
+    assert rec.spectral_truncation == t
+    assert (rec.grid_template, rec.packing_template) == (50, 50)
+    assert rec.nj == len(c) and rec.ni is None
+    assert rec.cell_lats_deg is None  # no fabricated geography
+    assert (rec.dlat_udeg, rec.dlon_udeg) == (0, 0)
+    assert np.array_equal(rec.spectral_coeffs, c)
+    assert (rec.forecast_hours, rec.level_type, rec.level_value) == (6, 105, 3)
+    assert inventory_line(msg) == "d0:c0,n0:l105/3:2020010100:f6"
+    # single harmonic (n=2, m=1): f = 2*Pbar21(mu)*(cos l - 0.5 sin l)
+    c1 = np.zeros_like(c)
+    c1[t + 2] = 1.0 + 0.5j  # m=1 block starts at t+1; n=2 is its 2nd entry
+    vals, lats = spectral_synthesis(c1, t, 8, 12)
+    mu = np.sin(np.radians(lats))
+    pb = spectral_legendre(t, mu)[1, 2]
+    lon = np.radians(np.arange(12) * 30.0)
+    ref = 2.0 * (np.outer(pb, np.cos(lon)) - np.outer(0.5 * pb, np.sin(lon)))
+    assert np.allclose(vals, ref, atol=1e-12)
+    assert np.array_equal(lats, gaussian_latitudes(8))
+    # transform pair: Gauss-Legendre analysis of the synthesized grid
+    # recovers every input coefficient (needs nj > T, ni > 2T)
+    nj, ni = 8, 16
+    grid, lats = spectral_synthesis(c, t, nj, ni)
+    mu = np.sin(np.radians(lats))
+    # quadrature weights from the independent numpy.leggauss roots
+    nodes, weights = np.polynomial.legendre.leggauss(nj)
+    order = np.argsort(-nodes)  # north -> south like the codec
+    assert np.allclose(nodes[order], mu, atol=1e-12)
+    w = weights[order]
+    p = spectral_legendre(t, mu)
+    lon = np.radians(np.arange(ni) * 360.0 / ni)
+    pos = 0
+    for m in range(t + 1):
+        fm = (grid * np.exp(-1j * m * lon)[None, :]).sum(axis=1) / ni
+        for n in range(m, t + 1):
+            got = 0.5 * (w * p[m, n] * fm).sum()
+            assert abs(got - c[pos]) < 1e-9, (m, n)
+            pos += 1
+
+
+def test_spectral_guards_and_pairing():
+    """Loud stops: non-triangular truncations, foreign representation
+    types/modes, grid-vs-packing template mismatches, bitmaps on
+    spectral data, complex m=0 coefficients, raster packings, and
+    truncated 5.50 templates — each would otherwise decode or encode a
+    plausible-looking garbage spectrum."""
+    import struct
+
+    t = 4
+    c = _spectrum(t, 3)
+    with pytest.raises(ValueError, match="zero imaginary part"):
+        bad = c.copy()
+        bad[0] = 1 + 2j
+        encode_grib2_message(bad, spectral=dict(truncation=t), nbits=16)
+    with pytest.raises(ValueError, match="5.50"):
+        encode_grib2_message(c, spectral=dict(truncation=t), packing="complex")
+    with pytest.raises(ValueError, match="1-D complex"):
+        encode_grib2_message(
+            np.ones(15), spectral=dict(truncation=t), nbits=8
+        )
+    with pytest.raises(ValueError, match="no bitmap"):
+        encode_grib2_message(
+            c, spectral=dict(truncation=t), bitmap=np.ones(30, dtype=bool)
+        )
+    with pytest.raises(ValueError, match="exactly one grid family"):
+        encode_grib2_message(c, spectral=dict(truncation=t), gaussian=True)
+    msg = bytearray(encode_grib2_message(c, spectral=dict(truncation=t), nbits=16))
+
+    def patch(b, sec, off, val, width=1):
+        out = bytearray(b)
+        pos = 16
+        while out[pos + 4] != sec:
+            pos += int.from_bytes(out[pos : pos + 4], "big")
+        out[pos + off : pos + off + width] = int(val).to_bytes(width, "big")
+        return bytes(out)
+
+    # J != K (octets 15-18 vs 19-22 of section 3) -> non-triangular
+    with pytest.raises(ValueError, match="triangular"):
+        decode_grib2(patch(msg, 3, 14, t + 1, 4))
+    # representation type 2 / mode 2 (octets 27 / 28)
+    with pytest.raises(ValueError, match="representation type"):
+        decode_grib2(patch(msg, 3, 26, 2))
+    with pytest.raises(ValueError, match="mode 2"):
+        decode_grib2(patch(msg, 3, 27, 2))
+    # declared point count disagrees with the truncation
+    with pytest.raises(ValueError, match="section 3 declares"):
+        decode_grib2(patch(msg, 3, 6, 99, 4))
+    # a 5.0-packed payload on a spectral grid (and vice versa) is a
+    # garbage field with plausible statistics -> pairing is validated
+    with pytest.raises(ValueError, match="cannot pair"):
+        decode_grib2(patch(msg, 5, 9, 0, 2))
+    plain = encode_grib2_message(np.ones((2, 3)), nbits=8, reference_value=0.0)
+    with pytest.raises(ValueError, match="cannot pair"):
+        decode_grib2(patch(plain, 5, 9, 50, 2))
+    # bitmap indicator 0 on spectral data
+    with pytest.raises(ValueError, match="no bitmap"):
+        decode_grib2(patch(msg, 6, 5, 0))
+    # truncated 5.50 (cut the unpacked (0,0) float)
+    pos = 16
+    while msg[pos + 4] != 5:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s5_len = int.from_bytes(msg[pos : pos + 4], "big")
+    cut = bytearray(msg[: pos + s5_len - 4] + msg[pos + s5_len :])
+    struct.pack_into(">I", cut, pos, s5_len - 4)
+    struct.pack_into(">Q", cut, 8, len(cut))
+    with pytest.raises(ValueError, match="truncated data representation"):
         decode_grib2(bytes(cut))

@@ -267,6 +267,64 @@ def test_header_only_inventory_scan(spark, tmp_path):
     assert rows[1]["total_bytes"] == len(msgs[1])
 
 
+def test_inventory_lenient_on_non_hour_leads(spark, tmp_path):
+    """A mixed archive may hold records with calendar-unit leads
+    (monthly means, GRIB2 code-table-4.4 unit 3) or reinterpreting
+    GRIB1 time range indicators (TRI 2 valid-between, climatology
+    codes).  wgrib/wgrib2 list every record of such an archive, so the
+    header-only INVENTORY path surfaces those leads as NULL
+    forecast_hours (inventory line ``:f-``, unselectable by a
+    ``:f6$``-style match) instead of aborting the whole file's scan —
+    while the FULL decode path keeps the loud stop, because there a
+    mis-stamped valid time corrupts data downstream."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid.grib1 import (
+        decode_grib1,
+        inspect_grib1,
+    )
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2,
+        encode_grib2_message,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib_inventory,
+        inventory_line,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    enc = dict(reference_value=0.0, nbits=8)
+    # GRIB1: TRI 2 (valid-between) reinterprets P1/P2
+    m1 = bytearray(encode_grib1_message(v, forecast=dict(unit=1, value=6), **enc))
+    m1[8 + 20] = 2  # PDS octet 21 (TRI) — PDS starts at byte 8
+    m1 = bytes(m1)
+    h = inspect_grib1(m1)
+    assert h["forecast_hours"] is None and h["statistical_process"] is None
+    assert inventory_line(1, m1).endswith(":f-")
+    with pytest.raises(ValueError, match="time range indicator 2"):
+        decode_grib1(m1)
+    # GRIB2: calendar unit 3 (month) can't fill the integer hours column
+    m2 = bytearray(encode_grib2_message(v, forecast=dict(unit=1, value=2), **enc))
+    pos = 16
+    while m2[pos + 4] != 4:
+        pos += int.from_bytes(m2[pos : pos + 4], "big")
+    m2[pos + 17] = 3  # section-4 octet 18: time unit → month
+    m2 = bytes(m2)
+    assert inventory_line(2, m2).endswith(":f-")
+    with pytest.raises(ValueError, match="unsupported forecast time unit"):
+        decode_grib2(m2)
+    # Both land in the Spark inventory scan beside an hour-unit record,
+    # NULL in the int column — the file-level scan never aborts.
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    m0 = encode_grib1_message(v, forecast=dict(unit=1, value=6), **enc)
+    with open(os.path.join(landing, "mixed.grib"), "wb") as f:
+        f.write(m0 + m1 + m2)
+    rows = grib_inventory(spark, landing).orderBy("record_number").collect()
+    assert [r["forecast_hours"] for r in rows] == [6, None, None]
+    assert [r["edition"] for r in rows] == [1, 1, 2]
+
+
 def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
     """The match= regex runs over header-derived inventory lines BEFORE
     any value bit unpacks — wgrib2 -match pushed into the landing scan.
