@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 9 is 261/261
+# ``queries()``.  Cumulative driver coverage through round 10 is 271/271
 # green (zero failures ever), so the window's job is REGRESSION
 # DETECTION under a STANDING ROTATION SCHEDULE:
 #
@@ -29,126 +29,103 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #      filling the window to exactly 50; anything that doesn't fit is
 #      the explicit front of NEXT round's queue.
 #
-# Witness ages entering round 10 (from CORRECTNESS_r01-r09): 31 names
-# last witnessed r4 (oldest), 44 r5, 47 r6, 44 r7, 45 r8, 50 r9.
-# Round 10 takes the 10 new r10 queries (derived-ensemble PDTs 4.2/4.12,
-# probability PDTs 4.5/4.9, percentile PDTs 4.6/4.10, forecast
-# lead times through the landing source for BOTH editions — GRIB2
-# octets 18-22 and GRIB1 PDS octets 18-21 — and layer products, also
-# both editions: GRIB2 second fixed surface + GRIB1 table-3 layer
-# types, plus wgrib2-style match-on-lead over the inventory line's
-# new :f{hours} field, plus edition-1 Gaussian grids through the
-# unified cell explode, plus rotated lat/lon grids in BOTH editions —
-# GRIB2 template 3.1 and GRIB1 GDS type 10, dual-formulation
-# unrotation witnesses) + the 11 queries changed by
-# the r10 landing-schema work (RECORD_SCHEMA grew forecast_hours /
-# time_range_count / derived_forecast / probability_type /
-# prob_lower_limit / prob_upper_limit / percentile_value /
-# level2_type / level2, the lead/statistical columns now
-# populated for GRIB1 records too; the header gate admits PDTs
-# 2/5/6/9/10/12; codec-level inventory/match went per-field; the
-# unified inventory line grew layer bounds + :f{hours}) + the 9
-# codec-path queries the r10 decode changes also touch (every GRIB2
-# field now parses the second surface and lead octets; the GRIB1
-# decoder gained PDS time/layer/Gaussian/rotated branches) + the
-# first 20 r4
-# leftovers — 10 + 20 + 20 = exactly 50.  The remaining 11 r4 names
-# (ts_freshness_check, ts_json_extract,
-# ts_lag_lead, ts_moving_avg, ts_retention_cohorts, ts_yoy_growth,
-# unpivot_nation_balances, window_count_distinct, window_distribution,
-# window_distribution_ranks, window_rank_ties) spill to the FRONT of
-# round 11's queue, followed by the ENTIRE 44-name r5
-# cohort — agg_share_of_total, cdc_snapshot_diff, dedup_containment,
-# dedup_containment_capped,
-# dedup_ngram_jaccard_capped, dedup_simhash,
-# dq_constraint_audit, dq_profile_customer,
-# embedding_pca_project, geo_near_join, grid_bilinear_regrid,
-# grid_gradient_slope, grid_zonal_stats, join_salted_skew,
-# knn_recall_eval, multimodal_audio_energy, q3_shipping_priority,
-# q6_forecast_revenue, q9_profit_by_nation, sample_temperature_mix,
-# the scalar_* trio (calendar_clamp/geo_uniform/oscar_calendar),
-# scd2_apply_changes, stream_ohlc_hourly, the text_* sextet
-# (bpe_pair_counts/classifier_score/html_strip/ngram_lm_score/
-# pii_scrub/url_canonical_dedup), the ts_* dozen (anomaly_mad/
-# asof_join_tolerance/counter_rate/downsample_lttb/
-# event_sequence_pattern/ewma/gap_detection/interval_coalesce/
-# interval_overlap_join/level_shift/ohlc_resample/
-# trailing_window_range) and window_ntile_stratify — keeping every
-# cohort's evidence younger than ~5 rounds.
+# Witness ages entering round 11 (from CORRECTNESS_r01-r10): 11 names
+# last witnessed r4 (oldest, the documented r10 spill), 44 r5, then
+# r6-r10 cohorts.  Round 11 takes the 5 new r11 queries (spherical-
+# harmonic records decoded from BOTH editions — GRIB1 GDS type 50 +
+# the BDS spectral flag, GRIB2 templates 3.50/5.50, plus the 5.51
+# COMPLEX spectral packing with its Laplacian weighting and unpacked
+# sub-spectrum — plus the
+# spectral→Gaussian synthesis witnessed against the independent
+# derivative-formulation Legendre path, the mixed-archive inventory
+# robustness contract — calendar/TRI-2 leads as NULL ``:f-`` lines and
+# spectral records listed with NULL dims instead of aborting the scan
+# — and wgrib2-style match ON THE LEVEL FIELD at the codec level) +
+# the 6 queries whose semantics or rendering changed in r11
+# (grid_grib2_rotated_decode / grid_grib1_rotated_scan: the unrotation
+# convention fix — true longitudes now measured from the coded
+# southern-pole longitude, the eccodes anchor; grid_grib_inventory_scan
+# / grid_grib1_inventory: lenient lead decoding + the spectral
+# header branch on the inventory path; grid_grib_match_lead_scan: the
+# unified line's new ``f-`` rendering; grid_grib2_match_decode: the
+# codec line grew the level field) + the ENTIRE 11-name r4 spill and
+# the first 28 of the 44-name r5 cohort — 5 + 6 + 11 + 28 = exactly
+# 50.  The remaining grib decode-path queries also sit downstream of
+# this round's codec restructure (the spectral branch + grid/packing
+# pairing gate), but every one of them was witnessed in the r10 window
+# (evidence one round old) and all 275 registry queries were re-run
+# green through the full local driver-sim at HEAD this session, so the
+# 6-7-round-old queue evidence outranks them — per the r10 verdict,
+# the queue "outranks any new operator".  The remaining 16 r5 names
+# (text_ngram_lm_score, text_pii_scrub, text_url_canonical_dedup, ts_anomaly_mad,
+# ts_asof_join_tolerance, ts_counter_rate, ts_downsample_lttb,
+# ts_event_sequence_pattern, ts_ewma, ts_gap_detection,
+# ts_interval_coalesce, ts_interval_overlap_join, ts_level_shift,
+# ts_ohlc_resample, ts_trailing_window_range, window_ntile_stratify)
+# spill to the FRONT of round 12's queue, followed by the r6 cohort.
 # Every entry outside the window stays locally oracle-checked each
 # session (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 10 (first driver witness): derived-ensemble
-    #     products (PDT 4.2 mean / 4.12 spread+interval), probability
-    #     forecasts (PDT 4.5/4.9 threshold columns), percentile
-    #     forecasts (PDT 4.6/4.10), forecast lead times
-    #     (forecast_hours + valid-time arithmetic, GRIB2 octets 18-22
-    #     AND GRIB1 PDS octets 18-21 incl. TRI-10 16-bit leads and
-    #     TRI 3/4 interval normalization), layer products (GRIB2
-    #     second fixed surface + GRIB1 table-3 layer types → unified
-    #     level2_type/level2 columns), match-on-lead pushdown and
-    #     edition-1 Gaussian grids through the landing source ---
-    "grid_grib2_derived_ensemble_scan",
-    "grid_grib2_probability_scan",
-    "grid_grib2_percentile_scan",
-    "grid_grib2_forecast_lead_scan",
-    "grid_grib1_forecast_lead_scan",
-    "grid_grib_layer_scan",
-    "grid_grib_match_lead_scan",
-    "grid_grib1_gaussian_scan",
+    # --- 1. new in round 11 (first driver witness): the SPECTRAL
+    #     surface — spherical-harmonic records in BOTH editions,
+    #     synthesis to gridpoints, mixed-archive inventory robustness,
+    #     and codec-level match on the level/layer field ---
+    "grid_grib_spectral_roundtrip",
+    "grid_grib2_spectral_synthesis",
+    "grid_grib_inventory_robust_scan",
+    "grid_grib2_match_level_decode",
+    "grid_grib2_spectral_complex_decode",
+    # --- 2. changed in round 11: the rotated-grid convention fix and
+    #     the inventory/match-path changes (lenient leads, spectral
+    #     listing, level field in the codec line) ---
     "grid_grib2_rotated_decode",
     "grid_grib1_rotated_scan",
-    # --- 2. changed in round 10 (landing RECORD_SCHEMA grew the
-    #     forecast_hours / time_range_count / derived / probability /
-    #     percentile columns; header-only gate admits the new PDTs;
-    #     codec inventory/match now walk submessages per field) —
-    #     re-witness every query on those paths ---
-    "grid_grib_mixed_scan",
-    "grid_grib1_landing_scan",
     "grid_grib_inventory_scan",
-    "grid_grib_statistical_scan",
-    "grid_grib_projected_landing",
-    "grid_grib2_reduced_gaussian_decode",
-    "grid_grib2_multifield_scan",
-    "grid_grib2_ensemble_scan",
-    "grid_grib2_match_decode",
-    "era5_grib_anomaly_pipeline",
-    "stream_grib1_anomaly_pipeline",
-    #     ...and the codec-path queries the r10 decode changes touch
-    #     (second-surface + lead octets parse on every GRIB2 field;
-    #     GRIB1 decode gained time/layer/Gaussian branches) ---
-    "grid_grib1_decode",
     "grid_grib1_inventory",
-    "grid_grib1_anomaly",
-    "grid_grib2_complex_decode",
-    "grid_grib2_jpeg2000_decode",
-    "grid_grib2_gaussian_decode",
-    "grid_grib2_lambert_decode",
-    "grid_grib2_polar_decode",
-    "grid_grib2_mercator_decode",
-    # --- 3. oldest cohort: first 20 of the 31 round-4 leftovers
-    #     (the last 11 spill to round 11's queue head) ---
-    "multimodal_frame_sample",
-    "multimodal_image_decode_stats",
-    "q11_important_stock",
-    "q12_late_line_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    "q8_market_share",
-    "sample_k_per_group",
-    "scalar_collections",
-    "scalar_try_cast",
-    "scalar_zorder",
-    "set_union_by_name",
-    "text_bpe_token_count",
-    "text_ngram_freq",
-    "text_repetition_ratios",
-    "text_token_stats",
-    "ts_dedup_union",
+    "grid_grib_match_lead_scan",
+    "grid_grib2_match_decode",
+    # --- 3. oldest cohort: the 11 round-4 leftovers (the documented
+    #     r10 spill), then the first 28 of the 44-name r5 cohort ---
+    "ts_freshness_check",
+    "ts_json_extract",
+    "ts_lag_lead",
+    "ts_moving_avg",
+    "ts_retention_cohorts",
+    "ts_yoy_growth",
+    "unpivot_nation_balances",
+    "window_count_distinct",
+    "window_distribution",
+    "window_distribution_ranks",
+    "window_rank_ties",
+    "agg_share_of_total",
+    "cdc_snapshot_diff",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dq_constraint_audit",
+    "dq_profile_customer",
+    "embedding_pca_project",
+    "geo_near_join",
+    "grid_bilinear_regrid",
+    "grid_gradient_slope",
+    "grid_zonal_stats",
+    "join_salted_skew",
+    "knn_recall_eval",
+    "multimodal_audio_energy",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q9_profit_by_nation",
+    "sample_temperature_mix",
+    "scalar_calendar_clamp",
+    "scalar_geo_uniform",
+    "scalar_oscar_calendar",
+    "scd2_apply_changes",
+    "stream_ohlc_hourly",
+    "text_bpe_pair_counts",
+    "text_classifier_score",
+    "text_html_strip",
 )
 
 

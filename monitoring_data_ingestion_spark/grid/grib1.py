@@ -23,7 +23,12 @@ Implemented surface (WMO FM 92-VIII Ext. GRIB edition 1):
 * Section 3 (BMS): optional bitmap, one bit per cell, MSB first.
 * Section 4 (BDS): simple packing — signed binary scale factor E, IBM
   System/370 32-bit float reference value R, ``nbits``-wide big-endian
-  unsigned increments X; decoded value Y = (R + X·2^E) / 10^D.
+  unsigned increments X; decoded value Y = (R + X·2^E) / 10^D.  With
+  the spherical-harmonics flag raised (GDS type 50 — ERA5/IFS native
+  spectral fields), the (0,0) real coefficient rides UNPACKED as an
+  IBM-32 float at octets 12-15 and the remaining mode-1 sequence
+  simple-packs after it; synthesis to a Gaussian grid is the shared
+  cross-edition ``grib2.spectral_synthesis``.
 * Section 5: "7777" terminator.
 
 Multi-record files are plain concatenations of messages; ``wgrib -d n``
@@ -55,6 +60,7 @@ EDITION = 1
 _GRID_LATLON = 0
 _GRID_GAUSSIAN = 4  # Gaussian latitude/longitude (data representation type)
 _GRID_ROTATED = 10  # rotated latitude/longitude
+_GRID_SPECTRAL = 50  # spherical harmonic coefficients
 
 
 # --- IBM System/370 32-bit hexadecimal float (the GRIB1 reference value) --
@@ -274,7 +280,7 @@ class Grib1Record:
     level_type: int
     level: int
     reftime: tuple[int, int, int, int, int]  # (year, month, day, hour, minute)
-    ni: int
+    ni: int | None  # None on spectral records (no grid)
     nj: int
     lat_first_mdeg: int
     lon_first_mdeg: int
@@ -315,6 +321,22 @@ class Grib1Record:
     # ``cell_lons_deg`` (the same unrotation the GRIB2 template-3.1
     # path uses).
     rotated_pole: tuple[float, float, float] | None = None
+    # Spherical-harmonic records (GDS type 50): the triangular
+    # truncation T (J = K = M).  ``values`` is then the FLAT real
+    # sequence re/im interleaved in mode-1 order (m = 0..T, n = m..T),
+    # ``nj`` the complex-coefficient count (T+1)(T+2)/2, ``ni`` None,
+    # and every geographic field zero — synthesis to a Gaussian grid
+    # (grib2.spectral_synthesis, shared cross-edition) is an explicit
+    # step, never an implicit georef.
+    spectral_truncation: int | None = None
+
+    @property
+    def spectral_coeffs(self) -> np.ndarray | None:
+        """Complex coefficients C_n^m in mode-1 order (m = 0..T,
+        n = m..T) of a spectral record; None on gridded records."""
+        if self.spectral_truncation is None:
+            return None
+        return self.values[0::2] + 1j * self.values[1::2]
 
     @property
     def cell_lats_deg(self) -> np.ndarray | None:
@@ -371,6 +393,7 @@ def encode_grib1_message(
     statistical: dict | None = None,
     gaussian: bool = False,
     rotated: dict | None = None,
+    spectral: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -413,13 +436,51 @@ def encode_grib1_message(
     axis kwargs are coordinates IN THE ROTATED SYSTEM and the GDS
     grows octets 33-42 (pole in signed-magnitude millidegrees, angle
     as an IBM 32-bit float — prefer IBM-exact angles, e.g. whole
-    degrees)."""
-    vals = np.asarray(values, dtype=np.float64)
-    if vals.ndim != 2:
-        raise ValueError("values must be (nj, ni)")
+    degrees).
+
+    ``spectral`` (key ``truncation``) writes SPHERICAL-HARMONIC
+    coefficients (data representation type 50): GDS octets 7-12 carry
+    the J/K/M pentagonal resolution parameters (triangular here:
+    all T), octets 13-14 representation type 1 / mode 1, and the BDS
+    raises its spherical-harmonics flag with the (0,0) real
+    coefficient UNPACKED as an IBM 32-bit float at octets 12-15 and
+    every other value of the mode-1 sequence simple-packed after it —
+    the edition-1 sibling of GRIB2's 3.50 + 5.50 pair.  ``values`` is
+    the 1-D COMPLEX array C_n^m for m = 0..T, n = m..T; m = 0
+    coefficients must be real.  No bitmap, no scanning mode."""
+    spec_t: int | None = None
+    if spectral is not None:
+        spec_t = int(spectral["truncation"])
+        if spec_t < 1:
+            raise ValueError("spectral truncation must be >= 1")
+        if gaussian or rotated is not None:
+            raise ValueError("choose exactly one grid family")
+        if bitmap is not None:
+            raise ValueError("spectral data carries no bitmap")
+        if scanning_mode != 0x00:
+            raise ValueError("spectral data has no scanning mode")
+        c = np.asarray(values)
+        npairs = (spec_t + 1) * (spec_t + 2) // 2
+        if c.ndim != 1 or len(c) != npairs or not np.iscomplexobj(c):
+            raise ValueError(
+                f"triangular T{spec_t} spectrum is a 1-D complex array of "
+                f"{npairs} coefficients (m = 0..T, n = m..T)"
+            )
+        if float(np.abs(c[: spec_t + 1].imag).max()) != 0.0:
+            raise ValueError(
+                "m = 0 coefficients of a real field have zero imaginary part"
+            )
+        vals = np.empty(2 * npairs, dtype=np.float64)
+        vals[0::2] = c.real
+        vals[1::2] = c.imag
+        nj, ni = npairs, 0
+    else:
+        vals = np.asarray(values, dtype=np.float64)
+        if vals.ndim != 2:
+            raise ValueError("values must be (nj, ni)")
+        nj, ni = vals.shape
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
-    nj, ni = vals.shape
     bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
     if bm is not None and bm.shape != vals.shape:
         raise ValueError("bitmap shape must match values")
@@ -427,6 +488,10 @@ def encode_grib1_message(
         vals = vals[::-1]
         bm = None if bm is None else bm[::-1]
     present = vals.reshape(-1)
+    if spec_t is not None:
+        # the (0,0) real coefficient rides unpacked (IBM-32) ahead of
+        # the packed stream; everything else simple-packs
+        present = present[1:]
     if bm is not None:
         present = present[bm.reshape(-1)]
     r_bytes, r, x = quantize_simple_packing(
@@ -440,12 +505,13 @@ def encode_grib1_message(
         ibm32_decode,
     )
     packed = _pack_bits(x, nbits)
+    re00 = ibm32_encode(float(vals[0])) if spec_t is not None else b""
     # Unused-bit accounting must cover BOTH the sub-byte packing slack
     # AND the even-length pad byte appended below, or a spec-conformant
     # reader deriving the value count from (len−11)·8 − unused reads one
     # garbage value.
     unused = (8 - (len(present) * nbits) % 8) % 8
-    bds_pad = (11 + len(packed)) % 2
+    bds_pad = (11 + len(re00) + len(packed)) % 2
     unused += 8 * bds_pad  # fits the 4-bit nibble: ≤ 7 + 8 = 15
 
     if forecast is not None and statistical is not None:
@@ -530,7 +596,9 @@ def encode_grib1_message(
 
     if gaussian and rotated is not None:
         raise ValueError("choose exactly one grid family")
-    if gaussian:
+    if spec_t is not None:
+        grid_type = _GRID_SPECTRAL
+    elif gaussian:
         if scanning_mode != 0x00:
             raise ValueError(
                 "Gaussian grids support only scanning mode 0x00 "
@@ -568,21 +636,36 @@ def encode_grib1_message(
             + _s24(int(round(float(rotated["south_pole_lon"]) * 1000)))
             + ibm32_encode(float(rotated.get("angle", 0.0)))
         )
-    gds = (
-        bytes([0, 255])  # NV=0, PV=255 (none)
-        + bytes([grid_type])
-        + ni.to_bytes(2, "big")
-        + nj.to_bytes(2, "big")
-        + _s24(la1)
-        + _s24(lon_first_mdeg)
-        + bytes([0x80])  # resolution/component flags: increments given
-        + _s24(la2)
-        + _s24(lon_first_mdeg + (ni - 1) * dlon_mdeg)
-        + row24_27
-        + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south first)
-        + bytes(4)  # reserved padding to the 32-byte layout
-        + gds_extra  # type 10: rotation pole + angle (octets 33-42)
-    )
+    if spec_t is not None:
+        # GDS type 50 (spherical harmonics): octets 7-8/9-10/11-12
+        # carry J/K/M, octet 13 the representation type (1 = associated
+        # Legendre of the first kind), octet 14 the mode (1 = the
+        # standard complex ordering) — padded to the 32-octet layout.
+        gds = (
+            bytes([0, 255])  # NV=0, PV=255 (none)
+            + bytes([grid_type])
+            + spec_t.to_bytes(2, "big")  # J
+            + spec_t.to_bytes(2, "big")  # K
+            + spec_t.to_bytes(2, "big")  # M
+            + bytes([1, 1])  # representation type 1, mode 1
+            + bytes(18)  # reserved padding to the 32-octet layout
+        )
+    else:
+        gds = (
+            bytes([0, 255])  # NV=0, PV=255 (none)
+            + bytes([grid_type])
+            + ni.to_bytes(2, "big")
+            + nj.to_bytes(2, "big")
+            + _s24(la1)
+            + _s24(lon_first_mdeg)
+            + bytes([0x80])  # resolution/component flags: increments given
+            + _s24(la2)
+            + _s24(lon_first_mdeg + (ni - 1) * dlon_mdeg)
+            + row24_27
+            + bytes([scanning_mode])  # 0x00 = +i,−j; 0x40 = +i,+j (south 1st)
+            + bytes(4)  # reserved padding to the 32-byte layout
+            + gds_extra  # type 10: rotation pole + angle (octets 33-42)
+        )
     gds = _u24(3 + len(gds)) + gds
 
     bms = b""
@@ -597,11 +680,14 @@ def encode_grib1_message(
         body = bytes([bm_unused]) + bytes([0, 0]) + bm_bits + bytes(pad)
         bms = _u24(3 + len(body)) + body
 
+    # BDS flag nibble: bit 1 raises spherical-harmonic coefficients
+    # (grid-point otherwise); simple packing / float either way.
     bds_body = (
-        bytes([(0 << 4) | unused])  # flags: simple packing, grid point
+        bytes([((0b1000 if spec_t is not None else 0) << 4) | unused])
         + _s16(binary_scale)
         + r_bytes
         + bytes([nbits])
+        + re00  # spectral only: unpacked (0,0) real part (octets 12-15)
         + packed
         + bytes(bds_pad)  # even-length pad, counted in ``unused``
     )
@@ -700,8 +786,13 @@ def inspect_grib1(msg: bytes) -> dict:
     if has_gds:
         gds = msg[pos : pos + _r24(msg, pos)]
         out["grid_type"] = gds[5]
-        out["ni"] = int.from_bytes(gds[6:8], "big")
-        out["nj"] = int.from_bytes(gds[8:10], "big")
+        if gds[5] == _GRID_SPECTRAL:
+            # octets 7-12 are J/K/M, not Ni/Nj — the inventory LISTS
+            # spectral records (wgrib lists them) with NULL dimensions
+            out["ni"] = out["nj"] = None
+        else:
+            out["ni"] = int.from_bytes(gds[6:8], "big")
+            out["nj"] = int.from_bytes(gds[8:10], "big")
         pos += _r24(msg, pos)
     if has_bms:
         pos += _r24(msg, pos)
@@ -785,72 +876,109 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     # -- GDS --
     gds_len = _r24(msg, pos)
     gds = msg[pos : pos + gds_len]
-    if gds[5] not in (_GRID_LATLON, _GRID_GAUSSIAN, _GRID_ROTATED):
+    if gds[5] not in (
+        _GRID_LATLON, _GRID_GAUSSIAN, _GRID_ROTATED, _GRID_SPECTRAL
+    ):
         raise ValueError(f"unsupported grid type {gds[5]}")
-    ni = int.from_bytes(gds[6:8], "big")
-    nj = int.from_bytes(gds[8:10], "big")
-    lat_first = _rs24(gds, 10)
-    lon_first = _rs24(gds, 13)
-    # Silent geography corruption is worse than a loud stop: an
-    # unsupported scanning mode reorders the cells, and unset resolution
-    # flags mean the increment fields are not given. Mode 0x40 (+j,
-    # south row first — common in regional products) is a pure row
-    # reorder and IS supported: the record normalizes to the engine's
-    # +i,−j north-first view (rows flipped, lat_first = northern edge).
-    scan = gds[27]
-    if scan not in (0x00, 0x40):
-        raise ValueError(
-            f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
-        )
-    if not gds[16] & 0x80:
-        raise ValueError("direction increments not given (resolution flags)")
-    dlon = int.from_bytes(gds[23:25], "big")
-    gaussian_n = None
-    latitudes = None
-    if gds[5] == _GRID_GAUSSIAN:
-        # Octets 26-27 are N (parallels pole→equator), NOT Dj.  The
-        # exact row latitudes are the Legendre quadrature nodes —
-        # recomputed, with the GDS's rounded La1 as a cross-check so a
-        # mislabeled grid can't silently inherit wrong geography.
-        if scan != 0x00:
+    spectral_truncation: int | None = None
+    if gds[5] == _GRID_SPECTRAL:
+        # GDS type 50 (spherical harmonic coefficients): octets 7-12
+        # are the J/K/M pentagonal resolution parameters -- NOT Ni/Nj
+        # -- then representation type (13) and mode (14).  Only the
+        # triangular J = K = M truncation in type-1 mode-1 ordering is
+        # supported; anything else reorders the coefficient sequence
+        # and guessing would synthesize a garbage field.  No grid, no
+        # scanning, no bitmap: the record's values are the flat re/im
+        # sequence, and synthesis to a Gaussian grid
+        # (grib2.spectral_synthesis) is an explicit step.
+        sj = int.from_bytes(gds[6:8], "big")
+        sk = int.from_bytes(gds[8:10], "big")
+        sm = int.from_bytes(gds[10:12], "big")
+        if not (sj == sk == sm) or sj < 1:
             raise ValueError(
-                "Gaussian grids support only scanning mode 0x00"
+                f"only triangular spectral truncation supported "
+                f"(J={sj}, K={sk}, M={sm})"
             )
-        gaussian_n = int.from_bytes(gds[25:27], "big")
-        if nj != 2 * gaussian_n:
+        if gds[12] != 1 or gds[13] != 1:
             raise ValueError(
-                f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) "
-                "not supported"
+                f"unsupported spectral representation type {gds[12]} / "
+                f"mode {gds[13]}"
             )
-        from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
-
-        latitudes = gaussian_latitudes(nj)
-        if abs(lat_first - round(float(latitudes[0]) * 1000)) > 1:
-            raise ValueError(
-                f"GDS La1 {lat_first} mdeg does not match the N={gaussian_n} "
-                f"quadrature first parallel "
-                f"{round(float(latitudes[0]) * 1000)} mdeg"
-            )
-        dlat = 0  # no affine latitude step on a Gaussian grid
+        if has_bms:
+            raise ValueError("spectral data carries no bitmap")
+        spectral_truncation = int(sj)
+        ni, nj = None, (sj + 1) * (sj + 2) // 2
+        lat_first = lon_first = 0
+        dlat = dlon = 0
+        scan = 0x00
+        gaussian_n = None
+        latitudes = None
+        rotated_pole = None
     else:
-        dlat = int.from_bytes(gds[25:27], "big")
-    rotated_pole = None
-    if gds[5] == _GRID_ROTATED:
-        # Rotated lat/lon (type 10 — the COSMO/HIRLAM edition-1 form):
-        # the type-0 layout's axes are coordinates IN THE ROTATED
-        # SYSTEM; octets 33-42 append the south pole of rotation
-        # (signed-magnitude mdeg) and the angle (IBM 32-bit float).
-        if len(gds) < 42:
-            raise ValueError("truncated rotated lat/lon GDS")
-        rotated_pole = (
-            _rs24(gds, 32) / 1e3,
-            _rs24(gds, 35) / 1e3,
-            ibm32_decode(gds[38:42]),
-        )
-        if not -90.0 <= rotated_pole[0] <= 90.0:
+        ni = int.from_bytes(gds[6:8], "big")
+        nj = int.from_bytes(gds[8:10], "big")
+        lat_first = _rs24(gds, 10)
+        lon_first = _rs24(gds, 13)
+        # Silent geography corruption is worse than a loud stop: an
+        # unsupported scanning mode reorders the cells, and unset resolution
+        # flags mean the increment fields are not given. Mode 0x40 (+j,
+        # south row first — common in regional products) is a pure row
+        # reorder and IS supported: the record normalizes to the engine's
+        # +i,−j north-first view (rows flipped, lat_first = northern edge).
+        scan = gds[27]
+        if scan not in (0x00, 0x40):
             raise ValueError(
-                "rotated-grid southern pole latitude out of range"
+                f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
             )
+        if not gds[16] & 0x80:
+            raise ValueError("direction increments not given (resolution flags)")
+        dlon = int.from_bytes(gds[23:25], "big")
+        gaussian_n = None
+        latitudes = None
+        if gds[5] == _GRID_GAUSSIAN:
+            # Octets 26-27 are N (parallels pole→equator), NOT Dj.  The
+            # exact row latitudes are the Legendre quadrature nodes —
+            # recomputed, with the GDS's rounded La1 as a cross-check so a
+            # mislabeled grid can't silently inherit wrong geography.
+            if scan != 0x00:
+                raise ValueError(
+                    "Gaussian grids support only scanning mode 0x00"
+                )
+            gaussian_n = int.from_bytes(gds[25:27], "big")
+            if nj != 2 * gaussian_n:
+                raise ValueError(
+                    f"non-global Gaussian grid (nj={nj}, N={gaussian_n}) "
+                    "not supported"
+                )
+            from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
+
+            latitudes = gaussian_latitudes(nj)
+            if abs(lat_first - round(float(latitudes[0]) * 1000)) > 1:
+                raise ValueError(
+                    f"GDS La1 {lat_first} mdeg does not match the N={gaussian_n} "
+                    f"quadrature first parallel "
+                    f"{round(float(latitudes[0]) * 1000)} mdeg"
+                )
+            dlat = 0  # no affine latitude step on a Gaussian grid
+        else:
+            dlat = int.from_bytes(gds[25:27], "big")
+        rotated_pole = None
+        if gds[5] == _GRID_ROTATED:
+            # Rotated lat/lon (type 10 — the COSMO/HIRLAM edition-1 form):
+            # the type-0 layout's axes are coordinates IN THE ROTATED
+            # SYSTEM; octets 33-42 append the south pole of rotation
+            # (signed-magnitude mdeg) and the angle (IBM 32-bit float).
+            if len(gds) < 42:
+                raise ValueError("truncated rotated lat/lon GDS")
+            rotated_pole = (
+                _rs24(gds, 32) / 1e3,
+                _rs24(gds, 35) / 1e3,
+                ibm32_decode(gds[38:42]),
+            )
+            if not -90.0 <= rotated_pole[0] <= 90.0:
+                raise ValueError(
+                    "rotated-grid southern pole latitude out of range"
+                )
     pos += gds_len
 
     # -- BMS --
@@ -868,31 +996,57 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     bds_len = _r24(msg, pos)
     bds = msg[pos : pos + bds_len]
     flags = bds[3] >> 4
-    if flags & 0b1100:
+    # Flag bit 1 (0b1000): spherical-harmonic coefficients.  It must
+    # agree with the GDS type — a gridpoint payload read "as spectral"
+    # (or vice versa) decodes a garbage field with plausible statistics.
+    if bool(flags & 0b1000) != (spectral_truncation is not None):
+        raise ValueError(
+            "BDS spherical-harmonics flag disagrees with the GDS grid type"
+        )
+    if flags & 0b0100:
         raise ValueError("only grid-point simple packing is supported")
     unused = bds[3] & 0x0F
     binary_scale = _rs16(bds, 4)
     r = ibm32_decode(bds[6:10])
     nbits = bds[10]
-    n_present = int(bitmap.sum()) if bitmap is not None else ni * nj
-    if nbits:
-        need = (n_present * nbits + unused) // 8
-        x = _unpack_bits(bds[11 : 11 + need], n_present, nbits)
-        present_vals = (r + x.astype(np.float64) * (2.0 ** binary_scale)) / (
-            10.0 ** decimal_scale
-        )
-    else:  # constant field
-        present_vals = np.full(n_present, r / (10.0 ** decimal_scale))
-
-    if bitmap is not None:
-        values = np.full(ni * nj, np.nan)
-        values[bitmap] = present_vals
+    if spectral_truncation is not None:
+        # Spectral simple packing: the (0,0) real coefficient rides
+        # UNPACKED as an IBM-32 float at octets 12-15 (raw, unscaled —
+        # same contract as GRIB2 template 5.50); the remaining
+        # 2·pairs − 1 values of the mode-1 sequence simple-pack after.
+        if bds_len < 15:
+            raise ValueError("truncated spherical-harmonics BDS")
+        n_present = 2 * nj - 1
+        re00 = ibm32_decode(bds[11:15])
+        if nbits:
+            need = (n_present * nbits + unused) // 8
+            x = _unpack_bits(bds[15 : 15 + need], n_present, nbits)
+            rest = (
+                r + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:  # constant spectrum
+            rest = np.full(n_present, r / (10.0 ** decimal_scale))
+        values = np.concatenate(([re00], rest))
     else:
-        values = present_vals
-    values = values.reshape(nj, ni)
-    if scan == 0x40:  # south-first storage → normalize to north-first
-        values = values[::-1]
-        lat_first = lat_first + (nj - 1) * dlat  # La1 was the southern edge
+        n_present = int(bitmap.sum()) if bitmap is not None else ni * nj
+        if nbits:
+            need = (n_present * nbits + unused) // 8
+            x = _unpack_bits(bds[11 : 11 + need], n_present, nbits)
+            present_vals = (
+                r + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:  # constant field
+            present_vals = np.full(n_present, r / (10.0 ** decimal_scale))
+
+        if bitmap is not None:
+            values = np.full(ni * nj, np.nan)
+            values[bitmap] = present_vals
+        else:
+            values = present_vals
+        values = values.reshape(nj, ni)
+        if scan == 0x40:  # south-first storage → normalize to north-first
+            values = values[::-1]
+            lat_first = lat_first + (nj - 1) * dlat  # La1 was southern edge
     return Grib1Record(
         parameter=parameter,
         level_type=level_type,
@@ -917,4 +1071,5 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         gaussian_n=gaussian_n,
         latitudes_deg=latitudes,
         rotated_pole=rotated_pole,
+        spectral_truncation=spectral_truncation,
     )

@@ -23,7 +23,14 @@ the ``wgrib`` edition-1 path:
   geographic coordinates recovered through the spherical Snyder
   inverses (:func:`lambert_inverse`, :func:`polar_stereo_inverse`,
   :func:`mercator_inverse`), northern aspect for the conic/azimuthal
-  forms, values kept in storage order.
+  forms, values kept in storage order; template 3.50 — SPHERICAL
+  HARMONIC coefficients (ERA5/IFS native spectral archives):
+  triangular truncation J = K = M, associated-Legendre type 1,
+  mode-1 complex ordering, pairing with data representation
+  template 5.50 (the (0,0) real part unpacked in the template, every
+  other value simple-packed) and synthesizing to a Gaussian grid
+  through :func:`spectral_synthesis` / :func:`spectral_legendre` —
+  never an implicit georef.
 * Section 4 (Product definition): template 4.0 — parameter category +
   number, the pair wgrib2 inventory strings name; 4.8 — statistical
   processing over a time interval (process code + interval end); 4.1 /
@@ -319,6 +326,15 @@ def spectral_legendre(truncation: int, mu) -> np.ndarray:
     return out
 
 
+def _spectral_degrees(t: int) -> np.ndarray:
+    """Per-VALUE spherical-harmonic degree n of the triangular mode-1
+    REAL sequence (re/im interleaved): for m = 0..T, n = m..T, two
+    entries per complex coefficient — the array Laplacian scaling
+    (template 5.51) applies along."""
+    deg = np.concatenate([np.arange(m, t + 1) for m in range(t + 1)])
+    return np.repeat(deg, 2)
+
+
 def spectral_synthesis(coeffs, truncation: int, nj: int, ni: int):
     """Spherical-harmonic SYNTHESIS (the inverse Legendre + Fourier
     transform): mode-1 triangular coefficients → gridpoint values on
@@ -485,6 +501,9 @@ class Grib2Record:
     # and every geographic field zero — spectral data HAS no grid
     # until an explicit :func:`spectral_synthesis` produces one.
     spectral_truncation: int | None = None
+    # Template 5.51 only: the triangular sub-truncation TS of the
+    # unpacked low-wavenumber subset (None on 5.50 / gridded records).
+    spectral_sub_truncation: int | None = None
 
     @property
     def spectral_coeffs(self) -> np.ndarray | None:
@@ -995,13 +1014,16 @@ def encode_grib2_message(
     would silently drop it).  Spectral data has no grid, bitmap or
     raster packing: only ``packing="simple"`` composes."""
     spec_t: int | None = None
+    spec_sub: int | None = None
+    spec_p = 0.0
+    spec_unpacked: np.ndarray | None = None
     if spectral is not None:
         spec_t = int(spectral["truncation"])
         if spec_t < 1:
             raise ValueError("spectral truncation must be >= 1")
         if packing != "simple":
             raise ValueError(
-                "spectral data packs with template 5.50 (simple) only"
+                "spectral data packs with template 5.50/5.51 (simple) only"
             )
         if bitmap is not None or missing_mask is not None:
             raise ValueError("spectral data carries no bitmap/missing mask")
@@ -1021,6 +1043,35 @@ def encode_grib2_message(
         vals = np.empty(2 * npairs, dtype=np.float64)
         vals[0::2] = c.real
         vals[1::2] = c.imag
+        if "sub_truncation" in spectral:
+            # Template 5.51 (COMPLEX spectral packing — the form
+            # operational IFS/ERA5 spectral archives actually use):
+            # the low-wavenumber sub-spectrum (n <= TS, triangular)
+            # rides UNPACKED as IEEE-32 floats at the head of section
+            # 7, and every remaining value is multiplied by the
+            # Laplacian weight (n(n+1))^p BEFORE simple packing — the
+            # weight flattens the n^-k decay of spectral amplitudes so
+            # fixed-width increments lose far less precision.  The
+            # sub-spectrum must contain n = 0 (the weight is zero
+            # there) — guaranteed by 0 <= TS < T.
+            spec_sub = int(spectral["sub_truncation"])
+            spec_p = float(spectral.get("laplacian", 1.0))
+            if not 0 <= spec_sub < spec_t:
+                raise ValueError(
+                    f"sub-truncation {spec_sub} must satisfy "
+                    f"0 <= TS < T={spec_t}"
+                )
+            if not -128.0 <= spec_p <= 128.0:
+                raise ValueError(
+                    f"Laplacian scaling exponent {spec_p} out of range"
+                )
+            deg2 = _spectral_degrees(spec_t)
+            sub = deg2 <= spec_sub
+            spec_unpacked = vals[sub]
+            dn = deg2[~sub].astype(np.float64)
+            vals = np.concatenate(
+                (spec_unpacked, vals[~sub] * (dn * (dn + 1.0)) ** spec_p)
+            )
     else:
         vals = np.asarray(values, dtype=np.float64)
     reduced_arr: np.ndarray | None = None
@@ -1112,7 +1163,12 @@ def encode_grib2_message(
         bm = None if bm is None else bm[::-1]
         mm = None if mm is None else mm[::-1]
     present = vals.reshape(-1)
-    if spec_t is not None:
+    if spec_sub is not None:
+        # Template 5.51: the scaled values past the unpacked
+        # sub-spectrum simple-pack; the sub-spectrum rides in section 7
+        # ahead of the bitstream.
+        present = present[len(spec_unpacked):]
+    elif spec_t is not None:
         # Template 5.50: the (0,0) real coefficient rides unpacked in
         # the template (IEEE-32); everything else simple-packs.
         present = present[1:]
@@ -1136,23 +1192,41 @@ def encode_grib2_message(
         _f32_decode,
     )
     if packing == "simple":
+        if spec_sub is not None:
+            # Template 5.51: Laplacian exponent ×10^6 (signed-
+            # magnitude), the JS/KS/MS sub-truncation and the
+            # precision of the unpacked subset (code table 5.7:
+            # 1 = IEEE 32-bit); section 7 leads with the unpacked
+            # sub-spectrum floats, then the packed bitstream.
+            tail = (
+                _s32be(int(round(spec_p * 1e6)))
+                + struct.pack(">HHH", spec_sub, spec_sub, spec_sub)
+                + bytes([1])
+            )
+            tmpl5_no = 51
+        elif spec_t is not None:
+            # 5.50 tails with the unpacked (0,0) real coefficient
+            # instead of 5.0's original-field-type octet
+            tail = _f32_encode(float(vals[0]))
+            tmpl5_no = 50
+        else:
+            tail = bytes([0])  # original field type: float
+            tmpl5_no = 0
         s5_body = (
             struct.pack(">I", len(present))
-            # data representation template: 5.50 tails with the
-            # unpacked (0,0) real coefficient instead of 5.0's
-            # original-field-type octet
-            + struct.pack(">H", 50 if spec_t is not None else 0)
+            + struct.pack(">H", tmpl5_no)
             + r_bytes
             + _s16be(binary_scale)
             + _s16be(decimal_scale)
             + bytes([nbits])
-            + (
-                _f32_encode(float(vals[0]))
-                if spec_t is not None
-                else bytes([0])  # original field type: float
-            )
+            + tail
         )
         s7_body = _pack_bits(x, nbits)
+        if spec_sub is not None:
+            s7_body = (
+                b"".join(_f32_encode(float(v)) for v in spec_unpacked)
+                + s7_body
+            )
     elif packing == "jpeg2000":
         from .jpeg2000 import j2k_encode
 
@@ -1884,12 +1958,14 @@ def decode_grib2(msg: bytes) -> Grib2Record:
 
     Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
     stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
-    regular AND reduced per-row-Ni form); product templates 4.0/4.1/
+    regular AND reduced per-row-Ni form), 3.50 (spherical harmonic
+    coefficients, triangular); product templates 4.0/4.1/
     4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12 (ensemble members,
     derived-ensemble products, probability forecasts, percentile
     forecasts, statistical intervals); data
     representation templates 5.0 (simple), 5.2/5.3 (complex ±
-    spatial differencing), 5.40 (JPEG2000), 5.41 (PNG).  Everything
+    spatial differencing), 5.40 (JPEG2000), 5.41 (PNG), 5.50
+    (spectral simple packing — must pair with 3.50).  Everything
     else raises — including multi-field messages, which this strict
     single-record API rejects via ``_sections``; use
     :func:`decode_grib2_fields` for those."""
@@ -2298,13 +2374,13 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3, 40, 41, 50):
+    if tmpl5 not in (0, 2, 3, 40, 41, 50, 51):
         raise ValueError(f"unsupported data representation template {tmpl5}")
-    # Spectral grid ↔ spectral packing must pair: 5.50's value sequence
-    # only means anything against 3.50's coefficient ordering, and a
-    # gridded raster packed "as spectral" (or vice versa) would decode
-    # a garbage field with plausible statistics.
-    if (tmpl5 == 50) != (spectral_truncation is not None):
+    # Spectral grid ↔ spectral packing must pair: 5.50/5.51's value
+    # sequence only means anything against 3.50's coefficient ordering,
+    # and a gridded raster packed "as spectral" (or vice versa) would
+    # decode a garbage field with plausible statistics.
+    if (tmpl5 in (50, 51)) != (spectral_truncation is not None):
         raise ValueError(
             f"grid definition template {tmpl_no} cannot pair with data "
             f"representation template {tmpl5}"
@@ -2345,7 +2421,59 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         raise ValueError(f"unsupported bitmap indicator {s6[5]}")
 
     s7 = s[7]
-    if tmpl5 == 50:
+    spectral_sub: int | None = None
+    if tmpl5 == 51:
+        # Template 5.51/7.51 (COMPLEX spectral packing — the
+        # operational IFS/ERA5 form): the n <= TS sub-spectrum rides
+        # UNPACKED as IEEE-32 floats at the head of section 7; every
+        # other value was multiplied by the Laplacian weight
+        # (n(n+1))^p before simple packing, so decode divides it back
+        # out.  Octets 21-24: p ×10^6 signed-magnitude; 25-30:
+        # JS/KS/MS (triangular TS here); 31: precision of the
+        # unpacked subset (code table 5.7; only 1 = IEEE 32-bit).
+        if len(s5) < 31:
+            raise ValueError("truncated data representation template 5.51")
+        lap_p = _rs32be(s5, 20) / 1e6
+        (sub_j,) = struct.unpack_from(">H", s5, 24)
+        (sub_k,) = struct.unpack_from(">H", s5, 26)
+        (sub_m,) = struct.unpack_from(">H", s5, 28)
+        if not (sub_j == sub_k == sub_m) or sub_j >= spectral_truncation:
+            raise ValueError(
+                f"only triangular sub-truncation below T supported "
+                f"(JS={sub_j}, KS={sub_k}, MS={sub_m}, "
+                f"T={spectral_truncation})"
+            )
+        if s5[30] != 1:
+            raise ValueError(
+                f"unsupported unpacked-subset precision {s5[30]} "
+                "(only IEEE 32-bit)"
+            )
+        spectral_sub = int(sub_j)
+        deg2 = _spectral_degrees(spectral_truncation)
+        sub = deg2 <= sub_j
+        n_sub = int(sub.sum())
+        if n_present != total_cells - n_sub:
+            raise ValueError(
+                f"TS={sub_j} sub-spectrum leaves {total_cells - n_sub} "
+                f"packed values, section 5 declares {n_present}"
+            )
+        if len(s7) < 5 + 4 * n_sub:
+            raise ValueError("truncated spectral sub-spectrum in section 7")
+        unpacked = np.frombuffer(
+            s7, dtype=">f4", count=n_sub, offset=5
+        ).astype(np.float64)
+        if nbits:
+            x = _unpack_bits(s7[5 + 4 * n_sub :], n_present, nbits)
+            rest = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:
+            rest = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+        dn = deg2[~sub].astype(np.float64)
+        present_vals = np.empty(total_cells)
+        present_vals[sub] = unpacked
+        present_vals[~sub] = rest * (dn * (dn + 1.0)) ** (-lap_p)
+    elif tmpl5 == 50:
         # Template 5.50/7.50 (spectral data simple packing): the (0,0)
         # real coefficient rides UNPACKED as an IEEE-32 float in the
         # template (octets 21-24); every other value of the mode-1
@@ -2478,6 +2606,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         time_range_count=time_range_count,
         row_ni=row_ni,
         spectral_truncation=spectral_truncation,
+        spectral_sub_truncation=spectral_sub,
     )
 
 

@@ -385,6 +385,19 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 cell_lats = cell_lons = None
                 if edition == 1:
                     rec = decode_grib1(msg)
+                    if rec.spectral_truncation is not None:
+                        # Same boundary as the GRIB2 branch: spectral
+                        # records have no gridpoint cells to land —
+                        # inventory lists them, match= can skip them,
+                        # synthesis (grib2.spectral_synthesis) is the
+                        # explicit decode route.
+                        raise ValueError(
+                            f"record {n}: spectral field (T"
+                            f"{rec.spectral_truncation}) cannot land as "
+                            "gridpoints — synthesize explicitly via "
+                            "grib2.spectral_synthesis, or exclude it "
+                            "with match="
+                        )
                     level_type, level = rec.level_type, rec.level
                     # Layer level types split octets 11-12 as (top,
                     # bottom); the bottom lands in the unified level2

