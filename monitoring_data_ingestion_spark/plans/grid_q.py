@@ -5919,3 +5919,194 @@ def grid_grib2_spectral_complex_decode(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("doc_id", "packing_template")
     )
+
+
+def _landing_synth_ref(d: int) -> list[tuple[int, float, float, float]]:
+    """Per record (rn, val_sum, latw, lonw) of the document's
+    synthesized 6×8 rasters from the INDEPENDENT formulation
+    (derivative-definition Legendre on numpy.leggauss roots — see
+    :func:`_synth_ref`), with the latitude weight taken from the
+    MICRODEGREE-rounded quadrature value exactly as the landed
+    ``lat_udeg`` column carries it."""
+    import math
+
+    import numpy as np
+    from numpy.polynomial import legendre as L
+
+    nodes, _ = np.polynomial.legendre.leggauss(6)
+    mu = np.sort(nodes)[::-1]
+    lat_w = np.round(np.degrees(np.arcsin(mu)) * 1e6) / 1e6
+    lon_w = np.arange(8) * 45.0
+
+    def pbar(n, m, u):
+        cn = np.zeros(n + 1)
+        cn[n] = 1.0
+        pnm = (1 - u * u) ** (m / 2.0) * L.legval(u, L.legder(cn, m))
+        return math.sqrt(
+            (2 * n + 1) * math.factorial(n - m) / math.factorial(n + m)
+        ) * pnm
+
+    out = []
+    for rn, seed in ((1, d), (2, d + 7)):
+        t = 3 + d % 3
+        c = _spectral_coeffs(seed, t, 3, 7, 11, 5, 41)
+        vals = np.zeros((6, 8))
+        pos = 0
+        for m in range(t + 1):
+            for n in range(m, t + 1):
+                cc = c[pos]
+                pos += 1
+                for j in range(6):
+                    p = pbar(n, m, mu[j])
+                    for i in range(8):
+                        if m == 0:
+                            vals[j, i] += cc.real * p
+                        else:
+                            vals[j, i] += 2.0 * p * (
+                                cc.real * math.cos(m * math.radians(lon_w[i]))
+                                - cc.imag * math.sin(m * math.radians(lon_w[i]))
+                            )
+        out.append(
+            (
+                rn,
+                float(vals.sum()),
+                float((vals * lat_w[:, None]).sum()),
+                float((vals * lon_w[None, :]).sum()),
+            )
+        )
+    return out
+
+
+def _landing_synth_values_sql() -> str:
+    rows = []
+    for d in range(0, 500):
+        if d % 31 != 11:
+            continue
+        for rn, s, lw, lo in _landing_synth_ref(d):
+            rows.append(f"({d}, {rn}, {s!r}, {lw!r}, {lo!r})")
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib_spectral_landing",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH ref(doc_id, rn, val_sum, latw, lonw) AS (
+  VALUES {_landing_synth_values_sql()}
+)
+SELECT g.doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 2 END AS INTEGER) AS edition,
+       CAST(50 AS INTEGER) AS grid_template,
+       CAST(48 AS BIGINT) AS n_cells,
+       ROUND(CAST(val_sum AS DOUBLE), 5) AS val_sum,
+       ROUND(CAST(latw AS DOUBLE), 3) AS latw,
+       ROUND(CAST(lonw AS DOUBLE), 3) AS lonw
+FROM ref r
+JOIN (
+  SELECT doc_id FROM documents WHERE doc_id % 31 = 11 AND doc_id < 500
+) g ON g.doc_id = r.doc_id
+ORDER BY g.doc_id, record_number
+""",
+)
+def grid_grib_spectral_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL records THROUGH the landing source with explicit
+    opt-in synthesis (``synthesize_spectral=(nj, ni)``): a mixed
+    archive of GRIB1 (GDS type 50, simple spectral) and GRIB2 (3.50 +
+    COMPLEX 5.51) spherical-harmonic records lands as global Gaussian
+    rasters — quadrature latitudes in exact microdegrees, the exact
+    45-mdeg longitude step from 0°E, ``grid_template`` 50 marking each
+    raster SYNTHESIZED — and the unified ``grib1_cells`` explode
+    serves them like any native record.  This is the 100 TB path for
+    ERA5/IFS NATIVE spectral archives: one scan, no external
+    spectral-to-grid tool.
+
+    Witness independence: the oracle embeds each record's grid sum and
+    latitude/longitude-weighted sums from the derivative-formulation
+    Legendre path on numpy's own quadrature roots (the latitude weight
+    taken from the µdeg-rounded value exactly as ``lat_udeg`` lands),
+    against the engine's Newton/Bonnet latitudes + recurrence Legendre
+    + vectorized synthesis + JVM cell explode — a flipped hemisphere,
+    a wrong longitude origin or a mis-assigned record cannot cancel.
+
+    Scale: synthesis is per-record local numpy in the Arrow decode
+    stage (O(T²·nj + T·nj·ni) flops); the explode and aggregation are
+    pure JVM with map-side partial aggregation — nothing shuffles but
+    statistic rows, same as every landing query.
+    """
+    from functools import partial
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import (
+        RECORD_SCHEMA,
+        _decode_batches,
+        grib1_cells,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 31 == 11) & (F.col("doc_id") < 500))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                t = 3 + d % 3
+                buf = encode_grib1_message(
+                    _spectral_coeffs(d, t, 3, 7, 11, 5, 41),
+                    spectral=dict(truncation=t), nbits=8, parameter=80,
+                ) + encode_grib2_message(
+                    _spectral_coeffs(d + 7, t, 3, 7, 11, 5, 41),
+                    spectral=dict(
+                        truncation=t, sub_truncation=1, laplacian=1.0
+                    ),
+                    nbits=16, category=3, number=9,
+                )
+                rows.append({"path": f"doc://{d}", "content": buf})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(
+        partial(_decode_batches, synthesize_spectral=(6, 8)),
+        schema=RECORD_SCHEMA,
+    )
+    cells = grib1_cells(records)
+    return (
+        cells.groupBy(
+            F.regexp_extract("path", r"doc://(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "record_number",
+        )
+        .agg(
+            F.min("grid_template").alias("gt"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("value"), 5).alias("val_sum"),
+            F.round(
+                F.sum(F.col("value") * F.col("lat_udeg") / F.lit(1e6)), 3
+            ).alias("latw"),
+            F.round(
+                F.sum(F.col("value") * F.col("lon_udeg") / F.lit(1e6)), 3
+            ).alias("lonw"),
+        )
+        .select(
+            "doc_id",
+            "record_number",
+            F.when(F.col("record_number") == 1, 1).otherwise(2)
+            .cast("int")
+            .alias("edition"),
+            F.col("gt").alias("grid_template"),
+            "n_cells",
+            "val_sum",
+            "latw",
+            "lonw",
+        )
+        .orderBy("doc_id", "record_number")
+    )

@@ -353,11 +353,15 @@ def grib_inventory(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_inventory_batches, schema=INVENTORY_SCHEMA)
 
 
-def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator":
+def _decode_batches(
+    batches: "Iterator",
+    match: str | None = None,
+    synthesize_spectral: "tuple[int, int] | None" = None,
+) -> "Iterator":
     import pandas as pd
 
     from ..grid.grib1 import decode_grib1
-    from ..grid.grib2 import _decode_field
+    from ..grid.grib2 import _decode_field, spectral_synthesis
 
     rx = re.compile(match) if match else None
     for pdf in batches:
@@ -385,7 +389,10 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                 cell_lats = cell_lons = None
                 if edition == 1:
                     rec = decode_grib1(msg)
-                    if rec.spectral_truncation is not None:
+                    if (
+                        rec.spectral_truncation is not None
+                        and synthesize_spectral is None
+                    ):
                         # Same boundary as the GRIB2 branch: spectral
                         # records have no gridpoint cells to land —
                         # inventory lists them, match= can skip them,
@@ -395,6 +402,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                             f"record {n}: spectral field (T"
                             f"{rec.spectral_truncation}) cannot land as "
                             "gridpoints — synthesize explicitly via "
+                            "synthesize_spectral=(nj, ni) / "
                             "grib2.spectral_synthesis, or exclude it "
                             "with match="
                         )
@@ -448,7 +456,10 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         lats_udeg = None
                 else:
                     rec = _decode_field(s)
-                    if rec.spectral_truncation is not None:
+                    if (
+                        rec.spectral_truncation is not None
+                        and synthesize_spectral is None
+                    ):
                         # Spherical-harmonic records have NO gridpoint
                         # cells — landing them on RECORD_SCHEMA would
                         # fabricate a zero-increment georef.  The
@@ -461,6 +472,7 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                             f"record {n}: spectral field (T"
                             f"{rec.spectral_truncation}) cannot land as "
                             "gridpoints — synthesize explicitly via "
+                            "synthesize_spectral=(nj, ni) / "
                             "grib2.spectral_synthesis, or exclude it "
                             "with match="
                         )
@@ -571,6 +583,38 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         dlat, dlon = _udeg_to_mdeg(
                             rec.dlat_udeg
                         ), _udeg_to_mdeg(rec.dlon_udeg)
+                values_arr = rec.values
+                ni_out, nj_out = rec.ni, rec.nj
+                if rec.spectral_truncation is not None:
+                    # EXPLICIT synthesis at the scan edge (opt-in): the
+                    # spectrum lands as the global Gaussian raster the
+                    # caller asked for — quadrature latitudes in exact
+                    # microdegrees like a native Gaussian record, lon
+                    # axis from 0°E with the affine step, and
+                    # grid_template 50 marking the raster as
+                    # SYNTHESIZED so consumers can tell it from a
+                    # producer-gridded field.  Product metadata (level,
+                    # lead, statistics) rides unchanged.
+                    nj_s, ni_s = synthesize_spectral
+                    if 360_000 % ni_s:
+                        raise ValueError(
+                            f"synthesis ni={ni_s} must divide the "
+                            "360000-mdeg circle for an exact grid step"
+                        )
+                    values_arr, s_lats = spectral_synthesis(
+                        rec.spectral_coeffs,
+                        rec.spectral_truncation,
+                        nj_s,
+                        ni_s,
+                    )
+                    ni_out, nj_out = ni_s, nj_s
+                    grid_template = 50
+                    lat0 = dlat = None
+                    lats_udeg = [
+                        int(round(float(v) * 1e6)) for v in s_lats
+                    ]
+                    lon0, dlon = 0, 360_000 // ni_s
+                    cell_lats = cell_lons = None
                 rows.append(
                     {
                         "path": path,
@@ -599,8 +643,8 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "prob_lower_limit": prob_lo,
                         "prob_upper_limit": prob_hi,
                         "percentile_value": pctl,
-                        "ni": rec.ni,
-                        "nj": rec.nj,
+                        "ni": ni_out,
+                        "nj": nj_out,
                         "lat_first_mdeg": lat0,
                         "lon_first_mdeg": lon0,
                         "dlat_mdeg": dlat,
@@ -608,22 +652,39 @@ def _decode_batches(batches: "Iterator", match: str | None = None) -> "Iterator"
                         "latitudes_udeg": lats_udeg,
                         "cell_lats_deg": cell_lats,
                         "cell_lons_deg": cell_lons,
-                        "values": rec.values.reshape(-1).tolist(),
+                        "values": values_arr.reshape(-1).tolist(),
                     }
                 )
         yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
 
 
 def grib1_records(
-    spark: SparkSession, path: str, match: str | None = None
+    spark: SparkSession,
+    path: str,
+    match: str | None = None,
+    synthesize_spectral: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Batch scan of a GRIB landing directory/glob → one row per record.
     ``match`` (regex over :func:`inventory_line`) selects records
     header-side BEFORE any value bit unpacks — the wgrib2 ``-match``
-    contract pushed down into the landing scan."""
+    contract pushed down into the landing scan.
+
+    ``synthesize_spectral=(nj, ni)`` opts spherical-harmonic records
+    (both editions) INTO the scan: each synthesizes onto the global
+    nj-parallel Gaussian grid with ni longitudes
+    (grib2.spectral_synthesis) and lands like a native Gaussian record
+    (quadrature latitudes in exact microdegrees, lon axis from 0°E,
+    grid_template 50 marking the raster SYNTHESIZED).  Without it,
+    spectral records stop the decode loudly — a zero-increment georef
+    is never fabricated."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(
-        partial(_decode_batches, match=match), schema=RECORD_SCHEMA
+        partial(
+            _decode_batches,
+            match=match,
+            synthesize_spectral=synthesize_spectral,
+        ),
+        schema=RECORD_SCHEMA,
     )
 
 
@@ -632,6 +693,7 @@ def grib1_records_stream(
     path: str,
     max_files_per_trigger: int | None = None,
     match: str | None = None,
+    synthesize_spectral: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Streaming scan: files arriving under ``path`` decode incrementally.
     The file source tracks processed files in the checkpoint, so each
@@ -646,7 +708,12 @@ def grib1_records_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path", "content")
     return files.mapInPandas(
-        partial(_decode_batches, match=match), schema=RECORD_SCHEMA
+        partial(
+            _decode_batches,
+            match=match,
+            synthesize_spectral=synthesize_spectral,
+        ),
+        schema=RECORD_SCHEMA,
     )
 
 

@@ -2537,3 +2537,47 @@ def test_spectral_complex_packing_roundtrip_and_guards():
     struct.pack_into(">Q", cut, 8, len(cut))
     with pytest.raises(ValueError, match="truncated data representation"):
         decode_grib2(bytes(cut))
+
+
+@given(
+    t=st.integers(1, 10),
+    sub=st.integers(-1, 9),
+    seed=st.integers(0, 2**31),
+    edition=st.integers(1, 2),
+)
+@settings(max_examples=40, deadline=None)
+def test_spectral_roundtrip_property(t, sub, seed, edition):
+    """PROPERTY: any integer triangular spectrum round-trips BIT-exactly
+    through every spectral layout the engine writes — GRIB1 GDS-50
+    simple, GRIB2 5.50 simple, and GRIB2 5.51 complex with p = 1
+    (integer Laplacian weights) at any valid sub-truncation."""
+    from monitoring_data_ingestion_spark.grid.grib1 import (
+        decode_grib1,
+        encode_grib1_message,
+    )
+
+    npairs = (t + 1) * (t + 2) // 2
+    rng = np.random.default_rng(seed)
+    c = (
+        rng.integers(-200, 200, npairs).astype(np.float64)
+        + 1j * rng.integers(-200, 200, npairs).astype(np.float64)
+    )
+    c[: t + 1] = c[: t + 1].real
+    if edition == 1:
+        rec = decode_grib1(
+            encode_grib1_message(c, spectral=dict(truncation=t), nbits=16)
+        )
+    elif not 0 <= sub < t:
+        rec = decode_grib2(
+            encode_grib2_message(c, spectral=dict(truncation=t), nbits=16)
+        )
+    else:
+        rec = decode_grib2(
+            encode_grib2_message(
+                c,
+                spectral=dict(truncation=t, sub_truncation=sub, laplacian=1.0),
+                nbits=24,
+            )
+        )
+    assert rec.spectral_truncation == t
+    assert np.array_equal(rec.spectral_coeffs, c)

@@ -709,3 +709,75 @@ def test_spectral_records_inventory_and_landing_boundary(spark, tmp_path):
         grib1_records(spark, landing, match=r"e1:").collect()
     with pytest.raises(Exception, match="spectral_synthesis"):
         grib1_records(spark, landing, match=r"e2:c3,n7").collect()
+
+
+def test_spectral_synthesis_through_landing_scan(spark, tmp_path):
+    """``synthesize_spectral=(nj, ni)`` opts spherical-harmonic records
+    INTO the landing scan (both editions): each synthesizes onto the
+    requested global Gaussian grid and lands like a native Gaussian
+    record — exact quadrature latitudes in microdegrees, lon axis from
+    0°E with the exact affine step, grid_template 50 marking the
+    raster SYNTHESIZED — and the unified cell explode serves it like
+    any other record.  Values must equal the direct codec synthesis;
+    product metadata rides unchanged; a non-dividing ni stops loudly;
+    the boundary (no kwarg → loud stop) keeps holding."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        encode_grib2_message,
+        gaussian_latitudes,
+        spectral_synthesis,
+    )
+
+    t = 4
+    npairs = (t + 1) * (t + 2) // 2
+    c = (np.arange(npairs) - 5.0 + 1j * (np.arange(npairs) % 7)).astype(
+        complex
+    )
+    c[: t + 1] = c[: t + 1].real
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "a.grib"), "wb") as f:
+        f.write(
+            encode_grib1_message(v, reference_value=0.0, nbits=8)
+            + encode_grib1_message(
+                c, spectral=dict(truncation=t), nbits=8, parameter=80,
+                forecast=dict(unit=1, value=6),
+            )
+            + encode_grib2_message(
+                c, spectral=dict(truncation=t, sub_truncation=1),
+                nbits=16, category=3, number=9,
+                level_type=105, level_value=3,
+            )
+        )
+    recs = grib1_records(spark, landing, synthesize_spectral=(6, 8))
+    rows = recs.orderBy("record_number").collect()
+    assert [r["grid_template"] for r in rows] == [None, 50, 50]
+    ref, lats = spectral_synthesis(c, t, 6, 8)
+    for r in rows[1:]:
+        assert (r["ni"], r["nj"]) == (8, 6)
+        assert (r["lon_first_mdeg"], r["dlon_mdeg"]) == (0, 45_000)
+        assert r["lat_first_mdeg"] is None and r["dlat_mdeg"] is None
+        assert r["latitudes_udeg"] == [
+            int(round(float(x) * 1e6)) for x in gaussian_latitudes(6)
+        ]
+        assert np.allclose(
+            np.array(r["values"]).reshape(6, 8), ref, atol=1e-12
+        )
+    # product metadata rides unchanged through the synthesis
+    assert (rows[1]["parameter"], rows[1]["forecast_hours"]) == (80, 6)
+    assert (rows[2]["category"], rows[2]["number"]) == (3, 9)
+    assert (rows[2]["level_type"], rows[2]["level"]) == (105, 3)
+    # the unified cell explode serves synthesized records like any other
+    assert grib1_cells(recs).count() == 12 + 48 + 48
+    # streaming form threads the same kwarg (same decode partial)
+    assert grib1_records_stream(
+        spark, landing, synthesize_spectral=(6, 8)
+    ).isStreaming
+    # a non-dividing longitude count cannot produce an exact grid step
+    with pytest.raises(Exception, match="must divide"):
+        grib1_records(spark, landing, synthesize_spectral=(6, 7)).collect()
+    # without the opt-in the boundary still stops loudly
+    with pytest.raises(Exception, match="synthesize_spectral"):
+        grib1_records(spark, landing).collect()

@@ -164,6 +164,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_spectral_synthesis",
         "grid_grib_inventory_robust_scan",
         "grid_grib_inventory_scan",
+        "grid_grib_spectral_landing",
         "grid_grib_layer_scan",
         "grid_grib_match_lead_scan",
         "grid_grib_spectral_roundtrip",
