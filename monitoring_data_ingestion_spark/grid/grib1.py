@@ -1004,6 +1004,14 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             "BDS spherical-harmonics flag disagrees with the GDS grid type"
         )
     if flags & 0b0100:
+        if spectral_truncation is not None:
+            # The edition-1 COMPLEX spectral form (sub-spectrum pointer
+            # + per-producer layouts) is a documented boundary — the
+            # GRIB2 sibling (template 5.51) is fully supported.
+            raise ValueError(
+                "GRIB1 spectral complex packing is not supported (only "
+                "simple packing; re-encode as GRIB2 template 5.51)"
+            )
         raise ValueError("only grid-point simple packing is supported")
     unused = bds[3] & 0x0F
     binary_scale = _rs16(bds, 4)

@@ -618,3 +618,25 @@ def test_spectral_type50_roundtrip_and_guards():
     bad[gds_off + 13] = 2  # representation mode octet 14
     with pytest.raises(ValueError, match="mode 2"):
         decode_grib1(bytes(bad))
+
+
+def test_grib1_complex_spectral_is_a_documented_boundary():
+    """The edition-1 COMPLEX spectral form (flag bits 0b1100 — a
+    sub-spectrum pointer with per-producer layouts) stays a documented
+    loud boundary, named as such: the error points at the supported
+    GRIB2 sibling (template 5.51) rather than claiming the record is
+    grid-point data."""
+    import pytest
+
+    t = 3
+    npairs = (t + 1) * (t + 2) // 2
+    c = (np.arange(npairs) + 0j).astype(complex)
+    msg = bytearray(
+        encode_grib1_message(c, spectral=dict(truncation=t), nbits=8)
+    )
+    pds_len = int.from_bytes(msg[8:11], "big")
+    gds_off = 8 + pds_len
+    bds_off = gds_off + int.from_bytes(msg[gds_off : gds_off + 3], "big")
+    msg[bds_off + 3] |= 0x40  # raise the complex-packing flag bit
+    with pytest.raises(ValueError, match="GRIB1 spectral complex packing"):
+        decode_grib1(bytes(msg))
