@@ -464,6 +464,14 @@ class Grib2Record:
     # Templates 4.6/4.10 (percentile forecasts): the percentile
     # (0-100) this field represents; None on every other template.
     percentile_value: int | None = None
+    # Template 4.15 (spatio-statistical processing — smoothed /
+    # re-gridded products): the code-table-4.10 statistic applied over
+    # the SPATIAL area, the code-table-4.15 processing type and the
+    # number of points used; None on every other template.  Distinct
+    # from statistical_process, which is a TIME-interval statistic.
+    spatial_statistical_process: int | None = None
+    spatial_process_type: int | None = None
+    spatial_points: int | None = None
     # Forecast lead time (octets 18-22, whole 4.0 family) converted to
     # WHOLE hours; 0 for analysis fields.
     forecast_hours: int = 0
@@ -969,6 +977,7 @@ def encode_grib2_message(
     derived: dict | None = None,
     probability: dict | None = None,
     percentile: int | None = None,
+    spatial: dict | None = None,
     forecast: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
@@ -1535,11 +1544,18 @@ def encode_grib2_message(
     # family's extra octets.  Octets 10-34 are identical to 4.0 across
     # all ten, so one parser serves them on decode.
     if sum(
-        x is not None for x in (ensemble, derived, probability, percentile)
+        x is not None
+        for x in (ensemble, derived, probability, percentile, spatial)
     ) > 1:
         raise ValueError(
             "choose at most one of ensemble / derived / probability / "
-            "percentile"
+            "percentile / spatial"
+        )
+    if spatial is not None and statistical is not None:
+        # 4.15 has no statistical-interval sibling in the supported set
+        # — the spatial statistic IS the processing, over area not time
+        raise ValueError(
+            "spatial (template 4.15) does not combine with statistical"
         )
     # ``forecast`` (keys: ``unit`` code table 4.4, ``value``) sets the
     # lead-time octets shared by the whole 4.0 family; default is an
@@ -1602,6 +1618,20 @@ def encode_grib2_message(
         if p > 100:
             raise ValueError(f"percentile value {p} out of range 0-100")
         pdt_extra += bytes([p])
+    elif spatial is not None:
+        # Template 4.15 (spatio-statistical processing — NDFD-style
+        # smoothed/re-gridded products): octets 35-37 carry the
+        # statistical process used WITHIN the spatial area (code table
+        # 4.10), the type of spatial processing (code table 4.15) and
+        # the number of data points used.
+        tmpl4 = 15
+        pdt_extra += bytes(
+            [
+                _pdt_octet(spatial["stat"], "spatial statistical process"),
+                _pdt_octet(spatial["type"], "spatial processing type"),
+                _pdt_octet(spatial["points"], "spatial data-point count"),
+            ]
+        )
     else:
         tmpl4 = 8 if statistical is not None else 0
     if statistical is not None:
@@ -2264,7 +2294,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
+    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
         # 4.2 derived forecast, 4.5 probability, 4.6 percentile,
@@ -2286,6 +2316,8 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     probability_number = probability_total = probability_type = None
     prob_lower_limit = prob_upper_limit = None
     percentile_value = None
+    spatial_statistical_process = spatial_process_type = None
+    spatial_points = None
     if tmpl4 in (1, 11):
         # 4.1 (individual ensemble member) appends octets 35-37: type
         # of ensemble forecast (code table 4.6), perturbation number,
@@ -2334,6 +2366,18 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             raise ValueError(
                 f"percentile value {percentile_value} out of range 0-100"
             )
+    elif tmpl4 == 15:
+        # 4.15 (spatio-statistical processing — smoothed / re-gridded
+        # products) appends octets 35-37: the statistical process used
+        # WITHIN the spatial area (code table 4.10), the spatial
+        # processing type (code table 4.15) and the number of data
+        # points used.  This is an AREA statistic, not a time
+        # interval: statistical_process / interval_end stay None.
+        if len(s4) < 37:
+            raise ValueError("truncated product definition template 4.15")
+        spatial_statistical_process = s4[34] if s4[34] != 0xFF else None
+        spatial_process_type = s4[35] if s4[35] != 0xFF else None
+        spatial_points = s4[36] if s4[36] != 0xFF else None
     statistical_process = None
     interval_end = None
     time_range_count = None
@@ -2607,6 +2651,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         row_ni=row_ni,
         spectral_truncation=spectral_truncation,
         spectral_sub_truncation=spectral_sub,
+        spatial_statistical_process=spatial_statistical_process,
+        spatial_process_type=spatial_process_type,
+        spatial_points=spatial_points,
     )
 
 

@@ -789,3 +789,167 @@ def era5_grib_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("anomaly", 6).alias("anomaly"),
         ).orderBy("time", "variable", "lat", "lon")
     )
+
+
+def _spectral_stream_ref() -> str:
+    """Closed-form (month, rn, val_sum, latw) VALUES rows for the
+    6-month spectral landing, from the INDEPENDENT formulation —
+    derivative-definition associated Legendre with explicit factorial
+    normalization on numpy.leggauss quadrature roots, explicit
+    triple-loop synthesis — the oracle-side second implementation of
+    the engine's Newton/Bonnet latitudes + recurrence Legendre +
+    vectorized synthesis (see plans/grid_q._synth_ref)."""
+    import math
+
+    import numpy as np
+    from numpy.polynomial import legendre as L
+
+    from .grid_q import _spectral_coeffs
+
+    nodes, _ = np.polynomial.legendre.leggauss(6)
+    mu = np.sort(nodes)[::-1]
+    lat_w = np.round(np.degrees(np.arcsin(mu)) * 1e6) / 1e6
+    lon = np.radians(np.arange(8) * 45.0)
+
+    def pbar(n, m, u):
+        cn = np.zeros(n + 1)
+        cn[n] = 1.0
+        pnm = (1 - u * u) ** (m / 2.0) * L.legval(u, L.legder(cn, m))
+        return math.sqrt(
+            (2 * n + 1) * math.factorial(n - m) / math.factorial(n + m)
+        ) * pnm
+
+    rows = []
+    for mo in range(6):
+        for rn in (1, 2):
+            t = 4
+            c = _spectral_coeffs(mo * 13 + rn * 5, t, 3, 7, 11, 5, 41)
+            vals = np.zeros((6, 8))
+            pos = 0
+            for m in range(t + 1):
+                for n in range(m, t + 1):
+                    cc = c[pos]
+                    pos += 1
+                    for j in range(6):
+                        p = pbar(n, m, mu[j])
+                        for i in range(8):
+                            if m == 0:
+                                vals[j, i] += cc.real * p
+                            else:
+                                vals[j, i] += 2.0 * p * (
+                                    cc.real * math.cos(m * lon[i])
+                                    - cc.imag * math.sin(m * lon[i])
+                                )
+            rows.append(
+                f"({mo + 1}, {rn}, {float(vals.sum())!r}, "
+                f"{float((vals * lat_w[:, None]).sum())!r})"
+            )
+    return ",\n       ".join(rows)
+
+
+def ensure_spectral_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Write the shared 6-month SPECTRAL landing once per session
+    (atomic temp+rename) and return its path: each 2021 month-file
+    holds one GRIB1 simple-spectral record and one GRIB2 5.51
+    complex-spectral record (T=4, month-keyed integer coefficients) —
+    the native form an ERA5/IFS spectral archive arrives in."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..grid.grib2 import encode_grib2_message
+    from .catalog import session_cache_suffix
+    from .grid_q import _spectral_coeffs
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_spectral_landing_{session_cache_suffix(spark, sf_dir)}",
+    )
+    complete = os.path.join(base, "_complete")
+    landing = os.path.join(base, "landing")
+    if not os.path.exists(complete):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(landing)
+        for mo in range(6):
+            buf = encode_grib1_message(
+                _spectral_coeffs(mo * 13 + 5, 4, 3, 7, 11, 5, 41),
+                spectral=dict(truncation=4), nbits=8, parameter=80,
+                reftime=(2021, mo + 1, 1, 0, 0),
+            ) + encode_grib2_message(
+                _spectral_coeffs(mo * 13 + 10, 4, 3, 7, 11, 5, 41),
+                spectral=dict(truncation=4, sub_truncation=1, laplacian=1.0),
+                nbits=16, category=3, number=9,
+                reftime=(2021, mo + 1, 1, 0, 0),
+            )
+            name = f"ifs_2021_{mo + 1:02d}.grib"
+            tmp = os.path.join(landing, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.rename(tmp, os.path.join(landing, name))
+        open(complete, "w").close()
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return landing
+
+
+@query(
+    "stream_grib_spectral_pipeline",
+    tags=("streaming", "grid", "codec", "pipeline"),
+    oracle=f"""
+WITH ref(month, rn, val_sum, latw) AS (
+  VALUES {_spectral_stream_ref()}
+)
+SELECT CAST(month AS INTEGER) AS month,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(50 AS INTEGER) AS grid_template,
+       CAST(48 AS BIGINT) AS n_cells,
+       ROUND(CAST(val_sum AS DOUBLE), 5) AS val_sum,
+       ROUND(CAST(latw AS DOUBLE), 3) AS latw
+FROM ref
+ORDER BY month, record_number
+""",
+)
+def stream_grib_spectral_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ERA5/IFS NATIVE-SPECTRAL archive through the STREAMING
+    runtime: the 6-month spectral landing (GRIB1 simple + GRIB2 5.51
+    complex records per month-file) drains through
+    ``readStream(binaryFile)`` one file per micro-batch with
+    ``synthesize_spectral=(6, 8)`` — each spherical-harmonic record
+    synthesizes onto the global Gaussian grid INSIDE the streaming
+    Arrow decode stage and lands as a marked raster — then the unified
+    cell explode and a per-record aggregation drain append-mode.  This
+    witnesses the batch scan's opt-in synthesis contract under the
+    micro-batch engine: same decode partial, same landing columns,
+    exactly-once file tracking.
+
+    Witness independence: the closed-form oracle embeds each record's
+    grid sum and quadrature-latitude-weighted sum from the
+    derivative-formulation Legendre path on numpy's own roots — a
+    flipped hemisphere, a mis-assigned month or a batch/stream
+    divergence in the synthesis path cannot cancel.
+
+    Scale: one month-file per micro-batch is the arrival unit; the
+    stream side is stateless (no watermark state), synthesis is
+    per-record local numpy, and only per-record statistic rows reach
+    the sink — the flagship's posture with spectral input bytes.
+    """
+    from ..sources.grib_source import grib1_cells, grib1_records_stream
+
+    landing = ensure_spectral_landing(spark, sf_dir)
+    cells = grib1_cells(
+        grib1_records_stream(
+            spark, landing, max_files_per_trigger=1,
+            synthesize_spectral=(6, 8),
+        )
+    )
+    agg = cells.groupBy("month", "record_number").agg(
+        F.min("grid_template").alias("grid_template"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 5).alias("val_sum"),
+        F.round(
+            F.sum(F.col("value") * F.col("lat_udeg") / F.lit(1e6)), 3
+        ).alias("latw"),
+    )
+    out = run_available_now_to_memory(agg, output_mode="complete")
+    return out.orderBy("month", "record_number")

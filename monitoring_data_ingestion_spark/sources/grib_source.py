@@ -176,7 +176,7 @@ def _grib2_field_header(s: dict) -> dict:
         # a different layout and would yield garbage grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
+    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
         # Spectral records have no Ni/Nj — the inventory LISTS them

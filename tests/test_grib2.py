@@ -2581,3 +2581,61 @@ def test_spectral_roundtrip_property(t, sub, seed, edition):
         )
     assert rec.spectral_truncation == t
     assert np.array_equal(rec.spectral_coeffs, c)
+
+
+def test_spatio_statistical_pdt_roundtrip_and_guards():
+    """PDT 4.15 (spatio-statistical processing — the NDFD-style
+    smoothed / re-gridded products): octets 35-37 decode as the
+    code-table-4.10 statistic applied over the SPATIAL area, the
+    code-table-4.15 processing type and the point count — distinct
+    from the TIME-interval statistical columns, which stay None (an
+    area maximum must not masquerade as a period maximum).  Metadata
+    composes with leads/levels; the inventory path lists 4.15 records;
+    truncation and the statistical-combination reject stop loudly."""
+    from monitoring_data_ingestion_spark.grid.grib2 import inventory_line
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = encode_grib2_message(
+        v, spatial=dict(stat=2, type=3, points=9),
+        forecast=dict(unit=1, value=6), level_type=103, level_value=10,
+        reference_value=0.0, nbits=8,
+    )
+    rec = decode_grib2(msg)
+    assert (
+        rec.spatial_statistical_process,
+        rec.spatial_process_type,
+        rec.spatial_points,
+    ) == (2, 3, 9)
+    assert rec.statistical_process is None and rec.interval_end is None
+    assert (rec.forecast_hours, rec.level_type, rec.level_value) == (6, 103, 10)
+    np.testing.assert_array_equal(rec.values, v)
+    # plain 4.0 records keep all three None
+    plain = decode_grib2(encode_grib2_message(v, reference_value=0.0, nbits=8))
+    assert plain.spatial_statistical_process is None
+    assert plain.spatial_process_type is None and plain.spatial_points is None
+    # the header-only inventory path lists 4.15 records (level + lead)
+    assert inventory_line(msg) == "d0:c0,n0:l103/10:2020010100:f6"
+    # guards: no statistical-interval sibling; truncated octets
+    with pytest.raises(ValueError, match="does not combine"):
+        encode_grib2_message(
+            v, spatial=dict(stat=0, type=0, points=4),
+            statistical=dict(
+                process=0, interval_end=(2020, 2, 1, 0, 0), range_hours=6
+            ),
+        )
+    with pytest.raises(ValueError, match="at most one of"):
+        encode_grib2_message(
+            v, spatial=dict(stat=0, type=0, points=4), percentile=50
+        )
+    import struct
+
+    cut = bytearray(msg)
+    pos = 16
+    while cut[pos + 4] != 4:
+        pos += int.from_bytes(cut[pos : pos + 4], "big")
+    s4_len = int.from_bytes(cut[pos : pos + 4], "big")
+    trimmed = bytearray(cut[: pos + s4_len - 2] + cut[pos + s4_len :])
+    struct.pack_into(">I", trimmed, pos, s4_len - 2)
+    struct.pack_into(">Q", trimmed, 8, len(trimmed))
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(trimmed))
