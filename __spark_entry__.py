@@ -31,14 +31,17 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 11 (from CORRECTNESS_r01-r10): 11 names
 # last witnessed r4 (oldest, the documented r10 spill), 44 r5, then
-# r6-r10 cohorts.  Round 11 takes the 7 new r11 queries (spherical-
+# r6-r10 cohorts.  Round 11 takes the 8 new r11 queries (spherical-
 # harmonic records decoded from BOTH editions — GRIB1 GDS type 50 +
 # the BDS spectral flag, GRIB2 templates 3.50/5.50, plus the 5.51
 # COMPLEX spectral packing with its Laplacian weighting and unpacked
 # sub-spectrum and the landing scan's explicit opt-in synthesis
 # (synthesize_spectral=(nj, ni) → spectral records land as marked
 # Gaussian rasters through the unified cell explode, witnessed in
-# BOTH the batch scan and the streaming micro-batch drain) — plus the
+# BOTH the batch scan and the streaming micro-batch drain, plus
+# STRETCHED lat/lon grids, templates 3.2/3.3 — the ARPEGE Schmidt
+# geometry, completing the lat/lon family — with dual-formulation
+# witnesses) — plus the
 # spectral→Gaussian synthesis witnessed against the independent
 # derivative-formulation Legendre path, the mixed-archive inventory
 # robustness contract — calendar/TRI-2 leads as NULL ``:f-`` lines and
@@ -52,16 +55,16 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # header branch on the inventory path; grid_grib_match_lead_scan: the
 # unified line's new ``f-`` rendering; grid_grib2_match_decode: the
 # codec line grew the level field) + the ENTIRE 11-name r4 spill and
-# the first 26 of the 44-name r5 cohort — 7 + 6 + 11 + 26 = exactly
+# the first 25 of the 44-name r5 cohort — 8 + 6 + 11 + 25 = exactly
 # 50.  The remaining grib decode-path queries also sit downstream of
 # this round's codec restructure (the spectral branch + grid/packing
 # pairing gate), but every one of them was witnessed in the r10 window
 # (evidence one round old) and all 275 registry queries were re-run
 # green through the full local driver-sim at HEAD this session, so the
 # 6-7-round-old queue evidence outranks them — per the r10 verdict,
-# the queue "outranks any new operator".  The remaining 18 r5 names
-# (text_classifier_score, text_html_strip, text_ngram_lm_score,
-# text_pii_scrub, text_url_canonical_dedup, ts_anomaly_mad,
+# the queue "outranks any new operator".  The remaining 19 r5 names
+# (text_bpe_pair_counts, text_classifier_score, text_html_strip,
+# text_ngram_lm_score, text_pii_scrub, text_url_canonical_dedup, ts_anomaly_mad,
 # ts_asof_join_tolerance, ts_counter_rate, ts_downsample_lttb,
 # ts_event_sequence_pattern, ts_ewma, ts_gap_detection,
 # ts_interval_coalesce, ts_interval_overlap_join, ts_level_shift,
@@ -82,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_spectral_complex_decode",
     "grid_grib_spectral_landing",
     "stream_grib_spectral_pipeline",
+    "grid_grib2_stretched_decode",
     # --- 2. changed in round 11: the rotated-grid convention fix and
     #     the inventory/match-path changes (lenient leads, spectral
     #     listing, level field in the codec line) ---
@@ -92,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib_match_lead_scan",
     "grid_grib2_match_decode",
     # --- 3. oldest cohort: the 11 round-4 leftovers (the documented
-    #     r10 spill), then the first 26 of the 44-name r5 cohort ---
+    #     r10 spill), then the first 25 of the 44-name r5 cohort ---
     "ts_freshness_check",
     "ts_json_extract",
     "ts_lag_lead",
@@ -129,7 +133,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_oscar_calendar",
     "scd2_apply_changes",
     "stream_ohlc_hourly",
-    "text_bpe_pair_counts",
 )
 
 

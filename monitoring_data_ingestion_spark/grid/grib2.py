@@ -23,7 +23,13 @@ the ``wgrib`` edition-1 path:
   geographic coordinates recovered through the spherical Snyder
   inverses (:func:`lambert_inverse`, :func:`polar_stereo_inverse`,
   :func:`mercator_inverse`), northern aspect for the conic/azimuthal
-  forms, values kept in storage order; template 3.50 — SPHERICAL
+  forms, values kept in storage order; templates 3.2/3.3 — STRETCHED
+  (and stretched+rotated) lat/lon, the ARPEGE/ALADIN Schmidt geometry:
+  the pole of stretching + ×10^6 factor decode through the vectorized
+  :func:`schmidt_unstretch` (tan-half-colatitude radial scaling about
+  the pole, c > 1 concentrating true resolution there), composed with
+  the shared unrotation for 3.3 — completing the lat/lon family
+  3.0/3.1/3.2/3.3; template 3.50 — SPHERICAL
   HARMONIC coefficients (ERA5/IFS native spectral archives):
   triangular truncation J = K = M, associated-Legendre type 1,
   mode-1 complex ordering, pairing with data representation
@@ -326,6 +332,64 @@ def spectral_legendre(truncation: int, mu) -> np.ndarray:
     return out
 
 
+def schmidt_unstretch(lats_deg, lons_deg, sp_lat_deg, sp_lon_deg, factor):
+    """STRETCHED lat/lon grid (GDT 3.2/3.3 — the ARPEGE/ALADIN Schmidt
+    geometry): stretched coordinates → true coordinates, vectorized.
+
+    Convention (documented because GRIB codes only the pole of
+    stretching and the factor): the Schmidt (1977) transformation is a
+    RADIAL SCALING of the polar stereographic projection about the
+    pole of stretching — a point at stereographic radius r in the
+    stretched (computational) system sits at radius r/c in the true
+    system, so a factor c > 1 CONCENTRATES true resolution near the
+    pole of stretching (the ARPEGE direction: a uniform computational
+    grid is fine over the pole region, coarse at the antipode).  In
+    the pole frame that is the closed form
+        sin φ_true = ((c²−1) + (c²+1)·sin φ') /
+                     ((c²+1) + (c²−1)·sin φ')
+    with longitudes unchanged; for a general pole the engine rotates
+    the pole of stretching to the north pole, applies the 1-D latitude
+    map, and rotates back — c = 1 is the identity everywhere.  The
+    query oracle restates the same map through the tan-half-colatitude
+    stereographic form (tan(χ_true/2) = tan(χ'/2)/c) — formulation
+    independence, like the rotation/Lambert pairs."""
+    phi = np.radians(np.asarray(lats_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lons_deg, dtype=np.float64))
+    c = float(factor)
+    if not c > 0.0:
+        raise ValueError(f"stretching factor {factor} must be positive")
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    # rotate the pole of stretching to the north pole:
+    # Ry(90°−φ_s) · Rz(−λ_s)
+    lam_s = math.radians(sp_lon_deg)
+    th = math.radians(90.0 - sp_lat_deg)
+    x1 = x * math.cos(lam_s) + y * math.sin(lam_s)
+    y1 = -x * math.sin(lam_s) + y * math.cos(lam_s)
+    x2 = x1 * math.cos(th) - z * math.sin(th)
+    z2 = x1 * math.sin(th) + z * math.cos(th)
+    # Schmidt latitude map in the pole frame (sin form); x/y scale to
+    # keep the point on the unit sphere at its (unchanged) longitude
+    c2 = c * c
+    s_new = ((c2 - 1.0) + (c2 + 1.0) * z2) / ((c2 + 1.0) + (c2 - 1.0) * z2)
+    s_new = np.clip(s_new, -1.0, 1.0)
+    horiz = np.hypot(x2, y1)
+    scale = np.where(
+        horiz > 0.0, np.sqrt(np.maximum(0.0, 1.0 - s_new**2)) / np.where(horiz > 0.0, horiz, 1.0), 0.0
+    )
+    x2, y1, z2 = x2 * scale, y1 * scale, s_new
+    # rotate back: Rz(λ_s) · Ry(−(90°−φ_s))
+    x3 = x2 * math.cos(th) + z2 * math.sin(th)
+    z3 = -x2 * math.sin(th) + z2 * math.cos(th)
+    xr = x3 * math.cos(lam_s) - y1 * math.sin(lam_s)
+    yr = x3 * math.sin(lam_s) + y1 * math.cos(lam_s)
+    lat = np.degrees(np.arcsin(np.clip(z3, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(yr, xr))
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lat, lon
+
+
 def _spectral_degrees(t: int) -> np.ndarray:
     """Per-VALUE spherical-harmonic degree n of the triangular mode-1
     REAL sequence (re/im interleaved): for m = 0..T, n = m..T, two
@@ -528,10 +592,13 @@ class Grib2Record:
         cells = getattr(self, "_cells", None)
         if cells is None:
             lp = self.lambert_params
-            if lp["kind"] == "rotated":
-                # The affine fields hold the ROTATED axes (already
-                # row-normalized north-first in rotated latitude);
-                # unrotation yields true coordinates per cell.
+            if lp["kind"] in ("rotated", "stretched", "stretched_rotated"):
+                # The affine fields hold the ROTATED and/or STRETCHED
+                # axes (already row-normalized north-first in that
+                # system's latitude); the Schmidt unstretch — the pole
+                # of stretching is coded in the same system as the axes
+                # — then (for the rotated forms) the unrotation yield
+                # true coordinates per cell.
                 rlats = (
                     self.lat_first_udeg
                     - self.dlat_udeg * np.arange(self.nj)[:, None]
@@ -541,11 +608,17 @@ class Grib2Record:
                     + self.dlon_udeg * np.arange(self.ni)[None, :]
                 ) / 1e6
                 shape = (self.nj, self.ni)
-                self._cells = rotated_unrotate(
-                    np.broadcast_to(rlats, shape),
-                    np.broadcast_to(rlons, shape),
-                    lp["sp_lat"], lp["sp_lon"], lp["angle"],
-                )
+                lats = np.broadcast_to(rlats, shape)
+                lons = np.broadcast_to(rlons, shape)
+                if lp["kind"] in ("stretched", "stretched_rotated"):
+                    lats, lons = schmidt_unstretch(
+                        lats, lons, lp["st_lat"], lp["st_lon"], lp["st_c"]
+                    )
+                if lp["kind"] in ("rotated", "stretched_rotated"):
+                    lats, lons = rotated_unrotate(
+                        lats, lons, lp["sp_lat"], lp["sp_lon"], lp["angle"]
+                    )
+                self._cells = (lats, lons)
                 return self._cells
             xs = lp["x1"] + lp["dx_m"] * np.arange(self.ni)[None, :]
             ys = lp["y1"] + lp["sj"] * lp["dy_m"] * np.arange(self.nj)[:, None]
@@ -971,6 +1044,7 @@ def encode_grib2_message(
     polar_stereo: dict | None = None,
     mercator: dict | None = None,
     rotated: dict | None = None,
+    stretched: dict | None = None,
     spectral: dict | None = None,
     statistical: dict | None = None,
     ensemble: dict | None = None,
@@ -1116,11 +1190,12 @@ def encode_grib2_message(
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
     if gaussian and scanning_mode != 0x00:
         raise ValueError("Gaussian grids are encoded north-first only")
+    latlon_mod = rotated if rotated is not None else stretched
     if sum(
         x is not None
         for x in (
             gaussian or None, reduced_arr, lambert, polar_stereo, mercator,
-            rotated, spec_t,
+            latlon_mod, spec_t,
         )
     ) > 1:
         raise ValueError("choose exactly one grid family")
@@ -1128,6 +1203,13 @@ def encode_grib2_message(
         rotated["south_pole_lat"]
     ) <= 90.0:
         raise ValueError("rotated-grid southern pole latitude out of range")
+    if stretched is not None:
+        if not -90.0 <= float(stretched["pole_lat"]) <= 90.0:
+            raise ValueError("pole-of-stretching latitude out of range")
+        if not 0.0 < float(stretched["factor"]) < 4000.0:
+            raise ValueError(
+                f"stretching factor {stretched['factor']} out of range"
+            )
     if lambert is not None:
         _lambert_setup(
             lambert["lad"], lambert["latin1"], lambert["latin2"],
@@ -1516,6 +1598,20 @@ def encode_grib2_message(
                 _s32be(int(round(float(rotated["south_pole_lat"]) * 1e6)))
                 + _s32be(int(round(float(rotated["south_pole_lon"]) * 1e6)))
                 + _s32be(int(round(float(rotated.get("angle", 0.0)) * 1e6)))
+            )
+        if stretched is not None:
+            # Template 3.2 (stretched) appends the pole of stretching
+            # (µdeg signed-magnitude) + the stretching factor ×10^6;
+            # template 3.3 (stretched AND rotated) appends it AFTER the
+            # rotation block — the grid axes are coordinates in the
+            # rotated-and-stretched system.
+            tmpl_num = 3 if rotated is not None else 2
+            tmpl_extra += (
+                _s32be(int(round(float(stretched["pole_lat"]) * 1e6)))
+                + _s32be(int(round(float(stretched["pole_lon"]) * 1e6)))
+                + struct.pack(
+                    ">I", int(round(float(stretched["factor"]) * 1e6))
+                )
             )
         s3 = section(
             3,
@@ -2016,7 +2112,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s3 = s[3]
     (tmpl_no,) = struct.unpack_from(">H", s3, 12)
-    if tmpl_no not in (0, 1, 10, 20, 30, 40, 50):
+    if tmpl_no not in (0, 1, 2, 3, 10, 20, 30, 40, 50):
         raise ValueError(f"unsupported grid definition template {tmpl_no}")
     spectral_truncation: int | None = None
     if tmpl_no == 50:
@@ -2270,17 +2366,21 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
                 dlat = 0
             else:
                 (dlat,) = struct.unpack_from(">I", g, 53)
-            if tmpl_no == 1:
-                # Template 3.1 (ROTATED lat/lon — COSMO/HIRLAM): the 3.0
-                # body's axes are coordinates IN THE ROTATED SYSTEM; the
-                # southern pole of projection + angle of rotation follow at
-                # octets 73-84.  True per-cell coordinates come from the
-                # lazy unrotation (rotated_unrotate); the affine fields stay
+            if tmpl_no in (1, 3):
+                # Templates 3.1/3.3 (ROTATED lat/lon — COSMO/HIRLAM;
+                # 3.3 adds stretching): the 3.0 body's axes are
+                # coordinates IN THE ROTATED SYSTEM; the southern pole
+                # of projection + angle of rotation follow at octets
+                # 73-84.  True per-cell coordinates come from the lazy
+                # unrotation (rotated_unrotate); the affine fields stay
                 # the ROTATED axes — consumers must not read them as
-                # geography, which is why the landing source treats 3.1
-                # like the projected family (cell arrays, affine NULL).
+                # geography, which is why the landing source treats
+                # these like the projected family (cell arrays, affine
+                # NULL).
                 if len(g) < 70:
-                    raise ValueError("truncated grid definition template 3.1")
+                    raise ValueError(
+                        f"truncated grid definition template 3.{tmpl_no}"
+                    )
                 lambert_params = {
                     "kind": "rotated",
                     "sp_lat": _rs32be(g, 58) / 1e6,
@@ -2291,6 +2391,38 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
                     raise ValueError(
                         "rotated-grid southern pole latitude out of range"
                     )
+            if tmpl_no in (2, 3):
+                # Templates 3.2/3.3 (STRETCHED lat/lon — the ARPEGE/
+                # ALADIN Schmidt geometry): the pole of stretching
+                # (µdeg) + the stretching factor ×10^6 follow the 3.0
+                # body (3.2) or the rotation block (3.3).  The axes are
+                # coordinates in the stretched (and rotated, for 3.3)
+                # system; true per-cell coordinates come from the lazy
+                # Schmidt unstretch (then unrotation, for 3.3).
+                off = 70 if tmpl_no == 3 else 58
+                if len(g) < off + 12:
+                    raise ValueError(
+                        f"truncated grid definition template 3.{tmpl_no}"
+                    )
+                (raw_c,) = struct.unpack_from(">I", g, off + 8)
+                if raw_c in (0, 0xFFFFFFFF):
+                    raise ValueError(
+                        "stretching factor missing or zero"
+                    )
+                st = {
+                    "st_lat": _rs32be(g, off) / 1e6,
+                    "st_lon": _rs32be(g, off + 4) / 1e6,
+                    "st_c": raw_c / 1e6,
+                }
+                if not -90.0 <= st["st_lat"] <= 90.0:
+                    raise ValueError(
+                        "pole-of-stretching latitude out of range"
+                    )
+                if tmpl_no == 2:
+                    lambert_params = {"kind": "stretched", **st}
+                else:
+                    lambert_params["kind"] = "stretched_rotated"
+                    lambert_params.update(st)
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)

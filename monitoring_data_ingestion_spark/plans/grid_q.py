@@ -6110,3 +6110,223 @@ def grid_grib_spectral_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "record_number")
     )
+
+
+def _unstretch_trig(rlat, rlon, st_lat, st_lon, c):
+    """Stretched → true coordinates by the DIRECT great-circle
+    formulation: colatitude about the pole of stretching from the
+    spherical law of cosines, the Schmidt map as the tan-half-
+    colatitude radial scaling tan(χ_t/2) = tan(χ'/2)/c, the bearing
+    from the pole (unchanged by the map), and the destination-point
+    formula — the oracle-side SECOND formulation of
+    grib2.schmidt_unstretch's rotate/sin-form/rotate-back composition,
+    like _unrotate_trig for the rotation family."""
+    import math
+
+    p1, l1 = math.radians(st_lat), math.radians(st_lon)
+    p2, l2 = math.radians(rlat), math.radians(rlon)
+    cosd = math.sin(p1) * math.sin(p2) + math.cos(p1) * math.cos(p2) * math.cos(
+        l2 - l1
+    )
+    chi = math.acos(max(-1.0, min(1.0, cosd)))
+    chi_t = 2.0 * math.atan(math.tan(chi / 2.0) / c)
+    brg = math.atan2(
+        math.sin(l2 - l1) * math.cos(p2),
+        math.cos(p1) * math.sin(p2)
+        - math.sin(p1) * math.cos(p2) * math.cos(l2 - l1),
+    )
+    lat_t = math.asin(
+        math.sin(p1) * math.cos(chi_t)
+        + math.cos(p1) * math.sin(chi_t) * math.cos(brg)
+    )
+    lon_t = l1 + math.atan2(
+        math.sin(brg) * math.sin(chi_t) * math.cos(p1),
+        math.cos(chi_t) - math.sin(p1) * math.sin(lat_t),
+    )
+    return math.degrees(lat_t), (math.degrees(lon_t) + 180.0) % 360.0 - 180.0
+
+
+def _stretched_params(d: int) -> dict:
+    return dict(
+        pole_lat=30.0 + d % 30,
+        pole_lon=float((d % 50) - 25),
+        factor=1.0 + (d % 30) / 10.0,  # includes the c = 1 identity
+    )
+
+
+def _stretched_corner_values_sql() -> str:
+    """(doc_id, grid_tmpl, anchor/far-corner true lat/lon in µdeg)
+    from the direct great-circle formulation (composed with the
+    direct-trig unrotation for template 3.3)."""
+    rows = []
+    for d in range(0, 500):
+        if d % 37 != 9:
+            continue
+        ni, nj = 6 + d % 3, 4 + d % 2
+        sp = _stretched_params(d)
+        rp = _rotated_params(d)
+        la1, lo1 = 8.0 + d % 6, -(10.0 + d % 9)
+        for tmpl in (2, 3):
+            a = _unstretch_trig(
+                la1, lo1, sp["pole_lat"], sp["pole_lon"], sp["factor"]
+            )
+            k = _unstretch_trig(
+                la1 - (nj - 1) * 0.5, lo1 + (ni - 1) * 0.5,
+                sp["pole_lat"], sp["pole_lon"], sp["factor"],
+            )
+            if tmpl == 3:
+                a = _unrotate_trig(
+                    a[0], a[1],
+                    rp["south_pole_lat"], rp["south_pole_lon"], rp["angle"],
+                )
+                k = _unrotate_trig(
+                    k[0], k[1],
+                    rp["south_pole_lat"], rp["south_pole_lon"], rp["angle"],
+                )
+            rows.append(
+                f"({d}, {tmpl}, {int(round(a[0] * 1e6))}, "
+                f"{int(round(a[1] * 1e6))}, {int(round(k[0] * 1e6))}, "
+                f"{int(round(k[1] * 1e6))})"
+            )
+    return ",\n       ".join(rows)
+
+
+@query(
+    "grid_grib2_stretched_decode",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 3 AS ni,
+         4 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 37 = 9 AND doc_id < 500
+),
+corner(doc_id, grid_tmpl, a_lat_udeg, a_lon_udeg, c_lat_udeg, c_lon_udeg) AS (
+  VALUES {_stretched_corner_values_sql()}
+),
+cells AS (
+  SELECT doc_id, ni, nj, t.t AS grid_tmpl,
+         80 + ((doc_id * 3 + t.t * 13 + i.i * 11 + j.j * 2) % 50) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       (SELECT unnest([2, 3]) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT c.doc_id,
+       CAST(c.grid_tmpl AS INTEGER) AS grid_tmpl,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(SUM(c.v * c.pos) AS BIGINT) AS wsum,
+       CAST(MIN(k.a_lat_udeg) AS BIGINT) AS lat0_udeg,
+       CAST(MIN(k.a_lon_udeg) AS BIGINT) AS lon0_udeg,
+       CAST(MIN(k.c_lat_udeg) AS BIGINT) AS corner_lat_udeg,
+       CAST(MIN(k.c_lon_udeg) AS BIGINT) AS corner_lon_udeg
+FROM cells c
+JOIN corner k ON k.doc_id = c.doc_id AND k.grid_tmpl = c.grid_tmpl
+GROUP BY c.doc_id, c.grid_tmpl
+ORDER BY c.doc_id, c.grid_tmpl
+""",
+)
+def grid_grib2_stretched_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 STRETCHED lat/lon decode (grid templates 3.2 and 3.3 —
+    the ARPEGE/ALADIN Schmidt geometry, completing the lat/lon family
+    3.0/3.1/3.2/3.3): the 3.0 body's axes are coordinates in the
+    stretched (and, for 3.3, rotated) system; the pole of stretching
+    and the ×10^6 factor follow the body (3.2) or the rotation block
+    (3.3).  Per document one 3.2 and one 3.3 record on per-document
+    stretching poles and factors (including the c = 1 identity), half
+    stored south-first; the engine recovers per-cell TRUE coordinates
+    through the vectorized Schmidt unstretch
+    (grid/grib2.py::schmidt_unstretch — rotate the pole of stretching
+    to the north pole, apply the sin-form radial map, rotate back),
+    composed with the shared unrotation for 3.3.
+
+    Witness independence: the oracle embeds anchor and far-corner true
+    coordinates from the DIRECT great-circle formulation (spherical
+    law of cosines → tan-half-colatitude scaling → destination-point
+    formula, composed with the direct arcsin/atan2 unrotation for
+    3.3) in integer microdegrees; ``wsum`` keeps the payload
+    raster-order sensitive, so a row flip, a mis-directed factor
+    (concentrate-vs-dilute) or a wrong composition order cannot
+    cancel.
+
+    Scale: codec-query posture — bytes executor-side, statistic rows
+    shuffle, O(cells) vectorized trig in the Arrow stage.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import decode_grib2, encode_grib2_message, iter_messages2
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 37 == 9) & (F.col("doc_id") < 500))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 6 + d % 3, 4 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                msgs = []
+                for tmpl in (2, 3):
+                    v = (
+                        80 + ((d * 3 + tmpl * 13 + i * 11 + j * 2) % 50)
+                    ).astype(np.float64)
+                    kw = dict(stretched=_stretched_params(d))
+                    if tmpl == 3:
+                        kw["rotated"] = _rotated_params(d)
+                    msgs.append(
+                        encode_grib2_message(
+                            v,
+                            lat_first_udeg=(8 + d % 6) * 1_000_000,
+                            lon_first_udeg=-(10 + d % 9) * 1_000_000,
+                            dlat_udeg=500_000,
+                            dlon_udeg=500_000,
+                            scanning_mode=0x40 if d % 2 else 0x00,
+                            reference_value=80.0,
+                            nbits=8,
+                            **kw,
+                        )
+                    )
+                rows.append({"doc_id": d, "grib": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for msg in iter_messages2(bytes(buf)):
+                    rec = decode_grib2(msg)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "grid_tmpl": rec.grid_template,
+                            "values": rec.values.reshape(-1).tolist(),
+                            "lat0": float(rec.cell_lats_deg[0, 0]),
+                            "lon0": float(rec.cell_lons_deg[0, 0]),
+                            "corner_lat": float(rec.cell_lats_deg[-1, -1]),
+                            "corner_lon": float(rec.cell_lons_deg[-1, -1]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, grid_tmpl int, values array<double>, "
+            "lat0 double, lon0 double, corner_lat double, corner_lon double"
+        ),
+    )
+    return _projected_stats(decoded, ("doc_id", "grid_tmpl")).orderBy(
+        "doc_id", "grid_tmpl"
+    )

@@ -169,11 +169,12 @@ def _grib2_field_header(s: dict) -> dict:
     # octets through a different template's layout would emit garbage
     # metadata exactly where the full decode stops loudly.
     (tmpl3,) = struct.unpack_from(">H", s3, 12)
-    if tmpl3 not in (0, 1, 10, 20, 30, 40, 50):
+    if tmpl3 not in (0, 1, 2, 3, 10, 20, 30, 40, 50):
         # 3.40 (Gaussian), 3.30 (Lambert), 3.20 (polar stereo), 3.10
-        # (Mercator) and 3.1 (rotated) share 3.0's Nx/Ny octets; 3.50
-        # (spherical harmonics) has no grid at all; anything else has
-        # a different layout and would yield garbage grid dimensions.
+        # (Mercator) and 3.1/3.2/3.3 (rotated/stretched) share 3.0's
+        # Nx/Ny octets; 3.50 (spherical harmonics) has no grid at all;
+        # anything else has a different layout and would yield garbage
+        # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15):
@@ -534,11 +535,12 @@ def _decode_batches(
                         interval_end = pd.Timestamp(
                             year=ey, month=em, day=ed, hour=eh, minute=emi
                         )
-                    if rec.grid_template in (1, 10, 20, 30):
+                    if rec.grid_template in (1, 2, 3, 10, 20, 30):
                         # Projected grids (Mercator / polar stereo /
                         # Lambert) have no affine lat/lon axes, and a
-                        # ROTATED lat/lon grid's (3.1) affine axes are
-                        # coordinates in the ROTATED system — reading
+                        # ROTATED and/or STRETCHED lat/lon grid's
+                        # (3.1/3.2/3.3) affine axes are coordinates in
+                        # the ROTATED/STRETCHED system — reading
                         # either as geography would be silent
                         # corruption, so the mdeg georef stays NULL
                         # (visible, never fabricated) and the

@@ -2639,3 +2639,115 @@ def test_spatio_statistical_pdt_roundtrip_and_guards():
     struct.pack_into(">Q", trimmed, 8, len(trimmed))
     with pytest.raises(ValueError, match="truncated product definition"):
         decode_grib2(bytes(trimmed))
+
+
+def test_stretched_latlon_grids_decode_contract():
+    """Grid templates 3.2 (STRETCHED lat/lon) and 3.3 (stretched AND
+    rotated) — the ARPEGE/ALADIN Schmidt geometry: the 3.0 body's axes
+    are coordinates in the stretched (and rotated) system; the pole of
+    stretching + factor ×10^6 follow the body (3.2) or the rotation
+    block (3.3).  Pinned: c = 1 is the identity, the pole-frame map is
+    the tan-half-colatitude radial scaling (independent form), a
+    factor > 1 CONCENTRATES true resolution near the pole of
+    stretching, the 3.3 composition order (unstretch in the rotated
+    frame, then unrotate), south-first normalization, and loud stops
+    for zero/missing factors and truncated templates."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        rotated_unrotate,
+        schmidt_unstretch,
+    )
+
+    # identity and tan-form at the north pole of stretching
+    lat, lon = schmidt_unstretch(
+        np.array([12.5]), np.array([34.0]), 46.5, 2.6, 1.0
+    )
+    assert abs(lat[0] - 12.5) < 1e-12 and abs(lon[0] - 34.0) < 1e-12
+    c = 2.4
+    rl = np.array([0.0, 30.0, 60.0, -45.0])
+    lat, lon = schmidt_unstretch(rl, np.full(4, 10.0), 90.0, 0.0, c)
+    chi_t = 2.0 * np.arctan(np.tan(np.radians(90.0 - rl) / 2.0) / c)
+    assert np.allclose(lat, 90.0 - np.degrees(chi_t), atol=1e-12)
+    assert np.allclose(lon, 10.0, atol=1e-12)
+    # concentration direction: equal stretched steps near the pole map
+    # to SMALLER true steps (c > 1 refines around the pole)
+    a, _ = schmidt_unstretch(np.array([80.0, 70.0]), np.zeros(2), 90.0, 0.0, c)
+    assert (a[0] - a[1]) < 10.0
+    # the pole of stretching is a fixed point for any factor
+    lat, lon = schmidt_unstretch(np.array([46.5]), np.array([2.6]), 46.5, 2.6, 3.1)
+    assert abs(lat[0] - 46.5) < 1e-9 and abs(lon[0] - 2.6) < 1e-9
+    # encode → decode, template 3.2: anchor cell through the transform
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    enc = dict(
+        reference_value=0.0, nbits=8,
+        lat_first_udeg=10_000_000, lon_first_udeg=-5_000_000,
+        dlat_udeg=500_000, dlon_udeg=500_000,
+    )
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, stretched=dict(pole_lat=46.5, pole_lon=2.6, factor=2.4), **enc
+        )
+    )
+    assert rec.grid_template == 2
+    assert np.array_equal(rec.values, v)
+    a_lat, a_lon = schmidt_unstretch(
+        np.array([10.0]), np.array([-5.0]), 46.5, 2.6, 2.4
+    )
+    assert abs(rec.cell_lats_deg[0, 0] - a_lat[0]) < 1e-12
+    assert abs(rec.cell_lons_deg[0, 0] - a_lon[0]) < 1e-12
+    # template 3.3: unstretch in the rotated frame, THEN unrotate
+    rec3 = decode_grib2(
+        encode_grib2_message(
+            v,
+            rotated=dict(south_pole_lat=-30.0, south_pole_lon=10.0, angle=2.0),
+            stretched=dict(pole_lat=20.0, pole_lon=5.0, factor=1.7),
+            **enc,
+        )
+    )
+    assert rec3.grid_template == 3
+    s_lat, s_lon = schmidt_unstretch(
+        np.array([10.0]), np.array([-5.0]), 20.0, 5.0, 1.7
+    )
+    r_lat, r_lon = rotated_unrotate(s_lat, s_lon, -30.0, 10.0, 2.0)
+    assert abs(rec3.cell_lats_deg[0, 0] - r_lat[0]) < 1e-12
+    assert abs(rec3.cell_lons_deg[0, 0] - r_lon[0]) < 1e-12
+    # south-first storage normalizes to the same grid + cells
+    rec3b = decode_grib2(
+        encode_grib2_message(
+            v, scanning_mode=0x40,
+            rotated=dict(south_pole_lat=-30.0, south_pole_lon=10.0, angle=2.0),
+            stretched=dict(pole_lat=20.0, pole_lon=5.0, factor=1.7),
+            **enc,
+        )
+    )
+    assert np.array_equal(rec3b.values, rec3.values)
+    assert np.allclose(rec3b.cell_lats_deg, rec3.cell_lats_deg, atol=1e-12)
+    # loud stops: bad factors at encode; zero factor and truncation at decode
+    with pytest.raises(ValueError, match="stretching factor"):
+        encode_grib2_message(
+            v, stretched=dict(pole_lat=0.0, pole_lon=0.0, factor=0.0), **enc
+        )
+    with pytest.raises(ValueError, match="latitude out of range"):
+        encode_grib2_message(
+            v, stretched=dict(pole_lat=91.0, pole_lon=0.0, factor=2.0), **enc
+        )
+    msg = bytearray(
+        encode_grib2_message(
+            v, stretched=dict(pole_lat=46.5, pole_lon=2.6, factor=2.4), **enc
+        )
+    )
+    pos = 16
+    while msg[pos + 4] != 3:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s3_len = int.from_bytes(msg[pos : pos + 4], "big")
+    # zero the factor octets (last 4 of the template)
+    z = bytearray(msg)
+    z[pos + s3_len - 4 : pos + s3_len] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="factor missing or zero"):
+        decode_grib2(bytes(z))
+    cut = bytearray(msg[: pos + s3_len - 6] + msg[pos + s3_len :])
+    struct.pack_into(">I", cut, pos, s3_len - 6)
+    struct.pack_into(">Q", cut, 8, len(cut))
+    with pytest.raises(ValueError, match="truncated grid definition"):
+        decode_grib2(bytes(cut))

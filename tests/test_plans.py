@@ -148,6 +148,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_mercator_decode",
         "grid_grib2_polar_decode",
         "grid_grib2_rotated_decode",
+        "grid_grib2_stretched_decode",
         "grid_grib1_forecast_lead_scan",
         "grid_grib1_gaussian_scan",
         "grid_grib1_rotated_scan",
