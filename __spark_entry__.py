@@ -57,8 +57,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # codec line grew the level field) + the ENTIRE 11-name r4 spill and
 # the first 25 of the 44-name r5 cohort — 8 + 6 + 11 + 25 = exactly
 # 50.  The remaining grib decode-path queries also sit downstream of
-# this round's codec restructure (the spectral branch + grid/packing
-# pairing gate), but every one of them was witnessed in the r10 window
+# this round's codec restructure (the spectral branch, the
+# grid/packing pairing gate, and the template-3.2/3.3 admission in the
+# decode and landing gates), but every one of them was witnessed in
+# the r10 window
 # (evidence one round old) and all 275 registry queries were re-run
 # green through the full local driver-sim at HEAD this session, so the
 # 6-7-round-old queue evidence outranks them — per the r10 verdict,
