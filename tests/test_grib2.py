@@ -2751,3 +2751,31 @@ def test_stretched_latlon_grids_decode_contract():
     struct.pack_into(">Q", cut, 8, len(cut))
     with pytest.raises(ValueError, match="truncated grid definition"):
         decode_grib2(bytes(cut))
+
+
+@given(
+    lat=st.floats(-84.0, 84.0),
+    lon=st.floats(-179.0, 179.0),
+    sp_lat=st.floats(-80.0, 80.0),
+    sp_lon=st.floats(-179.0, 179.0),
+    c=st.floats(1.05, 6.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_schmidt_unstretch_inverse_property(lat, lon, sp_lat, sp_lon, c):
+    """PROPERTY: the Schmidt map about a pole with factor c is exactly
+    inverted by the map about the SAME pole with factor 1/c (radial
+    scalings r/c and r·c compose to the identity) — so the decode-side
+    unstretch is a true bijection of the sphere, not a lossy
+    approximation."""
+    from monitoring_data_ingestion_spark.grid.grib2 import schmidt_unstretch
+
+    la, lo = schmidt_unstretch(
+        np.array([lat]), np.array([lon]), sp_lat, sp_lon, c
+    )
+    bla, blo = schmidt_unstretch(la, lo, sp_lat, sp_lon, 1.0 / c)
+    assert abs(bla[0] - lat) < 1e-7
+    dlon = (blo[0] - lon + 180.0) % 360.0 - 180.0
+    # longitude is ill-conditioned within ~a degree of the poles of the
+    # transform composition; latitude above already pins those cases
+    if abs(lat) < 83.0 and abs(bla[0]) < 89.0:
+        assert abs(dlon) * max(np.cos(np.radians(lat)), 1e-6) < 1e-6
