@@ -1019,9 +1019,13 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     nbits = bds[10]
     if spectral_truncation is not None:
         # Spectral simple packing: the (0,0) real coefficient rides
-        # UNPACKED as an IBM-32 float at octets 12-15 (raw, unscaled —
-        # same contract as GRIB2 template 5.50); the remaining
-        # 2·pairs − 1 values of the mode-1 sequence simple-pack after.
+        # UNPACKED as an IBM-32 float at octets 12-15 (raw, UNSCALED —
+        # wgrib's BDS_unpack emits the harmonic reference into data[0]
+        # with no 10^-D factor while ref/scale both carry it, and
+        # GRIB2 template 5.50 stores its unpacked value raw the same
+        # way; pinned by test_spectral_decimal_scale_leaves_00_
+        # coefficient_raw); the remaining 2·pairs − 1 values of the
+        # mode-1 sequence simple-pack in the Y·10^D domain after.
         if bds_len < 15:
             raise ValueError("truncated spherical-harmonics BDS")
         n_present = 2 * nj - 1

@@ -344,15 +344,19 @@ def schmidt_unstretch(lats_deg, lons_deg, sp_lat_deg, sp_lon_deg, factor):
     system, so a factor c > 1 CONCENTRATES true resolution near the
     pole of stretching (the ARPEGE direction: a uniform computational
     grid is fine over the pole region, coarse at the antipode).  In
-    the pole frame that is the closed form
-        sin φ_true = ((c²−1) + (c²+1)·sin φ') /
-                     ((c²+1) + (c²−1)·sin φ')
+    the pole frame that is the half-angle colatitude form
+        tan(χ_true/2) = tan(χ'/2) / c
+    (equivalently the closed sin form sin φ_t =
+    ((c²−1)+(c²+1)·sin φ')/((c²+1)+(c²−1)·sin φ'), which is
+    ill-conditioned within ~1e-4° of the pole — see the inline note)
     with longitudes unchanged; for a general pole the engine rotates
-    the pole of stretching to the north pole, applies the 1-D latitude
-    map, and rotates back — c = 1 is the identity everywhere.  The
-    query oracle restates the same map through the tan-half-colatitude
-    stereographic form (tan(χ_true/2) = tan(χ'/2)/c) — formulation
-    independence, like the rotation/Lambert pairs."""
+    the pole of stretching to the north pole by 3-D matrix
+    composition, applies the 1-D colatitude map, and rotates back —
+    c = 1 is the identity everywhere.  The query oracle reaches the
+    same map through independent machinery — spherical law of cosines
+    for the colatitude, bearing-from-pole, destination-point formula
+    (plans/grid_q.py::_unstretch_trig) — formulation independence in
+    the composition, like the rotation/Lambert pairs."""
     phi = np.radians(np.asarray(lats_deg, dtype=np.float64))
     lam = np.radians(np.asarray(lons_deg, dtype=np.float64))
     c = float(factor)
@@ -369,22 +373,49 @@ def schmidt_unstretch(lats_deg, lons_deg, sp_lat_deg, sp_lon_deg, factor):
     y1 = -x * math.sin(lam_s) + y * math.cos(lam_s)
     x2 = x1 * math.cos(th) - z * math.sin(th)
     z2 = x1 * math.sin(th) + z * math.cos(th)
-    # Schmidt latitude map in the pole frame (sin form); x/y scale to
-    # keep the point on the unit sphere at its (unchanged) longitude
-    c2 = c * c
-    s_new = ((c2 - 1.0) + (c2 + 1.0) * z2) / ((c2 + 1.0) + (c2 - 1.0) * z2)
-    s_new = np.clip(s_new, -1.0, 1.0)
+    # Schmidt latitude map in the pole frame via the HALF-ANGLE
+    # colatitude form: χ = 2·atan2(hypot, 1+z) (exact on the unit
+    # sphere), tan(χ_t/2) = tan(χ/2)/c, then z = cos(χ_t) and the
+    # in-plane rescale sin(χ_t)/sin(χ) → 1/c as χ → 0 — perfectly
+    # conditioned at the pole of stretching.  The closed sin form
+    # (sin φ_t = ((c²−1)+(c²+1)s)/((c²+1)+(c²−1)s)) is the SAME map,
+    # but reconstructing the in-plane components from sqrt(1−s²)
+    # cancels catastrophically within ~1e-4° of the pole (the r11
+    # property-test failure); the half-angle form round-trips to
+    # <1e-12° everywhere including at the pole itself.
+    # tan(χ/2) by the branch that never cancels: sinχ/(1+cosχ) on the
+    # pole hemisphere, (1−cosχ)/sinχ on the antipode hemisphere; then
+    # sin/cos of χ_t reconstructed RATIONALLY from t' = tan(χ/2)/c (or
+    # its reciprocal u, so u ∈ [0,1]) — no trig of near-π arguments.
     horiz = np.hypot(x2, y1)
-    scale = np.where(
-        horiz > 0.0, np.sqrt(np.maximum(0.0, 1.0 - s_new**2)) / np.where(horiz > 0.0, horiz, 1.0), 0.0
+    horiz_safe = np.where(horiz > 0.0, horiz, 1.0)
+    north = z2 >= 0.0
+    t = np.where(
+        north,
+        horiz / np.where(north, 1.0 + z2, 1.0),
+        (1.0 - z2) / horiz_safe,
     )
-    x2, y1, z2 = x2 * scale, y1 * scale, s_new
+    # exact antipode of the pole of stretching (horiz = 0, z = −1):
+    # χ = π, a fixed point of the map
+    t = np.where(~north & (horiz == 0.0), np.inf, t)
+    t_new = t / c
+    big = t_new > 1.0
+    u = np.where(big, 1.0 / np.where(big, t_new, 1.0), t_new)
+    den = 1.0 + u * u
+    sin_t = 2.0 * u / den
+    cos_t = np.where(big, -1.0, 1.0) * (1.0 - u * u) / den
+    scale = np.where(horiz > 0.0, sin_t / horiz_safe, 0.0)
+    x2, y1, z2 = x2 * scale, y1 * scale, cos_t
     # rotate back: Rz(λ_s) · Ry(−(90°−φ_s))
     x3 = x2 * math.cos(th) + z2 * math.sin(th)
     z3 = -x2 * math.sin(th) + z2 * math.cos(th)
     xr = x3 * math.cos(lam_s) - y1 * math.sin(lam_s)
     yr = x3 * math.sin(lam_s) + y1 * math.cos(lam_s)
-    lat = np.degrees(np.arcsin(np.clip(z3, -1.0, 1.0)))
+    # arctan2(z, in-plane) rather than arcsin(z): near the geographic
+    # poles z saturates at 1 (cos of a ~1e-8 rad colatitude rounds to
+    # 1.0) while the in-plane components still carry the colatitude at
+    # full relative precision
+    lat = np.degrees(np.arctan2(z3, np.hypot(xr, yr)))
     lon = np.degrees(np.arctan2(yr, xr))
     lon = (lon + 180.0) % 360.0 - 180.0
     return lat, lon
@@ -429,6 +460,26 @@ def spectral_synthesis(coeffs, truncation: int, nj: int, ni: int):
         )
     if ni < 1 or nj < 2:
         raise ValueError("synthesis grid needs nj >= 2 parallels, ni >= 1")
+    # A REAL field has Im(C_n^0) ≡ 0.  The encoder validates that
+    # exactly; a packed DECODE can carry ~quantization-sized residue
+    # (Im encodes as (0−R)·2⁻ᴱ rounded), so the synthesis drops the
+    # imaginary part — but a MEANINGFULLY nonzero Im(C_n^0) means a
+    # mis-produced (or mis-parsed) file, and dropping it silently
+    # would synthesize a subtly different field.  Warn loudly, scaled
+    # against the spectrum magnitude so packing residue stays quiet.
+    im0 = float(np.abs(c[: t + 1].imag).max(initial=0.0))
+    ref = float(np.abs(c).max(initial=0.0))
+    if im0 > 1e-6 * max(ref, np.finfo(np.float64).tiny):
+        import warnings
+
+        warnings.warn(
+            f"spectral m=0 coefficients carry nonzero imaginary parts "
+            f"(max |Im| {im0:.3e} vs spectrum max {ref:.3e}); a real "
+            "field has Im(C_n^0) = 0 — synthesis uses the real parts "
+            "only, so the producer file is suspect",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     lats = gaussian_latitudes(nj)
     mu = np.sin(np.radians(lats))
     p = spectral_legendre(t, mu)  # (m, n, nj)
@@ -1916,8 +1967,12 @@ def surface_level(value: int | None, scale: int | None) -> int | None:
     """Fixed surface (scaled value, scale factor) → integer level:
     level = value / 10^scale. NULL propagates; a non-integral level
     raises loudly rather than rounding.  ONE helper shared by the
-    landing inventory/decode and the codec-level inventory line, so
-    the surfaces can never disagree on the same record's level."""
+    landing DECODE and (through the lenient wrappers below) every
+    inventory surface, so the surfaces can never disagree on the same
+    record's level.  The loud stop belongs to the decode path only —
+    there a rounded level mis-labels landed values; the inventory
+    paths LIST fractional-level records (sigma 0.995, a 0.1 m soil
+    depth) like wgrib2 lists every record of a mixed archive."""
     if value is None:
         return None
     if not scale:  # None or 0
@@ -1930,6 +1985,34 @@ def surface_level(value: int | None, scale: int | None) -> int | None:
             )
         return q
     return int(value) * 10 ** (-scale)
+
+
+def surface_level_lenient(value: int | None, scale: int | None) -> int | None:
+    """Inventory-side level for the integer schema column: the whole
+    level when it is one, NULL when the surface is fractional (the
+    same lenient-NULL convention as non-hour-convertible leads) —
+    a one-record sigma level must not abort a whole archive's scan."""
+    try:
+        return surface_level(value, scale)
+    except ValueError:
+        return None
+
+
+def surface_level_text(value: int | None, scale: int | None) -> str:
+    """Inventory-LINE rendering of a fixed surface: ``-`` when coded
+    missing, the bare integer when whole (so integral archives render
+    byte-identically to before), otherwise the EXACT decimal
+    (995·10⁻³ → ``0.995``, trailing zeros trimmed) — listed AND
+    regex-selectable, the way wgrib2 prints "0.995 sigma level"."""
+    if value is None:
+        return "-"
+    if not scale:  # None or 0
+        return str(int(value))
+    if scale < 0:
+        return str(int(value) * 10 ** (-scale))
+    digits = str(int(value)).rjust(scale + 1, "0")
+    text = f"{digits[:-scale]}.{digits[-scale:]}".rstrip("0").rstrip(".")
+    return text
 
 
 def parse_second_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
@@ -2807,9 +2890,12 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     (year,) = struct.unpack_from(">H", s1, 12)
     lt, sc, lv = parse_fixed_surface(s4)
     lt2, sc2, lv2 = parse_second_surface(s4)
-    lvs = "-" if lv is None else surface_level(lv, sc)
+    # lenient TEXT rendering: fractional surfaces (sigma 0.995) list
+    # as their exact decimal instead of aborting the inventory — the
+    # loud stop lives in the decode path (surface_level)
+    lvs = surface_level_text(lv, sc)
     if lv2 is not None:
-        lvs = f"{lvs}-{surface_level(lv2, sc2)}"
+        lvs = f"{lvs}-{surface_level_text(lv2, sc2)}"
     try:
         fh: int | str = _forecast_hours(s4[17], _rs32be(s4, 18))
     except ValueError:

@@ -161,6 +161,8 @@ def _grib2_field_header(s: dict) -> dict:
         _rs32be,
         parse_fixed_surface,
         parse_second_surface,
+        surface_level_lenient,
+        surface_level_text,
     )
 
     s1, s3, s4 = s[1], s[3], s[4]
@@ -221,9 +223,18 @@ def _grib2_field_header(s: dict) -> dict:
         "category": s4[9],
         "number": s4[10],
         "level_type": level_type,
-        "level": _apply_surface_scale(level_value, scale),
+        # LENIENT on the inventory surface: a fractional level (sigma
+        # 0.995, scaled soil depth) fills the integer column with NULL
+        # — same convention as non-hour leads — and carries its exact
+        # decimal in level_text for the inventory line; the full
+        # decode keeps the loud surface_level stop.
+        "level": surface_level_lenient(level_value, scale),
+        "level_text": surface_level_text(level_value, scale),
         "level2_type": l2_type,
-        "level2": _apply_surface_scale(l2_value, l2_scale),
+        "level2": surface_level_lenient(l2_value, l2_scale),
+        "level2_text": (
+            None if l2_value is None else surface_level_text(l2_value, l2_scale)
+        ),
         "forecast_hours": forecast_hours,
         "year": year,
         "month": s1[14],
@@ -305,8 +316,13 @@ def inventory_line(edition: int, msg: bytes, s: dict | None = None) -> str:
         else f"c{h['category']},n{h['number']}"
     )
     lt = "-" if h["level_type"] is None else h["level_type"]
-    lv = "-" if h["level"] is None else h["level"]
-    if h["level2"] is not None:
+    # GRIB2 headers carry an exact-decimal level_text (fractional
+    # surfaces list as e.g. ``l104/0.995``); GRIB1 levels are raw PDS
+    # integers, rendered directly.
+    lv = h.get("level_text") or ("-" if h["level"] is None else str(h["level"]))
+    if h.get("level2_text") is not None:
+        lv = f"{lv}-{h['level2_text']}"
+    elif h["level2"] is not None:
         lv = f"{lv}-{h['level2']}"
     # A non-hour-convertible lead (calendar units, reinterpreting GRIB1
     # TRIs) inventories as ``f-`` — same sentinel convention as the

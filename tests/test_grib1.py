@@ -620,6 +620,47 @@ def test_spectral_type50_roundtrip_and_guards():
         decode_grib1(bytes(bad))
 
 
+def test_spectral_decimal_scale_leaves_00_coefficient_raw():
+    """D-scaling contract of GRIB1 spectral simple packing, pinned to
+    wgrib's public BDS handling: the PACKED stream lives in the
+    Y·10^D = R + X·2^E domain (reference and increments divide by
+    10^-D on decode), but the UNPACKED (0,0) coefficient at BDS octets
+    12-15 is the TRUE value — wgrib's BDS_unpack emits the harmonic
+    reference (ibm2flt of octets 12-15) directly into data[0] with no
+    10^-D factor, while applying 10^-D to ref and scale for the rest.
+    A D != 0 spectral message must round-trip AND expose the raw
+    (0,0) bytes, so a producer file and this codec agree to the
+    power of ten."""
+    from monitoring_data_ingestion_spark.grid.grib1 import (
+        ibm32_decode,
+        ibm32_encode,
+    )
+
+    t = 4
+    npairs = (t + 1) * (t + 2) // 2
+    rng = np.random.default_rng(7)
+    c = (
+        rng.integers(-500, 500, npairs).astype(np.float64)
+        + 1j * rng.integers(-500, 500, npairs).astype(np.float64)
+    ) / 100.0  # exact hundredths: D = 2 scales them to whole integers
+    c[: t + 1] = c[: t + 1].real
+    c[0] = 7.25  # exactly representable in IBM-32
+    msg = encode_grib1_message(
+        c, spectral=dict(truncation=t), nbits=16, decimal_scale=2
+    )
+    rec = decode_grib1(msg)
+    assert rec.decimal_scale == 2
+    assert rec.spectral_coeffs[0] == 7.25
+    assert np.allclose(rec.spectral_coeffs, c, atol=1e-9)
+    # byte-level pin: BDS octets 12-15 hold the RAW IBM-32 (0,0) value
+    # (what wgrib's BDS_Harmonic_RefValue reads), NOT value·10^D
+    p_len = int.from_bytes(msg[8:11], "big")
+    g_len = int.from_bytes(msg[8 + p_len : 8 + p_len + 3], "big")
+    bds = msg[8 + p_len + g_len :]
+    assert bds[11:15] == ibm32_encode(7.25)
+    assert ibm32_decode(bds[11:15]) == 7.25
+
+
 def test_grib1_complex_spectral_is_a_documented_boundary():
     """The edition-1 COMPLEX spectral form (flag bits 0b1100 — a
     sub-spectrum pointer with per-producer layouts) stays a documented

@@ -2369,6 +2369,46 @@ def test_spectral_roundtrip_and_synthesis():
             pos += 1
 
 
+def test_spectral_synthesis_warns_on_nonzero_m0_imaginary():
+    """A real field has Im(C_n^0) ≡ 0; the encoder validates that, but
+    a PRODUCER file may carry meaningfully nonzero m=0 imaginary
+    parts, which synthesis silently drops (it uses .real).  The decode
+    side now warns loudly when |Im| is material against the spectrum —
+    while packed-decode quantization residue (orders of magnitude
+    below the 1e-6 relative gate) stays quiet, so round-trips through
+    the 5.50 codec are warning-free."""
+    import warnings
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2,
+        encode_grib2_message,
+        spectral_synthesis,
+    )
+
+    t = 4
+    npairs = (t + 1) * (t + 2) // 2
+    rng = np.random.default_rng(3)
+    c = (
+        rng.integers(-50, 50, npairs).astype(np.float64)
+        + 1j * rng.integers(-50, 50, npairs).astype(np.float64)
+    )
+    c[: t + 1] = c[: t + 1].real
+    # clean spectrum: no warning, and the packed round-trip is quiet too
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        clean, _ = spectral_synthesis(c, t, 8, 12)
+        rec = decode_grib2(
+            encode_grib2_message(c, spectral=dict(truncation=t), nbits=16)
+        )
+        spectral_synthesis(rec.spectral_coeffs, t, 8, 12)
+    # corrupt one m=0 imaginary part: warned, real parts still used
+    bad = c.copy()
+    bad[2] += 5.0j
+    with pytest.warns(RuntimeWarning, match="m=0 .* nonzero imaginary"):
+        vals, _ = spectral_synthesis(bad, t, 8, 12)
+    assert np.array_equal(vals, clean)
+
+
 def test_spectral_guards_and_pairing():
     """Loud stops: non-triangular truncations, foreign representation
     types/modes, grid-vs-packing template mismatches, bitmaps on

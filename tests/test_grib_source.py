@@ -325,6 +325,82 @@ def test_inventory_lenient_on_non_hour_leads(spark, tmp_path):
     assert [r["edition"] for r in rows] == [1, 1, 2]
 
 
+def test_inventory_lenient_on_fractional_levels(spark, tmp_path):
+    """A FRACTIONAL fixed surface (sigma level 0.995 = 995·10⁻³,
+    surface type 104) can't fill the integer ``level`` column, but
+    wgrib2 still lists the record ("0.995 sigma level") — so every
+    INVENTORY surface lists it: NULL in the int column (the
+    non-hour-lead convention) and the EXACT decimal in the line
+    (``l104/0.995``, regex-selectable), both in the landing scan's
+    unified line and the codec-level one.  Only the landing DECODE
+    keeps the loud stop — there a rounded level would mis-label every
+    landed value."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib_inventory,
+        inventory_line,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    enc = dict(reference_value=0.0, nbits=8)
+    frac = g2.encode_grib2_message(
+        v, level_type=104, level_scale=3, level_value=995, **enc
+    )
+    whole = g2.encode_grib2_message(
+        v, level_type=100, level_scale=0, level_value=500, **enc
+    )
+    # unified (landing) line and codec line agree on the rendering
+    assert ":l104/0.995:" in inventory_line(2, frac)
+    assert ":l104/0.995:" in g2.inventory_line(frac)
+    assert ":l100/500:" in inventory_line(2, whole)
+    # codec-level match LISTS and can select the fractional record
+    assert g2.match_records(frac + whole, r"l104/0\.995") == [frac]
+    # landing inventory scan: listed, int column NULL, scan not aborted
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "mixed.grib2"), "wb") as f:
+        f.write(whole + frac)
+    rows = (
+        grib_inventory(spark, landing).orderBy("record_number").collect()
+    )
+    assert [(r["level_type"], r["level"]) for r in rows] == [
+        (100, 500),
+        (104, None),
+    ]
+    # the landing DECODE keeps the loud stop on the fractional record…
+    with pytest.raises(Exception, match="not a whole level"):
+        grib1_records(spark, landing).collect()
+    # …and a header-side match that excludes it decodes the rest
+    ok = grib1_records(spark, landing, match=r":l100/500:").collect()
+    assert len(ok) == 1 and ok[0]["level"] == 500
+
+
+def test_surface_level_text_renderings():
+    """Exact-decimal inventory rendering of scaled fixed surfaces:
+    whole levels render as the bare integer (byte-identical to the
+    strict rendering), fractional ones as trimmed exact decimals,
+    coded-missing as ``-`` — never a float round-trip."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        surface_level_lenient,
+        surface_level_text,
+    )
+
+    assert surface_level_text(None, None) == "-"
+    assert surface_level_text(500, 0) == "500"
+    assert surface_level_text(500, None) == "500"
+    assert surface_level_text(995, 3) == "0.995"
+    assert surface_level_text(1050, 2) == "10.5"
+    assert surface_level_text(1000, 3) == "1"
+    assert surface_level_text(10, 1) == "1"
+    assert surface_level_text(5, -2) == "500"
+    assert surface_level_text(1, 6) == "0.000001"
+    assert surface_level_lenient(995, 3) is None
+    assert surface_level_lenient(1000, 3) == 1
+    assert surface_level_lenient(None, 3) is None
+
+
 def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
     """The match= regex runs over header-derived inventory lines BEFORE
     any value bit unpacks — wgrib2 -match pushed into the landing scan.
