@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 10 is 271/271
+# ``queries()``.  Cumulative driver coverage through round 11 is 279/279
 # green (zero failures ever), so the window's job is REGRESSION
 # DETECTION under a STANDING ROTATION SCHEDULE:
 #
@@ -29,112 +29,113 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #      filling the window to exactly 50; anything that doesn't fit is
 #      the explicit front of NEXT round's queue.
 #
-# Witness ages entering round 11 (from CORRECTNESS_r01-r10): 11 names
-# last witnessed r4 (oldest, the documented r10 spill), 44 r5, then
-# r6-r10 cohorts.  Round 11 takes the 8 new r11 queries (spherical-
-# harmonic records decoded from BOTH editions — GRIB1 GDS type 50 +
-# the BDS spectral flag, GRIB2 templates 3.50/5.50, plus the 5.51
-# COMPLEX spectral packing with its Laplacian weighting and unpacked
-# sub-spectrum and the landing scan's explicit opt-in synthesis
-# (synthesize_spectral=(nj, ni) → spectral records land as marked
-# Gaussian rasters through the unified cell explode, witnessed in
-# BOTH the batch scan and the streaming micro-batch drain, plus
-# STRETCHED lat/lon grids, templates 3.2/3.3 — the ARPEGE Schmidt
-# geometry, completing the lat/lon family — with dual-formulation
-# witnesses) — plus the
-# spectral→Gaussian synthesis witnessed against the independent
-# derivative-formulation Legendre path, the mixed-archive inventory
-# robustness contract — calendar/TRI-2 leads as NULL ``:f-`` lines and
-# spectral records listed with NULL dims instead of aborting the scan
-# — and wgrib2-style match ON THE LEVEL FIELD at the codec level) +
-# the 6 queries whose semantics or rendering changed in r11
-# (grid_grib2_rotated_decode / grid_grib1_rotated_scan: the unrotation
-# convention fix — true longitudes now measured from the coded
-# southern-pole longitude, the eccodes anchor; grid_grib_inventory_scan
-# / grid_grib1_inventory: lenient lead decoding + the spectral
-# header branch on the inventory path; grid_grib_match_lead_scan: the
-# unified line's new ``f-`` rendering; grid_grib2_match_decode: the
-# codec line grew the level field) + the ENTIRE 11-name r4 spill and
-# the first 25 of the 44-name r5 cohort — 8 + 6 + 11 + 25 = exactly
-# 50.  The remaining grib decode-path queries also sit downstream of
-# this round's codec restructure (the spectral branch, the
-# grid/packing pairing gate, and the template-3.2/3.3 admission in the
-# decode and landing gates), but every one of them was witnessed in
-# the r10 window
-# (evidence one round old) and all 275 registry queries were re-run
-# green through the full local driver-sim at HEAD this session, so the
-# 6-7-round-old queue evidence outranks them — per the r10 verdict,
-# the queue "outranks any new operator".  The remaining 19 r5 names
-# (text_bpe_pair_counts, text_classifier_score, text_html_strip,
-# text_ngram_lm_score, text_pii_scrub, text_url_canonical_dedup, ts_anomaly_mad,
-# ts_asof_join_tolerance, ts_counter_rate, ts_downsample_lttb,
-# ts_event_sequence_pattern, ts_ewma, ts_gap_detection,
-# ts_interval_coalesce, ts_interval_overlap_join, ts_level_shift,
-# ts_ohlc_resample, ts_trailing_window_range, window_ntile_stratify)
-# spill to the FRONT of round 12's queue, followed by the r6 cohort.
-# Every entry outside the window stays locally oracle-checked each
-# session (tests/test_oracle.py), and the flagship pipeline stays
+# Witness ages entering round 12 (from CORRECTNESS_r01-r11): 19 names
+# last witnessed r5 (the documented r11 spill), 47 r6, then r7-r11
+# cohorts.  Round 12 takes the 1 new query (grid_grib2_cluster_scan —
+# CLUSTER-derived ensemble products, PDTs 4.3 rectangular / 4.4
+# circular cluster domains, completing the operational 4.x family the
+# engine decodes: cluster identifier/total/size landing columns, NULL
+# on non-cluster products, the 4.4 NC offset pinned four octets
+# earlier than 4.3's) + the 11 queries whose implementation changed in
+# r12: grid_grib2_stretched_decode (the Schmidt unstretch rebuilt on
+# the half-angle colatitude form with rational sin/cos reconstruction
+# — fixing the r11 near-pole catastrophic cancellation the property
+# test caught; now conditioned at the pole of stretching, its antipode
+# AND the geographic poles, round-tripping <1e-12 deg), the three
+# synthesis-path queries behind the new m=0 imaginary-part warning
+# gate (grid_grib2_spectral_synthesis, grid_grib_spectral_landing,
+# stream_grib_spectral_pipeline), the six inventory/match-surface
+# queries behind the lenient fractional-level rendering
+# (surface_level_lenient/_text: sigma 0.995 lists as ``l104/0.995``
+# with a NULL int column instead of aborting the scan —
+# grid_grib_inventory_scan, grid_grib1_inventory,
+# grid_grib_inventory_robust_scan, grid_grib2_match_decode,
+# grid_grib2_match_level_decode, grid_grib_match_lead_scan), and
+# grid_grib2_derived_ensemble_scan (adjacent decode branch + the
+# RECORD_SCHEMA growth by the three cluster columns).  The remaining
+# landing-path queries also sit downstream of the additive
+# RECORD_SCHEMA change, but their witness evidence is at most two
+# rounds old, every one ran green through the full local driver-sim
+# at HEAD twice this session, and the 6-7-round-old queue evidence
+# outranks them — per the standing rule the queue fills the rest:
+# the ENTIRE 19-name r5 spill (text_bpe_pair_counts ...
+# window_ntile_stratify, verbatim from the r11 queue comment) and the
+# first 19 (alphabetical) of the 47-name r6 cohort.  1 + 11 + 19 + 19
+# = exactly 50.  The remaining 28 r6 names
+# (hierarchy_recursive_paths, hierarchy_recursive_rollup,
+# knn_cosine_bruteforce, knn_ivf, knn_mutual_graph, llm_corpus_prep,
+# multimodal_image_phash_neardup, multimodal_video_scene_cut,
+# q1_pricing_summary, q5_region_revenue, sample_class_balanced,
+# sample_dsir_importance, stream_gap_alerts, stream_topk_event_types,
+# text_jsd_domain_drift, text_length_histogram, text_ngram_novelty,
+# text_perplexity_buckets, text_quality_filter_funnel,
+# text_span_dedup, text_tfidf_top_terms, text_winnowing_fingerprint,
+# ts_attribution_last_touch, ts_autocorrelation, ts_cusum_changepoint,
+# ts_seasonal_decompose, ts_sessionize, variant_json_shred) spill to
+# the FRONT of round 13's queue, followed by the r7 cohort.  Every
+# entry outside the window stays locally oracle-checked each session
+# (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 11 (first driver witness): the SPECTRAL
-    #     surface — spherical-harmonic records in BOTH editions,
-    #     synthesis to gridpoints, mixed-archive inventory robustness,
-    #     and codec-level match on the level/layer field ---
-    "grid_grib_spectral_roundtrip",
+    # --- 1. new in round 12 (first driver witness): cluster-derived
+    #     ensemble products, PDTs 4.3/4.4 ---
+    "grid_grib2_cluster_scan",
+    # --- 2. changed in round 12: the Schmidt-unstretch numerics fix,
+    #     the m=0-imaginary warning on the synthesis path, the lenient
+    #     fractional-level inventory rendering, and the RECORD_SCHEMA
+    #     cluster columns ---
+    "grid_grib2_stretched_decode",
     "grid_grib2_spectral_synthesis",
-    "grid_grib_inventory_robust_scan",
-    "grid_grib2_match_level_decode",
-    "grid_grib2_spectral_complex_decode",
     "grid_grib_spectral_landing",
     "stream_grib_spectral_pipeline",
-    "grid_grib2_stretched_decode",
-    # --- 2. changed in round 11: the rotated-grid convention fix and
-    #     the inventory/match-path changes (lenient leads, spectral
-    #     listing, level field in the codec line) ---
-    "grid_grib2_rotated_decode",
-    "grid_grib1_rotated_scan",
     "grid_grib_inventory_scan",
     "grid_grib1_inventory",
-    "grid_grib_match_lead_scan",
+    "grid_grib_inventory_robust_scan",
     "grid_grib2_match_decode",
-    # --- 3. oldest cohort: the 11 round-4 leftovers (the documented
-    #     r10 spill), then the first 25 of the 44-name r5 cohort ---
-    "ts_freshness_check",
-    "ts_json_extract",
-    "ts_lag_lead",
-    "ts_moving_avg",
-    "ts_retention_cohorts",
-    "ts_yoy_growth",
-    "unpivot_nation_balances",
-    "window_count_distinct",
-    "window_distribution",
-    "window_distribution_ranks",
-    "window_rank_ties",
-    "agg_share_of_total",
-    "cdc_snapshot_diff",
-    "dedup_containment",
-    "dedup_containment_capped",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dq_constraint_audit",
-    "dq_profile_customer",
-    "embedding_pca_project",
-    "geo_near_join",
-    "grid_bilinear_regrid",
-    "grid_gradient_slope",
-    "grid_zonal_stats",
-    "join_salted_skew",
-    "knn_recall_eval",
-    "multimodal_audio_energy",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q9_profit_by_nation",
-    "sample_temperature_mix",
-    "scalar_calendar_clamp",
-    "scalar_geo_uniform",
-    "scalar_oscar_calendar",
-    "scd2_apply_changes",
-    "stream_ohlc_hourly",
+    "grid_grib2_match_level_decode",
+    "grid_grib_match_lead_scan",
+    "grid_grib2_derived_ensemble_scan",
+    # --- 3. oldest cohort: the entire 19-name r5 spill (documented in
+    #     the r11 queue comment), then the first 19 of the 47-name r6
+    #     cohort ---
+    "text_bpe_pair_counts",
+    "text_classifier_score",
+    "text_html_strip",
+    "text_ngram_lm_score",
+    "text_pii_scrub",
+    "text_url_canonical_dedup",
+    "ts_anomaly_mad",
+    "ts_asof_join_tolerance",
+    "ts_counter_rate",
+    "ts_downsample_lttb",
+    "ts_event_sequence_pattern",
+    "ts_ewma",
+    "ts_gap_detection",
+    "ts_interval_coalesce",
+    "ts_interval_overlap_join",
+    "ts_level_shift",
+    "ts_ohlc_resample",
+    "ts_trailing_window_range",
+    "window_ntile_stratify",
+    "dedup_cross_split_leakage",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_prune",
+    "dq_benford_leading_digit",
+    "dq_ks_two_sample",
+    "dq_volume_anomaly",
+    "embedding_quantize_int8",
+    "era5_monthly_anomaly",
+    "graph_copurchase_lift",
+    "graph_copurchase_pagerank",
+    "graph_degree_distribution",
+    "graph_edge_jaccard",
+    "graph_kcore",
+    "graph_substitution_recs",
+    "graph_triangle_census",
+    "grid_area_weighted_mean",
+    "grid_contour_cells",
 )
 
 

@@ -576,6 +576,24 @@ class Grib2Record:
     probability_type: int | None = None
     prob_lower_limit: float | None = None
     prob_upper_limit: float | None = None
+    # Templates 4.3/4.4 (derived forecasts from a CLUSTER of ensemble
+    # members — rectangular / circular cluster domains) and their
+    # 4.13/4.14 statistical siblings: the cluster
+    # identifier, total number of clusters, code-table-4.8 clustering
+    # method, number of forecasts in THIS cluster, the member numbers
+    # themselves, and the decoded in-cluster standard deviation and
+    # distance from the ensemble mean.  derived_forecast /
+    # ensemble_size (octets 35-36) are shared with the 4.2 family.
+    # The control-cluster numbers (octets 38-39) and the domain
+    # geometry (octets 42-57 rect / 42-53 circ) are length-validated
+    # but not surfaced.  None on every other template.
+    cluster_identifier: int | None = None
+    cluster_total: int | None = None
+    cluster_method: int | None = None
+    cluster_size: int | None = None
+    cluster_members: tuple[int, ...] | None = None
+    cluster_stddev: float | None = None
+    cluster_mean_distance: float | None = None
     # Templates 4.6/4.10 (percentile forecasts): the percentile
     # (0-100) this field represents; None on every other template.
     percentile_value: int | None = None
@@ -1103,6 +1121,7 @@ def encode_grib2_message(
     probability: dict | None = None,
     percentile: int | None = None,
     spatial: dict | None = None,
+    cluster: dict | None = None,
     forecast: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
@@ -1692,11 +1711,11 @@ def encode_grib2_message(
     # all ten, so one parser serves them on decode.
     if sum(
         x is not None
-        for x in (ensemble, derived, probability, percentile, spatial)
+        for x in (ensemble, derived, probability, percentile, spatial, cluster)
     ) > 1:
         raise ValueError(
             "choose at most one of ensemble / derived / probability / "
-            "percentile / spatial"
+            "percentile / spatial / cluster"
         )
     if spatial is not None and statistical is not None:
         # 4.15 has no statistical-interval sibling in the supported set
@@ -1765,6 +1784,54 @@ def encode_grib2_message(
         if p > 100:
             raise ValueError(f"percentile value {p} out of range 0-100")
         pdt_extra += bytes([p])
+    elif cluster is not None:
+        # Templates 4.3 (``bounds`` = (north, south, east, west) µdeg
+        # rectangular domain) / 4.4 (``center`` = (lat µdeg, lon µdeg,
+        # radius) circular domain): the 4.2 derived octets, the
+        # cluster block, the domain geometry, the in-cluster standard
+        # deviation / distance from the ensemble mean as (scale,
+        # scaled value) pairs (absent → coded missing), then the
+        # member numbers (their count IS NC).  Combined with
+        # ``statistical`` they become 4.13 / 4.14, whose statistical
+        # block follows the member list (the generic append below
+        # lands it there).
+        has_bounds = "bounds" in cluster
+        has_center = "center" in cluster
+        if has_bounds == has_center:
+            raise ValueError(
+                "cluster needs exactly one of bounds=(n, s, e, w) "
+                "(template 4.3) or center=(lat, lon, radius) "
+                "(template 4.4)"
+            )
+        if statistical is not None:
+            tmpl4 = 13 if has_bounds else 14
+        else:
+            tmpl4 = 3 if has_bounds else 4
+        members = list(cluster["members"])
+        if not 1 <= len(members) <= 254:
+            raise ValueError(
+                f"cluster member count {len(members)} out of range 1-254"
+            )
+        geometry = cluster["bounds"] if has_bounds else cluster["center"]
+        pdt_extra += bytes(
+            [
+                _pdt_octet(cluster["type"], "derived forecast type"),
+                _pdt_octet(cluster["size"], "ensemble size"),
+                _pdt_octet(cluster["identifier"], "cluster identifier"),
+                0xFF if cluster.get("hires") is None
+                else _pdt_octet(cluster["hires"], "high-resolution cluster"),
+                0xFF if cluster.get("lores") is None
+                else _pdt_octet(cluster["lores"], "low-resolution cluster"),
+                _pdt_octet(cluster["total"], "total number of clusters"),
+                _pdt_octet(cluster["method"], "clustering method"),
+            ]
+        )
+        for g in geometry:
+            pdt_extra += _s32be(int(g))
+        pdt_extra += bytes([len(members)])
+        pdt_extra += _scaled_pair(cluster.get("stddev"))
+        pdt_extra += _scaled_pair(cluster.get("distance"))
+        pdt_extra += bytes(_pdt_octet(m, "cluster member") for m in members)
     elif spatial is not None:
         # Template 4.15 (spatio-statistical processing — NDFD-style
         # smoothed/re-gridded products): octets 35-37 carry the
@@ -2509,11 +2576,13 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15):
+    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
-        # 4.2 derived forecast, 4.5 probability, 4.6 percentile,
-        # 4.8 statistical and their 4.11/4.12/4.9/4.10 statistical
+        # 4.2 derived forecast, 4.3/4.4 cluster-derived forecasts,
+        # 4.5 probability, 4.6 percentile,
+        # 4.8 statistical and their 4.11/4.12/4.13/4.14/4.9/4.10
+        # statistical
         # forms extend it; 4.30/4.20 et al. do NOT) may be read with
         # these offsets; anything else would decode garbage level
         # columns.
@@ -2528,6 +2597,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     level2_type, level2_scale, level2_value = parse_second_surface(s4)
     ensemble_type = ensemble_member = ensemble_size = None
     derived_forecast = None
+    cluster_identifier = cluster_total = cluster_method = None
+    cluster_size = cluster_members = None
+    cluster_stddev = cluster_mean_distance = None
     probability_number = probability_total = probability_type = None
     prob_lower_limit = prob_upper_limit = None
     percentile_value = None
@@ -2553,6 +2625,49 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             raise ValueError(f"truncated product definition template 4.{tmpl4}")
         derived_forecast = s4[34] if s4[34] != 0xFF else None
         ensemble_size = s4[35] if s4[35] != 0xFF else None
+    elif tmpl4 in (3, 4, 13, 14):
+        # 4.3 / 4.4 (derived forecast from a CLUSTER of ensemble
+        # members over a rectangular / circular area — the cluster
+        # products EPS post-processing publishes beside the 4.2
+        # all-member products) and their 4.13 / 4.14 statistical
+        # siblings: octets 35-36 repeat the 4.2 layout
+        # (code-table-4.7 derived type, ensemble size), then the
+        # cluster block — identifier (37), the clusters holding the
+        # high-/low-resolution controls (38-39, validated but not
+        # surfaced), total clusters (40), code-table-4.8 method (41),
+        # the domain geometry (42-57 rect: N/S lat + E/W lon;
+        # 42-53 circ: center lat/lon + radius — validated, not
+        # surfaced), NC = forecasts in the cluster, the in-cluster
+        # standard deviation and distance from the ensemble mean as
+        # (scale, scaled value) pairs, and the NC member numbers.
+        # On 4.13/4.14 the 4.8 statistical block follows the member
+        # list — a VARIABLE offset (the only family whose statistical
+        # base depends on a count field), handled below.
+        nc_off = 57 if tmpl4 in (3, 13) else 53  # 0-based octet of NC
+        if len(s4) < nc_off + 1:
+            raise ValueError(f"truncated product definition template 4.{tmpl4}")
+        derived_forecast = s4[34] if s4[34] != 0xFF else None
+        ensemble_size = s4[35] if s4[35] != 0xFF else None
+        cluster_identifier = s4[36] if s4[36] != 0xFF else None
+        cluster_total = s4[39] if s4[39] != 0xFF else None
+        cluster_method = s4[40] if s4[40] != 0xFF else None
+        nc = s4[nc_off]
+        if nc == 0 or nc == 0xFF:
+            # without NC the member list length is unknowable — a
+            # guessed length would mis-slice every following octet
+            raise ValueError(
+                f"product definition template 4.{tmpl4} with no "
+                "forecasts in the cluster"
+            )
+        if len(s4) < nc_off + 11 + nc:
+            raise ValueError(
+                f"truncated product definition template 4.{tmpl4} "
+                f"({nc} cluster members)"
+            )
+        cluster_size = nc
+        cluster_stddev = _scaled_limit(s4, nc_off + 1)
+        cluster_mean_distance = _scaled_limit(s4, nc_off + 6)
+        cluster_members = tuple(s4[nc_off + 11 : nc_off + 11 + nc])
     elif tmpl4 in (5, 9):
         # 4.5 (probability forecast) appends octets 35-47: probability
         # index / total, probability type (code table 4.9: 0 below
@@ -2601,7 +2716,11 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     # octets), 48 (4.9, after the thirteen probability octets) or 36
     # (4.10, after the one percentile octet) — a parser reusing 4.8's
     # offset on the extended forms would decode a garbage interval end.
+    # 4.13/4.14 are the only VARIABLE-offset forms: their block
+    # follows the NC-long member list.
     stat_base = {8: 34, 11: 37, 12: 36, 9: 47, 10: 35}.get(tmpl4)
+    if tmpl4 in (13, 14):
+        stat_base = (57 if tmpl4 == 13 else 53) + 11 + cluster_size
     if stat_base is not None:
         base = stat_base
         if len(s4) < base + 24:  # the 24-octet single-spec extension
@@ -2855,6 +2974,13 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         ensemble_member=ensemble_member,
         ensemble_size=ensemble_size,
         derived_forecast=derived_forecast,
+        cluster_identifier=cluster_identifier,
+        cluster_total=cluster_total,
+        cluster_method=cluster_method,
+        cluster_size=cluster_size,
+        cluster_members=cluster_members,
+        cluster_stddev=cluster_stddev,
+        cluster_mean_distance=cluster_mean_distance,
         probability_number=probability_number,
         probability_total=probability_total,
         probability_type=probability_type,

@@ -3860,6 +3860,207 @@ def grid_grib2_derived_ensemble_scan(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "grid_grib2_cluster_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 43 = 11 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         80 + 2 * ((doc_id * 7 + r.r * 5 + i.i * 3 + j.j * 11) % 45) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 4)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn = 1 THEN 0 END AS INTEGER) AS ensemble_member,
+       CAST(CASE rn WHEN 2 THEN 0 WHEN 3 THEN 2 WHEN 4 THEN 0 WHEN 5 THEN 4
+         END AS INTEGER) AS derived_forecast,
+       CAST(10 + doc_id % 5 AS INTEGER) AS ensemble_size,
+       CAST(CASE rn WHEN 3 THEN 1 + doc_id % 5 WHEN 4 THEN 2 + doc_id % 4
+         WHEN 5 THEN 3 + doc_id % 3 END AS INTEGER) AS cluster_identifier,
+       CAST(CASE WHEN rn IN (3, 4, 5) THEN 3 + doc_id % 3 END AS INTEGER)
+         AS cluster_total,
+       CAST(CASE rn WHEN 3 THEN 2 + doc_id % 3 WHEN 4 THEN 1 + doc_id % 2
+         WHEN 5 THEN 2 + doc_id % 2 END AS INTEGER) AS cluster_size,
+       CAST(CASE WHEN rn = 5 THEN 0 END AS INTEGER) AS statistical_process,
+       CASE WHEN rn = 5 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 3, 6, 0, 0
+       ) END AS interval_end,
+       CAST(CASE WHEN rn = 5 THEN 1 END AS INTEGER) AS time_range_count,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-derived ensemble products (PDT 4.3 rectangular / 4.4
+    circular cluster domains + the 4.13 statistical sibling) through
+    the REAL landing path — the last members of the operational 4.x
+    family the engine decodes (completing 4.0-4.6, 4.8-4.15),
+    published by EPS cluster post-processing beside the 4.1 members
+    and 4.2 all-member products the reference reads through wgrib2
+    (/root/reference/src/file-conversions.js:49-51,76-112).  One
+    multi-field message per document carries a 4.1 member, a 4.2
+    ensemble mean, a 4.3 rectangular-domain cluster product, a 4.4
+    circular-domain one and a 4.13 cluster-spread over a statistical
+    interval, so member-vs-all-vs-cluster is a plain column filter on
+    landed archives (``cluster_identifier`` / ``cluster_total`` /
+    ``cluster_size`` — NULL on every non-cluster product).
+
+    The oracle pins the shared ensemble size across all five
+    templates, the per-template cluster identifier / total / NC (the
+    4.4 layout reads NC four octets earlier than 4.3 — a parser
+    reusing 4.3's offsets would decode a garbage member count),
+    NULL cluster columns on 4.1/4.2 fields, the 4.13 statistical
+    block's VARIABLE offset after the NC-long member list (the only
+    4.x form whose statistical base depends on a count field — the
+    interval-end timestamp only decodes right if the offset walk is),
+    and raster-order-sensitive payload sums.
+
+    Scale: the landing posture — submessage splitting is section
+    slicing; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 43 == 11) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        80 + 2 * ((d * 7 + r * 5 + i * 3 + j * 11) % 45)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=0, number=1,
+                    reference_value=80.0, binary_scale=1, nbits=8,
+                )
+                size = 10 + d % 5
+                msgs = [
+                    encode_grib2_message(
+                        field(0),
+                        ensemble=dict(type=3, member=0, size=size),
+                        **enc,
+                    ),
+                    encode_grib2_message(
+                        field(1),
+                        derived=dict(type=0, size=size),
+                        **enc,
+                    ),
+                    encode_grib2_message(
+                        field(2),
+                        cluster=dict(
+                            type=2, size=size,
+                            identifier=1 + d % 5, total=3 + d % 3,
+                            method=d % 2,
+                            members=list(range(2 + d % 3)),
+                            stddev=(1, 10 + d % 20),
+                            bounds=(
+                                60_000_000, 30_000_000,
+                                40_000_000, -10_000_000,
+                            ),
+                        ),
+                        **enc,
+                    ),
+                    encode_grib2_message(
+                        field(3),
+                        cluster=dict(
+                            type=0, size=size,
+                            identifier=2 + d % 4, total=3 + d % 3,
+                            method=1,
+                            members=list(range(1 + d % 2)),
+                            distance=(0, 3 + d % 9),
+                            center=(45_000_000, 10_000_000, 500_000),
+                        ),
+                        **enc,
+                    ),
+                    # 4.13: cluster + statistical interval — the
+                    # statistical block rides AFTER the NC-long member
+                    # list (the only variable-offset 4.x form), so the
+                    # oracle's interval-end pin proves the offset walk
+                    encode_grib2_message(
+                        field(4),
+                        cluster=dict(
+                            type=4, size=size,
+                            identifier=3 + d % 3, total=3 + d % 3,
+                            method=0,
+                            members=list(range(2 + d % 2)),
+                            stddev=(0, 5 + d % 7),
+                            bounds=(
+                                55_000_000, 25_000_000,
+                                35_000_000, -5_000_000,
+                            ),
+                        ),
+                        statistical=dict(
+                            process=0,
+                            interval_end=(2020, 1 + d % 12, 3, 6, 0),
+                            range_hours=12,
+                        ),
+                        **enc,
+                    ),
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": merge_grib2_fields(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "ensemble_member",
+        "derived_forecast",
+        "ensemble_size",
+        "cluster_identifier",
+        "cluster_total",
+        "cluster_size",
+        "statistical_process",
+        "interval_end",
+        "time_range_count",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
     "grid_grib2_probability_scan",
     tags=("grid", "codec", "python", "ingest"),
     oracle="""

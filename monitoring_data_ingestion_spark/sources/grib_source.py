@@ -47,6 +47,7 @@ RECORD_SCHEMA = (
     "forecast_hours int, statistical_process int, interval_end timestamp, "
     "time_range_count int, "
     "ensemble_member int, ensemble_size int, derived_forecast int, "
+    "cluster_identifier int, cluster_total int, cluster_size int, "
     "probability_type int, prob_lower_limit double, "
     "prob_upper_limit double, percentile_value int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
@@ -62,6 +63,7 @@ _RECORD_COLUMNS = [
     "hour", "forecast_hours", "statistical_process", "interval_end",
     "time_range_count",
     "ensemble_member", "ensemble_size", "derived_forecast",
+    "cluster_identifier", "cluster_total", "cluster_size",
     "probability_type", "prob_lower_limit", "prob_upper_limit",
     "percentile_value", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
@@ -179,7 +181,7 @@ def _grib2_field_header(s: dict) -> dict:
         # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15):
+    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
         # Spectral records have no Ni/Nj — the inventory LISTS them
@@ -402,6 +404,7 @@ def _decode_batches(
                 level2_type = level2 = None
                 time_ranges = None
                 ens_member = ens_size = derived_fc = None
+                cluster_id = cluster_tot = cluster_sz = None
                 prob_type = prob_lo = prob_hi = pctl = None
                 cell_lats = cell_lons = None
                 if edition == 1:
@@ -535,6 +538,14 @@ def _decode_batches(
                     # in whole hours.
                     fc_hours = rec.forecast_hours
                     derived_fc = rec.derived_forecast
+                    # Templates 4.3/4.4 (cluster-derived
+                    # forecasts): which cluster, how many
+                    # clusters, how many members in this one —
+                    # NULL on every other product, so
+                    # per-cluster selection is a column filter.
+                    cluster_id = rec.cluster_identifier
+                    cluster_tot = rec.cluster_total
+                    cluster_sz = rec.cluster_size
                     prob_type = rec.probability_type
                     prob_lo = rec.prob_lower_limit
                     prob_hi = rec.prob_upper_limit
@@ -657,6 +668,9 @@ def _decode_batches(
                         "ensemble_member": ens_member,
                         "ensemble_size": ens_size,
                         "derived_forecast": derived_fc,
+                        "cluster_identifier": cluster_id,
+                        "cluster_total": cluster_tot,
+                        "cluster_size": cluster_sz,
                         "probability_type": prob_type,
                         "prob_lower_limit": prob_lo,
                         "prob_upper_limit": prob_hi,

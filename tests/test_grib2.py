@@ -1854,6 +1854,133 @@ def test_derived_ensemble_pdts_roundtrip_and_guards():
         decode_grib2(bytes(cut))
 
 
+def test_cluster_pdts_roundtrip_and_guards():
+    """PDT 4.3 / 4.4 (derived forecasts from a CLUSTER of ensemble
+    members over rectangular / circular domains — the EPS cluster
+    products) and their 4.13 / 4.14 statistical siblings: the
+    4.2-shaped derived octets, the cluster block (identifier / total /
+    method / NC / member numbers), the in-cluster standard deviation
+    and ensemble-mean distance, and the variable-offset statistical
+    block decode; mis-shaped cluster specs, an absent NC and
+    truncated member lists stop loudly."""
+    import struct
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    r = decode_grib2(
+        encode_grib2_message(
+            v,
+            cluster=dict(
+                type=1, size=51, identifier=2, hires=1, lores=3,
+                total=6, method=1, members=[3, 7, 11],
+                stddev=(2, 125), distance=(1, 37),
+                bounds=(60_000_000, 30_000_000, 40_000_000, -10_000_000),
+            ),
+        )
+    )
+    assert (r.derived_forecast, r.ensemble_size) == (1, 51)
+    assert (r.cluster_identifier, r.cluster_total, r.cluster_method) == (
+        2, 6, 1,
+    )
+    assert r.cluster_size == 3 and r.cluster_members == (3, 7, 11)
+    assert r.cluster_stddev == 1.25 and r.cluster_mean_distance == 3.7
+    assert r.ensemble_member is None and r.percentile_value is None
+    np.testing.assert_array_equal(r.values, v)
+    # 4.4 circular form: NC rides 4 octets earlier; missing std/dist
+    r4 = decode_grib2(
+        encode_grib2_message(
+            v,
+            cluster=dict(
+                type=0, size=20, identifier=5, total=4, method=0,
+                members=[1, 2], center=(45_000_000, 10_000_000, 500_000),
+            ),
+        )
+    )
+    assert (r4.cluster_identifier, r4.cluster_total, r4.cluster_size) == (
+        5, 4, 2,
+    )
+    assert r4.cluster_members == (1, 2)
+    assert r4.cluster_stddev is None and r4.cluster_mean_distance is None
+    # non-cluster products keep every cluster column NULL
+    r0 = decode_grib2(encode_grib2_message(v, derived=dict(type=0, size=3)))
+    assert r0.cluster_identifier is None and r0.cluster_members is None
+    # guards: bounds XOR center; no statistical sibling (4.13/4.14);
+    # at most one PDT family; member count bounds
+    base = dict(type=0, size=3, identifier=1, total=2, method=0, members=[0])
+    with pytest.raises(ValueError, match="exactly one of bounds"):
+        encode_grib2_message(v, cluster=dict(base))
+    with pytest.raises(ValueError, match="exactly one of bounds"):
+        encode_grib2_message(
+            v,
+            cluster=dict(base, bounds=(0, 0, 0, 0), center=(0, 0, 0)),
+        )
+    # 4.13/4.14 (cluster + statistical interval): the statistical
+    # block follows the VARIABLE-length member list — the only
+    # 4.x family whose statistical base depends on a count field, so
+    # a parser reusing any fixed offset would decode a garbage
+    # interval end.  Both domain forms round-trip with the cluster
+    # AND statistical columns intact.
+    for geom, want_tmpl in (
+        (dict(bounds=(1, 2, 3, 4)), 13),
+        (dict(center=(1, 2, 3)), 14),
+    ):
+        r13 = decode_grib2(
+            encode_grib2_message(
+                v,
+                cluster=dict(
+                    type=2, size=30, identifier=4, total=5, method=1,
+                    members=[2, 9, 14], **geom,
+                ),
+                statistical=dict(
+                    process=1, interval_end=(2021, 3, 2, 12, 0),
+                    range_hours=24,
+                ),
+            )
+        )
+        assert (r13.cluster_identifier, r13.cluster_size) == (4, 3)
+        assert r13.cluster_members == (2, 9, 14)
+        assert r13.statistical_process == 1 and r13.time_range_count == 1
+        assert r13.interval_end == (2021, 3, 2, 12, 0)
+        np.testing.assert_array_equal(r13.values, v)
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(
+            v,
+            cluster=dict(base, bounds=(0, 0, 0, 0)),
+            derived=dict(type=0, size=3),
+        )
+    with pytest.raises(ValueError, match="member count"):
+        encode_grib2_message(
+            v, cluster=dict(base, members=[], bounds=(0, 0, 0, 0))
+        )
+    # NC octet zeroed → "no forecasts in the cluster"; truncated member
+    # list → loud length stop (never a mis-sliced garbage decode)
+    msg = encode_grib2_message(
+        v,
+        cluster=dict(
+            type=0, size=9, identifier=1, total=2, method=0,
+            members=[4, 6], bounds=(1, 2, 3, 4),
+        ),
+    )
+    pos = 16
+    while pos < len(msg) - 4:
+        ln, num = struct.unpack_from(">IB", msg, pos)
+        if num == 4:
+            break
+        pos += ln
+    zeroed = bytearray(msg)
+    zeroed[pos + 57] = 0  # NC (template 4.3 octet 58)
+    with pytest.raises(ValueError, match="no forecasts in the cluster"):
+        decode_grib2(bytes(zeroed))
+    cut = bytearray(
+        msg[:pos]
+        + struct.pack(">IB", 69, 4)  # keep 1 of the 2 member octets
+        + msg[pos + 5 : pos + 69]
+        + msg[pos + ln :]
+    )
+    struct.pack_into(">Q", cut, 8, len(cut))
+    with pytest.raises(ValueError, match="2 cluster members"):
+        decode_grib2(bytes(cut))
+
+
 def test_probability_pdts_threshold_decode():
     """PDT 4.5/4.9 (probability forecasts): threshold limits decode
     through the signed-magnitude (scale factor, scaled value) pairs —
