@@ -31,12 +31,17 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #
 # Witness ages entering round 12 (from CORRECTNESS_r01-r11): 19 names
 # last witnessed r5 (the documented r11 spill), 47 r6, then r7-r11
-# cohorts.  Round 12 takes the 1 new query (grid_grib2_cluster_scan —
-# CLUSTER-derived ensemble products, PDTs 4.3 rectangular / 4.4
-# circular cluster domains, completing the operational 4.x family the
-# engine decodes: cluster identifier/total/size landing columns, NULL
-# on non-cluster products, the 4.4 NC offset pinned four octets
-# earlier than 4.3's) + the 11 queries whose implementation changed in
+# cohorts.  Round 12 takes the 2 new queries (grid_grib2_cluster_scan
+# — CLUSTER-derived ensemble products, PDTs 4.3 rectangular / 4.4
+# circular cluster domains plus the 4.13/4.14 statistical siblings
+# whose 4.8 block rides at a VARIABLE offset after the member list,
+# completing the operational 4.x family the engine decodes: cluster
+# identifier/total/size landing columns, NULL on non-cluster
+# products, the 4.4 NC offset pinned four octets earlier than 4.3's;
+# and grid_grib2_error_scan — PDT 4.7 analysis/forecast-error fields,
+# layout-identical to 4.0, distinguishable only through the new
+# product_template landing column the whole family now carries, NULL
+# on edition 1) + the 11 queries whose implementation changed in
 # r12: grid_grib2_stretched_decode (the Schmidt unstretch rebuilt on
 # the half-angle colatitude form with rational sin/cos reconstruction
 # — fixing the r11 near-pole catastrophic cancellation the property
@@ -52,7 +57,8 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # grid_grib_inventory_robust_scan, grid_grib2_match_decode,
 # grid_grib2_match_level_decode, grid_grib_match_lead_scan), and
 # grid_grib2_derived_ensemble_scan (adjacent decode branch + the
-# RECORD_SCHEMA growth by the three cluster columns).  The remaining
+# RECORD_SCHEMA growth by the three cluster columns and
+# product_template).  The remaining
 # landing-path queries also sit downstream of the additive
 # RECORD_SCHEMA change, but their witness evidence is at most two
 # rounds old, every one ran green through the full local driver-sim
@@ -60,9 +66,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # outranks them — per the standing rule the queue fills the rest:
 # the ENTIRE 19-name r5 spill (text_bpe_pair_counts ...
 # window_ntile_stratify, verbatim from the r11 queue comment) and the
-# first 19 (alphabetical) of the 47-name r6 cohort.  1 + 11 + 19 + 19
-# = exactly 50.  The remaining 28 r6 names
-# (hierarchy_recursive_paths, hierarchy_recursive_rollup,
+# first 18 (alphabetical) of the 47-name r6 cohort.  2 + 11 + 19 + 18
+# = exactly 50.  The remaining 29 r6 names
+# (grid_contour_cells,
+# hierarchy_recursive_paths, hierarchy_recursive_rollup,
 # knn_cosine_bruteforce, knn_ivf, knn_mutual_graph, llm_corpus_prep,
 # multimodal_image_phash_neardup, multimodal_video_scene_cut,
 # q1_pricing_summary, q5_region_revenue, sample_class_balanced,
@@ -78,8 +85,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
     # --- 1. new in round 12 (first driver witness): cluster-derived
-    #     ensemble products, PDTs 4.3/4.4 ---
+    #     ensemble products (PDTs 4.3/4.4/4.13/4.14) and the
+    #     product_template column + PDT 4.7 error fields ---
     "grid_grib2_cluster_scan",
+    "grid_grib2_error_scan",
     # --- 2. changed in round 12: the Schmidt-unstretch numerics fix,
     #     the m=0-imaginary warning on the synthesis path, the lenient
     #     fractional-level inventory rendering, and the RECORD_SCHEMA
@@ -96,8 +105,9 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib_match_lead_scan",
     "grid_grib2_derived_ensemble_scan",
     # --- 3. oldest cohort: the entire 19-name r5 spill (documented in
-    #     the r11 queue comment), then the first 19 of the 47-name r6
-    #     cohort ---
+    #     the r11 queue comment), then the first 18 of the 47-name r6
+    #     cohort (grid_contour_cells, the 19th name, spills to r13 to
+    #     keep the window at exactly 50) ---
     "text_bpe_pair_counts",
     "text_classifier_score",
     "text_html_strip",
@@ -135,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "graph_substitution_recs",
     "graph_triangle_census",
     "grid_area_weighted_mean",
-    "grid_contour_cells",
 )
 
 

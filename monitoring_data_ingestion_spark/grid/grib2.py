@@ -635,6 +635,13 @@ class Grib2Record:
     # are NOT row-normalized.
     grid_template: int = 0
     lambert_params: dict | None = None
+    # Which 4.x product definition template produced the record — the
+    # field that makes template 4.7 (analysis/forecast ERROR, whose
+    # octet layout is identical to 4.0's) distinguishable from the
+    # analysis itself, and lets consumers select whole product
+    # families (all statistical forms, all ensemble-derived forms)
+    # the way wgrib2 prints the template number.
+    product_template: int = 0
     # Template 3.50 (spherical harmonic coefficients): the triangular
     # truncation T (J = K = M).  ``values`` is then the FLAT real
     # sequence re/im interleaved in mode-1 order (m = 0..T, n = m..T),
@@ -1122,6 +1129,7 @@ def encode_grib2_message(
     percentile: int | None = None,
     spatial: dict | None = None,
     cluster: dict | None = None,
+    error: bool = False,
     forecast: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
@@ -1712,10 +1720,17 @@ def encode_grib2_message(
     if sum(
         x is not None
         for x in (ensemble, derived, probability, percentile, spatial, cluster)
-    ) > 1:
+    ) + (1 if error else 0) > 1:
         raise ValueError(
             "choose at most one of ensemble / derived / probability / "
-            "percentile / spatial / cluster"
+            "percentile / spatial / cluster / error"
+        )
+    if error and statistical is not None:
+        # 4.7 has no statistical sibling in the 4.x numbering — the
+        # combination would have to masquerade as 4.8, silently
+        # dropping the error marking
+        raise ValueError(
+            "error (template 4.7) does not combine with statistical"
         )
     if spatial is not None and statistical is not None:
         # 4.15 has no statistical-interval sibling in the supported set
@@ -1846,6 +1861,10 @@ def encode_grib2_message(
                 _pdt_octet(spatial["points"], "spatial data-point count"),
             ]
         )
+    elif error:
+        # template 4.7: analysis/forecast error — 4.0's exact layout,
+        # distinguished only by the template number
+        tmpl4 = 7
     else:
         tmpl4 = 8 if statistical is not None else 0
     if statistical is not None:
@@ -2576,11 +2595,14 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15):
+    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
         # 4.2 derived forecast, 4.3/4.4 cluster-derived forecasts,
-        # 4.5 probability, 4.6 percentile,
+        # 4.5 probability, 4.6 percentile, 4.7 analysis/forecast
+        # error (LAYOUT-identical to 4.0 — only the surfaced
+        # product_template distinguishes an error field from the
+        # analysis itself),
         # 4.8 statistical and their 4.11/4.12/4.13/4.14/4.9/4.10
         # statistical
         # forms extend it; 4.30/4.20 et al. do NOT) may be read with
@@ -2973,6 +2995,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         ensemble_type=ensemble_type,
         ensemble_member=ensemble_member,
         ensemble_size=ensemble_size,
+        product_template=tmpl4,
         derived_forecast=derived_forecast,
         cluster_identifier=cluster_identifier,
         cluster_total=cluster_total,

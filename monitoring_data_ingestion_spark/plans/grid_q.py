@@ -4061,6 +4061,134 @@ def grid_grib2_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_grib2_error_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 53 = 17 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         60 + 2 * ((doc_id * 3 + r.r * 7 + i.i * 5 + j.j * 9) % 40) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE rn WHEN 1 THEN 0 WHEN 2 THEN 7 WHEN 3 THEN 8 END
+         AS INTEGER) AS product_template,
+       CAST(CASE WHEN rn = 3 THEN 1 END AS INTEGER) AS statistical_process,
+       CASE WHEN rn = 3 THEN make_timestamp(
+         2020, 1 + doc_id % 12, 2, 6, 0, 0
+       ) END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_error_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYSIS-ERROR fields (PDT 4.7) and the ``product_template``
+    landing column that makes them usable: template 4.7's octet layout
+    is IDENTICAL to 4.0's — an error field is distinguishable from the
+    analysis itself only by the template number, so the landing schema
+    now carries it (NULL on edition 1, which has no PDT numbering).
+    This is also the wgrib2-style family selector: "all statistical
+    products" / "all ensemble-derived products" become plain column
+    filters on landed archives (the reference reads these archives
+    through wgrib2, /root/reference/src/file-conversions.js:49-51).
+
+    One multi-field message per document carries the 4.0 analysis, its
+    4.7 error field and a 4.8 statistical product; the oracle pins the
+    template number per record (0 / 7 / 8 — a decoder collapsing 4.7
+    onto 4.0 hash-mismatches immediately), the statistical columns
+    staying NULL on 4.0 AND 4.7, and raster-order-sensitive payload
+    sums.
+
+    Scale: the landing posture — submessage splitting is section
+    slicing; only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message, merge_grib2_fields
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 53 == 17) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        60 + 2 * ((d * 3 + r * 7 + i * 5 + j * 9) % 40)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=0, number=1,
+                    reference_value=60.0, binary_scale=1, nbits=8,
+                )
+                msgs = [
+                    encode_grib2_message(field(0), **enc),
+                    encode_grib2_message(field(1), error=True, **enc),
+                    encode_grib2_message(
+                        field(2),
+                        statistical=dict(
+                            process=1,
+                            interval_end=(2020, 1 + d % 12, 2, 6, 0),
+                            range_hours=6,
+                        ),
+                        **enc,
+                    ),
+                ]
+                rows.append(
+                    {"path": f"doc://{d}", "content": merge_grib2_fields(msgs)}
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "product_template",
+        "statistical_process",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
     "grid_grib2_probability_scan",
     tags=("grid", "codec", "python", "ingest"),
     oracle="""

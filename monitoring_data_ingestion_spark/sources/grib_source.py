@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 RECORD_SCHEMA = (
     "path string, record_number int, edition int, grid_template int, "
+    "product_template int, "
     "parameter int, category int, number int, "
     "level_type int, level int, level2_type int, level2 int, "
     "year int, month int, day int, hour int, "
@@ -57,7 +58,8 @@ RECORD_SCHEMA = (
 )
 
 _RECORD_COLUMNS = [
-    "path", "record_number", "edition", "grid_template", "parameter",
+    "path", "record_number", "edition", "grid_template",
+    "product_template", "parameter",
     "category", "number", "level_type", "level", "level2_type", "level2",
     "year", "month", "day",
     "hour", "forecast_hours", "statistical_process", "interval_end",
@@ -181,7 +183,7 @@ def _grib2_field_header(s: dict) -> dict:
         # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15):
+    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
         # Spectral records have no Ni/Nj — the inventory LISTS them
@@ -400,6 +402,7 @@ def _decode_batches(
                 ):
                     continue
                 grid_template = stat_process = interval_end = None
+                product_template = None
                 fc_hours = None
                 level2_type = level2 = None
                 time_ranges = None
@@ -497,6 +500,11 @@ def _decode_batches(
                             "with match="
                         )
                     grid_template = rec.grid_template
+                    # which 4.x template produced the record — NULL
+                    # on edition 1 (GRIB1 has no PDT numbering);
+                    # makes 4.7 error fields distinguishable from
+                    # the layout-identical 4.0 analysis
+                    product_template = rec.product_template
                     # GRIB2 parameters are (category, number) pairs with
                     # their own numbering — folding them into GRIB1's
                     # parameter column would collide (c0,n11 vs GRIB1
@@ -650,6 +658,7 @@ def _decode_batches(
                         "record_number": n,
                         "edition": edition,
                         "grid_template": grid_template,
+                        "product_template": product_template,
                         "parameter": parameter,
                         "category": category,
                         "number": number,

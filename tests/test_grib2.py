@@ -1854,6 +1854,60 @@ def test_derived_ensemble_pdts_roundtrip_and_guards():
         decode_grib2(bytes(cut))
 
 
+def test_error_pdt_and_product_template_surface():
+    """PDT 4.7 (analysis/forecast ERROR): its octet layout is IDENTICAL
+    to 4.0's, so the record's ``product_template`` field is the ONLY
+    thing distinguishing an error field from the analysis itself — a
+    decoder without it silently mislabels every error field.  The
+    field carries the template number for the whole supported family,
+    and 4.7 rejects the statistical combination loudly (there is no
+    4.7-statistical sibling in the 4.x numbering)."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    r7 = decode_grib2(encode_grib2_message(v, error=True))
+    assert r7.product_template == 7
+    assert r7.statistical_process is None and r7.ensemble_member is None
+    np.testing.assert_array_equal(r7.values, v)
+    # the whole family surfaces its template number
+    cases = [
+        (dict(), 0),
+        (dict(ensemble=dict(type=3, member=1, size=4)), 1),
+        (dict(derived=dict(type=0, size=4)), 2),
+        (
+            dict(
+                cluster=dict(
+                    type=0, size=4, identifier=1, total=2, method=0,
+                    members=[0], center=(1, 2, 3),
+                )
+            ),
+            4,
+        ),
+        (dict(percentile=90), 6),
+        (
+            dict(
+                statistical=dict(
+                    process=1, interval_end=(2021, 2, 1, 6, 0),
+                    range_hours=6,
+                )
+            ),
+            8,
+        ),
+    ]
+    for kw, want in cases:
+        assert decode_grib2(
+            encode_grib2_message(v, **kw)
+        ).product_template == want, kw
+    with pytest.raises(ValueError, match="does not combine"):
+        encode_grib2_message(
+            v,
+            error=True,
+            statistical=dict(
+                process=1, interval_end=(2021, 2, 1, 6, 0), range_hours=6
+            ),
+        )
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(v, error=True, percentile=50)
+
+
 def test_cluster_pdts_roundtrip_and_guards():
     """PDT 4.3 / 4.4 (derived forecasts from a CLUSTER of ensemble
     members over rectangular / circular domains — the EPS cluster

@@ -153,6 +153,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_gaussian_scan",
         "grid_grib1_rotated_scan",
         "grid_grib2_cluster_scan",
+        "grid_grib2_error_scan",
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_ensemble_scan",
         "grid_grib2_forecast_lead_scan",
@@ -1394,6 +1395,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     "name",
     [
         "grid_grib2_cluster_scan",
+        "grid_grib2_error_scan",
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_probability_scan",
         "grid_grib2_percentile_scan",
