@@ -2035,6 +2035,77 @@ def test_cluster_pdts_roundtrip_and_guards():
         decode_grib2(bytes(cut))
 
 
+@given(
+    tmpl=st.sampled_from(["bounds", "center"]),
+    statistical=st.booleans(),
+    nc=st.integers(1, 254),
+    ident=st.integers(0, 254),
+    total=st.integers(0, 254),
+    method=st.integers(0, 254),
+    sd=st.one_of(
+        st.none(),
+        st.tuples(st.integers(-5, 5), st.integers(0, 10**6)),
+    ),
+    dist=st.one_of(
+        st.none(),
+        st.tuples(st.integers(-5, 5), st.integers(0, 10**6)),
+    ),
+    geom=st.tuples(
+        st.integers(-(10**8), 10**8),
+        st.integers(-(10**8), 10**8),
+        st.integers(-(10**8), 10**8),
+        st.integers(-(10**8), 10**8),
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_cluster_family_roundtrip_property(
+    tmpl, statistical, nc, ident, total, method, sd, dist, geom
+):
+    """PROPERTY: every well-formed cluster spec round-trips through the
+    byte layout — all four templates (4.3/4.4/4.13/4.14), any member
+    count 1-254, any signed scale factors on the deviation/distance
+    pairs, any domain geometry — and the 4.13/4.14 statistical block
+    lands at the right variable offset for EVERY NC (an off-by-one in
+    the offset walk corrupts the interval end for some member count)."""
+    v = np.arange(6, dtype=np.float64).reshape(2, 3)
+    members = [(7 * k + 3) % 255 for k in range(nc)]  # 0..254 each
+    cluster = dict(
+        type=2, size=200, identifier=ident, total=total, method=method,
+        members=members, stddev=sd, distance=dist,
+    )
+    if tmpl == "bounds":
+        cluster["bounds"] = geom
+        want = 13 if statistical else 3
+    else:
+        cluster["center"] = geom[:3]
+        want = 14 if statistical else 4
+    kw = {}
+    if statistical:
+        kw["statistical"] = dict(
+            process=2, interval_end=(2022, 5, 4, 18, 0), range_hours=48
+        )
+    r = decode_grib2(encode_grib2_message(v, cluster=cluster, **kw))
+    assert r.product_template == want
+    # the strategy stays below the 0xFF missing sentinel, so every
+    # header octet round-trips verbatim
+    assert (r.cluster_identifier, r.cluster_total, r.cluster_method) == (
+        ident, total, method,
+    )
+    assert r.cluster_size == nc
+    assert r.cluster_members == tuple(members)
+    for got, spec in ((r.cluster_stddev, sd), (r.cluster_mean_distance, dist)):
+        if spec is None:
+            assert got is None
+        else:
+            assert got == spec[1] / 10.0 ** spec[0]
+    if statistical:
+        assert r.statistical_process == 2
+        assert r.interval_end == (2022, 5, 4, 18, 0)
+    else:
+        assert r.statistical_process is None and r.interval_end is None
+    np.testing.assert_array_equal(r.values, v)
+
+
 def test_probability_pdts_threshold_decode():
     """PDT 4.5/4.9 (probability forecasts): threshold limits decode
     through the signed-magnitude (scale factor, scaled value) pairs —

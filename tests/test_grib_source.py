@@ -401,6 +401,50 @@ def test_surface_level_text_renderings():
     assert surface_level_lenient(None, 3) is None
 
 
+def test_surface_level_renderings_consistency_property():
+    """PROPERTY: the three fixed-surface renderings can never disagree —
+    ``surface_level`` (strict, decode path) raises exactly when
+    ``surface_level_lenient`` is NULL exactly when the exact-decimal
+    ``surface_level_text`` carries a fractional part; when whole, all
+    three render the same integer; and the text is ALWAYS the exact
+    rational value/10^scale (checked with Fraction, no float round
+    trip)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        surface_level,
+        surface_level_lenient,
+        surface_level_text,
+    )
+
+    @given(
+        value=st.integers(0, 10**9),
+        scale=st.one_of(st.none(), st.integers(-6, 9)),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(value, scale):
+        text = surface_level_text(value, scale)
+        lenient = surface_level_lenient(value, scale)
+        exact = Fraction(value, 10 ** scale) if scale and scale > 0 else (
+            Fraction(value) * 10 ** (-scale) if scale else Fraction(value)
+        )
+        assert Fraction(text) == exact
+        if exact.denominator == 1:
+            assert lenient == surface_level(value, scale) == int(exact)
+            assert text == str(int(exact)) and "." not in text
+        else:
+            assert lenient is None and "." in text
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="not a whole level"):
+                surface_level(value, scale)
+
+    check()
+
+
 def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
     """The match= regex runs over header-derived inventory lines BEFORE
     any value bit unpacks — wgrib2 -match pushed into the landing scan.
