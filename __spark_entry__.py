@@ -58,7 +58,12 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # grid_grib2_match_level_decode, grid_grib_match_lead_scan), and
 # grid_grib2_derived_ensemble_scan (adjacent decode branch + the
 # RECORD_SCHEMA growth by the three cluster columns and
-# product_template).  The remaining
+# product_template).  Late in r12 the section walks also grew the
+# torn-file contract (envelope total-length + 7777 validation,
+# IndexError/struct.error → ValueError at every public codec entry —
+# validation-only, no decode semantics changed, exhaustively swept at
+# every truncation offset in tests and re-verified hash-identical
+# across the full 281-query driver-sim).  The remaining
 # landing-path queries also sit downstream of the additive
 # RECORD_SCHEMA change, but their witness evidence is at most two
 # rounds old, every one ran green through the full local driver-sim

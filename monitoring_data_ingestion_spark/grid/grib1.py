@@ -49,13 +49,54 @@ executor-side; a per-cell Python loop would dominate batch time).
 from __future__ import annotations
 
 import datetime
+import functools
 import math
+import struct
 from dataclasses import dataclass
 
 import numpy as np
 
 MAGIC = b"GRIB"
 TERMINATOR = b"7777"
+
+
+def loud_truncation(fn):
+    """Public-codec-boundary guard: torn or corrupt bytes surface as
+    ValueError — the per-record FILE defect a 100 TB landing scan can
+    report and a ``match=`` pushdown can route around — never a raw
+    IndexError/KeyError/struct.error escaping a template read deep in
+    the section walk (those read as engine bugs and put debugging at
+    the wrong layer).  Precise ValueErrors pass through untouched."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (IndexError, KeyError, struct.error) as exc:
+            raise ValueError(
+                f"truncated or corrupt GRIB message "
+                f"({type(exc).__name__}: {exc})"
+            ) from exc
+    return wrapper
+
+
+def _check_grib1_envelope(msg: bytes) -> None:
+    """Indicator + terminator validation shared by the public decode
+    and inspect entry points: the 24-bit total length must equal the
+    buffer handed in and the 7777 terminator must close it — without
+    this, a message whose tail was torn off (rsync/partial download)
+    decodes "successfully" from whatever bytes remain."""
+    if len(msg) < 12 or msg[:4] != MAGIC or msg[7] != EDITION:
+        raise ValueError("not a GRIB edition-1 message")
+    total = _r24(msg, 4)
+    if total != len(msg):
+        raise ValueError(
+            f"GRIB1 message length mismatch (indicator says {total}, "
+            f"have {len(msg)} bytes)"
+        )
+    if msg[-4:] != TERMINATOR:
+        raise ValueError("missing 7777 terminator")
+
+
 EDITION = 1
 _GRID_LATLON = 0
 _GRID_GAUSSIAN = 4  # Gaussian latitude/longitude (data representation type)
@@ -734,6 +775,7 @@ def select_record(buf: bytes, record_number: int) -> bytes:
     raise IndexError(f"record {record_number} not in file")
 
 
+@loud_truncation
 def inspect_grib1(msg: bytes) -> dict:
     """Header-only record inspection — ``wgrib``'s inventory line
     without touching the packed data. Parses PDS + GDS (+ BMS/BDS
@@ -743,8 +785,7 @@ def inspect_grib1(msg: bytes) -> dict:
     (/root/reference/src/file-conversions.js:120-127 picks records by
     number; real wgrib prints exactly these fields)."""
     msg = bytes(msg)
-    if msg[:4] != MAGIC or msg[7] != EDITION:
-        raise ValueError("not a GRIB edition-1 message")
+    _check_grib1_envelope(msg)
     total_len = _r24(msg, 4)
     pos = 8
     pds_len = _r24(msg, pos)
@@ -848,11 +889,11 @@ def _decode_pds_time(
     return tri, forecast_hours, stat_process, interval_end
 
 
+@loud_truncation
 def decode_grib1(msg: bytes) -> Grib1Record:
     """Decode one GRIB1 message (regular lat/lon grid, simple packing)."""
     msg = bytes(msg)
-    if msg[:4] != MAGIC or msg[7] != EDITION:
-        raise ValueError("not a GRIB edition-1 message")
+    _check_grib1_envelope(msg)
     pos = 8
 
     # -- PDS --

@@ -85,6 +85,7 @@ import numpy as np
 # GRIB2 shares GRIB1's bit packing and signed-magnitude 16-bit encoding
 # (both big-endian, top bit = sign) — one implementation, two editions.
 from .grib1 import _pack_bits, _rs16 as _rs16be, _s16 as _s16be, _unpack_bits
+from .grib1 import loud_truncation
 from .grib1 import quantize_simple_packing
 
 MAGIC = b"GRIB"
@@ -2005,11 +2006,14 @@ def _sections(msg: bytes) -> dict[int, bytes]:
     field.  Multi-field messages go through ``_iter_field_sections`` /
     :func:`decode_grib2_fields` instead.  Zero/short section lengths
     are rejected rather than spun on."""
+    _check_grib2_envelope(msg)
     out = {0: msg[:16]}
-    pos = 16
-    while pos < len(msg) - 4:
+    pos, end = 16, len(msg) - 4
+    while pos < end:
+        if pos + 5 > end:
+            raise ValueError("truncated section header")
         length, number = struct.unpack_from(">IB", msg, pos)
-        if length < 5:
+        if length < 5 or pos + length > end:
             raise ValueError(f"malformed section header (length {length})")
         if number in out:
             raise ValueError(
@@ -2018,7 +2022,31 @@ def _sections(msg: bytes) -> dict[int, bytes]:
             )
         out[number] = msg[pos : pos + length]
         pos += length
+    missing = {1, 3, 4, 5, 6, 7} - set(out)
+    if missing:
+        raise ValueError(
+            f"GRIB2 message missing section(s) {sorted(missing)}"
+        )
     return out
+
+
+def _check_grib2_envelope(msg: bytes) -> None:
+    """Indicator + terminator validation shared by every section walk:
+    the 64-bit total length must equal the buffer handed in and the
+    7777 terminator must close it — without this, a message whose tail
+    was torn off (partial download, truncated object) "decodes" from
+    whatever bytes remain, and interior truncations surface as raw
+    IndexError/struct.error instead of the file defect they are."""
+    if len(msg) < 21 or msg[:4] != MAGIC or msg[7] != EDITION:
+        raise ValueError("not a GRIB edition-2 message")
+    (total,) = struct.unpack_from(">Q", msg, 8)
+    if total != len(msg):
+        raise ValueError(
+            f"GRIB2 message length mismatch (indicator says {total}, "
+            f"have {len(msg)} bytes)"
+        )
+    if msg[-4:] != TERMINATOR:
+        raise ValueError("missing 7777 terminator")
 
 
 def _parse_surface(
@@ -2169,14 +2197,15 @@ def _iter_field_sections(msg: bytes):
     truncated trailing field — silent tolerance of a malformed layout
     would mis-attribute payloads to the wrong metadata."""
     msg = bytes(msg)
-    if msg[:4] != MAGIC or msg[7] != EDITION:
-        raise ValueError("not a GRIB edition-2 message")
+    _check_grib2_envelope(msg)
     ctx: dict[int, bytes] = {0: msg[:16]}
     pending: dict[int, bytes] = {}
     prev_s6: bytes | None = None
     yielded = False
     pos, n = 16, len(msg)
     while pos < n - 4:
+        if pos + 5 > n - 4:
+            raise ValueError("truncated section header")
         length, number = struct.unpack_from(">IB", msg, pos)
         if length < 5 or pos + length > n - 4:
             raise ValueError(f"malformed section header (length {length})")
@@ -2240,6 +2269,7 @@ def _iter_field_sections(msg: bytes):
         raise ValueError("GRIB2 message contains no fields")
 
 
+@loud_truncation
 def decode_grib2_fields(msg: bytes) -> "list[Grib2Record]":
     """Decode EVERY field of a (possibly multi-field) GRIB2 message, in
     order.  The landing source scans through this, so submessage
@@ -2248,6 +2278,7 @@ def decode_grib2_fields(msg: bytes) -> "list[Grib2Record]":
     return [_decode_field(s) for s in _iter_field_sections(msg)]
 
 
+@loud_truncation
 def decode_grib2(msg: bytes) -> Grib2Record:
     """Decode one SINGLE-FIELD GRIB2 message.
 
@@ -3057,6 +3088,7 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     )
 
 
+@loud_truncation
 def inventory_lines(msg: bytes) -> list[str]:
     """wgrib2-style inventory, one line per FIELD in message order —
     wgrib2 itself inventories submessages (its N.M numbering), so a
@@ -3065,6 +3097,7 @@ def inventory_lines(msg: bytes) -> list[str]:
     return [_field_inventory(s) for s in _iter_field_sections(msg)]
 
 
+@loud_truncation
 def inventory_line(msg: bytes) -> str:
     """Single-field form of :func:`inventory_lines`: the one inventory
     line of a SINGLE-FIELD message; multi-field messages raise (their
@@ -3081,6 +3114,7 @@ def inventory_line(msg: bytes) -> str:
     return lines[0]
 
 
+@loud_truncation
 def match_records(buf: bytes, pattern: str, limit: int | None = None) -> list[bytes]:
     """``wgrib2 input -match <regex> [-limit n]`` parity
     (/root/reference/src/file-conversions.js:75-99): every message ANY

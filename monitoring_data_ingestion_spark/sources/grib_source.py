@@ -39,6 +39,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..grid.grib1 import loud_truncation
+
 RECORD_SCHEMA = (
     "path string, record_number int, edition int, grid_template int, "
     "product_template int, "
@@ -141,6 +143,7 @@ INVENTORY_SCHEMA = (
 )
 
 
+@loud_truncation
 def _grib2_header(msg: bytes) -> dict:
     """Header-only inspection of a SINGLE-FIELD GRIB2 message (the
     strict byte-level form; multi-field messages reject via
@@ -270,6 +273,7 @@ def _record_units(buf: bytes):
                 yield 2, msg, s
 
 
+@loud_truncation
 def _unified_inventory(edition: int, msg: bytes, s: dict | None = None) -> dict:
     """One header dict per record, both editions, value bits untouched."""
     from ..grid.grib1 import inspect_grib1

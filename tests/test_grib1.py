@@ -661,6 +661,29 @@ def test_spectral_decimal_scale_leaves_00_coefficient_raw():
     assert ibm32_decode(bds[11:15]) == 7.25
 
 
+def test_every_truncation_point_raises_valueerror_grib1():
+    """TORN-FILE CONTRACT for edition 1 (same as the GRIB2 sweep):
+    decode and header-only inspect fail a truncated message at EVERY
+    byte offset with a clean ValueError — never a raw IndexError and
+    never a silent success (before the envelope check, chopping the
+    7777 terminator decoded "successfully")."""
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = encode_grib1_message(v, reference_value=0.0, nbits=8)
+    for k in range(len(msg)):
+        with pytest.raises(ValueError):
+            decode_grib1(msg[:k])
+        with pytest.raises(ValueError):
+            inspect_grib1(msg[:k])
+    np.testing.assert_array_equal(decode_grib1(msg).values, v)
+    # an indicator lying about the total length is rejected
+    lied = bytearray(msg)
+    lied[4:7] = bytes([0, 0, 90])
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_grib1(bytes(lied))
+
+
 def test_grib1_complex_spectral_is_a_documented_boundary():
     """The edition-1 COMPLEX spectral form (flag bits 0b1100 — a
     sub-spectrum pointer with per-producer layouts) stays a documented

@@ -2661,6 +2661,55 @@ def test_spectral_synthesis_warns_on_nonzero_m0_imaginary():
     assert np.array_equal(vals, clean)
 
 
+def test_every_truncation_point_raises_valueerror():
+    """TORN-FILE CONTRACT, exhaustively: at 100 TB, partially-written
+    or torn-tail messages are routine, and every public codec entry
+    must fail them with a clean ValueError — never a raw IndexError /
+    KeyError / struct.error escaping a template read (an engine-bug
+    smell that puts debugging at the wrong layer), and NEVER a silent
+    success (before this contract, chopping the 7777 terminator
+    decoded "successfully" from whatever bytes remained).  Checked at
+    EVERY byte offset of a single-field and a two-field message."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2,
+        decode_grib2_fields,
+        encode_grib2_message,
+        inventory_lines,
+        match_records,
+        merge_grib2_fields,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    single = encode_grib2_message(v, nbits=8, reference_value=0.0)
+    multi = merge_grib2_fields(
+        [
+            encode_grib2_message(v, nbits=8, reference_value=0.0),
+            encode_grib2_message(v + 1.0, nbits=8, reference_value=0.0),
+        ]
+    )
+    for k in range(len(single)):
+        for fn in (decode_grib2, decode_grib2_fields, inventory_lines):
+            with pytest.raises(ValueError):
+                fn(single[:k])
+    for k in range(len(multi)):
+        with pytest.raises(ValueError):
+            decode_grib2_fields(multi[:k])
+    # match over a torn buffer: the scanner stops at the torn message
+    with pytest.raises(ValueError):
+        match_records(single + single[:-7], r".")
+    # intact messages still decode bit-exactly after the hardening
+    np.testing.assert_array_equal(decode_grib2(single).values, v)
+    assert len(decode_grib2_fields(multi)) == 2
+    # a length-consistent message whose indicator LIES about the total
+    # is rejected, not re-framed
+    import struct
+
+    lied = bytearray(single)
+    struct.pack_into(">Q", lied, 8, len(single) + 8)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_grib2(bytes(lied))
+
+
 def test_spectral_guards_and_pairing():
     """Loud stops: non-triangular truncations, foreign representation
     types/modes, grid-vs-packing template mismatches, bitmaps on
