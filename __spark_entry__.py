@@ -41,7 +41,13 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # and grid_grib2_error_scan — PDT 4.7 analysis/forecast-error fields,
 # layout-identical to 4.0, distinguishable only through the new
 # product_template landing column the whole family now carries, NULL
-# on edition 1) + the 11 queries whose implementation changed in
+# on edition 1; and grid_grib_quarantine_scan — the corrupt-record
+# QUARANTINE posture of the landing scan, on_error="quarantine":
+# torn/undecodable records land as error-column rows, the manifest a
+# re-ingest job consumes, while good records before a tear still
+# land; semantic rejects continue the scan, framing tears end the
+# file; RECORD_SCHEMA/INVENTORY_SCHEMA grew the NULL-for-good-rows
+# error column) + the 11 queries whose implementation changed in
 # r12: grid_grib2_stretched_decode (the Schmidt unstretch rebuilt on
 # the half-angle colatitude form with rational sin/cos reconstruction
 # — fixing the r11 near-pole catastrophic cancellation the property
@@ -71,9 +77,9 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # outranks them — per the standing rule the queue fills the rest:
 # the ENTIRE 19-name r5 spill (text_bpe_pair_counts ...
 # window_ntile_stratify, verbatim from the r11 queue comment) and the
-# first 18 (alphabetical) of the 47-name r6 cohort.  2 + 11 + 19 + 18
-# = exactly 50.  The remaining 29 r6 names
-# (grid_contour_cells,
+# first 17 (alphabetical) of the 47-name r6 cohort.  3 + 11 + 19 + 17
+# = exactly 50.  The remaining 30 r6 names
+# (grid_area_weighted_mean, grid_contour_cells,
 # hierarchy_recursive_paths, hierarchy_recursive_rollup,
 # knn_cosine_bruteforce, knn_ivf, knn_mutual_graph, llm_corpus_prep,
 # multimodal_image_phash_neardup, multimodal_video_scene_cut,
@@ -91,9 +97,11 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 _PRIORITY: tuple[str, ...] = (
     # --- 1. new in round 12 (first driver witness): cluster-derived
     #     ensemble products (PDTs 4.3/4.4/4.13/4.14) and the
-    #     product_template column + PDT 4.7 error fields ---
+    #     product_template column + PDT 4.7 error fields + the
+    #     corrupt-record quarantine scan mode ---
     "grid_grib2_cluster_scan",
     "grid_grib2_error_scan",
+    "grid_grib_quarantine_scan",
     # --- 2. changed in round 12: the Schmidt-unstretch numerics fix,
     #     the m=0-imaginary warning on the synthesis path, the lenient
     #     fractional-level inventory rendering, and the RECORD_SCHEMA
@@ -110,9 +118,10 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib_match_lead_scan",
     "grid_grib2_derived_ensemble_scan",
     # --- 3. oldest cohort: the entire 19-name r5 spill (documented in
-    #     the r11 queue comment), then the first 18 of the 47-name r6
-    #     cohort (grid_contour_cells, the 19th name, spills to r13 to
-    #     keep the window at exactly 50) ---
+    #     the r11 queue comment), then the first 17 of the 47-name r6
+    #     cohort (grid_area_weighted_mean and grid_contour_cells, the
+    #     18th/19th names, spill to r13 to keep the window at exactly
+    #     50) ---
     "text_bpe_pair_counts",
     "text_classifier_score",
     "text_html_strip",
@@ -149,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "graph_kcore",
     "graph_substitution_recs",
     "graph_triangle_census",
-    "grid_area_weighted_mean",
 )
 
 

@@ -4061,6 +4061,140 @@ def grid_grib2_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_grib_quarantine_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 59 = 23 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         40 + 2 * ((doc_id * 11 + r.r * 3 + i.i * 7 + j.j * 5) % 30) AS v
+  FROM g,
+       UNNEST(generate_series(0, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+  WHERE r.r <> 1  -- record 2 is the quarantined one: no cells land
+),
+rec AS (
+  SELECT doc_id, rn, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(v) AS BIGINT) AS vsum
+  FROM cells GROUP BY doc_id, rn
+  UNION ALL
+  SELECT doc_id, 2, NULL, NULL FROM g
+  UNION ALL
+  SELECT doc_id, 4, NULL, NULL FROM g
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(CASE WHEN rn IN (2, 4) THEN 1 ELSE 0 END AS BIGINT) AS is_error,
+       CASE rn WHEN 2 THEN 'template' WHEN 4 THEN 'framing' END
+         AS error_kind,
+       n_cells, vsum
+FROM rec
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD QUARANTINE — the 100 TB operational posture of
+    the landing scan: one torn or undecodable record among 100k files
+    must not kill the job, and silently skipping it would be data
+    loss, so ``on_error="quarantine"`` lands it as ONE row with the
+    ``error`` column set (path, record number, the codec's ValueError
+    text) and every other field NULL — the quarantine manifest a
+    re-ingest job consumes — while good records, INCLUDING those
+    before a tear in the same file, land normally (Spark's own
+    PERMISSIVE/columnNameOfCorruptRecord posture, applied to the GRIB
+    codec boundary; the default ``fail`` mode keeps the strict stop
+    every other catalog query runs under).
+
+    Each document's archive carries a good record, a record whose PDT
+    octet is patched to the unsupported 4.20 (semantic reject —
+    quarantined, scan CONTINUES to the next record), another good
+    record, and a torn trailing message (framing reject — quarantined,
+    file ends there since record numbering itself is gone).  The
+    oracle pins the exact 4-row pattern per document: good rows keep
+    their payload sums, error rows carry their kind and NULL payload.
+
+    Scale: identical plan shape to every landing scan (one Arrow
+    decode stage, only statistic rows shuffle) — quarantine adds a
+    per-record try/except, no extra pass and no extra shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 59 == 23) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        40 + 2 * ((d * 11 + r * 3 + i * 7 + j * 5) % 30)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=0, number=1,
+                    reference_value=40.0, binary_scale=1, nbits=8,
+                )
+                msgs = [encode_grib2_message(field(r), **enc) for r in range(3)]
+                # record 2: PDT octet patched to the unsupported 4.20
+                # (a radar template whose layout the 4.0 offsets would
+                # misread) — the decode must quarantine it and CONTINUE
+                bad = bytearray(msgs[1])
+                pos = 16
+                while bad[pos + 4] != 4:
+                    pos += int.from_bytes(bad[pos : pos + 4], "big")
+                bad[pos + 8] = 20
+                # record 4: a torn trailing message (magic present,
+                # body chopped) — framing quarantine ends the file
+                torn = msgs[2][: len(msgs[2]) - 9]
+                content = msgs[0] + bytes(bad) + msgs[2] + torn
+                rows.append({"path": f"doc://{d}", "content": content})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(
+        lambda it: _decode_batches(it, on_error="quarantine"),
+        schema=RECORD_SCHEMA,
+    )
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        F.col("error").isNotNull().cast("bigint").alias("is_error"),
+        F.when(F.col("error").startswith("record framing"), "framing")
+        .when(F.col("error").contains("product definition template"), "template")
+        .alias("error_kind"),
+        F.when(
+            F.col("error").isNull(), F.size("values").cast("bigint")
+        ).alias("n_cells"),
+        F.when(
+            F.col("error").isNull(),
+            F.aggregate("values", zero, lambda a, x: a + x.cast("bigint")),
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
     "grid_grib2_error_scan",
     tags=("grid", "codec", "python", "ingest"),
     oracle="""

@@ -56,7 +56,7 @@ RECORD_SCHEMA = (
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
-    "values array<double>"
+    "values array<double>, error string"
 )
 
 _RECORD_COLUMNS = [
@@ -71,7 +71,7 @@ _RECORD_COLUMNS = [
     "probability_type", "prob_lower_limit", "prob_upper_limit",
     "percentile_value", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
-    "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values",
+    "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values", "error",
 ]
 
 
@@ -139,8 +139,51 @@ INVENTORY_SCHEMA = (
     "category int, number int, level_type int, level int, "
     "level2_type int, level2 int, forecast_hours int, "
     "year int, month int, day int, hour int, ni int, nj int, "
-    "total_bytes int"
+    "total_bytes int, error string"
 )
+
+
+def _parse_on_error(on_error: str) -> bool:
+    """``fail`` (default): a corrupt record fails the whole scan task —
+    the strict posture every oracle query runs under.  ``quarantine``:
+    the 100 TB operational posture — a torn or undecodable record
+    becomes ONE row with the ``error`` column set (path + record
+    number + the codec's ValueError text) and every other field NULL;
+    good records, including those BEFORE a tear in the same file, land
+    normally.  Silent skipping is never an option: the error rows ARE
+    the quarantine manifest a re-ingest job consumes."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'fail' or 'quarantine', got {on_error!r}"
+        )
+    return on_error == "quarantine"
+
+
+def _scan_units(buf: bytes, quarantine: bool):
+    """Record units with FRAMING errors routed per the scan mode: a
+    torn message boundary ends the file's unit stream (nothing after
+    it can be trusted — record numbering itself is gone), surfacing as
+    one ('error', n, text) item in quarantine mode."""
+    it = _record_units(buf)
+    n = 0
+    while True:
+        try:
+            unit = next(it)
+        except StopIteration:
+            return
+        except ValueError as e:
+            if not quarantine:
+                raise
+            yield "error", n + 1, f"record framing: {e}"
+            return
+        n += 1
+        yield "unit", n, unit
+
+
+def _quarantine_row(columns, path: str, n: int, error: str) -> dict:
+    row = dict.fromkeys(columns)
+    row["path"], row["record_number"], row["error"] = path, n, error
+    return row
 
 
 @loud_truncation
@@ -343,363 +386,404 @@ def inventory_line(edition: int, msg: bytes, s: dict | None = None) -> str:
     )
 
 
-def _inventory_batches(batches: "Iterator") -> "Iterator":
+def _inventory_batches(batches: "Iterator", on_error: str = "fail") -> "Iterator":
     import pandas as pd
 
     cols = [
         "path", "record_number", "edition", "parameter", "category",
         "number", "level_type", "level", "level2_type", "level2",
         "forecast_hours", "year", "month", "day", "hour",
-        "ni", "nj", "total_bytes",
+        "ni", "nj", "total_bytes", "error",
     ]
+    quarantine = _parse_on_error(on_error)
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for n, (edition, msg, s) in enumerate(
-                _record_units(bytes(content)), start=1
-            ):
-                rows.append(
-                    {
-                        "path": path,
-                        "record_number": n,
-                        **_unified_inventory(edition, msg, s),
-                    }
-                )
+            for kind, n, payload in _scan_units(bytes(content), quarantine):
+                if kind == "error":
+                    rows.append(_quarantine_row(cols, path, n, payload))
+                    continue
+                edition, msg, s = payload
+                try:
+                    rows.append(
+                        {
+                            "path": path,
+                            "record_number": n,
+                            "error": None,
+                            **_unified_inventory(edition, msg, s),
+                        }
+                    )
+                except ValueError as e:
+                    if not quarantine:
+                        raise
+                    rows.append(_quarantine_row(cols, path, n, str(e)))
         yield pd.DataFrame(rows, columns=cols)
 
 
-def grib_inventory(spark: SparkSession, path: str) -> DataFrame:
+def grib_inventory(
+    spark: SparkSession, path: str, on_error: str = "fail"
+) -> DataFrame:
     """Header-ONLY landing scan: every record's metadata without
     unpacking a single value bit (GRIB1 via ``inspect_grib1``, GRIB2 via
     section splitting). At 100 TB this is the cheap inventory pass —
     I/O still reads the files, but CPU per record is a few hundred
     header bytes, and the output carries no payload arrays at all."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(_inventory_batches, schema=INVENTORY_SCHEMA)
+    return files.mapInPandas(
+        partial(_inventory_batches, on_error=on_error), schema=INVENTORY_SCHEMA
+    )
+
+
+def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
+    """One record unit → one RECORD_SCHEMA row dict, or None when the
+    ``match=`` regex rejects it header-side — the shared per-unit body
+    of the fail-fast and quarantine scan modes (every reject in here
+    is a ValueError, which ``on_error='quarantine'`` converts to an
+    error row instead of failing the whole scan)."""
+    import pandas as pd
+
+    from ..grid.grib1 import decode_grib1
+    from ..grid.grib2 import _decode_field, spectral_synthesis
+
+    # Predicate pushdown to the codec boundary: the regex
+    # runs over the header-derived inventory line, so a
+    # non-matching record costs a header parse — its value
+    # bits are never unpacked (wgrib2 -match semantics).
+    # Records are FIELDS: a multi-field message's fields
+    # number, match and decode independently.
+    if rx is not None and not rx.search(
+        inventory_line(edition, msg, s)
+    ):
+        return None
+    grid_template = stat_process = interval_end = None
+    product_template = None
+    fc_hours = None
+    level2_type = level2 = None
+    time_ranges = None
+    ens_member = ens_size = derived_fc = None
+    cluster_id = cluster_tot = cluster_sz = None
+    prob_type = prob_lo = prob_hi = pctl = None
+    cell_lats = cell_lons = None
+    if edition == 1:
+        rec = decode_grib1(msg)
+        if (
+            rec.spectral_truncation is not None
+            and synthesize_spectral is None
+        ):
+            # Same boundary as the GRIB2 branch: spectral
+            # records have no gridpoint cells to land —
+            # inventory lists them, match= can skip them,
+            # synthesis (grib2.spectral_synthesis) is the
+            # explicit decode route.
+            raise ValueError(
+                f"record {n}: spectral field (T"
+                f"{rec.spectral_truncation}) cannot land as "
+                "gridpoints — synthesize explicitly via "
+                "synthesize_spectral=(nj, ni) / "
+                "grib2.spectral_synthesis, or exclude it "
+                "with match="
+            )
+        level_type, level = rec.level_type, rec.level
+        # Layer level types split octets 11-12 as (top,
+        # bottom); the bottom lands in the unified level2
+        # column with level2_type = the SAME table-3 code
+        # (edition 1 describes a layer with one type), so
+        # "is a layer" is level2 IS NOT NULL across editions.
+        if rec.level2 is not None:
+            level2_type, level2 = rec.level_type, rec.level2
+        parameter = rec.parameter
+        category = number = None
+        # PDS octets 18-21 normalized by the codec onto the
+        # SAME cross-edition surface GRIB2 uses: lead hours,
+        # statistical process in 4.10 numbering (TRI 3
+        # average → 0, TRI 4 accumulation → 1) and the
+        # interval end — so "accumulated precip since f006"
+        # filters identically on mixed-edition archives.
+        fc_hours = rec.forecast_hours
+        stat_process = rec.statistical_process
+        if rec.interval_end is not None:
+            ey, em, ed, eh, emi = rec.interval_end
+            interval_end = pd.Timestamp(
+                year=ey, month=em, day=ed, hour=eh, minute=emi
+            )
+        if rec.gaussian_n is not None:
+            # Edition-1 Gaussian grid: same landing contract
+            # as GRIB2 template 3.40 — no affine latitude
+            # axis (NULL, never a fabricated dlat), exact
+            # quadrature latitudes in microdegrees.
+            lat0 = dlat = None
+            lats_udeg = [
+                int(round(float(v) * 1e6))
+                for v in rec.latitudes_deg
+            ]
+            lon0, dlon = rec.lon_first_mdeg, rec.dlon_mdeg
+        elif rec.rotated_pole is not None:
+            # Edition-1 rotated lat/lon (type 10): same
+            # landing contract as GRIB2 template 3.1 — the
+            # affine fields are ROTATED coordinates (NULL,
+            # never read as geography); true per-cell
+            # coordinates ride the cell arrays.
+            lat0 = lon0 = dlat = dlon = None
+            lats_udeg = None
+            cell_lats = rec.cell_lats_deg.reshape(-1).tolist()
+            cell_lons = rec.cell_lons_deg.reshape(-1).tolist()
+        else:
+            lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
+            dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
+            lats_udeg = None
+    else:
+        rec = _decode_field(s)
+        if (
+            rec.spectral_truncation is not None
+            and synthesize_spectral is None
+        ):
+            # Spherical-harmonic records have NO gridpoint
+            # cells — landing them on RECORD_SCHEMA would
+            # fabricate a zero-increment georef.  The
+            # inventory path LISTS them (ni/nj NULL) and a
+            # ``match=`` regex can skip them header-side;
+            # decoding is the explicit codec route:
+            # decode_grib2(...).spectral_coeffs →
+            # grib2.spectral_synthesis onto a Gaussian grid.
+            raise ValueError(
+                f"record {n}: spectral field (T"
+                f"{rec.spectral_truncation}) cannot land as "
+                "gridpoints — synthesize explicitly via "
+                "synthesize_spectral=(nj, ni) / "
+                "grib2.spectral_synthesis, or exclude it "
+                "with match="
+            )
+        grid_template = rec.grid_template
+        # which 4.x template produced the record — NULL
+        # on edition 1 (GRIB1 has no PDT numbering);
+        # makes 4.7 error fields distinguishable from
+        # the layout-identical 4.0 analysis
+        product_template = rec.product_template
+        # GRIB2 parameters are (category, number) pairs with
+        # their own numbering — folding them into GRIB1's
+        # parameter column would collide (c0,n11 vs GRIB1
+        # TMP=11). Keep the raw pair in their own columns and
+        # leave ``parameter`` NULL; consumers key jointly on
+        # (edition, parameter, category, number).
+        parameter = None
+        category, number = rec.category, rec.number
+        # Template 4.0 first fixed surface → the unified
+        # level columns; coded-missing surfaces stay NULL
+        # (a level filter must fail VISIBLY, not match 0).
+        level_type = rec.level_type
+        level = _apply_surface_scale(rec.level_value, rec.level_scale)
+        # Second fixed surface (octets 29-34): the layer
+        # bottom — NULL (coded missing) on point levels, so
+        # a 0-10 cm soil LAYER can't masquerade as a point
+        # measurement at its top surface.
+        level2_type = rec.level2_type
+        level2 = _apply_surface_scale(
+            rec.level2_value, rec.level2_scale
+        )
+        # Template 4.8 statistical processing: NULL on 4.0
+        # (instantaneous), so accumulation-vs-instantaneous
+        # is filterable on landed archives.
+        stat_process = rec.statistical_process
+        # Templates 4.1/4.11: ensemble membership columns,
+        # NULL on deterministic products — control-vs-
+        # perturbed is filterable on landed archives.
+        ens_member = rec.ensemble_member
+        ens_size = rec.ensemble_size
+        # Templates 4.2/4.12 (derived-ensemble products:
+        # mean / spread) and 4.5/4.9 (probability
+        # forecasts): the derived-forecast code, the
+        # probability type and its decoded threshold
+        # limits land beside the ensemble columns — NULL
+        # everywhere else, so member-vs-mean-vs-P(>thr) is
+        # a plain column filter on landed archives.
+        # Forecast lead (octets 18-22, whole 4.0 family)
+        # in whole hours.
+        fc_hours = rec.forecast_hours
+        derived_fc = rec.derived_forecast
+        # Templates 4.3/4.4 (cluster-derived
+        # forecasts): which cluster, how many
+        # clusters, how many members in this one —
+        # NULL on every other product, so
+        # per-cluster selection is a column filter.
+        cluster_id = rec.cluster_identifier
+        cluster_tot = rec.cluster_total
+        cluster_sz = rec.cluster_size
+        prob_type = rec.probability_type
+        prob_lo = rec.prob_lower_limit
+        prob_hi = rec.prob_upper_limit
+        # Templates 4.6/4.10: the percentile (0-100)
+        # this field represents.
+        pctl = rec.percentile_value
+        # 4.8-family: how many time-range specifications
+        # the statistical section nests — count > 1 marks
+        # a compound statistic ("average of daily maxima")
+        # whose INNER processes are not surfaced.
+        time_ranges = rec.time_range_count
+        if rec.interval_end is not None:
+            ey, em, ed, eh, emi = rec.interval_end
+            interval_end = pd.Timestamp(
+                year=ey, month=em, day=ed, hour=eh, minute=emi
+            )
+        if rec.grid_template in (1, 2, 3, 10, 20, 30):
+            # Projected grids (Mercator / polar stereo /
+            # Lambert) have no affine lat/lon axes, and a
+            # ROTATED and/or STRETCHED lat/lon grid's
+            # (3.1/3.2/3.3) affine axes are coordinates in
+            # the ROTATED/STRETCHED system — reading
+            # either as geography would be silent
+            # corruption, so the mdeg georef stays NULL
+            # (visible, never fabricated) and the
+            # georeference is the per-cell coordinate
+            # arrays in STORAGE order, recovered through the
+            # codec's vectorized inverse projection /
+            # unrotation.
+            lat0 = lon0 = dlat = dlon = None
+            lats_udeg = None
+            cell_lats = rec.cell_lats_deg.reshape(-1).tolist()
+            cell_lons = rec.cell_lons_deg.reshape(-1).tolist()
+        elif rec.row_ni is not None:
+            # Reduced Gaussian rows: quadrature latitudes per
+            # parallel in exact microdegrees AND per-cell
+            # coordinates (rows are ragged — there is no
+            # common Ni/dlon; ``ni`` stays NULL).
+            lat0 = dlat = dlon = None
+            lats_udeg = [
+                int(round(float(v) * 1e6))
+                for v in rec.latitudes_deg
+            ]
+            lon0 = _udeg_to_mdeg(rec.lon_first_udeg)
+            cell_lats = rec.cell_lats_deg.tolist()
+            cell_lons = rec.cell_lons_deg.tolist()
+        elif rec.gaussian_n is not None:
+            # Gaussian rows have no affine latitude axis:
+            # the mdeg georef stays NULL (visible, never a
+            # fabricated dlat) and the exact quadrature
+            # latitudes ride along in microdegrees.
+            lat0 = dlat = None
+            lats_udeg = [
+                int(round(float(v) * 1e6))
+                for v in rec.latitudes_deg
+            ]
+            lon0 = _udeg_to_mdeg(rec.lon_first_udeg)
+            dlon = _udeg_to_mdeg(rec.dlon_udeg)
+        else:
+            lats_udeg = None
+            lat0, lon0 = _udeg_to_mdeg(
+                rec.lat_first_udeg
+            ), _udeg_to_mdeg(rec.lon_first_udeg)
+            dlat, dlon = _udeg_to_mdeg(
+                rec.dlat_udeg
+            ), _udeg_to_mdeg(rec.dlon_udeg)
+    values_arr = rec.values
+    ni_out, nj_out = rec.ni, rec.nj
+    if rec.spectral_truncation is not None:
+        # EXPLICIT synthesis at the scan edge (opt-in): the
+        # spectrum lands as the global Gaussian raster the
+        # caller asked for — quadrature latitudes in exact
+        # microdegrees like a native Gaussian record, lon
+        # axis from 0°E with the affine step, and
+        # grid_template 50 marking the raster as
+        # SYNTHESIZED so consumers can tell it from a
+        # producer-gridded field.  Product metadata (level,
+        # lead, statistics) rides unchanged.
+        nj_s, ni_s = synthesize_spectral
+        if 360_000 % ni_s:
+            raise ValueError(
+                f"synthesis ni={ni_s} must divide the "
+                "360000-mdeg circle for an exact grid step"
+            )
+        values_arr, s_lats = spectral_synthesis(
+            rec.spectral_coeffs,
+            rec.spectral_truncation,
+            nj_s,
+            ni_s,
+        )
+        ni_out, nj_out = ni_s, nj_s
+        grid_template = 50
+        lat0 = dlat = None
+        lats_udeg = [
+            int(round(float(v) * 1e6)) for v in s_lats
+        ]
+        lon0, dlon = 0, 360_000 // ni_s
+        cell_lats = cell_lons = None
+    return (
+        {
+            "path": path,
+            "record_number": n,
+            "edition": edition,
+            "grid_template": grid_template,
+            "product_template": product_template,
+            "parameter": parameter,
+            "category": category,
+            "number": number,
+            "level_type": level_type,
+            "level": level,
+            "level2_type": level2_type,
+            "level2": level2,
+            "year": rec.reftime[0],
+            "month": rec.reftime[1],
+            "day": rec.reftime[2],
+            "hour": rec.reftime[3],
+            "forecast_hours": fc_hours,
+            "statistical_process": stat_process,
+            "interval_end": interval_end,
+            "time_range_count": time_ranges,
+            "ensemble_member": ens_member,
+            "ensemble_size": ens_size,
+            "derived_forecast": derived_fc,
+            "cluster_identifier": cluster_id,
+            "cluster_total": cluster_tot,
+            "cluster_size": cluster_sz,
+            "probability_type": prob_type,
+            "prob_lower_limit": prob_lo,
+            "prob_upper_limit": prob_hi,
+            "percentile_value": pctl,
+            "ni": ni_out,
+            "nj": nj_out,
+            "lat_first_mdeg": lat0,
+            "lon_first_mdeg": lon0,
+            "dlat_mdeg": dlat,
+            "dlon_mdeg": dlon,
+            "latitudes_udeg": lats_udeg,
+            "cell_lats_deg": cell_lats,
+            "cell_lons_deg": cell_lons,
+            "values": values_arr.reshape(-1).tolist(),
+        "error": None,
+        }
+    )
 
 
 def _decode_batches(
     batches: "Iterator",
     match: str | None = None,
     synthesize_spectral: "tuple[int, int] | None" = None,
+    on_error: str = "fail",
 ) -> "Iterator":
     import pandas as pd
 
-    from ..grid.grib1 import decode_grib1
-    from ..grid.grib2 import _decode_field, spectral_synthesis
-
     rx = re.compile(match) if match else None
+    quarantine = _parse_on_error(on_error)
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for n, (edition, msg, s) in enumerate(
-                _record_units(bytes(content)), start=1
-            ):
-                # Predicate pushdown to the codec boundary: the regex
-                # runs over the header-derived inventory line, so a
-                # non-matching record costs a header parse — its value
-                # bits are never unpacked (wgrib2 -match semantics).
-                # Records are FIELDS: a multi-field message's fields
-                # number, match and decode independently.
-                if rx is not None and not rx.search(
-                    inventory_line(edition, msg, s)
-                ):
+            for kind, n, payload in _scan_units(bytes(content), quarantine):
+                if kind == "error":
+                    rows.append(_quarantine_row(_RECORD_COLUMNS, path, n, payload))
                     continue
-                grid_template = stat_process = interval_end = None
-                product_template = None
-                fc_hours = None
-                level2_type = level2 = None
-                time_ranges = None
-                ens_member = ens_size = derived_fc = None
-                cluster_id = cluster_tot = cluster_sz = None
-                prob_type = prob_lo = prob_hi = pctl = None
-                cell_lats = cell_lons = None
-                if edition == 1:
-                    rec = decode_grib1(msg)
-                    if (
-                        rec.spectral_truncation is not None
-                        and synthesize_spectral is None
-                    ):
-                        # Same boundary as the GRIB2 branch: spectral
-                        # records have no gridpoint cells to land —
-                        # inventory lists them, match= can skip them,
-                        # synthesis (grib2.spectral_synthesis) is the
-                        # explicit decode route.
-                        raise ValueError(
-                            f"record {n}: spectral field (T"
-                            f"{rec.spectral_truncation}) cannot land as "
-                            "gridpoints — synthesize explicitly via "
-                            "synthesize_spectral=(nj, ni) / "
-                            "grib2.spectral_synthesis, or exclude it "
-                            "with match="
-                        )
-                    level_type, level = rec.level_type, rec.level
-                    # Layer level types split octets 11-12 as (top,
-                    # bottom); the bottom lands in the unified level2
-                    # column with level2_type = the SAME table-3 code
-                    # (edition 1 describes a layer with one type), so
-                    # "is a layer" is level2 IS NOT NULL across editions.
-                    if rec.level2 is not None:
-                        level2_type, level2 = rec.level_type, rec.level2
-                    parameter = rec.parameter
-                    category = number = None
-                    # PDS octets 18-21 normalized by the codec onto the
-                    # SAME cross-edition surface GRIB2 uses: lead hours,
-                    # statistical process in 4.10 numbering (TRI 3
-                    # average → 0, TRI 4 accumulation → 1) and the
-                    # interval end — so "accumulated precip since f006"
-                    # filters identically on mixed-edition archives.
-                    fc_hours = rec.forecast_hours
-                    stat_process = rec.statistical_process
-                    if rec.interval_end is not None:
-                        ey, em, ed, eh, emi = rec.interval_end
-                        interval_end = pd.Timestamp(
-                            year=ey, month=em, day=ed, hour=eh, minute=emi
-                        )
-                    if rec.gaussian_n is not None:
-                        # Edition-1 Gaussian grid: same landing contract
-                        # as GRIB2 template 3.40 — no affine latitude
-                        # axis (NULL, never a fabricated dlat), exact
-                        # quadrature latitudes in microdegrees.
-                        lat0 = dlat = None
-                        lats_udeg = [
-                            int(round(float(v) * 1e6))
-                            for v in rec.latitudes_deg
-                        ]
-                        lon0, dlon = rec.lon_first_mdeg, rec.dlon_mdeg
-                    elif rec.rotated_pole is not None:
-                        # Edition-1 rotated lat/lon (type 10): same
-                        # landing contract as GRIB2 template 3.1 — the
-                        # affine fields are ROTATED coordinates (NULL,
-                        # never read as geography); true per-cell
-                        # coordinates ride the cell arrays.
-                        lat0 = lon0 = dlat = dlon = None
-                        lats_udeg = None
-                        cell_lats = rec.cell_lats_deg.reshape(-1).tolist()
-                        cell_lons = rec.cell_lons_deg.reshape(-1).tolist()
-                    else:
-                        lat0, lon0 = rec.lat_first_mdeg, rec.lon_first_mdeg
-                        dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
-                        lats_udeg = None
-                else:
-                    rec = _decode_field(s)
-                    if (
-                        rec.spectral_truncation is not None
-                        and synthesize_spectral is None
-                    ):
-                        # Spherical-harmonic records have NO gridpoint
-                        # cells — landing them on RECORD_SCHEMA would
-                        # fabricate a zero-increment georef.  The
-                        # inventory path LISTS them (ni/nj NULL) and a
-                        # ``match=`` regex can skip them header-side;
-                        # decoding is the explicit codec route:
-                        # decode_grib2(...).spectral_coeffs →
-                        # grib2.spectral_synthesis onto a Gaussian grid.
-                        raise ValueError(
-                            f"record {n}: spectral field (T"
-                            f"{rec.spectral_truncation}) cannot land as "
-                            "gridpoints — synthesize explicitly via "
-                            "synthesize_spectral=(nj, ni) / "
-                            "grib2.spectral_synthesis, or exclude it "
-                            "with match="
-                        )
-                    grid_template = rec.grid_template
-                    # which 4.x template produced the record — NULL
-                    # on edition 1 (GRIB1 has no PDT numbering);
-                    # makes 4.7 error fields distinguishable from
-                    # the layout-identical 4.0 analysis
-                    product_template = rec.product_template
-                    # GRIB2 parameters are (category, number) pairs with
-                    # their own numbering — folding them into GRIB1's
-                    # parameter column would collide (c0,n11 vs GRIB1
-                    # TMP=11). Keep the raw pair in their own columns and
-                    # leave ``parameter`` NULL; consumers key jointly on
-                    # (edition, parameter, category, number).
-                    parameter = None
-                    category, number = rec.category, rec.number
-                    # Template 4.0 first fixed surface → the unified
-                    # level columns; coded-missing surfaces stay NULL
-                    # (a level filter must fail VISIBLY, not match 0).
-                    level_type = rec.level_type
-                    level = _apply_surface_scale(rec.level_value, rec.level_scale)
-                    # Second fixed surface (octets 29-34): the layer
-                    # bottom — NULL (coded missing) on point levels, so
-                    # a 0-10 cm soil LAYER can't masquerade as a point
-                    # measurement at its top surface.
-                    level2_type = rec.level2_type
-                    level2 = _apply_surface_scale(
-                        rec.level2_value, rec.level2_scale
+                edition, msg, s = payload
+                try:
+                    row = _decode_record_row(
+                        path, n, edition, msg, s, rx, synthesize_spectral
                     )
-                    # Template 4.8 statistical processing: NULL on 4.0
-                    # (instantaneous), so accumulation-vs-instantaneous
-                    # is filterable on landed archives.
-                    stat_process = rec.statistical_process
-                    # Templates 4.1/4.11: ensemble membership columns,
-                    # NULL on deterministic products — control-vs-
-                    # perturbed is filterable on landed archives.
-                    ens_member = rec.ensemble_member
-                    ens_size = rec.ensemble_size
-                    # Templates 4.2/4.12 (derived-ensemble products:
-                    # mean / spread) and 4.5/4.9 (probability
-                    # forecasts): the derived-forecast code, the
-                    # probability type and its decoded threshold
-                    # limits land beside the ensemble columns — NULL
-                    # everywhere else, so member-vs-mean-vs-P(>thr) is
-                    # a plain column filter on landed archives.
-                    # Forecast lead (octets 18-22, whole 4.0 family)
-                    # in whole hours.
-                    fc_hours = rec.forecast_hours
-                    derived_fc = rec.derived_forecast
-                    # Templates 4.3/4.4 (cluster-derived
-                    # forecasts): which cluster, how many
-                    # clusters, how many members in this one —
-                    # NULL on every other product, so
-                    # per-cluster selection is a column filter.
-                    cluster_id = rec.cluster_identifier
-                    cluster_tot = rec.cluster_total
-                    cluster_sz = rec.cluster_size
-                    prob_type = rec.probability_type
-                    prob_lo = rec.prob_lower_limit
-                    prob_hi = rec.prob_upper_limit
-                    # Templates 4.6/4.10: the percentile (0-100)
-                    # this field represents.
-                    pctl = rec.percentile_value
-                    # 4.8-family: how many time-range specifications
-                    # the statistical section nests — count > 1 marks
-                    # a compound statistic ("average of daily maxima")
-                    # whose INNER processes are not surfaced.
-                    time_ranges = rec.time_range_count
-                    if rec.interval_end is not None:
-                        ey, em, ed, eh, emi = rec.interval_end
-                        interval_end = pd.Timestamp(
-                            year=ey, month=em, day=ed, hour=eh, minute=emi
-                        )
-                    if rec.grid_template in (1, 2, 3, 10, 20, 30):
-                        # Projected grids (Mercator / polar stereo /
-                        # Lambert) have no affine lat/lon axes, and a
-                        # ROTATED and/or STRETCHED lat/lon grid's
-                        # (3.1/3.2/3.3) affine axes are coordinates in
-                        # the ROTATED/STRETCHED system — reading
-                        # either as geography would be silent
-                        # corruption, so the mdeg georef stays NULL
-                        # (visible, never fabricated) and the
-                        # georeference is the per-cell coordinate
-                        # arrays in STORAGE order, recovered through the
-                        # codec's vectorized inverse projection /
-                        # unrotation.
-                        lat0 = lon0 = dlat = dlon = None
-                        lats_udeg = None
-                        cell_lats = rec.cell_lats_deg.reshape(-1).tolist()
-                        cell_lons = rec.cell_lons_deg.reshape(-1).tolist()
-                    elif rec.row_ni is not None:
-                        # Reduced Gaussian rows: quadrature latitudes per
-                        # parallel in exact microdegrees AND per-cell
-                        # coordinates (rows are ragged — there is no
-                        # common Ni/dlon; ``ni`` stays NULL).
-                        lat0 = dlat = dlon = None
-                        lats_udeg = [
-                            int(round(float(v) * 1e6))
-                            for v in rec.latitudes_deg
-                        ]
-                        lon0 = _udeg_to_mdeg(rec.lon_first_udeg)
-                        cell_lats = rec.cell_lats_deg.tolist()
-                        cell_lons = rec.cell_lons_deg.tolist()
-                    elif rec.gaussian_n is not None:
-                        # Gaussian rows have no affine latitude axis:
-                        # the mdeg georef stays NULL (visible, never a
-                        # fabricated dlat) and the exact quadrature
-                        # latitudes ride along in microdegrees.
-                        lat0 = dlat = None
-                        lats_udeg = [
-                            int(round(float(v) * 1e6))
-                            for v in rec.latitudes_deg
-                        ]
-                        lon0 = _udeg_to_mdeg(rec.lon_first_udeg)
-                        dlon = _udeg_to_mdeg(rec.dlon_udeg)
-                    else:
-                        lats_udeg = None
-                        lat0, lon0 = _udeg_to_mdeg(
-                            rec.lat_first_udeg
-                        ), _udeg_to_mdeg(rec.lon_first_udeg)
-                        dlat, dlon = _udeg_to_mdeg(
-                            rec.dlat_udeg
-                        ), _udeg_to_mdeg(rec.dlon_udeg)
-                values_arr = rec.values
-                ni_out, nj_out = rec.ni, rec.nj
-                if rec.spectral_truncation is not None:
-                    # EXPLICIT synthesis at the scan edge (opt-in): the
-                    # spectrum lands as the global Gaussian raster the
-                    # caller asked for — quadrature latitudes in exact
-                    # microdegrees like a native Gaussian record, lon
-                    # axis from 0°E with the affine step, and
-                    # grid_template 50 marking the raster as
-                    # SYNTHESIZED so consumers can tell it from a
-                    # producer-gridded field.  Product metadata (level,
-                    # lead, statistics) rides unchanged.
-                    nj_s, ni_s = synthesize_spectral
-                    if 360_000 % ni_s:
-                        raise ValueError(
-                            f"synthesis ni={ni_s} must divide the "
-                            "360000-mdeg circle for an exact grid step"
-                        )
-                    values_arr, s_lats = spectral_synthesis(
-                        rec.spectral_coeffs,
-                        rec.spectral_truncation,
-                        nj_s,
-                        ni_s,
+                except ValueError as e:
+                    if not quarantine:
+                        raise
+                    rows.append(
+                        _quarantine_row(_RECORD_COLUMNS, path, n, str(e))
                     )
-                    ni_out, nj_out = ni_s, nj_s
-                    grid_template = 50
-                    lat0 = dlat = None
-                    lats_udeg = [
-                        int(round(float(v) * 1e6)) for v in s_lats
-                    ]
-                    lon0, dlon = 0, 360_000 // ni_s
-                    cell_lats = cell_lons = None
-                rows.append(
-                    {
-                        "path": path,
-                        "record_number": n,
-                        "edition": edition,
-                        "grid_template": grid_template,
-                        "product_template": product_template,
-                        "parameter": parameter,
-                        "category": category,
-                        "number": number,
-                        "level_type": level_type,
-                        "level": level,
-                        "level2_type": level2_type,
-                        "level2": level2,
-                        "year": rec.reftime[0],
-                        "month": rec.reftime[1],
-                        "day": rec.reftime[2],
-                        "hour": rec.reftime[3],
-                        "forecast_hours": fc_hours,
-                        "statistical_process": stat_process,
-                        "interval_end": interval_end,
-                        "time_range_count": time_ranges,
-                        "ensemble_member": ens_member,
-                        "ensemble_size": ens_size,
-                        "derived_forecast": derived_fc,
-                        "cluster_identifier": cluster_id,
-                        "cluster_total": cluster_tot,
-                        "cluster_size": cluster_sz,
-                        "probability_type": prob_type,
-                        "prob_lower_limit": prob_lo,
-                        "prob_upper_limit": prob_hi,
-                        "percentile_value": pctl,
-                        "ni": ni_out,
-                        "nj": nj_out,
-                        "lat_first_mdeg": lat0,
-                        "lon_first_mdeg": lon0,
-                        "dlat_mdeg": dlat,
-                        "dlon_mdeg": dlon,
-                        "latitudes_udeg": lats_udeg,
-                        "cell_lats_deg": cell_lats,
-                        "cell_lons_deg": cell_lons,
-                        "values": values_arr.reshape(-1).tolist(),
-                    }
-                )
+                    continue
+                if row is not None:
+                    rows.append(row)
         yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
 
 
@@ -708,6 +792,7 @@ def grib1_records(
     path: str,
     match: str | None = None,
     synthesize_spectral: "tuple[int, int] | None" = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Batch scan of a GRIB landing directory/glob → one row per record.
     ``match`` (regex over :func:`inventory_line`) selects records
@@ -728,6 +813,7 @@ def grib1_records(
             _decode_batches,
             match=match,
             synthesize_spectral=synthesize_spectral,
+            on_error=on_error,
         ),
         schema=RECORD_SCHEMA,
     )
@@ -739,6 +825,7 @@ def grib1_records_stream(
     max_files_per_trigger: int | None = None,
     match: str | None = None,
     synthesize_spectral: "tuple[int, int] | None" = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Streaming scan: files arriving under ``path`` decode incrementally.
     The file source tracks processed files in the checkpoint, so each
@@ -757,6 +844,7 @@ def grib1_records_stream(
             _decode_batches,
             match=match,
             synthesize_spectral=synthesize_spectral,
+            on_error=on_error,
         ),
         schema=RECORD_SCHEMA,
     )

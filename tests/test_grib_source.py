@@ -401,6 +401,78 @@ def test_surface_level_text_renderings():
     assert surface_level_lenient(None, 3) is None
 
 
+def test_quarantine_mode_lands_errors_and_continues(spark, tmp_path):
+    """``on_error="quarantine"``: a torn or undecodable record becomes
+    one row with the ``error`` column set and every other field NULL —
+    never a silent skip — while good records, including those BEFORE
+    the defect in the same file, land normally; a semantic reject lets
+    the scan CONTINUE to the next record, a framing tear ends the file
+    (record numbering after it is gone).  The default ``fail`` mode
+    keeps the strict stop, and an unknown mode is rejected loudly."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib_inventory,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    g1 = encode_grib1_message(v, reference_value=0.0, nbits=8)
+    enc = dict(reference_value=0.0, nbits=8)
+    good = g2.encode_grib2_message(v, **enc)
+    bad = bytearray(good)
+    pos = 16
+    while bad[pos + 4] != 4:
+        pos += int.from_bytes(bad[pos : pos + 4], "big")
+    bad[pos + 8] = 20  # unsupported PDT 4.20
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "mixed.grib"), "wb") as f:
+        f.write(g1 + bytes(bad) + good)
+    with open(os.path.join(landing, "torn.grib"), "wb") as f:
+        f.write(good + g1[:-9])
+    # fail mode: strict stop (both surfaces; either corrupt file may
+    # be scheduled first, so either defect is an acceptable stop)
+    defect = "unsupported product definition|truncated GRIB message"
+    with pytest.raises(Exception, match=defect):
+        grib1_records(spark, landing).collect()
+    with pytest.raises(Exception, match=defect):
+        grib_inventory(spark, landing).collect()
+    with pytest.raises(Exception, match="on_error"):
+        grib1_records(spark, landing, on_error="skip").collect()
+    # quarantine: 3 + 2 rows, error rows NULL everywhere else
+    rows = (
+        grib1_records(spark, landing, on_error="quarantine")
+        .orderBy("path", "record_number")
+        .collect()
+    )
+    by = [(r["path"].rsplit("/", 1)[-1], r["record_number"]) for r in rows]
+    assert by == [
+        ("mixed.grib", 1), ("mixed.grib", 2), ("mixed.grib", 3),
+        ("torn.grib", 1), ("torn.grib", 2),
+    ]
+    errs = {(p, n): r["error"] for (p, n), r in zip(by, rows)}
+    assert errs[("mixed.grib", 1)] is None
+    assert "template 20" in errs[("mixed.grib", 2)]
+    assert errs[("mixed.grib", 3)] is None
+    assert errs[("torn.grib", 1)] is None
+    assert errs[("torn.grib", 2)].startswith("record framing")
+    for r in rows:
+        if r["error"] is None:
+            assert r["values"] is not None and len(r["values"]) == 12
+        else:
+            assert r["values"] is None and r["edition"] is None
+    # inventory surface mirrors the same manifest
+    inv = (
+        grib_inventory(spark, landing, on_error="quarantine")
+        .orderBy("path", "record_number")
+        .collect()
+    )
+    assert [(r["record_number"], r["error"] is not None) for r in inv] == [
+        (1, False), (2, True), (3, False), (1, False), (2, True),
+    ]
+
+
 def test_surface_level_renderings_consistency_property():
     """PROPERTY: the three fixed-surface renderings can never disagree —
     ``surface_level`` (strict, decode path) raises exactly when
