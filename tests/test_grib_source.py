@@ -473,6 +473,59 @@ def test_quarantine_mode_lands_errors_and_continues(spark, tmp_path):
     ]
 
 
+def test_streaming_quarantine_equals_batch(spark, tmp_path):
+    """Quarantine mode under the MICRO-BATCH engine: a landing whose
+    files carry a semantic-reject record and a framing tear drains
+    through readStream + AvailableNow to exactly the batch quarantine
+    manifest — per-record error rows land in the stream too, and a
+    corrupt file cannot kill an incremental ingest job."""
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    enc = dict(reference_value=0.0, nbits=8)
+    good = g2.encode_grib2_message(v, **enc)
+    bad = bytearray(good)
+    pos = 16
+    while bad[pos + 4] != 4:
+        pos += int.from_bytes(bad[pos : pos + 4], "big")
+    bad[pos + 8] = 20
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "a.grib"), "wb") as f:
+        f.write(good + bytes(bad) + good)
+    with open(os.path.join(landing, "b.grib"), "wb") as f:
+        f.write(good + good[:-9])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        grib1_records_stream(
+            spark, landing, max_files_per_trigger=1, on_error="quarantine"
+        )
+        .drop("values")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["path", "record_number", "error"]
+    streamed = sorted(
+        map(tuple, spark.read.parquet(out).select(*cols).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            grib1_records(spark, landing, on_error="quarantine")
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert streamed == batch
+    assert [e is not None for _, _, e in streamed] == [
+        False, True, False, False, True,
+    ]
+
+
 def test_surface_level_renderings_consistency_property():
     """PROPERTY: the three fixed-surface renderings can never disagree —
     ``surface_level`` (strict, decode path) raises exactly when
