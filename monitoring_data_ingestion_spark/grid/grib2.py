@@ -42,7 +42,12 @@ the ``wgrib`` edition-1 path:
   processing over a time interval (process code + interval end); 4.1 /
   4.11 — individual ensemble member (type, perturbation number,
   ensemble size), 4.11 with the statistical block following the three
-  ensemble octets.
+  ensemble octets; 4.2/4.12 — derived-ensemble products; 4.3/4.4 and
+  4.13/4.14 — cluster-derived products (rectangular/circular domains,
+  the 4.13/4.14 statistical block at a VARIABLE offset after the
+  member list); 4.5/4.9 — probability, 4.6/4.10 — percentile, 4.7 —
+  analysis/forecast error (4.0's layout, distinguished only by the
+  surfaced product_template), 4.15 — spatio-statistical processing.
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -2285,13 +2290,16 @@ def decode_grib2(msg: bytes) -> Grib2Record:
     Grid templates 3.0 (lat/lon), 3.10 (Mercator), 3.20 (polar
     stereographic), 3.30 (Lambert conformal), 3.40 (global Gaussian,
     regular AND reduced per-row-Ni form), 3.50 (spherical harmonic
-    coefficients, triangular); product templates 4.0/4.1/
-    4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12 (ensemble members,
-    derived-ensemble products, probability forecasts, percentile
-    forecasts, statistical intervals); data
+    coefficients, triangular), plus the rotated/stretched lat/lon
+    forms 3.1/3.2/3.3; product templates 4.0-4.15 (ensemble members,
+    derived-ensemble and cluster-derived products, probability
+    forecasts, percentile forecasts, analysis/forecast error,
+    statistical intervals, spatio-statistical processing — the whole
+    operational family; the record's ``product_template`` carries the
+    number); data
     representation templates 5.0 (simple), 5.2/5.3 (complex ±
-    spatial differencing), 5.40 (JPEG2000), 5.41 (PNG), 5.50
-    (spectral simple packing — must pair with 3.50).  Everything
+    spatial differencing), 5.40 (JPEG2000), 5.41 (PNG), 5.50/5.51
+    (spectral simple/complex packing — must pair with 3.50).  Everything
     else raises — including multi-field messages, which this strict
     single-record API rejects via ``_sections``; use
     :func:`decode_grib2_fields` for those."""
