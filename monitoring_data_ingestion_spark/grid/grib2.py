@@ -2129,9 +2129,13 @@ def surface_level_text(value: int | None, scale: int | None) -> str:
         return str(int(value))
     if scale < 0:
         return str(int(value) * 10 ** (-scale))
-    digits = str(int(value)).rjust(scale + 1, "0")
+    # Scaled values are signed (octet 11's sign bit): format the
+    # magnitude, then re-prepend the sign — zero-padding a "-5" would
+    # otherwise mangle to "-.5" / "0.-5".
+    sign = "-" if int(value) < 0 else ""
+    digits = str(abs(int(value))).rjust(scale + 1, "0")
     text = f"{digits[:-scale]}.{digits[-scale:]}".rstrip("0").rstrip(".")
-    return text
+    return sign + text
 
 
 def parse_second_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:

@@ -434,6 +434,7 @@ def grib_inventory(
     )
 
 
+@loud_truncation
 def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
     """One record unit → one RECORD_SCHEMA row dict, or None when the
     ``match=`` regex rejects it header-side — the shared per-unit body

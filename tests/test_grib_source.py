@@ -396,6 +396,14 @@ def test_surface_level_text_renderings():
     assert surface_level_text(10, 1) == "1"
     assert surface_level_text(5, -2) == "500"
     assert surface_level_text(1, 6) == "0.000001"
+    # scaled surface values are SIGNED (octet 11 sign bit): the sign
+    # rides outside the zero-padding, never inside it
+    assert surface_level_text(-5, 1) == "-0.5"
+    assert surface_level_text(-5, 2) == "-0.05"
+    assert surface_level_text(-50, 1) == "-5"
+    assert surface_level_text(-500, 0) == "-500"
+    assert surface_level_text(-5, -2) == "-500"
+    assert surface_level_text(-1995, 3) == "-1.995"
     assert surface_level_lenient(995, 3) is None
     assert surface_level_lenient(1000, 3) == 1
     assert surface_level_lenient(None, 3) is None
@@ -523,6 +531,62 @@ def test_streaming_quarantine_equals_batch(spark, tmp_path):
     assert streamed == batch
     assert [e is not None for _, _, e in streamed] == [
         False, True, False, False, True,
+    ]
+
+
+def test_quarantine_survives_internally_short_section(spark, tmp_path):
+    """A WELL-FRAMED record whose interior section is short (envelope
+    length and 7777 check out, but section 1 declares 13 of its 21
+    octets) must quarantine like any other defect — the raw
+    struct.error a template read raises deep in the section walk
+    surfaces as ValueError at the record boundary
+    (``_decode_record_row`` is @loud_truncation-guarded), never
+    escaping to fail the whole scan task.  The inventory surface
+    already quarantined this file; the scan surface must match."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib_inventory,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    good = g2.encode_grib2_message(v, reference_value=0.0, nbits=8)
+    buf = bytearray(good)
+    l1 = int.from_bytes(buf[16:20], "big")
+    assert l1 == 21
+    short = bytearray(buf[: 16 + 13])
+    short[16:20] = (13).to_bytes(4, "big")
+    bad = bytes(short) + bytes(buf[16 + l1 :])
+    # keep the envelope honest: total length matches, 7777 intact
+    bad = bad[:8] + len(bad).to_bytes(8, "big") + bad[16:]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "short_s1.grib"), "wb") as f:
+        f.write(good + bad + good)
+    # fail mode: a ValueError (the codec contract), NOT a raw
+    # struct.error reading as an engine bug
+    with pytest.raises(Exception, match="truncated or corrupt GRIB"):
+        grib1_records(spark, landing).collect()
+    rows = (
+        grib1_records(spark, landing, on_error="quarantine")
+        .orderBy("record_number")
+        .collect()
+    )
+    assert [r["record_number"] for r in rows] == [1, 2, 3]
+    assert rows[0]["error"] is None and rows[2]["error"] is None
+    assert "truncated or corrupt GRIB" in rows[1]["error"]
+    assert rows[1]["values"] is None and rows[1]["edition"] is None
+    for r in (rows[0], rows[2]):
+        assert len(r["values"]) == 12
+    # inventory parity: same manifest shape for the same file
+    inv = (
+        grib_inventory(spark, landing, on_error="quarantine")
+        .orderBy("record_number")
+        .collect()
+    )
+    assert [(r["record_number"], r["error"] is not None) for r in inv] == [
+        (1, False), (2, True), (3, False),
     ]
 
 
