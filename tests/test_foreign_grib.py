@@ -1,0 +1,334 @@
+"""FOREIGN-BYTES interop witness: decode GRIB messages the engine's own
+encoder NEVER touched.
+
+Every other codec test round-trips through ``encode_grib*_message``, so a
+convention bug shared by encoder and decoder (sign-magnitude placement,
+IBM-float interpretation, scan-order normalization, D-scale side) would
+round-trip invisibly.  The messages here are hand-assembled octet by
+octet from the PUBLISHED WMO FM 92 layouts (GRIB1: WMO Manual on Codes
+edition-1 sections 0-5; GRIB2: templates 3.0 / 4.0 / 5.0), with the
+expected field values computed BY HAND from the packing formula
+
+    Y = (R + X * 2**E) / 10**D
+
+— the construction deliberately exercises the conventions a
+self-round-trip cannot probe:
+
+* sign-magnitude negatives in La1/La2 (24-bit, GRIB1), La1/La2 (32-bit,
+  GRIB2), the binary scale E (16-bit, both editions) and the decimal
+  scale D;
+* the IBM System/360 32-bit float reference value in GRIB1 (0x42640000
+  = +100.0: exponent nibble 0x42 → 16**(66-64), mantissa 0x640000 /
+  2**24) vs IEEE 754 in GRIB2 (0x40500000 = +3.25);
+* scanning mode 0x40 (+j, south row stored FIRST — the regional-product
+  layout) in GRIB1, which the decoder must normalize to the engine's
+  north-first view;
+* a non-byte-aligned 10-bit packing width in GRIB2 (60 data bits, 4
+  trailing pad bits);
+* BDS padding to even length with declared unused bits (GRIB1).
+
+Parity target: the reference service consumes real CDS-produced GRIB
+(reference src/file-conversions.js:114-156) — these fixtures stand in
+for a foreign producer in an offline environment.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def _foreign_grib1() -> bytes:
+    """GRIB1: TMP (11) at 850 hPa, reftime 2024-02-29 12:00, +6 h
+    forecast, 3x2 lat/lon grid stored SOUTH ROW FIRST (scan 0x40),
+    D=1, E=-1, R=+100.0 (IBM float), 8-bit packing.
+
+    Stored X (south row, then north row): [100, 200, 255, 0, 10, 25]
+    Y = (100 + X/2) / 10:
+        south row: 15.0, 20.0, 22.75
+        north row: 10.0, 10.5, 11.25
+    """
+    # -- PDS (28 octets) -------------------------------------------
+    pds = bytes(
+        [
+            0x00, 0x00, 0x1C,  # 1-3   section length 28
+            2,                 # 4     parameter table version
+            7,                 # 5     originating centre (NCEP)
+            96,                # 6     generating process
+            255,               # 7     grid identification
+            0x80,              # 8     flags: GDS present, no BMS
+            11,                # 9     parameter: TMP
+            100,               # 10    level type: isobaric (hPa)
+        ]
+    ) + struct.pack(">H", 850) + bytes(  # 11-12 level value
+        [
+            24,                # 13    year of century (2024)
+            2, 29, 12, 0,      # 14-17 month/day/hour/minute (leap day)
+            1,                 # 18    time unit: hour
+            6,                 # 19    P1 = 6
+            0,                 # 20    P2
+            0,                 # 21    time range indicator: forecast at +P1
+            0, 0,              # 22-23 number in average
+            0,                 # 24    number missing
+            21,                # 25    century (year = 20*100 + 24)
+            0,                 # 26    sub-centre
+            0x00, 0x01,        # 27-28 decimal scale D = +1 (sign-magnitude)
+        ]
+    )
+    assert len(pds) == 28
+    # -- GDS (32 octets, lat/lon type 0) ---------------------------
+    gds = bytes(
+        [
+            0x00, 0x00, 0x20,  # 1-3   section length 32
+            0,                 # 4     NV
+            255,               # 5     PV/PL: none
+            0,                 # 6     data representation: lat/lon
+            0x00, 0x03,        # 7-8   Ni = 3
+            0x00, 0x02,        # 9-10  Nj = 2
+            # 11-13 La1 = -11.000 deg (sign-magnitude 24-bit, mdeg):
+            # 11000 = 0x002AF8, sign bit set
+            0x80, 0x2A, 0xF8,
+            # 14-16 Lo1 = +30.000 deg = 30000 mdeg
+            0x00, 0x75, 0x30,
+            0x80,              # 17    resolution: increments given
+            # 18-20 La2 = -10.500 deg -> 10500 = 0x002904, sign set
+            0x80, 0x29, 0x04,
+            # 21-23 Lo2 = +32.000 deg
+            0x00, 0x7D, 0x00,
+            0x03, 0xE8,        # 24-25 Di = 1000 mdeg
+            0x01, 0xF4,        # 26-27 Dj =  500 mdeg
+            0x40,              # 28    scanning mode: +i, +j (south first)
+            0, 0, 0, 0,        # 29-32 reserved
+        ]
+    )
+    assert len(gds) == 32
+    # -- BDS (18 octets: 11 header + 6 data + 1 pad) ---------------
+    # X packed at 8 bits in STORAGE order (south row first).
+    data = bytes([100, 200, 255, 0, 10, 25])
+    bds = (
+        bytes(
+            [
+                0x00, 0x00, 0x12,  # 1-3  section length 18 (even)
+                0x08,              # 4    flags 0000 + 8 unused trailing bits
+                0x80, 0x01,        # 5-6  binary scale E = -1 (sign-magnitude)
+                # 7-10 reference value, IBM 32-bit float: +100.0
+                0x42, 0x64, 0x00, 0x00,
+                8,                 # 11   bits per value
+            ]
+        )
+        + data
+        + b"\x00"  # pad to even length (the 8 unused bits)
+    )
+    assert len(bds) == 18
+    total = 8 + len(pds) + len(gds) + len(bds) + 4
+    sec0 = b"GRIB" + total.to_bytes(3, "big") + bytes([1])
+    return sec0 + pds + gds + bds + b"7777"
+
+
+def _pack_bits_10(xs: list[int]) -> bytes:
+    """Big-endian 10-bit bitstream, zero-padded to a whole byte."""
+    bits = "".join(f"{x:010b}" for x in xs)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def _foreign_grib2() -> bytes:
+    """GRIB2: temperature (0,0) at 2 m, reftime 2023-07-15 00:00,
+    +12 h forecast, 3x2 lat/lon grid scanned north-first with NEGATIVE
+    latitudes, D=1, E=-1, R=+3.25 (IEEE), 10-bit packing.
+
+    X (north row, then south row): [0, 1, 512, 1000, 3, 1023]
+    Y = (3.25 + X/2) / 10:
+        north row: 0.325, 0.375, 25.925
+        south row: 50.325, 0.475, 51.475
+    """
+    # -- Section 1: identification (21 octets) ---------------------
+    sec1 = (
+        struct.pack(">IB", 21, 1)
+        + struct.pack(">HH", 98, 0)  # centre (ECMWF), sub-centre
+        + bytes([2, 0, 1])           # master tables, local tables, sig=start
+        + struct.pack(">H", 2023)
+        + bytes([7, 15, 0, 0, 0])    # month day hour minute second
+        + bytes([0, 1])              # production status, type of data
+    )
+    assert len(sec1) == 21
+    # -- Section 3: grid definition, template 3.0 (72 octets) ------
+    sec3 = (
+        struct.pack(">IB", 72, 3)
+        + bytes([0])                    # source of grid definition
+        + struct.pack(">I", 6)          # number of data points
+        + bytes([0, 0])                 # no optional list
+        + struct.pack(">H", 0)          # template 3.0
+        + bytes([6, 0])                 # shape of earth, radius scale
+        + struct.pack(">I", 0)          # scaled radius
+        + bytes([0]) + struct.pack(">I", 0)  # major axis
+        + bytes([0]) + struct.pack(">I", 0)  # minor axis
+        + struct.pack(">II", 3, 2)      # Ni, Nj
+        + struct.pack(">II", 0, 0)      # basic angle, subdivisions
+        # La1 = -10.5 deg = sign-magnitude 10_500_000 udeg
+        + struct.pack(">I", 0x80000000 | 10_500_000)
+        + struct.pack(">I", 30_000_000)  # Lo1 = +30 deg
+        + bytes([0x30])                  # resolution: i and j increments given
+        # La2 = -11.0 deg
+        + struct.pack(">I", 0x80000000 | 11_000_000)
+        + struct.pack(">I", 32_000_000)  # Lo2 = +32 deg
+        + struct.pack(">II", 1_000_000, 500_000)  # Di, Dj (udeg)
+        + bytes([0x00])                  # scanning mode: +i, -j (north first)
+    )
+    assert len(sec3) == 72
+    # -- Section 4: product definition, template 4.0 (34 octets) ---
+    sec4 = (
+        struct.pack(">IB", 34, 4)
+        + struct.pack(">H", 0)        # NV coordinate values
+        + struct.pack(">H", 0)        # template 4.0
+        + bytes([0, 0])               # category 0, number 0 (temperature)
+        + bytes([2, 0, 0])            # gen process type, background, process
+        + struct.pack(">H", 0)        # hours after cutoff
+        + bytes([0])                  # minutes after cutoff
+        + bytes([1])                  # time unit: hour
+        + struct.pack(">I", 12)       # forecast time = +12
+        + bytes([103, 0]) + struct.pack(">I", 2)  # level: 2 m above ground
+        + bytes([255, 255]) + b"\xff\xff\xff\xff"  # second surface: missing
+    )
+    assert len(sec4) == 34
+    # -- Section 5: data representation, template 5.0 (21 octets) --
+    sec5 = (
+        struct.pack(">IB", 21, 5)
+        + struct.pack(">I", 6)        # number of packed points
+        + struct.pack(">H", 0)        # template 5.0 (simple packing)
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25 IEEE 754
+        + bytes([0x80, 0x01])         # E = -1 (sign-magnitude)
+        + bytes([0x00, 0x01])         # D = +1 (sign-magnitude)
+        + bytes([10])                 # bits per value
+        + bytes([0])                  # original field type: float
+    )
+    assert len(sec5) == 21
+    # -- Section 6: bitmap (none) ----------------------------------
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    # -- Section 7: data -------------------------------------------
+    payload = _pack_bits_10([0, 1, 512, 1000, 3, 1023])
+    assert len(payload) == 8  # 60 bits + 4 pad
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = 16 + len(sec1) + len(sec3) + len(sec4) + len(sec5) + len(sec6) + len(sec7) + 4
+    sec0 = b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total)
+    return sec0 + sec1 + sec3 + sec4 + sec5 + sec6 + sec7 + b"7777"
+
+
+def test_foreign_grib1_decodes_to_pinned_values():
+    from monitoring_data_ingestion_spark.grid.grib1 import (
+        decode_grib1,
+        inspect_grib1,
+    )
+
+    msg = _foreign_grib1()
+    rec = decode_grib1(msg)
+    assert rec.parameter == 11
+    assert rec.level_type == 100 and rec.level == 850
+    assert rec.reftime == (2024, 2, 29, 12, 0)
+    assert rec.forecast_hours == 6
+    assert rec.decimal_scale == 1 and rec.binary_scale == -1
+    assert rec.reference_value == 100.0  # IBM 0x42640000 read exactly
+    assert rec.nbits == 8
+    assert (rec.ni, rec.nj) == (3, 2)
+    # scan 0x40 normalizes to the engine's north-first view
+    assert rec.lat_first_mdeg == -10500
+    assert rec.lon_first_mdeg == 30000
+    assert rec.dlat_mdeg == 500 and rec.dlon_mdeg == 1000
+    expected = np.array(
+        [[10.0, 10.5, 11.25], [15.0, 20.0, 22.75]]
+    )
+    np.testing.assert_allclose(rec.values, expected, rtol=0, atol=1e-12)
+    # the header-only inventory agrees with the full decode
+    h = inspect_grib1(msg)
+    assert h["parameter"] == 11
+    assert h["level_type"] == 100 and h["level"] == 850
+
+
+def test_foreign_grib2_decodes_to_pinned_values():
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2())
+    assert rec.discipline == 0
+    assert (rec.category, rec.number) == (0, 0)
+    assert rec.reftime == (2023, 7, 15, 0, 0)
+    assert rec.forecast_hours == 12
+    assert rec.level_type == 103
+    assert (rec.level_scale, rec.level_value) == (0, 2)
+    assert rec.level2_type is None  # coded missing
+    assert rec.decimal_scale == 1 and rec.binary_scale == -1
+    assert rec.reference_value == 3.25
+    assert rec.nbits == 10
+    assert (rec.ni, rec.nj) == (3, 2)
+    assert rec.lat_first_udeg == -10_500_000
+    assert rec.lon_first_udeg == 30_000_000
+    assert rec.dlat_udeg == 500_000 and rec.dlon_udeg == 1_000_000
+    expected = np.array(
+        [[0.325, 0.375, 25.925], [50.325, 0.475, 51.475]]
+    )
+    np.testing.assert_allclose(rec.values, expected, rtol=0, atol=1e-12)
+
+
+def test_foreign_messages_land_through_the_scan(spark, tmp_path):
+    """The same foreign bytes travel the full Spark landing path: one
+    file, both editions, mixed — every row lands with the hand-pinned
+    geography and values, no quarantine, no reorder surprises."""
+    import os
+
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib1_records,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "foreign.grib"), "wb") as f:
+        f.write(_foreign_grib1() + _foreign_grib2())
+    rows = (
+        grib1_records(spark, landing)
+        .orderBy("record_number")
+        .collect()
+    )
+    assert [r["edition"] for r in rows] == [1, 2]
+    g1, g2 = rows
+    assert g1["parameter"] == 11 and g1["level"] == 850
+    assert g1["forecast_hours"] == 6
+    assert g1["lat_first_mdeg"] == -10500 and g1["dlat_mdeg"] == 500
+    np.testing.assert_allclose(
+        np.array(g1["values"]).reshape(2, 3),
+        [[10.0, 10.5, 11.25], [15.0, 20.0, 22.75]],
+        rtol=0, atol=1e-12,
+    )
+    assert (g2["category"], g2["number"]) == (0, 0)
+    assert g2["forecast_hours"] == 12 and g2["level"] == 2
+    # GRIB2 udeg georef normalizes onto the shared mdeg columns
+    assert g2["lat_first_mdeg"] == -10_500
+    assert g2["dlat_mdeg"] == 500
+    np.testing.assert_allclose(
+        np.array(g2["values"]).reshape(2, 3),
+        [[0.325, 0.375, 25.925], [50.325, 0.475, 51.475]],
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_foreign_grib1_value_formula_cross_check():
+    """The pinned expectations themselves re-derive from first
+    principles here (not from the codec): IBM float bits -> R by the
+    16**(e-64) formula, then Y = (R + X*2**E)/10**D — so a wrong pin
+    cannot hide behind a matching wrong decode."""
+    raw = 0x42640000
+    sign = -1.0 if raw >> 31 else 1.0
+    r = sign * (raw & 0xFFFFFF) / 2**24 * 16 ** ((raw >> 24 & 0x7F) - 64)
+    assert r == 100.0
+    xs = np.array([100, 200, 255, 0, 10, 25], dtype=np.float64)
+    ys = (r + xs * 2.0**-1) / 10.0**1
+    np.testing.assert_allclose(
+        ys, [15.0, 20.0, 22.75, 10.0, 10.5, 11.25], rtol=0, atol=0
+    )
+    ieee = struct.unpack(">f", bytes([0x40, 0x50, 0x00, 0x00]))[0]
+    assert ieee == 3.25
+    xs2 = np.array([0, 1, 512, 1000, 3, 1023], dtype=np.float64)
+    ys2 = (ieee + xs2 * 2.0**-1) / 10.0**1
+    np.testing.assert_allclose(
+        ys2, [0.325, 0.375, 25.925, 50.325, 0.475, 51.475], rtol=0, atol=0
+    )
