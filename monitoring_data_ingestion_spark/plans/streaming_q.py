@@ -791,6 +791,219 @@ def era5_grib_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_torn_grib1_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached TORN sibling of the 36-month flagship landing:
+    every month-file copied verbatim except ``era5_2022_06.grib``,
+    which is cut 40 bytes into its second record (tp) — the partial
+    download a crashed transfer leaves behind.  Record 1 (t2m) of the
+    torn month is intact and must still land."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .catalog import session_cache_suffix
+    from .grid_q import ensure_grib1_landing
+
+    src = ensure_grib1_landing(spark, sf_dir, n_months=36)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_grib_torn_{session_cache_suffix(spark, src)}",
+    )
+    complete = os.path.join(base, "_complete")
+    landing = os.path.join(base, "landing")
+    if not os.path.exists(complete):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(landing)
+        for name in sorted(os.listdir(src)):
+            with open(os.path.join(src, name), "rb") as f:
+                data = f.read()
+            if name == "era5_2022_06.grib":
+                rec1_len = int.from_bytes(data[4:7], "big")
+                data = data[: rec1_len + 40]
+            tmp = os.path.join(landing, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.rename(tmp, os.path.join(landing, name))
+        open(complete, "w").close()
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return landing
+
+
+@query(
+    "era5_grib_quarantine_publish",
+    tags=("streaming", "grid", "codec", "pipeline", "quarantine"),
+    oracle="""
+WITH cells AS (
+  SELECT t.t // 12 AS y, t.t % 12 AS mo, p.p AS p, i.i AS i, j.j AS j,
+         CAST(100 + 50 * p.p + 2 * ((t.t * 17 + p.p * 23 + i.i * 3 + j.j * 5) % 50)
+              AS DOUBLE) AS v
+  FROM UNNEST(generate_series(0, 35)) AS t(t),
+       UNNEST(generate_series(0, 1)) AS p(p),
+       UNNEST(generate_series(0, 9)) AS i(i),
+       UNNEST(generate_series(0, 5)) AS j(j)
+),
+normals AS (
+  SELECT p, i, j, mo, AVG(v) AS normal
+  FROM cells WHERE y < 2 GROUP BY p, i, j, mo
+),
+published AS (
+  SELECT make_timestamp(2020 + c.y, c.mo + 1, 1, 0, 0, 0) AS time,
+         CASE WHEN c.p = 0 THEN 't2m' ELSE 'tp' END AS variable,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(SUM(c.v - n.normal), 6) AS sum_anomaly
+  FROM cells c
+  JOIN normals n ON c.p = n.p AND c.i = n.i AND c.j = n.j AND c.mo = n.mo
+  WHERE NOT (c.y = 2 AND c.mo = 5 AND c.p = 1)
+  GROUP BY 1, 2
+)
+SELECT 'published' AS kind, time, variable, n_rows, sum_anomaly FROM published
+UNION ALL
+SELECT 'quarantined' AS kind, make_timestamp(2022, 6, 1, 0, 0, 0) AS time,
+       CAST(NULL AS VARCHAR) AS variable, CAST(1 AS BIGINT) AS n_rows,
+       CAST(NULL AS DOUBLE) AS sum_anomaly
+ORDER BY kind, time, variable
+""",
+)
+def era5_grib_quarantine_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship service loop UNDER DAMAGE — the full operational
+    story of commit ordering + quarantine: the 36-month byte-real
+    landing with one month-file torn mid-record (a partial download)
+    drains through the SAME micro-batch pipeline as
+    ``era5_grib_anomaly_pipeline``, with ``on_error="quarantine"`` at
+    the decode edge.  Every intact record — including the torn month's
+    FIRST record, which precedes the tear — publishes through the
+    idempotent month-partitioned sink exactly as before; the torn
+    record lands as one row in a QUARANTINE MANIFEST parquet beside
+    the published dataset (path, record number, the codec's framing
+    error), written inside the same exactly-once foreachBatch commit
+    (output first, marker last) so a replayed batch rewrites both its
+    months AND its manifest slice (batch-keyed overwrite), never
+    duplicating either.  One torn record among 100k files becomes a
+    re-ingest work item, not a dead job and not silent data loss —
+    the posture the reference's service loop needs at archive scale
+    (src/rabbit.js:28-61 commit ordering over
+    src/sources/era5monthly.js downloads).
+
+    The result reads BOTH datasets back: per-(month, variable)
+    published cell counts and anomaly sums, plus the manifest rows
+    keyed by the month parsed from the torn file's name — the oracle
+    pins that the 71 surviving (month, variable) groups published
+    with exact anomaly sums and that exactly one manifest row exists,
+    for 2022-06.
+
+    Scale: identical plan shape to the flagship (one Arrow decode
+    stage per micro-batch, broadcast normals join, month-partitioned
+    dynamic overwrite); quarantine is a per-record try/except inside
+    the existing decode stage and the manifest write is a tiny
+    batch-keyed parquet append — no extra pass over the data, no new
+    shuffle.
+    """
+    import os
+    import tempfile
+
+    from ..sources.grib_source import (
+        grib1_cells,
+        grib1_records,
+        grib1_records_stream,
+    )
+    from ..streaming.pipeline import (
+        anomaly_transform,
+        month_partitioned_writer,
+        monthly_normals,
+    )
+    from ..streaming.sinks import IdempotentForeachBatch
+    from .catalog import session_cache_suffix
+
+    landing = _ensure_torn_grib1_landing(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_grib_qpub_{session_cache_suffix(spark, landing)}",
+    )
+    if not os.path.exists(base):
+        import atexit
+        import shutil
+
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    # Same projection as the flagship (kept local so this query never
+    # perturbs the flagship's audited plan): landing cells → the
+    # (time, lat, lon, variable, value) grid surface.
+    def to_grid(cells: DataFrame) -> DataFrame:
+        return cells.select(
+            F.expr("make_timestamp(year, month, 1, 0, 0, 0)").alias("time"),
+            (F.col("lat_mdeg") / F.lit(1000.0)).alias("lat"),
+            (F.col("lon_mdeg") / F.lit(1000.0)).alias("lon"),
+            F.when(F.col("parameter") == 11, F.lit("t2m"))
+            .otherwise(F.lit("tp"))
+            .alias("variable"),
+            F.col("value"),
+        )
+
+    good_history = grib1_records(spark, landing, on_error="quarantine").filter(
+        F.col("error").isNull()
+    )
+    normals = monthly_normals(to_grid(grib1_cells(good_history)), (2020, 2021))
+
+    stream = grib1_records_stream(
+        spark, landing, max_files_per_trigger=1, on_error="quarantine"
+    )
+    out_dir = os.path.join(base, "out")
+    manifest_dir = os.path.join(base, "quarantine")
+    publish = month_partitioned_writer(out_dir)
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        # Manifest slice first (batch-keyed overwrite — idempotent
+        # under replay), then the month publish; the commit marker
+        # follows BOTH, so a crash between them replays the batch and
+        # rewrites exactly its own outputs.
+        (
+            batch_df.filter(F.col("error").isNotNull())
+            .select("path", "record_number", "error")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(manifest_dir, f"batch={batch_id}"))
+        )
+        good = batch_df.filter(F.col("error").isNull())
+        publish(anomaly_transform(to_grid(grib1_cells(good)), normals), batch_id)
+
+    sink = IdempotentForeachBatch(os.path.join(base, "commit"), write_both)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pub = (
+        spark.read.parquet(out_dir)
+        .groupBy("time", "variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("anomaly"), 6).alias("sum_anomaly"),
+        )
+        .select(
+            F.lit("published").alias("kind"),
+            "time", "variable", "n_rows", "sum_anomaly",
+        )
+    )
+    man = spark.read.parquet(manifest_dir).select(
+        F.lit("quarantined").alias("kind"),
+        F.expr(
+            "make_timestamp("
+            "  cast(regexp_extract(path, 'era5_(\\\\d{4})_(\\\\d{2})', 1) as int),"
+            "  cast(regexp_extract(path, 'era5_(\\\\d{4})_(\\\\d{2})', 2) as int),"
+            "  1, 0, 0, 0)"
+        ).alias("time"),
+        F.lit(None).cast("string").alias("variable"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_anomaly"),
+    )
+    return pub.unionByName(man).orderBy("kind", "time", "variable")
+
+
 def _spectral_stream_ref() -> str:
     """Closed-form (month, rn, val_sum, latw) VALUES rows for the
     6-month spectral landing, from the INDEPENDENT formulation —
