@@ -611,9 +611,26 @@ class Grib2Record:
     spatial_statistical_process: int | None = None
     spatial_process_type: int | None = None
     spatial_points: int | None = None
+    # Templates 4.31 (satellite product — observational imagery, the
+    # non-deprecated successor of 4.30) and 4.32 (simulated/synthetic
+    # satellite imagery — the GOES-brightness-temperature products
+    # NCEP publishes from GFS/NAM): number of contributing spectral
+    # bands plus the per-band satellite series / satellite number /
+    # instrument type and the central wave number in m^-1 (decoded
+    # from each band's (scale factor, scaled value) pair).  None on
+    # every other template.  These templates carry NO fixed surfaces
+    # (a satellite view has no level — the level fields stay None) and
+    # 4.31 carries no forecast-time octets either (the field is an
+    # observation at the reference time — forecast_hours is None).
+    satellite_bands: int | None = None
+    satellite_series: tuple[int, ...] | None = None
+    satellite_numbers: tuple[int, ...] | None = None
+    satellite_instruments: tuple[int, ...] | None = None
+    central_wavenumbers: tuple[float | None, ...] | None = None
     # Forecast lead time (octets 18-22, whole 4.0 family) converted to
-    # WHOLE hours; 0 for analysis fields.
-    forecast_hours: int = 0
+    # WHOLE hours; 0 for analysis fields; None on template 4.31, which
+    # has no lead octets (observational satellite product).
+    forecast_hours: int | None = 0
     # 4.8-family statistical sections: number of time-range
     # specifications.  Only the FIRST (outermost) spec's process is
     # surfaced as statistical_process, so count > 1 marks a COMPOUND
@@ -1137,6 +1154,7 @@ def encode_grib2_message(
     cluster: dict | None = None,
     error: bool = False,
     forecast: dict | None = None,
+    satellite: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1725,11 +1743,36 @@ def encode_grib2_message(
     # all ten, so one parser serves them on decode.
     if sum(
         x is not None
-        for x in (ensemble, derived, probability, percentile, spatial, cluster)
+        for x in (
+            ensemble, derived, probability, percentile, spatial, cluster,
+            satellite,
+        )
     ) + (1 if error else 0) > 1:
         raise ValueError(
             "choose at most one of ensemble / derived / probability / "
-            "percentile / spatial / cluster / error"
+            "percentile / spatial / cluster / error / satellite"
+        )
+    if satellite is not None and statistical is not None:
+        # 4.31/4.32 have no statistical siblings in the supported set —
+        # the band list occupies the octets a 4.8 block would start at
+        raise ValueError(
+            "satellite (templates 4.31/4.32) does not combine with "
+            "statistical"
+        )
+    if satellite is not None and level2 is not None:
+        raise ValueError(
+            "satellite templates carry no fixed surfaces — level2 "
+            "does not apply"
+        )
+    if (
+        satellite is not None
+        and not satellite.get("simulated")
+        and forecast is not None
+    ):
+        raise ValueError(
+            "template 4.31 is an observation at the reference time — "
+            "it has no forecast-time octets (use simulated=True for "
+            "the 4.32 forecast form)"
         )
     if error and statistical is not None:
         # 4.7 has no statistical sibling in the 4.x numbering — the
@@ -1895,28 +1938,93 @@ def encode_grib2_message(
                 + bytes([1])  # increment time unit: hour
                 + struct.pack(">I", 0)  # continuous processing
             )
-    s4 = section(
-        4,
-        struct.pack(">H", 0)  # number of coordinate values
-        + struct.pack(">H", tmpl4)
-        + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
-        + b"\x00\x00"  # hours of cutoff
-        + bytes([0])  # minutes
-        + bytes([fc_unit])  # time unit (code table 4.4)
-        + struct.pack(">I", fc_value)  # forecast time in those units
-        # Scale factor is signed-MAGNITUDE (top bit = sign) like every
-        # other GRIB2 signed field — two's complement would decode as a
-        # huge negative scale.
-        + bytes(
-            [
-                level_type & 0xFF,
-                (0x80 | abs(level_scale)) if level_scale < 0 else level_scale,
-            ]
+    if satellite is not None:
+        # Templates 4.31 (observational satellite product) / 4.32
+        # (simulated satellite imagery, ``simulated=True`` — keeps the
+        # family's generating-process + lead block): ``bands`` is a
+        # list of dicts with ``series`` / ``number`` / ``instrument``
+        # and the central wave number as an exact (``scale``,
+        # ``value``) pair (m^-1 = value · 10^-scale).  No fixed
+        # surfaces — the band list stands where the family's level
+        # octets would be.
+        bands = list(satellite["bands"])
+        if not 1 <= len(bands) <= 254:
+            raise ValueError(
+                f"spectral band count {len(bands)} out of range 1-254"
+            )
+        band_bytes = b""
+        for b in bands:
+            band_bytes += struct.pack(
+                ">HHH",
+                int(b["series"]),
+                int(b["number"]),
+                int(b["instrument"]),
+            )
+            bsc, bv = int(b.get("scale", 0)), int(b["value"])
+            if not -127 <= bsc <= 127:
+                raise ValueError(
+                    f"central-wave-number scale factor {bsc} out of range"
+                )
+            if not 0 <= bv < 0xFFFFFFFF:
+                raise ValueError(
+                    f"central-wave-number value {bv} out of range"
+                )
+            band_bytes += bytes(
+                [(0x80 | abs(bsc)) if bsc < 0 else bsc]
+            ) + struct.pack(">I", bv)
+        if satellite.get("simulated"):
+            tmpl4 = 32
+            sat_body = (
+                bytes([category, number, 2, 0, 0])
+                + b"\x00\x00"  # hours of cutoff
+                + bytes([0])  # minutes
+                + bytes([fc_unit])
+                + struct.pack(">I", fc_value)
+            )
+        else:
+            tmpl4 = 31
+            sat_body = bytes(
+                [
+                    category,
+                    number,
+                    8,  # type of generating process: observation
+                    _pdt_octet(
+                        satellite.get("process", 0),
+                        "observation generating process identifier",
+                    ),
+                ]
+            )
+        s4 = section(
+            4,
+            struct.pack(">H", 0)  # number of coordinate values
+            + struct.pack(">H", tmpl4)
+            + sat_body
+            + bytes([len(bands)])
+            + band_bytes,
         )
-        + struct.pack(">I", level_value)  # fixed surface 1
-        + sfc2  # fixed surface 2 (layer bottom, or all-ones missing)
-        + pdt_extra,
-    )
+    else:
+        s4 = section(
+            4,
+            struct.pack(">H", 0)  # number of coordinate values
+            + struct.pack(">H", tmpl4)
+            + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
+            + b"\x00\x00"  # hours of cutoff
+            + bytes([0])  # minutes
+            + bytes([fc_unit])  # time unit (code table 4.4)
+            + struct.pack(">I", fc_value)  # forecast time in those units
+            # Scale factor is signed-MAGNITUDE (top bit = sign) like every
+            # other GRIB2 signed field — two's complement would decode as a
+            # huge negative scale.
+            + bytes(
+                [
+                    level_type & 0xFF,
+                    (0x80 | abs(level_scale)) if level_scale < 0 else level_scale,
+                ]
+            )
+            + struct.pack(">I", level_value)  # fixed surface 1
+            + sfc2  # fixed surface 2 (layer bottom, or all-ones missing)
+            + pdt_extra,
+        )
     s5 = section(5, s5_body)
     if bm is not None:
         bm_bits = np.packbits(bm.reshape(-1).astype(np.uint8)).tobytes()
@@ -2190,6 +2298,51 @@ def _scaled_limit(s4: bytes, off: int) -> float | None:
     scale = -(sf & 0x7F) if sf & 0x80 else sf
     value = -(raw & 0x7FFFFFFF) if raw & 0x80000000 else raw
     return float(value) / (10.0 ** scale)
+
+
+def _parse_satellite_bands(
+    s4: bytes, nb_off: int, tmpl4: int
+) -> tuple[
+    int,
+    tuple[int, ...],
+    tuple[int, ...],
+    tuple[int, ...],
+    tuple[float | None, ...],
+]:
+    """Contributing-spectral-band list shared by templates 4.31/4.32:
+    NB at ``nb_off`` (0-based), then NB 11-octet blocks of satellite
+    series (2), satellite number (2), instrument type (2) and the
+    central wave number as a (scale factor, scaled value) pair — the
+    SAME signed-magnitude convention as every other GRIB2 scaled
+    field.  NB absent or zero makes the list length unknowable, so it
+    stops loudly (guessing would mis-slice every following octet —
+    the same rule as the 4.13/4.14 member list)."""
+    nb = s4[nb_off]
+    if nb == 0 or nb == 0xFF:
+        raise ValueError(
+            f"product definition template 4.{tmpl4} with no "
+            "contributing spectral bands"
+        )
+    if len(s4) < nb_off + 1 + 11 * nb:
+        raise ValueError(
+            f"truncated product definition template 4.{tmpl4} "
+            f"({nb} spectral bands)"
+        )
+    series, numbers, instruments, waves = [], [], [], []
+    for b in range(nb):
+        o = nb_off + 1 + 11 * b
+        sr, num, inst = struct.unpack_from(">HHH", s4, o)
+        series.append(int(sr))
+        numbers.append(int(num))
+        instruments.append(int(inst))
+        waves.append(_scaled_limit(s4, o + 6))
+    return (
+        nb,
+        tuple(series),
+        tuple(numbers),
+        tuple(instruments),
+        tuple(waves),
+    )
 
 
 def _iter_field_sections(msg: bytes):
@@ -2638,7 +2791,38 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+    if tmpl4 == 20:
+        # DOCUMENTED BOUNDARY: the radar-product template is
+        # site-based (station coordinates, operating mode, calibration
+        # constants) and shares no octets with the 4.0 family — a
+        # family-offset read would decode garbage metadata.
+        raise ValueError(
+            "unsupported product definition template 20 "
+            "(radar product — a documented boundary: its site-based "
+            "layout shares no octets with the 4.0 family)"
+        )
+    if tmpl4 == 30:
+        # DOCUMENTED BOUNDARY: deprecated by WMO in favour of 4.31 —
+        # its band block carries a 1-octet instrument type where
+        # 4.31's carries 2, so reading it with 4.31's offsets would
+        # shear every band after the first.  Operational producers
+        # moved to 4.31.
+        raise ValueError(
+            "unsupported product definition template 30 "
+            "(deprecated satellite product — use template 4.31; the "
+            "4.30 band block differs by one octet per band)"
+        )
+    if tmpl4 in (33, 34):
+        # DOCUMENTED BOUNDARY: ensemble simulated-satellite forms —
+        # the satellite family is decoded for 4.31/4.32 only.
+        raise ValueError(
+            f"unsupported product definition template {tmpl4} "
+            "(ensemble simulated satellite — a documented boundary: "
+            "the satellite family is decoded for 4.31/4.32 only)"
+        )
+    if tmpl4 not in (
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 31, 32
+    ):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
         # 4.2 derived forecast, 4.3/4.4 cluster-derived forecasts,
@@ -2648,18 +2832,46 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         # analysis itself),
         # 4.8 statistical and their 4.11/4.12/4.13/4.14/4.9/4.10
         # statistical
-        # forms extend it; 4.30/4.20 et al. do NOT) may be read with
-        # these offsets; anything else would decode garbage level
-        # columns.
+        # forms extend it; plus the satellite pair 4.31/4.32, whose
+        # DIVERGENT layout (band list, no fixed surfaces) is handled
+        # on its own branch below) may be read; anything else would
+        # decode garbage level columns.
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
-    # Octets 18-22, shared by the whole 4.0 family: forecast lead time
-    # (unit from code table 4.4, signed-magnitude value) — GFS f000 -
-    # f384 style products are distinguished ONLY by this field, so a
-    # decoder ignoring it would collapse every lead into the analysis.
-    forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
-    level_type, level_scale, level_value = parse_fixed_surface(s4)
-    level2_type, level2_scale, level2_value = parse_second_surface(s4)
+    satellite_bands = satellite_series = satellite_numbers = None
+    satellite_instruments = central_wavenumbers = None
+    if tmpl4 in (31, 32):
+        # Satellite family: NO fixed surfaces (a satellite view has no
+        # level — reading octets 23-34 would decode band data as level
+        # columns), and 4.31 has no forecast-time octets either (an
+        # observation at the reference time).  4.32 (simulated
+        # satellite imagery) keeps 4.0's generating-process + lead
+        # block, then NB at octet 23; 4.31 has NB at octet 14 after
+        # the observation-generating-process identifier.
+        level_type = level_scale = level_value = None
+        level2_type = level2_scale = level2_value = None
+        if tmpl4 == 32:
+            forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
+            nb_off = 22
+        else:
+            forecast_hours = None
+            nb_off = 13
+        (
+            satellite_bands,
+            satellite_series,
+            satellite_numbers,
+            satellite_instruments,
+            central_wavenumbers,
+        ) = _parse_satellite_bands(s4, nb_off, tmpl4)
+    else:
+        # Octets 18-22, shared by the whole 4.0 family: forecast lead
+        # time (unit from code table 4.4, signed-magnitude value) —
+        # GFS f000-f384 style products are distinguished ONLY by this
+        # field, so a decoder ignoring it would collapse every lead
+        # into the analysis.
+        forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
+        level_type, level_scale, level_value = parse_fixed_surface(s4)
+        level2_type, level2_scale, level2_value = parse_second_surface(s4)
     ensemble_type = ensemble_member = ensemble_size = None
     derived_forecast = None
     cluster_identifier = cluster_total = cluster_method = None
@@ -3053,6 +3265,11 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         prob_lower_limit=prob_lower_limit,
         prob_upper_limit=prob_upper_limit,
         percentile_value=percentile_value,
+        satellite_bands=satellite_bands,
+        satellite_series=satellite_series,
+        satellite_numbers=satellite_numbers,
+        satellite_instruments=satellite_instruments,
+        central_wavenumbers=central_wavenumbers,
         forecast_hours=forecast_hours,
         time_range_count=time_range_count,
         row_ni=row_ni,
@@ -3080,18 +3297,35 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     record, but never selected by an ``:f6$``-style match."""
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
-    lt, sc, lv = parse_fixed_surface(s4)
-    lt2, sc2, lv2 = parse_second_surface(s4)
-    # lenient TEXT rendering: fractional surfaces (sigma 0.995) list
-    # as their exact decimal instead of aborting the inventory — the
-    # loud stop lives in the decode path (surface_level)
-    lvs = surface_level_text(lv, sc)
-    if lv2 is not None:
-        lvs = f"{lvs}-{surface_level_text(lv2, sc2)}"
-    try:
-        fh: int | str = _forecast_hours(s4[17], _rs32be(s4, 18))
-    except ValueError:
-        fh = "-"
+    (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    if tmpl4 in (31, 32):
+        # Satellite family: no fixed surfaces (octets 23+ carry the
+        # band list, not levels) — reading them through the family
+        # layout would render band data as a level.  4.31 also has no
+        # lead octets; 4.32 keeps the family lead block.
+        lt = None
+        lvs = "-"
+        if tmpl4 == 32:
+            try:
+                fh: int | str = _forecast_hours(s4[17], _rs32be(s4, 18))
+            except ValueError:
+                fh = "-"
+        else:
+            fh = "-"
+    else:
+        lt, sc, lv = parse_fixed_surface(s4)
+        lt2, sc2, lv2 = parse_second_surface(s4)
+        # lenient TEXT rendering: fractional surfaces (sigma 0.995)
+        # list as their exact decimal instead of aborting the
+        # inventory — the loud stop lives in the decode path
+        # (surface_level)
+        lvs = surface_level_text(lv, sc)
+        if lv2 is not None:
+            lvs = f"{lvs}-{surface_level_text(lv2, sc2)}"
+        try:
+            fh = _forecast_hours(s4[17], _rs32be(s4, 18))
+        except ValueError:
+            fh = "-"
     return (
         f"d{s[0][6]}:c{s4[9]},n{s4[10]}:"
         f"l{'-' if lt is None else lt}/{lvs}:"

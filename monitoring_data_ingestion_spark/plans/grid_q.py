@@ -4323,6 +4323,189 @@ def grid_grib2_error_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_grib2_satellite_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 61 = 29 AND doc_id < 645
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         40 + 2 * ((doc_id * 7 + r.r * 5 + i.i * 3 + j.j * 11) % 45) AS v
+  FROM g,
+       UNNEST(generate_series(0, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+),
+vs AS (
+  SELECT doc_id, rn, CAST(SUM(v) AS BIGINT) AS vsum
+  FROM cells GROUP BY doc_id, rn
+),
+bands31 AS (
+  SELECT doc_id, b.b AS b,
+         600 + (doc_id + b.b) % 7 AS instrument,
+         CAST(700 + (doc_id % 50) + b.b AS DOUBLE)
+           / POWER(10, (b.b % 3) - 1) AS wave
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS b) b
+),
+w31 AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS satellite_bands,
+         CAST(MIN(CASE WHEN b = 0 THEN instrument END) AS INTEGER)
+           AS first_instrument,
+         ROUND(SUM(wave), 6) AS wave_sum
+  FROM bands31 GROUP BY doc_id
+),
+rec AS (
+  SELECT g.doc_id, 1 AS rn, CAST(31 AS INTEGER) AS product_template,
+         w31.satellite_bands, w31.first_instrument, w31.wave_sum,
+         CAST(NULL AS INTEGER) AS forecast_hours
+  FROM g JOIN w31 ON g.doc_id = w31.doc_id
+  UNION ALL
+  SELECT doc_id, 2, CAST(32 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(650 + doc_id % 5 AS INTEGER),
+         ROUND(CAST(900 + doc_id % 30 AS DOUBLE), 6),
+         CAST(6 * (1 + doc_id % 4) AS INTEGER)
+  FROM g
+  UNION ALL
+  SELECT doc_id, 3, CAST(0 AS INTEGER), CAST(NULL AS INTEGER),
+         CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+         CAST(0 AS INTEGER)
+  FROM g
+)
+SELECT rec.doc_id, CAST(rec.rn AS INTEGER) AS record_number,
+       rec.product_template, rec.satellite_bands, rec.first_instrument,
+       rec.wave_sum, rec.forecast_hours, vs.vsum
+FROM rec JOIN vs ON rec.doc_id = vs.doc_id AND rec.rn = vs.rn
+ORDER BY rec.doc_id, rec.rn
+""",
+)
+def grid_grib2_satellite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SATELLITE products through the landing scan — PDT 4.31
+    (observational satellite imagery, the non-deprecated successor of
+    4.30) and 4.32 (simulated/synthetic satellite imagery, the
+    GOES-brightness-temperature form NCEP publishes from GFS/NAM).
+    Both templates abandon the 4.0 family layout after the parameter
+    octets: there are NO fixed surfaces (the contributing-spectral-
+    band list stands where the level octets would be — a family-offset
+    read would decode band data as levels), and 4.31 has no
+    forecast-time octets either (an observation at the reference
+    time).  The decode lands ``satellite_bands`` /
+    ``satellite_instruments`` / ``central_wavenumbers`` columns (NULL
+    on every non-satellite product), the level columns stay NULL, and
+    ``forecast_hours`` is NULL on 4.31 but carries 4.32's real lead.
+
+    Each document's archive holds a 4.31 record with 1-3 bands (the
+    first band's wave-number scale factor is NEGATIVE — sign-magnitude
+    on this surface too), a single-band 4.32 with a per-document lead,
+    and a plain 4.0 record proving the NULL contract.  The oracle pins
+    the per-band central wave numbers (value · 10^-scale), the band
+    counts, the first instrument, the lead split (NULL / real / 0) and
+    payload sums.
+
+    The radar template 4.20, the deprecated 4.30 (its band block is
+    one octet narrower per band — reading it with 4.31 offsets would
+    shear every band after the first) and the ensemble satellite forms
+    4.33/4.34 are DOCUMENTED BOUNDARIES with named errors
+    (tests/test_grib2.py pins all four).
+
+    Scale: identical plan shape to every landing scan — one Arrow
+    decode stage, only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 61 == 29) & (F.col("doc_id") < 645))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        40 + 2 * ((d * 7 + r * 5 + i * 3 + j * 11) % 45)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=4, number=7,
+                    reference_value=40.0, binary_scale=1, nbits=8,
+                )
+                obs_bands = [
+                    dict(
+                        series=300 + d % 5,
+                        number=10 + b,
+                        instrument=600 + (d + b) % 7,
+                        scale=(b % 3) - 1,
+                        value=700 + (d % 50) + b,
+                    )
+                    for b in range(1 + d % 3)
+                ]
+                msgs = [
+                    encode_grib2_message(
+                        field(0), satellite=dict(bands=obs_bands), **enc
+                    ),
+                    encode_grib2_message(
+                        field(1),
+                        satellite=dict(
+                            simulated=True,
+                            bands=[
+                                dict(
+                                    series=310,
+                                    number=15,
+                                    instrument=650 + d % 5,
+                                    scale=0,
+                                    value=900 + d % 30,
+                                )
+                            ],
+                        ),
+                        forecast=dict(unit=1, value=6 * (1 + d % 4)),
+                        **enc,
+                    ),
+                    encode_grib2_message(field(2), **enc),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "product_template",
+        "satellite_bands",
+        F.element_at("satellite_instruments", 1).alias("first_instrument"),
+        F.round(
+            F.aggregate(
+                "central_wavenumbers", F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("wave_sum"),
+        "forecast_hours",
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
     "grid_grib2_probability_scan",
     tags=("grid", "codec", "python", "ingest"),
     oracle="""

@@ -53,6 +53,8 @@ RECORD_SCHEMA = (
     "cluster_identifier int, cluster_total int, cluster_size int, "
     "probability_type int, prob_lower_limit double, "
     "prob_upper_limit double, percentile_value int, "
+    "satellite_bands int, satellite_instruments array<int>, "
+    "central_wavenumbers array<double>, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -69,7 +71,8 @@ _RECORD_COLUMNS = [
     "ensemble_member", "ensemble_size", "derived_forecast",
     "cluster_identifier", "cluster_total", "cluster_size",
     "probability_type", "prob_lower_limit", "prob_upper_limit",
-    "percentile_value", "ni", "nj",
+    "percentile_value", "satellite_bands", "satellite_instruments",
+    "central_wavenumbers", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values", "error",
 ]
@@ -229,7 +232,9 @@ def _grib2_field_header(s: dict) -> dict:
         # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+    if tmpl4 not in (
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 31, 32
+    ):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
         # Spectral records have no Ni/Nj — the inventory LISTS them
@@ -254,21 +259,36 @@ def _grib2_field_header(s: dict) -> dict:
             raise ValueError(
                 f"grid dimensions coded missing on template {tmpl3}"
             )
-    level_type, scale, level_value = parse_fixed_surface(s4)
-    l2_type, l2_scale, l2_value = parse_second_surface(s4)
-    # Lead time (octets 18-22) in whole hours — part of the header, so
-    # the inventory line can carry it and a ``match=`` regex can select
-    # leads (wgrib2 ``-match ':anl:'``) without decoding.  LENIENT
-    # here: a calendar-unit lead (monthly means, code-table-4.4 unit 3)
-    # or a sub-hour lead can't fill the integer column, but the
-    # inventory must still LIST the record — wgrib2 lists every record
-    # of a mixed archive — so it surfaces as None instead of aborting
-    # the whole file's scan.  The full decode path keeps the loud stop
-    # (there a mis-stamped valid time corrupts data downstream).
-    try:
-        forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
-    except ValueError:
+    if tmpl4 in (31, 32):
+        # Satellite family: no fixed surfaces (octets 23+ carry the
+        # band list — reading them through the family layout would
+        # inventory band data as a level); 4.31 has no lead octets
+        # either (observation at the reference time).
+        level_type = scale = level_value = None
+        l2_type = l2_scale = l2_value = None
         forecast_hours = None
+        if tmpl4 == 32:
+            try:
+                forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
+            except ValueError:
+                forecast_hours = None
+    else:
+        level_type, scale, level_value = parse_fixed_surface(s4)
+        l2_type, l2_scale, l2_value = parse_second_surface(s4)
+        # Lead time (octets 18-22) in whole hours — part of the header,
+        # so the inventory line can carry it and a ``match=`` regex can
+        # select leads (wgrib2 ``-match ':anl:'``) without decoding.
+        # LENIENT here: a calendar-unit lead (monthly means,
+        # code-table-4.4 unit 3) or a sub-hour lead can't fill the
+        # integer column, but the inventory must still LIST the record
+        # — wgrib2 lists every record of a mixed archive — so it
+        # surfaces as None instead of aborting the whole file's scan.
+        # The full decode path keeps the loud stop (there a mis-stamped
+        # valid time corrupts data downstream).
+        try:
+            forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
+        except ValueError:
+            forecast_hours = None
     return {
         "category": s4[9],
         "number": s4[10],
@@ -464,6 +484,7 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
     ens_member = ens_size = derived_fc = None
     cluster_id = cluster_tot = cluster_sz = None
     prob_type = prob_lo = prob_hi = pctl = None
+    sat_bands = sat_instruments = sat_waves = None
     cell_lats = cell_lons = None
     if edition == 1:
         rec = decode_grib1(msg)
@@ -615,6 +636,22 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
         # Templates 4.6/4.10: the percentile (0-100)
         # this field represents.
         pctl = rec.percentile_value
+        # Templates 4.31/4.32 (satellite products): the
+        # contributing-band count plus per-band instrument
+        # types and central wave numbers (m^-1) — NULL on
+        # every non-satellite product, so "only band-13
+        # imagery" is a plain column filter on landed
+        # archives.  The level columns stay NULL here (a
+        # satellite view has no fixed surface), and
+        # forecast_hours is NULL on the observational 4.31.
+        sat_bands = rec.satellite_bands
+        if rec.satellite_instruments is not None:
+            sat_instruments = list(rec.satellite_instruments)
+        if rec.central_wavenumbers is not None:
+            sat_waves = [
+                None if w is None else float(w)
+                for w in rec.central_wavenumbers
+            ]
         # 4.8-family: how many time-range specifications
         # the statistical section nests — count > 1 marks
         # a compound statistic ("average of daily maxima")
@@ -739,6 +776,9 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
             "prob_lower_limit": prob_lo,
             "prob_upper_limit": prob_hi,
             "percentile_value": pctl,
+            "satellite_bands": sat_bands,
+            "satellite_instruments": sat_instruments,
+            "central_wavenumbers": sat_waves,
             "ni": ni_out,
             "nj": nj_out,
             "lat_first_mdeg": lat0,

@@ -3120,3 +3120,121 @@ def test_schmidt_unstretch_inverse_property(lat, lon, sp_lat, sp_lon, c):
     # transform composition; latitude above already pins those cases
     if abs(lat) < 83.0 and abs(bla[0]) < 89.0:
         assert abs(dlon) * max(np.cos(np.radians(lat)), 1e-6) < 1e-6
+
+
+def test_satellite_pdt_roundtrip_and_landing_contract():
+    """PDTs 4.31 (observational satellite product) / 4.32 (simulated
+    satellite imagery — the GOES-brightness-temperature form NCEP
+    publishes): the contributing-spectral-band list decodes into band
+    count / series / numbers / instruments / central wave numbers
+    (value · 10^-scale, sign-magnitude scale factor).  Neither
+    template has fixed surfaces (level columns None — the band list
+    stands where the level octets would be), and 4.31 has no lead
+    octets (forecast_hours None); 4.32 keeps the family lead block.
+    The inventory line lists both with ``l-/-`` and the correct lead
+    field."""
+    from monitoring_data_ingestion_spark.grid.grib2 import inventory_line
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    bands = [
+        dict(series=333, number=17, instrument=616, scale=-3, value=717),
+        dict(series=333, number=18, instrument=620, scale=2, value=98765),
+    ]
+    obs = encode_grib2_message(
+        v, category=4, number=7, satellite=dict(bands=bands),
+        reference_value=0.0, nbits=8,
+    )
+    rec = decode_grib2(obs)
+    assert rec.product_template == 31
+    assert rec.satellite_bands == 2
+    assert rec.satellite_series == (333, 333)
+    assert rec.satellite_numbers == (17, 18)
+    assert rec.satellite_instruments == (616, 620)
+    # scale -3 -> x10^3; scale 2 -> /10^2 (sign-magnitude both ways)
+    assert rec.central_wavenumbers == (717000.0, 987.65)
+    assert rec.forecast_hours is None
+    assert rec.level_type is None and rec.level_value is None
+    assert rec.level2_type is None
+    np.testing.assert_array_equal(rec.values, v)
+    assert inventory_line(obs) == "d0:c4,n7:l-/-:2020010100:f-"
+    sim = encode_grib2_message(
+        v, category=4, number=7,
+        satellite=dict(simulated=True, bands=bands[:1]),
+        forecast=dict(unit=1, value=12),
+        reference_value=0.0, nbits=8,
+    )
+    rec2 = decode_grib2(sim)
+    assert rec2.product_template == 32
+    assert rec2.satellite_bands == 1
+    assert rec2.central_wavenumbers == (717000.0,)
+    assert rec2.forecast_hours == 12
+    assert rec2.level_type is None
+    assert inventory_line(sim) == "d0:c4,n7:l-/-:2020010100:f12"
+    # non-satellite records keep the columns None
+    plain = decode_grib2(encode_grib2_message(v, reference_value=0.0, nbits=8))
+    assert plain.satellite_bands is None
+    assert plain.central_wavenumbers is None
+
+
+def test_satellite_pdt_guards_and_documented_boundaries():
+    """Satellite-family guards: encode rejects statistical / level2 /
+    forecast-on-4.31 combinations and empty band lists; decode stops
+    loudly on a zero band count and on truncated band lists; and the
+    NEIGHBOUR templates are documented boundaries with NAMED errors —
+    4.20 (radar, site-based layout), 4.30 (deprecated: its band block
+    is one octet narrower per band than 4.31's, so reading it with
+    4.31 offsets would shear every band), 4.33/4.34 (ensemble
+    simulated satellite)."""
+    import struct
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    bands = [dict(series=1, number=2, instrument=3, scale=0, value=100)]
+    with pytest.raises(ValueError, match="does not combine with"):
+        encode_grib2_message(
+            v, satellite=dict(bands=bands),
+            statistical=dict(
+                process=0, interval_end=(2020, 2, 1, 0, 0), range_hours=6
+            ),
+        )
+    with pytest.raises(ValueError, match="no fixed surfaces"):
+        encode_grib2_message(
+            v, satellite=dict(bands=bands),
+            level2=dict(type=106, value=10),
+        )
+    with pytest.raises(ValueError, match="observation at the reference"):
+        encode_grib2_message(
+            v, satellite=dict(bands=bands), forecast=dict(unit=1, value=6)
+        )
+    with pytest.raises(ValueError, match="at most one of"):
+        encode_grib2_message(v, satellite=dict(bands=bands), percentile=50)
+    with pytest.raises(ValueError, match="band count"):
+        encode_grib2_message(v, satellite=dict(bands=[]))
+    msg = encode_grib2_message(
+        v, satellite=dict(bands=bands), reference_value=0.0, nbits=8
+    )
+    pos = 16
+    while msg[pos + 4] != 4:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s4_len = int.from_bytes(msg[pos : pos + 4], "big")
+    # zero band count: the list length is unknowable
+    zeroed = bytearray(msg)
+    zeroed[pos + 13] = 0
+    with pytest.raises(ValueError, match="no\\s+contributing spectral bands"):
+        decode_grib2(bytes(zeroed))
+    # truncated band list: section 4 ends mid-band
+    trimmed = bytearray(msg[: pos + s4_len - 2] + msg[pos + s4_len :])
+    struct.pack_into(">I", trimmed, pos, s4_len - 2)
+    struct.pack_into(">Q", trimmed, 8, len(trimmed))
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(trimmed))
+    # documented boundaries: named errors, never a family-offset read
+    for pdt, named in [
+        (20, "radar"),
+        (30, "deprecated satellite"),
+        (33, "ensemble simulated satellite"),
+        (34, "ensemble simulated satellite"),
+    ]:
+        patched = bytearray(msg)
+        patched[pos + 8] = pdt
+        with pytest.raises(ValueError, match=named):
+            decode_grib2(bytes(patched))

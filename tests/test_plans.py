@@ -154,6 +154,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_rotated_scan",
         "grid_grib2_cluster_scan",
         "grid_grib2_error_scan",
+        "grid_grib2_satellite_scan",
         "grid_grib_quarantine_scan",
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_ensemble_scan",
@@ -1397,6 +1398,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     [
         "grid_grib2_cluster_scan",
         "grid_grib2_error_scan",
+        "grid_grib2_satellite_scan",
         "grid_grib_quarantine_scan",
         "grid_grib2_derived_ensemble_scan",
         "grid_grib2_probability_scan",
