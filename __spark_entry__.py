@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 11 is 279/279
+# ``queries()``.  Cumulative driver coverage through round 12 is 282/282
 # green (zero failures ever), so the window's job is REGRESSION
 # DETECTION under a STANDING ROTATION SCHEDULE:
 #
@@ -29,135 +29,126 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 #      filling the window to exactly 50; anything that doesn't fit is
 #      the explicit front of NEXT round's queue.
 #
-# Witness ages entering round 12 (from CORRECTNESS_r01-r11): 19 names
-# last witnessed r5 (the documented r11 spill), 47 r6, then r7-r11
-# cohorts.  Round 12 takes the 2 new queries (grid_grib2_cluster_scan
-# — CLUSTER-derived ensemble products, PDTs 4.3 rectangular / 4.4
-# circular cluster domains plus the 4.13/4.14 statistical siblings
-# whose 4.8 block rides at a VARIABLE offset after the member list,
-# completing the operational 4.x family the engine decodes: cluster
-# identifier/total/size landing columns, NULL on non-cluster
-# products, the 4.4 NC offset pinned four octets earlier than 4.3's;
-# and grid_grib2_error_scan — PDT 4.7 analysis/forecast-error fields,
-# layout-identical to 4.0, distinguishable only through the new
-# product_template landing column the whole family now carries, NULL
-# on edition 1; and grid_grib_quarantine_scan — the corrupt-record
-# QUARANTINE posture of the landing scan, on_error="quarantine":
-# torn/undecodable records land as error-column rows, the manifest a
-# re-ingest job consumes, while good records before a tear still
-# land; semantic rejects continue the scan, framing tears end the
-# file; RECORD_SCHEMA/INVENTORY_SCHEMA grew the NULL-for-good-rows
-# error column) + the 11 queries whose implementation changed in
-# r12: grid_grib2_stretched_decode (the Schmidt unstretch rebuilt on
-# the half-angle colatitude form with rational sin/cos reconstruction
-# — fixing the r11 near-pole catastrophic cancellation the property
-# test caught; now conditioned at the pole of stretching, its antipode
-# AND the geographic poles, round-tripping <1e-12 deg), the three
-# synthesis-path queries behind the new m=0 imaginary-part warning
-# gate (grid_grib2_spectral_synthesis, grid_grib_spectral_landing,
-# stream_grib_spectral_pipeline), the six inventory/match-surface
-# queries behind the lenient fractional-level rendering
-# (surface_level_lenient/_text: sigma 0.995 lists as ``l104/0.995``
-# with a NULL int column instead of aborting the scan —
-# grid_grib_inventory_scan, grid_grib1_inventory,
+# Witness ages entering round 13 (from CORRECTNESS_r01-r12): 30 names
+# last witnessed r6 (the documented r12 spill), 44 r7, then r8-r12
+# cohorts.  Round 13 takes the 2 new queries
+# (era5_grib_quarantine_publish — the flagship service loop UNDER
+# DAMAGE: the 36-month byte-real landing with one month-file torn
+# mid-record drains through the same micro-batch pipeline with
+# on_error="quarantine"; every intact record, including the torn
+# month's pre-tear record, publishes through the idempotent
+# month-partitioned sink while the torn record lands in a
+# quarantine-manifest parquet beside the published dataset, both
+# written inside ONE exactly-once foreachBatch commit so a replayed
+# batch rewrites both; and grid_grib2_satellite_scan — SATELLITE
+# products, PDTs 4.31 observational / 4.32 simulated imagery: the
+# contributing-spectral-band list decodes into satellite_bands /
+# satellite_instruments / central_wavenumbers landing columns, level
+# columns stay NULL (no fixed surfaces — the band list stands where
+# the level octets would be), forecast_hours NULL on the
+# observational 4.31; radar 4.20, deprecated 4.30 and ensemble-
+# satellite 4.33/4.34 are documented boundaries with named errors)
+# + the 7 queries whose implementation changed in r13:
+# grid_grib_quarantine_scan (the record-decode body is now
+# loud_truncation-guarded, so a well-framed record with an internally
+# short section quarantines as a manifest row instead of failing the
+# whole scan task — the r12 ADVICE item — and the 4.20 reject message
+# grew its documented-boundary naming) and the six inventory/match-
+# surface queries behind the sign-safe scaled-level rendering
+# (surface_level_text no longer zero-pads the '-' sign into the
+# digits: -5 scale 1 renders -0.5, not "-.5") plus the satellite-
+# family template gates added to _grib2_field_header/_field_inventory
+# (grid_grib_inventory_scan, grid_grib1_inventory,
 # grid_grib_inventory_robust_scan, grid_grib2_match_decode,
-# grid_grib2_match_level_decode, grid_grib_match_lead_scan), and
-# grid_grib2_derived_ensemble_scan (adjacent decode branch + the
-# RECORD_SCHEMA growth by the three cluster columns and
-# product_template).  Late in r12 the section walks also grew the
-# torn-file contract (envelope total-length + 7777 validation,
-# IndexError/struct.error → ValueError at every public codec entry —
-# validation-only, no decode semantics changed, exhaustively swept at
-# every truncation offset in tests and re-verified hash-identical
-# across the full 281-query driver-sim).  The remaining
-# landing-path queries also sit downstream of the additive
-# RECORD_SCHEMA change, but their witness evidence is at most two
-# rounds old, every one ran green through the full local driver-sim
-# at HEAD twice this session, and the 6-7-round-old queue evidence
-# outranks them — per the standing rule the queue fills the rest:
-# the ENTIRE 19-name r5 spill (text_bpe_pair_counts ...
-# window_ntile_stratify, verbatim from the r11 queue comment) and the
-# first 17 (alphabetical) of the 47-name r6 cohort.  3 + 11 + 19 + 17
-# = exactly 50.  The remaining 30 r6 names
-# (grid_area_weighted_mean, grid_contour_cells,
-# hierarchy_recursive_paths, hierarchy_recursive_rollup,
-# knn_cosine_bruteforce, knn_ivf, knn_mutual_graph, llm_corpus_prep,
-# multimodal_image_phash_neardup, multimodal_video_scene_cut,
-# q1_pricing_summary, q5_region_revenue, sample_class_balanced,
-# sample_dsir_importance, stream_gap_alerts, stream_topk_event_types,
-# text_jsd_domain_drift, text_length_histogram, text_ngram_novelty,
-# text_perplexity_buckets, text_quality_filter_funnel,
-# text_span_dedup, text_tfidf_top_terms, text_winnowing_fingerprint,
-# ts_attribution_last_touch, ts_autocorrelation, ts_cusum_changepoint,
-# ts_seasonal_decompose, ts_sessionize, variant_json_shred) spill to
-# the FRONT of round 13's queue, followed by the r7 cohort.  Every
-# entry outside the window stays locally oracle-checked each session
+# grid_grib2_match_level_decode, grid_grib_match_lead_scan).  The
+# remaining landing-path queries sit downstream of the additive
+# RECORD_SCHEMA growth (three satellite columns) and the
+# _decode_field dispatch restructure, but their behavior for
+# templates 0-15 is unchanged, their witness evidence is at most one
+# round old (the entire r12 window), every one ran green through the
+# full local driver-sim at HEAD this session, and the 6-7-round-old
+# queue evidence outranks them — the same judgment the r12 window
+# documented for the cluster-column growth.  Per the standing rule
+# the queue fills the rest: the ENTIRE 30-name r6 spill
+# (grid_area_weighted_mean ... variant_json_shred, verbatim from the
+# r12 queue comment) and the first 11 (alphabetical) of the 44-name
+# r7 cohort.  2 + 7 + 30 + 11 = exactly 50.  The remaining 33 r7
+# names (dq_psi_drift, dq_schema_profile_drift, filter_bbox_pushdown,
+# filter_rlike_limit, first_after_filter, graph_assortativity,
+# graph_customer_similarity, graph_hits_authorities,
+# graph_incremental_edges, graph_triangle_census_indexed,
+# grid_hillshade, join_broadcast_dims, join_cross, join_full_outer,
+# join_inner, join_left_anti, join_left_outer, join_left_semi,
+# join_positional_lookup, knn_ivf_partitioned, project_null_sentinel,
+# q10_returned_items, q14_promo_revenue, q18_large_volume_customer,
+# q19_disjunctive_revenue, q21_late_suppliers, q22_idle_customers,
+# sample_neyman_allocation, sketch_bloom_membership,
+# sketch_count_min_tokens, sketch_hll_distinct,
+# sketch_quantile_histogram, stream_psi_drift) spill to the FRONT of
+# round 14's queue, followed by the r8 cohort.  Every entry outside
+# the window stays locally oracle-checked each session
 # (tests/test_oracle.py), and the flagship pipeline stays
 # driver-checked through the ``entry`` smoke.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 12 (first driver witness): cluster-derived
-    #     ensemble products (PDTs 4.3/4.4/4.13/4.14) and the
-    #     product_template column + PDT 4.7 error fields + the
-    #     corrupt-record quarantine scan mode ---
-    "grid_grib2_cluster_scan",
-    "grid_grib2_error_scan",
+    # --- 1. new in round 13 (first driver witness): the quarantine-
+    #     manifest-through-publish flagship sibling and the satellite
+    #     product family (PDTs 4.31/4.32) ---
+    "era5_grib_quarantine_publish",
+    "grid_grib2_satellite_scan",
+    # --- 2. changed in round 13: the quarantine scan-path truncation
+    #     guard, the sign-safe scaled-level inventory rendering, and
+    #     the satellite template gates on both inventory surfaces ---
     "grid_grib_quarantine_scan",
-    # --- 2. changed in round 12: the Schmidt-unstretch numerics fix,
-    #     the m=0-imaginary warning on the synthesis path, the lenient
-    #     fractional-level inventory rendering, and the RECORD_SCHEMA
-    #     cluster columns ---
-    "grid_grib2_stretched_decode",
-    "grid_grib2_spectral_synthesis",
-    "grid_grib_spectral_landing",
-    "stream_grib_spectral_pipeline",
     "grid_grib_inventory_scan",
     "grid_grib1_inventory",
     "grid_grib_inventory_robust_scan",
     "grid_grib2_match_decode",
     "grid_grib2_match_level_decode",
     "grid_grib_match_lead_scan",
-    "grid_grib2_derived_ensemble_scan",
-    # --- 3. oldest cohort: the entire 19-name r5 spill (documented in
-    #     the r11 queue comment), then the first 17 of the 47-name r6
-    #     cohort (grid_area_weighted_mean and grid_contour_cells, the
-    #     18th/19th names, spill to r13 to keep the window at exactly
-    #     50) ---
-    "text_bpe_pair_counts",
-    "text_classifier_score",
-    "text_html_strip",
-    "text_ngram_lm_score",
-    "text_pii_scrub",
-    "text_url_canonical_dedup",
-    "ts_anomaly_mad",
-    "ts_asof_join_tolerance",
-    "ts_counter_rate",
-    "ts_downsample_lttb",
-    "ts_event_sequence_pattern",
-    "ts_ewma",
-    "ts_gap_detection",
-    "ts_interval_coalesce",
-    "ts_interval_overlap_join",
-    "ts_level_shift",
-    "ts_ohlc_resample",
-    "ts_trailing_window_range",
-    "window_ntile_stratify",
-    "dedup_cross_split_leakage",
-    "dedup_lsh_recall_eval",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_prune",
-    "dq_benford_leading_digit",
-    "dq_ks_two_sample",
-    "dq_volume_anomaly",
-    "embedding_quantize_int8",
-    "era5_monthly_anomaly",
-    "graph_copurchase_lift",
-    "graph_copurchase_pagerank",
-    "graph_degree_distribution",
-    "graph_edge_jaccard",
-    "graph_kcore",
-    "graph_substitution_recs",
-    "graph_triangle_census",
+    # --- 3. oldest cohort: the entire 30-name r6 spill (documented in
+    #     the r12 queue comment), then the first 11 of the 44-name r7
+    #     cohort ---
+    "grid_area_weighted_mean",
+    "grid_contour_cells",
+    "hierarchy_recursive_paths",
+    "hierarchy_recursive_rollup",
+    "knn_cosine_bruteforce",
+    "knn_ivf",
+    "knn_mutual_graph",
+    "llm_corpus_prep",
+    "multimodal_image_phash_neardup",
+    "multimodal_video_scene_cut",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "sample_class_balanced",
+    "sample_dsir_importance",
+    "stream_gap_alerts",
+    "stream_topk_event_types",
+    "text_jsd_domain_drift",
+    "text_length_histogram",
+    "text_ngram_novelty",
+    "text_perplexity_buckets",
+    "text_quality_filter_funnel",
+    "text_span_dedup",
+    "text_tfidf_top_terms",
+    "text_winnowing_fingerprint",
+    "ts_attribution_last_touch",
+    "ts_autocorrelation",
+    "ts_cusum_changepoint",
+    "ts_seasonal_decompose",
+    "ts_sessionize",
+    "variant_json_shred",
+    "agg_collect_sorted",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_incremental_maintenance",
+    "agg_minmax_running",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "agg_stddev",
+    "dedup_exact_keep_first",
 )
 
 
