@@ -110,3 +110,35 @@ def test_replayed_batch_converges_not_duplicates(spark, landing, normals, tmp_pa
     # Even a forced re-write of the same month converges to the same rows.
     month_partitioned_writer(out)(batch0.filter(F.col("variable") == "t2m"), 999)
     assert spark.read.parquet(out).count() == before
+
+
+def test_quarantine_publish_coexists_and_replays_idempotently(spark):
+    """The quarantine-through-publish flagship sibling under the real
+    micro-batch engine: a torn month-file lands exactly one manifest
+    row BESIDE the published dataset (the other 71 month/variable
+    groups publish with full cell counts), and a second invocation in
+    the same session — same checkpoint, same commit markers, same
+    batch-keyed manifest slices — returns the identical result without
+    re-publishing or duplicating anything."""
+    from monitoring_data_ingestion_spark.plans import REGISTRY
+
+    fn = REGISTRY["era5_grib_quarantine_publish"].fn
+    first = fn(spark, "/root/testdata/sf0.001").collect()
+    kinds = {}
+    for r in first:
+        kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+    assert kinds == {"published": 71, "quarantined": 1}
+    q = [r for r in first if r["kind"] == "quarantined"]
+    assert q[0]["variable"] is None and q[0]["n_rows"] == 1
+    assert q[0]["time"].year == 2022 and q[0]["time"].month == 6
+    # the torn month's OTHER variable (pre-tear record) still published
+    pub_jun = [
+        r for r in first
+        if r["kind"] == "published"
+        and r["time"].year == 2022 and r["time"].month == 6
+    ]
+    assert [(r["variable"], r["n_rows"]) for r in pub_jun] == [("t2m", 60)]
+    # replay: checkpoint + commit markers + batch-keyed manifest
+    # overwrite make the second run a pure read-back
+    second = fn(spark, "/root/testdata/sf0.001").collect()
+    assert second == first
