@@ -311,6 +311,98 @@ def test_foreign_messages_land_through_the_scan(spark, tmp_path):
     )
 
 
+def _foreign_grib2_bitmapped() -> bytes:
+    """GRIB2 variant of :func:`_foreign_grib2` with a REAL bitmap
+    (section 6 indicator 0): of the 6 cells, positions 2 and 4
+    (0-based, row-major) are missing.  Bitmap bits ride MSB-first, one
+    bit per cell: present at 0,1,3,5 -> 0b110101 followed by two pad
+    bits -> single octet 0xD4.  Only the 4 PRESENT values pack (8-bit
+    width here), X = [0, 10, 100, 200]:
+        Y = (3.25 + X/2) / 10 -> 0.325, 0.825, 5.325, 10.325
+    laid back as [0.325, 0.825, NaN, 5.325, NaN, 10.325]."""
+    base = _foreign_grib2()
+    # Rebuild sections 5-7 against the bitmap; sections 0-4 unchanged
+    # except total length.  Offsets: sec0 16 + sec1 21 + sec3 72 +
+    # sec4 34 = 143 bytes of prefix.
+    prefix = base[:143]
+    sec5 = (
+        struct.pack(">IB", 21, 5)
+        + struct.pack(">I", 4)        # number of PACKED points (present)
+        + struct.pack(">H", 0)
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25
+        + bytes([0x80, 0x01])         # E = -1
+        + bytes([0x00, 0x01])         # D = +1
+        + bytes([8])                  # bits per value
+        + bytes([0])
+    )
+    sec6 = struct.pack(">IB", 7, 6) + bytes([0]) + bytes([0b11010100])
+    sec7 = struct.pack(">IB", 5 + 4, 7) + bytes([0, 10, 100, 200])
+    total = len(prefix) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = prefix + sec5 + sec6 + sec7 + b"7777"
+    return msg[:8] + struct.pack(">Q", total) + msg[16:]
+
+
+def _foreign_grib1_bitmapped() -> bytes:
+    """GRIB1 variant of :func:`_foreign_grib1` with a BMS: cells 1 and
+    5 of the STORED (south-first) order are missing — present bits
+    0b101110 MSB-first + 2 pad bits -> 0xB8.  BMS layout: 3-octet
+    length, octet 4 = unused-bit count (2) in its low nibble, octets
+    5-6 = 0 (bitmap follows, no predefined table), then the bits.
+    Present X (storage order) = [100, 255, 0, 10]:
+        Y = (100 + X/2) / 10 -> 15.0, 22.75, 10.0, 10.5."""
+    base = _foreign_grib1()
+    pds = bytearray(base[8 : 8 + 28])
+    pds[7] = 0xC0  # flags: GDS present AND BMS present
+    gds = base[36:68]
+    bms = bytes([0x00, 0x00, 0x08, 2, 0x00, 0x00, 0b10111000])
+    assert len(bms) == 7  # odd length is tolerated by real decoders;
+    # pad to even per the spec's even-length convention
+    bms = bytes([0x00, 0x00, 0x08, 2, 0x00, 0x00, 0b10111000, 0x00])
+    data = bytes([100, 255, 0, 10])
+    bds = (
+        bytes(
+            [
+                0x00, 0x00, 0x10,  # length 16 (11 header + 4 data + 1 pad)
+                0x08,              # 8 unused trailing bits
+                0x80, 0x01,        # E = -1
+                0x42, 0x64, 0x00, 0x00,  # R = IBM +100.0
+                8,
+            ]
+        )
+        + data
+        + b"\x00"
+    )
+    assert len(bds) == 16
+    total = 8 + len(pds) + len(gds) + len(bms) + len(bds) + 4
+    sec0 = b"GRIB" + total.to_bytes(3, "big") + bytes([1])
+    return sec0 + bytes(pds) + gds + bms + bds + b"7777"
+
+
+def test_foreign_bitmapped_messages_decode_with_correct_masking():
+    """Bitmap conventions from foreign bytes: MSB-first bit order, the
+    packed stream holding ONLY present cells, NaN landing exactly at
+    the masked positions — and for GRIB1, composition with the
+    south-first scan normalization (the bitmap masks STORAGE cells, so
+    the normalized north-first grid must carry the flipped mask)."""
+    from monitoring_data_ingestion_spark.grid.grib1 import decode_grib1
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_bitmapped())
+    expected = np.array(
+        [[0.325, 0.825, np.nan], [5.325, np.nan, 10.325]]
+    )
+    np.testing.assert_allclose(rec.values, expected, rtol=0, atol=1e-12)
+
+    rec1 = decode_grib1(_foreign_grib1_bitmapped())
+    # storage (south-first) rows: [100, MISS, 255], [0, 10, MISS]
+    # normalized north-first:     [0, 10, MISS], [100, MISS, 255]
+    expected1 = np.array(
+        [[10.0, 10.5, np.nan], [15.0, np.nan, 22.75]]
+    )
+    np.testing.assert_allclose(rec1.values, expected1, rtol=0, atol=1e-12)
+    assert rec1.lat_first_mdeg == -10500  # normalization still applies
+
+
 def test_foreign_grib1_value_formula_cross_check():
     """The pinned expectations themselves re-derive from first
     principles here (not from the codec): IBM float bits -> R by the
