@@ -1764,6 +1764,18 @@ def encode_grib2_message(
             "satellite templates carry no fixed surfaces — level2 "
             "does not apply"
         )
+    if satellite is not None and (
+        (level_type, level_scale, level_value) != (1, 0, 0)
+    ):
+        # same loudness as the level2 check: 4.31/4.32 have no level
+        # octets, so an explicitly-passed first surface would be
+        # silently discarded — a caller porting a 4.0 encode must hear
+        # about it, not ship a structurally valid message with the
+        # level gone
+        raise ValueError(
+            "satellite templates carry no fixed surfaces — "
+            "level_type/level_scale/level_value do not apply"
+        )
     if (
         satellite is not None
         and not satellite.get("simulated")
@@ -1961,17 +1973,18 @@ def encode_grib2_message(
                 int(b["instrument"]),
             )
             bsc, bv = int(b.get("scale", 0)), int(b["value"])
-            if not -127 <= bsc <= 127:
-                raise ValueError(
-                    f"central-wave-number scale factor {bsc} out of range"
-                )
-            if not 0 <= bv < 0xFFFFFFFF:
+            # A wave number is a magnitude: the wire value is
+            # sign-magnitude (like every GRIB2 scaled value), so a
+            # raw value >= 2^31 would decode as NEGATIVE — reject it
+            # here rather than silently corrupting the band.
+            if not 0 <= bv < 1 << 31:
                 raise ValueError(
                     f"central-wave-number value {bv} out of range"
                 )
-            band_bytes += bytes(
-                [(0x80 | abs(bsc)) if bsc < 0 else bsc]
-            ) + struct.pack(">I", bv)
+            # _scaled_pair emits the same 1+4-octet signed-magnitude
+            # layout and rejects the -127-scale / all-ones-value
+            # sentinel collisions a local reimplementation missed.
+            band_bytes += _scaled_pair((bsc, bv))
         if satellite.get("simulated"):
             tmpl4 = 32
             sat_body = (

@@ -454,7 +454,6 @@ def grib_inventory(
     )
 
 
-@loud_truncation
 def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
     """One record unit → one RECORD_SCHEMA row dict, or None when the
     ``match=`` regex rejects it header-side — the shared per-unit body
@@ -554,7 +553,7 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
             dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
             lats_udeg = None
     else:
-        rec = _decode_field(s)
+        rec = loud_truncation(_decode_field)(s)
         if (
             rec.spectral_truncation is not None
             and synthesize_spectral is None
@@ -730,7 +729,7 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
                 f"synthesis ni={ni_s} must divide the "
                 "360000-mdeg circle for an exact grid step"
             )
-        values_arr, s_lats = spectral_synthesis(
+        values_arr, s_lats = loud_truncation(spectral_synthesis)(
             rec.spectral_coeffs,
             rec.spectral_truncation,
             nj_s,

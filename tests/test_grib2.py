@@ -3209,6 +3209,32 @@ def test_satellite_pdt_guards_and_documented_boundaries():
         encode_grib2_message(v, satellite=dict(bands=bands), percentile=50)
     with pytest.raises(ValueError, match="band count"):
         encode_grib2_message(v, satellite=dict(bands=[]))
+    # the explicitly-passed FIRST surface is as loud as level2 —
+    # 4.31/4.32 have no level octets, so it cannot be silently dropped
+    with pytest.raises(ValueError, match="no fixed surfaces"):
+        encode_grib2_message(
+            v, satellite=dict(bands=bands), level_type=100,
+            level_value=85000,
+        )
+    # sentinel collisions: scale -127 encodes to the 0xFF
+    # coded-missing octet, and a value >= 2^31 would decode
+    # sign-magnitude NEGATIVE — both reject at encode
+    with pytest.raises(ValueError, match="signed-magnitude range"):
+        encode_grib2_message(
+            v,
+            satellite=dict(
+                bands=[dict(series=1, number=2, instrument=3,
+                            scale=-127, value=7)]
+            ),
+        )
+    with pytest.raises(ValueError, match="value .* out of range"):
+        encode_grib2_message(
+            v,
+            satellite=dict(
+                bands=[dict(series=1, number=2, instrument=3,
+                            scale=0, value=2**31 + 5)]
+            ),
+        )
     msg = encode_grib2_message(
         v, satellite=dict(bands=bands), reference_value=0.0, nbits=8
     )
