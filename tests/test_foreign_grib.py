@@ -403,6 +403,106 @@ def test_foreign_bitmapped_messages_decode_with_correct_masking():
     assert rec1.lat_first_mdeg == -10500  # normalization still applies
 
 
+def _foreign_grib2_multifield() -> bytes:
+    """A MULTI-FIELD (submessage) GRIB2 message in the NDFD layout —
+    sections ``0 1 3 (4 5 6 7)(4 5 6 7) 8`` with the single section 3
+    PERSISTING across both fields.  Both fields are 2x3 grids on the
+    same geography as :func:`_foreign_grib2`; they differ in lead time
+    (f0 vs f6) and payload.  8-bit packing, R=+3.25, E=-1, D=1:
+        field 1 (f0):  X = [0, 2, 4, 6, 8, 10]
+                       Y = [0.325, 0.425, 0.525, 0.625, 0.725, 0.825]
+        field 2 (f6):  X = [20, 40, 60, 80, 100, 120]
+                       Y = [1.325, 2.325, 3.325, 4.325, 5.325, 6.325]
+    """
+    base = _foreign_grib2()
+    sec1 = base[16 : 16 + 21]
+    sec3 = base[37 : 37 + 72]
+
+    def field(fc_hours: int, xs: list[int]) -> bytes:
+        sec4 = (
+            struct.pack(">IB", 34, 4)
+            + struct.pack(">H", 0)
+            + struct.pack(">H", 0)        # template 4.0
+            + bytes([0, 0, 2, 0, 0])
+            + struct.pack(">H", 0) + bytes([0])
+            + bytes([1])                  # hours
+            + struct.pack(">I", fc_hours)
+            + bytes([103, 0]) + struct.pack(">I", 2)
+            + bytes([255, 255]) + b"\xff\xff\xff\xff"
+        )
+        sec5 = (
+            struct.pack(">IB", 21, 5)
+            + struct.pack(">I", 6)
+            + struct.pack(">H", 0)
+            + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25
+            + bytes([0x80, 0x01])              # E = -1
+            + bytes([0x00, 0x01])              # D = +1
+            + bytes([8, 0])
+        )
+        sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+        sec7 = struct.pack(">IB", 5 + 6, 7) + bytes(xs)
+        return sec4 + sec5 + sec6 + sec7
+
+    body = (
+        sec1
+        + sec3
+        + field(0, [0, 2, 4, 6, 8, 10])
+        + field(6, [20, 40, 60, 80, 100, 120])
+    )
+    total = 16 + len(body) + 4
+    sec0 = b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total)
+    return sec0 + body + b"7777"
+
+
+def test_foreign_multifield_message_lands_per_field(spark, tmp_path):
+    """Submessage inheritance from foreign bytes: the landing scan
+    numbers, inventories and decodes each FIELD of the hand-assembled
+    NDFD-layout message independently, both inheriting the one
+    persisting section 3's geography — values and leads pinned by
+    hand."""
+    import os
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2_fields,
+        inventory_lines,
+    )
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib1_records,
+    )
+
+    msg = _foreign_grib2_multifield()
+    recs = decode_grib2_fields(msg)
+    assert [r.forecast_hours for r in recs] == [0, 6]
+    y1 = np.array([[0.325, 0.425, 0.525], [0.625, 0.725, 0.825]])
+    y2 = np.array([[1.325, 2.325, 3.325], [4.325, 5.325, 6.325]])
+    np.testing.assert_allclose(recs[0].values, y1, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(recs[1].values, y2, rtol=0, atol=1e-12)
+    for r in recs:  # the persisting section 3 georeferences BOTH fields
+        assert r.lat_first_udeg == -10_500_000
+        assert (r.ni, r.nj) == (3, 2)
+    assert inventory_lines(msg) == [
+        "d0:c0,n0:l103/2:2023071500:f0",
+        "d0:c0,n0:l103/2:2023071500:f6",
+    ]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "multi.grib"), "wb") as f:
+        f.write(msg)
+    rows = (
+        grib1_records(spark, landing).orderBy("record_number").collect()
+    )
+    assert [(r["record_number"], r["forecast_hours"]) for r in rows] == [
+        (1, 0), (2, 6),
+    ]
+    np.testing.assert_allclose(
+        np.array(rows[0]["values"]).reshape(2, 3), y1, rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.array(rows[1]["values"]).reshape(2, 3), y2, rtol=0, atol=1e-12
+    )
+    assert rows[0]["lat_first_mdeg"] == -10_500
+
+
 def test_foreign_grib1_value_formula_cross_check():
     """The pinned expectations themselves re-derive from first
     principles here (not from the codec): IBM float bits -> R by the
