@@ -590,6 +590,46 @@ def test_quarantine_survives_internally_short_section(spark, tmp_path):
     ]
 
 
+def test_quarantine_guard_is_codec_boundary_only(monkeypatch):
+    """The truncation guard sits at the CODEC boundary (field decode,
+    spectral synthesis), NOT around the whole record-row body: an
+    engine bug in row assembly raising IndexError/KeyError must still
+    fail the scan loudly — reclassifying it as ValueError would let
+    quarantine mode land every good record as a 'corrupt input'
+    manifest row, silently dropping a whole archive to re-ingest."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+    from monitoring_data_ingestion_spark.sources import grib_source as gs
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = g2.encode_grib2_message(v, reference_value=0.0, nbits=8)
+    units = list(gs._scan_units(msg, quarantine=True))
+    assert len(units) == 1 and units[0][0] == "unit"
+    _, n, (edition, m, s) = units[0]
+
+    def boom(udeg):
+        raise KeyError("engine bug in row assembly")
+
+    monkeypatch.setattr(gs, "_udeg_to_mdeg", boom)
+    # NOT ValueError: the quarantine handler must not catch this
+    with pytest.raises(KeyError, match="engine bug"):
+        gs._decode_record_row("p", n, edition, m, s, None, None)
+    # while a codec-interior defect (short section 1) still surfaces
+    # as the ValueError quarantine understands
+    monkeypatch.undo()
+    buf = bytearray(msg)
+    l1 = int.from_bytes(buf[16:20], "big")
+    short = bytearray(buf[: 16 + 13])
+    short[16:20] = (13).to_bytes(4, "big")
+    bad = bytes(short) + bytes(buf[16 + l1 :])
+    bad = bad[:8] + len(bad).to_bytes(8, "big") + bad[16:]
+    bunits = list(gs._scan_units(bad, quarantine=True))
+    _, bn, (bed, bm, bs) = bunits[0]
+    with pytest.raises(ValueError, match="truncated or corrupt GRIB"):
+        gs._decode_record_row("p", bn, bed, bm, bs, None, None)
+
+
 def test_surface_level_renderings_consistency_property():
     """PROPERTY: the three fixed-surface renderings can never disagree —
     ``surface_level`` (strict, decode path) raises exactly when
