@@ -47,7 +47,13 @@ the ``wgrib`` edition-1 path:
   the 4.13/4.14 statistical block at a VARIABLE offset after the
   member list); 4.5/4.9 — probability, 4.6/4.10 — percentile, 4.7 —
   analysis/forecast error (4.0's layout, distinguished only by the
-  surfaced product_template), 4.15 — spatio-statistical processing.
+  surfaced product_template), 4.15 — spatio-statistical processing;
+  4.31/4.32 — satellite products (observational / simulated imagery)
+  whose contributing-spectral-band list stands where the family's
+  fixed-surface octets would be (4.31 carries no lead octets either).
+  DOCUMENTED BOUNDARIES with named errors: 4.20 (radar — site-based
+  layout), 4.30 (deprecated satellite — band block one octet narrower
+  per band than 4.31's), 4.33/4.34 (ensemble simulated satellite).
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -1740,7 +1746,14 @@ def encode_grib2_message(
     # (0-100) selects 4.6.  Combined with ``statistical`` they become
     # 4.11 / 4.12 / 4.9 / 4.10, whose statistical block follows the
     # family's extra octets.  Octets 10-34 are identical to 4.0 across
-    # all ten, so one parser serves them on decode.
+    # all ten, so one parser serves them on decode.  ``satellite``
+    # (key ``bands``: list of dicts with ``series``/``number``/
+    # ``instrument`` and the central wave number as an exact
+    # (``scale``, ``value``) pair; optional ``simulated=True``,
+    # ``process``) selects 4.31 (observation — no lead octets, reject
+    # ``forecast``) or 4.32 (simulated imagery — keeps the lead
+    # block); NEITHER has fixed surfaces, so explicit level kwargs
+    # reject loudly.
     if sum(
         x is not None
         for x in (
