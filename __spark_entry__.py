@@ -61,26 +61,42 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # (grid_grib_inventory_scan, grid_grib1_inventory,
 # grid_grib_inventory_robust_scan, grid_grib2_match_decode,
 # grid_grib2_match_level_decode, grid_grib_match_lead_scan).  The
-# remaining landing-path queries sit downstream of the additive
-# RECORD_SCHEMA growth (three satellite columns) and the
-# _decode_field dispatch restructure, but their behavior for
-# templates 0-15 is unchanged, their witness evidence is at most one
-# round old (the entire r12 window), every one ran green through the
-# full local driver-sim at HEAD this session, and the 6-7-round-old
-# queue evidence outranks them — the same judgment the r12 window
-# documented for the cluster-column growth.  Per the standing rule
-# the queue fills the rest: the ENTIRE 30-name r6 spill
-# (grid_area_weighted_mean ... variant_json_shred, verbatim from the
-# r12 queue comment) and the first 11 (alphabetical) of the 44-name
-# r7 cohort.  2 + 7 + 30 + 11 = exactly 50.  The remaining 33 r7
-# names (dq_psi_drift, dq_schema_profile_drift, filter_bbox_pushdown,
-# filter_rlike_limit, first_after_filter, graph_assortativity,
-# graph_customer_similarity, graph_hits_authorities,
-# graph_incremental_edges, graph_triangle_census_indexed,
-# grid_hillshade, join_broadcast_dims, join_cross, join_full_outer,
-# join_inner, join_left_anti, join_left_outer, join_left_semi,
-# join_positional_lookup, knn_ivf_partitioned, project_null_sentinel,
-# q10_returned_items, q14_promo_revenue, q18_large_volume_customer,
+# self-review pass late in r13 also (a) fixed a quarantine-mode HANG
+# on zero-length indicators (iter_grib_messages now rejects
+# impossible declared lengths as framing errors — validation-only for
+# well-formed archives, same class as r12's torn-file contract, swept
+# in tests and re-verified hash-identical across the full registry
+# driver-sim) and (b) made grib1_cells drop quarantine-manifest rows
+# before the explode (they fabricated one phantom all-NULL cell per
+# corrupt record) while the landing grew satellite_series/
+# satellite_numbers columns — the cells-path change IS a plan change
+# for its callers, so the NINE existing grib1_cells queries join the
+# changed set: grid_grib1_landing_scan, grid_grib_statistical_scan,
+# grid_grib_projected_landing, grid_grib1_gaussian_scan,
+# grid_grib1_rotated_scan, grid_grib_spectral_landing,
+# stream_grib1_anomaly_pipeline, era5_grib_anomaly_pipeline,
+# stream_grib_spectral_pipeline.  The remaining landing-path queries
+# sit downstream only of the additive RECORD_SCHEMA growth and the
+# _decode_field dispatch restructure (behavior for templates 0-15
+# unchanged, evidence at most one round old, full local driver-sim
+# green at HEAD) — the 6-7-round-old queue evidence outranks them,
+# the same judgment the r12 window documented for the cluster-column
+# growth.  Per the standing rule the queue fills the rest: the ENTIRE
+# 30-name r6 spill (grid_area_weighted_mean ... variant_json_shred,
+# verbatim from the r12 queue comment) and the first 2 (alphabetical)
+# of the 44-name r7 cohort.  2 + 16 + 30 + 2 = exactly 50.  The
+# remaining 42 r7 names (agg_grouping_sets,
+# agg_incremental_maintenance, agg_minmax_running, agg_percentiles,
+# agg_pivot, agg_rollup, agg_stats, agg_stddev,
+# dedup_exact_keep_first, dq_psi_drift, dq_schema_profile_drift,
+# filter_bbox_pushdown, filter_rlike_limit, first_after_filter,
+# graph_assortativity, graph_customer_similarity,
+# graph_hits_authorities, graph_incremental_edges,
+# graph_triangle_census_indexed, grid_hillshade, join_broadcast_dims,
+# join_cross, join_full_outer, join_inner, join_left_anti,
+# join_left_outer, join_left_semi, join_positional_lookup,
+# knn_ivf_partitioned, project_null_sentinel, q10_returned_items,
+# q14_promo_revenue, q18_large_volume_customer,
 # q19_disjunctive_revenue, q21_late_suppliers, q22_idle_customers,
 # sample_neyman_allocation, sketch_bloom_membership,
 # sketch_count_min_tokens, sketch_hll_distinct,
@@ -96,8 +112,9 @@ _PRIORITY: tuple[str, ...] = (
     "era5_grib_quarantine_publish",
     "grid_grib2_satellite_scan",
     # --- 2. changed in round 13: the quarantine scan-path truncation
-    #     guard, the sign-safe scaled-level inventory rendering, and
-    #     the satellite template gates on both inventory surfaces ---
+    #     guard, the sign-safe scaled-level inventory rendering, the
+    #     satellite template gates on both inventory surfaces, and the
+    #     grib1_cells manifest-row filter (all nine existing callers) ---
     "grid_grib_quarantine_scan",
     "grid_grib_inventory_scan",
     "grid_grib1_inventory",
@@ -105,8 +122,17 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_match_decode",
     "grid_grib2_match_level_decode",
     "grid_grib_match_lead_scan",
+    "grid_grib1_landing_scan",
+    "grid_grib_statistical_scan",
+    "grid_grib_projected_landing",
+    "grid_grib1_gaussian_scan",
+    "grid_grib1_rotated_scan",
+    "grid_grib_spectral_landing",
+    "stream_grib1_anomaly_pipeline",
+    "era5_grib_anomaly_pipeline",
+    "stream_grib_spectral_pipeline",
     # --- 3. oldest cohort: the entire 30-name r6 spill (documented in
-    #     the r12 queue comment), then the first 11 of the 44-name r7
+    #     the r12 queue comment), then the first 2 of the 44-name r7
     #     cohort ---
     "grid_area_weighted_mean",
     "grid_contour_cells",
@@ -140,15 +166,6 @@ _PRIORITY: tuple[str, ...] = (
     "variant_json_shred",
     "agg_collect_sorted",
     "agg_cube",
-    "agg_grouping_sets",
-    "agg_incremental_maintenance",
-    "agg_minmax_running",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "agg_stddev",
-    "dedup_exact_keep_first",
 )
 
 

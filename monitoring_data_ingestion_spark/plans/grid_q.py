@@ -4346,6 +4346,8 @@ vs AS (
 ),
 bands31 AS (
   SELECT doc_id, b.b AS b,
+         300 + doc_id % 5 AS series,
+         10 + b.b AS sat_number,
          600 + (doc_id + b.b) % 7 AS instrument,
          CAST(700 + (doc_id % 50) + b.b AS DOUBLE)
            / POWER(10, (b.b % 3) - 1) AS wave
@@ -4354,6 +4356,9 @@ bands31 AS (
 ),
 w31 AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS satellite_bands,
+         CAST(MIN(CASE WHEN b = 0 THEN series END) AS INTEGER)
+           AS first_series,
+         CAST(SUM(sat_number) AS BIGINT) AS num_sum,
          CAST(MIN(CASE WHEN b = 0 THEN instrument END) AS INTEGER)
            AS first_instrument,
          ROUND(SUM(wave), 6) AS wave_sum
@@ -4361,23 +4366,27 @@ w31 AS (
 ),
 rec AS (
   SELECT g.doc_id, 1 AS rn, CAST(31 AS INTEGER) AS product_template,
-         w31.satellite_bands, w31.first_instrument, w31.wave_sum,
+         w31.satellite_bands, w31.first_series, w31.num_sum,
+         w31.first_instrument, w31.wave_sum,
          CAST(NULL AS INTEGER) AS forecast_hours
   FROM g JOIN w31 ON g.doc_id = w31.doc_id
   UNION ALL
   SELECT doc_id, 2, CAST(32 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(310 AS INTEGER), CAST(15 AS BIGINT),
          CAST(650 + doc_id % 5 AS INTEGER),
          ROUND(CAST(900 + doc_id % 30 AS DOUBLE), 6),
          CAST(6 * (1 + doc_id % 4) AS INTEGER)
   FROM g
   UNION ALL
   SELECT doc_id, 3, CAST(0 AS INTEGER), CAST(NULL AS INTEGER),
+         CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
          CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
          CAST(0 AS INTEGER)
   FROM g
 )
 SELECT rec.doc_id, CAST(rec.rn AS INTEGER) AS record_number,
-       rec.product_template, rec.satellite_bands, rec.first_instrument,
+       rec.product_template, rec.satellite_bands, rec.first_series,
+       rec.num_sum, rec.first_instrument,
        rec.wave_sum, rec.forecast_hours, vs.vsum
 FROM rec JOIN vs ON rec.doc_id = vs.doc_id AND rec.rn = vs.rn
 ORDER BY rec.doc_id, rec.rn
@@ -4491,6 +4500,12 @@ def grid_grib2_satellite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_number",
         "product_template",
         "satellite_bands",
+        F.element_at("satellite_series", 1).alias("first_series"),
+        F.aggregate(
+            "satellite_numbers",
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint"),
+        ).alias("num_sum"),
         F.element_at("satellite_instruments", 1).alias("first_instrument"),
         F.round(
             F.aggregate(

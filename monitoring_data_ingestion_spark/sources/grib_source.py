@@ -41,6 +41,18 @@ from pyspark.sql import functions as F
 
 from ..grid.grib1 import loud_truncation
 
+_LOUD_CODEC: dict = {}
+
+
+def _loud(fn):
+    """Memoized :func:`loud_truncation` wrapper — the codec-boundary
+    guard runs per RECORD on the scan hot path, so the wrapper is
+    built once per callable, not once per record."""
+    w = _LOUD_CODEC.get(fn)
+    if w is None:
+        w = _LOUD_CODEC[fn] = loud_truncation(fn)
+    return w
+
 RECORD_SCHEMA = (
     "path string, record_number int, edition int, grid_template int, "
     "product_template int, "
@@ -53,7 +65,8 @@ RECORD_SCHEMA = (
     "cluster_identifier int, cluster_total int, cluster_size int, "
     "probability_type int, prob_lower_limit double, "
     "prob_upper_limit double, percentile_value int, "
-    "satellite_bands int, satellite_instruments array<int>, "
+    "satellite_bands int, satellite_series array<int>, "
+    "satellite_numbers array<int>, satellite_instruments array<int>, "
     "central_wavenumbers array<double>, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
@@ -71,7 +84,8 @@ _RECORD_COLUMNS = [
     "ensemble_member", "ensemble_size", "derived_forecast",
     "cluster_identifier", "cluster_total", "cluster_size",
     "probability_type", "prob_lower_limit", "prob_upper_limit",
-    "percentile_value", "satellite_bands", "satellite_instruments",
+    "percentile_value", "satellite_bands", "satellite_series",
+    "satellite_numbers", "satellite_instruments",
     "central_wavenumbers", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values", "error",
@@ -100,10 +114,20 @@ def iter_grib_messages(buf: bytes):
         # buffer per record would copy O(n²) bytes on many-record files.
         if edition == 1:
             total = (buf[idx + 4] << 16) | (buf[idx + 5] << 8) | buf[idx + 6]
+            min_total = 12  # indicator + room for the 7777 inside
         elif edition == 2:
             (total,) = struct.unpack_from(">Q", buf, idx + 8)
+            min_total = 20  # 16-octet indicator + the 7777
         else:
             raise ValueError(f"unsupported GRIB edition {edition}")
+        if total < min_total:
+            # A zeroed/implausible indicator length is a FRAMING error:
+            # end <= idx would re-find the same magic forever (the
+            # quarantine loop then emits unbounded manifest rows), and
+            # the terminator check would read bytes BEFORE this message.
+            raise ValueError(
+                f"GRIB indicator declares impossible length {total}"
+            )
         end = idx + total
         if end > n:
             raise ValueError("truncated GRIB message")
@@ -483,7 +507,8 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
     ens_member = ens_size = derived_fc = None
     cluster_id = cluster_tot = cluster_sz = None
     prob_type = prob_lo = prob_hi = pctl = None
-    sat_bands = sat_instruments = sat_waves = None
+    sat_bands = sat_series = sat_numbers = None
+    sat_instruments = sat_waves = None
     cell_lats = cell_lons = None
     if edition == 1:
         rec = decode_grib1(msg)
@@ -553,7 +578,7 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
             dlat, dlon = rec.dlat_mdeg, rec.dlon_mdeg
             lats_udeg = None
     else:
-        rec = loud_truncation(_decode_field)(s)
+        rec = _loud(_decode_field)(s)
         if (
             rec.spectral_truncation is not None
             and synthesize_spectral is None
@@ -644,6 +669,10 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
         # satellite view has no fixed surface), and
         # forecast_hours is NULL on the observational 4.31.
         sat_bands = rec.satellite_bands
+        if rec.satellite_series is not None:
+            sat_series = list(rec.satellite_series)
+        if rec.satellite_numbers is not None:
+            sat_numbers = list(rec.satellite_numbers)
         if rec.satellite_instruments is not None:
             sat_instruments = list(rec.satellite_instruments)
         if rec.central_wavenumbers is not None:
@@ -729,7 +758,7 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
                 f"synthesis ni={ni_s} must divide the "
                 "360000-mdeg circle for an exact grid step"
             )
-        values_arr, s_lats = loud_truncation(spectral_synthesis)(
+        values_arr, s_lats = _loud(spectral_synthesis)(
             rec.spectral_coeffs,
             rec.spectral_truncation,
             nj_s,
@@ -776,6 +805,8 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
             "prob_upper_limit": prob_hi,
             "percentile_value": pctl,
             "satellite_bands": sat_bands,
+            "satellite_series": sat_series,
+            "satellite_numbers": sat_numbers,
             "satellite_instruments": sat_instruments,
             "central_wavenumbers": sat_waves,
             "ni": ni_out,
@@ -905,8 +936,11 @@ def grib1_cells(records: DataFrame) -> DataFrame:
     visible, never fabricated).  Missing cells (bitmap) surface as
     NULL value — Arrow already maps the codec's NaN to NULL, and any
     residual NaN is normalized here so downstream null-ignoring
-    aggregates are exact."""
-    e = records.select(
+    aggregates are exact.  Quarantine-manifest rows (NULL ``values``)
+    carry no cells and are dropped here — without the filter the outer
+    explode would fabricate one phantom all-NULL cell per corrupt
+    record, inflating every downstream count."""
+    e = records.filter(F.col("values").isNotNull()).select(
         "path",
         "record_number",
         "grid_template",

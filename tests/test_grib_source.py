@@ -590,6 +590,108 @@ def test_quarantine_survives_internally_short_section(spark, tmp_path):
     ]
 
 
+def test_satellite_records_land_with_band_columns(spark, tmp_path):
+    """PDTs 4.31/4.32 through the LANDING scan (the codec round-trip is
+    pinned in test_grib2): satellite_bands / satellite_series /
+    satellite_numbers / satellite_instruments / central_wavenumbers
+    land as columns (so a GOES-16-vs-GOES-18 or band-13 selection is a
+    plain filter), level columns stay NULL, the lead is NULL on the
+    observational 4.31 and real on 4.32, and non-satellite records
+    carry NULL in every band column."""
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib_inventory,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    bands = [
+        dict(series=333, number=17, instrument=616, scale=-3, value=717),
+        dict(series=334, number=18, instrument=620, scale=1, value=985),
+    ]
+    obs = g2.encode_grib2_message(
+        v, category=4, number=7, satellite=dict(bands=bands),
+        reference_value=0.0, nbits=8,
+    )
+    sim = g2.encode_grib2_message(
+        v, category=4, number=8,
+        satellite=dict(simulated=True, bands=bands[:1]),
+        forecast=dict(unit=1, value=6), reference_value=0.0, nbits=8,
+    )
+    plain = g2.encode_grib2_message(v, reference_value=0.0, nbits=8)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "sat.grib"), "wb") as f:
+        f.write(obs + sim + plain)
+    rows = (
+        grib1_records(spark, landing).orderBy("record_number").collect()
+    )
+    r31, r32, r0 = rows
+    assert r31["product_template"] == 31 and r31["satellite_bands"] == 2
+    assert r31["satellite_series"] == [333, 334]
+    assert r31["satellite_numbers"] == [17, 18]
+    assert r31["satellite_instruments"] == [616, 620]
+    assert r31["central_wavenumbers"] == [717000.0, 98.5]
+    assert r31["forecast_hours"] is None
+    assert r31["level_type"] is None and r31["level"] is None
+    assert len(r31["values"]) == 12
+    assert r32["product_template"] == 32 and r32["satellite_bands"] == 1
+    assert r32["forecast_hours"] == 6
+    assert r32["central_wavenumbers"] == [717000.0]
+    for c in (
+        "satellite_bands", "satellite_series", "satellite_numbers",
+        "satellite_instruments", "central_wavenumbers",
+    ):
+        assert r0[c] is None
+    # the header-only inventory lists all three (level/lead lenient)
+    inv = grib_inventory(spark, landing).orderBy("record_number").collect()
+    assert [(r["level_type"], r["forecast_hours"]) for r in inv] == [
+        (None, None), (None, 6), (1, 0),
+    ]
+
+
+def test_zero_length_indicator_is_a_framing_error_not_a_hang(spark, tmp_path):
+    """A corrupt indicator whose declared length is zero (or absurdly
+    small) must surface as a FRAMING error: without the guard,
+    ``end == idx`` re-finds the same magic forever and quarantine mode
+    emits unbounded manifest rows (the corrupt-archive mode hanging on
+    exactly the corruption it exists for).  Good records before the
+    defect still land; the file's unit stream ends at the tear."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid import grib2 as g2
+    from monitoring_data_ingestion_spark.sources.grib_source import (
+        grib1_cells,
+        iter_grib_messages,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    good = g2.encode_grib2_message(v, reference_value=0.0, nbits=8)
+    zeroed1 = b"GRIB" + b"\x00\x00\x00" + bytes([1]) + b"\x00" * 40
+    content = good + zeroed1
+    with pytest.raises(ValueError, match="impossible length"):
+        list(iter_grib_messages(content))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "zero.grib"), "wb") as f:
+        f.write(content)
+    rows = (
+        grib1_records(spark, landing, on_error="quarantine")
+        .orderBy("record_number")
+        .collect()
+    )
+    # exactly TWO rows: the good record and ONE framing manifest row
+    assert len(rows) == 2
+    assert rows[0]["error"] is None and len(rows[0]["values"]) == 12
+    assert rows[1]["error"].startswith("record framing")
+    # and the cells view drops the manifest row instead of fabricating
+    # a phantom all-NULL cell
+    cells = grib1_cells(
+        grib1_records(spark, landing, on_error="quarantine")
+    ).collect()
+    assert len(cells) == 12
+    assert all(c["value"] is not None for c in cells)
+
+
 def test_quarantine_guard_is_codec_boundary_only(monkeypatch):
     """The truncation guard sits at the CODEC boundary (field decode,
     spectral synthesis), NOT around the whole record-row body: an
