@@ -62,11 +62,17 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # grid_grib_inventory_robust_scan, grid_grib2_match_decode,
 # grid_grib2_match_level_decode, grid_grib_match_lead_scan).  The
 # self-review pass late in r13 also (a) fixed a quarantine-mode HANG
-# on zero-length indicators (iter_grib_messages now rejects
-# impossible declared lengths as framing errors — validation-only for
-# well-formed archives, same class as r12's torn-file contract, swept
-# in tests and re-verified hash-identical across the full registry
-# driver-sim) and (b) made grib1_cells drop quarantine-manifest rows
+# on zero-length indicators (iter_grib_messages and both codec-level
+# message iterators now reject impossible declared lengths as framing
+# errors), added loud stops for >64-bit packing widths, the extended
+# BDS layout, quasi-regular GRIB1 grids and out-of-range
+# select_record, and gave _unpack_bits a byte-aligned fast path
+# (bit-identical to the generic route — property-tested equal on all
+# four widths — and 4.5x faster on a full ERA5-size field); all
+# validation-only or bit-identical for well-formed archives, same
+# class as r12's torn-file contract, swept in tests and re-verified
+# hash-identical across the full registry driver-sim; and (b) made
+# grib1_cells drop quarantine-manifest rows
 # before the explode (they fabricated one phantom all-NULL cell per
 # corrupt record) while the landing grew satellite_series/
 # satellite_numbers columns — the cells-path change IS a plan change

@@ -261,9 +261,34 @@ def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
 
 
 def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
-    """Inverse of :func:`_pack_bits` → uint64 array of length n_values."""
+    """Inverse of :func:`_pack_bits` → uint64 array of length n_values.
+
+    Byte-aligned widths (8/16/24/32 — the widths real archives ship)
+    take a vectorized bytes-view path: the generic route expands every
+    bit to a uint64 (a ~64× transient blowup plus a matmul) on the
+    decode hot path, measured ~6× slower for a full ERA5-size field.
+    Widths past 64 reject loudly — a uint64 weight shift of ≥64 wraps
+    to zero and would silently decode garbage high-order bits."""
     if nbits == 0:
         return np.zeros(n_values, dtype=np.uint64)
+    if nbits > 64:
+        raise ValueError(
+            f"{nbits}-bit packing width is not decodable "
+            "(exceeds 64-bit value arithmetic)"
+        )
+    if nbits % 8 == 0:
+        nb = nbits // 8
+        raw = np.frombuffer(data, dtype=np.uint8)[: n_values * nb]
+        if raw.size < n_values * nb:
+            raise ValueError(
+                f"packed stream holds {raw.size} bytes, "
+                f"expected {n_values * nb}"
+            )
+        cols = raw.reshape(n_values, nb).astype(np.uint64)
+        out = np.zeros(n_values, dtype=np.uint64)
+        for k in range(nb):  # big-endian accumulation, MSB first
+            out = (out << np.uint64(8)) | cols[:, k]
+        return out
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))[: n_values * nbits]
     bits = bits.reshape(n_values, nbits).astype(np.uint64)
     weights = (np.uint64(1) << np.arange(nbits - 1, -1, -1, dtype=np.uint64))
@@ -755,6 +780,14 @@ def iter_messages(buf: bytes):
         total = _r24(buf, idx + 4)
         if buf[idx + 7] != EDITION:
             raise ValueError(f"unsupported GRIB edition {buf[idx + 7]}")
+        if total < 12:
+            # A zeroed/implausible length is a framing error: end <= idx
+            # would re-find the same magic forever (an unbounded scan),
+            # and the terminator check would read bytes BEFORE this
+            # message (the previous record's own 7777 would "pass").
+            raise ValueError(
+                f"GRIB1 indicator declares impossible length {total}"
+            )
         end = idx + total
         if end > n:
             raise ValueError("truncated GRIB message")
@@ -769,10 +802,14 @@ def select_record(buf: bytes, record_number: int) -> bytes:
     standalone GRIB1 file (/root/reference/src/file-conversions.js:120-127)."""
     if record_number < 1:
         raise ValueError("record_number is 1-based")
+    i = 0
     for i, msg in enumerate(iter_messages(buf), start=1):
         if i == record_number:
             return msg
-    raise IndexError(f"record {record_number} not in file")
+    # a data-level defect, not an engine bug: ValueError like every
+    # other codec-boundary reject, so a quarantine-mode caller lands it
+    # as a manifest row instead of crashing the job
+    raise ValueError(f"record {record_number} not in file ({i} records)")
 
 
 @loud_truncation
@@ -957,6 +994,18 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         rotated_pole = None
     else:
         ni = int.from_bytes(gds[6:8], "big")
+        if ni == 0xFFFF:
+            # QUASI-REGULAR (thinned/reduced) grid: Ni coded missing,
+            # per-row point counts in the PL list.  Reading 65535 as a
+            # literal column count would fail deep in the bit unpack
+            # with an inscrutable reshape error — stop loudly at the
+            # GDS instead.  (The GRIB2 reduced-Gaussian path, template
+            # 3.40 with the section-3 row list, IS supported.)
+            raise ValueError(
+                "quasi-regular (thinned) GRIB1 grid is not supported "
+                "(Ni coded missing with per-row point counts; "
+                "re-encode as GRIB2 reduced Gaussian)"
+            )
         nj = int.from_bytes(gds[8:10], "big")
         lat_first = _rs24(gds, 10)
         lon_first = _rs24(gds, 13)
@@ -1054,6 +1103,16 @@ def decode_grib1(msg: bytes) -> Grib1Record:
                 "simple packing; re-encode as GRIB2 template 5.51)"
             )
         raise ValueError("only grid-point simple packing is supported")
+    if flags & 0b0001:
+        # Flag bit 4: additional flags at octet 14 (the extended BDS
+        # layout — second-order packing pointers, matrix values).  The
+        # packed stream then starts PAST octet 12, so reading the
+        # standard layout would decode offset garbage with plausible
+        # statistics.
+        raise ValueError(
+            "extended BDS layout (octet-14 additional flags) is not "
+            "supported"
+        )
     unused = bds[3] & 0x0F
     binary_scale = _rs16(bds, 4)
     r = ibm32_decode(bds[6:10])

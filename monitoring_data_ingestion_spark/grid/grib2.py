@@ -2126,6 +2126,13 @@ def iter_messages2(buf: bytes):
         if buf[idx + 7] != EDITION:
             raise ValueError(f"unsupported GRIB edition {buf[idx + 7]}")
         (total,) = struct.unpack_from(">Q", buf, idx + 8)
+        if total < 20:
+            # zeroed/implausible length: end <= idx re-finds the same
+            # magic forever, and the terminator check would read bytes
+            # BEFORE this message (the previous record's own 7777)
+            raise ValueError(
+                f"GRIB2 indicator declares impossible length {total}"
+            )
         end = idx + total
         if end > n:
             raise ValueError("truncated GRIB2 message")

@@ -106,7 +106,10 @@ def test_multi_record_scan_and_select_parity():
     for k in range(1, 5):
         assert select_record(buf, k) == msgs[k - 1]
         assert decode_grib1(select_record(buf, k)).parameter == k
-    with pytest.raises(IndexError):
+    # a data-level defect raises ValueError like every codec-boundary
+    # reject (raw IndexError reads as an engine bug and would crash a
+    # quarantine-mode caller instead of landing a manifest row)
+    with pytest.raises(ValueError, match="not in file"):
         select_record(buf, 5)
     with pytest.raises(ValueError):
         select_record(buf, 0)
@@ -704,3 +707,49 @@ def test_grib1_complex_spectral_is_a_documented_boundary():
     msg[bds_off + 3] |= 0x40  # raise the complex-packing flag bit
     with pytest.raises(ValueError, match="GRIB1 spectral complex packing"):
         decode_grib1(bytes(msg))
+
+
+def test_corrupt_scan_guards_fail_loudly_not_silently():
+    """Defects the codec must stop on LOUDLY, never hang or decode
+    garbage: (a) a zeroed indicator length (without the guard the scan
+    makes no progress and yields empty messages forever — the previous
+    record's own 7777 satisfies the terminator check); (b) a packing
+    width past 64 bits (a uint64 weight shift of >= 64 wraps to zero,
+    silently dropping the high-order bits of every value); (c) the
+    extended BDS layout (octet-14 additional flags), whose packed
+    stream starts past octet 12; (d) a quasi-regular grid (Ni coded
+    missing = per-row point counts), which read literally drives a
+    65535-column reshape error deep in the bit unpack."""
+    v = np.full((2, 3), 5.0)
+    good = encode_grib1_message(v, reference_value=0.0, nbits=8)
+    # (a) valid message + zero-length indicator stub
+    junk = b"GRIB" + b"\x00\x00\x00" + bytes([1]) + b"\x00" * 30
+    with pytest.raises(ValueError, match="impossible length"):
+        list(iter_messages(good + junk))
+    # (b) nbits > 64
+    from monitoring_data_ingestion_spark.grid.grib1 import _unpack_bits
+
+    with pytest.raises(ValueError, match="64-bit"):
+        _unpack_bits(b"\x00" * 100, 5, 65)
+    # byte-aligned fast path agrees with the generic bit path exactly
+    rng = np.random.default_rng(7)
+    for nbits in (8, 16, 24, 32):
+        xs = rng.integers(0, 2**nbits, size=37, dtype=np.uint64)
+        from monitoring_data_ingestion_spark.grid.grib1 import _pack_bits
+
+        packed = _pack_bits(xs, nbits)
+        np.testing.assert_array_equal(_unpack_bits(packed, 37, nbits), xs)
+    # (c) extended BDS layout flag
+    bad = bytearray(good)
+    # BDS starts after IS(8) + PDS(28) + GDS(32); octet 4 holds the
+    # flag nibble high, unused-bit count low
+    bds_off = 8 + 28 + 32
+    bad[bds_off + 3] |= 0x10
+    with pytest.raises(ValueError, match="extended BDS layout"):
+        decode_grib1(bytes(bad))
+    # (d) quasi-regular Ni sentinel
+    bad2 = bytearray(good)
+    gds_off = 8 + 28
+    bad2[gds_off + 6 : gds_off + 8] = b"\xff\xff"
+    with pytest.raises(ValueError, match="quasi-regular"):
+        decode_grib1(bytes(bad2))

@@ -3264,3 +3264,17 @@ def test_satellite_pdt_guards_and_documented_boundaries():
         patched[pos + 8] = pdt
         with pytest.raises(ValueError, match=named):
             decode_grib2(bytes(patched))
+
+
+def test_zero_length_indicator_is_a_loud_framing_error():
+    """A zeroed GRIB2 indicator length must stop the message scan
+    loudly: without the guard ``end == idx`` re-finds the same magic
+    forever (the previous record's own 7777 satisfies the terminator
+    check) and the scan yields empty messages unboundedly."""
+    from monitoring_data_ingestion_spark.grid.grib2 import iter_messages2
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    good = encode_grib2_message(v, reference_value=0.0, nbits=8)
+    junk = b"GRIB" + bytes([0, 0, 0, 2]) + (0).to_bytes(8, "big") + b"\x00" * 30
+    with pytest.raises(ValueError, match="impossible length"):
+        list(iter_messages2(good + junk))
