@@ -68,10 +68,18 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # BDS layout, quasi-regular GRIB1 grids and out-of-range
 # select_record, and gave _unpack_bits a byte-aligned fast path
 # (bit-identical to the generic route — property-tested equal on all
-# four widths — and 4.5x faster on a full ERA5-size field); all
-# validation-only or bit-identical for well-formed archives, same
-# class as r12's torn-file contract, swept in tests and re-verified
-# hash-identical across the full registry driver-sim; and (b) made
+# four widths — and 4.5x faster on a full ERA5-size field); a second
+# review pass fixed the fixed-surface scaled VALUE to decode
+# signed-magnitude like every other GRIB2 scaled field (a -2 PVU
+# surface no longer reads as level 2147483650 — no fixture carries a
+# sign-bit level, so every oracle hash is unchanged; the inventory/
+# match/level queries riding the surface parsers are in the changed
+# set below), added the basic-angle and complex-width loud stops, the
+# codec-inventory template gate, validated encoder level octets, and
+# wgrib2 -limit 0 parity; all validation-only or bit-identical for
+# well-formed archives, same class as r12's torn-file contract, swept
+# in tests and re-verified hash-identical across the full registry
+# driver-sim; and (b) made
 # grib1_cells drop quarantine-manifest rows
 # before the explode (they fabricated one phantom all-NULL cell per
 # corrupt record) while the landing grew satellite_series/

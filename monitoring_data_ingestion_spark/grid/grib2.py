@@ -74,9 +74,12 @@ the ``wgrib`` edition-1 path:
 * Section 8: "7777".
 
 Record matching parity: :func:`inventory_line` renders a wgrib2-style
-``d{discipline}:c{category},n{number}:{YYYYMMDDHH}`` string per record
-and :func:`match_records` selects by regex with an optional count limit
-— ``wgrib2 -match -limit`` as a pure function over the scanned file.
+``d{discipline}:c{category},n{number}:l{level type}/{level}[-{level2}]
+:{YYYYMMDDHH}:f{lead hours}`` string per record (``-`` where a field
+is coded missing or non-renderable; the authoritative rendering is
+:func:`_field_inventory`) and :func:`match_records` selects by regex
+with an optional count limit — ``wgrib2 -match -limit`` as a pure
+function over the scanned file.
 
 All encode/decode arithmetic is stated closed-form (see grib1.py's
 module docstring); integer-valued grids with E=0, D=0 and an
@@ -122,18 +125,12 @@ def _f32_decode(b: bytes) -> float:
 
 
 def _s32be(n: int) -> bytes:
-    """Signed-magnitude 32-bit (GRIB2 lat/lon in microdegrees)."""
-    mag = abs(int(n))
-    if mag >= 1 << 31:
+    """Signed-magnitude 32-bit (GRIB2 lat/lon in microdegrees) — the
+    width-4 case of :func:`_signed_magnitude` (defined below; bound at
+    call time)."""
+    if abs(int(n)) >= 1 << 31:
         raise ValueError("signed-magnitude 32-bit overflow")
-    return bytes(
-        [
-            (0x80 if n < 0 else 0) | (mag >> 24),
-            (mag >> 16) & 0xFF,
-            (mag >> 8) & 0xFF,
-            mag & 0xFF,
-        ]
-    )
+    return _signed_magnitude(int(n), 4)
 
 
 def _rs32be(b: bytes, off: int) -> int:
@@ -1014,6 +1011,13 @@ def _decode_complex_s7(
 
     def take(count: int, width: int) -> np.ndarray:
         nonlocal bitpos
+        if width > 63:
+            # a uint64 weight shift of >= 64 wraps to zero (and bit 63
+            # would wrap negative through the int64 view) — corrupt
+            # width octets must stop loudly, not decode garbage
+            raise ValueError(
+                f"{width}-bit complex-packing field width is not decodable"
+            )
         if width == 0 or count == 0:
             return np.zeros(count, dtype=np.int64)
         end = bitpos + count * width
@@ -1080,6 +1084,17 @@ def _decode_complex_s7(
                 g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
                 x[2:] = ivals[1] + np.cumsum(g1)
     return x, miss
+
+
+def _surface_type_octet(value) -> int:
+    """Fixed-surface TYPE octet at encode: 0-255 with 255 meaning
+    'surface coded missing' (legal to request explicitly) — but out of
+    range stops loudly instead of '& 0xFF' masking to a different
+    surface type."""
+    v = int(value)
+    if not 0 <= v <= 255:
+        raise ValueError(f"fixed surface type {v} out of range 0-255")
+    return v
 
 
 def _pdt_octet(value, what: str) -> int:
@@ -2038,16 +2053,14 @@ def encode_grib2_message(
             + bytes([0])  # minutes
             + bytes([fc_unit])  # time unit (code table 4.4)
             + struct.pack(">I", fc_value)  # forecast time in those units
-            # Scale factor is signed-MAGNITUDE (top bit = sign) like every
-            # other GRIB2 signed field — two's complement would decode as a
-            # huge negative scale.
-            + bytes(
-                [
-                    level_type & 0xFF,
-                    (0x80 | abs(level_scale)) if level_scale < 0 else level_scale,
-                ]
-            )
-            + struct.pack(">I", level_value)  # fixed surface 1
+            # Fixed surface 1 through the shared validated encoders:
+            # the type octet 0-255 (255 = the missing sentinel, legal
+            # explicitly), the (scale, value) pair signed-magnitude
+            # with the -127-scale / all-ones-value sentinel collisions
+            # rejected — '& 0xFF' masking here silently encoded a
+            # DIFFERENT surface type.
+            + bytes([_surface_type_octet(level_type)])
+            + _scaled_pair((level_scale, level_value))
             + sfc2  # fixed surface 2 (layer bottom, or all-ones missing)
             + pdt_extra,
         )
@@ -2211,7 +2224,15 @@ def _parse_surface(
             -(s4[off + 1] & 0x7F) if s4[off + 1] & 0x80 else s4[off + 1]
         )
     (raw_lv,) = struct.unpack_from(">I", s4, off + 2)
-    level_value = None if (level_type is None or raw_lv == 0xFFFFFFFF) else raw_lv
+    if level_type is None or raw_lv == 0xFFFFFFFF:
+        level_value = None
+    else:
+        # signed-MAGNITUDE like every other GRIB2 scaled value (a
+        # -2 PVU surface is wire 0x80000002) — an unsigned read would
+        # label it level 2147483650 on every surface
+        level_value = (
+            -(raw_lv & 0x7FFFFFFF) if raw_lv & 0x80000000 else raw_lv
+        )
     return level_type, level_scale, level_value
 
 
@@ -2731,6 +2752,22 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             if scan not in (0x00, 0x40):
                 raise ValueError(
                     f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
+                )
+            # Basic angle / subdivisions (octets 39-46): a non-default
+            # unit re-scales EVERY coordinate and increment — reading a
+            # millidegree-unit grid as microdegrees is 1000x silent
+            # geography corruption, so only the default microdegree
+            # unit decodes: basic angle 0 / coded missing, or the
+            # equivalent explicit 1/10^6.
+            (basic,) = struct.unpack_from(">I", g, 24)
+            (subdiv,) = struct.unpack_from(">I", g, 28)
+            if not (
+                basic in (0, 0xFFFFFFFF)
+                or (basic == 1 and subdiv == 1_000_000)
+            ):
+                raise ValueError(
+                    f"non-default basic angle {basic}/{subdiv} not "
+                    "supported (coordinates would not be microdegrees)"
                 )
             # 3.0 carries BOTH increments; if either flag is unset that
             # field holds the all-ones missing sentinel and would decode as
@@ -3331,6 +3368,14 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    if tmpl4 not in (
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 31, 32
+    ):
+        # same gate as the decode and the landing inventory: rendering
+        # a layout-divergent template (4.20 radar, 4.30 satellite,
+        # 4.33/4.34) through the family offsets would print band/site
+        # octets as a fake level — the surfaces must never disagree
+        raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl4 in (31, 32):
         # Satellite family: no fixed surfaces (octets 23+ carry the
         # band list, not levels) — reading them through the family
@@ -3405,6 +3450,8 @@ def match_records(buf: bytes, pattern: str, limit: int | None = None) -> list[by
     true per-field filter."""
     rx = re.compile(pattern)
     out: list[bytes] = []
+    if limit is not None and limit <= 0:
+        return out  # wgrib2 -limit 0 selects nothing
     for msg in iter_messages2(buf):
         if any(rx.search(line) for line in inventory_lines(msg)):
             out.append(msg)

@@ -3278,3 +3278,95 @@ def test_zero_length_indicator_is_a_loud_framing_error():
     junk = b"GRIB" + bytes([0, 0, 0, 2]) + (0).to_bytes(8, "big") + b"\x00" * 30
     with pytest.raises(ValueError, match="impossible length"):
         list(iter_messages2(good + junk))
+
+
+def test_signed_fixed_surface_values_roundtrip_and_encode_guards():
+    """The fixed-surface scaled value is SIGNED-magnitude like every
+    other GRIB2 scaled field: a -2 PVU-style surface round-trips to
+    level -2 on the decode, inventory and text surfaces (an unsigned
+    read would label it 2147483650).  The encoder's level octets are
+    loudly validated — '& 0xFF' masking silently encoded type 300 as
+    type 44 before — and the (scale, value) pair rejects the sentinel
+    collisions via the shared _scaled_pair."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        inventory_line,
+        surface_level,
+        surface_level_text,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = encode_grib2_message(
+        v, level_type=109, level_scale=0, level_value=-2,
+        reference_value=0.0, nbits=8,
+    )
+    rec = decode_grib2(msg)
+    assert (rec.level_type, rec.level_scale, rec.level_value) == (109, 0, -2)
+    assert surface_level(rec.level_value, rec.level_scale) == -2
+    assert surface_level_text(rec.level_value, rec.level_scale) == "-2"
+    assert inventory_line(msg) == "d0:c0,n0:l109/-2:2020010100:f0"
+    np.testing.assert_array_equal(rec.values, v)
+    # scaled negative: -15 * 10^-1 = -1.5 renders exactly
+    msg2 = encode_grib2_message(
+        v, level_type=109, level_scale=1, level_value=-15,
+        reference_value=0.0, nbits=8,
+    )
+    assert inventory_line(msg2) == "d0:c0,n0:l109/-1.5:2020010100:f0"
+    # encode guards: masked type / sentinel-colliding scale / overflow
+    with pytest.raises(ValueError, match="fixed surface type 300"):
+        encode_grib2_message(v, level_type=300)
+    with pytest.raises(ValueError, match="signed-magnitude range"):
+        encode_grib2_message(v, level_scale=-127)
+    with pytest.raises(ValueError, match="overflow"):
+        encode_grib2_message(v, level_value=2**31)
+
+
+def test_grid_and_packing_corruption_guards():
+    """Corruptions that previously decoded garbage or rendered fake
+    fields now stop loudly: (a) a non-default basic angle re-scales
+    every coordinate (a millidegree-unit grid read as microdegrees is
+    1000x geography corruption); (b) a complex-packing width octet
+    past 63 bits wraps uint64 shifts; (c) the codec-level inventory
+    applies the same template gate as the decode, so a 4.30 record
+    cannot render its band octets as a fake level; (d) match_records
+    with limit=0 selects nothing."""
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        inventory_lines,
+        match_records,
+    )
+
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = encode_grib2_message(v, reference_value=0.0, nbits=8)
+    # (a) basic angle: section 3 starts at 16+21; octet 39 of the
+    # section -> index 38; template body g starts at section offset 14
+    s3_off = 16 + 21
+    bad = bytearray(msg)
+    import struct as _s
+    _s.pack_into(">II", bad, s3_off + 14 + 24, 1, 1000)  # millidegree unit
+    with pytest.raises(ValueError, match="basic angle"):
+        decode_grib2(bytes(bad))
+    # the explicit microdegree form (1 / 10^6) still decodes
+    ok = bytearray(msg)
+    _s.pack_into(">II", ok, s3_off + 14 + 24, 1, 1_000_000)
+    np.testing.assert_array_equal(decode_grib2(bytes(ok)).values, v)
+    # (b) complex width guard
+    cmsg = encode_grib2_message(
+        v, reference_value=0.0, nbits=8, packing="complex"
+    )
+    pos = 16
+    while cmsg[pos + 4] != 5:
+        pos += int.from_bytes(cmsg[pos : pos + 4], "big")
+    cbad = bytearray(cmsg)
+    cbad[pos + 19] = 72  # nbits_ref
+    with pytest.raises(ValueError, match="not decodable"):
+        decode_grib2(bytes(cbad))
+    # (c) inventory gate on layout-divergent templates
+    pbad = bytearray(msg)
+    p4 = 16
+    while pbad[p4 + 4] != 4:
+        p4 += int.from_bytes(pbad[p4 : p4 + 4], "big")
+    pbad[p4 + 8] = 30
+    with pytest.raises(ValueError, match="unsupported product definition"):
+        inventory_lines(bytes(pbad))
+    # (d) limit=0
+    assert match_records(msg, ".", limit=0) == []
+    assert len(match_records(msg, ".", limit=1)) == 1
