@@ -79,8 +79,20 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # wgrib2 -limit 0 parity; all validation-only or bit-identical for
 # well-formed archives, same class as r12's torn-file contract, swept
 # in tests and re-verified hash-identical across the full registry
-# driver-sim; and (b) made
-# grib1_cells drop quarantine-manifest rows
+# driver-sim.  A streaming-runtime review pass (c) scoped the heartbeat
+# listener to its query, made stale commit markers after a checkpoint
+# reset fail loudly, bounded the memory-sink view lifecycle (each
+# drain drops the previous view — behavior-identical result, so the
+# stream_* queries keep their recent evidence), defaulted landing
+# streams to effectively-unbounded maxFileAge (the 7-day default
+# silently skipped late-landed old-mtime files), rejected the
+# months_per_trigger+AvailableNow combination that silently truncates
+# a backfill, and PERSISTED the normals aggregate at every
+# multi-batch pipeline (the stream-static join re-executes the static
+# side per micro-batch) — the persist is a real plan change, so
+# era5_grid_anomaly_pipeline joins the changed set (its streaming
+# siblings already being there) and the r7 fill shrinks to one name.
+# Finally (b): the review made grib1_cells drop quarantine-manifest rows
 # before the explode (they fabricated one phantom all-NULL cell per
 # corrupt record) while the landing grew satellite_series/
 # satellite_numbers columns — the cells-path change IS a plan change
@@ -97,9 +109,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # the same judgment the r12 window documented for the cluster-column
 # growth.  Per the standing rule the queue fills the rest: the ENTIRE
 # 30-name r6 spill (grid_area_weighted_mean ... variant_json_shred,
-# verbatim from the r12 queue comment) and the first 2 (alphabetical)
-# of the 44-name r7 cohort.  2 + 16 + 30 + 2 = exactly 50.  The
-# remaining 42 r7 names (agg_grouping_sets,
+# verbatim from the r12 queue comment) and the first (alphabetical)
+# name of the 44-name r7 cohort, agg_collect_sorted.
+# 2 + 17 + 30 + 1 = exactly 50.  The
+# remaining 43 r7 names (agg_cube, agg_grouping_sets,
 # agg_incremental_maintenance, agg_minmax_running, agg_percentiles,
 # agg_pivot, agg_rollup, agg_stats, agg_stddev,
 # dedup_exact_keep_first, dq_psi_drift, dq_schema_profile_drift,
@@ -145,6 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_grib1_anomaly_pipeline",
     "era5_grib_anomaly_pipeline",
     "stream_grib_spectral_pipeline",
+    "era5_grid_anomaly_pipeline",
     # --- 3. oldest cohort: the entire 30-name r6 spill (documented in
     #     the r12 queue comment), then the first 2 of the 44-name r7
     #     cohort ---
@@ -179,7 +193,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts_sessionize",
     "variant_json_shred",
     "agg_collect_sorted",
-    "agg_cube",
 )
 
 

@@ -333,7 +333,10 @@ def era5_grid_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     history = spark.read.format(FORMAT_NAME).option("path", landing).load()
-    normals = monthly_normals(history, _NORMAL_YEARS)
+    # persisted: the stream-static join re-executes the static side per
+    # micro-batch — unpersisted, the full-history aggregate recomputes
+    # once per month-file (the table is ~|cells|x|vars|x12 rows)
+    normals = monthly_normals(history, _NORMAL_YEARS).persist()
 
     q = monthly_anomaly_query(
         spark,
@@ -643,7 +646,7 @@ def stream_grib1_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     history = grib1_cells(grib1_records(spark, landing))
     normals = history.groupBy("parameter", "lat_mdeg", "lon_mdeg").agg(
         F.avg("value").alias("normal")
-    )
+    ).persist()  # static side of a per-batch stream-static join
     stream_cells = grib1_cells(
         grib1_records_stream(spark, landing, max_files_per_trigger=1)
     )
@@ -760,7 +763,8 @@ def era5_grib_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Climatology = the first two years (2020-2021); 2022's anomalies
     # are genuine out-of-base departures — the reference's normals-vs-
     # current split on the byte-real landing.
-    normals = monthly_normals(history, (2020, 2021))
+    # persisted: 36 micro-batches re-execute the static join side
+    normals = monthly_normals(history, (2020, 2021)).persist()
 
     stream = to_grid(
         grib1_cells(grib1_records_stream(spark, landing, max_files_per_trigger=1))
@@ -944,7 +948,10 @@ def era5_grib_quarantine_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     good_history = grib1_records(spark, landing, on_error="quarantine").filter(
         F.col("error").isNull()
     )
-    normals = monthly_normals(to_grid(grib1_cells(good_history)), (2020, 2021))
+    # persisted: 36 micro-batches re-execute the static join side
+    normals = monthly_normals(
+        to_grid(grib1_cells(good_history)), (2020, 2021)
+    ).persist()
 
     stream = grib1_records_stream(
         spark, landing, max_files_per_trigger=1, on_error="quarantine"

@@ -904,8 +904,16 @@ def grib1_records_stream(
     bookkeeping (src/rabbit.js:25-26) for free."""
     # The streaming file source requires an explicit schema; binaryFile's
     # is fixed by the format.
-    reader = spark.readStream.format("binaryFile").schema(
-        "path string, modificationTime timestamp, length long, content binary"
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        # FileStreamSource's default maxFileAge (7 days vs the newest
+        # file seen) silently skips late-landed archives with preserved
+        # old mtimes — rsync/cp -p backfills are exactly that shape
+        .option("maxFileAge", "36500d")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

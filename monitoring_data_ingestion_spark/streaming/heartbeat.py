@@ -26,13 +26,26 @@ def _write_atomic(path: str, obj: dict) -> None:
 class HeartbeatListener(StreamingQueryListener):
     """Writes ``{"last_beat": iso, "query": name, "batch_id": n}`` on every
     progress event, atomically (temp + rename, the reference's
-    write_json_atomically semantics)."""
+    write_json_atomically semantics).
 
-    def __init__(self, heart_path: str):
+    ``query_name`` scopes the heartbeat to ONE query: a session-level
+    StreamingQueryListener receives events from EVERY streaming query,
+    so without the filter any other query's progress would keep the
+    file fresh after the monitored pipeline died — the exact liveness
+    failure the heartbeat exists to expose.  None (the default) keeps
+    the session-wide behavior for single-query sessions."""
+
+    def __init__(self, heart_path: str, query_name: str | None = None):
         self.heart_path = heart_path
+        self.query_name = query_name
         os.makedirs(os.path.dirname(heart_path) or ".", exist_ok=True)
 
+    def _mine(self, name) -> bool:
+        return self.query_name is None or name == self.query_name
+
     def onQueryStarted(self, event) -> None:
+        if not self._mine(event.name):
+            return
         _write_atomic(
             self.heart_path,
             {
@@ -44,6 +57,8 @@ class HeartbeatListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
+        if not self._mine(p.name):
+            return
         _write_atomic(
             self.heart_path,
             {

@@ -98,6 +98,16 @@ def monthly_anomaly_query(
     a ProcessingTime service loop (the reference's one-month-per-run
     contract); leave it None with ``available_now=True`` to drain a
     backfill and terminate."""
+    if months_per_trigger is not None and available_now:
+        # Trigger.AvailableNow captures ONE latestOffset at query start
+        # as the fixed end; a paced source then drains exactly one
+        # increment and the query terminates "successfully" having
+        # published a fraction of the backfill — silent data loss.
+        raise ValueError(
+            "months_per_trigger cannot combine with available_now — "
+            "AvailableNow fixes its end offset at start, so a paced "
+            "source would silently truncate the backfill"
+        )
     register(spark)
     reader = spark.readStream.format(FORMAT_NAME).option("path", landing_dir)
     if months_per_trigger is not None:

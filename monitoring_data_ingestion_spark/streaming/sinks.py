@@ -28,6 +28,15 @@ def run_available_now_to_memory(
     fully exercised, with a deterministic end. This is the test/driver
     harness path; production queries use the parquet/foreachBatch sinks.
     """
+    spark = stream_df.sparkSession
+    # Memory-sink tables live for the session: without cleanup every
+    # drained result stays pinned in driver memory forever.  Keep at
+    # most ONE outstanding table per session — the previous call's
+    # result has been consumed by the time the next query runs (the
+    # catalog/driver contract), so its view drops here.
+    prev = getattr(spark, "_mdi_memory_sink_view", None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
     name = "st_" + uuid.uuid4().hex
     q = (
         stream_df.writeStream.format("memory")
@@ -42,7 +51,8 @@ def run_available_now_to_memory(
     finally:
         if q.isActive:  # pragma: no cover - only on timeout
             q.stop()
-    return stream_df.sparkSession.table(name)
+    spark._mdi_memory_sink_view = name
+    return spark.table(name)
 
 
 class IdempotentForeachBatch:
@@ -67,6 +77,20 @@ class IdempotentForeachBatch:
         return os.path.exists(self._marker(batch_id))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0 and any(
+            f.endswith(".committed") and f != "0.committed"
+            for f in os.listdir(self.commit_dir)
+        ):
+            # Batch ids restarted at 0 while markers from higher batches
+            # exist: the CHECKPOINT was reset but the commit dir kept —
+            # every batch would silently skip as "already committed",
+            # completing a stream that wrote nothing.  The two dirs
+            # share one lifecycle; reset them together.
+            raise ValueError(
+                "commit markers from a previous run exist but batch ids "
+                "restarted at 0 — the checkpoint was reset without its "
+                f"commit dir ({self.commit_dir}); clear both together"
+            )
         if self.is_committed(batch_id):
             return
         self.write_fn(batch_df, batch_id)

@@ -22,6 +22,7 @@ def file_stream(
     fmt: str = "parquet",
     path_glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    max_file_age: str = "36500d",
 ) -> DataFrame:
     """Generic landing-directory stream with an explicit schema (streaming
     scans never infer — schema drift must fail loudly, not silently).
@@ -30,7 +31,16 @@ def file_stream(
     analogue of the reference's one-month-per-run pacing (T1). At scale it
     is the knob that keeps a backfill from turning into one giant batch.
     """
-    reader = spark.readStream.schema(schema).format(fmt)
+    # FileStreamSource's default maxFileAge (7 days, measured against
+    # the NEWEST file seen) silently drops late-landed files whose
+    # mtimes are old — rsync/cp -p backfills into a watched landing
+    # directory are exactly that shape, so the landing pattern defaults
+    # to effectively-unbounded age and lets callers override.
+    reader = (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .option("maxFileAge", max_file_age)
+    )
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     if max_files_per_trigger is not None:

@@ -142,3 +142,19 @@ def test_quarantine_publish_coexists_and_replays_idempotently(spark):
     # overwrite make the second run a pure read-back
     second = fn(spark, "/root/testdata/sf0.001").collect()
     assert second == first
+
+
+def test_paced_trigger_rejects_available_now(spark, landing, normals, tmp_path):
+    """months_per_trigger + available_now would silently truncate the
+    backfill: AvailableNow fixes its end offset at query start, so a
+    paced source drains exactly one increment and the query terminates
+    'successfully' — the combination must stop loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="silently truncate"):
+        monthly_anomaly_query(
+            spark, landing, normals,
+            str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            str(tmp_path / "commit"),
+            months_per_trigger=1, available_now=True,
+        )

@@ -476,3 +476,74 @@ def test_gap_alerts_state_is_one_row_per_key(spark, tmp_path):
     )
     want = {(r.user_id, r.gap_start_us, r.gap_end_us) for r in batch.collect()}
     assert got == want
+
+
+def test_heartbeat_listener_scoped_to_one_query(tmp_path):
+    """A session-level listener receives EVERY query's events; scoped to
+    ``query_name`` it must ignore other queries — otherwise any live
+    query keeps the heartbeat fresh after the monitored pipeline died,
+    defeating the liveness monitor (T8)."""
+    heart = str(tmp_path / "heart.json")
+    listener = HeartbeatListener(heart, query_name="monitored_q")
+
+    class _Evt:
+        name = "other_q"
+        id = "id-1"
+
+    class _Prog:
+        class progress:
+            name = "other_q"
+            id = "id-1"
+            batchId = 3
+
+    listener.onQueryStarted(_Evt())
+    listener.onQueryProgress(_Prog())
+    assert not os.path.exists(heart)  # another query never beats
+    _Evt.name = "monitored_q"
+    listener.onQueryStarted(_Evt())
+    assert os.path.exists(heart)
+    assert json.load(open(heart))["query"] == "monitored_q"
+
+
+def test_stale_commit_markers_after_checkpoint_reset_fail_loudly(spark, tmp_path):
+    """Commit markers share the checkpoint's lifecycle: if the
+    checkpoint was reset (batch ids restart at 0) while old markers
+    survive, every batch would silently skip as already-committed and
+    the stream would 'succeed' having written nothing — the sink must
+    stop loudly instead."""
+    import pytest
+
+    calls = []
+
+    def write(df, bid):
+        calls.append(bid)
+
+    commits = str(tmp_path / "commits")
+    sink = IdempotentForeachBatch(commits, write)
+    df = spark.range(1)
+    sink(df, 0)
+    sink(df, 1)
+    assert calls == [0, 1]
+    # same run: re-delivery of batch 1 skips silently (correct)
+    sink(df, 1)
+    assert calls == [0, 1]
+    # new run against a RESET checkpoint: batch 0 arrives while marker
+    # 1 exists -> loud stop naming both dirs' shared lifecycle
+    fresh = IdempotentForeachBatch(commits, write)
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        fresh(df, 0)
+
+
+def test_memory_sink_views_do_not_accumulate(spark):
+    """Each drained streaming result must not pin a new in-memory table
+    for the session's lifetime: the next drain drops the previous
+    view, bounding driver memory to one outstanding result."""
+    src1 = events_stream(spark, SF_SMOKE).select("event_id")
+    out1 = run_available_now_to_memory(src1, output_mode="append")
+    first_view = spark._mdi_memory_sink_view
+    assert out1.count() > 0
+    src2 = events_stream(spark, SF_SMOKE).select("user_id")
+    out2 = run_available_now_to_memory(src2, output_mode="append")
+    assert out2.count() > 0
+    assert spark._mdi_memory_sink_view != first_view
+    assert not spark.catalog.tableExists(first_view)
