@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_ITER = 5  # per-query iterations; reported min + cold first iter
 
+# Host-contention guard (r13 lesson: a contended run recorded 17.9 s —
+# +57% — while a clean re-run at the same HEAD gave 13.0 s; the control
+# query's own timing was the tell).  The frozen control's best-of-3 has
+# sat in 0.33–0.43 s across rounds 5–13 on this box; a sample outside
+# the band means the HOST was loaded, not that the code regressed, so
+# the headline section re-runs ONCE and the per-query min is taken
+# across both passes.  Override via SPARK_GRAFT_CTRL_BAND_SEC for other
+# hardware/SFs.
+CTRL_BAND_SEC = float(os.environ.get("SPARK_GRAFT_CTRL_BAND_SEC", "0.48"))
+
 
 def _control_plan(spark, sf_dir: str):
     """FROZEN control query — defined inline here, never part of the
@@ -79,41 +89,58 @@ def main() -> None:
 
     from monitoring_data_ingestion_spark.plans.catalog import release_caches
 
+    def run_headline_pass() -> tuple[dict[str, float], dict[str, float]]:
+        times: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name, spec in headline.items():
+            # Best of N_ITER: single-shot timings on this box vary up to
+            # 2× from GC and JIT noise; the min measures the plan, not
+            # the weather. Iterations of one query share Spark's cache
+            # entry for any persisted intermediate (CacheManager keys on
+            # the logical plan), so for a query that persists internally
+            # the min is the warm steady state; the first iteration is
+            # the cold single-run number and is reported separately
+            # under "cold". Caches release between queries so no query
+            # benches (or holds memory) against another's.
+            best = first = None
+            for _ in range(N_ITER):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                first = dt if first is None else first
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+            cold[name] = round(first, 3)
+            release_caches()
+        return times, cold
+
     control_first = _time_control(spark, sf_dir)
-
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    total = 0.0
-    for name, spec in headline.items():
-        # Best of N_ITER: single-shot timings on this box vary up to 2×
-        # from GC and JIT noise; the min measures the plan, not the
-        # weather. Iterations of one query share Spark's cache entry for
-        # any persisted intermediate (CacheManager keys on the logical
-        # plan), so for a query that persists internally the min is the
-        # warm steady state; the first iteration is the cold single-run
-        # number and is reported separately under "cold". Caches release
-        # between queries so no query benches (or holds memory) against
-        # another's.
-        best = first = None
-        for _ in range(N_ITER):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            first = dt if first is None else first
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        cold[name] = round(first, 3)
-        total += times[name]
-        release_caches()
-
+    times, cold = run_headline_pass()
     control_last = _time_control(spark, sf_dir)
+
+    # Contention guard: either control sample outside the historical
+    # band means the host was loaded sometime during this run — re-run
+    # the headline section once and keep the per-query min, so the
+    # recorded artifact measures the code, not a noisy neighbour.
+    contended = max(control_first, control_last) > CTRL_BAND_SEC
+    retry_controls = None
+    if contended:
+        c0 = _time_control(spark, sf_dir)
+        retry_times, _ = run_headline_pass()
+        c1 = _time_control(spark, sf_dir)
+        retry_controls = (c0, c1)
+        times = {
+            n: min(times[n], retry_times.get(n, times[n])) for n in times
+        }
+
+    total = round(sum(times.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
                 "n": N_ITER,
                 "queries": times,
@@ -122,11 +149,24 @@ def main() -> None:
                 # best-of-3 before and after the headline section. Compare
                 # control_sec across rounds to normalize for host swing;
                 # drift_ratio >> 1 means the host slowed DURING this run.
+                # A sample outside band_sec triggered ONE full re-run of
+                # the headline section (per-query min across both passes);
+                # retry_first/last_sec are that pass's own control samples.
                 "control": {
                     "query": "inline_lineitem_filter_agg",
                     "first_sec": control_first,
                     "last_sec": control_last,
                     "drift_ratio": round(control_last / max(control_first, 1e-9), 3),
+                    "band_sec": CTRL_BAND_SEC,
+                    "contention_retry": contended,
+                    **(
+                        {
+                            "retry_first_sec": retry_controls[0],
+                            "retry_last_sec": retry_controls[1],
+                        }
+                        if retry_controls
+                        else {}
+                    ),
                 },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -27,6 +27,16 @@ def run_available_now_to_memory(
     the streaming plan (watermarks, state store, incremental execution) is
     fully exercised, with a deterministic end. This is the test/driver
     harness path; production queries use the parquet/foreachBatch sinks.
+
+    SINGLE-OUTSTANDING-RESULT CONTRACT: each drain drops the PREVIOUS
+    drain's backing temp view (memory-sink tables otherwise pin driver
+    memory for the whole session), and the returned DataFrame is LAZY
+    over that view — so consume (collect/write) each result before the
+    next drain in the same session, or it fails at action time with
+    TABLE_OR_VIEW_NOT_FOUND.  A query that must compose two drained
+    streams (drain A, drain B, then join them) must materialize the
+    first result before the second drain — e.g. ``a = drain(...).
+    localCheckpoint(eager=True)``.
     """
     spark = stream_df.sparkSession
     # Memory-sink tables live for the session: without cleanup every
