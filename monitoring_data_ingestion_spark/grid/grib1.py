@@ -395,6 +395,17 @@ class Grib1Record:
     # (grib2.spectral_synthesis, shared cross-edition) is an explicit
     # step, never an implicit georef.
     spectral_truncation: int | None = None
+    # QUASI-REGULAR (reduced) Gaussian grid — ECMWF's native edition-1
+    # archive layout (the CDS ERA5 feed the reference consumes,
+    # /root/reference/src/file-conversions.js:114-127, reads these
+    # through wgrib): Ni coded missing (0xFFFF) and the GDS PL list
+    # carries the number of points on each parallel, north → south.
+    # When set, ``ni`` is None, ``values`` stays a FLAT (sum(row_ni),)
+    # array in storage order (ragged rows can't reshape), every row
+    # starts at lon_first with spacing 360/row_ni[j], and the landing
+    # contract is the SAME as GRIB2's template-3.40 reduced form
+    # (quadrature latitudes + per-cell coordinate arrays).
+    row_ni: np.ndarray | None = None
 
     @property
     def spectral_coeffs(self) -> np.ndarray | None:
@@ -406,15 +417,36 @@ class Grib1Record:
 
     @property
     def cell_lats_deg(self) -> np.ndarray | None:
+        if self.row_ni is not None:
+            return self._reduced_cells()[0]
         if self.rotated_pole is None:
             return None
         return self._rotated_cells()[0]
 
     @property
     def cell_lons_deg(self) -> np.ndarray | None:
+        if self.row_ni is not None:
+            return self._reduced_cells()[1]
         if self.rotated_pole is None:
             return None
         return self._rotated_cells()[1]
+
+    def _reduced_cells(self):
+        """Per-cell (lat, lon) of a reduced Gaussian grid, flat storage
+        order — the same convention as GRIB2's template-3.40 reduced
+        form: row j's quadrature latitude repeats row_ni[j] times; its
+        longitudes are lon_first + i·360/row_ni[j] (full parallels,
+        the only form the decoder admits)."""
+        cells = getattr(self, "_cells", None)
+        if cells is None:
+            lon0 = self.lon_first_mdeg / 1e3
+            lats = np.repeat(self.latitudes_deg, self.row_ni)
+            lons = np.concatenate(
+                [(np.arange(n) * 360.0) / n + lon0 for n in self.row_ni]
+            )
+            cells = (lats, lons)
+            self._cells = cells
+        return cells
 
     def _rotated_cells(self):
         cells = getattr(self, "_cells", None)
@@ -460,6 +492,7 @@ def encode_grib1_message(
     gaussian: bool = False,
     rotated: dict | None = None,
     spectral: dict | None = None,
+    reduced_ni=None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -513,8 +546,48 @@ def encode_grib1_message(
     every other value of the mode-1 sequence simple-packed after it —
     the edition-1 sibling of GRIB2's 3.50 + 5.50 pair.  ``values`` is
     the 1-D COMPLEX array C_n^m for m = 0..T, n = m..T; m = 0
-    coefficients must be real.  No bitmap, no scanning mode."""
+    coefficients must be real.  No bitmap, no scanning mode.
+
+    ``reduced_ni`` writes a QUASI-REGULAR (reduced) GAUSSIAN grid —
+    ECMWF's native edition-1 archive layout: Ni and Di code missing
+    (0xFFFF), the per-parallel point counts land in the GDS PL list
+    (octet 5 = 33: the list follows the 32-octet type-4 body), and the
+    resolution flags clear the increments-given bit (Di varies per
+    row).  ``values`` must be FLAT with sum(reduced_ni) points, rows
+    north → south on the Legendre quadrature latitudes, each row a
+    full parallel from ``lon_first_mdeg`` with spacing 360/row_ni[j];
+    no bitmap, only scanning mode 0x00 — the edition-1 sibling of
+    GRIB2's reduced template 3.40."""
     spec_t: int | None = None
+    reduced_arr: np.ndarray | None = None
+    if reduced_ni is not None:
+        reduced_arr = np.asarray(reduced_ni, dtype=np.int64)
+        if gaussian or rotated is not None or spectral is not None:
+            raise ValueError("choose exactly one grid family")
+        if bitmap is not None:
+            raise ValueError("bitmap not supported on reduced grids")
+        if scanning_mode != 0x00:
+            raise ValueError(
+                "reduced Gaussian grids support only scanning mode 0x00"
+            )
+        if (
+            len(reduced_arr) % 2
+            or len(reduced_arr) < 2
+            or (reduced_arr <= 0).any()
+        ):
+            raise ValueError(
+                "a global reduced Gaussian grid has an even positive "
+                "parallel count"
+            )
+        if (reduced_arr >= 0xFFFF).any():
+            raise ValueError("points-per-row must fit 16 bits (not 0xFFFF)")
+        vals = np.asarray(values, dtype=np.float64)
+        if vals.ndim != 1 or len(vals) != int(reduced_arr.sum()):
+            raise ValueError(
+                "reduced-grid values must be flat with sum(reduced_ni) "
+                "points"
+            )
+        nj, ni = len(reduced_arr), None
     if spectral is not None:
         spec_t = int(spectral["truncation"])
         if spec_t < 1:
@@ -540,7 +613,7 @@ def encode_grib1_message(
         vals[0::2] = c.real
         vals[1::2] = c.imag
         nj, ni = npairs, 0
-    else:
+    elif reduced_arr is None:
         vals = np.asarray(values, dtype=np.float64)
         if vals.ndim != 2:
             raise ValueError("values must be (nj, ni)")
@@ -664,6 +737,15 @@ def encode_grib1_message(
         raise ValueError("choose exactly one grid family")
     if spec_t is not None:
         grid_type = _GRID_SPECTRAL
+    elif reduced_arr is not None:
+        from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
+
+        lats = gaussian_latitudes(nj)
+        la1 = int(round(float(lats[0]) * 1000))
+        la2 = int(round(float(lats[-1]) * 1000))
+        # Di codes missing (it varies per row); octets 26-27 carry N.
+        row24_27 = b"\xff\xff" + (nj // 2).to_bytes(2, "big")
+        grid_type = _GRID_GAUSSIAN
     elif gaussian:
         if scanning_mode != 0x00:
             raise ValueError(
@@ -715,6 +797,27 @@ def encode_grib1_message(
             + spec_t.to_bytes(2, "big")  # M
             + bytes([1, 1])  # representation type 1, mode 1
             + bytes(18)  # reserved padding to the 32-octet layout
+        )
+    elif reduced_arr is not None:
+        # Reduced Gaussian GDS: Ni missing, PL list after the 32-octet
+        # body (octet 5 = 33), increments-given flag CLEAR (Di varies
+        # per row), Lo2 = the easternmost point of the widest parallel.
+        nmax = int(reduced_arr.max())
+        lo2 = lon_first_mdeg + int(round((nmax - 1) * 360_000.0 / nmax))
+        gds = (
+            bytes([0, 33])  # NV=0, PL at octet 33
+            + bytes([grid_type])
+            + b"\xff\xff"  # Ni coded missing: quasi-regular rows
+            + nj.to_bytes(2, "big")
+            + _s24(la1)
+            + _s24(lon_first_mdeg)
+            + bytes([0x00])  # resolution flags: increments NOT given
+            + _s24(la2)
+            + _s24(lo2)
+            + row24_27
+            + bytes([scanning_mode])
+            + bytes(4)  # reserved padding to the 32-byte layout
+            + b"".join(int(k).to_bytes(2, "big") for k in reduced_arr)
         )
     else:
         gds = (
@@ -869,7 +972,13 @@ def inspect_grib1(msg: bytes) -> dict:
             # spectral records (wgrib lists them) with NULL dimensions
             out["ni"] = out["nj"] = None
         else:
-            out["ni"] = int.from_bytes(gds[6:8], "big")
+            ni_raw = int.from_bytes(gds[6:8], "big")
+            # Quasi-regular (reduced) grids code Ni missing: the
+            # inventory LISTS them with NULL ni (wgrib lists them; the
+            # per-row counts have no single-column rendering) — letting
+            # the 0xFFFF sentinel through would inventory a garbage
+            # dimension.
+            out["ni"] = None if ni_raw == 0xFFFF else ni_raw
             out["nj"] = int.from_bytes(gds[8:10], "big")
         pos += _r24(msg, pos)
     if has_bms:
@@ -992,19 +1101,21 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         gaussian_n = None
         latitudes = None
         rotated_pole = None
+        row_ni = None
     else:
         ni = int.from_bytes(gds[6:8], "big")
-        if ni == 0xFFFF:
-            # QUASI-REGULAR (thinned/reduced) grid: Ni coded missing,
-            # per-row point counts in the PL list.  Reading 65535 as a
-            # literal column count would fail deep in the bit unpack
-            # with an inscrutable reshape error — stop loudly at the
-            # GDS instead.  (The GRIB2 reduced-Gaussian path, template
-            # 3.40 with the section-3 row list, IS supported.)
+        row_ni = None
+        if ni == 0xFFFF and gds[5] != _GRID_GAUSSIAN:
+            # QUASI-REGULAR geometry on a non-Gaussian grid: the
+            # reduced form is decoded for Gaussian grids only (ECMWF's
+            # archive layout); a thinned plain lat/lon grid has no
+            # per-row machinery here, and reading 65535 as a literal
+            # column count would fail deep in the bit unpack with an
+            # inscrutable reshape error — stop loudly at the GDS.
             raise ValueError(
-                "quasi-regular (thinned) GRIB1 grid is not supported "
-                "(Ni coded missing with per-row point counts; "
-                "re-encode as GRIB2 reduced Gaussian)"
+                f"quasi-regular (thinned) GRIB1 grid type {gds[5]} is "
+                "not supported (Ni coded missing with per-row point "
+                "counts is decoded for Gaussian grids only)"
             )
         nj = int.from_bytes(gds[8:10], "big")
         lat_first = _rs24(gds, 10)
@@ -1020,9 +1131,43 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             raise ValueError(
                 f"unsupported scanning mode 0x{scan:02x} (only +i,±j row-major)"
             )
-        if not gds[16] & 0x80:
-            raise ValueError("direction increments not given (resolution flags)")
-        dlon = int.from_bytes(gds[23:25], "big")
+        if ni == 0xFFFF:
+            # REDUCED Gaussian grid (ECMWF's native edition-1 archive
+            # layout — the CDS ERA5 feed the reference's wgrib path
+            # consumes): Ni coded missing, the per-parallel point
+            # counts in the GDS PL list.  Octet 4 (0-based gds[3]) is
+            # NV, octet 5 (gds[4]) the 1-based location of the first
+            # optional list; NV 4-octet vertical-coordinate floats
+            # precede the PL row counts when present.  Di is NOT given
+            # (it varies per row), so the resolution-flag gate below
+            # moves inside the regular branch.
+            if gds[4] == 0xFF:
+                raise ValueError(
+                    "reduced Gaussian grid without a points-per-row "
+                    "list (GDS octet 5 coded missing)"
+                )
+            pl0 = (gds[4] - 1) + 4 * gds[3]
+            if len(gds) < pl0 + 2 * nj:
+                raise ValueError("truncated points-per-row list")
+            row_ni = np.array(
+                [
+                    int.from_bytes(gds[pl0 + 2 * k : pl0 + 2 * k + 2], "big")
+                    for k in range(nj)
+                ],
+                dtype=np.int64,
+            )
+            if (row_ni <= 0).any():
+                raise ValueError(
+                    "points-per-row list holds a zero/missing count"
+                )
+            ni = None
+            dlon = 0  # no common Di on ragged rows
+        else:
+            if not gds[16] & 0x80:
+                raise ValueError(
+                    "direction increments not given (resolution flags)"
+                )
+            dlon = int.from_bytes(gds[23:25], "big")
         gaussian_n = None
         latitudes = None
         if gds[5] == _GRID_GAUSSIAN:
@@ -1072,13 +1217,22 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     pos += gds_len
 
     # -- BMS --
+    total_cells = None
+    if spectral_truncation is None:
+        total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
     bitmap = None
     if has_bms:
         bms_len = _r24(msg, pos)
         bms = msg[pos : pos + bms_len]
         if int.from_bytes(bms[4:6], "big") != 0:
             raise ValueError("predefined bitmaps are not supported")
-        bits = np.unpackbits(np.frombuffer(bms[6:], dtype=np.uint8))[: ni * nj]
+        bits = np.unpackbits(np.frombuffer(bms[6:], dtype=np.uint8))[:total_cells]
+        if bits.size < total_cells:
+            # a too-short bitmap must stop, not silently mask a prefix
+            raise ValueError(
+                f"bitmap holds {bits.size} bits, grid has "
+                f"{total_cells} cells"
+            )
         bitmap = bits.astype(bool)
         pos += bms_len
 
@@ -1140,7 +1294,7 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             rest = np.full(n_present, r / (10.0 ** decimal_scale))
         values = np.concatenate(([re00], rest))
     else:
-        n_present = int(bitmap.sum()) if bitmap is not None else ni * nj
+        n_present = int(bitmap.sum()) if bitmap is not None else total_cells
         if nbits:
             need = (n_present * nbits + unused) // 8
             x = _unpack_bits(bds[11 : 11 + need], n_present, nbits)
@@ -1151,14 +1305,19 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             present_vals = np.full(n_present, r / (10.0 ** decimal_scale))
 
         if bitmap is not None:
-            values = np.full(ni * nj, np.nan)
+            values = np.full(total_cells, np.nan)
             values[bitmap] = present_vals
         else:
             values = present_vals
-        values = values.reshape(nj, ni)
-        if scan == 0x40:  # south-first storage → normalize to north-first
-            values = values[::-1]
-            lat_first = lat_first + (nj - 1) * dlat  # La1 was southern edge
+        if row_ni is not None:
+            # ragged rows can't reshape: values stay FLAT in storage
+            # order (scan 0x00 enforced by the Gaussian branch above)
+            pass
+        else:
+            values = values.reshape(nj, ni)
+            if scan == 0x40:  # south-first storage → normalize north-first
+                values = values[::-1]
+                lat_first = lat_first + (nj - 1) * dlat  # La1 was south edge
     return Grib1Record(
         parameter=parameter,
         level_type=level_type,
@@ -1184,4 +1343,5 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         latitudes_deg=latitudes,
         rotated_pole=rotated_pole,
         spectral_truncation=spectral_truncation,
+        row_ni=row_ni,
     )

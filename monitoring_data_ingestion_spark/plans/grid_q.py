@@ -3439,6 +3439,169 @@ def grid_grib2_reduced_gaussian_decode(spark: SparkSession, sf_dir: str) -> Data
     ).orderBy("doc_id")
 
 
+@query(
+    "grid_grib1_reduced_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, 2 + doc_id % 2 AS n
+  FROM documents WHERE doc_id % 23 = 5 AND doc_id < 460
+),
+lat(n, j, lat_udeg) AS (
+  VALUES {_reduced_lat_values_sql()}
+),
+rows_ AS (
+  SELECT g.doc_id, g.n, j.j AS j,
+         3 + ((g.doc_id + 2 * j.j) % 4) AS rowni
+  FROM g, LATERAL (SELECT unnest(generate_series(0, 2 * g.n - 1)) AS j) j
+),
+offs AS (
+  SELECT doc_id, n, j, rowni,
+         COALESCE(SUM(rowni) OVER (
+           PARTITION BY doc_id ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_pos
+  FROM rows_
+),
+cells AS (
+  SELECT o.doc_id, o.n, o.j, o.start_pos + i.i AS pos,
+         80 + 2 * ((o.doc_id * 7 + o.j * 13 + i.i * 5) % 40) AS v,
+         CAST(ROUND(((i.i * 360.0) / o.rowni) * 1e6) AS BIGINT) AS lon_udeg
+  FROM offs o,
+       LATERAL (SELECT unnest(generate_series(0, o.rowni - 1)) AS i) i
+),
+latw AS (
+  SELECT g.doc_id, SUM(l.lat_udeg * (l.j + 1)) AS latwsum
+  FROM g JOIN lat l ON l.n = g.n
+  GROUP BY g.doc_id
+)
+SELECT c.doc_id,
+       CAST(1 AS INTEGER) AS edition,
+       CAST(52 AS INTEGER) AS parameter,
+       CAST(6 * (1 + c.doc_id % 3) AS INTEGER) AS forecast_hours,
+       CAST(MIN(2 * c.n) AS INTEGER) AS nj,
+       CAST(NULL AS INTEGER) AS ni,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(SUM(c.v * c.pos) AS BIGINT) AS wsum,
+       CAST(MIN(lw.latwsum) AS BIGINT) AS latwsum,
+       CAST(SUM(c.lon_udeg) AS BIGINT) AS lonsum_udeg,
+       CAST(SUM(c.v * l.lat_udeg) AS BIGINT) AS vlat
+FROM cells c
+JOIN lat l ON l.n = c.n AND l.j = c.j
+JOIN latw lw ON lw.doc_id = c.doc_id
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def grid_grib1_reduced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUASI-REGULAR (reduced) Gaussian EDITION-1 decode through the
+    landing scan — ECMWF's native edition-1 archive layout, the very
+    CDS ERA5 feed the reference consumes through wgrib
+    (/root/reference/src/file-conversions.js:114-127; wgrib -d reads
+    thinned grids).  Ni codes missing (0xFFFF) and the GDS PL list
+    (octet 5 = 33) carries the per-parallel point counts, so rows are
+    RAGGED: the landing record keeps ``ni`` NULL, ships the exact
+    quadrature latitudes in microdegrees AND per-cell coordinate
+    arrays, and ``values`` stays the flat storage-order concatenation —
+    the SAME landing contract as GRIB2's reduced template 3.40
+    (grid_grib2_reduced_gaussian_decode), so mixed-edition ERA5
+    archives land uniformly.
+
+    Witnesses mirror the edition-2 sibling: ``latwsum`` pins the
+    engine's quadrature roots against numpy's independent
+    Gauss-Legendre nodes; ``lonsum_udeg`` pins the ragged per-row
+    longitude axes; ``vlat`` couples every payload value to its row's
+    latitude (a mis-sliced ragged row hash-mismatches); ``wsum`` keeps
+    flat storage order sensitive; ``forecast_hours`` rides the PDS
+    lead octets through the same unified surface.  The foreign-bytes
+    witness (tests/test_foreign_grib.py::
+    test_foreign_reduced_gaussian_grib1_decodes_to_pinned_values)
+    pins the GDS layout against hand-assembled octets.
+
+    Scale: the landing posture — per-record CPU in one Arrow stage,
+    O(rows) metadata for the latitude axis, statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 23 == 5) & (F.col("doc_id") < 460))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nj = 2 * (2 + d % 2)
+                row_ni = [3 + ((d + 2 * j) % 4) for j in range(nj)]
+                vals = np.concatenate(
+                    [
+                        80.0 + 2 * ((d * 7 + j * 13 + np.arange(n) * 5) % 40)
+                        for j, n in enumerate(row_ni)
+                    ]
+                )
+                msg = encode_grib1_message(
+                    vals,
+                    parameter=52,
+                    reduced_ni=row_ni,
+                    forecast=dict(unit=1, value=6 * (1 + d % 3)),
+                    reference_value=80.0,
+                    nbits=8,
+                )
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    lat_weighted = F.zip_with(
+        "latitudes_udeg",
+        F.sequence(F.lit(1), F.size("latitudes_udeg")),
+        lambda lu, j: lu * j.cast("bigint"),
+    )
+    cell_lat_udeg = F.transform(
+        "cell_lats_deg", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    cell_lon_udeg = F.transform(
+        "cell_lons_deg", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    vlat = F.zip_with(
+        "values", cell_lat_udeg, lambda v, lu: v.cast("bigint") * lu
+    )
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "edition",
+        "parameter",
+        "forecast_hours",
+        "nj",
+        "ni",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+        F.aggregate(lat_weighted, zero, lambda a, x: a + x).alias("latwsum"),
+        F.aggregate(cell_lon_udeg, zero, lambda a, x: a + x).alias(
+            "lonsum_udeg"
+        ),
+        F.aggregate(vlat, zero, lambda a, x: a + x).alias("vlat"),
+    ).orderBy("doc_id")
+
+
 # --- multi-field (submessage) GRIB2 archives --------------------------------
 # Per selected document ONE archive = a single multi-field message
 # holding fields rn=1..3 on a shared (5 + d%3) × (4 + d%2) grid

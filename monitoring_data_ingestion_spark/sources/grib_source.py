@@ -552,7 +552,22 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
             interval_end = pd.Timestamp(
                 year=ey, month=em, day=ed, hour=eh, minute=emi
             )
-        if rec.gaussian_n is not None:
+        if rec.row_ni is not None:
+            # Edition-1 REDUCED Gaussian rows: same landing
+            # contract as GRIB2's reduced template 3.40 —
+            # quadrature latitudes per parallel in exact
+            # microdegrees AND per-cell coordinates (rows
+            # are ragged — no common ni/dlon; ``ni`` stays
+            # NULL, values stay flat in storage order).
+            lat0 = dlat = dlon = None
+            lats_udeg = [
+                int(round(float(v) * 1e6))
+                for v in rec.latitudes_deg
+            ]
+            lon0 = rec.lon_first_mdeg
+            cell_lats = rec.cell_lats_deg.tolist()
+            cell_lons = rec.cell_lons_deg.tolist()
+        elif rec.gaussian_n is not None:
             # Edition-1 Gaussian grid: same landing contract
             # as GRIB2 template 3.40 — no affine latitude
             # axis (NULL, never a fabricated dlat), exact

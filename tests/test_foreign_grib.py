@@ -524,3 +524,140 @@ def test_foreign_grib1_value_formula_cross_check():
     np.testing.assert_allclose(
         ys2, [0.325, 0.375, 25.925, 50.325, 0.475, 51.475], rtol=0, atol=0
     )
+
+
+def _foreign_grib1_reduced() -> bytes:
+    """GRIB1 QUASI-REGULAR (reduced) Gaussian grid, hand-assembled per
+    the WMO edition-1 GDS layout ECMWF's archives use: Ni coded missing
+    (0xFFFF), GDS octet 5 = 33 pointing at the PL list of per-parallel
+    point counts, Di coded missing, resolution flags CLEAR (increments
+    not given), octets 26-27 carrying N.
+
+    Grid: N=1 (nj=2 parallels).  The degree-2 Legendre nodes are
+    x = ±1/sqrt(3), so the quadrature latitudes are
+    ±degrees(asin(1/sqrt(3))) = ±35.26438968...° → La1 = +35264 mdeg,
+    La2 = −35264 mdeg (sign-magnitude).  Rows: 2 points on the north
+    parallel, 4 on the south (total 6).  Lo1 = 0; Lo2 = easternmost
+    point of the widest row = 3·360000/4 = 270000 mdeg.
+
+    Packing: R = IBM 0x41200000 = 16**(65−64) · (0x200000/2**24)
+    = 16·0.125 = +2.0, E = 0, D = 0, 8 bits.
+    X = [10, 20, 30, 40, 50, 60] → Y = 2 + X = [12, 22, 32, 42, 52, 62].
+    """
+    pds = bytes(
+        [
+            0x00, 0x00, 0x1C,  # 1-3   section length 28
+            2,                 # 4     parameter table version
+            98,                # 5     originating centre (ECMWF)
+            145,               # 6     generating process
+            255,               # 7     grid identification: defined by GDS
+            0x80,              # 8     flags: GDS present, no BMS
+            52,                # 9     parameter: RH
+            1,                 # 10    level type: surface
+            0, 0,              # 11-12 level value
+            23,                # 13    year of century (2023)
+            7, 1, 0, 0,        # 14-17 month/day/hour/minute
+            1,                 # 18    time unit: hour
+            0,                 # 19    P1 = 0 (analysis)
+            0,                 # 20    P2
+            0,                 # 21    time range indicator
+            0, 0,              # 22-23 number in average
+            0,                 # 24    number missing
+            21,                # 25    century (year = 20*100 + 23)
+            0,                 # 26    sub-centre
+            0x00, 0x00,        # 27-28 decimal scale D = 0
+        ]
+    )
+    assert len(pds) == 28
+    gds = bytes(
+        [
+            0x00, 0x00, 0x24,  # 1-3   section length 36 (32 + 2 rows * 2)
+            0,                 # 4     NV = 0
+            33,                # 5     PL: row-count list at octet 33
+            4,                 # 6     data representation: Gaussian
+            0xFF, 0xFF,        # 7-8   Ni coded missing (quasi-regular)
+            0x00, 0x02,        # 9-10  Nj = 2 parallels
+            # 11-13 La1 = +35.264 deg = 35264 mdeg = 0x0089C0
+            0x00, 0x89, 0xC0,
+            # 14-16 Lo1 = 0
+            0x00, 0x00, 0x00,
+            0x00,              # 17    resolution flags: increments NOT given
+            # 18-20 La2 = -35.264 deg (sign-magnitude)
+            0x80, 0x89, 0xC0,
+            # 21-23 Lo2 = 270.000 deg = 270000 mdeg = 0x041EB0
+            0x04, 0x1E, 0xB0,
+            0xFF, 0xFF,        # 24-25 Di coded missing (varies per row)
+            0x00, 0x01,        # 26-27 N = 1 (parallels pole to equator)
+            0x00,              # 28    scanning mode: +i, -j
+            0, 0, 0, 0,        # 29-32 reserved
+            0x00, 0x02,        # 33-34 PL: 2 points on the north parallel
+            0x00, 0x04,        # 35-36 PL: 4 points on the south parallel
+        ]
+    )
+    assert len(gds) == 36
+    data = bytes([10, 20, 30, 40, 50, 60])
+    bds = (
+        bytes(
+            [
+                0x00, 0x00, 0x12,  # 1-3  section length 18 (even)
+                0x08,              # 4    flags 0000 + 8 unused (pad byte)
+                0x00, 0x00,        # 5-6  binary scale E = 0
+                # 7-10 reference value, IBM 32-bit float: +2.0
+                0x41, 0x20, 0x00, 0x00,
+                8,                 # 11   bits per value
+            ]
+        )
+        + data
+        + bytes(1)  # pad to even length, counted in unused bits
+    )
+    assert len(bds) == 18
+    total = 8 + len(pds) + len(gds) + len(bds) + 4
+    return (
+        b"GRIB"
+        + total.to_bytes(3, "big")
+        + bytes([1])
+        + pds
+        + gds
+        + bds
+        + b"7777"
+    )
+
+
+def test_foreign_reduced_gaussian_grib1_decodes_to_pinned_values():
+    """Foreign-bytes witness for the reduced-Gaussian edition-1 decode:
+    every expectation below is hand-computed from the WMO layout and
+    the packing formula, never from the engine's own encoder."""
+    from monitoring_data_ingestion_spark.grid.grib1 import (
+        decode_grib1,
+        inspect_grib1,
+    )
+
+    msg = _foreign_grib1_reduced()
+    rec = decode_grib1(msg)
+    assert rec.parameter == 52
+    assert rec.reftime == (2023, 7, 1, 0, 0)
+    assert rec.ni is None and rec.nj == 2
+    assert rec.gaussian_n == 1
+    assert list(rec.row_ni) == [2, 4]
+    assert rec.reference_value == 2.0  # IBM 0x41200000 read exactly
+    np.testing.assert_allclose(
+        rec.values, [12.0, 22.0, 32.0, 42.0, 52.0, 62.0], rtol=0, atol=0
+    )
+    # quadrature latitudes: +-asin(1/sqrt(3)) in degrees, north first
+    lat = float(np.degrees(np.arcsin(1.0 / np.sqrt(3.0))))
+    np.testing.assert_allclose(
+        rec.latitudes_deg, [lat, -lat], rtol=0, atol=1e-12
+    )
+    assert rec.lat_first_mdeg == 35264  # GDS La1, cross-checked in decode
+    # flat per-cell coordinates: 2-point then 4-point full parallels
+    np.testing.assert_allclose(
+        rec.cell_lats_deg, [lat, lat, -lat, -lat, -lat, -lat],
+        rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        rec.cell_lons_deg, [0.0, 180.0, 0.0, 90.0, 180.0, 270.0],
+        rtol=0, atol=0,
+    )
+    # header-only inventory lists the record with NULL ni
+    h = inspect_grib1(msg)
+    assert h["ni"] is None and h["nj"] == 2 and h["grid_type"] == 4

@@ -471,6 +471,82 @@ def test_gaussian_grid_roundtrip_and_quadrature_latitudes():
         decode_grib1(bytes(bad))
 
 
+def test_reduced_gaussian_roundtrip_cells_and_guards():
+    """QUASI-REGULAR (reduced) Gaussian grid — ECMWF's native edition-1
+    archive layout (wgrib reads these; the reference's CDS ERA5 feed is
+    exactly this shape): Ni codes missing, the GDS PL list carries the
+    per-parallel point counts, values stay FLAT in storage order, and
+    the per-cell coordinates repeat each quadrature latitude row_ni[j]
+    times with longitudes i*360/row_ni[j] from Lo1 — the same landing
+    contract as GRIB2's reduced template 3.40."""
+    rng = np.random.default_rng(23)
+    rows = [6, 10, 12, 12, 10, 6]  # N=3, nj=6, octahedral-ish taper
+    total = sum(rows)
+    v = rng.integers(0, 250, size=total).astype(np.float64)
+    msg = encode_grib1_message(
+        v, reduced_ni=rows, nbits=8, reference_value=0.0,
+        lon_first_mdeg=0,
+    )
+    rec = decode_grib1(msg)
+    assert rec.ni is None and rec.nj == 6
+    assert np.array_equal(rec.row_ni, np.array(rows))
+    assert np.array_equal(rec.values, v)
+    assert rec.gaussian_n == 3 and rec.dlat_mdeg == 0
+    x, _ = np.polynomial.legendre.leggauss(6)
+    ref = np.degrees(np.arcsin(x))[::-1]  # north first
+    assert np.allclose(rec.latitudes_deg, ref, atol=1e-9)
+    # per-cell coordinates: ragged rows, full parallels from Lo1
+    assert np.allclose(rec.cell_lats_deg, np.repeat(ref, rows))
+    expect_lons = np.concatenate(
+        [np.arange(n) * 360.0 / n for n in rows]
+    )
+    assert np.allclose(rec.cell_lons_deg, expect_lons)
+    # header-only inspection lists the record with NULL ni
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+
+    h = inspect_grib1(msg)
+    assert h["ni"] is None and h["nj"] == 6 and h["grid_type"] == 4
+    # encoder guards
+    with pytest.raises(ValueError, match="flat with sum"):
+        encode_grib1_message(v[:-1], reduced_ni=rows)
+    with pytest.raises(ValueError, match="even positive"):
+        encode_grib1_message(v[: total - 6], reduced_ni=rows[:-1])
+    with pytest.raises(ValueError, match="bitmap not supported"):
+        encode_grib1_message(
+            v, reduced_ni=rows, bitmap=np.ones(total, dtype=bool)
+        )
+    with pytest.raises(ValueError, match="scanning mode 0x00"):
+        encode_grib1_message(v, reduced_ni=rows, scanning_mode=0x40)
+    with pytest.raises(ValueError, match="one grid family"):
+        encode_grib1_message(v, reduced_ni=rows, gaussian=True)
+    # decoder guards: a missing PL pointer and a truncated row list
+    # must stop loudly — guessing row counts mis-slices every value
+    pds_len = int.from_bytes(msg[8:11], "big")
+    gds_off = 8 + pds_len
+    bad = bytearray(msg)
+    bad[gds_off + 4] = 0xFF  # PL location coded missing
+    with pytest.raises(ValueError, match="points-per-row"):
+        decode_grib1(bytes(bad))
+    bad = bytearray(msg)
+    bad[gds_off + 8 : gds_off + 10] = (200).to_bytes(2, "big")  # Nj >> list
+    with pytest.raises(ValueError, match="truncated points-per-row"):
+        decode_grib1(bytes(bad))
+    # a La1 contradicting the quadrature still stops (shared Gaussian gate)
+    bad = bytearray(msg)
+    bad[gds_off + 10 : gds_off + 13] = (10_000).to_bytes(3, "big")
+    with pytest.raises(ValueError, match="does not match"):
+        decode_grib1(bytes(bad))
+    # a thinned NON-Gaussian grid stays a loud documented boundary
+    plain = encode_grib1_message(
+        np.ones((2, 3)), nbits=8, reference_value=0.0
+    )
+    pds_len = int.from_bytes(plain[8:11], "big")
+    bad = bytearray(plain)
+    bad[8 + pds_len + 6 : 8 + pds_len + 8] = b"\xff\xff"
+    with pytest.raises(ValueError, match="quasi-regular"):
+        decode_grib1(bytes(bad))
+
+
 def test_rotated_latlon_type10_roundtrip():
     """GDS type 10 (rotated lat/lon — the COSMO/HIRLAM edition-1 form):
     values round-trip bit-exactly, the pole octets (mdeg) + IBM-float
