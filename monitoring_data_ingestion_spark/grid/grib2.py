@@ -50,10 +50,15 @@ the ``wgrib`` edition-1 path:
   surfaced product_template), 4.15 — spatio-statistical processing;
   4.31/4.32 — satellite products (observational / simulated imagery)
   whose contributing-spectral-band list stands where the family's
-  fixed-surface octets would be (4.31 carries no lead octets either).
-  DOCUMENTED BOUNDARIES with named errors: 4.20 (radar — site-based
-  layout), 4.30 (deprecated satellite — band block one octet narrower
-  per band than 4.31's), 4.33/4.34 (ensemble simulated satellite).
+  fixed-surface octets would be (4.31 carries no lead octets either);
+  4.33/4.34 — ensemble simulated satellite (4.32's leading layout,
+  the three 4.1-style ensemble octets AFTER the band list, 4.34's
+  statistical block at a VARIABLE offset after those); 4.20 — radar
+  products (site-based layout: site coordinates/elevation/ids and
+  operating mode; no fixed surfaces, no lead octets).
+  DOCUMENTED BOUNDARY with a named error: 4.30 (deprecated satellite —
+  band block one octet narrower per band than 4.31's, so a 4.31-offset
+  read would shear every band after the first).
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -615,24 +620,41 @@ class Grib2Record:
     spatial_process_type: int | None = None
     spatial_points: int | None = None
     # Templates 4.31 (satellite product — observational imagery, the
-    # non-deprecated successor of 4.30) and 4.32 (simulated/synthetic
+    # non-deprecated successor of 4.30), 4.32 (simulated/synthetic
     # satellite imagery — the GOES-brightness-temperature products
-    # NCEP publishes from GFS/NAM): number of contributing spectral
-    # bands plus the per-band satellite series / satellite number /
-    # instrument type and the central wave number in m^-1 (decoded
-    # from each band's (scale factor, scaled value) pair).  None on
-    # every other template.  These templates carry NO fixed surfaces
-    # (a satellite view has no level — the level fields stay None) and
-    # 4.31 carries no forecast-time octets either (the field is an
-    # observation at the reference time — forecast_hours is None).
+    # NCEP publishes from GFS/NAM) and the ensemble-simulated forms
+    # 4.33/4.34 (whose three 4.1-style ensemble octets follow the band
+    # list, landing in the shared ensemble_* fields): number of
+    # contributing spectral bands plus the per-band satellite series /
+    # satellite number / instrument type and the central wave number
+    # in m^-1 (decoded from each band's (scale factor, scaled value)
+    # pair).  None on every other template.  These templates carry NO
+    # fixed surfaces (a satellite view has no level — the level fields
+    # stay None) and 4.31 carries no forecast-time octets either (the
+    # field is an observation at the reference time — forecast_hours
+    # is None).
     satellite_bands: int | None = None
     satellite_series: tuple[int, ...] | None = None
     satellite_numbers: tuple[int, ...] | None = None
     satellite_instruments: tuple[int, ...] | None = None
     central_wavenumbers: tuple[float | None, ...] | None = None
+    # Template 4.20 (radar product): site-based metadata — the number
+    # of radar sites used, the site's coordinates (degrees), elevation
+    # (m), CCITT-IA5 and numeric identifiers and code-table-4.12
+    # operating mode.  None on every non-radar product; radar products
+    # have no fixed surfaces and no forecast-time octets (an
+    # observation at the reference time), so the level columns and
+    # forecast_hours stay None.
+    radar_sites: int | None = None
+    radar_site_id: str | None = None
+    radar_site_number: int | None = None
+    radar_site_lat: float | None = None
+    radar_site_lon: float | None = None
+    radar_elevation_m: int | None = None
+    radar_operating_mode: int | None = None
     # Forecast lead time (octets 18-22, whole 4.0 family) converted to
-    # WHOLE hours; 0 for analysis fields; None on template 4.31, which
-    # has no lead octets (observational satellite product).
+    # WHOLE hours; 0 for analysis fields; None on templates 4.31
+    # (observational satellite — no lead octets) and 4.20 (radar).
     forecast_hours: int | None = 0
     # 4.8-family statistical sections: number of time-range
     # specifications.  Only the FIRST (outermost) spec's process is
@@ -1176,6 +1198,7 @@ def encode_grib2_message(
     error: bool = False,
     forecast: dict | None = None,
     satellite: dict | None = None,
+    radar: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1769,23 +1792,56 @@ def encode_grib2_message(
     # ``forecast``) or 4.32 (simulated imagery — keeps the lead
     # block); NEITHER has fixed surfaces, so explicit level kwargs
     # reject loudly.
-    if sum(
+    n_products = sum(
         x is not None
         for x in (
             ensemble, derived, probability, percentile, spatial, cluster,
-            satellite,
+            satellite, radar,
         )
-    ) + (1 if error else 0) > 1:
+    ) + (1 if error else 0)
+    if n_products > 1 and not (
+        n_products == 2 and ensemble is not None and satellite is not None
+    ):
+        # the ONE legal pairing is ensemble + satellite — the
+        # ensemble-simulated-satellite templates 4.33/4.34
         raise ValueError(
             "choose at most one of ensemble / derived / probability / "
-            "percentile / spatial / cluster / error / satellite"
+            "percentile / spatial / cluster / error / satellite / "
+            "radar (except ensemble + satellite = templates 4.33/4.34)"
         )
-    if satellite is not None and statistical is not None:
+    if satellite is not None and ensemble is not None and not satellite.get(
+        "simulated"
+    ):
+        # 4.33/4.34 are defined for SIMULATED (synthetic) satellite
+        # data only — there is no observational-ensemble template
+        raise ValueError(
+            "ensemble satellite products are the SIMULATED templates "
+            "4.33/4.34 — pass simulated=True"
+        )
+    if satellite is not None and statistical is not None and ensemble is None:
         # 4.31/4.32 have no statistical siblings in the supported set —
         # the band list occupies the octets a 4.8 block would start at
+        # (the ensemble form 4.34 is the only statistical satellite)
         raise ValueError(
             "satellite (templates 4.31/4.32) does not combine with "
+            "statistical without ensemble (template 4.34)"
+        )
+    if radar is not None and (
+        statistical is not None or forecast is not None
+    ):
+        # 4.20 is an observation at the reference time: no lead
+        # octets, no statistical block
+        raise ValueError(
+            "radar (template 4.20) does not combine with forecast or "
             "statistical"
+        )
+    if radar is not None and (
+        level2 is not None
+        or (level_type, level_scale, level_value) != (1, 0, 0)
+    ):
+        raise ValueError(
+            "radar template 4.20 carries no fixed surfaces — level "
+            "kwargs do not apply"
         )
     if satellite is not None and level2 is not None:
         raise ValueError(
@@ -2014,7 +2070,16 @@ def encode_grib2_message(
             # sentinel collisions a local reimplementation missed.
             band_bytes += _scaled_pair((bsc, bv))
         if satellite.get("simulated"):
-            tmpl4 = 32
+            # 4.32, or the ensemble forms 4.33 (point in time) / 4.34
+            # (statistical interval) — all three keep 4.0's
+            # generating-process + lead block; the ensemble octets and
+            # (4.34) the statistical block ride in pdt_extra, built by
+            # the generic branches above in exactly the band-list-
+            # relative order the spec puts them.
+            if ensemble is not None:
+                tmpl4 = 34 if statistical is not None else 33
+            else:
+                tmpl4 = 32
             sat_body = (
                 bytes([category, number, 2, 0, 0])
                 + b"\x00\x00"  # hours of cutoff
@@ -2041,7 +2106,80 @@ def encode_grib2_message(
             + struct.pack(">H", tmpl4)
             + sat_body
             + bytes([len(bands)])
-            + band_bytes,
+            + band_bytes
+            # 4.33/4.34 only (empty otherwise): ensemble octets, then
+            # the 4.34 statistical block, AFTER the band list
+            + pdt_extra,
+        )
+    elif radar is not None:
+        # Template 4.20 (radar product): the site block — number of
+        # sites, time unit, site latitude/longitude (signed-magnitude
+        # µdeg), elevation (m), CCITT-IA5 + numeric site ids, operating
+        # mode (code table 4.12), calibration/QC/clutter octets,
+        # antenna elevation, accumulation interval, echo-top reference
+        # and the bin/radial spacings.  No fixed surfaces, no lead.
+        tmpl4 = 20
+        sid = str(radar.get("site_id", "XXXX"))
+        if len(sid) != 4 or not sid.isascii():
+            raise ValueError(
+                f"radar site id {sid!r} must be 4 CCITT IA5 characters"
+            )
+        site_lat = int(radar["lat_udeg"])
+        site_lon = int(radar["lon_udeg"])
+        if not -90_000_000 <= site_lat <= 90_000_000:
+            raise ValueError(f"radar site latitude {site_lat} out of range")
+        elev = int(radar.get("elevation_m", 0))
+        if not 0 <= elev < 0xFFFF:
+            raise ValueError(f"radar site elevation {elev} out of range")
+        snum = int(radar.get("site_number", 0))
+        if not 0 <= snum < 0xFFFF:
+            raise ValueError(f"radar site number {snum} out of range")
+        s4 = section(
+            4,
+            struct.pack(">H", 0)  # number of coordinate values
+            + struct.pack(">H", tmpl4)
+            + bytes(
+                [
+                    category,
+                    number,
+                    8,  # type of generating process: observation
+                    _pdt_octet(radar.get("sites", 1), "radar site count"),
+                    1,  # indicator of unit of time range: hour
+                ]
+            )
+            + _s32be(site_lat)
+            + _s32be(site_lon)
+            + struct.pack(">H", elev)
+            + sid.encode("ascii")
+            + struct.pack(">H", snum)
+            + bytes(
+                [
+                    _pdt_octet(radar.get("mode", 0), "radar operating mode"),
+                    _pdt_octet(
+                        radar.get("calibration", 0),
+                        "reflectivity calibration constant",
+                    ),
+                    _pdt_octet(radar.get("qc", 0), "quality control indicator"),
+                    _pdt_octet(
+                        radar.get("clutter", 0), "clutter filter indicator"
+                    ),
+                    _pdt_octet(
+                        radar.get("antenna_elevation", 0),
+                        "constant antenna elevation angle",
+                    ),
+                ]
+            )
+            + struct.pack(">H", int(radar.get("accumulation_minutes", 0)))
+            + bytes(
+                [
+                    _pdt_octet(
+                        radar.get("echo_top_reference", 0),
+                        "reference reflectivity for echo top",
+                    )
+                ]
+            )
+            + int(radar.get("bin_spacing_m", 0)).to_bytes(3, "big")
+            + struct.pack(">H", int(radar.get("radial_spacing", 0))),
         )
     else:
         s4 = section(
@@ -2861,16 +2999,6 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 == 20:
-        # DOCUMENTED BOUNDARY: the radar-product template is
-        # site-based (station coordinates, operating mode, calibration
-        # constants) and shares no octets with the 4.0 family — a
-        # family-offset read would decode garbage metadata.
-        raise ValueError(
-            "unsupported product definition template 20 "
-            "(radar product — a documented boundary: its site-based "
-            "layout shares no octets with the 4.0 family)"
-        )
     if tmpl4 == 30:
         # DOCUMENTED BOUNDARY: deprecated by WMO in favour of 4.31 —
         # its band block carries a 1-octet instrument type where
@@ -2882,16 +3010,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             "(deprecated satellite product — use template 4.31; the "
             "4.30 band block differs by one octet per band)"
         )
-    if tmpl4 in (33, 34):
-        # DOCUMENTED BOUNDARY: ensemble simulated-satellite forms —
-        # the satellite family is decoded for 4.31/4.32 only.
-        raise ValueError(
-            f"unsupported product definition template {tmpl4} "
-            "(ensemble simulated satellite — a documented boundary: "
-            "the satellite family is decoded for 4.31/4.32 only)"
-        )
     if tmpl4 not in (
-        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 31, 32
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+        20, 31, 32, 33, 34,
     ):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
@@ -2902,30 +3023,77 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         # analysis itself),
         # 4.8 statistical and their 4.11/4.12/4.13/4.14/4.9/4.10
         # statistical
-        # forms extend it; plus the satellite pair 4.31/4.32, whose
-        # DIVERGENT layout (band list, no fixed surfaces) is handled
-        # on its own branch below) may be read; anything else would
+        # forms extend it; plus the satellite family 4.31/4.32 and its
+        # ensemble forms 4.33/4.34 (band list, no fixed surfaces) and
+        # the radar template 4.20 (site-based layout), each handled on
+        # its own branch below) may be read; anything else would
         # decode garbage level columns.
         raise ValueError(f"unsupported product definition template {tmpl4}")
     category, number = s4[9], s4[10]
     satellite_bands = satellite_series = satellite_numbers = None
     satellite_instruments = central_wavenumbers = None
-    if tmpl4 in (31, 32):
+    radar_sites = radar_site_id = radar_site_number = None
+    radar_site_lat = radar_site_lon = None
+    radar_elevation_m = radar_operating_mode = None
+    sat_ensemble: tuple | None = None
+    sat_stat_base: int | None = None
+    if tmpl4 == 20:
+        # RADAR template: site-based layout sharing NOTHING past the
+        # parameter octets with the 4.0 family — no fixed surfaces, no
+        # forecast-time octets (a radar product is an observation at
+        # the reference time), the octets instead carrying the site's
+        # coordinates, identifiers and operating characteristics.
+        # wgrib2 decodes these through the same -match scan path the
+        # reference uses (/root/reference/src/file-conversions.js:
+        # 76-112).
+        level_type = level_scale = level_value = None
+        level2_type = level2_scale = level2_value = None
+        forecast_hours = None
+        if len(s4) < 43:
+            raise ValueError("truncated product definition template 4.20")
+        radar_sites = s4[12] if s4[12] != 0xFF else None
+        radar_site_lat = _rs32be(s4, 14) / 1e6
+        radar_site_lon = _rs32be(s4, 18) / 1e6
+        if not -90.0 <= radar_site_lat <= 90.0:
+            raise ValueError(
+                f"radar site latitude {radar_site_lat} out of range"
+            )
+        (elev,) = struct.unpack_from(">H", s4, 22)
+        radar_elevation_m = elev if elev != 0xFFFF else None
+        sid = s4[24:28]
+        if sid != b"\xff\xff\xff\xff":
+            # CCITT IA5 (ASCII) 4-character site id; a non-ASCII octet
+            # is a corrupt section, not a site name
+            try:
+                radar_site_id = sid.decode("ascii").strip("\x00 ") or None
+            except UnicodeDecodeError:
+                raise ValueError(
+                    "radar site id is not CCITT IA5 (ASCII)"
+                ) from None
+        (snum,) = struct.unpack_from(">H", s4, 28)
+        radar_site_number = snum if snum != 0xFFFF else None
+        radar_operating_mode = s4[30] if s4[30] != 0xFF else None
+    elif tmpl4 in (31, 32, 33, 34):
         # Satellite family: NO fixed surfaces (a satellite view has no
         # level — reading octets 23-34 would decode band data as level
         # columns), and 4.31 has no forecast-time octets either (an
         # observation at the reference time).  4.32 (simulated
         # satellite imagery) keeps 4.0's generating-process + lead
         # block, then NB at octet 23; 4.31 has NB at octet 14 after
-        # the observation-generating-process identifier.
+        # the observation-generating-process identifier.  4.33/4.34
+        # (individual ensemble member for SIMULATED satellite data)
+        # share 4.32's leading layout, then append the three 4.1-style
+        # ensemble octets AFTER the band list — 4.34 continues with
+        # the 4.8 statistical block after those (the second
+        # variable-offset statistical family besides 4.13/4.14).
         level_type = level_scale = level_value = None
         level2_type = level2_scale = level2_value = None
-        if tmpl4 == 32:
-            forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
-            nb_off = 22
-        else:
+        if tmpl4 == 31:
             forecast_hours = None
             nb_off = 13
+        else:
+            forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
+            nb_off = 22
         (
             satellite_bands,
             satellite_series,
@@ -2933,6 +3101,19 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             satellite_instruments,
             central_wavenumbers,
         ) = _parse_satellite_bands(s4, nb_off, tmpl4)
+        if tmpl4 in (33, 34):
+            eo = nb_off + 1 + 11 * satellite_bands
+            if len(s4) < eo + 3:
+                raise ValueError(
+                    f"truncated product definition template 4.{tmpl4}"
+                )
+            sat_ensemble = (
+                s4[eo] if s4[eo] != 0xFF else None,
+                s4[eo + 1] if s4[eo + 1] != 0xFF else None,
+                s4[eo + 2] if s4[eo + 2] != 0xFF else None,
+            )
+            if tmpl4 == 34:
+                sat_stat_base = eo + 3
     else:
         # Octets 18-22, shared by the whole 4.0 family: forecast lead
         # time (unit from code table 4.4, signed-magnitude value) —
@@ -2943,6 +3124,10 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         level_type, level_scale, level_value = parse_fixed_surface(s4)
         level2_type, level2_scale, level2_value = parse_second_surface(s4)
     ensemble_type = ensemble_member = ensemble_size = None
+    if sat_ensemble is not None:
+        # 4.33/4.34: the same three ensemble octets as 4.1/4.11, read
+        # above at their band-list-relative offset
+        ensemble_type, ensemble_member, ensemble_size = sat_ensemble
     derived_forecast = None
     cluster_identifier = cluster_total = cluster_method = None
     cluster_size = cluster_members = None
@@ -3063,11 +3248,15 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     # octets), 48 (4.9, after the thirteen probability octets) or 36
     # (4.10, after the one percentile octet) — a parser reusing 4.8's
     # offset on the extended forms would decode a garbage interval end.
-    # 4.13/4.14 are the only VARIABLE-offset forms: their block
-    # follows the NC-long member list.
+    # 4.13/4.14 and 4.34 are the VARIABLE-offset forms: their block
+    # follows the NC-long member list / NB-long band list.
     stat_base = {8: 34, 11: 37, 12: 36, 9: 47, 10: 35}.get(tmpl4)
     if tmpl4 in (13, 14):
         stat_base = (57 if tmpl4 == 13 else 53) + 11 + cluster_size
+    if tmpl4 == 34:
+        # the other variable-offset statistical family: the block
+        # follows the NB-long band list and the three ensemble octets
+        stat_base = sat_stat_base
     if stat_base is not None:
         base = stat_base
         if len(s4) < base + 24:  # the 24-octet single-spec extension
@@ -3340,6 +3529,13 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         satellite_numbers=satellite_numbers,
         satellite_instruments=satellite_instruments,
         central_wavenumbers=central_wavenumbers,
+        radar_sites=radar_sites,
+        radar_site_id=radar_site_id,
+        radar_site_number=radar_site_number,
+        radar_site_lat=radar_site_lat,
+        radar_site_lon=radar_site_lon,
+        radar_elevation_m=radar_elevation_m,
+        radar_operating_mode=radar_operating_mode,
         forecast_hours=forecast_hours,
         time_range_count=time_range_count,
         row_ni=row_ni,
@@ -3369,21 +3565,23 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     (year,) = struct.unpack_from(">H", s1, 12)
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (
-        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 31, 32
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+        20, 31, 32, 33, 34,
     ):
         # same gate as the decode and the landing inventory: rendering
-        # a layout-divergent template (4.20 radar, 4.30 satellite,
-        # 4.33/4.34) through the family offsets would print band/site
-        # octets as a fake level — the surfaces must never disagree
+        # a layout-divergent template (4.30 deprecated satellite)
+        # through the family offsets would print band/site octets as a
+        # fake level — the surfaces must never disagree
         raise ValueError(f"unsupported product definition template {tmpl4}")
-    if tmpl4 in (31, 32):
-        # Satellite family: no fixed surfaces (octets 23+ carry the
-        # band list, not levels) — reading them through the family
-        # layout would render band data as a level.  4.31 also has no
-        # lead octets; 4.32 keeps the family lead block.
+    if tmpl4 in (20, 31, 32, 33, 34):
+        # Satellite family (incl. the ensemble 4.33/4.34) and radar:
+        # no fixed surfaces (octets 23+ carry the band list / site
+        # block, not levels) — reading them through the family layout
+        # would render band data as a level.  4.31 and 4.20 also have
+        # no lead octets; 4.32/4.33/4.34 keep the family lead block.
         lt = None
         lvs = "-"
-        if tmpl4 == 32:
+        if tmpl4 in (32, 33, 34):
             try:
                 fh: int | str = _forecast_hours(s4[17], _rs32be(s4, 18))
             except ValueError:

@@ -4275,7 +4275,7 @@ def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other catalog query runs under).
 
     Each document's archive carries a good record, a record whose PDT
-    octet is patched to the unsupported 4.20 (semantic reject —
+    octet is patched to the unsupported 4.30 (semantic reject —
     quarantined, scan CONTINUES to the next record), another good
     record, and a torn trailing message (framing reject — quarantined,
     file ends there since record numbering itself is gone).  The
@@ -4319,14 +4319,15 @@ def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     reference_value=40.0, binary_scale=1, nbits=8,
                 )
                 msgs = [encode_grib2_message(field(r), **enc) for r in range(3)]
-                # record 2: PDT octet patched to the unsupported 4.20
-                # (a radar template whose layout the 4.0 offsets would
-                # misread) — the decode must quarantine it and CONTINUE
+                # record 2: PDT octet patched to the unsupported 4.30
+                # (the deprecated satellite template whose band block
+                # the 4.31 offsets would shear) — the decode must
+                # quarantine it and CONTINUE
                 bad = bytearray(msgs[1])
                 pos = 16
                 while bad[pos + 4] != 4:
                     pos += int.from_bytes(bad[pos : pos + 4], "big")
-                bad[pos + 8] = 20
+                bad[pos + 8] = 30
                 # record 4: a torn trailing message (magic present,
                 # body chopped) — framing quarantine ends the file
                 torn = msgs[2][: len(msgs[2]) - 9]
@@ -4578,11 +4579,13 @@ def grid_grib2_satellite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, the first instrument, the lead split (NULL / real / 0) and
     payload sums.
 
-    The radar template 4.20, the deprecated 4.30 (its band block is
-    one octet narrower per band — reading it with 4.31 offsets would
-    shear every band after the first) and the ensemble satellite forms
-    4.33/4.34 are DOCUMENTED BOUNDARIES with named errors
-    (tests/test_grib2.py pins all four).
+    The ensemble satellite forms 4.33/4.34 decode through the same
+    branch (witnessed by grid_grib2_ensemble_satellite_scan) and the
+    radar template 4.20 through its own (grid_grib2_radar_scan); the
+    deprecated 4.30 stays a DOCUMENTED BOUNDARY with a named error
+    (its band block is one octet narrower per band — reading it with
+    4.31 offsets would shear every band after the first;
+    tests/test_grib2.py pins it).
 
     Scale: identical plan shape to every landing scan — one Arrow
     decode stage, only per-record statistic rows shuffle.
@@ -4676,6 +4679,353 @@ def grid_grib2_satellite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("wave_sum"),
+        "forecast_hours",
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_ensemble_satellite_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 67 = 31 AND doc_id < 700
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         30 + 2 * ((doc_id * 5 + r.r * 9 + i.i * 7 + j.j * 3) % 35) AS v
+  FROM g,
+       UNNEST(generate_series(0, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+),
+vs AS (
+  SELECT doc_id, rn, CAST(SUM(v) AS BIGINT) AS vsum
+  FROM cells GROUP BY doc_id, rn
+),
+w33 AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INTEGER) AS satellite_bands,
+         ROUND(SUM(
+           CAST(500 + doc_id % 40 + 3 * b.b AS DOUBLE)
+             / POWER(10, b.b % 2)
+         ), 6) AS wave_sum
+  FROM g, LATERAL (SELECT unnest(generate_series(0, doc_id % 2)) AS b) b
+  GROUP BY doc_id
+),
+rec AS (
+  SELECT g.doc_id, 1 AS rn, CAST(33 AS INTEGER) AS product_template,
+         CAST(1 + g.doc_id % 5 AS INTEGER) AS ensemble_member,
+         CAST(10 AS INTEGER) AS ensemble_size,
+         w33.satellite_bands, w33.wave_sum,
+         CAST(6 * (1 + g.doc_id % 3) AS INTEGER) AS forecast_hours,
+         CAST(NULL AS INTEGER) AS statistical_process,
+         CAST(NULL AS TIMESTAMP) AS interval_end
+  FROM g JOIN w33 ON w33.doc_id = g.doc_id
+  UNION ALL
+  SELECT doc_id, 2, CAST(34 AS INTEGER),
+         CAST(2 + doc_id % 4 AS INTEGER), CAST(8 AS INTEGER),
+         CAST(1 AS INTEGER),
+         ROUND(CAST((90 + doc_id % 10) * 10 AS DOUBLE), 6),
+         CAST(6 AS INTEGER), CAST(1 AS INTEGER),
+         make_timestamp(2021, 1 + doc_id % 12, 2, 6, 0, 0)
+  FROM g
+  UNION ALL
+  SELECT doc_id, 3, CAST(32 AS INTEGER),
+         CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+         CAST(1 AS INTEGER),
+         ROUND(CAST(777 AS DOUBLE), 6),
+         CAST(12 AS INTEGER), CAST(NULL AS INTEGER),
+         CAST(NULL AS TIMESTAMP)
+  FROM g
+)
+SELECT rec.doc_id, CAST(rec.rn AS INTEGER) AS record_number,
+       rec.product_template, rec.ensemble_member, rec.ensemble_size,
+       rec.satellite_bands, rec.wave_sum, rec.forecast_hours,
+       rec.statistical_process, rec.interval_end, vs.vsum
+FROM rec JOIN vs ON rec.doc_id = vs.doc_id AND rec.rn = vs.rn
+ORDER BY rec.doc_id, rec.rn
+""",
+)
+def grid_grib2_ensemble_satellite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE SIMULATED SATELLITE products (PDT 4.33/4.34 — the
+    per-member synthetic-imagery forms ensembles publish beside 4.32)
+    through the landing scan: 4.32's leading layout, the three
+    4.1-style ensemble octets AFTER the contributing-spectral-band
+    list, and — 4.34 — the 4.8 statistical block after those, the
+    second variable-offset statistical family besides 4.13/4.14 (a
+    parser reusing a fixed offset would decode band octets as the
+    interval end).  The ensemble octets land in the SAME unified
+    ``ensemble_member``/``ensemble_size`` columns as 4.1/4.11, so
+    "member 7 of the simulated-imagery ensemble" filters identically
+    across plain and satellite archives; levels stay NULL (no fixed
+    surfaces).
+
+    Each document's archive holds a 4.33 with 1-2 bands and a
+    per-document member/lead, a single-band 4.34 accumulation (its
+    interval end exercising the variable-offset statistical block
+    behind the band list), and a 4.32 control proving the ensemble
+    columns stay NULL on the non-ensemble form.  The oracle pins the
+    per-band central wave numbers, the member/size split, the
+    statistical columns and payload sums.
+
+    Scale: identical plan shape to every landing scan — one Arrow
+    decode stage, only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 67 == 31) & (F.col("doc_id") < 700))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        30 + 2 * ((d * 5 + r * 9 + i * 7 + j * 3) % 35)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=4, number=9,
+                    reference_value=30.0, binary_scale=1, nbits=8,
+                )
+                bands33 = [
+                    dict(
+                        series=300 + b,
+                        number=12 + b,
+                        instrument=600 + b,
+                        scale=b % 2,
+                        value=500 + d % 40 + 3 * b,
+                    )
+                    for b in range(1 + d % 2)
+                ]
+                msgs = [
+                    encode_grib2_message(
+                        field(0),
+                        satellite=dict(simulated=True, bands=bands33),
+                        ensemble=dict(type=3, member=1 + d % 5, size=10),
+                        forecast=dict(unit=1, value=6 * (1 + d % 3)),
+                        **enc,
+                    ),
+                    encode_grib2_message(
+                        field(1),
+                        satellite=dict(
+                            simulated=True,
+                            bands=[
+                                dict(
+                                    series=310, number=20, instrument=650,
+                                    scale=-1, value=90 + d % 10,
+                                )
+                            ],
+                        ),
+                        ensemble=dict(type=4, member=2 + d % 4, size=8),
+                        forecast=dict(unit=1, value=6),
+                        statistical=dict(
+                            process=1,
+                            interval_end=(2021, 1 + d % 12, 2, 6, 0),
+                            range_hours=6,
+                        ),
+                        **enc,
+                    ),
+                    encode_grib2_message(
+                        field(2),
+                        satellite=dict(
+                            simulated=True,
+                            bands=[
+                                dict(
+                                    series=320, number=25, instrument=660,
+                                    scale=0, value=777,
+                                )
+                            ],
+                        ),
+                        forecast=dict(unit=1, value=12),
+                        **enc,
+                    ),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "product_template",
+        "ensemble_member",
+        "ensemble_size",
+        "satellite_bands",
+        F.round(
+            F.aggregate(
+                "central_wavenumbers", F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("wave_sum"),
+        "forecast_hours",
+        "statistical_process",
+        "interval_end",
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_radar_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS ni,
+         3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 71 = 13 AND doc_id < 700
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         20 + ((doc_id * 3 + r.r * 11 + i.i * 5 + j.j * 7) % 45) AS v
+  FROM g,
+       UNNEST(generate_series(0, 1)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+),
+vs AS (
+  SELECT doc_id, rn, CAST(SUM(v) AS BIGINT) AS vsum
+  FROM cells GROUP BY doc_id, rn
+)
+SELECT g.doc_id,
+       CAST(vs.rn AS INTEGER) AS record_number,
+       CAST(CASE vs.rn WHEN 1 THEN 20 ELSE 0 END AS INTEGER)
+         AS product_template,
+       CAST(CASE WHEN vs.rn = 1 THEN 1 + g.doc_id % 4 END AS INTEGER)
+         AS radar_sites,
+       CASE WHEN vs.rn = 1 THEN
+         CASE g.doc_id % 4 WHEN 0 THEN 'KTLX' WHEN 1 THEN 'KFWS'
+                           WHEN 2 THEN 'KAMA' ELSE 'KINX' END
+       END AS radar_site_id,
+       CAST(CASE WHEN vs.rn = 1 THEN 300 + g.doc_id % 50 END AS INTEGER)
+         AS radar_site_number,
+       CASE WHEN vs.rn = 1 THEN 30.5 + g.doc_id % 20 END
+         AS radar_site_lat,
+       CASE WHEN vs.rn = 1 THEN -(90.0 + (g.doc_id % 30) * 0.5) END
+         AS radar_site_lon,
+       CAST(CASE WHEN vs.rn = 1 THEN 100 + g.doc_id % 300 END AS INTEGER)
+         AS radar_elevation_m,
+       CAST(CASE WHEN vs.rn = 1 THEN g.doc_id % 3 END AS INTEGER)
+         AS radar_operating_mode,
+       CAST(CASE WHEN vs.rn = 2 THEN 0 END AS INTEGER) AS forecast_hours,
+       vs.vsum
+FROM g JOIN vs ON vs.doc_id = g.doc_id
+ORDER BY g.doc_id, vs.rn
+""",
+)
+def grid_grib2_radar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADAR products (PDT 4.20 — the site-based template wgrib2
+    consumes through the very -match scan path the reference shells to,
+    /root/reference/src/file-conversions.js:76-112) through the landing
+    scan: the template shares nothing past the parameter octets with
+    the 4.0 family — site coordinates (signed-magnitude µdeg, the
+    longitude here NEGATIVE to witness the sign bit), elevation,
+    CCITT-IA5 and numeric site identifiers and the code-table-4.12
+    operating mode land in the radar_* columns, while the level
+    columns and ``forecast_hours`` stay NULL (an observation at the
+    reference time has neither).
+
+    Each document's archive holds a 4.20 with per-document site
+    metadata and a plain 4.0 control record proving the NULL contract
+    both ways (radar columns NULL on 4.0, lead/level NULL on 4.20).
+    The oracle pins every site column plus payload sums.
+
+    Scale: identical plan shape to every landing scan — one Arrow
+    decode stage, only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 71 == 13) & (F.col("doc_id") < 700))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        20 + ((d * 3 + r * 11 + i * 5 + j * 7) % 45)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    reference_value=20.0, binary_scale=0, nbits=8,
+                )
+                site_id = ["KTLX", "KFWS", "KAMA", "KINX"][d % 4]
+                msgs = [
+                    encode_grib2_message(
+                        field(0),
+                        discipline=15,
+                        category=1,
+                        number=195,
+                        radar=dict(
+                            sites=1 + d % 4,
+                            site_id=site_id,
+                            site_number=300 + d % 50,
+                            lat_udeg=30_500_000 + (d % 20) * 1_000_000,
+                            lon_udeg=-(90_000_000 + (d % 30) * 500_000),
+                            elevation_m=100 + d % 300,
+                            mode=d % 3,
+                        ),
+                        **enc,
+                    ),
+                    encode_grib2_message(field(1), **enc),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "product_template",
+        "radar_sites",
+        "radar_site_id",
+        "radar_site_number",
+        "radar_site_lat",
+        "radar_site_lon",
+        "radar_elevation_m",
+        "radar_operating_mode",
         "forecast_hours",
         F.aggregate(
             "values", zero, lambda a, x: a + x.cast("bigint")

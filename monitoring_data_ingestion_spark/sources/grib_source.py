@@ -68,6 +68,9 @@ RECORD_SCHEMA = (
     "satellite_bands int, satellite_series array<int>, "
     "satellite_numbers array<int>, satellite_instruments array<int>, "
     "central_wavenumbers array<double>, "
+    "radar_sites int, radar_site_id string, radar_site_number int, "
+    "radar_site_lat double, radar_site_lon double, "
+    "radar_elevation_m int, radar_operating_mode int, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -86,7 +89,10 @@ _RECORD_COLUMNS = [
     "probability_type", "prob_lower_limit", "prob_upper_limit",
     "percentile_value", "satellite_bands", "satellite_series",
     "satellite_numbers", "satellite_instruments",
-    "central_wavenumbers", "ni", "nj",
+    "central_wavenumbers",
+    "radar_sites", "radar_site_id", "radar_site_number",
+    "radar_site_lat", "radar_site_lon", "radar_elevation_m",
+    "radar_operating_mode", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values", "error",
 ]
@@ -257,7 +263,8 @@ def _grib2_field_header(s: dict) -> dict:
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (
-        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 31, 32
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+        20, 31, 32, 33, 34,
     ):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
@@ -283,15 +290,17 @@ def _grib2_field_header(s: dict) -> dict:
             raise ValueError(
                 f"grid dimensions coded missing on template {tmpl3}"
             )
-    if tmpl4 in (31, 32):
-        # Satellite family: no fixed surfaces (octets 23+ carry the
-        # band list — reading them through the family layout would
-        # inventory band data as a level); 4.31 has no lead octets
-        # either (observation at the reference time).
+    if tmpl4 in (20, 31, 32, 33, 34):
+        # Satellite family (31/32 and the ensemble-simulated 33/34):
+        # no fixed surfaces (octets 23+ carry the band list — reading
+        # them through the family layout would inventory band data as
+        # a level); 4.31 has no lead octets either (observation at the
+        # reference time).  Radar (20) is site-based: no surfaces, no
+        # lead.
         level_type = scale = level_value = None
         l2_type = l2_scale = l2_value = None
         forecast_hours = None
-        if tmpl4 == 32:
+        if tmpl4 in (32, 33, 34):
             try:
                 forecast_hours = _forecast_hours(s4[17], _rs32be(s4, 18))
             except ValueError:
@@ -509,6 +518,8 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
     prob_type = prob_lo = prob_hi = pctl = None
     sat_bands = sat_series = sat_numbers = None
     sat_instruments = sat_waves = None
+    rdr_sites = rdr_site_id = rdr_site_number = None
+    rdr_lat = rdr_lon = rdr_elev = rdr_mode = None
     cell_lats = cell_lons = None
     if edition == 1:
         rec = decode_grib1(msg)
@@ -695,6 +706,18 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
                 None if w is None else float(w)
                 for w in rec.central_wavenumbers
             ]
+        # Template 4.20 (radar): site-based metadata — NULL
+        # on every non-radar product, so "only site KTLX" /
+        # "only clear-air mode" are plain column filters on
+        # landed archives.  Level columns and forecast_hours
+        # stay NULL (an observation with no fixed surface).
+        rdr_sites = rec.radar_sites
+        rdr_site_id = rec.radar_site_id
+        rdr_site_number = rec.radar_site_number
+        rdr_lat = rec.radar_site_lat
+        rdr_lon = rec.radar_site_lon
+        rdr_elev = rec.radar_elevation_m
+        rdr_mode = rec.radar_operating_mode
         # 4.8-family: how many time-range specifications
         # the statistical section nests — count > 1 marks
         # a compound statistic ("average of daily maxima")
@@ -824,6 +847,13 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
             "satellite_numbers": sat_numbers,
             "satellite_instruments": sat_instruments,
             "central_wavenumbers": sat_waves,
+            "radar_sites": rdr_sites,
+            "radar_site_id": rdr_site_id,
+            "radar_site_number": rdr_site_number,
+            "radar_site_lat": rdr_lat,
+            "radar_site_lon": rdr_lon,
+            "radar_elevation_m": rdr_elev,
+            "radar_operating_mode": rdr_mode,
             "ni": ni_out,
             "nj": nj_out,
             "lat_first_mdeg": lat0,

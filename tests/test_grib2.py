@@ -3177,14 +3177,15 @@ def test_satellite_pdt_roundtrip_and_landing_contract():
 
 
 def test_satellite_pdt_guards_and_documented_boundaries():
-    """Satellite-family guards: encode rejects statistical / level2 /
-    forecast-on-4.31 combinations and empty band lists; decode stops
-    loudly on a zero band count and on truncated band lists; and the
-    NEIGHBOUR templates are documented boundaries with NAMED errors —
-    4.20 (radar, site-based layout), 4.30 (deprecated: its band block
-    is one octet narrower per band than 4.31's, so reading it with
-    4.31 offsets would shear every band), 4.33/4.34 (ensemble
-    simulated satellite)."""
+    """Satellite-family guards: encode rejects plain-satellite
+    statistical / level2 / forecast-on-4.31 combinations and empty
+    band lists; decode stops loudly on a zero band count and on
+    truncated band lists; 4.30 stays a documented boundary with a
+    NAMED error (deprecated: its band block is one octet narrower per
+    band than 4.31's, so reading it with 4.31 offsets would shear
+    every band); and mis-labelled 4.33/4.34/4.20 octets stop loudly
+    rather than mis-slicing (their positive decodes are witnessed by
+    test_ensemble_satellite_pdt_4_33_34 / test_radar_pdt_4_20)."""
     import struct
 
     v = np.arange(12, dtype=np.float64).reshape(3, 4)
@@ -3253,17 +3254,172 @@ def test_satellite_pdt_guards_and_documented_boundaries():
     struct.pack_into(">Q", trimmed, 8, len(trimmed))
     with pytest.raises(ValueError, match="truncated product definition"):
         decode_grib2(bytes(trimmed))
-    # documented boundaries: named errors, never a family-offset read
+    # documented boundary: a named error, never a family-offset read
+    # (4.20/4.33/4.34 decode since r14 — witnessed by their own tests)
+    patched = bytearray(msg)
+    patched[pos + 8] = 30
+    with pytest.raises(ValueError, match="deprecated satellite"):
+        decode_grib2(bytes(patched))
+    # a 4.31 message whose PDT octet is bumped into the 33/34/20
+    # layouts stops loudly (their offsets land on band octets — NB
+    # reads zero / the section is too short), never a silent mis-slice
     for pdt, named in [
-        (20, "radar"),
-        (30, "deprecated satellite"),
-        (33, "ensemble simulated satellite"),
-        (34, "ensemble simulated satellite"),
+        (33, "no contributing spectral bands"),
+        (34, "no contributing spectral bands"),
+        (20, "truncated product definition"),
     ]:
         patched = bytearray(msg)
         patched[pos + 8] = pdt
         with pytest.raises(ValueError, match=named):
             decode_grib2(bytes(patched))
+
+
+def test_ensemble_satellite_pdt_4_33_34():
+    """Templates 4.33/4.34 (individual ensemble member for SIMULATED
+    satellite data): 4.32's leading layout, the three 4.1-style
+    ensemble octets AFTER the band list, and — 4.34 only — the 4.8
+    statistical block after those (the second variable-offset
+    statistical family besides 4.13/4.14).  The ensemble octets land
+    in the SAME unified columns as 4.1/4.11, so "member 7 of the
+    simulated-imagery ensemble" filters identically to a plain
+    ensemble archive; levels stay None (no fixed surfaces)."""
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    bands = [
+        dict(series=300, number=15, instrument=607, scale=-1, value=912),
+        dict(series=301, number=16, instrument=608, scale=1, value=77),
+    ]
+    m33 = encode_grib2_message(
+        v,
+        satellite=dict(simulated=True, bands=bands),
+        ensemble=dict(type=3, member=7, size=20),
+        forecast=dict(unit=1, value=12),
+        reference_value=0.0,
+        nbits=8,
+    )
+    r = decode_grib2(m33)
+    assert r.product_template == 33
+    assert (r.ensemble_type, r.ensemble_member, r.ensemble_size) == (3, 7, 20)
+    assert r.satellite_bands == 2
+    assert r.satellite_instruments == (607, 608)
+    assert r.central_wavenumbers == (9120.0, 7.7)
+    assert r.forecast_hours == 12
+    assert r.level_type is None and r.level2_type is None
+    assert r.statistical_process is None
+    assert np.array_equal(r.values, v)
+    assert inventory_line(m33) == "d0:c0,n0:l-/-:2020010100:f12"
+    m34 = encode_grib2_message(
+        v,
+        satellite=dict(simulated=True, bands=bands),
+        ensemble=dict(type=4, member=2, size=10),
+        forecast=dict(unit=1, value=6),
+        statistical=dict(
+            process=1, interval_end=(2021, 3, 2, 6, 0), range_hours=6
+        ),
+        reference_value=0.0,
+        nbits=8,
+    )
+    r = decode_grib2(m34)
+    assert r.product_template == 34
+    assert (r.ensemble_type, r.ensemble_member, r.ensemble_size) == (4, 2, 10)
+    assert r.statistical_process == 1
+    assert r.interval_end == (2021, 3, 2, 6, 0)
+    assert r.time_range_count == 1
+    assert r.forecast_hours == 6
+    assert r.central_wavenumbers == (9120.0, 7.7)
+    assert np.array_equal(r.values, v)
+    # truncated after the band list: the ensemble octets are absent
+    import struct as _struct
+
+    pos = 16
+    while m33[pos + 4] != 4:
+        pos += int.from_bytes(m33[pos : pos + 4], "big")
+    s4_len = int.from_bytes(m33[pos : pos + 4], "big")
+    trimmed = bytearray(m33[: pos + s4_len - 3] + m33[pos + s4_len :])
+    _struct.pack_into(">I", trimmed, pos, s4_len - 3)
+    _struct.pack_into(">Q", trimmed, 8, len(trimmed))
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(trimmed))
+    # observational ensemble has no template: encode rejects it
+    with pytest.raises(ValueError, match="SIMULATED"):
+        encode_grib2_message(
+            v,
+            satellite=dict(bands=bands),
+            ensemble=dict(type=3, member=7, size=20),
+        )
+
+
+def test_radar_pdt_4_20():
+    """Template 4.20 (radar product): site-based layout sharing
+    nothing past the parameter octets with the 4.0 family — site
+    coordinates (signed-magnitude µdeg), elevation, CCITT-IA5 +
+    numeric identifiers and operating mode land in the radar_*
+    columns; levels and forecast_hours stay None (an observation at
+    the reference time); coded-missing octets land None."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = encode_grib2_message(
+        v,
+        discipline=15,
+        category=1,
+        number=195,
+        radar=dict(
+            sites=3,
+            site_id="KTLX",
+            site_number=351,
+            lat_udeg=35_333_000,
+            lon_udeg=-97_278_000,
+            elevation_m=370,
+            mode=2,
+        ),
+        reference_value=0.0,
+        nbits=8,
+    )
+    r = decode_grib2(msg)
+    assert r.product_template == 20
+    assert r.radar_sites == 3
+    assert r.radar_site_id == "KTLX"
+    assert r.radar_site_number == 351
+    assert r.radar_site_lat == 35.333
+    assert r.radar_site_lon == -97.278  # sign-magnitude negative
+    assert r.radar_elevation_m == 370
+    assert r.radar_operating_mode == 2
+    assert r.level_type is None and r.forecast_hours is None
+    assert np.array_equal(r.values, v)
+    assert inventory_line(msg) == "d15:c1,n195:l-/-:2020010100:f-"
+    # coded-missing site octets -> None, not sentinel values
+    m2 = encode_grib2_message(
+        v, radar=dict(lat_udeg=0, lon_udeg=0), reference_value=0.0, nbits=8
+    )
+    pos = 16
+    while m2[pos + 4] != 4:
+        pos += int.from_bytes(m2[pos : pos + 4], "big")
+    patched = bytearray(m2)
+    patched[pos + 12] = 0xFF  # number of sites
+    patched[pos + 30] = 0xFF  # operating mode
+    r2 = decode_grib2(bytes(patched))
+    assert r2.radar_sites is None and r2.radar_operating_mode is None
+    # an out-of-range site latitude is a corrupt section, not geography
+    patched = bytearray(m2)
+    patched[pos + 14 : pos + 18] = (200_000_000).to_bytes(4, "big")  # 200 deg
+    with pytest.raises(ValueError, match="radar site latitude"):
+        decode_grib2(bytes(patched))
+    # non-radar records keep the columns None
+    plain = decode_grib2(encode_grib2_message(v, reference_value=0.0, nbits=8))
+    assert plain.radar_sites is None and plain.radar_site_id is None
+    # encode guards: no surfaces, no lead, 4-char IA5 id
+    with pytest.raises(ValueError, match="no fixed surfaces"):
+        encode_grib2_message(
+            v, radar=dict(lat_udeg=0, lon_udeg=0), level_type=100,
+            level_value=85000,
+        )
+    with pytest.raises(ValueError, match="forecast or statistical"):
+        encode_grib2_message(
+            v, radar=dict(lat_udeg=0, lon_udeg=0),
+            forecast=dict(unit=1, value=6),
+        )
+    with pytest.raises(ValueError, match="IA5"):
+        encode_grib2_message(
+            v, radar=dict(lat_udeg=0, lon_udeg=0, site_id="TOOLONG")
+        )
 
 
 def test_zero_length_indicator_is_a_loud_framing_error():
