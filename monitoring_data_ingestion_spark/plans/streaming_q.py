@@ -356,6 +356,118 @@ def era5_grid_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_landing_pickup",
+    tags=("streaming", "ingest", "pipeline"),
+    oracle="""
+SELECT m.m AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((m.m * 31 + i.i * 7) % 97) AS BIGINT) AS vsum
+FROM UNNEST(generate_series(1, 12)) AS m(m),
+     UNNEST(generate_series(0, 9)) AS i(i)
+GROUP BY m.m
+ORDER BY month
+""",
+)
+def stream_late_landing_pickup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-LANDED OLD-MTIME file pickup through the streaming file
+    source — the driver witness for the r13 ``maxFileAge`` hardening
+    (streaming/sources.py): FileStreamSource's 7-day default, measured
+    against the NEWEST file seen, silently drops a late-landed file
+    whose mtime is old — an ``rsync``/``cp -p`` backfill into a watched
+    landing directory is exactly that shape (the reference's archive
+    feed delivers months out of order the same way).  The landing
+    pattern defaults to effectively-unbounded age; if that default ever
+    regressed, this query would lose month 12 and hash-mismatch.
+
+    Two-phase drain through ONE checkpoint: months 1-11 land fresh and
+    drain through an AvailableNow pass into the idempotent parquet
+    sink; month 12 then lands with its mtime BACKDATED to 2000-01-01
+    (decades older than the seen-files window) and a resume drain
+    through the same checkpoint must pick it up.  Repeated invocations
+    re-resume and find nothing new, so the published dataset is stable
+    — the same session-keyed reuse contract as the flagship pipeline.
+
+    Scale: pass-through file stream, no stateful operator — the cost is
+    one directory listing per trigger; the exactly-once file tracking
+    rides the checkpoint like every landing stream.  sf_dir is unused —
+    the landing is the source's own data model.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..streaming.sources import file_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mdi_late_landing_{spark.sparkContext.applicationId}",
+    )
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    complete = os.path.join(base, "_complete")
+
+    def month_file(m: int) -> str:
+        return os.path.join(landing, f"month_{m:02d}.parquet")
+
+    def write_month(m: int) -> None:
+        pd.DataFrame(
+            {
+                "month": [m] * 10,
+                "i": list(range(10)),
+                "value": [(m * 31 + i * 7) % 97 for i in range(10)],
+            }
+        ).to_parquet(month_file(m), index=False)
+
+    def drain() -> None:
+        stream = file_stream(
+            spark,
+            landing,
+            spark.read.parquet(month_file(1)).schema,
+            path_glob="month_*.parquet",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("late-landing drain did not finish")
+
+    if not os.path.exists(complete):
+        shutil.rmtree(base, ignore_errors=True)  # half-written prior tree
+        os.makedirs(landing)
+        for m in range(1, 12):
+            write_month(m)
+        drain()  # months 1-11 commit through the checkpoint
+        # month 12 lands LATE with a decades-old preserved mtime — the
+        # exact shape the 7-day default silently skips
+        write_month(12)
+        backdate = 946_684_800  # 2000-01-01T00:00:00Z
+        os.utime(month_file(12), (backdate, backdate))
+        open(complete, "w").close()
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    drain()  # resume: must pick up the backdated month 12
+    published = spark.read.parquet(out)
+    return (
+        published.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("vsum"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
     "stream_ohlc_hourly",
     tags=("streaming", "window", "timeseries"),
     oracle="""
