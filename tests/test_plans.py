@@ -152,8 +152,11 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_forecast_lead_scan",
         "grid_grib1_gaussian_scan",
         "grid_grib1_rotated_scan",
+        "grid_grib1_reduced_scan",
         "grid_grib2_cluster_scan",
+        "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
+        "grid_grib2_radar_scan",
         "grid_grib2_satellite_scan",
         "grid_grib_quarantine_scan",
         "grid_grib2_derived_ensemble_scan",
@@ -1396,8 +1399,11 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
 @pytest.mark.parametrize(
     "name",
     [
+        "grid_grib1_reduced_scan",
         "grid_grib2_cluster_scan",
+        "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
+        "grid_grib2_radar_scan",
         "grid_grib2_satellite_scan",
         "grid_grib_quarantine_scan",
         "grid_grib2_derived_ensemble_scan",
