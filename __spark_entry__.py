@@ -76,7 +76,11 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # rendering for reduced grids (grid_grib_inventory_scan,
 # grid_grib1_inventory, grid_grib_inventory_robust_scan,
 # grid_grib2_match_decode, grid_grib2_match_level_decode,
-# grid_grib_match_lead_scan).  The remaining grib1-decode queries sit
+# grid_grib_match_lead_scan).  decode_grib1's flag dispatch was
+# restructured again for second-order (bit-2-with-bit-4 now decodes;
+# bit-2-alone and bit-4-alone keep loud stops with sharper names) —
+# additive for every existing record shape, swept by the codec suite.
+# The remaining grib1-decode queries sit
 # downstream only of decode_grib1's additive reduced branch and the
 # mechanical n_present -> total_cells hoist (bit-identical for
 # non-reduced records, swept by the codec suite, full local driver-sim
@@ -84,11 +88,12 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # additive radar RECORD_SCHEMA growth — the seven-round-old queue
 # evidence outranks them, the same documented judgment as the r12
 # cluster-column and r13 dispatch-restructure windows.  Per the
-# standing rule the queue fills the rest: the first 38 of the 43
+# standing rule the queue fills the rest: the first 37 of the 43
 # spilled r7 names, verbatim from the r13 queue comment.
-# 4 + 8 + 38 = exactly 50.  The remaining 5 r7 names
-# (sketch_bloom_membership, sketch_count_min_tokens,
-# sketch_hll_distinct, sketch_quantile_histogram, stream_psi_drift)
+# 5 + 8 + 37 = exactly 50.  The remaining 6 r7 names
+# (sample_neyman_allocation, sketch_bloom_membership,
+# sketch_count_min_tokens, sketch_hll_distinct,
+# sketch_quantile_histogram, stream_psi_drift)
 # spill to the FRONT of round 15's queue, followed by the r8 cohort.
 # Every entry outside the window stays locally oracle-checked each
 # session (tests/test_oracle.py), and the flagship pipeline stays
@@ -99,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_ensemble_satellite_scan",
     "grid_grib2_radar_scan",
     "stream_late_landing_pickup",
+    "grid_grib1_second_order_scan",
     # --- 2. changed in round 14: the quarantine fixture's new reject
     #     template, the satellite dispatch/encoder restructure, and the
     #     six inventory/match queries behind the grown template gates ---
@@ -149,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q21_late_suppliers",
     "q22_idle_customers",
-    "sample_neyman_allocation",
 )
 
 

@@ -28,7 +28,14 @@ Implemented surface (WMO FM 92-VIII Ext. GRIB edition 1):
   spectral fields), the (0,0) real coefficient rides UNPACKED as an
   IBM-32 float at octets 12-15 and the remaining mode-1 sequence
   simple-packs after it; synthesis to a Gaussian grid is the shared
-  cross-edition ``grib2.spectral_synthesis``.
+  cross-edition ``grib2.spectral_synthesis``.  SECOND-ORDER (complex)
+  grid-point packing (flag bits 2+4 — the DWD/ECMWF-era form): the
+  octet-14 extended flags carry N1/N2 stream pointers, P1 group
+  minima pack at the octet-11 width and per-point deviations follow
+  as one continuous bitstream at per-group (constant or varying)
+  widths; groups come row-by-row or from a secondary bitmap.  The
+  gribex general-extended bits (octet-14 bits 4-8), the matrix form
+  and the primary-bitmap combination are named loud stops.
 * Section 5: "7777" terminator.
 
 Multi-record files are plain concatenations of messages; ``wgrib -d n``
@@ -258,6 +265,185 @@ def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
     for k in range(nbits):  # bit k of each value → stream position
         bits[k::nbits] = (v >> np.uint64(nbits - 1 - k)) & np.uint64(1)
     return np.packbits(bits).tobytes()
+
+
+def _encode_second_order(
+    x: np.ndarray,
+    group_sizes: list[int],
+    fo_width: int,
+    varying: bool,
+    secondary: bool,
+) -> tuple[bytes, int]:
+    """BDS octets 12+ of the WMO second-order (complex) grid-point
+    layout: N1/flags/N2/P1/P2 pointers, the width table, the optional
+    secondary bitmap, the first-order values (group minima at
+    ``fo_width`` bits, byte-aligned at N1) and the second-order
+    deviations as one CONTINUOUS bitstream at N2.  Returns (body,
+    slack bits in the second-order stream)."""
+    x = np.asarray(x, dtype=np.uint64)
+    p2, p1 = len(x), len(group_sizes)
+    if sum(group_sizes) != p2:
+        raise ValueError("group sizes must cover every present point")
+    if min(group_sizes, default=1) <= 0:
+        raise ValueError("second-order groups must be non-empty")
+    if not 1 <= p1 <= 0xFFFF or p2 > 0xFFFF:
+        raise ValueError("second-order P1/P2 must fit 16 bits")
+    fo = np.empty(p1, dtype=np.uint64)
+    so_parts: list[np.ndarray] = []
+    widths: list[int] = []
+    pos = 0
+    for g, n in enumerate(group_sizes):
+        seg = x[pos : pos + n]
+        fo[g] = seg.min()
+        so = (seg - fo[g]).astype(np.uint64)
+        widths.append(int(so.max()).bit_length() if int(so.max()) else 0)
+        so_parts.append(so)
+        pos += n
+    if not varying:
+        widths = [max(widths)] * p1
+    if max(widths) > 62:
+        raise ValueError("second-order width exceeds 62 bits")
+    if int(fo.max()) >= 1 << fo_width:
+        raise ValueError(
+            f"nbits={fo_width} cannot hold first-order value {int(fo.max())}"
+        )
+    width_table = bytes(widths) if varying else bytes([widths[0]])
+    secbits = b""
+    if secondary:
+        marks = np.zeros(p2, dtype=np.uint8)
+        marks[np.cumsum([0] + group_sizes[:-1])] = 1
+        secbits = np.packbits(marks).tobytes()
+    fo_bytes = _pack_bits(fo, fo_width)
+    total_bits = sum(n * w for n, w in zip(group_sizes, widths))
+    stream = np.zeros(total_bits, dtype=np.uint8)
+    bit = 0
+    for so, w in zip(so_parts, widths):
+        if w:
+            for k in range(w):
+                stream[bit + k : bit + len(so) * w : w] = (
+                    (so >> np.uint64(w - 1 - k)) & np.uint64(1)
+                ).astype(np.uint8)
+            bit += len(so) * w
+    so_bytes = np.packbits(stream).tobytes() if total_bits else b""
+    so_slack = (8 - total_bits % 8) % 8
+    n1 = 22 + len(width_table) + len(secbits)  # 1-based BDS octet
+    n2 = n1 + len(fo_bytes)
+    if n2 + max(1, (total_bits + 7) // 8) - 1 > 0xFFFF:
+        raise ValueError("second-order BDS exceeds the 16-bit pointers")
+    body = (
+        n1.to_bytes(2, "big")
+        + bytes([(0x40 if secondary else 0) | (0x20 if varying else 0)])
+        + n2.to_bytes(2, "big")
+        + p1.to_bytes(2, "big")
+        + p2.to_bytes(2, "big")
+        + bytes([0])  # octet 21 reserved
+        + width_table
+        + secbits
+        + fo_bytes
+        + so_bytes
+    )
+    return body, so_slack
+
+
+def _decode_second_order(
+    bds: bytes, n_present: int, fo_width: int, row_lengths
+) -> np.ndarray:
+    """Second-order (complex) grid-point BDS → uint64 increments X in
+    storage order.  Octets 12-13/15-16 are 1-based pointers to the
+    first-/second-order streams; octet 14 flags (code table 11): bit 1
+    matrix (unsupported), bit 2 secondary bitmap, bit 3 varying widths,
+    bits 4-8 the gribex general-extended forms (unsupported — their
+    stream layout differs and a standard-layout read would decode
+    offset garbage).  Without a secondary bitmap each ROW is a group
+    (``row_lengths``); with one, a set bit starts a group and the
+    derived group count must equal P1."""
+    if len(bds) < 22:
+        raise ValueError("truncated second-order BDS")
+    n1 = int.from_bytes(bds[11:13], "big")
+    ext = bds[13]
+    n2 = int.from_bytes(bds[14:16], "big")
+    p1 = int.from_bytes(bds[16:18], "big")
+    p2 = int.from_bytes(bds[18:20], "big")
+    if ext & 0x80:
+        raise ValueError(
+            "matrix-of-values second-order packing is not supported"
+        )
+    if ext & 0x1F:
+        raise ValueError(
+            "general extended second-order (gribex) packing is not "
+            "supported (octet-14 bits 4-8 set)"
+        )
+    if p1 == 0:
+        raise ValueError("second-order packing with zero groups")
+    if p2 != n_present:
+        raise ValueError(
+            f"second-order P2={p2} disagrees with {n_present} grid points"
+        )
+    secondary, varying = bool(ext & 0x40), bool(ext & 0x20)
+    cursor = 21  # 0-based: first octet after the fixed head
+    if varying:
+        widths = list(bds[cursor : cursor + p1])
+        if len(widths) < p1:
+            raise ValueError("truncated second-order width table")
+        cursor += p1
+    else:
+        widths = [bds[cursor]] * p1
+        cursor += 1
+    if max(widths) > 62:
+        raise ValueError("second-order width exceeds 62 bits")
+    if secondary:
+        nb = (p2 + 7) // 8
+        sec = np.unpackbits(
+            np.frombuffer(bds[cursor : cursor + nb], dtype=np.uint8)
+        )[:p2]
+        if sec.size < p2:
+            raise ValueError("truncated secondary bitmap")
+        if p2 and sec[0] != 1:
+            raise ValueError(
+                "secondary bitmap must start a group at the first point"
+            )
+        starts = np.flatnonzero(sec)
+        group_sizes = np.diff(np.append(starts, p2)).tolist()
+        if len(group_sizes) != p1:
+            raise ValueError(
+                f"secondary bitmap defines {len(group_sizes)} groups, "
+                f"P1 declares {p1}"
+            )
+        cursor += nb
+    else:
+        group_sizes = [int(n) for n in row_lengths]
+        if len(group_sizes) != p1:
+            raise ValueError(
+                f"row-grouped second-order packing: grid has "
+                f"{len(group_sizes)} rows, P1 declares {p1}"
+            )
+    fo_need = (p1 * fo_width + 7) // 8
+    if n1 - 1 < cursor or len(bds) < n1 - 1 + fo_need or n2 < n1:
+        raise ValueError("second-order stream pointers out of range")
+    fo = (
+        _unpack_bits(bds[n1 - 1 : n1 - 1 + fo_need], p1, fo_width)
+        if fo_width
+        else np.zeros(p1, dtype=np.uint64)
+    )
+    total_bits = sum(n * w for n, w in zip(group_sizes, widths))
+    so_bytes = bds[n2 - 1 :]
+    if len(so_bytes) * 8 < total_bits:
+        raise ValueError("truncated second-order value stream")
+    allbits = np.unpackbits(np.frombuffer(so_bytes, dtype=np.uint8))
+    x = np.empty(p2, dtype=np.uint64)
+    bit = pos = 0
+    for f, n, w in zip(fo, group_sizes, widths):
+        if w:
+            b = allbits[bit : bit + n * w].reshape(n, w).astype(np.uint64)
+            so = b @ (
+                np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64)
+            )
+            bit += n * w
+        else:
+            so = np.zeros(n, dtype=np.uint64)
+        x[pos : pos + n] = np.uint64(f) + so
+        pos += n
+    return x
 
 
 def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
@@ -493,6 +679,7 @@ def encode_grib1_message(
     rotated: dict | None = None,
     spectral: dict | None = None,
     reduced_ni=None,
+    second_order: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -547,6 +734,16 @@ def encode_grib1_message(
     the edition-1 sibling of GRIB2's 3.50 + 5.50 pair.  ``values`` is
     the 1-D COMPLEX array C_n^m for m = 0..T, n = m..T; m = 0
     coefficients must be real.  No bitmap, no scanning mode.
+
+    ``second_order`` writes the WMO SECOND-ORDER (complex) grid-point
+    packing — group minima ("first-order values") at ``nbits`` bits
+    plus per-point deviations at per-group widths: key ``groups`` is
+    either ``"rows"`` (the default row-by-row form — no secondary
+    bitmap, each grid row one group) or an explicit list of group
+    sizes (written as a secondary bitmap whose set bits start groups);
+    ``varying=True`` stores one width octet per group instead of the
+    single constant width.  No primary bitmap, no spectral; composes
+    with regular, Gaussian and reduced grids.
 
     ``reduced_ni`` writes a QUASI-REGULAR (reduced) GAUSSIAN grid —
     ECMWF's native edition-1 archive layout: Ni and Di code missing
@@ -633,25 +830,71 @@ def encode_grib1_message(
         present = present[1:]
     if bm is not None:
         present = present[bm.reshape(-1)]
-    r_bytes, r, x = quantize_simple_packing(
-        present,
-        decimal_scale,
-        binary_scale,
-        nbits,
-        reference_value,
-        ibm32_encode,
-        ibm32_encode_floor,
-        ibm32_decode,
-    )
-    packed = _pack_bits(x, nbits)
-    re00 = ibm32_encode(float(vals[0])) if spec_t is not None else b""
-    # Unused-bit accounting must cover BOTH the sub-byte packing slack
-    # AND the even-length pad byte appended below, or a spec-conformant
-    # reader deriving the value count from (len−11)·8 − unused reads one
-    # garbage value.
-    unused = (8 - (len(present) * nbits) % 8) % 8
-    bds_pad = (11 + len(re00) + len(packed)) % 2
-    unused += 8 * bds_pad  # fits the 4-bit nibble: ≤ 7 + 8 = 15
+    if second_order is not None:
+        if spec_t is not None:
+            raise ValueError("second-order packing is grid-point only")
+        if bm is not None:
+            raise ValueError(
+                "second-order packing with a primary bitmap is not "
+                "supported"
+            )
+        groups = second_order.get("groups", "rows")
+        so_varying = bool(second_order.get("varying", False))
+        if isinstance(groups, str):
+            if groups != "rows":
+                raise ValueError(
+                    f"second-order groups must be 'rows' or a size "
+                    f"list, got {groups!r}"
+                )
+            so_sizes = (
+                [int(n) for n in reduced_arr]
+                if reduced_arr is not None
+                else [ni] * nj
+            )
+            so_secondary = False
+        else:
+            so_sizes = [int(n) for n in groups]
+            so_secondary = True
+        # 62-bit bound: the quantization only needs the X increments;
+        # the real width checks (first-order at nbits, per-group
+        # deviation widths) happen in _encode_second_order.
+        r_bytes, r, x = quantize_simple_packing(
+            present,
+            decimal_scale,
+            binary_scale,
+            62,
+            reference_value,
+            ibm32_encode,
+            ibm32_encode_floor,
+            ibm32_decode,
+        )
+        packed, so_slack = _encode_second_order(
+            x, so_sizes, nbits, so_varying, so_secondary
+        )
+        re00 = b""
+        unused = so_slack
+        bds_pad = (11 + len(packed)) % 2
+        unused += 8 * bds_pad
+    else:
+        r_bytes, r, x = quantize_simple_packing(
+            present,
+            decimal_scale,
+            binary_scale,
+            nbits,
+            reference_value,
+            ibm32_encode,
+            ibm32_encode_floor,
+            ibm32_decode,
+        )
+        packed = _pack_bits(x, nbits)
+        re00 = ibm32_encode(float(vals[0])) if spec_t is not None else b""
+        # Unused-bit accounting must cover BOTH the sub-byte packing
+        # slack AND the even-length pad byte appended below, or a
+        # spec-conformant reader deriving the value count from
+        # (len−11)·8 − unused reads one garbage value.
+        unused = (8 - (len(present) * nbits) % 8) % 8
+        bds_pad = (11 + len(re00) + len(packed)) % 2
+        unused += 8 * bds_pad  # fits the 4-bit nibble: ≤ 7 + 8 = 15
 
     if forecast is not None and statistical is not None:
         raise ValueError(
@@ -849,10 +1092,17 @@ def encode_grib1_message(
         body = bytes([bm_unused]) + bytes([0, 0]) + bm_bits + bytes(pad)
         bms = _u24(3 + len(body)) + body
 
-    # BDS flag nibble: bit 1 raises spherical-harmonic coefficients
-    # (grid-point otherwise); simple packing / float either way.
+    # BDS flag nibble: bit 1 spherical harmonics; bits 2+4 together
+    # mark grid-point second-order packing with the octet-14 extended
+    # flags (the stream pointers live there).
+    if spec_t is not None:
+        bds_flags = 0b1000
+    elif second_order is not None:
+        bds_flags = 0b0101
+    else:
+        bds_flags = 0b0000
     bds_body = (
-        bytes([((0b1000 if spec_t is not None else 0) << 4) | unused])
+        bytes([(bds_flags << 4) | unused])
         + _s16(binary_scale)
         + r_bytes
         + bytes([nbits])
@@ -1147,6 +1397,16 @@ def decode_grib1(msg: bytes) -> Grib1Record:
                     "list (GDS octet 5 coded missing)"
                 )
             pl0 = (gds[4] - 1) + 4 * gds[3]
+            if pl0 < 32:
+                # The optional lists follow the fixed 32-octet type-4
+                # body; a pointer into the body would read header
+                # octets (Nj, La1, ...) as row counts — garbage counts
+                # that happen to be positive would then silently
+                # mis-slice every packed value.
+                raise ValueError(
+                    f"points-per-row list pointer {gds[4]} lands inside "
+                    "the fixed GDS body"
+                )
             if len(gds) < pl0 + 2 * nj:
                 raise ValueError("truncated points-per-row list")
             row_ni = np.array(
@@ -1159,6 +1419,22 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             if (row_ni <= 0).any():
                 raise ValueError(
                     "points-per-row list holds a zero/missing count"
+                )
+            # Full-parallel cross-check: the decoder's longitude model
+            # is lon_first + i·360/row_ni[j], so Lo2 (octets 21-23 —
+            # the easternmost point of the widest parallel) must agree
+            # with it.  A SECTOR/regional thinned grid would otherwise
+            # decode with silently fabricated global longitudes — the
+            # same silent-geography class the La1/quadrature gate stops.
+            lo2 = _rs24(gds, 20)
+            nmax = int(row_ni.max())
+            lo2_expect = lon_first + round((nmax - 1) * 360_000.0 / nmax)
+            if abs(lo2 - lo2_expect) > 2:
+                raise ValueError(
+                    f"reduced Gaussian grid is not full-parallel: GDS "
+                    f"Lo2 {lo2} mdeg does not match the widest row's "
+                    f"easternmost point {lo2_expect} mdeg (sector/"
+                    "regional thinned grids are not supported)"
                 )
             ni = None
             dlon = 0  # no common Di on ragged rows
@@ -1247,6 +1523,7 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         raise ValueError(
             "BDS spherical-harmonics flag disagrees with the GDS grid type"
         )
+    second_order = False
     if flags & 0b0100:
         if spectral_truncation is not None:
             # The edition-1 COMPLEX spectral form (sub-spectrum pointer
@@ -1256,16 +1533,31 @@ def decode_grib1(msg: bytes) -> Grib1Record:
                 "GRIB1 spectral complex packing is not supported (only "
                 "simple packing; re-encode as GRIB2 template 5.51)"
             )
-        raise ValueError("only grid-point simple packing is supported")
-    if flags & 0b0001:
-        # Flag bit 4: additional flags at octet 14 (the extended BDS
-        # layout — second-order packing pointers, matrix values).  The
-        # packed stream then starts PAST octet 12, so reading the
-        # standard layout would decode offset garbage with plausible
-        # statistics.
+        if not flags & 0b0001:
+            # Grid-point second-order packing always carries the
+            # octet-14 extended flags (they hold the stream pointers) —
+            # without them the layout is unknowable.
+            raise ValueError(
+                "second-order packing without the octet-14 extended "
+                "flags is malformed"
+            )
+        if bitmap is not None:
+            # The primary-bitmap + row-grouped combination leaves the
+            # group membership of masked rows producer-defined — stop
+            # loudly rather than guess.
+            raise ValueError(
+                "second-order packing with a primary bitmap is not "
+                "supported"
+            )
+        second_order = True
+    elif flags & 0b0001:
+        # Flag bit 4 alone: additional flags at octet 14 WITHOUT the
+        # second-order bit (matrix-of-values forms).  The packed stream
+        # then starts PAST octet 12, so reading the standard layout
+        # would decode offset garbage with plausible statistics.
         raise ValueError(
-            "extended BDS layout (octet-14 additional flags) is not "
-            "supported"
+            "extended BDS layout (octet-14 additional flags) without "
+            "second-order packing is not supported"
         )
     unused = bds[3] & 0x0F
     binary_scale = _rs16(bds, 4)
@@ -1295,7 +1587,18 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         values = np.concatenate(([re00], rest))
     else:
         n_present = int(bitmap.sum()) if bitmap is not None else total_cells
-        if nbits:
+        if second_order:
+            # WMO second-order (complex) grid-point packing: group
+            # minima at the octet-11 width plus per-point deviations —
+            # without a secondary bitmap each ROW is a group, the
+            # standard row-by-row form (works for regular, Gaussian
+            # and reduced rows alike).
+            row_lengths = row_ni if row_ni is not None else [ni] * nj
+            x = _decode_second_order(bds, n_present, nbits, row_lengths)
+            present_vals = (
+                r + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        elif nbits:
             need = (n_present * nbits + unused) // 8
             x = _unpack_bits(bds[11 : 11 + need], n_present, nbits)
             present_vals = (

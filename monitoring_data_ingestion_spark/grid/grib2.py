@@ -2128,6 +2128,8 @@ def encode_grib2_message(
         site_lon = int(radar["lon_udeg"])
         if not -90_000_000 <= site_lat <= 90_000_000:
             raise ValueError(f"radar site latitude {site_lat} out of range")
+        if not -180_000_000 <= site_lon <= 360_000_000:
+            raise ValueError(f"radar site longitude {site_lon} out of range")
         elev = int(radar.get("elevation_m", 0))
         if not 0 <= elev < 0xFFFF:
             raise ValueError(f"radar site elevation {elev} out of range")
@@ -3057,6 +3059,11 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         if not -90.0 <= radar_site_lat <= 90.0:
             raise ValueError(
                 f"radar site latitude {radar_site_lat} out of range"
+            )
+        if not -180.0 <= radar_site_lon <= 360.0:
+            # same signed-magnitude pair, same loudness as the latitude
+            raise ValueError(
+                f"radar site longitude {radar_site_lon} out of range"
             )
         (elev,) = struct.unpack_from(">H", s4, 22)
         radar_elevation_m = elev if elev != 0xFFFF else None

@@ -3602,6 +3602,130 @@ def grid_grib1_reduced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "grid_grib1_second_order_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         5 + doc_id % 3 AS ni,
+         4 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 73 = 17 AND doc_id < 700
+),
+cells AS (
+  SELECT doc_id, r.r + 1 AS rn,
+         60 + ((doc_id * 7 + r.r * 13 + i.i * 3 + j.j * 11) % 50) AS v,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(0, 2)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib1_second_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-ORDER (complex) grid-point packing through the landing
+    scan — the WMO extended-BDS form DWD/ECMWF-era edition-1 archives
+    ship (wgrib reads it; the reference's wgrib path,
+    /root/reference/src/file-conversions.js:114-127): BDS flag bits
+    2+4 raise the octet-14 extended flags carrying N1/N2 stream
+    pointers, P1 group minima ("first-order values") at the octet-11
+    width, and per-point deviations packed as one continuous bitstream
+    at per-group widths.
+
+    Each document's archive exercises all three layout axes on
+    separate records: row-by-row grouping with a constant width,
+    row-by-row with VARYING per-group widths (one width octet per
+    group), and explicit groups via the SECONDARY BITMAP (a set bit
+    starts a group).  The position-weighted ``wsum`` pins storage
+    order through the group reassembly — a group boundary off by one
+    hash-mismatches even where the plain sum would cancel.  The
+    gribex general-extended bits, the matrix form and primary bitmaps
+    stay loud stops (tests/test_grib1.py pins them), and a foreign
+    hand-assembled witness pins the octet layout
+    (tests/test_foreign_grib.py).
+
+    Scale: identical plan shape to every landing scan — one Arrow
+    decode stage, only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 73 == 17) & (F.col("doc_id") < 700))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 5 + d % 3, 4 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        60 + ((d * 7 + r * 13 + i * 3 + j * 11) % 50)
+                    ).astype(np.float64)
+
+                total = ni * nj
+                k = 1 + d % (total - 1)
+                enc = dict(reference_value=60.0, nbits=8)
+                msgs = [
+                    encode_grib1_message(
+                        field(0), second_order=dict(groups="rows"), **enc
+                    ),
+                    encode_grib1_message(
+                        field(1),
+                        second_order=dict(groups="rows", varying=True),
+                        **enc,
+                    ),
+                    encode_grib1_message(
+                        field(2),
+                        second_order=dict(
+                            groups=[k, total - k], varying=True
+                        ),
+                        **enc,
+                    ),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "record_number")
+
+
 # --- multi-field (submessage) GRIB2 archives --------------------------------
 # Per selected document ONE archive = a single multi-field message
 # holding fields rn=1..3 on a shared (5 + d%3) × (4 + d%2) grid

@@ -661,3 +661,119 @@ def test_foreign_reduced_gaussian_grib1_decodes_to_pinned_values():
     # header-only inventory lists the record with NULL ni
     h = inspect_grib1(msg)
     assert h["ni"] is None and h["nj"] == 2 and h["grid_type"] == 4
+
+
+def _foreign_grib1_second_order() -> bytes:
+    """GRIB1 SECOND-ORDER (complex) grid-point packing, hand-assembled
+    per the WMO extended-BDS layout (octets 12-21 pointers, octet-14
+    extended flags): row-by-row grouping (no secondary bitmap),
+    constant second-order width.
+
+    Grid: 3x2 lat/lon, north row first.  Increments X (storage order):
+    row 1 = [5, 7, 5], row 2 = [0, 3, 1].  First-order values (row
+    minima): [5, 0] at 4 bits; second-order deviations [0,2,0] /
+    [0,3,1] at the constant width 2.
+
+    BDS layout (1-based octets): 12-13 N1 = 23 (first-order stream),
+    14 flags 0x00 (no matrix / no secondary bitmap / constant width),
+    15-16 N2 = 24 (second-order stream), 17-18 P1 = 2, 19-20 P2 = 6,
+    21 reserved, 22 the single width octet (2), 23 the packed
+    first-order values 0x50, 24-25 the deviation bitstream
+    0b00_10_00_00_11_01 padded = 0x20 0xD0 (4 slack bits), one
+    even-length pad octet — unused nibble = 4 + 8 = 12.
+
+    Packing: R = IBM 0x41200000 = +2.0, E = 0, D = 0 →
+    Y = 2 + X: row 1 = [7, 9, 7], row 2 = [2, 5, 3].
+    """
+    pds = bytes(
+        [
+            0x00, 0x00, 0x1C,  # 1-3   section length 28
+            2,                 # 4     parameter table version
+            78,                # 5     originating centre (DWD)
+            11,                # 6     generating process
+            255,               # 7     grid identification: defined by GDS
+            0x80,              # 8     flags: GDS present, no BMS
+            11,                # 9     parameter: TMP
+            1,                 # 10    level type: surface
+            0, 0,              # 11-12 level value
+            24,                # 13    year of century (2024)
+            5, 2, 6, 0,        # 14-17 month/day/hour/minute
+            1,                 # 18    time unit: hour
+            0, 0, 0,           # 19-21 P1/P2/TRI: analysis
+            0, 0,              # 22-23 number in average
+            0,                 # 24    number missing
+            21,                # 25    century
+            0,                 # 26    sub-centre
+            0x00, 0x00,        # 27-28 decimal scale D = 0
+        ]
+    )
+    assert len(pds) == 28
+    gds = bytes(
+        [
+            0x00, 0x00, 0x20,  # 1-3   section length 32
+            0, 255,            # 4-5   NV = 0, PV/PL none
+            0,                 # 6     data representation: lat/lon
+            0x00, 0x03,        # 7-8   Ni = 3
+            0x00, 0x02,        # 9-10  Nj = 2
+            0x00, 0x27, 0x10,  # 11-13 La1 = +10.000 deg
+            0x00, 0x00, 0x00,  # 14-16 Lo1 = 0
+            0x80,              # 17    resolution: increments given
+            0x00, 0x23, 0x28,  # 18-20 La2 = +9.000 deg
+            0x00, 0x07, 0xD0,  # 21-23 Lo2 = +2.000 deg
+            0x03, 0xE8,        # 24-25 Di = 1000 mdeg
+            0x03, 0xE8,        # 26-27 Dj = 1000 mdeg
+            0x00,              # 28    scanning mode: +i, -j (north first)
+            0, 0, 0, 0,        # 29-32 reserved
+        ]
+    )
+    assert len(gds) == 32
+    bds = bytes(
+        [
+            0x00, 0x00, 0x1A,  # 1-3   section length 26 (even)
+            0x5C,              # 4     flags 0101 (grid, 2nd-order,
+                               #       float, extended) + 12 unused
+            0x00, 0x00,        # 5-6   binary scale E = 0
+            0x41, 0x20, 0x00, 0x00,  # 7-10 reference: IBM +2.0
+            4,                 # 11    bits per first-order value
+            0x00, 0x17,        # 12-13 N1 = 23
+            0x00,              # 14    extended flags: row groups,
+                               #       constant width
+            0x00, 0x18,        # 15-16 N2 = 24
+            0x00, 0x02,        # 17-18 P1 = 2 groups (rows)
+            0x00, 0x06,        # 19-20 P2 = 6 points
+            0x00,              # 21    reserved
+            2,                 # 22    constant second-order width
+            0x50,              # 23    first-order values: 5, 0 at 4 bits
+            0x20, 0xD0,        # 24-25 deviations 0,2,0,0,3,1 at 2 bits
+            0x00,              # 26    even-length pad (in unused count)
+        ]
+    )
+    assert len(bds) == 26
+    total = 8 + len(pds) + len(gds) + len(bds) + 4
+    return (
+        b"GRIB"
+        + total.to_bytes(3, "big")
+        + bytes([1])
+        + pds
+        + gds
+        + bds
+        + b"7777"
+    )
+
+
+def test_foreign_second_order_grib1_decodes_to_pinned_values():
+    """Foreign-bytes witness for the second-order decode: the stream
+    pointers, the row-by-row grouping, the constant-width deviation
+    bitstream and the first-order minima are all hand-laid octets with
+    hand-computed expectations — a convention bug shared by the
+    engine's own encoder and decoder cannot hide here."""
+    from monitoring_data_ingestion_spark.grid.grib1 import decode_grib1
+
+    msg = _foreign_grib1_second_order()
+    rec = decode_grib1(msg)
+    assert rec.parameter == 11
+    assert (rec.ni, rec.nj) == (3, 2)
+    assert rec.reference_value == 2.0
+    np.testing.assert_allclose(
+        rec.values, [[7.0, 9.0, 7.0], [2.0, 5.0, 3.0]], rtol=0, atol=0
+    )

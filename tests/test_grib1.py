@@ -536,6 +536,19 @@ def test_reduced_gaussian_roundtrip_cells_and_guards():
     bad[gds_off + 10 : gds_off + 13] = (10_000).to_bytes(3, "big")
     with pytest.raises(ValueError, match="does not match"):
         decode_grib1(bytes(bad))
+    # a PL pointer into the fixed GDS body would read header octets as
+    # row counts — named stop, never garbage counts
+    bad = bytearray(msg)
+    bad[gds_off + 4] = 9
+    with pytest.raises(ValueError, match="inside the fixed GDS body"):
+        decode_grib1(bytes(bad))
+    # a sector/regional thinned grid (Lo2 contradicting the
+    # full-parallel longitude model) stops instead of fabricating
+    # global longitudes
+    bad = bytearray(msg)
+    bad[gds_off + 20 : gds_off + 23] = (90_000).to_bytes(3, "big")
+    with pytest.raises(ValueError, match="not full-parallel"):
+        decode_grib1(bytes(bad))
     # a thinned NON-Gaussian grid stays a loud documented boundary
     plain = encode_grib1_message(
         np.ones((2, 3)), nbits=8, reference_value=0.0
@@ -544,6 +557,105 @@ def test_reduced_gaussian_roundtrip_cells_and_guards():
     bad = bytearray(plain)
     bad[8 + pds_len + 6 : 8 + pds_len + 8] = b"\xff\xff"
     with pytest.raises(ValueError, match="quasi-regular"):
+        decode_grib1(bytes(bad))
+
+
+def test_second_order_packing_roundtrip_and_guards():
+    """WMO SECOND-ORDER (complex) grid-point packing — BDS flag bits
+    2+4 with the octet-14 extended flags: group minima ("first-order
+    values") at the octet-11 width plus per-point deviations at
+    per-group widths, the form DWD/ECMWF-era edition-1 archives ship.
+    Row-by-row grouping (no secondary bitmap), explicit groups via the
+    secondary bitmap, constant and varying widths, zero-width constant
+    groups, and composition with Gaussian and reduced grids all
+    round-trip bit-exactly; the gribex general-extended bits, the
+    matrix form, primary bitmaps and malformed pointers stop loudly."""
+    rng = np.random.default_rng(41)
+    v = rng.integers(0, 3000, size=(6, 9)).astype(np.float64)
+    for kwargs in (
+        dict(groups="rows"),
+        dict(groups="rows", varying=True),
+        dict(groups=[10, 7, 20, 1, 16], varying=True),
+        dict(groups=[30, 24]),
+    ):
+        msg = encode_grib1_message(v, second_order=kwargs, nbits=12)
+        rec = decode_grib1(msg)
+        assert np.array_equal(rec.values, v), kwargs
+    # D/E scaling composes like simple packing
+    vf = (rng.integers(0, 500, size=(3, 4)) / 2.0 + 1.5).astype(np.float64)
+    msg = encode_grib1_message(
+        vf, second_order=dict(groups="rows"), nbits=10,
+        decimal_scale=1, binary_scale=-1, reference_value=15.0,
+    )
+    assert np.array_equal(decode_grib1(msg).values, vf)
+    # constant (all-equal) groups pack zero-width deviations
+    vc = np.full((3, 5), 7.0)
+    msg = encode_grib1_message(vc, second_order=dict(groups="rows"), nbits=4)
+    assert np.array_equal(decode_grib1(msg).values, vc)
+    # composes with the Gaussian and reduced-Gaussian grid families
+    vg = rng.integers(0, 800, size=(4, 7)).astype(np.float64)
+    msg = encode_grib1_message(
+        vg, gaussian=True, second_order=dict(groups="rows"), nbits=10
+    )
+    assert np.array_equal(decode_grib1(msg).values, vg)
+    rows = [4, 8, 8, 4]
+    vr = rng.integers(0, 900, size=sum(rows)).astype(np.float64)
+    msg = encode_grib1_message(
+        vr, reduced_ni=rows, second_order=dict(groups="rows"), nbits=10
+    )
+    rec = decode_grib1(msg)
+    assert np.array_equal(rec.values, vr)
+    assert list(rec.row_ni) == rows
+    # encoder guards
+    with pytest.raises(ValueError, match="primary bitmap"):
+        encode_grib1_message(
+            v, second_order=dict(groups="rows"),
+            bitmap=np.ones_like(v, dtype=bool),
+        )
+    with pytest.raises(ValueError, match="cannot hold first-order"):
+        encode_grib1_message(v, second_order=dict(groups="rows"), nbits=2)
+    with pytest.raises(ValueError, match="cover every present point"):
+        encode_grib1_message(v, second_order=dict(groups=[10, 10]))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_grib1_message(v, second_order=dict(groups=[54, 0]))
+    # decoder guards on a good rows-grouped message
+    good = encode_grib1_message(v, second_order=dict(groups="rows"), nbits=12)
+    pds_len = int.from_bytes(good[8:11], "big")
+    gds_len = int.from_bytes(good[8 + pds_len : 8 + pds_len + 3], "big")
+    bds_off = 8 + pds_len + gds_len
+    # gribex general-extended bits (octet-14 bits 4-8) stop loudly
+    bad = bytearray(good)
+    bad[bds_off + 13] |= 0x08
+    with pytest.raises(ValueError, match="gribex"):
+        decode_grib1(bytes(bad))
+    # matrix-of-values bit stops loudly
+    bad = bytearray(good)
+    bad[bds_off + 13] |= 0x80
+    with pytest.raises(ValueError, match="matrix"):
+        decode_grib1(bytes(bad))
+    # P2 disagreeing with the grid is a corrupt section
+    bad = bytearray(good)
+    bad[bds_off + 18 : bds_off + 20] = (7).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="P2=7 disagrees"):
+        decode_grib1(bytes(bad))
+    # P1 disagreeing with the row count (row-grouped form)
+    bad = bytearray(good)
+    bad[bds_off + 16 : bds_off + 18] = (5).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="P1 declares 5"):
+        decode_grib1(bytes(bad))
+    # second-order flag without the extended-flags bit is malformed
+    bad = bytearray(good)
+    bad[bds_off + 3] &= ~0x10 & 0xFF
+    with pytest.raises(ValueError, match="malformed"):
+        decode_grib1(bytes(bad))
+    # a secondary bitmap not starting at point 1 is a corrupt section
+    sec = encode_grib1_message(
+        v, second_order=dict(groups=[30, 24]), nbits=12
+    )
+    bad = bytearray(sec)
+    # secondary bitmap begins at BDS octet 23 (fixed head + 1 width octet)
+    bad[bds_off + 22] &= 0x7F
+    with pytest.raises(ValueError, match="start a group"):
         decode_grib1(bytes(bad))
 
 
@@ -792,10 +904,10 @@ def test_corrupt_scan_guards_fail_loudly_not_silently():
     record's own 7777 satisfies the terminator check); (b) a packing
     width past 64 bits (a uint64 weight shift of >= 64 wraps to zero,
     silently dropping the high-order bits of every value); (c) the
-    extended BDS layout (octet-14 additional flags), whose packed
-    stream starts past octet 12; (d) a quasi-regular grid (Ni coded
-    missing = per-row point counts), which read literally drives a
-    65535-column reshape error deep in the bit unpack."""
+    extended-flags bit WITHOUT the second-order bit (matrix forms),
+    whose packed stream starts past octet 12; (d) a quasi-regular
+    NON-Gaussian grid (Ni coded missing), whose per-row machinery
+    exists only for the Gaussian reduced form."""
     v = np.full((2, 3), 5.0)
     good = encode_grib1_message(v, reference_value=0.0, nbits=8)
     # (a) valid message + zero-length indicator stub

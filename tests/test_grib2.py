@@ -3397,10 +3397,15 @@ def test_radar_pdt_4_20():
     patched[pos + 30] = 0xFF  # operating mode
     r2 = decode_grib2(bytes(patched))
     assert r2.radar_sites is None and r2.radar_operating_mode is None
-    # an out-of-range site latitude is a corrupt section, not geography
+    # an out-of-range site latitude/longitude is a corrupt section,
+    # not geography — both halves of the signed-magnitude pair
     patched = bytearray(m2)
     patched[pos + 14 : pos + 18] = (200_000_000).to_bytes(4, "big")  # 200 deg
     with pytest.raises(ValueError, match="radar site latitude"):
+        decode_grib2(bytes(patched))
+    patched = bytearray(m2)
+    patched[pos + 18 : pos + 22] = (400_000_000).to_bytes(4, "big")  # 400 deg
+    with pytest.raises(ValueError, match="radar site longitude"):
         decode_grib2(bytes(patched))
     # non-radar records keep the columns None
     plain = decode_grib2(encode_grib2_message(v, reference_value=0.0, nbits=8))

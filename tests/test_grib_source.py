@@ -797,7 +797,9 @@ def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
     gds_off = 8 + pds_len
     gds_len = (m2[gds_off] << 16) | (m2[gds_off + 1] << 8) | m2[gds_off + 2]
     bds_off = gds_off + gds_len
-    m2[bds_off + 3] = 0x40  # complex-packing flag → decode raises
+    # second-order flag WITHOUT the extended-flags bit → decode raises
+    # (the stream pointers are absent, the layout is unknowable)
+    m2[bds_off + 3] = 0x40
     with open(os.path.join(landing, "mixed.grib"), "wb") as f:
         f.write(m1 + bytes(m2))
     assert inventory_line(1, m1).startswith("e1:p11:l1/0:2020")
@@ -805,7 +807,7 @@ def test_match_pushdown_decodes_only_matching_records(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["parameter"] == 11
     import pytest
 
-    with pytest.raises(Exception, match="simple packing"):
+    with pytest.raises(Exception, match="octet-14 extended flags"):
         grib1_records(spark, landing, match=r"e1:p61:").collect()
 
 

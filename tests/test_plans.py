@@ -153,6 +153,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_gaussian_scan",
         "grid_grib1_rotated_scan",
         "grid_grib1_reduced_scan",
+        "grid_grib1_second_order_scan",
         "grid_grib2_cluster_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
@@ -1400,6 +1401,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     "name",
     [
         "grid_grib1_reduced_scan",
+        "grid_grib1_second_order_scan",
         "grid_grib2_cluster_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
