@@ -3726,6 +3726,170 @@ def grid_grib1_second_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "record_number")
 
 
+@query(
+    "grid_geotiff_publish_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 3 AS ni,
+         4 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 83 = 29 AND doc_id < 700
+),
+cells AS (
+  SELECT doc_id, m.m AS month,
+         ((doc_id * 3 + m.m * 17 + i.i * 5 + j.j * 7) % 60)
+           - ((doc_id * 3 + i.i * 5 + j.j * 7) % 30) AS anomaly,
+         j.j * ni + i.i AS pos
+  FROM g,
+       UNNEST(generate_series(1, 3)) AS m(m),
+       LATERAL (SELECT unnest(generate_series(0, ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, nj - 1)) AS j) j
+)
+SELECT c.doc_id, CAST(c.month AS INTEGER) AS month,
+       CAST(MIN(g.ni) AS INTEGER) AS width,
+       CAST(MIN(g.nj) AS INTEGER) AS height,
+       CAST(MIN(g.doc_id % 360 - 180) AS DOUBLE) AS west,
+       CAST(MIN(60 - g.doc_id % 30) AS DOUBLE) AS north,
+       CAST(COUNT(*) FILTER (WHERE c.pos = 0) AS BIGINT) AS n_nodata,
+       CAST(SUM(c.anomaly) FILTER (WHERE c.pos <> 0) AS BIGINT) AS vsum,
+       CAST(SUM(c.anomaly * c.pos) FILTER (WHERE c.pos <> 0) AS BIGINT)
+         AS wsum
+FROM cells c JOIN g ON g.doc_id = c.doc_id
+GROUP BY c.doc_id, c.month
+ORDER BY c.doc_id, c.month
+""",
+)
+def grid_geotiff_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TRUE output format, round-tripped as dataflow:
+    every dataset the reference publishes is an LZW-compressed Float32
+    GeoTIFF with floating-point predictor 3 and nodata −9999
+    (/root/reference/src/file-conversions.js:57-74 ``gdal_translate
+    -co COMPRESS=LZW -co PREDICTOR=3 -ot Float32``, ``:174-195``
+    ``gdalwarp -dstnodata -9999``), consumed downstream by the GSKY
+    tile server.  This query runs the anomaly math (current month −
+    climatological normal), encodes each month AS that exact GeoTIFF
+    through the pure-Python codec in one Arrow stage, then re-ingests
+    the published bytes through a second Arrow decode stage — georef
+    (tie point, pixel scale), dimensions, the nodata sentinel→NULL
+    contract (P5) and payload sums all hash-checked closed-form, so a
+    predictor/LZW/strip-layout defect anywhere in the publish→consume
+    loop mismatches.
+
+    One cell per raster is masked to the −9999 sentinel before encode;
+    the landing surfaces it as a NULL (never a plausible −9999 value)
+    and the oracle pins both the NULL count and the sums excluding it.
+    Values are integer-valued anomalies (exact in Float32), so sums
+    compare exactly.
+
+    Scale: the publish/decode pair is the same fixed-work Arrow regime
+    as every codec query — at 100 TB each month-file encodes/decodes
+    independently (parallelism = files), only statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.geotiff import GeoRaster, decode_geotiff, encode_geotiff
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 83 == 29) & (F.col("doc_id") < 700))
+        .select("doc_id")
+    )
+
+    def publish(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 6 + d % 3, 4 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                normal = (d * 3 + i * 5 + j * 7) % 30
+                for m in (1, 2, 3):
+                    current = (d * 3 + m * 17 + i * 5 + j * 7) % 60
+                    anomaly = (current - normal).astype(np.float32)
+                    anomaly[0, 0] = -9999.0  # clipped cell → nodata
+                    tif = encode_geotiff(
+                        GeoRaster(
+                            values=anomaly,
+                            west=float(d % 360 - 180),
+                            north=float(60 - d % 30),
+                            xres=0.25,
+                            yres=0.25,
+                            nodata=-9999.0,
+                        ),
+                        compress=True,
+                    )
+                    rows.append(
+                        {"path": f"tif://{d}/{m}", "content": tif}
+                    )
+            yield pd.DataFrame(rows)
+
+    def ingest(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                r = decode_geotiff(bytes(content))
+                vals = r.values.astype(np.float64)
+                if r.nodata is not None:
+                    vals[vals == r.nodata] = np.nan  # sentinel → NULL
+                rows.append(
+                    {
+                        "path": path,
+                        "width": r.values.shape[1],
+                        "height": r.values.shape[0],
+                        "west": r.west,
+                        "north": r.north,
+                        "values": vals.reshape(-1).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(publish, schema="path string, content binary")
+    records = files.mapInPandas(
+        ingest,
+        schema=(
+            "path string, width int, height int, west double, "
+            "north double, values array<double>"
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def _missing(x):  # sentinel lands as NULL or NaN depending on the
+        return x.isNull() | F.isnan(x)  # Arrow list transfer — treat both
+
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: F.when(
+            ~_missing(v), v.cast("bigint") * idx.cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return records.select(
+        F.regexp_extract("path", r"tif://(\d+)/", 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("path", r"/(\d+)$", 1).cast("int").alias("month"),
+        "width",
+        "height",
+        "west",
+        "north",
+        F.aggregate(
+            "values",
+            zero,
+            lambda a, x: a + F.when(_missing(x), 1).otherwise(0).cast("bigint"),
+        ).alias("n_nodata"),
+        F.aggregate(
+            "values",
+            zero,
+            lambda a, x: a
+            + F.when(_missing(x), F.lit(0)).otherwise(x).cast("bigint"),
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+    ).orderBy("doc_id", "month")
+
+
 # --- multi-field (submessage) GRIB2 archives --------------------------------
 # Per selected document ONE archive = a single multi-field message
 # holding fields rn=1..3 on a shared (5 + d%3) × (4 + d%2) grid
