@@ -777,3 +777,90 @@ def test_foreign_second_order_grib1_decodes_to_pinned_values():
     np.testing.assert_allclose(
         rec.values, [[7.0, 9.0, 7.0], [2.0, 5.0, 3.0]], rtol=0, atol=0
     )
+
+
+def _foreign_grib2_complex(mvm: int) -> bytes:
+    """GRIB2 COMPLEX packing (template 5.2), hand-assembled per the WMO
+    layout: section 5 carries the group-splitting descriptor (NG,
+    width/length references and increments, the true last-group
+    length), section 7 the four byte-aligned runs — NG group references
+    at the octet-20 width, NG width increments, NG scaled lengths, then
+    every group's values packed CONTINUOUSLY at that group's width.
+
+    Two groups over the 3x2 grid of `_foreign_grib2`'s sections 1/3/4:
+    refs [4, 20] at 5 bits (0x25 0x00), width increments [1, 2] over
+    wref=1 at 2 bits (0x60 → true widths [2, 3]), length increments
+    [1, 1] over len_ref=2 at 3 bits (0x24 → [3, 3], last overridden by
+    the template's true length 3).
+
+    ``mvm=0``: deviations g0 [0, 2, 1] @2 + g1 [0, 4, 1] @3 → bytes
+    0x24 0x42; X = ref + dev = [4, 6, 5, 20, 24, 21] and
+    Y = (3.25 + X·2^-1)/10^1 = [0.525, 0.625, 0.575, 1.325, 1.525,
+    1.375].
+
+    ``mvm=1``: g0's middle deviation is the all-ones-at-group-width
+    marker (3 @2 bits → bytes 0x34 0x42) — missing-value management 1
+    reserves it as the primary-missing flag, so point 2 decodes
+    MISSING (NaN) while every other point keeps the mvm=0 values.
+    """
+    base = _foreign_grib2()
+    # reuse sections 0-4 (16 + 21 + 72 + 34 octets) verbatim
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 47, 5)
+        + struct.pack(">I", 6)        # packed points
+        + struct.pack(">H", 2)        # template 5.2
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25 IEEE 754
+        + bytes([0x80, 0x01])         # E = -1 (sign-magnitude)
+        + bytes([0x00, 0x01])         # D = +1
+        + bytes([5])                  # bits per group reference
+        + bytes([0])                  # original field type: float
+        + bytes([1])                  # group splitting: general
+        + bytes([mvm])                # missing value management
+        + struct.pack(">I", 0)        # primary missing substitute
+        + struct.pack(">I", 0)        # secondary missing substitute
+        + struct.pack(">I", 2)        # NG = 2 groups
+        + bytes([1])                  # reference for group widths
+        + bytes([2])                  # bits per width increment
+        + struct.pack(">I", 2)        # reference for group lengths
+        + bytes([1])                  # length increment
+        + struct.pack(">I", 3)        # true length of the last group
+        + bytes([3])                  # bits per length increment
+    )
+    assert len(sec5) == 47
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    values = bytes([0x34, 0x42]) if mvm else bytes([0x24, 0x42])
+    payload = (
+        bytes([0x25, 0x00])  # group references 4, 20 @5 bits
+        + bytes([0x60])      # width increments 1, 2 @2 bits
+        + bytes([0x24])      # length increments 1, 1 @3 bits
+        + values             # continuous per-group deviation stream
+    )
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_complex_packed_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for the complex-packing (template 5.2)
+    decode — the most intricate unpacker: group references, width and
+    length increment runs, byte-alignment between runs, the true-last-
+    group override, and missing-value management 1's all-ones marker
+    are all hand-laid octets with hand-computed expectations the
+    engine's own encoder never produced."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_complex(mvm=0))
+    assert rec.nbits == 5  # the group-reference width rides octet 20
+    expected = np.array(
+        [[0.525, 0.625, 0.575], [1.325, 1.525, 1.375]]
+    )
+    np.testing.assert_allclose(rec.values, expected, rtol=0, atol=1e-12)
+    rec = decode_grib2(_foreign_grib2_complex(mvm=1))
+    assert np.isnan(rec.values[0, 1])  # the all-ones marker point
+    keep = np.array([[True, False, True], [True, True, True]])
+    np.testing.assert_allclose(
+        rec.values[keep], expected[keep], rtol=0, atol=1e-12
+    )
