@@ -88,10 +88,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # additive radar RECORD_SCHEMA growth — the seven-round-old queue
 # evidence outranks them, the same documented judgment as the r12
 # cluster-column and r13 dispatch-restructure windows.  Per the
-# standing rule the queue fills the rest: the first 36 of the 43
+# standing rule the queue fills the rest: the first 35 of the 43
 # spilled r7 names, verbatim from the r13 queue comment.
-# 6 + 8 + 36 = exactly 50.  The remaining 7 r7 names
-# (q22_idle_customers, sample_neyman_allocation,
+# 7 + 8 + 35 = exactly 50.  The remaining 8 r7 names
+# (q21_late_suppliers, q22_idle_customers, sample_neyman_allocation,
 # sketch_bloom_membership, sketch_count_min_tokens,
 # sketch_hll_distinct, sketch_quantile_histogram, stream_psi_drift)
 # spill to the FRONT of round 15's queue, followed by the r8 cohort.
@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_late_landing_pickup",
     "grid_grib1_second_order_scan",
     "grid_geotiff_publish_scan",
+    "grid_grib1_reduced_latlon_scan",
     # --- 2. changed in round 14: the quarantine fixture's new reject
     #     template, the satellite dispatch/encoder restructure, and the
     #     six inventory/match queries behind the grown template gates ---
@@ -154,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
-    "q21_late_suppliers",
 )
 
 

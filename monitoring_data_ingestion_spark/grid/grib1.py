@@ -679,6 +679,7 @@ def encode_grib1_message(
     rotated: dict | None = None,
     spectral: dict | None = None,
     reduced_ni=None,
+    reduced_latlon: bool = False,
     second_order: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
@@ -754,7 +755,11 @@ def encode_grib1_message(
     north → south on the Legendre quadrature latitudes, each row a
     full parallel from ``lon_first_mdeg`` with spacing 360/row_ni[j];
     no bitmap, only scanning mode 0x00 — the edition-1 sibling of
-    GRIB2's reduced template 3.40."""
+    GRIB2's reduced template 3.40.  ``reduced_latlon=True`` writes the
+    REDUCED (thinned) LAT/LON form instead (DWD-era archives): same PL
+    machinery on grid type 0 with an AFFINE latitude axis from
+    ``lat_first_mdeg``/``dlat_mdeg`` (La1/La2 carry it; Di and Dj code
+    missing, the decoder re-derives the step from the span)."""
     spec_t: int | None = None
     reduced_arr: np.ndarray | None = None
     if reduced_ni is not None:
@@ -767,11 +772,11 @@ def encode_grib1_message(
             raise ValueError(
                 "reduced Gaussian grids support only scanning mode 0x00"
             )
-        if (
-            len(reduced_arr) % 2
-            or len(reduced_arr) < 2
-            or (reduced_arr <= 0).any()
-        ):
+        if len(reduced_arr) < 2 or (reduced_arr <= 0).any():
+            raise ValueError(
+                "a reduced grid needs >= 2 rows of positive point counts"
+            )
+        if not reduced_latlon and len(reduced_arr) % 2:
             raise ValueError(
                 "a global reduced Gaussian grid has an even positive "
                 "parallel count"
@@ -981,14 +986,27 @@ def encode_grib1_message(
     if spec_t is not None:
         grid_type = _GRID_SPECTRAL
     elif reduced_arr is not None:
-        from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
+        if reduced_latlon:
+            # thinned lat/lon: affine latitude axis in La1/La2, both
+            # increments coded missing (Di varies per row; the decoder
+            # re-derives Dj from the span)
+            if dlat_mdeg <= 0:
+                raise ValueError(
+                    "reduced lat/lon needs a positive dlat_mdeg"
+                )
+            la1 = lat_first_mdeg
+            la2 = lat_first_mdeg - (nj - 1) * dlat_mdeg
+            row24_27 = b"\xff\xff\xff\xff"
+            grid_type = _GRID_LATLON
+        else:
+            from .grib2 import gaussian_latitudes  # lazy: grib2 imports grib1
 
-        lats = gaussian_latitudes(nj)
-        la1 = int(round(float(lats[0]) * 1000))
-        la2 = int(round(float(lats[-1]) * 1000))
-        # Di codes missing (it varies per row); octets 26-27 carry N.
-        row24_27 = b"\xff\xff" + (nj // 2).to_bytes(2, "big")
-        grid_type = _GRID_GAUSSIAN
+            lats = gaussian_latitudes(nj)
+            la1 = int(round(float(lats[0]) * 1000))
+            la2 = int(round(float(lats[-1]) * 1000))
+            # Di codes missing (it varies per row); octets 26-27 carry N.
+            row24_27 = b"\xff\xff" + (nj // 2).to_bytes(2, "big")
+            grid_type = _GRID_GAUSSIAN
     elif gaussian:
         if scanning_mode != 0x00:
             raise ValueError(
@@ -1355,17 +1373,17 @@ def decode_grib1(msg: bytes) -> Grib1Record:
     else:
         ni = int.from_bytes(gds[6:8], "big")
         row_ni = None
-        if ni == 0xFFFF and gds[5] != _GRID_GAUSSIAN:
-            # QUASI-REGULAR geometry on a non-Gaussian grid: the
-            # reduced form is decoded for Gaussian grids only (ECMWF's
-            # archive layout); a thinned plain lat/lon grid has no
-            # per-row machinery here, and reading 65535 as a literal
-            # column count would fail deep in the bit unpack with an
+        if ni == 0xFFFF and gds[5] not in (_GRID_GAUSSIAN, _GRID_LATLON):
+            # QUASI-REGULAR geometry beyond the two archive forms
+            # (reduced Gaussian — ECMWF; reduced/thinned lat/lon —
+            # DWD-era): rotated/spectral thinned grids have no per-row
+            # machinery here, and reading 65535 as a literal column
+            # count would fail deep in the bit unpack with an
             # inscrutable reshape error — stop loudly at the GDS.
             raise ValueError(
                 f"quasi-regular (thinned) GRIB1 grid type {gds[5]} is "
                 "not supported (Ni coded missing with per-row point "
-                "counts is decoded for Gaussian grids only)"
+                "counts is decoded for Gaussian and lat/lon grids only)"
             )
         nj = int.from_bytes(gds[8:10], "big")
         lat_first = _rs24(gds, 10)
@@ -1393,8 +1411,8 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             # moves inside the regular branch.
             if gds[4] == 0xFF:
                 raise ValueError(
-                    "reduced Gaussian grid without a points-per-row "
-                    "list (GDS octet 5 coded missing)"
+                    "reduced (quasi-regular) grid without a "
+                    "points-per-row list (GDS octet 5 coded missing)"
                 )
             pl0 = (gds[4] - 1) + 4 * gds[3]
             if pl0 < 32:
@@ -1431,11 +1449,48 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             lo2_expect = lon_first + round((nmax - 1) * 360_000.0 / nmax)
             if abs(lo2 - lo2_expect) > 2:
                 raise ValueError(
-                    f"reduced Gaussian grid is not full-parallel: GDS "
+                    f"reduced grid is not full-parallel: GDS "
                     f"Lo2 {lo2} mdeg does not match the widest row's "
                     f"easternmost point {lo2_expect} mdeg (sector/"
                     "regional thinned grids are not supported)"
                 )
+            reduced_lats: np.ndarray | None = None
+            if gds[5] == _GRID_LATLON:
+                # REDUCED (thinned) LAT/LON — the DWD-era edition-1
+                # form: the latitude axis is AFFINE (La1 → La2 over nj
+                # parallels), rows ragged like the Gaussian form.  Dj
+                # comes from octets 26-27 when the increments-given
+                # flag is set, else derives exactly from the La1→La2
+                # span; a non-dividing span is a corrupt GDS, not a
+                # rounding choice.
+                if scan != 0x00:
+                    raise ValueError(
+                        "reduced lat/lon grids support only scanning "
+                        "mode 0x00"
+                    )
+                la2 = _rs24(gds, 17)
+                if nj < 2:
+                    raise ValueError(
+                        "a reduced lat/lon grid needs at least 2 rows"
+                    )
+                if gds[16] & 0x80:
+                    dlat_r = int.from_bytes(gds[25:27], "big")
+                    if lat_first - (nj - 1) * dlat_r != la2:
+                        raise ValueError(
+                            f"GDS La2 {la2} mdeg does not match La1 - "
+                            f"(Nj-1)*Dj = {lat_first - (nj - 1) * dlat_r}"
+                        )
+                else:
+                    span = lat_first - la2
+                    if span <= 0 or span % (nj - 1):
+                        raise ValueError(
+                            f"reduced lat/lon latitude span {span} mdeg "
+                            f"does not divide evenly over {nj - 1} steps"
+                        )
+                    dlat_r = span // (nj - 1)
+                reduced_lats = (
+                    lat_first - dlat_r * np.arange(nj, dtype=np.float64)
+                ) / 1e3
             ni = None
             dlon = 0  # no common Di on ragged rows
         else:
@@ -1473,6 +1528,13 @@ def decode_grib1(msg: bytes) -> Grib1Record:
             dlat = 0  # no affine latitude step on a Gaussian grid
         else:
             dlat = int.from_bytes(gds[25:27], "big")
+        if row_ni is not None and reduced_lats is not None:
+            # reduced lat/lon: the per-row AFFINE latitudes ride the
+            # same ``latitudes_deg`` surface the Gaussian reduced form
+            # uses (no affine axis is exposed on ragged rows — octets
+            # 25-27 may be coded missing and were read raw above)
+            latitudes = reduced_lats
+            dlat = 0
         rotated_pole = None
         if gds[5] == _GRID_ROTATED:
             # Rotated lat/lon (type 10 — the COSMO/HIRLAM edition-1 form):

@@ -3603,6 +3603,171 @@ def grid_grib1_reduced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_grib1_reduced_latlon_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS nj,
+         (70000 - (doc_id % 20) * 1000) * 1000 AS lat0_udeg
+  FROM documents WHERE doc_id % 89 = 7 AND doc_id < 712
+),
+rows_ AS (
+  SELECT g.doc_id, g.nj, j.j AS j,
+         3 + ((g.doc_id + 5 * j.j) % 4) AS rowni,
+         g.lat0_udeg - j.j * 2500 * 1000 AS lat_udeg
+  FROM g, LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j
+),
+offs AS (
+  SELECT doc_id, nj, j, rowni, lat_udeg,
+         COALESCE(SUM(rowni) OVER (
+           PARTITION BY doc_id ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_pos
+  FROM rows_
+),
+cells AS (
+  SELECT o.doc_id, o.j, o.lat_udeg, r.r + 1 AS rn,
+         o.start_pos + i.i AS pos,
+         90 + ((o.doc_id * 11 + (r.r + 1) * 7 + o.j * 13 + i.i * 3) % 40)
+           AS v,
+         CAST(ROUND(((i.i * 360.0) / o.rowni) * 1e6) AS BIGINT) AS lon_udeg
+  FROM offs o,
+       UNNEST(generate_series(0, 1)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, o.rowni - 1)) AS i) i
+),
+latw AS (
+  SELECT doc_id, SUM(lat_udeg * (j + 1)) AS latwsum
+  FROM rows_ GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(c.rn AS INTEGER) AS record_number,
+       CAST(MIN(g.nj) AS INTEGER) AS nj,
+       CAST(NULL AS INTEGER) AS ni,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.v) AS BIGINT) AS vsum,
+       CAST(SUM(c.v * c.pos) AS BIGINT) AS wsum,
+       CAST(MIN(lw.latwsum) AS BIGINT) AS latwsum,
+       CAST(SUM(c.lon_udeg) AS BIGINT) AS lonsum_udeg,
+       CAST(SUM(c.v * c.lat_udeg) AS BIGINT) AS vlat
+FROM cells c
+JOIN g ON g.doc_id = c.doc_id
+JOIN latw lw ON lw.doc_id = c.doc_id
+GROUP BY c.doc_id, c.rn
+ORDER BY c.doc_id, c.rn
+""",
+)
+def grid_grib1_reduced_latlon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDUCED (thinned) LAT/LON edition-1 grids through the landing
+    scan — the DWD-era sibling of the reduced Gaussian form: the same
+    GDS PL per-parallel point-count machinery on grid type 0, but with
+    an AFFINE latitude axis (La1 → La2; Di/Dj coded missing, the step
+    re-derived exactly from the span — a non-dividing span stops
+    loudly, as does a given Dj contradicting La2).  Odd parallel
+    counts are legal here (no global-Gaussian evenness), witnessed by
+    per-document nj ∈ {4,5,6}.  Per-row latitudes ride the SAME
+    ``latitudes_udeg``/per-cell-coordinate landing surface the reduced
+    Gaussian form uses, so the unified cell explode serves both.
+
+    Record 1 is simple-packed; record 2 carries the SAME grid through
+    SECOND-ORDER (complex) packing — the thinned-grid + second-order
+    composition real DWD archives shipped, exercising row-grouped
+    group reassembly over ragged rows.  The oracle is fully
+    closed-form (affine latitudes need no quadrature table): payload
+    sums, storage-order weighting, per-row latitude weighting and the
+    ragged longitude axes all pin exactly.
+
+    Scale: the landing posture — one Arrow decode stage, O(rows)
+    latitude metadata, statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 89 == 7) & (F.col("doc_id") < 712))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nj = 4 + d % 3
+                row_ni = [3 + ((d + 5 * j) % 4) for j in range(nj)]
+
+                def field(r: int) -> np.ndarray:
+                    return np.concatenate(
+                        [
+                            90.0
+                            + ((d * 11 + r * 7 + j * 13 + np.arange(n) * 3) % 40)
+                            for j, n in enumerate(row_ni)
+                        ]
+                    )
+
+                enc = dict(
+                    reduced_ni=row_ni,
+                    reduced_latlon=True,
+                    lat_first_mdeg=70_000 - (d % 20) * 1000,
+                    dlat_mdeg=2_500,
+                    reference_value=90.0,
+                    nbits=8,
+                )
+                msgs = [
+                    encode_grib1_message(field(1), **enc),
+                    encode_grib1_message(
+                        field(2), second_order=dict(groups="rows"), **enc
+                    ),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    weighted = F.zip_with(
+        "values",
+        F.sequence(F.lit(0), F.size("values") - 1),
+        lambda v, idx: v.cast("bigint") * idx.cast("bigint"),
+    )
+    lat_weighted = F.zip_with(
+        "latitudes_udeg",
+        F.sequence(F.lit(1), F.size("latitudes_udeg")),
+        lambda lu, j: lu * j.cast("bigint"),
+    )
+    cell_lat_udeg = F.transform(
+        "cell_lats_deg", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    cell_lon_udeg = F.transform(
+        "cell_lons_deg", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    vlat = F.zip_with(
+        "values", cell_lat_udeg, lambda v, lu: v.cast("bigint") * lu
+    )
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "record_number",
+        "nj",
+        "ni",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+        F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
+        F.aggregate(lat_weighted, zero, lambda a, x: a + x).alias("latwsum"),
+        F.aggregate(cell_lon_udeg, zero, lambda a, x: a + x).alias(
+            "lonsum_udeg"
+        ),
+        F.aggregate(vlat, zero, lambda a, x: a + x).alias("vlat"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
     "grid_grib1_second_order_scan",
     tags=("grid", "codec", "python", "ingest"),
     oracle="""

@@ -549,14 +549,75 @@ def test_reduced_gaussian_roundtrip_cells_and_guards():
     bad[gds_off + 20 : gds_off + 23] = (90_000).to_bytes(3, "big")
     with pytest.raises(ValueError, match="not full-parallel"):
         decode_grib1(bytes(bad))
-    # a thinned NON-Gaussian grid stays a loud documented boundary
+    # a thinned ROTATED grid stays a loud documented boundary (the
+    # reduced forms are decoded for Gaussian and plain lat/lon only)
     plain = encode_grib1_message(
-        np.ones((2, 3)), nbits=8, reference_value=0.0
+        np.ones((2, 3)), nbits=8, reference_value=0.0,
+        rotated=dict(south_pole_lat=-30.0, south_pole_lon=10.0),
     )
     pds_len = int.from_bytes(plain[8:11], "big")
     bad = bytearray(plain)
     bad[8 + pds_len + 6 : 8 + pds_len + 8] = b"\xff\xff"
     with pytest.raises(ValueError, match="quasi-regular"):
+        decode_grib1(bytes(bad))
+
+
+def test_reduced_latlon_roundtrip_and_guards():
+    """REDUCED (thinned) LAT/LON — the DWD-era edition-1 sibling of the
+    reduced Gaussian form: same GDS PL machinery on grid type 0 with an
+    AFFINE latitude axis (La1 → La2; Di/Dj coded missing, the step
+    re-derived exactly from the span).  Per-row latitudes ride the same
+    ``latitudes_deg`` surface as the Gaussian form, so the landing and
+    cell explode serve both identically; composes with second-order
+    packing; a non-dividing span and an La2 contradicting a given Dj
+    stop loudly."""
+    rng = np.random.default_rng(31)
+    rows = [3, 6, 7, 6, 3]  # odd parallel count is legal on lat/lon
+    v = rng.integers(0, 900, size=sum(rows)).astype(np.float64)
+    msg = encode_grib1_message(
+        v, reduced_ni=rows, reduced_latlon=True,
+        lat_first_mdeg=60_000, dlat_mdeg=5_000,
+        nbits=10, reference_value=0.0,
+    )
+    rec = decode_grib1(msg)
+    assert rec.ni is None and list(rec.row_ni) == rows
+    assert rec.gaussian_n is None
+    assert np.array_equal(rec.values, v)
+    assert np.allclose(rec.latitudes_deg, [60, 55, 50, 45, 40])
+    assert np.allclose(rec.cell_lats_deg, np.repeat(rec.latitudes_deg, rows))
+    assert np.allclose(
+        rec.cell_lons_deg,
+        np.concatenate([np.arange(n) * 360.0 / n for n in rows]),
+    )
+    from monitoring_data_ingestion_spark.grid.grib1 import inspect_grib1
+
+    h = inspect_grib1(msg)
+    assert h["ni"] is None and h["nj"] == 5 and h["grid_type"] == 0
+    # composes with second-order packing (rows are the groups)
+    msg2 = encode_grib1_message(
+        v, reduced_ni=rows, reduced_latlon=True,
+        second_order=dict(groups="rows", varying=True),
+        lat_first_mdeg=60_000, dlat_mdeg=5_000,
+        nbits=10, reference_value=0.0,
+    )
+    assert np.array_equal(decode_grib1(msg2).values, v)
+    # a latitude span that does not divide evenly is a corrupt GDS
+    pds_len = int.from_bytes(msg[8:11], "big")
+    gds_off = 8 + pds_len
+    bad = bytearray(msg)
+    bad[gds_off + 17 : gds_off + 20] = (39_999).to_bytes(3, "big")
+    with pytest.raises(ValueError, match="does not divide evenly"):
+        decode_grib1(bytes(bad))
+    # an explicitly-given Dj must agree with La1/La2
+    bad = bytearray(msg)
+    bad[gds_off + 16] |= 0x80  # increments-given flag
+    bad[gds_off + 25 : gds_off + 27] = (4_000).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="does not match La1"):
+        decode_grib1(bytes(bad))
+    # the full-parallel Lo2 gate holds on the lat/lon form too
+    bad = bytearray(msg)
+    bad[gds_off + 20 : gds_off + 23] = (90_000).to_bytes(3, "big")
+    with pytest.raises(ValueError, match="not full-parallel"):
         decode_grib1(bytes(bad))
 
 
@@ -905,9 +966,9 @@ def test_corrupt_scan_guards_fail_loudly_not_silently():
     width past 64 bits (a uint64 weight shift of >= 64 wraps to zero,
     silently dropping the high-order bits of every value); (c) the
     extended-flags bit WITHOUT the second-order bit (matrix forms),
-    whose packed stream starts past octet 12; (d) a quasi-regular
-    NON-Gaussian grid (Ni coded missing), whose per-row machinery
-    exists only for the Gaussian reduced form."""
+    whose packed stream starts past octet 12; (d) a quasi-regular Ni
+    sentinel on a grid with NO points-per-row list (octet 5 missing) —
+    guessing row counts would mis-slice every value."""
     v = np.full((2, 3), 5.0)
     good = encode_grib1_message(v, reference_value=0.0, nbits=8)
     # (a) valid message + zero-length indicator stub
@@ -935,9 +996,9 @@ def test_corrupt_scan_guards_fail_loudly_not_silently():
     bad[bds_off + 3] |= 0x10
     with pytest.raises(ValueError, match="extended BDS layout"):
         decode_grib1(bytes(bad))
-    # (d) quasi-regular Ni sentinel
+    # (d) quasi-regular Ni sentinel without a PL list (octet 5 = 255)
     bad2 = bytearray(good)
     gds_off = 8 + 28
     bad2[gds_off + 6 : gds_off + 8] = b"\xff\xff"
-    with pytest.raises(ValueError, match="quasi-regular"):
+    with pytest.raises(ValueError, match="points-per-row list"):
         decode_grib1(bytes(bad2))

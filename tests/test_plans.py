@@ -153,6 +153,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_gaussian_scan",
         "grid_grib1_rotated_scan",
         "grid_geotiff_publish_scan",
+        "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
         "grid_grib2_cluster_scan",
@@ -1402,6 +1403,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     "name",
     [
         "grid_geotiff_publish_scan",
+        "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
         "grid_grib2_cluster_scan",
