@@ -770,7 +770,7 @@ def encode_grib1_message(
             raise ValueError("bitmap not supported on reduced grids")
         if scanning_mode != 0x00:
             raise ValueError(
-                "reduced Gaussian grids support only scanning mode 0x00"
+                "reduced grids support only scanning mode 0x00"
             )
         if len(reduced_arr) < 2 or (reduced_arr <= 0).any():
             raise ValueError(
@@ -1475,6 +1475,16 @@ def decode_grib1(msg: bytes) -> Grib1Record:
                     )
                 if gds[16] & 0x80:
                     dlat_r = int.from_bytes(gds[25:27], "big")
+                    if dlat_r <= 0 or dlat_r == 0xFFFF:
+                        # a zero/missing Dj with the flag SET would
+                        # collapse every parallel onto one latitude —
+                        # the same silent-geography class the derived
+                        # branch's span<=0 guard stops
+                        raise ValueError(
+                            f"reduced lat/lon Dj {dlat_r} mdeg is "
+                            "zero/missing despite the increments-given "
+                            "flag"
+                        )
                     if lat_first - (nj - 1) * dlat_r != la2:
                         raise ValueError(
                             f"GDS La2 {la2} mdeg does not match La1 - "

@@ -46,6 +46,13 @@ VENDORED_SHP = os.path.join(
 )
 
 
+def _is_present(x):
+    """Cell carries a value: the missing sentinel lands as NULL or NaN
+    depending on the Arrow list transfer, so every per-cell aggregate
+    must treat both — ONE spelling, shared by all the grid queries."""
+    return x.isNotNull() & ~F.isnan(x)
+
+
 @lru_cache(maxsize=1)
 def shapefile_cutline() -> tuple[tuple[float, float], ...]:
     """(lon, lat) cutline vertices parsed from the vendored shapefile.
@@ -1024,7 +1031,7 @@ def grid_grib1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow maps Python NaN in a list<double> to NULL — filter both
     # spellings of "missing" (isnan(NULL) is false, so NULL needs its
     # own clause).
-    present = F.filter("values", lambda x: x.isNotNull() & ~F.isnan(x))
+    present = F.filter("values", _is_present)
     return decoded.select(
         "doc_id",
         "record_number",
@@ -1699,7 +1706,7 @@ def grid_grib2_complex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema="doc_id bigint, record_number int, tmpl int, values array<double>",
     )
-    present = F.filter("values", lambda x: x.isNotNull() & ~F.isnan(x))
+    present = F.filter("values", _is_present)
     return decoded.select(
         "doc_id",
         "record_number",
@@ -1860,12 +1867,12 @@ def grid_grib2_jpeg2000_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema="doc_id bigint, record_number int, tmpl int, values array<double>",
     )
-    present = F.filter("values", lambda x: x.isNotNull() & ~F.isnan(x))
+    present = F.filter("values", _is_present)
     weighted = F.zip_with(
         "values",
         F.sequence(F.lit(0), F.size("values") - 1),
         lambda v, idx: F.when(
-            v.isNotNull() & ~F.isnan(v), v.cast("bigint") * idx.cast("bigint")
+            _is_present(v), v.cast("bigint") * idx.cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
     return decoded.select(
@@ -4023,14 +4030,11 @@ def grid_geotiff_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("bigint")
 
-    def _missing(x):  # sentinel lands as NULL or NaN depending on the
-        return x.isNull() | F.isnan(x)  # Arrow list transfer — treat both
-
     weighted = F.zip_with(
         "values",
         F.sequence(F.lit(0), F.size("values") - 1),
         lambda v, idx: F.when(
-            ~_missing(v), v.cast("bigint") * idx.cast("bigint")
+            _is_present(v), v.cast("bigint") * idx.cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
     return records.select(
@@ -4043,13 +4047,13 @@ def grid_geotiff_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "values",
             zero,
-            lambda a, x: a + F.when(_missing(x), 1).otherwise(0).cast("bigint"),
+            lambda a, x: a + F.when(_is_present(x), 0).otherwise(1).cast("bigint"),
         ).alias("n_nodata"),
         F.aggregate(
             "values",
             zero,
             lambda a, x: a
-            + F.when(_missing(x), F.lit(0)).otherwise(x).cast("bigint"),
+            + F.when(_is_present(x), x).otherwise(F.lit(0)).cast("bigint"),
         ).alias("vsum"),
         F.aggregate(weighted, zero, lambda a, x: a + x).alias("wsum"),
     ).orderBy("doc_id", "month")

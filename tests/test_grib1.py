@@ -614,6 +614,14 @@ def test_reduced_latlon_roundtrip_and_guards():
     bad[gds_off + 25 : gds_off + 27] = (4_000).to_bytes(2, "big")
     with pytest.raises(ValueError, match="does not match La1"):
         decode_grib1(bytes(bad))
+    # a ZERO Dj with the flag set (and La2 patched to match) would
+    # collapse every parallel onto one latitude — loud, not silent
+    bad = bytearray(msg)
+    bad[gds_off + 16] |= 0x80
+    bad[gds_off + 25 : gds_off + 27] = (0).to_bytes(2, "big")
+    bad[gds_off + 17 : gds_off + 20] = bad[gds_off + 10 : gds_off + 13]
+    with pytest.raises(ValueError, match="zero/missing despite"):
+        decode_grib1(bytes(bad))
     # the full-parallel Lo2 gate holds on the lat/lon form too
     bad = bytearray(msg)
     bad[gds_off + 20 : gds_off + 23] = (90_000).to_bytes(3, "big")
