@@ -864,3 +864,93 @@ def test_foreign_complex_packed_grib2_decodes_to_pinned_values():
     np.testing.assert_allclose(
         rec.values[keep], expected[keep], rtol=0, atol=1e-12
     )
+
+
+def _foreign_grib2_spatial_diff(neg_gmin: bool) -> bytes:
+    """GRIB2 COMPLEX + SPATIAL DIFFERENCING (template 5.3, order 2),
+    hand-assembled: section 7 leads with the (order+1) ww-octet
+    sign-magnitude extra descriptors — the first TWO original scaled
+    values, then the overall minimum of the second differences — and
+    the packed groups carry (second difference − gmin) from position 2
+    on (positions 0-1 of the packed stream are ignored on decode).
+
+    ``neg_gmin=False``: X = [10, 12, 15, 19, 24, 30] — second
+    differences [1, 1, 1, 1], gmin = +1, so the packed stream is all
+    zeros (ONE group, reference 0, width 0: the entire field rides the
+    descriptors).  ``neg_gmin=True``: X = [10, 12, 15, 17, 21, 22] —
+    second differences [1, -1, 2, -3], gmin = −3 (sign-magnitude
+    0x8003), packed deviations [0, 0, 4, 2, 5, 0] at width 3.
+
+    Y = (3.25 + X·2^-1)/10^1 over `_foreign_grib2`'s 3x2 grid.
+    """
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 49, 5)
+        + struct.pack(">I", 6)        # packed points
+        + struct.pack(">H", 3)        # template 5.3
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25 IEEE 754
+        + bytes([0x80, 0x01])         # E = -1 (sign-magnitude)
+        + bytes([0x00, 0x01])         # D = +1
+        + bytes([5])                  # bits per group reference
+        + bytes([0])                  # original field type: float
+        + bytes([1])                  # group splitting: general
+        + bytes([0])                  # missing value management 0
+        + struct.pack(">I", 0)        # primary missing substitute
+        + struct.pack(">I", 0)        # secondary missing substitute
+        + struct.pack(">I", 1)        # NG = 1 group
+        + bytes([0])                  # reference for group widths
+        + bytes([2])                  # bits per width increment
+        + struct.pack(">I", 6)        # reference for group lengths
+        + bytes([1])                  # length increment
+        + struct.pack(">I", 6)        # true length of the last group
+        + bytes([3])                  # bits per length increment
+        + bytes([2])                  # spatial differencing order 2
+        + bytes([2])                  # ww: extra descriptors are 2 octets
+    )
+    assert len(sec5) == 49
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    if neg_gmin:
+        extra = bytes([0x00, 0x0A, 0x00, 0x0C, 0x80, 0x03])  # 10, 12, -3
+        runs = (
+            bytes([0x00])        # group reference 0 @5 bits
+            + bytes([0xC0])      # width increment 3 @2 bits
+            + bytes([0x00])      # length increment 0 @3 bits
+            + bytes([0x02, 0x2A, 0x00])  # [0,0,4,2,5,0] @3 bits
+        )
+    else:
+        extra = bytes([0x00, 0x0A, 0x00, 0x0C, 0x00, 0x01])  # 10, 12, +1
+        runs = (
+            bytes([0x00])        # group reference 0 @5 bits
+            + bytes([0x00])      # width increment 0 @2 bits
+            + bytes([0x00])      # length increment 0 @3 bits
+            # width 0: no packed values at all
+        )
+    payload = extra + runs
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_spatial_differencing_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for order-2 spatial differencing: the
+    ww-octet sign-magnitude descriptor block (including a NEGATIVE
+    overall minimum), the gmin re-addition and the double cumulative
+    integration are pinned against hand-computed octets the engine's
+    encoder never produced."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_spatial_diff(neg_gmin=False))
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.825, 0.925, 1.075], [1.275, 1.525, 1.825]],
+        rtol=0, atol=1e-12,
+    )
+    rec = decode_grib2(_foreign_grib2_spatial_diff(neg_gmin=True))
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.825, 0.925, 1.075], [1.175, 1.375, 1.425]],
+        rtol=0, atol=1e-12,
+    )
