@@ -562,6 +562,42 @@ def test_reduced_gaussian_roundtrip_cells_and_guards():
         decode_grib1(bytes(bad))
 
 
+def test_second_order_randomized_sweep_roundtrips_bit_exactly():
+    """Deterministic randomized sweep over the second-order layout
+    space: random group cuts (secondary bitmap), random row shapes,
+    constant/varying widths, single-point groups, all-equal groups and
+    FO widths at both margins — every configuration must round-trip
+    bit-exactly (the group reassembly has many off-by-one edges a few
+    fixed cases cannot cover)."""
+    rng = np.random.default_rng(97)
+    for trial in range(60):
+        nj = int(rng.integers(2, 7))
+        ni = int(rng.integers(2, 11))
+        span = int(rng.integers(1, 5000))
+        v = rng.integers(0, span, size=(nj, ni)).astype(np.float64)
+        fo_width = max(1, int(span - 1).bit_length())
+        varying = bool(rng.integers(0, 2))
+        if rng.integers(0, 2):
+            so = dict(groups="rows", varying=varying)
+        else:
+            total = nj * ni
+            k = int(rng.integers(1, min(total, 12) + 1))
+            cuts = (
+                np.sort(
+                    rng.choice(np.arange(1, total), size=k - 1, replace=False)
+                )
+                if k > 1
+                else np.array([], dtype=int)
+            )
+            sizes = np.diff(np.concatenate([[0], cuts, [total]])).tolist()
+            so = dict(groups=sizes, varying=varying)
+        msg = encode_grib1_message(
+            v, second_order=so, nbits=fo_width, reference_value=0.0
+        )
+        rec = decode_grib1(msg)
+        assert np.array_equal(rec.values, v), (trial, so)
+
+
 def test_reduced_latlon_roundtrip_and_guards():
     """REDUCED (thinned) LAT/LON — the DWD-era edition-1 sibling of the
     reduced Gaussian form: same GDS PL machinery on grid type 0 with an
