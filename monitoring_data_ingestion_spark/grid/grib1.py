@@ -418,7 +418,12 @@ def _decode_second_order(
                 f"{len(group_sizes)} rows, P1 declares {p1}"
             )
     fo_need = (p1 * fo_width + 7) // 8
-    if n1 - 1 < cursor or len(bds) < n1 - 1 + fo_need or n2 < n1:
+    # N2 must land PAST the end of the first-order stream, not merely
+    # past N1 — a corrupt N2 pointing into the first-order values or
+    # the width table would silently decode those bytes as deviations
+    # with plausible statistics (the failure class every other guard
+    # here stops loudly).
+    if n1 - 1 < cursor or len(bds) < n1 - 1 + fo_need or n2 - 1 < n1 - 1 + fo_need:
         raise ValueError("second-order stream pointers out of range")
     fo = (
         _unpack_bits(bds[n1 - 1 : n1 - 1 + fo_need], p1, fo_width)
@@ -681,6 +686,7 @@ def encode_grib1_message(
     reduced_ni=None,
     reduced_latlon: bool = False,
     second_order: dict | None = None,
+    predefined_bitmap: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB1 message (simple packing).
 
@@ -754,20 +760,29 @@ def encode_grib1_message(
     row).  ``values`` must be FLAT with sum(reduced_ni) points, rows
     north → south on the Legendre quadrature latitudes, each row a
     full parallel from ``lon_first_mdeg`` with spacing 360/row_ni[j];
-    no bitmap, only scanning mode 0x00 — the edition-1 sibling of
-    GRIB2's reduced template 3.40.  ``reduced_latlon=True`` writes the
-    REDUCED (thinned) LAT/LON form instead (DWD-era archives): same PL
-    machinery on grid type 0 with an AFFINE latitude axis from
+    only scanning mode 0x00 — the edition-1 sibling of GRIB2's reduced
+    template 3.40.  ``bitmap`` composes: pass it FLAT (sum(reduced_ni)
+    bools in storage order) — the masked-ocean-field-on-a-thinned-grid
+    shape real ERA5-era archives ship.  ``reduced_latlon=True`` writes
+    the REDUCED (thinned) LAT/LON form instead (DWD-era archives):
+    same PL machinery on grid type 0 with an AFFINE latitude axis from
     ``lat_first_mdeg``/``dlat_mdeg`` (La1/La2 carry it; Di and Dj code
-    missing, the decoder re-derives the step from the span)."""
+    missing, the decoder re-derives the step from the span).
+
+    ``predefined_bitmap`` (keys ``number`` 1-65534, ``mask`` — bool,
+    same shape as ``values``) writes a CENTRE-PREDEFINED bitmap: BMS
+    octets 5-6 carry the catalog number and NO bits ride in the
+    section (the mask is pre-agreed between producer and consumer —
+    WMO BMS note 2); present cells pack exactly as with an explicit
+    ``bitmap``.  The decoder resolves the number through its
+    ``predefined_bitmaps`` catalog keyed by (centre, number).
+    Mutually exclusive with ``bitmap``."""
     spec_t: int | None = None
     reduced_arr: np.ndarray | None = None
     if reduced_ni is not None:
         reduced_arr = np.asarray(reduced_ni, dtype=np.int64)
         if gaussian or rotated is not None or spectral is not None:
             raise ValueError("choose exactly one grid family")
-        if bitmap is not None:
-            raise ValueError("bitmap not supported on reduced grids")
         if scanning_mode != 0x00:
             raise ValueError(
                 "reduced grids support only scanning mode 0x00"
@@ -822,6 +837,21 @@ def encode_grib1_message(
         nj, ni = vals.shape
     if scanning_mode not in (0x00, 0x40):
         raise ValueError(f"unsupported scanning mode 0x{scanning_mode:02x}")
+    pre_bm_num: int | None = None
+    if predefined_bitmap is not None:
+        if bitmap is not None:
+            raise ValueError(
+                "bitmap and predefined_bitmap are mutually exclusive"
+            )
+        if spec_t is not None:
+            raise ValueError("spectral data carries no bitmap")
+        pre_bm_num = int(predefined_bitmap["number"])
+        if not 1 <= pre_bm_num <= 0xFFFE:
+            # 0 means "bits follow"; 0xFFFF would read as coded-missing
+            raise ValueError(
+                f"predefined bitmap number {pre_bm_num} out of range 1-65534"
+            )
+        bitmap = predefined_bitmap["mask"]
     bm = None if bitmap is None else np.asarray(bitmap, dtype=bool)
     if bm is not None and bm.shape != vals.shape:
         raise ValueError("bitmap shape must match values")
@@ -1099,7 +1129,14 @@ def encode_grib1_message(
     gds = _u24(3 + len(gds)) + gds
 
     bms = b""
-    if bitmap is not None:
+    if pre_bm_num is not None:
+        # Centre-predefined bitmap: octets 5-6 carry the catalog
+        # NUMBER and no bits ride in the section (body = unused octet
+        # + number = 3; 3 + 3 length = 6, already even, nothing
+        # unused) — the mask is pre-agreed, the decoder resolves it
+        # through its (centre, number) catalog.
+        bms = _u24(6) + bytes([0]) + pre_bm_num.to_bytes(2, "big")
+    elif bitmap is not None:
         bm_bits = np.packbits(bm.reshape(-1).astype(np.uint8)).tobytes()
         pad = (3 + 3 + len(bm_bits)) % 2  # BMS length must be even
         # The unused-bits octet covers BOTH the sub-byte packing slack
@@ -1304,8 +1341,19 @@ def _decode_pds_time(
 
 
 @loud_truncation
-def decode_grib1(msg: bytes) -> Grib1Record:
-    """Decode one GRIB1 message (regular lat/lon grid, simple packing)."""
+def decode_grib1(
+    msg: bytes,
+    predefined_bitmaps: dict | None = None,
+) -> Grib1Record:
+    """Decode one GRIB1 message.
+
+    ``predefined_bitmaps`` is the consumer-side catalog of
+    CENTRE-PREDEFINED bitmaps keyed by ``(centre, number)`` → flat
+    bool mask: a BMS whose octets 5-6 carry a nonzero number ships NO
+    bits (the mask is pre-agreed — WMO BMS note 2), so a record using
+    one resolves its mask here and stops loudly, naming centre and
+    number, when the catalog doesn't carry it — guessing a mask would
+    scatter every present value to the wrong cell."""
     msg = bytes(msg)
     _check_grib1_envelope(msg)
     pos = 8
@@ -1570,19 +1618,46 @@ def decode_grib1(msg: bytes) -> Grib1Record:
         total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
     bitmap = None
     if has_bms:
+        if spectral_truncation is not None:
+            # spectral data has no cells to mask; unpacking bits
+            # against a None cell count would fail opaquely below
+            raise ValueError("spectral data carries no bitmap")
         bms_len = _r24(msg, pos)
         bms = msg[pos : pos + bms_len]
-        if int.from_bytes(bms[4:6], "big") != 0:
-            raise ValueError("predefined bitmaps are not supported")
-        bits = np.unpackbits(np.frombuffer(bms[6:], dtype=np.uint8))[:total_cells]
-        if bits.size < total_cells:
-            # a too-short bitmap must stop, not silently mask a prefix
-            raise ValueError(
-                f"bitmap holds {bits.size} bits, grid has "
-                f"{total_cells} cells"
-            )
-        bitmap = bits.astype(bool)
-        pos += bms_len
+        pre_num = int.from_bytes(bms[4:6], "big")
+        if pre_num != 0:
+            # CENTRE-PREDEFINED bitmap: no bits ride in the section —
+            # the mask is pre-agreed (WMO BMS note 2) and must come
+            # from the caller's (centre, number) catalog.  PDS octet 5
+            # names the originating centre.
+            centre = pds[4]
+            mask = (predefined_bitmaps or {}).get((centre, pre_num))
+            if mask is None:
+                raise ValueError(
+                    f"predefined bitmap {pre_num} of centre {centre} "
+                    "is not in the supplied catalog (pass "
+                    "predefined_bitmaps={(centre, number): mask})"
+                )
+            bits = np.asarray(mask, dtype=bool).reshape(-1)
+            if bits.size != total_cells:
+                raise ValueError(
+                    f"predefined bitmap {pre_num} of centre {centre} "
+                    f"holds {bits.size} cells, grid has {total_cells}"
+                )
+            bitmap = bits
+            pos += bms_len
+        else:
+            bits = np.unpackbits(
+                np.frombuffer(bms[6:], dtype=np.uint8)
+            )[:total_cells]
+            if bits.size < total_cells:
+                # a too-short bitmap must stop, not silently mask a prefix
+                raise ValueError(
+                    f"bitmap holds {bits.size} bits, grid has "
+                    f"{total_cells} cells"
+                )
+            bitmap = bits.astype(bool)
+            pos += bms_len
 
     # -- BDS --
     bds_len = _r24(msg, pos)

@@ -2124,12 +2124,28 @@ def encode_grib2_message(
             raise ValueError(
                 f"radar site id {sid!r} must be 4 CCITT IA5 characters"
             )
-        site_lat = int(radar["lat_udeg"])
-        site_lon = int(radar["lon_udeg"])
-        if not -90_000_000 <= site_lat <= 90_000_000:
-            raise ValueError(f"radar site latitude {site_lat} out of range")
-        if not -180_000_000 <= site_lon <= 360_000_000:
-            raise ValueError(f"radar site longitude {site_lon} out of range")
+        # None → the all-ones sign-magnitude coded-missing word, like
+        # the sibling elevation/id/number/mode fields (a real product
+        # may carry no site coordinates); range checks apply only to
+        # PRESENT coordinates.
+        if radar.get("lat_udeg") is None:
+            lat_bytes = b"\xff\xff\xff\xff"
+        else:
+            site_lat = int(radar["lat_udeg"])
+            if not -90_000_000 <= site_lat <= 90_000_000:
+                raise ValueError(
+                    f"radar site latitude {site_lat} out of range"
+                )
+            lat_bytes = _s32be(site_lat)
+        if radar.get("lon_udeg") is None:
+            lon_bytes = b"\xff\xff\xff\xff"
+        else:
+            site_lon = int(radar["lon_udeg"])
+            if not -180_000_000 <= site_lon <= 360_000_000:
+                raise ValueError(
+                    f"radar site longitude {site_lon} out of range"
+                )
+            lon_bytes = _s32be(site_lon)
         elev = int(radar.get("elevation_m", 0))
         if not 0 <= elev < 0xFFFF:
             raise ValueError(f"radar site elevation {elev} out of range")
@@ -2149,8 +2165,8 @@ def encode_grib2_message(
                     1,  # indicator of unit of time range: hour
                 ]
             )
-            + _s32be(site_lat)
-            + _s32be(site_lon)
+            + lat_bytes
+            + lon_bytes
             + struct.pack(">H", elev)
             + sid.encode("ascii")
             + struct.pack(">H", snum)
@@ -3054,17 +3070,28 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         if len(s4) < 43:
             raise ValueError("truncated product definition template 4.20")
         radar_sites = s4[12] if s4[12] != 0xFF else None
-        radar_site_lat = _rs32be(s4, 14) / 1e6
-        radar_site_lon = _rs32be(s4, 18) / 1e6
-        if not -90.0 <= radar_site_lat <= 90.0:
-            raise ValueError(
-                f"radar site latitude {radar_site_lat} out of range"
-            )
-        if not -180.0 <= radar_site_lon <= 360.0:
-            # same signed-magnitude pair, same loudness as the latitude
-            raise ValueError(
-                f"radar site longitude {radar_site_lon} out of range"
-            )
+        # The all-ones sign-magnitude word is the coded-missing
+        # sentinel for the site coordinates, like every sibling radar_*
+        # field — reading it through _rs32be would decode ~-2147.48°
+        # and quarantine a real product whose site metadata is simply
+        # absent.  Range checks apply only to PRESENT coordinates.
+        if s4[14:18] == b"\xff\xff\xff\xff":
+            radar_site_lat = None
+        else:
+            radar_site_lat = _rs32be(s4, 14) / 1e6
+            if not -90.0 <= radar_site_lat <= 90.0:
+                raise ValueError(
+                    f"radar site latitude {radar_site_lat} out of range"
+                )
+        if s4[18:22] == b"\xff\xff\xff\xff":
+            radar_site_lon = None
+        else:
+            radar_site_lon = _rs32be(s4, 18) / 1e6
+            if not -180.0 <= radar_site_lon <= 360.0:
+                # same signed-magnitude pair, same loudness as latitude
+                raise ValueError(
+                    f"radar site longitude {radar_site_lon} out of range"
+                )
         (elev,) = struct.unpack_from(">H", s4, 22)
         radar_elevation_m = elev if elev != 0xFFFF else None
         sid = s4[24:28]

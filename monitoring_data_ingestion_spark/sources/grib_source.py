@@ -487,7 +487,10 @@ def grib_inventory(
     )
 
 
-def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
+def _decode_record_row(
+    path, n, edition, msg, s, rx, synthesize_spectral,
+    predefined_bitmaps=None,
+):
     """One record unit → one RECORD_SCHEMA row dict, or None when the
     ``match=`` regex rejects it header-side — the shared per-unit body
     of the fail-fast and quarantine scan modes (every reject in here
@@ -522,7 +525,7 @@ def _decode_record_row(path, n, edition, msg, s, rx, synthesize_spectral):
     rdr_lat = rdr_lon = rdr_elev = rdr_mode = None
     cell_lats = cell_lons = None
     if edition == 1:
-        rec = decode_grib1(msg)
+        rec = decode_grib1(msg, predefined_bitmaps=predefined_bitmaps)
         if (
             rec.spectral_truncation is not None
             and synthesize_spectral is None
@@ -874,6 +877,7 @@ def _decode_batches(
     match: str | None = None,
     synthesize_spectral: "tuple[int, int] | None" = None,
     on_error: str = "fail",
+    predefined_bitmaps: dict | None = None,
 ) -> "Iterator":
     import pandas as pd
 
@@ -889,7 +893,8 @@ def _decode_batches(
                 edition, msg, s = payload
                 try:
                     row = _decode_record_row(
-                        path, n, edition, msg, s, rx, synthesize_spectral
+                        path, n, edition, msg, s, rx, synthesize_spectral,
+                        predefined_bitmaps,
                     )
                 except ValueError as e:
                     if not quarantine:
@@ -909,6 +914,7 @@ def grib1_records(
     match: str | None = None,
     synthesize_spectral: "tuple[int, int] | None" = None,
     on_error: str = "fail",
+    predefined_bitmaps: dict | None = None,
 ) -> DataFrame:
     """Batch scan of a GRIB landing directory/glob → one row per record.
     ``match`` (regex over :func:`inventory_line`) selects records
@@ -922,7 +928,13 @@ def grib1_records(
     (quadrature latitudes in exact microdegrees, lon axis from 0°E,
     grid_template 50 marking the raster SYNTHESIZED).  Without it,
     spectral records stop the decode loudly — a zero-increment georef
-    is never fabricated."""
+    is never fabricated.
+
+    ``predefined_bitmaps`` is the job-wide (centre, number) → mask
+    catalog for records whose BMS names a CENTRE-PREDEFINED bitmap
+    (grid.grib1.decode_grib1); the small catalog ships inside the
+    Arrow-stage closure, so at 100 TB it broadcasts once per executor
+    like any other serialized task constant."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(
         partial(
@@ -930,6 +942,7 @@ def grib1_records(
             match=match,
             synthesize_spectral=synthesize_spectral,
             on_error=on_error,
+            predefined_bitmaps=predefined_bitmaps,
         ),
         schema=RECORD_SCHEMA,
     )
@@ -942,6 +955,7 @@ def grib1_records_stream(
     match: str | None = None,
     synthesize_spectral: "tuple[int, int] | None" = None,
     on_error: str = "fail",
+    predefined_bitmaps: dict | None = None,
 ) -> DataFrame:
     """Streaming scan: files arriving under ``path`` decode incrementally.
     The file source tracks processed files in the checkpoint, so each
@@ -969,6 +983,7 @@ def grib1_records_stream(
             match=match,
             synthesize_spectral=synthesize_spectral,
             on_error=on_error,
+            predefined_bitmaps=predefined_bitmaps,
         ),
         schema=RECORD_SCHEMA,
     )

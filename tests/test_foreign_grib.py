@@ -663,6 +663,141 @@ def test_foreign_reduced_gaussian_grib1_decodes_to_pinned_values():
     assert h["ni"] is None and h["nj"] == 2 and h["grid_type"] == 4
 
 
+def _foreign_grib1_reduced_bitmapped(predefined: int | None) -> bytes:
+    """The :func:`_foreign_grib1_reduced` geometry (N=1, rows [2, 4])
+    with a PRIMARY BITMAP masking cells 1 and 4 (0-based storage
+    order) — the masked-field-on-a-thinned-grid shape real ERA5-era
+    ocean/land archives ship.  Hand-assembled per the WMO BMS layout.
+
+    ``predefined=None`` ships the bits in the BMS: mask
+    [1,0,1,1,0,1] MSB-first = 0b10110100 = 0xB4, 2 slack bits + 1
+    even-length pad octet → unused octet = 2 + 8 = 10.
+    ``predefined=<number>`` ships a CENTRE-PREDEFINED BMS instead:
+    octets 5-6 carry the catalog number, NO bits ride (WMO BMS note
+    2) — body = unused(0) + number, section length 6.
+
+    Either way the BDS packs ONLY the 4 present cells:
+    X = [10, 30, 40, 60] → Y = 2 + X = [12, 32, 42, 62]; 11 + 4 data
+    octets = 15, +1 pad = 16, unused nibble 0 + 8 = 8 → flags 0x08.
+    """
+    pds = bytes(
+        [
+            0x00, 0x00, 0x1C,  # 1-3   section length 28
+            2,                 # 4     parameter table version
+            98,                # 5     originating centre (ECMWF)
+            145,               # 6     generating process
+            255,               # 7     grid identification: defined by GDS
+            0xC0,              # 8     flags: GDS present + BMS present
+            52,                # 9     parameter: RH
+            1,                 # 10    level type: surface
+            0, 0,              # 11-12 level value
+            23,                # 13    year of century (2023)
+            7, 1, 0, 0,        # 14-17 month/day/hour/minute
+            1,                 # 18    time unit: hour
+            0, 0, 0,           # 19-21 P1/P2/TRI: analysis
+            0, 0,              # 22-23 number in average
+            0,                 # 24    number missing
+            21,                # 25    century
+            0,                 # 26    sub-centre
+            0x00, 0x00,        # 27-28 decimal scale D = 0
+        ]
+    )
+    gds = bytes(
+        [
+            0x00, 0x00, 0x24,  # 1-3   section length 36
+            0, 33,             # 4-5   NV = 0, PL at octet 33
+            4,                 # 6     data representation: Gaussian
+            0xFF, 0xFF,        # 7-8   Ni coded missing (quasi-regular)
+            0x00, 0x02,        # 9-10  Nj = 2 parallels
+            0x00, 0x89, 0xC0,  # 11-13 La1 = +35.264 deg
+            0x00, 0x00, 0x00,  # 14-16 Lo1 = 0
+            0x00,              # 17    resolution: increments NOT given
+            0x80, 0x89, 0xC0,  # 18-20 La2 = -35.264 deg (sign-magnitude)
+            0x04, 0x1E, 0xB0,  # 21-23 Lo2 = 270.000 deg
+            0xFF, 0xFF,        # 24-25 Di coded missing
+            0x00, 0x01,        # 26-27 N = 1
+            0x00,              # 28    scanning mode: +i, -j
+            0, 0, 0, 0,        # 29-32 reserved
+            0x00, 0x02,        # 33-34 PL: 2 points north
+            0x00, 0x04,        # 35-36 PL: 4 points south
+        ]
+    )
+    if predefined is None:
+        bms = bytes(
+            [
+                0x00, 0x00, 0x08,  # 1-3 section length 8 (even)
+                10,                # 4   unused bits: 2 slack + 8 pad
+                0x00, 0x00,        # 5-6 numeric: 0 = bitmap follows
+                0xB4,              # 7   bits [1,0,1,1,0,1] MSB-first
+                0x00,              # 8   even-length pad octet
+            ]
+        )
+    else:
+        bms = bytes(
+            [0x00, 0x00, 0x06, 0]
+        ) + int(predefined).to_bytes(2, "big")  # 5-6: catalog number
+    bds = (
+        bytes(
+            [
+                0x00, 0x00, 0x10,  # 1-3  section length 16 (even)
+                0x08,              # 4    flags 0000 + 8 unused (pad)
+                0x00, 0x00,        # 5-6  binary scale E = 0
+                0x41, 0x20, 0x00, 0x00,  # 7-10 R = IBM +2.0
+                8,                 # 11   bits per value
+            ]
+        )
+        + bytes([10, 30, 40, 60])  # 12-15 the 4 PRESENT cells only
+        + bytes(1)                 # 16   pad to even length
+    )
+    total = 8 + len(pds) + len(gds) + len(bms) + len(bds) + 4
+    return (
+        b"GRIB"
+        + total.to_bytes(3, "big")
+        + bytes([1])
+        + pds
+        + gds
+        + bms
+        + bds
+        + b"7777"
+    )
+
+
+def test_foreign_reduced_bitmapped_grib1_decodes_to_pinned_values():
+    """Foreign-bytes witness for BITMAP-ON-REDUCED-GRID and
+    CENTRE-PREDEFINED-BITMAP decode: expectations hand-computed from
+    the WMO BMS/BDS layouts, never from the engine's encoder."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid.grib1 import decode_grib1
+
+    expected = np.array([12.0, np.nan, 32.0, 42.0, np.nan, 62.0])
+
+    # 1. bits in the BMS, masked thinned grid
+    rec = decode_grib1(_foreign_grib1_reduced_bitmapped(None))
+    assert rec.ni is None and list(rec.row_ni) == [2, 4]
+    np.testing.assert_allclose(rec.values, expected, rtol=0, atol=0)
+    # per-cell coordinates still cover ALL cells (mask hits values only)
+    assert rec.cell_lons_deg.size == 6
+
+    # 2. centre-predefined BMS number 45 resolved through the catalog
+    mask = np.array([1, 0, 1, 1, 0, 1], dtype=bool)
+    rec2 = decode_grib1(
+        _foreign_grib1_reduced_bitmapped(45),
+        predefined_bitmaps={(98, 45): mask},
+    )
+    np.testing.assert_allclose(rec2.values, expected, rtol=0, atol=0)
+
+    # 3. no catalog entry → loud stop naming centre and number
+    with pytest.raises(ValueError, match="predefined bitmap 45 of centre 98"):
+        decode_grib1(_foreign_grib1_reduced_bitmapped(45))
+    # wrong-size catalog mask is a catalog defect, not a guess
+    with pytest.raises(ValueError, match="holds 5 cells"):
+        decode_grib1(
+            _foreign_grib1_reduced_bitmapped(45),
+            predefined_bitmaps={(98, 45): mask[:-1]},
+        )
+
+
 def _foreign_grib1_second_order() -> bytes:
     """GRIB1 SECOND-ORDER (complex) grid-point packing, hand-assembled
     per the WMO extended-BDS layout (octets 12-21 pointers, octet-14

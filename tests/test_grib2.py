@@ -3397,6 +3397,16 @@ def test_radar_pdt_4_20():
     patched[pos + 30] = 0xFF  # operating mode
     r2 = decode_grib2(bytes(patched))
     assert r2.radar_sites is None and r2.radar_operating_mode is None
+    # coded-missing SITE COORDINATES land None like the sibling fields
+    # — the all-ones sign-magnitude word is the missing sentinel, not
+    # a ~-2147.48° coordinate to quarantine
+    m3 = encode_grib2_message(
+        v, radar=dict(lat_udeg=None, lon_udeg=None),
+        reference_value=0.0, nbits=8,
+    )
+    r3 = decode_grib2(m3)
+    assert r3.radar_site_lat is None and r3.radar_site_lon is None
+    assert np.array_equal(r3.values, v)
     # an out-of-range site latitude/longitude is a corrupt section,
     # not geography — both halves of the signed-magnitude pair
     patched = bytearray(m2)
