@@ -586,6 +586,12 @@ class Grib1Record:
     # (grib2.spectral_synthesis, shared cross-edition) is an explicit
     # step, never an implicit georef.
     spectral_truncation: int | None = None
+    # COMPLEX spherical-harmonic packing only (BDS flags 0b1100 — the
+    # ECMWF gribex archive form, edition-1 sibling of GRIB2 template
+    # 5.51): the triangular sub-truncation TS whose n <= TS
+    # coefficients rode UNPACKED as IBM-32 floats; None on simple
+    # spectral and on every gridded record.
+    spectral_sub_truncation: int | None = None
     # QUASI-REGULAR (reduced) Gaussian grid — ECMWF's native edition-1
     # archive layout (the CDS ERA5 feed the reference consumes,
     # /root/reference/src/file-conversions.js:114-127, reads these
@@ -778,6 +784,8 @@ def encode_grib1_message(
     ``predefined_bitmaps`` catalog keyed by (centre, number).
     Mutually exclusive with ``bitmap``."""
     spec_t: int | None = None
+    spec_sub: int | None = None
+    spec_p = 1.0
     reduced_arr: np.ndarray | None = None
     if reduced_ni is not None:
         reduced_arr = np.asarray(reduced_ni, dtype=np.int64)
@@ -830,6 +838,27 @@ def encode_grib1_message(
         vals[0::2] = c.real
         vals[1::2] = c.imag
         nj, ni = npairs, 0
+        if "sub_truncation" in spectral:
+            # COMPLEX packing (BDS flags 0b1100): the n <= TS
+            # sub-spectrum rides UNPACKED as IBM-32 floats; every
+            # other value is multiplied by the Laplacian weight
+            # (n(n+1))^P before simple packing — the same split as
+            # GRIB2 template 5.51, on the edition-1 BDS layout
+            # (octets 12-13 N, 14-15 IP = P×1000 sign-magnitude,
+            # 16-18 J1/K1/M1).
+            spec_sub = int(spectral["sub_truncation"])
+            spec_p = float(spectral.get("laplacian", 1.0))
+            if not 0 <= spec_sub < spec_t:
+                raise ValueError(
+                    f"sub-truncation {spec_sub} must satisfy "
+                    f"0 <= TS < T={spec_t} (n = 0 has zero Laplacian "
+                    "weight, so it must ride unpacked)"
+                )
+            if not abs(round(spec_p * 1000)) < 1 << 15:
+                raise ValueError(
+                    f"Laplacian power {spec_p} overflows the 16-bit "
+                    "IP field (P × 1000, sign-magnitude)"
+                )
     elif reduced_arr is None:
         vals = np.asarray(values, dtype=np.float64)
         if vals.ndim != 2:
@@ -865,7 +894,42 @@ def encode_grib1_message(
         present = present[1:]
     if bm is not None:
         present = present[bm.reshape(-1)]
-    if second_order is not None:
+    spec_head = b""
+    if spec_sub is not None:
+        from .grib2 import _spectral_degrees  # lazy: grib2 imports grib1
+
+        deg2 = _spectral_degrees(spec_t)
+        sub_mask = deg2 <= spec_sub
+        unpacked_sub = vals[sub_mask]
+        dn = deg2[~sub_mask].astype(np.float64)
+        scaled = vals[~sub_mask] * (dn * (dn + 1.0)) ** spec_p
+        r_bytes, r, x = quantize_simple_packing(
+            scaled,
+            decimal_scale,
+            binary_scale,
+            nbits,
+            reference_value,
+            ibm32_encode,
+            ibm32_encode_floor,
+            ibm32_decode,
+        )
+        packed = _pack_bits(x, nbits)
+        n1 = 19 + 4 * len(unpacked_sub)  # 1-based packed-stream octet
+        if n1 + len(packed) - 1 > 0xFFFF:
+            raise ValueError(
+                "complex spectral BDS exceeds the 16-bit N pointer"
+            )
+        spec_head = (
+            n1.to_bytes(2, "big")
+            + _s16(int(round(spec_p * 1000)))  # IP, sign-magnitude
+            + bytes([spec_sub, spec_sub, spec_sub])  # J1/K1/M1
+            + b"".join(ibm32_encode(float(u)) for u in unpacked_sub)
+        )
+        re00 = b""
+        unused = (8 - (len(scaled) * nbits) % 8) % 8
+        bds_pad = (11 + len(spec_head) + len(packed)) % 2
+        unused += 8 * bds_pad
+    elif second_order is not None:
         if spec_t is not None:
             raise ValueError("second-order packing is grid-point only")
         if bm is not None:
@@ -1151,7 +1215,7 @@ def encode_grib1_message(
     # mark grid-point second-order packing with the octet-14 extended
     # flags (the stream pointers live there).
     if spec_t is not None:
-        bds_flags = 0b1000
+        bds_flags = 0b1000 | (0b0100 if spec_sub is not None else 0)
     elif second_order is not None:
         bds_flags = 0b0101
     else:
@@ -1161,7 +1225,8 @@ def encode_grib1_message(
         + _s16(binary_scale)
         + r_bytes
         + bytes([nbits])
-        + re00  # spectral only: unpacked (0,0) real part (octets 12-15)
+        + spec_head  # complex spectral only: N/IP/J1K1M1 + sub-spectrum
+        + re00  # simple spectral only: unpacked (0,0) real (octets 12-15)
         + packed
         + bytes(bds_pad)  # even-length pad, counted in ``unused``
     )
@@ -1671,32 +1736,39 @@ def decode_grib1(
             "BDS spherical-harmonics flag disagrees with the GDS grid type"
         )
     second_order = False
+    spectral_complex = False
     if flags & 0b0100:
         if spectral_truncation is not None:
-            # The edition-1 COMPLEX spectral form (sub-spectrum pointer
-            # + per-producer layouts) is a documented boundary — the
-            # GRIB2 sibling (template 5.51) is fully supported.
-            raise ValueError(
-                "GRIB1 spectral complex packing is not supported (only "
-                "simple packing; re-encode as GRIB2 template 5.51)"
-            )
-        if not flags & 0b0001:
-            # Grid-point second-order packing always carries the
-            # octet-14 extended flags (they hold the stream pointers) —
-            # without them the layout is unknowable.
-            raise ValueError(
-                "second-order packing without the octet-14 extended "
-                "flags is malformed"
-            )
-        if bitmap is not None:
-            # The primary-bitmap + row-grouped combination leaves the
-            # group membership of masked rows producer-defined — stop
-            # loudly rather than guess.
-            raise ValueError(
-                "second-order packing with a primary bitmap is not "
-                "supported"
-            )
-        second_order = True
+            # The edition-1 COMPLEX spherical-harmonic form (the
+            # ECMWF gribex compact archive layout) — decoded below on
+            # the same sub-spectrum split as its GRIB2 sibling 5.51.
+            if flags & 0b0001:
+                # octet-14 extended flags are a GRID-POINT layout; on
+                # a spectral BDS the same octets hold IP — reading
+                # them as flags would mis-place the whole stream
+                raise ValueError(
+                    "complex spherical-harmonic packing with octet-14 "
+                    "extended flags is malformed"
+                )
+            spectral_complex = True
+        else:
+            if not flags & 0b0001:
+                # Grid-point second-order packing always carries the
+                # octet-14 extended flags (they hold the stream
+                # pointers) — without them the layout is unknowable.
+                raise ValueError(
+                    "second-order packing without the octet-14 extended "
+                    "flags is malformed"
+                )
+            if bitmap is not None:
+                # The primary-bitmap + row-grouped combination leaves
+                # the group membership of masked rows producer-defined
+                # — stop loudly rather than guess.
+                raise ValueError(
+                    "second-order packing with a primary bitmap is not "
+                    "supported"
+                )
+            second_order = True
     elif flags & 0b0001:
         # Flag bit 4 alone: additional flags at octet 14 WITHOUT the
         # second-order bit (matrix-of-values forms).  The packed stream
@@ -1710,7 +1782,65 @@ def decode_grib1(
     binary_scale = _rs16(bds, 4)
     r = ibm32_decode(bds[6:10])
     nbits = bds[10]
-    if spectral_truncation is not None:
+    spectral_sub: int | None = None
+    if spectral_complex:
+        # Edition-1 COMPLEX spherical-harmonic packing (the ECMWF
+        # gribex archive form — WMO FM-92 section 4 complex packing of
+        # spherical harmonics): octets 12-13 N (1-based pointer to the
+        # packed stream), 14-15 IP = P×1000 (sign-magnitude), 16-18
+        # J1/K1/M1 the sub-spectrum truncation; the n <= TS
+        # coefficients ride UNPACKED as IBM-32 floats at octets
+        # 19..N-1 and every remaining value of the mode-1 sequence was
+        # multiplied by the Laplacian weight (n(n+1))^P before simple
+        # packing — the SAME split as GRIB2 template 5.51
+        # (grib2._decode_field), so mixed-edition spectral archives
+        # decode to identical coefficient sequences.
+        from .grib2 import _spectral_degrees
+
+        if bds_len < 19:
+            raise ValueError("truncated complex spherical-harmonics BDS")
+        n1 = int.from_bytes(bds[11:13], "big")
+        lap_p = _rs16(bds, 13) / 1000.0
+        j1, k1, m1 = bds[15], bds[16], bds[17]
+        if not (j1 == k1 == m1) or j1 >= spectral_truncation:
+            raise ValueError(
+                f"only triangular sub-truncation below T supported "
+                f"(J1={j1}, K1={k1}, M1={m1}, T={spectral_truncation})"
+            )
+        deg2 = _spectral_degrees(spectral_truncation)
+        sub = deg2 <= j1
+        n_sub = int(sub.sum())
+        if n1 - 1 != 18 + 4 * n_sub:
+            # the pointer is redundant with J1 under the triangular
+            # layout; a disagreement means one of them is corrupt and
+            # trusting either would mis-slice every coefficient
+            raise ValueError(
+                f"complex spectral pointer N={n1} disagrees with the "
+                f"TS={j1} sub-spectrum ({n_sub} unpacked values)"
+            )
+        if bds_len < n1 - 1:
+            raise ValueError("truncated spectral sub-spectrum")
+        unpacked = np.array(
+            [
+                ibm32_decode(bds[18 + 4 * i : 22 + 4 * i])
+                for i in range(n_sub)
+            ]
+        )
+        n_present = int(deg2.size) - n_sub
+        if nbits:
+            need = (n_present * nbits + 7) // 8
+            x = _unpack_bits(bds[n1 - 1 : n1 - 1 + need], n_present, nbits)
+            rest = (
+                r + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:  # constant packed remainder
+            rest = np.full(n_present, r / (10.0 ** decimal_scale))
+        dn = deg2[~sub].astype(np.float64)
+        values = np.empty(deg2.size)
+        values[sub] = unpacked
+        values[~sub] = rest * (dn * (dn + 1.0)) ** (-lap_p)
+        spectral_sub = int(j1)
+    elif spectral_truncation is not None:
         # Spectral simple packing: the (0,0) real coefficient rides
         # UNPACKED as an IBM-32 float at octets 12-15 (raw, UNSCALED —
         # wgrib's BDS_unpack emits the harmonic reference into data[0]
@@ -1793,5 +1923,6 @@ def decode_grib1(
         latitudes_deg=latitudes,
         rotated_pole=rotated_pole,
         spectral_truncation=spectral_truncation,
+        spectral_sub_truncation=spectral_sub,
         row_ni=row_ni,
     )

@@ -55,10 +55,11 @@ the ``wgrib`` edition-1 path:
   the three 4.1-style ensemble octets AFTER the band list, 4.34's
   statistical block at a VARIABLE offset after those); 4.20 — radar
   products (site-based layout: site coordinates/elevation/ids and
-  operating mode; no fixed surfaces, no lead octets).
-  DOCUMENTED BOUNDARY with a named error: 4.30 (deprecated satellite —
-  band block one octet narrower per band than 4.31's, so a 4.31-offset
-  read would shear every band after the first).
+  operating mode; no fixed surfaces, no lead octets); 4.30 — the
+  DEPRECATED satellite form (4.31's layout with a band block one
+  octet NARROWER per band — instrument type is 1 octet, not 2 — so
+  each template decodes through its own band width; pre-2003 archives
+  still carry it).
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -866,22 +867,49 @@ def _build_complex_s57(
                 f"unsupported spatial differencing order {spatial_order}"
             )
         if missing is not None:
-            raise ValueError(
-                "spatial differencing with missing-value management is not supported"
-            )
-        if n < spatial_order:
-            raise ValueError("not enough points for spatial differencing")
-        if spatial_order == 1:
-            ivals = [int(x[0])]
-            x[1:] = np.diff(x)
-            x[0] = 0
+            # mvm composes with spatial differencing by differencing
+            # the NON-MISSING subsequence only (the g2clib convention
+            # NCEP precipitation products encode under): missing
+            # points pack as group markers exactly as on 5.2, and the
+            # descriptors describe the present subsequence.
+            pres_idx = np.flatnonzero(~missing)
+            if len(pres_idx) < spatial_order:
+                raise ValueError(
+                    "not enough present points for spatial differencing"
+                )
+            d = x[pres_idx].copy()
+            ivals = [int(v) for v in d[:spatial_order]]
+            if spatial_order == 1:
+                d[1:] = np.diff(d)
+            else:
+                d[2:] = (
+                    d[2:] - 2 * d[1:-1] + d[:-2] if len(d) > 2 else d[2:]
+                )
+                d[1] = 0
+            d[0] = 0
+            gmin = int(d.min()) if len(d) else 0
+            d -= gmin
+            x[pres_idx] = d
+            # entries at missing positions never pack as values (the
+            # group loop writes the all-ones marker); zero them so the
+            # group references stay tight
+            x[missing] = 0
         else:
-            ivals = [int(x[0]), int(x[1])]
-            x[2:] = x[2:] - 2 * x[1:-1] + x[:-2] if n > 2 else x[2:]
-            x[0] = 0
-            x[1] = 0
-        gmin = int(x.min()) if n else 0
-        x -= gmin
+            if n < spatial_order:
+                raise ValueError(
+                    "not enough points for spatial differencing"
+                )
+            if spatial_order == 1:
+                ivals = [int(x[0])]
+                x[1:] = np.diff(x)
+                x[0] = 0
+            else:
+                ivals = [int(x[0]), int(x[1])]
+                x[2:] = x[2:] - 2 * x[1:-1] + x[:-2] if n > 2 else x[2:]
+                x[0] = 0
+                x[1] = 0
+            gmin = int(x.min()) if n else 0
+            x -= gmin
         ww = 1
         while any(abs(v) >= 1 << (8 * ww - 1) for v in ivals + [gmin]):
             ww += 1
@@ -1009,10 +1037,6 @@ def _decode_complex_s7(
         order, ww = s5[47], s5[48]
         if order not in (1, 2):
             raise ValueError(f"unsupported spatial differencing order {order}")
-        if mvm:
-            raise ValueError(
-                "spatial differencing with missing-value management is not supported"
-            )
 
     data = s7[5:]
     off = 0
@@ -1090,21 +1114,46 @@ def _decode_complex_s7(
         pos += length
 
     if tmpl5 == 3:
-        d = x + gmin  # entries below ``order`` are overwritten next
-        if order == 1:
-            x = np.empty(n_points, dtype=np.int64)
-            x[0] = ivals[0]
-            if n_points > 1:
-                x[1:] = ivals[0] + np.cumsum(d[1:])
+        if mvm:
+            # With missing-value management the differencing ran over
+            # the NON-MISSING subsequence only (g2clib's comunpack
+            # convention): reconstruct on that subsequence and scatter
+            # back; missing points stay missing.
+            pres_idx = np.flatnonzero(~miss)
+            d = x[pres_idx] + gmin
+            m = len(pres_idx)
+            sub = np.empty(m, dtype=np.int64)
+            if order == 1:
+                if m > 0:
+                    sub[0] = ivals[0]
+                if m > 1:
+                    sub[1:] = ivals[0] + np.cumsum(d[1:])
+            else:
+                if m > 0:
+                    sub[0] = ivals[0]
+                if m > 1:
+                    sub[1] = ivals[1]
+                if m > 2:
+                    g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
+                    sub[2:] = ivals[1] + np.cumsum(g1)
+            x = np.zeros(n_points, dtype=np.int64)
+            x[pres_idx] = sub
         else:
-            x = np.empty(n_points, dtype=np.int64)
-            x[0] = ivals[0]
-            if n_points > 1:
-                x[1] = ivals[1]
-            if n_points > 2:
-                # second differences → first differences → values
-                g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
-                x[2:] = ivals[1] + np.cumsum(g1)
+            d = x + gmin  # entries below ``order`` are overwritten next
+            if order == 1:
+                x = np.empty(n_points, dtype=np.int64)
+                x[0] = ivals[0]
+                if n_points > 1:
+                    x[1:] = ivals[0] + np.cumsum(d[1:])
+            else:
+                x = np.empty(n_points, dtype=np.int64)
+                x[0] = ivals[0]
+                if n_points > 1:
+                    x[1] = ivals[1]
+                if n_points > 2:
+                    # second differences → first differences → values
+                    g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
+                    x[2:] = ivals[1] + np.cumsum(g1)
     return x, miss
 
 
@@ -1378,9 +1427,10 @@ def encode_grib2_message(
         raise ValueError("bitmap shape must match values")
     mm = None if missing_mask is None else np.asarray(missing_mask, dtype=bool)
     if mm is not None:
-        if packing != "complex":
+        if packing not in ("complex", "complex_diff"):
             raise ValueError(
-                "missing_mask (missing-value management) requires packing='complex'"
+                "missing_mask (missing-value management) requires "
+                "packing='complex' or 'complex_diff'"
             )
         if bm is not None:
             raise ValueError("missing_mask and bitmap are mutually exclusive")
@@ -2048,14 +2098,34 @@ def encode_grib2_message(
             raise ValueError(
                 f"spectral band count {len(bands)} out of range 1-254"
             )
+        deprecated = bool(satellite.get("deprecated"))
+        if deprecated and (
+            satellite.get("simulated") or ensemble is not None
+        ):
+            # 4.30 is the deprecated OBSERVATIONAL form only — the
+            # simulated/ensemble combinations postdate its retirement
+            raise ValueError(
+                "template 4.30 (deprecated satellite) is observational "
+                "only — it has no simulated or ensemble forms"
+            )
         band_bytes = b""
         for b in bands:
-            band_bytes += struct.pack(
-                ">HHH",
-                int(b["series"]),
-                int(b["number"]),
-                int(b["instrument"]),
-            )
+            if deprecated:
+                # 4.30's band block is one octet NARROWER: the
+                # instrument type is a single octet (the layout shear
+                # hazard that kept this template a named boundary)
+                band_bytes += struct.pack(
+                    ">HH", int(b["series"]), int(b["number"])
+                ) + bytes(
+                    [_pdt_octet(b["instrument"], "instrument type")]
+                )
+            else:
+                band_bytes += struct.pack(
+                    ">HHH",
+                    int(b["series"]),
+                    int(b["number"]),
+                    int(b["instrument"]),
+                )
             bsc, bv = int(b.get("scale", 0)), int(b["value"])
             # A wave number is a magnitude: the wire value is
             # sign-magnitude (like every GRIB2 scaled value), so a
@@ -2088,7 +2158,7 @@ def encode_grib2_message(
                 + struct.pack(">I", fc_value)
             )
         else:
-            tmpl4 = 31
+            tmpl4 = 30 if deprecated else 31
             sat_body = bytes(
                 [
                     category,
@@ -2519,33 +2589,42 @@ def _parse_satellite_bands(
     tuple[int, ...],
     tuple[float | None, ...],
 ]:
-    """Contributing-spectral-band list shared by templates 4.31/4.32:
-    NB at ``nb_off`` (0-based), then NB 11-octet blocks of satellite
-    series (2), satellite number (2), instrument type (2) and the
-    central wave number as a (scale factor, scaled value) pair — the
-    SAME signed-magnitude convention as every other GRIB2 scaled
+    """Contributing-spectral-band list shared by the satellite family:
+    NB at ``nb_off`` (0-based), then NB blocks of satellite series
+    (2), satellite number (2), instrument type (2 octets on
+    4.31/4.32/4.33/4.34; ONE octet on the deprecated 4.30 — the whole
+    reason the templates must dispatch on their own band widths) and
+    the central wave number as a (scale factor, scaled value) pair —
+    the SAME signed-magnitude convention as every other GRIB2 scaled
     field.  NB absent or zero makes the list length unknowable, so it
     stops loudly (guessing would mis-slice every following octet —
     the same rule as the 4.13/4.14 member list)."""
+    blk = 10 if tmpl4 == 30 else 11
     nb = s4[nb_off]
     if nb == 0 or nb == 0xFF:
         raise ValueError(
             f"product definition template 4.{tmpl4} with no "
             "contributing spectral bands"
         )
-    if len(s4) < nb_off + 1 + 11 * nb:
+    if len(s4) < nb_off + 1 + blk * nb:
         raise ValueError(
             f"truncated product definition template 4.{tmpl4} "
             f"({nb} spectral bands)"
         )
     series, numbers, instruments, waves = [], [], [], []
     for b in range(nb):
-        o = nb_off + 1 + 11 * b
-        sr, num, inst = struct.unpack_from(">HHH", s4, o)
+        o = nb_off + 1 + blk * b
+        if tmpl4 == 30:
+            sr, num = struct.unpack_from(">HH", s4, o)
+            inst = s4[o + 4]
+            wave_off = o + 5
+        else:
+            sr, num, inst = struct.unpack_from(">HHH", s4, o)
+            wave_off = o + 6
         series.append(int(sr))
         numbers.append(int(num))
         instruments.append(int(inst))
-        waves.append(_scaled_limit(s4, o + 6))
+        waves.append(_scaled_limit(s4, wave_off))
     return (
         nb,
         tuple(series),
@@ -3017,20 +3096,9 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 == 30:
-        # DOCUMENTED BOUNDARY: deprecated by WMO in favour of 4.31 —
-        # its band block carries a 1-octet instrument type where
-        # 4.31's carries 2, so reading it with 4.31's offsets would
-        # shear every band after the first.  Operational producers
-        # moved to 4.31.
-        raise ValueError(
-            "unsupported product definition template 30 "
-            "(deprecated satellite product — use template 4.31; the "
-            "4.30 band block differs by one octet per band)"
-        )
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-        20, 31, 32, 33, 34,
+        20, 30, 31, 32, 33, 34,
     ):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
@@ -3107,22 +3175,25 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         (snum,) = struct.unpack_from(">H", s4, 28)
         radar_site_number = snum if snum != 0xFFFF else None
         radar_operating_mode = s4[30] if s4[30] != 0xFF else None
-    elif tmpl4 in (31, 32, 33, 34):
+    elif tmpl4 in (30, 31, 32, 33, 34):
         # Satellite family: NO fixed surfaces (a satellite view has no
         # level — reading octets 23-34 would decode band data as level
-        # columns), and 4.31 has no forecast-time octets either (an
-        # observation at the reference time).  4.32 (simulated
+        # columns), and 4.30/4.31 have no forecast-time octets either
+        # (observations at the reference time).  4.32 (simulated
         # satellite imagery) keeps 4.0's generating-process + lead
-        # block, then NB at octet 23; 4.31 has NB at octet 14 after
-        # the observation-generating-process identifier.  4.33/4.34
-        # (individual ensemble member for SIMULATED satellite data)
-        # share 4.32's leading layout, then append the three 4.1-style
-        # ensemble octets AFTER the band list — 4.34 continues with
-        # the 4.8 statistical block after those (the second
-        # variable-offset statistical family besides 4.13/4.14).
+        # block, then NB at octet 23; 4.30/4.31 have NB at octet 14
+        # after the observation-generating-process identifier — 4.30
+        # is the DEPRECATED form whose band block is one octet
+        # narrower (1-octet instrument type), dispatched on its own
+        # width in _parse_satellite_bands.  4.33/4.34 (individual
+        # ensemble member for SIMULATED satellite data) share 4.32's
+        # leading layout, then append the three 4.1-style ensemble
+        # octets AFTER the band list — 4.34 continues with the 4.8
+        # statistical block after those (the second variable-offset
+        # statistical family besides 4.13/4.14).
         level_type = level_scale = level_value = None
         level2_type = level2_scale = level2_value = None
-        if tmpl4 == 31:
+        if tmpl4 in (30, 31):
             forecast_hours = None
             nb_off = 13
         else:
@@ -3600,14 +3671,14 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-        20, 31, 32, 33, 34,
+        20, 30, 31, 32, 33, 34,
     ):
         # same gate as the decode and the landing inventory: rendering
-        # a layout-divergent template (4.30 deprecated satellite)
-        # through the family offsets would print band/site octets as a
-        # fake level — the surfaces must never disagree
+        # a layout-divergent template through the family offsets would
+        # print band/site octets as a fake level — the surfaces must
+        # never disagree
         raise ValueError(f"unsupported product definition template {tmpl4}")
-    if tmpl4 in (20, 31, 32, 33, 34):
+    if tmpl4 in (20, 30, 31, 32, 33, 34):
         # Satellite family (incl. the ensemble 4.33/4.34) and radar:
         # no fixed surfaces (octets 23+ carry the band list / site
         # block, not levels) — reading them through the family layout

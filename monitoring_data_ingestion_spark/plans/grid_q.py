@@ -4732,7 +4732,8 @@ def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other catalog query runs under).
 
     Each document's archive carries a good record, a record whose PDT
-    octet is patched to the unsupported 4.30 (semantic reject —
+    octet is patched to the unsupported 4.40 (atmospheric chemistry —
+    its constituent octets shift the fixed surfaces; a semantic reject:
     quarantined, scan CONTINUES to the next record), another good
     record, and a torn trailing message (framing reject — quarantined,
     file ends there since record numbering itself is gone).  The
@@ -4776,15 +4777,16 @@ def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     reference_value=40.0, binary_scale=1, nbits=8,
                 )
                 msgs = [encode_grib2_message(field(r), **enc) for r in range(3)]
-                # record 2: PDT octet patched to the unsupported 4.30
-                # (the deprecated satellite template whose band block
-                # the 4.31 offsets would shear) — the decode must
-                # quarantine it and CONTINUE
+                # record 2: PDT octet patched to the unsupported 4.40
+                # (atmospheric chemistry — constituent octets shift
+                # the fixed surfaces; until r15 this fixture used 4.30,
+                # which now decodes) — the decode must quarantine it
+                # and CONTINUE
                 bad = bytearray(msgs[1])
                 pos = 16
                 while bad[pos + 4] != 4:
                     pos += int.from_bytes(bad[pos : pos + 4], "big")
-                bad[pos + 8] = 30
+                bad[pos + 8] = 40
                 # record 4: a torn trailing message (magic present,
                 # body chopped) — framing quarantine ends the file
                 torn = msgs[2][: len(msgs[2]) - 9]
@@ -5037,12 +5039,12 @@ def grid_grib2_satellite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload sums.
 
     The ensemble satellite forms 4.33/4.34 decode through the same
-    branch (witnessed by grid_grib2_ensemble_satellite_scan) and the
-    radar template 4.20 through its own (grid_grib2_radar_scan); the
-    deprecated 4.30 stays a DOCUMENTED BOUNDARY with a named error
-    (its band block is one octet narrower per band — reading it with
-    4.31 offsets would shear every band after the first;
-    tests/test_grib2.py pins it).
+    branch (witnessed by grid_grib2_ensemble_satellite_scan), the
+    radar template 4.20 through its own (grid_grib2_radar_scan), and
+    since r15 the deprecated 4.30 decodes through its own ONE-OCTET-
+    narrower band width (witnessed by
+    grid_grib2_deprecated_satellite_scan) — no named product-template
+    boundary remains.
 
     Scale: identical plan shape to every landing scan — one Arrow
     decode stage, only per-record statistic rows shuffle.

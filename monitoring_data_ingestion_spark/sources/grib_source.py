@@ -264,7 +264,7 @@ def _grib2_field_header(s: dict) -> dict:
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-        20, 31, 32, 33, 34,
+        20, 30, 31, 32, 33, 34,
     ):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
@@ -290,13 +290,13 @@ def _grib2_field_header(s: dict) -> dict:
             raise ValueError(
                 f"grid dimensions coded missing on template {tmpl3}"
             )
-    if tmpl4 in (20, 31, 32, 33, 34):
-        # Satellite family (31/32 and the ensemble-simulated 33/34):
-        # no fixed surfaces (octets 23+ carry the band list — reading
-        # them through the family layout would inventory band data as
-        # a level); 4.31 has no lead octets either (observation at the
-        # reference time).  Radar (20) is site-based: no surfaces, no
-        # lead.
+    if tmpl4 in (20, 30, 31, 32, 33, 34):
+        # Satellite family (30/31/32 and the ensemble-simulated
+        # 33/34): no fixed surfaces (octets 23+ carry the band list —
+        # reading them through the family layout would inventory band
+        # data as a level); 4.30/4.31 have no lead octets either
+        # (observations at the reference time).  Radar (20) is
+        # site-based: no surfaces, no lead.
         level_type = scale = level_value = None
         l2_type = l2_scale = l2_value = None
         forecast_hours = None

@@ -1089,3 +1089,175 @@ def test_foreign_spatial_differencing_grib2_decodes_to_pinned_values():
         [[0.825, 0.925, 1.075], [1.175, 1.375, 1.425]],
         rtol=0, atol=1e-12,
     )
+
+
+def _foreign_grib1_spectral_complex() -> bytes:
+    """GRIB1 COMPLEX spherical-harmonic packing (BDS flags 0b1100 —
+    the ECMWF gribex compact archive form), hand-assembled per the WMO
+    edition-1 layout: octets 12-13 N (1-based packed-stream pointer),
+    14-15 IP = P×1000 sign-magnitude, 16-18 J1/K1/M1, the n ≤ TS
+    sub-spectrum as IBM-32 floats at 19..N−1, Laplacian-weighted
+    simple-packed remainder after.
+
+    T = 2 (6 complex pairs, 12 real values, per-value degrees
+    [0,0,1,1,2,2,1,1,2,2,2,2]); TS = 0 → the 2 values of the (0,0)
+    pair ride unpacked: re00 = IBM 7.0 = 0x41700000, im00 = 0.
+    P = 1 → IP = 0x03E8; remaining 10 values v = [1,0,3,0,5,6,7,8,9,10]
+    were multiplied by n(n+1) = [2,2,6,6,2,2,6,6,6,6] → packed X =
+    [2,0,18,0,10,12,42,48,54,60] at 8 bits with R = IBM +0.0, E = 0,
+    D = 0.  N = 19 + 4·2 = 27; BDS length 36 (even, 0 unused).
+
+    Expected coefficients: (7+0j), (1+0j), (3+0j), (5+6j), (7+8j),
+    (9+10j).
+    """
+    pds = bytes(
+        [
+            0x00, 0x00, 0x1C,  # 1-3   section length 28
+            2,                 # 4     parameter table version
+            98,                # 5     originating centre (ECMWF)
+            145,               # 6     generating process
+            255,               # 7     grid id: defined by GDS
+            0x80,              # 8     flags: GDS present, no BMS
+            80,                # 9     parameter
+            1,                 # 10    level type: surface
+            0, 0,              # 11-12 level value
+            23,                # 13    year of century (2023)
+            7, 1, 0, 0,        # 14-17 month/day/hour/minute
+            1,                 # 18    time unit: hour
+            0, 0, 0,           # 19-21 P1/P2/TRI: analysis
+            0, 0,              # 22-23 number in average
+            0,                 # 24    number missing
+            21,                # 25    century
+            0,                 # 26    sub-centre
+            0x00, 0x00,        # 27-28 decimal scale D = 0
+        ]
+    )
+    gds = bytes(
+        [
+            0x00, 0x00, 0x20,  # 1-3   section length 32
+            0, 255,            # 4-5   NV = 0, PV/PL none
+            50,                # 6     data representation: spherical harmonics
+            0x00, 0x02,        # 7-8   J = 2
+            0x00, 0x02,        # 9-10  K = 2
+            0x00, 0x02,        # 11-12 M = 2
+            1,                 # 13    representation type 1
+            1,                 # 14    mode 1
+        ]
+    ) + bytes(18)              # 15-32 reserved padding
+    bds = bytes(
+        [
+            0x00, 0x00, 0x24,  # 1-3   section length 36 (even)
+            0xC0,              # 4     flags 1100 (spectral + complex)
+            0x00, 0x00,        # 5-6   binary scale E = 0
+            0x00, 0x00, 0x00, 0x00,  # 7-10 R = IBM +0.0
+            8,                 # 11    bits per value
+            0x00, 0x1B,        # 12-13 N = 27
+            0x03, 0xE8,        # 14-15 IP = 1000 (P = +1)
+            0, 0, 0,           # 16-18 J1/K1/M1 = 0 (TS = 0)
+            0x41, 0x70, 0x00, 0x00,  # 19-22 re00 = IBM +7.0
+            0x00, 0x00, 0x00, 0x00,  # 23-26 im00 = IBM +0.0
+        ]
+    ) + bytes([2, 0, 18, 0, 10, 12, 42, 48, 54, 60])  # 27-36 packed
+    assert len(bds) == 36
+    total = 8 + len(pds) + len(gds) + len(bds) + 4
+    return (
+        b"GRIB"
+        + total.to_bytes(3, "big")
+        + bytes([1])
+        + pds
+        + gds
+        + bds
+        + b"7777"
+    )
+
+
+def test_foreign_spectral_complex_grib1_decodes_to_pinned_values():
+    """Foreign-bytes witness for edition-1 complex spherical-harmonic
+    packing: the N pointer, IP Laplacian power, J1/K1/M1 sub-spectrum
+    and the weight division are pinned against hand-computed octets the
+    engine's encoder never produced."""
+    from monitoring_data_ingestion_spark.grid.grib1 import decode_grib1
+
+    rec = decode_grib1(_foreign_grib1_spectral_complex())
+    assert rec.spectral_truncation == 2
+    assert rec.spectral_sub_truncation == 0
+    np.testing.assert_allclose(
+        rec.spectral_coeffs,
+        [7 + 0j, 1 + 0j, 3 + 0j, 5 + 6j, 7 + 8j, 9 + 10j],
+        rtol=0, atol=0,
+    )
+
+
+def _foreign_grib2_spatial_diff_missing() -> bytes:
+    """GRIB2 template 5.3 (order 1) WITH missing-value management 1,
+    hand-assembled — the NCEP-precipitation combination: differencing
+    runs over the NON-MISSING subsequence only, the missing point
+    rides in-data as the all-ones value at group width.
+
+    Target X = [10, 12, MISS, 16, 15, 20] on `_foreign_grib2`'s 3x2
+    grid.  Present subsequence [10, 12, 16, 15, 20]: ival1 = 10,
+    first differences [2, 4, -1, 5], gmin = -1 (sign-magnitude 0x81 at
+    ww = 1), stored deviations (diff - gmin, leading 0 entry = -gmin)
+    = [1, 3, 5, 0, 6] scattered to present positions; the missing
+    position packs as the all-ones marker 7 at width 3.  ONE group of
+    6: reference 0 at 1 bit, width 3 via the s5 width reference
+    (0-bit increments), packed stream [1,3,7,5,0,6] @3 bits =
+    0x2F 0xD1 0x80.
+
+    Y = (3.25 + X·2^-1)/10^1 → [0.825, 0.925, NaN, 1.125, 1.075,
+    1.325].
+    """
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 49, 5)
+        + struct.pack(">I", 6)        # packed points
+        + struct.pack(">H", 3)        # template 5.3
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25 IEEE 754
+        + bytes([0x80, 0x01])         # E = -1 (sign-magnitude)
+        + bytes([0x00, 0x01])         # D = +1
+        + bytes([1])                  # bits per group reference
+        + bytes([0])                  # original field type: float
+        + bytes([1])                  # group splitting: general
+        + bytes([1])                  # missing value management 1
+        + struct.pack(">f", 9999.0)   # primary missing substitute
+        + b"\xff\xff\xff\xff"         # secondary substitute (none)
+        + struct.pack(">I", 1)        # NG = 1 group
+        + bytes([3])                  # reference for group widths
+        + bytes([0])                  # bits per width increment
+        + struct.pack(">I", 6)        # reference for group lengths
+        + bytes([1])                  # length increment
+        + struct.pack(">I", 6)        # true length of the last group
+        + bytes([0])                  # bits per length increment
+        + bytes([1])                  # spatial differencing order 1
+        + bytes([1])                  # ww: extra descriptors 1 octet
+    )
+    assert len(sec5) == 49
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    payload = (
+        bytes([0x0A])        # ival1 = 10 (1 octet, sign-magnitude)
+        + bytes([0x81])      # gmin = -1 (sign-magnitude)
+        + bytes([0x00])      # group reference 0 @1 bit (byte-aligned)
+        + bytes([0x2F, 0xD1, 0x80])  # [1,3,7,5,0,6] @3 bits
+    )
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_spatial_diff_missing_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for 5.3 × mvm=1: subsequence-only
+    differencing, the in-data all-ones missing marker and the
+    descriptor block are pinned against hand-computed octets the
+    engine's encoder never produced."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_spatial_diff_missing())
+    assert rec.packing_template == 3
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.825, 0.925, np.nan], [1.125, 1.075, 1.325]],
+        rtol=0, atol=1e-12,
+    )

@@ -558,6 +558,82 @@ def test_reduced_gaussian_roundtrip_cells_and_guards():
         decode_grib1(bytes(bad))
 
 
+def test_spectral_complex_packing_roundtrip_and_guards():
+    """Edition-1 COMPLEX spherical-harmonic packing (BDS flags 0b1100 —
+    the ECMWF gribex compact archive form): the n <= TS sub-spectrum
+    rides UNPACKED as IBM-32 floats behind the octet-12 N pointer and
+    every remaining value is Laplacian-weighted (n(n+1))^P before
+    simple packing — the SAME split as GRIB2 template 5.51, so with
+    p = 1 integer weights the round trip is bit-exact."""
+    t = 5
+    npairs = (t + 1) * (t + 2) // 2
+    k = np.arange(npairs)
+    re = ((7 * k + 13) % 101) - 50
+    im = np.where(k <= t, 0, ((5 * k + 11) % 101) - 50)
+    c = (re + 1j * im).astype(complex)
+
+    for sub in (0, 1, 3):
+        msg = encode_grib1_message(
+            c,
+            spectral=dict(truncation=t, sub_truncation=sub, laplacian=1.0),
+            nbits=16,
+        )
+        rec = decode_grib1(msg)
+        assert rec.spectral_truncation == t
+        assert rec.spectral_sub_truncation == sub
+        assert np.array_equal(rec.spectral_coeffs, c)
+    # simple form keeps sub_truncation None
+    simple = decode_grib1(
+        encode_grib1_message(c, spectral=dict(truncation=t), nbits=8)
+    )
+    assert simple.spectral_sub_truncation is None
+    assert np.array_equal(simple.spectral_coeffs, c)
+
+    # encode guards: TS must leave n = 0 unpacked and stay below T
+    with pytest.raises(ValueError, match="0 <= TS < T"):
+        encode_grib1_message(c, spectral=dict(truncation=t, sub_truncation=t))
+    with pytest.raises(ValueError, match="0 <= TS < T"):
+        encode_grib1_message(
+            c, spectral=dict(truncation=t, sub_truncation=-1)
+        )
+    with pytest.raises(ValueError, match="16-bit IP"):
+        encode_grib1_message(
+            c,
+            spectral=dict(truncation=t, sub_truncation=1, laplacian=40.0),
+        )
+
+    # decode guards on patched bytes
+    good = encode_grib1_message(
+        c, spectral=dict(truncation=t, sub_truncation=1, laplacian=1.0),
+        nbits=16,
+    )
+    pds_len = int.from_bytes(good[8:11], "big")
+    gds_len = int.from_bytes(good[8 + pds_len : 8 + pds_len + 3], "big")
+    bds_off = 8 + pds_len + gds_len
+    # a pointer N disagreeing with the J1 sub-spectrum is corrupt
+    bad = bytearray(good)
+    bad[bds_off + 11 : bds_off + 13] = (25).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="disagrees with the TS=1"):
+        decode_grib1(bytes(bad))
+    # a pentagonal (non-triangular) sub-truncation stops loudly
+    bad = bytearray(good)
+    bad[bds_off + 16] = 2  # K1 != J1
+    with pytest.raises(ValueError, match="triangular sub-truncation"):
+        decode_grib1(bytes(bad))
+    # a sub-truncation >= T stops loudly
+    bad = bytearray(good)
+    for o in (15, 16, 17):
+        bad[bds_off + o] = t
+    with pytest.raises(ValueError, match="below T"):
+        decode_grib1(bytes(bad))
+    # complex flag + octet-14 extended flags is a grid-point layout
+    # leaking into a spectral BDS — malformed, never guessed
+    bad = bytearray(good)
+    bad[bds_off + 3] |= 0x10
+    with pytest.raises(ValueError, match="extended flags is malformed"):
+        decode_grib1(bytes(bad))
+
+
 def test_reduced_grid_bitmap_and_predefined_bitmap_roundtrip():
     """BITMAP composes with reduced grids (the masked-ocean-field-on-a
     -thinned-grid shape real ERA5-era archives ship), and
@@ -1054,12 +1130,14 @@ def test_every_truncation_point_raises_valueerror_grib1():
         decode_grib1(bytes(lied))
 
 
-def test_grib1_complex_spectral_is_a_documented_boundary():
-    """The edition-1 COMPLEX spectral form (flag bits 0b1100 — a
-    sub-spectrum pointer with per-producer layouts) stays a documented
-    loud boundary, named as such: the error points at the supported
-    GRIB2 sibling (template 5.51) rather than claiming the record is
-    grid-point data."""
+def test_grib1_simple_spectral_with_forged_complex_flag_stops_loudly():
+    """Raising the complex-packing flag bit on a SIMPLE spectral BDS
+    (whose octets 12-15 hold the unpacked (0,0) IBM float, not the
+    N/IP/J1K1M1 head) must stop on the head validation — the forged
+    layout would otherwise decode the float bytes as stream pointers.
+    (Until r15 this flag combination was a wholesale documented
+    boundary; the complex form now decodes —
+    test_spectral_complex_packing_roundtrip_and_guards.)"""
     import pytest
 
     t = 3
@@ -1071,8 +1149,11 @@ def test_grib1_complex_spectral_is_a_documented_boundary():
     pds_len = int.from_bytes(msg[8:11], "big")
     gds_off = 8 + pds_len
     bds_off = gds_off + int.from_bytes(msg[gds_off : gds_off + 3], "big")
-    msg[bds_off + 3] |= 0x40  # raise the complex-packing flag bit
-    with pytest.raises(ValueError, match="GRIB1 spectral complex packing"):
+    msg[bds_off + 3] |= 0x40  # forge the complex-packing flag bit
+    with pytest.raises(
+        ValueError,
+        match="sub-truncation|disagrees|truncated",
+    ):
         decode_grib1(bytes(msg))
 
 

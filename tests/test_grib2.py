@@ -408,6 +408,77 @@ def test_missing_value_management_all_missing_group_marker():
     assert np.array_equal(rec.values[[0, 2]], v[[0, 2]])
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    nj=st.integers(2, 7),
+    ni=st.integers(3, 10),
+    group_len=st.integers(1, 25),
+    order=st.integers(1, 2),
+    frac=st.floats(0.05, 0.8),
+    seed=st.integers(0, 2**31),
+)
+def test_spatial_diff_with_missing_value_management_property(
+    nj, ni, group_len, order, frac, seed
+):
+    """Template 5.3 × missing-value management 1 — the combination
+    NCEP precipitation products ship: differencing runs over the
+    NON-MISSING subsequence only (g2clib's comunpack convention),
+    missing points ride in-data as all-ones group markers.  Present
+    cells bit-exact, missing cells NaN, for any missing density that
+    leaves ≥ order+1 present points."""
+    rng = np.random.default_rng(seed)
+    walk = np.cumsum(rng.integers(-6, 9, size=nj * ni)).astype(np.float64)
+    v = (walk - walk.min()).reshape(nj, ni)
+    mm = rng.random((nj, ni)) < frac
+    if (~mm).sum() < order + 1:
+        mm[:] = False
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex_diff", spatial_diff_order=order,
+            group_len=group_len, missing_mask=mm,
+        )
+    )
+    assert rec.packing_template == 3
+    assert np.isnan(rec.values[mm]).all()
+    assert np.array_equal(rec.values[~mm], v[~mm])
+
+
+def test_spatial_diff_mvm_edges():
+    """Deterministic edges of the 5.3 × mvm combination: a whole
+    missing group, exactly order+1 present points, and the too-few-
+    present encode guard."""
+    v = np.arange(24, dtype=np.float64).reshape(4, 6)
+    mm = np.zeros((4, 6), dtype=bool)
+    mm[1, :] = True  # one whole group missing at group_len=6
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex_diff", spatial_diff_order=2,
+            group_len=6, missing_mask=mm, reference_value=0.0,
+        )
+    )
+    assert np.isnan(rec.values[1]).all()
+    assert np.array_equal(rec.values[~mm], v[~mm])
+    # exactly order+1 present points still reconstructs
+    mm3 = np.ones((4, 6), dtype=bool)
+    mm3.reshape(-1)[[3, 11, 17]] = False
+    rec3 = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex_diff", spatial_diff_order=2,
+            missing_mask=mm3, reference_value=0.0,
+        )
+    )
+    assert np.array_equal(rec3.values[~mm3], v[~mm3])
+    assert np.isnan(rec3.values[mm3]).all()
+    # fewer present points than the order cannot difference
+    mm4 = np.ones((4, 6), dtype=bool)
+    mm4.reshape(-1)[5] = False
+    with pytest.raises(ValueError, match="not enough present points"):
+        encode_grib2_message(
+            v, packing="complex_diff", spatial_diff_order=2,
+            missing_mask=mm4,
+        )
+
+
 def test_all_points_missing_roundtrips():
     mm = np.ones((3, 4), dtype=bool)
     rec = decode_grib2(
@@ -445,14 +516,20 @@ def test_complex_scaled_arithmetic_matches_declared_formula():
     assert rec.reference_value == 100.0 and rec.binary_scale == 1
 
 
-def test_spatial_diff_with_missing_rejected_loudly():
-    v = np.ones((2, 6))
+def test_spatial_diff_with_missing_roundtrips():
+    # the 5.3 x mvm combination DECODES since r15 (subsequence-only
+    # differencing — see test_spatial_diff_with_missing_value_
+    # management_property); this pins the minimal former-reject shape
+    v = np.arange(12, dtype=np.float64).reshape(2, 6)
     mm = np.zeros((2, 6), dtype=bool)
     mm[0, 0] = True
-    with pytest.raises(ValueError, match="missing"):
+    rec = decode_grib2(
         encode_grib2_message(
             v, reference_value=0.0, packing="complex_diff", missing_mask=mm
         )
+    )
+    assert np.isnan(rec.values[0, 0])
+    assert np.array_equal(rec.values[~mm], v[~mm])
 
 
 def test_corrupt_group_lengths_rejected():
@@ -750,9 +827,12 @@ def test_raster_packings_with_all_false_bitmap_round_trip():
 
 
 def test_unknown_product_definition_template_rejected():
-    """PDT 4.30 (satellite) does not share 4.0's level octets — decoding
-    its levels through 4.0 offsets would emit garbage metadata; both the
-    full decode and the header-only inventory must reject (review r8)."""
+    """An UNKNOWN product definition template (4.40, atmospheric
+    chemistry — its constituent octets shift the fixed surfaces) does
+    not share 4.0's level octets: decoding its levels through 4.0
+    offsets would emit garbage metadata; both the full decode and the
+    header-only inventory must reject (review r8; the patch target was
+    4.30 until it gained its own decode in r15)."""
     import struct
 
     from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
@@ -762,7 +842,7 @@ def test_unknown_product_definition_template_rejected():
     while pos < len(msg) - 4:
         ln, num = struct.unpack_from(">IB", msg, pos)
         if num == 4:
-            struct.pack_into(">H", msg, pos + 7, 30)
+            struct.pack_into(">H", msg, pos + 7, 40)
             break
         pos += ln
     with pytest.raises(ValueError, match="product definition template"):
@@ -3180,10 +3260,10 @@ def test_satellite_pdt_guards_and_documented_boundaries():
     """Satellite-family guards: encode rejects plain-satellite
     statistical / level2 / forecast-on-4.31 combinations and empty
     band lists; decode stops loudly on a zero band count and on
-    truncated band lists; 4.30 stays a documented boundary with a
-    NAMED error (deprecated: its band block is one octet narrower per
-    band than 4.31's, so reading it with 4.31 offsets would shear
-    every band); and mis-labelled 4.33/4.34/4.20 octets stop loudly
+    truncated band lists; an unknown template (4.40) keeps the NAMED
+    unsupported-template error (4.30 decodes since r15 through its own
+    10-octet band width — test_deprecated_satellite_pdt_4_30); and
+    mis-labelled 4.33/4.34/4.20 octets stop loudly
     rather than mis-slicing (their positive decodes are witnessed by
     test_ensemble_satellite_pdt_4_33_34 / test_radar_pdt_4_20)."""
     import struct
@@ -3254,11 +3334,12 @@ def test_satellite_pdt_guards_and_documented_boundaries():
     struct.pack_into(">Q", trimmed, 8, len(trimmed))
     with pytest.raises(ValueError, match="truncated product definition"):
         decode_grib2(bytes(trimmed))
-    # documented boundary: a named error, never a family-offset read
-    # (4.20/4.33/4.34 decode since r14 — witnessed by their own tests)
+    # unknown-template boundary: a named error, never a family-offset
+    # read (4.20/4.33/4.34 decode since r14, 4.30 since r15 — each
+    # witnessed by its own test)
     patched = bytearray(msg)
-    patched[pos + 8] = 30
-    with pytest.raises(ValueError, match="deprecated satellite"):
+    struct.pack_into(">H", patched, pos + 7, 40)
+    with pytest.raises(ValueError, match="product definition template 40"):
         decode_grib2(bytes(patched))
     # a 4.31 message whose PDT octet is bumped into the 33/34/20
     # layouts stops loudly (their offsets land on band octets — NB
@@ -3345,6 +3426,72 @@ def test_ensemble_satellite_pdt_4_33_34():
             v,
             satellite=dict(bands=bands),
             ensemble=dict(type=3, member=7, size=20),
+        )
+
+
+def test_deprecated_satellite_pdt_4_30():
+    """PDT 4.30 (DEPRECATED satellite — pre-2003 archives): 4.31's
+    leading layout with a band block one octet NARROWER per band (the
+    instrument type is a single octet), so each template must decode
+    through its own width — a 4.31-offset read would shear every band
+    after the first.  Decodes to the same satellite_* landing columns;
+    no fixed surfaces, no lead."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    msg = encode_grib2_message(
+        v,
+        discipline=3,
+        category=0,
+        number=7,
+        satellite=dict(
+            deprecated=True,
+            bands=[
+                dict(series=333, number=57, instrument=205,
+                     scale=-3, value=1034),
+                dict(series=333, number=58, instrument=207,
+                     scale=0, value=718),
+            ],
+        ),
+        reference_value=0.0,
+        nbits=8,
+    )
+    r = decode_grib2(msg)
+    assert r.product_template == 30
+    assert r.satellite_bands == 2
+    assert r.satellite_series == (333, 333)
+    assert r.satellite_numbers == (57, 58)
+    assert r.satellite_instruments == (205, 207)
+    assert r.central_wavenumbers == (1_034_000.0, 718.0)
+    assert r.level_type is None and r.forecast_hours is None
+    assert np.array_equal(r.values, v)
+    # both inventory surfaces list it with NULL level and lead
+    assert inventory_line(msg) == "d3:c0,n7:l-/-:2020010100:f-"
+    # byte-identical leading layout, shifted band read: the SAME band
+    # bytes reinterpreted as 4.31 must NOT silently decode — the
+    # 11-octet width runs past the section end
+    patched = bytearray(msg)
+    pos = 16
+    while patched[pos + 4] != 4:
+        pos += int.from_bytes(patched[pos : pos + 4], "big")
+    patched[pos + 8] = 31
+    with pytest.raises(ValueError, match="truncated product definition"):
+        decode_grib2(bytes(patched))
+    # encode guards: observational only, and a >255 instrument cannot
+    # silently truncate into the 1-octet field
+    with pytest.raises(ValueError, match="observational only"):
+        encode_grib2_message(
+            v,
+            satellite=dict(
+                deprecated=True, simulated=True,
+                bands=[dict(series=1, number=1, instrument=1, value=5)],
+            ),
+        )
+    with pytest.raises(ValueError, match="instrument type"):
+        encode_grib2_message(
+            v,
+            satellite=dict(
+                deprecated=True,
+                bands=[dict(series=1, number=1, instrument=600, value=5)],
+            ),
         )
 
 
@@ -3497,8 +3644,9 @@ def test_grid_and_packing_corruption_guards():
     every coordinate (a millidegree-unit grid read as microdegrees is
     1000x geography corruption); (b) a complex-packing width octet
     past 63 bits wraps uint64 shifts; (c) the codec-level inventory
-    applies the same template gate as the decode, so a 4.30 record
-    cannot render its band octets as a fake level; (d) match_records
+    applies the same template gate as the decode, so an unknown-
+    template record cannot render its octets as a fake level; (d)
+    match_records
     with limit=0 selects nothing."""
     from monitoring_data_ingestion_spark.grid.grib2 import (
         inventory_lines,
@@ -3535,7 +3683,7 @@ def test_grid_and_packing_corruption_guards():
     p4 = 16
     while pbad[p4 + 4] != 4:
         p4 += int.from_bytes(pbad[p4 : p4 + 4], "big")
-    pbad[p4 + 8] = 30
+    pbad[p4 + 8] = 40
     with pytest.raises(ValueError, match="unsupported product definition"):
         inventory_lines(bytes(pbad))
     # (d) limit=0

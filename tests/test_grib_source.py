@@ -432,7 +432,7 @@ def test_quarantine_mode_lands_errors_and_continues(spark, tmp_path):
     pos = 16
     while bad[pos + 4] != 4:
         pos += int.from_bytes(bad[pos : pos + 4], "big")
-    bad[pos + 8] = 30  # unsupported PDT 4.30 (deprecated satellite)
+    bad[pos + 8] = 40  # unsupported PDT 4.40 (atmospheric chemistry)
     landing = str(tmp_path / "landing")
     os.makedirs(landing)
     with open(os.path.join(landing, "mixed.grib"), "wb") as f:
@@ -461,7 +461,7 @@ def test_quarantine_mode_lands_errors_and_continues(spark, tmp_path):
     ]
     errs = {(p, n): r["error"] for (p, n), r in zip(by, rows)}
     assert errs[("mixed.grib", 1)] is None
-    assert "template 30" in errs[("mixed.grib", 2)]
+    assert "template 40" in errs[("mixed.grib", 2)]
     assert errs[("mixed.grib", 3)] is None
     assert errs[("torn.grib", 1)] is None
     assert errs[("torn.grib", 2)].startswith("record framing")
