@@ -18,143 +18,84 @@ from pyspark.sql import DataFrame, SparkSession
 from monitoring_data_ingestion_spark.plans import REGISTRY
 
 # The driver's correctness harness witnesses the FIRST 50 entries of
-# ``queries()``.  Cumulative driver coverage through round 13 is 284/284
-# green (zero failures ever), so the window's job is REGRESSION
-# DETECTION under a STANDING ROTATION SCHEDULE:
+# ``queries()``.  Standing rotation rule (full per-round rationale:
+# WINDOWS.md): 1. queries with NO driver witness yet; 2. queries whose
+# implementation CHANGED this round; 3. the OLDEST-witnessed cohort,
+# alphabetical within a cohort, filling to exactly 50 — leftovers are
+# the explicit FRONT of next round's queue.
 #
-#   1. queries with NO driver witness yet (new this round) — always
-#      first;
-#   2. queries whose implementation CHANGED this round — re-witness;
-#   3. the cohort whose last driver witness is OLDEST, oldest first,
-#      filling the window to exactly 50; anything that doesn't fit is
-#      the explicit front of NEXT round's queue.
-#
-# Witness ages entering round 14 (from CORRECTNESS_r01-r13): the 43
-# spilled r7 names listed verbatim in the r13 queue comment (agg_cube
-# ... stream_psi_drift) are the oldest cohort (last witnessed r7 —
-# seven rounds), then the r8 cohort, then r9-r13.  Round 14 takes the
-# 4 NEW queries first:
-#   grid_grib1_reduced_scan — QUASI-REGULAR (reduced) Gaussian
-#     EDITION-1 grids, ECMWF's native ERA5 archive layout (the r13
-#     verdict's top codec item): Ni coded missing, per-parallel point
-#     counts in the GDS PL list, ragged rows landing FLAT with
-#     per-cell coordinates and exact quadrature microdegree latitudes
-#     on the SAME contract as GRIB2's reduced template 3.40; witnessed
-#     additionally by a hand-assembled foreign-bytes test with
-#     hand-computed N=1 quadrature values;
-#   grid_grib2_ensemble_satellite_scan — PDTs 4.33/4.34 (ensemble
-#     simulated satellite, the r13 verdict's item 4): 4.32's leading
-#     layout, the three 4.1-style ensemble octets AFTER the band list
-#     landing in the unified ensemble columns, and 4.34's statistical
-#     block at its VARIABLE offset after those (the second
-#     count-dependent statistical base besides 4.13/4.14);
-#   grid_grib2_radar_scan — PDT 4.20 (radar, the r13 verdict's item 5,
-#     decided: DECODE): the site-based layout sharing nothing past the
-#     parameter octets with the 4.0 family — site coordinates
-#     (sign-magnitude µdeg, negative longitude witnessed), elevation,
-#     CCITT-IA5 + numeric ids and operating mode land in new radar_*
-#     columns, levels/lead NULL; the deprecated 4.30 is now the ONE
-#     remaining named product-template boundary;
-#   stream_late_landing_pickup — the r13 streaming hardening witnessed
-#     through the driver (the r13 verdict's item 6): months 1-11 drain
-#     through an AvailableNow pass, month 12 lands with a 2000-01-01
-#     mtime (the rsync/cp -p backfill shape) and a checkpoint-resume
-#     drain must pick it up — under FileStreamSource's 7-day default
-#     it is provably dropped (negative control in the r14 session),
-#     so a maxFileAge regression hash-mismatches here.
-# Then the 8 queries whose implementation CHANGED in r14:
-# grid_grib_quarantine_scan (its semantic-reject fixture record now
-# patches PDT 30 — the deprecated-satellite boundary — because 4.20
-# decodes; same 4-row oracle pattern) and grid_grib2_satellite_scan
-# (the satellite decode branch now dispatches 31/32/33/34 together and
-# the encoder's product-exclusion logic was restructured to admit the
-# ensemble+satellite pair — behavior-identical for 4.31/4.32, swept in
-# tests, but the touched path re-witnesses), plus the six
-# inventory/match-surface queries behind the template gates that grew
-# 20/33/34 on BOTH inventory surfaces (_grib2_field_header and the
-# codec-level _field_inventory) and the inspect_grib1 NULL-ni
-# rendering for reduced grids (grid_grib_inventory_scan,
-# grid_grib1_inventory, grid_grib_inventory_robust_scan,
-# grid_grib2_match_decode, grid_grib2_match_level_decode,
-# grid_grib_match_lead_scan).  decode_grib1's flag dispatch was
-# restructured again for second-order (bit-2-with-bit-4 now decodes;
-# bit-2-alone and bit-4-alone keep loud stops with sharper names) —
-# additive for every existing record shape, swept by the codec suite.
-# The remaining grib1-decode queries sit
-# downstream only of decode_grib1's additive reduced branch and the
-# mechanical n_present -> total_cells hoist (bit-identical for
-# non-reduced records, swept by the codec suite, full local driver-sim
-# green at HEAD) and the landing queries downstream only of the
-# additive radar RECORD_SCHEMA growth — the seven-round-old queue
-# evidence outranks them, the same documented judgment as the r12
-# cluster-column and r13 dispatch-restructure windows.  Per the
-# standing rule the queue fills the rest: the first 35 of the 43
-# spilled r7 names, verbatim from the r13 queue comment.
-# 7 + 8 + 35 = exactly 50.  The remaining 8 r7 names
-# (q21_late_suppliers, q22_idle_customers, sample_neyman_allocation,
-# sketch_bloom_membership, sketch_count_min_tokens,
-# sketch_hll_distinct, sketch_quantile_histogram, stream_psi_drift)
-# spill to the FRONT of round 15's queue, followed by the r8 cohort.
-# Every entry outside the window stays locally oracle-checked each
-# session (tests/test_oracle.py), and the flagship pipeline stays
-# driver-checked through the ``entry`` smoke.
+# Round 15 window: 4 NEW (reduced-grid/predefined bitmaps, edition-1
+# complex spectral, 5.3×mvm, PDT 4.30 — the round's codec items) +
+# 8 CHANGED (radar scan: missing-site-coordinate sentinel; quarantine
+# scan: its reject fixture moved off the now-decoding PDT 30 to PDT
+# 40; satellite scan: dispatch admits 30; and the five GRIB2-facing
+# inventory/match queries behind the grown template-30 gates on both
+# inventory surfaces) + the 8 spilled r7 names + the first 30 of the
+# 34-name r8 cohort.  4 + 8 + 38 = exactly 50.  The remaining 4 r8
+# names (window_first_last, window_range_frame, window_rank,
+# window_running_sum) spill to the FRONT of round 16's queue, followed
+# by the r9 cohort.  grid_grib1_inventory is NOT changed this round
+# (inspect_grib1's header surface is untouched by the GRIB1 bitmap/
+# spectral work); the remaining decode queries sit downstream only of
+# additive branches (bit-identical for every previously-decodable
+# shape, swept by the codec suite + full local driver-sim at HEAD) —
+# the 7-8-round-old queue evidence outranks them, the documented
+# r12/r13/r14 judgment.  WINDOWS.md carries the r1-r15 ledger.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 14 (first driver witness) ---
-    "grid_grib1_reduced_scan",
-    "grid_grib2_ensemble_satellite_scan",
+    # --- 1. new in round 15 (first driver witness) ---
+    "grid_grib1_reduced_bitmap_scan",
+    "grid_grib1_spectral_complex_scan",
+    "grid_grib2_diff_missing_scan",
+    "grid_grib2_deprecated_satellite_scan",
+    # --- 2. changed in round 15 ---
     "grid_grib2_radar_scan",
-    "stream_late_landing_pickup",
-    "grid_grib1_second_order_scan",
-    "grid_geotiff_publish_scan",
-    "grid_grib1_reduced_latlon_scan",
-    # --- 2. changed in round 14: the quarantine fixture's new reject
-    #     template, the satellite dispatch/encoder restructure, and the
-    #     six inventory/match queries behind the grown template gates ---
     "grid_grib_quarantine_scan",
     "grid_grib2_satellite_scan",
     "grid_grib_inventory_scan",
-    "grid_grib1_inventory",
     "grid_grib_inventory_robust_scan",
     "grid_grib2_match_decode",
     "grid_grib2_match_level_decode",
     "grid_grib_match_lead_scan",
-    # --- 3. oldest cohort: the first 38 of the 43 spilled r7 names,
-    #     verbatim from the r13 queue comment ---
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_incremental_maintenance",
-    "agg_minmax_running",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "agg_stddev",
-    "dedup_exact_keep_first",
-    "dq_psi_drift",
-    "dq_schema_profile_drift",
-    "filter_bbox_pushdown",
-    "filter_rlike_limit",
-    "first_after_filter",
-    "graph_assortativity",
-    "graph_customer_similarity",
-    "graph_hits_authorities",
-    "graph_incremental_edges",
-    "graph_triangle_census_indexed",
-    "grid_hillshade",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_positional_lookup",
-    "knn_ivf_partitioned",
-    "project_null_sentinel",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
+    # --- 3. oldest cohorts: the 8 spilled r7 names, then the first 30
+    #     (alphabetical) of the 34-name r8 cohort ---
+    "q21_late_suppliers",
+    "q22_idle_customers",
+    "sample_neyman_allocation",
+    "sketch_bloom_membership",
+    "sketch_count_min_tokens",
+    "sketch_hll_distinct",
+    "sketch_quantile_histogram",
+    "stream_psi_drift",
+    "agg_approx_quantile",
+    "agg_hll_sketch_union",
+    "contamination_ngram_overlap",
+    "contamination_shingle_join",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh_capped",
+    "dedup_minhash_survivors",
+    "doc_chunk_sliding",
+    "doc_token_dedup",
+    "grid_polygon_clip",
+    "grid_regrid_coarsen",
+    "grid_shapefile_clip",
+    "knn_ivf_pq",
+    "knn_ivf_trained",
+    "q2_min_price_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "scalar_conditional_hash",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_strings",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi_key",
+    "topk_orders",
 )
 
 

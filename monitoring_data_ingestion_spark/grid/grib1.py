@@ -896,6 +896,11 @@ def encode_grib1_message(
         present = present[bm.reshape(-1)]
     spec_head = b""
     if spec_sub is not None:
+        if second_order is not None:
+            # same loudness as the simple-spectral combination below —
+            # silently dropping a contradictory argument would encode
+            # a message that does not reflect the caller's intent
+            raise ValueError("second-order packing is grid-point only")
         from .grib2 import _spectral_degrees  # lazy: grib2 imports grib1
 
         deg2 = _spectral_degrees(spec_t)
@@ -1683,10 +1688,8 @@ def decode_grib1(
         total_cells = int(row_ni.sum()) if row_ni is not None else ni * nj
     bitmap = None
     if has_bms:
-        if spectral_truncation is not None:
-            # spectral data has no cells to mask; unpacking bits
-            # against a None cell count would fail opaquely below
-            raise ValueError("spectral data carries no bitmap")
+        # (spectral + BMS already stopped in the GDS type-50 branch,
+        # so total_cells is always an int here)
         bms_len = _r24(msg, pos)
         bms = msg[pos : pos + bms_len]
         pre_num = int.from_bytes(bms[4:6], "big")

@@ -866,50 +866,35 @@ def _build_complex_s57(
             raise ValueError(
                 f"unsupported spatial differencing order {spatial_order}"
             )
+        # mvm composes with spatial differencing by differencing the
+        # NON-MISSING subsequence only (the g2clib convention NCEP
+        # precipitation products encode under): missing points pack as
+        # group markers exactly as on 5.2, and the descriptors
+        # describe the present subsequence.  The dense (no-mvm) case
+        # is the SAME arithmetic with every point present.
+        pres_idx = (
+            np.arange(n) if missing is None else np.flatnonzero(~missing)
+        )
+        if len(pres_idx) < spatial_order:
+            raise ValueError(
+                "not enough present points for spatial differencing"
+            )
+        d = x[pres_idx].copy()
+        ivals = [int(v) for v in d[:spatial_order]]
+        if spatial_order == 1:
+            d[1:] = np.diff(d)
+        else:
+            d[2:] = d[2:] - 2 * d[1:-1] + d[:-2] if len(d) > 2 else d[2:]
+            d[1] = 0
+        d[0] = 0
+        gmin = int(d.min()) if len(d) else 0
+        d -= gmin
+        x[pres_idx] = d
         if missing is not None:
-            # mvm composes with spatial differencing by differencing
-            # the NON-MISSING subsequence only (the g2clib convention
-            # NCEP precipitation products encode under): missing
-            # points pack as group markers exactly as on 5.2, and the
-            # descriptors describe the present subsequence.
-            pres_idx = np.flatnonzero(~missing)
-            if len(pres_idx) < spatial_order:
-                raise ValueError(
-                    "not enough present points for spatial differencing"
-                )
-            d = x[pres_idx].copy()
-            ivals = [int(v) for v in d[:spatial_order]]
-            if spatial_order == 1:
-                d[1:] = np.diff(d)
-            else:
-                d[2:] = (
-                    d[2:] - 2 * d[1:-1] + d[:-2] if len(d) > 2 else d[2:]
-                )
-                d[1] = 0
-            d[0] = 0
-            gmin = int(d.min()) if len(d) else 0
-            d -= gmin
-            x[pres_idx] = d
             # entries at missing positions never pack as values (the
             # group loop writes the all-ones marker); zero them so the
             # group references stay tight
             x[missing] = 0
-        else:
-            if n < spatial_order:
-                raise ValueError(
-                    "not enough points for spatial differencing"
-                )
-            if spatial_order == 1:
-                ivals = [int(x[0])]
-                x[1:] = np.diff(x)
-                x[0] = 0
-            else:
-                ivals = [int(x[0]), int(x[1])]
-                x[2:] = x[2:] - 2 * x[1:-1] + x[:-2] if n > 2 else x[2:]
-                x[0] = 0
-                x[1] = 0
-            gmin = int(x.min()) if n else 0
-            x -= gmin
         ww = 1
         while any(abs(v) >= 1 << (8 * ww - 1) for v in ivals + [gmin]):
             ww += 1
@@ -1114,46 +1099,31 @@ def _decode_complex_s7(
         pos += length
 
     if tmpl5 == 3:
-        if mvm:
-            # With missing-value management the differencing ran over
-            # the NON-MISSING subsequence only (g2clib's comunpack
-            # convention): reconstruct on that subsequence and scatter
-            # back; missing points stay missing.
-            pres_idx = np.flatnonzero(~miss)
-            d = x[pres_idx] + gmin
-            m = len(pres_idx)
-            sub = np.empty(m, dtype=np.int64)
-            if order == 1:
-                if m > 0:
-                    sub[0] = ivals[0]
-                if m > 1:
-                    sub[1:] = ivals[0] + np.cumsum(d[1:])
-            else:
-                if m > 0:
-                    sub[0] = ivals[0]
-                if m > 1:
-                    sub[1] = ivals[1]
-                if m > 2:
-                    g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
-                    sub[2:] = ivals[1] + np.cumsum(g1)
-            x = np.zeros(n_points, dtype=np.int64)
-            x[pres_idx] = sub
+        # With missing-value management the differencing ran over the
+        # NON-MISSING subsequence only (g2clib's comunpack
+        # convention): reconstruct on that subsequence — second
+        # differences → first differences → values — and scatter back;
+        # missing points stay missing.  The dense (mvm = 0) case is
+        # the SAME arithmetic with every point present.
+        pres_idx = np.arange(n_points) if not mvm else np.flatnonzero(~miss)
+        d = x[pres_idx] + gmin  # entries below ``order`` overwritten next
+        m = len(pres_idx)
+        sub = np.empty(m, dtype=np.int64)
+        if order == 1:
+            if m > 0:
+                sub[0] = ivals[0]
+            if m > 1:
+                sub[1:] = ivals[0] + np.cumsum(d[1:])
         else:
-            d = x + gmin  # entries below ``order`` are overwritten next
-            if order == 1:
-                x = np.empty(n_points, dtype=np.int64)
-                x[0] = ivals[0]
-                if n_points > 1:
-                    x[1:] = ivals[0] + np.cumsum(d[1:])
-            else:
-                x = np.empty(n_points, dtype=np.int64)
-                x[0] = ivals[0]
-                if n_points > 1:
-                    x[1] = ivals[1]
-                if n_points > 2:
-                    # second differences → first differences → values
-                    g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
-                    x[2:] = ivals[1] + np.cumsum(g1)
+            if m > 0:
+                sub[0] = ivals[0]
+            if m > 1:
+                sub[1] = ivals[1]
+            if m > 2:
+                g1 = (ivals[1] - ivals[0]) + np.cumsum(d[2:])
+                sub[2:] = ivals[1] + np.cumsum(g1)
+        x = np.zeros(n_points, dtype=np.int64)
+        x[pres_idx] = sub
     return x, miss
 
 

@@ -7963,3 +7963,648 @@ def grid_grib2_stretched_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _projected_stats(decoded, ("doc_id", "grid_tmpl")).orderBy(
         "doc_id", "grid_tmpl"
     )
+
+
+def _present(col: str):
+    """Missing-cell predicate on the landed ``values`` surface: the
+    codec marks masked cells NaN, Arrow maps NaN to NULL on the
+    array<double> transfer, and Spark's isnan() is FALSE (not NULL) on
+    NULL — so presence must check both representations explicitly."""
+    return F.col(col).isNotNull() & ~F.isnan(col)
+
+
+@query(
+    "grid_grib1_reduced_bitmap_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id FROM documents WHERE doc_id % 29 = 11 AND doc_id < 580
+),
+r1rows AS (
+  SELECT g.doc_id, j.j AS j,
+         3 + ((g.doc_id + 5 * j.j) % 4) AS rowni,
+         2 * (2 + g.doc_id % 2) AS nj
+  FROM g,
+       LATERAL (
+         SELECT unnest(generate_series(0, 2 * (2 + g.doc_id % 2) - 1)) AS j
+       ) j
+),
+r1off AS (
+  SELECT doc_id, j, rowni, nj,
+         COALESCE(SUM(rowni) OVER (
+           PARTITION BY doc_id ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_pos
+  FROM r1rows
+),
+r1cells AS (
+  SELECT o.doc_id, 1 AS rn, o.nj, o.start_pos + i.i AS pos,
+         60 + 2 * ((o.doc_id * 3 + o.j * 7 + i.i * 5) % 35) AS v,
+         ((o.doc_id + o.start_pos + i.i) % 4) <> 0 AS present
+  FROM r1off o,
+       LATERAL (SELECT unnest(generate_series(0, o.rowni - 1)) AS i) i
+),
+r2cells AS (
+  SELECT g.doc_id, 2 AS rn, 4 AS nj, p.pos,
+         40 + 3 * ((g.doc_id * 7 + p.pos * 5) % 30) AS v,
+         ((p.pos + 1 + g.doc_id % 7) % 3) <> 0 AS present
+  FROM g, LATERAL (SELECT unnest(generate_series(0, 15)) AS pos) p
+),
+cells AS (
+  SELECT * FROM r1cells UNION ALL SELECT * FROM r2cells
+)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(MIN(nj) AS INTEGER) AS nj,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN present THEN v ELSE 0 END) AS BIGINT) AS vsum,
+       CAST(SUM(CASE WHEN present THEN v * pos ELSE 0 END) AS BIGINT) AS wsum,
+       CAST(SUM(CASE WHEN present THEN 0 ELSE pos END) AS BIGINT) AS misspos
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib1_reduced_bitmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAPPED THINNED GRIDS + CENTRE-PREDEFINED BITMAPS through the
+    landing scan — the r14 verdict's top remaining real-archive shape
+    (a masked ocean/land field on a reduced ERA5-era grid; wgrib reads
+    both forms, /root/reference/src/file-conversions.js:114-127).
+
+    Record 1 is a reduced GAUSSIAN grid with a PRIMARY BITMAP: the BMS
+    ships sum(row_ni) bits in storage order, the BDS packs only the
+    present cells, and masked cells land NaN→NULL while the per-cell
+    GEOMETRY still covers every cell (the mask hits values, never
+    coordinates).  Record 2 is a reduced grid whose BMS carries a
+    CENTRE-PREDEFINED bitmap NUMBER (octets 5-6 nonzero, NO bits ride
+    — WMO BMS note 2): the scan resolves the mask through the job-wide
+    ``predefined_bitmaps`` (centre, number) catalog threaded into the
+    Arrow decode stage, and a record naming an uncatalogued mask
+    quarantines loudly instead of guessing.
+
+    Witnesses per (document, record): present/missing cell counts, the
+    present-value sum, the position-weighted present sum (a mask
+    shifted by ONE cell scatters every value and hash-mismatches) and
+    the missing-position checksum.  Record 2's mask depends only on
+    the CATALOG NUMBER — decoding it with the wrong catalog entry
+    (or with record 1's in-stream logic) cannot match.  The
+    foreign-bytes witness (tests/test_foreign_grib.py::
+    test_foreign_reduced_bitmapped_grib1_decodes_to_pinned_values)
+    pins both BMS layouts against hand-assembled octets.
+
+    Scale: the landing posture — one Arrow decode stage, statistic
+    rows shuffle; the predefined-mask catalog is a task constant
+    shipped once per executor, exactly how a centre's bitmap table
+    would ride a 100 TB scan.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib1 import encode_grib1_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 29 == 11) & (F.col("doc_id") < 580))
+        .select("doc_id")
+    )
+
+    # the consumer-side catalog: ECMWF-style centre 74 (the encoder's
+    # fixed centre octet), numbers 1-7, each mask a pure function of
+    # the NUMBER over the fixed 16-cell [3,4,5,4] geometry — exactly
+    # how real predefined bitmaps are published (per centre, per
+    # fixed grid)
+    catalog = {
+        (74, n): (np.arange(16) + n) % 3 != 0 for n in range(1, 8)
+    }
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nj = 2 * (2 + d % 2)
+                row_ni = [3 + ((d + 5 * j) % 4) for j in range(nj)]
+                v1 = np.concatenate(
+                    [
+                        60.0 + 2 * ((d * 3 + j * 7 + np.arange(n) * 5) % 35)
+                        for j, n in enumerate(row_ni)
+                    ]
+                )
+                pos1 = np.arange(v1.size)
+                bm1 = (d + pos1) % 4 != 0
+                msg1 = encode_grib1_message(
+                    v1, reduced_ni=row_ni, bitmap=bm1,
+                    reference_value=60.0, nbits=8,
+                )
+                rows2 = [3, 4, 5, 4]
+                pos2 = np.arange(16)
+                v2 = 40.0 + 3 * ((d * 7 + pos2 * 5) % 30)
+                n = 1 + d % 7
+                msg2 = encode_grib1_message(
+                    v2, reduced_ni=rows2,
+                    predefined_bitmap=dict(
+                        number=n, mask=(pos2 + n) % 3 != 0
+                    ),
+                    reference_value=40.0, nbits=8,
+                )
+                rows.append({"path": f"doc://{d}", "content": msg1 + msg2})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(
+        lambda it: _decode_batches(it, predefined_bitmaps=catalog),
+        schema=RECORD_SCHEMA,
+    )
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "nj",
+        F.posexplode("values").alias("pos", "v"),
+    )
+    return (
+        cells.groupBy("doc_id", "record_number")
+        .agg(
+            F.min("nj").alias("nj"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            # Arrow maps the codec's NaN to NULL on the array<double>
+            # transfer and any residual NaN must count the same way,
+            # so "present" is NOT NULL AND NOT NaN on this surface
+            # (Spark's isnan(NULL) is false, not NULL)
+            F.count(F.when(_present("v"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum(F.when(_present("v"), F.col("v")).otherwise(F.lit(0.0)))
+            .cast("bigint")
+            .alias("vsum"),
+            F.sum(
+                F.when(_present("v"), F.col("v") * F.col("pos")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            .cast("bigint")
+            .alias("wsum"),
+            F.sum(F.when(~_present("v"), F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("misspos"),
+        )
+        .orderBy("doc_id", "record_number")
+    )
+
+
+@query(
+    "grid_grib1_spectral_complex_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS t
+  FROM documents WHERE doc_id % 31 = 12 AND doc_id < 620
+),
+k AS (
+  SELECT doc_id, t, k.k AS k,
+         ((doc_id * 7 + k.k * 13) % 101) - 50 AS re,
+         CASE WHEN k.k <= t THEN 0
+              ELSE ((doc_id * 5 + k.k * 11) % 101) - 50 END AS im
+  FROM g,
+       LATERAL (
+         SELECT unnest(generate_series(0, (t + 1) * (t + 2) // 2 - 1)) AS k
+       ) k
+)
+SELECT k.doc_id,
+       CAST(f.f AS INTEGER) AS complex_form,
+       CAST(MIN(t) AS INTEGER) AS truncation,
+       CAST(CASE WHEN f.f = 1 THEN 1 + k.doc_id % 2 END AS INTEGER)
+         AS sub_truncation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(re) AS BIGINT) AS re_sum,
+       CAST(SUM(im) AS BIGINT) AS im_sum,
+       CAST(SUM((k + 1) * re) AS BIGINT) AS re_wsum,
+       CAST(SUM((k + 1) * im) AS BIGINT) AS im_wsum
+FROM k, (SELECT unnest([0, 1]) AS f) f
+GROUP BY k.doc_id, f.f
+ORDER BY doc_id, complex_form
+""",
+)
+def grid_grib1_spectral_complex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDITION-1 COMPLEX spherical-harmonic packing (BDS flags 0b1100 —
+    the ECMWF gribex compact archive form, the r14 verdict's item 3):
+    the n ≤ TS sub-spectrum rides UNPACKED as IBM-32 floats behind the
+    octet-12 N pointer (octets 14-15 carry IP = P×1000, 16-18 the
+    J1/K1/M1 sub-truncation) and every remaining value is multiplied
+    by the Laplacian weight (n(n+1))^P before simple packing — the
+    SAME split as GRIB2 template 5.51
+    (grid_grib2_spectral_complex_decode), on the edition-1 BDS layout.
+    Per document the SAME integer spectrum encodes as one SIMPLE
+    (flags 0b1000, the (0,0) real part at octets 12-15) and one
+    COMPLEX message (P = 1: integer weights, so BOTH decode
+    bit-exactly); the scan must recover identical coefficient sums
+    from the two layouts.
+
+    Witness: per (document, form) the plain and position-weighted
+    integer sums of real and imaginary parts — a sub-spectrum boundary
+    off by one coefficient, a weight applied to the wrong side, an N
+    pointer mis-read or a swapped unpacked/packed order cannot cancel;
+    the complex rows also pin the per-document TS through the
+    ``sub_truncation`` landing column (NULL on the simple form).  The
+    foreign-bytes witness (tests/test_foreign_grib.py::
+    test_foreign_spectral_complex_grib1_decodes_to_pinned_values) pins
+    the N/IP/J1K1M1 head against hand-assembled octets.
+
+    Scale: codec posture — and the operational payoff mirrors 5.51's:
+    Laplacian weighting is why ECMWF's edition-1 spectral archives fit
+    fixed-width packing, so this is the byte shape a 100 TB pre-GRIB2
+    ERA archive scan actually reads.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..grid.grib1 import decode_grib1, encode_grib1_message, iter_messages
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 31 == 12) & (F.col("doc_id") < 620))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                t = 4 + d % 3
+                c = _spectral_coeffs(d, t, 7, 13, 5, 11, 101)
+                buf = encode_grib1_message(
+                    c, spectral=dict(truncation=t), nbits=8, parameter=80
+                ) + encode_grib1_message(
+                    c,
+                    spectral=dict(
+                        truncation=t,
+                        sub_truncation=1 + d % 2,
+                        laplacian=1.0,
+                    ),
+                    nbits=16,
+                    parameter=80,
+                )
+                rows.append({"doc_id": d, "grib": buf})
+            yield pd.DataFrame(rows)
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["grib"]):
+                d = int(doc_id)
+                for msg in iter_messages(bytes(buf)):
+                    rec = decode_grib1(msg)
+                    co = rec.spectral_coeffs
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "complex_form": int(
+                                rec.spectral_sub_truncation is not None
+                            ),
+                            "truncation": rec.spectral_truncation,
+                            "sub_truncation": rec.spectral_sub_truncation,
+                            "re": co.real.tolist(),
+                            "im": co.imag.tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="doc_id bigint, grib binary")
+    decoded = files.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, complex_form int, truncation int, "
+            "sub_truncation int, re array<double>, im array<double>"
+        ),
+    )
+    pair = F.posexplode(F.arrays_zip("re", "im")).alias("k", "pair")
+    return (
+        decoded.select(
+            "doc_id", "complex_form", "truncation", "sub_truncation", pair
+        )
+        .select(
+            "doc_id",
+            "complex_form",
+            "truncation",
+            "sub_truncation",
+            "k",
+            F.col("pair.re").cast("bigint").alias("re"),
+            F.col("pair.im").cast("bigint").alias("im"),
+        )
+        .groupBy("doc_id", "complex_form")
+        .agg(
+            F.min("truncation").alias("truncation"),
+            F.min("sub_truncation").alias("sub_truncation"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("re").alias("re_sum"),
+            F.sum("im").alias("im_sum"),
+            F.sum((F.col("k") + 1) * F.col("re")).alias("re_wsum"),
+            F.sum((F.col("k") + 1) * F.col("im")).alias("im_wsum"),
+        )
+        .orderBy("doc_id", "complex_form")
+    )
+
+
+@query(
+    "grid_grib2_diff_missing_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 5 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 37 = 14 AND doc_id < 740
+),
+cells AS (
+  SELECT g.doc_id, j.j * g.ni + i.i AS pos,
+         70 + 3 * ((g.doc_id * 7 + i.i * 5 + j.j * 11) % 50) AS v,
+         ((i.i + 2 * j.j + g.doc_id) % 5) <> 0 AS present
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j,
+       LATERAL (SELECT unnest(generate_series(0, g.ni - 1)) AS i) i
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN present THEN v ELSE 0 END) AS BIGINT) AS vsum,
+       CAST(SUM(CASE WHEN present THEN v * pos ELSE 0 END) AS BIGINT) AS wsum,
+       CAST(SUM(CASE WHEN present THEN 0 ELSE pos END) AS BIGINT) AS misspos
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def grid_grib2_diff_missing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL DIFFERENCING × MISSING-VALUE MANAGEMENT (template 5.3
+    with mvm = 1 — the combination NCEP precipitation products ship,
+    the r14 verdict's item 4): the differencing runs over the
+    NON-MISSING subsequence only (g2clib's comunpack convention) and
+    missing points ride IN-DATA as all-ones group markers — no
+    section-6 bitmap.  Per document one field encodes at a
+    per-document order (1 or 2) and group length with a deterministic
+    missing mask; the decode must place NaN exactly at the masked
+    positions while reconstructing every present value bit-exactly
+    through the subsequence cumulative sums.
+
+    Witness: present/missing counts, the present-value sum, the
+    position-weighted present sum (an off-by-one in the subsequence
+    scatter shifts every reconstructed value one cell and cannot
+    cancel) and the missing-position checksum (that the record really
+    takes the 5.3 path is pinned record-level by
+    tests/test_grib2.py::test_spatial_diff_with_missing_value_
+    management_property's packing_template assertion).  The
+    foreign-bytes
+    witness (tests/test_foreign_grib.py::
+    test_foreign_spatial_diff_missing_grib2_decodes_to_pinned_values)
+    pins the descriptor block and marker layout against hand-computed
+    octets.
+
+    Scale: codec posture — one Arrow decode stage, statistic rows
+    shuffle; supporting 5.3+mvm is what lets a 100 TB NCEP precip
+    archive scan read the producer's actual bytes instead of
+    quarantining every masked record.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 37 == 14) & (F.col("doc_id") < 740))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 5 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                v = (70 + 3 * ((d * 7 + i * 5 + j * 11) % 50)).astype(
+                    np.float64
+                )
+                mm = ((i + 2 * j + d) % 5 == 0) | np.zeros_like(v, bool)
+                msg = encode_grib2_message(
+                    v,
+                    packing="complex_diff",
+                    spatial_diff_order=1 + d % 2,
+                    group_len=4 + d % 5,
+                    missing_mask=mm,
+                    reference_value=0.0,
+                )
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.posexplode("values").alias("pos", "v"),
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            # Arrow maps the codec's NaN to NULL on the array<double>
+            # transfer and any residual NaN must count the same way,
+            # so "present" is NOT NULL AND NOT NaN on this surface
+            # (Spark's isnan(NULL) is false, not NULL)
+            F.count(F.when(_present("v"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum(F.when(_present("v"), F.col("v")).otherwise(F.lit(0.0)))
+            .cast("bigint")
+            .alias("vsum"),
+            F.sum(
+                F.when(_present("v"), F.col("v") * F.col("pos")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            .cast("bigint")
+            .alias("wsum"),
+            F.sum(F.when(~_present("v"), F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("misspos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "grid_grib2_deprecated_satellite_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj,
+         1 + doc_id % 3 AS nb
+  FROM documents WHERE doc_id % 43 = 17 AND doc_id < 700
+),
+b30 AS (
+  SELECT g.doc_id,
+         ROUND(SUM(
+           (400 + g.doc_id % 50 + 3 * b.b)
+           * POWER(10.0, CAST(b.b % 2 AS DOUBLE))
+         ), 6) AS wave_sum_b,
+         CAST(SUM(150 + ((g.doc_id + 7 * b.b) % 100)) AS BIGINT) AS isum
+  FROM g, LATERAL (SELECT unnest(generate_series(0, g.nb - 1)) AS b) b
+  GROUP BY g.doc_id
+),
+vs AS (
+  SELECT g.doc_id, r.r + 1 AS rn,
+         CAST(SUM(20 + 2 * ((g.doc_id * 3 + r.r * 5 + i.i * 7 + j.j * 9)
+           % 30)) AS BIGINT) AS vsum
+  FROM g,
+       UNNEST(generate_series(0, 1)) AS r(r),
+       LATERAL (SELECT unnest(generate_series(0, g.ni - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j
+  GROUP BY g.doc_id, r.r
+),
+rec AS (
+  SELECT g.doc_id, 1 AS rn, CAST(30 AS INTEGER) AS product_template,
+         CAST(g.nb AS INTEGER) AS satellite_bands,
+         b30.isum AS instr_sum,
+         b30.wave_sum_b AS wave_sum
+  FROM g JOIN b30 ON b30.doc_id = g.doc_id
+  UNION ALL
+  SELECT doc_id, 2, CAST(31 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(600 + doc_id % 120 AS BIGINT),
+         ROUND((900 + doc_id % 30) / 10.0, 6)
+  FROM g
+)
+SELECT rec.doc_id, CAST(rec.rn AS INTEGER) AS record_number,
+       rec.product_template, rec.satellite_bands, rec.instr_sum,
+       rec.wave_sum,
+       CAST(NULL AS INTEGER) AS level_type,
+       CAST(NULL AS INTEGER) AS forecast_hours,
+       vs.vsum
+FROM rec JOIN vs ON rec.doc_id = vs.doc_id AND rec.rn = vs.rn
+ORDER BY rec.doc_id, rec.rn
+""",
+)
+def grid_grib2_deprecated_satellite_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEPRECATED satellite products (PDT 4.30 — pre-2003 archives;
+    the r14 verdict's item 5, decided: DECODE, closing the LAST named
+    product-template boundary): 4.31's leading layout with a band
+    block one octet NARROWER per band (the instrument type is a
+    SINGLE octet), so each template must decode through its own width
+    — a 4.31-offset read of a 4.30 record would shear every band
+    after the first, which is exactly why this template stayed a
+    named error until its own decode landed.
+
+    Each document's archive holds a 4.30 record with 1-3 bands
+    (alternating wave-number scale signs) and a 4.31 CONTROL record
+    whose instrument number NEEDS two octets (600+) — the pair proves
+    the two band widths never cross-contaminate: the 1-octet read
+    applied to the control (or the 2-octet read to the 4.30 record)
+    shifts every following band byte and hash-mismatches on
+    ``instr_sum``/``wave_sum``.  Levels and leads stay NULL on both
+    (observations at the reference time, no fixed surfaces).
+
+    Scale: identical plan shape to every landing scan — one Arrow
+    decode stage, only per-record statistic rows shuffle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 43 == 17) & (F.col("doc_id") < 700))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        20 + 2 * ((d * 3 + r * 5 + i * 7 + j * 9) % 30)
+                    ).astype(np.float64)
+
+                enc = dict(
+                    category=0, number=7,
+                    reference_value=20.0, binary_scale=1, nbits=8,
+                )
+                bands30 = [
+                    dict(
+                        series=333,
+                        number=50 + b,
+                        instrument=150 + ((d + 7 * b) % 100),
+                        scale=-(b % 2),
+                        value=400 + d % 50 + 3 * b,
+                    )
+                    for b in range(1 + d % 3)
+                ]
+                msgs = [
+                    encode_grib2_message(
+                        field(0),
+                        satellite=dict(deprecated=True, bands=bands30),
+                        **enc,
+                    ),
+                    encode_grib2_message(
+                        field(1),
+                        satellite=dict(
+                            bands=[
+                                dict(
+                                    series=500, number=77,
+                                    instrument=600 + d % 120,
+                                    scale=1, value=900 + d % 30,
+                                )
+                            ]
+                        ),
+                        **enc,
+                    ),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "product_template",
+        "satellite_bands",
+        F.aggregate(
+            "satellite_instruments", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("instr_sum"),
+        F.round(
+            F.aggregate(
+                "central_wavenumbers", F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("wave_sum"),
+        "level_type",
+        "forecast_hours",
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")

@@ -153,10 +153,14 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_gaussian_scan",
         "grid_grib1_rotated_scan",
         "grid_geotiff_publish_scan",
+        "grid_grib1_reduced_bitmap_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
+        "grid_grib1_spectral_complex_scan",
         "grid_grib2_cluster_scan",
+        "grid_grib2_deprecated_satellite_scan",
+        "grid_grib2_diff_missing_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
@@ -1403,10 +1407,14 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     "name",
     [
         "grid_geotiff_publish_scan",
+        "grid_grib1_reduced_bitmap_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
+        "grid_grib1_spectral_complex_scan",
         "grid_grib2_cluster_scan",
+        "grid_grib2_deprecated_satellite_scan",
+        "grid_grib2_diff_missing_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
