@@ -24,17 +24,22 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # alphabetical within a cohort, filling to exactly 50 — leftovers are
 # the explicit FRONT of next round's queue.
 #
-# Round 15 window: 4 NEW (reduced-grid/predefined bitmaps, edition-1
-# complex spectral, 5.3×mvm, PDT 4.30 — the round's codec items) +
-# 8 CHANGED (radar scan: missing-site-coordinate sentinel; quarantine
-# scan: its reject fixture moved off the now-decoding PDT 30 to PDT
-# 40; satellite scan: dispatch admits 30; and the five GRIB2-facing
-# inventory/match queries behind the grown template-30 gates on both
-# inventory surfaces) + the 8 spilled r7 names + the first 30 of the
-# 34-name r8 cohort.  4 + 8 + 38 = exactly 50.  The remaining 4 r8
-# names (window_first_last, window_range_frame, window_rank,
-# window_running_sum) spill to the FRONT of round 16's queue, followed
-# by the r9 cohort.  grid_grib1_inventory is NOT changed this round
+# Round 15 window: 6 NEW (reduced-grid/predefined bitmaps, edition-1
+# complex spectral, 5.3×mvm, PDT 4.30, IEEE template 5.4, and mvm=2
+# secondary missing — the round's codec items) + 10 CHANGED (radar
+# scan: missing-site-coordinate sentinel; quarantine scan: its reject
+# fixture moved off the now-decoding PDT 30 to PDT 40; satellite
+# scan: dispatch admits 30; the five GRIB2-facing inventory/match
+# queries behind the grown template-30 gates on both inventory
+# surfaces; and the two r10-witnessed queries sitting directly on the
+# restructured complex pack/unpack pair — grid_grib2_complex_decode
+# and grid_grib2_reduced_gaussian_decode) + the 8 spilled r7 names +
+# the first 26 of the 34-name r8 cohort.  6 + 10 + 34 = exactly 50.
+# The remaining 8 r8 names (set_union_all, set_union_distinct,
+# sort_multi_key, topk_orders, window_first_last, window_range_frame,
+# window_rank, window_running_sum) spill to the FRONT of round 16's
+# queue, followed by the r9 cohort.
+# grid_grib1_inventory is NOT changed this round
 # (inspect_grib1's header surface is untouched by the GRIB1 bitmap/
 # spectral work); the remaining decode queries sit downstream only of
 # additive branches (bit-identical for every previously-decodable
@@ -47,6 +52,8 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib1_spectral_complex_scan",
     "grid_grib2_diff_missing_scan",
     "grid_grib2_deprecated_satellite_scan",
+    "grid_grib2_ieee_float_scan",
+    "grid_grib2_secondary_missing_scan",
     # --- 2. changed in round 15 ---
     "grid_grib2_radar_scan",
     "grid_grib_quarantine_scan",
@@ -56,6 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_match_decode",
     "grid_grib2_match_level_decode",
     "grid_grib_match_lead_scan",
+    "grid_grib2_complex_decode",
+    "grid_grib2_reduced_gaussian_decode",
     # --- 3. oldest cohorts: the 8 spilled r7 names, then the first 30
     #     (alphabetical) of the 34-name r8 cohort ---
     "q21_late_suppliers",
@@ -92,10 +101,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_strings",
     "set_except",
     "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multi_key",
-    "topk_orders",
 )
 
 

@@ -65,9 +65,14 @@ the ``wgrib`` edition-1 path:
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
   (complex packing: general group splitting with per-group reference/
   width, optional missing-value management 1 — in-data all-ones
-  substitution instead of a bitmap), template 5.3 (complex packing
-  with first- or second-order spatial differencing — the packing GFS
-  and most operational GRIB2 archives actually use), template 5.40
+  substitution instead of a bitmap — or 2, where the top TWO codes at
+  each width mark primary/secondary missing and the section-5
+  secondary substitute lands raw), template 5.3 (complex packing with
+  first- or second-order spatial differencing — the packing GFS and
+  most operational GRIB2 archives actually use; composes with both
+  missing-value managements by differencing the non-missing
+  subsequence only), template 5.4 (IEEE floating-point data — raw
+  binary32/binary64, no reference/scales/width), template 5.40
   (JPEG2000: the scaled field as one lossless raw codestream,
   grid/jpeg2000.py), and template 5.41 (PNG, grid/png.py).
 * Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present, 254 =
@@ -849,15 +854,31 @@ def _build_complex_s57(
     decimal_scale: int,
     group_len: int,
     spatial_order: int,
+    secondary: np.ndarray | None = None,
+    sub2_value: float | None = None,
 ) -> tuple[bytes, bytes]:
     """Build the (section 5 body, section 7 body) byte pair for complex
     packing. ``x`` is the full int64 increment array (one entry per
-    packed point; entries at ``missing`` positions are ignored);
-    ``spatial_order`` 0 → template 5.2, 1/2 → 5.3."""
+    packed point; entries at ``missing``/``secondary`` positions are
+    ignored); ``spatial_order`` 0 → template 5.2, 1/2 → 5.3.
+    ``secondary`` raises missing-value management to 2 (code table
+    5.5): the top TWO codes of every group width become the primary /
+    secondary markers, an all-secondary group codes as the
+    all-ones-minus-1 group reference, and ``sub2_value`` rides as the
+    section-5 secondary substitute the consumer lands at those
+    points."""
     n = len(x)
     if group_len < 1:
         raise ValueError("group_len must be >= 1")
     x = x.astype(np.int64).copy()
+    mvm = 2 if secondary is not None else (1 if missing is not None else 0)
+    if mvm == 2 and missing is None:
+        missing = np.zeros(n, dtype=bool)
+    sec = secondary if mvm == 2 else None
+    miss_any = (
+        None if mvm == 0 else (missing if sec is None else (missing | sec))
+    )
+    reserve = 2 if mvm == 2 else (1 if mvm == 1 else 0)
     tmpl = 2 if spatial_order == 0 else 3
     extra = b""
     ww = 0
@@ -873,7 +894,7 @@ def _build_complex_s57(
         # describe the present subsequence.  The dense (no-mvm) case
         # is the SAME arithmetic with every point present.
         pres_idx = (
-            np.arange(n) if missing is None else np.flatnonzero(~missing)
+            np.arange(n) if miss_any is None else np.flatnonzero(~miss_any)
         )
         if len(pres_idx) < spatial_order:
             raise ValueError(
@@ -890,11 +911,11 @@ def _build_complex_s57(
         gmin = int(d.min()) if len(d) else 0
         d -= gmin
         x[pres_idx] = d
-        if missing is not None:
+        if miss_any is not None:
             # entries at missing positions never pack as values (the
-            # group loop writes the all-ones marker); zero them so the
+            # group loop writes the marker codes); zero them so the
             # group references stay tight
-            x[missing] = 0
+            x[miss_any] = 0
         ww = 1
         while any(abs(v) >= 1 << (8 * ww - 1) for v in ivals + [gmin]):
             ww += 1
@@ -906,28 +927,49 @@ def _build_complex_s57(
     widths = np.zeros(ng, dtype=np.int64)
     group_vals: list[tuple[np.ndarray, int]] = []
     all_missing = np.zeros(ng, dtype=bool)
+    all_secondary = np.zeros(ng, dtype=bool)
     for gi, s0 in enumerate(starts):
         sl = slice(s0, min(s0 + group_len, n))
         gx = x[sl]
-        gm = missing[sl] if missing is not None else None
-        if gm is not None and gm.all():
+        gm = missing[sl] if mvm else None
+        gs = sec[sl] if sec is not None else None
+        gall = None
+        if gm is not None:
+            gall = gm if gs is None else (gm | gs)
+        if gall is not None and gall.all():
+            if gs is not None and gm.any() and gs.any():
+                # MIXED all-missing group: no constant-reference
+                # marker codes two kinds — use the width path with the
+                # per-value markers (ref 0, minimal 2-bit width)
+                w = 2
+                vals = np.where(gm, (1 << w) - 1, (1 << w) - 2)
+                refs[gi] = 0
+                widths[gi] = w
+                group_vals.append((vals.astype(np.uint64), w))
+                continue
             all_missing[gi] = True
+            all_secondary[gi] = gs is not None and bool(gs.all())
             group_vals.append((np.zeros(0, dtype=np.uint64), 0))
             continue
-        pres = gx if gm is None else gx[~gm]
+        pres = gx if gall is None else gx[~gall]
         ref = int(pres.min())
         maxd = int(pres.max()) - ref
         w = maxd.bit_length()
-        if gm is not None and gm.any():
+        if gall is not None and gall.any():
+            # the top ``reserve`` codes at group width are the
+            # primary / (mvm=2) secondary markers
             w = max(w, 1)
-            while maxd >= (1 << w) - 1:  # all-ones is the missing marker
+            while maxd >= (1 << w) - reserve:
                 w += 1
             vals = np.where(gm, (1 << w) - 1, gx - ref)
-        elif gm is not None:
-            # mvm is on: all-ones at group width is the missing marker in
-            # EVERY group (decoders can't know which groups carry missing)
-            # — bump the width when the max present delta collides.
-            while w and maxd >= (1 << w) - 1:
+            if gs is not None:
+                vals = np.where(gs, (1 << w) - 2, vals)
+        elif gall is not None:
+            # mvm is on: the marker codes are reserved at group width
+            # in EVERY group (decoders can't know which groups carry
+            # missing) — bump the width when the max present delta
+            # collides.
+            while w and maxd >= (1 << w) - reserve:
                 w += 1
             vals = gx - ref
         else:
@@ -939,25 +981,30 @@ def _build_complex_s57(
     real_refs = refs[~all_missing]
     max_ref = int(real_refs.max()) if len(real_refs) else 0
     nbits_ref = max(max_ref.bit_length(), 1)
-    if missing is not None:
-        # mvm=1: the all-ones group REFERENCE is the all-missing marker
-        # for width-0 groups in EVERY message, whether or not this one
-        # has an all-missing group — an unreserved constant group whose
-        # ref lands on the marker would decode as entirely missing.
-        while max_ref >= (1 << nbits_ref) - 1:
+    if mvm:
+        # the all-ones group REFERENCE is the all-primary-missing
+        # marker for width-0 groups in EVERY message (mvm=2 also
+        # reserves all-ones-minus-1 for all-secondary), whether or not
+        # this one has such a group — an unreserved constant group
+        # whose ref lands on a marker would decode as entirely missing.
+        while max_ref >= (1 << nbits_ref) - reserve:
             nbits_ref += 1
-        refs[all_missing] = (1 << nbits_ref) - 1
+        refs[all_missing & ~all_secondary] = (1 << nbits_ref) - 1
+        refs[all_missing & all_secondary] = (1 << nbits_ref) - 2
     wref = int(widths.min()) if ng else 0
     wbits = int(int(widths.max()) - wref).bit_length() if ng else 0
     len_ref = group_len
     len_bits = 0  # every group is group_len; the last comes from true-length
     true_last = (n - starts[-1]) if ng else 0
 
-    mvm = 0 if missing is None else 1
     if mvm:
         sub1 = struct.pack(">f", _PRIMARY_MISSING_SUBSTITUTE)
     else:
         sub1 = b"\xff\xff\xff\xff"
+    if mvm == 2 and sub2_value is not None:
+        sub2 = struct.pack(">f", float(sub2_value))
+    else:
+        sub2 = b"\xff\xff\xff\xff"
     s5_body = (
         struct.pack(">I", n)
         + struct.pack(">H", tmpl)
@@ -969,7 +1016,7 @@ def _build_complex_s57(
         + bytes([1])  # group splitting method: general
         + bytes([mvm])
         + sub1
-        + b"\xff\xff\xff\xff"  # secondary substitute (none)
+        + sub2
         + struct.pack(">I", ng)
         + bytes([wref])
         + bytes([wbits])
@@ -993,11 +1040,14 @@ def _build_complex_s57(
 
 def _decode_complex_s7(
     s5: bytes, s7: bytes, tmpl5: int, n_points: int
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a template 7.2/7.3 data section against its 5.2/5.3
-    descriptor → (int64 increment array X, missing bool mask), both
-    length ``n_points``. Spatial differencing (7.3) is integrated here;
-    the caller applies Y = (R + X·2^E)/10^D.
+    descriptor → (int64 increment array X, primary-missing bool mask,
+    secondary-missing bool mask), each length ``n_points``.  Under
+    missing-value management 2 the top TWO codes of every group width
+    (and of the reference width, for constant groups) are the primary
+    / secondary markers.  Spatial differencing (7.3) is integrated
+    here; the caller applies Y = (R + X·2^E)/10^D.
 
     Native-codec swap-in point: like the JPEG2000 path (see
     grid/jpeg2000.py module docstring), this pure-Python group
@@ -1008,8 +1058,9 @@ def _decode_complex_s7(
     the scan, the pushdown, or the record schema."""
     nbits_ref = s5[19]
     mvm = s5[22]
-    if mvm not in (0, 1):
+    if mvm not in (0, 1, 2):
         raise ValueError(f"unsupported missing value management {mvm}")
+    reserve = 2 if mvm == 2 else mvm
     (ng,) = struct.unpack_from(">I", s5, 31)
     wref = s5[35]
     wbits = s5[36]
@@ -1078,21 +1129,30 @@ def _decode_complex_s7(
 
     x = np.zeros(n_points, dtype=np.int64)
     miss = np.zeros(n_points, dtype=bool)
+    miss2 = np.zeros(n_points, dtype=bool)
     ref_marker = (1 << nbits_ref) - 1
     pos = 0
     for gi in range(ng):
         length, w, ref = int(lengths[gi]), int(widths[gi]), int(refs[gi])
         if w == 0:
-            if mvm == 1 and ref == ref_marker:
+            if mvm and ref == ref_marker:
                 miss[pos : pos + length] = True
+            elif mvm == 2 and ref == ref_marker - 1:
+                miss2[pos : pos + length] = True
             else:
                 x[pos : pos + length] = ref
         else:
             vals = take(length, w)
-            if mvm == 1:
+            if mvm:
                 mm = vals == (1 << w) - 1
+                mm2 = (
+                    vals == (1 << w) - 2
+                    if mvm == 2
+                    else np.zeros(length, dtype=bool)
+                )
                 miss[pos : pos + length] = mm
-                vals = np.where(mm, 0, ref + vals)
+                miss2[pos : pos + length] = mm2
+                vals = np.where(mm | mm2, 0, ref + vals)
                 x[pos : pos + length] = vals
             else:
                 x[pos : pos + length] = ref + vals
@@ -1105,7 +1165,11 @@ def _decode_complex_s7(
         # differences → first differences → values — and scatter back;
         # missing points stay missing.  The dense (mvm = 0) case is
         # the SAME arithmetic with every point present.
-        pres_idx = np.arange(n_points) if not mvm else np.flatnonzero(~miss)
+        pres_idx = (
+            np.arange(n_points)
+            if not mvm
+            else np.flatnonzero(~(miss | miss2))
+        )
         d = x[pres_idx] + gmin  # entries below ``order`` overwritten next
         m = len(pres_idx)
         sub = np.empty(m, dtype=np.int64)
@@ -1124,7 +1188,7 @@ def _decode_complex_s7(
                 sub[2:] = ivals[1] + np.cumsum(g1)
         x = np.zeros(n_points, dtype=np.int64)
         x[pres_idx] = sub
-    return x, miss
+    return x, miss, miss2
 
 
 def _surface_type_octet(value) -> int:
@@ -1199,6 +1263,8 @@ def encode_grib2_message(
     group_len: int = 20,
     spatial_diff_order: int = 2,
     missing_mask: np.ndarray | None = None,
+    secondary_mask: np.ndarray | None = None,
+    secondary_substitute: float | None = None,
     gaussian: bool = False,
     reduced_ni=None,
     lambert: dict | None = None,
@@ -1241,7 +1307,14 @@ def encode_grib2_message(
     GRIB2 products, e.g. GFS, actually ship).
     ``missing_mask`` (bool, True = missing; complex only) encodes
     missing points via missing-value management 1 — in-data
-    substitution instead of a section-6 bitmap.
+    substitution instead of a section-6 bitmap.  ``secondary_mask``
+    raises it to management 2 (code table 5.5 — NEXRAD-style products
+    distinguishing "missing" from e.g. "below detection threshold"):
+    secondary points code as the second-from-top marker at each group
+    width, and ``secondary_substitute`` rides in section 5 octets
+    28-31 as the value the consumer lands at those points (omitted →
+    coded missing → the decoder falls back to NaN).  The two masks
+    must not overlap.
 
     ``reduced_ni`` encodes a REDUCED Gaussian grid (ERA5's native
     layout): pass the points-per-parallel list (north -> south, even
@@ -1384,7 +1457,10 @@ def encode_grib2_message(
         raise ValueError("degenerate polar-stereographic true-scale latitude")
     if mercator is not None and not -90.0 < mercator["lad"] < 90.0:
         raise ValueError("degenerate Mercator true-scale latitude")
-    if packing not in ("simple", "complex", "complex_diff", "png", "jpeg2000"):
+    if packing not in (
+        "simple", "complex", "complex_diff", "png", "jpeg2000",
+        "ieee32", "ieee64",
+    ):
         raise ValueError(f"unknown packing {packing!r}")
     if spec_t is not None:
         nj, ni = len(vals) // 2, None  # complex coefficient count; no grid
@@ -1396,16 +1472,29 @@ def encode_grib2_message(
     if bm is not None and bm.shape != vals.shape:
         raise ValueError("bitmap shape must match values")
     mm = None if missing_mask is None else np.asarray(missing_mask, dtype=bool)
-    if mm is not None:
+    sm = (
+        None if secondary_mask is None
+        else np.asarray(secondary_mask, dtype=bool)
+    )
+    if mm is not None or sm is not None:
         if packing not in ("complex", "complex_diff"):
             raise ValueError(
-                "missing_mask (missing-value management) requires "
-                "packing='complex' or 'complex_diff'"
+                "missing_mask/secondary_mask (missing-value management) "
+                "requires packing='complex' or 'complex_diff'"
             )
         if bm is not None:
-            raise ValueError("missing_mask and bitmap are mutually exclusive")
-        if mm.shape != vals.shape:
-            raise ValueError("missing_mask shape must match values")
+            raise ValueError(
+                "missing/secondary masks and bitmap are mutually exclusive"
+            )
+        for m, what in ((mm, "missing_mask"), (sm, "secondary_mask")):
+            if m is not None and m.shape != vals.shape:
+                raise ValueError(f"{what} shape must match values")
+        if mm is not None and sm is not None and (mm & sm).any():
+            raise ValueError(
+                "a point cannot be both primary- and secondary-missing"
+            )
+    if sm is None and secondary_substitute is not None:
+        raise ValueError("secondary_substitute requires secondary_mask")
     if (
         scanning_mode == 0x40
         and lambert is None
@@ -1419,6 +1508,7 @@ def encode_grib2_message(
         vals = vals[::-1]
         bm = None if bm is None else bm[::-1]
         mm = None if mm is None else mm[::-1]
+        sm = None if sm is None else sm[::-1]
     present = vals.reshape(-1)
     if spec_sub is not None:
         # Template 5.51: the scaled values past the unpacked
@@ -1432,23 +1522,58 @@ def encode_grib2_message(
     if bm is not None:
         present = present[bm.reshape(-1)]
     mm_flat = None if mm is None else mm.reshape(-1)
-    if mm_flat is not None:
-        present = present[~mm_flat]
-    # Complex packing computes per-group widths — the caller's nbits
-    # only constrains the SIMPLE template; pass the quantizer a 64-bit
-    # ceiling otherwise.
-    q_nbits = nbits if packing == "simple" else 64
-    r_bytes, r, x = quantize_simple_packing(
-        present,
-        decimal_scale,
-        binary_scale,
-        q_nbits,
-        reference_value,
-        _f32_encode,
-        _f32_encode_floor,
-        _f32_decode,
-    )
-    if packing == "simple":
+    sm_flat = None if sm is None else sm.reshape(-1)
+    exclude = None
+    if mm_flat is not None or sm_flat is not None:
+        exclude = np.zeros(len(present), dtype=bool)
+        if mm_flat is not None:
+            exclude |= mm_flat
+        if sm_flat is not None:
+            exclude |= sm_flat
+        present = present[~exclude]
+    if packing in ("ieee32", "ieee64"):
+        # Template 5.4 (IEEE floating-point data): values ride RAW —
+        # no reference value, scales or quantization; octet 12 is the
+        # precision (code table 5.7: 1 = binary32, 2 = binary64).
+        # NaN present cells are as illegal as everywhere else (missing
+        # needs a bitmap), and float32 precision loss is the caller's
+        # explicit choice of packing, not a silent quantization.
+        if np.isnan(present).any():
+            raise ValueError(
+                "NaN cells need a bitmap (template 5.4 packs raw floats)"
+            )
+        if spec_t is not None:
+            raise ValueError(
+                "spectral data packs with template 5.50/5.51 (simple) only"
+            )
+        prec = 1 if packing == "ieee32" else 2
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 4)  # data representation template 5.4
+            + bytes([prec])
+        )
+        s7_body = np.ascontiguousarray(
+            present, dtype=">f4" if prec == 1 else ">f8"
+        ).tobytes()
+        r_bytes = b""  # unused below; 5.4 has no reference value
+    else:
+        # Complex packing computes per-group widths — the caller's
+        # nbits only constrains the SIMPLE template; pass the
+        # quantizer a 64-bit ceiling otherwise.
+        q_nbits = nbits if packing == "simple" else 64
+        r_bytes, r, x = quantize_simple_packing(
+            present,
+            decimal_scale,
+            binary_scale,
+            q_nbits,
+            reference_value,
+            _f32_encode,
+            _f32_encode_floor,
+            _f32_decode,
+        )
+    if packing in ("ieee32", "ieee64"):
+        pass  # s5/s7 bodies already built above
+    elif packing == "simple":
         if spec_sub is not None:
             # Template 5.51: Laplacian exponent ×10^6 (signed-
             # magnitude), the JS/KS/MS sub-truncation and the
@@ -1547,14 +1672,16 @@ def encode_grib2_message(
             b"" if sample_bits == 0 else png_encode(x.reshape(shape), sample_bits)
         )
     else:
-        if mm_flat is not None:
-            x_full = np.zeros(len(mm_flat), dtype=np.int64)
-            x_full[~mm_flat] = x.astype(np.int64)
+        if exclude is not None:
+            x_full = np.zeros(len(exclude), dtype=np.int64)
+            x_full[~exclude] = x.astype(np.int64)
         else:
             x_full = x.astype(np.int64)
         order = 0 if packing == "complex" else spatial_diff_order
         s5_body, s7_body = _build_complex_s57(
-            x_full, mm_flat, r_bytes, binary_scale, decimal_scale, group_len, order
+            x_full, mm_flat, r_bytes, binary_scale, decimal_scale,
+            group_len, order,
+            secondary=sm_flat, sub2_value=secondary_substitute,
         )
 
     def section(number_: int, body: bytes) -> bytes:
@@ -3363,7 +3490,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3, 40, 41, 50, 51):
+    if tmpl5 not in (0, 2, 3, 4, 40, 41, 50, 51):
         raise ValueError(f"unsupported data representation template {tmpl5}")
     # Spectral grid ↔ spectral packing must pair: 5.50/5.51's value
     # sequence only means anything against 3.50's coefficient ordering,
@@ -3375,10 +3502,28 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             f"representation template {tmpl5}"
         )
     (n_present,) = struct.unpack_from(">I", s5, 5)
-    (r,) = struct.unpack_from(">f", s5, 11)
-    binary_scale = _rs16be(s5, 15)
-    decimal_scale = _rs16be(s5, 17)
-    nbits = s5[19]
+    ieee_precision = None
+    if tmpl5 == 4:
+        # Template 5.4 (IEEE floating-point data): NO reference value,
+        # scales or width octets — octet 12 is the precision (code
+        # table 5.7).  Reading the 5.0 layout here would decode float
+        # bytes as R/E/D and mis-slice section 7.
+        if len(s5) < 12:
+            raise ValueError("truncated data representation template 5.4")
+        ieee_precision = s5[11]
+        if ieee_precision not in (1, 2):
+            raise ValueError(
+                f"unsupported IEEE precision {ieee_precision} "
+                "(code table 5.7: 1 = binary32, 2 = binary64)"
+            )
+        r = 0.0
+        binary_scale = decimal_scale = 0
+        nbits = 32 * ieee_precision
+    else:
+        (r,) = struct.unpack_from(">f", s5, 11)
+        binary_scale = _rs16be(s5, 15)
+        decimal_scale = _rs16be(s5, 17)
+        nbits = s5[19]
 
     s6 = s[6]
     if len(s6) < 6:
@@ -3491,6 +3636,16 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             ) / (10.0 ** decimal_scale)
         else:
             present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+    elif tmpl5 == 4:
+        width = 4 * ieee_precision
+        if len(s7) < 5 + width * n_present:
+            raise ValueError("truncated IEEE floating-point data section")
+        present_vals = np.frombuffer(
+            s7,
+            dtype=">f4" if ieee_precision == 1 else ">f8",
+            count=n_present,
+            offset=5,
+        ).astype(np.float64)
     elif tmpl5 == 41:
         from .png import png_decode
 
@@ -3528,11 +3683,24 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
                 float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
             ) / (10.0 ** decimal_scale)
     else:
-        x, miss = _decode_complex_s7(s5, s7, tmpl5, n_present)
+        x, miss, miss2 = _decode_complex_s7(s5, s7, tmpl5, n_present)
         present_vals = (
             float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
         ) / (10.0 ** decimal_scale)
         present_vals[miss] = np.nan
+        if miss2.any():
+            # SECONDARY missing (mvm=2): the producer's declared
+            # substitute (section 5 octets 28-31) is what those points
+            # MEAN (e.g. "below detection threshold" radar returns) —
+            # landing it preserves information NaN would destroy;
+            # a coded-missing substitute falls back to NaN like the
+            # primary kind.
+            sub2_raw = s5[27:31]
+            present_vals[miss2] = (
+                np.nan
+                if sub2_raw == b"\xff\xff\xff\xff"
+                else struct.unpack(">f", sub2_raw)[0]
+            )
 
     if bitmap is not None:
         values = np.full(total_cells, np.nan)

@@ -8608,3 +8608,273 @@ def grid_grib2_deprecated_satellite_scan(
             "values", zero, lambda a, x: a + x.cast("bigint")
         ).alias("vsum"),
     ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_ieee_float_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 41 = 15 AND doc_id < 820
+),
+r1 AS (
+  SELECT g.doc_id, 1 AS rn, j.j * g.ni + i.i AS pos,
+         ((g.doc_id * 3 + i.i * 7 + j.j * 5) % 40) * 2 - 20 AS vq,
+         TRUE AS present
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j,
+       LATERAL (SELECT unnest(generate_series(0, g.ni - 1)) AS i) i
+),
+r2 AS (
+  SELECT g.doc_id, 2 AS rn, j.j * g.ni + i.i AS pos,
+         ((g.doc_id * 7 + (j.j * g.ni + i.i) * 3) % 50) - 12 AS vq,
+         ((j.j * g.ni + i.i + g.doc_id) % 5) <> 0 AS present
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j,
+       LATERAL (SELECT unnest(generate_series(0, g.ni - 1)) AS i) i
+),
+cells AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id,
+       CAST(rn AS INTEGER) AS record_number,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN present THEN vq ELSE 0 END) AS BIGINT) AS vsum_q,
+       CAST(SUM(CASE WHEN present THEN vq * pos ELSE 0 END) AS BIGINT)
+         AS wsum_q,
+       CAST(SUM(CASE WHEN present THEN 0 ELSE pos END) AS BIGINT) AS misspos
+FROM cells
+GROUP BY doc_id, rn
+ORDER BY doc_id, rn
+""",
+)
+def grid_grib2_ieee_float_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE FLOATING-POINT packing (data representation template 5.4 —
+    raw floats, NO reference value / scales / width; some ECMWF and
+    ocean-model products ship it where quantization is unacceptable)
+    through the landing scan.  Section 5 is just the point count +
+    precision octet (code table 5.7), so a decoder reading the 5.0
+    layout here would slice float bytes as R/E/D and shear section 7 —
+    the decode must branch BEFORE the generic header reads.
+
+    Record 1 is binary32 with half-integer values (exact in float32,
+    including negatives — 5.4 is the one packing with no
+    non-negative-increment constraint); record 2 is binary64 under a
+    section-6 BITMAP, proving raw-float payloads compose with masking.
+    Witnesses are fixed-point quarter-scaled BIGINT sums (vq = 4·v,
+    exact), position-weighted, plus present/missing counts; the
+    foreign-bytes witness (tests/test_foreign_grib.py::
+    test_foreign_ieee_float_grib2_decodes_to_pinned_values) pins the
+    short section-5 layout octet-by-octet for both precisions.
+
+    Scale: codec posture — one Arrow decode stage, statistic rows
+    shuffle; at 100 TB template 5.4 archives trade bytes for zero
+    decode CPU (a memcpy-shaped frombuffer per record, the cheapest
+    packing the engine reads).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 41 == 15) & (F.col("doc_id") < 820))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                # quarter-exact values: vq/4 with vq the oracle's ints
+                v1 = (((d * 3 + i * 7 + j * 5) % 40) * 2 - 20) / 4.0
+                v1 = (v1 + np.zeros((nj, ni))).astype(np.float64)
+                pos = (j * ni + i).astype(np.int64)
+                v2 = (((d * 7 + pos * 3) % 50) - 12) / 4.0
+                bm2 = (pos + d) % 5 != 0
+                msgs = [
+                    encode_grib2_message(v1, packing="ieee32"),
+                    encode_grib2_message(v2, packing="ieee64", bitmap=bm2),
+                ]
+                rows.append({"path": f"doc://{d}", "content": b"".join(msgs)})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        F.posexplode("values").alias("pos", "v"),
+    )
+    vq = F.round(F.col("v") * 4).cast("bigint")
+    return (
+        cells.groupBy("doc_id", "record_number")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.count(F.when(_present("v"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum(F.when(_present("v"), vq).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("vsum_q"),
+            F.sum(F.when(_present("v"), vq * F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("wsum_q"),
+            F.sum(F.when(~_present("v"), F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("misspos"),
+        )
+        .orderBy("doc_id", "record_number")
+    )
+
+
+@query(
+    "grid_grib2_secondary_missing_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 5 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj,
+         500 + doc_id % 20 AS sub2
+  FROM documents WHERE doc_id % 47 = 21 AND doc_id < 940
+),
+cells AS (
+  SELECT g.doc_id, g.sub2, j.j * g.ni + i.i AS pos,
+         80 + 2 * ((g.doc_id * 5 + i.i * 3 + j.j * 7) % 45) AS v,
+         (i.i + 2 * j.j + g.doc_id) % 7 AS kind
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j,
+       LATERAL (SELECT unnest(generate_series(0, g.ni - 1)) AS i) i
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_primary,
+       CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_secondary,
+       CAST(SUM(CASE WHEN kind = 0 THEN 0
+                     WHEN kind = 1 THEN sub2 ELSE v END) AS BIGINT) AS vsum,
+       CAST(SUM(CASE WHEN kind = 0 THEN 0
+                     WHEN kind = 1 THEN sub2 * pos
+                     ELSE v * pos END) AS BIGINT) AS wsum,
+       CAST(SUM(CASE WHEN kind = 0 THEN pos ELSE 0 END) AS BIGINT) AS nanpos
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def grid_grib2_secondary_missing_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SECONDARY MISSING VALUES (missing-value management 2, code
+    table 5.5 — the NEXRAD-style distinction between "missing" and
+    e.g. "below detection threshold") through the landing scan: the
+    top TWO codes at every group width are the primary / secondary
+    markers, an all-secondary group codes as the all-ones-minus-1
+    group reference, and the section-5 SECONDARY SUBSTITUTE (octets
+    28-31) lands RAW at secondary points — the producer's declared
+    field value, preserved where NaN would destroy it — while primary
+    points land NaN→NULL as ever.  Composes with spatial differencing
+    (the subsequence skips BOTH kinds): per document the order cycles
+    0/1/2.
+
+    Witnesses: primary/secondary counts (substitute values are
+    disjoint from the data range, so the count is exact), the value
+    sum INCLUDING substitutes, the position-weighted sum (a marker
+    read at the wrong width scatters both) and the NaN-position
+    checksum.  The foreign-bytes witness (tests/test_foreign_grib.py::
+    test_foreign_mvm2_grib2_decodes_to_pinned_values) pins the marker
+    codes and the raw substitute landing octet-by-octet.
+
+    Scale: codec posture — one Arrow decode stage, statistic rows
+    shuffle; supporting mvm=2 is what lets a 100 TB radar-product
+    archive land without quarantining every below-threshold record.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 47 == 21) & (F.col("doc_id") < 940))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 5 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                v = (80 + 2 * ((d * 5 + i * 3 + j * 7) % 45)).astype(
+                    np.float64
+                )
+                kind = (i + 2 * j + d) % 7
+                mm = (kind == 0) | np.zeros_like(v, bool)
+                sm = (kind == 1) | np.zeros_like(v, bool)
+                order = d % 3
+                kw = dict(
+                    packing="complex" if order == 0 else "complex_diff",
+                    missing_mask=mm,
+                    secondary_mask=sm,
+                    secondary_substitute=float(500 + d % 20),
+                    group_len=3 + d % 6,
+                    reference_value=0.0,
+                )
+                if order:
+                    kw["spatial_diff_order"] = order
+                msg = encode_grib2_message(v, **kw)
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.posexplode("values").alias("pos", "v"),
+    )
+    sub2 = F.lit(500) + F.col("doc_id") % 20
+    is_sec = _present("v") & (F.col("v").cast("bigint") == sub2)
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.count(F.when(~_present("v"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_primary"),
+            F.count(F.when(is_sec, F.lit(1)))
+            .cast("bigint")
+            .alias("n_secondary"),
+            F.sum(F.when(_present("v"), F.col("v")).otherwise(F.lit(0.0)))
+            .cast("bigint")
+            .alias("vsum"),
+            F.sum(
+                F.when(_present("v"), F.col("v") * F.col("pos")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            .cast("bigint")
+            .alias("wsum"),
+            F.sum(F.when(~_present("v"), F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("nanpos"),
+        )
+        .orderBy("doc_id")
+    )

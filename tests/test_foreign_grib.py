@@ -1261,3 +1261,139 @@ def test_foreign_spatial_diff_missing_grib2_decodes_to_pinned_values():
         [[0.825, 0.925, np.nan], [1.125, 1.075, 1.325]],
         rtol=0, atol=1e-12,
     )
+
+
+def _foreign_grib2_complex_mvm2() -> bytes:
+    """`_foreign_grib2_complex`'s geometry with MISSING-VALUE
+    MANAGEMENT 2 (primary + secondary): the top TWO codes at each
+    group width are markers.  Group 0 (width 2) deviations
+    [3, 2, 1] → point 0 PRIMARY missing (3 = all-ones), point 1
+    SECONDARY (2 = all-ones − 1), point 2 = ref 4 + 1 = 5; group 1
+    (width 3) deviations [0, 4, 1] → no marker hit, X = [20, 24, 21].
+    Bitstream 11 10 01 | 000 100 001 → 0xE4 0x42.  The secondary
+    substitute rides section 5 octets 28-31 as IEEE +7.5 — the decoder
+    lands it RAW at the secondary point (it is the producer's declared
+    field value), while the primary point lands NaN.
+
+    Y = (3.25 + X·2^-1)/10^1 elsewhere → [NaN, 7.5, 0.575, 1.325,
+    1.525, 1.375].
+    """
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 47, 5)
+        + struct.pack(">I", 6)        # packed points
+        + struct.pack(">H", 2)        # template 5.2
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25 IEEE 754
+        + bytes([0x80, 0x01])         # E = -1 (sign-magnitude)
+        + bytes([0x00, 0x01])         # D = +1
+        + bytes([5])                  # bits per group reference
+        + bytes([0])                  # original field type: float
+        + bytes([1])                  # group splitting: general
+        + bytes([2])                  # missing value management 2
+        + struct.pack(">I", 0)        # primary missing substitute
+        + bytes([0x40, 0xF0, 0x00, 0x00])  # secondary substitute +7.5
+        + struct.pack(">I", 2)        # NG = 2 groups
+        + bytes([1])                  # reference for group widths
+        + bytes([2])                  # bits per width increment
+        + struct.pack(">I", 2)        # reference for group lengths
+        + bytes([1])                  # length increment
+        + struct.pack(">I", 3)        # true length of the last group
+        + bytes([3])                  # bits per length increment
+    )
+    assert len(sec5) == 47
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    payload = (
+        bytes([0x25, 0x00])  # group references 4, 20 @5 bits
+        + bytes([0x60])      # width increments 1, 2 @2 bits
+        + bytes([0x24])      # length increments 1, 1 @3 bits
+        + bytes([0xE4, 0x42])  # [3,2,1] @2 then [0,4,1] @3
+    )
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_mvm2_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for missing-value management 2: the two
+    marker codes at group width, the raw secondary-substitute landing
+    and the NaN primary landing are pinned against hand-laid octets."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_complex_mvm2())
+    v = rec.values
+    assert np.isnan(v[0, 0])            # primary marker
+    assert v[0, 1] == 7.5               # secondary -> substitute, RAW
+    np.testing.assert_allclose(
+        v[0, 2:], [0.575], rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        v[1], [1.325, 1.525, 1.375], rtol=0, atol=1e-12
+    )
+
+
+def _foreign_grib2_ieee(precision: int) -> bytes:
+    """GRIB2 template 5.4 (IEEE floating-point data), hand-assembled:
+    section 5 is just the point count, template number 4 and the
+    code-table-5.7 precision octet — NO reference value, scales or
+    width — and section 7 carries the raw big-endian floats.  Values
+    [0.5, -1.25, 3.0, 100.0, -0.0625, 7.5] are exact in binary32, so
+    both precisions decode bit-identically."""
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 12, 5)
+        + struct.pack(">I", 6)   # data points
+        + struct.pack(">H", 4)   # data representation template 5.4
+        + bytes([precision])     # code table 5.7: 1=binary32 2=binary64
+    )
+    assert len(sec5) == 12
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    vals = np.array([0.5, -1.25, 3.0, 100.0, -0.0625, 7.5])
+    payload = vals.astype(">f4" if precision == 1 else ">f8").tobytes()
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_ieee_float_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for template 5.4: the short no-R/E/D
+    section-5 layout and the raw float section 7, both precisions."""
+    import pytest
+
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    for precision in (1, 2):
+        rec = decode_grib2(_foreign_grib2_ieee(precision))
+        assert rec.packing_template == 4
+        assert rec.nbits == 32 * precision
+        np.testing.assert_allclose(
+            rec.values,
+            [[0.5, -1.25, 3.0], [100.0, -0.0625, 7.5]],
+            rtol=0, atol=0,
+        )
+    # an unknown precision octet (code table 5.7 has only 1/2/3, and
+    # 3=128-bit is not decodable here) stops loudly
+    bad = bytearray(_foreign_grib2_ieee(1))
+    pos = 16
+    while bad[pos + 4] != 5:
+        pos += int.from_bytes(bad[pos : pos + 4], "big")
+    bad[pos + 11] = 3
+    with pytest.raises(ValueError, match="IEEE precision"):
+        decode_grib2(bytes(bad))
+    # a truncated float payload stops loudly
+    short = bytearray(_foreign_grib2_ieee(1))
+    # shrink section 7 by 4 octets (drop the last float)
+    p7 = 16
+    while short[p7 + 4] != 7:
+        p7 += int.from_bytes(short[p7 : p7 + 4], "big")
+    l7 = int.from_bytes(short[p7 : p7 + 4], "big")
+    short2 = short[: p7 + l7 - 4] + short[p7 + l7 :]
+    struct.pack_into(">I", short2, p7, l7 - 4)
+    struct.pack_into(">Q", short2, 8, len(short2))
+    with pytest.raises(ValueError, match="truncated IEEE"):
+        decode_grib2(bytes(short2))

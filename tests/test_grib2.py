@@ -479,6 +479,133 @@ def test_spatial_diff_mvm_edges():
         )
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    nj=st.integers(2, 7),
+    ni=st.integers(3, 10),
+    group_len=st.integers(1, 25),
+    order=st.integers(0, 2),
+    seed=st.integers(0, 2**31),
+)
+def test_secondary_missing_roundtrip_property(nj, ni, group_len, order, seed):
+    """Missing-value management 2 (primary + secondary — the
+    NEXRAD-style distinction between "missing" and "below detection
+    threshold"): the top TWO codes at every group width are markers,
+    an all-secondary group codes as the all-ones-minus-1 reference,
+    and the section-5 secondary substitute lands RAW at secondary
+    points.  Composes with both 5.2 and 5.3 (either order)."""
+    rng = np.random.default_rng(seed)
+    walk = np.cumsum(rng.integers(-6, 9, size=nj * ni)).astype(np.float64)
+    v = (walk - walk.min()).reshape(nj, ni)
+    kinds = rng.integers(0, 6, size=(nj, ni))
+    mm, sm = kinds == 0, kinds == 1
+    if (~(mm | sm)).sum() < max(order, 1) + 1:
+        mm[:] = False
+        sm[:] = False
+        sm[0, 0] = True
+    kw = dict(
+        packing="complex" if order == 0 else "complex_diff",
+        missing_mask=mm, secondary_mask=sm, secondary_substitute=9999.0,
+        group_len=group_len,
+    )
+    if order:
+        kw["spatial_diff_order"] = order
+    rec = decode_grib2(encode_grib2_message(v, **kw))
+    assert np.array_equal(np.isnan(rec.values), mm)
+    assert np.array_equal(rec.values == 9999.0, sm)
+    pres = ~(mm | sm)
+    assert np.array_equal(rec.values[pres], v[pres])
+
+
+def test_secondary_missing_edges_and_guards():
+    """Deterministic mvm=2 edges: an all-secondary group (the
+    all-ones-minus-1 constant reference), a MIXED all-missing group
+    (must take the width path — no constant reference codes two
+    kinds), an uncoded substitute falling back to NaN, and the
+    overlap / substitute-without-mask encode guards."""
+    v = np.arange(30, dtype=np.float64).reshape(3, 10)
+    # all-secondary group at group_len=10
+    sm = np.zeros((3, 10), dtype=bool)
+    sm[1, :] = True
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex", group_len=10, secondary_mask=sm,
+            secondary_substitute=77.0, reference_value=0.0,
+        )
+    )
+    assert (rec.values[1] == 77.0).all()
+    assert np.array_equal(rec.values[[0, 2]], v[[0, 2]])
+    # mixed all-missing group: half primary, half secondary
+    mm = np.zeros((3, 10), dtype=bool)
+    sm = np.zeros((3, 10), dtype=bool)
+    mm[1, :5] = True
+    sm[1, 5:] = True
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex", group_len=10,
+            missing_mask=mm, secondary_mask=sm,
+            secondary_substitute=55.5, reference_value=0.0,
+        )
+    )
+    assert np.isnan(rec.values[1, :5]).all()
+    assert (rec.values[1, 5:] == 55.5).all()
+    assert np.array_equal(rec.values[[0, 2]], v[[0, 2]])
+    # uncoded substitute -> secondary lands NaN like primary
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="complex", group_len=10,
+            secondary_mask=sm, reference_value=0.0,
+        )
+    )
+    assert np.isnan(rec.values[1, 5:]).all()
+    # guards
+    with pytest.raises(ValueError, match="both primary- and secondary"):
+        encode_grib2_message(
+            v, packing="complex", missing_mask=sm, secondary_mask=sm
+        )
+    with pytest.raises(ValueError, match="requires secondary_mask"):
+        encode_grib2_message(
+            v, packing="complex", secondary_substitute=1.0
+        )
+    with pytest.raises(ValueError, match="missing-value management"):
+        encode_grib2_message(v, secondary_mask=sm)
+
+
+def test_ieee_float_packing_roundtrips_and_guards():
+    """Template 5.4 (IEEE floating-point data): raw floats, no
+    reference/scales/width — binary64 round-trips arbitrary doubles
+    bit-exactly, binary32 at float32 resolution, composes with a
+    bitmap, rejects NaN present cells and spectral pairing."""
+    rng = np.random.default_rng(17)
+    v = rng.uniform(-5000, 5000, size=(5, 8))
+    r64 = decode_grib2(encode_grib2_message(v, packing="ieee64"))
+    assert r64.packing_template == 4 and r64.nbits == 64
+    assert np.array_equal(r64.values, v)
+    r32 = decode_grib2(encode_grib2_message(v, packing="ieee32"))
+    assert r32.nbits == 32
+    assert np.array_equal(
+        r32.values, v.astype(np.float32).astype(np.float64)
+    )
+    bm = rng.integers(0, 3, size=(5, 8)) != 0
+    rb = decode_grib2(encode_grib2_message(v, packing="ieee64", bitmap=bm))
+    assert np.isnan(rb.values[~bm]).all()
+    assert np.array_equal(rb.values[bm], v[bm])
+    # south-first storage normalizes like every other packing
+    rs = decode_grib2(
+        encode_grib2_message(v, packing="ieee64", scanning_mode=0x40)
+    )
+    assert np.array_equal(rs.values, v)
+    with pytest.raises(ValueError, match="NaN cells need a bitmap"):
+        encode_grib2_message(
+            np.array([[1.0, np.nan]]), packing="ieee32"
+        )
+    with pytest.raises(ValueError, match="5.50/5.51"):
+        encode_grib2_message(
+            (np.arange(6) + 0j).astype(complex),
+            spectral=dict(truncation=2), packing="ieee32",
+        )
+
+
 def test_all_points_missing_roundtrips():
     mm = np.ones((3, 4), dtype=bool)
     rec = decode_grib2(

@@ -161,6 +161,8 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_cluster_scan",
         "grid_grib2_deprecated_satellite_scan",
         "grid_grib2_diff_missing_scan",
+        "grid_grib2_ieee_float_scan",
+        "grid_grib2_secondary_missing_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
@@ -1415,6 +1417,8 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_grib2_cluster_scan",
         "grid_grib2_deprecated_satellite_scan",
         "grid_grib2_diff_missing_scan",
+        "grid_grib2_ieee_float_scan",
+        "grid_grib2_secondary_missing_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
