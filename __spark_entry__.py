@@ -24,9 +24,10 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # alphabetical within a cohort, filling to exactly 50 — leftovers are
 # the explicit FRONT of next round's queue.
 #
-# Round 15 window: 6 NEW (reduced-grid/predefined bitmaps, edition-1
-# complex spectral, 5.3×mvm, PDT 4.30, IEEE template 5.4, and mvm=2
-# secondary missing — the round's codec items) + 10 CHANGED (radar
+# Round 15 window: 8 NEW (reduced-grid/predefined bitmaps, edition-1
+# complex spectral, 5.3×mvm, PDT 4.30, IEEE template 5.4, mvm=2
+# secondary missing, CCSDS/AEC template 5.42 on the from-scratch
+# grid/aec.py codec, and log template 5.61) + 10 CHANGED (radar
 # scan: missing-site-coordinate sentinel; quarantine scan: its reject
 # fixture moved off the now-decoding PDT 30 to PDT 40; satellite
 # scan: dispatch admits 30; the five GRIB2-facing inventory/match
@@ -34,11 +35,12 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # surfaces; and the two r10-witnessed queries sitting directly on the
 # restructured complex pack/unpack pair — grid_grib2_complex_decode
 # and grid_grib2_reduced_gaussian_decode) + the 8 spilled r7 names +
-# the first 26 of the 34-name r8 cohort.  6 + 10 + 34 = exactly 50.
-# The remaining 8 r8 names (set_union_all, set_union_distinct,
-# sort_multi_key, topk_orders, window_first_last, window_range_frame,
-# window_rank, window_running_sum) spill to the FRONT of round 16's
-# queue, followed by the r9 cohort.
+# the first 24 of the 34-name r8 cohort.  8 + 10 + 32 = exactly 50.
+# The remaining 10 r8 names (set_except, set_intersect,
+# set_union_all, set_union_distinct, sort_multi_key, topk_orders,
+# window_first_last, window_range_frame, window_rank,
+# window_running_sum) spill to the FRONT of round 16's queue,
+# followed by the r9 cohort.
 # grid_grib1_inventory is NOT changed this round
 # (inspect_grib1's header surface is untouched by the GRIB1 bitmap/
 # spectral work); the remaining decode queries sit downstream only of
@@ -54,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_deprecated_satellite_scan",
     "grid_grib2_ieee_float_scan",
     "grid_grib2_secondary_missing_scan",
+    "grid_grib2_aec_scan",
+    "grid_grib2_log_scan",
     # --- 2. changed in round 15 ---
     "grid_grib2_radar_scan",
     "grid_grib_quarantine_scan",
@@ -99,8 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_datetime",
     "scalar_math",
     "scalar_strings",
-    "set_except",
-    "set_intersect",
 )
 
 

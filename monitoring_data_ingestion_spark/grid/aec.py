@@ -1,0 +1,399 @@
+"""CCSDS 121.0-B lossless (Rice / adaptive entropy) coding — the
+compression GRIB2 data representation template 5.42 wraps (the
+libaec/"AEC" packing NCEP adopted for operational GFS output; wgrib2
+reads it through libaec).  Implemented from the PUBLISHED CCSDS
+121.0-B recommendation, from scratch, like the repo's JPEG2000
+(grid/jpeg2000.py) and PNG (grid/png.py) codecs.
+
+Wire format (per CCSDS 121.0-B, restated here as the implementation
+contract so the tests can pin it octet-by-octet):
+
+* Samples are n-bit unsigned integers (``nbits`` ≤ 32, MSB-first),
+  grouped into BLOCKS of J samples (``block_size``; libaec/GRIB use
+  16/32/64) and SEGMENTS of up to 64 blocks.  Every
+  ``rsi`` blocks (the reference sample interval) starts a new
+  REFERENCE group; segment (zero-run) accounting resets at both
+  segment and RSI boundaries.
+* PREPROCESSOR (optional, flag bit 8): unit-delay prediction with the
+  standard non-negative mapper.  With predictor value p = previous
+  sample, δ = x − p, θ = min(p, xmax − p):
+      m = 2δ          if 0 ≤ δ ≤ θ
+      m = −2δ − 1     if −θ ≤ δ < 0
+      m = θ + |δ|     otherwise.
+  The FIRST sample of each reference group is a REFERENCE SAMPLE: it
+  rides RAW (n bits) inside its block's chosen option, and prediction
+  restarts from it.
+* Each block is coded by one OPTION, chosen per block and announced by
+  an ID field of ``id_len`` bits (n ≤ 4 → 2, n ≤ 8 → 3, n ≤ 16 → 4,
+  else 5):
+    - ID 0 + one extra bit '0' → ZERO-BLOCK: a run of consecutive
+      all-zero blocks, its length FS-coded (run z → value z for
+      z ≤ 4, value 5 = ROS "remainder of segment", value z + 1 for
+      z ≥ 5); a reference sample opening the run rides raw before the
+      run code.
+    - ID 0 + extra bit '1' → SECOND EXTENSION: consecutive sample
+      pairs (a, b) → γ = (a+b)(a+b+1)/2 + b, FS-coded.  (Supported
+      for non-reference blocks; a reference inside a second-extension
+      block is a named boundary — see decode.)
+    - ID 1 .. 2^id_len − 2 → SPLIT k = ID − 1 (k = 0 is the plain
+      FUNDAMENTAL SEQUENCE): each sample's high part (sample >> k)
+      FS-coded in sample order, then every sample's k low bits, raw;
+      a reference sample rides raw (n bits) FIRST and is excluded
+      from both parts.
+    - ID all-ones → UNCOMPRESSED: all J samples raw at n bits.
+  FS codeword of value m = m '0' bits then a '1'.
+* The final partial block (when the sample count is not a block
+  multiple) pads with zero samples to J; the decoder truncates.  The
+  whole bitstream pads with '0' bits to a byte boundary.
+
+The ENCODER chooses per block the cheapest of {FS/split-k,
+uncompressed} and emits zero-block runs for all-zero stretches — it
+never emits the second extension (any conformant decoder, including
+this one, handles streams without it).  The DECODER accepts every
+option above.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["aec_encode", "aec_decode"]
+
+# CCSDS flag bits as GRIB template 5.42 octet 21 carries them
+# (identical to libaec's AEC_DATA_* constants)
+FLAG_SIGNED = 1
+FLAG_3BYTE = 2
+FLAG_MSB = 4
+FLAG_PREPROCESS = 8
+FLAG_RESTRICTED = 16
+FLAG_PAD_RSI = 32
+
+_SEGMENT_BLOCKS = 64  # zero-run accounting resets every 64 blocks
+
+
+def _id_len(nbits: int) -> int:
+    if nbits <= 4:
+        return 2
+    if nbits <= 8:
+        return 3
+    if nbits <= 16:
+        return 4
+    return 5
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, width: int) -> None:
+        if width:
+            self.bits.extend(
+                (value >> (width - 1 - i)) & 1 for i in range(width)
+            )
+
+    def write_fs(self, value: int) -> None:
+        self.bits.extend([0] * value)
+        self.bits.append(1)
+
+    def tobytes(self) -> bytes:
+        pad = (-len(self.bits)) % 8
+        arr = np.array(self.bits + [0] * pad, dtype=np.uint8)
+        return np.packbits(arr).tobytes()
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, width: int) -> int:
+        if self.pos + width > len(self.bits):
+            raise ValueError("truncated CCSDS/AEC bitstream")
+        v = 0
+        for b in self.bits[self.pos : self.pos + width]:
+            v = (v << 1) | int(b)
+        self.pos += width
+        return v
+
+    def read_fs(self) -> int:
+        # count zeros to the next 1 — vectorized via argmax on the tail
+        tail = self.bits[self.pos :]
+        if tail.size == 0:
+            raise ValueError("truncated CCSDS/AEC bitstream")
+        nz = int(np.argmax(tail))
+        if tail[nz] != 1:
+            raise ValueError("truncated CCSDS/AEC bitstream (open FS code)")
+        self.pos += nz + 1
+        return nz
+
+
+def _preprocess(samples: np.ndarray, nbits: int, rsi_blocks: int,
+                block: int) -> np.ndarray:
+    """Unit-delay + mapper, restarting at each reference sample (the
+    first sample of every ``rsi_blocks``-block group); the reference
+    sample itself passes through UNMAPPED."""
+    x = samples.astype(np.int64)
+    xmax = (1 << nbits) - 1
+    out = np.empty_like(x)
+    ref_stride = rsi_blocks * block
+    for s0 in range(0, len(x), ref_stride):
+        seg = x[s0 : s0 + ref_stride]
+        out[s0] = seg[0]  # reference sample, raw
+        p = seg[:-1]      # predictor = previous sample
+        d = seg[1:] - p
+        theta = np.minimum(p, xmax - p)
+        m = np.where(
+            (d >= 0) & (d <= theta),
+            2 * d,
+            np.where((d < 0) & (-d <= theta), -2 * d - 1, theta + np.abs(d)),
+        )
+        out[s0 + 1 : s0 + len(seg)] = m
+    return out
+
+
+def _postprocess(mapped: np.ndarray, nbits: int, rsi_blocks: int,
+                 block: int) -> np.ndarray:
+    """Inverse of :func:`_preprocess`."""
+    m = mapped.astype(np.int64)
+    xmax = (1 << nbits) - 1
+    out = np.empty_like(m)
+    ref_stride = rsi_blocks * block
+    for s0 in range(0, len(m), ref_stride):
+        end = min(s0 + ref_stride, len(m))
+        p = int(m[s0])
+        if not 0 <= p <= xmax:
+            raise ValueError(
+                f"CCSDS reference sample {p} exceeds {nbits}-bit range"
+            )
+        out[s0] = p
+        for i in range(s0 + 1, end):
+            v = int(m[i])
+            theta = min(p, xmax - p)
+            if v > 2 * theta:
+                d = v - theta if p < xmax - p else theta - v
+            elif v & 1:
+                d = -((v + 1) >> 1)
+            else:
+                d = v >> 1
+            p = p + d
+            if not 0 <= p <= xmax:
+                raise ValueError(
+                    "CCSDS preprocessor state escaped the sample range "
+                    "(corrupt stream)"
+                )
+            out[i] = p
+    return out
+
+
+def aec_encode(
+    samples: np.ndarray,
+    nbits: int,
+    *,
+    flags: int = FLAG_MSB | FLAG_PREPROCESS,
+    block_size: int = 32,
+    rsi: int = 128,
+) -> bytes:
+    """Encode non-negative ``nbits``-bit integers → CCSDS 121.0 bytes."""
+    if not 1 <= nbits <= 32:
+        raise ValueError(f"CCSDS sample resolution {nbits} out of 1-32")
+    if not flags & FLAG_MSB:
+        raise ValueError("only MSB-first CCSDS streams are supported")
+    if flags & (FLAG_SIGNED | FLAG_RESTRICTED):
+        raise ValueError(
+            "signed / restricted CCSDS coding options are not supported"
+        )
+    if block_size not in (8, 16, 32, 64):
+        raise ValueError(f"CCSDS block size {block_size} not in 8/16/32/64")
+    if rsi < 1 or rsi > 0xFFFF:
+        raise ValueError(f"reference sample interval {rsi} out of range")
+    x = np.asarray(samples, dtype=np.int64).reshape(-1)
+    if len(x) == 0:
+        return b""
+    if int(x.min()) < 0 or int(x.max()) >> nbits:
+        raise ValueError(f"samples exceed the {nbits}-bit range")
+    if flags & FLAG_PREPROCESS:
+        m = _preprocess(x, nbits, rsi, block_size)
+    else:
+        m = x.copy()
+    n_total = len(m)
+    j = block_size
+    pad = (-n_total) % j
+    if pad:
+        m = np.concatenate([m, np.zeros(pad, dtype=np.int64)])
+    id_len = _id_len(nbits)
+    id_uncomp = (1 << id_len) - 1
+    k_max = id_uncomp - 2  # IDs 1..id_uncomp-1 are splits k = id-1
+    w = _BitWriter()
+    nblocks = len(m) // j
+    bi = 0
+    while bi < nblocks:
+        seg_i = bi % _SEGMENT_BLOCKS
+        is_ref = flags & FLAG_PREPROCESS and (bi * j) % (rsi * j) == 0
+        blk = m[bi * j : (bi + 1) * j]
+        data = blk[1:] if is_ref else blk
+        # zero-block run: this and following all-zero DATA blocks
+        # (a later block is zero only if fully zero incl. any ref)
+        if not data.any():
+            run = 1
+            seg_end = bi - seg_i + _SEGMENT_BLOCKS
+            nxt = bi + 1
+            while (
+                nxt < min(nblocks, seg_end)
+                and not (flags & FLAG_PREPROCESS and (nxt * j) % (rsi * j) == 0)
+                and not m[nxt * j : (nxt + 1) * j].any()
+            ):
+                run += 1
+                nxt += 1
+            w.write(0, id_len)  # ID 0
+            w.write(0, 1)       # '0' → zero-block
+            if is_ref:
+                w.write(int(blk[0]), nbits)
+            # FS-coded run VALUE per spec: z ≤ 4 → z, ROS (zero to the
+            # segment end, z ≥ 5) → 5, else z + 1; sent as FS(value−1)
+            # since every run is at least 1
+            ros = nxt >= min(nblocks, seg_end)
+            if ros and run >= 5:
+                w.write_fs(4)
+            elif run <= 4:
+                w.write_fs(run - 1)
+            else:
+                w.write_fs(run)
+            bi = nxt
+            continue
+        # candidate costs: FS/split-k vs uncompressed
+        best_k, best_cost = None, j * nbits  # uncompressed cost
+        for k in range(0, min(k_max, nbits - 1) + 1):
+            fs_bits = int((data >> k).sum()) + len(data)
+            cost = fs_bits + k * len(data) + (nbits if is_ref else 0)
+            if cost < best_cost:
+                best_k, best_cost = k, cost
+        if best_k is None:
+            w.write(id_uncomp, id_len)
+            for v in blk:
+                w.write(int(v), nbits)
+        else:
+            w.write(best_k + 1, id_len)
+            if is_ref:
+                w.write(int(blk[0]), nbits)
+            for v in data:
+                w.write_fs(int(v) >> best_k)
+            if best_k:
+                for v in data:
+                    w.write(int(v) & ((1 << best_k) - 1), best_k)
+        bi += 1
+    return w.tobytes()
+
+
+def aec_decode(
+    data: bytes,
+    n_samples: int,
+    nbits: int,
+    *,
+    flags: int = FLAG_MSB | FLAG_PREPROCESS,
+    block_size: int = 32,
+    rsi: int = 128,
+) -> np.ndarray:
+    """Decode a CCSDS 121.0 stream → int64 array of ``n_samples``."""
+    if not 1 <= nbits <= 32:
+        raise ValueError(f"CCSDS sample resolution {nbits} out of 1-32")
+    if not flags & FLAG_MSB:
+        raise ValueError("only MSB-first CCSDS streams are supported")
+    if flags & (FLAG_SIGNED | FLAG_RESTRICTED):
+        raise ValueError(
+            "signed / restricted CCSDS coding options are not supported"
+        )
+    if block_size not in (8, 16, 32, 64):
+        raise ValueError(f"CCSDS block size {block_size} not in 8/16/32/64")
+    if n_samples == 0:
+        return np.zeros(0, dtype=np.int64)
+    r = _BitReader(bytes(data))
+    j = block_size
+    id_len = _id_len(nbits)
+    id_uncomp = (1 << id_len) - 1
+    nblocks = (n_samples + j - 1) // j
+    m = np.zeros(nblocks * j, dtype=np.int64)
+    bi = 0
+    while bi < nblocks:
+        seg_i = bi % _SEGMENT_BLOCKS
+        is_ref = flags & FLAG_PREPROCESS and (bi * j) % (rsi * j) == 0
+        opt = r.read(id_len)
+        if opt == 0:
+            low = r.read(1)
+            if low == 0:
+                # zero-block run
+                if is_ref:
+                    m[bi * j] = r.read(nbits)
+                code = r.read_fs() + 1  # FS(value-1) → value
+                seg_end = bi - seg_i + _SEGMENT_BLOCKS
+                if code == 5:  # ROS: zero to the end of the segment
+                    run = min(seg_end, nblocks) - bi
+                elif code <= 4:
+                    run = code
+                else:
+                    run = code - 1
+                if bi + run > nblocks:
+                    raise ValueError(
+                        "CCSDS zero-block run exceeds the sample count"
+                    )
+                if flags & FLAG_PREPROCESS:
+                    for b2 in range(bi + 1, bi + run):
+                        if (b2 * j) % (rsi * j) == 0:
+                            # an interior reference block's sample was
+                            # never transmitted — the stream is
+                            # malformed, not a zero field
+                            raise ValueError(
+                                "CCSDS zero-block run swallows a "
+                                "reference sample"
+                            )
+                bi += run
+                continue
+            # second extension
+            if is_ref:
+                raise ValueError(
+                    "second-extension block carrying a reference sample "
+                    "is not supported (named boundary; this encoder "
+                    "never emits the second extension)"
+                )
+            out = []
+            for _ in range(j // 2):
+                gamma = r.read_fs()
+                # invert gamma = s(s+1)/2 + b with a+b = s
+                s = int((np.sqrt(8.0 * gamma + 1.0) - 1.0) // 2)
+                while s * (s + 1) // 2 > gamma:
+                    s -= 1
+                while (s + 1) * (s + 2) // 2 <= gamma:
+                    s += 1
+                b = gamma - s * (s + 1) // 2
+                a = s - b
+                out.extend((a, b))
+            m[bi * j : (bi + 1) * j] = out
+            bi += 1
+            continue
+        if opt == id_uncomp:
+            for i in range(j):
+                m[bi * j + i] = r.read(nbits)
+            bi += 1
+            continue
+        k = opt - 1
+        if k > nbits - 1:
+            raise ValueError(
+                f"CCSDS split exponent {k} exceeds the {nbits}-bit samples"
+            )
+        start = bi * j
+        i0 = 0
+        if is_ref:
+            m[start] = r.read(nbits)
+            i0 = 1
+        highs = [r.read_fs() for _ in range(j - i0)]
+        if k:
+            for i, h in enumerate(highs):
+                m[start + i0 + i] = (h << k) | r.read(k)
+        else:
+            m[start + i0 : start + j] = highs
+        bi += 1
+    m = m[:n_samples]
+    if flags & FLAG_PREPROCESS:
+        return _postprocess(m, nbits, rsi, block_size)
+    if int(m.max(initial=0)) >> nbits:
+        raise ValueError("decoded CCSDS sample exceeds the declared range")
+    return m

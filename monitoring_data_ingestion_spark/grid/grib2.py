@@ -74,7 +74,11 @@ the ``wgrib`` edition-1 path:
   subsequence only), template 5.4 (IEEE floating-point data — raw
   binary32/binary64, no reference/scales/width), template 5.40
   (JPEG2000: the scaled field as one lossless raw codestream,
-  grid/jpeg2000.py), and template 5.41 (PNG, grid/png.py).
+  grid/jpeg2000.py), template 5.41 (PNG, grid/png.py), template 5.42
+  (CCSDS 121.0 / AEC lossless Rice coding on the from-scratch
+  grid/aec.py codec — the packing post-2022 NCEP GFS output ships),
+  and template 5.61 (simple packing with logarithm pre-processing:
+  Z = ln(Y + B), the ECMWF precipitation form).
 * Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present, 254 =
   the previously defined bitmap applies (multi-field messages; resolved
   by substitution in ``_iter_field_sections``).
@@ -1265,6 +1269,9 @@ def encode_grib2_message(
     missing_mask: np.ndarray | None = None,
     secondary_mask: np.ndarray | None = None,
     secondary_substitute: float | None = None,
+    log_offset: float | None = None,
+    aec_block_size: int = 32,
+    aec_rsi: int = 128,
     gaussian: bool = False,
     reduced_ni=None,
     lambert: dict | None = None,
@@ -1459,7 +1466,7 @@ def encode_grib2_message(
         raise ValueError("degenerate Mercator true-scale latitude")
     if packing not in (
         "simple", "complex", "complex_diff", "png", "jpeg2000",
-        "ieee32", "ieee64",
+        "ieee32", "ieee64", "log", "aec",
     ):
         raise ValueError(f"unknown packing {packing!r}")
     if spec_t is not None:
@@ -1495,6 +1502,8 @@ def encode_grib2_message(
             )
     if sm is None and secondary_substitute is not None:
         raise ValueError("secondary_substitute requires secondary_mask")
+    if log_offset is not None and packing != "log":
+        raise ValueError("log_offset requires packing='log'")
     if (
         scanning_mode == 0x40
         and lambert is None
@@ -1557,10 +1566,34 @@ def encode_grib2_message(
         ).tobytes()
         r_bytes = b""  # unused below; 5.4 has no reference value
     else:
+        if packing == "log":
+            # Template 5.61 (simple packing with LOGARITHM
+            # pre-processing): Z = ln(Y + B) is what quantizes —
+            # flattening a dynamic range spanning decades (ECMWF
+            # precipitation-style products) into fixed-width
+            # increments.  Every present cell must satisfy Y + B > 0
+            # or the transform is undefined.
+            if spec_t is not None:
+                raise ValueError(
+                    "spectral data packs with template 5.50/5.51 "
+                    "(simple) only"
+                )
+            log_b = 0.0 if log_offset is None else float(log_offset)
+            if np.isnan(present).any():
+                raise ValueError(
+                    "NaN cells need a bitmap (log packing transforms "
+                    "every present cell)"
+                )
+            if (present + log_b <= 0.0).any():
+                raise ValueError(
+                    "log packing needs Y + B > 0 for every present "
+                    f"cell (B = {log_b})"
+                )
+            present = np.log(present + log_b)
         # Complex packing computes per-group widths — the caller's
         # nbits only constrains the SIMPLE template; pass the
         # quantizer a 64-bit ceiling otherwise.
-        q_nbits = nbits if packing == "simple" else 64
+        q_nbits = nbits if packing in ("simple", "log") else 64
         r_bytes, r, x = quantize_simple_packing(
             present,
             decimal_scale,
@@ -1573,6 +1606,45 @@ def encode_grib2_message(
         )
     if packing in ("ieee32", "ieee64"):
         pass  # s5/s7 bodies already built above
+    elif packing == "log":
+        # 5.61 keeps 5.0's R/E/D/width head; octets 21-24 carry B
+        # (IEEE-32) in place of 5.0's original-field-type octet.
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 61)  # data representation template 5.61
+            + r_bytes
+            + _s16be(binary_scale)
+            + _s16be(decimal_scale)
+            + bytes([nbits])
+            + struct.pack(">f", 0.0 if log_offset is None else float(log_offset))
+        )
+        s7_body = _pack_bits(x, nbits)
+    elif packing == "aec":
+        # Template 5.42: the scaled increments X CCSDS-encode with the
+        # GRIB-conventional parameters (MSB, preprocessor on) — the
+        # nbits=0 constant field keeps the empty-stream convention.
+        from .aec import FLAG_MSB, FLAG_PREPROCESS, aec_encode
+
+        aec_flags = FLAG_MSB | FLAG_PREPROCESS
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 42)  # data representation template 5.42
+            + r_bytes
+            + _s16be(binary_scale)
+            + _s16be(decimal_scale)
+            + bytes([nbits])
+            + bytes([aec_flags])
+            + bytes([aec_block_size])
+            + struct.pack(">H", aec_rsi)
+        )
+        s7_body = (
+            b""
+            if nbits == 0
+            else aec_encode(
+                x, nbits,
+                flags=aec_flags, block_size=aec_block_size, rsi=aec_rsi,
+            )
+        )
     elif packing == "simple":
         if spec_sub is not None:
             # Template 5.51: Laplacian exponent ×10^6 (signed-
@@ -3490,7 +3562,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3, 4, 40, 41, 50, 51):
+    if tmpl5 not in (0, 2, 3, 4, 40, 41, 42, 50, 51, 61):
         raise ValueError(f"unsupported data representation template {tmpl5}")
     # Spectral grid ↔ spectral packing must pair: 5.50/5.51's value
     # sequence only means anything against 3.50's coefficient ordering,
@@ -3636,6 +3708,46 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             ) / (10.0 ** decimal_scale)
         else:
             present_vals = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+    elif tmpl5 == 42:
+        # Template 5.42 (CCSDS 121.0 / AEC — the lossless Rice coding
+        # NCEP adopted for operational GFS output; grid/aec.py is the
+        # from-scratch codec): octet 21 the CCSDS flags mask, 22 the
+        # block size, 23-24 the reference sample interval.
+        from .aec import aec_decode
+
+        if len(s5) < 24:
+            raise ValueError("truncated data representation template 5.42")
+        aec_flags, aec_block = s5[20], s5[21]
+        (aec_rsi,) = struct.unpack_from(">H", s5, 22)
+        if nbits == 0:  # constant field: empty stream, value is R/10^D
+            present_vals = np.full(
+                n_present, float(r) / (10.0 ** decimal_scale)
+            )
+        else:
+            x = aec_decode(
+                bytes(s7[5:]), n_present, nbits,
+                flags=aec_flags, block_size=aec_block, rsi=aec_rsi,
+            )
+            present_vals = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+    elif tmpl5 == 61:
+        # Template 5.61 (simple packing with LOGARITHM PRE-PROCESSING
+        # — ECMWF precipitation-style products whose dynamic range
+        # spans decades): Z = ln(Y + B) simple-packs; octets 21-24
+        # carry the pre-processing parameter B (IEEE-32).  Decode
+        # inverts: Y = exp((R + X·2^E)/10^D) − B.
+        if len(s5) < 24:
+            raise ValueError("truncated data representation template 5.61")
+        (log_b,) = struct.unpack_from(">f", s5, 20)
+        if nbits:
+            x = _unpack_bits(s7[5:], n_present, nbits)
+            z = (
+                float(r) + x.astype(np.float64) * (2.0 ** binary_scale)
+            ) / (10.0 ** decimal_scale)
+        else:
+            z = np.full(n_present, float(r) / (10.0 ** decimal_scale))
+        present_vals = np.exp(z) - float(log_b)
     elif tmpl5 == 4:
         width = 4 * ieee_precision
         if len(s7) < 5 + width * n_present:

@@ -8878,3 +8878,211 @@ def grid_grib2_secondary_missing_scan(
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "grid_grib2_aec_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 6 + doc_id % 4 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 53 = 11 AND doc_id < 1060
+),
+cells AS (
+  SELECT g.doc_id, p.pos,
+         100 + ((g.doc_id * 3 + p.pos * 5) % 40) AS v
+  FROM g,
+       LATERAL (
+         SELECT unnest(generate_series(0, g.ni * g.nj - 1)) AS pos
+       ) p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum,
+       CAST(SUM(v * pos) AS BIGINT) AS wsum
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def grid_grib2_aec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCSDS 121.0 / AEC packing (data representation template 5.42 —
+    the lossless Rice coding NCEP adopted for operational GFS output;
+    wgrib2 reads it through libaec) through the landing scan, on the
+    engine's FROM-SCRATCH codec (grid/aec.py, like the JPEG2000 and
+    PNG codecs): per document the field encodes at a per-document
+    CCSDS block size (8/16/32) and reference sample interval (1-4),
+    exercising the preprocessor's reference-sample restarts, the
+    per-block option selection and the zero/low-entropy run machinery
+    across documents.
+
+    Witness: exact integer value and position-weighted sums — any
+    mis-decoded block, swallowed reference sample or off-by-one in the
+    FS/split bitstream scatters values and cannot cancel.  The codec
+    itself carries its own foreign-bytes witnesses for EVERY decoder
+    option (tests/test_aec.py: hand-laid FS / split-k / uncompressed /
+    zero-run + ROS / second-extension / preprocessed-reference
+    bitstreams) and the template's octet layout is pinned by
+    tests/test_foreign_grib.py::
+    test_foreign_aec_grib2_decodes_to_pinned_values.
+
+    Scale: codec posture — one Arrow decode stage, statistic rows
+    shuffle; at 100 TB, 5.42 is why a post-2022 NCEP archive scan
+    reads the producer's actual bytes (GFS moved to AEC), and the
+    pure-Python block decoder is the same swap-in CPU constant as the
+    complex unpacker (grib2._decode_complex_s7 docstring).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 53 == 11) & (F.col("doc_id") < 1060))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 6 + d % 4, 3 + d % 2
+                pos = np.arange(ni * nj)
+                v = (100 + ((d * 3 + pos * 5) % 40)).astype(
+                    np.float64
+                ).reshape(nj, ni)
+                msg = encode_grib2_message(
+                    v,
+                    packing="aec",
+                    nbits=8,
+                    reference_value=100.0,
+                    aec_block_size=8 << (d % 3),
+                    aec_rsi=1 + d % 4,
+                )
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.posexplode("values").alias("pos", "v"),
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("v").cast("bigint").alias("vsum"),
+            F.sum(F.col("v") * F.col("pos")).cast("bigint").alias("wsum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "grid_grib2_log_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 59 = 7 AND doc_id < 1180
+),
+cells AS (
+  SELECT g.doc_id, j.j * g.ni + i.i AS pos,
+         CAST(ROUND(
+           (EXP((g.doc_id * 3 + i.i * 5 + j.j * 7) % 9) - 10) * 1e6
+         ) AS BIGINT) AS v6
+  FROM g,
+       LATERAL (SELECT unnest(generate_series(0, g.nj - 1)) AS j) j,
+       LATERAL (SELECT unnest(generate_series(0, g.ni - 1)) AS i) i
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v6) AS BIGINT) AS v6sum,
+       CAST(SUM(v6 * pos) AS BIGINT) AS w6sum
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def grid_grib2_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGARITHM pre-processing (data representation template 5.61 —
+    the ECMWF form for precipitation-style fields whose dynamic range
+    spans decades): Z = ln(Y + B) simple-packs with the B parameter at
+    section-5 octets 21-24, and decode inverts Y = e^Z − B.  The
+    fixture builds Y = e^k − B from integer k, so the packed Z domain
+    is EXACTLY the integer k sequence (R = 0, E = D = 0) and the only
+    float arithmetic is one exp per cell — restated identically by the
+    oracle's EXP(), with the micro-scaled fixed-point rounding margins
+    verified safe for every k in 0..8 (nearest fractional distance to
+    a rounding boundary is 7e-3, vs the ~1e-13 cross-library exp
+    disagreement bound).
+
+    Witness: per document the micro-scaled value and position-weighted
+    sums — a B applied on the wrong side, a log/exp inversion slip or
+    an off-by-one in the Z stream cannot cancel.  The template layout
+    is pinned by tests/test_foreign_grib.py::
+    test_foreign_log_grib2_decodes_to_pinned_values.
+
+    Scale: codec posture — one Arrow decode stage; the exp inversion
+    is one vectorized numpy pass per record.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 59 == 7) & (F.col("doc_id") < 1180))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                i = np.arange(ni)[None, :]
+                j = np.arange(nj)[:, None]
+                k = ((d * 3 + i * 5 + j * 7) % 9).astype(np.float64)
+                v = np.exp(k) - 10.0
+                msg = encode_grib2_message(
+                    v,
+                    packing="log",
+                    log_offset=10.0,
+                    nbits=8,
+                    reference_value=0.0,
+                )
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.posexplode("values").alias("pos", "v"),
+    )
+    v6 = F.round(F.col("v") * F.lit(1e6)).cast("bigint")
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(v6).cast("bigint").alias("v6sum"),
+            F.sum(v6 * F.col("pos")).cast("bigint").alias("w6sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1397,3 +1397,91 @@ def test_foreign_ieee_float_grib2_decodes_to_pinned_values():
     struct.pack_into(">Q", short2, 8, len(short2))
     with pytest.raises(ValueError, match="truncated IEEE"):
         decode_grib2(bytes(short2))
+
+
+def _foreign_grib2_aec() -> bytes:
+    """GRIB2 template 5.42 (CCSDS/AEC), hand-assembled: section 5 ends
+    with the CCSDS flags (octet 21 = 4, MSB only / no preprocessing),
+    block size (22 = 8) and reference sample interval (23-24 = 128);
+    section 7 is one hand-laid FS block — ID '01' then FS codes of
+    X = [1,0,2,1,0,3] (+ 2 zero pad samples to J = 8):
+    01 | 01 1 001 01 1 0001 1 1.  Y = (3.25 + X·2^-1)/10^1."""
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 24, 5)
+        + struct.pack(">I", 6)   # data points
+        + struct.pack(">H", 42)  # data representation template 5.42
+        + bytes([0x40, 0x50, 0x00, 0x00])  # R = +3.25 IEEE 754
+        + bytes([0x80, 0x01])    # E = -1 (sign-magnitude)
+        + bytes([0x00, 0x01])    # D = +1
+        + bytes([4])             # bits per value
+        + bytes([4])             # CCSDS flags: MSB, no preprocessing
+        + bytes([8])             # block size J = 8
+        + struct.pack(">H", 128)  # reference sample interval
+    )
+    assert len(sec5) == 24
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    bits = "01" + "01 1 001 01 1 0001 1 1"
+    bits = bits.replace(" ", "")
+    bits += "0" * (-len(bits) % 8)
+    payload = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_aec_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for template 5.42: the octet-21-24
+    parameter block and a hand-laid CCSDS fundamental-sequence stream
+    decode to hand-computed values (X = [1,0,2,1,0,3])."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_aec())
+    assert rec.packing_template == 42
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.375, 0.325, 0.425], [0.375, 0.325, 0.475]],
+        rtol=0, atol=1e-12,
+    )
+
+
+def _foreign_grib2_log() -> bytes:
+    """GRIB2 template 5.61 (simple packing with LOGARITHM
+    pre-processing), hand-assembled: 5.0's R/E/D/width head with the
+    pre-processing parameter B = +2.0 (IEEE) at octets 21-24 in place
+    of 5.0's field-type octet.  Z = X = [0,1,2,3,1,0] at 4 bits
+    (R = 0, E = 0, D = 0) → Y = e^Z − 2."""
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    sec5 = (
+        struct.pack(">IB", 24, 5)
+        + struct.pack(">I", 6)   # data points
+        + struct.pack(">H", 61)  # data representation template 5.61
+        + struct.pack(">f", 0.0)  # R = 0
+        + bytes([0x00, 0x00])    # E = 0
+        + bytes([0x00, 0x00])    # D = 0
+        + bytes([4])             # bits per value
+        + bytes([0x40, 0x00, 0x00, 0x00])  # B = +2.0 IEEE 754
+    )
+    assert len(sec5) == 24
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    payload = bytes([0x01, 0x23, 0x10])  # [0,1,2,3,1,0] @4 bits
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_log_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for template 5.61: the B-parameter octets
+    and the exp inversion — Y = e^Z − B with hand-laid Z."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_log())
+    assert rec.packing_template == 61
+    z = np.array([[0.0, 1.0, 2.0], [3.0, 1.0, 0.0]])
+    np.testing.assert_allclose(rec.values, np.exp(z) - 2.0, rtol=0, atol=0)

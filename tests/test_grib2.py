@@ -606,6 +606,48 @@ def test_ieee_float_packing_roundtrips_and_guards():
         )
 
 
+def test_log_packing_roundtrips_and_guards():
+    """Template 5.61 (simple packing with LOGARITHM pre-processing —
+    ECMWF precipitation-style products whose dynamic range spans
+    decades): Z = ln(Y + B) quantizes; decode inverts Y = e^Z − B.
+    Fields built as Y = e^k − B with integer k round-trip through the
+    EXACT integer Z domain; generic positive fields land within the
+    log-domain quantization bound; Y + B ≤ 0 and misplaced kwargs
+    stop loudly."""
+    k = np.array([[0, 3, 7, 2], [8, 1, 5, 4], [6, 2, 0, 8]], dtype=float)
+    b = 10.0
+    rec = decode_grib2(
+        encode_grib2_message(
+            np.exp(k) - b, packing="log", log_offset=b, nbits=8,
+            reference_value=0.0,
+        )
+    )
+    assert rec.packing_template == 61
+    assert np.array_equal(rec.values, np.exp(k) - b)
+    rng = np.random.default_rng(9)
+    y = rng.uniform(0.001, 5000.0, size=(6, 9))
+    r2 = decode_grib2(
+        encode_grib2_message(
+            y, packing="log", log_offset=1.0, decimal_scale=5, nbits=22
+        )
+    )
+    assert (np.abs(r2.values - y) / (y + 1.0)).max() < 1e-4
+    bm = rng.integers(0, 3, size=(6, 9)) != 0
+    r3 = decode_grib2(
+        encode_grib2_message(
+            y, packing="log", log_offset=1.0, decimal_scale=5, nbits=22,
+            bitmap=bm,
+        )
+    )
+    assert np.isnan(r3.values[~bm]).all()
+    with pytest.raises(ValueError, match="Y \\+ B > 0"):
+        encode_grib2_message(
+            np.array([[-1.0, 2.0]]), packing="log", log_offset=0.5
+        )
+    with pytest.raises(ValueError, match="requires packing='log'"):
+        encode_grib2_message(y, log_offset=1.0)
+
+
 def test_all_points_missing_roundtrips():
     mm = np.ones((3, 4), dtype=bool)
     rec = decode_grib2(

@@ -163,6 +163,8 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_diff_missing_scan",
         "grid_grib2_ieee_float_scan",
         "grid_grib2_secondary_missing_scan",
+        "grid_grib2_aec_scan",
+        "grid_grib2_log_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
@@ -1419,6 +1421,8 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_grib2_diff_missing_scan",
         "grid_grib2_ieee_float_scan",
         "grid_grib2_secondary_missing_scan",
+        "grid_grib2_aec_scan",
+        "grid_grib2_log_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
