@@ -69,7 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib_match_lead_scan",
     "grid_grib2_complex_decode",
     "grid_grib2_reduced_gaussian_decode",
-    # --- 3. oldest cohorts: the 8 spilled r7 names, then the first 30
+    # --- 3. oldest cohorts: the 8 spilled r7 names, then the first 24
     #     (alphabetical) of the 34-name r8 cohort ---
     "q21_late_suppliers",
     "q22_idle_customers",

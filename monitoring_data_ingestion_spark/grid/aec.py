@@ -71,6 +71,16 @@ FLAG_PAD_RSI = 32
 _SEGMENT_BLOCKS = 64  # zero-run accounting resets every 64 blocks
 
 
+def _seg_end(bi: int, rsi: int) -> int:
+    """Exclusive end block of the SEGMENT containing block ``bi``:
+    segments are 64-block chunks counted WITHIN the current RSI group
+    (libaec semantics — a zero run or ROS never crosses an RSI
+    boundary, whether or not preprocessing is on)."""
+    rsi_start = (bi // rsi) * rsi
+    off = bi - rsi_start
+    return rsi_start + min(rsi, (off // _SEGMENT_BLOCKS + 1) * _SEGMENT_BLOCKS)
+
+
 def _id_len(nbits: int) -> int:
     if nbits <= 4:
         return 2
@@ -95,6 +105,9 @@ class _BitWriter:
         self.bits.extend([0] * value)
         self.bits.append(1)
 
+    def align(self) -> None:
+        self.bits.extend([0] * ((-len(self.bits)) % 8))
+
     def tobytes(self) -> bytes:
         pad = (-len(self.bits)) % 8
         arr = np.array(self.bits + [0] * pad, dtype=np.uint8)
@@ -114,6 +127,9 @@ class _BitReader:
             v = (v << 1) | int(b)
         self.pos += width
         return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) // 8 * 8
 
     def read_fs(self) -> int:
         # count zeros to the next 1 — vectorized via argmax on the tail
@@ -206,6 +222,7 @@ def aec_encode(
         raise ValueError(f"CCSDS block size {block_size} not in 8/16/32/64")
     if rsi < 1 or rsi > 0xFFFF:
         raise ValueError(f"reference sample interval {rsi} out of range")
+    pad_rsi = bool(flags & FLAG_PAD_RSI)
     x = np.asarray(samples, dtype=np.int64).reshape(-1)
     if len(x) == 0:
         return b""
@@ -227,19 +244,20 @@ def aec_encode(
     nblocks = len(m) // j
     bi = 0
     while bi < nblocks:
-        seg_i = bi % _SEGMENT_BLOCKS
-        is_ref = flags & FLAG_PREPROCESS and (bi * j) % (rsi * j) == 0
+        if pad_rsi and bi and bi % rsi == 0:
+            w.align()  # coded data byte-aligns at each RSI boundary
+        is_ref = flags & FLAG_PREPROCESS and bi % rsi == 0
         blk = m[bi * j : (bi + 1) * j]
         data = blk[1:] if is_ref else blk
         # zero-block run: this and following all-zero DATA blocks
-        # (a later block is zero only if fully zero incl. any ref)
+        # within the segment (64-block chunks inside the RSI group —
+        # a run never crosses an RSI boundary)
         if not data.any():
             run = 1
-            seg_end = bi - seg_i + _SEGMENT_BLOCKS
+            seg_end = _seg_end(bi, rsi)
             nxt = bi + 1
             while (
                 nxt < min(nblocks, seg_end)
-                and not (flags & FLAG_PREPROCESS and (nxt * j) % (rsi * j) == 0)
                 and not m[nxt * j : (nxt + 1) * j].any()
             ):
                 run += 1
@@ -310,12 +328,14 @@ def aec_decode(
     j = block_size
     id_len = _id_len(nbits)
     id_uncomp = (1 << id_len) - 1
+    pad_rsi = bool(flags & FLAG_PAD_RSI)
     nblocks = (n_samples + j - 1) // j
     m = np.zeros(nblocks * j, dtype=np.int64)
     bi = 0
     while bi < nblocks:
-        seg_i = bi % _SEGMENT_BLOCKS
-        is_ref = flags & FLAG_PREPROCESS and (bi * j) % (rsi * j) == 0
+        if pad_rsi and bi and bi % rsi == 0:
+            r.align()  # coded data byte-aligns at each RSI boundary
+        is_ref = flags & FLAG_PREPROCESS and bi % rsi == 0
         opt = r.read(id_len)
         if opt == 0:
             low = r.read(1)
@@ -324,7 +344,7 @@ def aec_decode(
                 if is_ref:
                     m[bi * j] = r.read(nbits)
                 code = r.read_fs() + 1  # FS(value-1) → value
-                seg_end = bi - seg_i + _SEGMENT_BLOCKS
+                seg_end = _seg_end(bi, rsi)
                 if code == 5:  # ROS: zero to the end of the segment
                     run = min(seg_end, nblocks) - bi
                 elif code <= 4:
@@ -337,7 +357,7 @@ def aec_decode(
                     )
                 if flags & FLAG_PREPROCESS:
                     for b2 in range(bi + 1, bi + run):
-                        if (b2 * j) % (rsi * j) == 0:
+                        if b2 % rsi == 0:
                             # an interior reference block's sample was
                             # never transmitted — the stream is
                             # malformed, not a zero field

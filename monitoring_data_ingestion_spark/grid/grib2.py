@@ -944,8 +944,10 @@ def _build_complex_s57(
             if gs is not None and gm.any() and gs.any():
                 # MIXED all-missing group: no constant-reference
                 # marker codes two kinds — use the width path with the
-                # per-value markers (ref 0, minimal 2-bit width)
-                w = 2
+                # per-value markers; at w = 1 they are 1 (all-ones,
+                # primary) and 0 (all-ones − 1, secondary), and no
+                # value codes are needed
+                w = 1
                 vals = np.where(gm, (1 << w) - 1, (1 << w) - 2)
                 refs[gi] = 0
                 widths[gi] = w
@@ -1064,7 +1066,6 @@ def _decode_complex_s7(
     mvm = s5[22]
     if mvm not in (0, 1, 2):
         raise ValueError(f"unsupported missing value management {mvm}")
-    reserve = 2 if mvm == 2 else mvm
     (ng,) = struct.unpack_from(">I", s5, 31)
     wref = s5[35]
     wbits = s5[36]
@@ -1578,7 +1579,14 @@ def encode_grib2_message(
                     "spectral data packs with template 5.50/5.51 "
                     "(simple) only"
                 )
-            log_b = 0.0 if log_offset is None else float(log_offset)
+            # transform with the float32-ROUNDED B the wire carries
+            # (section 5 stores IEEE-32) — like the reference value,
+            # which quantizes against its f32-decoded form; a full-
+            # precision transform would leave a constant |B - f32(B)|
+            # bias no nbits increase could remove
+            log_b = 0.0 if log_offset is None else float(
+                np.float32(log_offset)
+            )
             if np.isnan(present).any():
                 raise ValueError(
                     "NaN cells need a bitmap (log packing transforms "
@@ -1591,9 +1599,12 @@ def encode_grib2_message(
                 )
             present = np.log(present + log_b)
         # Complex packing computes per-group widths — the caller's
-        # nbits only constrains the SIMPLE template; pass the
-        # quantizer a 64-bit ceiling otherwise.
-        q_nbits = nbits if packing in ("simple", "log") else 64
+        # nbits only constrains the SIMPLE/log/AEC templates; pass the
+        # quantizer a 64-bit ceiling otherwise.  Routing AEC through
+        # the width check matters: nbits=0 with non-constant data must
+        # stop here (the empty-stream constant-field convention would
+        # otherwise silently flatten the field).
+        q_nbits = nbits if packing in ("simple", "log", "aec") else 64
         r_bytes, r, x = quantize_simple_packing(
             present,
             decimal_scale,
@@ -1616,7 +1627,7 @@ def encode_grib2_message(
             + _s16be(binary_scale)
             + _s16be(decimal_scale)
             + bytes([nbits])
-            + struct.pack(">f", 0.0 if log_offset is None else float(log_offset))
+            + struct.pack(">f", log_b)
         )
         s7_body = _pack_bits(x, nbits)
     elif packing == "aec":
