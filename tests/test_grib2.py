@@ -648,6 +648,48 @@ def test_log_packing_roundtrips_and_guards():
         encode_grib2_message(y, log_offset=1.0)
 
 
+def test_new_packings_compose_with_grid_families():
+    """The r15 packings (5.42 AEC, 5.4 IEEE, 5.61 log) are data-
+    representation choices orthogonal to the grid family: reduced
+    Gaussian (ragged flat values) and regular Gaussian grids
+    round-trip under each — a packing branch accidentally coupled to
+    the grid-template branch would break exactly here."""
+    rng = np.random.default_rng(77)
+    rows = [6, 10, 12, 12, 10, 6]
+    total = sum(rows)
+    v = rng.integers(0, 250, size=total).astype(np.float64)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, reduced_ni=rows, packing="aec", nbits=8,
+            reference_value=0.0,
+        )
+    )
+    assert rec.packing_template == 42 and rec.ni is None
+    assert np.array_equal(rec.values, v)
+    rec = decode_grib2(
+        encode_grib2_message(v, reduced_ni=rows, packing="ieee64")
+    )
+    assert rec.packing_template == 4
+    assert np.array_equal(rec.values, v)
+    k = rng.integers(0, 9, size=total).astype(np.float64)
+    rec = decode_grib2(
+        encode_grib2_message(
+            np.exp(k) - 10.0, reduced_ni=rows, packing="log",
+            log_offset=10.0, nbits=8, reference_value=0.0,
+        )
+    )
+    assert rec.packing_template == 61
+    assert np.array_equal(rec.values, np.exp(k) - 10.0)
+    vg = rng.integers(0, 99, size=(6, 8)).astype(np.float64)
+    for packing, kw in (("aec", dict(nbits=8, reference_value=0.0)),
+                        ("ieee32", {})):
+        rec = decode_grib2(
+            encode_grib2_message(vg, gaussian=True, packing=packing, **kw)
+        )
+        assert rec.gaussian_n == 3
+        assert np.array_equal(rec.values, vg)
+
+
 def test_all_points_missing_roundtrips():
     mm = np.ones((3, 4), dtype=bool)
     rec = decode_grib2(
