@@ -24,17 +24,22 @@ contract so the tests can pin it octet-by-octet):
   rides RAW (n bits) inside its block's chosen option, and prediction
   restarts from it.
 * Each block is coded by one OPTION, chosen per block and announced by
-  an ID field of ``id_len`` bits (n ≤ 4 → 2, n ≤ 8 → 3, n ≤ 16 → 4,
-  else 5):
+  an ID field of ``id_len`` bits (n ≤ 8 → 3, n ≤ 16 → 4, else 5 —
+  BASIC mode widths; the 1/2-bit IDs belong to the RESTRICTED coding
+  option this codec rejects, so small-n basic streams interoperate
+  with libaec/wgrib2):
     - ID 0 + one extra bit '0' → ZERO-BLOCK: a run of consecutive
       all-zero blocks, its length FS-coded (run z → value z for
       z ≤ 4, value 5 = ROS "remainder of segment", value z + 1 for
       z ≥ 5); a reference sample opening the run rides raw before the
       run code.
     - ID 0 + extra bit '1' → SECOND EXTENSION: consecutive sample
-      pairs (a, b) → γ = (a+b)(a+b+1)/2 + b, FS-coded.  (Supported
-      for non-reference blocks; a reference inside a second-extension
-      block is a named boundary — see decode.)
+      pairs (a, b) → γ = (a+b)(a+b+1)/2 + b, FS-coded.  A reference
+      sample opening the block rides raw first; the remaining J−1
+      samples pair with the FIRST gamma covering the lone sample δ1
+      as the half-pair (0, δ1) — the decoder recovers b and DISCARDS
+      the a part of that first gamma (libaec's decoder posture, which
+      also accepts encoders that fold other values into a).
     - ID 1 .. 2^id_len − 2 → SPLIT k = ID − 1 (k = 0 is the plain
       FUNDAMENTAL SEQUENCE): each sample's high part (sample >> k)
       FS-coded in sample order, then every sample's k low bits, raw;
@@ -46,11 +51,9 @@ contract so the tests can pin it octet-by-octet):
   multiple) pads with zero samples to J; the decoder truncates.  The
   whole bitstream pads with '0' bits to a byte boundary.
 
-The ENCODER chooses per block the cheapest of {FS/split-k,
-uncompressed} and emits zero-block runs for all-zero stretches — it
-never emits the second extension (any conformant decoder, including
-this one, handles streams without it).  The DECODER accepts every
-option above.
+The ENCODER chooses per block the cheapest of {FS/split-k, second
+extension, uncompressed} and emits zero-block runs for all-zero
+stretches, like libaec.  The DECODER accepts every option above.
 """
 
 from __future__ import annotations
@@ -82,8 +85,10 @@ def _seg_end(bi: int, rsi: int) -> int:
 
 
 def _id_len(nbits: int) -> int:
-    if nbits <= 4:
-        return 2
+    # BASIC-mode ID widths (CCSDS 121.0-B / libaec): 3 bits for every
+    # n ≤ 8.  The 1/2-bit IDs exist only under the RESTRICTED coding
+    # option (FLAG_RESTRICTED, rejected above this layer) — using them
+    # in basic mode would mis-parse every foreign n ≤ 4 stream.
     if nbits <= 8:
         return 3
     if nbits <= 16:
@@ -115,8 +120,17 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first bit cursor.  The one-bit positions are precomputed
+    once (``flatnonzero``) so every FS codeword read is O(1) amortized
+    via a monotone cursor — argmax over the remaining tail would make
+    decoding an operational-size field O(bits²)."""
+
     def __init__(self, data: bytes) -> None:
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8)
+        ).view(np.bool_)
+        self._ones = np.flatnonzero(self.bits)
+        self._oi = 0  # monotone cursor into _ones (never rewinds)
         self.pos = 0
 
     def read(self, width: int) -> int:
@@ -128,19 +142,54 @@ class _BitReader:
         self.pos += width
         return v
 
+    def read_many(self, width: int, count: int) -> np.ndarray:
+        """``count`` consecutive ``width``-bit fields, vectorized."""
+        need = width * count
+        if self.pos + need > len(self.bits):
+            raise ValueError("truncated CCSDS/AEC bitstream")
+        if width == 0 or count == 0:
+            return np.zeros(count, dtype=np.int64)
+        chunk = self.bits[self.pos : self.pos + need]
+        weights = np.left_shift(
+            np.int64(1), np.arange(width - 1, -1, -1, dtype=np.int64)
+        )
+        vals = chunk.reshape(count, width).astype(np.int64) @ weights
+        self.pos += need
+        return vals
+
     def align(self) -> None:
         self.pos = (self.pos + 7) // 8 * 8
 
+    def _skip_ones(self) -> int:
+        oi, ones, pos = self._oi, self._ones, self.pos
+        while oi < len(ones) and ones[oi] < pos:
+            oi += 1
+        self._oi = oi
+        return oi
+
     def read_fs(self) -> int:
-        # count zeros to the next 1 — vectorized via argmax on the tail
-        tail = self.bits[self.pos :]
-        if tail.size == 0:
-            raise ValueError("truncated CCSDS/AEC bitstream")
-        nz = int(np.argmax(tail))
-        if tail[nz] != 1:
+        oi = self._skip_ones()
+        if oi >= len(self._ones):
             raise ValueError("truncated CCSDS/AEC bitstream (open FS code)")
-        self.pos += nz + 1
+        one = int(self._ones[oi])
+        nz = one - self.pos
+        self.pos = one + 1
+        self._oi = oi + 1
         return nz
+
+    def read_fs_many(self, count: int) -> np.ndarray:
+        """``count`` consecutive FS codewords — the gaps between the
+        next ``count`` one-bits, vectorized."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        oi = self._skip_ones()
+        if oi + count > len(self._ones):
+            raise ValueError("truncated CCSDS/AEC bitstream (open FS code)")
+        sel = self._ones[oi : oi + count].astype(np.int64)
+        starts = np.concatenate(([np.int64(self.pos)], sel[:-1] + 1))
+        self.pos = int(sel[-1]) + 1
+        self._oi = oi + count
+        return sel - starts
 
 
 def _preprocess(samples: np.ndarray, nbits: int, rsi_blocks: int,
@@ -169,7 +218,18 @@ def _preprocess(samples: np.ndarray, nbits: int, rsi_blocks: int,
 
 def _postprocess(mapped: np.ndarray, nbits: int, rsi_blocks: int,
                  block: int) -> np.ndarray:
-    """Inverse of :func:`_preprocess`."""
+    """Inverse of :func:`_preprocess`.
+
+    The inverse mapper is a running recurrence (each θ depends on the
+    previous prediction), but the SATURATED branch (m > 2θ) only fires
+    near the range edges — the common in-range branch is the plain
+    zigzag inverse, whose delta does NOT depend on the predictor.  So
+    the whole stretch is reconstructed vectorized (zigzag + cumsum),
+    violations of the in-range assumption detected against the
+    candidate prefix (exact: the candidate equals the true state up to
+    the FIRST violation), the one saturated sample handled scalar, and
+    the vector pass resumed — O(n) with per-saturation restarts
+    instead of a per-sample Python loop."""
     m = mapped.astype(np.int64)
     xmax = (1 << nbits) - 1
     out = np.empty_like(m)
@@ -182,22 +242,34 @@ def _postprocess(mapped: np.ndarray, nbits: int, rsi_blocks: int,
                 f"CCSDS reference sample {p} exceeds {nbits}-bit range"
             )
         out[s0] = p
-        for i in range(s0 + 1, end):
-            v = int(m[i])
-            theta = min(p, xmax - p)
-            if v > 2 * theta:
-                d = v - theta if p < xmax - p else theta - v
-            elif v & 1:
-                d = -((v + 1) >> 1)
-            else:
-                d = v >> 1
-            p = p + d
+        i = s0 + 1
+        while i < end:
+            v = m[i:end]
+            d = np.where(v & 1, -((v + 1) >> 1), v >> 1)
+            ps = p + np.cumsum(d)
+            prev = np.concatenate(([np.int64(p)], ps[:-1]))
+            theta = np.minimum(prev, xmax - prev)
+            viol = v > 2 * theta
+            if not viol.any():
+                # pure in-range stretch: v ≤ 2θ bounds every step
+                # inside [0, xmax] by construction
+                out[i:end] = ps
+                p = int(ps[-1])
+                break
+            f = int(np.argmax(viol))
+            if f:
+                out[i : i + f] = ps[:f]
+                p = int(ps[f - 1])
+            vv = int(v[f])
+            th = min(p, xmax - p)
+            p += vv - th if p < xmax - p else th - vv
             if not 0 <= p <= xmax:
                 raise ValueError(
                     "CCSDS preprocessor state escaped the sample range "
                     "(corrupt stream)"
                 )
-            out[i] = p
+            out[i + f] = p
+            i += f + 1
     return out
 
 
@@ -278,14 +350,40 @@ def aec_encode(
                 w.write_fs(run)
             bi = nxt
             continue
-        # candidate costs: FS/split-k vs uncompressed
+        # candidate costs: FS/split-k vs second extension vs
+        # uncompressed (all pay id_len; SE and zero-block pay the one
+        # extra extension-select bit)
         best_k, best_cost = None, j * nbits  # uncompressed cost
         for k in range(0, min(k_max, nbits - 1) + 1):
             fs_bits = int((data >> k).sum()) + len(data)
             cost = fs_bits + k * len(data) + (nbits if is_ref else 0)
             if cost < best_cost:
                 best_k, best_cost = k, cost
-        if best_k is None:
+        # second extension: pair the data samples; a reference block
+        # pairs its J−1 remaining samples with the first gamma the
+        # half-pair (0, δ1)
+        if is_ref:
+            se_pairs = [(0, int(data[0]))] + [
+                (int(data[i]), int(data[i + 1]))
+                for i in range(1, len(data), 2)
+            ]
+        else:
+            se_pairs = [
+                (int(data[i]), int(data[i + 1]))
+                for i in range(0, len(data), 2)
+            ]
+        gammas = [(a + b) * (a + b + 1) // 2 + b for a, b in se_pairs]
+        se_cost = (
+            1 + (nbits if is_ref else 0) + sum(gammas) + len(gammas)
+        )
+        if se_cost < best_cost:
+            w.write(0, id_len)
+            w.write(1, 1)  # '1' → second extension
+            if is_ref:
+                w.write(int(blk[0]), nbits)
+            for g in gammas:
+                w.write_fs(g)
+        elif best_k is None:
             w.write(id_uncomp, id_len)
             for v in blk:
                 w.write(int(v), nbits)
@@ -367,31 +465,39 @@ def aec_decode(
                             )
                 bi += run
                 continue
-            # second extension
+            # second extension: J/2 gammas; with a reference sample
+            # the ref rides raw first and the FIRST gamma carries only
+            # its b half (δ1) — the a half is discarded undecoded,
+            # libaec's decoder posture (accepts half-pair (0, δ1)
+            # encoders and those folding other values into a alike)
+            start = bi * j
             if is_ref:
-                raise ValueError(
-                    "second-extension block carrying a reference sample "
-                    "is not supported (named boundary; this encoder "
-                    "never emits the second extension)"
-                )
-            out = []
-            for _ in range(j // 2):
-                gamma = r.read_fs()
-                # invert gamma = s(s+1)/2 + b with a+b = s
-                s = int((np.sqrt(8.0 * gamma + 1.0) - 1.0) // 2)
-                while s * (s + 1) // 2 > gamma:
-                    s -= 1
-                while (s + 1) * (s + 2) // 2 <= gamma:
-                    s += 1
-                b = gamma - s * (s + 1) // 2
-                a = s - b
-                out.extend((a, b))
-            m[bi * j : (bi + 1) * j] = out
+                m[start] = r.read(nbits)
+            gam = r.read_fs_many(j // 2)
+            # invert gamma = s(s+1)/2 + b with a+b = s, vectorized
+            # (float sqrt seed + exact integer correction)
+            s_ = ((np.sqrt(8.0 * gam + 1.0) - 1.0) // 2).astype(np.int64)
+            over = s_ * (s_ + 1) // 2 > gam
+            while over.any():
+                s_[over] -= 1
+                over = s_ * (s_ + 1) // 2 > gam
+            under = (s_ + 1) * (s_ + 2) // 2 <= gam
+            while under.any():
+                s_[under] += 1
+                under = (s_ + 1) * (s_ + 2) // 2 <= gam
+            b_ = gam - s_ * (s_ + 1) // 2
+            a_ = s_ - b_
+            if is_ref:
+                m[start + 1] = b_[0]
+                m[start + 2 : start + j : 2] = a_[1:]
+                m[start + 3 : start + j : 2] = b_[1:]
+            else:
+                m[start : start + j : 2] = a_
+                m[start + 1 : start + j : 2] = b_
             bi += 1
             continue
         if opt == id_uncomp:
-            for i in range(j):
-                m[bi * j + i] = r.read(nbits)
+            m[bi * j : (bi + 1) * j] = r.read_many(nbits, j)
             bi += 1
             continue
         k = opt - 1
@@ -404,10 +510,11 @@ def aec_decode(
         if is_ref:
             m[start] = r.read(nbits)
             i0 = 1
-        highs = [r.read_fs() for _ in range(j - i0)]
+        highs = r.read_fs_many(j - i0)
         if k:
-            for i, h in enumerate(highs):
-                m[start + i0 + i] = (h << k) | r.read(k)
+            m[start + i0 : start + j] = (highs << k) | r.read_many(
+                k, j - i0
+            )
         else:
             m[start + i0 : start + j] = highs
         bi += 1

@@ -78,25 +78,27 @@ def test_compression_beats_raw_on_smooth_fields():
 
 def test_foreign_bitstream_all_decoder_options():
     """FOREIGN-BYTES witness: a hand-laid 6-block stream (n = 4 bits →
-    2-bit IDs, block J = 8, NO preprocessing) exercising every decoder
-    option, with expectations computed by hand from CCSDS 121.0-B:
+    3-bit BASIC-mode IDs — the 2-bit widths belong to the rejected
+    RESTRICTED option; block J = 8, NO preprocessing) exercising every
+    decoder option, with expectations computed by hand from CCSDS
+    121.0-B:
 
-    block 1 — FS (ID 01):            [1,0,2,1,0,3,1,0]
-    block 2 — split k=1 (ID 10):     [4,5,6,7,8,9,10,11]
-                                     highs FS [2,2,3,3,4,4,5,5],
-                                     then the 8 low bits 01010101
-    block 3 — uncompressed (ID 11):  [15,0,9,3,12,1,7,8]
-    blocks 4-5 — zero run (ID 00+0): value 2 → FS(1)
+    block 1 — FS (ID 001):            [1,0,2,1,0,3,1,0]
+    block 2 — split k=1 (ID 010):     [4,5,6,7,8,9,10,11]
+                                      highs FS [2,2,3,3,4,4,5,5],
+                                      then the 8 low bits 01010101
+    block 3 — uncompressed (ID 111):  [15,0,9,3,12,1,7,8]
+    blocks 4-5 — zero run (ID 000+0): value 2 → FS(1)
     block 6 — second extension
-              (ID 00+1):             pairs (1,0),(2,1),(0,0),(1,1) →
-                                     γ = [1, 7, 0, 4], FS-coded
+              (ID 000+1):             pairs (1,0),(2,1),(0,0),(1,1) →
+                                      γ = [1, 7, 0, 4], FS-coded
     """
     stream = _bits(
-        "01 01 1 001 01 1 0001 01 1"          # FS block
-        "| 10 001 001 0001 0001 00001 00001 000001 000001 01010101"
-        "| 11 1111 0000 1001 0011 1100 0001 0111 1000"
-        "| 00 0 01"                            # zero-block run of 2
-        "| 00 1 01 00000001 1 00001"           # second extension
+        "001 01 1 001 01 1 0001 01 1"          # FS block
+        "| 010 001 001 0001 0001 00001 00001 000001 000001 01010101"
+        "| 111 1111 0000 1001 0011 1100 0001 0111 1000"
+        "| 000 0 01"                            # zero-block run of 2
+        "| 000 1 01 00000001 1 00001"           # second extension
     )
     out = aec_decode(stream, 48, 4, flags=FLAG_MSB, block_size=8, rsi=128)
     expected = (
@@ -116,8 +118,9 @@ def test_foreign_bitstream_preprocessed_reference():
     to ref 5 then deltas m = [2,3,0,6,3,0,5]:
       p=5 δ=+1→2 ; p=6 δ=−2→3 ; p=4 δ=0→0 ; p=4 δ=+3 (θ=4)→6 ;
       p=7 δ=−2→3 ; p=5 δ=0→0 ; p=5 δ=−3 (θ=5)→5.
-    Stream: ID 01, ref '0101', FS of [2,3,0,6,3,0,5]."""
-    stream = _bits("01 0101 001 0001 1 0000001 0001 1 000001")
+    Stream: ID 001 (3-bit basic-mode width), ref '0101', FS of
+    [2,3,0,6,3,0,5]."""
+    stream = _bits("001 0101 001 0001 1 0000001 0001 1 000001")
     out = aec_decode(
         stream, 8, 4,
         flags=FLAG_MSB | FLAG_PREPROCESS, block_size=8, rsi=1,
@@ -128,10 +131,10 @@ def test_foreign_bitstream_preprocessed_reference():
 def test_foreign_ros_runs_to_segment_end():
     """The ROS code (zero-run value 5 = FS(4)) zeroes the REMAINDER of
     the 64-block segment — here blocks 2-10 of a 10-block stream after
-    one FS block (n=2 bits → id_len 2 still? n ≤ 4 → 2-bit IDs)."""
+    one FS block (n = 2 bits → 3-bit basic-mode IDs)."""
     stream = _bits(
-        "01 01 1 1 001 1 01 1 1"   # FS block: [1,0,0,2,0,1,0,0]
-        "| 00 0 00001"             # zero-block, ROS (value 5)
+        "001 01 1 1 001 1 01 1 1"   # FS block: [1,0,0,2,0,1,0,0]
+        "| 000 0 00001"             # zero-block, ROS (value 5)
     )
     out = aec_decode(stream, 80, 2, flags=FLAG_MSB, block_size=8, rsi=128)
     assert out.tolist()[:8] == [1, 0, 0, 2, 0, 1, 0, 0]
@@ -157,9 +160,9 @@ def test_guards_stop_loudly():
     with pytest.raises(ValueError, match="truncated"):
         aec_decode(good[: len(good) // 2], 100, 8)
     # a zero-run crossing a reference block is a malformed stream:
-    # ID 00 + '0', the block-0 REFERENCE sample (raw 4 bits), then
+    # ID 000 + '0', the block-0 REFERENCE sample (raw 4 bits), then
     # run value 4 = FS(3) — blocks 0-3 with rsi=2 swallow block 2's ref
-    bad = _bits("00 0 0000 0001")
+    bad = _bits("000 0 0000 0001")
     with pytest.raises(ValueError, match="swallows a reference"):
         aec_decode(
             bad, 32, 4,
@@ -170,13 +173,54 @@ def test_guards_stop_loudly():
     bad = _bits("110" + "1" * 60)
     with pytest.raises(ValueError, match="split exponent"):
         aec_decode(bad, 16, 5, flags=FLAG_MSB, block_size=16, rsi=128)
-    # second extension with a reference sample is a named boundary
-    se_ref = _bits("00 1 1 1 1 1")
-    with pytest.raises(ValueError, match="second-extension block"):
-        aec_decode(
-            se_ref, 8, 4,
-            flags=FLAG_MSB | FLAG_PREPROCESS, block_size=8, rsi=1,
-        )
+
+
+def test_foreign_second_extension_with_reference():
+    """FOREIGN-BYTES witness for the second extension on a REFERENCE
+    block (n = 4 bits, J = 8, rsi = 1): the reference rides raw, then
+    J/2 = 4 gammas where the FIRST covers only δ1 as the half-pair
+    (0, δ1).  x = [5,5,6,5,5,5,6,6] maps to ref 5 and deltas
+    δ = [0,2,1,0,0,2,0] (θ = min(p, 15−p)); gammas: half-pair
+    (0,0) → 0, (2,1) → s=3 → 7, (0,0) → 0, (2,0) → s=2 → 3.
+    Stream: ID 000, ext '1', ref '0101', FS of [0, 7, 0, 3]."""
+    stream = _bits("000 1 0101 1 00000001 1 0001")
+    out = aec_decode(
+        stream, 8, 4,
+        flags=FLAG_MSB | FLAG_PREPROCESS, block_size=8, rsi=1,
+    )
+    assert out.tolist() == [5, 5, 6, 5, 5, 5, 6, 6]
+    # libaec posture: the discarded a-half of the first gamma need not
+    # be zero — γ=1 decodes as (a=1, b=0), the b half still lands
+    alt = _bits("000 1 0101 01 00000001 1 0001")
+    out = aec_decode(
+        alt, 8, 4,
+        flags=FLAG_MSB | FLAG_PREPROCESS, block_size=8, rsi=1,
+    )
+    assert out.tolist() == [5, 5, 6, 5, 5, 5, 6, 6]
+
+
+def test_encoder_emits_second_extension_when_cheapest():
+    """A zero-heavy (but not all-zero) block is cheaper under the
+    second extension than under any split — the encoder now emits it
+    (like libaec) and it round-trips, including across a reference
+    sample."""
+    x = np.tile([0, 0, 0, 0, 0, 0, 1, 0], 8)
+    enc = aec_encode(x, 4, flags=FLAG_MSB, block_size=8, rsi=128)
+    bits = np.unpackbits(np.frombuffer(enc, dtype=np.uint8))
+    assert bits[:4].tolist() == [0, 0, 0, 1]  # ID 000 + ext '1'
+    dec = aec_decode(enc, len(x), 4, flags=FLAG_MSB, block_size=8, rsi=128)
+    assert np.array_equal(dec, x)
+    # preprocessed: every block a reference group (rsi=1) — the SE
+    # must carry the raw reference correctly.  Deltas map to
+    # [0,0,0,2,0,0,0]: the half-pair + three pairs cost 8 bits past
+    # the ID vs 9 for the plain FS, so SE wins on a ref block too.
+    y = np.tile([7, 7, 7, 7, 8, 8, 8, 8], 8)
+    flags = FLAG_MSB | FLAG_PREPROCESS
+    enc = aec_encode(y, 4, flags=flags, block_size=8, rsi=1)
+    bits = np.unpackbits(np.frombuffer(enc, dtype=np.uint8))
+    assert bits[:4].tolist() == [0, 0, 0, 1]  # ID 000 + ext '1'
+    dec = aec_decode(enc, len(y), 4, flags=flags, block_size=8, rsi=1)
+    assert np.array_equal(dec, y)
 
 
 def test_grib2_template_5_42_end_to_end():

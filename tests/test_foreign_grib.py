@@ -1403,9 +1403,10 @@ def _foreign_grib2_aec() -> bytes:
     """GRIB2 template 5.42 (CCSDS/AEC), hand-assembled: section 5 ends
     with the CCSDS flags (octet 21 = 4, MSB only / no preprocessing),
     block size (22 = 8) and reference sample interval (23-24 = 128);
-    section 7 is one hand-laid FS block — ID '01' then FS codes of
-    X = [1,0,2,1,0,3] (+ 2 zero pad samples to J = 8):
-    01 | 01 1 001 01 1 0001 1 1.  Y = (3.25 + X·2^-1)/10^1."""
+    section 7 is one hand-laid FS block — basic-mode 3-bit ID '001'
+    (n = 4 ≤ 8; the 2-bit widths belong to the RESTRICTED option)
+    then FS codes of X = [1,0,2,1,0,3] (+ 2 zero pad samples to
+    J = 8): 001 | 01 1 001 01 1 0001 1 1.  Y = (3.25 + X·2^-1)/10^1."""
     base = _foreign_grib2()
     head = base[: 16 + 21 + 72 + 34]
     sec5 = (
@@ -1422,7 +1423,7 @@ def _foreign_grib2_aec() -> bytes:
     )
     assert len(sec5) == 24
     sec6 = struct.pack(">IB", 6, 6) + bytes([255])
-    bits = "01" + "01 1 001 01 1 0001 1 1"
+    bits = "001" + "01 1 001 01 1 0001 1 1"
     bits = bits.replace(" ", "")
     bits += "0" * (-len(bits) % 8)
     payload = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
