@@ -59,7 +59,15 @@ the ``wgrib`` edition-1 path:
   DEPRECATED satellite form (4.31's layout with a band block one
   octet NARROWER per band — instrument type is 1 octet, not 2 — so
   each template decodes through its own band width; pre-2003 archives
-  still carry it).
+  still carry it); 4.40-4.43 — atmospheric chemistry (the CAMS
+  family: the 2-octet code-table-4.230 constituent type inserted
+  after the parameter number, composing the plain / ensemble /
+  statistical / ensemble-statistical base forms) and 4.44-4.48 —
+  aerosol (code-table-4.233 type + code-table-4.91 size interval with
+  signed-magnitude (scale, value) bounds; 4.48 adds the optical
+  wavelength interval) — both parsed by SPLICING the inserted block
+  out so the remainder decodes through the base template's exact
+  offsets.
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -629,6 +637,26 @@ class Grib2Record:
     spatial_statistical_process: int | None = None
     spatial_process_type: int | None = None
     spatial_points: int | None = None
+    # Templates 4.40-4.43 (atmospheric chemical constituents — the
+    # CAMS chemistry family: 4.40 analysis/forecast, 4.41 ensemble
+    # member, 4.42 statistical, 4.43 ensemble statistical): the
+    # code-table-4.230 constituent type (ozone, NO2, PM2.5, ...).
+    # Each template is its 4.0-family base with this one 2-octet field
+    # inserted after the parameter number; None on every other
+    # template (0xFFFF = coded missing also lands None).
+    constituent_type: int | None = None
+    # Templates 4.44-4.48 (aerosol family): the code-table-4.233
+    # aerosol type, the code-table-4.91 size-interval type with its
+    # decoded bounds in metres (value·10^-scale, either side None when
+    # coded missing), and — template 4.48 only — the optical
+    # wavelength interval likewise.  None on every other template.
+    aerosol_type: int | None = None
+    aerosol_size_interval: int | None = None
+    aerosol_first_size_m: float | None = None
+    aerosol_second_size_m: float | None = None
+    aerosol_wavelength_interval: int | None = None
+    aerosol_first_wavelength_m: float | None = None
+    aerosol_second_wavelength_m: float | None = None
     # Templates 4.31 (satellite product — observational imagery, the
     # non-deprecated successor of 4.30), 4.32 (simulated/synthetic
     # satellite imagery — the GOES-brightness-temperature products
@@ -1292,6 +1320,8 @@ def encode_grib2_message(
     forecast: dict | None = None,
     satellite: dict | None = None,
     radar: dict | None = None,
+    chemistry: int | None = None,
+    aerosol: dict | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -1422,9 +1452,23 @@ def encode_grib2_message(
             raise ValueError("points-per-row exceeds the 2-octet list width")
         if scanning_mode != 0x00:
             raise ValueError("Gaussian grids are encoded north-first only")
-        if bitmap is not None or missing_mask is not None:
+        if bitmap is not None and (
+            np.asarray(bitmap).ndim != 1
+            or len(np.asarray(bitmap)) != len(vals)
+        ):
+            # the reduced layout is the FLAT ragged concatenation, so
+            # its bitmap is the same flat mask — section 6 carries
+            # sum(reduced_ni) bits in storage order (the decode side
+            # composed these generically all along; the encoder
+            # refusal was the r15 cross-edition asymmetry)
             raise ValueError(
-                "bitmap/missing_mask not supported on reduced grids"
+                "a reduced-grid bitmap must be flat with "
+                "sum(reduced_ni) points"
+            )
+        if missing_mask is not None:
+            raise ValueError(
+                "missing_mask not supported on reduced grids "
+                "(use a bitmap)"
             )
         if packing in ("png", "jpeg2000"):
             raise ValueError(
@@ -2113,6 +2157,36 @@ def encode_grib2_message(
         raise ValueError(
             "spatial (template 4.15) does not combine with statistical"
         )
+    if chemistry is not None and aerosol is not None:
+        # one inserted block per template — the 4.x numbering has no
+        # combined chemistry+aerosol form
+        raise ValueError("chemistry and aerosol are mutually exclusive")
+    if chemistry is not None or aerosol is not None:
+        for bad, what in (
+            (derived, "derived"), (probability, "probability"),
+            (percentile, "percentile"), (cluster, "cluster"),
+            (spatial, "spatial"), (satellite, "satellite"),
+            (radar, "radar"),
+        ):
+            if bad is not None:
+                raise ValueError(
+                    f"chemistry/aerosol does not combine with {what} "
+                    "(the 4.40-4.48 family has only plain / ensemble / "
+                    "statistical forms)"
+                )
+        if error:
+            raise ValueError(
+                "chemistry/aerosol does not combine with error"
+            )
+    if aerosol is not None and "first_wavelength" in aerosol and (
+        ensemble is not None or statistical is not None
+    ):
+        # 4.48 (aerosol + optical wavelength interval) has no
+        # ensemble/statistical sibling in the supported numbering
+        raise ValueError(
+            "aerosol wavelength interval (template 4.48) does not "
+            "combine with ensemble or statistical"
+        )
     # ``forecast`` (keys: ``unit`` code table 4.4, ``value``) sets the
     # lead-time octets shared by the whole 4.0 family; default is an
     # analysis field (hour unit, lead 0).  Only units the decoder can
@@ -2264,6 +2338,53 @@ def encode_grib2_message(
                 + bytes([1])  # increment time unit: hour
                 + struct.pack(">I", 0)  # continuous processing
             )
+    chem_insert = b""
+    if chemistry is not None:
+        # Templates 4.40-4.43: the base form (0/1/8/11 decided above)
+        # plus the 2-octet code-table-4.230 constituent type inserted
+        # after the parameter number.
+        ct = int(chemistry)
+        if not 0 <= ct <= 0xFFFE:
+            raise ValueError(
+                f"chemical constituent type {ct} out of range 0-65534 "
+                "(65535 is the missing sentinel)"
+            )
+        chem_insert = struct.pack(">H", ct)
+        tmpl4 = {0: 40, 1: 41, 8: 42, 11: 43}[tmpl4]
+    elif aerosol is not None:
+        # Templates 4.44-4.48: aerosol type (code table 4.233), the
+        # code-table-4.91 size-interval type and the two sizes as
+        # signed-magnitude (scale, value) pairs in metres; 4.48 adds
+        # the optical wavelength interval the same way.
+        at = int(aerosol["type"])
+        if not 0 <= at <= 0xFFFE:
+            raise ValueError(
+                f"aerosol type {at} out of range 0-65534 "
+                "(65535 is the missing sentinel)"
+            )
+        def _interval_octet(key: str, what: str) -> bytes:
+            v = aerosol.get(key)
+            if v is None:
+                return b"\xff"  # coded missing
+            return bytes([_pdt_octet(v, what)])
+
+        chem_insert = (
+            struct.pack(">H", at)
+            + _interval_octet("size_interval", "aerosol size-interval type")
+            + _scaled_pair(aerosol.get("first_size"))
+            + _scaled_pair(aerosol.get("second_size"))
+        )
+        if "first_wavelength" in aerosol or "second_wavelength" in aerosol:
+            chem_insert += (
+                _interval_octet(
+                    "wavelength_interval", "aerosol wavelength-interval type"
+                )
+                + _scaled_pair(aerosol.get("first_wavelength"))
+                + _scaled_pair(aerosol.get("second_wavelength"))
+            )
+            tmpl4 = 48
+        else:
+            tmpl4 = {0: 44, 1: 45, 8: 46, 11: 47}[tmpl4]
     if satellite is not None:
         # Templates 4.31 (observational satellite product) / 4.32
         # (simulated satellite imagery, ``simulated=True`` — keeps the
@@ -2454,7 +2575,10 @@ def encode_grib2_message(
             4,
             struct.pack(">H", 0)  # number of coordinate values
             + struct.pack(">H", tmpl4)
-            + bytes([category, number, 2, 0, 0])  # cat, num, process type, ids
+            + bytes([category, number])
+            # 4.40-4.48 constituent/aerosol block — empty otherwise
+            + chem_insert
+            + bytes([2, 0, 0])  # process type, background/forecast ids
             + b"\x00\x00"  # hours of cutoff
             + bytes([0])  # minutes
             + bytes([fc_unit])  # time unit (code table 4.4)
@@ -3276,6 +3400,51 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s4 = s[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    tmpl4_wire = tmpl4  # the template number the WIRE carries — what
+    # product_template surfaces (the chemistry/aerosol remap below
+    # redirects layout decoding only)
+    constituent_type = None
+    aerosol_type = aerosol_size_interval = None
+    aerosol_first_size_m = aerosol_second_size_m = None
+    aerosol_wavelength_interval = None
+    aerosol_first_wavelength_m = aerosol_second_wavelength_m = None
+    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48):
+        # Chemistry (4.40-4.43) and aerosol (4.44-4.48) families — the
+        # CAMS / NCEP-dust product templates wgrib2 scans through the
+        # same -match path the reference shells out to
+        # (/root/reference/src/file-conversions.js:76-112).  Each is
+        # its 4.0-family base template (40/44/48 → 4.0, 41/45 → 4.1,
+        # 42/46 → 4.8, 43/47 → 4.11) with a constituent / aerosol
+        # block INSERTED between the parameter number and the
+        # generating-process octet.  The block is parsed here and
+        # spliced OUT so the remainder decodes through the base
+        # template's exact offsets — threading +2/+13/+24 shifts
+        # through every downstream branch is the layout-shear hazard
+        # class that kept 4.30 a boundary for fourteen rounds.
+        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 == 48 else 13)
+        if len(s4) < 13 + ins:
+            raise ValueError(
+                f"truncated product definition template 4.{tmpl4}"
+            )
+        (ctype,) = struct.unpack_from(">H", s4, 11)
+        if tmpl4 <= 43:
+            constituent_type = ctype if ctype != 0xFFFF else None
+        else:
+            aerosol_type = ctype if ctype != 0xFFFF else None
+            aerosol_size_interval = s4[13] if s4[13] != 0xFF else None
+            aerosol_first_size_m = _scaled_limit(s4, 14)
+            aerosol_second_size_m = _scaled_limit(s4, 19)
+            if tmpl4 == 48:
+                aerosol_wavelength_interval = (
+                    s4[24] if s4[24] != 0xFF else None
+                )
+                aerosol_first_wavelength_m = _scaled_limit(s4, 25)
+                aerosol_second_wavelength_m = _scaled_limit(s4, 30)
+        s4 = s4[:11] + s4[11 + ins :]
+        tmpl4 = {
+            40: 0, 41: 1, 42: 8, 43: 11,
+            44: 0, 45: 1, 46: 8, 47: 11, 48: 0,
+        }[tmpl4]
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         20, 30, 31, 32, 33, 34,
@@ -3875,7 +4044,15 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         ensemble_type=ensemble_type,
         ensemble_member=ensemble_member,
         ensemble_size=ensemble_size,
-        product_template=tmpl4,
+        product_template=tmpl4_wire,
+        constituent_type=constituent_type,
+        aerosol_type=aerosol_type,
+        aerosol_size_interval=aerosol_size_interval,
+        aerosol_first_size_m=aerosol_first_size_m,
+        aerosol_second_size_m=aerosol_second_size_m,
+        aerosol_wavelength_interval=aerosol_wavelength_interval,
+        aerosol_first_wavelength_m=aerosol_first_wavelength_m,
+        aerosol_second_wavelength_m=aerosol_second_wavelength_m,
         derived_forecast=derived_forecast,
         cluster_identifier=cluster_identifier,
         cluster_total=cluster_total,
@@ -3930,6 +4107,21 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48):
+        # chemistry/aerosol family: splice out the inserted
+        # constituent/aerosol block so level + lead render through the
+        # base-template offsets — the same redirect as the decode (the
+        # surfaces must never disagree)
+        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 == 48 else 13)
+        if len(s4) < 13 + ins:
+            raise ValueError(
+                f"truncated product definition template 4.{tmpl4}"
+            )
+        s4 = s4[:11] + s4[11 + ins :]
+        tmpl4 = {
+            40: 0, 41: 1, 42: 8, 43: 11,
+            44: 0, 45: 1, 46: 8, 47: 11, 48: 0,
+        }[tmpl4]
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         20, 30, 31, 32, 33, 34,

@@ -4732,9 +4732,11 @@ def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other catalog query runs under).
 
     Each document's archive carries a good record, a record whose PDT
-    octet is patched to the unsupported 4.40 (atmospheric chemistry —
-    its constituent octets shift the fixed surfaces; a semantic reject:
-    quarantined, scan CONTINUES to the next record), another good
+    word is patched to the RESERVED 4.65534 (no WMO template is or
+    will be assigned there — a semantic reject that can never start
+    decoding, unlike the previously-used 4.30 and 4.40, both of which
+    the engine has since learned; quarantined, scan CONTINUES to the
+    next record), another good
     record, and a torn trailing message (framing reject — quarantined,
     file ends there since record numbering itself is gone).  The
     oracle pins the exact 4-row pattern per document: good rows keep
@@ -4777,16 +4779,17 @@ def grid_grib_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     reference_value=40.0, binary_scale=1, nbits=8,
                 )
                 msgs = [encode_grib2_message(field(r), **enc) for r in range(3)]
-                # record 2: PDT octet patched to the unsupported 4.40
-                # (atmospheric chemistry — constituent octets shift
-                # the fixed surfaces; until r15 this fixture used 4.30,
-                # which now decodes) — the decode must quarantine it
-                # and CONTINUE
+                # record 2: PDT word patched to the RESERVED 4.65534
+                # (never assignable — the fixture's reject template is
+                # now PERMANENT; its r14 pick 4.30 and r15 pick 4.40
+                # both since started decoding) — the decode must
+                # quarantine it and CONTINUE
                 bad = bytearray(msgs[1])
                 pos = 16
                 while bad[pos + 4] != 4:
                     pos += int.from_bytes(bad[pos : pos + 4], "big")
-                bad[pos + 8] = 40
+                bad[pos + 7] = 0xFF
+                bad[pos + 8] = 0xFE
                 # record 4: a torn trailing message (magic present,
                 # body chopped) — framing quarantine ends the file
                 torn = msgs[2][: len(msgs[2]) - 9]
@@ -9085,4 +9088,437 @@ def grid_grib2_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(v6 * F.col("pos")).cast("bigint").alias("w6sum"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "grid_grib2_chemistry_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 61 = 13 AND doc_id < 1220
+),
+rec AS (
+  SELECT doc_id, ni, nj, r.r AS r
+  FROM g, UNNEST(generate_series(0, 3)) AS r(r)
+),
+cells AS (
+  SELECT doc_id, r, p.pos,
+         50 + ((doc_id * 3 + r * 7 + p.pos * 5) % 60) AS v
+  FROM rec,
+       LATERAL (
+         SELECT unnest(generate_series(0, ni * nj - 1)) AS pos
+       ) p
+)
+SELECT doc_id,
+       CAST(r + 1 AS INTEGER) AS record_number,
+       CAST(40 + r AS INTEGER) AS product_template,
+       CAST((doc_id * 7 + r) % 200 AS INTEGER) AS constituent_type,
+       CAST(CASE WHEN r IN (1, 3) THEN 1 + doc_id % 50 END
+         AS INTEGER) AS ensemble_member,
+       CAST(CASE WHEN r IN (2, 3) THEN 1 END AS INTEGER)
+         AS statistical_process,
+       CASE WHEN r IN (2, 3)
+         THEN make_timestamp(2022, 1 + doc_id % 12, 3, 0, 0, 0)
+       END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, r
+ORDER BY doc_id, r
+""",
+)
+def grid_grib2_chemistry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATMOSPHERIC-CHEMISTRY product templates 4.40-4.43 (the CAMS
+    family: every form is its 4.0-family base with the 2-octet
+    code-table-4.230 constituent type inserted after the parameter
+    number) through the landing scan: each document's archive carries
+    all four forms — plain (4.40), ensemble member (4.41),
+    statistical (4.42) and ensemble-statistical (4.43) — with a
+    per-record constituent, landing the new ``constituent_type``
+    column beside the family's shifted ensemble / statistical fields.
+    wgrib2 scans these through the same ``-match`` path the reference
+    shells out to (/root/reference/src/file-conversions.js:76-112);
+    CAMS forecast archives ship them operationally.
+
+    Witness: per (document, record) the template number, constituent,
+    ensemble member, statistical process AND interval end — every
+    field the 2-octet insert shifts — plus exact value sums; a decoder
+    reading the base-template offsets unspliced would land the
+    constituent octets as the generating process and shear every later
+    field.  The wire layout is pinned foreign by
+    tests/test_foreign_grib.py::
+    test_foreign_chemistry_ensemble_statistical_decodes.
+
+    Scale: landing-scan posture — one Arrow decode stage, only
+    per-record statistic rows shuffle; at 100 TB the constituent lands
+    as a plain filterable column, so "only NO2" is a pushed predicate
+    on the landed table, not a re-decode.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 61 == 13) & (F.col("doc_id") < 1220))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                pos = np.arange(ni * nj)
+                ens = {"type": 3, "member": 1 + d % 50, "size": 51}
+                stat = {
+                    "process": 1,
+                    "interval_end": (2022, 1 + d % 12, 3, 0, 0),
+                    "range_hours": 24,
+                }
+                content = b""
+                for r, extra in enumerate(
+                    (
+                        {},
+                        {"ensemble": ens},
+                        {"statistical": stat},
+                        {"ensemble": ens, "statistical": stat},
+                    )
+                ):
+                    v = (
+                        50 + ((d * 3 + r * 7 + pos * 5) % 60)
+                    ).astype(np.float64).reshape(nj, ni)
+                    content += encode_grib2_message(
+                        v,
+                        chemistry=(d * 7 + r) % 200,
+                        nbits=8,
+                        reference_value=50.0,
+                        **extra,
+                    )
+                rows.append({"path": f"doc://{d}", "content": content})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "product_template",
+        "constituent_type",
+        "ensemble_member",
+        "statistical_process",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_aerosol_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 67 = 5 AND doc_id < 1340
+),
+rec AS (
+  SELECT doc_id, ni, nj, r.r AS r
+  FROM g, UNNEST(generate_series(0, 1)) AS r(r)
+),
+cells AS (
+  SELECT doc_id, r, p.pos,
+         30 + ((doc_id * 5 + r * 11 + p.pos * 3) % 50) AS v
+  FROM rec,
+       LATERAL (
+         SELECT unnest(generate_series(0, ni * nj - 1)) AS pos
+       ) p
+)
+SELECT doc_id,
+       CAST(r + 1 AS INTEGER) AS record_number,
+       CAST(CASE r WHEN 0 THEN 45 ELSE 48 END AS INTEGER)
+         AS product_template,
+       CAST(CASE r WHEN 0 THEN 62000 + doc_id % 20 ELSE 62010 END
+         AS INTEGER) AS aerosol_type,
+       CAST(2 AS INTEGER) AS aerosol_size_interval,
+       CAST(ROUND((20 + doc_id % 30) / POWER(10, 8) * 1e9) AS BIGINT)
+         AS first_size_nm,
+       CAST(ROUND((50 + doc_id % 45) / POWER(10, 7) * 1e9) AS BIGINT)
+         AS second_size_nm,
+       CAST(CASE r WHEN 1 THEN 11 END AS INTEGER)
+         AS wavelength_interval,
+       CAST(CASE r WHEN 1
+         THEN ROUND((440 + doc_id % 200) / POWER(10, 9) * 1e9)
+       END AS BIGINT) AS first_wavelength_nm,
+       CAST(CASE r WHEN 1 THEN 865 END AS BIGINT)
+         AS second_wavelength_nm,
+       CAST(CASE r WHEN 0 THEN 1 + doc_id % 40 END AS INTEGER)
+         AS ensemble_member,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, r
+ORDER BY doc_id, r
+""",
+)
+def grid_grib2_aerosol_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AEROSOL product templates 4.45/4.48 through the landing scan:
+    each document's archive carries an ensemble aerosol record (4.45 —
+    the code-table-4.233 aerosol type plus the code-table-4.91 size
+    interval with both signed-magnitude (scale, value) bounds, then
+    the 4.1-style ensemble octets shifted 13 deep) and an
+    optical-depth record (4.48 — the same block plus the wavelength
+    interval, 24 inserted octets), landing the aerosol type, the
+    decoded size bounds and the wavelength bounds as columns.
+
+    Witness: the size/wavelength bounds land as exact nanometre
+    integers (ROUND(m·1e9) — both sides compute the same
+    value/10^scale double then the same rounding, so any
+    signed-magnitude or offset slip in the 13/24-octet insert shifts a
+    bound or a later field and cannot cancel), beside the
+    per-template ensemble-member presence pattern (4.45 yes, 4.48 no)
+    and exact value sums.  The 4.48 wire layout is pinned foreign by
+    tests/test_foreign_grib.py::test_foreign_aerosol_wavelength_decodes.
+
+    Scale: identical landing-scan posture to the chemistry scan — one
+    Arrow decode stage, statistic rows shuffle, aerosol metadata as
+    filterable columns.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 67 == 5) & (F.col("doc_id") < 1340))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                pos = np.arange(ni * nj)
+
+                def field(r: int) -> np.ndarray:
+                    return (
+                        30 + ((d * 5 + r * 11 + pos * 3) % 50)
+                    ).astype(np.float64).reshape(nj, ni)
+
+                sizes = {
+                    "size_interval": 2,
+                    "first_size": (8, 20 + d % 30),
+                    "second_size": (7, 50 + d % 45),
+                }
+                m45 = encode_grib2_message(
+                    field(0),
+                    aerosol={"type": 62000 + d % 20, **sizes},
+                    ensemble={"type": 3, "member": 1 + d % 40, "size": 40},
+                    nbits=8,
+                    reference_value=30.0,
+                )
+                m48 = encode_grib2_message(
+                    field(1),
+                    aerosol={
+                        "type": 62010,
+                        **sizes,
+                        "wavelength_interval": 11,
+                        "first_wavelength": (9, 440 + d % 200),
+                        "second_wavelength": (9, 865),
+                    },
+                    nbits=8,
+                    reference_value=30.0,
+                )
+                rows.append({"path": f"doc://{d}", "content": m45 + m48})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+
+    def nm(col: str):
+        return F.round(F.col(col) * F.lit(1e9)).cast("bigint")
+
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "product_template",
+        "aerosol_type",
+        "aerosol_size_interval",
+        nm("aerosol_first_size_m").alias("first_size_nm"),
+        nm("aerosol_second_size_m").alias("second_size_nm"),
+        F.col("aerosol_wavelength_interval").alias("wavelength_interval"),
+        nm("aerosol_first_wavelength_m").alias("first_wavelength_nm"),
+        nm("aerosol_second_wavelength_m").alias("second_wavelength_nm"),
+        "ensemble_member",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")
+
+
+@query(
+    "grid_grib2_reduced_bitmap_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id FROM documents WHERE doc_id % 71 = 3 AND doc_id < 1420
+),
+rrows AS (
+  SELECT g.doc_id, r.r AS r, j.j AS j,
+         3 + ((g.doc_id + 5 * j.j) % 4) AS rowni,
+         2 * (2 + g.doc_id % 2) AS nj
+  FROM g,
+       UNNEST(generate_series(1, 2)) AS r(r),
+       LATERAL (
+         SELECT unnest(generate_series(0, 2 * (2 + g.doc_id % 2) - 1)) AS j
+       ) j
+),
+roff AS (
+  SELECT doc_id, r, j, rowni, nj,
+         COALESCE(SUM(rowni) OVER (
+           PARTITION BY doc_id, r ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_pos
+  FROM rrows
+),
+cells AS (
+  SELECT o.doc_id, o.r, o.nj, o.start_pos + i.i AS pos,
+         60 + 2 * ((o.doc_id * 3 + o.r * 5 + o.j * 7 + i.i * 5) % 35) AS v,
+         ((o.doc_id + o.r + o.start_pos + i.i) % 4) <> 0 AS present
+  FROM roff o,
+       LATERAL (SELECT unnest(generate_series(0, o.rowni - 1)) AS i) i
+)
+SELECT doc_id,
+       CAST(r AS INTEGER) AS record_number,
+       CAST(MIN(nj) AS INTEGER) AS nj,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN present THEN v ELSE 0 END) AS BIGINT) AS vsum,
+       CAST(SUM(CASE WHEN present THEN v * pos ELSE 0 END) AS BIGINT) AS wsum,
+       CAST(SUM(CASE WHEN present THEN 0 ELSE pos END) AS BIGINT) AS misspos
+FROM cells
+GROUP BY doc_id, r
+ORDER BY doc_id, r
+""",
+)
+def grid_grib2_reduced_bitmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP × REDUCED Gaussian in EDITION 2 — closing the r15
+    cross-edition asymmetry (GRIB1 reduced bitmaps landed in r15;
+    the GRIB2 encoder refused the combination until r16 even though
+    the decode composed generically): section 6 carries sum(row_ni)
+    bits in FLAT storage order, the data section packs only the
+    present cells, masked cells land NaN→NULL while the per-cell
+    geometry still covers every cell.
+
+    Record 1 packs the present subsequence SIMPLE (template 5.0);
+    record 2 packs it COMPLEX with order-2 spatial differencing
+    (template 5.3) — the group-splitting machinery runs over the
+    bitmap-compacted stream, so a mask slip ALSO corrupts the
+    differencing origin and cannot cancel.
+
+    Witnesses per (document, record): present/missing counts, the
+    present-value sum, the position-weighted present sum (a mask
+    shifted by one cell scatters every value) and the missing-position
+    checksum.  The wire layout is pinned foreign by
+    tests/test_foreign_grib.py::
+    test_foreign_reduced_bitmapped_grib2_decodes_to_pinned_values.
+
+    Scale: the landing posture — one Arrow decode stage, statistic
+    rows shuffle; masked ocean/land fields on reduced ERA5-native
+    grids are exactly what a 100 TB CDS archive scan reads.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 71 == 3) & (F.col("doc_id") < 1420))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nj = 2 * (2 + d % 2)
+                row_ni = [3 + ((d + 5 * j) % 4) for j in range(nj)]
+                content = b""
+                for r, packing in ((1, "simple"), (2, "complex_diff")):
+                    v = np.concatenate(
+                        [
+                            60.0
+                            + 2 * ((d * 3 + r * 5 + j * 7 + np.arange(n) * 5) % 35)
+                            for j, n in enumerate(row_ni)
+                        ]
+                    )
+                    pos = np.arange(v.size)
+                    bm = (d + r + pos) % 4 != 0
+                    content += encode_grib2_message(
+                        v, reduced_ni=row_ni, bitmap=bm,
+                        reference_value=60.0, nbits=8,
+                        packing=packing, group_len=4,
+                    )
+                rows.append({"path": f"doc://{d}", "content": content})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "nj",
+        F.posexplode("values").alias("pos", "v"),
+    )
+    return (
+        cells.groupBy("doc_id", "record_number")
+        .agg(
+            F.min("nj").alias("nj"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.count(F.when(_present("v"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum(F.when(_present("v"), F.col("v")).otherwise(F.lit(0.0)))
+            .cast("bigint")
+            .alias("vsum"),
+            F.sum(
+                F.when(_present("v"), F.col("v") * F.col("pos")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            .cast("bigint")
+            .alias("wsum"),
+            F.sum(F.when(~_present("v"), F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("misspos"),
+        )
+        .orderBy("doc_id", "record_number")
     )

@@ -71,6 +71,11 @@ RECORD_SCHEMA = (
     "radar_sites int, radar_site_id string, radar_site_number int, "
     "radar_site_lat double, radar_site_lon double, "
     "radar_elevation_m int, radar_operating_mode int, "
+    "constituent_type int, aerosol_type int, "
+    "aerosol_size_interval int, aerosol_first_size_m double, "
+    "aerosol_second_size_m double, aerosol_wavelength_interval int, "
+    "aerosol_first_wavelength_m double, "
+    "aerosol_second_wavelength_m double, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -92,7 +97,11 @@ _RECORD_COLUMNS = [
     "central_wavenumbers",
     "radar_sites", "radar_site_id", "radar_site_number",
     "radar_site_lat", "radar_site_lon", "radar_elevation_m",
-    "radar_operating_mode", "ni", "nj",
+    "radar_operating_mode", "constituent_type", "aerosol_type",
+    "aerosol_size_interval", "aerosol_first_size_m",
+    "aerosol_second_size_m", "aerosol_wavelength_interval",
+    "aerosol_first_wavelength_m", "aerosol_second_wavelength_m",
+    "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values", "error",
 ]
@@ -262,6 +271,21 @@ def _grib2_field_header(s: dict) -> dict:
         # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48):
+        # chemistry/aerosol family: splice out the inserted
+        # constituent/aerosol block so level + lead read through the
+        # base-template offsets — the same redirect decode_grib2 and
+        # _field_inventory apply (the surfaces must never disagree)
+        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 == 48 else 13)
+        if len(s4) < 13 + ins:
+            raise ValueError(
+                f"truncated product definition template 4.{tmpl4}"
+            )
+        s4 = s4[:11] + s4[11 + ins :]
+        tmpl4 = {
+            40: 0, 41: 1, 42: 8, 43: 11,
+            44: 0, 45: 1, 46: 8, 47: 11, 48: 0,
+        }[tmpl4]
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         20, 30, 31, 32, 33, 34,
@@ -523,6 +547,9 @@ def _decode_record_row(
     sat_instruments = sat_waves = None
     rdr_sites = rdr_site_id = rdr_site_number = None
     rdr_lat = rdr_lon = rdr_elev = rdr_mode = None
+    chem_constituent = aero_type = aero_size_interval = None
+    aero_size1 = aero_size2 = None
+    aero_wl_interval = aero_wl1 = aero_wl2 = None
     cell_lats = cell_lons = None
     if edition == 1:
         rec = decode_grib1(msg, predefined_bitmaps=predefined_bitmaps)
@@ -721,6 +748,20 @@ def _decode_record_row(
         rdr_lon = rec.radar_site_lon
         rdr_elev = rec.radar_elevation_m
         rdr_mode = rec.radar_operating_mode
+        # Templates 4.40-4.43 / 4.44-4.48 (chemistry / aerosol — the
+        # CAMS product families): the code-table-4.230 constituent or
+        # code-table-4.233 aerosol type plus the decoded size /
+        # wavelength intervals — NULL on every other product, so
+        # "only NO2" / "only PM2.5-range aerosol" are plain column
+        # filters on landed archives.
+        chem_constituent = rec.constituent_type
+        aero_type = rec.aerosol_type
+        aero_size_interval = rec.aerosol_size_interval
+        aero_size1 = rec.aerosol_first_size_m
+        aero_size2 = rec.aerosol_second_size_m
+        aero_wl_interval = rec.aerosol_wavelength_interval
+        aero_wl1 = rec.aerosol_first_wavelength_m
+        aero_wl2 = rec.aerosol_second_wavelength_m
         # 4.8-family: how many time-range specifications
         # the statistical section nests — count > 1 marks
         # a compound statistic ("average of daily maxima")
@@ -857,6 +898,14 @@ def _decode_record_row(
             "radar_site_lon": rdr_lon,
             "radar_elevation_m": rdr_elev,
             "radar_operating_mode": rdr_mode,
+            "constituent_type": chem_constituent,
+            "aerosol_type": aero_type,
+            "aerosol_size_interval": aero_size_interval,
+            "aerosol_first_size_m": aero_size1,
+            "aerosol_second_size_m": aero_size2,
+            "aerosol_wavelength_interval": aero_wl_interval,
+            "aerosol_first_wavelength_m": aero_wl1,
+            "aerosol_second_wavelength_m": aero_wl2,
             "ni": ni_out,
             "nj": nj_out,
             "lat_first_mdeg": lat0,

@@ -1486,3 +1486,195 @@ def test_foreign_log_grib2_decodes_to_pinned_values():
     assert rec.packing_template == 61
     z = np.array([[0.0, 1.0, 2.0], [3.0, 1.0, 0.0]])
     np.testing.assert_allclose(rec.values, np.exp(z) - 2.0, rtol=0, atol=0)
+
+
+def _foreign_with_sec4(sec4: bytes) -> bytes:
+    """Rewrap the base foreign GRIB2 message around a hand-assembled
+    replacement section 4 (sections 5-7 and the 10-bit payload are
+    reused; only the total length is re-stamped)."""
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72]
+    tail = base[16 + 21 + 72 + 34 : -4]  # sections 5+6+7
+    total = len(head) + len(sec4) + len(tail) + 4
+    msg = bytearray(head + sec4 + tail + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_chemistry_ensemble_statistical_decodes():
+    """FOREIGN-BYTES witness for template 4.43 (chemistry + ensemble +
+    statistical — the deepest compose of the CAMS family): the 2-octet
+    code-table-4.230 constituent rides between the parameter number
+    and the generating-process octet, shifting EVERY later field by
+    two; the ensemble octets sit at 37-39 (1-based) and the 4.8-style
+    statistical block from octet 40."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    sec4 = (
+        struct.pack(">IB", 63, 4)
+        + struct.pack(">H", 0)        # NV
+        + struct.pack(">H", 43)       # template 4.43
+        + bytes([0, 0])               # category, number
+        + struct.pack(">H", 8)        # constituent: 8 = NO2 (4.230)
+        + bytes([2, 0, 0])            # gen process type, ids
+        + struct.pack(">H", 0) + bytes([0])  # cutoff
+        + bytes([1]) + struct.pack(">I", 12)  # +12 h
+        + bytes([103, 0]) + struct.pack(">I", 2)   # 2 m above ground
+        + bytes([255, 255]) + b"\xff\xff\xff\xff"  # surface 2 missing
+        + bytes([3, 7, 51])           # ensemble: type 3, member 7 / 51
+        # statistical block: interval end 2023-07-16 00:00:00,
+        # 1 time-range spec, 0 missing, process 0 (average) over 24 h
+        + struct.pack(">H", 2023) + bytes([7, 16, 0, 0, 0])
+        + bytes([1]) + struct.pack(">I", 0)
+        + bytes([0, 2, 1]) + struct.pack(">I", 24)
+        + bytes([1]) + struct.pack(">I", 0)
+    )
+    assert len(sec4) == 63
+    rec = decode_grib2(_foreign_with_sec4(sec4))
+    assert rec.product_template == 43
+    assert rec.constituent_type == 8
+    assert rec.ensemble_type == 3
+    assert rec.ensemble_member == 7 and rec.ensemble_size == 51
+    assert rec.statistical_process == 0
+    assert rec.interval_end == (2023, 7, 16, 0, 0)
+    assert rec.level_type == 103 and rec.level_value == 2
+    assert rec.forecast_hours == 12
+    # the data sections decode unchanged through the spliced layout
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.325, 0.375, 25.925], [50.325, 0.475, 51.475]],
+        rtol=0, atol=1e-12,
+    )
+    # aerosol columns stay None on a chemistry record
+    assert rec.aerosol_type is None and rec.aerosol_first_size_m is None
+
+
+def test_foreign_aerosol_wavelength_decodes():
+    """FOREIGN-BYTES witness for template 4.48 (aerosol + size AND
+    optical-wavelength intervals — 24 inserted octets): both
+    (scale, value) pairs decode signed-magnitude, either side of an
+    interval lands None when coded missing."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    sec4 = (
+        struct.pack(">IB", 58, 4)
+        + struct.pack(">H", 0)        # NV
+        + struct.pack(">H", 48)       # template 4.48
+        + bytes([20, 0])              # category 20 (atmos chemistry)
+        + struct.pack(">H", 62001)    # aerosol type: dust (4.233)
+        + bytes([2])                  # size interval: between (4.91)
+        + bytes([8]) + struct.pack(">I", 25)    # first size 2.5e-7 m
+        + bytes([0xFF]) + b"\xff\xff\xff\xff"   # second size missing
+        + bytes([11])                 # wavelength interval type
+        + bytes([9]) + struct.pack(">I", 550)   # 550 nm
+        + bytes([9]) + struct.pack(">I", 865)   # 865 nm
+        + bytes([2, 0, 0])            # gen process type, ids
+        + struct.pack(">H", 0) + bytes([0])  # cutoff
+        + bytes([1]) + struct.pack(">I", 0)  # analysis
+        + bytes([1, 0]) + struct.pack(">I", 0)     # ground surface
+        + bytes([255, 255]) + b"\xff\xff\xff\xff"  # surface 2 missing
+    )
+    assert len(sec4) == 58
+    rec = decode_grib2(_foreign_with_sec4(sec4))
+    assert rec.product_template == 48
+    assert rec.aerosol_type == 62001
+    assert rec.aerosol_size_interval == 2
+    assert rec.aerosol_first_size_m == 2.5e-07
+    assert rec.aerosol_second_size_m is None
+    assert rec.aerosol_wavelength_interval == 11
+    assert rec.aerosol_first_wavelength_m == 5.5e-07
+    assert rec.aerosol_second_wavelength_m == 8.65e-07
+    assert rec.level_type == 1 and rec.forecast_hours == 0
+    assert rec.constituent_type is None
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.325, 0.375, 25.925], [50.325, 0.475, 51.475]],
+        rtol=0, atol=1e-12,
+    )
+
+
+def _foreign_grib2_reduced_bitmapped() -> bytes:
+    """GRIB2 REDUCED Gaussian grid (template 3.40, Ni coded missing +
+    the section-3 points-per-row list) WITH a primary bitmap,
+    hand-assembled: section 6 carries sum(row_ni) bits in flat storage
+    order and section 7 packs only the present cells.
+
+    Grid: N = 1 (nj = 2 parallels at ±degrees(asin(1/sqrt(3))) =
+    ±35.26438968...° → ±35264390 µdeg), rows [3, 4] (7 points).
+    Bitmap (flat): 1,0,1,0,1,0,1 → 4 present cells.
+    Packing 5.0: R = 0, E = 0, D = 0, 8 bits; X = [11, 22, 33, 44]."""
+    base = _foreign_grib2()
+    head = base[: 16 + 21]  # indicator + section 1
+    sec4 = base[16 + 21 + 72 : 16 + 21 + 72 + 34]  # reuse template 4.0
+    earth = (
+        bytes([6, 0]) + struct.pack(">I", 0)
+        + bytes([0]) + struct.pack(">I", 0)
+        + bytes([0]) + struct.pack(">I", 0)
+    )
+    sec3 = (
+        struct.pack(">IB", 76, 3)
+        + bytes([0])                    # source of grid definition
+        + struct.pack(">I", 7)          # number of data points
+        + bytes([2, 1])                 # list width 2, full parallels
+        + struct.pack(">H", 40)         # template 3.40
+        + earth
+        + b"\xff\xff\xff\xff"           # Ni coded missing
+        + struct.pack(">I", 2)          # Nj
+        + struct.pack(">I", 0)          # basic angle
+        + b"\xff\xff\xff\xff"           # subdivisions missing
+        + struct.pack(">I", 35_264_390)  # La1 = +35.26439°
+        + struct.pack(">I", 0)          # Lo1
+        + bytes([0x00])                 # resolution: no common Di
+        + struct.pack(">I", 0x80000000 | 35_264_390)  # La2 (negative)
+        + struct.pack(">I", 270_000_000)  # Lo2 = 3·360/4
+        + b"\xff\xff\xff\xff"           # Di coded missing
+        + struct.pack(">I", 1)          # N
+        + bytes([0x00])                 # scanning mode: north first
+        + struct.pack(">HH", 3, 4)      # points per row
+    )
+    assert len(sec3) == 76
+    sec5 = (
+        struct.pack(">IB", 21, 5)
+        + struct.pack(">I", 4)          # packed (present) points
+        + struct.pack(">H", 0)          # template 5.0
+        + struct.pack(">f", 0.0)        # R = 0
+        + bytes([0, 0, 0, 0])           # E = 0, D = 0
+        + bytes([8, 0])                 # 8 bits, float field
+    )
+    assert len(sec5) == 21
+    sec6 = struct.pack(">IB", 7, 6) + bytes([0]) + bytes([0b10101010])
+    sec7 = struct.pack(">IB", 9, 7) + bytes([11, 22, 33, 44])
+    body = head + sec3 + sec4 + sec5 + sec6 + sec7 + b"7777"
+    msg = bytearray(body)
+    struct.pack_into(">Q", msg, 8, len(body))
+    return bytes(msg)
+
+
+def test_foreign_reduced_bitmapped_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for bitmap × reduced Gaussian in EDITION 2
+    (the r15 verdict's cross-edition asymmetry): masked cells land NaN
+    in the FLAT ragged layout while the per-cell geometry still covers
+    every cell."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_reduced_bitmapped())
+    assert rec.row_ni.tolist() == [3, 4]
+    assert rec.ni is None and rec.nj == 2
+    assert rec.gaussian_n == 1
+    expected = [11.0, np.nan, 22.0, np.nan, 33.0, np.nan, 44.0]
+    np.testing.assert_array_equal(
+        np.isnan(rec.values), np.isnan(expected)
+    )
+    m = ~np.isnan(expected)
+    np.testing.assert_allclose(rec.values[m], np.asarray(expected)[m])
+    np.testing.assert_allclose(
+        rec.latitudes_deg, [35.26438968, -35.26438968], atol=5e-7
+    )
+    lats = rec.cell_lats_deg
+    lons = rec.cell_lons_deg
+    np.testing.assert_allclose(
+        lats, [35.26438968] * 3 + [-35.26438968] * 4, atol=5e-7
+    )
+    np.testing.assert_allclose(
+        lons, [0.0, 120.0, 240.0, 0.0, 90.0, 180.0, 270.0], atol=1e-9
+    )

@@ -1038,12 +1038,12 @@ def test_raster_packings_with_all_false_bitmap_round_trip():
 
 
 def test_unknown_product_definition_template_rejected():
-    """An UNKNOWN product definition template (4.40, atmospheric
-    chemistry — its constituent octets shift the fixed surfaces) does
-    not share 4.0's level octets: decoding its levels through 4.0
-    offsets would emit garbage metadata; both the full decode and the
-    header-only inventory must reject (review r8; the patch target was
-    4.30 until it gained its own decode in r15)."""
+    """An UNKNOWN product definition template does not share 4.0's
+    level octets: decoding its levels through 4.0 offsets would emit
+    garbage metadata; both the full decode and the header-only
+    inventory must reject (review r8; the patch target was 4.30 until
+    r15 and 4.40 until r16 — each gained its own decode, so the
+    fixture now pins the RESERVED 4.65534, which never can)."""
     import struct
 
     from monitoring_data_ingestion_spark.sources.grib_source import _grib2_header
@@ -1053,7 +1053,7 @@ def test_unknown_product_definition_template_rejected():
     while pos < len(msg) - 4:
         ln, num = struct.unpack_from(">IB", msg, pos)
         if num == 4:
-            struct.pack_into(">H", msg, pos + 7, 40)
+            struct.pack_into(">H", msg, pos + 7, 65534)
             break
         pos += ln
     with pytest.raises(ValueError, match="product definition template"):
@@ -3546,11 +3546,14 @@ def test_satellite_pdt_guards_and_documented_boundaries():
     with pytest.raises(ValueError, match="truncated product definition"):
         decode_grib2(bytes(trimmed))
     # unknown-template boundary: a named error, never a family-offset
-    # read (4.20/4.33/4.34 decode since r14, 4.30 since r15 — each
-    # witnessed by its own test)
+    # read (4.20/4.33/4.34 decode since r14, 4.30 since r15, the
+    # 4.40-4.48 chemistry/aerosol family since r16 — each witnessed by
+    # its own test; the reserved 4.65534 can never gain a layout)
     patched = bytearray(msg)
-    struct.pack_into(">H", patched, pos + 7, 40)
-    with pytest.raises(ValueError, match="product definition template 40"):
+    struct.pack_into(">H", patched, pos + 7, 65534)
+    with pytest.raises(
+        ValueError, match="product definition template 65534"
+    ):
         decode_grib2(bytes(patched))
     # a 4.31 message whose PDT octet is bumped into the 33/34/20
     # layouts stops loudly (their offsets land on band octets — NB
@@ -3894,9 +3897,177 @@ def test_grid_and_packing_corruption_guards():
     p4 = 16
     while pbad[p4 + 4] != 4:
         p4 += int.from_bytes(pbad[p4 : p4 + 4], "big")
-    pbad[p4 + 8] = 40
+    # reserved 4.65534 — permanently unassigned (4.30/4.40, the old
+    # picks here, both decode now)
+    pbad[p4 + 7] = 0xFF
+    pbad[p4 + 8] = 0xFE
     with pytest.raises(ValueError, match="unsupported product definition"):
         inventory_lines(bytes(pbad))
     # (d) limit=0
     assert match_records(msg, ".", limit=0) == []
     assert len(match_records(msg, ".", limit=1)) == 1
+
+
+def test_chemistry_family_roundtrips():
+    """Templates 4.40-4.43: the 2-octet constituent type inserted after
+    the parameter number composes with the plain / ensemble /
+    statistical / ensemble-statistical base forms, and every shifted
+    downstream field (lead, surfaces, ensemble octets, statistical
+    block) survives the shift."""
+    v = np.arange(20, dtype=np.float64).reshape(4, 5)
+    ens = {"type": 3, "member": 9, "size": 31}
+    stat = {
+        "process": 1,
+        "interval_end": (2021, 6, 2, 12, 0),
+        "range_hours": 6,
+    }
+    cases = [
+        (40, {}),
+        (41, {"ensemble": ens}),
+        (42, {"statistical": stat}),
+        (43, {"ensemble": ens, "statistical": stat}),
+    ]
+    for tmpl, extra in cases:
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, chemistry=8, nbits=8, reference_value=0.0,
+                level_type=100, level_value=500,
+                forecast={"unit": 1, "value": 24}, **extra,
+            )
+        )
+        assert rec.product_template == tmpl
+        assert rec.constituent_type == 8
+        assert rec.level_type == 100 and rec.level_value == 500
+        assert rec.forecast_hours == 24
+        assert np.array_equal(rec.values, v)
+        if "ensemble" in extra:
+            assert rec.ensemble_member == 9 and rec.ensemble_size == 31
+        if "statistical" in extra:
+            assert rec.statistical_process == 1
+            assert rec.interval_end == (2021, 6, 2, 12, 0)
+    # the coded-missing constituent lands None
+    msg = bytearray(
+        encode_grib2_message(v, chemistry=8, nbits=8, reference_value=0.0)
+    )
+    pos = 16
+    while msg[pos + 4] != 4:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    msg[pos + 11 : pos + 13] = b"\xff\xff"
+    assert decode_grib2(bytes(msg)).constituent_type is None
+
+
+def test_aerosol_family_roundtrips():
+    """Templates 4.44-4.48: the 13-octet (44-47) / 24-octet (48)
+    aerosol block with signed-magnitude size / wavelength pairs."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    aero = {
+        "type": 62001,
+        "size_interval": 2,
+        "first_size": (8, 25),
+        "second_size": (7, 100),
+    }
+    ens = {"type": 3, "member": 2, "size": 20}
+    stat = {
+        "process": 0,
+        "interval_end": (2021, 6, 2, 0, 0),
+        "range_hours": 24,
+    }
+    cases = [
+        (44, {}),
+        (45, {"ensemble": ens}),
+        (46, {"statistical": stat}),
+        (47, {"ensemble": ens, "statistical": stat}),
+    ]
+    for tmpl, extra in cases:
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, aerosol=aero, nbits=8, reference_value=0.0, **extra
+            )
+        )
+        assert rec.product_template == tmpl
+        assert rec.aerosol_type == 62001
+        assert rec.aerosol_size_interval == 2
+        assert rec.aerosol_first_size_m == 2.5e-07
+        assert rec.aerosol_second_size_m == 1e-05
+        assert rec.aerosol_wavelength_interval is None
+        assert np.array_equal(rec.values, v)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v,
+            aerosol={
+                **aero,
+                "wavelength_interval": 11,
+                "first_wavelength": (9, 550),
+                "second_wavelength": None,
+            },
+            nbits=8, reference_value=0.0,
+        )
+    )
+    assert rec.product_template == 48
+    assert rec.aerosol_wavelength_interval == 11
+    assert rec.aerosol_first_wavelength_m == 5.5e-07
+    assert rec.aerosol_second_wavelength_m is None
+
+
+def test_chemistry_aerosol_guards_and_inventory():
+    """Guard rails: chemistry×aerosol is rejected, 4.48 has no
+    ensemble/statistical sibling, the family doesn't combine with the
+    derived/probability/satellite branches, out-of-range types stop
+    loudly; and both inventory surfaces render level + lead through
+    the spliced base layout."""
+    v = np.arange(6, dtype=np.float64).reshape(2, 3)
+    aero = {"type": 0, "first_size": None, "second_size": None}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_grib2_message(v, chemistry=1, aerosol=aero)
+    with pytest.raises(ValueError, match="does not combine with"):
+        encode_grib2_message(v, chemistry=1, derived={"type": 0, "size": 3})
+    with pytest.raises(ValueError, match="does not combine with"):
+        encode_grib2_message(
+            v,
+            aerosol={**aero, "first_wavelength": (9, 550)},
+            ensemble={"type": 3, "member": 1, "size": 5},
+        )
+    with pytest.raises(ValueError, match="out of range 0-65534"):
+        encode_grib2_message(v, chemistry=65535)
+    msg = encode_grib2_message(
+        v, chemistry=8, nbits=8, reference_value=0.0,
+        level_type=100, level_value=500,
+        forecast={"unit": 1, "value": 6},
+    )
+    line = inventory_line(msg)
+    assert "l100/500" in line and line.endswith(":f6")
+    assert len(match_records(msg, ":f6$", limit=None)) == 1
+
+
+def test_reduced_grid_bitmap_roundtrips():
+    """Bitmaps compose with the REDUCED Gaussian layout in edition 2
+    (the r15 cross-edition asymmetry): section 6 carries sum(row_ni)
+    bits in flat storage order, the data section packs only present
+    cells, and masked cells land NaN while geometry covers every cell
+    — across simple, complex and complex_diff packings."""
+    row_ni = [3, 5, 5, 3]
+    n = sum(row_ni)
+    v = 10.0 + np.arange(n) * 2
+    bm = (np.arange(n) % 3) != 0
+    for packing in ("simple", "complex", "complex_diff"):
+        rec = decode_grib2(
+            encode_grib2_message(
+                v, reduced_ni=row_ni, bitmap=bm, nbits=8,
+                reference_value=0.0, packing=packing, group_len=4,
+            )
+        )
+        assert rec.row_ni.tolist() == row_ni
+        assert np.isnan(rec.values[~bm]).all()
+        assert np.array_equal(rec.values[bm], v[bm])
+        assert len(rec.cell_lats_deg) == n  # geometry is never masked
+    # a rectangular-shaped bitmap on a flat reduced field stops loudly
+    with pytest.raises(ValueError, match="flat with"):
+        encode_grib2_message(
+            v, reduced_ni=row_ni, bitmap=bm[:4], nbits=8,
+            reference_value=0.0,
+        )
+    with pytest.raises(ValueError, match="missing_mask not supported"):
+        encode_grib2_message(
+            v, reduced_ni=row_ni, missing_mask=bm, nbits=8,
+            reference_value=0.0, packing="complex",
+        )

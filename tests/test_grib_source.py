@@ -432,7 +432,8 @@ def test_quarantine_mode_lands_errors_and_continues(spark, tmp_path):
     pos = 16
     while bad[pos + 4] != 4:
         pos += int.from_bytes(bad[pos : pos + 4], "big")
-    bad[pos + 8] = 40  # unsupported PDT 4.40 (atmospheric chemistry)
+    bad[pos + 7] = 0xFF  # reserved PDT 4.65534: permanently
+    bad[pos + 8] = 0xFE  # unassigned (4.30/4.40 both decode now)
     landing = str(tmp_path / "landing")
     os.makedirs(landing)
     with open(os.path.join(landing, "mixed.grib"), "wb") as f:
@@ -461,7 +462,7 @@ def test_quarantine_mode_lands_errors_and_continues(spark, tmp_path):
     ]
     errs = {(p, n): r["error"] for (p, n), r in zip(by, rows)}
     assert errs[("mixed.grib", 1)] is None
-    assert "template 40" in errs[("mixed.grib", 2)]
+    assert "template 65534" in errs[("mixed.grib", 2)]
     assert errs[("mixed.grib", 3)] is None
     assert errs[("torn.grib", 1)] is None
     assert errs[("torn.grib", 2)].startswith("record framing")

@@ -154,6 +154,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_rotated_scan",
         "grid_geotiff_publish_scan",
         "grid_grib1_reduced_bitmap_scan",
+        "grid_grib2_reduced_bitmap_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
@@ -165,6 +166,8 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib2_secondary_missing_scan",
         "grid_grib2_aec_scan",
         "grid_grib2_log_scan",
+        "grid_grib2_chemistry_scan",
+        "grid_grib2_aerosol_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
@@ -1412,6 +1415,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
     [
         "grid_geotiff_publish_scan",
         "grid_grib1_reduced_bitmap_scan",
+        "grid_grib2_reduced_bitmap_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
@@ -1423,6 +1427,8 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_grib2_secondary_missing_scan",
         "grid_grib2_aec_scan",
         "grid_grib2_log_scan",
+        "grid_grib2_chemistry_scan",
+        "grid_grib2_aerosol_scan",
         "grid_grib2_ensemble_satellite_scan",
         "grid_grib2_error_scan",
         "grid_grib2_radar_scan",
