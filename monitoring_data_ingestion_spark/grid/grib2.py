@@ -85,7 +85,11 @@ the ``wgrib`` edition-1 path:
   grid/jpeg2000.py), template 5.41 (PNG, grid/png.py), template 5.42
   (CCSDS 121.0 / AEC lossless Rice coding on the from-scratch
   grid/aec.py codec — the packing post-2022 NCEP GFS output ships),
-  and template 5.61 (simple packing with logarithm pre-processing:
+  template 5.200 (run length with level values — the JMA
+  radar-composite packing: a level table in section 5, level-0
+  missing cells, base-LNGU run digits LSB-first per JMA Technical
+  Information No. 215), and template 5.61 (simple packing with
+  logarithm pre-processing:
   Z = ln(Y + B), the ECMWF precipitation form).
 * Section 6 (Bitmap): indicator 255 = none, 0 = bitmap present, 254 =
   the previously defined bitmap applies (multi-field messages; resolved
@@ -1072,6 +1076,90 @@ def _build_complex_s57(
     return s5_body, s7_body
 
 
+def _rle_pack(levels: np.ndarray, nbits: int, mv: int) -> np.ndarray:
+    """Template 7.200 run-length stream (the JMA radar-composite
+    packing; convention per JMA Technical Information No. 215, the
+    published decoding wgrib2 implements): the stream is ``nbits``-wide
+    codes where a code ≤ MV is a LEVEL value (one occurrence) and a
+    code > MV is a RUN-LENGTH DIGIT extending the preceding level's
+    run — consecutive digits d₁..dₖ (stream order = least significant
+    first) add Σ (dᵢ − MV − 1) · LNGU^(i−1) occurrences, with
+    LNGU = 2^nbits − 1 − MV the digit base.  A run of n therefore
+    encodes as the level once plus the base-LNGU digits of n − 1
+    (no digits when n = 1)."""
+    lngu = (1 << nbits) - 1 - mv
+    out: list[int] = []
+    i = 0
+    n = len(levels)
+    while i < n:
+        lv = int(levels[i])
+        run = 1
+        while i + run < n and levels[i + run] == lv:
+            run += 1
+        out.append(lv)
+        rem = run - 1
+        while rem > 0:
+            out.append(mv + 1 + rem % lngu)
+            rem //= lngu
+        i += run
+    return np.asarray(out, dtype=np.int64)
+
+
+def _rle_unpack(
+    codes: np.ndarray, nbits: int, mv: int, total: int
+) -> np.ndarray:
+    """Inverse of :func:`_rle_pack` → ``total`` level values.  The
+    byte-padding of section 7 can form up to ``floor(7/nbits)`` phantom
+    all-zero codes past the last run — accepted ONLY as such (all zero,
+    fewer than 8 bits); anything else past the grid is loud."""
+    codes = np.asarray(codes, dtype=np.int64)
+    lngu = (1 << nbits) - 1 - mv
+    if codes.size == 0:
+        if total:
+            raise ValueError("empty run-length stream for a non-empty grid")
+        return np.zeros(0, dtype=np.int64)
+    is_level = codes <= mv
+    if not is_level[0]:
+        raise ValueError(
+            "run-length stream opens with a run digit (no level to repeat)"
+        )
+    lp = np.flatnonzero(is_level)
+    levels = codes[lp]
+    bounds = np.append(lp, len(codes))
+    runs = np.ones(len(lp), dtype=np.int64)
+    for k in range(len(lp)):
+        seg = codes[bounds[k] + 1 : bounds[k + 1]]
+        if seg.size:
+            if lngu >= 2 and seg.size > 63:
+                # 2^63 cells outruns any grid — a longer digit chain
+                # is corrupt, and letting it through would overflow
+                # the int64 base powers into garbage run lengths
+                raise ValueError(
+                    "run-length digit chain exceeds any decodable run"
+                )
+            runs[k] += int(
+                (
+                    (seg - mv - 1)
+                    * lngu ** np.arange(seg.size, dtype=np.int64)
+                ).sum()
+            )
+    cum = np.cumsum(runs)
+    if cum[-1] < total:
+        raise ValueError(
+            f"run-length stream decodes {int(cum[-1])} cells, "
+            f"grid has {total}"
+        )
+    k = int(np.searchsorted(cum, total))
+    if cum[k] != total:
+        raise ValueError("run-length run crosses the end of the grid")
+    extra = codes[bounds[k + 1] :]
+    if extra.size * nbits >= 8 or extra.any():
+        raise ValueError(
+            "trailing data past the grid in the run-length stream"
+        )
+    return np.repeat(levels[: k + 1], runs[: k + 1])
+
+
 def _decode_complex_s7(
     s5: bytes, s7: bytes, tmpl5: int, n_points: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1301,6 +1389,7 @@ def encode_grib2_message(
     log_offset: float | None = None,
     aec_block_size: int = 32,
     aec_rsi: int = 128,
+    rle_table=None,
     gaussian: bool = False,
     reduced_ni=None,
     lambert: dict | None = None,
@@ -1511,9 +1600,14 @@ def encode_grib2_message(
         raise ValueError("degenerate Mercator true-scale latitude")
     if packing not in (
         "simple", "complex", "complex_diff", "png", "jpeg2000",
-        "ieee32", "ieee64", "log", "aec",
+        "ieee32", "ieee64", "log", "aec", "runlength",
     ):
         raise ValueError(f"unknown packing {packing!r}")
+    if (rle_table is not None) != (packing == "runlength"):
+        raise ValueError(
+            "packing='runlength' and rle_table go together (the level "
+            "table IS the quantization)"
+        )
     if spec_t is not None:
         nj, ni = len(vals) // 2, None  # complex coefficient count; no grid
     elif reduced_arr is not None:
@@ -1610,6 +1704,84 @@ def encode_grib2_message(
             present, dtype=">f4" if prec == 1 else ">f8"
         ).tobytes()
         r_bytes = b""  # unused below; 5.4 has no reference value
+    elif packing == "runlength":
+        # Template 5.200 (run length with level values — the JMA
+        # radar-composite packing): there is NO R/E/D quantization;
+        # ``rle_table`` holds the MVL scaled representative values
+        # (2-octet unsigned, physical = value / 10^decimal_scale),
+        # every present cell must BE a table value exactly, NaN is
+        # level 0, and MV is the highest level this field uses (the
+        # remaining code space 2^nbits − 1 − MV is the run-digit
+        # base).  Composes with the 4.20 radar products the way JMA
+        # composites ship.
+        if spec_t is not None:
+            raise ValueError(
+                "spectral data packs with template 5.50/5.51 (simple) only"
+            )
+        if bm is not None or mm is not None:
+            raise ValueError(
+                "run-length packing carries missing cells as level 0 "
+                "(no bitmap / missing-value management)"
+            )
+        if not 2 <= nbits <= 16:
+            raise ValueError(
+                f"run-length packing needs 2-16 bits per code, got {nbits}"
+            )
+        if not -126 <= decimal_scale <= 126:
+            raise ValueError(
+                f"decimal scale {decimal_scale} out of the one-octet "
+                "signed-magnitude range"
+            )
+        tbl = [int(t) for t in rle_table]
+        mvl = len(tbl)
+        if not 1 <= mvl <= (1 << nbits) - 2:
+            raise ValueError(
+                f"level table size {mvl} out of range 1-{(1 << nbits) - 2} "
+                f"for {nbits}-bit codes (one code is level 0, at least "
+                "one must remain for run digits)"
+            )
+        if any(not 0 <= t <= 0xFFFF for t in tbl):
+            raise ValueError("level-table entries are 2-octet unsigned")
+        if len(set(tbl)) != mvl:
+            raise ValueError("level-table entries must be distinct")
+        lookup = {t: k + 1 for k, t in enumerate(tbl)}
+        levels = np.zeros(len(present), dtype=np.int64)
+        pres_mask = ~np.isnan(present)
+        scaled = np.round(
+            present[pres_mask] * (10.0 ** decimal_scale)
+        )
+        exact = np.abs(
+            present[pres_mask] * (10.0 ** decimal_scale) - scaled
+        )
+        if exact.size and float(exact.max()) > 1e-6:
+            raise ValueError(
+                "run-length packing is a LEVEL code: every present cell "
+                "must equal a table value exactly at the declared "
+                "decimal scale"
+            )
+        try:
+            levels[pres_mask] = [lookup[int(s)] for s in scaled]
+        except KeyError as exc:
+            raise ValueError(
+                f"cell value {int(exc.args[0])}/10^{decimal_scale} is "
+                "not in the level table"
+            ) from None
+        mv = int(levels.max())
+        codes = _rle_pack(levels, nbits, mv)
+        s5_body = (
+            struct.pack(">I", len(present))
+            + struct.pack(">H", 200)  # data representation template
+            + bytes([nbits])
+            + struct.pack(">H", mv)
+            + struct.pack(">H", mvl)
+            + bytes(
+                [(0x80 | -decimal_scale) if decimal_scale < 0
+                 else decimal_scale]
+            )
+            + b"".join(struct.pack(">H", t) for t in tbl)
+        )
+        s7_body = _pack_bits(codes, nbits)
+        r_bytes = b""  # unused below; 5.200 has no reference value
     else:
         if packing == "log":
             # Template 5.61 (simple packing with LOGARITHM
@@ -1659,7 +1831,7 @@ def encode_grib2_message(
             _f32_encode_floor,
             _f32_decode,
         )
-    if packing in ("ieee32", "ieee64"):
+    if packing in ("ieee32", "ieee64", "runlength"):
         pass  # s5/s7 bodies already built above
     elif packing == "log":
         # 5.61 keeps 5.0's R/E/D/width head; octets 21-24 carry B
@@ -3742,7 +3914,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
 
     s5 = s[5]
     (tmpl5,) = struct.unpack_from(">H", s5, 9)
-    if tmpl5 not in (0, 2, 3, 4, 40, 41, 42, 50, 51, 61):
+    if tmpl5 not in (0, 2, 3, 4, 40, 41, 42, 50, 51, 61, 200):
         raise ValueError(f"unsupported data representation template {tmpl5}")
     # Spectral grid ↔ spectral packing must pair: 5.50/5.51's value
     # sequence only means anything against 3.50's coefficient ordering,
@@ -3771,6 +3943,40 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         r = 0.0
         binary_scale = decimal_scale = 0
         nbits = 32 * ieee_precision
+    elif tmpl5 == 200:
+        # Template 5.200 (run length with level values — JMA radar
+        # composites): NO reference value or binary scale — octet 12
+        # is the code width, 13-14 MV (highest level used), 15-16 MVL
+        # (table size), 17 the one-octet signed-magnitude decimal
+        # scale, then the MVL 2-octet scaled representative values.
+        # Reading the 5.0 layout here would decode the table as R/E/D.
+        if len(s5) < 17:
+            raise ValueError("truncated data representation template 5.200")
+        nbits = s5[11]
+        (rle_mv,) = struct.unpack_from(">H", s5, 12)
+        (rle_mvl,) = struct.unpack_from(">H", s5, 14)
+        if not 1 <= nbits <= 16:
+            raise ValueError(
+                f"run-length code width {nbits} out of range 1-16"
+            )
+        # MV is the highest level THIS FIELD uses (codes above it are
+        # run digits); the table may define more levels than the field
+        # touches, so MVL >= MV is the usual shape — but a level the
+        # table can't resolve is checked after the stream decodes.
+        if rle_mv > (1 << nbits) - 1:
+            raise ValueError(
+                f"MV={rle_mv} does not fit {nbits}-bit codes"
+            )
+        decimal_scale = (
+            -(s5[16] & 0x7F) if s5[16] & 0x80 else s5[16]
+        )
+        if len(s5) < 17 + 2 * rle_mvl:
+            raise ValueError("truncated run-length level table")
+        rle_table = np.frombuffer(
+            s5, dtype=">u2", count=rle_mvl, offset=17
+        ).astype(np.float64)
+        r = 0.0
+        binary_scale = 0
     else:
         (r,) = struct.unpack_from(">f", s5, 11)
         binary_scale = _rs16be(s5, 15)
@@ -3805,6 +4011,14 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         bitmap = bits.astype(bool)
     elif s6[5] != 255:
         raise ValueError(f"unsupported bitmap indicator {s6[5]}")
+    if bitmap is not None and tmpl5 == 200:
+        # 5.200 carries its missing cells as level 0 — a bitmap on top
+        # is outside the JMA convention, and guessing the composition
+        # order would be silent corruption
+        raise ValueError(
+            "run-length packing (5.200) carries missing cells as "
+            "level 0, not a bitmap"
+        )
 
     s7 = s[7]
     spectral_sub: int | None = None
@@ -3938,6 +4152,28 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             count=n_present,
             offset=5,
         ).astype(np.float64)
+    elif tmpl5 == 200:
+        # the whole stream is nbits-wide codes; trailing byte-padding
+        # forms at most floor(7/nbits) phantom zero codes, which
+        # _rle_unpack accepts only as padding
+        n_codes = (len(s7) - 5) * 8 // nbits
+        codes = _unpack_bits(s7[5:], n_codes, nbits)
+        levels = _rle_unpack(codes, nbits, rle_mv, total_cells)
+        if int(levels.max(initial=0)) > rle_mvl:
+            raise ValueError(
+                f"run-length level {int(levels.max())} exceeds the "
+                f"{rle_mvl}-entry table"
+            )
+        present_vals = np.full(total_cells, np.nan)
+        nz = levels > 0
+        present_vals[nz] = rle_table[levels[nz] - 1] / (
+            10.0 ** decimal_scale
+        )
+        if n_present != total_cells:
+            raise ValueError(
+                f"section 5 declares {n_present} points, the "
+                f"run-length grid has {total_cells}"
+            )
     elif tmpl5 == 41:
         from .png import png_decode
 

@@ -9522,3 +9522,157 @@ def grid_grib2_reduced_bitmap_scan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id", "record_number")
     )
+
+
+@query(
+    "grid_grib2_runlength_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         10 + doc_id % 5 AS ni,
+         6 + doc_id % 3 AS nj
+  FROM documents WHERE doc_id % 73 = 9 AND doc_id < 1460
+),
+cells AS (
+  SELECT doc_id, p.pos,
+         CASE WHEN (doc_id + p.pos) % 7 < 3 THEN 0
+              ELSE 1 + ((doc_id * 3 + p.pos // 5) % 6) END AS lv
+  FROM g,
+       LATERAL (
+         SELECT unnest(generate_series(0, ni * nj - 1)) AS pos
+       ) p
+),
+vals AS (
+  SELECT doc_id, pos, lv,
+         CASE lv WHEN 1 THEN 5 WHEN 2 THEN 10 WHEN 3 THEN 20
+                 WHEN 4 THEN 40 WHEN 5 THEN 80 WHEN 6 THEN 160
+         END AS v10
+  FROM cells
+)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS record_number,
+       CAST(20 AS INTEGER) AS product_template,
+       CAST(100 + doc_id % 50 AS INTEGER) AS radar_site_number,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN lv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_present,
+       CAST(SUM(CASE WHEN lv > 0 THEN v10 ELSE 0 END) AS BIGINT)
+         AS v10sum,
+       CAST(SUM(CASE WHEN lv > 0 THEN v10 * pos ELSE 0 END) AS BIGINT)
+         AS w10sum,
+       CAST(SUM(CASE WHEN lv = 0 THEN pos ELSE 0 END) AS BIGINT)
+         AS nanpos
+FROM vals
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def grid_grib2_runlength_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN-LENGTH LEVEL PACKING (data representation template 5.200 —
+    the JMA radar-composite packing) through the landing scan,
+    composed with the radar PDT 4.20 exactly the way JMA precipitation
+    composites ship: each document's record carries a level field
+    (the 2-octet scaled representative table, decimal scale 1) whose
+    zero level IS the missing mask, packed as nbits-wide codes with
+    base-LNGU run digits (LSB-first, the JMA Technical Information
+    No. 215 convention wgrib2 implements).
+
+    The level pattern alternates missing stretches with 5-cell level
+    runs, so every document exercises the run-digit machinery; the
+    witnesses (present/missing counts, the exact ×10 value sum, the
+    position-weighted sum and the missing-position checksum) catch a
+    run shifted by one cell, a digit decoded at the wrong significance
+    or a level table read at the wrong offset.  The wire layout and
+    the LSB-first digit order are pinned foreign by
+    tests/test_foreign_grib.py::
+    test_foreign_runlength_grib2_decodes_to_pinned_values.
+
+    Scale: the landing posture — one Arrow decode stage, statistic
+    rows shuffle; RLE level fields are the densest national-composite
+    archives (radar mosaics at 1 km), and the level table rides in
+    section 5 per record, no side catalog.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    tbl = [5, 10, 20, 40, 80, 160]
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 73 == 9) & (F.col("doc_id") < 1460))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 10 + d % 5, 6 + d % 3
+                pos = np.arange(ni * nj)
+                lv = np.where(
+                    (d + pos) % 7 < 3,
+                    0,
+                    1 + ((d * 3 + pos // 5) % 6),
+                )
+                v = np.where(
+                    lv == 0,
+                    np.nan,
+                    np.array([np.nan] + tbl)[lv] / 10.0,
+                ).reshape(nj, ni)
+                msg = encode_grib2_message(
+                    v,
+                    packing="runlength",
+                    rle_table=tbl,
+                    nbits=4,
+                    decimal_scale=1,
+                    radar=dict(
+                        lat=36.0, lon=140.0, elevation=50,
+                        site_id="RJTD", site_number=100 + d % 50,
+                    ),
+                )
+                rows.append({"path": f"doc://{d}", "content": msg})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    cells = records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "product_template",
+        "radar_site_number",
+        F.posexplode("values").alias("pos", "v"),
+    )
+    v10 = F.round(F.col("v") * F.lit(10.0)).cast("bigint")
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.min("record_number").alias("record_number"),
+            F.min("product_template").alias("product_template"),
+            F.min("radar_site_number").alias("radar_site_number"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.count(F.when(_present("v"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum(F.when(_present("v"), v10).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("v10sum"),
+            F.sum(
+                F.when(_present("v"), v10 * F.col("pos")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("w10sum"),
+            F.sum(F.when(~_present("v"), F.col("pos")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("nanpos"),
+        )
+        .orderBy("doc_id")
+    )

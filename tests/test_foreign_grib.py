@@ -1678,3 +1678,64 @@ def test_foreign_reduced_bitmapped_grib2_decodes_to_pinned_values():
     np.testing.assert_allclose(
         lons, [0.0, 120.0, 240.0, 0.0, 90.0, 180.0, 270.0], atol=1e-9
     )
+
+
+def _foreign_grib2_runlength(two_bit: bool) -> bytes:
+    """GRIB2 template 5.200 (JMA run-length level packing),
+    hand-assembled on the base 3×2 grid.
+
+    ``two_bit=False`` — nbits = 4, MV = 6, MVL = 6, D = 1, table
+    [5, 10, 20, 40, 80, 160]; LNGU = 16 − 1 − 6 = 9.  Stream
+    [2, 9, 0, 8, 1]: level 2, digit 9 (adds 9−7 = 2 → run 3), level 0,
+    digit 8 (adds 1 → run 2), level 1 → levels [2,2,2,0,0,1] →
+    Y = [1.0, 1.0, 1.0, NaN, NaN, 0.5].
+
+    ``two_bit=True`` — nbits = 2, MV = 1, MVL = 1, D = 1, table [5];
+    LNGU = 4 − 1 − 1 = 2.  Stream [1, 2, 2, 3, 0]: level 1 then
+    base-2 digits (0, 0, 1) LEAST-significant-first = 4 → run 5, then
+    level 0 → Y = [0.5]*5 + [NaN].  The asymmetric digit chain pins
+    the LSB-first order: an MSB-first misread gives run 2 and the
+    stream then overruns/underruns the grid."""
+    base = _foreign_grib2()
+    head = base[: 16 + 21 + 72 + 34]
+    if two_bit:
+        nbits, mv, tbl = 2, 1, [5]
+        payload = bytes([0b01101011, 0x00])  # codes 1,2,2,3,0 @2 bits
+    else:
+        nbits, mv, tbl = 4, 6, [5, 10, 20, 40, 80, 160]
+        payload = bytes([0x29, 0x08, 0x10])  # codes 2,9,0,8,1 @4 bits
+    sec5 = (
+        struct.pack(">IB", 17 + 2 * len(tbl), 5)
+        + struct.pack(">I", 6)     # data points
+        + struct.pack(">H", 200)   # template 5.200
+        + bytes([nbits])
+        + struct.pack(">H", mv)
+        + struct.pack(">H", len(tbl))
+        + bytes([1])               # decimal scale D = +1
+        + b"".join(struct.pack(">H", t) for t in tbl)
+    )
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    total = len(head) + len(sec5) + len(sec6) + len(sec7) + 4
+    msg = bytearray(head + sec5 + sec6 + sec7 + b"7777")
+    struct.pack_into(">Q", msg, 8, total)
+    return bytes(msg)
+
+
+def test_foreign_runlength_grib2_decodes_to_pinned_values():
+    """Foreign-bytes witness for template 5.200: the section-5 octet
+    layout (code width / MV / MVL / decimal scale / level table) and
+    the LSB-first base-LNGU run-digit convention, both pinned against
+    hand-laid octets with hand-computed expectations."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    rec = decode_grib2(_foreign_grib2_runlength(False))
+    assert rec.packing_template == 200
+    expected = np.array([[1.0, 1.0, 1.0], [np.nan, np.nan, 0.5]])
+    np.testing.assert_array_equal(np.isnan(rec.values), np.isnan(expected))
+    m = ~np.isnan(expected)
+    np.testing.assert_allclose(rec.values[m], expected[m], rtol=0, atol=0)
+    rec = decode_grib2(_foreign_grib2_runlength(True))
+    expected = np.array([[0.5, 0.5, 0.5], [0.5, 0.5, np.nan]])
+    np.testing.assert_array_equal(np.isnan(rec.values), np.isnan(expected))
+    np.testing.assert_allclose(rec.values[:, :2], 0.5, rtol=0, atol=0)

@@ -4071,3 +4071,101 @@ def test_reduced_grid_bitmap_roundtrips():
             v, reduced_ni=row_ni, missing_mask=bm, nbits=8,
             reference_value=0.0, packing="complex",
         )
+
+
+def test_runlength_packing_roundtrips():
+    """Template 5.200 (JMA run-length level packing): level fields
+    round-trip exactly through the level table, NaN rides as level 0,
+    long runs exercise the base-LNGU digit chains, and the packing
+    composes with the radar PDT 4.20 and 0x40 scan normalization the
+    way JMA composites ship."""
+    tbl = [5, 10, 20, 40, 80, 160]
+    rng = np.random.default_rng(5)
+    lv = rng.choice([0, 0, 0, 1, 2, 3, 6], size=(8, 12))
+    v = np.where(lv == 0, np.nan, np.array([np.nan] + tbl)[lv] / 10.0)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="runlength", rle_table=tbl, nbits=4,
+            decimal_scale=1,
+        )
+    )
+    assert rec.packing_template == 200
+    assert np.array_equal(np.isnan(rec.values), np.isnan(v))
+    m = ~np.isnan(v)
+    np.testing.assert_allclose(rec.values[m], v[m])
+    # long constant runs: the digit chain must reconstruct exactly
+    lv2 = np.zeros((20, 50))
+    lv2[5:7, :] = 1
+    v2 = np.where(lv2 == 0, np.nan, 0.5)
+    msg2 = encode_grib2_message(
+        v2, packing="runlength", rle_table=tbl, nbits=4, decimal_scale=1
+    )
+    assert len(msg2) < 250  # 1000 cells of runs collapse
+    rec2 = decode_grib2(msg2)
+    assert np.array_equal(np.isnan(rec2.values), np.isnan(v2))
+    np.testing.assert_allclose(rec2.values[lv2 == 1], 0.5)
+    # radar composition (the JMA product shape) + 0x40 scan
+    rec3 = decode_grib2(
+        encode_grib2_message(
+            v, packing="runlength", rle_table=tbl, nbits=4,
+            decimal_scale=1, scanning_mode=0x40,
+            radar=dict(
+                lat=36.0, lon=140.0, elevation=50,
+                site_id="RJTD", site_number=101,
+            ),
+        )
+    )
+    assert rec3.product_template == 20 and rec3.radar_site_id == "RJTD"
+    assert np.array_equal(np.isnan(rec3.values), np.isnan(v))
+
+
+def test_runlength_packing_guards():
+    tbl = [5, 10, 20]
+    v = np.array([[0.5, 1.0], [np.nan, 2.0]])
+    with pytest.raises(ValueError, match="go together"):
+        encode_grib2_message(v, packing="runlength", nbits=4)
+    with pytest.raises(ValueError, match="go together"):
+        encode_grib2_message(v, rle_table=tbl, nbits=4)
+    with pytest.raises(ValueError, match="2-16 bits"):
+        encode_grib2_message(
+            v, packing="runlength", rle_table=tbl, nbits=1,
+            decimal_scale=1,
+        )
+    with pytest.raises(ValueError, match="out of range 1-14"):
+        encode_grib2_message(
+            v, packing="runlength", rle_table=list(range(20)), nbits=4,
+            decimal_scale=1,
+        )
+    with pytest.raises(ValueError, match="not in the level table"):
+        encode_grib2_message(
+            np.full((2, 2), 0.7), packing="runlength", rle_table=tbl,
+            nbits=4, decimal_scale=1,
+        )
+    with pytest.raises(ValueError, match="must equal a table value"):
+        encode_grib2_message(
+            np.full((2, 2), 0.5001), packing="runlength", rle_table=tbl,
+            nbits=4, decimal_scale=1,
+        )
+    with pytest.raises(ValueError, match="level 0, not a bitmap|no bitmap"):
+        encode_grib2_message(
+            v, packing="runlength", rle_table=tbl, nbits=4,
+            decimal_scale=1, bitmap=np.ones((2, 2), dtype=bool),
+        )
+    # decode guards: a run crossing the grid end stops loudly
+    good = encode_grib2_message(
+        np.full((2, 3), 0.5), packing="runlength", rle_table=tbl,
+        nbits=4, decimal_scale=1,
+    )
+    import struct as _struct
+
+    pos = 16
+    msg = bytearray(good)
+    while msg[pos + 4] != 5:
+        pos += int.from_bytes(msg[pos : pos + 4], "big")
+    s5len = int.from_bytes(msg[pos : pos + 4], "big")
+    d7 = pos + s5len + 6  # skip empty section 6 (6 octets) to section 7
+    assert msg[d7 + 4] == 7
+    # stream [1, digit(+6)] = run 7 > 6 cells → overrun
+    msg[d7 + 5] = 0x1B  # 0001 1011: level 1, digit code 11 (adds 6)
+    with pytest.raises(ValueError, match="crosses the end"):
+        decode_grib2(bytes(msg))

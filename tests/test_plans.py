@@ -155,6 +155,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_geotiff_publish_scan",
         "grid_grib1_reduced_bitmap_scan",
         "grid_grib2_reduced_bitmap_scan",
+        "grid_grib2_runlength_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
@@ -1416,6 +1417,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_geotiff_publish_scan",
         "grid_grib1_reduced_bitmap_scan",
         "grid_grib2_reduced_bitmap_scan",
+        "grid_grib2_runlength_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
