@@ -24,85 +24,91 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # alphabetical within a cohort, filling to exactly 50 — leftovers are
 # the explicit FRONT of next round's queue.
 #
-# Round 15 window: 8 NEW (reduced-grid/predefined bitmaps, edition-1
-# complex spectral, 5.3×mvm, PDT 4.30, IEEE template 5.4, mvm=2
-# secondary missing, CCSDS/AEC template 5.42 on the from-scratch
-# grid/aec.py codec, and log template 5.61) + 10 CHANGED (radar
-# scan: missing-site-coordinate sentinel; quarantine scan: its reject
-# fixture moved off the now-decoding PDT 30 to PDT 40; satellite
-# scan: dispatch admits 30; the five GRIB2-facing inventory/match
-# queries behind the grown template-30 gates on both inventory
-# surfaces; and the two r10-witnessed queries sitting directly on the
-# restructured complex pack/unpack pair — grid_grib2_complex_decode
-# and grid_grib2_reduced_gaussian_decode) + the 8 spilled r7 names +
-# the first 24 of the 34-name r8 cohort.  8 + 10 + 32 = exactly 50.
-# The remaining 10 r8 names (set_except, set_intersect,
-# set_union_all, set_union_distinct, sort_multi_key, topk_orders,
-# window_first_last, window_range_frame, window_rank,
-# window_running_sum) spill to the FRONT of round 16's queue,
-# followed by the r9 cohort.
-# grid_grib1_inventory is NOT changed this round
-# (inspect_grib1's header surface is untouched by the GRIB1 bitmap/
-# spectral work); the remaining decode queries sit downstream only of
-# additive branches (bit-identical for every previously-decodable
-# shape, swept by the codec suite + full local driver-sim at HEAD) —
-# the 7-8-round-old queue evidence outranks them, the documented
-# r12/r13/r14 judgment.  WINDOWS.md carries the r1-r15 ledger.
+# Round 16 window: 4 NEW (the chemistry PDTs 4.40-4.43 and aerosol
+# PDTs 4.44-4.48 landing constituent/aerosol columns; bitmap ×
+# reduced Gaussian in edition 2, closing the r15 cross-edition
+# asymmetry; and run-length level packing 5.200, the JMA
+# radar-composite form) + 7 CHANGED (grid_grib2_aec_scan — the codec
+# under it was restructured: basic-mode 3-bit IDs for n ≤ 8, O(n) FS
+# decode, second extension on reference blocks;
+# grid_grib_quarantine_scan — its reject fixture re-pinned from the
+# now-decoding PDT 40 to the RESERVED 4.65534, permanently; and the
+# five GRIB2-facing inventory/match queries behind the template gates
+# grown by 40-48 on both inventory surfaces:
+# grid_grib_inventory_scan, grid_grib_inventory_robust_scan,
+# grid_grib2_match_decode, grid_grib2_match_level_decode,
+# grid_grib_match_lead_scan) + the 10 spilled r8 names + the first 29
+# (alphabetical) of the 40-name r9 cohort.  4 + 7 + 10 + 29 = exactly
+# 50.  The remaining 11 r9 names (stream_stream_interval_join,
+# stream_tumbling_hourly, text_langid, text_quality_score,
+# ts_anomaly_zscore, ts_asof_join, ts_funnel, ts_gap_fill_ffill,
+# ts_interpolate_linear, ts_range_join, ts_tumbling_hourly) spill to
+# the FRONT of round 17's queue, followed by the r10 cohort.
+# The r16 SPLIT of plans/grid_q.py into six family modules moved
+# every grid query VERBATIM (registry diff empty, asserted against
+# the pre-split HEAD; full local driver-sim green at HEAD) — a pure
+# file move is below even the additive-branch bar, so it forces no
+# re-witness (the documented r12-r15 judgment).  Other landing
+# queries sit downstream only of additive branches (the 4.40-4.48 /
+# 5.200 dispatch arms and the 8 new NULL landing columns — bit-
+# identical for every previously-decodable shape, swept by the codec
+# suite + the full local driver-sim).  WINDOWS.md carries the
+# r1-r16 ledger.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 15 (first driver witness) ---
-    "grid_grib1_reduced_bitmap_scan",
-    "grid_grib1_spectral_complex_scan",
-    "grid_grib2_diff_missing_scan",
-    "grid_grib2_deprecated_satellite_scan",
-    "grid_grib2_ieee_float_scan",
-    "grid_grib2_secondary_missing_scan",
+    # --- 1. new in round 16 (first driver witness) ---
+    "grid_grib2_chemistry_scan",
+    "grid_grib2_aerosol_scan",
+    "grid_grib2_reduced_bitmap_scan",
+    "grid_grib2_runlength_scan",
+    # --- 2. changed in round 16 ---
     "grid_grib2_aec_scan",
-    "grid_grib2_log_scan",
-    # --- 2. changed in round 15 ---
-    "grid_grib2_radar_scan",
     "grid_grib_quarantine_scan",
-    "grid_grib2_satellite_scan",
     "grid_grib_inventory_scan",
     "grid_grib_inventory_robust_scan",
     "grid_grib2_match_decode",
     "grid_grib2_match_level_decode",
     "grid_grib_match_lead_scan",
-    "grid_grib2_complex_decode",
-    "grid_grib2_reduced_gaussian_decode",
-    # --- 3. oldest cohorts: the 8 spilled r7 names, then the first 24
-    #     (alphabetical) of the 34-name r8 cohort ---
-    "q21_late_suppliers",
-    "q22_idle_customers",
-    "sample_neyman_allocation",
-    "sketch_bloom_membership",
-    "sketch_count_min_tokens",
-    "sketch_hll_distinct",
-    "sketch_quantile_histogram",
-    "stream_psi_drift",
-    "agg_approx_quantile",
-    "agg_hll_sketch_union",
-    "contamination_ngram_overlap",
-    "contamination_shingle_join",
-    "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_fuzzy_levenshtein",
-    "dedup_minhash_lsh_capped",
-    "dedup_minhash_survivors",
-    "doc_chunk_sliding",
-    "doc_token_dedup",
-    "grid_polygon_clip",
-    "grid_regrid_coarsen",
-    "grid_shapefile_clip",
-    "knn_ivf_pq",
-    "knn_ivf_trained",
-    "q2_min_price_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "scalar_conditional_hash",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_strings",
+    # --- 3. oldest cohorts: the 10 spilled r8 names, then the first
+    #     29 (alphabetical) of the 40-name r9 cohort ---
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi_key",
+    "topk_orders",
+    "window_first_last",
+    "window_range_frame",
+    "window_rank",
+    "window_running_sum",
+    "agg_approx_distinct",
+    "agg_boolean_bitwise",
+    "agg_entropy",
+    "agg_filter_clause",
+    "agg_grouping_markers",
+    "agg_histogram",
+    "agg_listagg",
+    "agg_mode_deterministic",
+    "agg_multi_distinct",
+    "agg_regression_stats",
+    "agg_salted_skew",
+    "agg_weighted_avg",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "join_null_safe",
+    "knn_pq_scan",
+    "merge_upsert_customers",
+    "multimodal_binary_dedup",
+    "multimodal_feature_extract",
+    "multimodal_metadata_stats",
+    "pack_sequences",
+    "sample_weighted",
+    "scd2_validity_intervals",
+    "split_train_test_hash",
+    "stream_dedup_union",
+    "stream_session_windows",
+    "stream_sliding_halfhour",
+    "stream_stateful_user_stats",
+    "stream_static_enrich",
 )
 
 

@@ -391,7 +391,7 @@ def schmidt_unstretch(lats_deg, lons_deg, sp_lat_deg, sp_lon_deg, factor):
     c = 1 is the identity everywhere.  The query oracle reaches the
     same map through independent machinery — spherical law of cosines
     for the colatitude, bearing-from-pole, destination-point formula
-    (plans/grid_q.py::_unstretch_trig) — formulation independence in
+    (plans/grid_spectral_q.py::_unstretch_trig) — formulation independence in
     the composition, like the rotation/Lambert pairs."""
     phi = np.radians(np.asarray(lats_deg, dtype=np.float64))
     lam = np.radians(np.asarray(lons_deg, dtype=np.float64))

@@ -752,7 +752,7 @@ def stream_grib1_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     map-side per batch — the exact posture of the parquet flagship.
     """
     from ..sources.grib_source import grib1_cells, grib1_records, grib1_records_stream
-    from .grid_q import ensure_grib1_landing
+    from .grid_codec_q import ensure_grib1_landing
 
     landing = ensure_grib1_landing(spark, sf_dir)
     history = grib1_cells(grib1_records(spark, landing))
@@ -841,7 +841,7 @@ def era5_grib_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming.sinks import IdempotentForeachBatch
     from .catalog import session_cache_suffix
-    from .grid_q import ensure_grib1_landing
+    from .grid_codec_q import ensure_grib1_landing
 
     landing = ensure_grib1_landing(spark, sf_dir, n_months=36)
     # One pipeline tree per (session, landing): repeated runs resume the
@@ -919,7 +919,7 @@ def _ensure_torn_grib1_landing(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from .catalog import session_cache_suffix
-    from .grid_q import ensure_grib1_landing
+    from .grid_codec_q import ensure_grib1_landing
 
     src = ensure_grib1_landing(spark, sf_dir, n_months=36)
     base = os.path.join(
@@ -1136,7 +1136,7 @@ def _spectral_stream_ref() -> str:
     import numpy as np
     from numpy.polynomial import legendre as L
 
-    from .grid_q import _spectral_coeffs
+    from .grid_spectral_q import _spectral_coeffs
 
     nodes, _ = np.polynomial.legendre.leggauss(6)
     mu = np.sort(nodes)[::-1]
@@ -1193,7 +1193,7 @@ def ensure_spectral_landing(spark: SparkSession, sf_dir: str) -> str:
     from ..grid.grib1 import encode_grib1_message
     from ..grid.grib2 import encode_grib2_message
     from .catalog import session_cache_suffix
-    from .grid_q import _spectral_coeffs
+    from .grid_spectral_q import _spectral_coeffs
 
     base = os.path.join(
         tempfile.gettempdir(),

@@ -1221,7 +1221,7 @@ def test_gaussian_header_inventory_reads_grid_dims():
 # The independent (isometric-form) projections live next to the oracle
 # generators; witness independence is from the ENGINE implementation,
 # so the tests share them rather than keeping third copies.
-from monitoring_data_ingestion_spark.plans.grid_q import (  # noqa: E402
+from monitoring_data_ingestion_spark.plans.grid_codec_q import (  # noqa: E402
     _lcc_inverse_isometric,
 )
 
@@ -1387,7 +1387,7 @@ def test_gaussian_without_j_increment_flag_decodes():
 # --------------------------------------------------------------------------
 
 
-from monitoring_data_ingestion_spark.plans.grid_q import (  # noqa: E402
+from monitoring_data_ingestion_spark.plans.grid_codec_q import (  # noqa: E402
     _ps_inverse_isometric,
 )
 

@@ -18,7 +18,7 @@ from monitoring_data_ingestion_spark.grid.shapefile import (
     read_polygon_rings,
     write_polygon_shp,
 )
-from monitoring_data_ingestion_spark.plans.grid_q import CLIP_POLYGON
+from monitoring_data_ingestion_spark.plans.grid_geom_q import CLIP_POLYGON
 
 AFRICA = "/root/reference/src/shp/africa.shp"
 
