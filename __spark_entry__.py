@@ -24,11 +24,14 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # alphabetical within a cohort, filling to exactly 50 — leftovers are
 # the explicit FRONT of next round's queue.
 #
-# Round 16 window: 4 NEW (the chemistry PDTs 4.40-4.43 and aerosol
+# Round 16 window: 5 NEW (the chemistry PDTs 4.40-4.43 and aerosol
 # PDTs 4.44-4.48 landing constituent/aerosol columns; bitmap ×
 # reduced Gaussian in edition 2, closing the r15 cross-edition
 # asymmetry; and run-length level packing 5.200, the JMA
-# radar-composite form) + 7 CHANGED (grid_grib2_aec_scan — the codec
+# radar-composite form; and the ensemble-reforecast PDTs 4.60/4.61
+# with the model_version landing column, plus the 4.49 AOD-ensemble
+# form witnessed inside the aerosol scan) + 7 CHANGED
+# (grid_grib2_aec_scan — the codec
 # under it was restructured: basic-mode 3-bit IDs for n ≤ 8, O(n) FS
 # decode, second extension on reference blocks;
 # grid_grib_quarantine_scan — its reject fixture re-pinned from the
@@ -37,13 +40,14 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # grown by 40-48 on both inventory surfaces:
 # grid_grib_inventory_scan, grid_grib_inventory_robust_scan,
 # grid_grib2_match_decode, grid_grib2_match_level_decode,
-# grid_grib_match_lead_scan) + the 10 spilled r8 names + the first 29
-# (alphabetical) of the 40-name r9 cohort.  4 + 7 + 10 + 29 = exactly
-# 50.  The remaining 11 r9 names (stream_stream_interval_join,
-# stream_tumbling_hourly, text_langid, text_quality_score,
-# ts_anomaly_zscore, ts_asof_join, ts_funnel, ts_gap_fill_ffill,
-# ts_interpolate_linear, ts_range_join, ts_tumbling_hourly) spill to
-# the FRONT of round 17's queue, followed by the r10 cohort.
+# grid_grib_match_lead_scan) + the 10 spilled r8 names + the first 28
+# (alphabetical) of the 40-name r9 cohort.  5 + 7 + 10 + 28 = exactly
+# 50.  The remaining 12 r9 names (stream_static_enrich,
+# stream_stream_interval_join, stream_tumbling_hourly, text_langid,
+# text_quality_score, ts_anomaly_zscore, ts_asof_join, ts_funnel,
+# ts_gap_fill_ffill, ts_interpolate_linear, ts_range_join,
+# ts_tumbling_hourly) spill to the FRONT of round 17's queue,
+# followed by the r10 cohort.
 # The r16 SPLIT of plans/grid_q.py into six family modules moved
 # every grid query VERBATIM (registry diff empty, asserted against
 # the pre-split HEAD; full local driver-sim green at HEAD) — a pure
@@ -60,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_aerosol_scan",
     "grid_grib2_reduced_bitmap_scan",
     "grid_grib2_runlength_scan",
+    "grid_grib2_reforecast_scan",
     # --- 2. changed in round 16 ---
     "grid_grib2_aec_scan",
     "grid_grib_quarantine_scan",
@@ -108,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_windows",
     "stream_sliding_halfhour",
     "stream_stateful_user_stats",
-    "stream_static_enrich",
 )
 
 

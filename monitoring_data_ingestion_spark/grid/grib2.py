@@ -64,10 +64,13 @@ the ``wgrib`` edition-1 path:
   after the parameter number, composing the plain / ensemble /
   statistical / ensemble-statistical base forms) and 4.44-4.48 —
   aerosol (code-table-4.233 type + code-table-4.91 size interval with
-  signed-magnitude (scale, value) bounds; 4.48 adds the optical
-  wavelength interval) — both parsed by SPLICING the inserted block
-  out so the remainder decodes through the base template's exact
-  offsets.
+  signed-magnitude (scale, value) bounds; 4.48/4.49 add the optical
+  wavelength interval, 4.49 the ensemble form) — both parsed by
+  SPLICING the inserted block out so the remainder decodes through
+  the base template's exact offsets; 4.60/4.61 — individual ensemble
+  REFORECAST (4.1/4.11 plus the model-version date appended after the
+  ensemble octets, 4.61's statistical block seven octets past
+  4.11's — the GEFS v12 reforecast archive form).
 * Section 5 (Data representation): template 5.0 (simple packing with an
   IEEE 754 binary32 reference value — GRIB2 dropped GRIB1's IBM float,
   signed-magnitude binary/decimal scale factors, nbits), template 5.2
@@ -661,6 +664,13 @@ class Grib2Record:
     aerosol_wavelength_interval: int | None = None
     aerosol_first_wavelength_m: float | None = None
     aerosol_second_wavelength_m: float | None = None
+    # Templates 4.60/4.61 (individual ensemble REFORECAST — the GEFS
+    # v12 reforecast archive form): the model-version date appended
+    # after the ensemble octets, (year, month, day, hour, minute);
+    # None on every other template.  A reforecast archive mixes runs
+    # of several model versions over decades of reference times — the
+    # column is what separates them.
+    model_version: tuple[int, int, int, int, int] | None = None
     # Templates 4.31 (satellite product — observational imagery, the
     # non-deprecated successor of 4.30), 4.32 (simulated/synthetic
     # satellite imagery — the GOES-brightness-temperature products
@@ -1411,6 +1421,7 @@ def encode_grib2_message(
     radar: dict | None = None,
     chemistry: int | None = None,
     aerosol: dict | None = None,
+    model_version: tuple | None = None,
 ) -> bytes:
     """Encode a (nj, ni) grid as one GRIB2 message.
 
@@ -2351,14 +2362,27 @@ def encode_grib2_message(
                 "chemistry/aerosol does not combine with error"
             )
     if aerosol is not None and "first_wavelength" in aerosol and (
-        ensemble is not None or statistical is not None
+        statistical is not None
     ):
-        # 4.48 (aerosol + optical wavelength interval) has no
-        # ensemble/statistical sibling in the supported numbering
+        # 4.48/4.49 (aerosol + optical wavelength interval, plain /
+        # ensemble) have no statistical sibling in the 4.x numbering
         raise ValueError(
-            "aerosol wavelength interval (template 4.48) does not "
-            "combine with ensemble or statistical"
+            "aerosol wavelength interval (templates 4.48/4.49) does "
+            "not combine with statistical"
         )
+    if model_version is not None:
+        # 4.60/4.61 (individual ensemble REFORECAST — the GEFS v12
+        # reforecast archive form): 4.1/4.11 plus the model-version
+        # date appended after the ensemble octets.
+        if ensemble is None:
+            raise ValueError(
+                "model_version (reforecast templates 4.60/4.61) "
+                "requires ensemble"
+            )
+        if chemistry is not None or aerosol is not None:
+            raise ValueError(
+                "model_version does not combine with chemistry/aerosol"
+            )
     # ``forecast`` (keys: ``unit`` code table 4.4, ``value``) sets the
     # lead-time octets shared by the whole 4.0 family; default is an
     # analysis field (hour unit, lead 0).  Only units the decoder can
@@ -2395,6 +2419,23 @@ def encode_grib2_message(
                 _pdt_octet(ensemble["size"], "ensemble size"),
             ]
         )
+        if model_version is not None:
+            # 4.60/4.61: the model-version date (YYYY-MM-DD hh:mm:ss)
+            # appended AFTER the ensemble octets, before the 4.61
+            # statistical block — the reforecast form GEFS v12
+            # archives ship.
+            tmpl4 = 61 if statistical is not None else 60
+            my, mmo, md, mh, mmi, msec = (int(x) for x in model_version)
+            if not (
+                1 <= mmo <= 12 and 1 <= md <= 31 and mh < 24
+                and mmi < 60 and msec < 60
+            ):
+                raise ValueError(
+                    f"model version date {model_version} out of range"
+                )
+            pdt_extra += struct.pack(">H", my) + bytes(
+                [mmo, md, mh, mmi, msec]
+            )
     elif derived is not None:
         tmpl4 = 12 if statistical is not None else 2
         pdt_extra += bytes(
@@ -2554,7 +2595,10 @@ def encode_grib2_message(
                 + _scaled_pair(aerosol.get("first_wavelength"))
                 + _scaled_pair(aerosol.get("second_wavelength"))
             )
-            tmpl4 = 48
+            # 4.48 plain / 4.49 individual ensemble member (the CAMS
+            # AOD-ensemble form); the statistical combination was
+            # rejected above
+            tmpl4 = {0: 48, 1: 49}[tmpl4]
         else:
             tmpl4 = {0: 44, 1: 45, 8: 46, 11: 47}[tmpl4]
     if satellite is not None:
@@ -3580,8 +3624,8 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     aerosol_first_size_m = aerosol_second_size_m = None
     aerosol_wavelength_interval = None
     aerosol_first_wavelength_m = aerosol_second_wavelength_m = None
-    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48):
-        # Chemistry (4.40-4.43) and aerosol (4.44-4.48) families — the
+    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48, 49):
+        # Chemistry (4.40-4.43) and aerosol (4.44-4.49) families — the
         # CAMS / NCEP-dust product templates wgrib2 scans through the
         # same -match path the reference shells out to
         # (/root/reference/src/file-conversions.js:76-112).  Each is
@@ -3593,7 +3637,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         # template's exact offsets — threading +2/+13/+24 shifts
         # through every downstream branch is the layout-shear hazard
         # class that kept 4.30 a boundary for fourteen rounds.
-        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 == 48 else 13)
+        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
         if len(s4) < 13 + ins:
             raise ValueError(
                 f"truncated product definition template 4.{tmpl4}"
@@ -3606,7 +3650,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
             aerosol_size_interval = s4[13] if s4[13] != 0xFF else None
             aerosol_first_size_m = _scaled_limit(s4, 14)
             aerosol_second_size_m = _scaled_limit(s4, 19)
-            if tmpl4 == 48:
+            if tmpl4 in (48, 49):
                 aerosol_wavelength_interval = (
                     s4[24] if s4[24] != 0xFF else None
                 )
@@ -3615,11 +3659,11 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         s4 = s4[:11] + s4[11 + ins :]
         tmpl4 = {
             40: 0, 41: 1, 42: 8, 43: 11,
-            44: 0, 45: 1, 46: 8, 47: 11, 48: 0,
+            44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
         }[tmpl4]
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-        20, 30, 31, 32, 33, 34,
+        20, 30, 31, 32, 33, 34, 60, 61,
     ):
         # only templates sharing 4.0's leading layout (category/number at
         # octets 10-11, fixed surfaces at 23-34 — 4.1 ensemble member,
@@ -3763,15 +3807,34 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     percentile_value = None
     spatial_statistical_process = spatial_process_type = None
     spatial_points = None
-    if tmpl4 in (1, 11):
+    model_version = None
+    if tmpl4 in (1, 11, 60, 61):
         # 4.1 (individual ensemble member) appends octets 35-37: type
         # of ensemble forecast (code table 4.6), perturbation number,
         # ensemble size; 4.11 continues with the 4.8 statistical block.
+        # 4.60/4.61 (individual ensemble REFORECAST — GEFS v12's
+        # reforecast archive form) append the MODEL VERSION DATE
+        # (octets 38-44) after the ensemble octets; 4.61 continues
+        # with the statistical block from octet 45.
         if len(s4) < 37:
             raise ValueError(f"truncated product definition template 4.{tmpl4}")
         ensemble_type = s4[34] if s4[34] != 0xFF else None
         ensemble_member = s4[35] if s4[35] != 0xFF else None
         ensemble_size = s4[36] if s4[36] != 0xFF else None
+        if tmpl4 in (60, 61):
+            if len(s4) < 44:
+                raise ValueError(
+                    f"truncated product definition template 4.{tmpl4}"
+                )
+            (mv_year,) = struct.unpack_from(">H", s4, 37)
+            model_version = (mv_year, s4[39], s4[40], s4[41], s4[42])
+            if not (
+                1 <= s4[39] <= 12 and 1 <= s4[40] <= 31
+                and s4[41] < 24 and s4[42] < 60 and s4[43] < 60
+            ):
+                raise ValueError(
+                    f"model version date {model_version} out of range"
+                )
     elif tmpl4 in (2, 12):
         # 4.2 (derived forecast from ALL ensemble members — the mean /
         # spread products ECMWF ENS and GEFS publish beside the 4.1
@@ -3876,7 +3939,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     # offset on the extended forms would decode a garbage interval end.
     # 4.13/4.14 and 4.34 are the VARIABLE-offset forms: their block
     # follows the NC-long member list / NB-long band list.
-    stat_base = {8: 34, 11: 37, 12: 36, 9: 47, 10: 35}.get(tmpl4)
+    stat_base = {8: 34, 11: 37, 12: 36, 9: 47, 10: 35, 61: 44}.get(tmpl4)
     if tmpl4 in (13, 14):
         stat_base = (57 if tmpl4 == 13 else 53) + 11 + cluster_size
     if tmpl4 == 34:
@@ -4281,6 +4344,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
         ensemble_member=ensemble_member,
         ensemble_size=ensemble_size,
         product_template=tmpl4_wire,
+        model_version=model_version,
         constituent_type=constituent_type,
         aerosol_type=aerosol_type,
         aerosol_size_interval=aerosol_size_interval,
@@ -4343,12 +4407,12 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48):
+    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48, 49):
         # chemistry/aerosol family: splice out the inserted
         # constituent/aerosol block so level + lead render through the
         # base-template offsets — the same redirect as the decode (the
         # surfaces must never disagree)
-        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 == 48 else 13)
+        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
         if len(s4) < 13 + ins:
             raise ValueError(
                 f"truncated product definition template 4.{tmpl4}"
@@ -4356,11 +4420,11 @@ def _field_inventory(s: dict[int, bytes]) -> str:
         s4 = s4[:11] + s4[11 + ins :]
         tmpl4 = {
             40: 0, 41: 1, 42: 8, 43: 11,
-            44: 0, 45: 1, 46: 8, 47: 11, 48: 0,
+            44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
         }[tmpl4]
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-        20, 30, 31, 32, 33, 34,
+        20, 30, 31, 32, 33, 34, 60, 61,
     ):
         # same gate as the decode and the landing inventory: rendering
         # a layout-divergent template through the family offsets would

@@ -1276,7 +1276,7 @@ WITH g AS (
 ),
 rec AS (
   SELECT doc_id, ni, nj, r.r AS r
-  FROM g, UNNEST(generate_series(0, 1)) AS r(r)
+  FROM g, UNNEST(generate_series(0, 2)) AS r(r)
 ),
 cells AS (
   SELECT doc_id, r, p.pos,
@@ -1288,7 +1288,7 @@ cells AS (
 )
 SELECT doc_id,
        CAST(r + 1 AS INTEGER) AS record_number,
-       CAST(CASE r WHEN 0 THEN 45 ELSE 48 END AS INTEGER)
+       CAST(CASE r WHEN 0 THEN 45 WHEN 1 THEN 48 ELSE 49 END AS INTEGER)
          AS product_template,
        CAST(CASE r WHEN 0 THEN 62000 + doc_id % 20 ELSE 62010 END
          AS INTEGER) AS aerosol_type,
@@ -1297,14 +1297,14 @@ SELECT doc_id,
          AS first_size_nm,
        CAST(ROUND((50 + doc_id % 45) / POWER(10, 7) * 1e9) AS BIGINT)
          AS second_size_nm,
-       CAST(CASE r WHEN 1 THEN 11 END AS INTEGER)
+       CAST(CASE WHEN r >= 1 THEN 11 END AS INTEGER)
          AS wavelength_interval,
-       CAST(CASE r WHEN 1
+       CAST(CASE WHEN r >= 1
          THEN ROUND((440 + doc_id % 200) / POWER(10, 9) * 1e9)
        END AS BIGINT) AS first_wavelength_nm,
-       CAST(CASE r WHEN 1 THEN 865 END AS BIGINT)
+       CAST(CASE WHEN r >= 1 THEN 865 END AS BIGINT)
          AS second_wavelength_nm,
-       CAST(CASE r WHEN 0 THEN 1 + doc_id % 40 END AS INTEGER)
+       CAST(CASE WHEN r <> 1 THEN 1 + doc_id % 40 END AS INTEGER)
          AS ensemble_member,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(v) AS BIGINT) AS vsum
@@ -1314,13 +1314,15 @@ ORDER BY doc_id, r
 """,
 )
 def grid_grib2_aerosol_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AEROSOL product templates 4.45/4.48 through the landing scan:
-    each document's archive carries an ensemble aerosol record (4.45 —
-    the code-table-4.233 aerosol type plus the code-table-4.91 size
-    interval with both signed-magnitude (scale, value) bounds, then
-    the 4.1-style ensemble octets shifted 13 deep) and an
+    """AEROSOL product templates 4.45/4.48/4.49 through the landing
+    scan: each document's archive carries an ensemble aerosol record
+    (4.45 — the code-table-4.233 aerosol type plus the code-table-4.91
+    size interval with both signed-magnitude (scale, value) bounds,
+    then the 4.1-style ensemble octets shifted 13 deep), an
     optical-depth record (4.48 — the same block plus the wavelength
-    interval, 24 inserted octets), landing the aerosol type, the
+    interval, 24 inserted octets) and an ENSEMBLE optical-depth record
+    (4.49 — the CAMS AOD-ensemble form: the 24-octet insert with the
+    ensemble octets shifted past it), landing the aerosol type, the
     decoded size bounds and the wavelength bounds as columns.
 
     Witness: the size/wavelength bounds land as exact nanometre
@@ -1328,8 +1330,8 @@ def grid_grib2_aerosol_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     value/10^scale double then the same rounding, so any
     signed-magnitude or offset slip in the 13/24-octet insert shifts a
     bound or a later field and cannot cancel), beside the
-    per-template ensemble-member presence pattern (4.45 yes, 4.48 no)
-    and exact value sums.  The 4.48 wire layout is pinned foreign by
+    per-template ensemble-member presence pattern (4.45 yes, 4.48 no,
+    4.49 yes — at the 24-octet-deep offset) and exact value sums.  The 4.48 wire layout is pinned foreign by
     tests/test_foreign_grib.py::test_foreign_aerosol_wavelength_decodes.
 
     Scale: identical landing-scan posture to the chemistry scan — one
@@ -1375,19 +1377,26 @@ def grid_grib2_aerosol_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nbits=8,
                     reference_value=30.0,
                 )
+                wl = {
+                    "type": 62010,
+                    **sizes,
+                    "wavelength_interval": 11,
+                    "first_wavelength": (9, 440 + d % 200),
+                    "second_wavelength": (9, 865),
+                }
                 m48 = encode_grib2_message(
-                    field(1),
-                    aerosol={
-                        "type": 62010,
-                        **sizes,
-                        "wavelength_interval": 11,
-                        "first_wavelength": (9, 440 + d % 200),
-                        "second_wavelength": (9, 865),
-                    },
+                    field(1), aerosol=wl, nbits=8, reference_value=30.0
+                )
+                m49 = encode_grib2_message(
+                    field(2),
+                    aerosol=wl,
+                    ensemble={"type": 3, "member": 1 + d % 40, "size": 40},
                     nbits=8,
                     reference_value=30.0,
                 )
-                rows.append({"path": f"doc://{d}", "content": m45 + m48})
+                rows.append(
+                    {"path": f"doc://{d}", "content": m45 + m48 + m49}
+                )
             yield pd.DataFrame(rows)
 
     files = ids.mapInPandas(synth, schema="path string, content binary")
@@ -1717,3 +1726,135 @@ def grid_grib2_runlength_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "grid_grib2_reforecast_scan",
+    tags=("grid", "codec", "python", "ingest"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS ni, 3 + doc_id % 2 AS nj
+  FROM documents WHERE doc_id % 79 = 15 AND doc_id < 1580
+),
+rec AS (
+  SELECT doc_id, ni, nj, r.r AS r
+  FROM g, UNNEST(generate_series(0, 1)) AS r(r)
+),
+cells AS (
+  SELECT doc_id, r, p.pos,
+         20 + ((doc_id * 7 + r * 13 + p.pos * 3) % 60) AS v
+  FROM rec,
+       LATERAL (
+         SELECT unnest(generate_series(0, ni * nj - 1)) AS pos
+       ) p
+)
+SELECT doc_id,
+       CAST(r + 1 AS INTEGER) AS record_number,
+       CAST(60 + r AS INTEGER) AS product_template,
+       CAST(1 + doc_id % 10 AS INTEGER) AS ensemble_member,
+       CAST(11 AS INTEGER) AS ensemble_size,
+       make_timestamp(
+         2011 + doc_id % 10, 1 + doc_id % 12, 1 + doc_id % 28,
+         doc_id % 24, 0, 0
+       ) AS model_version,
+       CAST(CASE r WHEN 1 THEN 1 END AS INTEGER) AS statistical_process,
+       CASE r WHEN 1
+         THEN make_timestamp(2020, 1 + doc_id % 12, 4, 6, 0, 0)
+       END AS interval_end,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM cells
+GROUP BY doc_id, r
+ORDER BY doc_id, r
+""",
+)
+def grid_grib2_reforecast_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE REFORECAST products (PDTs 4.60 point-in-time / 4.61
+    statistical-interval — the GEFS v12 reforecast archive form, the
+    decades-deep hindcast datasets ML-weather training pipelines
+    consume): 4.1/4.11's layout with the MODEL VERSION DATE appended
+    after the ensemble octets, landing as a ``model_version``
+    timestamp column — the field that separates the interleaved runs
+    of different model versions a reforecast archive mixes over its
+    reference-time span.  4.61's statistical block rides SEVEN octets
+    past 4.11's (after the version date); the oracle pins the shifted
+    interval end.
+
+    Witness: per (document, record) the template number, ensemble
+    member/size, the full model-version timestamp, and — on 4.61 —
+    the statistical process and interval end, beside exact value sums;
+    a decoder reading 4.11's statistical offset on a 4.61 would decode
+    the version date as the interval head.  The wire layout is pinned
+    foreign by tests/test_foreign_grib.py::
+    test_foreign_reforecast_grib2_decodes.
+
+    Scale: the landing posture — one Arrow decode stage, statistic
+    rows shuffle; at 100 TB, ``model_version`` is a pushed column
+    predicate ("only the v12 runs") on the landed archive, not a
+    re-decode.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..grid.grib2 import encode_grib2_message
+    from ..sources.grib_source import RECORD_SCHEMA, _decode_batches
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 79 == 15) & (F.col("doc_id") < 1580))
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ni, nj = 4 + d % 3, 3 + d % 2
+                pos = np.arange(ni * nj)
+                mv = (
+                    2011 + d % 10, 1 + d % 12, 1 + d % 28, d % 24, 0, 0
+                )
+                ens = {"type": 3, "member": 1 + d % 10, "size": 11}
+                stat = {
+                    "process": 1,
+                    "interval_end": (2020, 1 + d % 12, 4, 6, 0),
+                    "range_hours": 6,
+                }
+                content = b""
+                for r, extra in enumerate(({}, {"statistical": stat})):
+                    v = (
+                        20 + ((d * 7 + r * 13 + pos * 3) % 60)
+                    ).astype(np.float64).reshape(nj, ni)
+                    content += encode_grib2_message(
+                        v,
+                        nbits=8,
+                        reference_value=20.0,
+                        ensemble=ens,
+                        model_version=mv,
+                        **extra,
+                    )
+                rows.append({"path": f"doc://{d}", "content": content})
+            yield pd.DataFrame(rows)
+
+    files = ids.mapInPandas(synth, schema="path string, content binary")
+    records = files.mapInPandas(_decode_batches, schema=RECORD_SCHEMA)
+    zero = F.lit(0).cast("bigint")
+    return records.select(
+        F.regexp_extract("path", r"doc://(\d+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "record_number",
+        "product_template",
+        "ensemble_member",
+        "ensemble_size",
+        "model_version",
+        "statistical_process",
+        "interval_end",
+        F.size("values").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            "values", zero, lambda a, x: a + x.cast("bigint")
+        ).alias("vsum"),
+    ).orderBy("doc_id", "record_number")

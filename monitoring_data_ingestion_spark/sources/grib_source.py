@@ -76,6 +76,7 @@ RECORD_SCHEMA = (
     "aerosol_second_size_m double, aerosol_wavelength_interval int, "
     "aerosol_first_wavelength_m double, "
     "aerosol_second_wavelength_m double, "
+    "model_version timestamp, "
     "ni int, nj int, lat_first_mdeg int, lon_first_mdeg int, "
     "dlat_mdeg int, dlon_mdeg int, latitudes_udeg array<bigint>, "
     "cell_lats_deg array<double>, cell_lons_deg array<double>, "
@@ -101,7 +102,7 @@ _RECORD_COLUMNS = [
     "aerosol_size_interval", "aerosol_first_size_m",
     "aerosol_second_size_m", "aerosol_wavelength_interval",
     "aerosol_first_wavelength_m", "aerosol_second_wavelength_m",
-    "ni", "nj",
+    "model_version", "ni", "nj",
     "lat_first_mdeg", "lon_first_mdeg", "dlat_mdeg", "dlon_mdeg",
     "latitudes_udeg", "cell_lats_deg", "cell_lons_deg", "values", "error",
 ]
@@ -271,12 +272,12 @@ def _grib2_field_header(s: dict) -> dict:
         # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48):
+    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48, 49):
         # chemistry/aerosol family: splice out the inserted
         # constituent/aerosol block so level + lead read through the
         # base-template offsets — the same redirect decode_grib2 and
         # _field_inventory apply (the surfaces must never disagree)
-        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 == 48 else 13)
+        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
         if len(s4) < 13 + ins:
             raise ValueError(
                 f"truncated product definition template 4.{tmpl4}"
@@ -284,11 +285,11 @@ def _grib2_field_header(s: dict) -> dict:
         s4 = s4[:11] + s4[11 + ins :]
         tmpl4 = {
             40: 0, 41: 1, 42: 8, 43: 11,
-            44: 0, 45: 1, 46: 8, 47: 11, 48: 0,
+            44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
         }[tmpl4]
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-        20, 30, 31, 32, 33, 34,
+        20, 30, 31, 32, 33, 34, 60, 61,
     ):
         raise ValueError(f"unsupported product definition template {tmpl4}")
     if tmpl3 == 50:
@@ -550,6 +551,7 @@ def _decode_record_row(
     chem_constituent = aero_type = aero_size_interval = None
     aero_size1 = aero_size2 = None
     aero_wl_interval = aero_wl1 = aero_wl2 = None
+    model_version = None
     cell_lats = cell_lons = None
     if edition == 1:
         rec = decode_grib1(msg, predefined_bitmaps=predefined_bitmaps)
@@ -762,6 +764,14 @@ def _decode_record_row(
         aero_wl_interval = rec.aerosol_wavelength_interval
         aero_wl1 = rec.aerosol_first_wavelength_m
         aero_wl2 = rec.aerosol_second_wavelength_m
+        # Templates 4.60/4.61 (ensemble reforecast): the model-version
+        # date — what separates the runs of different model versions a
+        # decades-deep reforecast archive interleaves.
+        if rec.model_version is not None:
+            vy, vmo, vd, vh, vmi = rec.model_version
+            model_version = pd.Timestamp(
+                year=vy, month=vmo, day=vd, hour=vh, minute=vmi
+            )
         # 4.8-family: how many time-range specifications
         # the statistical section nests — count > 1 marks
         # a compound statistic ("average of daily maxima")
@@ -906,6 +916,7 @@ def _decode_record_row(
             "aerosol_wavelength_interval": aero_wl_interval,
             "aerosol_first_wavelength_m": aero_wl1,
             "aerosol_second_wavelength_m": aero_wl2,
+            "model_version": model_version,
             "ni": ni_out,
             "nj": nj_out,
             "lat_first_mdeg": lat0,

@@ -1739,3 +1739,46 @@ def test_foreign_runlength_grib2_decodes_to_pinned_values():
     expected = np.array([[0.5, 0.5, 0.5], [0.5, 0.5, np.nan]])
     np.testing.assert_array_equal(np.isnan(rec.values), np.isnan(expected))
     np.testing.assert_allclose(rec.values[:, :2], 0.5, rtol=0, atol=0)
+
+
+def test_foreign_reforecast_grib2_decodes():
+    """FOREIGN-BYTES witness for template 4.61 (ensemble reforecast +
+    statistical interval): the model-version date rides at octets
+    38-44, pushing the statistical block seven octets past 4.11's —
+    a decoder using 4.11's offset would read the version date as the
+    interval head."""
+    from monitoring_data_ingestion_spark.grid.grib2 import decode_grib2
+
+    sec4 = (
+        struct.pack(">IB", 68, 4)
+        + struct.pack(">H", 0)        # NV
+        + struct.pack(">H", 61)       # template 4.61
+        + bytes([0, 0])               # category, number
+        + bytes([2, 0, 0])            # gen process type, ids
+        + struct.pack(">H", 0) + bytes([0])  # cutoff
+        + bytes([1]) + struct.pack(">I", 24)  # +24 h
+        + bytes([103, 0]) + struct.pack(">I", 2)   # 2 m above ground
+        + bytes([255, 255]) + b"\xff\xff\xff\xff"  # surface 2 missing
+        + bytes([3, 4, 11])           # ensemble: type 3, member 4 / 11
+        + struct.pack(">H", 2017) + bytes([3, 15, 6, 30, 0])  # model ver
+        # statistical block: end 2023-07-16 12:00, 1 spec, process 0
+        + struct.pack(">H", 2023) + bytes([7, 16, 12, 0, 0])
+        + bytes([1]) + struct.pack(">I", 0)
+        + bytes([0, 2, 1]) + struct.pack(">I", 24)
+        + bytes([1]) + struct.pack(">I", 0)
+    )
+    assert len(sec4) == 68
+    rec = decode_grib2(_foreign_with_sec4(sec4))
+    assert rec.product_template == 61
+    assert rec.ensemble_type == 3
+    assert rec.ensemble_member == 4 and rec.ensemble_size == 11
+    assert rec.model_version == (2017, 3, 15, 6, 30)
+    assert rec.statistical_process == 0
+    assert rec.interval_end == (2023, 7, 16, 12, 0)
+    assert rec.level_type == 103 and rec.level_value == 2
+    assert rec.forecast_hours == 24
+    np.testing.assert_allclose(
+        rec.values,
+        [[0.325, 0.375, 25.925], [50.325, 0.475, 51.475]],
+        rtol=0, atol=1e-12,
+    )

@@ -4021,11 +4021,17 @@ def test_chemistry_aerosol_guards_and_inventory():
         encode_grib2_message(v, chemistry=1, aerosol=aero)
     with pytest.raises(ValueError, match="does not combine with"):
         encode_grib2_message(v, chemistry=1, derived={"type": 0, "size": 3})
-    with pytest.raises(ValueError, match="does not combine with"):
+    with pytest.raises(ValueError, match="not combine with statistical"):
+        # wavelength + ensemble is legal since r16 (template 4.49);
+        # the statistical combination has no template number
         encode_grib2_message(
             v,
             aerosol={**aero, "first_wavelength": (9, 550)},
-            ensemble={"type": 3, "member": 1, "size": 5},
+            statistical={
+                "process": 1,
+                "interval_end": (2020, 2, 1, 0, 0),
+                "range_hours": 24,
+            },
         )
     with pytest.raises(ValueError, match="out of range 0-65534"):
         encode_grib2_message(v, chemistry=65535)
@@ -4169,3 +4175,75 @@ def test_runlength_packing_guards():
     msg[d7 + 5] = 0x1B  # 0001 1011: level 1, digit code 11 (adds 6)
     with pytest.raises(ValueError, match="crosses the end"):
         decode_grib2(bytes(msg))
+
+
+def test_reforecast_and_aerosol_ensemble_roundtrips():
+    """PDTs 4.60/4.61 (ensemble reforecast: model-version date appended
+    after the ensemble octets, 4.61's statistical block seven octets
+    past 4.11's) and 4.49 (ensemble aerosol optical properties: the
+    24-octet wavelength insert with the ensemble octets past it)."""
+    v = np.arange(12, dtype=np.float64).reshape(3, 4)
+    ens = {"type": 3, "member": 5, "size": 11}
+    mv = (2019, 5, 27, 12, 0, 0)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, nbits=8, reference_value=0.0, ensemble=ens, model_version=mv
+        )
+    )
+    assert rec.product_template == 60
+    assert rec.ensemble_member == 5 and rec.ensemble_size == 11
+    assert rec.model_version == (2019, 5, 27, 12, 0)
+    assert np.array_equal(rec.values, v)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, nbits=8, reference_value=0.0, ensemble=ens, model_version=mv,
+            statistical={
+                "process": 1,
+                "interval_end": (2020, 2, 1, 0, 0),
+                "range_hours": 24,
+            },
+        )
+    )
+    assert rec.product_template == 61
+    assert rec.model_version == (2019, 5, 27, 12, 0)
+    assert rec.statistical_process == 1
+    assert rec.interval_end == (2020, 2, 1, 0, 0)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, nbits=8, reference_value=0.0, ensemble=ens,
+            aerosol={
+                "type": 62010, "size_interval": 2,
+                "first_size": (8, 25), "second_size": None,
+                "wavelength_interval": 11,
+                "first_wavelength": (9, 550), "second_wavelength": (9, 865),
+            },
+        )
+    )
+    assert rec.product_template == 49
+    assert rec.aerosol_first_wavelength_m == 5.5e-07
+    assert rec.ensemble_member == 5
+    assert rec.model_version is None
+    # guards
+    with pytest.raises(ValueError, match="requires ensemble"):
+        encode_grib2_message(v, model_version=mv)
+    with pytest.raises(ValueError, match="does not combine with chemistry"):
+        encode_grib2_message(
+            v, ensemble=ens, model_version=mv, chemistry=8
+        )
+    with pytest.raises(ValueError, match="not combine with statistical"):
+        encode_grib2_message(
+            v, ensemble=ens,
+            aerosol={
+                "type": 0, "first_size": None, "second_size": None,
+                "first_wavelength": (9, 550), "second_wavelength": None,
+            },
+            statistical={
+                "process": 1,
+                "interval_end": (2020, 2, 1, 0, 0),
+                "range_hours": 24,
+            },
+        )
+    with pytest.raises(ValueError, match="model version date"):
+        encode_grib2_message(
+            v, ensemble=ens, model_version=(2019, 13, 1, 0, 0, 0)
+        )

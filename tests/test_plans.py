@@ -156,6 +156,7 @@ def test_no_python_in_relational_paths(spark):
         "grid_grib1_reduced_bitmap_scan",
         "grid_grib2_reduced_bitmap_scan",
         "grid_grib2_runlength_scan",
+        "grid_grib2_reforecast_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
@@ -1418,6 +1419,7 @@ def test_grib_flagship_publishes_partitioned_parquet(spark):
         "grid_grib1_reduced_bitmap_scan",
         "grid_grib2_reduced_bitmap_scan",
         "grid_grib2_runlength_scan",
+        "grid_grib2_reforecast_scan",
         "grid_grib1_reduced_latlon_scan",
         "grid_grib1_reduced_scan",
         "grid_grib1_second_order_scan",
