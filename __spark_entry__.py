@@ -74,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_grib2_match_level_decode",
     "grid_grib_match_lead_scan",
     # --- 3. oldest cohorts: the 10 spilled r8 names, then the first
-    #     29 (alphabetical) of the 40-name r9 cohort ---
+    #     28 (alphabetical) of the 40-name r9 cohort ---
     "set_except",
     "set_intersect",
     "set_union_all",

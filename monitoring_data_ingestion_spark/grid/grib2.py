@@ -1106,6 +1106,14 @@ def _rle_pack(levels: np.ndarray, nbits: int, mv: int) -> np.ndarray:
         run = 1
         while i + run < n and levels[i + run] == lv:
             run += 1
+        if lngu < 2:
+            # MV fills the code space to within one value: the lone
+            # digit code (if any) carries base-1 positional weight 0,
+            # so runs are unencodable — emit the level per occurrence
+            # (decodes identically; base-1 "digits" would loop forever)
+            out.extend([lv] * run)
+            i += run
+            continue
         out.append(lv)
         rem = run - 1
         while rem > 0:
@@ -1137,22 +1145,23 @@ def _rle_unpack(
     levels = codes[lp]
     bounds = np.append(lp, len(codes))
     runs = np.ones(len(lp), dtype=np.int64)
-    for k in range(len(lp)):
-        seg = codes[bounds[k] + 1 : bounds[k + 1]]
-        if seg.size:
-            if lngu >= 2 and seg.size > 63:
-                # 2^63 cells outruns any grid — a longer digit chain
-                # is corrupt, and letting it through would overflow
-                # the int64 base powers into garbage run lengths
-                raise ValueError(
-                    "run-length digit chain exceeds any decodable run"
-                )
-            runs[k] += int(
-                (
-                    (seg - mv - 1)
-                    * lngu ** np.arange(seg.size, dtype=np.int64)
-                ).sum()
+    didx = np.flatnonzero(~is_level)
+    if didx.size:
+        # vectorized digit accumulation: each digit belongs to the
+        # nearest preceding level, its significance is its distance
+        # past that level (LSB first) — no per-run Python loop (a
+        # 1-km national composite carries ~10^6 codes)
+        grp = np.searchsorted(lp, didx) - 1
+        within = didx - lp[grp] - 1
+        if lngu >= 2 and int(within.max()) * math.log2(lngu) > 62:
+            # lngu^significance past 2^62 outruns any grid — a longer
+            # digit chain is corrupt, and letting it through would
+            # overflow the int64 base powers into garbage run lengths
+            raise ValueError(
+                "run-length digit chain exceeds any decodable run"
             )
+        contrib = (codes[didx] - mv - 1) * lngu ** within
+        np.add.at(runs, grp, contrib)
     cum = np.cumsum(runs)
     if cum[-1] < total:
         raise ValueError(
@@ -2361,8 +2370,8 @@ def encode_grib2_message(
             raise ValueError(
                 "chemistry/aerosol does not combine with error"
             )
-    if aerosol is not None and "first_wavelength" in aerosol and (
-        statistical is not None
+    if aerosol is not None and statistical is not None and (
+        "first_wavelength" in aerosol or "second_wavelength" in aerosol
     ):
         # 4.48/4.49 (aerosol + optical wavelength interval, plain /
         # ensemble) have no statistical sibling in the 4.x numbering
@@ -3046,6 +3055,39 @@ def surface_level_text(value: int | None, scale: int | None) -> str:
     return sign + text
 
 
+# Chemistry (4.40-4.43) / aerosol (4.44-4.49) base-template remap: each
+# wire template is its 4.0-family base with a constituent / aerosol
+# block INSERTED between the parameter number and the generating-
+# process octet.
+_CHEM_AEROSOL_BASE = {
+    40: 0, 41: 1, 42: 8, 43: 11,
+    44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
+}
+
+
+def _chem_insert_len(tmpl4: int) -> int:
+    """Octet length of the 4.40-4.49 inserted block: 2 (constituent),
+    13 (aerosol type + size interval) or 24 (+ wavelength interval)."""
+    return 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
+
+
+def _splice_chem_aerosol(s4: bytes, tmpl4: int) -> "tuple[bytes, int]":
+    """Splice the 4.40-4.49 insert OUT of section 4 so the remainder
+    decodes through the base template's exact offsets — ONE helper
+    shared by the full decode, the codec-level inventory and the
+    landing inventory (like parse_fixed_surface), so the surfaces can
+    never disagree on the family's layout.  Threading +2/+13/+24
+    shifts through every downstream branch is the layout-shear hazard
+    class that kept 4.30 a boundary for fourteen rounds."""
+    ins = _chem_insert_len(tmpl4)
+    if len(s4) < 13 + ins:
+        raise ValueError(
+            f"truncated product definition template 4.{tmpl4}"
+        )
+    return s4[:11] + s4[11 + ins:], _CHEM_AEROSOL_BASE[tmpl4]
+
+
+
 def parse_second_surface(s4: bytes) -> tuple[int | None, int | None, int | None]:
     """Template 4.0 SECOND fixed surface (octets 29-34) — the bottom of
     a LAYER product (0-10 cm soil moisture, a cloud-base-to-top layer,
@@ -3624,21 +3666,15 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
     aerosol_first_size_m = aerosol_second_size_m = None
     aerosol_wavelength_interval = None
     aerosol_first_wavelength_m = aerosol_second_wavelength_m = None
-    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48, 49):
+    if tmpl4 in _CHEM_AEROSOL_BASE:
         # Chemistry (4.40-4.43) and aerosol (4.44-4.49) families — the
         # CAMS / NCEP-dust product templates wgrib2 scans through the
         # same -match path the reference shells out to
-        # (/root/reference/src/file-conversions.js:76-112).  Each is
-        # its 4.0-family base template (40/44/48 → 4.0, 41/45 → 4.1,
-        # 42/46 → 4.8, 43/47 → 4.11) with a constituent / aerosol
-        # block INSERTED between the parameter number and the
-        # generating-process octet.  The block is parsed here and
-        # spliced OUT so the remainder decodes through the base
-        # template's exact offsets — threading +2/+13/+24 shifts
-        # through every downstream branch is the layout-shear hazard
-        # class that kept 4.30 a boundary for fourteen rounds.
-        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
-        if len(s4) < 13 + ins:
+        # (/root/reference/src/file-conversions.js:76-112).  The
+        # inserted block is parsed here, then _splice_chem_aerosol
+        # (shared with both inventory surfaces) cuts it out so the
+        # remainder decodes through the base template's exact offsets.
+        if len(s4) < 13 + _chem_insert_len(tmpl4):
             raise ValueError(
                 f"truncated product definition template 4.{tmpl4}"
             )
@@ -3656,11 +3692,7 @@ def _decode_field(s: dict[int, bytes]) -> Grib2Record:
                 )
                 aerosol_first_wavelength_m = _scaled_limit(s4, 25)
                 aerosol_second_wavelength_m = _scaled_limit(s4, 30)
-        s4 = s4[:11] + s4[11 + ins :]
-        tmpl4 = {
-            40: 0, 41: 1, 42: 8, 43: 11,
-            44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
-        }[tmpl4]
+        s4, tmpl4 = _splice_chem_aerosol(s4, tmpl4)
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         20, 30, 31, 32, 33, 34, 60, 61,
@@ -4407,21 +4439,10 @@ def _field_inventory(s: dict[int, bytes]) -> str:
     s1, s4 = s[1], s[4]
     (year,) = struct.unpack_from(">H", s1, 12)
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48, 49):
-        # chemistry/aerosol family: splice out the inserted
-        # constituent/aerosol block so level + lead render through the
-        # base-template offsets — the same redirect as the decode (the
-        # surfaces must never disagree)
-        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
-        if len(s4) < 13 + ins:
-            raise ValueError(
-                f"truncated product definition template 4.{tmpl4}"
-            )
-        s4 = s4[:11] + s4[11 + ins :]
-        tmpl4 = {
-            40: 0, 41: 1, 42: 8, 43: 11,
-            44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
-        }[tmpl4]
+    if tmpl4 in _CHEM_AEROSOL_BASE:
+        # chemistry/aerosol family: the SHARED splice redirects level +
+        # lead rendering through the base-template offsets
+        s4, tmpl4 = _splice_chem_aerosol(s4, tmpl4)
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         20, 30, 31, 32, 33, 34, 60, 61,

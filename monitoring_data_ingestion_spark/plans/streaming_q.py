@@ -1130,7 +1130,7 @@ def _spectral_stream_ref() -> str:
     normalization on numpy.leggauss quadrature roots, explicit
     triple-loop synthesis — the oracle-side second implementation of
     the engine's Newton/Bonnet latitudes + recurrence Legendre +
-    vectorized synthesis (see plans/grid_q._synth_ref)."""
+    vectorized synthesis (see plans/grid_spectral_q._synth_ref)."""
     import math
 
     import numpy as np

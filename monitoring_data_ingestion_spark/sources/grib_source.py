@@ -272,21 +272,13 @@ def _grib2_field_header(s: dict) -> dict:
         # grid dimensions.
         raise ValueError(f"unsupported grid definition template {tmpl3}")
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    if tmpl4 in (40, 41, 42, 43, 44, 45, 46, 47, 48, 49):
-        # chemistry/aerosol family: splice out the inserted
-        # constituent/aerosol block so level + lead read through the
-        # base-template offsets — the same redirect decode_grib2 and
-        # _field_inventory apply (the surfaces must never disagree)
-        ins = 2 if tmpl4 <= 43 else (24 if tmpl4 in (48, 49) else 13)
-        if len(s4) < 13 + ins:
-            raise ValueError(
-                f"truncated product definition template 4.{tmpl4}"
-            )
-        s4 = s4[:11] + s4[11 + ins :]
-        tmpl4 = {
-            40: 0, 41: 1, 42: 8, 43: 11,
-            44: 0, 45: 1, 46: 8, 47: 11, 48: 0, 49: 1,
-        }[tmpl4]
+    from ..grid.grib2 import _CHEM_AEROSOL_BASE, _splice_chem_aerosol
+
+    if tmpl4 in _CHEM_AEROSOL_BASE:
+        # chemistry/aerosol family: the SHARED splice (grid.grib2) —
+        # one definition, so this surface can never disagree with the
+        # full decode or the codec-level inventory
+        s4, tmpl4 = _splice_chem_aerosol(s4, tmpl4)
     if tmpl4 not in (
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         20, 30, 31, 32, 33, 34, 60, 61,
