@@ -97,26 +97,67 @@ def _id_len(nbits: int) -> int:
 
 
 class _BitWriter:
+    """MSB-first bit emitter accumulating numpy CHUNKS (one small array
+    per field or per vectorized batch) — a per-bit Python list made
+    encoding an operational-size field interpreter-bound; packbits over
+    the concatenation stays O(bits) with constant-factor numpy work."""
+
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self.chunks: list[np.ndarray] = []
+        self.nbits = 0
 
     def write(self, value: int, width: int) -> None:
         if width:
-            self.bits.extend(
-                (value >> (width - 1 - i)) & 1 for i in range(width)
+            self.chunks.append(
+                (
+                    (value >> np.arange(width - 1, -1, -1)) & 1
+                ).astype(np.uint8)
             )
+            self.nbits += width
+
+    def write_many(self, values, width: int) -> None:
+        """Consecutive fixed-width fields, one vectorized chunk."""
+        if width == 0:
+            return
+        vals = np.asarray(values, dtype=np.int64)
+        if not len(vals):
+            return
+        bits = (
+            (vals[:, None] >> np.arange(width - 1, -1, -1)[None, :]) & 1
+        ).astype(np.uint8).reshape(-1)
+        self.chunks.append(bits)
+        self.nbits += bits.size
 
     def write_fs(self, value: int) -> None:
-        self.bits.extend([0] * value)
-        self.bits.append(1)
+        a = np.zeros(value + 1, dtype=np.uint8)
+        a[-1] = 1
+        self.chunks.append(a)
+        self.nbits += value + 1
+
+    def write_fs_many(self, values) -> None:
+        """Consecutive FS codewords, one vectorized chunk (ones at the
+        cumulative-offset positions, zeros elsewhere)."""
+        vals = np.asarray(values, dtype=np.int64)
+        if not len(vals):
+            return
+        total = int(vals.sum()) + len(vals)
+        a = np.zeros(total, dtype=np.uint8)
+        a[np.cumsum(vals + 1) - 1] = 1
+        self.chunks.append(a)
+        self.nbits += total
 
     def align(self) -> None:
-        self.bits.extend([0] * ((-len(self.bits)) % 8))
+        pad = (-self.nbits) % 8
+        if pad:
+            self.chunks.append(np.zeros(pad, dtype=np.uint8))
+            self.nbits += pad
 
     def tobytes(self) -> bytes:
-        pad = (-len(self.bits)) % 8
-        arr = np.array(self.bits + [0] * pad, dtype=np.uint8)
-        return np.packbits(arr).tobytes()
+        pad = (-self.nbits) % 8
+        tail = [np.zeros(pad, dtype=np.uint8)] if pad else []
+        if not self.chunks and not tail:
+            return b""
+        return np.packbits(np.concatenate(self.chunks + tail)).tobytes()
 
 
 class _BitReader:
@@ -352,13 +393,19 @@ def aec_encode(
             continue
         # candidate costs: FS/split-k vs second extension vs
         # uncompressed (all pay id_len; SE and zero-block pay the one
-        # extra extension-select bit)
+        # extra extension-select bit) — all split costs in one
+        # vectorized sweep
+        ks = np.arange(min(k_max, nbits - 1) + 1)
+        ref_bits = nbits if is_ref else 0
+        split_costs = (
+            (data[None, :] >> ks[:, None]).sum(axis=1)
+            + (ks + 1) * len(data)
+            + ref_bits
+        )
         best_k, best_cost = None, j * nbits  # uncompressed cost
-        for k in range(0, min(k_max, nbits - 1) + 1):
-            fs_bits = int((data >> k).sum()) + len(data)
-            cost = fs_bits + k * len(data) + (nbits if is_ref else 0)
-            if cost < best_cost:
-                best_k, best_cost = k, cost
+        kbest = int(np.argmin(split_costs))
+        if int(split_costs[kbest]) < best_cost:
+            best_k, best_cost = kbest, int(split_costs[kbest])
         # second extension: pair the data samples; a reference block
         # pairs its J−1 remaining samples with the first gamma the
         # half-pair (0, δ1)
@@ -381,21 +428,17 @@ def aec_encode(
             w.write(1, 1)  # '1' → second extension
             if is_ref:
                 w.write(int(blk[0]), nbits)
-            for g in gammas:
-                w.write_fs(g)
+            w.write_fs_many(gammas)
         elif best_k is None:
             w.write(id_uncomp, id_len)
-            for v in blk:
-                w.write(int(v), nbits)
+            w.write_many(blk, nbits)
         else:
             w.write(best_k + 1, id_len)
             if is_ref:
                 w.write(int(blk[0]), nbits)
-            for v in data:
-                w.write_fs(int(v) >> best_k)
+            w.write_fs_many(data >> best_k)
             if best_k:
-                for v in data:
-                    w.write(int(v) & ((1 << best_k) - 1), best_k)
+                w.write_many(data & ((1 << best_k) - 1), best_k)
         bi += 1
     return w.tobytes()
 
