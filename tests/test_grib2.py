@@ -4247,3 +4247,51 @@ def test_reforecast_and_aerosol_ensemble_roundtrips():
         encode_grib2_message(
             v, ensemble=ens, model_version=(2019, 13, 1, 0, 0, 0)
         )
+
+
+def test_section2_local_use_is_tolerated_everywhere():
+    """Section 2 (local use) — every ECMWF archive carries it — must be
+    TRANSPARENT on all surfaces: single-field decode, the multi-field
+    iterator, the inventory line and match selection; its bytes are
+    producer-private (never parsed, never a decode input)."""
+    import struct
+
+    from monitoring_data_ingestion_spark.grid.grib2 import (
+        decode_grib2_fields,
+        merge_grib2_fields,
+    )
+
+    v = np.arange(6, dtype=np.float64).reshape(2, 3)
+
+    def with_sec2(msg: bytes) -> bytes:
+        pos = 16
+        while msg[pos + 4] != 3:
+            pos += int.from_bytes(msg[pos : pos + 4], "big")
+        payload = b"LOCAL-USE-BYTES\x00\x01\x02"
+        sec2 = struct.pack(">IB", 5 + len(payload), 2) + payload
+        patched = bytearray(msg[:pos] + sec2 + msg[pos:])
+        struct.pack_into(">Q", patched, 8, len(patched))
+        return bytes(patched)
+
+    msg = with_sec2(
+        encode_grib2_message(v, nbits=8, reference_value=0.0, level_type=100,
+                             level_value=500)
+    )
+    rec = decode_grib2(msg)
+    assert np.array_equal(rec.values, v)
+    assert rec.level_type == 100
+    assert "l100/500" in inventory_line(msg)
+    assert len(match_records(msg, "l100/500", limit=None)) == 1
+    merged = with_sec2(
+        merge_grib2_fields(
+            [
+                encode_grib2_message(v, nbits=8, reference_value=0.0),
+                encode_grib2_message(
+                    v + 1, nbits=8, reference_value=0.0, number=1
+                ),
+            ]
+        )
+    )
+    recs = decode_grib2_fields(merged)
+    assert len(recs) == 2
+    assert np.array_equal(recs[1].values, v + 1)
