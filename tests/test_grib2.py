@@ -4295,3 +4295,43 @@ def test_section2_local_use_is_tolerated_everywhere():
     recs = decode_grib2_fields(merged)
     assert len(recs) == 2
     assert np.array_equal(recs[1].values, v + 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nbits=st.integers(2, 8),
+    tbl_n=st.integers(1, 14),
+    nj=st.integers(1, 6),
+    ni=st.integers(1, 40),
+    miss=st.integers(0, 3),
+    runs=st.integers(1, 30),
+    seed=st.integers(0, 2**31),
+)
+def test_runlength_roundtrip_property(nbits, tbl_n, nj, ni, miss, runs, seed):
+    """Any level field round-trips through 5.200 under any legal
+    (nbits, table size) — including the degenerate digit base
+    LNGU = 1 (MV one short of the code space, the r16 review's hang)
+    and LNGU = 0 (MV fills it; no digit codes exist) reached when the
+    data uses the whole table."""
+    tbl_n = min(tbl_n, (1 << nbits) - 2)
+    rng = np.random.default_rng(seed)
+    tbl = (np.sort(rng.choice(np.arange(1, 2000), size=tbl_n, replace=False))).tolist()
+    # run-structured levels with a controllable missing share
+    lv = np.repeat(
+        rng.integers(0 if miss else 1, tbl_n + 1, size=runs),
+        rng.integers(1, 9, size=runs),
+    )[: nj * ni]
+    if lv.size < nj * ni:
+        lv = np.pad(lv, (0, nj * ni - lv.size), constant_values=int(lv[-1]))
+    v = np.where(
+        lv == 0, np.nan, np.array([np.nan] + tbl)[lv] / 10.0
+    ).reshape(nj, ni)
+    rec = decode_grib2(
+        encode_grib2_message(
+            v, packing="runlength", rle_table=tbl, nbits=nbits,
+            decimal_scale=1,
+        )
+    )
+    assert np.array_equal(np.isnan(rec.values), np.isnan(v))
+    m = ~np.isnan(v)
+    np.testing.assert_allclose(rec.values[m], v[m], rtol=0, atol=1e-12)
