@@ -606,8 +606,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come only from shared LSH buckets — no all-pairs product — so
     the plan survives a 1000-executor scale-up: signatures stream through
     the scan stage, and shuffle volume is O(docs × bands + candidate pairs).
+
+    r16 (guide §2.3 / §8): the verify used to rebuild the shingle arrays
+    for the WHOLE corpus twice — two extra full tokenize+shingle passes
+    (each a 10-MB-class broadcast here, a full shuffle of the ~300×
+    amplified shingle payload at scale). It now joins the candidate pairs
+    to the RAW text (doc_id, text — the lightweight proxy) and computes
+    shingles only for rows that survive the join, i.e. candidate docs,
+    per pair. Before/after plans: 2× {Scan documents → tokenize+shingle →
+    Broadcast} → 2× {Scan documents → Broadcast} with the shingle
+    expressions above the join.
     """
-    sigs, long_bands = _minhash_bands(spark, sf_dir)
+    _, long_bands = _minhash_bands(spark, sf_dir)
     a = long_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
     b = long_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
     candidates = (
@@ -615,22 +625,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_verify(sigs, candidates)
+    return _jaccard_verify_text(table(spark, sf_dir, "documents"), candidates)
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str):
-    """(sigs, long_bands) of the minhash pipeline: sigs is the uncached
-    (doc_id, shingles) frame for the verify join; long_bands is the
-    (doc_id, band_idx, sig) posting list off a cached NARROW projection.
+    """(shingled_docs, long_bands) of the minhash pipeline: long_bands is
+    the (doc_id, band_idx, sig) posting list off a cached NARROW
+    projection; the first element is the lazy shingled frame for callers
+    that need the arrays (none of the LSH queries do since r16 — the
+    verify joins raw text instead, see _jaccard_verify_text).
 
     Cache discipline for 100 TB: only (doc_id, band0..band15) is
     persisted — 16 short strings per doc — because the band self-join
     reads it twice. The shingle arrays (the ~300×-amplified payload)
-    stay OUT of the cache; the verify join re-derives them map-side,
-    which costs one extra codegen'd scan pass but never pins the
-    amplified corpus in executor memory. MEMORY_AND_DISK so an
-    under-provisioned executor spills instead of evicting+recomputing,
-    and the cache is registered for explicit release_caches() teardown.
+    stay OUT of the cache and out of every downstream join.
+    MEMORY_AND_DISK so an under-provisioned executor spills instead of
+    evicting+recomputing, and the cache is registered for explicit
+    release_caches() teardown.
     """
     base = _shingled_docs(spark, sf_dir).withColumnRenamed("sh", "shingles")
     # One MD5 per distinct shingle; the 32 signature values are cheap
@@ -674,12 +685,25 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
     return base, long_bands
 
 
-def _jaccard_verify(sigs: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification on the per-doc shingle arrays (strings,
-    not hashed keys — bit-identical to the oracle's common-shingle count)."""
-    sha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    shb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    paired = candidates.join(sha, "doc_a").join(shb, "doc_b")
+def _jaccard_verify_text(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification joining candidate pairs to RAW text and
+    shingling only the joined rows (r16, guide §2.3: decide placement with
+    the lightweight proxy — doc ids — and tokenize the heavy payload once,
+    after the join has dropped every non-candidate row).
+
+    Same arithmetic as the oracle's verify tail (distinct 3-gram shingle
+    arrays, array_intersect count); the shingle expressions sit ABOVE the
+    joins, so no optimizer rule can copy them below (the pushed predicates
+    are pure doc_id equalities). A doc appearing in k pairs is shingled k
+    times — bounded by the candidate-pair count, which LSH banding already
+    caps; the corpus-sized tokenization no longer runs at all here.
+    """
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    paired = candidates.join(ta, "doc_a").join(tb, "doc_b")
+    sh_a = F.array_distinct(_shingles(_tokens(F.col("text_a"))))
+    sh_b = F.array_distinct(_shingles(_tokens(F.col("text_b"))))
+    paired = paired.select("doc_a", "doc_b", sh_a.alias("sh_a"), sh_b.alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
@@ -776,7 +800,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join shuffles on — co-partitioned, no extra exchange
     pattern at scale.
     """
-    sigs, long_bands = _minhash_bands(spark, sf_dir)
+    _, long_bands = _minhash_bands(spark, sf_dir)
     sizes = long_bands.groupBy("band_idx", "sig").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
@@ -791,8 +815,12 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_verify(sigs, candidates).select("doc_a", "doc_b").orderBy(
-        "doc_a", "doc_b"
+    # r16: raw-text verify (shingle only the joined candidate rows — see
+    # dedup_minhash_lsh).
+    return (
+        _jaccard_verify_text(table(spark, sf_dir, "documents"), candidates)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -977,14 +1005,17 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition via the rank window is the scale path; an IVF variant lives
     in operators/similarity.py).
 
-    No explicit repartition on the corpus: the query side is broadcast, so
-    scoring is map-side over the scan's native partitioning — an explicit
-    ``repartition(n, "vec_id")`` would be a corpus-wide shuffle that buys
-    nothing (determinism already comes from the 6-dp round + tiebreaker).
+    Scoring is map-side over the corpus scan's partitioning (the query
+    side is broadcast). r16: the scan is widened by the guarded
+    _widen_if_narrow — the fixture's single parquet split would otherwise
+    cap the 20×-amplifying dot-product stage at ONE task (profiled: the
+    whole scoring pass serialized on one core); on a production-sized
+    corpus whose splits already saturate the executors the guard keeps
+    the repartition out of the plan.
     """
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    v = _widen_if_narrow(
+        spark, table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     dot_self = F.aggregate(
         F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
         F.lit(0.0),
@@ -1175,7 +1206,9 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.count_distinct("lang").alias("n_langs"),
         )
-        .orderBy("split")
+        # 3-row output at any scale: single-partition sort, no range exchange.
+        .coalesce(1)
+        .sortWithinPartitions("split")
     )
 
 

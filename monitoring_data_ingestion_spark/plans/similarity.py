@@ -54,7 +54,14 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = table(spark, sf_dir, "embeddings").select(
+    # r16: guarded widen (see analytics._widen_if_narrow) — the knn
+    # family's corpus passes (k×-amplifying centroid cross joins, dot
+    # products) inherit the scan's split count, and the fixture's single
+    # parquet split serialized them on one core. On a production-sized
+    # corpus the guard leaves the scan partitioning alone.
+    from .analytics import _widen_if_narrow
+
+    v = _widen_if_narrow(spark, table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     return v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
@@ -286,8 +293,13 @@ def _ivf_candidates(v: DataFrame, centv: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
     )
+    # r16 (guide §3.1): probes is |queries|×nprobe rows — the serving
+    # batch, bounded at any corpus size — so broadcast it explicitly.
+    # The planner otherwise shuffles BOTH sides on bucket (k distinct
+    # values: a 2-exchange sort-merge join over a 10-key hash layout);
+    # with the broadcast, assignment streams map-side off its aggregate.
     return (
-        probes.join(assign, "bucket")
+        F.broadcast(probes).join(assign, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
@@ -305,13 +317,16 @@ def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
     cand = _ivf_candidates(v, centv)
     q = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm"))
     n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("nrm").alias("nnrm"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(n, "neighbor_id")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6),
-        )
+    # r16 (guide §3.1): build side flipped. cand ⋈ q is already a broadcast
+    # of the tiny query batch; for the corpus join the planner used to
+    # BROADCAST THE CORPUS (BuildRight on n) — fine at fixture size, an
+    # OOM at 100 TB. Broadcasting the (bounded) candidate×query side and
+    # streaming the corpus is the posture that scales, and locally it
+    # keeps the corpus scan map-side with no exchange.
+    cand_q = cand.join(F.broadcast(q), "query_id")
+    scored = n.join(F.broadcast(cand_q), "neighbor_id").withColumn(
+        "cosine",
+        F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

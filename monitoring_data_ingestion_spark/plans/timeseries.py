@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, dsum_expr
+from ..functions.deterministic import davg, davg_narrow, dsum, dsum_expr
 from ..sources.readers import table
 from .catalog import query
 
@@ -260,13 +260,19 @@ def era5_monthly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: normals is tiny (|series| × 12 rows) → broadcast; the fact scan
     aggregates map-side first. At 100 TB the normals table would be
     materialized once and reused across runs (T7) — see ingest/normals.
+
+    r16: the monthly mean sums through decimal(8,2) (o_totalprice < 10^6
+    — a TPC-H domain bound, total order value caps near 5.5×10^5), which
+    DecimalAggregates rewrites to long sums (same exact values as the
+    decimal(30,2) route); the bounded |series|×|months| result sorts in a
+    single partition instead of a range exchange.
     """
     o = table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.col("o_orderpriority").alias("series"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.month("o_orderdate").alias("month_of_year"),
-    ).agg(davg("o_totalprice", 2).alias("monthly_avg"))
+    ).agg(davg_narrow("o_totalprice", 2, 6).alias("monthly_avg"))
     # Scale 8 keeps int_digits+scale within double's ~15 significant
     # digits, so the decimal quantization is engine-portable.
     normals = monthly.groupBy("series", "month_of_year").agg(
@@ -281,7 +287,8 @@ def era5_monthly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normal_value",
             (F.col("monthly_avg") - F.col("normal_value")).alias("anomaly"),
         )
-        .orderBy("series", "month_start")
+        .coalesce(1)
+        .sortWithinPartitions("series", "month_start")
     )
 
 

@@ -15,7 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dmoney, dmoney_expr, dsum, dsum_expr
+from ..functions.deterministic import (
+    davg,
+    dmoney,
+    dmoney_expr,
+    dsum,
+    dsum_expr,
+    limb_sums,
+    money_from_limbs,
+    sum_from_limbs,
+)
 from ..sources.readers import table
 from .catalog import query
 
@@ -52,24 +61,54 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over a filtered fact scan. Scale: the shipdate filter is
     pushed to the parquet scan; aggregation is partial (map-side) then
     final — one shuffle of ~|groups| rows, independent of fact size.
+
+    r16 optimization (guide §1.2 "per-task work"): the decimal(30,·) sums
+    were ~80% of the query (0.97 s vs 0.17 s with double sums at sf0.1,
+    and the sums are the determinism contract, so they can't become plain
+    doubles). Instead: qty/price/discount sums go through the narrowest
+    decimal their DOMAIN bounds allow (qty ≤ 50, price < 10^6, discount
+    < 1 — TPC-H generator invariants at every SF), which Catalyst's
+    DecimalAggregates rewrites to pure long sums; the two scale-8 money
+    products use exact two-limb long sums reassembled per group
+    (functions/deterministic.py). Bit-identical results, verified
+    exact-equal against the decimal(30,·) forms at sf0.001/0.01/0.1.
+    The final ORDER BY sorts ≤ |returnflag|×|linestatus| rows — a bounded
+    handful at any scale — so it runs as a single-partition sort instead
+    of a range-exchange (saves the sampling job + exchange).
     """
     l = table(spark, sf_dir, "lineitem")
-    return (
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", 2).alias("sum_qty"),
-            dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            dmoney(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
-            davg("l_quantity", 2).alias("avg_qty"),
-            davg("l_extendedprice", 2).alias("avg_price"),
-            davg("l_discount", 6).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("decimal(8,2)")).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(8,2)")).alias("_sp"),
+            *limb_sums(disc_price, "_dp"),
+            *limb_sums(charge, "_ch"),
+            F.sum(F.col("l_discount").cast("decimal(8,6)")).alias("_sd"),
+            F.count("l_quantity").alias("_cq"),
+            F.count("l_extendedprice").alias("_cp"),
+            F.count("l_discount").alias("_cd"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            money_from_limbs("_dp").alias("sum_disc_price"),
+            money_from_limbs("_ch").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("_cq")).alias("avg_qty"),
+            (F.col("_sp").cast("double") / F.col("_cp")).alias("avg_price"),
+            (F.col("_sd").cast("double") / F.col("_cd")).alias("avg_disc"),
+            "count_order",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -98,6 +137,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: customer filter is pushed down; the filtered customer side is
     small → AQE converts to broadcast-hash join; top-k compiles to
     TakeOrderedAndProject (no global sort).
+
+    r16: revenue uses the exact limb sum (see q1) — long arithmetic per
+    row instead of BigDecimal, bit-identical to dsum(·, 8).
     """
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
@@ -110,10 +152,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"),
-        )
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .agg(*limb_sums(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
+        .select("l_orderkey", sum_from_limbs("_rev", 8).alias("revenue"), "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -145,6 +185,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: nation/region/supplier are dims → explicit broadcast; only the
     orders⋈lineitem join shuffles, keyed on orderkey (high cardinality, no
     skew).
+
+    r16: revenue uses the exact limb sum (see q1) — bit-identical to
+    dmoney, long arithmetic per row; the ≤|nations|-row result sorts in
+    one partition instead of a range exchange.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
@@ -166,8 +210,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .agg(*limb_sums(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
+        .select("n_name", money_from_limbs("_rev").alias("revenue"))
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("revenue"), "n_name")
     )
 
 
