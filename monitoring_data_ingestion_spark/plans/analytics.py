@@ -1006,23 +1006,25 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     in operators/similarity.py).
 
     Scoring is map-side over the corpus scan's partitioning (the query
-    side is broadcast). r16: the scan is widened by the guarded
+    side is broadcast). r16: the CORPUS side is widened by the guarded
     _widen_if_narrow — the fixture's single parquet split would otherwise
     cap the 20×-amplifying dot-product stage at ONE task (profiled: the
     whole scoring pass serialized on one core); on a production-sized
     corpus whose splits already saturate the executors the guard keeps
-    the repartition out of the plan.
+    the repartition out of the plan. The query side is built from the
+    UN-widened scan: it collapses to ≤20 broadcast rows, so routing it
+    through the widen would add a second (pointless) exchange.
     """
-    v = _widen_if_narrow(
-        spark, table(spark, sf_dir, "embeddings"), "vec_id"
-    ).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
     dot_self = F.aggregate(
         F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    v = v.withColumn("norm", F.sqrt(dot_self))
-    q = v.select(
+    v = _widen_if_narrow(spark, base, "vec_id").withColumn("norm", F.sqrt(dot_self))
+    q = base.withColumn("norm", F.sqrt(dot_self)).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("norm").alias("qnorm")
     ).filter(F.col("query_id") < 20)
     dot = F.aggregate(

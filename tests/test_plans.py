@@ -323,14 +323,27 @@ def test_fuzzy_dedup_blocks_are_equi_join(spark):
     assert "Join" in plan  # SortMergeJoin or ShuffledHashJoin on blk
 
 
-def test_bruteforce_knn_corpus_not_repartitioned(spark):
+def test_bruteforce_knn_corpus_widen_is_guarded(spark):
     """knn_cosine_bruteforce scores the corpus map-side against the
-    broadcast query set — the only shuffle allowed is the window's
-    hashpartitioning(query_id) for top-k; an Exchange on vec_id would be
-    a gratuitous corpus-wide shuffle at 100 TB."""
+    broadcast query set. r16: a GUARDED widen repartitions the corpus by
+    vec_id only when the scan has fewer splits than the session shuffle
+    parallelism — the smoke fixture is one tiny file, so here the widen
+    must fire (the 20×-amplifying dot-product stage would otherwise run
+    on one core). On a production-sized corpus the scan estimate exceeds
+    the parallelism and the guard must keep the corpus-wide shuffle OUT
+    of the plan — pinned by shrinking the session parallelism below the
+    scan's split count, which flips the same predicate."""
     plan = _plan(q("knn_cosine_bruteforce")(spark, SF_SMOKE))
-    assert "Exchange hashpartitioning(vec_id" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1  # the top-k window only
+    # narrow scan → widen fires: vec_id exchange + the top-k window's.
+    assert "Exchange hashpartitioning(vec_id" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        plan_wide = _plan(q("knn_cosine_bruteforce")(spark, SF_SMOKE))
+        assert "Exchange hashpartitioning(vec_id" not in plan_wide
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_hll_sketch_union_is_partial_aggregate(spark):
