@@ -420,10 +420,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no constraint to infer and the scan filter stays `isnotnull(doc_id)`
     # only. The null branch is unreachable for surviving rows anyway:
     # a null sh explodes to a null shingle, which the filter drops.
-    sh = base.select(
-        "doc_id",
-        F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
-        F.explode_outer("sh").alias("shingle"),
+    #
+    # r16 (guide §2.4/§5): the PRE-explode (doc_id, sz, sh) projection is
+    # persisted because the self-join reads it twice — without the cache
+    # each side re-ran the whole tokenize+shingle regex pass (2× corpus
+    # CPU). The cache holds the compact per-doc ARRAYS (≈ corpus text
+    # size, MEMORY_AND_DISK so an under-provisioned executor spills);
+    # the ~300×-amplified exploded posting list is still never cached —
+    # both sides explode from the cached arrays.
+    arr = register_cache(
+        base.select(
+            "doc_id",
+            F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
+            F.col("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = arr.select(
+        "doc_id", "sz", F.explode_outer("sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
@@ -484,7 +497,13 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, and dropping corpus-wide boilerplate from BOTH sets
     changes the score little (it was shared noise, not signal).
     """
-    sh0 = _shingled_docs(spark, sf_dir).select(
+    # r16: same cached pre-explode arrays as the exact variant — sh0 feeds
+    # both the df census and the inverted index, and without the cache the
+    # tokenizer ran once per consumer.
+    arr0 = register_cache(
+        _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh0 = arr0.select(
         "doc_id", F.explode_outer("sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
     freq = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -686,24 +705,43 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
 
 
 def _jaccard_verify_text(docs: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification joining candidate pairs to RAW text and
-    shingling only the joined rows (r16, guide §2.3: decide placement with
-    the lightweight proxy — doc ids — and tokenize the heavy payload once,
-    after the join has dropped every non-candidate row).
+    """Exact-Jaccard verification over the CANDIDATE documents only: the
+    distinct doc ids appearing in any candidate pair are semi-joined back
+    to the raw text, each such document is tokenized + shingled exactly
+    ONCE, and the per-doc shingle array (bounded by the candidate set,
+    which LSH banding already caps — tiny relative to the corpus) is
+    persisted and joined to the pairs from both sides.
+
+    r16 v2 (guide §2.3/§8): the first rewrite joined pairs to raw text and
+    shingled per PAIR SIDE — a doc in k pairs was tokenized k times, and
+    the measured candidate density (11 550 pairs over 5 000 docs at sf0.1)
+    made that ~4.6 corpus-equivalents of regex work per run. Deciding
+    membership with the id proxy, shingling each needed doc once, and
+    caching only the candidate docs' arrays does strictly less expression
+    work at every scale while keeping the corpus-sized payload out of
+    executor memory (the cache is candidate-bounded, MEMORY_AND_DISK).
 
     Same arithmetic as the oracle's verify tail (distinct 3-gram shingle
-    arrays, array_intersect count); the shingle expressions sit ABOVE the
-    joins, so no optimizer rule can copy them below (the pushed predicates
-    are pure doc_id equalities). A doc appearing in k pairs is shingled k
-    times — bounded by the candidate-pair count, which LSH banding already
-    caps; the corpus-sized tokenization no longer runs at all here.
+    arrays, array_intersect count); the shingle expressions sit above a
+    semi-join on pure doc_id equalities, so no optimizer rule can push the
+    tokenizer into the scan.
     """
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    paired = candidates.join(ta, "doc_a").join(tb, "doc_b")
-    sh_a = F.array_distinct(_shingles(_tokens(F.col("text_a"))))
-    sh_b = F.array_distinct(_shingles(_tokens(F.col("text_b"))))
-    paired = paired.select("doc_a", "doc_b", sh_a.alias("sh_a"), sh_b.alias("sh_b"))
+    needed = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_needed = register_cache(
+        docs.join(needed, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles(_tokens(F.col("text")))).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sa = sh_needed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_needed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    paired = candidates.join(sa, "doc_a").join(sb, "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
@@ -1188,11 +1226,21 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"))
         .filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3))
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # r16 (guide §2.3 "aggregate before you shuffle"): the min-doc_id
+    # survivor per content hash is a min_by AGGREGATE, not a row_number
+    # window — the partial (map-side) aggregate collapses duplicate
+    # hashes before the exchange, so the shuffle carries one row per
+    # distinct hash per input partition instead of every qualified row,
+    # and the per-partition sort disappears. Same survivor: ties are
+    # impossible (doc_id is unique), so min_by ≡ ORDER BY doc_id rn=1.
     survivors = (
-        qualified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_tokens")
+        qualified.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_tokens"), F.col("doc_id")
+            ).alias("_s")
+        )
+        .select("_s.doc_id", "_s.lang", "_s.n_tokens")
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)

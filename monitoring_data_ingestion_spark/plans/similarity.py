@@ -34,8 +34,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import limb_sums, sum_from_limbs
 from ..sources.readers import table
-from .catalog import query
+from .catalog import query, register_cache
 
 LSH_BANDS = 4
 LSH_PLANES_PER_BAND = 3  # sign bits per band → 8 buckets per band
@@ -53,15 +54,22 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vectors(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
     # r16: guarded widen (see analytics._widen_if_narrow) — the knn
     # family's corpus passes (k×-amplifying centroid cross joins, dot
     # products) inherit the scan's split count, and the fixture's single
     # parquet split serialized them on one core. On a production-sized
     # corpus the guard leaves the scan partitioning alone.
+    # ``widen=False`` is for QUERY-side branches that collapse to a
+    # bounded handful of broadcast rows — routing those through the widen
+    # would add an exchange stage for nothing (same reasoning as the
+    # bruteforce query side, analytics.knn_cosine_bruteforce).
     from .analytics import _widen_if_narrow
 
-    v = _widen_if_narrow(spark, table(spark, sf_dir, "embeddings"), "vec_id").select(
+    v = table(spark, sf_dir, "embeddings")
+    if widen:
+        v = _widen_if_narrow(spark, v, "vec_id")
+    v = v.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     return v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
@@ -236,14 +244,25 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage this becomes partition pruning (read nprobe/k of the data).
     The same plan shape holds for trained k-means codebooks — training is
     orthogonal to the serving path implemented here.
+
+    r16 (guide §1.2/§2.4): the codebook subtree (posexplode → exact mean →
+    array assembly, a full corpus pass) used to be REBUILT for every
+    consumer — the assignment pass and the probe pass each held their own
+    copy, so the explode+aggregate ran twice per run. The k-row codebook
+    is now persisted (register_cache lifecycle, released by the harness),
+    so it is computed once and both broadcasts read the cached rows. The
+    exact mean also sums through two long limbs instead of decimal(30,8)
+    (|component| < 10^6 by construction at any corpus size — embeddings
+    are unit-scale; functions/deterministic.py proves bit-identity).
     """
     v = _vectors(spark, sf_dir)
 
     # Codebook: per-label mean vector, assembled in dimension order.
     expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
     cent = expanded.groupBy("label", "pos").agg(
-        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
-    )
+        *limb_sums(F.col("val"), "_c"),
+        F.count("val").alias("_n"),
+    ).select("label", "pos", (sum_from_limbs("_c", 8) / F.col("_n")).alias("c"))
     centv = (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
@@ -251,15 +270,20 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
         .select(F.col("label").alias("clabel"), "ce", "cnrm")
     )
+    centv = register_cache(centv.persist())
 
-    return _ivf_serve(v, centv)
+    return _ivf_serve(v, centv, vq=_vectors(spark, sf_dir, widen=False))
 
 
-def _ivf_candidates(v: DataFrame, centv: DataFrame) -> DataFrame:
+def _ivf_candidates(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None) -> DataFrame:
     """Inverted-list candidate generation: assign every vector to its
     nearest centroid's list, probe the nprobe nearest lists per query —
     (query_id, neighbor_id) pairs, scoring-agnostic (exact rerank and PQ
-    rerank both consume this)."""
+    rerank both consume this). ``vq`` (default ``v``) feeds the
+    query-side probe branch — pass an un-widened frame so the ≤|Q| probe
+    rows skip the corpus widen exchange."""
+    if vq is None:
+        vq = v
     # Affinity to every centroid (k rows per vector; the codebook side is
     # broadcast → map-side only).
     aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
@@ -289,7 +313,7 @@ def _ivf_candidates(v: DataFrame, centv: DataFrame) -> DataFrame:
         )
     )
     probes = (
-        _rank_affinity(v.filter(F.col("vec_id") < N_QUERIES))
+        _rank_affinity(vq.filter(F.col("vec_id") < N_QUERIES))
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("clabel").alias("bucket"))
     )
@@ -305,7 +329,7 @@ def _ivf_candidates(v: DataFrame, centv: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
+def _ivf_serve(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None) -> DataFrame:
     """The IVF serving path given a codebook (clabel, ce, cnrm): assign
     every vector to its nearest centroid's inverted list, probe the
     nprobe nearest lists per query, exact-rerank within them.
@@ -313,9 +337,21 @@ def _ivf_serve(v: DataFrame, centv: DataFrame) -> DataFrame:
     The codebook is k×dim doubles → broadcast; assignment is a map-only
     corpus pass. The serving plan is identical for any codebook (per-label
     or Lloyd-trained) — training is upstream of this function.
+
+    r16 (guide §3.1/§5): the broadcast query side ``q`` is now filtered to
+    the query batch (vec_id < N_QUERIES) BEFORE the broadcast — it used to
+    broadcast the whole corpus projection and rely on the inner join to
+    drop non-queries, which is an executor-memory liability at corpus
+    scale (the join result is identical: every cand.query_id is < N_QUERIES
+    by construction of the probe branch). ``vq`` (default ``v``) feeds the
+    bounded query-side branches so they can skip the corpus widen exchange.
     """
-    cand = _ivf_candidates(v, centv)
-    q = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm"))
+    if vq is None:
+        vq = v
+    cand = _ivf_candidates(v, centv, vq)
+    q = vq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
     n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("nrm").alias("nnrm"))
     # r16 (guide §3.1): build side flipped. cand ⋈ q is already a broadcast
     # of the tiny query batch; for the corpus join the planner used to
@@ -479,7 +515,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    return _ivf_serve(v, _codebook(cent_long))
+    return _ivf_serve(v, _codebook(cent_long), vq=_vectors(spark, sf_dir, widen=False))
 
 
 _NEARDUP_PAIRS_SQL = f"""

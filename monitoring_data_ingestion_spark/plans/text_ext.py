@@ -57,13 +57,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, term), one on term; the docs count N is a 1-row broadcast. The
     df table shuffles on term (vocabulary-sized, zipfian — AQE's skew
     handling covers the head terms); ranking shuffles on doc_id.
+
+    r16 (guide §2.3/§2.4): df used to re-tokenize the whole corpus for a
+    COUNT(DISTINCT doc_id) — a second full Generate pass plus the
+    two-exchange distinct expansion. tf already holds exactly one row per
+    (doc_id, term), so df ≡ COUNT(*) of tf per term: the df branch now
+    re-aggregates tf, whose shuffle Spark deduplicates via exchange reuse
+    — the corpus is tokenized ONCE and the distinct expansion disappears
+    (plan: 3 scans of documents → 2, one of them count-only).
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
+        # no broadcast hint: the vocabulary is zipfian-unbounded at scale;
+        # the planner broadcasts it at fixture size and AQE picks the
+        # shuffled strategy when df outgrows the threshold.
         tf.join(df_tbl, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, davg_narrow, dsum, dsum_expr
+from ..functions.deterministic import (
+    davg,
+    davg_narrow,
+    dsum,
+    dsum_expr,
+    limb_sums,
+    sum_from_limbs,
+)
 from ..sources.readers import table
 from .catalog import query
 
@@ -37,14 +44,29 @@ ORDER BY window_start, event_type
 def ts_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (T6: the reference's calendar-
     month tumbling window, generalized). Streaming form: groupBy(window)
-    + withWatermark; batch form: date_trunc."""
+    + withWatermark; batch form: date_trunc.
+
+    r16 (guide §1.2): the exact decimal(30,6) sum updates a BigDecimal
+    per row (the buffer exceeds Spark's compact-long decimal); the
+    two-limb long sum (functions/deterministic.py) is bit-identical —
+    |value| < 10^12 headroom per row, the same documented-bound contract
+    — and keeps every aggregate update in primitive longs."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.date_trunc("hour", "ts").alias("window_start"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *limb_sums(F.col("value"), "_tv", scale=6, int_digits=12),
+        )
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            sum_from_limbs("_tv", 6).alias("total_value"),
+        )
         .orderBy("window_start", "event_type")
     )
 
@@ -147,13 +169,24 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(1)),
     )
     numbered = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    # r16 (guide §1.2): session_value sums through two long limbs instead
+    # of decimal(30,6) — bit-identical (functions/deterministic.py), all
+    # aggregate updates stay primitive longs.
     return (
         numbered.groupBy("user_id", "session_id")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", 6).alias("session_value"),
+            *limb_sums(F.col("value"), "_sv", scale=6, int_digits=12),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            sum_from_limbs("_sv", 6).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )

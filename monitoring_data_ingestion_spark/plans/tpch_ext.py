@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dmoney, dmoney_expr, dsum, dsum_expr
+from ..functions.deterministic import (
+    davg,
+    dmoney,
+    dmoney_expr,
+    dsum,
+    dsum_expr,
+    limb_sums,
+    money_from_limbs,
+)
 from ..sources.readers import table
 from .catalog import query
 
@@ -139,16 +147,24 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (l_extendedprice, l_discount, l_quantity, l_shipdate) are read
     (column pruning). At 100 TB with date-partitioned layout the shipdate
     range also prunes whole partitions.
+
+    r16: revenue sums through the exact two-limb long sum (see q1 —
+    l_extendedprice·l_discount is non-negative and < 10^6 by TPC-H domain
+    bounds), bit-identical to dmoney with primitive-long updates.
     """
     l = table(spark, sf_dir, "lineitem")
-    return l.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        dmoney(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            *limb_sums(F.col("l_extendedprice") * F.col("l_discount"), "_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(money_from_limbs("_rev").alias("revenue"), "n_lines")
     )
 
 

@@ -17,3 +17,15 @@ def spark():
     from monitoring_data_ingestion_spark.plans.catalog import release_caches
 
     release_caches()
+
+
+@pytest.fixture(autouse=True)
+def _release_query_caches():
+    """Unpersist query-builder caches BETWEEN tests: a persisted subtree
+    left behind by one test makes Spark's CacheManager substitute an
+    InMemoryRelation into any later plan with a matching subtree, which
+    breaks plan-shape assertions (and holds executor memory)."""
+    yield
+    from monitoring_data_ingestion_spark.plans.catalog import release_caches
+
+    release_caches()
