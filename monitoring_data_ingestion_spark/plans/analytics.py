@@ -665,35 +665,34 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
     base = _shingled_docs(spark, sf_dir).withColumnRenamed("sh", "shingles")
     # One MD5 per distinct shingle; the 32 signature values are cheap
     # integer universal-hashes of that 28-bit key (all JVM-side, codegen'd).
-    keyed = base.select(
+    #
+    # r16 (guide §5 — keep the driver light): the 32 hash columns and 16
+    # band strings are built with selectExpr SQL strings, parsed once in
+    # the JVM, instead of ~100 py4j Column/lambda round-trips per build —
+    # the Column-algebra construction alone measured ~1.0 s of driver time
+    # per bench iteration. The parsed expressions are identical (same
+    # transform/array_min lambdas, same integer arithmetic).
+    keyed = base.selectExpr(
         "doc_id",
         "shingles",
-        F.transform(
-            "shingles",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
-        ).alias("keys"),
+        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) AS bigint)) AS keys",
     )
-    docs = keyed.select(
+    docs = keyed.selectExpr(
         "doc_id",
         "shingles",
         *[
-            F.array_min(
-                F.transform(
-                    "keys",
-                    lambda x: (F.lit(_MINHASH_A[i]) * x + F.lit(_MINHASH_B[i])) % MINHASH_P,
-                )
-            ).alias(f"h{i}")
+            f"array_min(transform(keys, x -> ({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {MINHASH_P})) AS h{i}"
             for i in range(N_MINHASH)
         ],
     )
-    band_cols = [
-        F.concat_ws(
-            "_", *[F.col(f"h{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-        ).alias(f"band{b}")
+    band_exprs = [
+        "concat_ws('_', "
+        + ", ".join(f"cast(h{b * LSH_ROWS + r} AS string)" for r in range(LSH_ROWS))
+        + f") AS band{b}"
         for b in range(LSH_BANDS)
     ]
     bands = register_cache(
-        docs.select("doc_id", *band_cols).persist(StorageLevel.MEMORY_AND_DISK)
+        docs.selectExpr("doc_id", *band_exprs).persist(StorageLevel.MEMORY_AND_DISK)
     )
     long_bands = bands.select(
         "doc_id",

@@ -54,6 +54,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_expr(a: str, b: str) -> str:
+    """SQL rendering of :func:`_dot` over column NAMES — parsed once in the
+    JVM instead of ~20 py4j lambda round-trips per call site (guide §5:
+    measured ~0.45 s of pure driver build time per knn_ivf bench iteration
+    before the hot helpers moved to expression strings). `0.0D` is the
+    same double literal as F.lit(0.0); the lambdas are identical."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
 def _vectors(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
     # r16: guarded widen (see analytics._widen_if_narrow) — the knn
     # family's corpus passes (k×-amplifying centroid cross joins, dot
@@ -69,10 +78,9 @@ def _vectors(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
     v = table(spark, sf_dir, "embeddings")
     if widen:
         v = _widen_if_narrow(spark, v, "vec_id")
-    v = v.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    return v.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    return v.selectExpr(
+        "vec_id", "label", "cast(embedding AS array<double>) AS e"
+    ).selectExpr("vec_id", "label", "e", f"sqrt({_dot_expr('e', 'e')}) AS nrm")
 
 
 def _band_bucket(b: int) -> Column:
@@ -161,7 +169,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     y = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    cosine = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    cosine = F.expr(f"round({_dot_expr('ea', 'eb')} / (na * nb), 6)")
     return (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
@@ -267,7 +275,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
-        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .withColumn("cnrm", F.expr(f"sqrt({_dot_expr('ce', 'ce')})"))
         .select(F.col("label").alias("clabel"), "ce", "cnrm")
     )
     centv = register_cache(centv.persist())
@@ -286,7 +294,7 @@ def _ivf_candidates(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None)
         vq = v
     # Affinity to every centroid (k rows per vector; the codebook side is
     # broadcast → map-side only).
-    aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
+    aff_cos = F.expr(f"round({_dot_expr('e', 'ce')} / (nrm * cnrm), 6)")
     w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
 
     def _rank_affinity(side: DataFrame) -> DataFrame:
@@ -353,16 +361,21 @@ def _ivf_serve(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None) -> D
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
     )
     n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("nrm").alias("nnrm"))
-    # r16 (guide §3.1): build side flipped. cand ⋈ q is already a broadcast
-    # of the tiny query batch; for the corpus join the planner used to
-    # BROADCAST THE CORPUS (BuildRight on n) — fine at fixture size, an
-    # OOM at 100 TB. Broadcasting the (bounded) candidate×query side and
-    # streaming the corpus is the posture that scales, and locally it
-    # keeps the corpus scan map-side with no exchange.
-    cand_q = cand.join(F.broadcast(q), "query_id")
-    scored = n.join(F.broadcast(cand_q), "neighbor_id").withColumn(
-        "cosine",
-        F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6),
+    # r16 (guide §3.1): build side flipped. For the corpus join the planner
+    # used to BROADCAST THE CORPUS (BuildRight on n) — fine at fixture
+    # size, an OOM at 100 TB. Broadcasting the two bounded sides (candidate
+    # pairs, query batch) and streaming the corpus is the posture that
+    # scales, and locally it keeps the corpus scan map-side with no
+    # exchange. The two broadcasts are INDEPENDENT (n ⋈ cand, then ⋈ q)
+    # rather than chained (cand ⋈ q first), so their build jobs overlap
+    # instead of serializing the stage chain.
+    scored = (
+        n.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.expr(f"round({_dot_expr('qe', 'ne')} / (qnrm * nnrm), 6)"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -481,7 +494,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             long.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select(F.col("cid").alias("clabel"), F.transform("pc", lambda s: s["c"]).alias("ce"))
-            .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+            .withColumn("cnrm", F.expr(f"sqrt({_dot_expr('ce', 'ce')})"))
         )
 
     for _ in range(IVF_ITERS):
@@ -490,7 +503,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             v.crossJoin(F.broadcast(centv))
             .withColumn(
                 "acos",
-                F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6),
+                F.expr(f"round({_dot_expr('e', 'ce')} / (nrm * cnrm), 6)"),
             )
             .groupBy("vec_id")
             .agg(
@@ -956,7 +969,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
-        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .withColumn("cnrm", F.expr(f"sqrt({_dot_expr('ce', 'ce')})"))
         .select(F.col("label").alias("clabel"), "ce", "cnrm")
     )
     cand = _ivf_candidates(v, centv)
@@ -1037,7 +1050,7 @@ def _label_codebook(v: DataFrame) -> DataFrame:
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
-        .withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        .withColumn("cnrm", F.expr(f"sqrt({_dot_expr('ce', 'ce')})"))
         .select(F.col("label").alias("clabel"), "ce", "cnrm")
     )
 
@@ -1048,7 +1061,7 @@ def _residual_blocks(v: DataFrame, centv: DataFrame) -> DataFrame:
     of _RESIDUAL_BLOCKS_SQL — one definition of the blocking, two
     engines. Everything is map-side against the broadcast codebook plus
     one tiny per-cluster depth table."""
-    aff_cos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
+    aff_cos = F.expr(f"round({_dot_expr('e', 'ce')} / (nrm * cnrm), 6)")
     w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
     assign = (
         v.crossJoin(F.broadcast(centv))

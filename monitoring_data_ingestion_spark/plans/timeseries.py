@@ -209,26 +209,17 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest view at-or-before it
     (the reference's "latest normal as of month" state lookup, SURVEY §2.3).
 
-    Spark-first implementation: union the two streams, one window pass with
+    Spark-first implementation: merge the two streams, one window pass with
     `last(..., ignorenulls)` — O(n log n) in the partition, no range
-    cross-product, scales to any table size (vs a naive theta-join)."""
+    cross-product, scales to any table size (vs a naive theta-join).
+
+    r16 (guide §2.3): the merge is a single scan with a conditional
+    projection instead of a UNION of two filtered scans of the same table
+    — one pass over the fact instead of two, identical rows (a view row
+    carries (v_event_id, v_value, kind=0), a purchase row (p_event_id,
+    kind=1); the isin filter pushes to the scan)."""
     e = table(spark, sf_dir, "events")
-    views = e.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("v_event_id"),
-        F.col("value").alias("v_value"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("p_event_id"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("v_event_id"),
-        F.lit(None).cast("double").alias("v_value"),
-        F.lit(1).alias("kind"),
-        F.col("event_id").alias("p_event_id"),
-    )
+    is_view = F.col("event_type") == "view"
     # Views sort before purchases on timestamp ties (kind 0 < 1) so the
     # `>=` as-of semantics include a same-instant view.
     w = (
@@ -236,7 +227,14 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = views.unionByName(purchases).select(
+    merged = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        F.when(is_view, F.col("event_id")).cast("long").alias("v_event_id"),
+        F.when(is_view, F.col("value")).cast("double").alias("v_value"),
+        F.when(is_view, F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        F.when(~is_view, F.col("event_id")).cast("long").alias("p_event_id"),
+    ).select(
         "user_id",
         "ts",
         "kind",

@@ -57,6 +57,18 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     )
 
 
+# Lazy scan handles, keyed on (session, path, mtime_ns, size). Building a
+# scan DataFrame is NOT free: spark.read.parquet lists the path and reads
+# footers for schema inference on every call (measured 75-400 ms per call
+# at sf0.1 — 0.3-0.5 s of pure driver latency per multi-table query build,
+# guide §5 "the driver should do almost no data work"). The cache holds
+# only the unresolved LAZY plan — metadata, never rows — so repeated
+# builds of the same query skip the re-listing; execution still computes
+# everything from parquet. The mtime/size key invalidates handles for
+# fixtures rewritten in place (tests regenerating tmp dirs).
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy: no data moves until an action.
 
@@ -65,6 +77,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps (truncating, matching DuckDB/Arrow µs semantics).
     """
     path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (spark, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # nonexistent yet: let spark.read fail loudly below
+    if key is not None:
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None:
+            return cached
     nanos = _nanos_ts_cols(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -79,6 +101,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    if key is not None:
+        if len(_SCAN_CACHE) > 512:  # bounded; entries are tiny plan handles
+            _SCAN_CACHE.clear()
+        _SCAN_CACHE[key] = df
     return df
 
 
