@@ -359,6 +359,18 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
 
 
+def _shingle_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, sh) per-doc shingle ARRAYS, for queries whose
+    plan consumes the shingle table more than once (self-joins, census +
+    join-back): without the cache each consumer re-runs the whole
+    tokenize+shingle regex pass (r16, guide §2.4/§5). The compact arrays
+    (≈ corpus text size) are cached MEMORY_AND_DISK; the ~300×-amplified
+    exploded posting list never is — consumers explode from the cache."""
+    return register_cache(
+        _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 _SHINGLE_SQL = f"""
   SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL.strip()})) AS shingle
   FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
@@ -402,7 +414,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate has everything it needs — no cached shingle frame, no
     # size-lookup joins after the aggregate. One exploded self-join + one
     # aggregate is the whole query.
-    base = _shingled_docs(spark, sf_dir)
     # explode_outer + post-filter, NOT plain explode: inner explode makes
     # InferFiltersFromGenerate plant a `size(sh) > 0` predicate that
     # pushdown substitutes through the token projection into the scan —
@@ -428,15 +439,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size, MEMORY_AND_DISK so an under-provisioned executor spills);
     # the ~300×-amplified exploded posting list is still never cached —
     # both sides explode from the cached arrays.
-    arr = register_cache(
-        base.select(
-            "doc_id",
-            F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
-            F.col("sh"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    arr = _shingle_arrays_cached(spark, sf_dir)
     sh = arr.select(
-        "doc_id", "sz", F.explode_outer("sh").alias("shingle")
+        "doc_id",
+        F.coalesce(F.size("sh"), F.lit(0)).alias("sz"),
+        F.explode_outer("sh").alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
@@ -500,9 +507,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: same cached pre-explode arrays as the exact variant — sh0 feeds
     # both the df census and the inverted index, and without the cache the
     # tokenizer ran once per consumer.
-    arr0 = register_cache(
-        _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    arr0 = _shingle_arrays_cached(spark, sf_dir)
     sh0 = arr0.select(
         "doc_id", F.explode_outer("sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
@@ -1483,7 +1488,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the shingle key. Work is O(total shingles): corpus-linear by
     construction, the same budget as text_tfidf_top_terms.
     """
-    sh = _shingled_docs(spark, sf_dir).select(
+    # r16: the shingle table feeds both the first-occurrence census and
+    # the join-back — explode both from the cached per-doc arrays so the
+    # tokenizer pass runs once (guide §2.4).
+    sh = _shingle_arrays_cached(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1043,9 +1044,11 @@ def _label_codebook(v: DataFrame) -> DataFrame:
     """Per-label mean-vector codebook (clabel, ce, cnrm) — the same
     construction as knn_ivf's coarse quantizer."""
     expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
+    # r16: exact mean via two-limb long sums (bit-identical to the
+    # decimal(30,8) route, primitive-long aggregate updates — see knn_ivf).
     cent = expanded.groupBy("label", "pos").agg(
-        (F.sum(F.col("val").cast("decimal(30,8)")).cast("double") / F.count("val")).alias("c")
-    )
+        *limb_sums(F.col("val"), "_c"), F.count("val").alias("_n")
+    ).select("label", "pos", (sum_from_limbs("_c", 8) / F.col("_n")).alias("c"))
     return (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
@@ -1062,13 +1065,29 @@ def _residual_blocks(v: DataFrame, centv: DataFrame) -> DataFrame:
     engines. Everything is map-side against the broadcast codebook plus
     one tiny per-cluster depth table."""
     aff_cos = F.expr(f"round({_dot_expr('e', 'ce')} / (nrm * cnrm), 6)")
-    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
+    # r16: nearest-centroid pick via a map-side-partial min_by aggregate
+    # instead of a row_number window — no per-partition sort of the k×
+    # affinity rows, and the aggregate reuses the scan's vec_id
+    # partitioning (same rewrite as _ivf_candidates' assign; identical
+    # winner: max rounded cosine, ties to lowest label).
     assign = (
         v.crossJoin(F.broadcast(centv))
         .withColumn("acos", aff_cos)
-        .withColumn("rn", F.row_number().over(w_aff))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cluster"), "e", "nrm", "ce", "cnrm")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("clabel", "e", "nrm", "ce", "cnrm"),
+                F.struct((-F.col("acos")).alias("neg"), F.col("clabel")),
+            ).alias("_s")
+        )
+        .select(
+            "vec_id",
+            F.col("_s.clabel").alias("cluster"),
+            F.col("_s.e").alias("e"),
+            F.col("_s.nrm").alias("nrm"),
+            F.col("_s.ce").alias("ce"),
+            F.col("_s.cnrm").alias("cnrm"),
+        )
     )
     depth = assign.groupBy("cluster").agg(
         F.greatest(
@@ -1155,7 +1174,12 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocker makes, cf. dedup_embedding_cosine's banding).
     """
     v = _vectors(spark, sf_dir)
-    blocks = _residual_blocks(v, _label_codebook(v))
+    # r16 (guide §2.4/§5): the blocking pipeline feeds BOTH sides of the
+    # within-block self-join — persist it so assignment + depth run once
+    # per run instead of once per side.
+    blocks = register_cache(
+        _residual_blocks(v, _label_codebook(v)).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     hi = blocks.select(
         "cluster", "subbucket", "vec_id", F.col("e").alias("e_hi"), F.col("nrm").alias("n_hi")
@@ -1356,6 +1380,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     v = mu.select("i", F.lit(0.125).alias("v"))
+    # r16: the norm rides a global (unpartitioned) window over the dim-row
+    # iterate instead of a separate aggregate job + 1-row broadcast per
+    # iteration — same exact decimal sum, two fewer jobs per power step.
+    w_all = Window.partitionBy()
     for _ in range(PCA_ITERS):
         # localCheckpoint per iterate: u feeds BOTH the norm and the next
         # vector — left lazy, each level doubles the replayed subtree
@@ -1366,10 +1394,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum((F.col("c") * F.col("v")).cast(_PCA_DEC)).cast("double").alias("u"))
             .localCheckpoint()
         )
-        nrm = u.agg(
-            F.sqrt(F.sum((F.col("u") * F.col("u")).cast(_PCA_DEC)).cast("double")).alias("nrm")
+        nrm = F.sqrt(
+            F.sum((F.col("u") * F.col("u")).cast(_PCA_DEC)).over(w_all).cast("double")
         )
-        v = u.crossJoin(F.broadcast(nrm)).select("i", (F.col("u") / F.col("nrm")).alias("v"))
+        v = u.select("i", (F.col("u") / nrm).alias("v"))
     x_long = emb.select("vec_id", F.posexplode("e").alias("i", "x"))
     proj = (
         x_long.join(F.broadcast(v), "i")
@@ -1517,7 +1545,14 @@ def knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     every blocked kNN-graph build; raise SEMDEDUP_TARGET_POP to widen).
     """
     v = _vectors(spark, sf_dir)
-    blocks = _residual_blocks(v, _label_codebook(v))
+    # r16 (guide §2.4/§5): blocks feeds both self-join sides and top feeds
+    # both sides of the mutuality join — without the persists the blocking
+    # pipeline ran 4× and the blocked scoring+top-k 2× per run. top is
+    # n×k rows (bounded); blocks is the standard blocked-join
+    # materialization (MEMORY_AND_DISK).
+    blocks = register_cache(
+        _residual_blocks(v, _label_codebook(v)).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = blocks.select(
         "cluster", "subbucket", F.col("vec_id").alias("qa"),
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
@@ -1526,15 +1561,16 @@ def knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster", "subbucket", F.col("vec_id").alias("qb"),
         F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )
-    pair_cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    pair_cos = F.expr(f"round({_dot_expr('ea', 'eb')} / (na * nb), 6)")
     w = Window.partitionBy("qa").orderBy(F.desc("cosine"), "qb")
-    top = (
+    top = register_cache(
         a.join(b, ["cluster", "subbucket"])
         .filter(F.col("qa") != F.col("qb"))
         .select("qa", "qb", pair_cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= MUTUAL_K)
         .select("qa", "qb", "cosine", "rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rev = top.select(
         F.col("qa").alias("qb"), F.col("qb").alias("qa"), F.col("rk").alias("rk_rev")
