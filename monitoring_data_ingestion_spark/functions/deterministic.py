@@ -116,12 +116,25 @@ def limb_sums(value: Column, name: str, scale: int = 8, int_digits: int = 6) -> 
     the exact decimal(·, scale) sum of ``value`` as long limbs.
 
     Per row: u = cast(value AS decimal(int_digits+scale, scale)) · 10^scale
-    (exact long, |u| < 10^(int_digits+scale) ≤ 10^14), split at 10^6.
+    (exact long while int_digits + scale ≤ 18, enforced below), split at
+    10^6.  A value outside ±10^int_digits casts to NULL and silently leaves
+    the sum (non-ANSI cast) — int_digits is a caller-asserted DOMAIN bound,
+    the same contract :func:`dsum_narrow` documents.
     Combine with :func:`sum_from_limbs` / :func:`money_from_limbs`.
+
+    r17 (ADVICE r16): ``hi`` is now true integer division (IntegralDivide —
+    truncates toward zero, exactly the old (u − lo)/10^6 split for every
+    long u).  The previous form divided through DOUBLE, which is exact only
+    for |u| < 2^53 and silently produced a wrong limb for the scale=6 /
+    int_digits=12 call sites (timeseries sums) whose u can reach 10^18.
     """
+    if scale < 6:
+        raise ValueError("limb sums support scale >= 6")
+    if int_digits + scale > 18:
+        raise ValueError("limb sums are exact only for int_digits + scale <= 18")
     u = (value.cast(f"decimal({int_digits + scale},{scale})") * (10**scale)).cast("long")
     lo = u % _LIMB
-    hi = ((u - lo) / _LIMB).cast("long")  # exact: numerator is a multiple of 10^6 < 2^53
+    hi = F.call_function("div", u, F.lit(_LIMB))
     return [F.sum(hi).alias(f"{name}__hi"), F.sum(lo).alias(f"{name}__lo")]
 
 

@@ -1063,7 +1063,15 @@ def _residual_blocks(v: DataFrame, centv: DataFrame) -> DataFrame:
     sub-blocks: (vec_id, cluster, subbucket, e, nrm). The Spark rendering
     of _RESIDUAL_BLOCKS_SQL — one definition of the blocking, two
     engines. Everything is map-side against the broadcast codebook plus
-    one tiny per-cluster depth table."""
+    one tiny per-cluster depth table.
+
+    Domain contract (ADVICE r16): zero-norm vectors and zero-norm
+    centroids are OUT OF DOMAIN.  x/0.0 gives ±Inf/NaN, and NaN ordering
+    differs between the historical row_number window (NaN ranked first —
+    picked) and this min_by aggregate (NaN sorts greatest — never
+    picked).  The embeddings fixture contains no zero-norm vectors at
+    any SF and both engines agree on every in-domain row; a production
+    corpus must filter nrm > 0 upstream."""
     aff_cos = F.expr(f"round({_dot_expr('e', 'ce')} / (nrm * cnrm), 6)")
     # r16: nearest-centroid pick via a map-side-partial min_by aggregate
     # instead of a row_number window — no per-partition sort of the k×

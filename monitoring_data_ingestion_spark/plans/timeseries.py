@@ -49,8 +49,13 @@ def ts_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     r16 (guide §1.2): the exact decimal(30,6) sum updates a BigDecimal
     per row (the buffer exceeds Spark's compact-long decimal); the
     two-limb long sum (functions/deterministic.py) is bit-identical —
-    |value| < 10^12 headroom per row, the same documented-bound contract
-    — and keeps every aggregate update in primitive longs."""
+    and keeps every aggregate update in primitive longs.
+
+    HARD DOMAIN CONTRACT (ADVICE r16): |value| < 10^12 per row. The limb
+    split is exact across that whole domain since r17 (integer-division
+    high limb); a row outside it does NOT silently vanish — the session
+    runs with Spark 4's default ANSI mode, so the decimal(18,6) cast
+    fails the query loudly."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -171,7 +176,9 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered = flagged.withColumn("session_id", F.sum("new_session").over(cum))
     # r16 (guide §1.2): session_value sums through two long limbs instead
     # of decimal(30,6) — bit-identical (functions/deterministic.py), all
-    # aggregate updates stay primitive longs.
+    # aggregate updates stay primitive longs.  Hard domain contract:
+    # |value| < 10^12 per row (exact across the whole domain since the
+    # r17 integer-division limb fix; ANSI mode fails loudly outside it).
     return (
         numbered.groupBy("user_id", "session_id")
         .agg(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import glob
 import os
+import stat as stat_mod
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,7 +81,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = None
     try:
         st = os.stat(path)
-        key = (spark, path, st.st_mtime_ns, st.st_size)
+        # Cache REGULAR FILES only (ADVICE r16): a directory-layout table's
+        # mtime/size does not change when a part file inside is rewritten,
+        # so a cached handle would keep a stale frozen file listing.
+        # Directory fixtures (tests regenerating tmp dirs) always rebuild.
+        if stat_mod.S_ISREG(st.st_mode):
+            key = (spark, path, st.st_mtime_ns, st.st_size)
     except OSError:
         pass  # nonexistent yet: let spark.read fail loudly below
     if key is not None:

@@ -294,3 +294,62 @@ def test_hmac_matches_stdlib(body, secret):
         secret, body, hashlib.sha256
     ).hexdigest()
     assert md5_hex(body) == hashlib.md5(body).hexdigest()
+
+
+def test_limb_sums_exact_vs_wide_decimal(spark):
+    """limb_sums must reproduce the decimal(30,s) sum bit-for-bit, INCLUDING
+    the large-magnitude domain (|value| up to 10^int_digits) where the old
+    double-division high limb silently went inexact (ADVICE r16: u = value
+    · 10^scale can reach 10^18, past double's 2^53 integer range)."""
+    from monitoring_data_ingestion_spark.functions.deterministic import (
+        dsum,
+        limb_sums,
+        money_from_limbs,
+        sum_from_limbs,
+    )
+
+    # Values chosen to break a double-division split: near ±10^12 at scale
+    # 6 the scaled long is ~10^18, where doubles resolve only to 128s.
+    # Dyadic fractions so the float literal is exact and stays in-domain
+    # (|v| < 10^12 — under ANSI an out-of-domain cast fails loudly).
+    # 911856239313·10^6 (and friends) round DOWN as doubles: the old
+    # double-division high limb truncated to ...312 — off by one.
+    vals = [
+        911_856_239_313.0,
+        914_655_221_101.0,
+        -763_595_448_017.0,
+        987_654_321_098.765625,
+        -576_460_752_303.75,
+        123_456.789012,
+        -0.000001,
+        0.0,
+    ]
+    df = spark.createDataFrame([Row(g=1, v=float(v)) for v in vals])
+    got = (
+        df.groupBy("g")
+        .agg(*limb_sums(F.col("v"), "_s", scale=6, int_digits=12))
+        .select(sum_from_limbs("_s", 6).alias("s"))
+        .collect()[0]["s"]
+    )
+    want = df.groupBy("g").agg(dsum(F.col("v"), 6).alias("s")).collect()[0]["s"]
+    assert got == want
+
+    # The money path (scale 8, non-negative) stays bit-identical too.
+    money_vals = [99_999.12345678, 0.00000001, 54_321.99999999, 777.5]
+    mdf = spark.createDataFrame([Row(g=1, v=float(v)) for v in money_vals])
+    got_m = (
+        mdf.groupBy("g")
+        .agg(*limb_sums(F.col("v"), "_m"))
+        .select(money_from_limbs("_m").alias("m"))
+        .collect()[0]["m"]
+    )
+    from monitoring_data_ingestion_spark.functions.deterministic import dmoney
+
+    want_m = mdf.groupBy("g").agg(dmoney(F.col("v")).alias("m")).collect()[0]["m"]
+    assert got_m == want_m
+
+    # Domain guards: out-of-contract arguments fail loudly at build time.
+    with pytest.raises(ValueError):
+        limb_sums(F.col("v"), "_x", scale=6, int_digits=13)
+    with pytest.raises(ValueError):
+        limb_sums(F.col("v"), "_x", scale=4, int_digits=2)
