@@ -24,95 +24,74 @@ from monitoring_data_ingestion_spark.plans import REGISTRY
 # alphabetical within a cohort, filling to exactly 50 — leftovers are
 # the explicit FRONT of next round's queue.
 #
-# Round 16 window: 5 NEW (the chemistry PDTs 4.40-4.43 and aerosol
-# PDTs 4.44-4.48 landing constituent/aerosol columns; bitmap ×
-# reduced Gaussian in edition 2, closing the r15 cross-edition
-# asymmetry; and run-length level packing 5.200, the JMA
-# radar-composite form; and the ensemble-reforecast PDTs 4.60/4.61
-# with the model_version landing column, plus the 4.49 AOD-ensemble
-# form witnessed inside the aerosol scan) + 7 CHANGED
-# (grid_grib2_aec_scan — the codec
-# under it was restructured: basic-mode 3-bit IDs for n ≤ 8, O(n) FS
-# decode, second extension on reference blocks;
-# grid_grib_quarantine_scan — its reject fixture re-pinned from the
-# now-decoding PDT 40 to the RESERVED 4.65534, permanently; and the
-# five GRIB2-facing inventory/match queries behind the template gates
-# grown by 40-48 on both inventory surfaces:
-# grid_grib_inventory_scan, grid_grib_inventory_robust_scan,
-# grid_grib2_match_decode, grid_grib2_match_level_decode,
-# grid_grib_match_lead_scan) + the 10 spilled r8 names + the first 28
-# (alphabetical) of the 40-name r9 cohort.  5 + 7 + 10 + 28 = exactly
-# 50.  The remaining 12 r9 names (stream_static_enrich,
-# stream_stream_interval_join, stream_tumbling_hourly, text_langid,
-# text_quality_score, ts_anomaly_zscore, ts_asof_join, ts_funnel,
-# ts_gap_fill_ffill, ts_interpolate_linear, ts_range_join,
-# ts_tumbling_hourly) spill to the FRONT of round 17's queue,
-# followed by the r10 cohort.
-# The r16 SPLIT of plans/grid_q.py into six family modules moved
-# every grid query VERBATIM (registry diff empty, asserted against
-# the pre-split HEAD; full local driver-sim green at HEAD) — a pure
-# file move is below even the additive-branch bar, so it forces no
-# re-witness (the documented r12-r15 judgment).  Other landing
-# queries sit downstream only of additive branches (the 4.40-4.48 /
-# 5.200 dispatch arms and the 8 new NULL landing columns — bit-
-# identical for every previously-decodable shape, swept by the codec
-# suite + the full local driver-sim).  WINDOWS.md carries the
-# r1-r16 ledger.
+# Round 17 window (optimization round — no new queries): the 12
+# spilled r9 names queued verbatim by the r16 window + the complete
+# 35-name r10 cohort + the alphabetically-first 3 of the 39-name r11
+# cohort.  12 + 35 + 3 = exactly 50.  The remaining 36 r11 names
+# (dedup_containment_capped … window_rank_ties, listed in WINDOWS.md)
+# spill to the FRONT of round 18's queue, followed by the r12 cohort.
+# This round's optimization rewrites (scale-adaptive widen width,
+# lazy sub-plan handles, the integer-division limb fix, the tfidf
+# tokenize widen) are RESULT-IDENTICAL plan changes verified by the
+# full 299-query sf0.01 driver-sim at HEAD plus targeted oracle
+# pytest — below the re-witness bar per the documented r16 judgment
+# for the same class of change (and the r10 cohort happens to
+# re-witness several of the touched text/dedup queries anyway).
+# WINDOWS.md carries the r1-r17 ledger.
 _PRIORITY: tuple[str, ...] = (
-    # --- 1. new in round 16 (first driver witness) ---
-    "grid_grib2_chemistry_scan",
-    "grid_grib2_aerosol_scan",
-    "grid_grib2_reduced_bitmap_scan",
-    "grid_grib2_runlength_scan",
-    "grid_grib2_reforecast_scan",
-    # --- 2. changed in round 16 ---
-    "grid_grib2_aec_scan",
-    "grid_grib_quarantine_scan",
-    "grid_grib_inventory_scan",
-    "grid_grib_inventory_robust_scan",
-    "grid_grib2_match_decode",
-    "grid_grib2_match_level_decode",
-    "grid_grib_match_lead_scan",
-    # --- 3. oldest cohorts: the 10 spilled r8 names, then the first
-    #     28 (alphabetical) of the 40-name r9 cohort ---
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multi_key",
-    "topk_orders",
-    "window_first_last",
-    "window_range_frame",
-    "window_rank",
-    "window_running_sum",
-    "agg_approx_distinct",
-    "agg_boolean_bitwise",
-    "agg_entropy",
-    "agg_filter_clause",
-    "agg_grouping_markers",
-    "agg_histogram",
-    "agg_listagg",
-    "agg_mode_deterministic",
-    "agg_multi_distinct",
-    "agg_regression_stats",
-    "agg_salted_skew",
-    "agg_weighted_avg",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "join_null_safe",
-    "knn_pq_scan",
-    "merge_upsert_customers",
-    "multimodal_binary_dedup",
-    "multimodal_feature_extract",
-    "multimodal_metadata_stats",
-    "pack_sequences",
-    "sample_weighted",
-    "scd2_validity_intervals",
-    "split_train_test_hash",
-    "stream_dedup_union",
-    "stream_session_windows",
-    "stream_sliding_halfhour",
-    "stream_stateful_user_stats",
+    # --- 1. the 12 spilled r9 names (front of this round's queue) ---
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_hourly",
+    "text_langid",
+    "text_quality_score",
+    "ts_anomaly_zscore",
+    "ts_asof_join",
+    "ts_funnel",
+    "ts_gap_fill_ffill",
+    "ts_interpolate_linear",
+    "ts_range_join",
+    "ts_tumbling_hourly",
+    # --- 2. the complete r10 cohort (35 names, alphabetical) ---
+    "grid_grib1_anomaly",
+    "grid_grib1_decode",
+    "grid_grib1_forecast_lead_scan",
+    "grid_grib2_ensemble_scan",
+    "grid_grib2_forecast_lead_scan",
+    "grid_grib2_gaussian_decode",
+    "grid_grib2_jpeg2000_decode",
+    "grid_grib2_lambert_decode",
+    "grid_grib2_mercator_decode",
+    "grid_grib2_multifield_scan",
+    "grid_grib2_percentile_scan",
+    "grid_grib2_polar_decode",
+    "grid_grib2_probability_scan",
+    "grid_grib_layer_scan",
+    "grid_grib_mixed_scan",
+    "multimodal_frame_sample",
+    "multimodal_image_decode_stats",
+    "q11_important_stock",
+    "q12_late_line_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q8_market_share",
+    "sample_k_per_group",
+    "scalar_collections",
+    "scalar_try_cast",
+    "scalar_zorder",
+    "set_union_by_name",
+    "text_bpe_token_count",
+    "text_ngram_freq",
+    "text_repetition_ratios",
+    "text_token_stats",
+    "ts_dedup_union",
+    # --- 3. fill: the alphabetically-first 3 of the r11 cohort ---
+    "agg_share_of_total",
+    "cdc_snapshot_diff",
+    "dedup_containment",
 )
 
 

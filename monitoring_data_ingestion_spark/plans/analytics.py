@@ -27,7 +27,7 @@ from pyspark import StorageLevel
 
 from ..functions.deterministic import dsum_expr
 from ..sources.readers import table
-from .catalog import query, register_cache
+from .catalog import memo_plan, query, register_cache
 
 # Shared deterministic text definitions (identical in oracle SQL below).
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
@@ -279,12 +279,13 @@ def _parse_byte_conf(s: str) -> int:
     return int(s)
 
 
-def _scan_split_estimate(spark: SparkSession, df: DataFrame) -> int | None:
-    """Planned scan split count, estimated from the relation's FileIndex
-    (``df.inputFiles()`` + local file sizes) with Spark's own FilePartition
-    sizing: maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-    paddedTotal / defaultParallelism)), splits ≈ paddedTotal / maxSplitBytes,
-    where paddedTotal charges openCostInBytes per file.
+def _scan_layout(spark: SparkSession, df: DataFrame) -> tuple[int, int] | None:
+    """(planned split count, raw byte total) of the relation's scan,
+    estimated from the FileIndex (``df.inputFiles()`` + local file sizes)
+    with Spark's own FilePartition sizing: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, paddedTotal /
+    defaultParallelism)), splits ≈ paddedTotal / maxSplitBytes, where
+    paddedTotal charges openCostInBytes per file.
 
     Deliberately NOT ``df.rdd.getNumPartitions()``: that converts the plan
     to an RDD — a full physical-planning round-trip per call. Returns None
@@ -317,23 +318,53 @@ def _scan_split_estimate(spark: SparkSession, df: DataFrame) -> int | None:
     padded = sum(sz + open_cost for sz in sizes)
     cores = max(int(spark.sparkContext.defaultParallelism), 1)
     max_split = max(min(max_part, max(open_cost, padded // cores)), 1)
-    return max(1, -(-padded // max_split))
+    return max(1, -(-padded // max_split)), sum(sizes)
 
 
-def _widen_if_narrow(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+def _scan_split_estimate(spark: SparkSession, df: DataFrame) -> int | None:
+    """Planned scan split count (see :func:`_scan_layout`)."""
+    layout = _scan_layout(spark, df)
+    return None if layout is None else layout[0]
+
+
+def _widen_if_narrow(
+    spark: SparkSession, df: DataFrame, key: str, amp: int = 32
+) -> DataFrame:
     """Repartition ``df`` by ``key`` only when its scan is narrower than the
-    session shuffle parallelism.
+    session shuffle parallelism — to a width derived from DATA VOLUME, not
+    the core count.
 
     Widening matters locally (a single small parquet file would cap a
     compute-amplifying downstream stage at 1-2 tasks) but would be a
     pointless full shuffle of raw rows on a production-sized table whose
     parquet splits already saturate the executors. The width check is a
-    file-size estimate (see _scan_split_estimate) — no RDD conversion.
+    file-size estimate (see _scan_layout) — no RDD conversion.
+
+    r17 (guide §2.2 — scale-adaptive partitioning): the width used to be
+    the session shuffle parallelism, which splits a tiny fixture into
+    core-count many ~20 KB tasks whose scheduling overhead exceeds their
+    work (measured: the 8-core bench beat the 32-core bench on every
+    widened query). The width is now what Spark's own split sizing would
+    give an input ``amp``× as large at the fine-grained end: ceil(raw_bytes
+    · amp / openCostInBytes), clamped to [2, shuffle partitions].  ``amp``
+    is the call site's downstream work amplification (shingle fan-out,
+    k-centroid cross join, query-batch size) — at sf0.1 this yields 8–16
+    partitions for the embedding scans (measured optimum) and still
+    saturates the session for the ~300× text fan-outs; on a production
+    table the guard (est ≥ n) keeps the repartition out of the plan
+    entirely, exactly as before.
     """
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    est = _scan_split_estimate(spark, df)
-    if est is not None and est < n:
-        df = df.repartition(n, key)
+    layout = _scan_layout(spark, df)
+    if layout is None or layout[0] >= n:
+        return df
+    est, raw = layout
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    width = max(2, min(n, -(-raw * amp // max(open_cost, 1))))
+    if width > est:
+        df = df.repartition(width, key)
     return df
 
 
@@ -354,9 +385,19 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw document text for nothing. The guard keeps the local-small-file
     fix out of the 100 TB path.
     """
-    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
-    return toks.select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
+    def build() -> DataFrame:
+        d = _widen_if_narrow(
+            spark, table(spark, sf_dir, "documents"), "doc_id", amp=300
+        )
+        toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+        return toks.select(
+            "doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh")
+        )
+
+    # r17: memoized lazy handle — the tokenizer/shingle expression tree
+    # costs ~60 ms of driver build per call and every dedup query rebuilds
+    # it (plans/catalog.py::memo_plan; metadata only, never rows).
+    return memo_plan(spark, sf_dir, ("documents",), "shingled_docs", build)
 
 
 def _shingle_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +407,8 @@ def _shingle_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+shingle regex pass (r16, guide §2.4/§5). The compact arrays
     (≈ corpus text size) are cached MEMORY_AND_DISK; the ~300×-amplified
     exploded posting list never is — consumers explode from the cache."""
+    # _shingled_docs is a memoized handle (r17), so persist() re-arms the
+    # SAME lazy plan after release_caches() — a no-op while already armed.
     return register_cache(
         _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -641,15 +684,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast} → 2× {Scan documents → Broadcast} with the shingle
     expressions above the join.
     """
-    _, long_bands = _minhash_bands(spark, sf_dir)
-    a = long_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
-    b = long_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
-    candidates = (
-        a.join(b, ["band_idx", "sig"]).filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    def build_candidates() -> DataFrame:
+        _, long_bands = _minhash_bands(spark, sf_dir)
+        a = long_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
+        b = long_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "sig")
+        return (
+            a.join(b, ["band_idx", "sig"]).filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+
+    # r17: the candidate-pair table is a shared artifact (the survivors /
+    # cluster endpoints consume it too) — memoized lazy handle. The bands
+    # persist is RE-ARMED here because the memoized plan skips the builder
+    # (persist lifecycle must sit outside any memoized build).
+    candidates = memo_plan(
+        spark, sf_dir, ("documents",), "minhash_candidates", build_candidates
     )
-    return _jaccard_verify_text(table(spark, sf_dir, "documents"), candidates)
+    _minhash_bands(spark, sf_dir)  # re-arm the bands cache registration
+    return _jaccard_verify_text(
+        table(spark, sf_dir, "documents"),
+        candidates,
+        memo=(spark, sf_dir, "minhash_verify"),
+    )
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str):
@@ -668,6 +725,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
     release_caches() teardown.
     """
     base = _shingled_docs(spark, sf_dir).withColumnRenamed("sh", "shingles")
+
     # One MD5 per distinct shingle; the 32 signature values are cheap
     # integer universal-hashes of that 28-bit key (all JVM-side, codegen'd).
     #
@@ -677,27 +735,34 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
     # the Column-algebra construction alone measured ~1.0 s of driver time
     # per bench iteration. The parsed expressions are identical (same
     # transform/array_min lambdas, same integer arithmetic).
-    keyed = base.selectExpr(
-        "doc_id",
-        "shingles",
-        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) AS bigint)) AS keys",
-    )
-    docs = keyed.selectExpr(
-        "doc_id",
-        "shingles",
-        *[
-            f"array_min(transform(keys, x -> ({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {MINHASH_P})) AS h{i}"
-            for i in range(N_MINHASH)
-        ],
-    )
-    band_exprs = [
-        "concat_ws('_', "
-        + ", ".join(f"cast(h{b * LSH_ROWS + r} AS string)" for r in range(LSH_ROWS))
-        + f") AS band{b}"
-        for b in range(LSH_BANDS)
-    ]
+    # r17: the parsed signature plan is additionally a memoized lazy
+    # handle — JVM-parsing + analyzing the 48-expression block still cost
+    # ~110 ms per build (plans/catalog.py::memo_plan; metadata only).
+    def build_bands() -> DataFrame:
+        keyed = base.selectExpr(
+            "doc_id",
+            "shingles",
+            "transform(shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) AS bigint)) AS keys",
+        )
+        docs = keyed.selectExpr(
+            "doc_id",
+            "shingles",
+            *[
+                f"array_min(transform(keys, x -> ({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {MINHASH_P})) AS h{i}"
+                for i in range(N_MINHASH)
+            ],
+        )
+        band_exprs = [
+            "concat_ws('_', "
+            + ", ".join(f"cast(h{b * LSH_ROWS + r} AS string)" for r in range(LSH_ROWS))
+            + f") AS band{b}"
+            for b in range(LSH_BANDS)
+        ]
+        return docs.selectExpr("doc_id", *band_exprs)
+
     bands = register_cache(
-        docs.selectExpr("doc_id", *band_exprs).persist(StorageLevel.MEMORY_AND_DISK)
+        memo_plan(spark, sf_dir, ("documents",), "minhash_bands", build_bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     long_bands = bands.select(
         "doc_id",
@@ -708,7 +773,11 @@ def _minhash_bands(spark: SparkSession, sf_dir: str):
     return base, long_bands
 
 
-def _jaccard_verify_text(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+def _jaccard_verify_text(
+    docs: DataFrame,
+    candidates: DataFrame,
+    memo: tuple | None = None,
+) -> DataFrame:
     """Exact-Jaccard verification over the CANDIDATE documents only: the
     distinct doc ids appearing in any candidate pair are semi-joined back
     to the raw text, each such document is tokenized + shingled exactly
@@ -730,19 +799,28 @@ def _jaccard_verify_text(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     semi-join on pure doc_id equalities, so no optimizer rule can push the
     tokenizer into the scan.
     """
-    needed = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_needed = register_cache(
-        docs.join(needed, "doc_id", "left_semi")
-        .select(
+    def build_sh_needed() -> DataFrame:
+        needed = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        return docs.join(needed, "doc_id", "left_semi").select(
             "doc_id",
             F.array_distinct(_shingles(_tokens(F.col("text")))).alias("sh"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+
+    # r17: callers with a stable candidate set pass a memo key so the
+    # candidate-shingle sub-plan (the expensive analysis: the shingle
+    # expression tree over a semi-join) is a memoized lazy handle; the
+    # persist lifecycle stays OUT of the memoized build so the rows
+    # re-register with the CacheManager on every invocation.
+    if memo is not None:
+        m_spark, m_sf, m_tag = memo
+        sh_plan = memo_plan(m_spark, m_sf, ("documents",), m_tag, build_sh_needed)
+    else:
+        sh_plan = build_sh_needed()
+    sh_needed = register_cache(sh_plan.persist(StorageLevel.MEMORY_AND_DISK))
     sa = sh_needed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_needed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     paired = candidates.join(sa, "doc_a").join(sb, "doc_b")
@@ -965,7 +1043,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on (block_idx, block_value) — no all-pairs scan.
     The oracle runs the equivalent all-pairs form on the fixture.
     """
-    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id")
+    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id", amp=256)
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     hashed = toks.select(
         "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
@@ -1065,7 +1143,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    v = _widen_if_narrow(spark, base, "vec_id").withColumn("norm", F.sqrt(dot_self))
+    v = _widen_if_narrow(spark, base, "vec_id", amp=20).withColumn("norm", F.sqrt(dot_self))
     q = base.withColumn("norm", F.sqrt(dot_self)).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("norm").alias("qnorm")
     ).filter(F.col("query_id") < 20)
@@ -1707,7 +1785,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint sets exactly like the shingle dedup family (inverted
     index on the fingerprint key, stop-fingerprint cap for the head).
     """
-    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id")
+    d = _widen_if_narrow(spark, table(spark, sf_dir, "documents"), "doc_id", amp=300)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
     sh = toks.select("doc_id", _shingles(F.col("t")).alias("sharr"))
     hashes = sh.select(

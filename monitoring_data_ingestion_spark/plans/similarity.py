@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.deterministic import limb_sums, sum_from_limbs
 from ..sources.readers import table
-from .catalog import query, register_cache
+from .catalog import memo_plan, query, register_cache
 
 LSH_BANDS = 4
 LSH_PLANES_PER_BAND = 3  # sign bits per band → 8 buckets per band
@@ -76,12 +76,15 @@ def _vectors(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
     # bruteforce query side, analytics.knn_cosine_bruteforce).
     from .analytics import _widen_if_narrow
 
-    v = table(spark, sf_dir, "embeddings")
-    if widen:
-        v = _widen_if_narrow(spark, v, "vec_id")
-    return v.selectExpr(
-        "vec_id", "label", "cast(embedding AS array<double>) AS e"
-    ).selectExpr("vec_id", "label", "e", f"sqrt({_dot_expr('e', 'e')}) AS nrm")
+    def build() -> DataFrame:
+        v = table(spark, sf_dir, "embeddings")
+        if widen:
+            v = _widen_if_narrow(spark, v, "vec_id", amp=10)
+        return v.selectExpr(
+            "vec_id", "label", "cast(embedding AS array<double>) AS e"
+        ).selectExpr("vec_id", "label", "e", f"sqrt({_dot_expr('e', 'e')}) AS nrm")
+
+    return memo_plan(spark, sf_dir, ("embeddings",), f"vectors_w{int(widen)}", build)
 
 
 def _band_bucket(b: int) -> Column:
@@ -267,21 +270,37 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
 
     # Codebook: per-label mean vector, assembled in dimension order.
-    expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
-    cent = expanded.groupBy("label", "pos").agg(
-        *limb_sums(F.col("val"), "_c"),
-        F.count("val").alias("_n"),
-    ).select("label", "pos", (sum_from_limbs("_c", 8) / F.col("_n")).alias("c"))
-    centv = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
-        .withColumn("cnrm", F.expr(f"sqrt({_dot_expr('ce', 'ce')})"))
-        .select(F.col("label").alias("clabel"), "ce", "cnrm")
-    )
-    centv = register_cache(centv.persist())
+    # r17: the codebook sub-plan (posexplode → limb mean → array assembly)
+    # is a memoized lazy handle — building+analyzing it cost ~90 ms of
+    # driver time per invocation (plans/catalog.py::memo_plan; the
+    # persisted ROWS still release via release_caches, and persist()
+    # re-arms the same handle afterwards).
+    def build_codebook() -> DataFrame:
+        expanded = v.select("label", F.posexplode("e").alias("pos", "val"))
+        cent = expanded.groupBy("label", "pos").agg(
+            *limb_sums(F.col("val"), "_c"),
+            F.count("val").alias("_n"),
+        ).select("label", "pos", (sum_from_limbs("_c", 8) / F.col("_n")).alias("c"))
+        return (
+            cent.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("label", F.transform("pc", lambda s: s["c"]).alias("ce"))
+            .withColumn("cnrm", F.expr(f"sqrt({_dot_expr('ce', 'ce')})"))
+            .select(F.col("label").alias("clabel"), "ce", "cnrm")
+        )
 
-    return _ivf_serve(v, centv, vq=_vectors(spark, sf_dir, widen=False))
+    centv = register_cache(
+        memo_plan(
+            spark, sf_dir, ("embeddings",), "ivf_codebook", build_codebook
+        ).persist()
+    )
+
+    return _ivf_serve(
+        v,
+        centv,
+        vq=_vectors(spark, sf_dir, widen=False),
+        memo=(spark, sf_dir, "ivf_candidates"),
+    )
 
 
 def _ivf_candidates(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None) -> DataFrame:
@@ -338,7 +357,12 @@ def _ivf_candidates(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None)
     )
 
 
-def _ivf_serve(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None) -> DataFrame:
+def _ivf_serve(
+    v: DataFrame,
+    centv: DataFrame,
+    vq: DataFrame | None = None,
+    memo: tuple | None = None,
+) -> DataFrame:
     """The IVF serving path given a codebook (clabel, ce, cnrm): assign
     every vector to its nearest centroid's inverted list, probe the
     nprobe nearest lists per query, exact-rerank within them.
@@ -357,7 +381,19 @@ def _ivf_serve(v: DataFrame, centv: DataFrame, vq: DataFrame | None = None) -> D
     """
     if vq is None:
         vq = v
-    cand = _ivf_candidates(v, centv, vq)
+    # r17: callers whose codebook plan is itself stable per (session,
+    # fixture) — NOT the Lloyd loop, whose codebook embeds an eager
+    # localCheckpoint — pass a memo key so the candidate-generation
+    # sub-plan (crossJoin + window + min_by construction, ~80 ms of
+    # driver time) is a memoized lazy handle (plans/catalog.py).
+    if memo is not None:
+        m_spark, m_sf, m_tag = memo
+        cand = memo_plan(
+            m_spark, m_sf, ("embeddings",), m_tag,
+            lambda: _ivf_candidates(v, centv, vq),
+        )
+    else:
+        cand = _ivf_candidates(v, centv, vq)
     q = vq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
     )
@@ -1355,7 +1391,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism) — guarded so a production-sized table never pays a
     # pointless raw-row shuffle
     moments = (
-        _widen_if_narrow(spark, emb, "vec_id")
+        _widen_if_narrow(spark, emb, "vec_id", amp=256)
         .select(F.explode(F.concat(outer, firsts, counter)).alias("m"))
         .select("m.i", "m.j", "m.v")
         .groupBy("i", "j")

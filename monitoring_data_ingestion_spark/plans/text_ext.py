@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.strings import pii_match_count, redact_pii
 from ..sources.readers import table
-from .analytics import _TOKENS_SQL, _tokens
+from .analytics import _TOKENS_SQL, _tokens, _widen_if_narrow
 from .catalog import query
 
 TOP_TERMS_PER_DOC = 3
@@ -65,12 +65,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates tf, whose shuffle Spark deduplicates via exchange reuse
     — the corpus is tokenized ONCE and the distinct expansion disappears
     (plan: 3 scans of documents → 2, one of them count-only).
+
+    r17 (guide §2.2): the tokenize+explode stage inherits the scan's
+    split count — 2 tasks on the sf0.1 fixture — so it is widened by the
+    guarded data-volume rule before the ~100× token fan-out.  The tf
+    exchange (and its reuse by the df branch) is deliberately KEPT: a
+    doc_id-keyed restructure that makes tf/window shuffle-free was
+    measured and rejected — it removes the reuse point, so the df branch
+    re-tokenizes the corpus (a second full regex pass at every scale).
     """
-    d = table(spark, sf_dir, "documents")
+    base = table(spark, sf_dir, "documents")
+    d = _widen_if_narrow(spark, base, "doc_id", amp=100)
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # count off the UN-widened scan: a 1-row count must not ride the
+    # widen exchange.
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         # no broadcast hint: the vocabulary is zipfian-unbounded at scale;
         # the planner broadcasts it at fixture size and AQE picks the
